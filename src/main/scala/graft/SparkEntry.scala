@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see SURVEY.md §7 and the builder prompt.
+  *
+  * `queries` is the engine's full declared operator surface (SURVEY.md
+  * §2B): each entry is one named operator exercised end-to-end on the
+  * driver's parquet tables; `oracleSql` carries the DuckDB twin for the
+  * hash-compare correctness gate.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** All operator families, concatenated. Names must be globally unique. */
+  private val allDefs: Seq[QueryDef] =
+    Relational.defs
+
+  require(allDefs.map(_.name).distinct.size == allDefs.size,
+    "duplicate query names across operator families")
+
+  /** Flagship query on sf0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QueryDef.toQueries(allDefs)
+
+  /** DuckDB-runnable ANSI SQL twin for each oracle-checkable query. */
+  def oracleSql: Map[String, String] =
+    QueryDef.toOracle(allDefs)
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md / FIXTURES.md).
+  *
+  * Every query in [[SparkEntry.queries]] receives `(spark, sfDir)` and loads
+  * its inputs through here, so queries are scale-factor portable
+  * (sf0.001 smoke → sf0.01 oracle → sf0.1 bench → production paths).
+  *
+  * Scale notes (100 TB design stance):
+  *   - We return the raw `spark.read.parquet` scan — no cache, no
+  *     repartition — so Catalyst sees the file source directly and
+  *     predicate pushdown + column pruning reach the parquet reader
+  *     (`PushedFilters` / `ReadSchema` in `.explain`).
+  *   - Dimension tables (region, nation, supplier, customer, part) are
+  *     broadcast-sized at any realistic scale factor; fact-side queries
+  *     join them with an explicit `broadcast()` hint.
+  *   - On a real cluster the same loaders would point at partitioned
+  *     table roots; nothing here assumes single-file inputs.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = t("region")
+  def nation: DataFrame     = t("nation")
+  def customer: DataFrame   = t("customer")
+  def supplier: DataFrame   = t("supplier")
+  def part: DataFrame       = t("part")
+  def orders: DataFrame     = t("orders")
+  def lineitem: DataFrame   = t("lineitem")
+  def events: DataFrame     = t("events")
+  def documents: DataFrame  = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+
+  /** All star-schema table names, for clone-pipeline enumeration. */
+  def starTables: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+  def byName(name: String): DataFrame = t(name)
+}
+
+object Tables {
+  def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+}
