@@ -14,7 +14,7 @@ object SparkEntry {
 
   /** All operator families, concatenated. Names must be globally unique. */
   private val allDefs: Seq[QueryDef] =
-    Relational.defs
+    Relational.defs ++ Windows.defs ++ Scalars.defs
 
   require(allDefs.map(_.name).distinct.size == allDefs.size,
     "duplicate query names across operator families")

@@ -30,7 +30,17 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  def events: DataFrame     = t("events")
+
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
+    * refuses by default. Read nanos as raw longs, then convert to the
+    * engine-wide µs TimestampType (the generator emits µs-aligned values,
+    * so `div 1000` is lossless — FIXTURES.md). */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 
