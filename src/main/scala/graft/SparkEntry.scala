@@ -14,7 +14,8 @@ object SparkEntry {
 
   /** All operator families, concatenated. Names must be globally unique. */
   private val allDefs: Seq[QueryDef] =
-    Relational.defs ++ Windows.defs ++ Scalars.defs
+    Relational.defs ++ Windows.defs ++ Scalars.defs ++
+      Dedup.defs ++ Similarity.defs ++ TextAnalysis.defs
 
   require(allDefs.map(_.name).distinct.size == allDefs.size,
     "duplicate query names across operator families")

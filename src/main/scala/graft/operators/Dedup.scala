@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operator family (north star, SURVEY.md §2B):
+  * exact (content hash), MinHash+LSH (shingle → minhash → band →
+  * bucket-join), and SimHash — each shuffle-parallel with no driver-side
+  * loops, so the same plan runs on a 1000-executor cluster:
+  * the only shuffles are groupBy(doc) for signatures and
+  * groupBy(band, bucket) for candidate generation, both on keys whose
+  * cardinality grows with the data.
+  *
+  * Two hash stacks:
+  *   - md5-derived 60-bit hashes (`md5h64`) for the oracle-checked
+  *     queries — DuckDB computes the identical value via
+  *     `CAST(concat('0x', substring(md5(x),1,15)) AS BIGINT)`;
+  *   - xxhash64 for the production path ([[MinHashDedup]]) — codegen'd,
+  *     ~10× cheaper than md5, used by the rows-only LSH query and unit
+  *     tests.
+  */
+object Dedup {
+
+  /** 60-bit hash from the md5 hex prefix — reproducible in DuckDB. */
+  def md5h64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Word 3-gram shingles of a text column (as a SQL lambda expression so
+    * the Spark and DuckDB formulations stay visibly parallel). */
+  private val gramsExpr =
+    """filter(transform(split(text, ' '), (x, i) ->
+      |  IF(i + 3 <= size(split(text, ' ')), concat_ws(' ',
+      |     element_at(split(text, ' '), i + 1),
+      |     element_at(split(text, ' '), i + 2),
+      |     element_at(split(text, ' '), i + 3)), NULL)),
+      |  g -> g IS NOT NULL)""".stripMargin
+
+  private val duckGrams =
+    """list_filter(list_transform(string_split(text, ' '), (x, i) ->
+      |  CASE WHEN i + 2 <= len(string_split(text, ' '))
+      |    THEN concat(string_split(text, ' ')[i], ' ',
+      |                string_split(text, ' ')[i+1], ' ',
+      |                string_split(text, ' ')[i+2]) END),
+      |  g -> g IS NOT NULL)""".stripMargin
+
+  private def duckH64(e: String): String =
+    s"CAST(concat('0x', substring(md5($e), 1, 15)) AS BIGINT)"
+
+  /** Distinct (doc_id, gram) pairs — the shingle relation. */
+  private def gramRelation(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(expr(gramsExpr)).as("gram")).distinct()
+
+  private def minhashSigs(docs: DataFrame, k: Int): DataFrame = {
+    val grams = gramRelation(docs)
+    val aggs = (0 until k).map(j =>
+      min(md5h64(concat(lit(s"s$j:"), col("gram")))).as(s"mh$j"))
+    grams.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- exact dedup: content-hash groupBy; keeps the smallest doc_id
+    //      per identical text (hash-shuffle on the digest, no sort)
+    QueryDef.checked(
+      "q_dedup_exact",
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents
+        |GROUP BY sha256(text)
+        |ORDER BY keep_id""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .groupBy(sha2(col("text"), 256))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .select("keep_id", "n_dups")
+        .orderBy("keep_id")
+    },
+
+    // ---- minhash signatures (k=4) over 3-gram shingles, oracle-checked
+    QueryDef.checked(
+      "q_minhash_signatures",
+      s"""WITH grams AS (
+         |  SELECT DISTINCT doc_id, unnest($duckGrams) AS gram FROM documents
+         |)
+         |SELECT doc_id,
+         |  min(${duckH64("concat('s0:', gram)")}) AS mh0,
+         |  min(${duckH64("concat('s1:', gram)")}) AS mh1,
+         |  min(${duckH64("concat('s2:', gram)")}) AS mh2,
+         |  min(${duckH64("concat('s3:', gram)")}) AS mh3
+         |FROM grams GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      minhashSigs(Tables(spark, dir).documents, 4).orderBy("doc_id")
+    },
+
+    // ---- MinHash-LSH candidate pairs: k=8 signatures, 4 bands × 2 rows;
+    //      candidates = docs sharing a band bucket. The bucket join is the
+    //      100 TB design: shuffle on (band, bucket-hash), never all-pairs.
+    QueryDef.checked(
+      "q_dedup_minhash_pairs",
+      s"""WITH grams AS (
+         |  SELECT DISTINCT doc_id, unnest($duckGrams) AS gram FROM documents
+         |), sigs AS (
+         |  SELECT doc_id,
+         |    ${(0 until 8).map(j => s"min(${duckH64(s"concat('s$j:', gram)")}) AS mh$j").mkString(",\n    ")}
+         |  FROM grams GROUP BY doc_id
+         |), bands AS (
+         |  ${(0 until 4).map(b =>
+              s"SELECT doc_id, $b AS band, md5(concat(mh${2*b}, ',', mh${2*b+1})) AS bval FROM sigs")
+              .mkString("\n  UNION ALL\n  ")}
+         |)
+         |SELECT doc_a, doc_b, count(*) AS n_bands FROM (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id) p
+         |GROUP BY doc_a, doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+      val sigs = minhashSigs(Tables(spark, dir).documents, 8)
+      val bands = sigs.select(col("doc_id"),
+        explode(array((0 until 4).map(b => struct(
+          lit(b).as("band"),
+          md5(concat(col(s"mh${2 * b}").cast("string"), lit(","),
+            col(s"mh${2 * b + 1}").cast("string"))).as("bval"))): _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bval").as("bval"))
+      val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bval"))
+      val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bval"))
+      a.join(b, Seq("band", "bval"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "band").distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_bands"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- exact n-gram Jaccard between consecutive docs: pure relational
+    //      set intersection (explode + equi-join), integer-exact similarity
+    QueryDef.checked(
+      "q_ngram_jaccard",
+      s"""WITH grams AS (
+         |  SELECT DISTINCT doc_id, unnest($duckGrams) AS gram FROM documents
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+         |), inter AS (
+         |  SELECT a.doc_id AS doc_a, count(*) AS n_int
+         |  FROM grams a JOIN grams b ON a.gram = b.gram AND b.doc_id = a.doc_id + 1
+         |  GROUP BY a.doc_id
+         |)
+         |SELECT sa.doc_id AS doc_a, sa.doc_id + 1 AS doc_b,
+         |  sa.n AS n_a, sb.n AS n_b,
+         |  coalesce(n_int, 0) AS n_int,
+         |  CAST(coalesce(n_int, 0) AS DOUBLE) / (sa.n + sb.n - coalesce(n_int, 0)) AS jaccard
+         |FROM sizes sa
+         |JOIN sizes sb ON sb.doc_id = sa.doc_id + 1
+         |LEFT JOIN inter i ON i.doc_a = sa.doc_id
+         |ORDER BY doc_a""".stripMargin) { (spark, dir) =>
+      val grams = gramRelation(Tables(spark, dir).documents)
+      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = grams.as("a")
+        .join(grams.as("b"),
+          col("a.gram") === col("b.gram") &&
+            col("b.doc_id") === col("a.doc_id") + 1)
+        .groupBy(col("a.doc_id").as("doc_a"))
+        .agg(count(lit(1)).as("n_int"))
+      val sa = sizes.select(col("doc_id").as("da"), col("n").as("n_a"))
+      val sb = sizes.select(col("doc_id").as("db"), col("n").as("n_b"))
+      sa.join(sb, col("db") === col("da") + 1)
+        .join(inter, col("doc_a") === col("da"), "left")
+        .select(
+          col("da").as("doc_a"), col("db").as("doc_b"),
+          col("n_a"), col("n_b"),
+          coalesce(col("n_int"), lit(0L)).as("n_int"),
+          (coalesce(col("n_int"), lit(0L)).cast("double") /
+            (col("n_a") + col("n_b") - coalesce(col("n_int"), lit(0L))))
+            .as("jaccard"))
+        .orderBy("doc_a")
+    },
+
+    // ---- SimHash (16-bit, token-frequency weighted), oracle-checked via
+    //      the same md5-derived hash on both engines
+    QueryDef.checked(
+      "q_simhash",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+         |), bits AS (
+         |  SELECT doc_id, unnest(range(0, 16)) AS bit,
+         |    ${duckH64("tok")} AS h
+         |  FROM toks
+         |), sums AS (
+         |  SELECT doc_id, bit,
+         |    sum(CASE WHEN (h // CAST(pow(2, bit) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM bits GROUP BY doc_id, bit
+         |)
+         |SELECT doc_id,
+         |  sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS simhash16
+         |FROM sums GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val toks = Tables(spark, dir).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val bits = toks
+        .withColumn("h", md5h64(col("tok")))
+        .select(col("doc_id"), col("h"),
+          explode(sequence(lit(0), lit(15))).as("bit"))
+      bits
+        .groupBy(col("doc_id"), col("bit"))
+        .agg(sum(when(expr("(h div CAST(pow(2, bit) AS LONG)) % 2 = 1"), 1)
+          .otherwise(-1)).as("s"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("s") > 0, expr("CAST(pow(2, bit) AS LONG)"))
+          .otherwise(0L)).as("simhash16"))
+        .orderBy("doc_id")
+    },
+
+    // ---- production-path MinHash-LSH (xxhash64, k=16, b=4, r=4) with
+    //      exact-jaccard verification of candidates; summary row so the
+    //      result is non-empty even on a dup-free corpus. Engine-private
+    //      hash → no SQL oracle; MinHashDedupSpec covers correctness.
+    QueryDef.rowsOnly("q_dedup_minhash_lsh64") { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      val report = MinHashDedup(k = 16, bands = 4).dedupReport(docs)
+      report
+    }
+  )
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Production MinHash-LSH near-duplicate detector (north star operator).
+  *
+  * Pipeline (all shuffle-parallel, no driver materialization):
+  *   1. shingle: word 3-grams per doc (`transform` over the token array);
+  *   2. sign: k minhashes per doc — `min(xxhash64(seed_j, shingle))`
+  *      (xxhash64 is codegen'd and vectorizes; one pass computes all k
+  *      via a posexploded seed dimension);
+  *   3. band: k signatures → `bands` buckets of r = k/bands rows each,
+  *      bucket id = xxhash64 of the band's signature slice;
+  *   4. candidate join: self-join on (band, bucket) — at 100 TB this is
+  *      the only quadratic-risk step and it is bounded by bucket size,
+  *      not corpus size; skewed buckets can be salted or capped;
+  *   5. verify: exact Jaccard on candidates only (explode + equi-join).
+  *
+  * Tuning: with r rows per band, P(candidate) = 1-(1-J^r)^bands — the
+  * usual S-curve; defaults (k=16, b=4, r=4) put the knee near J≈0.6.
+  */
+final case class MinHashDedup(k: Int, bands: Int) {
+  require(k % bands == 0, "k must be divisible by bands")
+  private val r = k / bands
+
+  /** (doc_id, gram) distinct shingle relation. */
+  def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(expr(
+      """filter(transform(split(text, ' '), (x, i) ->
+        |  IF(i + 3 <= size(split(text, ' ')), concat_ws(' ',
+        |     element_at(split(text, ' '), i + 1),
+        |     element_at(split(text, ' '), i + 2),
+        |     element_at(split(text, ' '), i + 3)), NULL)),
+        |  g -> g IS NOT NULL)""".stripMargin)).as("gram"))
+      .distinct()
+
+  /** doc_id → array of k minhash signatures. */
+  def signatures(docs: DataFrame): DataFrame = {
+    val seeded = shingles(docs)
+      .select(col("doc_id"), col("gram"),
+        explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .select(col("doc_id"), col("j"),
+        xxhash64(col("j"), col("gram")).as("h"))
+    seeded.groupBy("doc_id", "j").agg(min(col("h")).as("mh"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("j"), col("mh")))).as("sigs"))
+      .select(col("doc_id"),
+        expr("transform(sigs, s -> s.mh)").as("sig"))
+  }
+
+  /** (doc_id, band, bucket) LSH relation. */
+  def buckets(docs: DataFrame): DataFrame =
+    signatures(docs)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"),
+        col("sig"))
+      .select(col("doc_id"), col("band"),
+        xxhash64(col("band"),
+          expr(s"array_join(slice(sig, band * $r + 1, $r), ',')")).as("bucket"))
+
+  /** Candidate pairs (doc_a < doc_b) sharing ≥1 band bucket. */
+  def candidatePairs(docs: DataFrame): DataFrame = {
+    val bk = buckets(docs)
+    val a = bk.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+    val b = bk.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Candidates with exact Jaccard ≥ threshold (verification pass). */
+  def verifiedPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val grams = shingles(docs)
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cand = candidatePairs(docs)
+    val inter = cand
+      .join(grams.select(col("doc_id").as("doc_a"), col("gram")), Seq("doc_a"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("gram")), Seq("doc_b", "gram"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_int"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_int").cast("double") / (col("n_a") + col("n_b") - col("n_int")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** One-row summary (corpus size, candidates, verified dups ≥ 0.6) —
+    * non-empty even when the corpus has no near-duplicates. */
+  def dedupReport(docs: DataFrame): DataFrame = {
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val nCand = candidatePairs(docs).select(count(lit(1)).as("n_candidates"))
+    val nVer = verifiedPairs(docs, 0.6).select(count(lit(1)).as("n_verified_dups"))
+    nDocs.crossJoin(nCand).crossJoin(nVer)
+      .withColumn("k", lit(k)).withColumn("bands", lit(bands))
+  }
+}

@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operator family (north star): corpus statistics,
+  * language identification, quality scoring, token counting, and
+  * document fingerprinting over `documents`.
+  *
+  * Every query is oracle-checked. Numeric discipline: all similarity /
+  * ratio outputs are exact integer divisions in double (bit-identical
+  * across engines); the only float aggregation (lang-id scores) rounds at
+  * the edge and ranks on the rounded value.
+  */
+object TextAnalysis {
+
+  /** Stopword lexicon used by the quality score (tokens present in the
+    * corpus vocabulary — FIXTURES.md word-soup). */
+  private val stopwords = Seq("the", "a", "of", "and")
+  private val stopSqlList = stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- corpus stats per (lang, source)
+    QueryDef.checked(
+      "q_text_stats",
+      """SELECT lang, source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+          sum(size(split(col("text"), " "))).cast("long").as("total_tokens"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang", "source")
+    },
+
+    // ---- language ID: self-trained unigram profiles (P(token|lang) from
+    //      the labeled corpus), docs scored by summed token probability,
+    //      argmax via ranked window. Fully relational: profile build is
+    //      one shuffle, scoring is a broadcast-sized join at any corpus
+    //      scale (vocab × langs is small).
+    QueryDef.checked(
+      "q_lang_id",
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), prof AS (
+        |  SELECT lang AS plang, tok,
+        |    CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY lang) AS p
+        |  FROM toks GROUP BY lang, tok
+        |), scores AS (
+        |  SELECT t.doc_id, p.plang, sum(p.p) AS score
+        |  FROM toks t JOIN prof p ON p.tok = t.tok
+        |  GROUP BY t.doc_id, p.plang
+        |), ranked AS (
+        |  SELECT doc_id, plang AS pred_lang, round(score, 6) AS score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY round(score, 9) DESC, plang) AS rn
+        |  FROM scores
+        |)
+        |SELECT doc_id, pred_lang, score FROM ranked WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      val toks = docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      val prof = toks.groupBy(col("lang").as("plang"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("p", col("cnt").cast("double") /
+          sum(col("cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy("plang")))
+        .select("plang", "tok", "p")
+      val scores = toks.join(broadcast(prof), Seq("tok"))
+        .groupBy(col("doc_id"), col("plang"))
+        .agg(sum(col("p")).as("raw_score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(round(col("raw_score"), 9).desc, col("plang"))
+      scores
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("plang").as("pred_lang"),
+          round(col("raw_score"), 6).as("score"))
+        .orderBy("doc_id")
+    },
+
+    // ---- quality scoring: length / type-token ratio / stopword ratio,
+    //      with a keep/drop flag (the usual pretraining-filter shape)
+    QueryDef.checked(
+      "q_quality_score",
+      s"""WITH feats AS (
+         |  SELECT doc_id,
+         |    len(string_split(text, ' ')) AS n_tokens,
+         |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         |    length(replace(text, ' ', '')) AS n_letter_chars,
+         |    len(list_filter(string_split(text, ' '), t -> t IN $stopSqlList)) AS n_stop
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_tokens, n_distinct,
+         |  CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+         |  CAST(n_letter_chars AS DOUBLE) / n_tokens AS avg_token_len,
+         |  CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+         |  (n_tokens >= 20 AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.2
+         |    AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.5) AS keep
+         |FROM feats
+         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val stopArr = stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
+      Tables(spark, dir).documents
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          size(array_distinct(split(col("text"), " "))).as("n_distinct"),
+          length(regexp_replace(col("text"), " ", "")).as("n_letter_chars"),
+          size(expr(s"filter(split(text, ' '), t -> array_contains($stopArr, t))"))
+            .as("n_stop"))
+        .select(
+          col("doc_id"), col("n_tokens"), col("n_distinct"),
+          (col("n_distinct").cast("double") / col("n_tokens")).as("ttr"),
+          (col("n_letter_chars").cast("double") / col("n_tokens")).as("avg_token_len"),
+          (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"),
+          (col("n_tokens") >= 20 &&
+            col("n_distinct").cast("double") / col("n_tokens") >= 0.2 &&
+            col("n_stop").cast("double") / col("n_tokens") <= 0.5).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // ---- token counting: whitespace tokens + BPE-ish regex word pieces
+    QueryDef.checked(
+      "q_token_count",
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS re_tokens,
+        |  n_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("re_tokens"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // ---- document fingerprint: md5 over the sorted distinct token set
+    //      (key-collapse fingerprint — word order / repetition invariant)
+    QueryDef.checked(
+      "q_fingerprint",
+      """SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+        |  FROM documents) t
+        |GROUP BY fingerprint
+        |ORDER BY keep_id""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .select(col("doc_id"),
+          md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+            .as("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+        .select("fingerprint", "keep_id", "n_docs")
+        .orderBy("keep_id")
+    }
+  )
+}
