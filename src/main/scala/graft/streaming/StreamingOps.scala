@@ -1,0 +1,152 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.QueryDef
+
+/** Structured Streaming surface over the `events` table (SURVEY.md §2B
+  * "Streaming"). The checked queries run REAL streaming jobs — file
+  * source → windowed stateful aggregation → memory sink, driven to
+  * completion with `processAllAvailable()` — and are validated against
+  * batch-equivalent DuckDB SQL (tumbling window ≡ date_trunc group-by,
+  * session window ≡ gaps-and-islands), per SURVEY.md §2B's streaming
+  * note. Watermarks bound state retention; at scale the same queries run
+  * unchanged against a live source with a checkpoint dir.
+  */
+object StreamingOps {
+
+  /** Raw parquet schema of events (ts is TIMESTAMP(NANOS) stored as
+    * int64; read as long, converted to µs in [[eventsStream]]). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** The file stream source wants a directory; stage one containing a
+    * symlink to the events parquet (read-only testdata stays untouched). */
+  private def stageStreamDir(dir: String): String = {
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_events_stream_")
+    java.nio.file.Files.createSymbolicLink(tmp.resolve("events.parquet"), src)
+    tmp.toString
+  }
+
+  /** Replayable finite stream over the driver's events parquet. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(stageStreamDir(dir))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming aggregation to completion into a memory sink and
+    * return the final table. */
+  private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    df.sparkSession.table(name)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- tumbling window counts (1 h), watermarked event-time state
+    QueryDef.checked(
+      "q_stream_tumbling",
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY window_start, event_type""".stripMargin) { (spark, dir) =>
+      val agg = eventsStream(spark, dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total_value"))
+      runToMemory(agg, "graft_stream_tumbling", "complete")
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")
+    },
+
+    // ---- sliding window counts (1 h window, 30 min slide): each event
+    //      lands in 2 windows; oracle unions the two bucket alignments
+    QueryDef.checked(
+      "q_stream_sliding",
+      """WITH w AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events
+        |)
+        |SELECT ws AS window_start, count(*) AS n
+        |FROM w GROUP BY ws
+        |ORDER BY window_start""".stripMargin) { (spark, dir) =>
+      val agg = eventsStream(spark, dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+      runToMemory(agg, "graft_stream_sliding", "complete")
+        .select(col("window.start").as("window_start"), col("n"))
+        .orderBy("window_start")
+    },
+
+    // ---- session windows (30 min gap) per user; oracle is the classic
+    //      gaps-and-islands formulation
+    QueryDef.checked(
+      "q_stream_session",
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |), islands AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked
+        |)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |FROM islands
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin) { (spark, dir) =>
+      val agg = eventsStream(spark, dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      runToMemory(agg, "graft_stream_session", "complete")
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+
+    // ---- stateful stream dedup: the stream is the events file replayed
+    //      twice (union of two sources) → dropDuplicates(event_id) must
+    //      collapse it back to one copy; oracle = plain batch counts
+    QueryDef.checked(
+      "q_stream_dedup",
+      """SELECT event_type, count(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val doubled = eventsStream(spark, dir).unionByName(eventsStream(spark, dir))
+      val agg = doubled
+        .withWatermark("ts", "2 hours")
+        .dropDuplicates("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      runToMemory(agg, "graft_stream_dedup", "complete")
+        .select("event_type", "n")
+        .orderBy("event_type")
+    }
+  )
+}

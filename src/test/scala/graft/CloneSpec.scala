@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+import graft.pipeline.{CloneConfig, ClonePipeline, ConnectorOptions}
+
+/** Reference-semantics battery (SURVEY.md §5.2(4)): clone with prefix,
+  * skip-if-exists idempotency, backup gating, post-write verification,
+  * failure accounting, config validation, connector option builders. */
+class CloneSpec extends SparkSpec {
+
+  private def freshCfg(overwrite: Boolean = false, backup: Boolean = false) = {
+    val target = Files.createTempDirectory("graft_clone_spec_").toString
+    CloneConfig(
+      sourceDir = sf,
+      targetDir = target,
+      tables = Seq("region.parquet", "nation.parquet"),
+      prefix = "preprod_",
+      backupBeforeClone = backup,
+      backupDir = s"$target/_backups",
+      overwrite = overwrite)
+  }
+
+  test("clone copies content under the prefixed namespace and verifies") {
+    val cfg = freshCfg()
+    val results = ClonePipeline(spark, cfg).run()
+    assert(results.forall(_.status == "cloned"))
+    val cloned = spark.read.parquet(s"${cfg.targetDir}/preprod_region.parquet")
+    val src = spark.read.parquet(s"$sf/region.parquet")
+    assert(cloned.schema == src.schema)
+    assert(cloned.count() == src.count())
+    // content identity as multiset (clone is identity on content)
+    assert(cloned.exceptAll(src).isEmpty && src.exceptAll(cloned).isEmpty)
+  }
+
+  test("re-run is an idempotent skip (clone_databases.sh:227-231)") {
+    val cfg = freshCfg()
+    val p = ClonePipeline(spark, cfg)
+    assert(p.run().forall(_.status == "cloned"))
+    val second = p.run()
+    assert(second.forall(_.status == "skipped_exists"))
+  }
+
+  test("overwrite mode with backup snapshots the old target first") {
+    val cfg = freshCfg(overwrite = true, backup = true)
+    val p = ClonePipeline(spark, cfg)
+    p.run()
+    val second = p.run()
+    assert(second.forall(r => r.status == "cloned" && r.backedUp))
+    val backups = new java.io.File(cfg.backupDir).list()
+    assert(backups != null && backups.exists(_.startsWith("preprod_region")))
+  }
+
+  test("missing source table is reported, not thrown (fail-fast accounting)") {
+    val cfg = freshCfg().copy(tables = Seq("region.parquet", "nope.parquet"))
+    val results = ClonePipeline(spark, cfg).run()
+    assert(results.count(_.status == "cloned") == 1)
+    val failed = results.filter(_.status == "failed")
+    assert(failed.length == 1 && failed.head.error.contains("source missing"))
+    val report = ClonePipeline(spark, cfg.copy(
+      targetDir = Files.createTempDirectory("graft_clone_spec_").toString))
+      .report()
+    assert(report.filter("run_success = false").count() > 0)
+  }
+
+  test("connection probe works and fails cleanly on a bad source") {
+    assert(ClonePipeline(spark, freshCfg()).testConnection())
+    val bad = freshCfg().copy(sourceDir = "/nonexistent")
+    assert(!ClonePipeline(spark, bad).testConnection())
+  }
+
+  test("config parsing: validation, defaults, secret masking") {
+    val ok = CloneConfig.parse(Seq(
+      "# comment", "",
+      "SOURCE_DIR=/src", "TARGET_DIR=/tgt",
+      "TABLES_TO_CLONE=a, b ,c", "PASSWORD=hunter2"))
+    assert(ok.isRight)
+    val cfg = ok.toOption.get
+    assert(cfg.tables == Seq("a", "b", "c"))
+    assert(cfg.prefix == "preprod_")                 // default (README.md:107)
+    assert(!cfg.toString.contains("hunter2"))        // masked
+    val missing = CloneConfig.parse(Seq("SOURCE_DIR=/src"))
+    assert(missing.isLeft &&
+      missing.swap.toOption.get.contains("TARGET_DIR"))
+  }
+
+  test("connector option builders: jdbc partitioned read + mongo uri encoding") {
+    val jdbc = ConnectorOptions.jdbcRead("db1", 5432, "prod", "lineitem",
+      "app", "pw", partitionColumn = Some("l_orderkey"),
+      numPartitions = 16, lowerBound = 0, upperBound = 6000000)
+    assert(jdbc("url") == "jdbc:postgresql://db1:5432/prod")
+    assert(jdbc("numPartitions") == "16" && jdbc("partitionColumn") == "l_orderkey")
+    val uri = ConnectorOptions.mongoUri("m1", 27017, "user@x", "p w:1")
+    assert(uri == "mongodb://user%40x:p%20w%3A1@m1:27017/?authSource=admin")
+  }
+}

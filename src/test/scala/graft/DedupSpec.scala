@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.MinHashDedup
+
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Corpus with two planted near-duplicate pairs and one exact dup. */
+  private lazy val planted = {
+    val base = Tables(spark, sf).documents.limit(40)
+      .select("doc_id", "text")
+    val texts = base.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nearDup = texts(0L).split(" ").toSeq.updated(0, "zzz").mkString(" ")
+    val extra = Seq(
+      (1000L, texts(0L)),          // exact dup of doc 0
+      (1001L, nearDup),            // near dup of doc 0
+      (1002L, texts(1L) + " tail extra word") // near dup of doc 1
+    ).toDF("doc_id", "text")
+    base.unionByName(extra)
+  }
+
+  test("exact dedup collapses identical texts") {
+    val groups = planted.groupBy(sha2(col("text"), 256))
+      .agg(min("doc_id").as("keep"), count(lit(1)).as("n"))
+    val dups = groups.filter(col("n") > 1).collect()
+    assert(dups.length == 1 && dups.head.getAs[Long]("keep") == 0L)
+  }
+
+  test("minhash signatures are deterministic and equal for identical docs") {
+    val dd = MinHashDedup(k = 16, bands = 4)
+    val sigs = dd.signatures(planted)
+      .filter(col("doc_id").isin(0L, 1000L))
+      .select("doc_id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) == sigs(1000L))
+    assert(sigs(0L).length == 16)
+  }
+
+  test("LSH finds the planted near-duplicates") {
+    val dd = MinHashDedup(k = 16, bands = 8) // r=2: permissive knee
+    val pairs = dd.verifiedPairs(planted, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val flat = pairs.flatMap(p => Seq(p._1, p._2))
+    assert(flat.contains(1000L), s"exact dup not found in $pairs")
+    assert(flat.contains(1001L), s"near dup not found in $pairs")
+  }
+
+  test("dedup is idempotent: removing winners' duplicates twice = once") {
+    val dd = MinHashDedup(k = 16, bands = 8)
+    def dedup(df: org.apache.spark.sql.DataFrame) = {
+      val losers = dd.verifiedPairs(df, 0.9).select(col("doc_b").as("doc_id"))
+      df.join(losers, Seq("doc_id"), "left_anti")
+    }
+    val once = dedup(planted)
+    val twice = dedup(once)
+    assert(once.count() == twice.count())
+  }
+
+  test("oracle-checked minhash query emits one row per doc") {
+    assert(q("q_minhash_signatures").count() ==
+      Tables(spark, sf).documents.count())
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  test("media attach: binary payload + typed metadata, schema as declared") {
+    val media = Multimodal.attachMedia(Tables(spark, sf).documents)
+    val schema = media.schema
+    assert(schema("media").dataType.typeName == "binary")
+    assert(schema("n_bytes").dataType.typeName == "long")
+    val r = media.filter(col("doc_id") === 0).collect().head
+    assert(r.media.length == r.n_bytes)
+  }
+
+  test("decode is deterministic and preserves row count + partitioning") {
+    val media = Multimodal.attachMedia(Tables(spark, sf).documents)
+      .repartition(7)
+    val f1 = Multimodal.decodeFeatures(media)
+    assert(f1.rdd.getNumPartitions == 7, "decode must not reshuffle")
+    val a = f1.collect().map(r => r.doc_id -> r.features.toSeq).toMap
+    val b = Multimodal.decodeFeatures(media).collect()
+      .map(r => r.doc_id -> r.features.toSeq).toMap
+    assert(a == b)
+    assert(a.size == Tables(spark, sf).documents.count())
+  }
+
+  test("features are array<float> consumable by the similarity operators") {
+    val feats = Multimodal.decodeFeatures(
+      Multimodal.attachMedia(Tables(spark, sf).documents)).toDF()
+    val sims = feats.limit(5).select(col("doc_id"), col("features"))
+      .crossJoin(feats.limit(1).select(col("features").as("f2")))
+      .select(graft.functions.VectorFunctions.cosineSim(
+        col("features"), col("f2")).as("c"))
+      .collect()
+    assert(sims.forall(r => r.isNullAt(0) ||
+      (r.getDouble(0) >= -1.0 - 1e-9 && r.getDouble(0) <= 1.0 + 1e-9)))
+  }
+}

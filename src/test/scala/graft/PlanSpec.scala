@@ -1,0 +1,62 @@
+package graft
+
+/** Physical-plan assertions (SURVEY.md §7.3 M6): the optimizations we
+  * rely on at 100 TB must actually appear in the plan — pushdown reaching
+  * the parquet scan, column pruning, broadcast joins where hinted, top-k
+  * as TakeOrderedAndProject, and the custom expression inside codegen. */
+class PlanSpec extends SparkSpec {
+
+  private def physical(name: String): String =
+    q(name).queryExecution.executedPlan.toString
+
+  test("filters are pushed down to the parquet scan") {
+    val plan = physical("q_filter_predicates")
+    assert(plan.contains("PushedFilters:"), plan.take(600))
+    assert(plan.contains("GreaterThanOrEqual(p_size,10"), "BETWEEN lower bound pushed")
+    // display truncates the PushedFilters list; the IN shows in DataFilters
+    assert(plan.contains("IN (Brand"), "IN-list reaches the scan")
+  }
+
+  test("column pruning: q1 scan reads only the needed lineitem columns") {
+    val plan = physical("q1_pricing_summary")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"),
+      s"unpruned scan: $readSchema")
+  }
+
+  test("broadcast hint produces a BroadcastHashJoin") {
+    assert(physical("q_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("semi/anti joins plan as join types, not subquery re-scans") {
+    assert(physical("q_join_semi").contains("LeftSemi"))
+    assert(physical("q_join_anti").contains("LeftAnti"))
+  }
+
+  test("global top-k plans as TakeOrderedAndProject (no full sort)") {
+    assert(physical("q_sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("custom cosine expression participates in whole-stage codegen") {
+    // AQE prints codegen stages only once the final plan exists — execute
+    // first, then inspect
+    val df = q("q_ann_bruteforce")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("cosine_sim"), "expression missing from plan")
+    // tree-form plans mark codegen stages with *(N); assert the projection
+    // computing the expression carries the star
+    val projLine = plan.linesIterator.find(_.contains("cosine_sim")).get
+    assert(projLine.trim.startsWith("*") || projLine.contains("*("),
+      s"cosine projection not codegen'd: $projLine")
+  }
+
+  test("exact dedup shuffles on the computed hash, not the full row") {
+    val plan = physical("q_dedup_exact")
+    // the sha2 digest is projected below the exchange and becomes the
+    // shuffle key (_groupingexpression)
+    assert(plan.contains("sha2(cast(text"), plan.take(400))
+    assert(plan.contains("hashpartitioning(_groupingexpression"), plan.take(400))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+
+  test("q1 pricing summary: 6 groups, totals match a direct aggregation") {
+    val rows = q("q1_pricing_summary").collect()
+    assert(rows.length == 6)
+    val totalOrders = rows.map(_.getAs[Long]("count_order")).sum
+    val expected = Tables(spark, sf).lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")).count()
+    assert(totalOrders == expected)
+  }
+
+  test("entry flagship returns rows (t1 smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("anti join is non-empty and disjoint from semi join population") {
+    val anti = q("q_join_anti").select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(anti.nonEmpty)
+    val urgent = Tables(spark, sf).orders
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    assert(anti.intersect(urgent).isEmpty)
+  }
+
+  test("rollup grand-total row equals customer count") {
+    val rows = q("q_rollup").collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n_customers") ==
+      Tables(spark, sf).customer.count())
+  }
+
+  test("full outer join covers every ship and order date") {
+    val t = Tables(spark, sf)
+    val n = q("q_join_full_outer").count()
+    val shipDates = t.lineitem.select(col("l_shipdate").cast("date")).distinct().count()
+    val orderDates = t.orders.select(col("o_orderdate").cast("date")).distinct().count()
+    assert(n >= math.max(shipDates, orderDates))
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val rows = q("q_approx_distinct").collect()
+    val exact = Tables(spark, sf).lineitem
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      val ex = exact(r.getString(0)).toDouble
+      assert(math.abs(approx - ex) / ex < 0.05, s"approx $approx vs exact $ex")
+    }
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("watermark drops late rows in append-mode tumbling aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("k"))
+      .agg(count(lit(1)).as("n"))
+    val query = agg.writeStream.format("memory")
+      .queryName("wm_test").outputMode("append").start()
+    try {
+      // batch 1: rows in hour 10; advance event time far past the window
+      input.addData((ts("2024-01-01 10:05:00"), "a"), (ts("2024-01-01 10:55:00"), "a"))
+      query.processAllAvailable()
+      input.addData((ts("2024-01-01 13:00:00"), "b")) // watermark → 12:50
+      query.processAllAvailable()
+      // batch 3: a LATE row for hour 10 — must be dropped
+      input.addData((ts("2024-01-01 10:30:00"), "a"))
+      query.processAllAvailable()
+      input.addData((ts("2024-01-01 15:00:00"), "c")) // close hour-13 window
+      query.processAllAvailable()
+      val rows = spark.table("wm_test").collect()
+      val hour10 = rows.filter(_.getAs[org.apache.spark.sql.Row]("window")
+        .getAs[Timestamp]("start") == ts("2024-01-01 10:00:00"))
+      assert(hour10.length == 1)
+      assert(hour10.head.getAs[Long]("n") == 2, "late row must not be counted")
+    } finally query.stop()
+  }
+
+  test("streaming dedup collapses duplicate event ids across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val agg = input.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy()
+      .agg(count(lit(1)).as("n"))
+    val query = agg.writeStream.format("memory")
+      .queryName("dedup_test").outputMode("complete").start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:01:00")))
+      query.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 10:02:00")), (3L, ts("2024-01-01 10:03:00")))
+      query.processAllAvailable()
+      assert(spark.table("dedup_test").collect().head.getAs[Long]("n") == 3)
+    } finally query.stop()
+  }
+
+  test("streaming queries agree with their batch formulations") {
+    val t = Tables(spark, sf)
+    val streamed = q("q_stream_tumbling")
+    val batch = t.events
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(streamed.count() == batch.count())
+    val sTotal = streamed.agg(sum("n")).collect().head.getLong(0)
+    assert(sTotal == t.events.count())
+  }
+
+  test("session windows match gaps-and-islands session count") {
+    val t = Tables(spark, sf)
+    val sessions = q("q_stream_session")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val islands = t.events
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull ||
+          col("ts").cast("long") - col("prev").cast("long") > 1800, 1).otherwise(0))
+      .agg(sum("new_s")).collect().head.getLong(0)
+    assert(sessions.count() == islands)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("quality ratios are valid probabilities and keep-flag is consistent") {
+    val rows = q("q_quality_score").collect()
+    rows.foreach { r =>
+      val ttr = r.getAs[Double]("ttr")
+      val stop = r.getAs[Double]("stopword_ratio")
+      assert(ttr > 0 && ttr <= 1.0)
+      assert(stop >= 0 && stop <= 1.0)
+      val expectKeep = r.getAs[Int]("n_tokens") >= 20 && ttr >= 0.2 && stop <= 0.5
+      assert(r.getAs[Boolean]("keep") == expectKeep)
+    }
+  }
+
+  test("fingerprint is invariant under token permutation and repetition") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha"),
+      (3L, "beta beta alpha gamma gamma"),
+      (4L, "alpha beta delta")).toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"),
+      md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+        .as("f")).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L) && fp(2L) == fp(3L))
+    assert(fp(1L) != fp(4L))
+  }
+
+  test("lang-id predicts a label for every document with a valid score") {
+    val rows = q("q_lang_id").collect()
+    assert(rows.length == Tables(spark, sf).documents.count())
+    val langs = Set("en", "fr", "es", "zh", "de")
+    rows.foreach { r =>
+      assert(langs.contains(r.getAs[String]("pred_lang")))
+      assert(r.getAs[Double]("score") > 0)
+    }
+  }
+
+  test("token counts: regex tokens never exceed whitespace tokens on word soup") {
+    q("q_token_count").collect().foreach { r =>
+      assert(r.getAs[Int]("re_tokens") == r.getAs[Int]("ws_tokens"),
+        "pure lowercase word soup: both tokenizers agree")
+    }
+  }
+
+  test("simhash of identical docs is identical; hamming-near for near-dups") {
+    val sims = q("q_simhash").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash16")).toMap
+    assert(sims.values.forall(s => s >= 0 && s < (1 << 16)))
+  }
+}
