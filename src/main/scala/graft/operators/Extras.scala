@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.CentroidAggregator
+import Parity._
+
+/** Remaining SURVEY.md §2B surface: the typed UDAF, CSV/JSON reader
+  * round-trips, map-typed JSON access, and two classic multi-join
+  * analytical shapes (TPC-H Q3/Q5 style) that exercise join ordering,
+  * AQE, and broadcast selection across the whole star schema.
+  */
+object Extras {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- custom typed UDAF: per-label embedding centroid. Oracle mirrors
+    //      with posexplode + avg (float sums → rounded at the edge).
+    QueryDef.checked(
+      "q_udaf_centroid",
+      """SELECT label,
+        |  CAST(count(*) // 64 AS BIGINT) AS n_vectors,
+        |  round(sum(CASE WHEN pos = 0 THEN CAST(v AS DOUBLE) END)
+        |        / (count(*) // 64), 6) AS c0,
+        |  round(sum(CASE WHEN pos = 1 THEN CAST(v AS DOUBLE) END)
+        |        / (count(*) // 64), 6) AS c1
+        |FROM (
+        |  SELECT label,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS pos,
+        |    unnest(embedding) AS v
+        |  FROM embeddings) t
+        |GROUP BY label
+        |ORDER BY label""".stripMargin) { (spark, dir) =>
+      val cent = CentroidAggregator.centroid(64)
+      Tables(spark, dir).embeddings
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vectors"), cent(col("embedding")).as("c"))
+        .select(col("label"), col("n_vectors"),
+          round(element_at(col("c"), 1), 6).as("c0"),
+          round(element_at(col("c"), 2), 6).as("c1"))
+        .orderBy("label")
+    },
+
+    // ---- CSV + JSON readers: write customer out in both formats, read
+    //      back through the format readers, join, and aggregate — the
+    //      oracle is the same aggregation straight off the source table
+    QueryDef.checked(
+      "q_csv_json_readers",
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fmt_").toString
+      val cust = Tables(spark, dir).customer
+      cust.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+      cust.write.mode("overwrite").json(s"$tmp/json")
+      val fromCsv = spark.read
+        .option("header", "true")
+        .schema(cust.schema)
+        .csv(s"$tmp/csv")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val fromJson = spark.read
+        .schema(cust.schema)
+        .json(s"$tmp/json")
+        .select(col("c_custkey").as("j_custkey"), col("c_acctbal"))
+      fromCsv
+        .join(fromJson, col("c_custkey") === col("j_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("c_acctbal"))).cast("double").as("total_bal"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ---- map-typed JSON access: from_json to map<string,bigint>
+    QueryDef.checked(
+      "q_map_funcs",
+      """SELECT event_id,
+        |  len(json_keys(props)) AS n_keys,
+        |  CAST(props->>'$.k' AS BIGINT) AS k_val
+        |FROM events
+        |WHERE event_id < 100
+        |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).events
+        .filter(col("event_id") < 100)
+        .select(col("event_id"),
+          from_json(col("props"), MapType(StringType, LongType)).as("m"))
+        .select(col("event_id"),
+          size(map_keys(col("m"))).as("n_keys"),
+          element_at(col("m"), "k").as("k_val"))
+        .orderBy("event_id")
+    },
+
+    // ---- TPC-H Q3 shape: shipping-priority top-10 (3-way join, filters
+    //      on both fact sides, agg, top-k)
+    QueryDef.checked(
+      "q_tpch_q3_shipping",
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS orderdate
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.lineitem.filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .join(t.orders.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.customer.filter(col("c_mktsegment") === "BUILDING")),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("orderdate"))
+        .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+        .select("l_orderkey", "revenue", "orderdate")
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // ---- TPC-H Q5 shape: local-supplier volume per nation (6-way join
+    //      across the entire star; dims broadcast, facts shuffle-join)
+    QueryDef.checked(
+      "q_tpch_q5_local_volume",
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.customer), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(t.supplier),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }
+  )
+}

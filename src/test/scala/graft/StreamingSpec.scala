@@ -68,6 +68,33 @@ class StreamingSpec extends SparkSpec {
     assert(sTotal == t.events.count())
   }
 
+  test("arbitrary state: flatMapGroupsWithState running per-user counts") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (user_id, event_id)
+    val counted = input.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) => {
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator((user, n))
+        })
+      .toDF("user_id", "n_events")
+    val query = counted.writeStream.format("memory")
+      .queryName("fmgs_test").outputMode("update").start()
+    try {
+      input.addData((1L, 1L), (1L, 2L), (2L, 3L))
+      query.processAllAvailable()
+      input.addData((1L, 4L))
+      query.processAllAvailable()
+      val latest = spark.table("fmgs_test")
+        .groupBy("user_id").agg(max("n_events").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(latest == Map(1L -> 3L, 2L -> 1L), s"state wrong: $latest")
+    } finally query.stop()
+  }
+
   test("session windows match gaps-and-islands session count") {
     val t = Tables(spark, sf)
     val sessions = q("q_stream_session")
