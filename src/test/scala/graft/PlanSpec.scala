@@ -52,6 +52,30 @@ class PlanSpec extends SparkSpec {
       s"cosine projection not codegen'd: $projLine")
   }
 
+  test("partitioned sink + partition-pruned scan") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part_").toString
+    Tables(spark, sf).orders
+      .withColumn("status", col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("status").parquet(tmp)
+    val pruned = spark.read.parquet(tmp).filter(col("status") === "O")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(status"), plan.take(500))
+    assert(pruned.count() ==
+      Tables(spark, sf).orders.filter(col("o_orderstatus") === "O").count())
+    // only the matching partition directory is scanned
+    val files = pruned.queryExecution.executedPlan.collectLeaves()
+      .head.toString
+    assert(!files.contains("status=F"), "pruning must skip other partitions")
+  }
+
+  test("AQE re-plans shuffle reads at runtime (coalesced partitions)") {
+    val df = q("q_join_inner")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead"), plan.take(400))
+  }
+
   test("exact dedup shuffles on the computed hash, not the full row") {
     val plan = physical("q_dedup_exact")
     // the sha2 digest is projected below the exchange and becomes the
