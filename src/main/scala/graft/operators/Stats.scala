@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Parity._
+
+/** Statistical / subquery surface: correlated-scalar subquery shape,
+  * exact percentiles, distribution moments, and ordered string
+  * aggregation.
+  *
+  * Moments discipline: built-in stddev/corr use streaming M2 updates
+  * whose accumulation order differs across engines, so the checked
+  * queries compute the moments from *exact decimal power sums* (sum x,
+  * sum x², sum xy are order-independent decimals; the final double
+  * arithmetic is identical IEEE on both sides). StatsSpec then asserts
+  * Spark's built-ins agree with the exact formulas to 1e-6 — covering
+  * the built-in operator surface without hash-gate float risk.
+  */
+object Stats {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- scalar subquery (decorrelated on the Spark side into a
+    //      broadcast of the 1-row aggregate — the plan Catalyst builds
+    //      for the SQL form too)
+    QueryDef.checked(
+      "q_scalar_subquery",
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > 3 * (
+        |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+        |  FROM orders)
+        |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+      val o = Tables(spark, dir).orders
+      val avgDf = o.agg(
+        (sumMoney(col("o_totalprice")) / count(lit(1))).as("avg_price"))
+      o.crossJoin(broadcast(avgDf))
+        .filter(col("o_totalprice") > lit(3) * col("avg_price"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // ---- exact percentiles (linear interpolation = quantile_cont)
+    QueryDef.checked(
+      "q_percentiles",
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      val o = Tables(spark, dir).orders
+      o.groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ---- moments from exact decimal power sums: sample stddev of
+    //      quantity and corr(quantity, extendedprice) per return flag
+    QueryDef.checked(
+      "q_stats_moments",
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag,
+        |  CAST(n AS BIGINT) AS n_lines,
+        |  sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+        |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+        |FROM s
+        |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      val li = Tables(spark, dir).lineitem
+      val dq = money(col("l_quantity"))
+      val dp = money(col("l_extendedprice"))
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(dq).cast("double").as("sx"),
+          sum(dp).cast("double").as("sy"),
+          sum(dq * dq).cast("double").as("sxx"),
+          sum(dp * dp).cast("double").as("syy"),
+          sum(dq * dp).cast("double").as("sxy"))
+        .select(
+          col("l_returnflag"),
+          col("n").cast("long").as("n_lines"),
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+            .as("stddev_qty"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- ordered string aggregation (listagg)
+    QueryDef.checked(
+      "q_listagg",
+      """SELECT o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |  count(DISTINCT o_orderstatus) AS n_statuses
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).orders
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          concat_ws(",", array_sort(collect_set(col("o_orderstatus"))))
+            .as("statuses"),
+          countDistinct(col("o_orderstatus")).as("n_statuses"))
+        .orderBy("o_orderpriority")
+    }
+  )
+}

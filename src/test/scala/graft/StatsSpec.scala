@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkSpec {
+
+  test("built-in stddev/corr agree with the exact power-sum formulas") {
+    val formula = q("q_stats_moments").collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("stddev_qty"), r.getAs[Double]("corr_qty_price"))).toMap
+    val builtin = Tables(spark, sf).lineitem
+      .groupBy("l_returnflag")
+      .agg(stddev_samp(col("l_quantity")).as("sd"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    formula.foreach { case (k, (sd, c)) =>
+      assert(math.abs(builtin(k)._1 - sd) < 1e-6, s"stddev $k")
+      assert(math.abs(builtin(k)._2 - c) < 1e-6, s"corr $k")
+    }
+  }
+
+  test("percentiles are ordered p25 <= p50 <= p75 and within data range") {
+    val mins = Tables(spark, sf).orders
+      .agg(min("o_totalprice"), max("o_totalprice")).collect().head
+    q("q_percentiles").collect().foreach { r =>
+      val (p25, p50, p75) =
+        (r.getAs[Double]("p25"), r.getAs[Double]("p50"), r.getAs[Double]("p75"))
+      assert(p25 <= p50 && p50 <= p75)
+      assert(p25 >= mins.getDouble(0) && p75 <= mins.getDouble(1))
+    }
+  }
+
+  test("scalar-subquery filter keeps exactly the rows above 3x average") {
+    val o = Tables(spark, sf).orders
+    val avg = o.agg(sum(col("o_totalprice")) / count(lit(1))).collect().head.getDouble(0)
+    val expected = o.filter(col("o_totalprice") > 3 * avg).count()
+    // exact-decimal avg differs from the double avg by < 1ulp; counts match
+    assert(q("q_scalar_subquery").count() == expected)
+  }
+}
