@@ -83,6 +83,35 @@ class CloneSpec extends SparkSpec {
       missing.swap.toOption.get.contains("TARGET_DIR"))
   }
 
+  test("credential provisioning: charset, length, two users per clone, masked summary") {
+    import graft.pipeline.Credentials
+    val pw = Credentials.generatePassword()
+    assert(pw.length == 16 && pw.forall(_.isLetterOrDigit))
+    val fixed = new java.security.SecureRandom(Array[Byte](42))
+    val results = Seq(
+      graft.pipeline.CloneResult("region.parquet", "/t/preprod_region.parquet",
+        "cloned", 5L, schemaMatches = true, backedUp = false, ""),
+      graft.pipeline.CloneResult("nope.parquet", "/t/preprod_nope.parquet",
+        "failed", 0L, schemaMatches = false, backedUp = false, "source missing"))
+    val creds = Credentials.provision(results, fixed)
+    assert(creds.length == 1, "failed clones get no credentials")
+    assert(creds.head.ownerUser == "region_owner" && creds.head.appUser == "region_app")
+    assert(!creds.head.toString.contains(creds.head.ownerPassword), "masked")
+    val out = Files.createTempDirectory("graft_creds_").toString
+    Credentials.writeSummary(spark, creds, out)
+    val back = spark.read.json(out)
+    assert(back.count() == 1 &&
+      back.columns.toSet.contains("appPassword"))
+  }
+
+  test("property: prefix rewrite is injective and strips back") {
+    val names = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "a", "a_b", "preprod_x")
+    val rewritten = names.map(n => s"preprod_$n")
+    assert(rewritten.distinct.size == names.size)
+    assert(rewritten.map(_.stripPrefix("preprod_")) == names)
+  }
+
   test("connector option builders: jdbc partitioned read + mongo uri encoding") {
     val jdbc = ConnectorOptions.jdbcRead("db1", 5432, "prod", "lineitem",
       "app", "pw", partitionColumn = Some("l_orderkey"),

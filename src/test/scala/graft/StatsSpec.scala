@@ -31,6 +31,21 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("property: unbounded window sum equals group sum (per supplier)") {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables(spark, sf).lineitem
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lastRunning = li
+      .withColumn("running", sum("l_quantity").over(w))
+      .groupBy("l_suppkey").agg(max("running").as("final_running"))
+    val groupSum = li.groupBy("l_suppkey").agg(sum("l_quantity").as("total"))
+    val joined = lastRunning.join(groupSum, "l_suppkey")
+      .filter(col("final_running") =!= col("total"))
+    assert(joined.count() == 0)
+  }
+
   test("scalar-subquery filter keeps exactly the rows above 3x average") {
     val o = Tables(spark, sf).orders
     val avg = o.agg(sum(col("o_totalprice")) / count(lit(1))).collect().head.getDouble(0)
