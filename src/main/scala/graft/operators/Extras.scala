@@ -122,6 +122,81 @@ object Extras {
         .limit(10)
     },
 
+    // ---- TPC-H Q6 shape: forecast revenue delta — pure scan+filter+agg,
+    //      every predicate pushed to the parquet reader
+    QueryDef.checked(
+      "q_tpch_q6_forecast",
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue_delta,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.04 AND 0.06
+        |  AND l_quantity < 24""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).lineitem
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount").between(0.04, 0.06) &&
+            col("l_quantity") < 24)
+        .agg(
+          sum(money(col("l_extendedprice")) * rate(col("l_discount")))
+            .cast("double").as("revenue_delta"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // ---- TPC-H Q12 shape: order-priority counts by lateness bucket
+    QueryDef.checked(
+      "q_tpch_q12_priority",
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.lineitem
+        .join(t.orders, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)).cast("long").as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)).cast("long").as("low_line_count"))
+        .orderBy("l_linestatus")
+    },
+
+    // ---- TPC-H Q14 shape: promo revenue share (conditional aggregation
+    //      over a broadcast dimension join)
+    QueryDef.checked(
+      "q_tpch_q14_promo",
+      """SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))
+        |        ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+        |    * 100.0 AS promo_revenue_pct,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val dp = discPrice(col("l_extendedprice"), col("l_discount"))
+      t.lineitem
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .agg(
+          (sum(when(col("p_type") === "PROMO", dp)
+            .otherwise(lit(0).cast(org.apache.spark.sql.types.DecimalType(17, 4))))
+            .cast("double") /
+            sum(dp).cast("double") * lit(100.0)).as("promo_revenue_pct"),
+          count(lit(1)).as("n_lines"))
+    },
+
     // ---- TPC-H Q5 shape: local-supplier volume per nation (6-way join
     //      across the entire star; dims broadcast, facts shuffle-join)
     QueryDef.checked(

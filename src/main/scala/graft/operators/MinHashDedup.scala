@@ -97,6 +97,15 @@ final case class MinHashDedup(k: Int, bands: Int) {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Deduplicated corpus: drops the higher-id member of every verified
+    * near-duplicate pair (keep-smallest-id policy, matching
+    * `q_dedup_exact`). Idempotent — see DedupSpec. */
+  def dedup(docs: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val losers = verifiedPairs(docs, threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** One-row summary (corpus size, candidates, verified dups ≥ 0.6) —
     * non-empty even when the corpus has no near-duplicates. The shingle
     * relation — the one expensive derivation — is materialized once and

@@ -47,15 +47,14 @@ class DedupSpec extends SparkSpec {
     assert(flat.contains(1001L), s"near dup not found in $pairs")
   }
 
-  test("dedup is idempotent: removing winners' duplicates twice = once") {
+  test("dedup is idempotent and removes the exact dup") {
     val dd = MinHashDedup(k = 16, bands = 8)
-    def dedup(df: org.apache.spark.sql.DataFrame) = {
-      val losers = dd.verifiedPairs(df, 0.9).select(col("doc_b").as("doc_id"))
-      df.join(losers, Seq("doc_id"), "left_anti")
-    }
-    val once = dedup(planted)
-    val twice = dedup(once)
+    val once = dd.dedup(planted, 0.9)
+    val twice = dd.dedup(once, 0.9)
     assert(once.count() == twice.count())
+    val kept = once.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(0L) && !kept.contains(1000L),
+      "keep-smallest-id: doc 0 stays, its exact dup 1000 goes")
   }
 
   test("oracle-checked minhash query emits one row per doc") {
