@@ -58,6 +58,26 @@ final class ClonePipeline(spark: SparkSession, config: CloneConfig) {
   /** Source-existence validation (clone_databases.sh:612-622). */
   def validateSource(table: String): Boolean = exists(config.sourcePath(table))
 
+  /** Advisory lock — the write-isolation analogue of the reference's
+    * abort-if-active-connections guard (clone_databases.sh:625-708): a
+    * `_graft_lock` marker under the target namespace; a concurrent writer
+    * holding it makes the clone abort rather than interleave writes.
+    * `FileSystem.createNewFile` is atomic on the target store. */
+  private def lockPath = new org.apache.hadoop.fs.Path(
+    s"${config.targetDir}/_graft_lock")
+
+  def acquireLock(): Boolean = {
+    val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(lockPath.getParent)
+    try fs.createNewFile(lockPath) catch { case _: Throwable => false }
+  }
+
+  def releaseLock(): Unit = {
+    val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(lockPath, false)
+    ()
+  }
+
   /** Clone one table: validate → skip-if-exists → backup → copy → verify. */
   def cloneTable(table: String): CloneResult = {
     val tgt = targetPath(table)
@@ -104,13 +124,22 @@ final class ClonePipeline(spark: SparkSession, config: CloneConfig) {
   }
 
   /** Clone all configured tables; independent tables run as concurrent
-    * Spark jobs (scheduler interleaves stages across the cluster). */
+    * Spark jobs (scheduler interleaves stages across the cluster). The
+    * whole run holds the target-namespace advisory lock — a concurrent
+    * run aborts with per-table failures instead of interleaving writes
+    * (mirrors clone_databases.sh:645: "abort and tell the operator"). */
   def run(): Seq[CloneResult] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val futures = config.tables.map(t => Future(cloneTable(t)))
-    Await.result(Future.sequence(futures), Duration.Inf)
+    if (!acquireLock())
+      return config.tables.map(t => CloneResult(t, targetPath(t), "failed",
+        0L, schemaMatches = false, backedUp = false,
+        s"target namespace locked by another writer: $lockPath"))
+    try {
+      val futures = config.tables.map(t => Future(cloneTable(t)))
+      Await.result(Future.sequence(futures), Duration.Inf)
+    } finally releaseLock()
   }
 
   /** Run + summary report (create_credential_summary / main accounting,

@@ -83,6 +83,29 @@ class CloneSpec extends SparkSpec {
       missing.swap.toOption.get.contains("TARGET_DIR"))
   }
 
+  test("advisory lock: concurrent run aborts, lock released after run") {
+    val cfg = freshCfg()
+    val p = ClonePipeline(spark, cfg)
+    assert(p.acquireLock(), "first writer takes the lock")
+    try {
+      val blocked = ClonePipeline(spark, cfg).run()
+      assert(blocked.forall(r =>
+        r.status == "failed" && r.error.contains("locked")))
+    } finally p.releaseLock()
+    // after release, a run succeeds and leaves no lock behind
+    assert(p.run().forall(_.status == "cloned"))
+    assert(p.acquireLock()); p.releaseLock()
+  }
+
+  test("ORC round-trip preserves content (secondary columnar format)") {
+    val tmp = Files.createTempDirectory("graft_orc_").toString
+    val src = spark.read.parquet(s"$sf/nation.parquet")
+    src.write.mode("overwrite").orc(tmp)
+    val back = spark.read.orc(tmp)
+    assert(back.schema == src.schema)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
   test("credential provisioning: charset, length, two users per clone, masked summary") {
     import graft.pipeline.Credentials
     val pw = Credentials.generatePassword()
