@@ -27,13 +27,20 @@ object StreamingOps {
     StructField("props", StringType)))
 
   /** The file stream source wants a directory; stage one containing a
-    * symlink to the events parquet (read-only testdata stays untouched). */
-  private def stageStreamDir(dir: String): String = {
-    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_events_stream_")
-    java.nio.file.Files.createSymbolicLink(tmp.resolve("events.parquet"), src)
-    tmp.toString
-  }
+    * symlink to the events parquet (read-only testdata stays untouched).
+    * Cached per source dir so a checkpointed query sees a stable source
+    * path across restarts (the checkpoint records source offsets by
+    * path). */
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stageStreamDir(dir: String): String =
+    stagedDirs.computeIfAbsent(dir, { d =>
+      val src = java.nio.file.Paths.get(s"$d/events.parquet")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_events_stream_")
+      java.nio.file.Files.createSymbolicLink(tmp.resolve("events.parquet"), src)
+      tmp.toString
+    })
 
   /** Replayable finite stream over the driver's events parquet. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {

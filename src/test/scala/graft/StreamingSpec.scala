@@ -57,6 +57,28 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("checkpoint restart: file-sink stream resumes without duplicates") {
+    import graft.streaming.StreamingOps
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val (ckpt, out) = (s"$base/ckpt", s"$base/out")
+    def runOnce(): Unit = {
+      val qy = StreamingOps.eventsStream(spark, sf)
+        .select("event_id", "event_type", "value")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .outputMode("append")
+        .start()
+      try qy.processAllAvailable() finally qy.stop()
+    }
+    runOnce() // first run drains the source
+    runOnce() // restart from checkpoint: source already consumed → no dups
+    val n = spark.read.parquet(out).count()
+    assert(n == Tables(spark, sf).events.count(),
+      s"restart must not duplicate rows, got $n")
+    assert(spark.read.parquet(out).select("event_id").distinct().count() == n)
+  }
+
   test("streaming queries agree with their batch formulations") {
     val t = Tables(spark, sf)
     val streamed = q("q_stream_tumbling")
