@@ -34,7 +34,14 @@ final case class Tables(spark: SparkSession, dir: String) {
   /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
     * refuses by default. Read nanos as raw longs, then convert to the
     * engine-wide µs TimestampType (the generator emits µs-aligned values,
-    * so `div 1000` is lossless — FIXTURES.md). */
+    * so `div 1000` is lossless — FIXTURES.md).
+    *
+    * `nanosAsLong` is a session SQLConf (no per-read DataSource option
+    * exists), so setting it here leaks to later parquet reads in the
+    * session: any OTHER nanos-timestamp source read afterwards would
+    * silently arrive as LongType instead of erroring. Acceptable here —
+    * events is the only nanos source in the corpus — but a multi-source
+    * deployment should gate this behind a dedicated session. */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t("events").withColumn("ts",

@@ -27,8 +27,10 @@ object Dedup {
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Word 3-gram shingles over a pre-projected token array (split once
-    * per row, not once per lambda element; Spark [] indexing is 0-based). */
-  private val gramsExpr =
+    * per row, not once per lambda element; Spark [] indexing is 0-based).
+    * Shared with [[MinHashDedup]] — the oracle-checked md5 path and the
+    * production xxhash64 path must shingle identically. */
+  private[operators] val gramsExpr =
     """filter(transform(toks, (x, i) ->
       |  IF(i + 3 <= size(toks),
       |     concat_ws(' ', x, toks[i + 1], toks[i + 2]), NULL)),

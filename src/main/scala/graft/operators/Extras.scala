@@ -52,7 +52,11 @@ object Extras {
         |FROM customer
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_fmt_").toString
+      // deterministic staging dir per source SF (overwritten each run, so
+      // repeated bench/verify cycles don't accumulate temp copies)
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_fmt_$tag").toString
       val cust = Tables(spark, dir).customer
       cust.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
       cust.write.mode("overwrite").json(s"$tmp/json")

@@ -24,14 +24,11 @@ final case class MinHashDedup(k: Int, bands: Int) {
   require(k % bands == 0, "k must be divisible by bands")
   private val r = k / bands
 
-  /** (doc_id, gram) distinct shingle relation. */
+  /** (doc_id, gram) distinct shingle relation — same shingling as the
+    * oracle-checked queries ([[Dedup.gramsExpr]]). */
   def shingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), explode(expr(
-        """filter(transform(toks, (x, i) ->
-          |  IF(i + 3 <= size(toks),
-          |     concat_ws(' ', x, toks[i + 1], toks[i + 2]), NULL)),
-          |  g -> g IS NOT NULL)""".stripMargin)).as("gram"))
+      .select(col("doc_id"), explode(expr(Dedup.gramsExpr)).as("gram"))
       .distinct()
 
   /** doc_id → array of k minhash signatures. One groupBy with k `min`

@@ -39,8 +39,10 @@ object PipelineQueries {
     //      namespace, returning the verification report (rows-only: paths
     //      and timestamps are run-local)
     QueryDef.rowsOnly("q_clone_report") { (spark, dir) =>
-      val target = java.nio.file.Files
-        .createTempDirectory("graft_clone_").toString
+      // deterministic per-SF target, overwritten each run (no temp buildup)
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val target = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_clone_$tag").toString
       val cfg = CloneConfig(
         sourceDir = dir,
         targetDir = target,

@@ -36,7 +36,8 @@ object CloneConfig {
   def parse(lines: Seq[String]): Either[String, CloneConfig] = {
     val kv = lines.map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains("="))
-      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+      .map { l => val i = l.indexOf('=')
+        l.take(i).trim -> l.drop(i + 1).trim }
       .toMap
     val missing = required.filterNot(kv.contains)
     if (missing.nonEmpty)

@@ -66,10 +66,13 @@ final class ClonePipeline(spark: SparkSession, config: CloneConfig) {
   private def lockPath = new org.apache.hadoop.fs.Path(
     s"${config.targetDir}/_graft_lock")
 
+  /** False means "another writer holds the lock"; genuine I/O failures
+    * (unwritable target, bad mount) propagate so they are not
+    * misdiagnosed as contention. */
   def acquireLock(): Boolean = {
     val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(lockPath.getParent)
-    try fs.createNewFile(lockPath) catch { case _: Throwable => false }
+    fs.createNewFile(lockPath)
   }
 
   def releaseLock(): Unit = {
@@ -95,9 +98,11 @@ final class ClonePipeline(spark: SparkSession, config: CloneConfig) {
       val backedUp = if (config.backupBeforeClone && exists(tgt)) {
         // pre-overwrite snapshot (clone_databases.sh:203-217): must
         // succeed before the clone may proceed
+        // nanos suffix: two overwrite clones within one second must not
+        // collide on the ErrorIfExists snapshot path
         val stamp = java.time.format.DateTimeFormatter
           .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
-          .format(java.time.Instant.now())
+          .format(java.time.Instant.now()) + "_" + System.nanoTime()
         spark.read.parquet(tgt).write.mode(SaveMode.ErrorIfExists)
           .parquet(s"${config.backupDir}/${config.prefix}${table}_$stamp")
         true
@@ -132,10 +137,20 @@ final class ClonePipeline(spark: SparkSession, config: CloneConfig) {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    if (!acquireLock())
-      return config.tables.map(t => CloneResult(t, targetPath(t), "failed",
-        0L, schemaMatches = false, backedUp = false,
-        s"target namespace locked by another writer: $lockPath"))
+    val locked =
+      try Right(acquireLock())
+      catch { case e: Throwable => Left(String.valueOf(e.getMessage)) }
+    locked match {
+      case Left(err) =>
+        return config.tables.map(t => CloneResult(t, targetPath(t), "failed",
+          0L, schemaMatches = false, backedUp = false,
+          s"lock acquisition I/O failure: $err"))
+      case Right(false) =>
+        return config.tables.map(t => CloneResult(t, targetPath(t), "failed",
+          0L, schemaMatches = false, backedUp = false,
+          s"target namespace locked by another writer: $lockPath"))
+      case Right(true) => ()
+    }
     try {
       val futures = config.tables.map(t => Future(cloneTable(t)))
       Await.result(Future.sequence(futures), Duration.Inf)

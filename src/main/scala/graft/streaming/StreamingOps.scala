@@ -28,19 +28,22 @@ object StreamingOps {
 
   /** The file stream source wants a directory; stage one containing a
     * symlink to the events parquet (read-only testdata stays untouched).
-    * Cached per source dir so a checkpointed query sees a stable source
-    * path across restarts (the checkpoint records source offsets by
-    * path). */
-  private val stagedDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private def stageStreamDir(dir: String): String =
-    stagedDirs.computeIfAbsent(dir, { d =>
-      val src = java.nio.file.Paths.get(s"$d/events.parquet")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_events_stream_")
-      java.nio.file.Files.createSymbolicLink(tmp.resolve("events.parquet"), src)
-      tmp.toString
-    })
+    * The staged path is DETERMINISTIC — derived from the source dir hash
+    * under the tmp root — so a checkpointed query sees the same source
+    * path across restarts of the same JVM or a new one (checkpoints
+    * record source offsets by absolute path). */
+  private def stageStreamDir(dir: String): String = {
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val tag = java.lang.Integer.toHexString(
+      java.nio.file.Paths.get(dir).toAbsolutePath.toString.hashCode)
+    val tmp = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_events_stream_$tag")
+    java.nio.file.Files.createDirectories(tmp)
+    val link = tmp.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link, src)
+    tmp.toString
+  }
 
   /** Replayable finite stream over the driver's events parquet. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
@@ -113,7 +116,9 @@ object StreamingOps {
       """WITH marked AS (
         |  SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL '30 minutes'
+        |           -- >=: session_window is half-open [start, last+gap), so an
+        |           -- event exactly gap after the previous starts a new session
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL '30 minutes'
         |         THEN 1 ELSE 0 END AS new_session
         |  FROM events
         |), islands AS (

@@ -125,8 +125,9 @@ class StreamingSpec extends SparkSpec {
     val islands = t.events
       .withColumn("prev", lag(col("ts"), 1).over(w))
       .withColumn("new_s",
+        // >=: session_window is half-open [start, last+gap)
         when(col("prev").isNull ||
-          col("ts").cast("long") - col("prev").cast("long") > 1800, 1).otherwise(0))
+          col("ts").cast("long") - col("prev").cast("long") >= 1800, 1).otherwise(0))
       .agg(sum("new_s")).collect().head.getLong(0)
     assert(sessions.count() == islands)
   }

@@ -33,25 +33,28 @@ def main(sf_dir, out_dir):
     ok = bad = 0
     for name, sql in sorted(oracle.items()):
         try:
+            # con.execute() returns the connection/cursor itself, so
+            # .description must be captured before the next execute()
             exp = con.execute(sql)
-            exp_cols = sorted(d[0] for d in exp.description)
+            exp_desc = [d[0] for d in exp.description]
             exp_rows = exp.fetchall()
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            got_cols = sorted(d[0] for d in got.description)
+            got_desc = [d[0] for d in got.description]
             got_rows = got.fetchall()
         except Exception as e:
             print(f"FAIL {name}: error {e}")
             bad += 1
             continue
+        exp_cols, got_cols = sorted(exp_desc), sorted(got_desc)
         if exp_cols != got_cols:
             print(f"FAIL {name}: cols {got_cols} != oracle {exp_cols}")
             bad += 1
             continue
         # reorder both to sorted-column order
-        eidx = [i for i, _ in sorted(enumerate(d[0] for d in exp.description), key=lambda p: p[1])]
+        eidx = [i for i, _ in sorted(enumerate(exp_desc), key=lambda p: p[1])]
         exp2 = canon([[r[i] for i in eidx] for r in exp_rows])
-        gidx = [i for i, _ in sorted(enumerate(d[0] for d in got.description), key=lambda p: p[1])]
+        gidx = [i for i, _ in sorted(enumerate(got_desc), key=lambda p: p[1])]
         got2 = canon([[r[i] for i in gidx] for r in got_rows])
         if len(exp2) != len(got2):
             print(f"FAIL {name}: rows {len(got2)} != oracle {len(exp2)}")
