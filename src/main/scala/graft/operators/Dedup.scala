@@ -79,6 +79,24 @@ object Dedup {
   private def duckSig(j: Int): String =
     s"min((${A(j)} * h + ${B(j)}) % $P) AS mh$j"
 
+  /** 16-bit token-frequency-weighted SimHash per doc (md5-derived bits,
+    * reproducible in SQL) — shared by q_simhash and q_simhash_hamming. */
+  def simhash16(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val bits = toks
+      .withColumn("h", md5h64(col("tok")))
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(15))).as("bit"))
+    bits
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(when(expr("(h div CAST(pow(2, bit) AS LONG)) % 2 = 1"), 1)
+        .otherwise(-1)).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("CAST(pow(2, bit) AS LONG)"))
+        .otherwise(0L)).as("simhash16"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- exact dedup: content-hash groupBy; keeps the smallest doc_id
@@ -210,20 +228,42 @@ object Dedup {
          |  sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS simhash16
          |FROM sums GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-      val toks = Tables(spark, dir).documents
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      val bits = toks
-        .withColumn("h", md5h64(col("tok")))
-        .select(col("doc_id"), col("h"),
-          explode(sequence(lit(0), lit(15))).as("bit"))
-      bits
-        .groupBy(col("doc_id"), col("bit"))
-        .agg(sum(when(expr("(h div CAST(pow(2, bit) AS LONG)) % 2 = 1"), 1)
-          .otherwise(-1)).as("s"))
-        .groupBy(col("doc_id"))
-        .agg(sum(when(col("s") > 0, expr("CAST(pow(2, bit) AS LONG)"))
-          .otherwise(0L)).as("simhash16"))
-        .orderBy("doc_id")
+      simhash16(Tables(spark, dir).documents).orderBy("doc_id")
+    },
+
+    // ---- SimHash hamming distances between consecutive docs: near-dup
+    //      flag at radius 3 (bitwise xor + popcount — the standard
+    //      simhash pairing predicate, linear over the corpus)
+    QueryDef.checked(
+      "q_simhash_hamming",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+         |), bits AS (
+         |  SELECT doc_id, unnest(range(0, 16)) AS bit,
+         |    ${duckH64("tok")} AS h
+         |  FROM toks
+         |), sums AS (
+         |  SELECT doc_id, bit,
+         |    sum(CASE WHEN (h // CAST(pow(2, bit) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM bits GROUP BY doc_id, bit
+         |), sh AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS simhash16
+         |  FROM sums GROUP BY doc_id
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash16, b.simhash16)) AS INTEGER) AS hamming,
+         |  bit_count(xor(a.simhash16, b.simhash16)) <= 3 AS is_neardup
+         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+         |ORDER BY doc_a""".stripMargin) { (spark, dir) =>
+      val sh = Dedup.simhash16(Tables(spark, dir).documents)
+      val a = sh.select(col("doc_id").as("doc_a"), col("simhash16").as("ha"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("simhash16").as("hb"))
+      a.join(b, col("doc_b") === col("doc_a") + 1)
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+        .withColumn("is_neardup", col("hamming") <= 3)
+        .orderBy("doc_a")
     },
 
     // ---- production-path MinHash-LSH (xxhash64, k=16, b=4, r=4) with
