@@ -108,10 +108,13 @@ final case class MinHashDedup(k: Int, bands: Int) {
     * relation — the one expensive derivation — is materialized once and
     * shared by signatures, candidates, and verification. */
   def dedupReport(docs: DataFrame): DataFrame = {
+    // MEMORY_ONLY: the shingle/candidate relations are key+hash tuples,
+    // orders of magnitude smaller than the corpus; spill-to-disk caching
+    // only adds write variance
     val grams = shingles(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val cand = candidatesFromGrams(grams)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     try {
       val nDocs = docs.select(count(lit(1)).as("n_docs"))
       val nCand = cand.select(count(lit(1)).as("n_candidates"))
