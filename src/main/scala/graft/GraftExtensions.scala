@@ -17,10 +17,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) =>
+        graft.functions.VectorFunctions.build2(
+          "cosine_sim", CosineSimilarity.apply)(exprs)))
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) =>
+        graft.functions.VectorFunctions.build2(
+          "dot_product", DotProduct.apply)(exprs)))
   }
 }

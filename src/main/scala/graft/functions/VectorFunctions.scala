@@ -148,12 +148,22 @@ object VectorFunctions {
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Builder with arity validation — a wrong-arity SQL call should fail
+    * resolution with a clear message, not IndexOutOfBounds. */
+  def build2(name: String, make: (Expression, Expression) => Expression)(
+      exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"$name requires exactly 2 arguments, got ${exprs.length}")
+    make(exprs(0), exprs(1))
+  }
+
   /** SQL registration so `spark.sql("... cosine_sim(a, b) ...")` works. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+      "cosine_sim", build2("cosine_sim", CosineSimilarity.apply), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      "dot_product", build2("dot_product", DotProduct.apply), "built-in")
   }
 
   /** DuckDB SQL snippet computing the identical cosine fold — kept beside

@@ -90,9 +90,11 @@ object Multimodal {
         |  CASE WHEN doc_id % 3 = 0 THEN 'png'
         |       WHEN doc_id % 3 = 1 THEN 'jpeg'
         |       ELSE 'wav' END AS format,
-        |  ascii(substring(text, 1, 1)) AS first_byte
+        |  CAST(concat('0x', substring(hex(encode(text)), 1, 2)) AS INTEGER) AS first_byte
         |FROM documents
         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      // first_byte: both engines take the FIRST UTF-8 BYTE of the blob
+      // (not the first character's codepoint — those differ on non-ASCII)
       attachMedia(Tables(spark, dir).documents)
         .toDF()
         .withColumn("first_byte",

@@ -54,9 +54,7 @@ object Extras {
         |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
       // deterministic staging dir per source SF (overwritten each run, so
       // repeated bench/verify cycles don't accumulate temp copies)
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
-      val tmp = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), s"graft_fmt_$tag").toString
+      val tmp = graft.util.Staging.dir("graft_fmt_", dir)
       val cust = Tables(spark, dir).customer
       cust.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
       cust.write.mode("overwrite").json(s"$tmp/json")

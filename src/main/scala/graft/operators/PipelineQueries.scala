@@ -40,9 +40,7 @@ object PipelineQueries {
     //      and timestamps are run-local)
     QueryDef.rowsOnly("q_clone_report") { (spark, dir) =>
       // deterministic per-SF target, overwritten each run (no temp buildup)
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
-      val target = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), s"graft_clone_$tag").toString
+      val target = graft.util.Staging.dir("graft_clone_", dir)
       val cfg = CloneConfig(
         sourceDir = dir,
         targetDir = target,

@@ -12,7 +12,12 @@ final case class CloneConfig(
     backupBeforeClone: Boolean = false,   // CREATE_BACKUP_BEFORE_CLONE
     backupDir: String = "",
     overwrite: Boolean = false,
-    password: String = "") {
+    password: String = "",
+    /** Advisory locks older than this are treated as abandoned by a
+      * crashed writer and broken (reference prints remediation SQL for
+      * the stuck-connection case, clone_databases.sh:645-703; here the
+      * engine self-heals). */
+    lockTtlMs: Long = 60L * 60L * 1000L) {
 
   def sourcePath(table: String): String = s"$sourceDir/$table"
 

@@ -68,11 +68,21 @@ final class ClonePipeline(spark: SparkSession, config: CloneConfig) {
 
   /** False means "another writer holds the lock"; genuine I/O failures
     * (unwritable target, bad mount) propagate so they are not
-    * misdiagnosed as contention. */
+    * misdiagnosed as contention. A lock older than [[CloneConfig.lockTtlMs]]
+    * is considered abandoned (crashed writer — kill -9 skips the finally
+    * release) and is broken before retrying once. */
   def acquireLock(): Boolean = {
     val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(lockPath.getParent)
-    fs.createNewFile(lockPath)
+    if (fs.createNewFile(lockPath)) true
+    else {
+      val age = System.currentTimeMillis() -
+        fs.getFileStatus(lockPath).getModificationTime
+      if (age > config.lockTtlMs) {
+        fs.delete(lockPath, false)
+        fs.createNewFile(lockPath)
+      } else false
+    }
   }
 
   def releaseLock(): Unit = {
@@ -108,15 +118,21 @@ final class ClonePipeline(spark: SparkSession, config: CloneConfig) {
         true
       } else false
 
-      src.write.mode(if (config.overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      // the source row count is observed DURING the copy job (Observation
+      // metric on the write) — no separate source scan; at 100 TB a
+      // count-only re-pass over the source would be a full extra read
+      val obs = org.apache.spark.sql.Observation(s"clone_$table")
+      src.observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows"))
+        .write.mode(if (config.overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
         .parquet(tgt)
+      val srcN = obs.get("rows").asInstanceOf[Long]
 
       // post-clone verification (clone_databases.sh:480-551): read back,
       // compare schema and row count
       val back = spark.read.parquet(tgt)
       val schemaOk = back.schema == src.schema
       val n = back.count()
-      val srcN = spark.read.parquet(config.sourcePath(table)).count()
       if (!schemaOk || n != srcN)
         CloneResult(table, tgt, "failed", n, schemaOk, backedUp,
           s"verification mismatch: rows $n vs $srcN, schema ok = $schemaOk")

@@ -34,11 +34,8 @@ object StreamingOps {
     * record source offsets by absolute path). */
   private def stageStreamDir(dir: String): String = {
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val tag = java.lang.Integer.toHexString(
-      java.nio.file.Paths.get(dir).toAbsolutePath.toString.hashCode)
     val tmp = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_events_stream_$tag")
-    java.nio.file.Files.createDirectories(tmp)
+      graft.util.Staging.dir("graft_events_stream_", dir))
     val link = tmp.resolve("events.parquet")
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(link, src)
@@ -114,7 +111,7 @@ object StreamingOps {
     QueryDef.checked(
       "q_stream_session",
       """WITH marked AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |           -- >=: session_window is half-open [start, last+gap), so an
         |           -- event exactly gap after the previous starts a new session
@@ -123,7 +120,7 @@ object StreamingOps {
         |  FROM events
         |), islands AS (
         |  SELECT user_id, ts,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM marked
         |)

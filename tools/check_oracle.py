@@ -20,6 +20,7 @@ def canon(rows):
     out = []
     for row in rows:
         out.append(tuple(
+            ("f", "nan") if isinstance(v, float) and math.isnan(v) else
             ("f", round(v, 9)) if isinstance(v, float) else
             ("v", str(v)) for v in row))
     out.sort()
