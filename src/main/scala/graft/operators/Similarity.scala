@@ -62,6 +62,15 @@ object Similarity {
         .orderBy("vec_a")
     },
 
+    // ---- random-hyperplane LSH near-dup over embeddings: bucket-join
+    //      candidates + exact-cosine verification; summary row (the
+    //      corpus has no true vector dups — VectorLSHSpec plants some).
+    //      Engine-private hyperplanes → no SQL oracle.
+    QueryDef.rowsOnly("q_vector_lsh_neardup") { (spark, dir) =>
+      VectorLSH(bits = 16, bands = 4, dim = 64)
+        .report(Tables(spark, dir).embeddings, threshold = 0.4)
+    },
+
     // ---- IVF-style ANN: probe nearest cells only. Centroid averaging is
     //      float-order-dependent → no bit-exact SQL oracle; SimilaritySpec
     //      asserts recall ≥ 0.6 vs the brute-force top-k instead.

@@ -147,6 +147,78 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // ---- TF-IDF: top-3 most characteristic tokens per document (ranked
+    //      on the ROUNDED score in both engines so libm-vs-Math.log ulp
+    //      differences can't flip near-tie rankings)
+    QueryDef.checked(
+      "q_tfidf",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+        |), dfreq AS (
+        |  SELECT tok, count(DISTINCT doc_id) AS dft FROM toks GROUP BY tok
+        |), n AS (
+        |  SELECT count(*) AS nd FROM documents
+        |), scored AS (
+        |  SELECT doc_id, tok, tf,
+        |    round(tf * ln(CAST(nd AS DOUBLE) / dft), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+        |), ranked AS (
+        |  SELECT doc_id, tok, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rnk
+        |  FROM scored
+        |)
+        |SELECT doc_id, tok, tfidf, rnk FROM ranked
+        |WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.groupBy("tok")
+        .agg(countDistinct(col("doc_id")).as("dft"))
+      val n = docs.agg(count(lit(1)).as("nd"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
+      tf.join(broadcast(dfreq), Seq("tok"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("tok"), col("tf"),
+          round(col("tf") * log(col("nd").cast("double") / col("dft")), 6)
+            .as("tfidf"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "tok", "tfidf", "rnk")
+        .orderBy("doc_id", "rnk")
+    },
+
+    // ---- deterministic hash-based train/val/test split (reproducible
+    //      80/10/10 — the production-safe alternative to random sampling)
+    QueryDef.checked(
+      "q_deterministic_split",
+      """SELECT lang, split, count(*) AS n FROM (
+        |  SELECT lang,
+        |    CASE WHEN h < 80 THEN 'train'
+        |         WHEN h < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT lang,
+        |      CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS h
+        |    FROM documents) hashed) s
+        |GROUP BY lang, split
+        |ORDER BY lang, split""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .select(col("lang"),
+          (Dedup.md5h64(col("doc_id").cast("string")) % 100).as("h"))
+        .select(col("lang"),
+          when(col("h") < 80, "train")
+            .when(col("h") < 90, "val")
+            .otherwise("test").as("split"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split")
+    },
+
     // ---- document fingerprint: md5 over the sorted distinct token set
     //      (key-collapse fingerprint — word order / repetition invariant)
     QueryDef.checked(

@@ -83,6 +83,20 @@ class CloneSpec extends SparkSpec {
       missing.swap.toOption.get.contains("TARGET_DIR"))
   }
 
+  test("incremental clone appends only rows past the watermark") {
+    import org.apache.spark.sql.functions._
+    val cfg = freshCfg().copy(tables = Seq("orders.parquet"))
+    val p = ClonePipeline(spark, cfg)
+    assert(p.run().forall(_.status == "cloned"))
+    val cutoff = java.sql.Timestamp.valueOf("1999-01-01 00:00:00")
+    val expected = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderdate") > lit(cutoff)).count()
+    val appended = p.incrementalClone("orders.parquet", "o_orderdate", cutoff)
+    assert(appended == expected && expected > 0)
+    val total = spark.read.parquet(s"${cfg.targetDir}/preprod_orders.parquet").count()
+    assert(total == spark.read.parquet(s"$sf/orders.parquet").count() + expected)
+  }
+
   test("advisory lock: concurrent run aborts, lock released after run") {
     val cfg = freshCfg()
     val p = ClonePipeline(spark, cfg)
