@@ -124,6 +124,53 @@ object Extras {
         .limit(10)
     },
 
+    // ---- conversion funnel: per-user first click → first purchase
+    //      (conditional min-aggregation; NULL comparison semantics agree
+    //      across engines: NULL > x → NULL → not converted)
+    QueryDef.checked(
+      "q_funnel",
+      """SELECT user_id,
+        |  min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+        |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase,
+        |  coalesce(min(CASE WHEN event_type = 'purchase' THEN ts END) >
+        |           min(CASE WHEN event_type = 'click' THEN ts END), false) AS converted
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).events
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+        .withColumn("converted",
+          coalesce(col("first_purchase") > col("first_click"), lit(false)))
+        .orderBy("user_id")
+    },
+
+    // ---- null semantics battery: nullif / null-safe equality
+    //      (IS NOT DISTINCT FROM ≡ <=>) / IN-with-NULL / coalesce
+    QueryDef.checked(
+      "q_null_semantics",
+      """SELECT coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_c,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM 'O'
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS ns_eq_open,
+        |  CAST(sum(CASE WHEN (nullif(o_orderstatus, 'P') IN ('O', 'F')) IS NULL
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS in_yields_null
+        |FROM orders
+        |GROUP BY coalesce(nullif(o_orderstatus, 'P'), 'PENDING')
+        |ORDER BY status_c""".stripMargin) { (spark, dir) =>
+      val s = nullif(col("o_orderstatus"), lit("P"))
+      Tables(spark, dir).orders
+        .groupBy(coalesce(s, lit("PENDING")).as("status_c"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(s <=> "O", 1).otherwise(0)).cast("long").as("ns_eq_open"),
+          sum(when(s.isin("O", "F").isNull, 1).otherwise(0)).cast("long")
+            .as("in_yields_null"))
+        .orderBy("status_c")
+    },
+
     // ---- TPC-H Q6 shape: forecast revenue delta — pure scan+filter+agg,
     //      every predicate pushed to the parquet reader
     QueryDef.checked(

@@ -2,6 +2,9 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+/** Top-level so spark.implicits can derive its Encoder. */
+case class Ord(o_orderkey: Long, o_orderstatus: String, o_totalprice: Double)
+
 class RelationalSpec extends SparkSpec {
 
   test("q1 pricing summary: 6 groups, totals match a direct aggregation") {
@@ -40,6 +43,45 @@ class RelationalSpec extends SparkSpec {
     val shipDates = t.lineitem.select(col("l_shipdate").cast("date")).distinct().count()
     val orderDates = t.orders.select(col("o_orderdate").cast("date")).distinct().count()
     assert(n >= math.max(shipDates, orderDates))
+  }
+
+  test("DataSketches HLL: per-group sketches union to the global estimate") {
+    import org.apache.spark.sql.functions.expr
+    val li = Tables(spark, sf).lineitem
+    val perGroup = li.groupBy("l_returnflag")
+      .agg(expr("hll_sketch_agg(l_orderkey)").as("sk"))
+    val merged = perGroup
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .collect().head.getLong(0).toDouble
+    val exact = li.select(countDistinct(col("l_orderkey"))).collect().head.getLong(0).toDouble
+    assert(math.abs(merged - exact) / exact < 0.05,
+      s"merged HLL $merged vs exact $exact")
+  }
+
+  test("percentile_approx tracks exact percentile within 2%") {
+    import org.apache.spark.sql.functions.expr
+    val o = Tables(spark, sf).orders
+    val r = o.agg(
+      expr("percentile(o_totalprice, 0.5)").as("exact"),
+      expr("percentile_approx(o_totalprice, 0.5, 1000)").as("approx"))
+      .collect().head
+    val (ex, ap) = (r.getDouble(0), r.getDouble(1))
+    assert(math.abs(ap - ex) / ex < 0.02, s"approx $ap vs exact $ex")
+  }
+
+  test("typed Dataset API: groupByKey aggregation matches DataFrame agg") {
+    import spark.implicits._
+    val ds = Tables(spark, sf).orders
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").as[Ord]
+    val typed = ds.groupByKey(_.o_orderstatus)
+      .mapGroups((k, rows) => k -> rows.map(_.o_totalprice).sum)
+      .collect().toMap
+    val untyped = Tables(spark, sf).orders
+      .groupBy("o_orderstatus").agg(sum("o_totalprice"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    typed.foreach { case (k, v) =>
+      assert(math.abs(v - untyped(k)) < 1e-6)
+    }
   }
 
   test("approx_count_distinct within 5% of exact") {
