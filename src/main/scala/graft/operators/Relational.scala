@@ -61,13 +61,14 @@ object Relational {
       """SELECT p_partkey, p_name, p_brand, p_type, p_size
         |FROM part
         |WHERE p_size BETWEEN 10 AND 30
-        |  AND p_brand IN ('Brand#1','Brand#2','Brand#3')
+        |  AND p_brand IN ('Brand#7','Brand#8','Brand#9','Brand#13','Brand#16','Brand#19')
         |  AND p_name LIKE '%bolt%'
         |  AND p_type IS NOT NULL
         |ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
       Tables(spark, dir).part
         .filter(col("p_size").between(10, 30) &&
-          col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+          col("p_brand").isin("Brand#7", "Brand#8", "Brand#9",
+            "Brand#13", "Brand#16", "Brand#19") &&
           col("p_name").like("%bolt%") &&
           col("p_type").isNotNull)
         .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
