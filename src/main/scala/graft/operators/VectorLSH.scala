@@ -25,28 +25,26 @@ final case class VectorLSH(bits: Int, bands: Int, dim: Int, seed: Long = 42L) {
   require(bits <= 62, "signature packed in a long")
   private val r = bits / bands
 
-  /** (bit, hyperplane) table — deterministic pseudo-random components. */
-  def planes(spark: org.apache.spark.sql.SparkSession): DataFrame = {
-    import spark.implicits._
+  /** Deterministic pseudo-random hyperplane components. */
+  def planeVectors: Seq[Seq[Float]] = {
     val rng = new java.util.Random(seed)
-    (0 until bits).map(j => (j, Array.fill(dim)(rng.nextGaussian().toFloat)))
-      .toDF("bit", "plane")
+    Seq.fill(bits)(Seq.fill(dim)(rng.nextGaussian().toFloat))
   }
 
-  /** vec_id → packed signature (one long, `bits` sign bits). */
+  /** vec_id → packed signature (one long, `bits` sign bits).
+    *
+    * Shuffle-free: the planes are constant literals, so all `bits` sign
+    * bits are computed in ONE map-side projection (no bits× row
+    * explosion, no groupBy exchange) — at 100 TB the signature pass is a
+    * pure scan. */
   def signatures(emb: DataFrame): DataFrame = {
-    val spark = emb.sparkSession
-    emb.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(planes(spark)))
-      .select(col("vec_id"), col("bit"),
-        (VectorFunctions.dotProduct(col("embedding"), col("plane")) > 0)
-          .as("set"))
-      .groupBy("vec_id")
-      // Scala shiftleft() wants a literal shift; the SQL form takes a
-      // column
-      .agg(sum(expr(
-        "CASE WHEN set THEN shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)) ELSE CAST(0 AS BIGINT) END"))
-        .as("sig"))
+    val planesLit = typedLit(planeVectors)
+    val sig = (0 until bits).map { j =>
+      when(VectorFunctions.dotProduct(
+        col("embedding"), element_at(planesLit, j + 1)) > 0, lit(1L << j))
+        .otherwise(0L)
+    }.reduce(_ + _)
+    emb.select(col("vec_id"), sig.as("sig"))
   }
 
   /** (vec_id, band, bucket) — bucket = the band's r-bit slice of sig. */
@@ -67,16 +65,21 @@ final case class VectorLSH(bits: Int, bands: Int, dim: Int, seed: Long = 42L) {
       .select("vec_a", "vec_b").distinct()
   }
 
-  /** Candidates with exact cosine ≥ threshold. */
-  def verifiedPairs(emb: DataFrame, threshold: Double): DataFrame = {
+  /** Exact-cosine verification of a candidate set. */
+  def verifyCandidates(emb: DataFrame, cand: DataFrame,
+      threshold: Double): DataFrame = {
     val va = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val vb = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-    candidatePairs(emb)
+    cand
       .join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         VectorFunctions.cosineSim(col("ea"), col("eb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Candidates with exact cosine ≥ threshold. */
+  def verifiedPairs(emb: DataFrame, threshold: Double): DataFrame =
+    verifyCandidates(emb, candidatePairs(emb), threshold)
 
   /** One-row summary (always non-empty). */
   def report(emb: DataFrame, threshold: Double): DataFrame = {
@@ -85,10 +88,7 @@ final case class VectorLSH(bits: Int, bands: Int, dim: Int, seed: Long = 42L) {
     try {
       val nVec = emb.select(count(lit(1)).as("n_vectors"))
       val nCand = cand.select(count(lit(1)).as("n_candidates"))
-      val va = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-      val vb = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-      val nVer = cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
-        .filter(VectorFunctions.cosineSim(col("ea"), col("eb")) >= threshold)
+      val nVer = verifyCandidates(emb, cand, threshold)
         .select(count(lit(1)).as("n_verified"))
       nVec.crossJoin(nCand).crossJoin(nVer)
         .withColumn("bits", lit(bits)).withColumn("bands", lit(bands))

@@ -154,15 +154,28 @@ final class ClonePipeline(spark: SparkSession, config: CloneConfig) {
   def incrementalClone(table: String, watermarkCol: String,
       lastValue: java.sql.Timestamp): Long = {
     val tgt = targetPath(table)
-    val delta = spark.read.parquet(config.sourcePath(table))
-      .filter(org.apache.spark.sql.functions.col(watermarkCol) >
-        org.apache.spark.sql.functions.lit(lastValue))
-    val obs = org.apache.spark.sql.Observation(
-      s"incr_${table}_${System.nanoTime()}")
-    delta.observe(obs, org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("rows"))
-      .write.mode(SaveMode.Append).parquet(tgt)
-    obs.get("rows").asInstanceOf[Long]
+    // same write-isolation contract as run(): never interleave with a
+    // concurrent full clone of the namespace
+    if (!acquireLock())
+      throw new IllegalStateException(
+        s"target namespace locked by another writer: $lockPath")
+    try {
+      // delta-append only makes sense on top of an existing full clone —
+      // appending into a missing target would silently create a
+      // delta-only table that a later run() then 'skipped_exists' forever
+      if (!exists(tgt))
+        throw new IllegalStateException(
+          s"incremental clone requires an existing full clone at $tgt")
+      val delta = spark.read.parquet(config.sourcePath(table))
+        .filter(org.apache.spark.sql.functions.col(watermarkCol) >
+          org.apache.spark.sql.functions.lit(lastValue))
+      val obs = org.apache.spark.sql.Observation(
+        s"incr_${table}_${System.nanoTime()}")
+      delta.observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows"))
+        .write.mode(SaveMode.Append).parquet(tgt)
+      obs.get("rows").asInstanceOf[Long]
+    } finally releaseLock()
   }
 
   /** Clone all configured tables; independent tables run as concurrent

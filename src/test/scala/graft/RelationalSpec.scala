@@ -80,7 +80,8 @@ class RelationalSpec extends SparkSpec {
       .groupBy("o_orderstatus").agg(sum("o_totalprice"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     typed.foreach { case (k, v) =>
-      assert(math.abs(v - untyped(k)) < 1e-6)
+      // relative tolerance: the two sums fold in different orders
+      assert(math.abs(v - untyped(k)) / math.abs(untyped(k)) < 1e-9)
     }
   }
 

@@ -45,7 +45,8 @@ class VectorLSHSpec extends SparkSpec {
     verified.collect().foreach { r =>
       assert(r.getAs[Double]("cosine") >= 0.99)
     }
-    // candidates are a superset: collisions exist below the threshold
-    assert(lsh.candidatePairs(planted).count() >= verified.count())
+    // collisions strictly below the threshold must exist AND be removed
+    assert(lsh.candidatePairs(planted).count() > verified.count(),
+      "expected low-cosine bucket collisions to be filtered out")
   }
 }
