@@ -102,6 +102,56 @@ object Stats {
         .orderBy("l_returnflag")
     },
 
+    // ---- histogram: fixed-width binning via exact floor arithmetic
+    //      (portable across engines, unlike width_bucket edge conventions)
+    QueryDef.checked(
+      "q_histogram",
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        |  CAST(floor(o_totalprice / 50000) AS BIGINT) * 50000 AS bucket_lo,
+        |  count(*) AS n,
+        |  min(o_totalprice) AS lo,
+        |  max(o_totalprice) AS hi
+        |FROM orders
+        |GROUP BY CAST(floor(o_totalprice / 50000) AS BIGINT)
+        |ORDER BY bucket""".stripMargin) { (spark, dir) =>
+      val bucket = floor(col("o_totalprice") / lit(50000)).cast("long")
+      Tables(spark, dir).orders
+        .groupBy(bucket.as("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .select(col("bucket"), (col("bucket") * 50000).as("bucket_lo"),
+          col("n"), col("lo"), col("hi"))
+        .orderBy("bucket")
+    },
+
+    // ---- time-range window frame: trailing 7-day order count/spend per
+    //      customer (value-based frame over event time — peer-defined, so
+    //      deterministic under orderdate ties)
+    QueryDef.checked(
+      "q_window_time_range",
+      """SELECT o_custkey, o_orderkey,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL '7 days' PRECEDING AND CURRENT ROW) AS n_7d,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL '7 days' PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_7d
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders.createOrReplaceTempView("graft_orders_tr")
+      spark.sql(
+        """SELECT o_custkey, o_orderkey,
+          |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+          |    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS n_7d,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+          |    PARTITION BY o_custkey ORDER BY o_orderdate
+          |    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_7d
+          |FROM graft_orders_tr
+          |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    },
+
     // ---- ordered string aggregation (listagg)
     QueryDef.checked(
       "q_listagg",

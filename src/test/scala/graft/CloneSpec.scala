@@ -83,6 +83,16 @@ class CloneSpec extends SparkSpec {
       missing.swap.toOption.get.contains("TARGET_DIR"))
   }
 
+  test("stale advisory lock past TTL is broken and the run proceeds") {
+    val cfg = freshCfg().copy(lockTtlMs = 0L) // every existing lock is stale
+    val p = ClonePipeline(spark, cfg)
+    assert(p.acquireLock(), "take the lock")
+    // do NOT release: simulate a crashed writer; TTL=0 → breakable now
+    val results = ClonePipeline(spark, cfg).run()
+    assert(results.forall(_.status == "cloned"),
+      s"stale lock must be broken, got $results")
+  }
+
   test("incremental clone appends only rows past the watermark") {
     import org.apache.spark.sql.functions._
     val cfg = freshCfg().copy(tables = Seq("orders.parquet"))
