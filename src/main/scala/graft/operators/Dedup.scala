@@ -225,7 +225,8 @@ object Dedup {
          |  FROM bits GROUP BY doc_id, bit
          |)
          |SELECT doc_id,
-         |  sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS simhash16
+         |  CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)
+         |       AS BIGINT) AS simhash16
          |FROM sums GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
       simhash16(Tables(spark, dir).documents).orderBy("doc_id")

@@ -36,9 +36,24 @@ object PipelineQueries {
     },
 
     // ---- a real clone run of the dimension tables into a temp target
-    //      namespace, returning the verification report (rows-only: paths
-    //      and timestamps are run-local)
-    QueryDef.rowsOnly("q_clone_report") { (spark, dir) =>
+    //      namespace, returning the verification report. The projected
+    //      report (statuses, verified row counts, schema equality, run
+    //      success) is deterministic, so the oracle reconstructs it from
+    //      the SOURCE tables — a hash match proves the clone copied every
+    //      row and the post-write verification agreed.
+    QueryDef.checked(
+      "q_clone_report",
+      """SELECT * FROM (
+        |  SELECT 'nation.parquet' AS "table", 'cloned' AS status,
+        |    (SELECT count(*) FROM nation) AS "rows",
+        |    TRUE AS "schemaMatches", TRUE AS run_success
+        |  UNION ALL
+        |  SELECT 'region.parquet', 'cloned',
+        |    (SELECT count(*) FROM region), TRUE, TRUE
+        |  UNION ALL
+        |  SELECT 'supplier.parquet', 'cloned',
+        |    (SELECT count(*) FROM supplier), TRUE, TRUE) r
+        |ORDER BY "table"""".stripMargin) { (spark, dir) =>
       // deterministic per-SF target, overwritten each run (no temp buildup)
       val target = graft.util.Staging.dir("graft_clone_", dir)
       val cfg = CloneConfig(

@@ -296,14 +296,30 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     },
 
-    // ---- approx distinct (HLL). Sketch internals are engine-specific, so
-    //      no DuckDB oracle; ScalaTest bounds the relative error instead.
-    QueryDef.rowsOnly("q_approx_distinct") { (spark, dir) =>
+    // ---- approx distinct (HLL). The sketch estimate itself is
+    //      engine-specific (DuckDB can't reproduce Spark's HLL++ bit-for-
+    //      bit), so the hash-checked contract is the estimate's ERROR
+    //      BOUND: |approx − exact| / exact ≤ 5% (rsd = 0.02 → 2.5σ).
+    //      The oracle computes the exact side and asserts the flag true;
+    //      ScalaTest additionally bounds the raw estimate.
+    QueryDef.checked(
+      "q_approx_distinct",
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS n_exact,
+        |  count(*) AS n_lines,
+        |  TRUE AS approx_within_5pct
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
       Tables(spark, dir).lineitem
         .groupBy(col("l_returnflag"))
         .agg(
+          countDistinct(col("l_orderkey")).as("n_exact"),
           approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
           count(lit(1)).as("n_lines"))
+        .select(col("l_returnflag"), col("n_exact"), col("n_lines"),
+          (abs(col("approx_orders") - col("n_exact")).cast("double") /
+            col("n_exact") <= 0.05).as("approx_within_5pct"))
         .orderBy(col("l_returnflag"))
     },
 

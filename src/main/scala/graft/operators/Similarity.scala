@@ -1,9 +1,31 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions
+
+/** Hyperplane components derived from md5 — the SQL-reproducible twin of
+  * [[VectorLSH]]'s seeded planes: plane[j][d] = (md5h64("plane_j_d") %
+  * 2001 − 1000) / 1000 ∈ [−1, 1]. Rendered as shortest-roundtrip double
+  * literals, so the Spark plan and the DuckDB oracle fold the exact same
+  * IEEE values. */
+private[operators] object Md5Planes {
+  private def h60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  def value(j: Int, d: Int): Double =
+    ((h60(s"plane_${j}_$d") % 2001L) - 1000L) / 1000.0
+
+  /** SQL double literal that parses back to the identical IEEE value. */
+  def component(j: Int, d: Int): String = {
+    val v = value(j, d)
+    if (v == v.toLong.toDouble) s"${v.toLong}D" else s"${v}D"
+  }
+}
 
 /** Similarity search over the `embeddings` table (north star).
   *
@@ -71,12 +93,79 @@ object Similarity {
         .report(Tables(spark, dir).embeddings, threshold = 0.4)
     },
 
-    // ---- IVF-style ANN: probe nearest cells only. Centroid averaging is
-    //      float-order-dependent → no bit-exact SQL oracle; SimilaritySpec
-    //      asserts recall ≥ 0.6 vs the brute-force top-k instead.
-    QueryDef.rowsOnly("q_ann_ivf") { (spark, dir) =>
+    // ---- IVF-style ANN: probe nearest cells only. Fixed-point centroid
+    //      averaging (see IvfIndex) makes the whole pipeline — centroid
+    //      build, probe selection, cell-restricted scan, top-k —
+    //      bit-reproducible, so the oracle replays it end-to-end.
+    //      SimilaritySpec additionally asserts recall ≥ 0.6 vs brute force.
+    QueryDef.checked(
+      "q_ann_ivf",
+      s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |sv AS (
+         |  SELECT label, i AS pos,
+         |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS s
+         |  FROM embeddings, range(64) t(i)
+         |), cc AS (
+         |  SELECT label, pos, CAST(sum(s) AS DOUBLE) / (1000000.0 * count(*)) AS c
+         |  FROM sv GROUP BY label, pos
+         |), cents AS (
+         |  SELECT label, list(c ORDER BY pos) AS centroid FROM cc GROUP BY label
+         |), csims AS (
+         |  SELECT label,
+         |    list_reduce(list_transform(centroid, (c, i) -> c * CAST(q.embedding[i] AS DOUBLE)), (p, r) -> p + r)
+         |    / (sqrt(list_reduce(list_transform(centroid, c -> c * c), (p, r) -> p + r))
+         |     * sqrt(list_reduce(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, r) -> p + r)))
+         |    AS csim
+         |  FROM cents, q
+         |), probe AS (SELECT label FROM csims ORDER BY csim DESC, label LIMIT 3)
+         |SELECT b.vec_id, round(${VectorFunctions.duckCosineSql("q.embedding", "b.embedding")}, 6) AS sim
+         |FROM embeddings b JOIN probe USING (label), q
+         |WHERE b.vec_id <> 0
+         |ORDER BY sim DESC, vec_id
+         |LIMIT 10""".stripMargin) { (spark, dir) =>
       val emb = Tables(spark, dir).embeddings
       IvfIndex(nprobe = 3).topK(emb, queryVecId = 0, k = 10)
+    },
+
+    // ---- random-hyperplane LSH signatures with md5-DERIVED planes:
+    //      plane[j][d] = (md5h64('plane_j_d') % 2001 − 1000) / 1000 —
+    //      reproducible in SQL, so the packed 16-bit signature and its
+    //      4 band buckets are hash-checked end-to-end (the engine-seeded
+    //      production path stays in VectorLSH/q_vector_lsh_neardup).
+    QueryDef.checked(
+      "q_vector_lsh_signatures",
+      s"""WITH sigs AS (
+         |  SELECT vec_id,
+         |    CAST(list_sum(list_transform(range(16), j ->
+         |      CASE WHEN list_reduce(list_transform(e.embedding, (x, i) ->
+         |             CAST(x AS DOUBLE) *
+         |             ((CAST(concat('0x', substring(md5(concat('plane_', j, '_', i - 1)), 1, 15)) AS BIGINT)
+         |               % 2001 - 1000) / 1000.0)), (p, r) -> p + r) > 0
+         |        THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS sig
+         |  FROM embeddings e
+         |)
+         |SELECT vec_id, sig,
+         |  CAST(sig % 16 AS BIGINT) AS bucket0,
+         |  CAST((sig // 16) % 16 AS BIGINT) AS bucket1,
+         |  CAST((sig // 256) % 16 AS BIGINT) AS bucket2,
+         |  CAST((sig // 4096) % 16 AS BIGINT) AS bucket3
+         |FROM sigs
+         |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+      val sig = (0 until 16).map { j =>
+        val planeSql = (0 until 64).map(Md5Planes.component(j, _)).mkString(", ")
+        when(expr(
+          s"""aggregate(zip_with(embedding, array($planeSql),
+             |  (x, p) -> CAST(x AS DOUBLE) * p), 0D, (acc, v) -> acc + v)"""
+            .stripMargin) > 0, lit(1L << j)).otherwise(0L)
+      }.reduce(_ + _)
+      emb.select(col("vec_id"), sig.as("sig"))
+        .select(col("vec_id"), col("sig"),
+          expr("sig % 16").as("bucket0"),
+          expr("(sig div 16) % 16").as("bucket1"),
+          expr("(sig div 256) % 16").as("bucket2"),
+          expr("(sig div 4096) % 16").as("bucket3"))
+        .orderBy("vec_id")
     }
   )
 }
@@ -89,17 +178,38 @@ object Similarity {
   * would be written partitioned/bucketed by cell id so a probe scans
   * only nprobe/cells of the files (partition pruning), which is the
   * entire point of IVF.
+  *
+  * Centroid averaging is FIXED-POINT: components are scaled to 1e-6
+  * integers and summed as longs, so the per-cell sum is
+  * order-independent (integer addition commutes — float addition does
+  * not) and the centroid is bit-reproducible on any engine, partition
+  * count, or reducer order. That makes the whole probe→scan→top-k
+  * pipeline hash-checkable against the DuckDB oracle.
   */
 final case class IvfIndex(nprobe: Int) {
 
-  /** Per-cell centroid vectors via positional average. */
+  /** Per-cell centroid vectors: exact integer sum of 1e-6-scaled
+    * components, divided once in double precision. */
   def centroids(emb: DataFrame): DataFrame =
     emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("label", "pos").agg(avg(col("v")).as("c"))
+      .withColumn("sv", expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)"))
+      .groupBy("label", "pos")
+      .agg((sum(col("sv")).cast("double") /
+        (lit(1000000.0) * count(lit(1)))).as("c"))
       .groupBy("label")
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-      .select(col("label"),
-        expr("transform(pc, s -> CAST(s.c AS FLOAT))").as("centroid"))
+      .select(col("label"), expr("transform(pc, s -> s.c)").as("centroid"))
+
+  /** Cosine between a float-array column and a double-array column as a
+    * strict left-to-right double fold (the same fold the oracle's
+    * `list_reduce` performs, so probe selection is engine-portable). */
+  private def mixedCosine(floatVec: String, doubleVec: String): Column =
+    expr(s"""
+      aggregate(zip_with($doubleVec, $floatVec, (c, x) -> c * CAST(x AS DOUBLE)),
+                0D, (acc, v) -> acc + v)
+      / (sqrt(aggregate(transform($doubleVec, c -> c * c), 0D, (acc, v) -> acc + v))
+       * sqrt(aggregate(transform($floatVec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+              0D, (acc, v) -> acc + v)))""")
 
   /** Top-k by cosine among vectors in the `nprobe` cells nearest to the
     * query vector. */
@@ -109,7 +219,7 @@ final case class IvfIndex(nprobe: Int) {
     val cents = centroids(emb)
     val probeCells = cents.crossJoin(broadcast(query))
       .select(col("label"),
-        VectorFunctions.cosineSim(col("q_embedding"), col("centroid")).as("csim"))
+        mixedCosine("q_embedding", "centroid").as("csim"))
       .orderBy(col("csim").desc, col("label"))
       .limit(nprobe)
       .select("label")
