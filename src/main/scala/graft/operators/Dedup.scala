@@ -150,12 +150,17 @@ object Dedup {
          |GROUP BY doc_a, doc_b
          |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
       val sigs = minhashSigs(Tables(spark, dir).documents, 8)
+      // materialize the (doc, band, bucket) relation once: the self-join's
+      // two shuffle-map stages are independent, so without this each side
+      // recomputes the whole md5-shingle→minhash pipeline (the stages run
+      // concurrently — a lazy .persist would race, localCheckpoint won't)
       val bands = sigs.select(col("doc_id"),
         explode(array((0 until 4).map(b => struct(
           lit(b).as("band"),
           md5(concat(col(s"mh${2 * b}").cast("string"), lit(","),
             col(s"mh${2 * b + 1}").cast("string"))).as("bval"))): _*)).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bval").as("bval"))
+        .localCheckpoint()
       val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bval"))
       val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bval"))
       a.join(b, Seq("band", "bval"))
@@ -187,7 +192,9 @@ object Dedup {
          |JOIN sizes sb ON sb.doc_id = sa.doc_id + 1
          |LEFT JOIN inter i ON i.doc_a = sa.doc_id
          |ORDER BY doc_a""".stripMargin) { (spark, dir) =>
-      val grams = gramRelation(Tables(spark, dir).documents)
+      // grams feeds four downstream branches (sizes ×2, inter ×2) that
+      // plan as independent stages — materialize it once
+      val grams = gramRelation(Tables(spark, dir).documents).localCheckpoint()
       val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = grams.as("a")
         .join(grams.as("b"),
@@ -257,7 +264,9 @@ object Dedup {
          |  bit_count(xor(a.simhash16, b.simhash16)) <= 3 AS is_neardup
          |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
          |ORDER BY doc_a""".stripMargin) { (spark, dir) =>
-      val sh = Dedup.simhash16(Tables(spark, dir).documents)
+      // both sides of the consecutive-id self-join would recompute the
+      // full tokenize→md5→bit-vote pipeline — materialize it once
+      val sh = Dedup.simhash16(Tables(spark, dir).documents).localCheckpoint()
       val a = sh.select(col("doc_id").as("doc_a"), col("simhash16").as("ha"))
       val b = sh.select(col("doc_id").as("doc_b"), col("simhash16").as("hb"))
       a.join(b, col("doc_b") === col("doc_a") + 1)

@@ -64,7 +64,11 @@ final case class MinHashDedup(k: Int, bands: Int) {
     candidatesFromGrams(shingles(docs))
 
   private def candidatesFromGrams(grams: DataFrame): DataFrame = {
-    val bk = bucketsFromGrams(grams)
+    // materialize the small (doc, band, bucket) relation before the
+    // self-join: its two shuffle-map stages are independent (shuffle on
+    // different key aliases), so each would otherwise re-run the
+    // signature aggregation — concurrently, defeating a lazy cache
+    val bk = bucketsFromGrams(grams).localCheckpoint()
     val a = bk.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
     val b = bk.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
@@ -108,21 +112,20 @@ final case class MinHashDedup(k: Int, bands: Int) {
     * relation — the one expensive derivation — is materialized once and
     * shared by signatures, candidates, and verification. */
   def dedupReport(docs: DataFrame): DataFrame = {
-    // MEMORY_ONLY: the shingle/candidate relations are key+hash tuples,
-    // orders of magnitude smaller than the corpus; spill-to-disk caching
-    // only adds write variance
-    val grams = shingles(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    val cand = candidatesFromGrams(grams)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    try {
-      val nDocs = docs.select(count(lit(1)).as("n_docs"))
-      val nCand = cand.select(count(lit(1)).as("n_candidates"))
-      val nVer = verifyFromGrams(grams, cand, 0.6)
-        .select(count(lit(1)).as("n_verified_dups"))
-      nDocs.crossJoin(nCand).crossJoin(nVer)
-        .withColumn("k", lit(k)).withColumn("bands", lit(bands))
-        .localCheckpoint(eager = true)
-    } finally { cand.unpersist(); grams.unpersist() }
+    // Materialize the two shared relations exactly once. They are key+
+    // hash tuples, orders of magnitude smaller than the corpus. A lazy
+    // .persist is not enough: the summary plan fans out into independent
+    // stages (candidate count, intersection join ×2, size join ×2) that
+    // the scheduler launches concurrently, so each would re-derive the
+    // uncached upstream in parallel.
+    val grams = shingles(docs).localCheckpoint()
+    val cand = candidatesFromGrams(grams).localCheckpoint()
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val nCand = cand.select(count(lit(1)).as("n_candidates"))
+    val nVer = verifyFromGrams(grams, cand, 0.6)
+      .select(count(lit(1)).as("n_verified_dups"))
+    nDocs.crossJoin(nCand).crossJoin(nVer)
+      .withColumn("k", lit(k)).withColumn("bands", lit(bands))
+      .localCheckpoint(eager = true)
   }
 }
