@@ -18,7 +18,7 @@ object SparkEntry {
       Dedup.defs ++ Similarity.defs ++ TextAnalysis.defs ++
       graft.streaming.StreamingOps.defs ++
       graft.multimodal.Multimodal.defs ++
-      PipelineQueries.defs ++ Extras.defs ++ Stats.defs
+      PipelineQueries.defs ++ Extras.defs ++ TpchMore.defs ++ Stats.defs
 
   require(allDefs.map(_.name).distinct.size == allDefs.size,
     "duplicate query names across operator families")
