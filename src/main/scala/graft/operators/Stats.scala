@@ -59,6 +59,30 @@ object Stats {
         .orderBy("o_orderpriority")
     },
 
+    // ---- approximate percentile (GK sketch). Like q_approx_distinct,
+    //      the sketch value is engine-specific, so the hash-checked
+    //      contract is the error bound: the approx p50 must land within
+    //      2% of the exact interpolated median (ScalaTest bounds the raw
+    //      estimate as well).
+    QueryDef.checked(
+      "q_approx_percentile",
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+        |  TRUE AS approx_within_2pct
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).orders
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("exact_p50"),
+          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_p50"))
+        .select(col("o_orderpriority"), col("exact_p50"),
+          (abs(col("approx_p50") - col("exact_p50")) / col("exact_p50") <= 0.02)
+            .as("approx_within_2pct"))
+        .orderBy("o_orderpriority")
+    },
+
     // ---- moments from exact decimal power sums: sample stddev of
     //      quantity and corr(quantity, extendedprice) per return flag
     QueryDef.checked(

@@ -238,6 +238,30 @@ object TextAnalysis {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
         .select("fingerprint", "keep_id", "n_docs")
         .orderBy("keep_id")
+    },
+
+    // ---- edit distance: Levenshtein between consecutive docs' 40-char
+    //      prefixes (integer DP — bit-identical across engines), with a
+    //      length-normalized similarity ratio
+    QueryDef.checked(
+      "q_edit_distance",
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) AS lev,
+        |  1.0 - CAST(levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40)) AS DOUBLE)
+        |      / greatest(length(substring(a.text, 1, 40)), length(substring(b.text, 1, 40))) AS sim
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a""".stripMargin) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"))
+        .localCheckpoint() // both sides of the consecutive-id self-join
+      val a = docs.select(col("doc_id").as("doc_a"), col("prefix").as("pa"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("prefix").as("pb"))
+      a.join(b, col("doc_b") === col("doc_a") + 1)
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("pa"), col("pb")).as("lev"),
+          (lit(1.0) - levenshtein(col("pa"), col("pb")).cast("double") /
+            greatest(length(col("pa")), length(col("pb")))).as("sim"))
+        .orderBy("doc_a")
     }
   )
 }

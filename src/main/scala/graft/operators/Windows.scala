@@ -245,6 +245,28 @@ object Windows {
         .orderBy(col("vec_id"), col("pos"))
     },
 
+    // ---- distribution ranks: percent_rank / cume_dist over order value
+    //      per status (exact rationals — k/(n−1) and k/n divisions are
+    //      IEEE-deterministic on both engines)
+    QueryDef.checked(
+      "q_window_pctrank",
+      """SELECT o_orderkey, o_orderstatus,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders
+        |WHERE o_orderkey < 3000
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables(spark, dir).orders
+        .filter(col("o_orderkey") < 3000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("o_orderkey")
+    },
+
     // ---- as-of join: for each purchase, the most recent strictly-prior
     //      click by the same user — one window pass over the co-partitioned
     //      stream (no per-row probe; scales as a single shuffle on user_id)

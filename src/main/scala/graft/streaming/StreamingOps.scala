@@ -5,6 +5,16 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.operators.QueryDef
 
+/** Per-user running state for [[StreamingOps]]' arbitrary-stateful query:
+  * event count, exact value cents, and latest event time. Money is held
+  * as integer cents so the fold is order-independent and the final
+  * cents/100 division bit-matches the oracle's DECIMAL sum. */
+final case class UserState(n: Long, cents: Long, lastUs: Long)
+
+final case class UserAgg(
+    user_id: Long, n_events: Long,
+    last_ts: java.sql.Timestamp, total_value: Double)
+
 /** Structured Streaming surface over the `events` table (SURVEY.md §2B
   * "Streaming"). The checked queries run REAL streaming jobs — file
   * source → windowed stateful aggregation → memory sink, driven to
@@ -156,6 +166,49 @@ object StreamingOps {
       runToMemory(agg, "graft_stream_dedup", "complete")
         .select("event_type", "n")
         .orderBy("event_type")
+    },
+
+    // ---- arbitrary stateful processing (mapGroupsWithState): per-user
+    //      running aggregate held in custom state — the "arbitrary state"
+    //      row of §2B's streaming table. Value is accumulated as exact
+    //      integer cents (order-independent), so the result hash-matches
+    //      the oracle's batch DECIMAL sum.
+    QueryDef.checked(
+      "q_stream_stateful_user",
+      """SELECT user_id, count(*) AS n_events, max(ts) AS last_ts,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+      val typed = eventsStream(spark, dir)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[(Long, java.sql.Timestamp, Double)]
+      // Timestamp.getTime is millis — keep full µs precision in state
+      def toUs(ts: java.sql.Timestamp): Long =
+        Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+      def fromUs(us: Long): java.sql.Timestamp = {
+        val sec = Math.floorDiv(us, 1000000L)
+        val t = new java.sql.Timestamp(sec * 1000L)
+        t.setNanos(((us - sec * 1000000L) * 1000L).toInt)
+        t
+      }
+      val updated = typed
+        .groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+          (uid: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+           state: GroupState[UserState]) =>
+            var s = state.getOption.getOrElse(UserState(0L, 0L, Long.MinValue))
+            rows.foreach { case (_, ts, v) =>
+              s = UserState(s.n + 1, s.cents + math.round(v * 100.0),
+                math.max(s.lastUs, toUs(ts)))
+            }
+            state.update(s)
+            UserAgg(uid, s.n, fromUs(s.lastUs), s.cents / 100.0)
+        }
+      runToMemory(updated.toDF(), "graft_stream_stateful", "update")
+        .orderBy("user_id")
     }
   )
 }
