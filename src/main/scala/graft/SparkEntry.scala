@@ -18,7 +18,8 @@ object SparkEntry {
       Dedup.defs ++ Similarity.defs ++ TextAnalysis.defs ++
       graft.streaming.StreamingOps.defs ++
       graft.multimodal.Multimodal.defs ++
-      PipelineQueries.defs ++ Extras.defs ++ TpchMore.defs ++ Stats.defs
+      PipelineQueries.defs ++ Extras.defs ++ TpchMore.defs ++ Stats.defs ++
+      TpchFinal.defs ++ Clusters.defs ++ Sampling.defs
 
   require(allDefs.map(_.name).distinct.size == allDefs.size,
     "duplicate query names across operator families")

@@ -79,6 +79,54 @@ object Dedup {
   private def duckSig(j: Int): String =
     s"min((${A(j)} * h + ${B(j)}) % $P) AS mh$j"
 
+  /** WITH-body CTE chain ending in `pairs(doc_a, doc_b, n_bands)` — the
+    * MinHash-LSH candidate pairs (k=8, 4 bands × 2 rows, doc_a < doc_b).
+    * Shared by q_dedup_minhash_pairs and q_dedup_clusters so the edge
+    * relation and the clustering built on it verify against the SAME
+    * oracle formulation. */
+  private[operators] def duckPairsCtes: String =
+    s"""hg AS (
+       |  $duckHashedGrams
+       |), sigs AS (
+       |  SELECT doc_id,
+       |    ${(0 until 8).map(duckSig).mkString(",\n    ")}
+       |  FROM hg GROUP BY doc_id
+       |), bands AS (
+       |  ${(0 until 4).map(b =>
+            s"SELECT doc_id, $b AS band, md5(concat(mh${2*b}, ',', mh${2*b+1})) AS bval FROM sigs")
+            .mkString("\n  UNION ALL\n  ")}
+       |), pairs AS (
+       |  SELECT doc_a, doc_b, count(*) AS n_bands FROM (
+       |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band
+       |    FROM bands a JOIN bands b
+       |      ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id) p
+       |  GROUP BY doc_a, doc_b
+       |)""".stripMargin
+
+  /** Spark twin of [[duckPairsCtes]]: (doc_a, doc_b, n_bands), unordered.
+    * Public — this is the edge relation [[Clusters]] consumes. */
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val sigs = minhashSigs(docs, 8)
+    // materialize the (doc, band, bucket) relation once: the self-join's
+    // two shuffle-map stages are independent, so without this each side
+    // recomputes the whole md5-shingle→minhash pipeline (the stages run
+    // concurrently — a lazy .persist would race, localCheckpoint won't)
+    val bands = sigs.select(col("doc_id"),
+      explode(array((0 until 4).map(b => struct(
+        lit(b).as("band"),
+        md5(concat(col(s"mh${2 * b}").cast("string"), lit(","),
+          col(s"mh${2 * b + 1}").cast("string"))).as("bval"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bval").as("bval"))
+      .localCheckpoint()
+    val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bval"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bval"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "band").distinct()
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
   /** 16-bit token-frequency-weighted SimHash per doc (md5-derived bits,
     * reproducible in SQL) — shared by q_simhash and q_simhash_hamming. */
   def simhash16(docs: DataFrame): DataFrame = {
@@ -132,42 +180,10 @@ object Dedup {
     //      100 TB design: shuffle on (band, bucket-hash), never all-pairs.
     QueryDef.checked(
       "q_dedup_minhash_pairs",
-      s"""WITH hg AS (
-         |  $duckHashedGrams
-         |), sigs AS (
-         |  SELECT doc_id,
-         |    ${(0 until 8).map(duckSig).mkString(",\n    ")}
-         |  FROM hg GROUP BY doc_id
-         |), bands AS (
-         |  ${(0 until 4).map(b =>
-              s"SELECT doc_id, $b AS band, md5(concat(mh${2*b}, ',', mh${2*b+1})) AS bval FROM sigs")
-              .mkString("\n  UNION ALL\n  ")}
-         |)
-         |SELECT doc_a, doc_b, count(*) AS n_bands FROM (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id) p
-         |GROUP BY doc_a, doc_b
+      s"""WITH $duckPairsCtes
+         |SELECT doc_a, doc_b, n_bands FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
-      val sigs = minhashSigs(Tables(spark, dir).documents, 8)
-      // materialize the (doc, band, bucket) relation once: the self-join's
-      // two shuffle-map stages are independent, so without this each side
-      // recomputes the whole md5-shingle→minhash pipeline (the stages run
-      // concurrently — a lazy .persist would race, localCheckpoint won't)
-      val bands = sigs.select(col("doc_id"),
-        explode(array((0 until 4).map(b => struct(
-          lit(b).as("band"),
-          md5(concat(col(s"mh${2 * b}").cast("string"), lit(","),
-            col(s"mh${2 * b + 1}").cast("string"))).as("bval"))): _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bval").as("bval"))
-        .localCheckpoint()
-      val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("bval"))
-      val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("bval"))
-      a.join(b, Seq("band", "bval"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "band").distinct()
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("n_bands"))
+      minhashPairs(Tables(spark, dir).documents)
         .orderBy("doc_a", "doc_b")
     },
 

@@ -127,6 +127,43 @@ object Similarity {
       IvfIndex(nprobe = 3).topK(emb, queryVecId = 0, k = 10)
     },
 
+    // ---- batched ANN join: top-5 neighbours for EACH of 5 query vectors
+    //      in one pass — the production shape (queries arrive in batches,
+    //      not one at a time). One scan of the corpus per batch: the tiny
+    //      query set broadcasts, similarity computes corpus-side in the
+    //      codegen'd expression, and the per-query top-k is a window
+    //      rank over (q_id), shuffling only on the query key.
+    QueryDef.checked(
+      "q_ann_batch_topk",
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5
+         |), sims AS (
+         |  SELECT q_id, b.vec_id,
+         |    round(${VectorFunctions.duckCosineSql("q.q_emb", "b.embedding")}, 6) AS sim
+         |  FROM q, embeddings b WHERE b.vec_id <> q_id
+         |), ranked AS (
+         |  SELECT q_id, vec_id, sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+         |  FROM sims
+         |)
+         |SELECT q_id, vec_id, sim, CAST(rn AS INTEGER) AS rn
+         |FROM ranked WHERE rn <= 5
+         |ORDER BY q_id, rn""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables(spark, dir).embeddings
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(VectorFunctions.cosineSim(col("q_emb"), col("embedding")), 6)
+            .as("sim"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))))
+        .filter(col("rn") <= 5)
+        .orderBy("q_id", "rn")
+    },
+
     // ---- random-hyperplane LSH signatures with md5-DERIVED planes:
     //      plane[j][d] = (md5h64('plane_j_d') % 2001 − 1000) / 1000 —
     //      reproducible in SQL, so the packed 16-bit signature and its

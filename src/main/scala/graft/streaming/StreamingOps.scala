@@ -168,6 +168,45 @@ object StreamingOps {
         .orderBy("event_type")
     },
 
+    // ---- stream-static enrichment join: the event stream joins a small
+    //      static dimension (per-type weights) before aggregating — the
+    //      canonical streaming-ETL shape. The static side broadcasts; no
+    //      stream-side state beyond the aggregation. Weights are exact
+    //      DECIMAL(4,1) so the weighted sum is order-independent and
+    //      hash-matches the oracle's batch join.
+    QueryDef.checked(
+      "q_stream_static_join",
+      """SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2)) * dim.weight) AS DOUBLE)
+        |    AS weighted_value
+        |FROM events e
+        |JOIN (VALUES
+        |    ('click',    CAST(1.0  AS DECIMAL(4,1))),
+        |    ('view',     CAST(0.5  AS DECIMAL(4,1))),
+        |    ('signup',   CAST(5.0  AS DECIMAL(4,1))),
+        |    ('purchase', CAST(10.0 AS DECIMAL(4,1))),
+        |    ('error',    CAST(0.0  AS DECIMAL(4,1)))
+        |  ) AS dim(event_type, weight)
+        |  ON e.event_type = dim.event_type
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin) { (spark, dir) =>
+      val dim = spark.createDataFrame(Seq(
+        ("click", 1.0), ("view", 0.5), ("signup", 5.0),
+        ("purchase", 10.0), ("error", 0.0)))
+        .toDF("event_type", "w")
+        .select(col("event_type"), col("w").cast(DecimalType(4, 1)).as("weight"))
+      val agg = eventsStream(spark, dir)
+        .withWatermark("ts", "2 hours")
+        .join(broadcast(dim), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(12, 2)) * col("weight"))
+            .cast("double").as("weighted_value"))
+      runToMemory(agg, "graft_stream_static_join", "complete")
+        .select("event_type", "n", "weighted_value")
+        .orderBy("event_type")
+    },
+
     // ---- arbitrary stateful processing (mapGroupsWithState): per-user
     //      running aggregate held in custom state — the "arbitrary state"
     //      row of §2B's streaming table. Value is accumulated as exact
