@@ -32,7 +32,14 @@ object Clusters {
 
   /** Connected components of an undirected edge list (a, b).
     * Returns (node, cluster_id) with cluster_id = min node id of the
-    * component. Only nodes appearing in ≥1 edge are labeled. */
+    * component. Only nodes appearing in ≥1 edge are labeled.
+    *
+    * Each round is ONE keyed shuffle: (neighbour labels ∪ own labels)
+    * → groupBy(node).min. Convergence is detected by the exact sum of
+    * all labels — labels are per-node monotonically non-increasing, so
+    * the sum strictly decreases until fixpoint; comparing one scalar per
+    * round replaces a join-based changed-row count (summed as
+    * DECIMAL(38) so the test is overflow-proof at any node count). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
     // symmetrize once so "neighbours of n" is a single equi-join on src
     val sym = edges.select(col("a"), col("b"))
@@ -41,20 +48,22 @@ object Clusters {
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
-    var changed = 1L
+    var prevSum: java.math.BigDecimal = null
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val nbrMin = sym
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = sym
         .join(labels.select(col("node").as("b"), col("label").as("nl")), Seq("b"))
-        .groupBy(col("a").as("node"))
-        .agg(min(col("nl")).as("nbr_min"))
-      val next = labels
-        .join(nbrMin, Seq("node"), "left")
-        .select(col("node"), col("label").as("old"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .select(col("a").as("node"), col("nl").as("label"))
+        .union(labels)
+        .groupBy("node").agg(min(col("label")).as("label"))
         .localCheckpoint()
-      changed = next.filter(col("label") < col("old")).count()
-      labels = next.select("node", "label")
+      val s = next
+        .agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .first().getDecimal(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
       iter += 1
     }
     labels.select(col("node"), col("label").as("cluster_id"))
