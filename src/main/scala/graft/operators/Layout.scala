@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import Parity._
+
+/** Data-layout operators (SURVEY.md "Partitioning & shuffle"): the three
+  * write-side levers that decide whether a 100 TB query shuffles or scans
+  * more than it must, each exercised end-to-end as a write → read-back →
+  * query cycle so the oracle checks the full round trip.
+  *
+  *   - **Bucketing** (`q_bucketed_join`): both fact tables written
+  *     `bucketBy(orderkey)` — the classic big⋈big join (lineitem⋈orders
+  *     at 100 TB: neither side broadcastable) then joins with NO exchange
+  *     on either side; bucket metadata replaces the shuffle. LayoutSpec
+  *     asserts the exchange-free plan.
+  *   - **Partition pruning** (`q_partition_pruning`): events written
+  *     `partitionBy(event_date)`; a date-range query reads only the
+  *     matching directories — at 100 TB this is the difference between
+  *     scanning 3 days and scanning 10 years. LayoutSpec asserts the
+  *     pruned file count.
+  *   - **Skew salting** (`q_skew_salted_agg`): [[Skew.saltedSumCount]]'s
+  *     two-phase aggregation as a first-class query — exact for decimal
+  *     sums, spreads any hot key over 16 reducers.
+  *
+  * Staging discipline: bucketed tables are session-catalog managed tables
+  * under `spark-warehouse/` (bucket metadata lives in the catalog);
+  * partitioned parquet goes to a deterministic tmp dir keyed by the
+  * source path ([[graft.util.Staging]]), mode=overwrite, so repeated runs
+  * at any scale factor are idempotent and never collide.
+  */
+object Layout {
+
+  /** Catalog-safe tag for the scale-factor dir, so each SF gets its own
+    * bucketed tables (the bench warm-up at sf0.001 must not overwrite the
+    * timed sf0.1 tables mid-session). */
+  private def tag(dir: String): String =
+    java.lang.Integer.toHexString(
+      java.nio.file.Paths.get(dir).toAbsolutePath.toString.hashCode)
+
+  /** Reset a managed table for rewrite: drop the catalog entry AND any
+    * orphaned warehouse directory from a previous JVM (the in-memory
+    * catalog forgets tables across sessions but their managed locations
+    * survive on disk, so a bare `mode("overwrite")` would fail with
+    * LOCATION_ALREADY_EXISTS). */
+  private def resetTable(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(s"$warehouse/$name")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- bucketed co-located join: write lineitem+orders bucketed and
+    //      sorted by orderkey (8 buckets), then join bucket-to-bucket.
+    //      The join itself plans with zero Exchange nodes — at 100 TB the
+    //      write cost amortizes over every subsequent orderkey join.
+    QueryDef.checked(
+      "q_bucketed_join",
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_orderkey) AS n_orders,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val suffix = tag(dir)
+      val ordersTbl = s"graft_bkt_orders_$suffix"
+      val lineitemTbl = s"graft_bkt_lineitem_$suffix"
+      resetTable(spark, ordersTbl)
+      resetTable(spark, lineitemTbl)
+      t.orders.select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").format("parquet").saveAsTable(ordersTbl)
+      t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").format("parquet").saveAsTable(lineitemTbl)
+      spark.table(ordersTbl)
+        .join(spark.table(lineitemTbl),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          sum(discPrice(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ---- partition pruning: write events partitioned by day, query a
+    //      3-day range — the scan touches only 3 of ~30 directories
+    //      (plan shows PartitionFilters; LayoutSpec counts pruned files)
+    QueryDef.checked(
+      "q_partition_pruning",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val staged = graft.util.Staging.dir("graft_events_bydate_", dir)
+      Tables(spark, dir).events
+        .withColumn("event_date", to_date(col("ts")))
+        .write.partitionBy("event_date").mode("overwrite").parquet(staged)
+      spark.read.parquet(staged)
+        .filter(col("event_date").between("2024-01-10", "2024-01-12"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(12, 2)))
+            .cast("double").as("total_value"))
+        .orderBy("event_type")
+    },
+
+    // ---- salted two-phase aggregation: exact decimal sums per supplier
+    //      via (key, salt)-partial → key-final; identical result to the
+    //      direct groupBy, immune to a hot supplier key
+    QueryDef.checked(
+      "q_skew_salted_agg",
+      """SELECT l_suppkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_suppkey
+        |ORDER BY l_suppkey""".stripMargin) { (spark, dir) =>
+      Skew.saltedSumCount(
+          Tables(spark, dir).lineitem,
+          col("l_suppkey"), money(col("l_extendedprice")),
+          col("l_orderkey"), salts = 16)
+        .select(col("key").as("l_suppkey"),
+          col("sum_value").cast("double").as("sum_value"), col("n"))
+        .orderBy("l_suppkey")
+    }
+  )
+}

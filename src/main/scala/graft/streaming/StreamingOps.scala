@@ -207,6 +207,44 @@ object StreamingOps {
         .orderBy("event_type")
     },
 
+    // ---- stream-stream interval join: clicks ⋈ purchases by user within
+    //      [click, click+1h]. Both sides watermarked; the event-time bound
+    //      in the join condition is what lets Spark expire join state — at
+    //      100 TB/day, state is bounded by (watermark + interval) of
+    //      traffic, not the stream's history. Inner-join rows emit as soon
+    //      as both sides arrive; oracle is the identical batch interval
+    //      join.
+    QueryDef.checked(
+      "q_stream_stream_join",
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id,
+        |  epoch_ms(p.ts) - epoch_ms(c.ts) AS delay_ms
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
+        |ORDER BY click_id, purchase_id""".stripMargin) { (spark, dir) =>
+      val clicks = eventsStream(spark, dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+      val purchases = eventsStream(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "2 hours")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      runToMemory(joined, "graft_stream_stream_join", "append")
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          (unix_millis(col("purchase_ts")) - unix_millis(col("click_ts")))
+            .as("delay_ms"))
+        .orderBy("click_id", "purchase_id")
+    },
+
     // ---- arbitrary stateful processing (mapGroupsWithState): per-user
     //      running aggregate held in custom state — the "arbitrary state"
     //      row of §2B's streaming table. Value is accumulated as exact
