@@ -23,7 +23,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // dev loop: SPARK_GRAFT_ONLY=q_a,q_b restricts the run (driver unsets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
 
     // warm-up at the smallest SF (JIT + codegen caches), untimed
     val warmDir = "/root/testdata/sf0.001"

@@ -50,28 +50,32 @@ object TpchFinal {
         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
         |LIMIT 100""".stripMargin) { (spark, dir) =>
       val t = Tables(spark, dir)
+      // The part predicate and the correlated min are both per-partkey:
+      // filtering whole partkey groups BEFORE the supply aggregation
+      // cannot change any surviving group's min, so the broadcast
+      // semi-join prunes the fact scan down to qualifying parts first —
+      // the big groupBy then runs on a fraction of lineitem.
+      val partsF = broadcast(t.part
+        .filter(col("p_size").between(10, 25) && col("p_type") === "SMALL")
+        .select("p_partkey", "p_name"))
       val supply = t.lineitem
+        .join(partsF.select("p_partkey"),
+          col("l_partkey") === col("p_partkey"), "left_semi")
         .groupBy(col("l_partkey").as("ps_partkey"),
           col("l_suppkey").as("ps_suppkey"))
         .agg(min(money(col("l_extendedprice"))).as("ps_cost"))
-      // regional feeds both the per-part min and the argmax join — its
-      // upstream is a full fact-table aggregation, so materialize once
-      val regional = supply
+      // per-part argmax as ONE window pass over the aggregation's
+      // existing partkey clustering — no self-join, no re-materialization
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("ps_partkey"))
+      supply
         .join(broadcast(t.supplier), col("s_suppkey") === col("ps_suppkey"))
         .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
-        .select("ps_partkey", "ps_suppkey", "ps_cost", "s_acctbal", "s_name", "n_name")
-        .localCheckpoint()
-      val minCost = regional
-        .groupBy(col("ps_partkey").as("mk"))
-        .agg(min(col("ps_cost")).as("min_cost"))
-      regional
-        .join(minCost, col("ps_partkey") === col("mk") &&
-          col("ps_cost") === col("min_cost"))
-        .join(broadcast(t.part.filter(
-          col("p_size").between(10, 25) && col("p_type") === "SMALL")),
-          col("p_partkey") === col("ps_partkey"))
+        .withColumn("min_cost", min(col("ps_cost")).over(w))
+        .filter(col("ps_cost") === col("min_cost"))
+        .join(partsF, col("p_partkey") === col("ps_partkey"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
           col("p_partkey"), col("p_name"),
           col("ps_cost").cast("double").as("cost"))

@@ -65,34 +65,37 @@ final case class VectorLSH(bits: Int, bands: Int, dim: Int, seed: Long = 42L) {
       .select("vec_a", "vec_b").distinct()
   }
 
-  /** Exact-cosine verification of a candidate set. */
-  def verifyCandidates(emb: DataFrame, cand: DataFrame,
-      threshold: Double): DataFrame = {
+  /** Candidates scored with exact cosine (no threshold filter). */
+  def scoredCandidates(emb: DataFrame, cand: DataFrame): DataFrame = {
     val va = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val vb = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
     cand
       .join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         VectorFunctions.cosineSim(col("ea"), col("eb")).as("cosine"))
-      .filter(col("cosine") >= threshold)
   }
+
+  /** Exact-cosine verification of a candidate set. */
+  def verifyCandidates(emb: DataFrame, cand: DataFrame,
+      threshold: Double): DataFrame =
+    scoredCandidates(emb, cand).filter(col("cosine") >= threshold)
 
   /** Candidates with exact cosine ≥ threshold. */
   def verifiedPairs(emb: DataFrame, threshold: Double): DataFrame =
     verifyCandidates(emb, candidatePairs(emb), threshold)
 
-  /** One-row summary (always non-empty). */
+  /** One-row summary (always non-empty). Candidate and verified counts
+    * come from ONE aggregation over the scored candidate set (the
+    * threshold is a conditional count, not a second pass), so the
+    * pipeline runs the candidate join exactly once with no persist. */
   def report(emb: DataFrame, threshold: Double): DataFrame = {
-    val cand = candidatePairs(emb)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    try {
-      val nVec = emb.select(count(lit(1)).as("n_vectors"))
-      val nCand = cand.select(count(lit(1)).as("n_candidates"))
-      val nVer = verifyCandidates(emb, cand, threshold)
-        .select(count(lit(1)).as("n_verified"))
-      nVec.crossJoin(nCand).crossJoin(nVer)
-        .withColumn("bits", lit(bits)).withColumn("bands", lit(bands))
-        .localCheckpoint(eager = true)
-    } finally cand.unpersist()
+    val stats = scoredCandidates(emb, candidatePairs(emb))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("cosine") >= threshold, 1L).otherwise(0L))
+          .as("n_verified"))
+    emb.select(count(lit(1)).as("n_vectors"))
+      .crossJoin(stats)
+      .withColumn("n_verified", coalesce(col("n_verified"), lit(0L)))
+      .withColumn("bits", lit(bits)).withColumn("bands", lit(bands))
   }
 }
