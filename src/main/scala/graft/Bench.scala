@@ -23,9 +23,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // dev loop: SPARK_GRAFT_ONLY=q_a,q_b restricts the run (driver unsets it)
+    // dev loop: SPARK_GRAFT_ONLY=q_a,q_b restricts the run (driver unsets it).
+    // Unknown names fail fast — a misspelling must not silently yield an
+    // empty/partial benchmark indistinguishable from a full run.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY contains unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
@@ -48,7 +55,10 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val restricted = only
+      .map(n => s""","restricted":${n.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}""")
+      .getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$restricted,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -66,6 +66,11 @@ object Clusters {
       labels = next
       iter += 1
     }
+    // A silent non-fixpoint would emit partially-propagated (wrong)
+    // cluster ids; a component with diameter > maxIter must fail loudly.
+    require(converged,
+      s"connected components did not converge in $maxIter rounds; " +
+        "raise maxIter (or switch to large-star/small-star for long-chain graphs)")
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 

@@ -34,10 +34,10 @@ object Layout {
 
   /** Catalog-safe tag for the scale-factor dir, so each SF gets its own
     * bucketed tables (the bench warm-up at sf0.001 must not overwrite the
-    * timed sf0.1 tables mid-session). */
-  private def tag(dir: String): String =
-    java.lang.Integer.toHexString(
-      java.nio.file.Paths.get(dir).toAbsolutePath.toString.hashCode)
+    * timed sf0.1 tables mid-session). md5-based — a 32-bit hashCode
+    * collision between two dirs would silently clobber the other run's
+    * tables mid-bench. */
+  private def tag(dir: String): String = graft.util.Staging.pathTag(dir)
 
   /** Reset a managed table for rewrite: drop the catalog entry AND any
     * orphaned warehouse directory from a previous JVM (the in-memory

@@ -36,16 +36,18 @@ class ClustersSpec extends SparkSpec {
     // doc 0 ~ doc 1000 (exact dup) and doc 0 ~ doc 1001 (near dup) must
     // put 1000 and 1001 in the same cluster even if LSH never paired
     // them with each other directly — that's the closure's whole point
-    val base = Tables(spark, sf).documents.limit(40).select("doc_id", "text")
+    val docs = Tables(spark, sf).documents
+    val base = docs.filter(col("doc_id") < 40).select("doc_id", "text")
+    val maxId = docs.agg(max("doc_id")).first().getLong(0)
     val texts = base.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val nearDup = texts(0L).split(" ").toSeq.updated(0, "zzz").mkString(" ")
     val planted = base.unionByName(
-      Seq((1000L, texts(0L)), (1001L, nearDup)).toDF("doc_id", "text"))
+      Seq((maxId + 1, texts(0L)), (maxId + 2, nearDup)).toDF("doc_id", "text"))
     val pairs = graft.operators.Dedup.minhashPairs(planted)
     val comp = Clusters.connectedComponents(
       pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(comp.get(1000L).contains(0L) && comp.get(1001L).contains(0L),
+    assert(comp.get(maxId + 1).contains(0L) && comp.get(maxId + 2).contains(0L),
       s"planted dups cluster under doc 0: $comp")
   }
 }

@@ -7,18 +7,22 @@ class DedupSpec extends SparkSpec {
 
   import spark.implicits._
 
-  /** Corpus with two planted near-duplicate pairs and one exact dup. */
-  private lazy val planted = {
-    val base = Tables(spark, sf).documents.limit(40)
-      .select("doc_id", "text")
+  /** Corpus with two planted near-duplicate pairs and one exact dup.
+    * Row selection is deterministic (keyed filter, not unordered limit)
+    * and planted ids sit strictly above max(doc_id) of the full table. */
+  private lazy val (planted, dupA, dupB, dupC) = {
+    val docs = Tables(spark, sf).documents
+    val base = docs.filter(col("doc_id") < 40).select("doc_id", "text")
+    val maxId = docs.agg(max("doc_id")).first().getLong(0)
     val texts = base.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val nearDup = texts(0L).split(" ").toSeq.updated(0, "zzz").mkString(" ")
+    val (a, b, c) = (maxId + 1, maxId + 2, maxId + 3)
     val extra = Seq(
-      (1000L, texts(0L)),          // exact dup of doc 0
-      (1001L, nearDup),            // near dup of doc 0
-      (1002L, texts(1L) + " tail extra word") // near dup of doc 1
+      (a, texts(0L)),          // exact dup of doc 0
+      (b, nearDup),            // near dup of doc 0
+      (c, texts(1L) + " tail extra word") // near dup of doc 1
     ).toDF("doc_id", "text")
-    base.unionByName(extra)
+    (base.unionByName(extra), a, b, c)
   }
 
   test("exact dedup collapses identical texts") {
@@ -31,10 +35,10 @@ class DedupSpec extends SparkSpec {
   test("minhash signatures are deterministic and equal for identical docs") {
     val dd = MinHashDedup(k = 16, bands = 4)
     val sigs = dd.signatures(planted)
-      .filter(col("doc_id").isin(0L, 1000L))
+      .filter(col("doc_id").isin(0L, dupA))
       .select("doc_id", "sig").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    assert(sigs(0L) == sigs(1000L))
+    assert(sigs(0L) == sigs(dupA))
     assert(sigs(0L).length == 16)
   }
 
@@ -43,8 +47,8 @@ class DedupSpec extends SparkSpec {
     val pairs = dd.verifiedPairs(planted, threshold = 0.5)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     val flat = pairs.flatMap(p => Seq(p._1, p._2))
-    assert(flat.contains(1000L), s"exact dup not found in $pairs")
-    assert(flat.contains(1001L), s"near dup not found in $pairs")
+    assert(flat.contains(dupA), s"exact dup not found in $pairs")
+    assert(flat.contains(dupB), s"near dup not found in $pairs")
   }
 
   test("dedup is idempotent and removes the exact dup") {
@@ -53,8 +57,8 @@ class DedupSpec extends SparkSpec {
     val twice = dd.dedup(once, 0.9)
     assert(once.count() == twice.count())
     val kept = once.select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(kept.contains(0L) && !kept.contains(1000L),
-      "keep-smallest-id: doc 0 stays, its exact dup 1000 goes")
+    assert(kept.contains(0L) && !kept.contains(dupA),
+      "keep-smallest-id: doc 0 stays, its exact dup goes")
   }
 
   test("oracle-checked minhash query emits one row per doc") {
