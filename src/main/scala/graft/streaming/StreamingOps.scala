@@ -62,15 +62,34 @@ object StreamingOps {
   }
 
   /** Run a streaming aggregation to completion into a memory sink and
-    * return the final table. */
+    * return the final table.
+    *
+    * No-data micro-batches are disabled: every query here emits its
+    * results in the data batches themselves (complete/update-mode aggs
+    * re-emit per batch; inner interval-join rows emit when matched), so
+    * the extra empty batch that exists only to advance the watermark
+    * would buy nothing and costs a full state-store commit cycle across
+    * all partitions. Queries relying on watermark-driven APPEND emission
+    * of aggregates must not use this helper without re-enabling it. */
   private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .start()
-    try { q.processAllAvailable() } finally { q.stop() }
-    df.sparkSession.table(name)
+    val spark = df.sparkSession
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+    spark.table(name)
   }
 
   val defs: Seq[QueryDef] = Seq(
