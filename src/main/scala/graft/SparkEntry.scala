@@ -19,7 +19,8 @@ object SparkEntry {
       graft.streaming.StreamingOps.defs ++
       graft.multimodal.Multimodal.defs ++
       PipelineQueries.defs ++ Extras.defs ++ TpchMore.defs ++ Stats.defs ++
-      TpchFinal.defs ++ Clusters.defs ++ Sampling.defs ++ Layout.defs
+      TpchFinal.defs ++ Clusters.defs ++ Sampling.defs ++ Layout.defs ++
+      Training.defs ++ SqlSurface.defs
 
   require(allDefs.map(_.name).distinct.size == allDefs.size,
     "duplicate query names across operator families")

@@ -36,7 +36,7 @@ object Dedup {
       |     concat_ws(' ', x, toks[i + 1], toks[i + 2]), NULL)),
       |  g -> g IS NOT NULL)""".stripMargin
 
-  private val duckGrams =
+  private[operators] val duckGrams =
     """list_filter(list_transform(string_split(text, ' '), (x, i) ->
       |  CASE WHEN i + 2 <= len(string_split(text, ' '))
       |    THEN concat(string_split(text, ' ')[i], ' ',
@@ -56,7 +56,7 @@ object Dedup {
   private val B = Seq(1471L, 3559L, 7907L, 15091L, 31627L, 63179L, 126271L, 252731L)
 
   /** Distinct (doc_id, gram) pairs — the shingle relation. */
-  private def gramRelation(docs: DataFrame): DataFrame =
+  private[operators] def gramRelation(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(expr(gramsExpr)).as("gram"))
       .distinct()

@@ -1,0 +1,282 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SQL-surface completeness wave (SURVEY.md §2B core relational /
+  * scalar families): the remaining ANSI-SQL shapes a user switching from
+  * a warehouse engine expects — unpivot/melt, correlated LATERAL,
+  * ntile/cume_dist, correlation/regression aggregates, mode/median, a
+  * generated date spine, bitwise aggregates, URL parsing, and
+  * string-to-map construction.
+  *
+  * All are single-pass built-in-operator plans: no UDFs, everything
+  * whole-stage-codegen eligible; the date spine and mode/median are one
+  * extra broadcast-sized join over the base aggregation.
+  */
+object SqlSurface {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- unpivot / melt: wide per-flag aggregate rotated into
+    //      (flag, measure, value) — Spark's Dataset.unpivot (the
+    //      UNPIVOT/MELT SQL surface), oracled via UNION ALL
+    QueryDef.checked(
+      "q_unpivot",
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+        |    CAST(count(*) AS DOUBLE) AS n_items,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_price
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, measure, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+        |  UNION ALL
+        |  SELECT l_returnflag, 'n_items', n_items FROM wide
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_price', sum_price FROM wide)
+        |ORDER BY l_returnflag, measure""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val wide = Tables(spark, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          sum(col("l_quantity")).cast("double").as("sum_qty"),
+          count(lit(1)).cast("double").as("n_items"),
+          round(sum(col("l_extendedprice").cast(DecimalType(12, 2))), 2)
+            .cast("double").as("sum_price"))
+      wide.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("n_items"), col("sum_price")),
+          "measure", "value")
+        .orderBy("l_returnflag", "measure")
+    },
+
+    // ---- correlated LATERAL subquery: top-2 suppliers per nation by
+    //      balance — the SQL front end's lateral join surface (Catalyst
+    //      decorrelates to a ranked window; no nested-loop per row)
+    QueryDef.checked(
+      "q_lateral_topn",
+      """SELECT n.n_name, s.s_name, s.s_acctbal
+        |FROM nation n,
+        |  LATERAL (SELECT s_name, s_acctbal FROM supplier
+        |           WHERE s_nationkey = n.n_nationkey
+        |           ORDER BY s_acctbal DESC, s_name LIMIT 2) s
+        |ORDER BY n.n_name, s.s_acctbal DESC, s.s_name""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.nation.createOrReplaceTempView("graft_nation")
+      t.supplier.createOrReplaceTempView("graft_supplier")
+      spark.sql(
+        """SELECT n.n_name, s.s_name, s.s_acctbal
+          |FROM graft_nation n,
+          |  LATERAL (SELECT s_name, s_acctbal FROM graft_supplier
+          |           WHERE s_nationkey = n.n_nationkey
+          |           ORDER BY s_acctbal DESC, s_name LIMIT 2) s
+          |ORDER BY n.n_name, s.s_acctbal DESC, s.s_name""".stripMargin)
+    },
+
+    // ---- ntile + cume_dist: quartile assignment and cumulative rank
+    //      per market segment (unique order key → exact k/n rationals)
+    QueryDef.checked(
+      "q_window_ntile",
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  ntile(4) OVER w AS quartile,
+        |  cume_dist() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_acctbal, c_custkey""".stripMargin) { (spark, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+      Tables(spark, dir).customer
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+    },
+
+    // ---- correlation / regression aggregates: corr, covariance, and
+    //      least-squares slope/intercept of price on quantity per flag.
+    //      Both engines accumulate co-moments with partition merges, so
+    //      results agree to ~1e-10 relative — rounded at the edge per the
+    //      house float discipline.
+    QueryDef.checked(
+      "q_corr_regr",
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_s,
+        |  round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_p,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+        |  regr_count(l_extendedprice, l_quantity) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_s"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2).as("covar_p"),
+          round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+          round(expr("regr_intercept(l_extendedprice, l_quantity)"), 2).as("intercept"),
+          expr("regr_count(l_extendedprice, l_quantity)").as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- mode + median: interpolated median built in; mode via the
+    //      deterministic two-stage formulation (count desc, value asc)
+    //      because both engines' native mode() break ties arbitrarily
+    QueryDef.checked(
+      "q_mode_median",
+      """WITH counts AS (
+        |  SELECT l_returnflag, l_quantity AS q, count(*) AS c
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity
+        |), ranked AS (
+        |  SELECT l_returnflag, q,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY c DESC, q) AS rn
+        |  FROM counts
+        |), med AS (
+        |  SELECT l_returnflag, median(l_quantity) AS median_qty, count(*) AS n
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT m.l_returnflag, r.q AS mode_qty, m.median_qty, m.n
+        |FROM med m JOIN ranked r ON r.l_returnflag = m.l_returnflag AND r.rn = 1
+        |ORDER BY m.l_returnflag""".stripMargin) { (spark, dir) =>
+      val li = Tables(spark, dir).lineitem
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag").orderBy(col("c").desc, col("q"))
+      val modes = li.groupBy(col("l_returnflag"), col("l_quantity").as("q"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("q").as("mode_qty"))
+      val med = li.groupBy("l_returnflag")
+        .agg(expr("median(l_quantity)").as("median_qty"),
+          count(lit(1)).as("n"))
+      med.join(modes, Seq("l_returnflag"))
+        .select("l_returnflag", "mode_qty", "median_qty", "n")
+        .orderBy("l_returnflag")
+    },
+
+    // ---- generated date spine: sequence()/generate_series calendar over
+    //      the event range, left-joined to daily activity with zero-fill —
+    //      the gaps-included time series every dashboard query needs
+    QueryDef.checked(
+      "q_date_spine",
+      """WITH bounds AS (
+        |  SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events
+        |), spine AS (
+        |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM bounds
+        |), daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+        |    count(DISTINCT user_id) AS n_users
+        |  FROM events GROUP BY CAST(ts AS DATE)
+        |)
+        |SELECT s.day, coalesce(d.n, 0) AS n, coalesce(d.n_users, 0) AS n_users
+        |FROM spine s LEFT JOIN daily d ON d.day = s.day
+        |ORDER BY s.day""".stripMargin) { (spark, dir) =>
+      val events = Tables(spark, dir).events
+      val spine = events
+        .agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val daily = events
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("n_users"), lit(0L)).as("n_users"))
+        .orderBy("day")
+    },
+
+    // ---- bitwise aggregates: bit_and / bit_or / bit_xor over event ids
+    //      per user bucket (pure integer — bit-identical by construction)
+    QueryDef.checked(
+      "q_bit_ops",
+      """SELECT user_id % 50 AS grp,
+        |  bit_and(event_id) AS band,
+        |  bit_or(event_id) AS bor,
+        |  bit_xor(event_id) AS bxor,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY user_id % 50
+        |ORDER BY grp""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).events
+        .groupBy((col("user_id") % 50).as("grp"))
+        .agg(expr("bit_and(event_id)").as("band"),
+          expr("bit_or(event_id)").as("bor"),
+          expr("bit_xor(event_id)").as("bxor"),
+          count(lit(1)).as("n"))
+        .orderBy("grp")
+    },
+
+    // ---- URL parsing: Spark's parse_url against a ground-truth
+    //      reconstruction (DuckDB has no parse_url; the oracle rebuilds
+    //      host/path/query-param from the same source fields)
+    QueryDef.checked(
+      "q_parse_url",
+      """SELECT event_id,
+        |  'ex.com' AS host,
+        |  concat('/', event_type, '/p') AS path,
+        |  CAST(props->>'$.k' AS VARCHAR) AS k_param
+        |FROM events
+        |WHERE event_id < 500
+        |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).events
+        .filter(col("event_id") < 500)
+        .select(col("event_id"),
+          concat(lit("https://ex.com/"), col("event_type"), lit("/p?k="),
+            get_json_object(col("props"), "$.k"), lit("&u="),
+            col("user_id").cast("string")).as("url"))
+        .select(col("event_id"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("k")).as("k_param"))
+        .orderBy("event_id")
+    },
+
+    // ---- str_to_map: delimited key=value text parsed into a map column,
+    //      values extracted via element_at (oracle rebuilds from source)
+    QueryDef.checked(
+      "q_str_to_map",
+      """SELECT event_id,
+        |  event_type AS mtype,
+        |  CAST(user_id AS VARCHAR) AS muid
+        |FROM events
+        |WHERE event_id < 500
+        |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).events
+        .filter(col("event_id") < 500)
+        .select(col("event_id"),
+          expr("str_to_map(concat('type=', event_type, ';uid=', CAST(user_id AS STRING)), ';', '=')")
+            .as("m"))
+        .select(col("event_id"),
+          element_at(col("m"), "type").as("mtype"),
+          element_at(col("m"), "uid").as("muid"))
+        .orderBy("event_id")
+    },
+
+    // ---- ORC round trip: the second columnar format of §2B's
+    //      sources/sinks — write ORC, read it back, aggregate; the oracle
+    //      aggregates the original parquet (round trip must be identity)
+    QueryDef.checked(
+      "q_orc_roundtrip",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
+      val staged = graft.util.Staging.dir("graft_orc_lineitem_", dir)
+      Tables(spark, dir).lineitem
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .write.mode("overwrite").orc(staged)
+      spark.read.orc(staged)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }
+  )
+}

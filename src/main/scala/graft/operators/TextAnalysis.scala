@@ -16,7 +16,7 @@ object TextAnalysis {
 
   /** Stopword lexicon used by the quality score (tokens present in the
     * corpus vocabulary — FIXTURES.md word-soup). */
-  private val stopwords = Seq("the", "a", "of", "and")
+  private[operators] val stopwords = Seq("the", "a", "of", "and")
   private val stopSqlList = stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
 
   val defs: Seq[QueryDef] = Seq(

@@ -1,0 +1,326 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data curation operators (north star, SURVEY.md §2B): the
+  * corpus-hygiene passes a large-scale pretraining pipeline runs between
+  * raw crawl and tokenizer — benchmark-contamination checks, repetition
+  * filters, PII redaction, LM-based quality scoring, chunk-level
+  * cross-doc dedup, shard manifests, and the composite keep/drop filter.
+  *
+  * Scale stance (100 TB):
+  *   - [[q_contamination]] joins the corpus gram relation against a
+  *     BENCHMARK gram set that is tiny by construction (eval suites are
+  *     MBs, not TBs) — broadcast join, so the pass stays one linear scan
+  *     of the corpus with no shuffle of the big side.
+  *   - [[q_repetition_ratio]] is entirely per-row array arithmetic —
+  *     zero shuffles, perfectly partition-parallel, whole-stage codegen.
+  *   - [[q_chunk_dedup]] shuffles on the chunk hash (cardinality grows
+  *     with data — no hot keys) exactly like exact-dedup; reassembly is
+  *     a second keyed shuffle on doc_id.
+  *   - [[q_unigram_logprob]] builds the vocabulary profile with one
+  *     groupBy (vocab is sublinear in corpus size) and broadcasts it
+  *     back for scoring.
+  *
+  * Numeric discipline follows the house rules: ratios are exact integer
+  * divisions in double; thresholds compare integers (`n*4 >= total`, not
+  * `rate >= 0.25`); the only transcendental (ln) rounds at the edge.
+  */
+object Training {
+
+  private val stopSqlList =
+    TextAnalysis.stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+  private val stopArr =
+    TextAnalysis.stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- benchmark contamination: fraction of each doc's distinct
+    //      3-gram shingles that appear in a held-out "benchmark" set
+    //      (docs with doc_id % 97 == 0 stand in for the eval suite).
+    //      Contaminated docs are what decontamination drops before
+    //      training.
+    QueryDef.checked(
+      "q_contamination",
+      s"""WITH grams AS (
+         |  SELECT DISTINCT doc_id, unnest(${Dedup.duckGrams}) AS gram FROM documents
+         |), bench AS (
+         |  SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+         |)
+         |SELECT g.doc_id, count(*) AS n_grams,
+         |  count(b.gram) AS n_contaminated,
+         |  CAST(count(b.gram) AS DOUBLE) / count(*) AS contamination_rate,
+         |  count(b.gram) * 4 >= count(*) AS is_contaminated
+         |FROM grams g LEFT JOIN bench b ON g.gram = b.gram
+         |WHERE g.doc_id % 97 <> 0
+         |GROUP BY g.doc_id
+         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      // the gram relation feeds both the benchmark set and the probe side
+      val grams = Dedup.gramRelation(Tables(spark, dir).documents)
+        .localCheckpoint()
+      val bench = grams.filter(col("doc_id") % 97 === 0)
+        .select("gram").distinct().withColumn("hit", lit(1))
+      grams.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), Seq("gram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contaminated"))
+        .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+          (col("n_contaminated").cast("double") / col("n_grams"))
+            .as("contamination_rate"),
+          (col("n_contaminated") * 4 >= col("n_grams")).as("is_contaminated"))
+        .orderBy("doc_id")
+    },
+
+    // ---- repetition filter (Gopher-style): duplicate token and
+    //      duplicate 3-gram fractions, computed per row with no shuffle
+    QueryDef.checked(
+      "q_repetition_ratio",
+      s"""WITH feats AS (
+         |  SELECT doc_id,
+         |    len(string_split(text, ' ')) AS n_tokens,
+         |    len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+         |    len(${Dedup.duckGrams}) AS n_grams,
+         |    len(list_distinct(${Dedup.duckGrams})) AS n_distinct_grams
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_tokens, n_distinct_tokens, n_grams, n_distinct_grams,
+         |  CAST(n_tokens - n_distinct_tokens AS DOUBLE) / n_tokens AS dup_token_ratio,
+         |  CASE WHEN n_grams > 0
+         |    THEN CAST(n_grams - n_distinct_grams AS DOUBLE) / n_grams
+         |    ELSE 0.0 END AS dup_gram_ratio,
+         |  (n_grams - n_distinct_grams) * 5 > n_grams AS is_repetitive
+         |FROM feats
+         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+          size(expr(Dedup.gramsExpr)).as("n_grams"),
+          size(array_distinct(expr(Dedup.gramsExpr))).as("n_distinct_grams"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+          col("n_grams"), col("n_distinct_grams"),
+          ((col("n_tokens") - col("n_distinct_tokens")).cast("double") /
+            col("n_tokens")).as("dup_token_ratio"),
+          when(col("n_grams") > 0,
+            (col("n_grams") - col("n_distinct_grams")).cast("double") /
+              col("n_grams")).otherwise(0.0).as("dup_gram_ratio"),
+          ((col("n_grams") - col("n_distinct_grams")) * 5 > col("n_grams"))
+            .as("is_repetitive"))
+        .orderBy("doc_id")
+    },
+
+    // ---- PII redaction: find-and-mask emails and phone numbers in a
+    //      contact line derived from events (the corpus proper is
+    //      synthetic word soup with no PII, so the line is constructed
+    //      deterministically from event fields — the regex machinery and
+    //      global-replace semantics are what's under test)
+    QueryDef.checked(
+      "q_pii_redact",
+      """WITH lines AS (
+        |  SELECT event_id,
+        |    concat('user', CAST(user_id AS VARCHAR),
+        |           '@example.com called +1-555-',
+        |           lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0'),
+        |           ' re ', event_type) AS line
+        |  FROM events
+        |)
+        |SELECT event_id,
+        |  len(regexp_extract_all(line, '[a-z0-9]+@[a-z0-9.]+[a-z]')) AS n_emails,
+        |  len(regexp_extract_all(line, '\+1-555-[0-9]{4}')) AS n_phones,
+        |  regexp_replace(
+        |    regexp_replace(line, '[a-z0-9]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+        |    '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM lines
+        |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+      val emailRe = "[a-z0-9]+@[a-z0-9.]+[a-z]"
+      val phoneRe = "\\+1-555-[0-9]{4}"
+      Tables(spark, dir).events
+        .select(col("event_id"),
+          concat(lit("user"), col("user_id").cast("string"),
+            lit("@example.com called +1-555-"),
+            lpad((col("event_id") % 10000).cast("string"), 4, "0"),
+            lit(" re "), col("event_type")).as("line"))
+        .select(col("event_id"),
+          size(expr(s"regexp_extract_all(line, '$emailRe', 0)")).as("n_emails"),
+          size(expr(s"regexp_extract_all(line, '$phoneRe', 0)")).as("n_phones"),
+          regexp_replace(
+            regexp_replace(col("line"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>").as("redacted"))
+        .orderBy("event_id")
+    },
+
+    // ---- unigram LM quality score: average token surprisal under the
+    //      corpus's own unigram distribution (low avg_nll ≈ generic text,
+    //      high ≈ rare-token-heavy). Vocabulary profile is one groupBy;
+    //      scoring is a broadcast join — the corpus is scanned twice and
+    //      shuffled only by (tok) and (doc_id).
+    QueryDef.checked(
+      "q_unigram_logprob",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), freq AS (
+        |  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq
+        |), scored AS (
+        |  SELECT doc_id, -ln(c / t) AS nll
+        |  FROM toks JOIN freq USING (tok) CROSS JOIN tot
+        |)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(nll), 6) AS avg_nll,
+        |  round(min(nll), 6) AS min_nll,
+        |  round(max(nll), 6) AS max_nll
+        |FROM scored GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val toks = Tables(spark, dir).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val tot = freq.agg(sum(col("c")).cast("double").as("t"))
+      toks.join(broadcast(freq), Seq("tok"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), -log(col("c") / col("t")).as("nll"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(col("nll")), 6).as("avg_nll"),
+          round(min(col("nll")), 6).as("min_nll"),
+          round(max(col("nll")), 6).as("max_nll"))
+        .orderBy("doc_id")
+    },
+
+    // ---- chunk-level cross-doc dedup: split each doc into 10-token
+    //      chunks, keep only each chunk's FIRST occurrence corpus-wide
+    //      (order by doc_id, position), and fingerprint what remains of
+    //      each doc — the line/paragraph-dedup pass crawl pipelines run
+    //      before whole-doc dedup
+    QueryDef.checked(
+      "q_chunk_dedup",
+      """WITH sp AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), ch AS (
+        |  SELECT doc_id,
+        |    list_transform(range(CAST(ceil(len(toks) / 10.0) AS INT)),
+        |      i -> array_to_string(toks[i*10+1 : i*10+10], ' ')) AS chunks
+        |  FROM sp
+        |), ex AS (
+        |  SELECT doc_id, unnest(chunks) AS chunk,
+        |    unnest(range(len(chunks))) AS pos
+        |  FROM ch
+        |), marked AS (
+        |  SELECT doc_id, pos, chunk,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+        |  FROM ex
+        |), tot AS (
+        |  SELECT doc_id, count(*) AS n_chunks FROM ex GROUP BY doc_id
+        |), kept AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    md5(string_agg(chunk, ' ' ORDER BY pos)) AS kept_sig
+        |  FROM marked WHERE rn = 1 GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, t.n_chunks,
+        |  coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept, k.kept_sig
+        |FROM tot t LEFT JOIN kept k ON k.doc_id = t.doc_id
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val chunked = Tables(spark, dir).documents
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), expr(
+          """transform(sequence(0, cast(ceil(size(toks) / 10.0) as int) - 1),
+            |  i -> concat_ws(' ', slice(toks, i*10+1, 10)))""".stripMargin)
+          .as("chunks"))
+        .select(col("doc_id"),
+          posexplode(col("chunks")).as(Seq("pos", "chunk")))
+        .localCheckpoint() // feeds both the totals and the keep-first rank
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("chunk").orderBy("doc_id", "pos")
+      val tot = chunked.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      val kept = chunked
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          md5(expr(
+            "concat_ws(' ', transform(sort_array(collect_list(struct(pos, chunk))), s -> s.chunk))"))
+            .as("kept_sig"))
+      tot.join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("kept_sig"))
+        .orderBy("doc_id")
+    },
+
+    // ---- shard manifest: deterministic md5-hash sharding (the stable
+    //      alternative to round-robin for reproducible training runs) with
+    //      per-shard size accounting — balance comes from the hash, not a
+    //      central assignment loop
+    QueryDef.checked(
+      "q_shard_manifest",
+      """SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM (
+        |  SELECT doc_id, n_chars, text,
+        |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 16 AS shard
+        |  FROM documents)
+        |GROUP BY shard
+        |ORDER BY shard""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .select(col("doc_id"), col("n_chars"),
+          size(split(col("text"), " ")).as("n_toks"),
+          (Dedup.md5h64(col("doc_id").cast("string")) % 16).as("shard"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          sum(col("n_toks")).cast("long").as("total_tokens"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy("shard")
+    },
+
+    // ---- composite quality filter: first-failing-rule attribution per
+    //      doc, aggregated per (lang, reason) — the keep/drop funnel
+    //      report a curation run ends with. All thresholds compare
+    //      integers so the verdicts are bit-stable.
+    QueryDef.checked(
+      "q_doc_filter_pipeline",
+      s"""WITH feats AS (
+         |  SELECT doc_id, lang,
+         |    len(string_split(text, ' ')) AS n_tokens,
+         |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         |    len(list_filter(string_split(text, ' '), t -> t IN $stopSqlList)) AS n_stop,
+         |    len(${Dedup.duckGrams}) AS n_grams,
+         |    len(list_distinct(${Dedup.duckGrams})) AS n_distinct_grams
+         |  FROM documents
+         |), verdicts AS (
+         |  SELECT lang,
+         |    CASE WHEN n_tokens < 20 THEN 'too_short'
+         |         WHEN n_distinct * 5 < n_tokens THEN 'low_diversity'
+         |         WHEN n_stop * 2 > n_tokens THEN 'stopword_heavy'
+         |         WHEN (n_grams - n_distinct_grams) * 5 > n_grams THEN 'repetitive'
+         |         ELSE 'keep' END AS reason
+         |  FROM feats
+         |)
+         |SELECT lang, reason, count(*) AS n_docs
+         |FROM verdicts
+         |GROUP BY lang, reason
+         |ORDER BY lang, reason""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+        .select(col("lang"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          size(expr(s"filter(toks, t -> array_contains($stopArr, t))")).as("n_stop"),
+          size(expr(Dedup.gramsExpr)).as("n_grams"),
+          size(array_distinct(expr(Dedup.gramsExpr))).as("n_distinct_grams"))
+        .select(col("lang"),
+          when(col("n_tokens") < 20, "too_short")
+            .when(col("n_distinct") * 5 < col("n_tokens"), "low_diversity")
+            .when(col("n_stop") * 2 > col("n_tokens"), "stopword_heavy")
+            .when((col("n_grams") - col("n_distinct_grams")) * 5 > col("n_grams"),
+              "repetitive")
+            .otherwise("keep").as("reason"))
+        .groupBy("lang", "reason")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "reason")
+    }
+  )
+}
