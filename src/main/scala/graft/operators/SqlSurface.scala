@@ -219,7 +219,7 @@ object SqlSurface {
       """SELECT event_id,
         |  'ex.com' AS host,
         |  concat('/', event_type, '/p') AS path,
-        |  CAST(props->>'$.k' AS VARCHAR) AS k_param
+        |  coalesce(CAST(props->>'$.k' AS VARCHAR), '') AS k_param
         |FROM events
         |WHERE event_id < 500
         |ORDER BY event_id""".stripMargin) { (spark, dir) =>
@@ -227,7 +227,7 @@ object SqlSurface {
         .filter(col("event_id") < 500)
         .select(col("event_id"),
           concat(lit("https://ex.com/"), col("event_type"), lit("/p?k="),
-            get_json_object(col("props"), "$.k"), lit("&u="),
+            coalesce(get_json_object(col("props"), "$.k"), lit("")), lit("&u="),
             col("user_id").cast("string")).as("url"))
         .select(col("event_id"),
           parse_url(col("url"), lit("HOST")).as("host"),

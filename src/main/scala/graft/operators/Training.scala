@@ -143,8 +143,10 @@ object Training {
             lpad((col("event_id") % 10000).cast("string"), 4, "0"),
             lit(" re "), col("event_type")).as("line"))
         .select(col("event_id"),
-          size(expr(s"regexp_extract_all(line, '$emailRe', 0)")).as("n_emails"),
-          size(expr(s"regexp_extract_all(line, '$phoneRe', 0)")).as("n_phones"),
+          size(regexp_extract_all(col("line"), lit(emailRe), lit(0)))
+            .as("n_emails"),
+          size(regexp_extract_all(col("line"), lit(phoneRe), lit(0)))
+            .as("n_phones"),
           regexp_replace(
             regexp_replace(col("line"), emailRe, "<EMAIL>"),
             phoneRe, "<PHONE>").as("redacted"))
@@ -180,7 +182,7 @@ object Training {
       val tot = freq.agg(sum(col("c")).cast("double").as("t"))
       toks.join(broadcast(freq), Seq("tok"))
         .crossJoin(broadcast(tot))
-        .select(col("doc_id"), -log(col("c") / col("t")).as("nll"))
+        .select(col("doc_id"), (-log(col("c") / col("t"))).as("nll"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
           round(avg(col("nll")), 6).as("avg_nll"),
@@ -221,7 +223,7 @@ object Training {
         |SELECT t.doc_id, t.n_chunks,
         |  coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept, k.kept_sig
         |FROM tot t LEFT JOIN kept k ON k.doc_id = t.doc_id
-        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+        |ORDER BY t.doc_id""".stripMargin) { (spark, dir) =>
       val chunked = Tables(spark, dir).documents
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), expr(

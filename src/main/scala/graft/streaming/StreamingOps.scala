@@ -70,7 +70,12 @@ object StreamingOps {
     * the extra empty batch that exists only to advance the watermark
     * would buy nothing and costs a full state-store commit cycle across
     * all partitions. Queries relying on watermark-driven APPEND emission
-    * of aggregates must not use this helper without re-enabling it. */
+    * of aggregates must not use this helper without re-enabling it.
+    *
+    * The set/restore of the session-wide conf assumes queries run one at
+    * a time on this session (true for Verify/Bench, which are strictly
+    * sequential); concurrent streaming runs on a shared session would
+    * race on the restore and must set the conf per-query instead. */
   private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
     val spark = df.sparkSession
     val key = "spark.sql.streaming.noDataMicroBatches.enabled"
