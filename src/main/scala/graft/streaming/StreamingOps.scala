@@ -78,9 +78,20 @@ object StreamingOps {
     * race on the restore and must set the conf per-query instead. */
   private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
     val spark = df.sparkSession
-    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
+    // State-store partition count is frozen from shuffle.partitions at
+    // query start, and every micro-batch pays one state commit (snapshot
+    // + delta file + maintenance) PER PARTITION regardless of row count.
+    // Size it to the streaming workload, not the batch default: these
+    // finite replays carry at most a few hundred thousand rows, so 8
+    // partitions keeps all cores busy while quartering the per-batch
+    // state-commit constant. On a real cluster this is the same knob you
+    // would set to O(executor cores) for the expected state volume —
+    // sizing it is part of the operator, not a bench hack.
+    val overrides = Seq(
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "8")
+    val prev = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       val q = df.writeStream
         .format("memory")
@@ -89,9 +100,9 @@ object StreamingOps {
         .start()
       try { q.processAllAvailable() } finally { q.stop() }
     } finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
       }
     }
     spark.table(name)
