@@ -38,9 +38,15 @@ final case class MinHashDedup(k: Int, bands: Int) {
     signaturesFromGrams(shingles(docs))
 
   private def signaturesFromGrams(grams: DataFrame): DataFrame = {
+    // Hash the variable-length shingle string ONCE per row, then derive
+    // the k per-permutation values from the fixed 8-byte base hash —
+    // the standard one-hash minhash construction. The k inner hashes run
+    // over (int, long) instead of the string, so signature cost scales
+    // with k alone, not k × shingle length.
     val aggs = (0 until k).map(j =>
-      min(xxhash64(lit(j), col("gram"))).as(s"mh$j"))
+      min(xxhash64(lit(j), col("gh"))).as(s"mh$j"))
     grams
+      .withColumn("gh", xxhash64(col("gram")))
       .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
         array((0 until k).map(j => col(s"mh$j")): _*).as("sig"))
