@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Spark-4 surface wave: VARIANT semi-structured values, XML serde, and
+  * the mergeable distinct/frequency sketches (DataSketches HLL,
+  * Count-Min) — plus a schema-evolution read, the drift case any cloner
+  * meets when a source table gained a column between snapshots.
+  *
+  * Sketch oracle discipline (follows q_approx_distinct /
+  * q_approx_percentile): sketch internals are engine-specific, so the
+  * hash-checked contract is the exact value plus a boolean error-bound
+  * verdict; ScalaTest additionally bounds the raw estimates.
+  *
+  * Scale stance (100 TB):
+  *   - Sketches are THE aggregation pattern at this scale: fixed-size
+  *     state, map-side partial merge, and — unlike exact distinct — a
+  *     re-mergeable result (`hll_union_agg` over per-shard sketches
+  *     gives the global cardinality without re-scanning shards).
+  *   - VARIANT pushes semi-structured shredding into the scan (binary
+  *     encoding, typed access), replacing per-query JSON string parsing.
+  *   - Schema evolution via mergeSchema is metadata-only — readers union
+  *     footers; no data rewrite of old shards.
+  */
+object Modern {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- VARIANT ingestion: parse the JSON props column into a variant,
+    //      extract a typed field, aggregate. The oracle reads the same
+    //      field with DuckDB's JSON operators.
+    QueryDef.checked(
+      "q_variant_json",
+      """SELECT event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+        |  min(CAST(props->>'$.k' AS INT)) AS min_k,
+        |  max(CAST(props->>'$.k' AS INT)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).events
+        .select(col("event_type"),
+          variant_get(parse_json(col("props")), "$.k", "int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("long").as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    },
+
+    // ---- XML serde roundtrip: struct → XML string → struct, entirely
+    //      in-plan (to_xml/from_xml); the oracle checks the recovered
+    //      values against the source columns.
+    QueryDef.checked(
+      "q_xml_roundtrip",
+      """SELECT c_custkey, c_mktsegment AS segment,
+        |  round(c_acctbal, 2) AS acctbal
+        |FROM customer
+        |WHERE c_custkey <= 100
+        |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+      val xmlSchema = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_mktsegment", StringType),
+        StructField("c_acctbal", DoubleType)))
+      Tables(spark, dir).customer
+        .filter(col("c_custkey") <= 100)
+        .select(to_xml(struct(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal"))).as("xml"))
+        .select(from_xml(col("xml"), xmlSchema).as("rec"))
+        .select(col("rec.c_custkey").as("c_custkey"),
+          col("rec.c_mktsegment").as("segment"),
+          round(col("rec.c_acctbal"), 2).as("acctbal"))
+        .orderBy("c_custkey")
+    },
+
+    // ---- DataSketches HLL with re-merge: per-segment sketches union
+    //      into a global sketch (the shard→global roll-up); verdicts
+    //      bound both estimates against the exact cardinalities.
+    QueryDef.checked(
+      "q_hll_sketch_merge",
+      """WITH seg AS (
+        |  SELECT c_mktsegment, count(DISTINCT o_custkey) AS exact_custs
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment
+        |)
+        |SELECT c_mktsegment, exact_custs, TRUE AS approx_within_5pct,
+        |  (SELECT count(DISTINCT o_custkey) FROM orders) AS exact_total,
+        |  TRUE AS union_within_5pct
+        |FROM seg
+        |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val joined = t.orders.join(broadcast(t.customer),
+        col("o_custkey") === col("c_custkey"))
+      val perSeg = joined.groupBy("c_mktsegment")
+        .agg(countDistinct(col("o_custkey")).as("exact_custs"),
+          hll_sketch_agg(col("o_custkey")).as("sketch"))
+      val exactTotal = t.orders.select(countDistinct(col("o_custkey")))
+        .first().getLong(0)
+      // roll the per-segment sketches up into one global sketch — the
+      // cross-shard merge that exact distinct cannot do without rescanning
+      val unionEst = perSeg.agg(
+        hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est"))
+        .first().getLong(0)
+      perSeg
+        .select(col("c_mktsegment"), col("exact_custs"),
+          (abs(hll_sketch_estimate(col("sketch")) - col("exact_custs"))
+            <= col("exact_custs") * 0.05).as("approx_within_5pct"),
+          lit(exactTotal).as("exact_total"),
+          lit(math.abs(unionEst - exactTotal) <= exactTotal * 0.05)
+            .as("union_within_5pct"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ---- Count-Min frequency sketch: point-estimates of per-type event
+    //      counts from a fixed-size sketch; CMS never under-counts and
+    //      over-counts by at most eps*N w.h.p. — both checked exactly.
+    //      The sketch is built with one distributed mergeable aggregate;
+    //      querying it deserializes the kilobyte-sized binary on the
+    //      driver (there is no SQL-side estimator), which is also how a
+    //      100 TB deployment serves point lookups from a published sketch.
+    QueryDef.checked(
+      "q_countmin_freq",
+      """SELECT event_type, count(*) AS exact_n,
+        |  TRUE AS cms_lower_ok, TRUE AS cms_upper_ok
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+      val bytes = ev.agg(
+        count_min_sketch(col("event_type"), lit(0.001), lit(0.99), lit(42))
+          .as("cms"))
+        .first().getAs[Array[Byte]]("cms")
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      val slack = math.ceil(0.001 * cms.totalCount()).toLong
+      import spark.implicits._
+      ev.groupBy("event_type").agg(count(lit(1)).as("exact_n"))
+        .collect()
+        .map { r =>
+          val (t, n) = (r.getString(0), r.getLong(1))
+          val est = cms.estimateCount(t)
+          (t, n, est >= n, est <= n + slack)
+        }.toSeq
+        .toDF("event_type", "exact_n", "cms_lower_ok", "cms_upper_ok")
+        .orderBy("event_type")
+    },
+
+    // ---- schema evolution (mergeSchema): two parquet snapshots of the
+    //      same logical table, the newer one with an added column; a
+    //      merged read serves both, nulling the column for old rows —
+    //      the metadata-only drift handling a re-clone needs.
+    QueryDef.checked(
+      "q_schema_evolution",
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_orderstatus, NULL AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |), v2 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 <> 0
+        |), merged AS (
+        |  SELECT * FROM v1 UNION ALL SELECT * FROM v2
+        |)
+        |SELECT o_orderstatus,
+        |  count(*) AS n,
+        |  count(o_orderpriority) AS n_with_priority
+        |FROM merged
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      val staged = graft.util.Staging.dir("graft_schema_evo_", dir)
+      val marker = new org.apache.hadoop.fs.Path(s"$staged/v2/_SUCCESS")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) { // immutable input → write the versions once
+        val src = Tables(spark, dir).orders
+        src.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_orderstatus")
+          .write.mode("overwrite").parquet(s"$staged/v1")
+        src.filter(col("o_orderkey") % 2 =!= 0)
+          .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+          .write.mode("overwrite").parquet(s"$staged/v2")
+      }
+      spark.read.option("mergeSchema", "true")
+        .parquet(s"$staged/v1", s"$staged/v2")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          count(col("o_orderpriority")).as("n_with_priority"))
+        .orderBy("o_orderstatus")
+    }
+  )
+}

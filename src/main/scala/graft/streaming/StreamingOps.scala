@@ -76,7 +76,8 @@ object StreamingOps {
     * a time on this session (true for Verify/Bench, which are strictly
     * sequential); concurrent streaming runs on a shared session would
     * race on the restore and must set the conf per-query instead. */
-  private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+  private def runToMemory(df: DataFrame, name: String, mode: String,
+      noDataBatches: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     // State-store partition count is frozen from shuffle.partitions at
     // query start, and every micro-batch pays one state commit (snapshot
@@ -88,7 +89,7 @@ object StreamingOps {
     // would set to O(executor cores) for the expected state volume —
     // sizing it is part of the operator, not a bench hack.
     val overrides = Seq(
-      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false",
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> noDataBatches.toString,
       "spark.sql.shuffle.partitions" -> "8")
     val prev = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
     overrides.foreach { case (k, v) => spark.conf.set(k, v) }
@@ -181,6 +182,31 @@ object StreamingOps {
         .select(col("user_id"), col("session_window.start").as("session_start"),
           col("n_events"))
         .orderBy("user_id", "session_start")
+    },
+
+    // ---- APPEND-mode tumbling agg: windows emit exactly once, when the
+    //      watermark passes their end — the semantics that let a 100 TB
+    //      pipeline write each window to an append-only sink once and
+    //      never update it. Requires the no-data micro-batch (the final
+    //      watermark advance) to flush the last finalized windows; the
+    //      tail windows the watermark never passes are withheld, and the
+    //      oracle reproduces that by cutting at max(ts) - 2h.
+    QueryDef.checked(
+      "q_stream_append_final",
+      """SELECT date_trunc('hour', ts) AS window_start, count(*) AS n
+        |FROM events
+        |WHERE date_trunc('hour', ts) + INTERVAL '1 hour'
+        |      <= (SELECT max(ts) FROM events) - INTERVAL '2 hours'
+        |GROUP BY date_trunc('hour', ts)
+        |ORDER BY window_start""".stripMargin) { (spark, dir) =>
+      val agg = eventsStream(spark, dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+      runToMemory(agg, "graft_stream_append_final", "append",
+        noDataBatches = true)
+        .select(col("window.start").as("window_start"), col("n"))
+        .orderBy("window_start")
     },
 
     // ---- stateful stream dedup: the stream is the events file replayed
