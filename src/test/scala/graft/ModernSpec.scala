@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class ModernSpec extends SparkSpec {
+
+  test("variant extraction equals JSON string extraction") {
+    val viaVariant = q("q_variant_json").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val viaString = Tables(spark, sf).events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").cast("long").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(viaVariant == viaString)
+  }
+
+  test("xml roundtrip recovers every row unchanged") {
+    val rows = q("q_xml_roundtrip").collect()
+    val direct = Tables(spark, sf).customer
+      .filter(col("c_custkey") <= 100)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal"), 2))
+      .collect()
+    assert(rows.map(_.toSeq).toSet == direct.map(_.toSeq).toSet)
+  }
+
+  test("hll estimates stay inside the declared bound") {
+    q("q_hll_sketch_merge").collect().foreach { r =>
+      assert(r.getAs[Boolean]("approx_within_5pct"))
+      assert(r.getAs[Boolean]("union_within_5pct"))
+    }
+  }
+
+  test("count-min never undercounts and respects the eps bound") {
+    val rows = q("q_countmin_freq").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("cms_lower_ok"))
+      assert(r.getAs[Boolean]("cms_upper_ok"))
+    }
+  }
+
+  test("schema evolution read serves both snapshot versions") {
+    val rows = q("q_schema_evolution").collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val withPriority = rows.map(_.getAs[Long]("n_with_priority")).sum
+    val orders = Tables(spark, sf).orders
+    assert(total == orders.count())
+    assert(withPriority ==
+      orders.filter(col("o_orderkey") % 2 =!= 0).count())
+  }
+
+  test("append-mode stream emits only watermark-finalized windows") {
+    val rows = q("q_stream_append_final").collect()
+    assert(rows.nonEmpty)
+    val ev = Tables(spark, sf).events
+    val maxTs = ev.agg(max(col("ts"))).collect()(0)
+      .getAs[java.sql.Timestamp](0)
+    val cutMs = maxTs.getTime - 2L * 3600 * 1000
+    rows.foreach { r =>
+      val ws = r.getAs[java.sql.Timestamp]("window_start")
+      assert(ws.getTime + 3600 * 1000 <= cutMs,
+        s"window $ws not finalized by watermark cut $cutMs")
+    }
+  }
+}
