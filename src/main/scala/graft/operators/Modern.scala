@@ -149,6 +149,80 @@ object Modern {
         .orderBy("event_type")
     },
 
+    // ---- Bloom-filter contamination screen: the benchmark-gram set as a
+    //      broadcast Bloom filter instead of a broadcast hash join — the
+    //      memory-bounded variant of q_contamination (a filter over 1B
+    //      grams is ~1.2 GB at 1% FP vs an unbounded hash relation).
+    //      Bloom guarantees no false negatives, so the oracle-checkable
+    //      contract is: every exact hit is a bloom hit (per-doc verdict),
+    //      plus the exact counts themselves.
+    QueryDef.checked(
+      "q_bloom_contamination",
+      s"""WITH grams AS (
+         |  SELECT DISTINCT doc_id, unnest(${Dedup.duckGrams}) AS gram FROM documents
+         |), bench AS (
+         |  SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+         |)
+         |SELECT g.doc_id, count(*) AS n_grams,
+         |  count(b.gram) AS n_exact_hits,
+         |  TRUE AS bloom_superset_ok
+         |FROM grams g LEFT JOIN bench b ON g.gram = b.gram
+         |WHERE g.doc_id % 97 <> 0
+         |GROUP BY g.doc_id
+         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val grams = Dedup.gramRelation(Tables(spark, dir).documents)
+        .localCheckpoint()
+      val benchGrams = grams.filter(col("doc_id") % 97 === 0)
+        .select("gram").distinct()
+      val expected = benchGrams.count()
+      val bloom = benchGrams.stat.bloomFilter("gram", math.max(expected, 1L), 0.01)
+      val bloomBc = spark.sparkContext.broadcast(bloom)
+      val mightContain = udf((g: String) => bloomBc.value.mightContainString(g))
+      val exactHits = broadcast(benchGrams.withColumn("hit", lit(1)))
+      grams.filter(col("doc_id") % 97 =!= 0)
+        .join(exactHits, Seq("gram"), "left")
+        .withColumn("bloom_hit", mightContain(col("gram")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          count(col("hit")).as("n_exact_hits"),
+          // no false negatives: every exact hit must also be a bloom hit
+          min(col("bloom_hit") || col("hit").isNull).as("bloom_superset_ok"))
+        .orderBy("doc_id")
+    },
+
+    // ---- single-pass pipeline metrics (observe): data-quality counters
+    //      collected DURING a filtering pass — at 100 TB the alternative
+    //      is a second full scan just to report what was dropped. The
+    //      observed metrics become the result; the oracle recomputes them
+    //      as plain aggregates.
+    QueryDef.checked(
+      "q_observe_metrics",
+      """SELECT
+        |  count(*) AS n_scanned,
+        |  count(CASE WHEN l_quantity >= 25 THEN 1 END) AS n_kept,
+        |  CAST(sum(CASE WHEN l_quantity >= 25
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE)
+        |    AS kept_revenue
+        |FROM lineitem""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.Observation
+      val obs = Observation("graft_quality_gate")
+      val kept = Tables(spark, dir).lineitem
+        .observe(obs,
+          count(lit(1)).as("n_scanned"),
+          count(when(col("l_quantity") >= 25, 1)).as("n_kept"),
+          sum(when(col("l_quantity") >= 25,
+            col("l_extendedprice").cast(DecimalType(12, 2))))
+            .cast("double").as("kept_revenue"))
+        .filter(col("l_quantity") >= 25)
+      kept.write.mode("overwrite").format("noop").save() // the one real pass
+      val m = obs.get
+      import spark.implicits._
+      Seq((m("n_scanned").asInstanceOf[Long],
+        m("n_kept").asInstanceOf[Long],
+        m("kept_revenue").asInstanceOf[Double]))
+        .toDF("n_scanned", "n_kept", "kept_revenue")
+    },
+
     // ---- schema evolution (mergeSchema): two parquet snapshots of the
     //      same logical table, the newer one with an added column; a
     //      merged read serves both, nulling the column for old rows —

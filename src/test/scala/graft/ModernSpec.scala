@@ -42,6 +42,30 @@ class ModernSpec extends SparkSpec {
     }
   }
 
+  test("bloom contamination screen never loses an exact hit") {
+    val bloomRows = q("q_bloom_contamination").collect()
+    assert(bloomRows.nonEmpty)
+    bloomRows.foreach(r => assert(r.getAs[Boolean]("bloom_superset_ok")))
+    val exact = q("q_contamination").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_contaminated")).toMap
+    bloomRows.foreach { r =>
+      assert(r.getAs[Long]("n_exact_hits") == exact(r.getAs[Long]("doc_id")))
+    }
+  }
+
+  test("observed metrics equal a direct aggregate pass") {
+    val r = q("q_observe_metrics").collect()(0)
+    val d = Tables(spark, sf).lineitem
+      .agg(count(lit(1)),
+        count(when(col("l_quantity") >= 25, 1)),
+        sum(when(col("l_quantity") >= 25,
+          col("l_extendedprice").cast("decimal(12,2)"))).cast("double"))
+      .collect()(0)
+    assert(r.getLong(0) == d.getLong(0))
+    assert(r.getLong(1) == d.getLong(1))
+    assert(math.abs(r.getDouble(2) - d.getDouble(2)) < 1e-6)
+  }
+
   test("schema evolution read serves both snapshot versions") {
     val rows = q("q_schema_evolution").collect()
     val total = rows.map(_.getAs[Long]("n")).sum
