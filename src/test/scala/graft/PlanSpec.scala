@@ -83,4 +83,29 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("sha2(cast(text"), plan.take(400))
     assert(plan.contains("hashpartitioning(_groupingexpression"), plan.take(400))
   }
+
+  test("SCD2 entity filter is pushed to the orders scan") {
+    val plan = physical("q_scd2_intervals")
+    assert(plan.contains("LessThan(o_custkey,50)"),
+      plan.linesIterator.find(_.contains("PushedFilters")).getOrElse(plan.take(400)))
+  }
+
+  test("contamination joins broadcast the benchmark-gram side") {
+    assert(physical("q_contamination").contains("BroadcastHashJoin"))
+  }
+
+  test("bigram PMI joins its vocab-sized marginals by broadcast") {
+    val plan = physical("q_bigram_pmi")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+    assert(!plan.contains("SortMergeJoin"),
+      "marginal joins must not shuffle the pair relation")
+  }
+
+  test("variant extraction scan reads only event_type and props") {
+    val plan = physical("q_variant_json")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("event_type") && readSchema.contains("props"))
+    assert(!readSchema.contains("user_id") && !readSchema.contains("value"),
+      s"unpruned scan: $readSchema")
+  }
 }
