@@ -15,6 +15,36 @@ final case class UserAgg(
     user_id: Long, n_events: Long,
     last_ts: java.sql.Timestamp, total_value: Double)
 
+/** Running per-type totals for the state-API-v2 query (exact cents, same
+  * order-independence argument as [[UserState]]). */
+final case class TypeStats(n: Long, cents: Long)
+
+final case class TypeAgg(event_type: String, n_events: Long, total_value: Double)
+
+/** Spark 4 `StatefulProcessor` (state API v2): ValueState-backed running
+  * aggregate, the `transformWithState` successor to mapGroupsWithState —
+  * typed named state slots, timers, and TTL live on the handle instead of
+  * a single opaque state object. Requires the RocksDB state store. */
+class TypeStatsProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+    String, (String, Double), TypeAgg] {
+  import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+  @transient private var st: ValueState[TypeStats] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[TypeStats]("stats",
+      org.apache.spark.sql.Encoders.product[TypeStats], TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[(String, Double)],
+      tv: TimerValues): Iterator[TypeAgg] = {
+    var s = if (st.exists()) st.get() else TypeStats(0L, 0L)
+    rows.foreach { case (_, v) =>
+      s = TypeStats(s.n + 1, s.cents + math.round(v * 100.0))
+    }
+    st.update(s)
+    Iterator.single(TypeAgg(key, s.n, s.cents / 100.0))
+  }
+}
+
 /** Structured Streaming surface over the `events` table (SURVEY.md §2B
   * "Streaming"). The checked queries run REAL streaming jobs — file
   * source → windowed stateful aggregation → memory sink, driven to
@@ -77,7 +107,8 @@ object StreamingOps {
     * sequential); concurrent streaming runs on a shared session would
     * race on the restore and must set the conf per-query instead. */
   private def runToMemory(df: DataFrame, name: String, mode: String,
-      noDataBatches: Boolean = false): DataFrame = {
+      noDataBatches: Boolean = false,
+      extra: Seq[(String, String)] = Nil): DataFrame = {
     val spark = df.sparkSession
     // State-store partition count is frozen from shuffle.partitions at
     // query start, and every micro-batch pays one state commit (snapshot
@@ -90,7 +121,7 @@ object StreamingOps {
     // sizing it is part of the operator, not a bench hack.
     val overrides = Seq(
       "spark.sql.streaming.noDataMicroBatches.enabled" -> noDataBatches.toString,
-      "spark.sql.shuffle.partitions" -> "8")
+      "spark.sql.shuffle.partitions" -> "8") ++ extra
     val prev = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
     overrides.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
@@ -304,6 +335,32 @@ object StreamingOps {
           (unix_millis(col("purchase_ts")) - unix_millis(col("click_ts")))
             .as("delay_ms"))
         .orderBy("click_id", "purchase_id")
+    },
+
+    // ---- state API v2 (transformWithState + RocksDB): per-type running
+    //      totals in a named ValueState slot — the Spark 4 arbitrary-state
+    //      surface alongside the mapGroupsWithState query below. RocksDB
+    //      is also the right store at 100 TB: state spills off-heap and
+    //      snapshots incrementally instead of rewriting HDFS files.
+    QueryDef.checked(
+      "q_stream_transform_state",
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val typed = eventsStream(spark, dir)
+        .select(col("event_type"), col("value")).as[(String, Double)]
+      val out = typed.groupByKey(_._1)
+        .transformWithState(new TypeStatsProcessor,
+          TimeMode.None(), OutputMode.Update(),
+          org.apache.spark.sql.Encoders.product[TypeAgg])
+      runToMemory(out.toDF(), "graft_stream_transform_state", "update",
+        extra = Seq("spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+        .orderBy("event_type")
     },
 
     // ---- arbitrary stateful processing (mapGroupsWithState): per-user
