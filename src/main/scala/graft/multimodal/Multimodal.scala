@@ -115,6 +115,70 @@ object Multimodal {
           avg(col("width")).as("avg_width"),
           avg(col("height")).as("avg_height"))
         .orderBy("format")
+    },
+
+    // ---- deterministic frame sampling: the media blob as a sequence of
+    //      fixed-size frames (256-byte chunks of the hex view — byte
+    //      exact for multi-byte UTF-8), keep every 4th frame, fingerprint
+    //      the sample — the video keyframe-sampling shape. Pure per-row
+    //      array work: zero shuffles, codegen throughout.
+    QueryDef.checked(
+      "q_media_frame_sample",
+      """WITH m AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, nb, CAST(ceil(nb / 256.0) AS INT) AS n_frames, hx
+        |  FROM m
+        |)
+        |SELECT doc_id, nb AS n_bytes, n_frames,
+        |  len(list_filter(range(n_frames), i -> i % 4 = 0)) AS n_sampled,
+        |  md5(array_to_string(
+        |    list_transform(list_filter(range(n_frames), i -> i % 4 = 0),
+        |      i -> substring(hx, i * 512 + 1, 512)), '')) AS sample_sig
+        |FROM f
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .select(col("doc_id"),
+          hex(encode(col("text"), "UTF-8")).as("hx"),
+          expr("octet_length(encode(text, 'UTF-8'))").as("nb"))
+        .withColumn("n_frames", ceil(col("nb") / 256.0).cast("int"))
+        .select(col("doc_id"), col("nb").as("n_bytes"), col("n_frames"),
+          size(expr("filter(sequence(0, n_frames - 1), i -> i % 4 = 0)"))
+            .as("n_sampled"),
+          md5(expr(
+            """concat_ws('', transform(
+              |  filter(sequence(0, n_frames - 1), i -> i % 4 = 0),
+              |  i -> substring(hx, i * 512 + 1, 512)))""".stripMargin))
+            .as("sample_sig"))
+        .orderBy("doc_id")
+    },
+
+    // ---- feature-space resize: 64-d embeddings average-pooled 4:1 down
+    //      to 16-d (the resize kernel of the modality pipeline, applied
+    //      where this container can verify it — on the vector column).
+    //      Per-row higher-order-function arithmetic, no shuffle.
+    QueryDef.checked(
+      "q_embedding_pool",
+      """SELECT vec_id, label,
+        |  round((CAST(embedding[1] AS DOUBLE) + embedding[2]
+        |       + embedding[3] + embedding[4]) / 4, 6) AS pool0,
+        |  round((CAST(embedding[5] AS DOUBLE) + embedding[6]
+        |       + embedding[7] + embedding[8]) / 4, 6) AS pool1,
+        |  round((CAST(embedding[61] AS DOUBLE) + embedding[62]
+        |       + embedding[63] + embedding[64]) / 4, 6) AS pool15
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+      def pool(j: Int) = round(
+        (col("embedding").getItem(j * 4).cast("double")
+          + col("embedding").getItem(j * 4 + 1)
+          + col("embedding").getItem(j * 4 + 2)
+          + col("embedding").getItem(j * 4 + 3)) / 4, 6)
+      Tables(spark, dir).embeddings
+        .select(col("vec_id"), col("label"),
+          pool(0).as("pool0"), pool(1).as("pool1"), pool(15).as("pool15"))
+        .orderBy("vec_id")
     }
   )
 }
