@@ -41,35 +41,37 @@ object Curation {
 
     // ---- per-doc Shannon entropy of the token distribution (in nats):
     //      the corpus-mix diversity statistic; low entropy ≈ repetitive
-    //      boilerplate. Transcendentals round at the edge only.
+    //      boilerplate. Computed as H = ln(n) − (Σ c·ln c)/n, which needs
+    //      only the two keyed aggregations — no per-doc total window pass.
+    //      Transcendentals round at the edge only.
     QueryDef.checked(
       "q_token_entropy",
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
         |), cnt AS (
         |  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
-        |), wp AS (
-        |  SELECT doc_id, c,
-        |    c / CAST(sum(c) OVER (PARTITION BY doc_id) AS DOUBLE) AS p
-        |  FROM cnt
+        |), agg AS (
+        |  SELECT doc_id, sum(c) AS n, count(*) AS n_distinct,
+        |    sum(c * ln(CAST(c AS DOUBLE))) AS clnc
+        |  FROM cnt GROUP BY doc_id
         |)
         |SELECT doc_id,
-        |  CAST(sum(c) AS BIGINT) AS n_tokens,
-        |  count(*) AS n_distinct,
-        |  round(-sum(p * ln(p)), 6) AS entropy_nats
-        |FROM wp
-        |GROUP BY doc_id
+        |  CAST(n AS BIGINT) AS n_tokens,
+        |  n_distinct,
+        |  round(ln(CAST(n AS DOUBLE)) - clnc / n, 6) AS entropy_nats
+        |FROM agg
         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-      val cnt = Tables(spark, dir).documents
+      Tables(spark, dir).documents
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      val tot = Window.partitionBy("doc_id")
-      cnt
-        .withColumn("p", col("c") / sum(col("c")).over(tot).cast("double"))
         .groupBy("doc_id")
-        .agg(sum(col("c")).cast("long").as("n_tokens"),
-          count(lit(1)).as("n_distinct"),
-          round((-sum(col("p") * log(col("p")))), 6).as("entropy_nats"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"),
+          sum(col("c") * log(col("c").cast("double"))).as("clnc"))
+        .select(col("doc_id"),
+          col("n").cast("long").as("n_tokens"),
+          col("n_distinct"),
+          round(log(col("n").cast("double")) - col("clnc") / col("n"), 6)
+            .as("entropy_nats"))
         .orderBy("doc_id")
     },
 
