@@ -174,8 +174,11 @@ object Modern {
         .localCheckpoint()
       val benchGrams = grams.filter(col("doc_id") % 97 === 0)
         .select("gram").distinct()
-      val expected = benchGrams.count()
-      val bloom = benchGrams.stat.bloomFilter("gram", math.max(expected, 1L), 0.01)
+      // Size the filter from a capacity bound, not an extra counting pass:
+      // FP rate only degrades (never false negatives) if exceeded, and the
+      // oracle contract is independent of the FP rate. Production sizes
+      // this from catalog stats (ANALYZE ndv), not a scan.
+      val bloom = benchGrams.stat.bloomFilter("gram", 4000000L, 0.01)
       val bloomBc = spark.sparkContext.broadcast(bloom)
       val mightContain = udf((g: String) => bloomBc.value.mightContainString(g))
       val exactHits = broadcast(benchGrams.withColumn("hit", lit(1)))
