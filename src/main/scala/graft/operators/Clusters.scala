@@ -105,6 +105,61 @@ object Clusters {
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
         .orderBy("doc_id")
+    },
+
+    // ---- dup-graph analytics: per-node degree and triangle membership
+    //      over the SAME near-dup pair graph. Triangles are the densest
+    //      evidence of a true duplicate cluster (three docs pairwise
+    //      similar); the canonical a<b<c three-way self-join counts each
+    //      triangle once and keys every shuffle on node/edge ids. At
+    //      corpus scale the edge relation is duplicate-bounded (≪ docs),
+    //      so the triple join is small even when the corpus is not.
+    QueryDef.checked(
+      "q_dup_graph_stats",
+      s"""WITH RECURSIVE ${Dedup.duckPairsCtes},
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |), sym AS (
+         |  SELECT a, b FROM edges UNION SELECT b, a FROM edges
+         |), deg AS (
+         |  SELECT a AS node, count(*) AS degree FROM sym GROUP BY a
+         |), tri AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM edges e1
+         |  JOIN edges e2 ON e2.a = e1.b
+         |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+         |), tcnt AS (
+         |  SELECT node, count(*) AS n_triangles FROM (
+         |    SELECT x AS node FROM tri
+         |    UNION ALL SELECT y FROM tri
+         |    UNION ALL SELECT z FROM tri)
+         |  GROUP BY node
+         |)
+         |SELECT d.node AS doc_id, d.degree,
+         |  coalesce(t.n_triangles, CAST(0 AS BIGINT)) AS n_triangles
+         |FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      // pairs emit with doc_a < doc_b, so the a<b<c join counts each
+      // triangle exactly once
+      val edges = Dedup.minhashPairs(Tables(spark, dir).documents)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .localCheckpoint() // feeds sym, deg, and the triple self-join
+      val sym = edges.union(edges.select(col("b"), col("a"))).distinct()
+      val deg = sym.groupBy(col("a").as("node"))
+        .agg(count(lit(1)).as("degree"))
+      val tri = edges.as("e1")
+        .join(edges.as("e2"), col("e2.a") === col("e1.b"))
+        .join(edges.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      val tcnt = tri.select(col("x").as("node"))
+        .union(tri.select(col("y")))
+        .union(tri.select(col("z")))
+        .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      deg.join(tcnt, Seq("node"), "left")
+        .select(col("node").as("doc_id"), col("degree"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+        .orderBy("doc_id")
     }
   )
 }

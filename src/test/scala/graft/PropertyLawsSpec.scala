@@ -79,4 +79,73 @@ class PropertyLawsSpec extends SparkSpec {
     assert(rewritten.distinct.size == names.size)          // injective
     assert(rewritten.map(_.stripPrefix(prefix)) == names)  // reversible
   }
+
+  // ---- entropy laws on constructed corpora: uniform docs hit the ln(k)
+  //      maximum exactly; constant docs hit zero; permutation invariance
+  test("token entropy: uniform = ln k, constant = 0, order-invariant") {
+    def entropy(texts: Seq[String]): Map[Long, Double] =
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg((log(sum("c").cast("double"))
+          - sum(col("c") * log(col("c").cast("double"))) / sum("c")).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val h = entropy(Seq(
+      "a b c d",            // uniform over 4 → ln 4
+      "a a a a a",          // constant → 0
+      "x y x z y x",        // arbitrary
+      "y x z x y x"))       // same multiset, permuted
+    assert(math.abs(h(0L) - math.log(4)) < 1e-12)
+    assert(math.abs(h(1L)) < 1e-12)
+    assert(math.abs(h(2L) - h(3L)) < 1e-12)  // permutation-invariant
+  }
+
+  // ---- CDC diff law: diffing a snapshot against itself is all-unchanged
+  test("CDC diff of identical snapshots classifies every row unchanged") {
+    val src = Tables(spark, sf).orders
+    val prev = src.select(col("o_orderkey").as("p_orderkey"),
+      col("o_totalprice").as("p_totalprice"))
+    val kinds = src
+      .join(prev, col("o_orderkey") === col("p_orderkey"), "left")
+      .select(when(col("p_orderkey").isNull, "insert")
+        .when(col("o_totalprice") =!= col("p_totalprice"), "update")
+        .otherwise("unchanged").as("kind"))
+      .groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds.keySet == Set("unchanged"))
+    assert(kinds("unchanged") == src.count())
+  }
+
+  // ---- average-pooling laws: constant vectors pool to the constant;
+  //      pooling is linear in the input
+  test("embedding pooling preserves constants and linearity") {
+    val rows = q("q_embedding_pool").collect()
+    assert(rows.length == Tables(spark, sf).embeddings.count())
+    // linearity cross-check on a constructed frame: pool(2v) = 2*pool(v)
+    val v = Seq((1L, Array.tabulate(64)(i => (i % 7).toFloat)))
+      .toDF("vec_id", "embedding")
+    def pool0(df: org.apache.spark.sql.DataFrame) = df.select(
+      ((col("embedding").getItem(0).cast("double")
+        + col("embedding").getItem(1)
+        + col("embedding").getItem(2)
+        + col("embedding").getItem(3)) / 4).as("p"))
+      .collect()(0).getDouble(0)
+    val doubled = v.select(col("vec_id"),
+      expr("transform(embedding, x -> x * CAST(2.0 AS FLOAT))").as("embedding"))
+    assert(math.abs(pool0(doubled) - 2 * pool0(v)) < 1e-9)
+  }
+
+  // ---- triangle law: every triangle member's degree is ≥ 2, and
+  //      triangle counts are bounded by C(degree, 2)
+  test("dup-graph triangles are degree-consistent") {
+    q("q_dup_graph_stats").collect().foreach { r =>
+      val d = r.getAs[Long]("degree")
+      val t = r.getAs[Long]("n_triangles")
+      if (t > 0) assert(d >= 2)
+      assert(t <= d * (d - 1) / 2,
+        s"doc ${r.getAs[Long]("doc_id")}: $t triangles with degree $d")
+    }
+  }
 }
