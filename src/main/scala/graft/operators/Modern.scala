@@ -226,6 +226,37 @@ object Modern {
         .toDF("n_scanned", "n_kept", "kept_revenue")
     },
 
+    // ---- custom DataSource V2 read: the engine's own TableProvider /
+    //      Batch / PartitionReader implementation (graft.sources) scanned
+    //      and aggregated like any table; the oracle regenerates the
+    //      deterministic row contract from range(). Exercises the seam a
+    //      JDBC/Mongo connector plugs into, without a server.
+    QueryDef.checked(
+      "q_custom_source",
+      """SELECT CAST(i % 10 AS INT) AS grp,
+        |  count(*) AS n,
+        |  CAST(sum(((i * 2654435761) % 1000)) AS DOUBLE) / 100.0 AS sum_val,
+        |  min(((i * 2654435761) % 1000) / 100.0) AS min_val,
+        |  max(i) AS max_id
+        |FROM range(100000) t(i)
+        |GROUP BY CAST(i % 10 AS INT)
+        |ORDER BY grp""".stripMargin) { (spark, _) =>
+      // checksum as exact integers (one division at the edge) — a double
+      // sum would be partition-order-dependent; min(val) is order-free
+      spark.read
+        .format("graft.sources.SyntheticSource")
+        .option("numRows", "100000")
+        .option("numPartitions", "8")
+        .load()
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"),
+          (sum((col("id") * 2654435761L) % 1000L).cast("double") / 100.0)
+            .as("sum_val"),
+          min(col("val")).as("min_val"),
+          max(col("id")).as("max_id"))
+        .orderBy("grp")
+    },
+
     // ---- schema evolution (mergeSchema): two parquet snapshots of the
     //      same logical table, the newer one with an added column; a
     //      merged read serves both, nulling the column for old rows —
