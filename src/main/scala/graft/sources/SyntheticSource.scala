@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -54,30 +55,64 @@ final class SyntheticTable(numRows: Long, numPartitions: Int)
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
+    new ScanBuilder with Scan with Batch
+        with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+      // Pushdown state, resolved before planInputPartitions runs:
+      // id-range filters tighten [lo, hi) so fully-filtered partitions
+      // are never planned (the connector analogue of partition pruning —
+      // a JDBC source turns the same bounds into WHERE clauses); column
+      // pruning shrinks what each reader generates.
+      private var lo = 0L
+      private var hi = numRows
+      private var accepted: Array[Filter] = Array.empty
+      private var required: StructType = SyntheticSource.schema
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        accepted = filters.collect {
+          case f @ GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v); f
+          case f @ GreaterThan("id", v: Long)        => lo = math.max(lo, v + 1); f
+          case f @ LessThan("id", v: Long)           => hi = math.min(hi, v); f
+          case f @ LessThanOrEqual("id", v: Long)    => hi = math.min(hi, v + 1); f
+        }
+        // conservatively report everything as residual: Spark re-evaluates,
+        // so a narrowing bug can cost performance but never correctness
+        filters
+      }
+      override def pushedFilters(): Array[Filter] = accepted
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
       override def build(): Scan = this
-      override def readSchema(): StructType = SyntheticSource.schema
+      override def readSchema(): StructType = required
       override def toBatch: Batch = this
 
       override def planInputPartitions(): Array[InputPartition] = {
         val per = (numRows + numPartitions - 1) / numPartitions
-        (0 until numPartitions).toArray.map { i =>
-          SyntheticRange(i * per, math.min((i + 1) * per, numRows))
-        }
+        (0 until numPartitions)
+          .map(i => SyntheticRange(
+            math.max(i * per, lo), math.min(math.min((i + 1) * per, numRows), hi)))
+          .filter(r => r.start < r.end)
+          .toArray[InputPartition]
       }
 
-      override def createReaderFactory(): PartitionReaderFactory =
+      override def createReaderFactory(): PartitionReaderFactory = {
+        val fields = required.fieldNames
         (partition: InputPartition) => {
           val r = partition.asInstanceOf[SyntheticRange]
           new PartitionReader[InternalRow] {
             private var i = r.start - 1
             override def next(): Boolean = { i += 1; i < r.end }
             override def get(): InternalRow =
-              new GenericInternalRow(Array[Any](
-                i, (i % 10).toInt, ((i * 2654435761L) % 1000L) / 100.0))
+              new GenericInternalRow(fields.map[Any] {
+                case "id"  => i
+                case "grp" => (i % 10).toInt
+                case "val" => ((i * 2654435761L) % 1000L) / 100.0
+              })
             override def close(): Unit = ()
           }
         }
+      }
     }
 }
 

@@ -81,6 +81,27 @@ class ModernSpec extends SparkSpec {
     assert(df.exceptAll(again).isEmpty && again.exceptAll(df).isEmpty)
   }
 
+  test("DSv2 filter pushdown prunes whole input partitions") {
+    def src = spark.read
+      .format("graft.sources.SyntheticSource")
+      .option("numRows", "1000")
+      .option("numPartitions", "10")
+      .load()
+    // ids 300..499 live in partitions 3 and 4 of 10 — the other 8 must
+    // never be planned
+    val filtered = src.filter(col("id") >= 300 && col("id") < 500)
+    assert(filtered.rdd.getNumPartitions == 2,
+      s"expected 2 pruned partitions, got ${filtered.rdd.getNumPartitions}")
+    assert(filtered.count() == 200)
+    assert(filtered.agg(min("id"), max("id")).collect()(0).toSeq ==
+      Seq(300L, 499L))
+    // column pruning reaches the reader (scan schema, not a post-project)
+    val pruned = src.select("grp").queryExecution.executedPlan
+      .collectLeaves().head.toString
+    assert(pruned.contains("ReadSchema: struct<grp:int>")
+      || !pruned.contains("id"), pruned.take(300))
+  }
+
   test("schema evolution read serves both snapshot versions") {
     val rows = q("q_schema_evolution").collect()
     val total = rows.map(_.getAs[Long]("n")).sum
