@@ -102,6 +102,21 @@ class ModernSpec extends SparkSpec {
       || !pruned.contains("id"), pruned.take(300))
   }
 
+  test("DSv2 counting sink commits per-writer counts through the 2PC path") {
+    import graft.sources.CountingSink
+    CountingSink.results.remove("spec")
+    Tables(spark, sf).orders
+      .write.format("graft.sources.CountingSink")
+      .option("tag", "spec").mode("append").save()
+    assert(CountingSink.results.get("spec") == Tables(spark, sf).orders.count())
+    // a second write accumulates (merge on commit, not overwrite)
+    Tables(spark, sf).region
+      .write.format("graft.sources.CountingSink")
+      .option("tag", "spec").mode("append").save()
+    assert(CountingSink.results.get("spec") ==
+      Tables(spark, sf).orders.count() + Tables(spark, sf).region.count())
+  }
+
   test("schema evolution read serves both snapshot versions") {
     val rows = q("q_schema_evolution").collect()
     val total = rows.map(_.getAs[Long]("n")).sum
