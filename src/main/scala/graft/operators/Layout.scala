@@ -139,6 +139,27 @@ object Layout {
         .orderBy("event_type")
     },
 
+    // ---- salted hot-key join: the fact side salts deterministically,
+    //      the dimension replicates ×16, each (key, salt) bucket joins
+    //      locally — the hash-join skew mitigation AQE cannot apply when
+    //      the build side must replicate. Row-multiplicity preserving;
+    //      oracle is the plain join.
+    QueryDef.checked(
+      "q_skew_salted_join",
+      """SELECT s_name, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name
+        |ORDER BY s_name""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      Skew.saltedJoin(t.lineitem, t.supplier,
+          "l_suppkey", "s_suppkey", col("l_orderkey"), salts = 16)
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("l_extendedprice"))).cast("double").as("revenue"))
+        .orderBy("s_name")
+    },
+
     // ---- salted two-phase aggregation: exact decimal sums per supplier
     //      via (key, salt)-partial → key-final; identical result to the
     //      direct groupBy, immune to a hot supplier key
