@@ -117,6 +117,50 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("state API v2 ListState accumulates across micro-batches") {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+    implicit val sqlCtx = spark.sqlContext
+    // the v2 API requires the RocksDB state store — set for this query only
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val proc = new StatefulProcessor[String, (String, Long), (String, String)] {
+        @transient private var vals: ListState[Long] = _
+        override def init(om: OutputMode, tm: TimeMode): Unit =
+          vals = getHandle.getListState[Long]("vals",
+            org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+        override def handleInputRows(k: String, rows: Iterator[(String, Long)],
+            tv: TimerValues): Iterator[(String, String)] = {
+          rows.foreach { case (_, v) => vals.appendValue(v) }
+          Iterator.single((k, vals.get().toSeq.sorted.mkString(",")))
+        }
+      }
+      val input = MemoryStream[(String, Long)]
+      val out = input.toDS().groupByKey(_._1)
+        .transformWithState(proc, TimeMode.None(), OutputMode.Update(),
+          org.apache.spark.sql.Encoders.product[(String, String)])
+        .toDF("k", "vals")
+      val query = out.writeStream.format("memory")
+        .queryName("tws_list_test").outputMode("update").start()
+      try {
+        input.addData(("a", 3L), ("a", 1L), ("b", 9L))
+        query.processAllAvailable()
+        input.addData(("a", 2L)) // must see batch-1 state, not start fresh
+        query.processAllAvailable()
+        val latest = spark.table("tws_list_test").collect()
+          .groupBy(_.getString(0))
+          .view.mapValues(_.map(_.getString(1)).maxBy(_.length)).toMap
+        assert(latest("a") == "1,2,3", s"cross-batch state lost: $latest")
+        assert(latest("b") == "9")
+      } finally query.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("session windows match gaps-and-islands session count") {
     val t = Tables(spark, sf)
     val sessions = q("q_stream_session")
