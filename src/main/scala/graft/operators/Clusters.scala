@@ -13,16 +13,19 @@ import graft.Tables
   * drop the rest" — which requires the transitive closure (A~B, B~C ⇒
   * A,B,C in one cluster even if A,C never shared a bucket).
   *
-  * Algorithm: iterative min-label propagation. Each node starts labeled
-  * with its own id; every round each node takes the min of its own and
-  * its neighbours' labels; fixpoint = components labeled by their min
-  * member. Each round is one keyed shuffle (join + groupBy) — no driver
-  * materialization of nodes or edges — and converges in O(component
-  * diameter) rounds. Near-dup graphs are dense small blobs (diameter
-  * 2-4), so the round count is tiny and independent of corpus size; a
-  * worst-case long-chain graph would want the large-star/small-star
-  * optimization (Kiveris et al., "Connected Components in MapReduce"),
-  * which keeps the same join-per-round skeleton.
+  * Algorithm: iterative min-label propagation with pointer doubling.
+  * Each node starts labeled with its own id; every round each node takes
+  * the min of its own and its neighbours' labels, then jumps to its
+  * label's label (label(x) ← label(label(x)) — the path-halving step,
+  * sound because labels only ever point at smaller ids in the same
+  * component). Neighbour propagation moves information one hop per
+  * round; doubling moves it exponentially, so convergence is
+  * O(log diameter) rounds — a million-node chain resolves in ~20 rounds
+  * where plain propagation needs a million (same O(log n) regime as
+  * large-star/small-star, Kiveris et al., "Connected Components in
+  * MapReduce", with a simpler two-shuffle round). Near-dup graphs are
+  * dense small blobs (diameter 2-4) that converge in ~3 rounds either
+  * way; the doubling is what makes pathological chain shapes safe.
   *
   * `localCheckpoint` per round truncates the lineage — without it the
   * plan doubles every iteration and the job DAG, not the data, becomes
@@ -52,12 +55,28 @@ object Clusters {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = sym
+      val propagated = sym
         .join(labels.select(col("node").as("b"), col("label").as("nl")), Seq("b"))
         .select(col("a").as("node"), col("nl").as("label"))
         .union(labels)
         .groupBy("node").agg(min(col("label")).as("label"))
         .localCheckpoint()
+      // Adaptive pointer doubling: dense dup blobs (diameter 2-4) finish
+      // on propagation alone, so the first rounds skip the extra shuffle;
+      // a graph still unconverged by round 6 has a long-path shape, and
+      // from there each round also follows the label's own label
+      // (label(x) ← label(label(x))), collapsing remaining distance
+      // exponentially. Left join — a label always names a node in the
+      // relation, but stay total.
+      val next = if (iter < 6) propagated
+      else {
+        val lookup = propagated.select(
+          col("node").as("label"), col("label").as("ll"))
+        propagated
+          .join(lookup, Seq("label"), "left")
+          .select(col("node"), coalesce(col("ll"), col("label")).as("label"))
+          .localCheckpoint()
+      }
       val s = next
         .agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
         .first().getDecimal(0)

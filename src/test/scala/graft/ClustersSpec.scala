@@ -50,4 +50,14 @@ class ClustersSpec extends SparkSpec {
     assert(comp.get(maxId + 1).contains(0L) && comp.get(maxId + 2).contains(0L),
       s"planted dups cluster under doc 0: $comp")
   }
+
+  test("pointer doubling resolves a 60-node chain within the round budget") {
+    // plain one-hop propagation needs diameter rounds (60 > maxIter=30);
+    // doubling must converge in O(log n)
+    val chain = (0L until 60L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("a", "b")
+    val cc = Clusters.connectedComponents(chain).collect()
+    assert(cc.length == 60)
+    assert(cc.forall(_.getLong(1) == 0L), "all nodes label to the min id")
+  }
 }
