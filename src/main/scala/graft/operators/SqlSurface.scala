@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 
 /** SQL-surface completeness wave (SURVEY.md §2B core relational /
@@ -234,6 +235,56 @@ object SqlSurface {
           parse_url(col("url"), lit("PATH")).as("path"),
           parse_url(col("url"), lit("QUERY"), lit("k")).as("k_param"))
         .orderBy("event_id")
+    },
+
+    // ---- from_csv: per-row CSV parsing into a typed struct (the row-
+    //      level cousin of the CSV reader); oracle rebuilds from source
+    QueryDef.checked(
+      "q_from_csv",
+      """SELECT event_id,
+        |  event_type AS ptype,
+        |  user_id AS puid,
+        |  CAST(round(CAST(value AS DECIMAL(12,2)), 2) AS DOUBLE) AS pval
+        |FROM events
+        |WHERE event_id < 500
+        |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).events
+        .filter(col("event_id") < 500)
+        .select(col("event_id"),
+          concat_ws(",", col("event_type"), col("user_id"),
+            col("value").cast(DecimalType(12, 2)).cast("string")).as("line"))
+        .select(col("event_id"),
+          from_csv(col("line"),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "ptype STRING, puid BIGINT, pval DOUBLE"),
+            Map.empty[String, String]).as("rec"))
+        .select(col("event_id"), col("rec.ptype").as("ptype"),
+          col("rec.puid").as("puid"), col("rec.pval").as("pval"))
+        .orderBy("event_id")
+    },
+
+    // ---- to_json/from_json struct roundtrip: serialize a typed struct
+    //      to JSON text and parse it back in-plan (the JSON twin of
+    //      q_xml_roundtrip); oracle checks recovered values
+    QueryDef.checked(
+      "q_to_json_roundtrip",
+      """SELECT o_orderkey, o_orderstatus AS status,
+        |  CAST(round(CAST(o_totalprice AS DECIMAL(12,2)), 2) AS DOUBLE) AS price
+        |FROM orders
+        |WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "o_orderkey BIGINT, status STRING, price DOUBLE")
+      Tables(spark, dir).orders
+        .filter(col("o_orderkey") < 1000)
+        .select(to_json(struct(col("o_orderkey"),
+          col("o_orderstatus").as("status"),
+          round(col("o_totalprice").cast(DecimalType(12, 2)), 2)
+            .cast("double").as("price"))).as("js"))
+        .select(from_json(col("js"), schema).as("rec"))
+        .select(col("rec.o_orderkey").as("o_orderkey"),
+          col("rec.status").as("status"), col("rec.price").as("price"))
+        .orderBy("o_orderkey")
     },
 
     // ---- str_to_map: delimited key=value text parsed into a map column,
