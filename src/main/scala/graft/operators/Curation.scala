@@ -231,6 +231,110 @@ object Curation {
         .orderBy("o_custkey", "version")
     },
 
+    // ---- capstone: the full curation pipeline as ONE query — exact
+    //      dedup ∩ near-dup dedup ∩ quality funnel ∩ decontamination,
+    //      composed from the same (individually hash-checked) fragments,
+    //      reporting the per-lang corpus that survives. The drops are
+    //      independent predicates (set intersection), so stage order
+    //      cannot change the result — the property that lets a 100 TB
+    //      run execute them as one fused pass instead of four
+    //      materialized corpus rewrites.
+    QueryDef.checked(
+      "q_curation_pipeline", {
+        val stopList = TextAnalysis.stopwords.map(s => s"'$s'")
+          .mkString("(", ", ", ")")
+        s"""WITH ${Dedup.duckPairsCtes},
+           |exact_keep AS (
+           |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+           |), losers AS (
+           |  SELECT DISTINCT doc_b AS doc_id FROM pairs
+           |), feats AS (
+           |  SELECT doc_id, lang,
+           |    len(string_split(text, ' ')) AS n_tokens,
+           |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+           |    len(list_filter(string_split(text, ' '), t -> t IN $stopList)) AS n_stop,
+           |    len(${Dedup.duckGrams}) AS n_grams,
+           |    len(list_distinct(${Dedup.duckGrams})) AS n_distinct_grams
+           |  FROM documents
+           |), verdicts AS (
+           |  SELECT doc_id, lang, n_tokens,
+           |    CASE WHEN n_tokens < 20 THEN 'too_short'
+           |         WHEN n_distinct * 5 < n_tokens THEN 'low_diversity'
+           |         WHEN n_stop * 2 > n_tokens THEN 'stopword_heavy'
+           |         WHEN (n_grams - n_distinct_grams) * 5 > n_grams THEN 'repetitive'
+           |         ELSE 'keep' END AS reason
+           |  FROM feats
+           |), grams AS (
+           |  SELECT DISTINCT doc_id, unnest(${Dedup.duckGrams}) AS gram FROM documents
+           |), bench AS (
+           |  SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+           |), contaminated AS (
+           |  SELECT g.doc_id
+           |  FROM grams g LEFT JOIN bench b ON g.gram = b.gram
+           |  WHERE g.doc_id % 97 <> 0
+           |  GROUP BY g.doc_id
+           |  HAVING count(b.gram) * 4 >= count(*)
+           |), kept AS (
+           |  SELECT v.doc_id, v.lang, v.n_tokens
+           |  FROM verdicts v
+           |  JOIN exact_keep e ON e.doc_id = v.doc_id
+           |  WHERE v.reason = 'keep'
+           |    AND v.doc_id % 97 <> 0
+           |    AND v.doc_id NOT IN (SELECT doc_id FROM losers)
+           |    AND v.doc_id NOT IN (SELECT doc_id FROM contaminated)
+           |)
+           |SELECT lang, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+           |FROM kept
+           |GROUP BY lang
+           |ORDER BY lang""".stripMargin
+      }) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      val stopArr = TextAnalysis.stopwords.map(s => s"'$s'")
+        .mkString("array(", ", ", ")")
+      // stage 1: exact-dup winners (keep min doc_id per content hash)
+      val exactKeep = docs.groupBy(sha2(col("text"), 256))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      // stage 2: near-dup losers (keep-first over minhash LSH pairs)
+      val losers = Dedup.minhashPairs(docs)
+        .select(col("doc_b").as("doc_id")).distinct()
+      // stage 3: quality funnel verdicts
+      val verdicts = docs
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("lang"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          size(expr(s"filter(toks, t -> array_contains($stopArr, t))")).as("n_stop"),
+          size(expr(Dedup.gramsExpr)).as("n_grams"),
+          size(array_distinct(expr(Dedup.gramsExpr))).as("n_distinct_grams"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          when(col("n_tokens") < 20, "too_short")
+            .when(col("n_distinct") * 5 < col("n_tokens"), "low_diversity")
+            .when(col("n_stop") * 2 > col("n_tokens"), "stopword_heavy")
+            .when((col("n_grams") - col("n_distinct_grams")) * 5 > col("n_grams"),
+              "repetitive")
+            .otherwise("keep").as("reason"))
+      // stage 4: decontamination (broadcast benchmark grams)
+      val grams = Dedup.gramRelation(docs).localCheckpoint()
+      val bench = grams.filter(col("doc_id") % 97 === 0)
+        .select("gram").distinct().withColumn("hit", lit(1))
+      val contaminated = grams.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hits"))
+        .filter(col("n_hits") * 4 >= col("n_grams"))
+        .select("doc_id")
+      verdicts
+        .filter(col("reason") === "keep" && col("doc_id") % 97 =!= 0)
+        .join(exactKeep, Seq("doc_id"), "left_semi")
+        .join(losers, Seq("doc_id"), "left_anti")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"))
+        .orderBy("lang")
+    },
+
     // ---- text line-format roundtrip: the log/CSV-adjacent source+sink
     //      of §2B "Sources / sinks" — write TSV lines with write.text,
     //      read them back with read.text, re-parse, aggregate. Oracle
