@@ -292,14 +292,27 @@ object Curation {
       val docs = Tables(spark, dir).documents
       val stopArr = TextAnalysis.stopwords.map(s => s"'$s'")
         .mkString("array(", ", ", ")")
+      // The three filter relations reduce to doc-id sets, orders of
+      // magnitude below the corpus (winners ≈ distinct docs; losers and
+      // contaminated are duplicate/contamination-bounded). Materialize
+      // each once and broadcast it into the final pass — otherwise the
+      // fused plan re-derives their full subtrees (content-hash shuffle,
+      // LSH pipeline, gram join) inside the join stage.
       // stage 1: exact-dup winners (keep min doc_id per content hash)
       val exactKeep = docs.groupBy(sha2(col("text"), 256))
         .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+        .localCheckpoint()
       // stage 2: near-dup losers (keep-first over minhash LSH pairs)
       val losers = Dedup.minhashPairs(docs)
         .select(col("doc_b").as("doc_id")).distinct()
-      // stage 3: quality funnel verdicts
-      val verdicts = docs
+        .localCheckpoint()
+      // stage 3: quality funnel verdicts. The feature projection is
+      // CHECKPOINTED before the keep-filter: fused into a Filter (or the
+      // scan's DataFilters), the collapsed expression loses projection-
+      // level common-subexpression elimination and re-tokenizes each doc
+      // ~10× per row (measured 12s vs 2s for the whole pipeline at
+      // sf0.1). Materialized, it is seven small ints per doc.
+      val feats = docs
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), col("lang"),
           size(col("toks")).as("n_tokens"),
@@ -307,6 +320,8 @@ object Curation {
           size(expr(s"filter(toks, t -> array_contains($stopArr, t))")).as("n_stop"),
           size(expr(Dedup.gramsExpr)).as("n_grams"),
           size(array_distinct(expr(Dedup.gramsExpr))).as("n_distinct_grams"))
+        .localCheckpoint()
+      val verdicts = feats
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           when(col("n_tokens") < 20, "too_short")
             .when(col("n_distinct") * 5 < col("n_tokens"), "low_diversity")
@@ -324,11 +339,14 @@ object Curation {
         .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hits"))
         .filter(col("n_hits") * 4 >= col("n_grams"))
         .select("doc_id")
+        .localCheckpoint()
+      // final pass: three broadcast id-set joins over the thin relation
       verdicts
         .filter(col("reason") === "keep" && col("doc_id") % 97 =!= 0)
-        .join(exactKeep, Seq("doc_id"), "left_semi")
-        .join(losers, Seq("doc_id"), "left_anti")
-        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "n_tokens")
+        .join(broadcast(exactKeep), Seq("doc_id"), "left_semi")
+        .join(broadcast(losers), Seq("doc_id"), "left_anti")
+        .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).cast("long").as("total_tokens"))
