@@ -337,6 +337,51 @@ object StreamingOps {
         .orderBy("click_id", "purchase_id")
     },
 
+    // ---- parquet file sink + checkpoint: append-mode finalized windows
+    //      written to durable files — the production sink shape (the
+    //      memory sink elsewhere is a test harness). Each run gets a
+    //      fresh sink+checkpoint dir; at 100 TB the checkpoint is the
+    //      restart contract and the sink is append-only object storage.
+    QueryDef.checked(
+      "q_stream_parquet_sink",
+      """SELECT date_trunc('hour', ts) AS window_start, count(*) AS n
+        |FROM events
+        |WHERE date_trunc('hour', ts) + INTERVAL '1 hour'
+        |      <= (SELECT max(ts) FROM events) - INTERVAL '2 hours'
+        |GROUP BY date_trunc('hour', ts)
+        |ORDER BY window_start""".stripMargin) { (spark, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_psink_")
+      val sinkDir = base.resolve("out").toString
+      val ckptDir = base.resolve("ckpt").toString
+      val agg = eventsStream(spark, dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("n"))
+      // same per-query sizing as runToMemory: no-data batch ON (the
+      // final watermark advance flushes), state partitions right-sized
+      val overrides = Seq(
+        "spark.sql.streaming.noDataMicroBatches.enabled" -> "true",
+        "spark.sql.shuffle.partitions" -> "8")
+      val prev = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+      overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val q = agg.writeStream
+          .format("parquet")
+          .option("path", sinkDir)
+          .option("checkpointLocation", ckptDir)
+          .outputMode("append")
+          .start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      } finally {
+        prev.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None)    => spark.conf.unset(k)
+        }
+      }
+      spark.read.parquet(sinkDir).orderBy("window_start")
+    },
+
     // ---- state API v2 (transformWithState + RocksDB): per-type running
     //      totals in a named ValueState slot — the Spark 4 arbitrary-state
     //      surface alongside the mapGroupsWithState query below. RocksDB
