@@ -17,7 +17,17 @@ final case class CloneConfig(
       * crashed writer and broken (reference prints remediation SQL for
       * the stuck-connection case, clone_databases.sh:645-703; here the
       * engine self-heals). */
-    lockTtlMs: Long = 60L * 60L * 1000L) {
+    lockTtlMs: Long = 60L * 60L * 1000L,
+    /** Source connector. Path-based formats (parquet/orc/csv/json) load
+      * `sourceDir/table`; connector formats (jdbc, mongodb, a custom
+      * DSv2 TableProvider) load from `sourceOptions` with the table name
+      * injected under [[tableOptionKey]] — e.g. "dbtable" for JDBC
+      * ([[ConnectorOptions.jdbcRead]]), "collection" for Mongo. This is
+      * how one pipeline clones FROM a live database INTO parquet. */
+    sourceFormat: String = "parquet",
+    sourceOptions: Map[String, String] = Map.empty,
+    pathBasedSource: Boolean = true,
+    tableOptionKey: String = "dbtable") {
 
   def sourcePath(table: String): String = s"$sourceDir/$table"
 

@@ -49,14 +49,46 @@ final class ClonePipeline(spark: SparkSession, config: CloneConfig) {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Schema with all nullability flags (incl. nested) forced true, for
+    * structure-only comparison. */
+  private def relaxed(s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def relax(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        f.copy(dataType = relax(f.dataType), nullable = true)))
+      case ArrayType(et, _)     => ArrayType(relax(et), containsNull = true)
+      case MapType(kt, vt, _)   => MapType(relax(kt), relax(vt), valueContainsNull = true)
+      case other                => other
+    }
+    relax(s).asInstanceOf[StructType]
+  }
+
+  /** Source reader, dispatching on the configured connector: path-based
+    * formats read `sourceDir/table`; connector formats (JDBC/Mongo/
+    * custom DSv2) read from options with the table name injected. */
+  private def readSource(table: String): DataFrame =
+    if (config.pathBasedSource)
+      spark.read.format(config.sourceFormat)
+        .options(config.sourceOptions).load(config.sourcePath(table))
+    else
+      spark.read.format(config.sourceFormat)
+        .options(config.sourceOptions + (config.tableOptionKey -> table))
+        .load()
+
   /** Connectivity probe — the `SELECT 1` / `ping` analogue
     * (clone_databases.sh:137-190): cheap read of one source table. */
   def testConnection(): Boolean =
-    try { spark.read.parquet(config.sourcePath(config.tables.head)).limit(1).count() >= 0 }
+    try { readSource(config.tables.head).limit(1).count() >= 0 }
     catch { case _: Throwable => false }
 
-  /** Source-existence validation (clone_databases.sh:612-622). */
-  def validateSource(table: String): Boolean = exists(config.sourcePath(table))
+  /** Source-existence validation (clone_databases.sh:612-622): a file
+    * existence check for path sources, a one-row read probe for
+    * connector sources (the `listCollections limit 1` analogue,
+    * clone_databases.sh:715-765). */
+  def validateSource(table: String): Boolean =
+    if (config.pathBasedSource) exists(config.sourcePath(table))
+    else try { readSource(table).limit(1).count() >= 0 }
+    catch { case _: Throwable => false }
 
   /** Advisory lock — the write-isolation analogue of the reference's
     * abort-if-active-connections guard (clone_databases.sh:625-708): a
@@ -103,7 +135,7 @@ final class ClonePipeline(spark: SparkSession, config: CloneConfig) {
         return CloneResult(table, tgt, "skipped_exists", 0L,
           schemaMatches = true, backedUp = false, "")
 
-      val src = spark.read.parquet(config.sourcePath(table))
+      val src = readSource(table)
 
       val backedUp = if (config.backupBeforeClone && exists(tgt)) {
         // pre-overwrite snapshot (clone_databases.sh:203-217): must
@@ -129,9 +161,12 @@ final class ClonePipeline(spark: SparkSession, config: CloneConfig) {
       val srcN = obs.get("rows").asInstanceOf[Long]
 
       // post-clone verification (clone_databases.sh:480-551): read back,
-      // compare schema and row count
+      // compare schema and row count. Structure (names + types) must
+      // match exactly; nullability is normalized — a connector source
+      // may declare NOT NULL fields that parquet reads back as nullable,
+      // and that physical relaxation is not a data-loss condition.
       val back = spark.read.parquet(tgt)
-      val schemaOk = back.schema == src.schema
+      val schemaOk = relaxed(back.schema) == relaxed(src.schema)
       val n = back.count()
       if (!schemaOk || n != srcN)
         CloneResult(table, tgt, "failed", n, schemaOk, backedUp,
@@ -166,7 +201,7 @@ final class ClonePipeline(spark: SparkSession, config: CloneConfig) {
       if (!exists(tgt))
         throw new IllegalStateException(
           s"incremental clone requires an existing full clone at $tgt")
-      val delta = spark.read.parquet(config.sourcePath(table))
+      val delta = readSource(table)
         .filter(org.apache.spark.sql.functions.col(watermarkCol) >
           org.apache.spark.sql.functions.lit(lastValue))
       val obs = org.apache.spark.sql.Observation(

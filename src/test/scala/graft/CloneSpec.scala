@@ -168,4 +168,23 @@ class CloneSpec extends SparkSpec {
     val uri = ConnectorOptions.mongoUri("m1", 27017, "user@x", "p w:1")
     assert(uri == "mongodb://user%40x:p%20w%3A1@m1:27017/?authSource=admin")
   }
+
+  test("clone from a DSv2 connector source into parquet targets") {
+    val target = Files.createTempDirectory("graft_clone_dsv2_").toString
+    val cfg = CloneConfig(
+      sourceDir = "", targetDir = target,
+      tables = Seq("synth_events"),
+      prefix = "preprod_",
+      sourceFormat = "graft.sources.SyntheticSource",
+      sourceOptions = Map("numRows" -> "5000", "numPartitions" -> "4"),
+      pathBasedSource = false)
+    val pipe = ClonePipeline(spark, cfg)
+    assert(pipe.testConnection())
+    assert(pipe.validateSource("synth_events"))
+    val results = pipe.run()
+    assert(results.forall(_.status == "cloned"), results.mkString("; "))
+    val cloned = spark.read.parquet(s"$target/preprod_synth_events")
+    assert(cloned.count() == 5000)
+    assert(cloned.columns.toSeq == Seq("id", "grp", "val"))
+  }
 }
