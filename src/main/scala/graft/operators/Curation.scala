@@ -353,6 +353,48 @@ object Curation {
         .orderBy("lang")
     },
 
+    // ---- record linkage (blocked fuzzy join): a deterministically
+    //      dirtied copy of the customer names (one character overlaid at
+    //      a key-dependent position) re-linked to the clean table by
+    //      blocking key + Levenshtein threshold. Blocking is the scale
+    //      lever: candidates form within tail-digit blocks (cardinality
+    //      grows with data, no hot keys) instead of the quadratic
+    //      cross join; the edit-distance check runs only inside blocks.
+    QueryDef.checked(
+      "q_fuzzy_join",
+      """WITH dirty AS (
+        |  SELECT c_custkey AS dirty_id,
+        |    concat(substring(c_name, 1, 9 + c_custkey % 5), 'X',
+        |           substring(c_name, 11 + c_custkey % 5)) AS dirty_name,
+        |    substring(c_name, 16, 3) AS blk
+        |  FROM customer
+        |), clean AS (
+        |  SELECT c_custkey AS clean_id, c_name,
+        |    substring(c_name, 16, 3) AS blk
+        |  FROM customer
+        |)
+        |SELECT clean_id, dirty_id,
+        |  levenshtein(c_name, dirty_name) AS lev
+        |FROM clean JOIN dirty USING (blk)
+        |WHERE levenshtein(c_name, dirty_name) <= 1
+        |ORDER BY clean_id, dirty_id""".stripMargin) { (spark, dir) =>
+      val cust = Tables(spark, dir).customer
+      val dirty = cust.select(
+        col("c_custkey").as("dirty_id"),
+        concat(
+          expr("substring(c_name, 1, 9 + c_custkey % 5)"),
+          lit("X"),
+          expr("substring(c_name, 11 + c_custkey % 5)")).as("dirty_name"),
+        substring(col("c_name"), 16, 3).as("blk"))
+      val clean = cust.select(col("c_custkey").as("clean_id"),
+        col("c_name"), substring(col("c_name"), 16, 3).as("blk"))
+      clean.join(dirty, Seq("blk"))
+        .select(col("clean_id"), col("dirty_id"),
+          levenshtein(col("c_name"), col("dirty_name")).as("lev"))
+        .filter(col("lev") <= 1)
+        .orderBy("clean_id", "dirty_id")
+    },
+
     // ---- text line-format roundtrip: the log/CSV-adjacent source+sink
     //      of §2B "Sources / sinks" — write TSV lines with write.text,
     //      read them back with read.text, re-parse, aggregate. Oracle
