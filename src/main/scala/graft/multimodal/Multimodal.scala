@@ -139,18 +139,20 @@ object Multimodal {
         |      i -> substring(hx, i * 512 + 1, 512)), '')) AS sample_sig
         |FROM f
         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      // sequence(0, -1) yields a DESCENDING [0, -1] rather than the
+      // empty array DuckDB's range(0) gives — the i < n_frames guard in
+      // the filter keeps an empty document byte-identical to the oracle
+      val frameIdx =
+        "filter(sequence(0, greatest(n_frames - 1, 0)), i -> i < n_frames AND i % 4 = 0)"
       Tables(spark, dir).documents
         .select(col("doc_id"),
           hex(encode(col("text"), "UTF-8")).as("hx"),
           expr("octet_length(encode(text, 'UTF-8'))").as("nb"))
         .withColumn("n_frames", ceil(col("nb") / 256.0).cast("int"))
         .select(col("doc_id"), col("nb").as("n_bytes"), col("n_frames"),
-          size(expr("filter(sequence(0, n_frames - 1), i -> i % 4 = 0)"))
-            .as("n_sampled"),
+          size(expr(frameIdx)).as("n_sampled"),
           md5(expr(
-            """concat_ws('', transform(
-              |  filter(sequence(0, n_frames - 1), i -> i % 4 = 0),
-              |  i -> substring(hx, i * 512 + 1, 512)))""".stripMargin))
+            s"concat_ws('', transform($frameIdx, i -> substring(hx, i * 512 + 1, 512)))"))
             .as("sample_sig"))
         .orderBy("doc_id")
     },

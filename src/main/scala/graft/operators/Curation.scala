@@ -292,15 +292,21 @@ object Curation {
       val docs = Tables(spark, dir).documents
       val stopArr = TextAnalysis.stopwords.map(s => s"'$s'")
         .mkString("array(", ", ", ")")
-      // The three filter relations reduce to doc-id sets, orders of
-      // magnitude below the corpus (winners ≈ distinct docs; losers and
-      // contaminated are duplicate/contamination-bounded). Materialize
-      // each once and broadcast it into the final pass — otherwise the
-      // fused plan re-derives their full subtrees (content-hash shuffle,
-      // LSH pipeline, gram join) inside the join stage.
-      // stage 1: exact-dup winners (keep min doc_id per content hash)
-      val exactKeep = docs.groupBy(sha2(col("text"), 256))
-        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      // Every filter relation is a DROP set, duplicate/contamination-
+      // bounded (≪ corpus even when the corpus is mostly unique) — so
+      // each can broadcast. The exact-dedup stage therefore materializes
+      // its LOSERS (docs that are not the min id for their content hash),
+      // not the winner set, which would be corpus-sized. Materialize each
+      // once — otherwise the fused plan re-derives the full subtrees
+      // (content-hash shuffle, LSH pipeline, gram join) inside the join
+      // stage.
+      // stage 1: exact-dup losers (keep-min-doc_id policy, inverted)
+      val hashWin = Window.partitionBy("h")
+      val exactLosers = docs
+        .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+        .withColumn("keep_id", min(col("doc_id")).over(hashWin))
+        .filter(col("doc_id") =!= col("keep_id"))
+        .select("doc_id")
         .localCheckpoint()
       // stage 2: near-dup losers (keep-first over minhash LSH pairs)
       val losers = Dedup.minhashPairs(docs)
@@ -340,11 +346,12 @@ object Curation {
         .filter(col("n_hits") * 4 >= col("n_grams"))
         .select("doc_id")
         .localCheckpoint()
-      // final pass: three broadcast id-set joins over the thin relation
+      // final pass: three broadcast drop-set anti joins over the thin
+      // relation (anti on exact losers ≡ semi on exact winners)
       verdicts
         .filter(col("reason") === "keep" && col("doc_id") % 97 =!= 0)
         .select("doc_id", "lang", "n_tokens")
-        .join(broadcast(exactKeep), Seq("doc_id"), "left_semi")
+        .join(broadcast(exactLosers), Seq("doc_id"), "left_anti")
         .join(broadcast(losers), Seq("doc_id"), "left_anti")
         .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
         .groupBy("lang")

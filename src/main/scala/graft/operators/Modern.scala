@@ -98,6 +98,7 @@ object Modern {
       val perSeg = joined.groupBy("c_mktsegment")
         .agg(countDistinct(col("o_custkey")).as("exact_custs"),
           hll_sketch_agg(col("o_custkey")).as("sketch"))
+        .localCheckpoint() // feeds the union roll-up AND the result scan
       val exactTotal = t.orders.select(countDistinct(col("o_custkey")))
         .first().getLong(0)
       // roll the per-segment sketches up into one global sketch — the

@@ -49,13 +49,17 @@ final class ClonePipeline(spark: SparkSession, config: CloneConfig) {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Schema with all nullability flags (incl. nested) forced true, for
-    * structure-only comparison. */
+  /** Schema normalized for structure-only comparison: all nullability
+    * flags (incl. nested) forced true and field METADATA stripped — a
+    * JDBC source attaches metadata (scale, CHAR/VARCHAR type strings)
+    * that a lossless parquet round trip does not preserve, and neither
+    * difference is a data-loss condition. */
   private def relaxed(s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     def relax(dt: DataType): DataType = dt match {
       case st: StructType => StructType(st.fields.map(f =>
-        f.copy(dataType = relax(f.dataType), nullable = true)))
+        f.copy(dataType = relax(f.dataType), nullable = true,
+          metadata = Metadata.empty)))
       case ArrayType(et, _)     => ArrayType(relax(et), containsNull = true)
       case MapType(kt, vt, _)   => MapType(relax(kt), relax(vt), valueContainsNull = true)
       case other                => other

@@ -68,11 +68,14 @@ final class SyntheticTable(numRows: Long, numPartitions: Int)
       private var required: StructType = SyntheticSource.schema
 
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        // saturating +1: v = Long.MaxValue must not wrap to MinValue and
+        // prune everything (the bound is a no-op there anyway)
+        def inc(v: Long): Long = if (v == Long.MaxValue) v else v + 1
         accepted = filters.collect {
           case f @ GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v); f
-          case f @ GreaterThan("id", v: Long)        => lo = math.max(lo, v + 1); f
+          case f @ GreaterThan("id", v: Long)        => lo = math.max(lo, inc(v)); f
           case f @ LessThan("id", v: Long)           => hi = math.min(hi, v); f
-          case f @ LessThanOrEqual("id", v: Long)    => hi = math.min(hi, v + 1); f
+          case f @ LessThanOrEqual("id", v: Long)    => hi = math.min(hi, inc(v)); f
         }
         // conservatively report everything as residual: Spark re-evaluates,
         // so a narrowing bug can cost performance but never correctness

@@ -106,36 +106,37 @@ object StreamingOps {
     * a time on this session (true for Verify/Bench, which are strictly
     * sequential); concurrent streaming runs on a shared session would
     * race on the restore and must set the conf per-query instead. */
-  private def runToMemory(df: DataFrame, name: String, mode: String,
-      noDataBatches: Boolean = false,
-      extra: Seq[(String, String)] = Nil): DataFrame = {
-    val spark = df.sparkSession
-    // State-store partition count is frozen from shuffle.partitions at
-    // query start, and every micro-batch pays one state commit (snapshot
-    // + delta file + maintenance) PER PARTITION regardless of row count.
-    // Size it to the streaming workload, not the batch default: these
-    // finite replays carry at most a few hundred thousand rows, so 8
-    // partitions keeps all cores busy while quartering the per-batch
-    // state-commit constant. On a real cluster this is the same knob you
-    // would set to O(executor cores) for the expected state volume —
-    // sizing it is part of the operator, not a bench hack.
+  /** Run `body` with streaming confs scoped to the query: state-store
+    * partition count frozen from shuffle.partitions at query start is
+    * sized to the workload (8 — every micro-batch pays one state commit
+    * PER PARTITION regardless of row count; on a cluster this is the
+    * same knob sized to O(executor cores) for the expected state
+    * volume), plus any per-query extras; everything restores after. */
+  private def withStreamConfs[T](spark: SparkSession,
+      noDataBatches: Boolean, extra: Seq[(String, String)])(body: => T): T = {
     val overrides = Seq(
       "spark.sql.streaming.noDataMicroBatches.enabled" -> noDataBatches.toString,
       "spark.sql.shuffle.partitions" -> "8") ++ extra
     val prev = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
     overrides.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  private def runToMemory(df: DataFrame, name: String, mode: String,
+      noDataBatches: Boolean = false,
+      extra: Seq[(String, String)] = Nil): DataFrame = {
+    val spark = df.sparkSession
+    withStreamConfs(spark, noDataBatches, extra) {
       val q = df.writeStream
         .format("memory")
         .queryName(name)
         .outputMode(mode)
         .start()
       try { q.processAllAvailable() } finally { q.stop() }
-    } finally {
-      prev.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None)    => spark.conf.unset(k)
-      }
     }
     spark.table(name)
   }
@@ -350,6 +351,8 @@ object StreamingOps {
         |      <= (SELECT max(ts) FROM events) - INTERVAL '2 hours'
         |GROUP BY date_trunc('hour', ts)
         |ORDER BY window_start""".stripMargin) { (spark, dir) =>
+      // fresh dirs per run — an append sink on a reused path would
+      // accumulate previous runs' files into the result
       val base = java.nio.file.Files.createTempDirectory("graft_psink_")
       val sinkDir = base.resolve("out").toString
       val ckptDir = base.resolve("ckpt").toString
@@ -358,14 +361,7 @@ object StreamingOps {
         .groupBy(window(col("ts"), "1 hour"))
         .agg(count(lit(1)).as("n"))
         .select(col("window.start").as("window_start"), col("n"))
-      // same per-query sizing as runToMemory: no-data batch ON (the
-      // final watermark advance flushes), state partitions right-sized
-      val overrides = Seq(
-        "spark.sql.streaming.noDataMicroBatches.enabled" -> "true",
-        "spark.sql.shuffle.partitions" -> "8")
-      val prev = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
-      overrides.foreach { case (k, v) => spark.conf.set(k, v) }
-      try {
+      withStreamConfs(spark, noDataBatches = true, extra = Nil) {
         val q = agg.writeStream
           .format("parquet")
           .option("path", sinkDir)
@@ -373,13 +369,21 @@ object StreamingOps {
           .outputMode("append")
           .start()
         try { q.processAllAvailable() } finally { q.stop() }
-      } finally {
-        prev.foreach {
-          case (k, Some(v)) => spark.conf.set(k, v)
-          case (k, None)    => spark.conf.unset(k)
-        }
       }
-      spark.read.parquet(sinkDir).orderBy("window_start")
+      // explicit schema: a run whose watermark finalizes no window leaves
+      // zero data files, where schema inference would throw instead of
+      // yielding the (correct) empty result. The materialized read also
+      // lets the temp sink+checkpoint dirs be deleted immediately —
+      // these are run-scoped, unlike the Staging-keyed reusable layouts.
+      val out = spark.read
+        .schema(StructType(Seq(
+          StructField("window_start", TimestampType),
+          StructField("n", LongType))))
+        .parquet(sinkDir)
+        .orderBy("window_start")
+        .localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      out
     },
 
     // ---- state API v2 (transformWithState + RocksDB): per-type running

@@ -102,6 +102,23 @@ class ModernSpec extends SparkSpec {
       || !pruned.contains("id"), pruned.take(300))
   }
 
+  test("DSv2 pushdown bound at Long.MaxValue does not overflow-prune") {
+    val src = spark.read
+      .format("graft.sources.SyntheticSource")
+      .option("numRows", "100").option("numPartitions", "4").load()
+    assert(src.filter(col("id") <= Long.MaxValue).count() == 100)
+    assert(src.filter(col("id") > Long.MaxValue).count() == 0)
+  }
+
+  test("DSv2 counting sink supports overwrite mode (truncate hook)") {
+    import graft.sources.CountingSink
+    CountingSink.results.remove("ow")
+    Tables(spark, sf).region
+      .write.format("graft.sources.CountingSink")
+      .option("tag", "ow").mode("overwrite").save()
+    assert(CountingSink.results.get("ow") == Tables(spark, sf).region.count())
+  }
+
   test("DSv2 counting sink commits per-writer counts through the 2PC path") {
     import graft.sources.CountingSink
     CountingSink.results.remove("spec")
