@@ -241,8 +241,7 @@ object Curation {
     //      materialized corpus rewrites.
     QueryDef.checked(
       "q_curation_pipeline", {
-        val stopList = TextAnalysis.stopwords.map(s => s"'$s'")
-          .mkString("(", ", ", ")")
+        val stopList = TextAnalysis.stopSqlList
         s"""WITH ${Dedup.duckPairsCtes},
            |exact_keep AS (
            |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
@@ -290,8 +289,7 @@ object Curation {
            |ORDER BY lang""".stripMargin
       }) { (spark, dir) =>
       val docs = Tables(spark, dir).documents
-      val stopArr = TextAnalysis.stopwords.map(s => s"'$s'")
-        .mkString("array(", ", ", ")")
+      val stopArr = TextAnalysis.stopArrLit
       // Every filter relation is a DROP set, duplicate/contamination-
       // bounded (≪ corpus even when the corpus is mostly unique) — so
       // each can broadcast. The exact-dedup stage therefore materializes

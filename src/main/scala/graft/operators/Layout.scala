@@ -34,12 +34,15 @@ import Parity._
   */
 object Layout {
 
-  /** Catalog-safe tag for the scale-factor dir, so each SF gets its own
-    * bucketed tables (the bench warm-up at sf0.001 must not overwrite the
-    * timed sf0.1 tables mid-session). md5-based — a 32-bit hashCode
-    * collision between two dirs would silently clobber the other run's
-    * tables mid-bench. */
-  private def tag(dir: String): String = graft.util.Staging.pathTag(dir)
+  /** Catalog-safe tag for (scale-factor dir × layout spec): each SF gets
+    * its own staged tables (the bench warm-up at sf0.001 must not
+    * overwrite the timed sf0.1 tables mid-session), and a CHANGED layout
+    * spec — bucket count, bucket column, projected schema — hashes to a
+    * new name instead of silently serving the stale files. The source
+    * parquet itself is immutable by environment contract (TESTDATA.md);
+    * mutable sources would need a content fingerprint here too. */
+  private def tag(dir: String, layoutSpec: String): String =
+    graft.util.Staging.pathTag(s"$dir|$layoutSpec")
 
   /** Ensure a bucketed managed table exists, writing it at most once per
     * immutable source dir. Bucketing is an INGEST-time layout decision:
@@ -83,9 +86,8 @@ object Layout {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
       val t = Tables(spark, dir)
-      val suffix = tag(dir)
-      val ordersTbl = s"graft_bkt_orders_$suffix"
-      val lineitemTbl = s"graft_bkt_lineitem_$suffix"
+      val ordersTbl = s"graft_bkt_orders_${tag(dir, "b8/o_orderkey/key+priority")}"
+      val lineitemTbl = s"graft_bkt_lineitem_${tag(dir, "b8/l_orderkey/key+price+disc")}"
       ensureBucketedTable(spark, ordersTbl,
         "o_orderkey BIGINT, o_orderpriority STRING", "o_orderkey") { n =>
         t.orders.select("o_orderkey", "o_orderpriority")
@@ -122,8 +124,10 @@ object Layout {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin) { (spark, dir) =>
       // day-partitioned layout is an ingest-time artifact too: write it
-      // once per immutable source dir, reuse on every later scan
-      val staged = graft.util.Staging.dir("graft_events_bydate_", dir)
+      // once per immutable source dir (keyed by dir × partition spec),
+      // reuse on every later scan
+      val staged = graft.util.Staging.dir("graft_events_bydate_",
+        s"$dir|partitionBy=event_date")
       val marker = new org.apache.hadoop.fs.Path(staged, "_SUCCESS")
       val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(marker))

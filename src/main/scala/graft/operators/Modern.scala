@@ -221,9 +221,11 @@ object Modern {
       kept.write.mode("overwrite").format("noop").save() // the one real pass
       val m = obs.get
       import spark.implicits._
+      // sum over zero matching rows observes as null — keep it null (the
+      // oracle's SUM is NULL there too), not a silently-unboxed 0.0
       Seq((m("n_scanned").asInstanceOf[Long],
         m("n_kept").asInstanceOf[Long],
-        m("kept_revenue").asInstanceOf[Double]))
+        Option(m("kept_revenue")).map(_.asInstanceOf[Double])))
         .toDF("n_scanned", "n_kept", "kept_revenue")
     },
 
@@ -279,7 +281,8 @@ object Modern {
         |FROM merged
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
-      val staged = graft.util.Staging.dir("graft_schema_evo_", dir)
+      val staged = graft.util.Staging.dir("graft_schema_evo_",
+        s"$dir|v1=key,status|v2=+priority")
       val marker = new org.apache.hadoop.fs.Path(s"$staged/v2/_SUCCESS")
       val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(marker)) { // immutable input → write the versions once

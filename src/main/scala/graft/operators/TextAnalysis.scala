@@ -17,7 +17,14 @@ object TextAnalysis {
   /** Stopword lexicon used by the quality score (tokens present in the
     * corpus vocabulary — FIXTURES.md word-soup). */
   private[operators] val stopwords = Seq("the", "a", "of", "and")
-  private val stopSqlList = stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** The lexicon quoted for a DuckDB IN-list / a Spark SQL array literal
+    * — single definitions so Training/Curation cannot drift from the
+    * queries here. */
+  private[operators] val stopSqlList =
+    stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+  private[operators] val stopArrLit =
+    stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -111,7 +118,7 @@ object TextAnalysis {
          |    AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.5) AS keep
          |FROM feats
          |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-      val stopArr = stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
+      val stopArr = stopArrLit
       Tables(spark, dir).documents
         .select(col("doc_id"),
           size(split(col("text"), " ")).as("n_tokens"),

@@ -29,10 +29,8 @@ import graft.Tables
   */
 object Training {
 
-  private val stopSqlList =
-    TextAnalysis.stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
-  private val stopArr =
-    TextAnalysis.stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
+  private val stopSqlList = TextAnalysis.stopSqlList
+  private val stopArr = TextAnalysis.stopArrLit
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -18,16 +18,20 @@ final case class CloneConfig(
       * the stuck-connection case, clone_databases.sh:645-703; here the
       * engine self-heals). */
     lockTtlMs: Long = 60L * 60L * 1000L,
-    /** Source connector. Path-based formats (parquet/orc/csv/json) load
-      * `sourceDir/table`; connector formats (jdbc, mongodb, a custom
-      * DSv2 TableProvider) load from `sourceOptions` with the table name
+    /** Source connector. Path-based formats (parquet/orc/csv/json/text)
+      * load `sourceDir/table`; any other format (jdbc, mongodb, a custom
+      * DSv2 TableProvider) loads from `sourceOptions` with the table name
       * injected under [[tableOptionKey]] — e.g. "dbtable" for JDBC
       * ([[ConnectorOptions.jdbcRead]]), "collection" for Mongo. This is
       * how one pipeline clones FROM a live database INTO parquet. */
     sourceFormat: String = "parquet",
     sourceOptions: Map[String, String] = Map.empty,
-    pathBasedSource: Boolean = true,
     tableOptionKey: String = "dbtable") {
+
+  /** Derived, not configured — a second knob here was a misconfiguration
+    * trap (sourceFormat = "jdbc" with a forgotten flag would path-load). */
+  def pathBasedSource: Boolean =
+    CloneConfig.pathFormats.contains(sourceFormat.toLowerCase)
 
   def sourcePath(table: String): String = s"$sourceDir/$table"
 
@@ -41,6 +45,10 @@ final case class CloneConfig(
 }
 
 object CloneConfig {
+
+  /** Formats that read `sourceDir/table` paths; everything else is a
+    * connector addressed via options. */
+  private val pathFormats = Set("parquet", "orc", "csv", "json", "text", "xml", "avro")
 
   /** Required keys, mirroring the per-type required-var check
     * (clone_databases.sh:78-84). */

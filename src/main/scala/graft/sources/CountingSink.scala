@@ -51,9 +51,12 @@ final class CountingSinkTable(schema0: StructType, tag: String)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
-      // the advertised TRUNCATE capability needs the builder hook too —
-      // counting an overwrite is the same as counting an append
-      override def truncate(): WriteBuilder = this
+      // truncate-then-write semantics: an overwrite REPLACES the tag's
+      // count (mirroring a truncated table's contents), an append merges
+      // — otherwise a re-run in overwrite mode would double-count and
+      // break the sink's "saw exactly N rows" contract
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new BatchWrite {
           override def createBatchWriterFactory(
@@ -62,7 +65,8 @@ final class CountingSinkTable(schema0: StructType, tag: String)
 
           override def commit(messages: Array[WriterCommitMessage]): Unit = {
             val total = messages.map { case RowsWritten(n) => n }.sum
-            CountingSink.results.merge(tag, total, (a, b) => a + b)
+            if (replace) CountingSink.results.put(tag, total)
+            else CountingSink.results.merge(tag, total, (a, b) => a + b)
           }
 
           override def abort(messages: Array[WriterCommitMessage]): Unit = ()

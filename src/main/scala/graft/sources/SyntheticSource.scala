@@ -34,10 +34,17 @@ class SyntheticSource extends TableProvider {
     SyntheticSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new SyntheticTable(
-      properties.getOrDefault("numRows", "100000").toLong,
+      properties: util.Map[String, String]): Table = {
+    val numRows = properties.getOrDefault("numRows", "100000").toLong
+    // id * 2654435761 must stay exact in signed 64-bit for the row
+    // contract to be DuckDB-reproducible (DuckDB errors on overflow
+    // where Java wraps); bound the domain rather than silently diverge
+    require(numRows <= Long.MaxValue / 2654435761L,
+      s"numRows=$numRows exceeds the exact-arithmetic domain " +
+        s"(max ${Long.MaxValue / 2654435761L})")
+    new SyntheticTable(numRows,
       properties.getOrDefault("numPartitions", "8").toInt)
+  }
 }
 
 object SyntheticSource {
@@ -104,14 +111,21 @@ final class SyntheticTable(numRows: Long, numPartitions: Int)
         (partition: InputPartition) => {
           val r = partition.asInstanceOf[SyntheticRange]
           new PartitionReader[InternalRow] {
+            // field dispatch resolved ONCE per partition from the pruned
+            // schema; get() is a fixed loop with no per-row name matching
+            private val gens: Array[Long => Any] = fields.map {
+              case "id"  => (i: Long) => i
+              case "grp" => (i: Long) => (i % 10).toInt
+              case "val" => (i: Long) => ((i * 2654435761L) % 1000L) / 100.0
+            }
+            private val row = new Array[Any](gens.length)
             private var i = r.start - 1
             override def next(): Boolean = { i += 1; i < r.end }
-            override def get(): InternalRow =
-              new GenericInternalRow(fields.map[Any] {
-                case "id"  => i
-                case "grp" => (i % 10).toInt
-                case "val" => ((i * 2654435761L) % 1000L) / 100.0
-              })
+            override def get(): InternalRow = {
+              var j = 0
+              while (j < gens.length) { row(j) = gens(j)(i); j += 1 }
+              new GenericInternalRow(row.clone())
+            }
             override def close(): Unit = ()
           }
         }

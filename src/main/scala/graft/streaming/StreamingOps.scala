@@ -91,27 +91,24 @@ object StreamingOps {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Run a streaming aggregation to completion into a memory sink and
-    * return the final table.
+  /** Run `body` with streaming confs scoped to the query, restoring the
+    * session after:
+    *   - state-store partition count (frozen from shuffle.partitions at
+    *     query start) is sized to the workload — 8, because every
+    *     micro-batch pays one state commit PER PARTITION regardless of
+    *     row count; on a cluster the same knob is sized to O(executor
+    *     cores) for the expected state volume;
+    *   - no-data micro-batches: OFF for complete/update-mode queries
+    *     (results emit in the data batches; the empty watermark-advance
+    *     batch would only add a state-commit cycle), ON for append-mode
+    *     queries, whose finalized windows only flush on that last
+    *     watermark advance;
+    *   - plus any per-query extras (e.g. the RocksDB provider).
     *
-    * No-data micro-batches are disabled: every query here emits its
-    * results in the data batches themselves (complete/update-mode aggs
-    * re-emit per batch; inner interval-join rows emit when matched), so
-    * the extra empty batch that exists only to advance the watermark
-    * would buy nothing and costs a full state-store commit cycle across
-    * all partitions. Queries relying on watermark-driven APPEND emission
-    * of aggregates must not use this helper without re-enabling it.
-    *
-    * The set/restore of the session-wide conf assumes queries run one at
-    * a time on this session (true for Verify/Bench, which are strictly
-    * sequential); concurrent streaming runs on a shared session would
-    * race on the restore and must set the conf per-query instead. */
-  /** Run `body` with streaming confs scoped to the query: state-store
-    * partition count frozen from shuffle.partitions at query start is
-    * sized to the workload (8 — every micro-batch pays one state commit
-    * PER PARTITION regardless of row count; on a cluster this is the
-    * same knob sized to O(executor cores) for the expected state
-    * volume), plus any per-query extras; everything restores after. */
+    * The set/restore assumes queries run one at a time on this session
+    * (true for Verify/Bench, strictly sequential); concurrent streaming
+    * runs on a shared session would race on the restore and must set
+    * the conf per-query instead. */
   private def withStreamConfs[T](spark: SparkSession,
       noDataBatches: Boolean, extra: Seq[(String, String)])(body: => T): T = {
     val overrides = Seq(
@@ -140,6 +137,26 @@ object StreamingOps {
     }
     spark.table(name)
   }
+
+  /** Hourly tumbling counts under a 2 h watermark — the append-mode
+    * finalized aggregate shared (with its oracle) by the memory-sink and
+    * parquet-sink queries, so a change to the finalization cut cannot
+    * leave the two silently diverging. The oracle mirrors append-mode
+    * emission by cutting at max(ts) − delay: windows the watermark never
+    * passes are withheld. */
+  private val appendFinalOracle =
+    """SELECT date_trunc('hour', ts) AS window_start, count(*) AS n
+      |FROM events
+      |WHERE date_trunc('hour', ts) + INTERVAL '1 hour'
+      |      <= (SELECT max(ts) FROM events) - INTERVAL '2 hours'
+      |GROUP BY date_trunc('hour', ts)
+      |ORDER BY window_start""".stripMargin
+
+  private def hourlyFinalizedAgg(spark: SparkSession, dir: String): DataFrame =
+    eventsStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -224,19 +241,9 @@ object StreamingOps {
     //      tail windows the watermark never passes are withheld, and the
     //      oracle reproduces that by cutting at max(ts) - 2h.
     QueryDef.checked(
-      "q_stream_append_final",
-      """SELECT date_trunc('hour', ts) AS window_start, count(*) AS n
-        |FROM events
-        |WHERE date_trunc('hour', ts) + INTERVAL '1 hour'
-        |      <= (SELECT max(ts) FROM events) - INTERVAL '2 hours'
-        |GROUP BY date_trunc('hour', ts)
-        |ORDER BY window_start""".stripMargin) { (spark, dir) =>
-      val agg = eventsStream(spark, dir)
-        .withWatermark("ts", "2 hours")
-        .groupBy(window(col("ts"), "1 hour"))
-        .agg(count(lit(1)).as("n"))
-      runToMemory(agg, "graft_stream_append_final", "append",
-        noDataBatches = true)
+      "q_stream_append_final", appendFinalOracle) { (spark, dir) =>
+      runToMemory(hourlyFinalizedAgg(spark, dir),
+        "graft_stream_append_final", "append", noDataBatches = true)
         .select(col("window.start").as("window_start"), col("n"))
         .orderBy("window_start")
     },
@@ -344,22 +351,13 @@ object StreamingOps {
     //      fresh sink+checkpoint dir; at 100 TB the checkpoint is the
     //      restart contract and the sink is append-only object storage.
     QueryDef.checked(
-      "q_stream_parquet_sink",
-      """SELECT date_trunc('hour', ts) AS window_start, count(*) AS n
-        |FROM events
-        |WHERE date_trunc('hour', ts) + INTERVAL '1 hour'
-        |      <= (SELECT max(ts) FROM events) - INTERVAL '2 hours'
-        |GROUP BY date_trunc('hour', ts)
-        |ORDER BY window_start""".stripMargin) { (spark, dir) =>
+      "q_stream_parquet_sink", appendFinalOracle) { (spark, dir) =>
       // fresh dirs per run — an append sink on a reused path would
       // accumulate previous runs' files into the result
       val base = java.nio.file.Files.createTempDirectory("graft_psink_")
       val sinkDir = base.resolve("out").toString
       val ckptDir = base.resolve("ckpt").toString
-      val agg = eventsStream(spark, dir)
-        .withWatermark("ts", "2 hours")
-        .groupBy(window(col("ts"), "1 hour"))
-        .agg(count(lit(1)).as("n"))
+      val agg = hourlyFinalizedAgg(spark, dir)
         .select(col("window.start").as("window_start"), col("n"))
       withStreamConfs(spark, noDataBatches = true, extra = Nil) {
         val q = agg.writeStream

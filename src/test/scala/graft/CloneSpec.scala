@@ -176,8 +176,7 @@ class CloneSpec extends SparkSpec {
       tables = Seq("synth_events"),
       prefix = "preprod_",
       sourceFormat = "graft.sources.SyntheticSource",
-      sourceOptions = Map("numRows" -> "5000", "numPartitions" -> "4"),
-      pathBasedSource = false)
+      sourceOptions = Map("numRows" -> "5000", "numPartitions" -> "4"))
     val pipe = ClonePipeline(spark, cfg)
     assert(pipe.testConnection())
     assert(pipe.validateSource("synth_events"))

@@ -110,13 +110,18 @@ class ModernSpec extends SparkSpec {
     assert(src.filter(col("id") > Long.MaxValue).count() == 0)
   }
 
-  test("DSv2 counting sink supports overwrite mode (truncate hook)") {
+  test("DSv2 counting sink overwrite replaces the tag count (truncate semantics)") {
     import graft.sources.CountingSink
     CountingSink.results.remove("ow")
-    Tables(spark, sf).region
+    def writeRegion(mode: String): Unit = Tables(spark, sf).region
       .write.format("graft.sources.CountingSink")
-      .option("tag", "ow").mode("overwrite").save()
-    assert(CountingSink.results.get("ow") == Tables(spark, sf).region.count())
+      .option("tag", "ow").mode(mode).save()
+    val n = Tables(spark, sf).region.count()
+    writeRegion("overwrite")
+    writeRegion("overwrite") // idempotent re-run must NOT double-count
+    assert(CountingSink.results.get("ow") == n)
+    writeRegion("append") // append on top of overwrite accumulates
+    assert(CountingSink.results.get("ow") == 2 * n)
   }
 
   test("DSv2 counting sink commits per-writer counts through the 2PC path") {
