@@ -20,7 +20,8 @@ object SparkEntry {
       graft.multimodal.Multimodal.defs ++
       PipelineQueries.defs ++ Extras.defs ++ TpchMore.defs ++ Stats.defs ++
       TpchFinal.defs ++ Clusters.defs ++ Sampling.defs ++ Layout.defs ++
-      Training.defs ++ SqlSurface.defs ++ Curation.defs ++ Modern.defs
+      Training.defs ++ SqlSurface.defs ++ Curation.defs ++ Modern.defs ++
+      Packing.defs
 
   require(allDefs.map(_.name).distinct.size == allDefs.size,
     "duplicate query names across operator families")

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Packing}
+
+/** Invariant tests for the packing/mixture family (beyond the DuckDB
+  * hash-check): bin-capacity and determinism laws for the greedy packer,
+  * coverage laws for passage windows, exact-target law for the epoch
+  * resampler, and the argmax law for cluster-canonical selection. */
+class PackingSpec extends SparkSpec {
+
+  private def prepped = Tables(spark, sf).documents
+    .select(col("doc_id"),
+      (Dedup.md5h64(col("doc_id").cast("string")) % Packing.PackShards).as("shard"),
+      size(split(col("text"), " ")).as("n_tok"))
+
+  test("greedy pack: no bin overflows unless it holds one oversized doc") {
+    val bins = Packing.greedyPack(prepped)
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("toks"))
+      .filter(col("toks") > Packing.BinCapacity && col("n_docs") > 1)
+    assert(bins.count() == 0)
+  }
+
+  test("greedy pack: bins are consecutive per shard and cover every doc") {
+    val packed = Packing.greedyPack(prepped)
+    assert(packed.count() == prepped.count())
+    val gaps = packed.select("shard", "bin").distinct()
+      .groupBy("shard")
+      .agg(min("bin").as("lo"), max("bin").as("hi"),
+        countDistinct("bin").as("n"))
+      .filter(col("lo") =!= 0 || col("hi") =!= col("n") - 1)
+    assert(gaps.count() == 0)
+  }
+
+  test("greedy pack: bin assignment is invariant to input partitioning") {
+    val a = Packing.greedyPack(prepped).orderBy("doc_id").collect()
+    val b = Packing.greedyPack(prepped.repartition(13)).orderBy("doc_id").collect()
+    val c = Packing.greedyPack(prepped.coalesce(1)).orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+    assert(a.sameElements(c))
+  }
+
+  test("greedy pack: first-fit closes a bin exactly when the next doc overflows") {
+    // replay one shard on the driver and compare bin-by-bin
+    val shard0 = prepped.filter(col("shard") === 0)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(2)))
+    var bin = 0L; var fill = 0L
+    val expected = shard0.map { case (id, n) =>
+      if (fill == 0L) fill = n
+      else if (fill + n > Packing.BinCapacity) { bin += 1; fill = n }
+      else fill += n
+      (id, bin)
+    }.toMap
+    val got = Packing.greedyPack(prepped).filter(col("shard") === 0)
+      .select("doc_id", "bin").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("passage windows cover every token and overlap by window minus stride") {
+    val rows = q("q_passage_windows")
+      .groupBy("doc_id")
+      .agg(max("p_idx").as("last_idx"), sum("n_ptok").as("toks_emitted"),
+        count(lit(1)).as("n_passages"))
+      .join(Tables(spark, sf).documents
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok")), "doc_id")
+    // every start s = stride*i with s < n_tok exists: n_passages = ceil(n_tok/stride)
+    val badCount = rows.filter(
+      col("n_passages") =!=
+        ceil(col("n_tok").cast("double") / Packing.PassageStride).cast("long"))
+    assert(badCount.count() == 0)
+    // last passage reaches the end of the doc: stride*last + n_ptok_last >= n_tok
+    val lastShort = q("q_passage_windows")
+      .withColumn("end", col("p_idx") * Packing.PassageStride + col("n_ptok"))
+      .groupBy("doc_id").agg(max("end").as("max_end"))
+      .join(rows.select("doc_id", "n_tok"), "doc_id")
+      .filter(col("max_end") =!= col("n_tok"))
+    assert(lastShort.count() == 0)
+  }
+
+  test("epoch resample hits the per-language target exactly") {
+    val rows = q("q_mixture_resample").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows_epoch") == Packing.LangTarget.toLong)
+      val nSource = r.getAs[Long]("n_source")
+      val unique = r.getAs[Long]("n_unique_used")
+      assert(unique == math.min(nSource, Packing.LangTarget.toLong))
+      val maxCopies = r.getAs[Long]("max_copies")
+      assert(maxCopies == Packing.LangTarget / nSource +
+        (if (Packing.LangTarget % nSource > 0) 1L else 0L))
+    }
+  }
+
+  test("token-budget head stops at the first doc that starts past the budget") {
+    val kept = q("q_token_budget_head")
+      .agg(sum("n_tokens").cast("long"), max("max_cum")).collect().head
+    val total = Tables(spark, sf).documents
+      .select(sum(size(split(col("text"), " ")))).collect().head.getLong(0)
+    val keptTokens = kept.getLong(0)
+    assert(keptTokens == kept.getLong(1)) // max_cum over all langs = kept total
+    // either the whole corpus fits, or the head spills past the budget by
+    // less than one max-length doc (the straddling doc is kept)
+    assert(keptTokens == total ||
+      (keptTokens >= Packing.TokenBudget &&
+        keptTokens < Packing.TokenBudget + 200))
+  }
+
+  test("keep-best selects the max-quality member of each cluster") {
+    val docs = Tables(spark, sf).documents
+    val qual = docs.select(col("doc_id"),
+      expr("size(array_distinct(split(text, ' '))) * 1000 div size(split(text, ' '))").as("q"))
+    val comp = operators.Clusters.connectedComponents(
+      Dedup.minhashPairs(docs).select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    val best = q("q_dedup_keep_best")
+    // every cluster from CC appears exactly once
+    assert(best.count() == comp.select("cluster_id").distinct().count())
+    // no other member of the cluster has strictly higher quality
+    val violations = best
+      .join(comp, Seq("cluster_id"))
+      .join(qual, Seq("doc_id"))
+      .filter(col("q") > col("keep_quality"))
+    assert(violations.count() == 0)
+  }
+}
