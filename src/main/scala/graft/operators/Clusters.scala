@@ -42,7 +42,13 @@ object Clusters {
     * all labels — labels are per-node monotonically non-increasing, so
     * the sum strictly decreases until fixpoint; comparing one scalar per
     * round replaces a join-based changed-row count (summed as
-    * DECIMAL(38) so the test is overflow-proof at any node count). */
+    * DECIMAL(38) so the test is overflow-proof at any node count).
+    *
+    * The sum rides the round's own materialization: `observe` attaches a
+    * CollectMetrics node whose accumulator the eager `localCheckpoint`
+    * job fills, so each round is ONE Spark job, not checkpoint + a
+    * second scan-and-sum action ([[graft.ObserveCheckpointProbe]] guards
+    * this Spark behavior). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 30): DataFrame = {
     // symmetrize once so "neighbours of n" is a single equi-join on src
     val sym = edges.select(col("a"), col("b"))
@@ -54,13 +60,23 @@ object Clusters {
     var prevSum: java.math.BigDecimal = null
     var iter = 0
     var converged = false
+    // checkpoint `df` and return (checkpointed df, exact label sum) from
+    // the same job — the observation is filled by the checkpoint's
+    // materialization, so no second action runs
+    def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation(s"cc_label_sum_$iter")
+      val ck = df
+        .observe(obs, sum(col("label")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
+        .localCheckpoint()
+      (ck, obs.get("s").asInstanceOf[java.math.BigDecimal])
+    }
     while (!converged && iter < maxIter) {
       val propagated = sym
         .join(labels.select(col("node").as("b"), col("label").as("nl")), Seq("b"))
         .select(col("a").as("node"), col("nl").as("label"))
         .union(labels)
         .groupBy("node").agg(min(col("label")).as("label"))
-        .localCheckpoint()
       // Adaptive pointer doubling: dense dup blobs (diameter 2-4) finish
       // on propagation alone, so the first rounds skip the extra shuffle;
       // a graph still unconverged by round 6 has a long-path shape, and
@@ -68,18 +84,14 @@ object Clusters {
       // (label(x) ← label(label(x))), collapsing remaining distance
       // exponentially. Left join — a label always names a node in the
       // relation, but stay total.
-      val next = if (iter < 6) propagated
+      val (next, s) = if (iter < 6) checkpointWithSum(propagated)
       else {
-        val lookup = propagated.select(
-          col("node").as("label"), col("label").as("ll"))
-        propagated
+        val base = propagated.localCheckpoint()
+        val lookup = base.select(col("node").as("label"), col("label").as("ll"))
+        checkpointWithSum(base
           .join(lookup, Seq("label"), "left")
-          .select(col("node"), coalesce(col("ll"), col("label")).as("label"))
-          .localCheckpoint()
+          .select(col("node"), coalesce(col("ll"), col("label")).as("label")))
       }
-      val s = next
-        .agg(sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-        .first().getDecimal(0)
       converged = s == prevSum
       prevSum = s
       labels = next
