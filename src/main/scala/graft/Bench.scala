@@ -58,7 +58,22 @@ object Bench {
     val restricted = only
       .map(n => s""","restricted":${n.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}""")
       .getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$restricted,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$restricted,"sf":"$sfDir"}"""
+    println(full)
+    // The driver records only the LAST ~2000 chars of output, so the
+    // full line above (≈6 KB for 150+ queries) loses its head and can't
+    // be json-parsed from the captured tail (BENCH_r1-3 all show
+    // "parsed": null). Persist the full line to a file and ALSO print a
+    // compact self-contained summary line LAST so a tail-window parser
+    // finds one complete JSON object.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+    catch { case _: Throwable => () } // read-only cwd must not fail the bench
+    val slow = results.sortBy(-_._2).take(5)
+      .map { case (k, v, _) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"slowest":$slow,"failed":$failed$restricted,"sf":"$sfDir","full":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }
