@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   *   4. candidate join: self-join on (band, bucket) — at 100 TB this is
   *      the only quadratic-risk step and it is bounded by bucket size,
   *      not corpus size; skewed buckets can be salted or capped;
-  *   5. verify: exact Jaccard on candidates only (explode + equi-join).
+  *   5. verify: Jaccard over hashed shingle sets on candidates only
+  *      (explode + equi-join) — exact up to xxhash64 collisions.
   *
   * Tuning: with r rows per band, P(candidate) = 1-(1-J^r)^bands — the
   * usual S-curve; defaults (k=16, b=4, r=4) put the knee near J≈0.6.
@@ -24,11 +25,20 @@ final case class MinHashDedup(k: Int, bands: Int) {
   require(k % bands == 0, "k must be divisible by bands")
   private val r = k / bands
 
-  /** (doc_id, gram) distinct shingle relation — same shingling as the
-    * oracle-checked queries ([[Dedup.gramsExpr]]). */
+  /** (doc_id, gh) distinct hashed-shingle relation — same shingling as
+    * the oracle-checked queries ([[Dedup.gramsExpr]]), reduced to the
+    * 8-byte xxhash64 BEFORE the distinct. The dedup pipeline never needs
+    * the shingle text again (signatures, bucketing, and the Jaccard
+    * verify all run on the hash), and distinct-ing longs instead of
+    * ~25-byte gram strings cuts the one corpus-sized shuffle of the
+    * whole pipeline to a third of the bytes — the difference between
+    * shuffling 8 TB and 2.5 TB of shingles at the 100 TB design point.
+    * Hash collisions (p ≈ n²/2⁶⁴ per doc pair's gram sets) can only
+    * nudge a Jaccard estimate that LSH has already made approximate. */
   def shingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(expr(Dedup.gramsExpr)).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
       .distinct()
 
   /** doc_id → array of k minhash signatures. One groupBy with k `min`
@@ -38,15 +48,13 @@ final case class MinHashDedup(k: Int, bands: Int) {
     signaturesFromGrams(shingles(docs))
 
   private def signaturesFromGrams(grams: DataFrame): DataFrame = {
-    // Hash the variable-length shingle string ONCE per row, then derive
-    // the k per-permutation values from the fixed 8-byte base hash —
-    // the standard one-hash minhash construction. The k inner hashes run
+    // The k per-permutation values derive from the fixed 8-byte base
+    // hash (the one-hash minhash construction): the inner hashes run
     // over (int, long) instead of the string, so signature cost scales
     // with k alone, not k × shingle length.
     val aggs = (0 until k).map(j =>
       min(xxhash64(lit(j), col("gh"))).as(s"mh$j"))
     grams
-      .withColumn("gh", xxhash64(col("gram")))
       .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
         array((0 until k).map(j => col(s"mh$j")): _*).as("sig"))
@@ -82,7 +90,8 @@ final case class MinHashDedup(k: Int, bands: Int) {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** Candidates with exact Jaccard ≥ threshold (verification pass). */
+  /** Candidates with hashed-shingle Jaccard ≥ threshold (verification
+    * pass; exact up to xxhash64 collisions). */
   def verifiedPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val grams = shingles(docs)
     verifyFromGrams(grams, candidatesFromGrams(grams), threshold)
@@ -92,8 +101,8 @@ final case class MinHashDedup(k: Int, bands: Int) {
       threshold: Double): DataFrame = {
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
-      .join(grams.select(col("doc_id").as("doc_a"), col("gram")), Seq("doc_a"))
-      .join(grams.select(col("doc_id").as("doc_b"), col("gram")), Seq("doc_b", "gram"))
+      .join(grams.select(col("doc_id").as("doc_a"), col("gh")), Seq("doc_a"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("gh")), Seq("doc_b", "gh"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_int"))
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
