@@ -37,6 +37,65 @@ object Sampling {
           when(col("lang") === "en", 10).otherwise(50))
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    },
+
+    // ---- weighted sample without replacement (Efraimidis-Spirakis):
+    //      each row draws u from its content hash and competes on
+    //      key = ln(u)/w with w = n_chars — the top-k by key IS a
+    //      w-weighted sample, computed as one scan + top-k (per-
+    //      partition heaps, no shuffle of the corpus, no RNG state).
+    //      Longer docs win proportionally more often; fully reproducible.
+    QueryDef.checked(
+      "q_weighted_sample",
+      """WITH keyed AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ln((CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |        % 1000000 + 1) / 1000001.0) / n_chars AS k
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, n_chars, round(k, 9) AS sample_key
+        |FROM keyed
+        |ORDER BY k DESC, doc_id
+        |LIMIT 100""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (log((Dedup.md5h64(col("doc_id").cast("string")) % 1000000 + 1)
+            / lit(1000001.0)) / col("n_chars")).as("k"))
+        .orderBy(col("k").desc, col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(col("k"), 9).as("sample_key"))
+    },
+
+    // ---- per-domain cap: keep at most 10 docs per source (longest
+    //      first) — the anti-hoarding rule crawl pipelines apply so no
+    //      single domain dominates the mix. Rank-within-group + filter;
+    //      the report shows the funnel per source. At scale the window
+    //      shuffles on `source` — domain cardinality grows with the
+    //      crawl, and a pathological mega-domain is exactly what the
+    //      cap exists to bound (rank prunes past the cap early).
+    QueryDef.checked(
+      "q_domain_cap",
+      """WITH ranked AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT source, count(*) AS n_total,
+        |  CAST(count(*) FILTER (WHERE rn <= 10) AS BIGINT) AS n_kept,
+        |  CAST(sum(n_chars) FILTER (WHERE rn <= 10) AS BIGINT) AS kept_chars
+        |FROM ranked
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables(spark, dir).documents
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("rn") <= 10, 1)).cast("long").as("n_kept"),
+          sum(when(col("rn") <= 10, col("n_chars"))).cast("long").as("kept_chars"))
+        .orderBy("source")
     }
   )
 }

@@ -240,7 +240,7 @@ final case class IvfIndex(nprobe: Int) {
   /** Cosine between a float-array column and a double-array column as a
     * strict left-to-right double fold (the same fold the oracle's
     * `list_reduce` performs, so probe selection is engine-portable). */
-  private def mixedCosine(floatVec: String, doubleVec: String): Column =
+  private[operators] def mixedCosine(floatVec: String, doubleVec: String): Column =
     expr(s"""
       aggregate(zip_with($doubleVec, $floatVec, (c, x) -> c * CAST(x AS DOUBLE)),
                 0D, (acc, v) -> acc + v)

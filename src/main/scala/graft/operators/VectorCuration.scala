@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions
+
+/** Embedding-side curation operators (north star, SURVEY.md §2B):
+  * int8 scalar quantization and SemDeDup-style cluster-scoped semantic
+  * deduplication.
+  *
+  * Quantization is a stateless per-row map (no shuffle — at 100 TB it
+  * runs inside the scan's codegen stage). SemDeDup bounds the quadratic
+  * pair generation the same way IVF bounds search: vectors are first
+  * assigned to their nearest centroid (broadcast centroid table, one
+  * scan), and the pairwise cosine check runs only WITHIN a cell — the
+  * self-join shuffles on the cell id, and cell population, not corpus
+  * size, bounds each task's pair count. Skewed cells would be split by
+  * salting the join key, exactly like any skewed equi-join.
+  */
+object VectorCuration {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- int8 symmetric quantization roundtrip: per-vector scale =
+    //      max|x|/127, q_i = round(x_i/scale), report reconstruction
+    //      error (max abs + MSE). The error stats are the acceptance
+    //      gate a pipeline checks before swapping the fp32 index out.
+    QueryDef.checked(
+      "q_embedding_quantize",
+      """WITH qz AS (
+        |  SELECT vec_id, label, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings
+        |), err AS (
+        |  SELECT vec_id, label, scale,
+        |    list_transform(embedding, x ->
+        |      abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / scale) * scale)) AS errs
+        |  FROM qz
+        |)
+        |SELECT vec_id, label, round(scale, 6) AS scale,
+        |  round(list_max(errs), 6) AS max_abs_err,
+        |  round(list_reduce(list_transform(errs, e -> e * e), (p, q) -> p + q) / 64, 9) AS mse
+        |FROM err
+        |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).embeddings
+        .select(col("vec_id"), col("label"), col("embedding"),
+          (expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+            / 127.0).as("scale"))
+        .select(col("vec_id"), col("label"), col("scale"), expr(
+          """transform(embedding, x ->
+            |  abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) / scale) * scale))"""
+            .stripMargin).as("errs"))
+        .select(col("vec_id"), col("label"),
+          round(col("scale"), 6).as("scale"),
+          round(expr("array_max(errs)"), 6).as("max_abs_err"),
+          round(expr("aggregate(transform(errs, e -> e * e), 0D, (p, q) -> p + q)")
+            / 64, 9).as("mse"))
+        .orderBy("vec_id")
+    },
+
+    // ---- SemDeDup: assign every vector to its nearest fixed-point
+    //      centroid (the [[IvfIndex]] cells), then inside each cell drop
+    //      the higher-id member of any pair with cosine > 0.35. Reports
+    //      the per-cell funnel. Pairs never cross cells — that
+    //      approximation is the entire scalability argument of SemDeDup.
+    QueryDef.checked(
+      "q_semdedup",
+      s"""WITH sv AS (
+         |  SELECT label, i AS pos,
+         |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS s
+         |  FROM embeddings, range(64) t(i)
+         |), cc AS (
+         |  SELECT label, pos, CAST(sum(s) AS DOUBLE) / (1000000.0 * count(*)) AS c
+         |  FROM sv GROUP BY label, pos
+         |), cents AS (
+         |  SELECT label AS cell, list(c ORDER BY pos) AS centroid FROM cc GROUP BY label
+         |), asim AS (
+         |  SELECT e.vec_id, c.cell,
+         |    list_reduce(list_transform(c.centroid, (x, i) -> x * CAST(e.embedding[i] AS DOUBLE)), (p, q) -> p + q)
+         |    / (sqrt(list_reduce(list_transform(c.centroid, x -> x * x), (p, q) -> p + q))
+         |     * sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))) AS csim
+         |  FROM embeddings e, cents c
+         |), assigned AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+         |    FROM asim) r
+         |  WHERE rn = 1
+         |), dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |  WHERE round(${VectorFunctions.duckCosineSql("ea.embedding", "eb.embedding")}, 6) > 0.35
+         |)
+         |SELECT cell, count(*) AS n_members,
+         |  CAST(count(*) FILTER (WHERE d.vec_id IS NOT NULL) AS BIGINT) AS n_dropped
+         |FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+         |GROUP BY cell
+         |ORDER BY cell""".stripMargin) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+      val ivf = IvfIndex(nprobe = 1)
+      val cents = ivf.centroids(emb)
+        .select(col("label").as("cell"), col("centroid"))
+      // nearest-cell assignment: broadcast the 10-row centroid table,
+      // argmax over cells via a per-vector window rank
+      val assigned = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cell"),
+          ivf.mixedCosine("embedding", "centroid").as("csim"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))))
+        .filter(col("rn") === 1)
+        .select("vec_id", "cell")
+        .localCheckpoint() // feeds the self-join's two sides + the report
+      val byId = emb.select(col("vec_id"), col("embedding"))
+      val dropped = assigned.as("a")
+        .join(assigned.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .join(byId.select(col("vec_id").as("a_id"), col("embedding").as("ea")),
+          col("a.vec_id") === col("a_id"))
+        .join(byId.select(col("vec_id").as("b_id"), col("embedding").as("eb")),
+          col("b.vec_id") === col("b_id"))
+        .filter(round(VectorFunctions.cosineSim(col("ea"), col("eb")), 6) > 0.35)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+        .withColumn("hit", lit(1))
+      assigned.join(broadcast(dropped), Seq("vec_id"), "left")
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_members"),
+          count(col("hit")).cast("long").as("n_dropped"))
+        .orderBy("cell")
+    }
+  )
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the retrieval / vector-curation / sampling
+  * wave — what hash-match against the oracle can't express. */
+class RetrievalCurationSpec extends SparkSpec {
+
+  test("bm25: scores positive, at most 4 query terms, top doc has all terms") {
+    val rows = q("q_bm25").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("bm25") > 0.0)
+      assert(r.getAs[Int]("n_terms") >= 1 && r.getAs[Int]("n_terms") <= 4)
+    }
+    // scores arrive ranked: monotone non-increasing
+    val scores = rows.map(_.getAs[Double]("bm25"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("dsir: target-language docs average a higher importance weight") {
+    val rows = q("q_dsir_weights").collect()
+    val (en, rest) = rows.partition(_.getAs[String]("lang") == "en")
+    val avg = (rs: Array[org.apache.spark.sql.Row]) =>
+      rs.map(_.getAs[Double]("log_weight")).sum / rs.length
+    assert(en.nonEmpty && rest.nonEmpty)
+    assert(avg(en) > avg(rest),
+      s"en avg ${avg(en)} should exceed non-en avg ${avg(rest)}")
+  }
+
+  test("quantize: reconstruction error bounded by half a quantization step") {
+    q("q_embedding_quantize").collect().foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val maxErr = r.getAs[Double]("max_abs_err")
+      val mse = r.getAs[Double]("mse")
+      assert(scale > 0.0)
+      // rounding to the nearest level can miss by at most scale/2
+      // (1e-6 slack: reported values are rounded for the oracle)
+      assert(maxErr <= scale / 2 + 1e-6, s"maxErr $maxErr vs scale $scale")
+      assert(mse <= (scale / 2) * (scale / 2) + 1e-9)
+    }
+  }
+
+  test("semdedup: cells partition the corpus and drops never exceed members") {
+    val rows = q("q_semdedup").collect()
+    val total = Tables(spark, sf).embeddings.count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dropped") <= r.getAs[Long]("n_members"))
+    }
+  }
+
+  test("weighted sample: exactly 100 rows, keys ranked, longer docs favored") {
+    val rows = q("q_weighted_sample").collect()
+    assert(rows.length == 100)
+    val keys = rows.map(_.getAs[Double]("sample_key"))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b })
+    // weighting sanity: the sample's mean doc length exceeds the corpus's
+    val corpusAvg = Tables(spark, sf).documents
+      .agg(avg("n_chars")).collect().head.getDouble(0)
+    val sampleAvg = rows.map(_.getAs[Long]("n_chars")).sum.toDouble / rows.length
+    assert(sampleAvg > corpusAvg,
+      s"sample avg $sampleAvg should exceed corpus avg $corpusAvg")
+  }
+
+  test("domain cap: at most 10 kept per source, totals cover the corpus") {
+    val rows = q("q_domain_cap").collect()
+    val total = Tables(spark, sf).documents.count()
+    assert(rows.map(_.getAs[Long]("n_total")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= 10)
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_total"))
+    }
+  }
+}
