@@ -21,7 +21,8 @@ object SparkEntry {
       PipelineQueries.defs ++ Extras.defs ++ TpchMore.defs ++ Stats.defs ++
       TpchFinal.defs ++ Clusters.defs ++ Sampling.defs ++ Layout.defs ++
       Training.defs ++ SqlSurface.defs ++ Curation.defs ++ Modern.defs ++
-      Packing.defs ++ Retrieval.defs ++ VectorCuration.defs
+      Packing.defs ++ Retrieval.defs ++ VectorCuration.defs ++
+      GraphRank.defs
 
   require(allDefs.map(_.name).distinct.size == allDefs.size,
     "duplicate query names across operator families")

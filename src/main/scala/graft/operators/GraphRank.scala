@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Iterative graph computation done as dataflow: PageRank over the
+  * supplier↔customer trade graph (who supplies whom, via
+  * lineitem⋈orders), plus batch sessionization of the event log.
+  *
+  * PageRank is THE shape that separates an engine from a query runner:
+  * each iteration is join(ranks, edges) → groupBy(dst).sum — shuffle on
+  * the node id, nothing else. At 100 TB the edge relation is
+  * pre-partitioned by src once ([[org.apache.spark.sql.Dataset.repartition]]
+  * or bucketing) so every iteration's join is co-located and only the
+  * rank vector (8+8 bytes per node) moves. Ranks are 1e-9 fixed-point
+  * BIGINTs and the damping factor is the exact rational 17/20, so every
+  * iteration is pure integer arithmetic — bit-identical on any engine,
+  * partition count, or reduction order, which is what lets a 3-iteration
+  * unrolled SQL oracle replay it.
+  */
+object GraphRank {
+
+  private def duckIter(prev: String, next: String): String =
+    s"""$next AS (
+       |  SELECT ed.dst AS node,
+       |    CAST(150000000 + (sum($prev.pr // ed.deg) * 17) // 20 AS BIGINT) AS pr
+       |  FROM ed JOIN $prev ON $prev.node = ed.src
+       |  GROUP BY ed.dst
+       |)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- PageRank (3 iterations, d=0.85) over the undirected bipartite
+    //      supplier↔customer graph; top-50 nodes. Customer node ids are
+    //      offset by 1e6 to share one id space with suppliers.
+    QueryDef.checked(
+      "q_pagerank",
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000 AS c
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |), edges AS (
+         |  SELECT s AS src, c AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT c AS src, s AS dst FROM pairs
+         |), deg AS (
+         |  SELECT src, count(*) AS deg FROM edges GROUP BY src
+         |), ed AS (
+         |  SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)
+         |), r0 AS (
+         |  SELECT DISTINCT src AS node, CAST(1000000000 AS BIGINT) AS pr FROM edges
+         |), ${duckIter("r0", "r1")},
+         |${duckIter("r1", "r2")},
+         |${duckIter("r2", "r3")}
+         |SELECT node, node < 1000000 AS is_supplier,
+         |  round(pr / 1000000000.0, 6) AS pagerank
+         |FROM r3
+         |ORDER BY pr DESC, node
+         |LIMIT 50""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val pairs = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+        .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("s"),
+          (col("o_custkey") + 1000000L).as("c"))
+        .distinct()
+      val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
+        .unionAll(pairs.select(col("c").as("src"), col("s").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      // (src, dst, deg(src)) drives every iteration — materialize once;
+      // at scale this is the relation you bucket by src
+      val ed = edges.join(deg, Seq("src")).localCheckpoint()
+      var ranks = edges.select(col("src").as("node")).distinct()
+        .withColumn("pr", lit(1000000000L))
+      for (_ <- 1 to 3) {
+        ranks = ed.join(ranks, col("node") === col("src"))
+          .select(col("dst"), expr("pr div deg").as("contrib"))
+          .groupBy(col("dst"))
+          .agg(expr("CAST(150000000 + (sum(contrib) * 17) div 20 AS BIGINT)")
+            .as("pr"))
+          .select(col("dst").as("node"), col("pr"))
+          .localCheckpoint() // keep each iteration's lineage flat
+      }
+      ranks
+        .select(col("node"), (col("node") < 1000000L).as("is_supplier"),
+          round(col("pr") / lit(1000000000.0), 6).as("pagerank"),
+          col("pr"))
+        .orderBy(col("pr").desc, col("node"))
+        .limit(50)
+        .select("node", "is_supplier", "pagerank")
+    },
+
+    // ---- batch sessionization: 30-minute-gap sessions per user over
+    //      the event log (lag → new-session flag → running sum), with
+    //      per-session stats. The batch twin of q_stream_session: one
+    //      shuffle on user_id serves both windows and the final groupBy.
+    QueryDef.checked(
+      "q_sessionize",
+      """WITH flag AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, event_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_no
+        |  FROM flag
+        |)
+        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        |  count(*) AS n_events,
+        |  min(ts) AS session_start,
+        |  CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS duration_us
+        |FROM sess
+        |GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables(spark, dir).events
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_no",
+          sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+            .cast("long").as("duration_us"))
+        .orderBy("user_id", "session_no")
+    }
+  )
+}
