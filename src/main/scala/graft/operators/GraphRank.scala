@@ -69,8 +69,15 @@ object GraphRank {
       // (src, dst, deg(src)) drives every iteration — materialize once;
       // at scale this is the relation you bucket by src
       val ed = edges.join(deg, Seq("src")).localCheckpoint()
-      var ranks = edges.select(col("src").as("node")).distinct()
+      // node set from the CHECKPOINTED relation — deriving it from
+      // `edges` would re-run the whole lineitem⋈orders+distinct subtree
+      var ranks = ed.select(col("src").as("node")).distinct()
         .withColumn("pr", lit(1000000000L))
+      // Iterations chain lazily: each rank vector feeds exactly one
+      // consumer (the next iteration), so 3 iterations fuse into ONE
+      // job over the checkpointed edge relation. A 50-iteration
+      // production run would localCheckpoint every ~5 iterations to
+      // bound lineage depth and make the loop restartable.
       for (_ <- 1 to 3) {
         ranks = ed.join(ranks, col("node") === col("src"))
           .select(col("dst"), expr("pr div deg").as("contrib"))
@@ -78,7 +85,6 @@ object GraphRank {
           .agg(expr("CAST(150000000 + (sum(contrib) * 17) div 20 AS BIGINT)")
             .as("pr"))
           .select(col("dst").as("node"), col("pr"))
-          .localCheckpoint() // keep each iteration's lineage flat
       }
       ranks
         .select(col("node"), (col("node") < 1000000L).as("is_supplier"),

@@ -105,24 +105,24 @@ object VectorCuration {
         .select(col("label").as("cell"), col("centroid"))
       // nearest-cell assignment: broadcast the 10-row centroid table,
       // argmax over cells via a per-vector window rank
+      // carry the embedding WITH the assignment so the pair check is a
+      // single self-join on cell (vs assigning first and re-joining the
+      // vectors back in — two extra corpus-sized shuffles)
       val assigned = emb.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cell"),
+        .select(col("vec_id"), col("cell"), col("embedding"),
           ivf.mixedCosine("embedding", "centroid").as("csim"))
         .withColumn("rn", row_number().over(
           Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))))
         .filter(col("rn") === 1)
-        .select("vec_id", "cell")
+        .select("vec_id", "cell", "embedding")
         .localCheckpoint() // feeds the self-join's two sides + the report
-      val byId = emb.select(col("vec_id"), col("embedding"))
-      val dropped = assigned.as("a")
-        .join(assigned.as("b"),
-          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-        .join(byId.select(col("vec_id").as("a_id"), col("embedding").as("ea")),
-          col("a.vec_id") === col("a_id"))
-        .join(byId.select(col("vec_id").as("b_id"), col("embedding").as("eb")),
-          col("b.vec_id") === col("b_id"))
+      val dropped = assigned
+        .select(col("cell"), col("vec_id").as("a_id"), col("embedding").as("ea"))
+        .join(assigned.select(col("cell"), col("vec_id").as("b_id"),
+          col("embedding").as("eb")), Seq("cell"))
+        .filter(col("a_id") < col("b_id"))
         .filter(round(VectorFunctions.cosineSim(col("ea"), col("eb")), 6) > 0.35)
-        .select(col("b.vec_id").as("vec_id")).distinct()
+        .select(col("b_id").as("vec_id")).distinct()
         .withColumn("hit", lit(1))
       assigned.join(broadcast(dropped), Seq("vec_id"), "left")
         .groupBy("cell")
