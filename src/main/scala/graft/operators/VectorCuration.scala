@@ -129,6 +129,77 @@ object VectorCuration {
         .agg(count(lit(1)).as("n_members"),
           count(col("hit")).cast("long").as("n_dropped"))
         .orderBy("cell")
+    },
+
+    // ---- product quantization: 8 subspaces × 8 dims, 10 codewords per
+    //      subspace (fixed-point per-label subvector centroids — the
+    //      same deterministic stand-in for trained codebooks that
+    //      [[IvfIndex]] uses for cells). Each vector encodes to one
+    //      decimal digit per block packed into a bigint, plus its total
+    //      squared reconstruction error. With IVF cells this is IVF-PQ:
+    //      64 floats → 8 digits, a 32× memory cut that decides whether
+    //      a 100 TB index fits executor memory. The codebook (80 rows)
+    //      broadcasts; encoding is one scan, error sums are 1e-9
+    //      fixed-point so the argmin+sum replay bit-identically.
+    QueryDef.checked(
+      "q_pq_encode",
+      """WITH sv AS (
+        |  SELECT label, i AS pos,
+        |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS s
+        |  FROM embeddings, range(64) t(i)
+        |), cc AS (
+        |  SELECT label, pos, CAST(sum(s) AS DOUBLE) / (1000000.0 * count(*)) AS c
+        |  FROM sv GROUP BY label, pos
+        |), cw AS (
+        |  SELECT label AS code, pos // 8 AS block, list(c ORDER BY pos) AS codeword
+        |  FROM cc GROUP BY label, pos // 8
+        |), dists AS (
+        |  SELECT e.vec_id, e.label, w.block, w.code,
+        |    list_reduce(list_transform(e.embedding[w.block * 8 + 1 : w.block * 8 + 8],
+        |      (x, i) -> (CAST(x AS DOUBLE) - w.codeword[i]) * (CAST(x AS DOUBLE) - w.codeword[i])),
+        |      (p, q) -> p + q) AS dist
+        |  FROM embeddings e, cw w
+        |), assigned AS (
+        |  SELECT vec_id, label, block, code, dist FROM (
+        |    SELECT vec_id, label, block, code, dist,
+        |      row_number() OVER (PARTITION BY vec_id, block ORDER BY dist, code) AS rn
+        |    FROM dists) r
+        |  WHERE rn = 1
+        |)
+        |SELECT vec_id, label,
+        |  CAST(sum(code * CAST(pow(10, block) AS BIGINT)) AS BIGINT) AS pq_code,
+        |  round(sum(CAST(round(dist * 1000000000) AS BIGINT)) / 1000000000.0, 6) AS sq_err
+        |FROM assigned
+        |GROUP BY vec_id, label
+        |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+      // codebook: per (code, block) fixed-point centroid of the 8-dim
+      // subvector — 80 rows, broadcast into the encode scan
+      val cw = emb
+        .select(col("label").as("code"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("s", expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)"))
+        .groupBy("code", "pos")
+        .agg((sum(col("s")).cast("double") /
+          (lit(1000000.0) * count(lit(1)))).as("c"))
+        .groupBy(col("code"), expr("pos div 8").as("block"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+        .select(col("code"), col("block"),
+          expr("transform(pc, s -> s.c)").as("codeword"))
+      emb.crossJoin(broadcast(cw))
+        .select(col("vec_id"), col("label"), col("block"), col("code"), expr(
+          """aggregate(zip_with(slice(embedding, CAST(block * 8 + 1 AS INT), 8),
+            |  codeword, (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),
+            |  0D, (p, q) -> p + q)""".stripMargin).as("dist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id", "block").orderBy(col("dist"), col("code"))))
+        .filter(col("rn") === 1)
+        .groupBy("vec_id", "label")
+        .agg(expr("CAST(sum(code * CAST(pow(10, block) AS BIGINT)) AS BIGINT)")
+          .as("pq_code"),
+          round(expr("sum(CAST(round(dist * 1000000000) AS BIGINT))")
+            / lit(1000000000.0), 6).as("sq_err"))
+        .orderBy("vec_id")
     }
   )
 }

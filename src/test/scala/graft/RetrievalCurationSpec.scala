@@ -63,6 +63,27 @@ class RetrievalCurationSpec extends SparkSpec {
       s"sample avg $sampleAvg should exceed corpus avg $corpusAvg")
   }
 
+  test("pq encode: 8 decimal digits of codes, errors positive and bounded") {
+    val rows = q("q_pq_encode").collect()
+    val total = Tables(spark, sf).embeddings.count()
+    assert(rows.length == total)
+    rows.foreach { r =>
+      val code = r.getAs[Long]("pq_code")
+      assert(code >= 0L && code <= 99999999L) // 8 digits, codewords 0..9
+      assert(r.getAs[Double]("sq_err") >= 0.0)
+    }
+    // quantizing to the OWN label's codeword can never beat the argmin:
+    // mean error must undercut the mean own-label distortion... which
+    // equals it only if every argmin picked the own label. Weaker, safe
+    // invariant: at least one vector picks a non-own-label codeword in
+    // some block (otherwise PQ degenerated to label lookup).
+    val ownOnly = rows.forall { r =>
+      val lbl = r.getAs[Int]("label").toLong
+      r.getAs[Long]("pq_code") == lbl * 11111111L
+    }
+    assert(!ownOnly, "every block chose the own-label codeword — suspicious")
+  }
+
   test("domain cap: at most 10 kept per source, totals cover the corpus") {
     val rows = q("q_domain_cap").collect()
     val total = Tables(spark, sf).documents.count()
