@@ -189,6 +189,67 @@ object Training {
         .orderBy("doc_id")
     },
 
+    // ---- perplexity-bucket resampling (the CCNet recipe): score docs
+    //      by unigram surprisal, split into terciles (head = most
+    //      generic, tail = rarest), keep 10%/50%/100% by content hash.
+    //      The global ntile is fine here because it ranks the PER-DOC
+    //      aggregate (one row per doc); at 100 TB the terciles come from
+    //      approx_percentile cutoffs instead of a global sort, and the
+    //      keep-filter stays a stateless hash test either way.
+    QueryDef.checked(
+      "q_ppl_buckets",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), freq AS (
+        |  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq
+        |), scored AS (
+        |  SELECT doc_id, -ln(c / t) AS nll
+        |  FROM toks JOIN freq USING (tok) CROSS JOIN tot
+        |), per_doc AS (
+        |  SELECT doc_id, round(avg(nll), 6) AS avg_nll FROM scored GROUP BY doc_id
+        |), bucketed AS (
+        |  SELECT doc_id, avg_nll,
+        |    ntile(3) OVER (ORDER BY avg_nll, doc_id) AS bucket
+        |  FROM per_doc
+        |), flagged AS (
+        |  SELECT bucket, avg_nll,
+        |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+        |      < CASE bucket WHEN 1 THEN 10 WHEN 2 THEN 50 ELSE 100 END AS keep
+        |  FROM bucketed
+        |)
+        |SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  round(sum(CAST(round(avg_nll * 1000000) AS BIGINT)) / 1000000.0 / count(*), 6) AS mean_nll
+        |FROM flagged
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin) { (spark, dir) =>
+      val toks = Tables(spark, dir).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val tot = freq.agg(sum(col("c")).cast("double").as("t"))
+      val perDoc = toks.join(broadcast(freq), Seq("tok"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), (-log(col("c") / col("t"))).as("nll"))
+        .groupBy("doc_id")
+        .agg(round(avg(col("nll")), 6).as("avg_nll"))
+      perDoc
+        .withColumn("bucket", ntile(3).over(
+          org.apache.spark.sql.expressions.Window.orderBy("avg_nll", "doc_id")))
+        .withColumn("keep",
+          Dedup.md5h64(col("doc_id").cast("string")) % 100 <
+            when(col("bucket") === 1, 10)
+              .when(col("bucket") === 2, 50).otherwise(100))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1).otherwise(0)).cast("long").as("n_kept"),
+          sum(expr("CAST(round(avg_nll * 1000000) AS BIGINT)")).as("ss"))
+        .select(col("bucket"), col("n_docs"), col("n_kept"),
+          round(col("ss") / lit(1000000.0) / col("n_docs"), 6).as("mean_nll"))
+        .orderBy("bucket")
+    },
+
     // ---- chunk-level cross-doc dedup: split each doc into 10-token
     //      chunks, keep only each chunk's FIRST occurrence corpus-wide
     //      (order by doc_id, position), and fingerprint what remains of

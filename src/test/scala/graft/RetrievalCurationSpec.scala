@@ -84,6 +84,24 @@ class RetrievalCurationSpec extends SparkSpec {
     assert(!ownOnly, "every block chose the own-label codeword — suspicious")
   }
 
+  test("ppl buckets: terciles cover the corpus, keep rates ordered") {
+    val rows = q("q_ppl_buckets").collect().sortBy(_.getAs[Int]("bucket"))
+    assert(rows.map(_.getAs[Int]("bucket")).toSeq == Seq(1, 2, 3))
+    val total = Tables(spark, sf).documents.count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    // ntile: bucket sizes differ by at most 1
+    val sizes = rows.map(_.getAs[Long]("n_docs"))
+    assert(sizes.max - sizes.min <= 1)
+    // keep fractions follow the 10/50/100 ladder (hash noise allowed)
+    val fracs = rows.map(r =>
+      r.getAs[Long]("n_kept").toDouble / r.getAs[Long]("n_docs"))
+    assert(fracs(0) < fracs(1) && fracs(1) < fracs(2))
+    assert(fracs(2) == 1.0)
+    // surprisal ordering is what defined the buckets
+    val nll = rows.map(_.getAs[Double]("mean_nll"))
+    assert(nll(0) <= nll(1) && nll(1) <= nll(2))
+  }
+
   test("domain cap: at most 10 kept per source, totals cover the corpus") {
     val rows = q("q_domain_cap").collect()
     val total = Tables(spark, sf).documents.count()
