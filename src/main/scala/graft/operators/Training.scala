@@ -32,6 +32,31 @@ object Training {
   private val stopSqlList = TextAnalysis.stopSqlList
   private val stopArr = TextAnalysis.stopArrLit
 
+  /** Shared surprisal front half — `scored(doc_id, nll)` under the
+    * corpus's own unigram distribution. One CTE string + one DataFrame
+    * builder so [[q_unigram_logprob]] and [[q_ppl_buckets]] cannot
+    * drift apart on tokenization or smoothing. */
+  private val duckNllCtes =
+    """toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), freq AS (
+      |  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+      |), tot AS (
+      |  SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq
+      |), scored AS (
+      |  SELECT doc_id, -ln(c / t) AS nll
+      |  FROM toks JOIN freq USING (tok) CROSS JOIN tot
+      |)""".stripMargin
+
+  private def scoredNll(docs: org.apache.spark.sql.DataFrame) = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = freq.agg(sum(col("c")).cast("double").as("t"))
+    toks.join(broadcast(freq), Seq("tok"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), (-log(col("c") / col("t"))).as("nll"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- benchmark contamination: fraction of each doc's distinct
@@ -158,29 +183,14 @@ object Training {
     //      shuffled only by (tok) and (doc_id).
     QueryDef.checked(
       "q_unigram_logprob",
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-        |), freq AS (
-        |  SELECT tok, count(*) AS c FROM toks GROUP BY tok
-        |), tot AS (
-        |  SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq
-        |), scored AS (
-        |  SELECT doc_id, -ln(c / t) AS nll
-        |  FROM toks JOIN freq USING (tok) CROSS JOIN tot
-        |)
-        |SELECT doc_id, count(*) AS n_tokens,
-        |  round(avg(nll), 6) AS avg_nll,
-        |  round(min(nll), 6) AS min_nll,
-        |  round(max(nll), 6) AS max_nll
-        |FROM scored GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-      val toks = Tables(spark, dir).documents
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-      val tot = freq.agg(sum(col("c")).cast("double").as("t"))
-      toks.join(broadcast(freq), Seq("tok"))
-        .crossJoin(broadcast(tot))
-        .select(col("doc_id"), (-log(col("c") / col("t"))).as("nll"))
+      s"""WITH $duckNllCtes
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  round(avg(nll), 6) AS avg_nll,
+         |  round(min(nll), 6) AS min_nll,
+         |  round(max(nll), 6) AS max_nll
+         |FROM scored GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      scoredNll(Tables(spark, dir).documents)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
           round(avg(col("nll")), 6).as("avg_nll"),
@@ -198,17 +208,12 @@ object Training {
     //      keep-filter stays a stateless hash test either way.
     QueryDef.checked(
       "q_ppl_buckets",
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-        |), freq AS (
-        |  SELECT tok, count(*) AS c FROM toks GROUP BY tok
-        |), tot AS (
-        |  SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq
-        |), scored AS (
-        |  SELECT doc_id, -ln(c / t) AS nll
-        |  FROM toks JOIN freq USING (tok) CROSS JOIN tot
-        |), per_doc AS (
-        |  SELECT doc_id, round(avg(nll), 6) AS avg_nll FROM scored GROUP BY doc_id
+      s"""WITH $duckNllCtes
+        |, per_doc AS (
+        |  SELECT doc_id,
+        |    round(sum(CAST(round(nll * 1000000000) AS BIGINT)) / 1000000000.0
+        |          / count(*), 6) AS avg_nll
+        |  FROM scored GROUP BY doc_id
         |), bucketed AS (
         |  SELECT doc_id, avg_nll,
         |    ntile(3) OVER (ORDER BY avg_nll, doc_id) AS bucket
@@ -225,15 +230,16 @@ object Training {
         |FROM flagged
         |GROUP BY bucket
         |ORDER BY bucket""".stripMargin) { (spark, dir) =>
-      val toks = Tables(spark, dir).documents
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-      val tot = freq.agg(sum(col("c")).cast("double").as("t"))
-      val perDoc = toks.join(broadcast(freq), Seq("tok"))
-        .crossJoin(broadcast(tot))
-        .select(col("doc_id"), (-log(col("c") / col("t"))).as("nll"))
+      // per-doc average via a FIXED-POINT token sum (unlike
+      // q_unigram_logprob's display-only avg, this value feeds ntile —
+      // a 1-ulp flip at a rounding boundary would reassign a doc's
+      // bucket and change three whole output rows)
+      val perDoc = scoredNll(Tables(spark, dir).documents)
         .groupBy("doc_id")
-        .agg(round(avg(col("nll")), 6).as("avg_nll"))
+        .agg(sum(expr("CAST(round(nll * 1000000000) AS BIGINT)")).as("ss"),
+          count(lit(1)).as("n"))
+        .select(col("doc_id"),
+          round(col("ss") / lit(1000000000.0) / col("n"), 6).as("avg_nll"))
       perDoc
         .withColumn("bucket", ntile(3).over(
           org.apache.spark.sql.expressions.Window.orderBy("avg_nll", "doc_id")))

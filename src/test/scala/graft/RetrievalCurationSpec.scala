@@ -13,6 +13,9 @@ class RetrievalCurationSpec extends SparkSpec {
       assert(r.getAs[Double]("bm25") > 0.0)
       assert(r.getAs[Int]("n_terms") >= 1 && r.getAs[Int]("n_terms") <= 4)
     }
+    // the top-ranked doc matches every query term — a broken idf/tf
+    // denominator that over-rewards one rare term would violate this
+    assert(rows.head.getAs[Int]("n_terms") == 4)
     // scores arrive ranked: monotone non-increasing
     val scores = rows.map(_.getAs[Double]("bm25"))
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
