@@ -26,6 +26,59 @@ object Retrieval {
   private val terms = Seq("vector", "join", "scan", "filter")
   private val termsSql = terms.map(t => s"'$t'").mkString("(", ", ", ")")
 
+  /** Shared DSIR chain ending in `dsir(doc_id, lang, n_tokens, lws)` —
+    * lws is the 1e-9 fixed-point log-weight sum. One CTE string + one
+    * DataFrame builder shared by [[q_dsir_weights]] and the resampling
+    * capstone so the weighting cannot drift between them. */
+  private[operators] val duckDsirCtes =
+    """dbt AS (
+      |  SELECT doc_id, lang,
+      |    CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) % 1024 AS b
+      |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents) dt
+      |), dsrc AS (
+      |  SELECT b, count(*) AS cs FROM dbt GROUP BY b
+      |), dtgt AS (
+      |  SELECT b, count(*) AS ct FROM dbt WHERE lang = 'en' GROUP BY b
+      |), dtots AS (
+      |  SELECT CAST(sum(cs) AS DOUBLE) AS ns,
+      |    CAST((SELECT sum(ct) FROM dtgt) AS DOUBLE) AS nt
+      |  FROM dsrc
+      |), dlr AS (
+      |  SELECT s.b,
+      |    CAST(round(ln(((coalesce(t.ct, 0) + 1) / (nt + 1024.0)) /
+      |                  ((s.cs + 1) / (ns + 1024.0))) * 1000000000) AS BIGINT) AS lrs
+      |  FROM dsrc s LEFT JOIN dtgt t ON t.b = s.b, dtots
+      |), dsir AS (
+      |  SELECT d.doc_id, d.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum(l.lrs) AS BIGINT) AS lws
+      |  FROM dbt d JOIN dlr l ON l.b = d.b
+      |  GROUP BY d.doc_id, d.lang
+      |)""".stripMargin
+
+  private[operators] def dsirScaled(docs: org.apache.spark.sql.DataFrame) = {
+    val bt = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        (Dedup.md5h64(col("tok")) % 1024).as("b"))
+    val src = bt.groupBy("b").agg(count(lit(1)).as("cs"))
+    val tgt = bt.filter(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val tots = src.agg(sum(col("cs")).cast("double").as("ns"))
+      .crossJoin(tgt.agg(sum(col("ct")).cast("double").as("nt")))
+    val lr = src.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(tots))
+      .select(col("b"), expr(
+        """CAST(round(ln(((coalesce(ct, 0) + 1) / (nt + 1024.0)) /
+          |              ((cs + 1) / (ns + 1024.0))) * 1000000000) AS BIGINT)"""
+          .stripMargin).as("lrs"))
+    bt.join(broadcast(lr), Seq("b"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(col("lrs")).cast("long").as("lws"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- BM25 (k1=1.2, b=0.75) of a fixed 4-term query against every
@@ -88,54 +141,103 @@ object Retrieval {
     //      the resampling step then samples ∝ exp(weight).
     QueryDef.checked(
       "q_dsir_weights",
-      """WITH toks AS (
-        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
-        |), bt AS (
-        |  SELECT doc_id, lang,
-        |    CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT) % 1024 AS b
-        |  FROM toks
-        |), src AS (
-        |  SELECT b, count(*) AS cs FROM bt GROUP BY b
-        |), tgt AS (
-        |  SELECT b, count(*) AS ct FROM bt WHERE lang = 'en' GROUP BY b
-        |), tots AS (
-        |  SELECT CAST(sum(cs) AS DOUBLE) AS ns,
-        |    CAST((SELECT sum(ct) FROM tgt) AS DOUBLE) AS nt
-        |  FROM src
-        |), lr AS (
-        |  SELECT s.b,
-        |    CAST(round(ln(((coalesce(t.ct, 0) + 1) / (nt + 1024.0)) /
-        |                  ((s.cs + 1) / (ns + 1024.0))) * 1000000000) AS BIGINT) AS lrs
-        |  FROM src s LEFT JOIN tgt t ON t.b = s.b, tots
-        |)
-        |SELECT d.doc_id, d.lang, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  round(sum(l.lrs) / 1000000000.0, 6) AS log_weight
-        |FROM bt d JOIN lr l ON l.b = d.b
-        |GROUP BY d.doc_id, d.lang
-        |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
-      val bt = Tables(spark, dir).documents
-        .select(col("doc_id"), col("lang"),
-          explode(split(col("text"), " ")).as("tok"))
-        .select(col("doc_id"), col("lang"),
-          (Dedup.md5h64(col("tok")) % 1024).as("b"))
-      val src = bt.groupBy("b").agg(count(lit(1)).as("cs"))
-      val tgt = bt.filter(col("lang") === "en")
-        .groupBy("b").agg(count(lit(1)).as("ct"))
-      val tots = src.agg(sum(col("cs")).cast("double").as("ns"))
-        .crossJoin(tgt.agg(sum(col("ct")).cast("double").as("nt")))
-      val lr = src.join(tgt, Seq("b"), "left")
-        .crossJoin(broadcast(tots))
-        .select(col("b"), expr(
-          """CAST(round(ln(((coalesce(ct, 0) + 1) / (nt + 1024.0)) /
-            |              ((cs + 1) / (ns + 1024.0))) * 1000000000) AS BIGINT)"""
-            .stripMargin).as("lrs"))
-      bt.join(broadcast(lr), Seq("b"))
-        .groupBy("doc_id", "lang")
-        .agg(count(lit(1)).cast("long").as("n_tokens"),
-          sum(col("lrs")).as("s"))
+      s"""WITH $duckDsirCtes
+         |SELECT doc_id, lang, n_tokens,
+         |  round(lws / 1000000000.0, 6) AS log_weight
+         |FROM dsir
+         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      dsirScaled(Tables(spark, dir).documents)
         .select(col("doc_id"), col("lang"), col("n_tokens"),
-          round(col("s") / lit(1000000000.0), 6).as("log_weight"))
+          round(col("lws") / lit(1000000000.0), 6).as("log_weight"))
         .orderBy("doc_id")
+    },
+
+    // ---- resampling capstone: the target-mix selection pass as ONE
+    //      query — per-domain cap ∩ perplexity-bucket keep ∩
+    //      above-average DSIR weight — composed from the same
+    //      individually verified fragments. The DSIR cut is RELATIVE
+    //      (lws·N > ΣL, i.e. more target-like than the corpus mean,
+    //      exact in integer arithmetic): absolute log-weights are
+    //      uncalibrated — here every doc scores negative because the
+    //      languages share one vocabulary, and in a real crawl the
+    //      smoothing constant shifts all weights — so selection must
+    //      rank, not threshold. The three predicates are independent
+    //      (set intersection), so a 100 TB run executes them as one
+    //      fused corpus pass: the cap and bucket keep-sets arrive as
+    //      semi joins on doc_id (NOT broadcast — keep-sets are
+    //      corpus-sized, unlike the capstone's bounded drop-sets) and
+    //      the DSIR weight rides the same per-doc row. (lws·N stays in
+    //      long range up to ~10⁹ docs; past that, compare lws to the
+    //      integer-divided mean instead.)
+    QueryDef.checked(
+      "q_resample_pipeline",
+      s"""WITH ${Training.duckNllCtes}
+         |, per_doc AS (
+         |  SELECT doc_id,
+         |    round(sum(CAST(round(nll * 1000000000) AS BIGINT)) / 1000000000.0
+         |          / count(*), 6) AS avg_nll
+         |  FROM scored GROUP BY doc_id
+         |), ppl_keep AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      ntile(3) OVER (ORDER BY avg_nll, doc_id) AS bucket
+         |    FROM per_doc) bk
+         |  WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+         |      < CASE bucket WHEN 1 THEN 10 WHEN 2 THEN 50 ELSE 100 END
+         |), $duckDsirCtes
+         |, cap_keep AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+         |    FROM documents) rk
+         |  WHERE rn <= 10
+         |), wstats AS (
+         |  SELECT CAST(sum(lws) AS BIGINT) AS total_lws,
+         |    count(*) AS n_total
+         |  FROM dsir
+         |)
+         |SELECT s.lang, count(*) AS n_docs,
+         |  CAST(sum(s.n_tokens) AS BIGINT) AS total_tokens
+         |FROM dsir s
+         |JOIN cap_keep c ON c.doc_id = s.doc_id
+         |JOIN ppl_keep p ON p.doc_id = s.doc_id
+         |CROSS JOIN wstats w
+         |WHERE s.lws * w.n_total > w.total_lws
+         |GROUP BY s.lang
+         |ORDER BY s.lang""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(spark, dir).documents
+      val pplKeep = Training.scoredNll(docs)
+        .groupBy("doc_id")
+        .agg(sum(expr("CAST(round(nll * 1000000000) AS BIGINT)")).as("ss"),
+          count(lit(1)).as("n"))
+        .select(col("doc_id"),
+          round(col("ss") / lit(1000000000.0) / col("n"), 6).as("avg_nll"))
+        .withColumn("bucket",
+          ntile(3).over(Window.orderBy("avg_nll", "doc_id")))
+        .filter(Dedup.md5h64(col("doc_id").cast("string")) % 100 <
+          when(col("bucket") === 1, 10)
+            .when(col("bucket") === 2, 50).otherwise(100))
+        .select("doc_id")
+      val capKeep = docs
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rn") <= 10)
+        .select("doc_id")
+      // the weights relation feeds both the mean and the filter —
+      // materialize once (its two consumers plan as independent stages)
+      val weights = dsirScaled(docs).localCheckpoint()
+      val wstats = weights.agg(sum(col("lws")).cast("long").as("total_lws"),
+        count(lit(1)).as("n_total"))
+      weights
+        .crossJoin(broadcast(wstats))
+        .filter(col("lws") * col("n_total") > col("total_lws"))
+        .join(capKeep, Seq("doc_id"), "left_semi")
+        .join(pplKeep, Seq("doc_id"), "left_semi")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"))
+        .orderBy("lang")
     }
   )
 }

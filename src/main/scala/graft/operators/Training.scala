@@ -36,7 +36,7 @@ object Training {
     * corpus's own unigram distribution. One CTE string + one DataFrame
     * builder so [[q_unigram_logprob]] and [[q_ppl_buckets]] cannot
     * drift apart on tokenization or smoothing. */
-  private val duckNllCtes =
+  private[operators] val duckNllCtes =
     """toks AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
       |), freq AS (
@@ -48,7 +48,7 @@ object Training {
       |  FROM toks JOIN freq USING (tok) CROSS JOIN tot
       |)""".stripMargin
 
-  private def scoredNll(docs: org.apache.spark.sql.DataFrame) = {
+  private[operators] def scoredNll(docs: org.apache.spark.sql.DataFrame) = {
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
     val tot = freq.agg(sum(col("c")).cast("double").as("t"))

@@ -105,6 +105,26 @@ class RetrievalCurationSpec extends SparkSpec {
     assert(nll(0) <= nll(1) && nll(1) <= nll(2))
   }
 
+  test("resample pipeline: intersection bounded, selection skews to target") {
+    val rows = q("q_resample_pipeline").collect()
+    val kept = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(kept > 0)
+    // each stage alone is an upper bound on the intersection
+    val capKept = q("q_domain_cap").collect()
+      .map(_.getAs[Long]("n_kept")).sum
+    val pplKept = q("q_ppl_buckets").collect()
+      .map(_.getAs[Long]("n_kept")).sum
+    assert(kept <= capKept && kept <= pplKept)
+    // the above-mean DSIR cut keeps strictly less than everything
+    val total = Tables(spark, sf).documents.count()
+    assert(kept < total)
+    // NOTE: no "kept mix skews en" assertion — on this corpus the two
+    // quality axes anticorrelate (en docs dominate the shared vocab, so
+    // they are also the lowest-surprisal tercile and the ppl stage
+    // keeps only 10% of them); the DSIR-alone tilt is asserted in the
+    // dsir test above.
+  }
+
   test("domain cap: at most 10 kept per source, totals cover the corpus") {
     val rows = q("q_domain_cap").collect()
     val total = Tables(spark, sf).documents.count()
