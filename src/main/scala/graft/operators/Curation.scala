@@ -1,7 +1,9 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 
 /** Round-4 curation/ETL wave (SURVEY.md §2B north star + §2A ETL
@@ -229,6 +231,118 @@ object Curation {
           lead(col("o_orderdate"), 1).over(w).as("valid_to"),
           lead(col("o_orderdate"), 1).over(w).isNull.as("is_current"))
         .orderBy("o_custkey", "version")
+    },
+
+    // ---- MERGE upsert application: the step after the CDC diff —
+    //      APPLY matched-update / not-matched-insert / tombstone-delete
+    //      against the snapshot in one pass and report the resulting
+    //      table state. One shuffle join on the merge key (both sides
+    //      key-partitioned, no skew by construction); Delta/Iceberg
+    //      MERGE INTO compiles to exactly this join shape.
+    QueryDef.checked(
+      "q_merge_upsert",
+      """WITH prev AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 <> 0
+        |), merged AS (
+        |  SELECT s.o_orderkey, s.o_orderstatus,
+        |    s.o_totalprice,
+        |    CASE WHEN p.o_orderkey IS NULL THEN 'insert'
+        |         WHEN s.o_totalprice <> p.o_totalprice THEN 'update'
+        |         ELSE 'unchanged' END AS action
+        |  FROM orders s LEFT JOIN prev p ON s.o_orderkey = p.o_orderkey
+        |  WHERE s.o_orderkey % 13 <> 0
+        |)
+        |SELECT o_orderstatus,
+        |  count(*) AS n_live,
+        |  CAST(sum(CASE WHEN action = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+        |  CAST(sum(CASE WHEN action = 'update' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS price_total
+        |FROM merged
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      val src = Tables(spark, dir).orders
+      val prev = src.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey").as("p_orderkey"),
+          when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")).as("p_totalprice"))
+      src
+        .filter(col("o_orderkey") % 13 =!= 0) // tombstone-delete clause
+        .join(prev, col("o_orderkey") === col("p_orderkey"), "left")
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+          when(col("p_orderkey").isNull, "insert")
+            .when(col("o_totalprice") =!= col("p_totalprice"), "update")
+            .otherwise("unchanged").as("action"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_live"),
+          sum(when(col("action") === "insert", 1).otherwise(0)).cast("long")
+            .as("n_inserted"),
+          sum(when(col("action") === "update", 1).otherwise(0)).cast("long")
+            .as("n_updated"),
+          sum(col("o_orderkey")).cast("long").as("key_checksum"),
+          sum(col("o_totalprice").cast(DecimalType(14, 2))).cast("double")
+            .as("price_total"))
+        .orderBy("o_orderstatus")
+    },
+
+    // ---- clone verification by bucketed checksums (anti-entropy /
+    //      Merkle-style): hash every row, XOR-fold per key bucket on
+    //      BOTH source and (corrupted) clone, compare bucket digests.
+    //      O(buckets) rows move to the comparison regardless of table
+    //      size — the only way to verify a 100 TB clone without
+    //      re-shipping it. XOR is order-insensitive, so the fold is
+    //      partition-order-proof by construction; a mismatched bucket
+    //      localizes re-sync work to 1/64 of the keyspace.
+    QueryDef.checked(
+      "q_clone_checksum",
+      """WITH src AS (
+        |  SELECT o_orderkey % 64 AS bucket,
+        |    CAST(concat('0x', substring(md5(concat(
+        |      CAST(o_orderkey AS VARCHAR), '|', o_orderstatus, '|',
+        |      CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+        |  FROM orders
+        |), clone AS (
+        |  SELECT o_orderkey % 64 AS bucket,
+        |    CAST(concat('0x', substring(md5(concat(
+        |      CAST(o_orderkey AS VARCHAR), '|', o_orderstatus, '|',
+        |      CAST(CAST(CASE WHEN o_orderkey % 9973 = 0 THEN o_totalprice + 1.0
+        |                     ELSE o_totalprice END AS DECIMAL(14,2)) AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+        |  FROM orders
+        |), sb AS (
+        |  SELECT bucket, count(*) AS n_src, bit_xor(h) AS src_digest
+        |  FROM src GROUP BY bucket
+        |), cb AS (
+        |  SELECT bucket, count(*) AS n_clone, bit_xor(h) AS clone_digest
+        |  FROM clone GROUP BY bucket
+        |)
+        |SELECT sb.bucket, n_src, n_clone,
+        |  src_digest = clone_digest AS digests_match
+        |FROM sb JOIN cb ON cb.bucket = sb.bucket
+        |ORDER BY sb.bucket""".stripMargin) { (spark, dir) =>
+      val orders = Tables(spark, dir).orders
+      def rowHash(price: Column): Column =
+        Dedup.md5h64(concat(
+          col("o_orderkey").cast("string"), lit("|"),
+          col("o_orderstatus"), lit("|"),
+          price.cast(DecimalType(14, 2)).cast("string")))
+      val sb = orders
+        .select((col("o_orderkey") % 64).as("bucket"),
+          rowHash(col("o_totalprice")).as("h"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_src"), expr("bit_xor(h)").as("src_digest"))
+      val cb = orders
+        .select((col("o_orderkey") % 64).as("bucket"),
+          rowHash(when(col("o_orderkey") % 9973 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice"))).as("h"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_clone"), expr("bit_xor(h)").as("clone_digest"))
+      sb.join(cb, Seq("bucket"))
+        .select(col("bucket"), col("n_src"), col("n_clone"),
+          (col("src_digest") === col("clone_digest")).as("digests_match"))
+        .orderBy("bucket")
     },
 
     // ---- capstone: the full curation pipeline as ONE query — exact

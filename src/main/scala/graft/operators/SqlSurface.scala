@@ -191,6 +191,57 @@ object SqlSurface {
         .orderBy("day")
     },
 
+    // ---- gap-fill with last-observation-carried-forward: the sparse
+    //      daily revenue of 'P'-status orders interpolated over the full
+    //      date spine (spine ⟕ daily, then last IGNORE NULLS over the
+    //      ordered frame). The fill is value-copying, not arithmetic —
+    //      nothing to drift between engines. The unpartitioned window is
+    //      safe because it runs over the POST-AGGREGATE daily series
+    //      (one row per day); a per-entity fill at 100 TB partitions the
+    //      window by the entity key.
+    QueryDef.checked(
+      "q_interpolate",
+      """WITH bounds AS (
+        |  SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+        |    CAST(max(o_orderdate) AS DATE) AS d1 FROM orders
+        |), spine AS (
+        |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM bounds
+        |), daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+        |  FROM orders WHERE o_orderstatus = 'P'
+        |  GROUP BY CAST(o_orderdate AS DATE)
+        |)
+        |SELECT s.day,
+        |  coalesce(d.n_orders, 0) AS n_orders,
+        |  d.revenue IS NOT NULL AS is_observed,
+        |  last_value(d.revenue IGNORE NULLS) OVER (
+        |    ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled_revenue
+        |FROM spine s LEFT JOIN daily d ON d.day = s.day
+        |ORDER BY s.day""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val orders = Tables(spark, dir).orders
+      val spine = orders
+        .agg(to_date(min(col("o_orderdate"))).as("d0"),
+          to_date(max(col("o_orderdate"))).as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val daily = orders.filter(col("o_orderstatus") === "P")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(14, 2))).cast("double")
+            .as("revenue"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          col("revenue").isNotNull.as("is_observed"),
+          last(col("revenue"), ignoreNulls = true).over(
+            Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0))
+            .as("filled_revenue"))
+        .orderBy("day")
+    },
+
     // ---- bitwise aggregates: bit_and / bit_or / bit_xor over event ids
     //      per user bucket (pure integer — bit-identical by construction)
     QueryDef.checked(

@@ -72,4 +72,49 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(viaText == direct)
   }
+
+  test("merge upsert: live rows = source minus tombstones, actions add up") {
+    val rows = q("q_merge_upsert").collect()
+    val orders = Tables(spark, sf).orders
+    val expectedLive = orders.filter(col("o_orderkey") % 13 =!= 0).count()
+    assert(rows.map(_.getAs[Long]("n_live")).sum == expectedLive)
+    val expIns = orders
+      .filter(col("o_orderkey") % 13 =!= 0 && col("o_orderkey") % 7 === 0).count()
+    val expUpd = orders.filter(col("o_orderkey") % 13 =!= 0 &&
+      col("o_orderkey") % 7 =!= 0 && col("o_orderkey") % 11 === 0).count()
+    assert(rows.map(_.getAs[Long]("n_inserted")).sum == expIns)
+    assert(rows.map(_.getAs[Long]("n_updated")).sum == expUpd)
+  }
+
+  test("clone checksum: exactly the corrupted buckets mismatch") {
+    val rows = q("q_clone_checksum").collect()
+    // row counts always agree (corruption edits values, not cardinality)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_src") == r.getAs[Long]("n_clone")))
+    val corrupted = Tables(spark, sf).orders
+      .filter(col("o_orderkey") % 9973 === 0)
+      .select((col("o_orderkey") % 64).as("bucket"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val mismatched = rows.filterNot(_.getAs[Boolean]("digests_match"))
+      .map(_.getAs[Long]("bucket")).toSet
+    assert(mismatched == corrupted)
+  }
+
+  test("interpolate: spine dense, filled value matches last observation") {
+    val rows = q("q_interpolate").collect()
+    // dense daily spine: row count == day span
+    val span = Tables(spark, sf).orders
+      .agg(datediff(to_date(max(col("o_orderdate"))),
+        to_date(min(col("o_orderdate"))))).collect().head.getInt(0)
+    assert(rows.length == span + 1)
+    // LOCF: on observed days filled == that day's revenue; in between it
+    // carries the previous value; before the first observation it's null
+    var last: Option[Double] = None
+    rows.foreach { r =>
+      if (r.getAs[Boolean]("is_observed"))
+        last = Some(r.getAs[Double]("filled_revenue"))
+      if (last.isEmpty) assert(r.isNullAt(r.fieldIndex("filled_revenue")))
+      else assert(r.getAs[Double]("filled_revenue") == last.get)
+    }
+  }
 }
