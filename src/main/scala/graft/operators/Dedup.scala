@@ -127,6 +127,28 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** SQL twin of [[simhash16]] — CTE chain ending in `sh(doc_id,
+    * simhash16)`. Shared by q_simhash, q_simhash_hamming, and the
+    * sorted-neighborhood query so the bit-vote construction is written
+    * once. */
+  private[operators] val duckSimhashCtes =
+    s"""stoks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), sbits AS (
+       |  SELECT doc_id, unnest(range(0, 16)) AS bit,
+       |    ${duckH64("tok")} AS h
+       |  FROM stoks
+       |), ssums AS (
+       |  SELECT doc_id, bit,
+       |    sum(CASE WHEN (h // CAST(pow(2, bit) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM sbits GROUP BY doc_id, bit
+       |), sh AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)
+       |         AS BIGINT) AS simhash16
+       |  FROM ssums GROUP BY doc_id
+       |)""".stripMargin
+
   /** 16-bit token-frequency-weighted SimHash per doc (md5-derived bits,
     * reproducible in SQL) — shared by q_simhash and q_simhash_hamming. */
   def simhash16(docs: DataFrame): DataFrame = {
@@ -236,21 +258,8 @@ object Dedup {
     //      the same md5-derived hash on both engines
     QueryDef.checked(
       "q_simhash",
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-         |), bits AS (
-         |  SELECT doc_id, unnest(range(0, 16)) AS bit,
-         |    ${duckH64("tok")} AS h
-         |  FROM toks
-         |), sums AS (
-         |  SELECT doc_id, bit,
-         |    sum(CASE WHEN (h // CAST(pow(2, bit) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
-         |  FROM bits GROUP BY doc_id, bit
-         |)
-         |SELECT doc_id,
-         |  CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)
-         |       AS BIGINT) AS simhash16
-         |FROM sums GROUP BY doc_id
+      s"""WITH $duckSimhashCtes
+         |SELECT doc_id, simhash16 FROM sh
          |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
       simhash16(Tables(spark, dir).documents).orderBy("doc_id")
     },
@@ -260,21 +269,7 @@ object Dedup {
     //      simhash pairing predicate, linear over the corpus)
     QueryDef.checked(
       "q_simhash_hamming",
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-         |), bits AS (
-         |  SELECT doc_id, unnest(range(0, 16)) AS bit,
-         |    ${duckH64("tok")} AS h
-         |  FROM toks
-         |), sums AS (
-         |  SELECT doc_id, bit,
-         |    sum(CASE WHEN (h // CAST(pow(2, bit) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
-         |  FROM bits GROUP BY doc_id, bit
-         |), sh AS (
-         |  SELECT doc_id,
-         |    sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS simhash16
-         |  FROM sums GROUP BY doc_id
-         |)
+      s"""WITH $duckSimhashCtes
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.simhash16, b.simhash16)) AS INTEGER) AS hamming,
          |  bit_count(xor(a.simhash16, b.simhash16)) <= 3 AS is_neardup
@@ -290,6 +285,84 @@ object Dedup {
           bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
         .withColumn("is_neardup", col("hamming") <= 3)
         .orderBy("doc_a")
+    },
+
+    // ---- sorted-neighborhood near-dup (SNM): the third classic
+    //      candidate-generation strategy next to LSH banding and key
+    //      blocking — sort the corpus by a similarity-preserving key
+    //      (simhash16) and compare each doc only to its w=3 successors
+    //      in sort order, scoring candidates by exact shingle Jaccard.
+    //      At 100 TB the sort is one range-partitioned exchange and the
+    //      neighbor join is rank-equi (rn = rn + d, d ∈ 1..3) — never a
+    //      theta join — so candidate count is exactly 3N regardless of
+    //      skew; boundary pairs between range partitions come free
+    //      because the join is on global rank, not partition position.
+    QueryDef.checked(
+      "q_sorted_neighborhood",
+      s"""WITH $duckSimhashCtes
+         |, ranked AS (
+         |  SELECT doc_id, simhash16,
+         |    row_number() OVER (ORDER BY simhash16, doc_id) AS rn
+         |  FROM sh
+         |), offs AS (
+         |  SELECT unnest([1, 2, 3]) AS d
+         |), cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, o.d AS rank_dist
+         |  FROM ranked a CROSS JOIN offs o
+         |  JOIN ranked b ON b.rn = a.rn + o.d
+         |), grams AS (
+         |  SELECT DISTINCT doc_id, unnest($duckGrams) AS gram FROM documents
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+         |), inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_int
+         |  FROM cand c
+         |  JOIN grams ga ON ga.doc_id = c.doc_a
+         |  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+         |  GROUP BY c.doc_a, c.doc_b
+         |)
+         |SELECT c.doc_a, c.doc_b, CAST(c.rank_dist AS INTEGER) AS rank_dist,
+         |  coalesce(i.n_int, 0) AS n_int,
+         |  round(CAST(coalesce(i.n_int, 0) AS DOUBLE)
+         |        / (sa.n + sb.n - coalesce(i.n_int, 0)), 6) AS jaccard
+         |FROM cand c
+         |JOIN sizes sa ON sa.doc_id = c.doc_a
+         |JOIN sizes sb ON sb.doc_id = c.doc_b
+         |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |ORDER BY c.doc_a, c.doc_b""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(spark, dir).documents
+      // global rank over the similarity key; at scale this is a range
+      // partitioning (sortWithinPartitions + boundary exchange), local
+      // mode plans it as a single-partition window over 16-byte rows
+      val ranked = simhash16(docs)
+        .withColumn("rn", row_number().over(
+          Window.orderBy("simhash16", "doc_id")))
+        .localCheckpoint() // both sides of the rank-equi join
+      val cand = ranked
+        .select(col("doc_id").as("doc_a"), col("rn"),
+          explode(expr("sequence(1, 3)")).as("d"))
+        .join(ranked.select(col("doc_id").as("doc_b"), col("rn").as("rnb")),
+          col("rnb") === col("rn") + col("d"))
+        .select(col("doc_a"), col("doc_b"), col("d").as("rank_dist"))
+      val grams = gramRelation(docs).localCheckpoint() // sizes + 2 joins
+      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(grams.select(col("doc_id").as("doc_a"), col("gram")), Seq("doc_a"))
+        .join(grams.select(col("doc_id").as("doc_b"), col("gram")),
+          Seq("doc_b", "gram"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_int"))
+      cand
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"),
+          col("rank_dist").cast("int").as("rank_dist"),
+          coalesce(col("n_int"), lit(0L)).as("n_int"),
+          round(coalesce(col("n_int"), lit(0L)).cast("double") /
+            (col("n_a") + col("n_b") - coalesce(col("n_int"), lit(0L))), 6)
+            .as("jaccard"))
+        .orderBy("doc_a", "doc_b")
     },
 
     // ---- production-path MinHash-LSH (xxhash64, k=16, b=4, r=4) with

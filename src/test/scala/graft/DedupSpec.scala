@@ -65,4 +65,19 @@ class DedupSpec extends SparkSpec {
     assert(q("q_minhash_signatures").count() ==
       Tables(spark, sf).documents.count())
   }
+
+  test("sorted neighborhood: exactly 3N-6 candidates, sane scores") {
+    val rows = q("q_sorted_neighborhood").collect()
+    val n = Tables(spark, sf).documents.count()
+    // every doc pairs with its 1..3 successors; the last three ranks
+    // have fewer (a window of 3 truncates at the corpus tail)
+    assert(rows.length == 3 * n - 6)
+    rows.foreach { r =>
+      val d = r.getAs[Int]("rank_dist")
+      assert(d >= 1 && d <= 3)
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+      assert(r.getAs[Long]("doc_a") != r.getAs[Long]("doc_b"))
+    }
+  }
 }
