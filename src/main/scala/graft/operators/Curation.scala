@@ -233,6 +233,64 @@ object Curation {
         .orderBy("o_custkey", "version")
     },
 
+    // ---- point-in-time (PIT) join: each fact row joins the dimension
+    //      VERSION that was valid at the fact's event time — the
+    //      temporal-correctness join feature stores and SCD2 warehouses
+    //      need (a plain join would leak future attribute values into
+    //      history). Shape: equi join on the entity key with the
+    //      interval containment as a residual — shuffles once on
+    //      custkey, never a theta join, because versions-per-entity is
+    //      small and bounded.
+    QueryDef.checked(
+      "q_pit_join",
+      """WITH versions AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER w AS version,
+        |    o_orderdate AS valid_from,
+        |    lead(o_orderdate) OVER w AS valid_to
+        |  FROM orders
+        |  WHERE o_custkey < 30
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |), facts AS (
+        |  SELECT o.o_custkey, l.l_shipdate
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_custkey < 30
+        |)
+        |SELECT v.o_custkey, CAST(v.version AS INTEGER) AS version,
+        |  count(*) AS n_facts,
+        |  min(f.l_shipdate) AS first_ship,
+        |  max(f.l_shipdate) AS last_ship
+        |FROM facts f
+        |JOIN versions v
+        |  ON v.o_custkey = f.o_custkey
+        | AND v.valid_from <= f.l_shipdate
+        | AND (v.valid_to IS NULL OR f.l_shipdate < v.valid_to)
+        |GROUP BY v.o_custkey, v.version
+        |ORDER BY v.o_custkey, version""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val versions = t.orders.filter(col("o_custkey") < 30)
+        .select(col("o_custkey"), row_number().over(w).as("version"),
+          col("o_orderdate").as("valid_from"),
+          lead(col("o_orderdate"), 1).over(w).as("valid_to"))
+      val facts = t.lineitem.select(col("l_orderkey"), col("l_shipdate"))
+        .join(t.orders.filter(col("o_custkey") < 30)
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("f_custkey"), col("l_shipdate"))
+      facts.join(versions,
+        col("o_custkey") === col("f_custkey") &&
+          col("valid_from") <= col("l_shipdate") &&
+          (col("valid_to").isNull || col("l_shipdate") < col("valid_to")))
+        .groupBy("o_custkey", "version")
+        .agg(count(lit(1)).as("n_facts"),
+          min(col("l_shipdate")).as("first_ship"),
+          max(col("l_shipdate")).as("last_ship"))
+        .select(col("o_custkey"), col("version").cast("int").as("version"),
+          col("n_facts"), col("first_ship"), col("last_ship"))
+        .orderBy("o_custkey", "version")
+    },
+
     // ---- MERGE upsert application: the step after the CDC diff —
     //      APPLY matched-update / not-matched-insert / tombstone-delete
     //      against the snapshot in one pass and report the resulting
