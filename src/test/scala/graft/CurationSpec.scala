@@ -100,6 +100,25 @@ class CurationSpec extends SparkSpec {
     assert(mismatched == corrupted)
   }
 
+  test("pit join: facts match exactly one version; pre-history stays out") {
+    val matched = q("q_pit_join").collect().map(_.getAs[Long]("n_facts")).sum
+    val t = Tables(spark, sf)
+    // intervals partition time from each customer's FIRST order onward,
+    // so a fact matches exactly one version iff it ships on/after that
+    // date; earlier facts (the data allows l_shipdate < o_orderdate)
+    // correctly match nothing — that's the no-future-leakage contract
+    val firstVersion = t.orders.filter(col("o_custkey") < 30)
+      .groupBy("o_custkey").agg(min(col("o_orderdate")).as("v0"))
+    val facts = t.lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      .join(t.orders.filter(col("o_custkey") < 30)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(firstVersion, Seq("o_custkey"))
+    val inHistory = facts.filter(col("l_shipdate") >= col("v0")).count()
+    assert(matched == inHistory)
+    assert(inHistory < facts.count(), "fixture should contain pre-history facts")
+  }
+
   test("interpolate: spine dense, filled value matches last observation") {
     val rows = q("q_interpolate").collect()
     // dense daily spine: row count == day span
