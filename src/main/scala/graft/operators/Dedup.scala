@@ -345,6 +345,7 @@ object Dedup {
         .join(ranked.select(col("doc_id").as("doc_b"), col("rn").as("rnb")),
           col("rnb") === col("rn") + col("d"))
         .select(col("doc_a"), col("doc_b"), col("d").as("rank_dist"))
+        .localCheckpoint() // feeds the intersection join AND the final join
       val grams = gramRelation(docs).localCheckpoint() // sizes + 2 joins
       val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = cand

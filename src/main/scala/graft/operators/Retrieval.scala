@@ -172,25 +172,11 @@ object Retrieval {
     QueryDef.checked(
       "q_resample_pipeline",
       s"""WITH ${Training.duckNllCtes}
-         |, per_doc AS (
-         |  SELECT doc_id,
-         |    round(sum(CAST(round(nll * 1000000000) AS BIGINT)) / 1000000000.0
-         |          / count(*), 6) AS avg_nll
-         |  FROM scored GROUP BY doc_id
-         |), ppl_keep AS (
-         |  SELECT doc_id FROM (
-         |    SELECT doc_id,
-         |      ntile(3) OVER (ORDER BY avg_nll, doc_id) AS bucket
-         |    FROM per_doc) bk
-         |  WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
-         |      < CASE bucket WHEN 1 THEN 10 WHEN 2 THEN 50 ELSE 100 END
-         |), $duckDsirCtes
+         |, ${Training.duckPplKeepCtes}
+         |, $duckDsirCtes
+         |, ${Sampling.duckCapRankCtes}
          |, cap_keep AS (
-         |  SELECT doc_id FROM (
-         |    SELECT doc_id,
-         |      row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
-         |    FROM documents) rk
-         |  WHERE rn <= 10
+         |  SELECT doc_id FROM ranked_cap WHERE rn <= ${Sampling.domainCap}
          |), wstats AS (
          |  SELECT CAST(sum(lws) AS BIGINT) AS total_lws,
          |    count(*) AS n_total
@@ -200,29 +186,15 @@ object Retrieval {
          |  CAST(sum(s.n_tokens) AS BIGINT) AS total_tokens
          |FROM dsir s
          |JOIN cap_keep c ON c.doc_id = s.doc_id
-         |JOIN ppl_keep p ON p.doc_id = s.doc_id
+         |JOIN ppl_keep p ON p.doc_id = s.doc_id AND p.keep
          |CROSS JOIN wstats w
          |WHERE s.lws * w.n_total > w.total_lws
          |GROUP BY s.lang
          |ORDER BY s.lang""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables(spark, dir).documents
-      val pplKeep = Training.scoredNll(docs)
-        .groupBy("doc_id")
-        .agg(sum(expr("CAST(round(nll * 1000000000) AS BIGINT)")).as("ss"),
-          count(lit(1)).as("n"))
-        .select(col("doc_id"),
-          round(col("ss") / lit(1000000000.0) / col("n"), 6).as("avg_nll"))
-        .withColumn("bucket",
-          ntile(3).over(Window.orderBy("avg_nll", "doc_id")))
-        .filter(Dedup.md5h64(col("doc_id").cast("string")) % 100 <
-          when(col("bucket") === 1, 10)
-            .when(col("bucket") === 2, 50).otherwise(100))
-        .select("doc_id")
-      val capKeep = docs
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))))
-        .filter(col("rn") <= 10)
+      val keptByPpl = Training.pplKeep(docs).filter(col("keep")).select("doc_id")
+      val capKeep = Sampling.capRanked(docs)
+        .filter(col("rn") <= Sampling.domainCap)
         .select("doc_id")
       // the weights relation feeds both the mean and the filter —
       // materialize once (its two consumers plan as independent stages)
@@ -233,7 +205,7 @@ object Retrieval {
         .crossJoin(broadcast(wstats))
         .filter(col("lws") * col("n_total") > col("total_lws"))
         .join(capKeep, Seq("doc_id"), "left_semi")
-        .join(pplKeep, Seq("doc_id"), "left_semi")
+        .join(keptByPpl, Seq("doc_id"), "left_semi")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).cast("long").as("total_tokens"))

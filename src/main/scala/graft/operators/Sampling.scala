@@ -19,6 +19,23 @@ import graft.Tables
   */
 object Sampling {
 
+  /** Per-domain document cap and its ranked relation — one definition
+    * shared by [[q_domain_cap]] and the resample capstone so the cap
+    * value and the ranking key live in exactly one place. */
+  private[operators] val domainCap = 10
+
+  private[operators] val duckCapRankCtes =
+    """ranked_cap AS (
+      |  SELECT source, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents
+      |)""".stripMargin
+
+  private[operators] def capRanked(docs: org.apache.spark.sql.DataFrame) =
+    docs.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))))
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- stratified sample: 10% of 'en' docs, 50% of every other lang
@@ -76,25 +93,19 @@ object Sampling {
     //      cap exists to bound (rank prunes past the cap early).
     QueryDef.checked(
       "q_domain_cap",
-      """WITH ranked AS (
-        |  SELECT source, doc_id, n_chars,
-        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
-        |  FROM documents
-        |)
+      s"""WITH $duckCapRankCtes
         |SELECT source, count(*) AS n_total,
-        |  CAST(count(*) FILTER (WHERE rn <= 10) AS BIGINT) AS n_kept,
-        |  CAST(sum(n_chars) FILTER (WHERE rn <= 10) AS BIGINT) AS kept_chars
-        |FROM ranked
+        |  CAST(count(*) FILTER (WHERE rn <= $domainCap) AS BIGINT) AS n_kept,
+        |  CAST(sum(n_chars) FILTER (WHERE rn <= $domainCap) AS BIGINT) AS kept_chars
+        |FROM ranked_cap
         |GROUP BY source
         |ORDER BY source""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      Tables(spark, dir).documents
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))))
+      capRanked(Tables(spark, dir).documents)
         .groupBy("source")
         .agg(count(lit(1)).as("n_total"),
-          count(when(col("rn") <= 10, 1)).cast("long").as("n_kept"),
-          sum(when(col("rn") <= 10, col("n_chars"))).cast("long").as("kept_chars"))
+          count(when(col("rn") <= domainCap, 1)).cast("long").as("n_kept"),
+          sum(when(col("rn") <= domainCap, col("n_chars"))).cast("long")
+            .as("kept_chars"))
         .orderBy("source")
     }
   )

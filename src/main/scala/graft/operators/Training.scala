@@ -57,6 +57,46 @@ object Training {
       .select(col("doc_id"), (-log(col("c") / col("t"))).as("nll"))
   }
 
+  /** The CCNet keep predicate (surprisal terciles × 10/50/100 hash
+    * rates) as a shared fragment — `ppl_keep(doc_id)` CTEs appended
+    * after [[duckNllCtes]], plus the DataFrame twin. Shared by
+    * [[q_ppl_buckets]]'s flagged relation and the resample capstone so
+    * the rates/terciles live in exactly one place. */
+  private[operators] val duckPplKeepCtes =
+    """per_doc AS (
+      |  SELECT doc_id,
+      |    round(sum(CAST(round(nll * 1000000000) AS BIGINT)) / 1000000000.0
+      |          / count(*), 6) AS avg_nll
+      |  FROM scored GROUP BY doc_id
+      |), bucketed AS (
+      |  SELECT doc_id, avg_nll,
+      |    ntile(3) OVER (ORDER BY avg_nll, doc_id) AS bucket
+      |  FROM per_doc
+      |), ppl_keep AS (
+      |  SELECT doc_id, bucket, avg_nll,
+      |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+      |      < CASE bucket WHEN 1 THEN 10 WHEN 2 THEN 50 ELSE 100 END AS keep
+      |  FROM bucketed
+      |)""".stripMargin
+
+  /** (doc_id, bucket, avg_nll, keep) — DataFrame twin of the
+    * `ppl_keep` CTE. The per-doc average uses a FIXED-POINT token sum:
+    * this value feeds ntile, where a 1-ulp flip at a rounding boundary
+    * would reassign a doc's bucket. */
+  private[operators] def pplKeep(docs: org.apache.spark.sql.DataFrame) =
+    scoredNll(docs)
+      .groupBy("doc_id")
+      .agg(sum(expr("CAST(round(nll * 1000000000) AS BIGINT)")).as("ss"),
+        count(lit(1)).as("n"))
+      .select(col("doc_id"),
+        round(col("ss") / lit(1000000000.0) / col("n"), 6).as("avg_nll"))
+      .withColumn("bucket", ntile(3).over(
+        org.apache.spark.sql.expressions.Window.orderBy("avg_nll", "doc_id")))
+      .withColumn("keep",
+        Dedup.md5h64(col("doc_id").cast("string")) % 100 <
+          when(col("bucket") === 1, 10)
+            .when(col("bucket") === 2, 50).otherwise(100))
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- benchmark contamination: fraction of each doc's distinct
@@ -209,44 +249,14 @@ object Training {
     QueryDef.checked(
       "q_ppl_buckets",
       s"""WITH $duckNllCtes
-        |, per_doc AS (
-        |  SELECT doc_id,
-        |    round(sum(CAST(round(nll * 1000000000) AS BIGINT)) / 1000000000.0
-        |          / count(*), 6) AS avg_nll
-        |  FROM scored GROUP BY doc_id
-        |), bucketed AS (
-        |  SELECT doc_id, avg_nll,
-        |    ntile(3) OVER (ORDER BY avg_nll, doc_id) AS bucket
-        |  FROM per_doc
-        |), flagged AS (
-        |  SELECT bucket, avg_nll,
-        |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
-        |      < CASE bucket WHEN 1 THEN 10 WHEN 2 THEN 50 ELSE 100 END AS keep
-        |  FROM bucketed
-        |)
+        |, $duckPplKeepCtes
         |SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  round(sum(CAST(round(avg_nll * 1000000) AS BIGINT)) / 1000000.0 / count(*), 6) AS mean_nll
-        |FROM flagged
+        |FROM ppl_keep
         |GROUP BY bucket
         |ORDER BY bucket""".stripMargin) { (spark, dir) =>
-      // per-doc average via a FIXED-POINT token sum (unlike
-      // q_unigram_logprob's display-only avg, this value feeds ntile —
-      // a 1-ulp flip at a rounding boundary would reassign a doc's
-      // bucket and change three whole output rows)
-      val perDoc = scoredNll(Tables(spark, dir).documents)
-        .groupBy("doc_id")
-        .agg(sum(expr("CAST(round(nll * 1000000000) AS BIGINT)")).as("ss"),
-          count(lit(1)).as("n"))
-        .select(col("doc_id"),
-          round(col("ss") / lit(1000000000.0) / col("n"), 6).as("avg_nll"))
-      perDoc
-        .withColumn("bucket", ntile(3).over(
-          org.apache.spark.sql.expressions.Window.orderBy("avg_nll", "doc_id")))
-        .withColumn("keep",
-          Dedup.md5h64(col("doc_id").cast("string")) % 100 <
-            when(col("bucket") === 1, 10)
-              .when(col("bucket") === 2, 50).otherwise(100))
+      pplKeep(Tables(spark, dir).documents)
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("keep"), 1).otherwise(0)).cast("long").as("n_kept"),
