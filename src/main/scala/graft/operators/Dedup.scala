@@ -374,6 +374,41 @@ object Dedup {
       val docs = Tables(spark, dir).documents
       val report = MinHashDedup(k = 16, bands = 4).dedupReport(docs)
       report
+    },
+
+    // ---- duplicate n-gram rate: what fraction of each doc's 3-gram
+    //      shingles also occur in some OTHER doc (the substring-level
+    //      duplication metric of Lee et al. 2022, "Deduplicating
+    //      Training Data Makes Language Models Better" §4 — here as the
+    //      per-doc report a pipeline thresholds on). Reuses the hashed
+    //      shingle relation of the MinHash path; df per shingle comes
+    //      from a count window over the 30-bit hash — one shuffle on h,
+    //      the same key the LSH path already shuffles on, and at 100 TB
+    //      the h-partitioned count never materializes a corpus-wide
+    //      dictionary on any single node. A shingle repeated only WITHIN
+    //      a doc doesn't count (the relation is distinct doc×gram).
+    QueryDef.checked(
+      "q_dup_ngram_rate",
+      s"""WITH hg AS (
+         |  $duckHashedGrams
+         |), c AS (
+         |  SELECT doc_id, count(*) OVER (PARTITION BY h) AS df FROM hg
+         |)
+         |SELECT doc_id, count(*) AS n_grams,
+         |  CAST(count(*) FILTER (WHERE df >= 2) AS BIGINT) AS n_dup,
+         |  round(CAST(count(*) FILTER (WHERE df >= 2) AS DOUBLE) / count(*), 6)
+         |    AS dup_rate
+         |FROM c GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      hashedGrams(Tables(spark, dir).documents)
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("df") >= 2, 1)).cast("long").as("n_dup"))
+        .select(col("doc_id"), col("n_grams"), col("n_dup"),
+          round(col("n_dup").cast("double") / col("n_grams"), 6).as("dup_rate"))
+        .orderBy("doc_id")
     }
   )
 }

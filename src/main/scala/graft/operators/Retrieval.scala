@@ -152,6 +152,57 @@ object Retrieval {
         .orderBy("doc_id")
     },
 
+    // ---- reciprocal-rank fusion: combine two retrieval rankings
+    //      (single-term tf rankers for 'vector' and 'scan') with
+    //      RRF(d) = Σ 1/(60+rank_i(d)). Integer division at 1e6 scale
+    //      (1000000 div (60+r)) keeps the fused score exact in both
+    //      engines — no float sum across rankers. At 100 TB each input
+    //      ranking is a per-query top-k candidate list (k ≤ 1000, the
+    //      retriever bounds it), so the rank window and the full-outer
+    //      fusion join run over k rows per query, not the corpus; with
+    //      many queries the window partitions by query id.
+    QueryDef.checked(
+      "q_rrf_fusion",
+      """WITH ta AS (
+        |  SELECT doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok = 'vector' GROUP BY doc_id
+        |), tb AS (
+        |  SELECT doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok = 'scan' GROUP BY doc_id
+        |), ra AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY tf DESC, doc_id) AS INTEGER) AS rank_a
+        |  FROM ta
+        |), rb AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY tf DESC, doc_id) AS INTEGER) AS rank_b
+        |  FROM tb
+        |)
+        |SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id, rank_a, rank_b,
+        |  CAST(coalesce(1000000 // (60 + rank_a), 0)
+        |     + coalesce(1000000 // (60 + rank_b), 0) AS BIGINT) AS rrf_micro
+        |FROM ra FULL OUTER JOIN rb ON rb.doc_id = ra.doc_id
+        |ORDER BY rrf_micro DESC, doc_id
+        |LIMIT 50""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables(spark, dir).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      def ranked(term: String, rankCol: String) =
+        toks.filter(col("tok") === term)
+          .groupBy("doc_id").agg(count(lit(1)).as("tf"))
+          .withColumn(rankCol,
+            row_number().over(Window.orderBy(col("tf").desc, col("doc_id"))))
+          .select("doc_id", rankCol)
+      ranked("vector", "rank_a")
+        .join(ranked("scan", "rank_b"), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("rank_a"), col("rank_b"),
+          (coalesce(expr("1000000 div (60 + rank_a)"), lit(0)) +
+            coalesce(expr("1000000 div (60 + rank_b)"), lit(0))).cast("long")
+            .as("rrf_micro"))
+        .orderBy(col("rrf_micro").desc, col("doc_id"))
+        .limit(50)
+    },
+
     // ---- resampling capstone: the target-mix selection pass as ONE
     //      query — per-domain cap ∩ perplexity-bucket keep ∩
     //      above-average DSIR weight — composed from the same

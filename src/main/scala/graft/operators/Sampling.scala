@@ -107,6 +107,39 @@ object Sampling {
           sum(when(col("rn") <= domainCap, col("n_chars"))).cast("long")
             .as("kept_chars"))
         .orderBy("source")
+    },
+
+    // ---- global training-order shuffle: every epoch-ready corpus needs
+    //      a reproducible random permutation sharded for the data
+    //      loader. Order key = md5(doc_id) — content-derived, so the
+    //      permutation survives repartition/retry/engine swap; shard =
+    //      key mod 8; position = rank within shard by (key, doc_id).
+    //      Deliberately NOT a global sort: at 100 TB the shard id is the
+    //      shuffle key and each reducer sorts only its shard (hash
+    //      values are uniform, so shards balance); a global row_number
+    //      would serialize on one partition. Readers stream shard files
+    //      in pos order and interleave round-robin — the standard
+    //      approximation of a true global permutation at scale.
+    QueryDef.checked(
+      "q_global_shuffle",
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents
+        |)
+        |SELECT doc_id, h % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INTEGER) AS pos
+        |FROM keyed
+        |ORDER BY shard, pos""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .select(col("doc_id"),
+          Dedup.md5h64(col("doc_id").cast("string")).as("h"))
+        .withColumn("shard", col("h") % 8)
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("shard").orderBy(col("h"), col("doc_id"))))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
     }
   )
 }

@@ -192,6 +192,51 @@ object Stats {
             .as("statuses"),
           countDistinct(col("o_orderstatus")).as("n_statuses"))
         .orderBy("o_orderpriority")
+    },
+
+    // ---- chi-square drift test: has the event_type mix shifted between
+    //      two snapshots (even/odd event_id halves stand in for
+    //      yesterday/today)? Per-category χ² contribution of the 2×|types|
+    //      homogeneity table: (o-e)²/e with e = row_tot·col_tot/N.
+    //      Every output value derives from four integer counts in one
+    //      row-local double expression — no float sum across rows, so the
+    //      result is bit-identical at any partition count. At 100 TB the
+    //      contingency table is one map-side-combined groupBy (|types|
+    //      rows out of the corpus scan); the totals relation is one row,
+    //      broadcast back. The per-category rows localize WHICH segment
+    //      drifted — the pipeline gates shipping a new crawl on them.
+    QueryDef.checked(
+      "q_drift_chisq",
+      """WITH o AS (
+        |  SELECT event_type,
+        |    count(*) FILTER (WHERE event_id % 2 = 0) AS o_a,
+        |    count(*) FILTER (WHERE event_id % 2 = 1) AS o_b
+        |  FROM events GROUP BY event_type
+        |), tot AS (
+        |  SELECT CAST(sum(o_a) AS DOUBLE) AS na, CAST(sum(o_b) AS DOUBLE) AS nb
+        |  FROM o
+        |)
+        |SELECT event_type, o_a, o_b,
+        |  round(pow(o_a - (o_a + o_b) * na / (na + nb), 2) / ((o_a + o_b) * na / (na + nb))
+        |      + pow(o_b - (o_a + o_b) * nb / (na + nb), 2) / ((o_a + o_b) * nb / (na + nb)),
+        |    6) AS chi2_part
+        |FROM o, tot
+        |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val o = Tables(spark, dir).events
+        .groupBy("event_type")
+        .agg(count(when(col("event_id") % 2 === 0, 1)).as("o_a"),
+          count(when(col("event_id") % 2 === 1, 1)).as("o_b"))
+      val tot = o.agg(sum(col("o_a")).cast("double").as("na"),
+        sum(col("o_b")).cast("double").as("nb"))
+      o.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("o_a"), col("o_b"),
+          round(
+            pow(col("o_a") - (col("o_a") + col("o_b")) * col("na") / (col("na") + col("nb")), 2)
+              / ((col("o_a") + col("o_b")) * col("na") / (col("na") + col("nb"))) +
+            pow(col("o_b") - (col("o_a") + col("o_b")) * col("nb") / (col("na") + col("nb")), 2)
+              / ((col("o_a") + col("o_b")) * col("nb") / (col("na") + col("nb"))),
+            6).as("chi2_part"))
+        .orderBy("event_type")
     }
   )
 }

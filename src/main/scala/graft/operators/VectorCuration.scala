@@ -200,6 +200,60 @@ object VectorCuration {
           round(expr("sum(CAST(round(dist * 1000000000) AS BIGINT))")
             / lit(1000000000.0), 6).as("sq_err"))
         .orderBy("vec_id")
+    },
+
+    // ---- matryoshka truncation gate: recall@10 of ranking with only
+    //      the first 16 of 64 dims vs the full-dim ranking, per query
+    //      (vec_ids 0..9 query the rest of the corpus). Cosine
+    //      renormalizes, so prefix truncation needs no re-scaling; a 4×
+    //      cut in index bytes is accepted iff recall clears the gate —
+    //      the decision that sizes a 100 TB vector index. Both rankings
+    //      come from ONE corpus scan (two cosines per row share the
+    //      broadcast query vectors); the per-query rank windows
+    //      partition by query id, so no global sort. Cosines are
+    //      left-to-right array folds — identical IEEE doubles in both
+    //      engines (no fixed point needed), ties broken by vec_id.
+    QueryDef.checked(
+      "q_matryoshka_recall",
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10
+         |), sims AS (
+         |  SELECT q.q_id, b.vec_id,
+         |    round(${VectorFunctions.duckCosineSql("q.qe", "b.embedding")}, 6) AS sim_full,
+         |    round(${VectorFunctions.duckCosineSql("q.qe[1:16]", "b.embedding[1:16]")}, 6) AS sim_trunc
+         |  FROM q, embeddings b WHERE b.vec_id >= 10
+         |), rk AS (
+         |  SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim_full DESC, vec_id) AS rn_full,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim_trunc DESC, vec_id) AS rn_trunc
+         |  FROM sims
+         |)
+         |SELECT q_id,
+         |  CAST(count(*) FILTER (WHERE rn_full <= 10 AND rn_trunc <= 10) AS BIGINT) AS n_overlap,
+         |  round(CAST(count(*) FILTER (WHERE rn_full <= 10 AND rn_trunc <= 10) AS DOUBLE) / 10, 6) AS recall_at_10
+         |FROM rk GROUP BY q_id
+         |ORDER BY q_id""".stripMargin) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      emb.filter(col("vec_id") >= 10)
+        .crossJoin(broadcast(q))
+        .select(col("q_id"), col("vec_id"),
+          round(VectorFunctions.cosineSim(col("qe"), col("embedding")), 6)
+            .as("sim_full"),
+          round(VectorFunctions.cosineSim(
+            expr("slice(qe, 1, 16)"), expr("slice(embedding, 1, 16)")), 6)
+            .as("sim_trunc"))
+        .withColumn("rn_full", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("sim_full").desc, col("vec_id"))))
+        .withColumn("rn_trunc", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("sim_trunc").desc, col("vec_id"))))
+        .groupBy("q_id")
+        .agg(count(when(col("rn_full") <= 10 && col("rn_trunc") <= 10, 1))
+          .cast("long").as("n_overlap"))
+        .select(col("q_id"), col("n_overlap"),
+          round(col("n_overlap").cast("double") / 10, 6).as("recall_at_10"))
+        .orderBy("q_id")
     }
   )
 }

@@ -80,4 +80,33 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Long]("doc_a") != r.getAs[Long]("doc_b"))
     }
   }
+
+  test("dup n-gram rate: one row per doc, rates bounded, exact dups saturate") {
+    val rows = q("q_dup_ngram_rate").collect()
+    val docs = Tables(spark, sf).documents
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_grams")
+      val d = r.getAs[Long]("n_dup")
+      assert(n > 0 && d >= 0 && d <= n)
+      val rate = r.getAs[Double]("dup_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(math.abs(rate - d.toDouble / n) < 1e-6)
+    }
+    // a doc texted identically to another must report rate 1.0: plant one
+    import spark.implicits._
+    val planted = docs.select("doc_id", "text")
+      .union(Seq((100000L, docs.filter($"doc_id" === 0).head.getAs[String]("text"))).toDF())
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("srcX"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("dupngram").toString
+    planted.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // the query reads only `documents` from the dir, so no other table
+    // needs to exist there
+    val sat = SparkEntry.queries("q_dup_ngram_rate")(spark, tmp)
+      .filter($"doc_id".isin(0L, 100000L)).collect()
+    assert(sat.length == 2)
+    sat.foreach(r => assert(r.getAs[Double]("dup_rate") == 1.0))
+  }
 }

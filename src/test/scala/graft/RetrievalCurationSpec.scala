@@ -134,4 +134,54 @@ class RetrievalCurationSpec extends SparkSpec {
       assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_total"))
     }
   }
+
+  test("rrf fusion: scores ranked, recomputable from ranks, ranks valid") {
+    val rows = q("q_rrf_fusion").collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val scores = rows.map(_.getAs[Long]("rrf_micro"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val ra = Option(r.getAs[Integer]("rank_a")).map(_.toInt)
+      val rb = Option(r.getAs[Integer]("rank_b")).map(_.toInt)
+      // a doc only appears when at least one ranker returned it
+      assert(ra.isDefined || rb.isDefined)
+      (ra.toSeq ++ rb.toSeq).foreach(rk => assert(rk >= 1))
+      val expected = ra.map(x => 1000000L / (60 + x)).getOrElse(0L) +
+        rb.map(x => 1000000L / (60 + x)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf_micro") == expected)
+    }
+    // a doc ranked #1 by both rankers would score 2*(1e6/61); nothing
+    // can exceed that
+    assert(scores.head <= 2 * (1000000L / 61))
+  }
+
+  test("global shuffle: a permutation — every doc once, shards balanced, pos contiguous") {
+    val rows = q("q_global_shuffle").collect()
+    val total = Tables(spark, sf).documents.count()
+    assert(rows.length == total)
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == total)
+    val byShard = rows.groupBy(_.getAs[Long]("shard"))
+    byShard.keys.foreach(s => assert(s >= 0 && s < 8))
+    // positions within a shard are exactly 1..n (dense rank, no gaps)
+    byShard.values.foreach { g =>
+      val pos = g.map(_.getAs[Int]("pos")).sorted
+      assert(pos.toSeq == (1 to g.length).toSeq)
+    }
+    // uniform hash → no shard hoards the corpus (loose 3× bound)
+    assert(byShard.values.map(_.length).max <= 3 * total / 8)
+  }
+
+  test("matryoshka recall: bounds hold and recall is consistent with overlap") {
+    val rows = q("q_matryoshka_recall").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_overlap")
+      assert(n >= 0 && n <= 10)
+      assert(math.abs(r.getAs[Double]("recall_at_10") - n / 10.0) < 1e-9)
+    }
+    // truncation keeps the dominant direction: on average the 16-dim
+    // prefix should agree with full-dim on SOME of the top-10 (an
+    // all-zero overlap across all 10 queries means the slice is broken)
+    assert(rows.map(_.getAs[Long]("n_overlap")).sum > 0)
+  }
 }

@@ -53,4 +53,16 @@ class StatsSpec extends SparkSpec {
     // exact-decimal avg differs from the double avg by < 1ulp; counts match
     assert(q("q_scalar_subquery").count() == expected)
   }
+
+  test("drift chi2: contributions non-negative, cells cover all events") {
+    val rows = q("q_drift_chisq").collect()
+    val total = Tables(spark, sf).events.count()
+    assert(rows.map(r => r.getAs[Long]("o_a") + r.getAs[Long]("o_b")).sum == total)
+    rows.foreach(r => assert(r.getAs[Double]("chi2_part") >= 0.0))
+    // even/odd event_id halves of a uniform generator barely differ: the
+    // total statistic should sit far below the 0.001-significance cut
+    // for 4 dof (18.47) — a wildly large value means the expected-count
+    // formula is wrong, not the data
+    assert(rows.map(_.getAs[Double]("chi2_part")).sum < 18.47)
+  }
 }
