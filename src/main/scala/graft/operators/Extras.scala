@@ -147,6 +147,41 @@ object Extras {
         .orderBy("user_id")
     },
 
+    // ---- cohort retention: users grouped by first-seen day, activity
+    //      counted at each later day offset — the (cohort × offset)
+    //      retention matrix product analytics runs on every event log.
+    //      Two corpus-scale aggregations (first-seen per user, distinct
+    //      user-days), then a join on user_id; the output is bounded by
+    //      days², never corpus-sized. All values are dates and integer
+    //      counts — no float risk. At 100 TB both aggs shuffle on
+    //      user_id (same key, so the join reuses the partitioning), and
+    //      the distinct collapses map-side first.
+    QueryDef.checked(
+      "q_cohort_retention",
+      """WITH firstday AS (
+        |  SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS d0
+        |  FROM events GROUP BY user_id
+        |), act AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        |  FROM events
+        |)
+        |SELECT f.d0 AS cohort_day,
+        |  CAST(date_diff('day', f.d0, a.d) AS INTEGER) AS day_offset,
+        |  count(*) AS n_users
+        |FROM act a JOIN firstday f ON f.user_id = a.user_id
+        |GROUP BY f.d0, date_diff('day', f.d0, a.d)
+        |ORDER BY cohort_day, day_offset""".stripMargin) { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+        .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("d"))
+      val firstday = ev.groupBy("user_id").agg(min(col("d")).as("d0"))
+      val act = ev.distinct()
+      act.join(firstday, Seq("user_id"))
+        .groupBy(col("d0").as("cohort_day"),
+          datediff(col("d"), col("d0")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+
     // ---- null semantics battery: nullif / null-safe equality
     //      (IS NOT DISTINCT FROM ≡ <=>) / IN-with-NULL / coalesce
     QueryDef.checked(

@@ -203,6 +203,90 @@ object Similarity {
           expr("(sig div 256) % 16").as("bucket2"),
           expr("(sig div 4096) % 16").as("bucket3"))
         .orderBy("vec_id")
+    },
+
+    // ---- MMR diversified top-k: greedy maximal-marginal-relevance
+    //      rerank of the top-20 candidates for query vec 0 — pick 5,
+    //      each maximizing λ·sim(q,d) − (1−λ)·max sim(d, selected)
+    //      (λ=0.7). The rerank the retrieval stack runs AFTER ANN so
+    //      the k results aren't five copies of the same cluster. Greedy
+    //      selection is inherently sequential, but each step touches
+    //      only the bounded candidate set (|C| ≤ 20 here; ≤ 1000 in
+    //      production), never the corpus: candidates and their pairwise
+    //      cosines are checkpointed once, and the 5-step loop joins
+    //      20-row relations. Oracle replays the same greedy unrolled as
+    //      CTE steps. Scores stay unrounded doubles for ranking
+    //      (identical IEEE in both engines — inputs are 6-dp-rounded
+    //      cosines), rounded only for output; ties break by vec_id.
+    QueryDef.checked(
+      "q_mmr_topk", {
+        val steps = (2 to 5).map { i =>
+          s"""p$i AS (
+             |  SELECT c.vec_id, $i AS pick, 0.7 * c.simq - 0.3 * m.ms AS score
+             |  FROM cand c JOIN (
+             |    SELECT aid, max(s) AS ms FROM pw
+             |    WHERE bid IN (SELECT vec_id FROM sel${i - 1}) GROUP BY aid) m
+             |    ON m.aid = c.vec_id
+             |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+             |  ORDER BY score DESC, c.vec_id LIMIT 1
+             |), sel$i AS (
+             |  SELECT vec_id FROM sel${i - 1} UNION ALL SELECT vec_id FROM p$i
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH q0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |cand AS (
+           |  SELECT b.vec_id, b.embedding,
+           |    round(${VectorFunctions.duckCosineSql("q0.qe", "b.embedding")}, 6) AS simq
+           |  FROM embeddings b, q0 WHERE b.vec_id <> 0
+           |  ORDER BY simq DESC, b.vec_id LIMIT 20
+           |), pw AS (
+           |  SELECT a.vec_id AS aid, b.vec_id AS bid,
+           |    round(${VectorFunctions.duckCosineSql("a.embedding", "b.embedding")}, 6) AS s
+           |  FROM cand a, cand b WHERE a.vec_id <> b.vec_id
+           |), p1 AS (
+           |  SELECT vec_id, 1 AS pick, 0.7 * simq AS score FROM cand
+           |  ORDER BY score DESC, vec_id LIMIT 1
+           |), sel1 AS (SELECT vec_id FROM p1),
+           |$steps
+           |SELECT pick, vec_id, round(score, 6) AS mmr_score
+           |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+           |      UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
+           |      UNION ALL SELECT * FROM p5)
+           |ORDER BY pick""".stripMargin
+      }) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+      val q0 = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val cand = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q0))
+        .select(col("vec_id"), col("embedding"),
+          round(VectorFunctions.cosineSim(col("qe"), col("embedding")), 6)
+            .as("simq"))
+        .orderBy(col("simq").desc, col("vec_id")).limit(20)
+        .localCheckpoint()
+      val pw = cand.select(col("vec_id").as("aid"), col("embedding").as("ea"))
+        .crossJoin(cand.select(col("vec_id").as("bid"), col("embedding").as("eb")))
+        .filter(col("aid") =!= col("bid"))
+        .select(col("aid"), col("bid"),
+          round(VectorFunctions.cosineSim(col("ea"), col("eb")), 6).as("s"))
+        .localCheckpoint()
+      var picks = cand
+        .select(col("vec_id"), lit(1).as("pick"), (lit(0.7) * col("simq")).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(1)
+        .localCheckpoint()
+      for (i <- 2 to 5) {
+        val selIds = picks.select("vec_id")
+        val ms = pw.join(selIds.withColumnRenamed("vec_id", "bid"), Seq("bid"))
+          .groupBy("aid").agg(max(col("s")).as("ms"))
+        val next = cand.join(selIds, Seq("vec_id"), "left_anti")
+          .join(ms, col("vec_id") === col("aid"))
+          .select(col("vec_id"), lit(i).as("pick"),
+            (lit(0.7) * col("simq") - lit(0.3) * col("ms")).as("score"))
+          .orderBy(col("score").desc, col("vec_id")).limit(1)
+        picks = picks.union(next).localCheckpoint()
+      }
+      picks
+        .select(col("pick"), col("vec_id"), round(col("score"), 6).as("mmr_score"))
+        .orderBy("pick")
     }
   )
 }

@@ -237,6 +237,61 @@ object Stats {
               / ((col("o_a") + col("o_b")) * col("nb") / (col("na") + col("nb"))),
             6).as("chi2_part"))
         .orderBy("event_type")
+    },
+
+    // ---- two-sample Kolmogorov-Smirnov drift (binned): D = max over
+    //      bins of |ECDF_a - ECDF_b| between the click and view `value`
+    //      distributions — the continuous companion to q_drift_chisq.
+    //      Deliberately BINNED (width 8 → ~64 bins), not exact: exact KS
+    //      needs a global sort of both samples, while the binned ECDF is
+    //      one map-side-combined groupBy to a bounded histogram — the
+    //      100 TB shape — and bin width only coarsens D downward by at
+    //      most the per-bin mass. The running sums and the argmax run
+    //      over ≤64 rows (driver-side scale, single partition is fine).
+    //      Integer cross-multiplication |sa·nb - sb·na| avoids float
+    //      CDFs entirely; one division at the end.
+    QueryDef.checked(
+      "q_ks_drift",
+      """WITH binned AS (
+        |  SELECT CAST(floor(value / 8) AS BIGINT) AS bin,
+        |    count(*) FILTER (WHERE event_type = 'click') AS ca,
+        |    count(*) FILTER (WHERE event_type = 'view') AS cb
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1
+        |), cum AS (
+        |  SELECT bin,
+        |    CAST(sum(ca) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sa,
+        |    CAST(sum(cb) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sb
+        |  FROM binned
+        |), tot AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+        |  FROM binned
+        |)
+        |SELECT na, nb, bin AS at_bin, abs(sa * nb - sb * na) AS ks_num,
+        |  round(CAST(abs(sa * nb - sb * na) AS DOUBLE) / (na * nb), 6) AS ks_stat
+        |FROM cum, tot
+        |ORDER BY abs(sa * nb - sb * na) DESC, bin
+        |LIMIT 1""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val binned = Tables(spark, dir).events
+        .filter(col("event_type").isin("click", "view"))
+        .groupBy(floor(col("value") / 8).cast("long").as("bin"))
+        .agg(count(when(col("event_type") === "click", 1)).as("ca"),
+          count(when(col("event_type") === "view", 1)).as("cb"))
+      val w = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = binned.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      binned
+        .select(col("bin"), sum(col("ca")).over(w).as("sa"),
+          sum(col("cb")).over(w).as("sb"))
+        .crossJoin(broadcast(tot))
+        .select(col("na"), col("nb"), col("bin").as("at_bin"),
+          abs(col("sa") * col("nb") - col("sb") * col("na")).as("ks_num"))
+        .orderBy(col("ks_num").desc, col("at_bin"))
+        .limit(1)
+        .select(col("na"), col("nb"), col("at_bin"), col("ks_num"),
+          round(col("ks_num").cast("double") / (col("na") * col("nb")), 6)
+            .as("ks_stat"))
     }
   )
 }

@@ -44,4 +44,17 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Boolean]("is_neardup") == (r.getAs[Double]("sim") > 0.3))
     }
   }
+
+  test("mmr: 5 distinct picks, first is the nearest neighbour, scores decay") {
+    val rows = q("q_mmr_topk").collect()
+    assert(rows.map(_.getAs[Int]("pick")).toSeq == (1 to 5))
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == 5)
+    // greedy argmax: pick 1 must be the brute-force nearest neighbour
+    val nn = q("q_ann_bruteforce").collect().head.getAs[Long]("vec_id")
+    assert(rows.head.getAs[Long]("vec_id") == nn)
+    // each later objective is pointwise dominated by the one before
+    // (shrinking candidates, growing penalty) → scores non-increasing
+    val s = rows.map(_.getAs[Double]("mmr_score"))
+    assert(s.zip(s.tail).forall { case (a, b) => a >= b - 1e-9 })
+  }
 }

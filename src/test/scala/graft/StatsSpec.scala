@@ -65,4 +65,41 @@ class StatsSpec extends SparkSpec {
     // formula is wrong, not the data
     assert(rows.map(_.getAs[Double]("chi2_part")).sum < 18.47)
   }
+
+  test("ks drift: single summary row, statistic consistent and bounded") {
+    val rows = q("q_ks_drift").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (na, nb) = (r.getAs[Long]("na"), r.getAs[Long]("nb"))
+    val ev = Tables(spark, sf).events
+    assert(na == ev.filter(col("event_type") === "click").count())
+    assert(nb == ev.filter(col("event_type") === "view").count())
+    val ks = r.getAs[Double]("ks_stat")
+    assert(ks >= 0.0 && ks <= 1.0)
+    assert(math.abs(ks - r.getAs[Long]("ks_num").toDouble / (na * nb)) < 1e-6)
+    // same generator for both types → no real drift; D should be small
+    // next to the rejection line at alpha=0.001 (1.95*sqrt((na+nb)/(na*nb)))
+    assert(ks < 1.95 * math.sqrt((na + nb).toDouble / (na.toDouble * nb)))
+  }
+
+  test("cohort retention: offsets non-negative, day-0 row covers each cohort") {
+    val rows = q("q_cohort_retention").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Int]("day_offset") >= 0))
+    val byCohort = rows.groupBy(_.getAs[java.sql.Date]("cohort_day"))
+    byCohort.values.foreach { g =>
+      val zero = g.filter(_.getAs[Int]("day_offset") == 0)
+      // every user is active on their first-seen day, so offset 0 exists
+      // and is the cohort's maximum (retention never exceeds cohort size)
+      assert(zero.length == 1)
+      val size0 = zero.head.getAs[Long]("n_users")
+      g.foreach(r => assert(r.getAs[Long]("n_users") <= size0))
+    }
+    // cohort sizes sum to the distinct-user count
+    val totalUsers = Tables(spark, sf).events
+      .select("user_id").distinct().count()
+    assert(byCohort.values.map(
+      _.filter(_.getAs[Int]("day_offset") == 0).head.getAs[Long]("n_users"))
+      .sum == totalUsers)
+  }
 }
