@@ -376,6 +376,91 @@ object Dedup {
       report
     },
 
+    // ---- incremental dedup: dedup a NEW batch (top 20% of doc_ids)
+    //      against the historical corpus + earlier batch members without
+    //      re-deduping history — the shape every rolling crawl needs.
+    //      Candidates come from the same MinHash-LSH band buckets as the
+    //      full path; the doc_a < doc_b convention makes history-vs-new
+    //      and earlier-new-vs-later-new both land as doc_b = new, so
+    //      first-occurrence-wins falls out of the band join. Candidates
+    //      are then verified by exact shingle Jaccard (≥ 0.5 → dup).
+    //      At 100 TB the historical band buckets are a PRECOMPUTED index
+    //      stored bucketed on (band, bval): the new batch computes its
+    //      own buckets (one scan of the batch only) and shuffle-joins
+    //      into that layout exchange-free on the history side; exact
+    //      verification re-reads only candidate docs' shingles. History
+    //      text is never re-scanned wholesale.
+    QueryDef.checked(
+      "q_incremental_dedup",
+      s"""WITH $duckPairsCtes,
+         |cut AS (SELECT max(doc_id) * 4 // 5 AS c FROM documents),
+         |cand AS (
+         |  SELECT doc_a, doc_b FROM pairs, cut WHERE doc_b > cut.c
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM hg GROUP BY doc_id
+         |), inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_int
+         |  FROM cand c
+         |  JOIN hg a ON a.doc_id = c.doc_a
+         |  JOIN hg b ON b.doc_id = c.doc_b AND b.h = a.h
+         |  GROUP BY c.doc_a, c.doc_b
+         |), scored AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    round(CAST(coalesce(i.n_int, 0) AS DOUBLE)
+         |      / (sa.n + sb.n - coalesce(i.n_int, 0)), 6) AS jacc
+         |  FROM cand c
+         |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  JOIN sizes sa ON sa.doc_id = c.doc_a
+         |  JOIN sizes sb ON sb.doc_id = c.doc_b
+         |), verdict AS (
+         |  SELECT doc_b, CAST(min(doc_a) AS BIGINT) AS dup_of
+         |  FROM scored WHERE jacc >= 0.5 GROUP BY doc_b
+         |), ncand AS (
+         |  SELECT doc_b, count(*) AS n_cand FROM cand GROUP BY doc_b
+         |)
+         |SELECT d.doc_id, CAST(coalesce(nc.n_cand, 0) AS BIGINT) AS n_cand,
+         |  v.dup_of IS NOT NULL AS is_dup, v.dup_of
+         |FROM documents d CROSS JOIN cut
+         |LEFT JOIN ncand nc ON nc.doc_b = d.doc_id
+         |LEFT JOIN verdict v ON v.doc_b = d.doc_id
+         |WHERE d.doc_id > cut.c
+         |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      val cut = docs.agg((max(col("doc_id")) * 4 / 5).cast("long").as("c"))
+      val pairs = minhashPairs(docs)
+      val cand = pairs.crossJoin(broadcast(cut))
+        .filter(col("doc_b") > col("c"))
+        .select("doc_a", "doc_b")
+        .localCheckpoint() // feeds inter, verdict and ncand branches
+      val hg = hashedGrams(docs).localCheckpoint()
+      val sizes = hg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(hg.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+        .join(hg.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_int"))
+      val scored = cand
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+          Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(coalesce(col("n_int"), lit(0L)).cast("double") /
+            (col("n_a") + col("n_b") - coalesce(col("n_int"), lit(0L))), 6)
+            .as("jacc"))
+      val verdict = scored.filter(col("jacc") >= 0.5)
+        .groupBy("doc_b").agg(min(col("doc_a")).cast("long").as("dup_of"))
+      val ncand = cand.groupBy("doc_b").agg(count(lit(1)).as("n_cand"))
+      docs.select("doc_id").crossJoin(broadcast(cut))
+        .filter(col("doc_id") > col("c"))
+        .join(ncand.withColumnRenamed("doc_b", "doc_id"), Seq("doc_id"), "left")
+        .join(verdict.withColumnRenamed("doc_b", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+        .orderBy("doc_id")
+    },
+
     // ---- duplicate n-gram rate: what fraction of each doc's 3-gram
     //      shingles also occur in some OTHER doc (the substring-level
     //      duplication metric of Lee et al. 2022, "Deduplicating

@@ -182,6 +182,63 @@ object Extras {
         .orderBy("cohort_day", "day_offset")
     },
 
+    // ---- event-rate anomaly detection: z-score of each hourly bucket
+    //      count against its trailing 24 buckets, per event_type — the
+    //      monitor that pages when a crawl source goes dark or a bot
+    //      floods one event class. Variance comes from integer power
+    //      sums over the frame (Σn, Σn² are exact BIGINTs; the final
+    //      mean/var/z arithmetic is one row-local double expression), so
+    //      no streaming-M2 accumulation-order risk. +1 in the variance
+    //      denominator regularizes flat series. Windows partition by
+    //      event_type and hold ≤24 rows of state per series; hourly
+    //      bucketing means the windowed relation is hours × types,
+    //      bounded regardless of corpus size. Warm-up rows (< 12 prior
+    //      buckets) are suppressed — z against a 2-bucket history is
+    //      noise, not signal.
+    QueryDef.checked(
+      "q_rate_anomaly",
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)
+        |), trail AS (
+        |  SELECT event_type, h, n,
+        |    count(*) OVER w AS tn,
+        |    CAST(sum(n) OVER w AS BIGINT) AS ts1,
+        |    CAST(sum(n * n) OVER w AS BIGINT) AS ts2
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_type, h, n,
+        |  round(CAST(ts1 AS DOUBLE) / tn, 6) AS trailing_mean,
+        |  round((n - CAST(ts1 AS DOUBLE) / tn)
+        |    / sqrt(CAST(ts2 AS DOUBLE) / tn
+        |           - (CAST(ts1 AS DOUBLE) / tn) * (CAST(ts1 AS DOUBLE) / tn) + 1),
+        |    6) AS z
+        |FROM trail
+        |WHERE tn >= 12
+        |ORDER BY event_type, h""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables(spark, dir).events
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(-24, -1)
+      hourly
+        .select(col("event_type"), col("h"), col("n"),
+          count(lit(1)).over(w).as("tn"),
+          sum(col("n")).over(w).cast("long").as("ts1"),
+          sum(col("n") * col("n")).over(w).cast("long").as("ts2"))
+        .filter(col("tn") >= 12)
+        .select(col("event_type"), col("h"), col("n"),
+          round(col("ts1").cast("double") / col("tn"), 6).as("trailing_mean"),
+          round((col("n") - col("ts1").cast("double") / col("tn")) /
+            sqrt(col("ts2").cast("double") / col("tn")
+              - (col("ts1").cast("double") / col("tn"))
+                * (col("ts1").cast("double") / col("tn")) + 1), 6).as("z"))
+        .orderBy("event_type", "h")
+    },
+
     // ---- null semantics battery: nullif / null-safe equality
     //      (IS NOT DISTINCT FROM ≡ <=>) / IN-with-NULL / coalesce
     QueryDef.checked(

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.VectorFunctions
 
 /** Retrieval-flavored corpus scoring (training-data pipeline surface):
   * BM25 ranking and DSIR-style importance weighting.
@@ -25,6 +26,57 @@ object Retrieval {
     * most docs with varying tf, so scores spread). */
   private val terms = Seq("vector", "join", "scan", "filter")
   private val termsSql = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+
+  /** Shared BM25 chain ending in `bm25(doc_id, n_terms, s)` — s is the
+    * 1e-9 fixed-point score sum. One CTE string + one DataFrame builder
+    * shared by [[q_bm25]] and the hybrid-search fusion so the scoring
+    * cannot drift between them. */
+  private[operators] val duckBm25Ctes =
+    s"""btoks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), bdl AS (
+       |  SELECT doc_id, count(*) AS dl FROM btoks GROUP BY doc_id
+       |), bstats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+       |  FROM bdl
+       |), btf AS (
+       |  SELECT doc_id, tok, count(*) AS tf FROM btoks
+       |  WHERE tok IN $termsSql GROUP BY doc_id, tok
+       |), bdf AS (
+       |  SELECT tok, count(*) AS df FROM btf GROUP BY tok
+       |), bscored AS (
+       |  SELECT t.doc_id,
+       |    CAST(round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+       |      * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+       |      * 1000000000) AS BIGINT) AS sc
+       |  FROM btf t JOIN bdf d USING (tok) JOIN bdl l ON l.doc_id = t.doc_id, bstats s
+       |), bm25 AS (
+       |  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_terms,
+       |    CAST(sum(sc) AS BIGINT) AS s
+       |  FROM bscored GROUP BY doc_id
+       |)""".stripMargin
+
+  /** Spark twin of [[duckBm25Ctes]]: (doc_id, n_terms, s). */
+  private[operators] def bm25Scored(docs: org.apache.spark.sql.DataFrame) = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), expr(
+        """CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+          |  * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+          |  * 1000000000) AS BIGINT)""".stripMargin).as("sc"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_terms"), sum(col("sc")).as("s"))
+  }
 
   /** Shared DSIR chain ending in `dsir(doc_id, lang, n_tokens, lws)` —
     * lws is the 1e-9 fixed-point log-weight sum. One CTE string + one
@@ -86,52 +138,74 @@ object Retrieval {
     //      Robertson-Sparck-Jones form that stays positive.
     QueryDef.checked(
       "q_bm25",
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-         |), dl AS (
-         |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
-         |), stats AS (
-         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-         |  FROM dl
-         |), tf AS (
-         |  SELECT doc_id, tok, count(*) AS tf FROM toks
-         |  WHERE tok IN $termsSql GROUP BY doc_id, tok
-         |), df AS (
-         |  SELECT tok, count(*) AS df FROM tf GROUP BY tok
-         |), scored AS (
-         |  SELECT t.doc_id,
-         |    CAST(round(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
-         |      * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
-         |      * 1000000000) AS BIGINT) AS sc
-         |  FROM tf t JOIN df d USING (tok) JOIN dl l ON l.doc_id = t.doc_id, stats s
-         |)
-         |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_terms,
-         |  round(sum(sc) / 1000000000.0, 6) AS bm25
-         |FROM scored GROUP BY doc_id
-         |ORDER BY sum(sc) DESC, doc_id
+      s"""WITH $duckBm25Ctes
+         |SELECT doc_id, n_terms, round(s / 1000000000.0, 6) AS bm25
+         |FROM bm25
+         |ORDER BY s DESC, doc_id
          |LIMIT 50""".stripMargin) { (spark, dir) =>
-      val toks = Tables(spark, dir).documents
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-      val tf = toks.filter(col("tok").isin(terms: _*))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      tf.join(broadcast(df), Seq("tok"))
-        .join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"), expr(
-          """CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
-            |  * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
-            |  * 1000000000) AS BIGINT)""".stripMargin).as("sc"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).cast("int").as("n_terms"), sum(col("sc")).as("s"))
+      bm25Scored(Tables(spark, dir).documents)
         .orderBy(col("s").desc, col("doc_id"))
         .limit(50)
         .select(col("doc_id"), col("n_terms"),
           round(col("s") / lit(1000000000.0), 6).as("bm25"))
+    },
+
+    // ---- hybrid search: fuse the BM25 keyword score with the cosine
+    //      similarity to a query vector (doc_id = vec_id) by weighted
+    //      sum of normalized scores — the other standard retriever
+    //      merge next to RRF (q_rrf_fusion ranks, this one keeps score
+    //      magnitudes). BM25 normalizes by its max (an exact
+    //      BIGINT-over-double division — zero-match docs coalesce to 0
+    //      AFTER the division so they don't drag the scale); cosine
+    //      min-max normalizes from 6-dp-rounded values. Both score
+    //      relations are corpus scans; the norm constants are one-row
+    //      broadcast aggregates, and the doc join is key-colocated at
+    //      any scale. Ranking uses the unrounded fused score (identical
+    //      IEEE from identical inputs), ties by doc_id.
+    QueryDef.checked(
+      "q_hybrid_search",
+      s"""WITH $duckBm25Ctes,
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |cs AS (
+         |  SELECT e.vec_id AS doc_id,
+         |    round(${VectorFunctions.duckCosineSql("qv.qe", "e.embedding")}, 6) AS cosim
+         |  FROM embeddings e, qv
+         |), bmax AS (SELECT CAST(max(s) AS DOUBLE) AS ms FROM bm25),
+         |crange AS (SELECT min(cosim) AS cmin, max(cosim) AS cmax FROM cs),
+         |h AS (
+         |  SELECT c.doc_id,
+         |    coalesce(b.s / bmax.ms, 0) AS bm_norm,
+         |    (c.cosim - crange.cmin) / (crange.cmax - crange.cmin) AS cos_norm
+         |  FROM cs c LEFT JOIN bm25 b ON b.doc_id = c.doc_id, bmax, crange
+         |)
+         |SELECT doc_id, round(bm_norm, 6) AS bm_norm, round(cos_norm, 6) AS cos_norm,
+         |  round(0.5 * bm_norm + 0.5 * cos_norm, 6) AS hybrid
+         |FROM h
+         |ORDER BY 0.5 * bm_norm + 0.5 * cos_norm DESC, doc_id
+         |LIMIT 20""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val bm = bm25Scored(t.documents)
+      val qv = t.embeddings.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"))
+      val cs = t.embeddings.crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          round(VectorFunctions.cosineSim(col("qe"), col("embedding")), 6)
+            .as("cosim"))
+      val bmax = bm.agg(max(col("s")).cast("double").as("ms"))
+      val crange = cs.agg(min(col("cosim")).as("cmin"), max(col("cosim")).as("cmax"))
+      cs.join(bm.select(col("doc_id"), col("s")), Seq("doc_id"), "left")
+        .crossJoin(broadcast(bmax))
+        .crossJoin(broadcast(crange))
+        .select(col("doc_id"),
+          coalesce(col("s") / col("ms"), lit(0d)).as("bm_norm"),
+          ((col("cosim") - col("cmin")) / (col("cmax") - col("cmin")))
+            .as("cos_norm"))
+        .withColumn("hybrid_raw", lit(0.5) * col("bm_norm") + lit(0.5) * col("cos_norm"))
+        .orderBy(col("hybrid_raw").desc, col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), round(col("bm_norm"), 6).as("bm_norm"),
+          round(col("cos_norm"), 6).as("cos_norm"),
+          round(col("hybrid_raw"), 6).as("hybrid"))
     },
 
     // ---- DSIR-style importance weights: hashed-unigram (1024 buckets)

@@ -109,4 +109,36 @@ class DedupSpec extends SparkSpec {
     assert(sat.length == 2)
     sat.foreach(r => assert(r.getAs[Double]("dup_rate") == 1.0))
   }
+
+  test("incremental dedup: covers the new batch, planted dup caught with history id") {
+    val docs = Tables(spark, sf).documents
+    val maxId = docs.agg(org.apache.spark.sql.functions.max("doc_id"))
+      .head().getLong(0)
+    val cut = maxId * 4 / 5
+    val rows = q("q_incremental_dedup").collect()
+    assert(rows.length == docs.filter($"doc_id" > cut).count())
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_dup") == !r.isNullAt(r.fieldIndex("dup_of")))
+      if (!r.isNullAt(r.fieldIndex("dup_of")))
+        assert(r.getAs[Long]("dup_of") < r.getAs[Long]("doc_id"))
+    }
+    // plant: a new-batch doc that copies historical doc 0's text must be
+    // flagged as a dup OF doc 0 (first-occurrence-wins)
+    import spark.implicits._
+    val plantedId = maxId + 1
+    val planted = docs.select("doc_id", "text")
+      .union(Seq((plantedId,
+        docs.filter($"doc_id" === 0).head.getAs[String]("text"))).toDF())
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("srcX"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length($"text").cast("long"))
+    val tmp2 = java.nio.file.Files.createTempDirectory("incdedup").toString
+    planted.write.mode("overwrite").parquet(s"$tmp2/documents.parquet")
+    val hit = SparkEntry.queries("q_incremental_dedup")(spark, tmp2)
+      .filter($"doc_id" === plantedId).collect()
+    assert(hit.length == 1)
+    assert(hit.head.getAs[Boolean]("is_dup"))
+    assert(hit.head.getAs[Long]("dup_of") == 0L)
+  }
 }

@@ -171,6 +171,25 @@ class RetrievalCurationSpec extends SparkSpec {
     assert(byShard.values.map(_.length).max <= 3 * total / 8)
   }
 
+  test("hybrid search: norms bounded, fused score is the even mixture, ranked") {
+    val rows = q("q_hybrid_search").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val bm = r.getAs[Double]("bm_norm")
+      val cn = r.getAs[Double]("cos_norm")
+      assert(bm >= 0.0 && bm <= 1.0)
+      assert(cn >= 0.0 && cn <= 1.0)
+      assert(math.abs(r.getAs[Double]("hybrid") - (0.5 * bm + 0.5 * cn)) < 1e-5)
+    }
+    val h = rows.map(_.getAs[Double]("hybrid"))
+    assert(h.zip(h.tail).forall { case (a, b) => a >= b })
+    // the fused top-20 must not equal either single-signal top-20 —
+    // otherwise one branch contributes nothing at these weights
+    val fusedIds = rows.map(_.getAs[Long]("doc_id")).toSet
+    val bmIds = q("q_bm25").collect().take(20).map(_.getAs[Long]("doc_id")).toSet
+    assert(fusedIds != bmIds)
+  }
+
   test("matryoshka recall: bounds hold and recall is consistent with overlap") {
     val rows = q("q_matryoshka_recall").collect()
     assert(rows.length == 10)

@@ -82,6 +82,25 @@ class StatsSpec extends SparkSpec {
     assert(ks < 1.95 * math.sqrt((na + nb).toDouble / (na.toDouble * nb)))
   }
 
+  test("rate anomaly: warm-up suppressed, mean positive, z centered") {
+    val rows = q("q_rate_anomaly").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("trailing_mean") > 0.0)
+      assert(!r.getAs[Double]("z").isNaN)
+      assert(r.getAs[Long]("n") >= 1)
+    }
+    // every emitted row had >= 12 trailing buckets, so each event_type
+    // suppresses at least its first 12 hourly buckets
+    val hourly = Tables(spark, sf).events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts"))).count()
+    assert(rows.length <= hourly.count() - 12 * rows.map(
+      _.getAs[String]("event_type")).distinct.length)
+    // a stationary generator: z averages near zero (loose bound)
+    val zs = rows.map(_.getAs[Double]("z"))
+    assert(math.abs(zs.sum / zs.length) < 1.0)
+  }
+
   test("cohort retention: offsets non-negative, day-0 row covers each cohort") {
     val rows = q("q_cohort_retention").collect()
     assert(rows.nonEmpty)
