@@ -461,6 +461,68 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // ---- containment scoring of LSH candidate pairs: C(A|B) =
+    //      |A∩B|/|A| in both directions next to symmetric Jaccard.
+    //      Containment is the metric that catches doc-inside-doc
+    //      duplication (a page quoting another wholesale): a small doc
+    //      fully contained in a big one has cont ≈ 1 while Jaccard
+    //      stays low, so a Jaccard-only dedup ships the quote twice.
+    //      Runs over the same band-bucket candidates and shingle
+    //      relation as the MinHash path — candidate verification cost,
+    //      corpus untouched. is_subset flags high containment that
+    //      Jaccard would miss (≥ 0.8 vs < 0.5).
+    QueryDef.checked(
+      "q_minhash_containment",
+      s"""WITH $duckPairsCtes,
+         |sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM hg GROUP BY doc_id
+         |), inter AS (
+         |  SELECT p.doc_a, p.doc_b, count(*) AS n_int
+         |  FROM pairs p
+         |  JOIN hg a ON a.doc_id = p.doc_a
+         |  JOIN hg b ON b.doc_id = p.doc_b AND b.h = a.h
+         |  GROUP BY p.doc_a, p.doc_b
+         |)
+         |SELECT p.doc_a, p.doc_b, CAST(p.n_bands AS BIGINT) AS n_bands,
+         |  sa.n AS n_a, sb.n AS n_b, coalesce(i.n_int, 0) AS n_int,
+         |  round(CAST(coalesce(i.n_int, 0) AS DOUBLE) / sa.n, 6) AS cont_a,
+         |  round(CAST(coalesce(i.n_int, 0) AS DOUBLE) / sb.n, 6) AS cont_b,
+         |  round(CAST(coalesce(i.n_int, 0) AS DOUBLE)
+         |    / (sa.n + sb.n - coalesce(i.n_int, 0)), 6) AS jaccard,
+         |  greatest(round(CAST(coalesce(i.n_int, 0) AS DOUBLE) / sa.n, 6),
+         |           round(CAST(coalesce(i.n_int, 0) AS DOUBLE) / sb.n, 6)) >= 0.8
+         |    AND round(CAST(coalesce(i.n_int, 0) AS DOUBLE)
+         |      / (sa.n + sb.n - coalesce(i.n_int, 0)), 6) < 0.5 AS is_subset
+         |FROM pairs p
+         |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |JOIN sizes sa ON sa.doc_id = p.doc_a
+         |JOIN sizes sb ON sb.doc_id = p.doc_b
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      val pairs = minhashPairs(docs).localCheckpoint()
+      val hg = hashedGrams(docs).localCheckpoint()
+      val sizes = hg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = pairs
+        .join(hg.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+        .join(hg.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_int"))
+      val contA = round(coalesce(col("n_int"), lit(0L)).cast("double") / col("n_a"), 6)
+      val contB = round(coalesce(col("n_int"), lit(0L)).cast("double") / col("n_b"), 6)
+      val jac = round(coalesce(col("n_int"), lit(0L)).cast("double") /
+        (col("n_a") + col("n_b") - coalesce(col("n_int"), lit(0L))), 6)
+      pairs
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+          Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("n_bands").cast("long").as("n_bands"),
+          col("n_a"), col("n_b"), coalesce(col("n_int"), lit(0L)).as("n_int"),
+          contA.as("cont_a"), contB.as("cont_b"), jac.as("jaccard"),
+          (greatest(contA, contB) >= 0.8 && jac < 0.5).as("is_subset"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // ---- duplicate n-gram rate: what fraction of each doc's 3-gram
     //      shingles also occur in some OTHER doc (the substring-level
     //      duplication metric of Lee et al. 2022, "Deduplicating

@@ -182,6 +182,60 @@ object Layout {
         .select(col("key").as("l_suppkey"),
           col("sum_value").cast("double").as("sum_value"), col("n"))
         .orderBy("l_suppkey")
+    },
+
+    // ---- Z-order clustering: interleave 4+4 range-bucket bits of
+    //      (l_partkey, l_suppkey) into an 8-bit z-value and report each
+    //      16-z-value cluster's span on BOTH dimensions. Multi-dim
+    //      layout is the 100 TB scan-pruning move a 1D sort can't make:
+    //      files written in z order carry tight parquet min/max on both
+    //      columns (here: every cluster spans ≤ 4 of 16 buckets per
+    //      dim, vs a 1D sort whose files span the full range of the
+    //      second dim), so predicates on EITHER key prune ~3/4 of row
+    //      groups. Pure integer bit arithmetic end to end; the bucket
+    //      bounds broadcast from a one-row max aggregate.
+    QueryDef.checked(
+      "q_zorder_cluster", {
+        def interleaveSql(bx: String, by: String) =
+          (0 until 4).map(j =>
+            s"(($bx // ${1 << j}) % 2) * ${1 << (2 * j)}" +
+              s" + (($by // ${1 << j}) % 2) * ${1 << (2 * j + 1)}")
+            .mkString(" + ")
+        s"""WITH mx AS (
+           |  SELECT max(l_partkey) + 1 AS mp, max(l_suppkey) + 1 AS ms
+           |  FROM lineitem
+           |), bucketed AS (
+           |  SELECT CAST(l_partkey * 16 // mp AS BIGINT) AS bx,
+           |    CAST(l_suppkey * 16 // ms AS BIGINT) AS by
+           |  FROM lineitem, mx
+           |), zed AS (
+           |  SELECT bx, by, ${interleaveSql("bx", "by")} AS z FROM bucketed
+           |)
+           |SELECT CAST(z // 16 AS BIGINT) AS z_cluster, count(*) AS n,
+           |  min(bx) AS min_x, max(bx) AS max_x,
+           |  min(by) AS min_y, max(by) AS max_y
+           |FROM zed
+           |GROUP BY z // 16
+           |ORDER BY z_cluster""".stripMargin
+      }) { (spark, dir) =>
+      def interleaveExpr(bx: String, by: String) =
+        (0 until 4).map(j =>
+          s"(($bx div ${1 << j}) % 2) * ${1 << (2 * j)}" +
+            s" + (($by div ${1 << j}) % 2) * ${1 << (2 * j + 1)}")
+          .mkString(" + ")
+      val li = Tables(spark, dir).lineitem
+      val mx = li.agg((max(col("l_partkey")) + 1).as("mp"),
+        (max(col("l_suppkey")) + 1).as("ms"))
+      li.select(col("l_partkey"), col("l_suppkey"))
+        .crossJoin(broadcast(mx))
+        .select(expr("CAST(l_partkey * 16 div mp AS BIGINT)").as("bx"),
+          expr("CAST(l_suppkey * 16 div ms AS BIGINT)").as("by"))
+        .withColumn("z", expr(interleaveExpr("bx", "by")))
+        .groupBy(expr("CAST(z div 16 AS BIGINT)").as("z_cluster"))
+        .agg(count(lit(1)).as("n"),
+          min(col("bx")).as("min_x"), max(col("bx")).as("max_x"),
+          min(col("by")).as("min_y"), max(col("by")).as("max_y"))
+        .orderBy("z_cluster")
     }
   )
 }

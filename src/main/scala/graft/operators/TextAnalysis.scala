@@ -269,6 +269,63 @@ object TextAnalysis {
           (lit(1.0) - levenshtein(col("pa"), col("pb")).cast("double") /
             greatest(length(col("pa")), length(col("pb")))).as("sim"))
         .orderBy("doc_a")
+    },
+
+    // ---- per-doc token entropy + evenness: Shannon entropy of each
+    //      doc's own token distribution (the per-document twin of the
+    //      corpus-level q_token_entropy) and its ln(n_distinct)-
+    //      normalized evenness. The gibberish axis the length/stopword
+    //      quality score misses: near-zero evenness = one token looped
+    //      (spam), near-one = every token unique (random noise); prose
+    //      sits between. Two map-side-combined groupBys keyed by
+    //      doc_id(+token) — per-doc state is its vocabulary, never the
+    //      corpus. Per-token −p·ln(p) contributions go to 1e-9
+    //      fixed-point BIGINTs before the per-doc sum, so the entropy
+    //      replays bit-identically at any partition count.
+    QueryDef.checked(
+      "q_doc_entropy",
+      """WITH etoks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), etf AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM etoks GROUP BY doc_id, tok
+        |), edl AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS len,
+        |    CAST(count(*) AS BIGINT) AS nd
+        |  FROM etf GROUP BY doc_id
+        |), ec AS (
+        |  SELECT t.doc_id,
+        |    CAST(round(-(CAST(t.c AS DOUBLE) / l.len)
+        |      * ln(CAST(t.c AS DOUBLE) / l.len) * 1000000000) AS BIGINT) AS e
+        |  FROM etf t JOIN edl l ON l.doc_id = t.doc_id
+        |)
+        |SELECT c.doc_id, l.len AS n_tokens, l.nd AS n_distinct,
+        |  round(CAST(sum(e) AS BIGINT) / 1000000000.0, 6) AS entropy,
+        |  round(CASE WHEN l.nd > 1
+        |    THEN CAST(sum(e) AS BIGINT) / 1000000000.0 / ln(CAST(l.nd AS DOUBLE))
+        |    ELSE 0 END, 6) AS evenness
+        |FROM ec c JOIN edl l ON l.doc_id = c.doc_id
+        |GROUP BY c.doc_id, l.len, l.nd
+        |ORDER BY c.doc_id""".stripMargin) { (spark, dir) =>
+      val tf = Tables(spark, dir).documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val dl = tf.groupBy("doc_id")
+        .agg(sum(col("c")).cast("long").as("len"),
+          count(lit(1)).cast("long").as("nd"))
+      tf.join(dl, Seq("doc_id"))
+        .select(col("doc_id"), col("len"), col("nd"), expr(
+          """CAST(round(-(CAST(c AS DOUBLE) / len)
+            |  * ln(CAST(c AS DOUBLE) / len) * 1000000000) AS BIGINT)"""
+            .stripMargin).as("e"))
+        .groupBy("doc_id", "len", "nd")
+        .agg(sum(col("e")).cast("long").as("es"))
+        .select(col("doc_id"), col("len").as("n_tokens"),
+          col("nd").as("n_distinct"),
+          round(col("es") / lit(1000000000.0), 6).as("entropy"),
+          round(when(col("nd") > 1,
+            col("es") / lit(1000000000.0) / log(col("nd").cast("double")))
+            .otherwise(0d), 6).as("evenness"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -141,4 +141,18 @@ class DedupSpec extends SparkSpec {
     assert(hit.head.getAs[Boolean]("is_dup"))
     assert(hit.head.getAs[Long]("dup_of") == 0L)
   }
+
+  test("containment: dominates jaccard, one row per LSH candidate pair") {
+    val rows = q("q_minhash_containment").collect()
+    assert(rows.length == q("q_dedup_minhash_pairs").count())
+    rows.foreach { r =>
+      val (ca, cb) = (r.getAs[Double]("cont_a"), r.getAs[Double]("cont_b"))
+      val j = r.getAs[Double]("jaccard")
+      assert(ca >= 0.0 && ca <= 1.0 && cb >= 0.0 && cb <= 1.0)
+      // |A∩B|/|A| ≥ |A∩B|/|A∪B| always (1e-6: both sides are rounded)
+      assert(ca >= j - 1e-6 && cb >= j - 1e-6)
+      assert(r.getAs[Boolean]("is_subset") ==
+        (math.max(ca, cb) >= 0.8 && j < 0.5))
+    }
+  }
 }

@@ -106,4 +106,18 @@ class LayoutSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("zorder: clusters cover all rows and stay tight on BOTH dimensions") {
+    val rows = q("q_zorder_cluster").collect()
+    val total = Tables(spark, sf).lineitem.count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.foreach { r =>
+      // 16 consecutive z-values fix the high 2 bits of each dim's 4-bit
+      // bucket → every cluster spans at most 4 of 16 buckets per dim.
+      // A 1D sort can't do this: sorted by x alone, each file spans the
+      // FULL y range.
+      assert(r.getAs[Long]("max_x") - r.getAs[Long]("min_x") <= 3)
+      assert(r.getAs[Long]("max_y") - r.getAs[Long]("min_y") <= 3)
+    }
+  }
 }

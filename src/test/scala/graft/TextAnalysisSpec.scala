@@ -53,4 +53,29 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash16")).toMap
     assert(sims.values.forall(s => s >= 0 && s < (1 << 16)))
   }
+
+  test("doc entropy: bounded by ln(n_distinct), evenness in [0,1], degenerate doc at 0") {
+    val rows = q("q_doc_entropy").collect()
+    assert(rows.length == Tables(spark, sf).documents.count())
+    rows.foreach { r =>
+      val nd = r.getAs[Long]("n_distinct")
+      val e = r.getAs[Double]("entropy")
+      val ev = r.getAs[Double]("evenness")
+      assert(e >= 0.0 && e <= math.log(nd.toDouble) + 1e-6)
+      assert(ev >= 0.0 && ev <= 1.0 + 1e-6)
+      assert(nd <= r.getAs[Long]("n_tokens"))
+    }
+    // a doc that is one token repeated must score exactly zero on both
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("docent").toString
+    Seq((0L, "spam spam spam spam", "en", "srcX", 19L), (1L, "a b c d", "en", "srcX", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val planted = SparkEntry.queries("q_doc_entropy")(spark, tmp).collect()
+    val spam = planted.find(_.getAs[Long]("doc_id") == 0L).get
+    assert(spam.getAs[Double]("entropy") == 0.0 && spam.getAs[Double]("evenness") == 0.0)
+    // a doc of all-distinct tokens maxes evenness at 1
+    val uni = planted.find(_.getAs[Long]("doc_id") == 1L).get
+    assert(math.abs(uni.getAs[Double]("evenness") - 1.0) < 1e-6)
+  }
 }
