@@ -127,6 +127,40 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Exact-verification support shared by the incremental-dedup
+    * verdicts and the containment scores (one definition, so the
+    * verification arithmetic cannot drift): per-doc hashed-shingle set
+    * sizes and per-candidate-pair intersection counts over the `hg`
+    * relation. `pairsRel` is the candidate CTE name (`pairs`, `cand`). */
+  private def duckPairVerifyCtes(pairsRel: String): String =
+    s"""sizes AS (
+       |  SELECT doc_id, count(*) AS n FROM hg GROUP BY doc_id
+       |), inter AS (
+       |  SELECT p.doc_a, p.doc_b, count(*) AS n_int
+       |  FROM $pairsRel p
+       |  JOIN hg a ON a.doc_id = p.doc_a
+       |  JOIN hg b ON b.doc_id = p.doc_b AND b.h = a.h
+       |  GROUP BY p.doc_a, p.doc_b
+       |)""".stripMargin
+
+  /** Spark twin of [[duckPairVerifyCtes]]: extends a candidate-pair
+    * relation with (n_a, n_b, n_int), n_int coalesced to 0; extra pair
+    * columns (e.g. n_bands) ride through. */
+  private def pairVerify(pairs: DataFrame, hg: DataFrame): DataFrame = {
+    val sizes = hg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs.select("doc_a", "doc_b")
+      .join(hg.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(hg.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_int"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+        Seq("doc_b"))
+      .withColumn("n_int", coalesce(col("n_int"), lit(0L)))
+  }
+
   /** SQL twin of [[simhash16]] — CTE chain ending in `sh(doc_id,
     * simhash16)`. Shared by q_simhash, q_simhash_hamming, and the
     * sorted-neighborhood query so the bit-vote construction is written
@@ -396,15 +430,7 @@ object Dedup {
          |cut AS (SELECT max(doc_id) * 4 // 5 AS c FROM documents),
          |cand AS (
          |  SELECT doc_a, doc_b FROM pairs, cut WHERE doc_b > cut.c
-         |), sizes AS (
-         |  SELECT doc_id, count(*) AS n FROM hg GROUP BY doc_id
-         |), inter AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS n_int
-         |  FROM cand c
-         |  JOIN hg a ON a.doc_id = c.doc_a
-         |  JOIN hg b ON b.doc_id = c.doc_b AND b.h = a.h
-         |  GROUP BY c.doc_a, c.doc_b
-         |), scored AS (
+         |), ${duckPairVerifyCtes("cand")}, scored AS (
          |  SELECT c.doc_a, c.doc_b,
          |    round(CAST(coalesce(i.n_int, 0) AS DOUBLE)
          |      / (sa.n + sb.n - coalesce(i.n_int, 0)), 6) AS jacc
@@ -426,28 +452,20 @@ object Dedup {
          |WHERE d.doc_id > cut.c
          |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
       val docs = Tables(spark, dir).documents
-      val cut = docs.agg((max(col("doc_id")) * 4 / 5).cast("long").as("c"))
+      // integer floor-div, NOT `/` (Column./ is double division — past
+      // 2^53 the rounded double would land on a different cut than the
+      // oracle's exact `//`)
+      val cut = docs.agg(expr("CAST(max(doc_id) * 4 div 5 AS LONG)").as("c"))
       val pairs = minhashPairs(docs)
       val cand = pairs.crossJoin(broadcast(cut))
         .filter(col("doc_b") > col("c"))
         .select("doc_a", "doc_b")
         .localCheckpoint() // feeds inter, verdict and ncand branches
       val hg = hashedGrams(docs).localCheckpoint()
-      val sizes = hg.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(hg.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
-        .join(hg.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_int"))
-      val scored = cand
-        .join(inter, Seq("doc_a", "doc_b"), "left")
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
-          Seq("doc_a"))
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
-          Seq("doc_b"))
+      val scored = pairVerify(cand, hg)
         .select(col("doc_a"), col("doc_b"),
-          round(coalesce(col("n_int"), lit(0L)).cast("double") /
-            (col("n_a") + col("n_b") - coalesce(col("n_int"), lit(0L))), 6)
-            .as("jacc"))
+          round(col("n_int").cast("double") /
+            (col("n_a") + col("n_b") - col("n_int")), 6).as("jacc"))
       val verdict = scored.filter(col("jacc") >= 0.5)
         .groupBy("doc_b").agg(min(col("doc_a")).cast("long").as("dup_of"))
       val ncand = cand.groupBy("doc_b").agg(count(lit(1)).as("n_cand"))
@@ -474,15 +492,7 @@ object Dedup {
     QueryDef.checked(
       "q_minhash_containment",
       s"""WITH $duckPairsCtes,
-         |sizes AS (
-         |  SELECT doc_id, count(*) AS n FROM hg GROUP BY doc_id
-         |), inter AS (
-         |  SELECT p.doc_a, p.doc_b, count(*) AS n_int
-         |  FROM pairs p
-         |  JOIN hg a ON a.doc_id = p.doc_a
-         |  JOIN hg b ON b.doc_id = p.doc_b AND b.h = a.h
-         |  GROUP BY p.doc_a, p.doc_b
-         |)
+         |${duckPairVerifyCtes("pairs")}
          |SELECT p.doc_a, p.doc_b, CAST(p.n_bands AS BIGINT) AS n_bands,
          |  sa.n AS n_a, sb.n AS n_b, coalesce(i.n_int, 0) AS n_int,
          |  round(CAST(coalesce(i.n_int, 0) AS DOUBLE) / sa.n, 6) AS cont_a,
@@ -501,23 +511,13 @@ object Dedup {
       val docs = Tables(spark, dir).documents
       val pairs = minhashPairs(docs).localCheckpoint()
       val hg = hashedGrams(docs).localCheckpoint()
-      val sizes = hg.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = pairs
-        .join(hg.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
-        .join(hg.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_int"))
-      val contA = round(coalesce(col("n_int"), lit(0L)).cast("double") / col("n_a"), 6)
-      val contB = round(coalesce(col("n_int"), lit(0L)).cast("double") / col("n_b"), 6)
-      val jac = round(coalesce(col("n_int"), lit(0L)).cast("double") /
-        (col("n_a") + col("n_b") - coalesce(col("n_int"), lit(0L))), 6)
-      pairs
-        .join(inter, Seq("doc_a", "doc_b"), "left")
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
-          Seq("doc_a"))
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
-          Seq("doc_b"))
+      val contA = round(col("n_int").cast("double") / col("n_a"), 6)
+      val contB = round(col("n_int").cast("double") / col("n_b"), 6)
+      val jac = round(col("n_int").cast("double") /
+        (col("n_a") + col("n_b") - col("n_int")), 6)
+      pairVerify(pairs, hg)
         .select(col("doc_a"), col("doc_b"), col("n_bands").cast("long").as("n_bands"),
-          col("n_a"), col("n_b"), coalesce(col("n_int"), lit(0L)).as("n_int"),
+          col("n_a"), col("n_b"), col("n_int"),
           contA.as("cont_a"), contB.as("cont_b"), jac.as("jaccard"),
           (greatest(contA, contB) >= 0.8 && jac < 0.5).as("is_subset"))
         .orderBy("doc_a", "doc_b")
@@ -533,11 +533,14 @@ object Dedup {
     //      the same key the LSH path already shuffles on, and at 100 TB
     //      the h-partitioned count never materializes a corpus-wide
     //      dictionary on any single node. A shingle repeated only WITHIN
-    //      a doc doesn't count (the relation is distinct doc×gram).
+    //      a doc doesn't count: the relation is distinct doc×gram, and
+    //      it is further deduped to distinct (doc, h) so two different
+    //      in-doc shingles COLLIDING mod 2³⁰ can't fake df=2 — so
+    //      n_grams counts distinct hashed shingles per doc.
     QueryDef.checked(
       "q_dup_ngram_rate",
       s"""WITH hg AS (
-         |  $duckHashedGrams
+         |  SELECT DISTINCT doc_id, h FROM ($duckHashedGrams)
          |), c AS (
          |  SELECT doc_id, count(*) OVER (PARTITION BY h) AS df FROM hg
          |)
@@ -549,6 +552,7 @@ object Dedup {
          |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
       hashedGrams(Tables(spark, dir).documents)
+        .distinct()
         .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),

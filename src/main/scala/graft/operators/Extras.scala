@@ -185,21 +185,38 @@ object Extras {
     // ---- event-rate anomaly detection: z-score of each hourly bucket
     //      count against its trailing 24 buckets, per event_type — the
     //      monitor that pages when a crawl source goes dark or a bot
-    //      floods one event class. Variance comes from integer power
-    //      sums over the frame (Σn, Σn² are exact BIGINTs; the final
-    //      mean/var/z arithmetic is one row-local double expression), so
-    //      no streaming-M2 accumulation-order risk. +1 in the variance
-    //      denominator regularizes flat series. Windows partition by
-    //      event_type and hold ≤24 rows of state per series; hourly
-    //      bucketing means the windowed relation is hours × types,
-    //      bounded regardless of corpus size. Warm-up rows (< 12 prior
-    //      buckets) are suppressed — z against a 2-bucket history is
-    //      noise, not signal.
+    //      floods one event class. The hourly series is DENSIFIED over
+    //      an hour spine (distinct types × every hour in range) before
+    //      windowing: an hour with zero events must emit n=0 and a
+    //      negative z — "no row" can never page, and gaps would
+    //      otherwise stretch the 24-bucket frame across calendar holes.
+    //      Variance comes from integer power sums over the frame (Σn,
+    //      Σn² are exact BIGINTs; the final mean/var/z arithmetic is
+    //      one row-local double expression), so no streaming-M2
+    //      accumulation-order risk. +1 in the variance denominator
+    //      regularizes flat series. Windows partition by event_type and
+    //      hold ≤24 rows of state per series; the spine is hours ×
+    //      types, bounded regardless of event volume. Warm-up rows
+    //      (< 12 prior buckets) are suppressed — z against a 2-bucket
+    //      history is noise, not signal.
     QueryDef.checked(
       "q_rate_anomaly",
-      """WITH hourly AS (
+      """WITH bounds AS (
+        |  SELECT date_trunc('hour', min(ts)) AS h0,
+        |    date_trunc('hour', max(ts)) AS h1
+        |  FROM events
+        |), spine AS (
+        |  SELECT t.event_type, hh.h
+        |  FROM (SELECT DISTINCT event_type FROM events) t,
+        |    (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |     FROM bounds) hh
+        |), counts AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
         |  FROM events GROUP BY event_type, date_trunc('hour', ts)
+        |), hourly AS (
+        |  SELECT s.event_type, s.h, coalesce(c.n, 0) AS n
+        |  FROM spine s LEFT JOIN counts c
+        |    ON c.event_type = s.event_type AND c.h = s.h
         |), trail AS (
         |  SELECT event_type, h, n,
         |    count(*) OVER w AS tn,
@@ -219,9 +236,19 @@ object Extras {
         |WHERE tn >= 12
         |ORDER BY event_type, h""".stripMargin) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val hourly = Tables(spark, dir).events
+      val ev = Tables(spark, dir).events
+      val counts = ev
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
         .agg(count(lit(1)).as("n"))
+      val hours = ev
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val hourly = ev.select("event_type").distinct()
+        .crossJoin(hours)
+        .join(counts, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          coalesce(col("n"), lit(0L)).as("n"))
       val w = Window.partitionBy("event_type").orderBy("h")
         .rowsBetween(-24, -1)
       hourly

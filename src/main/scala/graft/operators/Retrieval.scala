@@ -157,8 +157,11 @@ object Retrieval {
     //      magnitudes). BM25 normalizes by its max (an exact
     //      BIGINT-over-double division — zero-match docs coalesce to 0
     //      AFTER the division so they don't drag the scale); cosine
-    //      min-max normalizes from 6-dp-rounded values. Both score
-    //      relations are corpus scans; the norm constants are one-row
+    //      min-max normalizes from 6-dp-rounded values. The query's own
+    //      vector (vec_id 0) is excluded from the corpus — its
+    //      self-cosine of 1.0 would both return the query as a "hit"
+    //      and pin cmax, compressing every real doc's cos_norm. Both
+    //      score relations are corpus scans; the norm constants are one-row
     //      broadcast aggregates, and the doc join is key-colocated at
     //      any scale. Ranking uses the unrounded fused score (identical
     //      IEEE from identical inputs), ties by doc_id.
@@ -169,7 +172,7 @@ object Retrieval {
          |cs AS (
          |  SELECT e.vec_id AS doc_id,
          |    round(${VectorFunctions.duckCosineSql("qv.qe", "e.embedding")}, 6) AS cosim
-         |  FROM embeddings e, qv
+         |  FROM embeddings e, qv WHERE e.vec_id <> 0
          |), bmax AS (SELECT CAST(max(s) AS DOUBLE) AS ms FROM bm25),
          |crange AS (SELECT min(cosim) AS cmin, max(cosim) AS cmax FROM cs),
          |h AS (
@@ -184,13 +187,17 @@ object Retrieval {
          |ORDER BY 0.5 * bm_norm + 0.5 * cos_norm DESC, doc_id
          |LIMIT 20""".stripMargin) { (spark, dir) =>
       val t = Tables(spark, dir)
-      val bm = bm25Scored(t.documents)
+      // both score relations feed a norm-constant aggregate AND the
+      // fusion join — materialize each once
+      val bm = bm25Scored(t.documents).localCheckpoint()
       val qv = t.embeddings.filter(col("vec_id") === 0)
         .select(col("embedding").as("qe"))
-      val cs = t.embeddings.crossJoin(broadcast(qv))
+      val cs = t.embeddings.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
         .select(col("vec_id").as("doc_id"),
           round(VectorFunctions.cosineSim(col("qe"), col("embedding")), 6)
             .as("cosim"))
+        .localCheckpoint()
       val bmax = bm.agg(max(col("s")).cast("double").as("ms"))
       val crange = cs.agg(min(col("cosim")).as("cmin"), max(col("cosim")).as("cmax"))
       cs.join(bm.select(col("doc_id"), col("s")), Seq("doc_id"), "left")

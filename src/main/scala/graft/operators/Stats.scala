@@ -267,10 +267,12 @@ object Stats {
         |  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
         |  FROM binned
         |)
-        |SELECT na, nb, bin AS at_bin, abs(sa * nb - sb * na) AS ks_num,
-        |  round(CAST(abs(sa * nb - sb * na) AS DOUBLE) / (na * nb), 6) AS ks_stat
+        |SELECT na, nb, bin AS at_bin,
+        |  CAST(abs(CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na) AS DOUBLE) AS ks_num,
+        |  round(CAST(abs(CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na) AS DOUBLE)
+        |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS ks_stat
         |FROM cum, tot
-        |ORDER BY abs(sa * nb - sb * na) DESC, bin
+        |ORDER BY abs(CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na) DESC, bin
         |LIMIT 1""".stripMargin) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
       val binned = Tables(spark, dir).events
@@ -281,16 +283,24 @@ object Stats {
       val w = Window.orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = binned.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      // 128-bit cross-multiplication (Decimal(38,0) ↔ the oracle's
+      // HUGEINT): at real event volumes sa·nb overflows BIGINT, where
+      // Spark would wrap silently and DuckDB would raise — the exact
+      // wide type keeps the argmax comparison bit-exact at any count
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
       binned
         .select(col("bin"), sum(col("ca")).over(w).as("sa"),
           sum(col("cb")).over(w).as("sb"))
         .crossJoin(broadcast(tot))
         .select(col("na"), col("nb"), col("bin").as("at_bin"),
-          abs(col("sa") * col("nb") - col("sb") * col("na")).as("ks_num"))
-        .orderBy(col("ks_num").desc, col("at_bin"))
+          abs(col("sa").cast(d38) * col("nb") - col("sb").cast(d38) * col("na"))
+            .as("ks_x"))
+        .orderBy(col("ks_x").desc, col("at_bin"))
         .limit(1)
-        .select(col("na"), col("nb"), col("at_bin"), col("ks_num"),
-          round(col("ks_num").cast("double") / (col("na") * col("nb")), 6)
+        .select(col("na"), col("nb"), col("at_bin"),
+          col("ks_x").cast("double").as("ks_num"),
+          round(col("ks_x").cast("double") /
+            (col("na").cast("double") * col("nb").cast("double")), 6)
             .as("ks_stat"))
     }
   )

@@ -95,8 +95,10 @@ class DedupSpec extends SparkSpec {
     }
     // a doc texted identically to another must report rate 1.0: plant one
     import spark.implicits._
+    val plantId = docs.agg(org.apache.spark.sql.functions.max("doc_id"))
+      .head().getLong(0) + 1
     val planted = docs.select("doc_id", "text")
-      .union(Seq((100000L, docs.filter($"doc_id" === 0).head.getAs[String]("text"))).toDF())
+      .union(Seq((plantId, docs.filter($"doc_id" === 0).head.getAs[String]("text"))).toDF())
       .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
       .withColumn("source", org.apache.spark.sql.functions.lit("srcX"))
       .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
@@ -105,7 +107,7 @@ class DedupSpec extends SparkSpec {
     // the query reads only `documents` from the dir, so no other table
     // needs to exist there
     val sat = SparkEntry.queries("q_dup_ngram_rate")(spark, tmp)
-      .filter($"doc_id".isin(0L, 100000L)).collect()
+      .filter($"doc_id".isin(0L, plantId)).collect()
     assert(sat.length == 2)
     sat.foreach(r => assert(r.getAs[Double]("dup_rate") == 1.0))
   }

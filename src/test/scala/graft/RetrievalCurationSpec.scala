@@ -183,11 +183,12 @@ class RetrievalCurationSpec extends SparkSpec {
     }
     val h = rows.map(_.getAs[Double]("hybrid"))
     assert(h.zip(h.tail).forall { case (a, b) => a >= b })
-    // the fused top-20 must not equal either single-signal top-20 —
-    // otherwise one branch contributes nothing at these weights
-    val fusedIds = rows.map(_.getAs[Long]("doc_id")).toSet
-    val bmIds = q("q_bm25").collect().take(20).map(_.getAs[Long]("doc_id")).toSet
-    assert(fusedIds != bmIds)
+    // the query's own vector must never come back as a hit
+    assert(!rows.map(_.getAs[Long]("doc_id")).contains(0L))
+    // both signals are live in the fused ranking: some returned doc has
+    // a positive keyword score and some has a positive vector score
+    assert(rows.exists(_.getAs[Double]("bm_norm") > 0.0))
+    assert(rows.exists(_.getAs[Double]("cos_norm") > 0.0))
   }
 
   test("matryoshka recall: bounds hold and recall is consistent with overlap") {

@@ -76,26 +76,33 @@ class StatsSpec extends SparkSpec {
     assert(nb == ev.filter(col("event_type") === "view").count())
     val ks = r.getAs[Double]("ks_stat")
     assert(ks >= 0.0 && ks <= 1.0)
-    assert(math.abs(ks - r.getAs[Long]("ks_num").toDouble / (na * nb)) < 1e-6)
+    assert(math.abs(ks - r.getAs[Double]("ks_num") / (na.toDouble * nb)) < 1e-6)
     // same generator for both types → no real drift; D should be small
     // next to the rejection line at alpha=0.001 (1.95*sqrt((na+nb)/(na*nb)))
     assert(ks < 1.95 * math.sqrt((na + nb).toDouble / (na.toDouble * nb)))
   }
 
-  test("rate anomaly: warm-up suppressed, mean positive, z centered") {
+  test("rate anomaly: dense spine, warm-up suppressed, silent hours emit rows") {
     val rows = q("q_rate_anomaly").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getAs[Double]("trailing_mean") > 0.0)
+      assert(r.getAs[Double]("trailing_mean") >= 0.0)
       assert(!r.getAs[Double]("z").isNaN)
-      assert(r.getAs[Long]("n") >= 1)
+      assert(r.getAs[Long]("n") >= 0)
     }
-    // every emitted row had >= 12 trailing buckets, so each event_type
-    // suppresses at least its first 12 hourly buckets
-    val hourly = Tables(spark, sf).events
-      .groupBy(col("event_type"), date_trunc("hour", col("ts"))).count()
-    assert(rows.length <= hourly.count() - 12 * rows.map(
-      _.getAs[String]("event_type")).distinct.length)
+    // the spine is dense: every type emits exactly (hours-in-range − 12)
+    // rows — the first 12 per series are warm-up-suppressed, nothing else
+    val ev = Tables(spark, sf).events
+    val b = ev.agg(
+      (floor(unix_timestamp(max(col("ts"))) / 3600) -
+        floor(unix_timestamp(min(col("ts"))) / 3600) + 1).as("hours")).head()
+    val nTypes = ev.select("event_type").distinct().count()
+    assert(rows.length == nTypes * (b.getLong(0) - 12))
+    // the alerting contract: an hour with zero events is a ROW (z ≤ 0),
+    // not an absence — at this sparse SF such hours must exist
+    val silent = rows.filter(_.getAs[Long]("n") == 0)
+    assert(silent.nonEmpty)
+    silent.foreach(r => assert(r.getAs[Double]("z") <= 0.0))
     // a stationary generator: z averages near zero (loose bound)
     val zs = rows.map(_.getAs[Double]("z"))
     assert(math.abs(zs.sum / zs.length) < 1.0)
