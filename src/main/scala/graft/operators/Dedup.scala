@@ -70,10 +70,17 @@ object Dedup {
     s"""SELECT doc_id, ${duckH64("gram")} % 1073741824 AS h FROM (
        |    SELECT DISTINCT doc_id, unnest($duckGrams) AS gram FROM documents)""".stripMargin
 
-  private def minhashSigs(docs: DataFrame, k: Int): DataFrame = {
+  private def minhashSigs(docs: DataFrame, k: Int): DataFrame =
+    minhashSigsFromHg(hashedGrams(docs), k)
+
+  /** Signature build over an ALREADY-MATERIALIZED shingle relation —
+    * callers that also verify candidates exactly (incremental dedup,
+    * containment) checkpoint `hg` once and feed both consumers, instead
+    * of re-tokenizing the corpus for each. */
+  private def minhashSigsFromHg(hg: DataFrame, k: Int): DataFrame = {
     val aggs = (0 until k).map(j =>
       min((lit(A(j)) * col("h") + lit(B(j))) % lit(P)).as(s"mh$j"))
-    hashedGrams(docs).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    hg.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   private def duckSig(j: Int): String =
@@ -105,8 +112,12 @@ object Dedup {
 
   /** Spark twin of [[duckPairsCtes]]: (doc_a, doc_b, n_bands), unordered.
     * Public — this is the edge relation [[Clusters]] consumes. */
-  def minhashPairs(docs: DataFrame): DataFrame = {
-    val sigs = minhashSigs(docs, 8)
+  def minhashPairs(docs: DataFrame): DataFrame =
+    minhashPairsFromHg(hashedGrams(docs))
+
+  /** [[minhashPairs]] over a pre-materialized shingle relation. */
+  private def minhashPairsFromHg(hg: DataFrame): DataFrame = {
+    val sigs = minhashSigsFromHg(hg, 8)
     // materialize the (doc, band, bucket) relation once: the self-join's
     // two shuffle-map stages are independent, so without this each side
     // recomputes the whole md5-shingle→minhash pipeline (the stages run
@@ -456,12 +467,13 @@ object Dedup {
       // 2^53 the rounded double would land on a different cut than the
       // oracle's exact `//`)
       val cut = docs.agg(expr("CAST(max(doc_id) * 4 div 5 AS LONG)").as("c"))
-      val pairs = minhashPairs(docs)
-      val cand = pairs.crossJoin(broadcast(cut))
+      // one materialized shingle relation feeds BOTH the LSH candidate
+      // generation and the exact verification — the corpus tokenizes once
+      val hg = hashedGrams(docs).localCheckpoint()
+      val cand = minhashPairsFromHg(hg).crossJoin(broadcast(cut))
         .filter(col("doc_b") > col("c"))
         .select("doc_a", "doc_b")
         .localCheckpoint() // feeds inter, verdict and ncand branches
-      val hg = hashedGrams(docs).localCheckpoint()
       val scored = pairVerify(cand, hg)
         .select(col("doc_a"), col("doc_b"),
           round(col("n_int").cast("double") /
@@ -509,8 +521,10 @@ object Dedup {
          |JOIN sizes sb ON sb.doc_id = p.doc_b
          |ORDER BY p.doc_a, p.doc_b""".stripMargin) { (spark, dir) =>
       val docs = Tables(spark, dir).documents
-      val pairs = minhashPairs(docs).localCheckpoint()
+      // one materialized shingle relation feeds BOTH candidate
+      // generation and verification — the corpus tokenizes once
       val hg = hashedGrams(docs).localCheckpoint()
+      val pairs = minhashPairsFromHg(hg).localCheckpoint()
       val contA = round(col("n_int").cast("double") / col("n_a"), 6)
       val contB = round(col("n_int").cast("double") / col("n_b"), 6)
       val jac = round(col("n_int").cast("double") /

@@ -300,6 +300,42 @@ object Modern {
         .agg(count(lit(1)).as("n"),
           count(col("o_orderpriority")).as("n_with_priority"))
         .orderBy("o_orderstatus")
+    },
+
+    // ---- incremental aggregate maintenance (view backfill): a late
+    //      batch (o_orderkey % 10 = 0 stands in for late-arriving rows)
+    //      lands AFTER the daily revenue rollup was published. Instead
+    //      of recomputing the view over 100 TB of facts, the engine
+    //      aggregates ONLY the late batch to partial states
+    //      (count + exact decimal sum — both mergeable) and merges them
+    //      into the published partials by key. The ORACLE is the full
+    //      direct recompute over all rows, so the hash gate itself
+    //      proves merge(partials) ≡ recompute — the algebraic property
+    //      incremental view maintenance rests on. At scale the merge
+    //      touches |dirty days| × partial-state rows, not the fact
+    //      table; both pre-aggregations combine map-side.
+    QueryDef.checked(
+      "q_agg_backfill",
+      """SELECT CAST(o_orderdate AS DATE) AS day,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY CAST(o_orderdate AS DATE)
+        |ORDER BY day""".stripMargin) { (spark, dir) =>
+      val orders = Tables(spark, dir).orders
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("day"),
+          Parity.money(col("o_totalprice")).as("price"))
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("day").agg(count(lit(1)).as("n"), sum(col("price")).as("rev"))
+      val published = partial(orders.filter(col("o_orderkey") % 10 =!= 0))
+      val lateBatch = partial(orders.filter(col("o_orderkey") % 10 === 0))
+      published.unionByName(lateBatch)
+        .groupBy("day")
+        .agg(sum(col("n")).as("n_orders"), sum(col("rev")).as("rev2"))
+        .select(col("day"), col("n_orders"),
+          col("rev2").cast("double").as("revenue"))
+        .orderBy("day")
     }
   )
 }

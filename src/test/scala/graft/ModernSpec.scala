@@ -162,4 +162,15 @@ class ModernSpec extends SparkSpec {
         s"window $ws not finalized by watermark cut $cutMs")
     }
   }
+
+  test("agg backfill: late batch is a real split and the merge loses nothing") {
+    val orders = Tables(spark, sf).orders
+    val late = orders.filter(col("o_orderkey") % 10 === 0).count()
+    // both sides of the split are non-trivial, or the merge proves nothing
+    assert(late > 0 && late < orders.count())
+    val rows = q("q_agg_backfill").collect()
+    assert(rows.length ==
+      orders.select(col("o_orderdate").cast("date")).distinct().count())
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == orders.count())
+  }
 }
