@@ -108,4 +108,34 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("user_id") && !readSchema.contains("value"),
       s"unpruned scan: $readSchema")
   }
+
+  test("global shuffle ranks shard-locally — no single-partition window") {
+    val plan = physical("q_global_shuffle")
+    assert(plan.contains("hashpartitioning(shard"),
+      "the window must shuffle on the shard id")
+    // a permutation via global row_number would show a SinglePartition
+    // exchange feeding the Window — the exact thing this op avoids
+    val windowIdx = plan.indexOf("Window")
+    assert(windowIdx >= 0 &&
+      !plan.substring(0, windowIdx).contains("SinglePartition"),
+      "window input must not funnel to one partition")
+  }
+
+  test("matryoshka windows partition by query id, query side broadcasts") {
+    val plan = physical("q_matryoshka_recall")
+    assert(plan.contains("hashpartitioning(q_id"), plan.take(400))
+    assert(plan.contains("Broadcast"), "query vectors must broadcast")
+  }
+
+  test("dup n-gram df window shuffles on the shingle hash") {
+    assert(physical("q_dup_ngram_rate").contains("hashpartitioning(h"),
+      "document frequency must be computed h-partitioned")
+  }
+
+  test("zorder and incremental dedup broadcast their one-row bound relations") {
+    assert(physical("q_zorder_cluster").contains("Broadcast"),
+      "bucket maxes must broadcast into the scan")
+    assert(physical("q_incremental_dedup").contains("Broadcast"),
+      "the batch cut must broadcast, not shuffle the corpus")
+  }
 }
