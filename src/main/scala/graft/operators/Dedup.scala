@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.VectorFunctions
 
 /** Deduplication operator family (north star, SURVEY.md §2B):
   * exact (content hash), MinHash+LSH (shingle → minhash → band →
@@ -534,6 +535,53 @@ object Dedup {
           col("n_a"), col("n_b"), col("n_int"),
           contA.as("cont_a"), contB.as("cont_b"), jac.as("jaccard"),
           (greatest(contA, contB) >= 0.8 && jac < 0.5).as("is_subset"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- cross-modal dedup verification: the text-LSH candidate pairs
+    //      scored by BOTH exact shingle Jaccard and embedding cosine
+    //      (doc_id = vec_id), with an agreement verdict. Surface dedup
+    //      and semantic dedup disagree in exactly the cases a curation
+    //      pipeline needs surfaced: paraphrases (low Jaccard, high
+    //      cosine) survive text dedup, templated boilerplate (high
+    //      Jaccard, low cosine) survives semantic dedup. Candidates
+    //      still come from one LSH pass; the embedding join is
+    //      id-colocated candidate verification, so the cross-modal
+    //      check adds no corpus-scale work.
+    QueryDef.checked(
+      "q_crossmodal_dedup",
+      s"""WITH $duckPairsCtes,
+         |${duckPairVerifyCtes("pairs")}
+         |SELECT p.doc_a, p.doc_b,
+         |  round(CAST(coalesce(i.n_int, 0) AS DOUBLE)
+         |    / (sa.n + sb.n - coalesce(i.n_int, 0)), 6) AS jaccard,
+         |  round(${VectorFunctions.duckCosineSql("ea.embedding", "eb.embedding")}, 6) AS cosine,
+         |  round(CAST(coalesce(i.n_int, 0) AS DOUBLE)
+         |    / (sa.n + sb.n - coalesce(i.n_int, 0)), 6) >= 0.5 AS is_text_dup,
+         |  round(${VectorFunctions.duckCosineSql("ea.embedding", "eb.embedding")}, 6) > 0.35 AS is_semantic_dup
+         |FROM pairs p
+         |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |JOIN sizes sa ON sa.doc_id = p.doc_a
+         |JOIN sizes sb ON sb.doc_id = p.doc_b
+         |JOIN embeddings ea ON ea.vec_id = p.doc_a
+         |JOIN embeddings eb ON eb.vec_id = p.doc_b
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val hg = hashedGrams(t.documents).localCheckpoint()
+      val pairs = minhashPairsFromHg(hg).localCheckpoint()
+      val jac = round(col("n_int").cast("double") /
+        (col("n_a") + col("n_b") - col("n_int")), 6)
+      val emb = t.embeddings
+      pairVerify(pairs, hg)
+        .join(emb.select(col("vec_id").as("doc_a"), col("embedding").as("ea")),
+          Seq("doc_a"))
+        .join(emb.select(col("vec_id").as("doc_b"), col("embedding").as("eb")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), jac.as("jaccard"),
+          round(VectorFunctions.cosineSim(col("ea"), col("eb")), 6)
+            .as("cosine"))
+        .withColumn("is_text_dup", col("jaccard") >= 0.5)
+        .withColumn("is_semantic_dup", col("cosine") > 0.35)
         .orderBy("doc_a", "doc_b")
     },
 

@@ -266,6 +266,66 @@ object Extras {
         .orderBy("event_type", "h")
     },
 
+    // ---- multi-touch attribution: split each purchase's value across
+    //      the user's clicks in the preceding hour — linear credit
+    //      (value/n to each touch) and last-touch credit (all to the
+    //      latest click) side by side, the two models every marketing
+    //      warehouse reconciles. Value goes to 1e-6 fixed-point micros
+    //      and linear shares use integer division (remainder dropped,
+    //      deterministically) so credit sums replay exactly. The
+    //      click↔purchase pairing is an equi join on user_id with the
+    //      hour window as a residual — per-user event counts bound the
+    //      pair fan-out, the same shape as q_pit_join, never a theta
+    //      join; the per-purchase windows partition by purchase id.
+    QueryDef.checked(
+      "q_attribution",
+      """WITH clicks AS (
+        |  SELECT event_id AS click_id, user_id, ts AS cts
+        |  FROM events WHERE event_type = 'click'
+        |), purchases AS (
+        |  SELECT event_id AS pid, user_id, ts AS pts,
+        |    CAST(round(value * 1000000) AS BIGINT) AS v_micro
+        |  FROM events WHERE event_type = 'purchase'
+        |), touch AS (
+        |  SELECT c.click_id, c.cts, p.pid, p.v_micro,
+        |    count(*) OVER (PARTITION BY p.pid) AS n_clicks,
+        |    row_number() OVER (PARTITION BY p.pid
+        |      ORDER BY c.cts DESC, c.click_id DESC) AS rn_last
+        |  FROM clicks c JOIN purchases p
+        |    ON p.user_id = c.user_id AND p.pts >= c.cts
+        |    AND p.pts <= c.cts + INTERVAL 1 HOUR
+        |)
+        |SELECT click_id, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  round(CAST(sum(v_micro // n_clicks) AS BIGINT) / 1000000.0, 6) AS linear_credit,
+        |  round(CAST(sum(CASE WHEN rn_last = 1 THEN v_micro ELSE 0 END) AS BIGINT)
+        |    / 1000000.0, 6) AS last_touch_credit
+        |FROM touch
+        |GROUP BY click_id
+        |ORDER BY click_id""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(spark, dir).events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("cts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"),
+          col("ts").as("pts"),
+          expr("CAST(round(value * 1000000) AS BIGINT)").as("v_micro"))
+      clicks.join(purchases, Seq("user_id"))
+        .filter(col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+        .withColumn("n_clicks", count(lit(1)).over(Window.partitionBy("pid")))
+        .withColumn("rn_last", row_number().over(Window.partitionBy("pid")
+          .orderBy(col("cts").desc, col("click_id").desc)))
+        .groupBy("click_id")
+        .agg(count(lit(1)).cast("long").as("n_purchases"),
+          round(sum(expr("v_micro div n_clicks")).cast("long")
+            / lit(1000000.0), 6).as("linear_credit"),
+          round(sum(when(col("rn_last") === 1, col("v_micro")).otherwise(0L))
+            .cast("long") / lit(1000000.0), 6).as("last_touch_credit"))
+        .orderBy("click_id")
+    },
+
     // ---- null semantics battery: nullif / null-safe equality
     //      (IS NOT DISTINCT FROM ≡ <=>) / IN-with-NULL / coalesce
     QueryDef.checked(

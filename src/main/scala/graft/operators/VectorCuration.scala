@@ -20,6 +20,57 @@ import graft.functions.VectorFunctions
   */
 object VectorCuration {
 
+  /** Shared truncation-ranking chain ending in `rk(q_id, vec_id,
+    * rn_full, rn_trunc)`: queries = vec_ids 0..9 against the rest of
+    * the corpus, ranked by full-dim and by 16-dim-prefix cosine. One
+    * CTE string + one DataFrame builder shared by the matryoshka recall
+    * gate and the retrieval-eval metrics so the two gates can never
+    * rank differently. */
+  private val duckTruncRankCtes =
+    s"""q AS (
+       |  SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10
+       |), sims AS (
+       |  SELECT q.q_id, b.vec_id,
+       |    round(${VectorFunctions.duckCosineSql("q.qe", "b.embedding")}, 6) AS sim_full,
+       |    round(${VectorFunctions.duckCosineSql("q.qe[1:16]", "b.embedding[1:16]")}, 6) AS sim_trunc
+       |  FROM q, embeddings b WHERE b.vec_id >= 10
+       |), rk AS (
+       |  SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim_full DESC, vec_id) AS rn_full,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim_trunc DESC, vec_id) AS rn_trunc
+       |  FROM sims
+       |)""".stripMargin
+
+  /** 1e-9 fixed-point log2 position discounts for ranks 1..10 and the
+    * matching ideal-DCG normalizer — Scala-computed once and injected
+    * into BOTH engines as integer literals, so no runtime ln() enters
+    * the DCG sum. */
+  private val discountMicro: IndexedSeq[Long] =
+    (1 to 10).map(i => math.round(1e9 / (math.log(i + 1.0) / math.log(2.0))))
+  private val idcgScaled: Long =
+    (1 to 10).map(i => (11L - i) * discountMicro(i - 1)).sum
+  private val discountCaseSql: String =
+    (1 to 10).map(i => s"WHEN $i THEN CAST(${discountMicro(i - 1)} AS BIGINT)")
+      .mkString(" ")
+
+  /** Spark twin of [[duckTruncRankCtes]]. */
+  private def truncRanked(emb: org.apache.spark.sql.DataFrame) = {
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    emb.filter(col("vec_id") >= 10)
+      .crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        round(VectorFunctions.cosineSim(col("qe"), col("embedding")), 6)
+          .as("sim_full"),
+        round(VectorFunctions.cosineSim(
+          expr("slice(qe, 1, 16)"), expr("slice(embedding, 1, 16)")), 6)
+          .as("sim_trunc"))
+      .withColumn("rn_full", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim_full").desc, col("vec_id"))))
+      .withColumn("rn_trunc", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim_trunc").desc, col("vec_id"))))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- int8 symmetric quantization roundtrip: per-vector scale =
@@ -215,44 +266,59 @@ object VectorCuration {
     //      engines (no fixed point needed), ties broken by vec_id.
     QueryDef.checked(
       "q_matryoshka_recall",
-      s"""WITH q AS (
-         |  SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10
-         |), sims AS (
-         |  SELECT q.q_id, b.vec_id,
-         |    round(${VectorFunctions.duckCosineSql("q.qe", "b.embedding")}, 6) AS sim_full,
-         |    round(${VectorFunctions.duckCosineSql("q.qe[1:16]", "b.embedding[1:16]")}, 6) AS sim_trunc
-         |  FROM q, embeddings b WHERE b.vec_id >= 10
-         |), rk AS (
-         |  SELECT q_id, vec_id,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY sim_full DESC, vec_id) AS rn_full,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY sim_trunc DESC, vec_id) AS rn_trunc
-         |  FROM sims
-         |)
+      s"""WITH $duckTruncRankCtes
          |SELECT q_id,
          |  CAST(count(*) FILTER (WHERE rn_full <= 10 AND rn_trunc <= 10) AS BIGINT) AS n_overlap,
          |  round(CAST(count(*) FILTER (WHERE rn_full <= 10 AND rn_trunc <= 10) AS DOUBLE) / 10, 6) AS recall_at_10
          |FROM rk GROUP BY q_id
          |ORDER BY q_id""".stripMargin) { (spark, dir) =>
-      val emb = Tables(spark, dir).embeddings
-      val q = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-      emb.filter(col("vec_id") >= 10)
-        .crossJoin(broadcast(q))
-        .select(col("q_id"), col("vec_id"),
-          round(VectorFunctions.cosineSim(col("qe"), col("embedding")), 6)
-            .as("sim_full"),
-          round(VectorFunctions.cosineSim(
-            expr("slice(qe, 1, 16)"), expr("slice(embedding, 1, 16)")), 6)
-            .as("sim_trunc"))
-        .withColumn("rn_full", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("sim_full").desc, col("vec_id"))))
-        .withColumn("rn_trunc", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("sim_trunc").desc, col("vec_id"))))
+      truncRanked(Tables(spark, dir).embeddings)
         .groupBy("q_id")
         .agg(count(when(col("rn_full") <= 10 && col("rn_trunc") <= 10, 1))
           .cast("long").as("n_overlap"))
         .select(col("q_id"), col("n_overlap"),
           round(col("n_overlap").cast("double") / 10, 6).as("recall_at_10"))
+        .orderBy("q_id")
+    },
+
+    // ---- offline retrieval evaluation: MRR and nDCG@10 of the
+    //      truncated-dim ranking against the full-dim ranking as graded
+    //      ground truth (rel = 11 − full rank for the top 10) — the
+    //      metric pair every index change ships against, over the same
+    //      shared ranking chain as the recall gate. The log2 position
+    //      discounts are PRECOMPUTED 1e-9 fixed-point integers injected
+    //      into both engines (rank ∈ 1..10, so the discount table has
+    //      10 entries) — DCG is a pure-integer sum, immune to libm ln()
+    //      ulp drift between JVMs and DuckDB; the single nDCG division
+    //      happens once per query row.
+    QueryDef.checked(
+      "q_retrieval_metrics", {
+        s"""WITH $duckTruncRankCtes,
+           |scored AS (
+           |  SELECT q_id, vec_id, rn_trunc,
+           |    CASE WHEN rn_full <= 10 THEN 11 - rn_full ELSE 0 END AS rel
+           |  FROM rk WHERE rn_trunc <= 10
+           |)
+           |SELECT q_id,
+           |  CAST(count(*) FILTER (WHERE rel > 0) AS BIGINT) AS n_hits,
+           |  round(coalesce(1.0 / min(CASE WHEN rel > 0 THEN rn_trunc END), 0), 6) AS mrr,
+           |  round(CAST(sum(CAST(rel AS BIGINT) * (CASE rn_trunc $discountCaseSql END)) AS BIGINT)
+           |    / $idcgScaled.0, 6) AS ndcg
+           |FROM scored GROUP BY q_id
+           |ORDER BY q_id""".stripMargin
+      }) { (spark, dir) =>
+      truncRanked(Tables(spark, dir).embeddings)
+        .filter(col("rn_trunc") <= 10)
+        .select(col("q_id"), col("rn_trunc"),
+          when(col("rn_full") <= 10, lit(11) - col("rn_full")).otherwise(0)
+            .as("rel"))
+        .groupBy("q_id")
+        .agg(count(when(col("rel") > 0, 1)).cast("long").as("n_hits"),
+          round(coalesce(lit(1.0) /
+            min(when(col("rel") > 0, col("rn_trunc"))), lit(0d)), 6).as("mrr"),
+          round(sum(col("rel").cast("long") *
+            expr(s"CASE rn_trunc $discountCaseSql END")).cast("long")
+            / lit(idcgScaled.toDouble), 6).as("ndcg"))
         .orderBy("q_id")
     }
   )

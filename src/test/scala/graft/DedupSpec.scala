@@ -144,6 +144,19 @@ class DedupSpec extends SparkSpec {
     assert(hit.head.getAs[Long]("dup_of") == 0L)
   }
 
+  test("crossmodal: one row per candidate pair, flags match their thresholds") {
+    val rows = q("q_crossmodal_dedup").collect()
+    assert(rows.length == q("q_dedup_minhash_pairs").count())
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      val c = r.getAs[Double]("cosine")
+      assert(j >= 0.0 && j <= 1.0)
+      assert(c >= -1.0 - 1e-6 && c <= 1.0 + 1e-6)
+      assert(r.getAs[Boolean]("is_text_dup") == (j >= 0.5))
+      assert(r.getAs[Boolean]("is_semantic_dup") == (c > 0.35))
+    }
+  }
+
   test("containment: dominates jaccard, one row per LSH candidate pair") {
     val rows = q("q_minhash_containment").collect()
     assert(rows.length == q("q_dedup_minhash_pairs").count())

@@ -191,6 +191,24 @@ class RetrievalCurationSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Double]("cos_norm") > 0.0))
   }
 
+  test("retrieval metrics: bounded, zero iff no hits, consistent with recall gate") {
+    val rows = q("q_retrieval_metrics").collect()
+    assert(rows.length == 10)
+    val overlap = q("q_matryoshka_recall").collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("n_overlap")).toMap
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      val mrr = r.getAs[Double]("mrr")
+      val ndcg = r.getAs[Double]("ndcg")
+      assert(mrr >= 0.0 && mrr <= 1.0)
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-6)
+      // same shared ranking chain → hits must equal the recall gate's overlap
+      assert(hits == overlap(r.getAs[Long]("q_id")))
+      assert((hits == 0) == (mrr == 0.0))
+      assert((hits == 0) == (ndcg == 0.0))
+    }
+  }
+
   test("matryoshka recall: bounds hold and recall is consistent with overlap") {
     val rows = q("q_matryoshka_recall").collect()
     assert(rows.length == 10)

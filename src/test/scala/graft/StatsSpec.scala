@@ -108,6 +108,32 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(zs.sum / zs.length) < 1.0)
   }
 
+  test("attribution: last-touch conserves purchase value, linear never exceeds it") {
+    val rows = q("q_attribution").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_purchases") >= 1)
+      assert(r.getAs[Double]("linear_credit") >= 0.0)
+      assert(r.getAs[Double]("last_touch_credit") >= 0.0)
+    }
+    // every touched purchase pays out exactly once under last-touch;
+    // linear drops at most the integer-division remainder per share
+    val ev = Tables(spark, sf).events
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"))
+    val touchedTotal = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") >= col("cts") &&
+        col("ts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+      .select(col("event_id"), col("value")).distinct()
+      .agg(sum(expr("CAST(round(value * 1000000) AS BIGINT)"))).head().getLong(0)
+    val lastSum = math.round(rows.map(_.getAs[Double]("last_touch_credit")).sum * 1e6)
+    val linSum = math.round(rows.map(_.getAs[Double]("linear_credit")).sum * 1e6)
+    assert(lastSum == touchedTotal,
+      s"last-touch must conserve: $lastSum vs $touchedTotal")
+    assert(linSum <= touchedTotal && linSum > 0)
+  }
+
   test("cohort retention: offsets non-negative, day-0 row covers each cohort") {
     val rows = q("q_cohort_retention").collect()
     assert(rows.nonEmpty)
