@@ -597,6 +597,40 @@ object Curation {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("total_chars"))
         .orderBy("lang")
+    },
+
+    // ---- blocklist (safety) filtering: drop documents containing any
+    //      banned term, reported as a per-source funnel — the
+    //      wordlist-screen stage every corpus pipeline runs before the
+    //      statistical filters. Token-set membership via
+    //      `arrays_overlap` against a broadcast-literal blocklist — a
+    //      stateless row-local predicate that rides inside the scan's
+    //      codegen stage (no join, no shuffle beyond the funnel's
+    //      groupBy). A real deployment swaps the literal array for a
+    //      broadcast dictionary or an Aho-Corasick UDF; the plan shape
+    //      stays one corpus pass either way.
+    QueryDef.checked(
+      "q_blocklist_filter",
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(count(*) FILTER (
+        |    WHERE list_has_any(string_split(text, ' '), ['dup', 'slow'])) AS BIGINT)
+        |    AS n_blocked,
+        |  round(CAST(count(*) FILTER (
+        |    WHERE list_has_any(string_split(text, ' '), ['dup', 'slow'])) AS DOUBLE)
+        |    / count(*), 6) AS block_rate
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (spark, dir) =>
+      val hit = arrays_overlap(split(col("text"), " "),
+        array(lit("dup"), lit("slow")))
+      Tables(spark, dir).documents
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(hit, 1)).cast("long").as("n_blocked"))
+        .select(col("source"), col("n_docs"), col("n_blocked"),
+          round(col("n_blocked").cast("double") / col("n_docs"), 6)
+            .as("block_rate"))
+        .orderBy("source")
     }
   )
 }

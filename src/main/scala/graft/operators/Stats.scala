@@ -302,6 +302,73 @@ object Stats {
           round(col("ks_x").cast("double") /
             (col("na").cast("double") * col("nb").cast("double")), 6)
             .as("ks_stat"))
+    },
+
+    // ---- A/B two-proportion z-test: user_id parity stands in for arm
+    //      assignment; the binary outcome is odd-purchase-count — on
+    //      this synthetic corpus every user purchases, so "any
+    //      purchase" would be degenerate (p=1), while count parity is a
+    //      deterministic ≈50% label that exercises the test's math. The
+    //      pooled-variance z statistic and the 5% verdict complete the
+    //      hypothesis-testing trio next to χ² (categorical drift) and
+    //      KS (continuous drift). One corpus aggregation to per-user
+    //      rows (shuffles on user_id), one to the 2-row arm table;
+    //      everything after runs on four integers in one row-local
+    //      double expression — the test costs one scan at any event
+    //      volume. The variance term is nullif-guarded: an
+    //      all-converted or none-converted pool yields z = NULL /
+    //      significant = false, not a divide-by-zero (ANSI Spark
+    //      raises, DuckDB returns inf — the guard keeps both engines on
+    //      the same value).
+    QueryDef.checked(
+      "q_ab_test",
+      """WITH pu AS (
+        |  SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) % 2 AS BIGINT) AS conv
+        |  FROM events GROUP BY user_id
+        |), arms AS (
+        |  SELECT
+        |    CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_a,
+        |    CAST(sum(conv) FILTER (WHERE arm = 0) AS BIGINT) AS x_a,
+        |    CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_b,
+        |    CAST(sum(conv) FILTER (WHERE arm = 1) AS BIGINT) AS x_b
+        |  FROM pu
+        |), zc AS (
+        |  SELECT n_a, x_a, n_b, x_b,
+        |    (CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+        |      / nullif(sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+        |               * (1 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+        |               * (1.0 / n_a + 1.0 / n_b)), 0) AS z
+        |  FROM arms
+        |)
+        |SELECT n_a, x_a, n_b, x_b,
+        |  round(CAST(x_a AS DOUBLE) / n_a, 6) AS conv_a,
+        |  round(CAST(x_b AS DOUBLE) / n_b, 6) AS conv_b,
+        |  round(z, 6) AS z,
+        |  coalesce(abs(z) > 1.96, false) AS significant
+        |FROM zc""".stripMargin) { (spark, dir) =>
+      val pu = Tables(spark, dir).events
+        .groupBy("user_id")
+        .agg((sum(when(col("event_type") === "purchase", 1).otherwise(0)) % 2)
+          .cast("long").as("conv"))
+        .withColumn("arm", (col("user_id") % 2).cast("long"))
+      val arms = pu.agg(
+        count(when(col("arm") === 0, 1)).cast("long").as("n_a"),
+        sum(when(col("arm") === 0, col("conv"))).cast("long").as("x_a"),
+        count(when(col("arm") === 1, 1)).cast("long").as("n_b"),
+        sum(when(col("arm") === 1, col("conv"))).cast("long").as("x_b"))
+      val pA = col("x_a").cast("double") / col("n_a")
+      val pB = col("x_b").cast("double") / col("n_b")
+      val pool = (col("x_a") + col("x_b")).cast("double") / (col("n_a") + col("n_b"))
+      val z = (pA - pB) / nullif(
+        sqrt(pool * (lit(1) - pool) * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))),
+        lit(0d))
+      arms
+        .withColumn("z_raw", z)
+        .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+          round(pA, 6).as("conv_a"), round(pB, 6).as("conv_b"),
+          round(col("z_raw"), 6).as("z"),
+          coalesce(abs(col("z_raw")) > 1.96, lit(false)).as("significant"))
     }
   )
 }

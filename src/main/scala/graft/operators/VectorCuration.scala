@@ -320,6 +320,82 @@ object VectorCuration {
             expr(s"CASE rn_trunc $discountCaseSql END")).cast("long")
             / lit(idcgScaled.toDouble), 6).as("ndcg"))
         .orderBy("q_id")
+    },
+
+    // ---- hard-negative mining for contrastive training: each anchor
+    //      finds its nearest RIVAL cluster (highest-cosine centroid of
+    //      a different label, 10-row broadcast argmax) and takes the 2
+    //      highest-cosine vectors from that cluster as hard negatives —
+    //      boundary examples, not random ones, are what make the
+    //      contrastive loss learn. Cluster scoping bounds the search
+    //      exactly like SemDeDup/IVF: per anchor the candidate set is
+    //      one cell's population, never the corpus, and the
+    //      anchor×rival-cell join shuffles on the rival label. Same
+    //      fixed-point centroid discipline as [[IvfIndex]], so mining
+    //      replays bit-identically.
+    QueryDef.checked(
+      "q_hard_negatives",
+      s"""WITH sv AS (
+         |  SELECT label, i AS pos,
+         |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS s
+         |  FROM embeddings, range(64) t(i)
+         |), cc AS (
+         |  SELECT label, pos, CAST(sum(s) AS DOUBLE) / (1000000.0 * count(*)) AS c
+         |  FROM sv GROUP BY label, pos
+         |), cents AS (
+         |  SELECT label AS cell, list(c ORDER BY pos) AS centroid FROM cc GROUP BY label
+         |), rsim AS (
+         |  SELECT e.vec_id, e.label, c.cell,
+         |    list_reduce(list_transform(c.centroid, (x, i) -> x * CAST(e.embedding[i] AS DOUBLE)), (p, q) -> p + q)
+         |    / (sqrt(list_reduce(list_transform(c.centroid, x -> x * x), (p, q) -> p + q))
+         |     * sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))) AS csim
+         |  FROM embeddings e, cents c WHERE c.cell <> e.label
+         |), rival AS (
+         |  SELECT vec_id, label, cell AS rival_label FROM (
+         |    SELECT vec_id, label, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+         |    FROM rsim) r
+         |  WHERE rn = 1
+         |), negs AS (
+         |  SELECT a.vec_id, a.label, a.rival_label, n.vec_id AS neg_id,
+         |    round(${graft.functions.VectorFunctions.duckCosineSql("ea.embedding", "n.embedding")}, 6) AS cos_sim
+         |  FROM rival a
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings n ON n.label = a.rival_label
+         |)
+         |SELECT vec_id, label, rival_label, CAST(rnk AS INTEGER) AS rank, neg_id, cos_sim
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos_sim DESC, neg_id) AS rnk
+         |  FROM negs) t
+         |WHERE rnk <= 2
+         |ORDER BY vec_id, rank""".stripMargin) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+      val ivf = IvfIndex(nprobe = 1)
+      val cents = ivf.centroids(emb)
+        .select(col("label").as("cell"), col("centroid"))
+      val rival = emb.crossJoin(broadcast(cents))
+        .filter(col("cell") =!= col("label"))
+        .select(col("vec_id"), col("label"), col("cell"),
+          ivf.mixedCosine("embedding", "centroid").as("csim"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("label"), col("cell").as("rival_label"))
+      rival
+        .join(emb.select(col("vec_id"), col("embedding").as("ea")), Seq("vec_id"))
+        .join(emb.select(col("label").as("rival_label"),
+          col("vec_id").as("neg_id"), col("embedding").as("en")),
+          Seq("rival_label"))
+        .select(col("vec_id"), col("label"), col("rival_label"), col("neg_id"),
+          round(graft.functions.VectorFunctions.cosineSim(col("ea"), col("en")), 6)
+            .as("cos_sim"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("neg_id"))))
+        .filter(col("rnk") <= 2)
+        .select(col("vec_id"), col("label"), col("rival_label"),
+          col("rnk").as("rank"), col("neg_id"), col("cos_sim"))
+        .orderBy("vec_id", "rank")
     }
   )
 }

@@ -136,4 +136,19 @@ class CurationSpec extends SparkSpec {
       else assert(r.getAs[Double]("filled_revenue") == last.get)
     }
   }
+
+  test("blocklist: funnel covers the corpus and matches an independent count") {
+    val rows = q("q_blocklist_filter").collect()
+    val docs = Tables(spark, sf).documents
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    rows.foreach { r =>
+      val (n, b) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_blocked"))
+      assert(b >= 0 && b <= n)
+      assert(math.abs(r.getAs[Double]("block_rate") - b.toDouble / n) < 1e-6)
+    }
+    val expected = docs.filter(
+      arrays_overlap(split(col("text"), " "), array(lit("dup"), lit("slow"))))
+      .count()
+    assert(rows.map(_.getAs[Long]("n_blocked")).sum == expected)
+  }
 }

@@ -191,6 +191,26 @@ class RetrievalCurationSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Double]("cos_norm") > 0.0))
   }
 
+  test("hard negatives: 2 per anchor from the rival cluster, never own-label") {
+    val rows = q("q_hard_negatives").collect()
+    val emb = Tables(spark, sf).embeddings
+    assert(rows.length == 2 * emb.count())
+    val labelOf = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.groupBy(_.getAs[Long]("vec_id")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2))
+      // rank 1 is at least as close as rank 2
+      val byRank = g.sortBy(_.getAs[Int]("rank"))
+      assert(byRank(0).getAs[Double]("cos_sim") >= byRank(1).getAs[Double]("cos_sim"))
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Int]("rival_label") != r.getAs[Int]("label"))
+      // the mined negative really belongs to the rival cluster
+      assert(labelOf(r.getAs[Long]("neg_id")) == r.getAs[Int]("rival_label"))
+      assert(labelOf(r.getAs[Long]("vec_id")) == r.getAs[Int]("label"))
+    }
+  }
+
   test("retrieval metrics: bounded, zero iff no hits, consistent with recall gate") {
     val rows = q("q_retrieval_metrics").collect()
     assert(rows.length == 10)

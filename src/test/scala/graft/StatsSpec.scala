@@ -134,6 +134,26 @@ class StatsSpec extends SparkSpec {
     assert(linSum <= touchedTotal && linSum > 0)
   }
 
+  test("ab test: arms cover all users, z recomputable, verdict matches 1.96 cut") {
+    val rows = q("q_ab_test").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (na, xa, nb, xb) = (r.getAs[Long]("n_a"), r.getAs[Long]("x_a"),
+      r.getAs[Long]("n_b"), r.getAs[Long]("x_b"))
+    assert(na + nb == Tables(spark, sf).events
+      .select("user_id").distinct().count())
+    assert(xa >= 0 && xa <= na && xb >= 0 && xb <= nb)
+    val pa = xa.toDouble / na; val pb = xb.toDouble / nb
+    val pool = (xa + xb).toDouble / (na + nb)
+    val z = (pa - pb) /
+      math.sqrt(pool * (1 - pool) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-5)
+    assert(r.getAs[Boolean]("significant") == (math.abs(z) > 1.96))
+    // arm assignment (uid parity) is independent of the outcome label —
+    // the verdict on this stationary fixture should be NOT significant
+    assert(!r.getAs[Boolean]("significant"))
+  }
+
   test("cohort retention: offsets non-negative, day-0 row covers each cohort") {
     val rows = q("q_cohort_retention").collect()
     assert(rows.nonEmpty)
