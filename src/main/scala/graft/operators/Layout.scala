@@ -236,6 +236,43 @@ object Layout {
           min(col("bx")).as("min_x"), max(col("bx")).as("max_x"),
           min(col("by")).as("min_y"), max(col("by")).as("max_y"))
         .orderBy("z_cluster")
+    },
+
+    // ---- range-partition design: equi-depth bucket assignment over
+    //      order value (integer cents; ntile over the total order with
+    //      a unique tie-break) and the per-bucket stats a range-
+    //      partitioned write needs — counts within ±1 of each other and
+    //      non-overlapping [lo, hi] ranges. This is what Spark's
+    //      RangePartitioner computes before any sorted/range-bucketed
+    //      write; the checked query derives boundaries from the full
+    //      rank (exact — hence a global-order window, fine at report
+    //      scale), where a 100 TB run derives them from a reservoir
+    //      sample exactly like RangePartitioner.sketch, then assigns
+    //      buckets map-side by broadcast boundary comparison.
+    QueryDef.checked(
+      "q_range_partition_design",
+      """WITH r AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+        |  FROM orders
+        |), b AS (
+        |  SELECT cents,
+        |    CAST(ntile(16) OVER (ORDER BY cents, o_orderkey) AS INTEGER) AS bucket
+        |  FROM r
+        |)
+        |SELECT bucket, count(*) AS n,
+        |  min(cents) AS lo_cents, max(cents) AS hi_cents
+        |FROM b GROUP BY bucket
+        |ORDER BY bucket""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables(spark, dir).orders
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          col("o_orderkey"))
+        .withColumn("bucket",
+          ntile(16).over(Window.orderBy("cents", "o_orderkey")))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
+        .orderBy("bucket")
     }
   )
 }

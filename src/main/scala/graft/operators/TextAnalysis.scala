@@ -23,6 +23,47 @@ object TextAnalysis {
     * queries here. */
   private[operators] val stopSqlList =
     stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** Shared lang-id prediction chain ending in `lranked(doc_id,
+    * pred_lang, score, rn)` — one CTE string + one DataFrame builder
+    * shared by [[q_lang_id]] and the confusion-matrix eval, so the eval
+    * can never score a different model than the deployed one. */
+  private val duckLangPredCtes =
+    """ltoks AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), lprof AS (
+      |  SELECT lang AS plang, tok,
+      |    CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY lang) AS p
+      |  FROM ltoks GROUP BY lang, tok
+      |), lscores AS (
+      |  SELECT t.doc_id, p.plang, sum(p.p) AS score
+      |  FROM ltoks t JOIN lprof p ON p.tok = t.tok
+      |  GROUP BY t.doc_id, p.plang
+      |), lranked AS (
+      |  SELECT doc_id, plang AS pred_lang, round(score, 6) AS score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY round(score, 9) DESC, plang) AS rn
+      |  FROM lscores
+      |)""".stripMargin
+
+  /** Spark twin of [[duckLangPredCtes]]: the winning prediction per doc
+    * as (doc_id, plang, raw_score). */
+  private def langPredicted(docs: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("tok"))
+    val prof = toks.groupBy(col("lang").as("plang"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("p", col("cnt").cast("double") /
+        sum(col("cnt")).over(Window.partitionBy("plang")))
+      .select("plang", "tok", "p")
+    toks.join(broadcast(prof), Seq("tok"))
+      .groupBy(col("doc_id"), col("plang"))
+      .agg(sum(col("p")).as("raw_score"))
+      .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(round(col("raw_score"), 9).desc, col("plang"))))
+      .filter(col("rn") === 1)
+      .select("doc_id", "plang", "raw_score")
+  }
   private[operators] val stopArrLit =
     stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
 
@@ -56,46 +97,47 @@ object TextAnalysis {
     //      the labeled corpus), docs scored by summed token probability,
     //      argmax via ranked window. Fully relational: profile build is
     //      one shuffle, scoring is a broadcast-sized join at any corpus
-    //      scale (vocab × langs is small).
+    //      scale (vocab × langs is small). The prediction chain is
+    //      shared with the confusion-matrix query below.
     QueryDef.checked(
       "q_lang_id",
-      """WITH toks AS (
-        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
-        |), prof AS (
-        |  SELECT lang AS plang, tok,
-        |    CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY lang) AS p
-        |  FROM toks GROUP BY lang, tok
-        |), scores AS (
-        |  SELECT t.doc_id, p.plang, sum(p.p) AS score
-        |  FROM toks t JOIN prof p ON p.tok = t.tok
-        |  GROUP BY t.doc_id, p.plang
-        |), ranked AS (
-        |  SELECT doc_id, plang AS pred_lang, round(score, 6) AS score,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY round(score, 9) DESC, plang) AS rn
-        |  FROM scores
-        |)
-        |SELECT doc_id, pred_lang, score FROM ranked WHERE rn = 1
-        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-      val docs = Tables(spark, dir).documents
-      val toks = docs.select(col("doc_id"), col("lang"),
-        explode(split(col("text"), " ")).as("tok"))
-      val prof = toks.groupBy(col("lang").as("plang"), col("tok"))
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("p", col("cnt").cast("double") /
-          sum(col("cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy("plang")))
-        .select("plang", "tok", "p")
-      val scores = toks.join(broadcast(prof), Seq("tok"))
-        .groupBy(col("doc_id"), col("plang"))
-        .agg(sum(col("p")).as("raw_score"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id")
-        .orderBy(round(col("raw_score"), 9).desc, col("plang"))
-      scores
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      s"""WITH $duckLangPredCtes
+         |SELECT doc_id, pred_lang, score FROM lranked WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      langPredicted(Tables(spark, dir).documents)
         .select(col("doc_id"), col("plang").as("pred_lang"),
           round(col("raw_score"), 6).as("score"))
         .orderBy("doc_id")
+    },
+
+    // ---- classifier evaluation: confusion matrix of the lang-id
+    //      predictions against the labeled lang, with per-actual-class
+    //      recall share — the eval table every classifier change ships
+    //      with. Reuses the exact prediction chain of q_lang_id (one
+    //      definition, so the eval can never score a different model
+    //      than the one deployed); the matrix is |langs|² rows out of
+    //      one corpus scoring pass plus a doc_id-colocated label join.
+    QueryDef.checked(
+      "q_lang_confusion",
+      s"""WITH $duckLangPredCtes,
+         |pred AS (SELECT doc_id, pred_lang FROM lranked WHERE rn = 1)
+         |SELECT d.lang AS actual, p.pred_lang AS predicted, count(*) AS n,
+         |  round(CAST(count(*) AS DOUBLE)
+         |    / sum(count(*)) OVER (PARTITION BY d.lang), 6) AS recall_share
+         |FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+         |GROUP BY d.lang, p.pred_lang
+         |ORDER BY actual, predicted""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(spark, dir).documents
+      langPredicted(docs)
+        .select(col("doc_id"), col("plang").as("predicted"))
+        .join(docs.select(col("doc_id"), col("lang").as("actual")), Seq("doc_id"))
+        .groupBy("actual", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("recall_share",
+          round(col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy("actual")), 6))
+        .orderBy("actual", "predicted")
     },
 
     // ---- quality scoring: length / type-token ratio / stopword ratio,

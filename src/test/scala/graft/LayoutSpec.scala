@@ -120,4 +120,20 @@ class LayoutSpec extends SparkSpec {
       assert(r.getAs[Long]("max_y") - r.getAs[Long]("min_y") <= 3)
     }
   }
+
+  test("range partition design: 16 equi-depth buckets with ordered ranges") {
+    val rows = q("q_range_partition_design").collect()
+      .sortBy(_.getAs[Int]("bucket"))
+    assert(rows.map(_.getAs[Int]("bucket")).toSeq == (1 to 16))
+    val total = Tables(spark, sf).orders.count()
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.sum == total)
+    // equi-depth: ntile keeps bucket sizes within one row of each other
+    assert(ns.max - ns.min <= 1)
+    // ranges are ordered and non-overlapping (ties may touch at the edge)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("hi_cents") <= b.getAs[Long]("lo_cents"))
+      assert(a.getAs[Long]("lo_cents") <= a.getAs[Long]("hi_cents"))
+    }
+  }
 }

@@ -54,6 +54,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(sims.values.forall(s => s >= 0 && s < (1 << 16)))
   }
 
+  test("lang confusion: covers corpus, shares sum to 1, agrees with lang-id") {
+    val rows = q("q_lang_confusion").collect()
+    val docs = Tables(spark, sf).documents
+    assert(rows.map(_.getAs[Long]("n")).sum == docs.count())
+    rows.groupBy(_.getAs[String]("actual")).values.foreach { g =>
+      val s = g.map(_.getAs[Double]("recall_share")).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"shares sum to $s")
+    }
+    // the matrix must be the same model as q_lang_id: recompute accuracy
+    val preds = q("q_lang_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    val actual = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val correct = actual.count { case (id, lang) => preds(id) == lang }
+    val diag = rows.filter(r =>
+      r.getAs[String]("actual") == r.getAs[String]("predicted"))
+      .map(_.getAs[Long]("n")).sum
+    assert(diag == correct)
+  }
+
   test("doc entropy: bounded by ln(n_distinct), evenness in [0,1], degenerate doc at 0") {
     val rows = q("q_doc_entropy").collect()
     assert(rows.length == Tables(spark, sf).documents.count())
