@@ -319,7 +319,14 @@ object Extras {
           .orderBy(col("cts").desc, col("click_id").desc)))
         .groupBy("click_id")
         .agg(count(lit(1)).cast("long").as("n_purchases"),
-          round(sum(expr("v_micro div n_clicks")).cast("long")
+          // FLOOR division to match the oracle's `//`: Spark `div`
+          // truncates toward zero, which diverges on negative values
+          // (refunds); n_clicks > 0, so floor = trunc − 1 exactly when
+          // a negative v_micro doesn't divide evenly
+          round(sum(expr(
+            """v_micro div n_clicks -
+              |  CASE WHEN v_micro < 0 AND v_micro % n_clicks != 0
+              |       THEN 1 ELSE 0 END""".stripMargin)).cast("long")
             / lit(1000000.0), 6).as("linear_credit"),
           round(sum(when(col("rn_last") === 1, col("v_micro")).otherwise(0L))
             .cast("long") / lit(1000000.0), 6).as("last_touch_credit"))

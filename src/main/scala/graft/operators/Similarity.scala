@@ -101,21 +101,10 @@ object Similarity {
     QueryDef.checked(
       "q_ann_ivf",
       s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
-         |sv AS (
-         |  SELECT label, i AS pos,
-         |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS s
-         |  FROM embeddings, range(64) t(i)
-         |), cc AS (
-         |  SELECT label, pos, CAST(sum(s) AS DOUBLE) / (1000000.0 * count(*)) AS c
-         |  FROM sv GROUP BY label, pos
-         |), cents AS (
-         |  SELECT label, list(c ORDER BY pos) AS centroid FROM cc GROUP BY label
-         |), csims AS (
-         |  SELECT label,
-         |    list_reduce(list_transform(centroid, (c, i) -> c * CAST(q.embedding[i] AS DOUBLE)), (p, r) -> p + r)
-         |    / (sqrt(list_reduce(list_transform(centroid, c -> c * c), (p, r) -> p + r))
-         |     * sqrt(list_reduce(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, r) -> p + r)))
-         |    AS csim
+         |${IvfIndex.duckCentroidCtes},
+         |csims AS (
+         |  SELECT cell AS label,
+         |    ${IvfIndex.duckMixedCosineSql("centroid", "q.embedding")} AS csim
          |  FROM cents, q
          |), probe AS (SELECT label FROM csims ORDER BY csim DESC, label LIMIT 3)
          |SELECT b.vec_id, round(${VectorFunctions.duckCosineSql("q.embedding", "b.embedding")}, 6) AS sim
@@ -353,4 +342,37 @@ final case class IvfIndex(nprobe: Int) {
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }
+}
+
+object IvfIndex {
+
+  /** SQL twin of [[IvfIndex.centroids]]'s first stage: CTEs `sv`, `cc`
+    * (per-(label, pos) fixed-point component means). ONE definition for
+    * every oracle that replays the centroid build — q_ann_ivf,
+    * q_semdedup, q_pq_encode, q_hard_negatives — so a change to the
+    * dimension count or the 1e-6 scale cannot drift between them. */
+  private[operators] val duckSvCcCtes =
+    """sv AS (
+      |  SELECT label, i AS pos,
+      |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS s
+      |  FROM embeddings, range(64) t(i)
+      |), cc AS (
+      |  SELECT label, pos, CAST(sum(s) AS DOUBLE) / (1000000.0 * count(*)) AS c
+      |  FROM sv GROUP BY label, pos
+      |)""".stripMargin
+
+  /** [[duckSvCcCtes]] extended to the assembled `cents(cell, centroid)`
+    * relation. */
+  private[operators] val duckCentroidCtes =
+    s"""$duckSvCcCtes, cents AS (
+       |  SELECT label AS cell, list(c ORDER BY pos) AS centroid FROM cc GROUP BY label
+       |)""".stripMargin
+
+  /** SQL twin of [[IvfIndex.mixedCosine]]: cosine between a DOUBLE[]
+    * centroid expression and a FLOAT[] embedding expression, as the
+    * same strict left-to-right fold. */
+  private[operators] def duckMixedCosineSql(cent: String, emb: String): String =
+    s"""(list_reduce(list_transform($cent, (x, i) -> x * CAST($emb[i] AS DOUBLE)), (p, q) -> p + q)
+       | / (sqrt(list_reduce(list_transform($cent, x -> x * x), (p, q) -> p + q))
+       |  * sqrt(list_reduce(list_transform($emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))))""".stripMargin
 }

@@ -117,20 +117,10 @@ object VectorCuration {
     //      approximation is the entire scalability argument of SemDeDup.
     QueryDef.checked(
       "q_semdedup",
-      s"""WITH sv AS (
-         |  SELECT label, i AS pos,
-         |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS s
-         |  FROM embeddings, range(64) t(i)
-         |), cc AS (
-         |  SELECT label, pos, CAST(sum(s) AS DOUBLE) / (1000000.0 * count(*)) AS c
-         |  FROM sv GROUP BY label, pos
-         |), cents AS (
-         |  SELECT label AS cell, list(c ORDER BY pos) AS centroid FROM cc GROUP BY label
-         |), asim AS (
+      s"""WITH ${IvfIndex.duckCentroidCtes},
+         |asim AS (
          |  SELECT e.vec_id, c.cell,
-         |    list_reduce(list_transform(c.centroid, (x, i) -> x * CAST(e.embedding[i] AS DOUBLE)), (p, q) -> p + q)
-         |    / (sqrt(list_reduce(list_transform(c.centroid, x -> x * x), (p, q) -> p + q))
-         |     * sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))) AS csim
+         |    ${IvfIndex.duckMixedCosineSql("c.centroid", "e.embedding")} AS csim
          |  FROM embeddings e, cents c
          |), assigned AS (
          |  SELECT vec_id, cell FROM (
@@ -194,14 +184,7 @@ object VectorCuration {
     //      fixed-point so the argmin+sum replay bit-identically.
     QueryDef.checked(
       "q_pq_encode",
-      """WITH sv AS (
-        |  SELECT label, i AS pos,
-        |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS s
-        |  FROM embeddings, range(64) t(i)
-        |), cc AS (
-        |  SELECT label, pos, CAST(sum(s) AS DOUBLE) / (1000000.0 * count(*)) AS c
-        |  FROM sv GROUP BY label, pos
-        |), cw AS (
+      s"""WITH ${IvfIndex.duckSvCcCtes}, cw AS (
         |  SELECT label AS code, pos // 8 AS block, list(c ORDER BY pos) AS codeword
         |  FROM cc GROUP BY label, pos // 8
         |), dists AS (
@@ -335,20 +318,10 @@ object VectorCuration {
     //      replays bit-identically.
     QueryDef.checked(
       "q_hard_negatives",
-      s"""WITH sv AS (
-         |  SELECT label, i AS pos,
-         |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS s
-         |  FROM embeddings, range(64) t(i)
-         |), cc AS (
-         |  SELECT label, pos, CAST(sum(s) AS DOUBLE) / (1000000.0 * count(*)) AS c
-         |  FROM sv GROUP BY label, pos
-         |), cents AS (
-         |  SELECT label AS cell, list(c ORDER BY pos) AS centroid FROM cc GROUP BY label
-         |), rsim AS (
+      s"""WITH ${IvfIndex.duckCentroidCtes},
+         |rsim AS (
          |  SELECT e.vec_id, e.label, c.cell,
-         |    list_reduce(list_transform(c.centroid, (x, i) -> x * CAST(e.embedding[i] AS DOUBLE)), (p, q) -> p + q)
-         |    / (sqrt(list_reduce(list_transform(c.centroid, x -> x * x), (p, q) -> p + q))
-         |     * sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))) AS csim
+         |    ${IvfIndex.duckMixedCosineSql("c.centroid", "e.embedding")} AS csim
          |  FROM embeddings e, cents c WHERE c.cell <> e.label
          |), rival AS (
          |  SELECT vec_id, label, cell AS rival_label FROM (

@@ -113,12 +113,14 @@ class PlanSpec extends SparkSpec {
     val plan = physical("q_global_shuffle")
     assert(plan.contains("hashpartitioning(shard"),
       "the window must shuffle on the shard id")
-    // a permutation via global row_number would show a SinglePartition
-    // exchange feeding the Window — the exact thing this op avoids
-    val windowIdx = plan.indexOf("Window")
-    assert(windowIdx >= 0 &&
-      !plan.substring(0, windowIdx).contains("SinglePartition"),
-      "window input must not funnel to one partition")
+    // a permutation via global row_number would add an Exchange
+    // SinglePartition; this plan has NO legitimate single-partition
+    // stage (the final sort is a range partitioning), so assert
+    // whole-plan absence — tree printing puts a node's input BELOW it,
+    // so a prefix check against the Window line would look at the
+    // window's consumers, not its input
+    assert(!plan.contains("SinglePartition"),
+      "no stage may funnel the corpus to one partition")
   }
 
   test("matryoshka windows partition by query id, query side broadcasts") {
