@@ -268,6 +268,34 @@ object StreamingOps {
         .orderBy("event_type")
     },
 
+    // ---- state-BOUNDED stream dedup (dropDuplicatesWithinWatermark):
+    //      the production form of the query above. Plain dropDuplicates
+    //      keeps every key seen forever — state grows with the stream
+    //      and a 100 TB/day feed OOMs the state store; the
+    //      WithinWatermark variant evicts keys once the watermark
+    //      passes them, so state is bounded by keys-per-watermark-delay
+    //      regardless of stream lifetime. Dedup keys must recur within
+    //      the delay for the semantics to match exact dedup — true for
+    //      replay/retry dupes, which arrive close together. Same oracle
+    //      as the unbounded form: on this finite replay both collapse
+    //      the doubled stream exactly.
+    QueryDef.checked(
+      "q_stream_dedup_bounded",
+      """SELECT event_type, count(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val doubled = eventsStream(spark, dir).unionByName(eventsStream(spark, dir))
+      val agg = doubled
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      runToMemory(agg, "graft_stream_dedup_bounded", "complete")
+        .select("event_type", "n")
+        .orderBy("event_type")
+    },
+
     // ---- stream-static enrichment join: the event stream joins a small
     //      static dimension (per-type weights) before aggregating — the
     //      canonical streaming-ETL shape. The static side broadcasts; no

@@ -175,4 +175,17 @@ class StreamingSpec extends SparkSpec {
       .agg(sum("new_s")).collect().head.getLong(0)
     assert(sessions.count() == islands)
   }
+
+  test("bounded (within-watermark) dedup equals unbounded dedup on this replay") {
+    val bounded = q("q_stream_dedup_bounded").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val unbounded = q("q_stream_dedup").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // duplicates arrive simultaneously here (doubled stream, one
+    // trigger), i.e. within the watermark delay — the state-evicting
+    // variant must collapse them identically
+    assert(bounded == unbounded)
+    val total = Tables(spark, sf).events.count()
+    assert(bounded.values.sum == total)
+  }
 }
