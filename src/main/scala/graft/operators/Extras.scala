@@ -333,6 +333,41 @@ object Extras {
         .orderBy("click_id")
     },
 
+    // ---- OHLC bars (arg-min/arg-max aggregates): per-hour open (value
+    //      at earliest event), high, low, close (value at latest event)
+    //      over the event stream — the time-series downsampling shape,
+    //      and the coverage row for min_by/max_by ↔ arg_min/arg_max.
+    //      The selection key is a zero-padded (µs, event_id) string —
+    //      lexicographic order == chronological order with an id
+    //      tie-break, and a VARCHAR key is the one composite form both
+    //      engines' arg_min/arg_max accept — so the bar is
+    //      deterministic even under timestamp collisions; one map-side-
+    //      combined groupBy, output bounded at hours × 1 rows.
+    QueryDef.checked(
+      "q_ohlc_bars",
+      """SELECT date_trunc('hour', ts) AS h, count(*) AS n,
+        |  arg_min(value, concat(lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0'),
+        |                        lpad(CAST(event_id AS VARCHAR), 10, '0'))) AS open,
+        |  max(value) AS high,
+        |  min(value) AS low,
+        |  arg_max(value, concat(lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0'),
+        |                        lpad(CAST(event_id AS VARCHAR), 10, '0'))) AS close
+        |FROM events
+        |GROUP BY date_trunc('hour', ts)
+        |ORDER BY h""".stripMargin) { (spark, dir) =>
+      val key = concat(
+        lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+        lpad(col("event_id").cast("string"), 10, "0"))
+      Tables(spark, dir).events
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"),
+          min_by(col("value"), key).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), key).as("close"))
+        .orderBy("h")
+    },
+
     // ---- null semantics battery: nullif / null-safe equality
     //      (IS NOT DISTINCT FROM ≡ <=>) / IN-with-NULL / coalesce
     QueryDef.checked(

@@ -154,6 +154,17 @@ class StatsSpec extends SparkSpec {
     assert(!r.getAs[Boolean]("significant"))
   }
 
+  test("ohlc bars: extremes bound open/close, bars cover all events") {
+    val rows = q("q_ohlc_bars").collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables(spark, sf).events.count())
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"))
+      assert(l <= o && o <= h)
+      assert(l <= c && c <= h)
+    }
+  }
+
   test("cohort retention: offsets non-negative, day-0 row covers each cohort") {
     val rows = q("q_cohort_retention").collect()
     assert(rows.nonEmpty)
