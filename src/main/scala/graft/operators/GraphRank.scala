@@ -95,6 +95,63 @@ object GraphRank {
         .select("node", "is_supplier", "pagerank")
     },
 
+    // ---- 2-hop reach (co-partner discovery): for each node of the
+    //      SPARSE high-volume trade graph (only l_quantity ≥ 49 lines —
+    //      "major" edges), how many distinct same-side nodes share a
+    //      partner. The bipartite shape makes distance-2 automatically
+    //      disjoint from distance-1 (2-hop targets are same-side,
+    //      direct neighbors are other-side), so no anti join is needed.
+    //      The edge self-join is the classic Σdeg² explosion — the
+    //      query bounds it by EDGE SPARSIFICATION up front (the
+    //      mitigation a 100 TB graph job applies first, before hub
+    //      capping); both the join and the distinct shuffle on node id,
+    //      the same key PageRank already partitions by.
+    QueryDef.checked(
+      "q_graph_2hop",
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000 AS c
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_quantity >= 49
+        |), edges AS (
+        |  SELECT s AS src, c AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT c AS src, s AS dst FROM pairs
+        |), hops AS (
+        |  SELECT DISTINCT e1.src, e2.dst
+        |  FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+        |  WHERE e2.dst <> e1.src
+        |), deg AS (
+        |  SELECT src, count(*) AS n_direct FROM edges GROUP BY src
+        |)
+        |SELECT h.src AS node, h.src < 1000000 AS is_supplier,
+        |  CAST(g.n_direct AS BIGINT) AS n_direct, count(*) AS n_2hop
+        |FROM hops h JOIN deg g ON g.src = h.src
+        |GROUP BY h.src, g.n_direct
+        |ORDER BY node""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val pairs = t.lineitem
+        .filter(col("l_quantity") >= 49)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("s"), (col("o_custkey") + 1000000L).as("c"))
+        .distinct()
+      val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
+        .unionAll(pairs.select(col("c").as("src"), col("s").as("dst")))
+        .localCheckpoint() // feeds both self-join sides + deg
+      val hops = edges.select(col("src"), col("dst").as("mid"))
+        .join(edges.select(col("src").as("mid"), col("dst")), Seq("mid"))
+        .filter(col("dst") =!= col("src"))
+        .select("src", "dst").distinct()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("n_direct"))
+      hops.join(deg, Seq("src"))
+        .groupBy(col("src").as("node"), col("n_direct").cast("long").as("n_direct"))
+        .agg(count(lit(1)).as("n_2hop"))
+        .select(col("node"), (col("node") < 1000000L).as("is_supplier"),
+          col("n_direct"), col("n_2hop"))
+        .orderBy("node")
+    },
+
     // ---- batch sessionization: 30-minute-gap sessions per user over
     //      the event log (lag → new-session flag → running sum), with
     //      per-session stats. The batch twin of q_stream_session: one

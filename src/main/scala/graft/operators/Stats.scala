@@ -369,6 +369,77 @@ object Stats {
           round(pA, 6).as("conv_a"), round(pB, 6).as("conv_b"),
           round(col("z_raw"), 6).as("z"),
           coalesce(abs(col("z_raw")) > 1.96, lit(false)).as("significant"))
+    },
+
+    // ---- Poisson-bootstrap confidence interval for mean order value:
+    //      the ONE-PASS bootstrap big-data systems actually run — no
+    //      resampled copies of the data; each row contributes a
+    //      Poisson(1) weight to each of 32 replicas, drawn from a
+    //      content hash (row key × replica id), so the whole interval
+    //      is reproducible and costs one scan with 32 integer
+    //      accumulator pairs. The inverse-CDF thresholds are integer
+    //      literals; Σw and Σw·cents are exact BIGINTs per replica; the
+    //      interval is the 2nd/31st order statistic of the 32 replica
+    //      means (≈95% coverage). At 100 TB the per-replica partials
+    //      combine map-side — the CI costs the same as 32 sums.
+    QueryDef.checked(
+      "q_bootstrap_ci",
+      """WITH base AS (
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |), weighted AS (
+        |  SELECT j AS replica,
+        |    CASE
+        |      WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+        |      WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+        |      WHEN u < 996340 THEN 4 ELSE 5 END AS w,
+        |    cents
+        |  FROM (
+        |    SELECT b.o_orderkey, b.cents, t.j,
+        |      CAST(concat('0x', substring(md5(concat(CAST(b.o_orderkey AS VARCHAR), '_', CAST(t.j AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS u
+        |    FROM base b, range(32) t(j)) s
+        |), means AS (
+        |  SELECT replica,
+        |    CAST(sum(CAST(w AS BIGINT) * cents) AS DOUBLE)
+        |      / CAST(sum(CAST(w AS BIGINT)) AS BIGINT) AS m
+        |  FROM weighted GROUP BY replica
+        |), ranked AS (
+        |  SELECT m, row_number() OVER (ORDER BY m, replica) AS rn FROM means
+        |), est AS (
+        |  SELECT CAST(sum(cents) AS DOUBLE) / count(*) AS full_mean FROM base
+        |)
+        |SELECT CAST(32 AS BIGINT) AS n_replicas,
+        |  round(est.full_mean / 100, 6) AS mean_value,
+        |  round((SELECT m FROM ranked WHERE rn = 2) / 100, 6) AS ci_lo,
+        |  round((SELECT m FROM ranked WHERE rn = 31) / 100, 6) AS ci_hi
+        |FROM est""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables(spark, dir).orders
+        .select(col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val weighted = base
+        .select(col("o_orderkey"), col("cents"),
+          explode(sequence(lit(0), lit(31))).as("j"))
+        .withColumn("u",
+          Dedup.md5h64(concat(col("o_orderkey").cast("string"), lit("_"),
+            col("j").cast("string"))) % 1000000)
+        .withColumn("w",
+          when(col("u") < 367879, 0).when(col("u") < 735759, 1)
+            .when(col("u") < 919699, 2).when(col("u") < 981012, 3)
+            .when(col("u") < 996340, 4).otherwise(5))
+      val means = weighted.groupBy(col("j").as("replica"))
+        .agg((sum(col("w").cast("long") * col("cents")).cast("double") /
+          sum(col("w").cast("long")).cast("long")).as("m"))
+        .withColumn("rn", row_number().over(Window.orderBy(col("m"), col("replica"))))
+      val est = base.agg(
+        (sum(col("cents")).cast("double") / count(lit(1))).as("full_mean"))
+      est
+        .crossJoin(broadcast(means.filter(col("rn") === 2).select(col("m").as("lo"))))
+        .crossJoin(broadcast(means.filter(col("rn") === 31).select(col("m").as("hi"))))
+        .select(lit(32L).as("n_replicas"),
+          round(col("full_mean") / 100, 6).as("mean_value"),
+          round(col("lo") / 100, 6).as("ci_lo"),
+          round(col("hi") / 100, 6).as("ci_hi"))
     }
   )
 }

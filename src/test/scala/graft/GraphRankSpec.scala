@@ -37,4 +37,18 @@ class GraphRankSpec extends SparkSpec {
       assert(nos.head == 1L && nos.last == nos.length.toLong)
     }
   }
+
+  test("2-hop reach: symmetric totals, side flag consistent, bipartite disjointness") {
+    val rows = q("q_graph_2hop").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val node = r.getAs[Long]("node")
+      assert(r.getAs[Boolean]("is_supplier") == (node < 1000000L))
+      assert(r.getAs[Long]("n_direct") >= 1)
+      assert(r.getAs[Long]("n_2hop") >= 1)
+    }
+    // the undirected hop relation is symmetric: a↔b counted on both
+    // ends, so the total 2-hop pair count is even
+    assert(rows.map(_.getAs[Long]("n_2hop")).sum % 2 == 0)
+  }
 }

@@ -154,6 +154,21 @@ class StatsSpec extends SparkSpec {
     assert(!r.getAs[Boolean]("significant"))
   }
 
+  test("bootstrap ci: interval brackets the mean and is non-degenerate") {
+    val rows = q("q_bootstrap_ci").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_replicas") == 32)
+    val (m, lo, hi) = (r.getAs[Double]("mean_value"),
+      r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+    // replica means concentrate around the full mean at these n — the
+    // 2nd/31st order statistics must bracket it and not collapse
+    assert(lo < hi)
+    assert(lo <= m && m <= hi)
+    // sanity: the order-value mean sits in the data's range
+    assert(m > 0)
+  }
+
   test("ohlc bars: extremes bound open/close, bars cover all events") {
     val rows = q("q_ohlc_bars").collect()
     assert(rows.map(_.getAs[Long]("n")).sum == Tables(spark, sf).events.count())
