@@ -631,6 +631,38 @@ object Curation {
           round(col("n_blocked").cast("double") / col("n_docs"), 6)
             .as("block_rate"))
         .orderBy("source")
+    },
+
+    // ---- dataset card: the per-source summary a corpus release ships
+    //      with (datasheet row: volume, language breadth, token mass,
+    //      length profile). One scan, one groupBy — every statistic is
+    //      either an integer aggregate or a median of integers (the
+    //      even-count midpoint average is an exact .5 division, so it
+    //      replays bit-identically). The card is |sources| rows out of
+    //      any corpus size; at 100 TB it is the cheapest artifact in
+    //      the release and the first thing a consumer reads.
+    QueryDef.checked(
+      "q_data_card",
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_chars,
+        |  quantile_cont(n_chars, 0.5) AS median_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(size(split(col("text"), " "))).cast("long").as("total_tokens"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
+            .as("mean_chars"),
+          expr("percentile(n_chars, 0.5D)").as("median_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("source")
     }
   )
 }

@@ -151,4 +151,20 @@ class CurationSpec extends SparkSpec {
       .count()
     assert(rows.map(_.getAs[Long]("n_blocked")).sum == expected)
   }
+
+  test("data card: covers the corpus, length profile internally consistent") {
+    val rows = q("q_data_card").collect()
+    val docs = Tables(spark, sf).documents
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    rows.foreach { r =>
+      val (lo, hi) = (r.getAs[Long]("min_chars"), r.getAs[Long]("max_chars"))
+      val med = r.getAs[Double]("median_chars")
+      val mean = r.getAs[Double]("mean_chars")
+      assert(lo <= hi)
+      assert(med >= lo && med <= hi)
+      assert(mean >= lo && mean <= hi)
+      assert(r.getAs[Long]("n_langs") >= 1 && r.getAs[Long]("n_langs") <= 5)
+      assert(r.getAs[Long]("total_tokens") >= r.getAs[Long]("n_docs"))
+    }
+  }
 }
