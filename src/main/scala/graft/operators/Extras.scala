@@ -347,17 +347,19 @@ object Extras {
       "q_ohlc_bars",
       """SELECT date_trunc('hour', ts) AS h, count(*) AS n,
         |  arg_min(value, concat(lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0'),
-        |                        lpad(CAST(event_id AS VARCHAR), 10, '0'))) AS open,
+        |                        lpad(CAST(event_id AS VARCHAR), 20, '0'))) AS open,
         |  max(value) AS high,
         |  min(value) AS low,
         |  arg_max(value, concat(lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0'),
-        |                        lpad(CAST(event_id AS VARCHAR), 10, '0'))) AS close
+        |                        lpad(CAST(event_id AS VARCHAR), 20, '0'))) AS close
         |FROM events
         |GROUP BY date_trunc('hour', ts)
         |ORDER BY h""".stripMargin) { (spark, dir) =>
+      // 20-char pads cover the full int64 decimal range — lpad TRUNCATES
+      // overlong strings in both engines, which would break the tie-break
       val key = concat(
         lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
-        lpad(col("event_id").cast("string"), 10, "0"))
+        lpad(col("event_id").cast("string"), 20, "0"))
       Tables(spark, dir).events
         .groupBy(date_trunc("hour", col("ts")).as("h"))
         .agg(count(lit(1)).as("n"),

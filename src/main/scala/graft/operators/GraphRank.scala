@@ -20,6 +20,41 @@ import graft.Tables
   */
 object GraphRank {
 
+  /** Customer node-id offset into the shared supplier∪customer id
+    * space. 2^40 — far above any TPC-H suppkey (SF·10,000; even SF 100k
+    * stays < 2^30), where the previous 1e6 collided from SF 100 up.
+    * ONE definition for both graph queries and both engines. */
+  private val custOffset = 1L << 40
+
+  /** The bipartite trade-graph CTE chain `pairs` → `edges` (undirected,
+    * symmetric union), optionally restricted to high-volume lines —
+    * shared by q_pagerank and q_graph_2hop so the edge build and the id
+    * scheme cannot drift between them. */
+  private def duckTradeEdges(filterSql: String): String =
+    s"""pairs AS (
+       |  SELECT DISTINCT l_suppkey AS s, o_custkey + $custOffset AS c
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey$filterSql
+       |), edges AS (
+       |  SELECT s AS src, c AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT c AS src, s AS dst FROM pairs
+       |)""".stripMargin
+
+  /** Spark twin of [[duckTradeEdges]]. */
+  private def tradeEdges(t: graft.Tables,
+      lineFilter: Option[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame = {
+    val li = lineFilter.foldLeft(
+      t.lineitem.select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")))(
+      _.filter(_))
+    val pairs = li.select(col("l_orderkey"), col("l_suppkey"))
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("s"), (col("o_custkey") + custOffset).as("c"))
+      .distinct()
+    pairs.select(col("s").as("src"), col("c").as("dst"))
+      .unionAll(pairs.select(col("c").as("src"), col("s").as("dst")))
+  }
+
   private def duckIter(prev: String, next: String): String =
     s"""$next AS (
        |  SELECT ed.dst AS node,
@@ -32,17 +67,11 @@ object GraphRank {
 
     // ---- PageRank (3 iterations, d=0.85) over the undirected bipartite
     //      supplier↔customer graph; top-50 nodes. Customer node ids are
-    //      offset by 1e6 to share one id space with suppliers.
+    //      offset by 2^40 to share one id space with suppliers.
     QueryDef.checked(
       "q_pagerank",
-      s"""WITH pairs AS (
-         |  SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000 AS c
-         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         |), edges AS (
-         |  SELECT s AS src, c AS dst FROM pairs
-         |  UNION ALL
-         |  SELECT c AS src, s AS dst FROM pairs
-         |), deg AS (
+      s"""WITH ${duckTradeEdges("")},
+         |deg AS (
          |  SELECT src, count(*) AS deg FROM edges GROUP BY src
          |), ed AS (
          |  SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)
@@ -51,20 +80,12 @@ object GraphRank {
          |), ${duckIter("r0", "r1")},
          |${duckIter("r1", "r2")},
          |${duckIter("r2", "r3")}
-         |SELECT node, node < 1000000 AS is_supplier,
+         |SELECT node, node < $custOffset AS is_supplier,
          |  round(pr / 1000000000.0, 6) AS pagerank
          |FROM r3
          |ORDER BY pr DESC, node
          |LIMIT 50""".stripMargin) { (spark, dir) =>
-      val t = Tables(spark, dir)
-      val pairs = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
-        .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_suppkey").as("s"),
-          (col("o_custkey") + 1000000L).as("c"))
-        .distinct()
-      val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
-        .unionAll(pairs.select(col("c").as("src"), col("s").as("dst")))
+      val edges = tradeEdges(Tables(spark, dir), None)
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       // (src, dst, deg(src)) drives every iteration — materialize once;
       // at scale this is the relation you bucket by src
@@ -87,7 +108,7 @@ object GraphRank {
           .select(col("dst").as("node"), col("pr"))
       }
       ranks
-        .select(col("node"), (col("node") < 1000000L).as("is_supplier"),
+        .select(col("node"), (col("node") < custOffset).as("is_supplier"),
           round(col("pr") / lit(1000000000.0), 6).as("pagerank"),
           col("pr"))
         .orderBy(col("pr").desc, col("node"))
@@ -108,36 +129,20 @@ object GraphRank {
     //      the same key PageRank already partitions by.
     QueryDef.checked(
       "q_graph_2hop",
-      """WITH pairs AS (
-        |  SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000 AS c
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |  WHERE l_quantity >= 49
-        |), edges AS (
-        |  SELECT s AS src, c AS dst FROM pairs
-        |  UNION ALL
-        |  SELECT c AS src, s AS dst FROM pairs
-        |), hops AS (
+      s"""WITH ${duckTradeEdges("\n  WHERE l_quantity >= 49")},
+        |hops AS (
         |  SELECT DISTINCT e1.src, e2.dst
         |  FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
         |  WHERE e2.dst <> e1.src
         |), deg AS (
         |  SELECT src, count(*) AS n_direct FROM edges GROUP BY src
         |)
-        |SELECT h.src AS node, h.src < 1000000 AS is_supplier,
+        |SELECT h.src AS node, h.src < $custOffset AS is_supplier,
         |  CAST(g.n_direct AS BIGINT) AS n_direct, count(*) AS n_2hop
         |FROM hops h JOIN deg g ON g.src = h.src
         |GROUP BY h.src, g.n_direct
         |ORDER BY node""".stripMargin) { (spark, dir) =>
-      val t = Tables(spark, dir)
-      val pairs = t.lineitem
-        .filter(col("l_quantity") >= 49)
-        .select(col("l_orderkey"), col("l_suppkey"))
-        .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_suppkey").as("s"), (col("o_custkey") + 1000000L).as("c"))
-        .distinct()
-      val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
-        .unionAll(pairs.select(col("c").as("src"), col("s").as("dst")))
+      val edges = tradeEdges(Tables(spark, dir), Some(col("l_quantity") >= 49))
         .localCheckpoint() // feeds both self-join sides + deg
       val hops = edges.select(col("src"), col("dst").as("mid"))
         .join(edges.select(col("src").as("mid"), col("dst")), Seq("mid"))
@@ -147,7 +152,7 @@ object GraphRank {
       hops.join(deg, Seq("src"))
         .groupBy(col("src").as("node"), col("n_direct").cast("long").as("n_direct"))
         .agg(count(lit(1)).as("n_2hop"))
-        .select(col("node"), (col("node") < 1000000L).as("is_supplier"),
+        .select(col("node"), (col("node") < custOffset).as("is_supplier"),
           col("n_direct"), col("n_2hop"))
         .orderBy("node")
     },

@@ -43,7 +43,7 @@ class GraphRankSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val node = r.getAs[Long]("node")
-      assert(r.getAs[Boolean]("is_supplier") == (node < 1000000L))
+      assert(r.getAs[Boolean]("is_supplier") == (node < (1L << 40)))
       assert(r.getAs[Long]("n_direct") >= 1)
       assert(r.getAs[Long]("n_2hop") >= 1)
     }
