@@ -1,0 +1,468 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data profiling, quality gates, and table-maintenance planning — the
+  * governance surface a warehouse runs over cloned/ingested tables
+  * before analytics trusts them. The reference validates clones only by
+  * row-count spot checks (`clone_databases.sh:933-937` insert+delete
+  * probe); this wave is that idea grown into the standard toolkit:
+  * ANALYZE-style column statistics, declarative data-quality
+  * expectations, distribution forensics (Benford), robust outlier
+  * flags (MAD), and small-file compaction planning.
+  *
+  * Scale stance (100 TB):
+  *   - [[q_column_stats]] and [[q_dq_expectations]] are each ONE full
+  *     scan producing a constant-size aggregate row that is then
+  *     unpivoted driver-free (`stack` generator / UNION ALL from a
+  *     CTE) — no per-column rescans, no collect. At 100 TB the exact
+  *     `count(DISTINCT)` in column stats becomes
+  *     `approx_count_distinct` (HLL, one pass, mergeable); the exact
+  *     form is kept here because the oracle gate hash-compares values.
+  *   - [[q_markov_transitions]], [[q_interevent_gaps]]: one shuffle on
+  *     user_id (the window), then a low-cardinality re-aggregation —
+  *     the same two-stage shape as sessionization.
+  *   - [[q_pareto_front]] is the window formulation of skyline (sort +
+  *     running max), O(n log n) with a single range-partitioned sort —
+  *     NOT the O(n²) dominance self-join; ties on (price,size) keep the
+  *     lowest partkey by contract.
+  *   - [[q_compaction_plan]] plans bins from per-file aggregates
+  *     (file count ≪ row count); the running-sum window over the file
+  *     list is a metadata-sized sort, exactly how table services
+  *     (OPTIMIZE/rewrite_data_files) plan rewrites.
+  *   - [[q_url_canonicalize]] is per-row regex work (codegen'd, no
+  *     shuffle) followed by one hash aggregation on the canonical key —
+  *     the URL-collapse pass crawl pipelines run before content dedup.
+  *
+  * Numeric discipline (Parity.scala house rules): ratios divide exact
+  * integer counts in double; Benford's expected shares are 6-dp literal
+  * constants in BOTH engines (no transcendental drift); medians
+  * interpolate identically (exact `median` both sides); raw 2-decimal
+  * doubles pass through unrounded.
+  */
+object Profiling {
+
+  /** Compaction target size (chars) — test-scaled stand-in for the
+    * 128 MB–1 GB file-size targets real table services use. */
+  val CompactTarget = 60000L
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- ANALYZE-style column statistics: one scan of orders, one
+    //      constant-width aggregate row, unpivoted to a row per column.
+    //      (Profiled columns are the format-stable ones: integers and
+    //      ASCII strings render identically in both engines; doubles/
+    //      timestamps are profiled by the numeric stats operators.)
+    QueryDef.checked(
+      "q_column_stats",
+      """WITH a AS (
+        |  SELECT count(*) AS n_rows,
+        |    count(o_orderkey) AS nn1, count(DISTINCT o_orderkey) AS ndv1,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS mn1, CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+        |    round(sum(len(CAST(o_orderkey AS VARCHAR))) * 1.0 / count(o_orderkey), 6) AS al1,
+        |    count(o_custkey) AS nn2, count(DISTINCT o_custkey) AS ndv2,
+        |    CAST(min(o_custkey) AS VARCHAR) AS mn2, CAST(max(o_custkey) AS VARCHAR) AS mx2,
+        |    round(sum(len(CAST(o_custkey AS VARCHAR))) * 1.0 / count(o_custkey), 6) AS al2,
+        |    count(o_orderstatus) AS nn3, count(DISTINCT o_orderstatus) AS ndv3,
+        |    min(o_orderstatus) AS mn3, max(o_orderstatus) AS mx3,
+        |    round(sum(len(o_orderstatus)) * 1.0 / count(o_orderstatus), 6) AS al3,
+        |    count(o_orderpriority) AS nn4, count(DISTINCT o_orderpriority) AS ndv4,
+        |    min(o_orderpriority) AS mn4, max(o_orderpriority) AS mx4,
+        |    round(sum(len(o_orderpriority)) * 1.0 / count(o_orderpriority), 6) AS al4
+        |  FROM orders
+        |)
+        |SELECT 'o_orderkey' AS col_name, n_rows, n_rows - nn1 AS n_null,
+        |  ndv1 AS ndv, mn1 AS min_val, mx1 AS max_val, al1 AS avg_len FROM a
+        |UNION ALL SELECT 'o_custkey', n_rows, n_rows - nn2, ndv2, mn2, mx2, al2 FROM a
+        |UNION ALL SELECT 'o_orderstatus', n_rows, n_rows - nn3, ndv3, mn3, mx3, al3 FROM a
+        |UNION ALL SELECT 'o_orderpriority', n_rows, n_rows - nn4, ndv4, mn4, mx4, al4 FROM a
+        |ORDER BY col_name""".stripMargin) { (spark, dir) =>
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+        val v = col(c).cast("string")
+        Seq(count(col(c)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"ndv_$c"),
+          // min/max in the column's NATIVE order, stringified after —
+          // a string-cast max would order longs lexicographically
+          min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c"),
+          round(sum(length(v)) * lit(1.0) / count(col(c)), 6).as(s"al_$c"))
+      }
+      val stackArgs = cols.map(c =>
+        s"'$c', nn_$c, ndv_$c, mn_$c, mx_$c, al_$c").mkString(", ")
+      Tables(spark, dir).orders
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("n_rows"), expr(
+          s"stack(${cols.size}, $stackArgs) AS (col_name, nn, ndv, min_val, max_val, avg_len)"))
+        .select(col("col_name"), col("n_rows"),
+          (col("n_rows") - col("nn")).as("n_null"),
+          col("ndv"), col("min_val"), col("max_val"), col("avg_len"))
+        .orderBy("col_name")
+    },
+
+    // ---- declarative data-quality expectations (Deequ-style): a rule
+    //      set evaluated in ONE scan; severity thresholds compare
+    //      integers (n_fail*100 vs n_rows), never float rates.
+    QueryDef.checked(
+      "q_dq_expectations",
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS f_null,
+        |    sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS f_qty,
+        |    sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 0 ELSE 1 END) AS f_disc,
+        |    sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS f_flag,
+        |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS f_uniq,
+        |    sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS f_price
+        |  FROM lineitem
+        |), r AS (
+        |  SELECT 'shipdate_not_null' AS rule, n, f_null AS n_fail FROM a
+        |  UNION ALL SELECT 'quantity_in_1_50', n, f_qty FROM a
+        |  UNION ALL SELECT 'discount_in_0_0.1', n, f_disc FROM a
+        |  UNION ALL SELECT 'returnflag_domain', n, f_flag FROM a
+        |  UNION ALL SELECT 'orderkey_line_unique', n, f_uniq FROM a
+        |  UNION ALL SELECT 'extendedprice_positive', n, f_price FROM a
+        |)
+        |SELECT rule, n AS n_rows, CAST(n_fail AS BIGINT) AS n_fail,
+        |  round((n - n_fail) * 1.0 / n, 6) AS pass_rate,
+        |  CASE WHEN n_fail = 0 THEN 'PASS'
+        |       WHEN n_fail * 100 <= n THEN 'WARN' ELSE 'FAIL' END AS status
+        |FROM r ORDER BY rule""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).lineitem
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_shipdate").isNull, 1).otherwise(0)).as("f_null"),
+          sum(when(col("l_quantity").between(1, 50), 0).otherwise(1)).as("f_qty"),
+          sum(when(col("l_discount").between(0.0, 0.1), 0).otherwise(1)).as("f_disc"),
+          sum(when(col("l_returnflag").isin("A", "N", "R"), 0).otherwise(1)).as("f_flag"),
+          (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"))).as("f_uniq"),
+          sum(when(col("l_extendedprice") > 0, 0).otherwise(1)).as("f_price"))
+        .select(col("n"), expr(
+          """stack(6,
+            |  'shipdate_not_null', f_null,
+            |  'quantity_in_1_50', f_qty,
+            |  'discount_in_0_0.1', f_disc,
+            |  'returnflag_domain', f_flag,
+            |  'orderkey_line_unique', f_uniq,
+            |  'extendedprice_positive', f_price) AS (rule, n_fail)""".stripMargin))
+        .select(col("rule"), col("n").as("n_rows"),
+          col("n_fail").cast("long").as("n_fail"),
+          round((col("n") - col("n_fail")) * lit(1.0) / col("n"), 6).as("pass_rate"),
+          when(col("n_fail") === 0, "PASS")
+            .when(col("n_fail") * 100 <= col("n"), "WARN")
+            .otherwise("FAIL").as("status"))
+        .orderBy("rule")
+    },
+
+    // ---- first-order Markov transition matrix over per-user event
+    //      sequences — the "what happens after X" model behind
+    //      next-action prediction and anomalous-flow detection.
+    QueryDef.checked(
+      "q_markov_transitions",
+      """WITH seq AS (
+        |  SELECT lag(event_type) OVER w AS prev_type, event_type AS next_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), pairs AS (
+        |  SELECT prev_type, next_type, count(*) AS n
+        |  FROM seq WHERE prev_type IS NOT NULL
+        |  GROUP BY prev_type, next_type
+        |)
+        |SELECT prev_type, next_type, n,
+        |  CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS n_from,
+        |  round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+        |FROM pairs
+        |ORDER BY prev_type, next_type""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wp = Window.partitionBy("prev_type")
+      Tables(spark, dir).events
+        .select(lag(col("event_type"), 1).over(w).as("prev_type"),
+          col("event_type").as("next_type"))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "next_type")
+        .agg(count(lit(1)).as("n"))
+        .select(col("prev_type"), col("next_type"), col("n"),
+          sum(col("n")).over(wp).cast("long").as("n_from"),
+          round(col("n") * lit(1.0) / sum(col("n")).over(wp), 6).as("p"))
+        .orderBy("prev_type", "next_type")
+    },
+
+    // ---- Pareto frontier (skyline): cheapest-for-the-size parts —
+    //      minimize p_retailprice, maximize p_size. Window running-max
+    //      formulation, not the quadratic dominance join; (price,size)
+    //      ties resolve to the lowest partkey by contract.
+    QueryDef.checked(
+      "q_pareto_front",
+      """WITH ranked AS (
+        |  SELECT p_partkey, p_retailprice, p_size,
+        |    max(p_size) OVER (ORDER BY p_retailprice, p_size DESC, p_partkey
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS best_size_before
+        |  FROM part
+        |)
+        |SELECT p_partkey, p_retailprice, p_size
+        |FROM ranked
+        |WHERE p_size > coalesce(best_size_before, -1)
+        |ORDER BY p_retailprice, p_partkey""".stripMargin) { (spark, dir) =>
+      val w = Window
+        .orderBy(col("p_retailprice"), col("p_size").desc, col("p_partkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(spark, dir).part
+        .withColumn("best_size_before", max(col("p_size")).over(w))
+        .filter(col("p_size") > coalesce(col("best_size_before"), lit(-1)))
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    },
+
+    // ---- Benford first-digit profile of order totals: observed digit
+    //      shares vs the log10(1+1/d) law, with per-digit chi-square
+    //      contributions. Expected shares are 6-dp literals in BOTH
+    //      engines — no transcendental evaluation to drift. The digit
+    //      comes from integer cents, never from float formatting.
+    QueryDef.checked(
+      "q_benford",
+      """WITH d AS (
+        |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders WHERE o_totalprice > 0
+        |), c AS (
+        |  SELECT digit, count(*) AS n FROM d GROUP BY digit
+        |), e AS (
+        |  SELECT digit, n,
+        |    CAST(CASE digit WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091
+        |      WHEN 3 THEN 0.124939 WHEN 4 THEN 0.096910 WHEN 5 THEN 0.079181
+        |      WHEN 6 THEN 0.066947 WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+        |      ELSE 0.045757 END AS DOUBLE) AS exp_share,
+        |    CAST(sum(n) OVER () AS BIGINT) AS tot
+        |  FROM c
+        |)
+        |SELECT digit, n, round(n * 1.0 / tot, 6) AS obs_share, exp_share,
+        |  round((n - exp_share * tot) * (n - exp_share * tot)
+        |        / (exp_share * tot), 6) AS chi2_part
+        |FROM e ORDER BY digit""".stripMargin) { (spark, dir) =>
+      val expShare = when(col("digit") === 1, 0.301030)
+        .when(col("digit") === 2, 0.176091).when(col("digit") === 3, 0.124939)
+        .when(col("digit") === 4, 0.096910).when(col("digit") === 5, 0.079181)
+        .when(col("digit") === 6, 0.066947).when(col("digit") === 7, 0.057992)
+        .when(col("digit") === 8, 0.051153).otherwise(0.045757)
+      Tables(spark, dir).orders
+        .filter(col("o_totalprice") > 0)
+        .select(substring(round(col("o_totalprice") * 100)
+          .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .withColumn("exp_share", expShare)
+        .withColumn("tot", sum(col("n")).over(Window.partitionBy()).cast("long"))
+        .select(col("digit"), col("n"),
+          round(col("n") * lit(1.0) / col("tot"), 6).as("obs_share"),
+          col("exp_share"),
+          round((col("n") - col("exp_share") * col("tot")) *
+            (col("n") - col("exp_share") * col("tot")) /
+            (col("exp_share") * col("tot")), 6).as("chi2_part"))
+        .orderBy("digit")
+    },
+
+    // ---- compaction planning: treat per-source document payloads as
+    //      "files", largest-first, and cut target-sized rewrite bins
+    //      with a running-sum window over the (metadata-sized) file
+    //      list — the planning half of OPTIMIZE / rewrite_data_files.
+    QueryDef.checked(
+      "q_compaction_plan",
+      s"""WITH files AS (
+         |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS size_chars
+         |  FROM documents GROUP BY source
+         |), planned AS (
+         |  SELECT source, size_chars,
+         |    coalesce(sum(size_chars) OVER (ORDER BY size_chars DESC, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      // ${CompactTarget} AS bin
+         |  FROM files
+         |)
+         |SELECT source, size_chars, CAST(bin AS BIGINT) AS bin,
+         |  CAST(count(*) OVER (PARTITION BY bin) AS BIGINT) AS bin_files,
+         |  CAST(sum(size_chars) OVER (PARTITION BY bin) AS BIGINT) AS bin_chars
+         |FROM planned
+         |ORDER BY bin, size_chars DESC, source""".stripMargin) { (spark, dir) =>
+      val wOrd = Window.orderBy(col("size_chars").desc, col("source"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wBin = Window.partitionBy("bin")
+      Tables(spark, dir).documents
+        .groupBy("source")
+        .agg(sum(col("n_chars")).cast("long").as("size_chars"))
+        .withColumn("bin", expr(
+          s"coalesce(sum(size_chars) OVER (ORDER BY size_chars DESC, source " +
+            s"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) div $CompactTarget"))
+        .select(col("source"), col("size_chars"), col("bin").cast("long").as("bin"),
+          count(lit(1)).over(wBin).cast("long").as("bin_files"),
+          sum(col("size_chars")).over(wBin).cast("long").as("bin_chars"))
+        .orderBy(col("bin"), col("size_chars").desc, col("source"))
+    },
+
+    // ---- robust outliers: per-event-type median absolute deviation;
+    //      flag |value − median| > 3·MAD. Exact interpolated medians on
+    //      identical doubles both sides; the flag compares identically
+    //      computed IEEE values.
+    QueryDef.checked(
+      "q_mad_outliers",
+      """WITH med AS (
+        |  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+        |), dev AS (
+        |  SELECT e.event_type, abs(e.value - m.med) AS ad, m.med
+        |  FROM events e JOIN med m ON e.event_type = m.event_type
+        |), mad AS (
+        |  SELECT event_type, median(ad) AS mad FROM dev GROUP BY event_type
+        |)
+        |SELECT d.event_type, count(*) AS n,
+        |  round(max(d.med), 6) AS median_value, round(max(m.mad), 6) AS mad,
+        |  CAST(sum(CASE WHEN d.ad > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev d JOIN mad m ON d.event_type = m.event_type
+        |GROUP BY d.event_type
+        |ORDER BY d.event_type""".stripMargin) { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+      val med = ev.groupBy("event_type").agg(expr("median(value)").as("med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), abs(col("value") - col("med")).as("ad"), col("med"))
+      val mad = dev.groupBy("event_type").agg(expr("median(ad)").as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(max(col("med")), 6).as("median_value"),
+          round(max(col("mad")), 6).as("mad"),
+          sum(when(col("ad") > lit(3) * col("mad"), 1).otherwise(0))
+            .cast("long").as("n_outliers"))
+        .orderBy("event_type")
+    },
+
+    // ---- URL canonicalization + collapse: normalize case, strip the
+    //      default port / fragment / utm_* tracking params, then count
+    //      raw variants per canonical URL — the crawl-frontier dedup
+    //      pass that runs before any content-level dedup. Raw URLs are
+    //      constructed deterministically from events (the corpus has no
+    //      real URLs; the normalization machinery is what's under test).
+    QueryDef.checked(
+      "q_url_canonicalize",
+      """WITH raw AS (
+        |  SELECT concat(
+        |    CASE WHEN event_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END,
+        |    CASE WHEN event_id % 3 = 0 THEN 'WWW.EX.COM' ELSE 'www.ex.com' END,
+        |    CASE WHEN event_id % 5 = 0 THEN ':443' ELSE '' END,
+        |    '/p/', event_type, '/', CAST(user_id % 20 AS VARCHAR),
+        |    '?utm_source=', CAST(event_id % 4 AS VARCHAR),
+        |    '&id=', CAST(user_id % 20 AS VARCHAR),
+        |    CASE WHEN event_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM events
+        |), canon AS (
+        |  SELECT url,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(url),
+        |      '#.*$', '', 'g'),
+        |      ':443/', '/', 'g'),
+        |      'utm_[a-z]+=[^&#]*&?', '', 'g'),
+        |      '[?&]$', '', 'g') AS canonical_url
+        |  FROM raw
+        |)
+        |SELECT canonical_url, count(*) AS n_events,
+        |  count(DISTINCT url) AS n_raw_variants
+        |FROM canon GROUP BY canonical_url
+        |ORDER BY canonical_url""".stripMargin) { (spark, dir) =>
+      val raw = Tables(spark, dir).events
+        .select(concat(
+          when(col("event_id") % 2 === 0, "HTTPS://").otherwise("https://"),
+          when(col("event_id") % 3 === 0, "WWW.EX.COM").otherwise("www.ex.com"),
+          when(col("event_id") % 5 === 0, ":443").otherwise(""),
+          lit("/p/"), col("event_type"), lit("/"),
+          (col("user_id") % 20).cast("string"),
+          lit("?utm_source="), (col("event_id") % 4).cast("string"),
+          lit("&id="), (col("user_id") % 20).cast("string"),
+          when(col("event_id") % 7 === 0, "#frag").otherwise("")).as("url"))
+      raw
+        .withColumn("canonical_url",
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            lower(col("url")),
+            "#.*$", ""),
+            ":443/", "/"),
+            "utm_[a-z]+=[^&#]*&?", ""),
+            "[?&]$", ""))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("url")).as("n_raw_variants"))
+        .orderBy("canonical_url")
+    },
+
+    // ---- audience overlap: Jaccard between per-event-type user sets
+    //      via distinct-pair self-join + inclusion-exclusion union.
+    QueryDef.checked(
+      "q_audience_overlap",
+      """WITH au AS (
+        |  SELECT DISTINCT event_type, user_id FROM events
+        |), sz AS (
+        |  SELECT event_type, count(*) AS n FROM au GROUP BY event_type
+        |), inter AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+        |  FROM au a JOIN au b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY a.event_type, b.event_type
+        |)
+        |SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_both,
+        |  sa.n + sb.n - i.n_both AS n_union,
+        |  round(i.n_both * 1.0 / (sa.n + sb.n - i.n_both), 6) AS jaccard
+        |FROM inter i
+        |JOIN sz sa ON sa.event_type = i.type_a
+        |JOIN sz sb ON sb.event_type = i.type_b
+        |ORDER BY type_a, type_b""".stripMargin) { (spark, dir) =>
+      val au = Tables(spark, dir).events
+        .select("event_type", "user_id").distinct()
+      val sz = au.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val a = au.toDF("type_a", "user_id")
+      val b = au.toDF("type_b", "user_id2")
+      val inter = a.join(b,
+          a("user_id") === b("user_id2") && a("type_a") < b("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+      inter
+        .join(broadcast(sz.toDF("type_a", "n_a")), Seq("type_a"))
+        .join(broadcast(sz.toDF("type_b", "n_b")), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_both"),
+          (col("n_a") + col("n_b") - col("n_both")).as("n_union"),
+          round(col("n_both") * lit(1.0) /
+            (col("n_a") + col("n_b") - col("n_both")), 6).as("jaccard"))
+        .orderBy("type_a", "type_b")
+    },
+
+    // ---- inter-event gap statistics: time between consecutive events
+    //      of the same type per user — the latency/cadence profile
+    //      behind rate limiting and engagement scoring. Gaps are exact
+    //      integer microseconds; the mean divides exact sums.
+    QueryDef.checked(
+      "q_interevent_gaps",
+      """WITH g AS (
+        |  SELECT event_type,
+        |    date_diff('microsecond', lag(ts) OVER w, ts) AS gap_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |)
+        |SELECT event_type, count(gap_us) AS n_gaps,
+        |  CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+        |  CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+        |  round(sum(gap_us) * 1.0 / count(gap_us), 6) AS avg_gap_us,
+        |  round(median(gap_us), 6) AS p50_gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+      Tables(spark, dir).events
+        .select(col("event_type"),
+          (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+            .as("gap_us"))
+        .filter(col("gap_us").isNotNull)
+        .groupBy("event_type")
+        .agg(count(col("gap_us")).as("n_gaps"),
+          min(col("gap_us")).cast("long").as("min_gap_us"),
+          max(col("gap_us")).cast("long").as("max_gap_us"),
+          round(sum(col("gap_us")) * lit(1.0) / count(col("gap_us")), 6)
+            .as("avg_gap_us"),
+          round(expr("median(gap_us)"), 6).as("p50_gap_us"))
+        .orderBy("event_type")
+    }
+  )
+}
