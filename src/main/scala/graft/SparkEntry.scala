@@ -22,7 +22,7 @@ object SparkEntry {
       TpchFinal.defs ++ Clusters.defs ++ Sampling.defs ++ Layout.defs ++
       Training.defs ++ SqlSurface.defs ++ Curation.defs ++ Modern.defs ++
       Packing.defs ++ Retrieval.defs ++ VectorCuration.defs ++
-      GraphRank.defs ++ Profiling.defs
+      GraphRank.defs ++ Profiling.defs ++ Concentration.defs
 
   require(allDefs.map(_.name).distinct.size == allDefs.size,
     "duplicate query names across operator families")

@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import Parity._
+
+/** Concentration, engagement-cadence, and conversion metrics — the
+  * revenue-analytics layer over the cloned star schema: who generates
+  * the value (decile concentration, Gini), how activity spreads over
+  * time (rolling active users, time-weighted averages), and how fast
+  * intent converts (windowed funnel).
+  *
+  * Scale stance (100 TB):
+  *   - [[q_revenue_deciles]] / [[q_gini_segment]]: per-entity revenue is
+  *     one keyed aggregation; the rank window partitions by segment (or
+  *     deciles over customers — entity cardinality, not fact
+  *     cardinality), so no full-fact global sort exists.
+  *   - [[q_rolling_active_users]] EXPLODES each event into the ≤7 day
+  *     windows it covers (linear ×7 blowup, partition-parallel) instead
+  *     of a day×event range join (quadratic in the worst case); the
+  *     per-day distinct then shuffles on (day), which is the output
+  *     cardinality. At 100 TB the exact distinct becomes an HLL merge.
+  *   - [[q_twap]] is one window pass (lead) + one keyed aggregation;
+  *     products accumulate in DECIMAL(38,0) fixed-point so the sum is
+  *     order-independent under any partitioning.
+  *   - [[q_funnel_window]] reduces each user to first-touch timestamps
+  *     before any join — the join operands are per-user aggregates, not
+  *     raw events.
+  *
+  * Numeric discipline (Parity.scala): money sums in DECIMAL, value
+  * sums in scaled fixed-point, ratios divide exact integers/decimals in
+  * double, transcendentals absent.
+  */
+object Concentration {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- revenue concentration by customer decile (the 80/20 report):
+    //      rank customers by exact order revenue, cut into ntile(10)
+    //      deciles, report each decile's share and cumulative share.
+    QueryDef.checked(
+      "q_revenue_deciles",
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY o_custkey
+        |), ranked AS (
+        |  SELECT revenue, ntile(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile
+        |  FROM rev
+        |), agg AS (
+        |  SELECT decile, count(*) AS n_customers,
+        |    round(sum(revenue), 2) AS decile_revenue
+        |  FROM ranked GROUP BY decile
+        |)
+        |SELECT decile, n_customers, decile_revenue,
+        |  round(decile_revenue / sum(decile_revenue) OVER (), 6) AS share,
+        |  round(sum(decile_revenue) OVER (ORDER BY decile
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        / sum(decile_revenue) OVER (), 6) AS cum_share
+        |FROM agg ORDER BY decile""".stripMargin) { (spark, dir) =>
+      val rev = Tables(spark, dir).orders
+        .groupBy("o_custkey")
+        .agg(sumMoney(col("o_totalprice")).as("revenue"))
+      val ranked = rev.withColumn("decile",
+        ntile(10).over(Window.orderBy(col("revenue").desc, col("o_custkey"))))
+      val agg = ranked.groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"),
+          // revenue is an exact-decimal-derived double with 2 decimals;
+          // re-sum through decimal to stay order-independent
+          round(sum(col("revenue").cast(DecimalType(18, 2))).cast("double"), 2)
+            .as("decile_revenue"))
+      val wAll = Window.partitionBy()
+      val wCum = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      agg.select(col("decile"), col("n_customers"), col("decile_revenue"),
+          round(col("decile_revenue") / sum(col("decile_revenue")).over(wAll), 6)
+            .as("share"),
+          round(sum(col("decile_revenue")).over(wCum) /
+            sum(col("decile_revenue")).over(wAll), 6).as("cum_share"))
+        .orderBy("decile")
+    },
+
+    // ---- Gini coefficient of customer revenue per market segment:
+    //      G = (2·Σ i·xᵢ) / (n·Σ xᵢ) − (n+1)/n over ascending-sorted
+    //      revenues. Σ i·xᵢ accumulates rank × decimal revenue in
+    //      decimal — exact under any partitioning.
+    QueryDef.checked(
+      "q_gini_segment",
+      """WITH rev AS (
+        |  SELECT c.c_mktsegment, c.c_custkey,
+        |    sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS revenue
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_mktsegment, c.c_custkey
+        |), ranked AS (
+        |  SELECT c_mktsegment, revenue,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY revenue, c_custkey) AS i
+        |  FROM rev
+        |)
+        |SELECT c_mktsegment, count(*) AS n_customers,
+        |  CAST(round(sum(revenue), 2) AS DOUBLE) AS total_revenue,
+        |  round(2.0 * CAST(sum(i * revenue) AS DOUBLE)
+        |          / (count(*) * CAST(sum(revenue) AS DOUBLE))
+        |        - (count(*) + 1.0) / count(*), 6) AS gini
+        |FROM ranked
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val rev = t.orders
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(sum(money(col("o_totalprice"))).as("revenue"))
+      val ranked = rev.withColumn("i", row_number().over(
+        Window.partitionBy("c_mktsegment").orderBy("revenue", "c_custkey")))
+      ranked.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("revenue")), 2).cast("double").as("total_revenue"),
+          round(lit(2.0) * sum(col("i") * col("revenue")).cast("double") /
+            (count(lit(1)) * sum(col("revenue")).cast("double")) -
+            (count(lit(1)) + lit(1.0)) / count(lit(1)), 6).as("gini"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ---- rolling 7-day active users: explode each event into the ≤7
+    //      daily windows it falls inside (linear work), then one exact
+    //      distinct per window-end day.
+    QueryDef.checked(
+      "q_rolling_active_users",
+      """WITH covered AS (
+        |  SELECT DISTINCT
+        |    CAST(unnest(generate_series(CAST(ts AS DATE),
+        |      CAST(ts AS DATE) + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS day,
+        |    user_id
+        |  FROM events
+        |), spine AS (
+        |  SELECT CAST(min(CAST(ts AS DATE)) AS DATE) AS d0,
+        |    CAST(max(CAST(ts AS DATE)) AS DATE) AS d1 FROM events
+        |)
+        |SELECT c.day, count(DISTINCT c.user_id) AS active_users_7d
+        |FROM covered c, spine s
+        |WHERE c.day BETWEEN s.d0 AND s.d1
+        |GROUP BY c.day
+        |ORDER BY c.day""".stripMargin) { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+      val bounds = ev.agg(
+        min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      ev.select(explode(expr(
+            "sequence(to_date(ts), date_add(to_date(ts), 6), interval 1 day)"))
+          .as("day"), col("user_id"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("day").between(col("d0"), col("d1")))
+        .groupBy("day")
+        .agg(countDistinct(col("user_id")).as("active_users_7d"))
+        .orderBy("day")
+    },
+
+    // ---- time-weighted average value per event type: each value holds
+    //      until the type's next event; weights are exact microsecond
+    //      gaps, value·weight accumulates in DECIMAL(38,0) fixed-point.
+    QueryDef.checked(
+      "q_twap",
+      """WITH seg AS (
+        |  SELECT event_type, value,
+        |    date_diff('microsecond', ts, lead(ts) OVER w) AS w_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        |)
+        |SELECT event_type, count(*) AS n_segments,
+        |  CAST(sum(w_us) AS BIGINT) AS total_us,
+        |  round(CAST(sum(CAST(round(value * 1000000) AS DECIMAL(38,0)) * w_us)
+        |             AS DOUBLE) / 1000000.0 / CAST(sum(w_us) AS DOUBLE), 6)
+        |    AS twap
+        |FROM seg WHERE w_us IS NOT NULL
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      Tables(spark, dir).events
+        .select(col("event_type"), col("value"),
+          (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+            .as("w_us"))
+        .filter(col("w_us").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_segments"),
+          sum(col("w_us")).cast("long").as("total_us"),
+          round(sum(round(col("value") * 1000000).cast(DecimalType(38, 0)) *
+              col("w_us")).cast("double") / lit(1000000.0) /
+            sum(col("w_us")).cast("double"), 6).as("twap"))
+        .orderBy("event_type")
+    },
+
+    // ---- windowed conversion funnel: of users whose first view, how
+    //      many purchased within 24h of it — first-touch reduction
+    //      before the join, so operands are per-user rows.
+    QueryDef.checked(
+      "q_funnel_window",
+      """WITH first_view AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), converted AS (
+        |  SELECT DISTINCT v.user_id
+        |  FROM first_view v JOIN events e ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+        |    AND date_diff('microsecond', v.t_view, e.ts) <= 86400000000
+        |)
+        |SELECT count(*) AS n_viewers,
+        |  (SELECT count(*) FROM converted) AS n_converted_24h,
+        |  round((SELECT count(*) FROM converted) * 1.0 / count(*), 6)
+        |    AS conversion_rate
+        |FROM first_view""".stripMargin) { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+      val converted = firstView
+        .join(ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts")),
+          Seq("user_id"))
+        .filter(col("ts") > col("t_view") &&
+          unix_micros(col("ts")) - unix_micros(col("t_view")) <= 86400000000L)
+        .select("user_id").distinct()
+        .agg(count(lit(1)).as("n_converted_24h"))
+      firstView.agg(count(lit(1)).as("n_viewers"))
+        .crossJoin(broadcast(converted))
+        .select(col("n_viewers"), col("n_converted_24h"),
+          round(col("n_converted_24h") * lit(1.0) / col("n_viewers"), 6)
+            .as("conversion_rate"))
+    }
+  )
+}

@@ -25,9 +25,11 @@ import graft.Tables
   *     user_id (the window), then a low-cardinality re-aggregation —
   *     the same two-stage shape as sessionization.
   *   - [[q_pareto_front]] is the window formulation of skyline (sort +
-  *     running max), O(n log n) with a single range-partitioned sort —
-  *     NOT the O(n²) dominance self-join; ties on (price,size) keep the
-  *     lowest partkey by contract.
+  *     running max) — NOT the O(n²) dominance self-join — run as two
+  *     passes: a bucket-local frontier (partition-parallel, discards
+  *     ~everything) then the exact global window over the surviving
+  *     candidates only, so no full-relation single-partition sort
+  *     exists; ties on (price,size) keep the lowest partkey by contract.
   *   - [[q_compaction_plan]] plans bins from per-file aggregates
   *     (file count ≪ row count); the running-sum window over the file
   *     list is a metadata-sized sort, exactly how table services
@@ -204,11 +206,24 @@ object Profiling {
         |FROM ranked
         |WHERE p_size > coalesce(best_size_before, -1)
         |ORDER BY p_retailprice, p_partkey""".stripMargin) { (spark, dir) =>
-      val w = Window
+      // Two-pass skyline: a LOCAL frontier inside each price bucket runs
+      // partition-parallel and discards almost everything; the exact
+      // global window then sees only the few survivors (sum of local
+      // fronts), so no full-relation single-partition sort exists. The
+      // local pass is a pure superset-filter: a row dominated within its
+      // bucket is dominated globally, and survivors are re-checked, so
+      // the result is identical to the oracle's one-window form.
+      val localW = Window.partitionBy("price_bucket")
+        .orderBy(col("p_retailprice"), col("p_size").desc, col("p_partkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val globalW = Window
         .orderBy(col("p_retailprice"), col("p_size").desc, col("p_partkey"))
         .rowsBetween(Window.unboundedPreceding, -1)
       Tables(spark, dir).part
-        .withColumn("best_size_before", max(col("p_size")).over(w))
+        .withColumn("price_bucket", floor(col("p_retailprice") / 100.0))
+        .withColumn("local_best", max(col("p_size")).over(localW))
+        .filter(col("p_size") > coalesce(col("local_best"), lit(-1)))
+        .withColumn("best_size_before", max(col("p_size")).over(globalW))
         .filter(col("p_size") > coalesce(col("best_size_before"), lit(-1)))
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_retailprice", "p_partkey")
@@ -410,8 +425,10 @@ object Profiling {
         |JOIN sz sa ON sa.event_type = i.type_a
         |JOIN sz sb ON sb.event_type = i.type_b
         |ORDER BY type_a, type_b""".stripMargin) { (spark, dir) =>
+      // one distinct computation feeds the sizes and both join sides
       val au = Tables(spark, dir).events
         .select("event_type", "user_id").distinct()
+        .localCheckpoint()
       val sz = au.groupBy("event_type").agg(count(lit(1)).as("n"))
       val a = au.toDF("type_a", "user_id")
       val b = au.toDF("type_b", "user_id2")

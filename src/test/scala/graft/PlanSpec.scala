@@ -140,4 +140,21 @@ class PlanSpec extends SparkSpec {
     assert(physical("q_incremental_dedup").contains("Broadcast"),
       "the batch cut must broadcast, not shuffle the corpus")
   }
+
+  test("profiling reports scan the table exactly once (stack unpivot, no rescans)") {
+    // a per-column/per-rule UNION of separate aggregates would scan the
+    // fact table once per output row — the generator formulation must not
+    Seq("q_column_stats" -> "orders", "q_dq_expectations" -> "lineitem")
+      .foreach { case (name, table) =>
+        val scans = physical(name).linesIterator
+          .filter(l => l.contains("FileScan") && l.contains(table)).size
+        assert(scans == 1, s"$name: $scans scans of $table (want 1)")
+      }
+  }
+
+  test("mad outliers broadcast the per-group medians, never shuffle events twice") {
+    val plan = physical("q_mad_outliers")
+    assert(plan.contains("BroadcastHashJoin"),
+      "median/MAD relations must broadcast onto the fact rows")
+  }
 }
