@@ -22,7 +22,8 @@ object SparkEntry {
       TpchFinal.defs ++ Clusters.defs ++ Sampling.defs ++ Layout.defs ++
       Training.defs ++ SqlSurface.defs ++ Curation.defs ++ Modern.defs ++
       Packing.defs ++ Retrieval.defs ++ VectorCuration.defs ++
-      GraphRank.defs ++ Profiling.defs ++ Concentration.defs
+      GraphRank.defs ++ Profiling.defs ++ Concentration.defs ++
+      Intervals.defs
 
   require(allDefs.map(_.name).distinct.size == allDefs.size,
     "duplicate query names across operator families")
