@@ -60,4 +60,26 @@ final case class Tables(spark: SparkSession, dir: String) {
 
 object Tables {
   def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+
+  /** Spread a SMALL relation across the full shuffle-partition count
+    * before a compute-heavy expansion stage (per-row hashing ×
+    * replicas, token explosion, signature loops).
+    *
+    * Why explicit: a small table arrives as ONE file split, so
+    * everything up to the first shuffle runs in one task; and AQE
+    * sizes shuffle reads by BYTES, so it would coalesce a kilobyte-
+    * sized shuffle back to one partition even when the work per row
+    * downstream is large. An explicit count is respected by AQE. The
+    * repartition itself moves only the small pre-expansion rows. At
+    * production scale inputs arrive in many splits and this becomes a
+    * no-op-sized shuffle; at bench scale it is the difference between
+    * 1-way and N-way execution of the expensive stage (measured 5× on
+    * the bootstrap-replica MD5 expansion at sf0.1). */
+  def spread(df: DataFrame): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // no-op when the scan already arrives with enough splits (the
+    // production case) — the repartition exists for the few-split
+    // small-table case, where it moves only the small pre-expansion rows
+    if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
+  }
 }

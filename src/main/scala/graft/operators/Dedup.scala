@@ -56,7 +56,9 @@ object Dedup {
   private val A = Seq(787L, 2003L, 4423L, 8423L, 16787L, 32003L, 64019L, 128021L)
   private val B = Seq(1471L, 3559L, 7907L, 15091L, 31627L, 63179L, 126271L, 252731L)
 
-  /** Distinct (doc_id, gram) pairs — the shingle relation. */
+  /** Distinct (doc_id, gram) pairs — the shingle relation. (No spread
+    * here: the immediate `distinct` reshuffles anyway, so the explode
+    * stage is not the serial bottleneck — measured flat at sf0.1.) */
   private[operators] def gramRelation(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(expr(gramsExpr)).as("gram"))

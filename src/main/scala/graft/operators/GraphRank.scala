@@ -87,9 +87,14 @@ object GraphRank {
          |LIMIT 50""".stripMargin) { (spark, dir) =>
       val edges = tradeEdges(Tables(spark, dir), None)
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      // (src, dst, deg(src)) drives every iteration — materialize once;
-      // at scale this is the relation you bucket by src
-      val ed = edges.join(deg, Seq("src")).localCheckpoint()
+      // (src, dst, deg(src)) drives every iteration — materialize once,
+      // EXPLICITLY partitioned by src (the key every iteration joins
+      // on); at scale this is the relation you bucket by src. The
+      // explicit count keeps the iteration joins N-way — AQE sizes by
+      // bytes and would serialize the kilobyte-scale rank joins.
+      val shuffleN = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val ed = edges.join(deg, Seq("src"))
+        .repartition(shuffleN, col("src")).localCheckpoint()
       // node set from the CHECKPOINTED relation — deriving it from
       // `edges` would re-run the whole lineitem⋈orders+distinct subtree
       var ranks = ed.select(col("src").as("node")).distinct()

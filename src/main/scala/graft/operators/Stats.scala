@@ -417,7 +417,14 @@ object Stats {
       val base = Tables(spark, dir).orders
         .select(col("o_orderkey"),
           expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
-      val weighted = base
+      // the single small parquet split would otherwise run the whole
+      // ×32-replica MD5 expansion in ONE task; spread the (tiny) base
+      // BEFORE the explode so the heavy stage is partition-parallel.
+      // The partition count is EXPLICIT — AQE would coalesce a
+      // byte-sized shuffle back to one partition, re-serializing the
+      // compute-bound stage downstream of it.
+      val shuffleN = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val weighted = base.repartition(shuffleN, col("o_orderkey"))
         .select(col("o_orderkey"), col("cents"),
           explode(sequence(lit(0), lit(31))).as("j"))
         .withColumn("u",
@@ -427,10 +434,13 @@ object Stats {
           when(col("u") < 367879, 0).when(col("u") < 735759, 1)
             .when(col("u") < 919699, 2).when(col("u") < 981012, 3)
             .when(col("u") < 996340, 4).otherwise(5))
+      // 32 rows, but its parent is the corpus × replicas MD5 pipeline —
+      // checkpoint so the lo/hi branches don't each recompute it
       val means = weighted.groupBy(col("j").as("replica"))
         .agg((sum(col("w").cast("long") * col("cents")).cast("double") /
           sum(col("w").cast("long")).cast("long")).as("m"))
         .withColumn("rn", row_number().over(Window.orderBy(col("m"), col("replica"))))
+        .localCheckpoint()
       val est = base.agg(
         (sum(col("cents")).cast("double") / count(lit(1))).as("full_mean"))
       est

@@ -49,7 +49,11 @@ object Training {
       |)""".stripMargin
 
   private[operators] def scoredNll(docs: org.apache.spark.sql.DataFrame) = {
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    // spread the doc rows before the token explosion (Tables.spread:
+    // one file split + byte-based AQE coalescing would otherwise run
+    // the tokenize-explode stage in a single task)
+    val toks = Tables.spread(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
     val tot = freq.agg(sum(col("c")).cast("double").as("t"))
     toks.join(broadcast(freq), Seq("tok"))
