@@ -190,6 +190,62 @@ object Concentration {
         .orderBy("event_type")
     },
 
+    // ---- market-basket association: co-ordered part pairs with
+    //      support / confidence / lift. The pair explosion is bounded
+    //      by basket size (items-per-order is small and capped at the
+    //      target before the self-join); all ratios divide exact
+    //      integer counts.
+    QueryDef.checked(
+      "q_market_basket",
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), pairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    count(*) AS n_both
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY a.l_partkey, b.l_partkey
+        |), freq AS (
+        |  SELECT l_partkey, count(*) AS n FROM li GROUP BY l_partkey
+        |), tot AS (
+        |  SELECT count(DISTINCT l_orderkey) AS n_orders FROM li
+        |)
+        |SELECT p.part_a, p.part_b, p.n_both, fa.n AS n_a, fb.n AS n_b,
+        |  round(p.n_both * 1.0 / t.n_orders, 6) AS support,
+        |  round(p.n_both * 1.0 / fa.n, 6) AS confidence,
+        |  round(p.n_both * 1.0 * t.n_orders / (fa.n * 1.0 * fb.n), 6) AS lift
+        |FROM pairs p
+        |JOIN freq fa ON fa.l_partkey = p.part_a
+        |JOIN freq fb ON fb.l_partkey = p.part_b
+        |CROSS JOIN tot t
+        |WHERE p.n_both >= 2
+        |ORDER BY p.n_both DESC, part_a, part_b
+        |LIMIT 50""".stripMargin) { (spark, dir) =>
+      val li = Tables(spark, dir).lineitem
+        .select("l_orderkey", "l_partkey").distinct()
+        .localCheckpoint() // feeds both self-join sides, freq, and tot
+      val pairs = li.toDF("l_orderkey", "part_a")
+        .join(li.toDF("l_orderkey2", "part_b"),
+          col("l_orderkey") === col("l_orderkey2") &&
+            col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b").agg(count(lit(1)).as("n_both"))
+        .filter(col("n_both") >= 2)
+      val freq = li.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      val tot = li.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      pairs
+        .join(broadcast(freq.toDF("part_a", "n_a")), Seq("part_a"))
+        .join(broadcast(freq.toDF("part_b", "n_b")), Seq("part_b"))
+        .crossJoin(broadcast(tot))
+        .select(col("part_a"), col("part_b"), col("n_both"), col("n_a"),
+          col("n_b"),
+          round(col("n_both") * lit(1.0) / col("n_orders"), 6).as("support"),
+          round(col("n_both") * lit(1.0) / col("n_a"), 6).as("confidence"),
+          round(col("n_both") * lit(1.0) * col("n_orders") /
+            (col("n_a") * lit(1.0) * col("n_b")), 6).as("lift"))
+        .orderBy(col("n_both").desc, col("part_a"), col("part_b"))
+        .limit(50)
+    },
+
     // ---- windowed conversion funnel: of users whose first view, how
     //      many purchased within 24h of it — first-touch reduction
     //      before the join, so operands are per-user rows.

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Engine-side data diagnostics: join-key skew profiling (the numbers a
+  * planner — or the engineer sizing a salting factor — needs before a
+  * 100 TB join) and the post-clone referential-integrity audit (the
+  * validation pass the reference approximates with row-count probes,
+  * `clone_databases.sh:933-937`, done properly at row level).
+  *
+  * Scale stance (100 TB):
+  *   - [[q_skew_report]]: each key column profiles with one keyed
+  *     aggregation (map-side partials; output = key cardinality) and a
+  *     per-column constant-size reduction. Columns profile
+  *     independently — at the target this runs as one pass per join
+  *     column of the fact table, exactly what AQE's skew stats cost.
+  *     The ratio compares integers (max·n_keys vs n_rows·threshold).
+  *   - [[q_ri_audit]]: orphan checks are anti joins CHILD→parent —
+  *     parent key sets broadcast for dimension-sized parents, shuffle
+  *     otherwise; childless checks anti-join the parent against the
+  *     DISTINCT child keys (key cardinality, not fact cardinality,
+  *     crosses the wire). Each relationship reduces to one row before
+  *     the union, so the report is constant-size no matter the corpus.
+  */
+object Diagnostics {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- join-key skew report: frequency profile of the fact table's
+    //      join keys; skew_ratio = max_freq / avg_freq decides salting.
+    QueryDef.checked(
+      "q_skew_report",
+      """WITH fs AS (
+        |  SELECT l_suppkey AS k, count(*) AS f FROM lineitem GROUP BY l_suppkey
+        |), fp AS (
+        |  SELECT l_partkey AS k, count(*) AS f FROM lineitem GROUP BY l_partkey
+        |), fc AS (
+        |  SELECT o_custkey AS k, count(*) AS f FROM orders GROUP BY o_custkey
+        |), s AS (
+        |  -- deterministic argmax: enc = f·2^32 − k picks the highest
+        |  -- frequency, smallest key; decoded below
+        |  SELECT 'lineitem.l_suppkey' AS key_col, sum(f) AS n_rows,
+        |    count(*) AS n_keys, max(f) AS max_freq,
+        |    max(f) * 4294967296 - max(f * 4294967296 - k) AS top_key FROM fs
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey', sum(f), count(*), max(f),
+        |    max(f) * 4294967296 - max(f * 4294967296 - k) FROM fp
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey', sum(f), count(*), max(f),
+        |    max(f) * 4294967296 - max(f * 4294967296 - k) FROM fc
+        |)
+        |SELECT key_col, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_keys AS BIGINT) AS n_keys,
+        |  CAST(max_freq AS BIGINT) AS max_freq,
+        |  CAST(top_key AS BIGINT) AS top_key,
+        |  round(n_rows * 1.0 / n_keys, 6) AS avg_freq,
+        |  round(max_freq * n_keys * 1.0 / n_rows, 6) AS skew_ratio,
+        |  max_freq * n_keys > n_rows * 4 AS needs_salting
+        |FROM s ORDER BY key_col""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      def profile(label: String, df: org.apache.spark.sql.DataFrame,
+          key: String): org.apache.spark.sql.DataFrame =
+        df.groupBy(col(key).as("k")).agg(count(lit(1)).as("f"))
+          .agg(sum(col("f")).cast("long").as("n_rows"),
+            count(lit(1)).cast("long").as("n_keys"),
+            max(col("f")).cast("long").as("max_freq"),
+            // deterministic argmax (highest freq, smallest key): the
+            // enc = f·2^32 − k trick — min_by/max_by tie-break is
+            // engine-defined, an integer encoding is not
+            (max(col("f")) * lit(4294967296L) -
+              max(col("f") * lit(4294967296L) - col("k").cast("long")))
+              .cast("long").as("top_key"))
+          .select(lit(label).as("key_col"), col("n_rows"), col("n_keys"),
+            col("max_freq"), col("top_key"))
+      profile("lineitem.l_suppkey", t.lineitem, "l_suppkey")
+        .unionAll(profile("lineitem.l_partkey", t.lineitem, "l_partkey"))
+        .unionAll(profile("orders.o_custkey", t.orders, "o_custkey"))
+        .select(col("key_col"), col("n_rows"), col("n_keys"), col("max_freq"),
+          col("top_key"),
+          round(col("n_rows") * lit(1.0) / col("n_keys"), 6).as("avg_freq"),
+          round(col("max_freq") * col("n_keys") * lit(1.0) / col("n_rows"), 6)
+            .as("skew_ratio"),
+          (col("max_freq") * col("n_keys") > col("n_rows") * 4)
+            .as("needs_salting"))
+        .orderBy("key_col")
+    },
+
+    // ---- referential-integrity audit across the star schema's edges:
+    //      orphaned children (FK with no parent) and childless parents,
+    //      one row per relationship.
+    QueryDef.checked(
+      "q_ri_audit",
+      """WITH rels AS (
+        |  SELECT 'lineitem->orders' AS rel,
+        |    (SELECT count(*) FROM lineitem) AS n_child,
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+        |    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |      (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)) AS n_childless
+        |  UNION ALL
+        |  SELECT 'lineitem->part',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)),
+        |    (SELECT count(*) FROM part p WHERE NOT EXISTS
+        |      (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey))
+        |  UNION ALL
+        |  SELECT 'lineitem->supplier',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)),
+        |    (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+        |      (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey))
+        |  UNION ALL
+        |  SELECT 'orders->customer',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        |    (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+        |  UNION ALL
+        |  SELECT 'customer->nation',
+        |    (SELECT count(*) FROM customer),
+        |    (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)),
+        |    (SELECT count(*) FROM nation n WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey))
+        |)
+        |SELECT rel, CAST(n_child AS BIGINT) AS n_child,
+        |  CAST(n_orphans AS BIGINT) AS n_orphans,
+        |  CAST(n_childless AS BIGINT) AS n_childless,
+        |  n_orphans = 0 AS fk_valid
+        |FROM rels ORDER BY rel""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      def audit(rel: String, child: org.apache.spark.sql.DataFrame,
+          ckey: String, parent: org.apache.spark.sql.DataFrame,
+          pkey: String): org.apache.spark.sql.DataFrame = {
+        // orphans: anti join child→parent (parent side broadcast-sized
+        // for dims); childless: parent anti-joined against the DISTINCT
+        // child keys so only key cardinality crosses the wire
+        val nChild = child.agg(count(lit(1)).cast("long").as("n_child"))
+        val orphans = child.select(col(ckey))
+          .join(broadcast(parent.select(col(pkey))), col(ckey) === col(pkey),
+            "left_anti")
+          .agg(count(lit(1)).cast("long").as("n_orphans"))
+        val childless = parent.select(col(pkey))
+          .join(child.select(col(ckey)).distinct(), col(pkey) === col(ckey),
+            "left_anti")
+          .agg(count(lit(1)).cast("long").as("n_childless"))
+        nChild.crossJoin(broadcast(orphans)).crossJoin(broadcast(childless))
+          .select(lit(rel).as("rel"), col("n_child"), col("n_orphans"),
+            col("n_childless"), (col("n_orphans") === 0).as("fk_valid"))
+      }
+      audit("lineitem->orders", t.lineitem, "l_orderkey", t.orders, "o_orderkey")
+        .unionAll(audit("lineitem->part", t.lineitem, "l_partkey", t.part, "p_partkey"))
+        .unionAll(audit("lineitem->supplier", t.lineitem, "l_suppkey", t.supplier, "s_suppkey"))
+        .unionAll(audit("orders->customer", t.orders, "o_custkey", t.customer, "c_custkey"))
+        .unionAll(audit("customer->nation", t.customer, "c_nationkey", t.nation, "n_nationkey"))
+        .orderBy("rel")
+    }
+  )
+}
