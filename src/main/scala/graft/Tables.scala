@@ -75,11 +75,17 @@ object Tables {
     * no-op-sized shuffle; at bench scale it is the difference between
     * 1-way and N-way execution of the expensive stage (measured 5× on
     * the bootstrap-replica MD5 expansion at sf0.1). */
-  def spread(df: DataFrame): DataFrame = {
+  def spread(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // no-op when the scan already arrives with enough splits (the
     // production case) — the repartition exists for the few-split
-    // small-table case, where it moves only the small pre-expansion rows
-    if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
+    // small-table case, where it moves only the small pre-expansion
+    // rows. CAVEAT: the split-count probe goes through .rdd, which
+    // under AQE finalizes the physical plan — call spread only on
+    // scan-stage DataFrames (no upstream exchanges); a post-shuffle
+    // relation would have its upstream stages executed EAGERLY here.
+    if (df.rdd.getNumPartitions >= n) df
+    else if (keys.nonEmpty) df.repartition(n, keys: _*)
+    else df.repartition(n)
   }
 }

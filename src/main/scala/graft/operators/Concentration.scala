@@ -262,8 +262,9 @@ object Concentration {
         |)
         |SELECT count(*) AS n_viewers,
         |  (SELECT count(*) FROM converted) AS n_converted_24h,
-        |  round((SELECT count(*) FROM converted) * 1.0 / count(*), 6)
-        |    AS conversion_rate
+        |  CASE WHEN count(*) = 0 THEN NULL
+        |    ELSE round((SELECT count(*) FROM converted) * 1.0 / count(*), 6)
+        |  END AS conversion_rate
         |FROM first_view""".stripMargin) { (spark, dir) =>
       val ev = Tables(spark, dir).events
       val firstView = ev.filter(col("event_type") === "view")
@@ -279,8 +280,11 @@ object Concentration {
       firstView.agg(count(lit(1)).as("n_viewers"))
         .crossJoin(broadcast(converted))
         .select(col("n_viewers"), col("n_converted_24h"),
-          round(col("n_converted_24h") * lit(1.0) / col("n_viewers"), 6)
-            .as("conversion_rate"))
+          // guard the empty-viewers corpus: Spark's 0/0 is NULL while
+          // DuckDB's is NaN — make the degenerate case NULL on both
+          when(col("n_viewers") === 0, lit(null).cast("double"))
+            .otherwise(round(col("n_converted_24h") * lit(1.0) /
+              col("n_viewers"), 6)).as("conversion_rate"))
     }
   )
 }

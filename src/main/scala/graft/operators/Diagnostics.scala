@@ -39,17 +39,24 @@ object Diagnostics {
         |), fc AS (
         |  SELECT o_custkey AS k, count(*) AS f FROM orders GROUP BY o_custkey
         |), s AS (
-        |  -- deterministic argmax: enc = f·2^32 − k picks the highest
-        |  -- frequency, smallest key; decoded below
+        |  -- deterministic argmax: enc = f·10^19 − k picks the highest
+        |  -- frequency then the smallest key; DECIMAL(38,0) arithmetic
+        |  -- cannot overflow for any BIGINT key and any realistic f
         |  SELECT 'lineitem.l_suppkey' AS key_col, sum(f) AS n_rows,
         |    count(*) AS n_keys, max(f) AS max_freq,
-        |    max(f) * 4294967296 - max(f * 4294967296 - k) AS top_key FROM fs
+        |    CAST(CAST(max(f) AS DECIMAL(38,0)) * 10000000000000000000
+        |      - max(CAST(f AS DECIMAL(38,0)) * 10000000000000000000 - k)
+        |      AS BIGINT) AS top_key FROM fs
         |  UNION ALL
         |  SELECT 'lineitem.l_partkey', sum(f), count(*), max(f),
-        |    max(f) * 4294967296 - max(f * 4294967296 - k) FROM fp
+        |    CAST(CAST(max(f) AS DECIMAL(38,0)) * 10000000000000000000
+        |      - max(CAST(f AS DECIMAL(38,0)) * 10000000000000000000 - k)
+        |      AS BIGINT) FROM fp
         |  UNION ALL
         |  SELECT 'orders.o_custkey', sum(f), count(*), max(f),
-        |    max(f) * 4294967296 - max(f * 4294967296 - k) FROM fc
+        |    CAST(CAST(max(f) AS DECIMAL(38,0)) * 10000000000000000000
+        |      - max(CAST(f AS DECIMAL(38,0)) * 10000000000000000000 - k)
+        |      AS BIGINT) FROM fc
         |)
         |SELECT key_col, CAST(n_rows AS BIGINT) AS n_rows,
         |  CAST(n_keys AS BIGINT) AS n_keys,
@@ -60,6 +67,8 @@ object Diagnostics {
         |  max_freq * n_keys > n_rows * 4 AS needs_salting
         |FROM s ORDER BY key_col""".stripMargin) { (spark, dir) =>
       val t = Tables(spark, dir)
+      val dec38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val enc19 = lit("10000000000000000000").cast(dec38)
       def profile(label: String, df: org.apache.spark.sql.DataFrame,
           key: String): org.apache.spark.sql.DataFrame =
         df.groupBy(col(key).as("k")).agg(count(lit(1)).as("f"))
@@ -67,10 +76,12 @@ object Diagnostics {
             count(lit(1)).cast("long").as("n_keys"),
             max(col("f")).cast("long").as("max_freq"),
             // deterministic argmax (highest freq, smallest key): the
-            // enc = f·2^32 − k trick — min_by/max_by tie-break is
-            // engine-defined, an integer encoding is not
-            (max(col("f")) * lit(4294967296L) -
-              max(col("f") * lit(4294967296L) - col("k").cast("long")))
+            // enc = f·10^19 − k trick — min_by/max_by tie-break is
+            // engine-defined, an arithmetic encoding is not. 10^19
+            // exceeds every BIGINT key, and DECIMAL(38,0) holds
+            // f·10^19 for f up to 10^19 — no overflow at any scale
+            (max(col("f")).cast(dec38) * enc19 -
+              max(col("f").cast(dec38) * enc19 - col("k").cast(dec38)))
               .cast("long").as("top_key"))
           .select(lit(label).as("key_col"), col("n_rows"), col("n_keys"),
             col("max_freq"), col("top_key"))
@@ -136,14 +147,18 @@ object Diagnostics {
       val t = Tables(spark, dir)
       def audit(rel: String, child: org.apache.spark.sql.DataFrame,
           ckey: String, parent: org.apache.spark.sql.DataFrame,
-          pkey: String): org.apache.spark.sql.DataFrame = {
-        // orphans: anti join child→parent (parent side broadcast-sized
-        // for dims); childless: parent anti-joined against the DISTINCT
-        // child keys so only key cardinality crosses the wire
+          pkey: String, broadcastParent: Boolean = true)
+          : org.apache.spark.sql.DataFrame = {
+        // orphans: anti join child→parent — the parent key set is
+        // broadcast ONLY for dimension-sized parents; a fact-sized
+        // parent (orders under lineitem) shuffles on the key instead.
+        // childless: parent anti-joined against the DISTINCT child
+        // keys so only key cardinality crosses the wire
+        val parentKeys = parent.select(col(pkey))
         val nChild = child.agg(count(lit(1)).cast("long").as("n_child"))
         val orphans = child.select(col(ckey))
-          .join(broadcast(parent.select(col(pkey))), col(ckey) === col(pkey),
-            "left_anti")
+          .join(if (broadcastParent) broadcast(parentKeys) else parentKeys,
+            col(ckey) === col(pkey), "left_anti")
           .agg(count(lit(1)).cast("long").as("n_orphans"))
         val childless = parent.select(col(pkey))
           .join(child.select(col(ckey)).distinct(), col(pkey) === col(ckey),
@@ -153,7 +168,8 @@ object Diagnostics {
           .select(lit(rel).as("rel"), col("n_child"), col("n_orphans"),
             col("n_childless"), (col("n_orphans") === 0).as("fk_valid"))
       }
-      audit("lineitem->orders", t.lineitem, "l_orderkey", t.orders, "o_orderkey")
+      audit("lineitem->orders", t.lineitem, "l_orderkey", t.orders,
+          "o_orderkey", broadcastParent = false)
         .unionAll(audit("lineitem->part", t.lineitem, "l_partkey", t.part, "p_partkey"))
         .unionAll(audit("lineitem->supplier", t.lineitem, "l_suppkey", t.supplier, "s_suppkey"))
         .unionAll(audit("orders->customer", t.orders, "o_custkey", t.customer, "c_custkey"))

@@ -92,6 +92,8 @@ object GraphRank {
       // on); at scale this is the relation you bucket by src. The
       // explicit count keeps the iteration joins N-way — AQE sizes by
       // bytes and would serialize the kilobyte-scale rank joins.
+      // (Deliberately NOT Tables.spread: ed sits above a join, and
+      // spread's split-count probe would execute those stages eagerly.)
       val shuffleN = spark.conf.get("spark.sql.shuffle.partitions").toInt
       val ed = edges.join(deg, Seq("src"))
         .repartition(shuffleN, col("src")).localCheckpoint()

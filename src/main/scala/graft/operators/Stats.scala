@@ -419,12 +419,10 @@ object Stats {
           expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
       // the single small parquet split would otherwise run the whole
       // ×32-replica MD5 expansion in ONE task; spread the (tiny) base
-      // BEFORE the explode so the heavy stage is partition-parallel.
-      // The partition count is EXPLICIT — AQE would coalesce a
-      // byte-sized shuffle back to one partition, re-serializing the
-      // compute-bound stage downstream of it.
-      val shuffleN = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      val weighted = base.repartition(shuffleN, col("o_orderkey"))
+      // BEFORE the explode so the heavy stage is partition-parallel
+      // (Tables.spread: explicit count, so AQE cannot coalesce the
+      // byte-small but compute-heavy stage back to one partition)
+      val weighted = Tables.spread(base, col("o_orderkey"))
         .select(col("o_orderkey"), col("cents"),
           explode(sequence(lit(0), lit(31))).as("j"))
         .withColumn("u",
