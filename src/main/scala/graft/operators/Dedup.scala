@@ -65,7 +65,7 @@ object Dedup {
       .distinct()
 
   /** Distinct (doc_id, h) pairs — shingles reduced to their 30-bit hash. */
-  private def hashedGrams(docs: DataFrame): DataFrame =
+  private[operators] def hashedGrams(docs: DataFrame): DataFrame =
     gramRelation(docs)
       .select(col("doc_id"), (md5h64(col("gram")) % 1073741824L).as("h"))
 
@@ -119,7 +119,7 @@ object Dedup {
     minhashPairsFromHg(hashedGrams(docs))
 
   /** [[minhashPairs]] over a pre-materialized shingle relation. */
-  private def minhashPairsFromHg(hg: DataFrame): DataFrame = {
+  private[operators] def minhashPairsFromHg(hg: DataFrame): DataFrame = {
     val sigs = minhashSigsFromHg(hg, 8)
     // materialize the (doc, band, bucket) relation once: the self-join's
     // two shuffle-map stages are independent, so without this each side

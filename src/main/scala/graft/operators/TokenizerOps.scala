@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Tokenizer-training and pipeline-evaluation operators: the first BPE
+  * merge round (character-pair frequencies — what a tokenizer trainer
+  * computes over the corpus before anything else), a precision/recall
+  * evaluation of the MinHash-LSH dedup candidates against exact
+  * Jaccard ground truth (the measurement that justifies the sketch),
+  * and per-source KL divergence against the corpus unigram
+  * distribution (the DoReMi-style domain-distinctiveness signal that
+  * feeds mixture weighting).
+  *
+  * Scale stance (100 TB):
+  *   - [[q_bpe_pairs]] is explode → hash-aggregate on the pair string:
+  *     pair cardinality is alphabet², so the shuffle is constant-size;
+  *     the explosion is linear in corpus characters and partition-
+  *     parallel. Real BPE iterates this with the previous merges
+  *     applied — each round is this same one-pass shape.
+  *   - [[q_lsh_eval]] computes ground truth only over pairs sharing a
+  *     hashed shingle (an inverted-index self-join on the shingle hash
+  *     — the only pairs with nonzero Jaccard), never all-pairs. The
+  *     shared-shingle join is the classic Σdf² blowup; at the target a
+  *     df cap drops stop-shingles first (mirrored into the oracle if
+  *     applied — here the synthetic corpus needs no cap).
+  *   - [[q_source_kl]] reuses the unigram-profile shape: per-source
+  *     term frequencies (one shuffle on (source, tok)), corpus
+  *     frequencies (vocab-sized, broadcast back), KL terms accumulated
+  *     in fixed-point so the sum is partition-invariant.
+  */
+object TokenizerOps {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- first BPE merge round: top-20 within-word character pairs.
+    QueryDef.checked(
+      "q_bpe_pairs",
+      """WITH words AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        |), cpairs AS (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> substring(w, CAST(i AS INT), 2))) AS pair
+        |  FROM words WHERE len(w) >= 2
+        |), counted AS (
+        |  SELECT pair, count(*) AS n FROM cpairs GROUP BY pair
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT)
+        |    AS rank,
+        |  pair, n
+        |FROM counted
+        |ORDER BY n DESC, pair
+        |LIMIT 20""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("n").desc, col("pair")))
+            .cast("long"))
+        .select("rank", "pair", "n")
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    },
+
+    // ---- LSH candidate quality: precision/recall of the banded
+    //      MinHash pairs against exact Jaccard >= 0.5 ground truth
+    //      computed over shingle-sharing pairs (inverted index join —
+    //      exact for every pair with nonzero overlap).
+    QueryDef.checked(
+      "q_lsh_eval",
+      s"""WITH ${Dedup.duckPairsCtes},
+        |sz AS (
+        |  SELECT doc_id, count(*) AS n FROM hg GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM hg a JOIN hg b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |), truth AS (
+        |  SELECT i.doc_a, i.doc_b
+        |  FROM inter i
+        |  JOIN sz sa ON sa.doc_id = i.doc_a
+        |  JOIN sz sb ON sb.doc_id = i.doc_b
+        |  WHERE i.n_inter * 2 >= sa.n + sb.n - i.n_inter
+        |), m AS (
+        |  SELECT
+        |    (SELECT count(*) FROM truth) AS n_truth,
+        |    (SELECT count(*) FROM pairs) AS n_candidates,
+        |    (SELECT count(*) FROM pairs p JOIN truth t
+        |       ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b) AS n_tp
+        |)
+        |SELECT CAST(n_truth AS BIGINT) AS n_truth,
+        |  CAST(n_candidates AS BIGINT) AS n_candidates,
+        |  CAST(n_tp AS BIGINT) AS n_tp,
+        |  CASE WHEN n_candidates = 0 THEN NULL
+        |    ELSE round(n_tp * 1.0 / n_candidates, 6) END AS precision,
+        |  CASE WHEN n_truth = 0 THEN NULL
+        |    ELSE round(n_tp * 1.0 / n_truth, 6) END AS recall
+        |FROM m""".stripMargin) { (spark, dir) =>
+      val hg = Dedup.hashedGrams(Tables(spark, dir).documents)
+        .localCheckpoint() // feeds the LSH pipeline, sizes, and the truth join
+      val cand = Dedup.minhashPairsFromHg(hg)
+        .select("doc_a", "doc_b").localCheckpoint()
+      val sz = hg.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = hg.toDF("doc_a", "h")
+        .join(hg.toDF("doc_b", "h2"),
+          col("h") === col("h2") && col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+      val truth = inter
+        .join(broadcast(sz.toDF("doc_a", "n_a")), Seq("doc_a"))
+        .join(broadcast(sz.toDF("doc_b", "n_b")), Seq("doc_b"))
+        .filter(col("n_inter") * 2 >= col("n_a") + col("n_b") - col("n_inter"))
+        .select("doc_a", "doc_b").localCheckpoint()
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      val nTp = cand.join(truth, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("n_tp"))
+      nTruth.crossJoin(broadcast(nCand)).crossJoin(broadcast(nTp))
+        .select(col("n_truth").cast("long").as("n_truth"),
+          col("n_candidates").cast("long").as("n_candidates"),
+          col("n_tp").cast("long").as("n_tp"),
+          when(col("n_candidates") === 0, lit(null).cast("double"))
+            .otherwise(round(col("n_tp") * lit(1.0) / col("n_candidates"), 6))
+            .as("precision"),
+          when(col("n_truth") === 0, lit(null).cast("double"))
+            .otherwise(round(col("n_tp") * lit(1.0) / col("n_truth"), 6))
+            .as("recall"))
+    },
+
+    // ---- per-source KL divergence vs the corpus unigram distribution:
+    //      KL(P_src ‖ P_corpus) = Σ p_s·ln(p_s/p_c), terms accumulated
+    //      in 1e-9 fixed-point (the duckNllCtes discipline).
+    QueryDef.checked(
+      "q_source_kl",
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), srctok AS (
+        |  SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok
+        |), srctot AS (
+        |  SELECT source, sum(c) AS t FROM srctok GROUP BY source
+        |), corptok AS (
+        |  SELECT tok, sum(c) AS cc FROM srctok GROUP BY tok
+        |), corptot AS (
+        |  SELECT sum(cc) AS tc FROM corptok
+        |), terms AS (
+        |  SELECT s.source,
+        |    CAST(round((s.c / st.t) * ln((s.c * ct.tc) / (st.t * c.cc))
+        |      * 1000000000) AS BIGINT) AS term_fp
+        |  FROM srctok s
+        |  JOIN srctot st ON st.source = s.source
+        |  JOIN corptok c ON c.tok = s.tok
+        |  CROSS JOIN corptot ct
+        |)
+        |SELECT source, count(*) AS vocab,
+        |  round(sum(term_fp) / 1000000000.0, 6) AS kl_nats
+        |FROM terms GROUP BY source
+        |ORDER BY source""".stripMargin) { (spark, dir) =>
+      val srctok = Tables(spark, dir).documents
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds per-source totals, corpus totals, terms
+      val srctot = srctok.groupBy("source").agg(sum(col("c")).as("t"))
+      val corptok = srctok.groupBy("tok").agg(sum(col("c")).as("cc"))
+      val corptot = corptok.agg(sum(col("cc")).as("tc"))
+      srctok
+        .join(broadcast(srctot), Seq("source"))
+        .join(broadcast(corptok), Seq("tok"))
+        .crossJoin(broadcast(corptot))
+        .select(col("source"),
+          expr("""CAST(round((c / t) * ln((c * tc) / (t * cc))
+                 |  * 1000000000) AS BIGINT)""".stripMargin).as("term_fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("vocab"),
+          round(sum(col("term_fp")) / lit(1000000000.0), 6).as("kl_nats"))
+        .orderBy("source")
+    }
+  )
+}
