@@ -23,7 +23,8 @@ object SparkEntry {
       Training.defs ++ SqlSurface.defs ++ Curation.defs ++ Modern.defs ++
       Packing.defs ++ Retrieval.defs ++ VectorCuration.defs ++
       GraphRank.defs ++ Profiling.defs ++ Concentration.defs ++
-      Intervals.defs ++ Diagnostics.defs ++ TokenizerOps.defs
+      Intervals.defs ++ Diagnostics.defs ++ TokenizerOps.defs ++
+      Governance.defs ++ Inference.defs
 
   require(allDefs.map(_.name).distinct.size == allDefs.size,
     "duplicate query names across operator families")

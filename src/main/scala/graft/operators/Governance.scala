@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-governance operators: the privacy-audit and evaluation-hygiene
+  * checks a curation pipeline runs before a dataset ships — k-anonymity
+  * / l-diversity over quasi-identifier groups, score-calibration
+  * (reliability) bins for a propensity signal, and the time-ordered
+  * train/validation split with an embargo gap (the "purged" split that
+  * keeps temporally adjacent rows from leaking across the boundary).
+  *
+  * Scale stance (100 TB):
+  *   - [[q_kanon_audit]] reduces the fact side FIRST: the sensitive
+  *     attribute is deduplicated to distinct (entity, value) pairs —
+  *     bounded by |entities| × |domain|, not fact rows — before the
+  *     dimension join, so the audit's shuffle is entity-sized. The
+  *     QI-group aggregate output is capped by the QI-domain product.
+  *   - [[q_calibration]] uses a global ntile only because the bin
+  *     count is 10 and the scored relation here is small; the
+  *     production cut computes approx_percentile bounds (one pass,
+  *     mergeable sketch) and bins by range — noted inline.
+  *   - [[q_purged_split]] derives its cut dates from a 2-row bounds
+  *     aggregate broadcast back over the facts — one scan for bounds,
+  *     one scan to label; no shuffle beyond the final per-split
+  *     aggregate (3 output rows).
+  *
+  * Numeric discipline: group sizes and distinct counts are integers;
+  * calibration means divide exact DECIMAL/INT sums as the last step
+  * ([[Parity]] rules).
+  */
+object Governance {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- k-anonymity + l-diversity audit: QI = (nation, segment,
+    //      sign of balance); sensitive = order priority reached via
+    //      the customer's orders. A group violates k-anon if fewer
+    //      than 5 members share its QI, l-diversity if its members'
+    //      orders expose fewer than 2 distinct priorities.
+    QueryDef.checked(
+      "q_kanon_audit",
+      """WITH sens AS (
+        |  SELECT DISTINCT o_custkey, o_orderpriority FROM orders
+        |), qi AS (
+        |  SELECT c.c_nationkey, c.c_mktsegment,
+        |    c.c_acctbal >= 0 AS bal_pos,
+        |    count(DISTINCT c.c_custkey) AS n_members,
+        |    count(DISTINCT s.o_orderpriority) AS n_sensitive
+        |  FROM customer c LEFT JOIN sens s ON s.o_custkey = c.c_custkey
+        |  GROUP BY c.c_nationkey, c.c_mktsegment, c.c_acctbal >= 0
+        |)
+        |SELECT c_nationkey, c_mktsegment, bal_pos, n_members, n_sensitive,
+        |  n_members < 5 AS k_violation,
+        |  n_sensitive < 2 AS l_violation
+        |FROM qi
+        |ORDER BY c_nationkey, c_mktsegment, bal_pos""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      // fact-side reduction first: distinct (custkey, priority) pairs are
+      // bounded by |customer| × 5 priorities, so the join input is
+      // entity-sized no matter how many orders exist
+      val sens = t.orders.select("o_custkey", "o_orderpriority").distinct()
+      t.customer
+        .join(sens, col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          (col("c_acctbal") >= 0).as("bal_pos"))
+        .agg(countDistinct(col("c_custkey")).as("n_members"),
+          countDistinct(col("o_orderpriority")).as("n_sensitive"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("bal_pos"),
+          col("n_members"), col("n_sensitive"),
+          (col("n_members") < 5).as("k_violation"),
+          (col("n_sensitive") < 2).as("l_violation"))
+        .orderBy("c_nationkey", "c_mktsegment", "bal_pos")
+    },
+
+    // ---- reliability bins: decile-bin the event `value` as a
+    //      propensity score, report per-bin mean score vs realized
+    //      purchase rate (the calibration curve's input table).
+    QueryDef.checked(
+      "q_calibration",
+      """WITH scored AS (
+        |  SELECT event_id, CAST(value AS DECIMAL(12,2)) AS score,
+        |    CAST(event_type = 'purchase' AS INT) AS pos
+        |  FROM events
+        |), binned AS (
+        |  SELECT score, pos,
+        |    ntile(10) OVER (ORDER BY score, event_id) AS bin
+        |  FROM scored
+        |)
+        |SELECT bin, count(*) AS n,
+        |  CAST(CAST(sum(score) AS DOUBLE) / count(*) AS DOUBLE) AS mean_score,
+        |  CAST(CAST(sum(pos) AS DOUBLE) / count(*) AS DOUBLE) AS pos_rate
+        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin) { (spark, dir) =>
+      // global ntile is fine at 10 bins over this corpus; the production
+      // binning computes approx_percentile cut points (mergeable sketch,
+      // one pass) and assigns bins by range comparison instead
+      val scored = Tables(spark, dir).events
+        .select(col("event_id"),
+          col("value").cast("decimal(12,2)").as("score"),
+          (col("event_type") === "purchase").cast("int").as("pos"))
+      scored
+        .withColumn("bin",
+          ntile(10).over(Window.orderBy("score", "event_id")))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("score")).cast("double") / count(lit(1)))
+            .cast("double").as("mean_score"),
+          (sum(col("pos")).cast("double") / count(lit(1)))
+            .cast("double").as("pos_rate"))
+        .orderBy("bin")
+    },
+
+    // ---- purged temporal split: train < cut, a 7-day embargo dropped,
+    //      validation after — per-split row counts and date coverage.
+    //      The cut sits 70% through the observed date span (integer-day
+    //      arithmetic on both sides).
+    QueryDef.checked(
+      "q_purged_split",
+      """WITH b AS (
+        |  SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+        |    CAST(max(o_orderdate) AS DATE) AS d1
+        |  FROM orders
+        |), lab AS (
+        |  SELECT CASE
+        |      WHEN CAST(o_orderdate AS DATE) <
+        |        d0 + CAST(date_diff('day', d0, d1) * 7 // 10 AS INT)
+        |        THEN 'train'
+        |      WHEN CAST(o_orderdate AS DATE) <
+        |        d0 + CAST(date_diff('day', d0, d1) * 7 // 10 + 7 AS INT)
+        |        THEN 'embargo'
+        |      ELSE 'val' END AS split,
+        |    CAST(o_orderdate AS DATE) AS d
+        |  FROM orders, b
+        |)
+        |SELECT split, count(*) AS n, min(d) AS d_min, max(d) AS d_max
+        |FROM lab GROUP BY split ORDER BY split""".stripMargin) { (spark, dir) =>
+      val orders = Tables(spark, dir).orders
+      // bounds: a 1-row aggregate cross-joined (broadcast) back over the
+      // facts — the standard scalar-broadcast shape for derived cutoffs
+      val b = orders.agg(
+        to_date(min(col("o_orderdate"))).as("d0"),
+        to_date(max(col("o_orderdate"))).as("d1"))
+      orders.crossJoin(broadcast(b))
+        .select(to_date(col("o_orderdate")).as("d"),
+          col("d0"), col("d1"))
+        .withColumn("cut_days",
+          expr("(datediff(d1, d0) * 7) div 10").cast("int"))
+        .withColumn("split",
+          when(col("d") < expr("date_add(d0, cut_days)"), "train")
+            .when(col("d") < expr("date_add(d0, cut_days + 7)"), "embargo")
+            .otherwise("val"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"),
+          min(col("d")).as("d_min"), max(col("d")).as("d_max"))
+        .orderBy("split")
+    }
+  )
+}

@@ -120,6 +120,63 @@ object Intervals {
         .agg(count(lit(1)).as("n"),
           sumMoney(col("l_extendedprice")).as("revenue"))
         .orderBy("qty_bin", "price_bin")
+    },
+
+    // ---- EWMA smoothing of the daily order count with dyadic decay
+    //      (weights 2^-lag over a 7-day window). Dyadic weights make
+    //      the weighted sum an INTEGER numerator — one double division
+    //      at the end, so the smoothed series is bit-reproducible
+    //      under any partitioning (a float alpha would not be).
+    QueryDef.checked(
+      "q_ewma",
+      """WITH b AS (
+        |  SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+        |    CAST(max(o_orderdate) AS DATE) AS d1 FROM orders
+        |), spine AS (
+        |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+        |    AS day FROM b
+        |), daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+        |  FROM orders GROUP BY 1
+        |), grid AS (
+        |  SELECT s.day, coalesce(d.n, 0) AS n
+        |  FROM spine s LEFT JOIN daily d ON d.day = s.day
+        |), lagged AS (
+        |  SELECT day, n,
+        |    64*n + 32*coalesce(lag(n,1) OVER (ORDER BY day),0)
+        |    + 16*coalesce(lag(n,2) OVER (ORDER BY day),0)
+        |    + 8*coalesce(lag(n,3) OVER (ORDER BY day),0)
+        |    + 4*coalesce(lag(n,4) OVER (ORDER BY day),0)
+        |    + 2*coalesce(lag(n,5) OVER (ORDER BY day),0)
+        |    + coalesce(lag(n,6) OVER (ORDER BY day),0) AS num
+        |  FROM grid
+        |)
+        |SELECT day, CAST(n AS BIGINT) AS n_orders,
+        |  CAST(CAST(num AS DOUBLE)/127.0 AS DOUBLE) AS ewma
+        |FROM lagged ORDER BY day""".stripMargin) { (spark, dir) =>
+      val orders = Tables(spark, dir).orders
+      val b = orders.agg(
+        to_date(min(col("o_orderdate"))).as("d0"),
+        to_date(max(col("o_orderdate"))).as("d1"))
+      val spine = b.select(
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      // daily pre-aggregation caps the windowed relation at one row per
+      // day — the global ORDER BY day window runs over days, not facts;
+      // a per-entity EWMA partitions the same window by the entity key
+      val daily = orders
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy("day")
+      def lagged(k: Int): org.apache.spark.sql.Column =
+        coalesce(lag(col("n"), k).over(w), lit(0L))
+      val num = lit(64L) * col("n") + lit(32L) * lagged(1) +
+        lit(16L) * lagged(2) + lit(8L) * lagged(3) + lit(4L) * lagged(4) +
+        lit(2L) * lagged(5) + lagged(6)
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+        .select(col("day"), col("n").cast("long").as("n_orders"),
+          (num.cast("double") / lit(127.0)).cast("double").as("ewma"))
+        .orderBy("day")
     }
   )
 }

@@ -177,6 +177,83 @@ object TokenizerOps {
         .agg(count(lit(1)).as("vocab"),
           round(sum(col("term_fp")) / lit(1000000000.0), 6).as("kl_nats"))
         .orderBy("source")
+    },
+
+    // ---- three BPE merge rounds: the iterative trainer itself. Each
+    //      round is ONE distributed pair-count pass over the current
+    //      symbolization; only the winning pair (a scalar) comes back
+    //      to the driver, and the merge is re-applied lazily as a
+    //      string rewrite — the exact loop shape a 50k-merge trainer
+    //      runs, with periodic checkpoints replacing the replace-chain
+    //      lineage at production merge counts.
+    QueryDef.checked(
+      "q_bpe_train",
+      """WITH w0 AS (
+        |  SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) >= 1
+        |),
+        |a1 AS (SELECT string_split(trim(s), ' ') AS a FROM w0),
+        |p1 AS (
+        |  SELECT p.l AS l, p.r AS r, count(*) AS n FROM (
+        |    SELECT unnest(list_transform(range(1, len(a)),
+        |      i -> {'l': a[i], 'r': a[i+1]})) AS p FROM a1)
+        |  GROUP BY 1, 2
+        |),
+        |t1 AS (SELECT l, r, n FROM p1 ORDER BY n DESC, l, r LIMIT 1),
+        |w1 AS (SELECT replace(s, ' ' || t1.l || ' ' || t1.r || ' ',
+        |  ' ' || t1.l || t1.r || ' ') AS s FROM w0, t1),
+        |a2 AS (SELECT string_split(trim(s), ' ') AS a FROM w1),
+        |p2 AS (
+        |  SELECT p.l AS l, p.r AS r, count(*) AS n FROM (
+        |    SELECT unnest(list_transform(range(1, len(a)),
+        |      i -> {'l': a[i], 'r': a[i+1]})) AS p FROM a2)
+        |  GROUP BY 1, 2
+        |),
+        |t2 AS (SELECT l, r, n FROM p2 ORDER BY n DESC, l, r LIMIT 1),
+        |w2 AS (SELECT replace(s, ' ' || t2.l || ' ' || t2.r || ' ',
+        |  ' ' || t2.l || t2.r || ' ') AS s FROM w1, t2),
+        |a3 AS (SELECT string_split(trim(s), ' ') AS a FROM w2),
+        |p3 AS (
+        |  SELECT p.l AS l, p.r AS r, count(*) AS n FROM (
+        |    SELECT unnest(list_transform(range(1, len(a)),
+        |      i -> {'l': a[i], 'r': a[i+1]})) AS p FROM a3)
+        |  GROUP BY 1, 2
+        |),
+        |t3 AS (SELECT l, r, n FROM p3 ORDER BY n DESC, l, r LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS round, l, r, l||r AS merged, n FROM t1
+        |  UNION ALL SELECT 2, l, r, l||r, n FROM t2
+        |  UNION ALL SELECT 3, l, r, l||r, n FROM t3
+        |) ORDER BY round""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val words = Tables(spark, dir).documents
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+      // " h e l l o " — space-separated symbols with sentinel spaces so
+      // a merge is a plain substring rewrite (greedy left-to-right,
+      // non-overlapping: exactly BPE's application order)
+      var syms = words.select(
+        concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("s"))
+      val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+      for (round <- 1 to 3) {
+        val top = syms
+          .select(split(trim(col("s")), " ").as("a"))
+          .filter(size(col("a")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(a) - 2)," +
+              " i -> struct(a[i] AS l, a[i + 1] AS r))")).as("p"))
+          .select(col("p.l").as("l"), col("p.r").as("r"))
+          .groupBy("l", "r").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("l"), col("r"))
+          .limit(1)
+          .collect()(0)
+        val (l, r, n) = (top.getString(0), top.getString(1), top.getLong(2))
+        merges += ((round.toLong, l, r, l + r, n))
+        // symbols are [a-z] by construction, safe to inline in the expr
+        syms = syms.select(expr(s"replace(s, ' $l $r ', ' $l$r ')").as("s"))
+      }
+      merges.result().toDF("round", "l", "r", "merged", "n")
     }
   )
 }
