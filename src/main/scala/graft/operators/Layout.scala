@@ -273,6 +273,38 @@ object Layout {
         .agg(count(lit(1)).as("n"),
           min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))
         .orderBy("bucket")
+    },
+
+    // ---- zone-map effectiveness report: per orderkey-width-1024 bucket
+    //      (a stand-in for a data file), the min/max zone of the
+    //      CLUSTERED key vs an UNCLUSTERED column, and whether a range
+    //      predicate on each could skip the bucket. The point the report
+    //      makes is the layout lesson itself: the clustered key's zones
+    //      are tight (most buckets skip), the unclustered column's zones
+    //      span the domain (nothing skips) — which is why Z-order /
+    //      range clustering exists. One hash aggregate, bucket-count
+    //      output; file-level min/max at the target comes free from
+    //      parquet footers.
+    QueryDef.checked(
+      "q_zonemap_report",
+      """SELECT l_orderkey // 1024 AS bucket, count(*) AS n_rows,
+        |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+        |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+        |  max(l_orderkey) < 10000 OR min(l_orderkey) > 12000
+        |    AS skip_clustered,
+        |  max(l_partkey) < 1000 OR min(l_partkey) > 1200
+        |    AS skip_unclustered
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).lineitem
+        .groupBy(expr("l_orderkey div 1024").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"),
+          min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"))
+        .select(col("bucket"), col("n_rows"),
+          col("min_ok"), col("max_ok"), col("min_pk"), col("max_pk"),
+          (col("max_ok") < 10000 || col("min_ok") > 12000).as("skip_clustered"),
+          (col("max_pk") < 1000 || col("min_pk") > 1200).as("skip_unclustered"))
+        .orderBy("bucket")
     }
   )
 }

@@ -348,6 +348,50 @@ object Packing {
           col("q").as("keep_quality"), col("n_docs"),
           (col("n_docs") - 1).as("n_dropped"))
         .orderBy("cluster_id")
+    },
+
+    // ---- epoch/repeat schedule: given a uniform target mix (total
+    //      corpus tokens ÷ 20 sources), how many epochs of each source
+    //      to take (capped at 4 — the repetition-harm ceiling), how many
+    //      tokens that plans, and the shortfall where even 4 epochs
+    //      can't fill the target. Pure integer arithmetic over one
+    //      source-sized aggregate; the scalar total broadcasts back.
+    QueryDef.checked(
+      "q_epoch_plan",
+      """WITH avail AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+        |  FROM documents GROUP BY source
+        |), tot AS (
+        |  SELECT CAST(sum(avail_tokens) AS BIGINT) AS total FROM avail
+        |), plan AS (
+        |  SELECT a.source, a.avail_tokens, t.total // 20 AS target_tokens,
+        |    least((t.total // 20 + a.avail_tokens - 1) // a.avail_tokens, 4)
+        |      AS repeat_epochs
+        |  FROM avail a, tot t
+        |)
+        |SELECT source, avail_tokens, target_tokens,
+        |  CAST(repeat_epochs AS BIGINT) AS repeat_epochs,
+        |  least(avail_tokens * repeat_epochs, target_tokens) AS planned_tokens,
+        |  target_tokens - least(avail_tokens * repeat_epochs, target_tokens)
+        |    AS shortfall
+        |FROM plan ORDER BY source""".stripMargin) { (spark, dir) =>
+      val avail = Tables(spark, dir).documents
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " "))).cast("long").as("avail_tokens"))
+      val tot = avail.agg(sum(col("avail_tokens")).cast("long").as("total"))
+      avail.crossJoin(broadcast(tot))
+        .select(col("source"), col("avail_tokens"),
+          expr("total div 20").as("target_tokens"),
+          least(expr("(total div 20 + avail_tokens - 1) div avail_tokens"),
+            lit(4L)).cast("long").as("repeat_epochs"))
+        .select(col("source"), col("avail_tokens"), col("target_tokens"),
+          col("repeat_epochs"),
+          least(col("avail_tokens") * col("repeat_epochs"),
+            col("target_tokens")).as("planned_tokens"),
+          (col("target_tokens") - least(col("avail_tokens") * col("repeat_epochs"),
+            col("target_tokens"))).as("shortfall"))
+        .orderBy("source")
     }
   )
 }

@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Time-series diagnostics over the daily order volume: day-of-week
+  * seasonality deviations, lag-1..7 autocorrelation, and CUSUM
+  * changepoint detection — the monitoring layer a warehouse runs over
+  * its ingest volumes.
+  *
+  * Scale stance (100 TB): every query here pre-aggregates facts to ONE
+  * row per day first (a keyed hash aggregate whose output is calendar-
+  * sized), so the windowed/statistical stage runs over thousands of
+  * rows regardless of fact volume. The global time-ordered windows are
+  * day-count-sized by construction; per-entity variants partition the
+  * same window by the entity key.
+  *
+  * Numeric discipline: all accumulations are INTEGER (counts, integer
+  * cross-products, scaled CUSUM); each query performs at most one
+  * double division/sqrt at the very end ([[Parity]] rules), so results
+  * are partition-invariant and engine-reproducible.
+  */
+object TimeSeries {
+
+  /** Calendar grid: one row per day in the observed span, zero-filled.
+    * Shared shape for the autocorrelation and CUSUM queries. */
+  private def dailyGrid(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir).orders
+    val b = orders.agg(
+      to_date(min(col("o_orderdate"))).as("d0"),
+      to_date(max(col("o_orderdate"))).as("d1"))
+    val spine = b.select(
+      explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  private val duckGridCtes =
+    """b AS (
+      |  SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+      |    CAST(max(o_orderdate) AS DATE) AS d1 FROM orders
+      |), spine AS (
+      |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+      |    AS day FROM b
+      |), daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+      |  FROM orders GROUP BY 1
+      |), grid AS (
+      |  SELECT s.day, coalesce(d.n, 0) AS n
+      |  FROM spine s LEFT JOIN daily d ON d.day = s.day
+      |)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- day-of-week seasonality: per-dow mean volume, and the 20
+    //      days deviating hardest from their weekday's mean (permille,
+    //      integer-derived). Spark's dayofweek is 1-based (Sun=1),
+    //      DuckDB's 0-based — aligned by subtracting 1.
+    QueryDef.checked(
+      "q_dow_seasonality",
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+        |  FROM orders GROUP BY 1
+        |), dw AS (
+        |  SELECT day, n, dayofweek(day) AS dow FROM daily
+        |), agg AS (
+        |  SELECT dow, CAST(sum(n) AS BIGINT) AS tot, count(*) AS days
+        |  FROM dw GROUP BY dow
+        |)
+        |SELECT d.day, CAST(d.dow AS INTEGER) AS dow, d.n,
+        |  CAST(CAST(a.tot AS DOUBLE) / a.days AS DOUBLE) AS dow_mean,
+        |  1000 * d.n * a.days // a.tot - 1000 AS dev_permille
+        |FROM dw d JOIN agg a ON a.dow = d.dow
+        |ORDER BY abs(1000 * d.n * a.days // a.tot - 1000) DESC, d.day
+        |LIMIT 20""".stripMargin) { (spark, dir) =>
+      val dw = Tables(spark, dir).orders
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("dow", (dayofweek(col("day")) - 1).cast("int"))
+      // 7-row weekday profile, broadcast back over the daily series
+      val agg = dw.groupBy("dow")
+        .agg(sum(col("n")).cast("long").as("tot"), count(lit(1)).as("days"))
+      dw.join(broadcast(agg), Seq("dow"))
+        .select(col("day"), col("dow"), col("n"),
+          (col("tot").cast("double") / col("days")).cast("double")
+            .as("dow_mean"),
+          expr("1000 * n * days div tot - 1000").as("dev_permille"))
+        .orderBy(abs(col("dev_permille")).desc, col("day"))
+        .limit(20)
+    },
+
+    // ---- lag-1..7 autocorrelation of daily volume over the zero-
+    //      filled calendar grid: integer sums (Σx, Σy, Σxy, Σx², Σy²)
+    //      per lag, one closed-form Pearson division at the end.
+    QueryDef.checked(
+      "q_autocorr",
+      s"""WITH $duckGridCtes, lagged AS (
+        |  SELECT day, n,
+        |    lag(n,1) OVER w AS l1, lag(n,2) OVER w AS l2,
+        |    lag(n,3) OVER w AS l3, lag(n,4) OVER w AS l4,
+        |    lag(n,5) OVER w AS l5, lag(n,6) OVER w AS l6,
+        |    lag(n,7) OVER w AS l7
+        |  FROM grid WINDOW w AS (ORDER BY day)
+        |), pairs AS (
+        |  SELECT 1 AS lag_k, n AS y, l1 AS x FROM lagged WHERE l1 IS NOT NULL
+        |  UNION ALL SELECT 2, n, l2 FROM lagged WHERE l2 IS NOT NULL
+        |  UNION ALL SELECT 3, n, l3 FROM lagged WHERE l3 IS NOT NULL
+        |  UNION ALL SELECT 4, n, l4 FROM lagged WHERE l4 IS NOT NULL
+        |  UNION ALL SELECT 5, n, l5 FROM lagged WHERE l5 IS NOT NULL
+        |  UNION ALL SELECT 6, n, l6 FROM lagged WHERE l6 IS NOT NULL
+        |  UNION ALL SELECT 7, n, l7 FROM lagged WHERE l7 IS NOT NULL
+        |), sums AS (
+        |  SELECT lag_k, count(*) AS np,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx,
+        |    CAST(sum(y*y) AS BIGINT) AS syy
+        |  FROM pairs GROUP BY lag_k
+        |)
+        |SELECT CAST(lag_k AS INTEGER) AS lag_k, np AS n_pairs,
+        |  round(CAST(np*sxy - sx*sy AS DOUBLE)
+        |    / (sqrt(CAST(np*sxx - sx*sx AS DOUBLE))
+        |       * sqrt(CAST(np*syy - sy*sy AS DOUBLE))), 6) AS r
+        |FROM sums ORDER BY lag_k""".stripMargin) { (spark, dir) =>
+      val w = Window.orderBy("day")
+      val lagged = dailyGrid(spark, dir)
+        .select(Seq(col("day"), col("n")) ++
+          (1 to 7).map(k => lag(col("n"), k).over(w).as(s"l$k")): _*)
+      val pairs = lagged.select(col("n").as("y"),
+        expr("stack(7, 1, l1, 2, l2, 3, l3, 4, l4, 5, l5, 6, l6, 7, l7)" +
+          " AS (lag_k, x)"))
+        .filter(col("x").isNotNull)
+      pairs.groupBy("lag_k")
+        .agg(count(lit(1)).as("np"),
+          sum(col("x")).cast("long").as("sx"),
+          sum(col("y")).cast("long").as("sy"),
+          sum(col("x") * col("y")).cast("long").as("sxy"),
+          sum(col("x") * col("x")).cast("long").as("sxx"),
+          sum(col("y") * col("y")).cast("long").as("syy"))
+        .select(col("lag_k").cast("int").as("lag_k"), col("np").as("n_pairs"),
+          round((col("np") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("np") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")) *
+               sqrt((col("np") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))), 6).as("r"))
+        .orderBy("lag_k")
+    },
+
+    // ---- CUSUM changepoint scan: S_t = days·(Σ_{j≤t} n_j) − t·total is
+    //      the mean-centered cumulative sum scaled to stay INTEGER; the
+    //      5 largest |S_t| mark where the volume regime shifts.
+    QueryDef.checked(
+      "q_cusum_changepoint",
+      s"""WITH $duckGridCtes, tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS days FROM grid
+        |), cum AS (
+        |  SELECT day, n,
+        |    CAST(sum(n) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+        |  FROM grid
+        |)
+        |SELECT day, t AS t_index, c.n,
+        |  days * c.c - t * total AS cusum_scaled
+        |FROM cum c, tot
+        |ORDER BY abs(days * c.c - t * total) DESC, day
+        |LIMIT 5""".stripMargin) { (spark, dir) =>
+      val grid = dailyGrid(spark, dir)
+      val tot = grid.agg(sum(col("n")).cast("long").as("total"),
+        count(lit(1)).as("days"))
+      val w = Window.orderBy("day")
+      grid.crossJoin(broadcast(tot))
+        .select(col("day"),
+          row_number().over(w).cast("long").as("t_index"), col("n"),
+          (col("days") * sum(col("n")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).cast("long")
+            - row_number().over(w).cast("long") * col("total"))
+            .as("cusum_scaled"))
+        .orderBy(abs(col("cusum_scaled")).desc, col("day"))
+        .limit(5)
+    }
+  )
+}

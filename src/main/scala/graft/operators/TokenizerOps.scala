@@ -227,14 +227,22 @@ object TokenizerOps {
         |  UNION ALL SELECT 3, l, r, l||r, n FROM t3
         |) ORDER BY round""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      val words = Tables(spark, dir).documents
+      // spread the scan first: the per-round pair explosion is compute-
+      // bound on kilobyte-scale input, exactly the case AQE's byte-based
+      // sizing pins to one task (SCALING.md "compute-bound stages")
+      val words = graft.Tables.spread(Tables(spark, dir).documents,
+          col("doc_id"))
         .select(explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) >= 1)
       // " h e l l o " — space-separated symbols with sentinel spaces so
       // a merge is a plain substring rewrite (greedy left-to-right,
-      // non-overlapping: exactly BPE's application order)
+      // non-overlapping: exactly BPE's application order).
+      // localCheckpoint pins each round's symbolization: round k's pair
+      // count must not replay rounds 1..k-1's rewrites (the trainer's
+      // periodic-checkpoint discipline, here every round)
       var syms = words.select(
         concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("s"))
+        .localCheckpoint()
       val merges = Seq.newBuilder[(Long, String, String, String, Long)]
       for (round <- 1 to 3) {
         val top = syms
@@ -250,8 +258,11 @@ object TokenizerOps {
           .collect()(0)
         val (l, r, n) = (top.getString(0), top.getString(1), top.getLong(2))
         merges += ((round.toLong, l, r, l + r, n))
-        // symbols are [a-z] by construction, safe to inline in the expr
-        syms = syms.select(expr(s"replace(s, ' $l $r ', ' $l$r ')").as("s"))
+        // symbols are [a-z] by construction, safe to inline in the expr;
+        // the last round's winner needs no re-application
+        if (round < 3)
+          syms = syms.select(expr(s"replace(s, ' $l $r ', ' $l$r ')").as("s"))
+            .localCheckpoint()
       }
       merges.result().toDF("round", "l", "r", "merged", "n")
     }

@@ -402,6 +402,63 @@ object Training {
         .groupBy("lang", "reason")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "reason")
+    },
+
+    // ---- bigram LM scoring with add-1 smoothing: per-doc average
+    //      −ln((c₂+1)/(c₁+V)) over word bigrams — the conditional
+    //      upgrade of q_unigram_logprob, same fixed-point 1e-9 term
+    //      rounding so the per-doc sum is partition-invariant. The
+    //      count relations are vocabulary²-bounded (broadcast side);
+    //      only the bigram stream is corpus-sized, and it is counted
+    //      and scored in the SAME shape (one shuffle on the pair).
+    QueryDef.checked(
+      "q_bigram_lm",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+        |), bg AS (
+        |  SELECT doc_id, p.l AS w1, p.r AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(a)),
+        |      i -> {'l': a[i], 'r': a[i+1]})) AS p
+        |    FROM toks WHERE len(a) >= 2)
+        |), c2 AS (
+        |  SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY w1, w2
+        |), c1 AS (
+        |  SELECT w1, count(*) AS n1 FROM bg GROUP BY w1
+        |), v AS (
+        |  SELECT count(DISTINCT w2) AS vs FROM bg
+        |), scored AS (
+        |  SELECT b.doc_id,
+        |    CAST(round(-ln((c2.n2 + 1.0) / (c1.n1 + v.vs)) * 1000000000)
+        |      AS BIGINT) AS nll_fp
+        |  FROM bg b JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+        |  JOIN c1 ON c1.w1 = b.w1
+        |  CROSS JOIN v
+        |)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(sum(nll_fp) / 1000000000.0 / count(*), 6) AS avg_nll
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val bg = Tables(spark, dir).documents
+        .select(col("doc_id"), split(col("text"), " ").as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(a) - 2)," +
+            " i -> struct(a[i] AS w1, a[i + 1] AS w2))")).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .localCheckpoint() // four consumers share one explosion
+      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
+      val v = bg.agg(countDistinct(col("w2")).as("vs"))
+      bg.join(broadcast(c2), Seq("w1", "w2"))
+        .join(broadcast(c1), Seq("w1"))
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"), expr(
+          "CAST(round(-ln((n2 + 1.0) / (n1 + vs)) * 1000000000) AS BIGINT)")
+          .as("nll_fp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("nll_fp")) / lit(1000000000.0) / count(lit(1)), 6)
+            .as("avg_nll"))
+        .orderBy("doc_id")
     }
   )
 }

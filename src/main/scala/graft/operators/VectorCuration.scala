@@ -369,6 +369,52 @@ object VectorCuration {
         .select(col("vec_id"), col("label"), col("rival_label"),
           col("rnk").as("rank"), col("neg_id"), col("cos_sim"))
         .orderBy("vec_id", "rank")
+    },
+
+    // ---- IVF index-health report: per-cell member counts, corpus
+    //      share, and hot-cell flag (> 2× the mean cell size). Cell
+    //      imbalance is THE operational metric of an IVF index — a hot
+    //      cell makes every probe touching it scan-bound — and the
+    //      report is one broadcast-assign pass + a cell-count aggregate
+    //      (output = cell count, independent of corpus size).
+    QueryDef.checked(
+      "q_ivf_balance",
+      s"""WITH ${IvfIndex.duckCentroidCtes},
+         |asim AS (
+         |  SELECT e.vec_id, c.cell,
+         |    ${IvfIndex.duckMixedCosineSql("c.centroid", "e.embedding")} AS csim
+         |  FROM embeddings e, cents c
+         |), assigned AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+         |    FROM asim) r
+         |  WHERE rn = 1
+         |), tot AS (SELECT count(*) AS n FROM assigned)
+         |SELECT cell, count(*) AS n_members,
+         |  1000 * count(*) // t.n AS share_permille,
+         |  count(*) * 10 > 2 * t.n AS is_hot
+         |FROM assigned, tot t
+         |GROUP BY cell, t.n
+         |ORDER BY cell""".stripMargin) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+      val ivf = IvfIndex(nprobe = 1)
+      val cents = ivf.centroids(emb)
+        .select(col("label").as("cell"), col("centroid"))
+      val assigned = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cell"),
+          ivf.mixedCosine("embedding", "centroid").as("csim"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))))
+        .filter(col("rn") === 1)
+        .select("vec_id", "cell")
+      val tot = assigned.agg(count(lit(1)).as("n"))
+      assigned.groupBy("cell").agg(count(lit(1)).as("n_members"))
+        .crossJoin(broadcast(tot))
+        .select(col("cell"), col("n_members"),
+          expr("1000 * n_members div n").as("share_permille"),
+          (col("n_members") * 10 > col("n") * 2).as("is_hot"))
+        .orderBy("cell")
     }
   )
 }

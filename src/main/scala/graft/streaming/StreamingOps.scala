@@ -373,6 +373,66 @@ object StreamingOps {
         .orderBy("click_id", "purchase_id")
     },
 
+    // ---- watermarked stream-stream LEFT OUTER join: clicks with their
+    //      purchase within 1 h, null-extended when none arrives. Outer
+    //      (unmatched) rows only emit once the watermark proves no match
+    //      can still come — so clicks whose 1 h window the final
+    //      watermark (min over both streams of max ts − 2 h) never
+    //      closes are withheld, and the oracle mirrors that cut exactly
+    //      (same discipline as the append-mode aggregate oracles).
+    //      no-data batches ON: the outer rows flush on the final
+    //      watermark advance.
+    QueryDef.checked(
+      "q_stream_outer_join",
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'
+        |), wm AS (
+        |  SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+        |    - INTERVAL '2 hours' AS w
+        |), matched AS (
+        |  SELECT c.click_id, p.purchase_id, c.user_id,
+        |    epoch_ms(p.ts) - epoch_ms(c.ts) AS delay_ms
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
+        |), unmatched AS (
+        |  SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id,
+        |    c.user_id, CAST(NULL AS BIGINT) AS delay_ms
+        |  FROM c, wm
+        |  WHERE c.ts + INTERVAL '1 hour' < wm.w
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour')
+        |)
+        |SELECT * FROM matched
+        |UNION ALL SELECT * FROM unmatched
+        |ORDER BY click_id, purchase_id""".stripMargin) { (spark, dir) =>
+      val clicks = eventsStream(spark, dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+      val purchases = eventsStream(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "2 hours")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "leftOuter")
+      runToMemory(joined, "graft_stream_outer_join", "append",
+          noDataBatches = true)
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          (unix_millis(col("purchase_ts")) - unix_millis(col("click_ts")))
+            .as("delay_ms"))
+        .orderBy("click_id", "purchase_id")
+    },
+
     // ---- parquet file sink + checkpoint: append-mode finalized windows
     //      written to durable files — the production sink shape (the
     //      memory sink elsewhere is a test harness). Each run gets a

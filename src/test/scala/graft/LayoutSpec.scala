@@ -136,4 +136,24 @@ class LayoutSpec extends SparkSpec {
       assert(a.getAs[Long]("lo_cents") <= a.getAs[Long]("hi_cents"))
     }
   }
+
+  test("zonemap report: buckets partition lineitem; clustered key skips, " +
+    "unclustered never does") {
+    val rows = q("q_zonemap_report").collect()
+    val li = Tables(spark, sf).lineitem
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == li.count())
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(r.getAs[Long]("min_ok") >= b * 1024 &&
+        r.getAs[Long]("max_ok") < (b + 1) * 1024)
+      // skip decision must be consistent with the zone it reports
+      assert(r.getAs[Boolean]("skip_clustered") ==
+        (r.getAs[Long]("max_ok") < 10000 || r.getAs[Long]("min_ok") > 12000))
+      // (at sf0.001 the partkey domain sits entirely below the predicate
+      // range, so the unclustered flag may legitimately be true — assert
+      // zone-consistency, not the sf0.01+ "never skips" story)
+      assert(r.getAs[Boolean]("skip_unclustered") ==
+        (r.getAs[Long]("max_pk") < 1000 || r.getAs[Long]("min_pk") > 1200))
+    }
+  }
 }

@@ -125,4 +125,20 @@ class PackingSpec extends SparkSpec {
       .filter(col("q") > col("keep_quality"))
     assert(violations.count() == 0)
   }
+
+  test("epoch plan: targets sum to ~total, epochs capped at 4, shortfall " +
+    "only at the cap") {
+    val rows = q("q_epoch_plan").collect()
+    assert(rows.length == Tables(spark, sf).documents
+      .select("source").distinct().count())
+    rows.foreach { r =>
+      val (avail, target, rep) = (r.getAs[Long]("avail_tokens"),
+        r.getAs[Long]("target_tokens"), r.getAs[Long]("repeat_epochs"))
+      assert(rep >= 1 && rep <= 4)
+      assert(r.getAs[Long]("planned_tokens") == math.min(avail * rep, target))
+      assert(r.getAs[Long]("shortfall") == target - r.getAs[Long]("planned_tokens"))
+      // ceil division: one epoch fewer must NOT reach the target (unless capped)
+      if (rep < 4 && rep > 1) assert(avail * (rep - 1) < target)
+    }
+  }
 }

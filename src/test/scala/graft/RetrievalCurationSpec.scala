@@ -242,4 +242,15 @@ class RetrievalCurationSpec extends SparkSpec {
     // all-zero overlap across all 10 queries means the slice is broken)
     assert(rows.map(_.getAs[Long]("n_overlap")).sum > 0)
   }
+
+  test("ivf balance: shares account for the corpus and hot flag is 2x mean") {
+    val rows = q("q_ivf_balance").collect()
+    val total = Tables(spark, sf).embeddings.count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == total)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_members")
+      assert(r.getAs[Long]("share_permille") == 1000L * n / total)
+      assert(r.getAs[Boolean]("is_hot") == (n * 10 > 2 * total))
+    }
+  }
 }

@@ -188,4 +188,17 @@ class StreamingSpec extends SparkSpec {
     val total = Tables(spark, sf).events.count()
     assert(bounded.values.sum == total)
   }
+
+  test("stream outer join: matches equal the inner join; outer rows are " +
+    "null-extended clicks outside the open tail") {
+    val outer = q("q_stream_outer_join").collect()
+    val inner = q("q_stream_stream_join").collect()
+    val matched = outer.filter(!_.isNullAt(1))
+    assert(matched.length == inner.length,
+      "matched subset must equal the inner stream-stream join")
+    val unmatchedIds = outer.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+    val matchedIds = matched.map(_.getLong(0)).toSet
+    assert(unmatchedIds.intersect(matchedIds).isEmpty,
+      "a click cannot be both matched and null-extended")
+  }
 }

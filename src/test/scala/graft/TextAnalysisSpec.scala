@@ -98,4 +98,19 @@ class TextAnalysisSpec extends SparkSpec {
     val uni = planted.find(_.getAs[Long]("doc_id") == 1L).get
     assert(math.abs(uni.getAs[Double]("evenness") - 1.0) < 1e-6)
   }
+
+  test("bigram lm: add-1 smoothed NLL bounded by ln(c1+V) and positive") {
+    val rows = q("q_bigram_lm").collect()
+    val docsWith2 = Tables(spark, sf).documents
+      .filter(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")) >= 2).count()
+    assert(rows.length == docsWith2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bigrams") >= 1)
+      val nll = r.getAs[Double]("avg_nll")
+      // p is a proper smoothed probability: 0 < p < 1 -> nll > 0
+      assert(nll > 0.0 && nll < 20.0)
+    }
+  }
 }

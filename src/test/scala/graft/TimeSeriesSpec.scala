@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class TimeSeriesSpec extends SparkSpec {
+
+  test("dow seasonality: dev_permille consistent with the weekday mean") {
+    val rows = q("q_dow_seasonality").collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("dow") >= 0 && r.getAs[Int]("dow") <= 6)
+      // integer-div identity: 1000*n*days div tot ≈ 1000*n/dow_mean
+      assert(math.abs(r.getAs[Long]("dev_permille") -
+        (1000.0 * r.getAs[Long]("n") / r.getAs[Double]("dow_mean") - 1000.0))
+        <= 1.0)
+    }
+    // sorted by |deviation| descending
+    val devs = rows.map(r => math.abs(r.getAs[Long]("dev_permille")))
+    assert(devs.zip(devs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("autocorr: seven lags, r in [-1,1], pair counts shrink by one per lag") {
+    val rows = q("q_autocorr").collect()
+    assert(rows.map(_.getAs[Int]("lag_k")).toSeq == (1 to 7))
+    val np = rows.map(_.getAs[Long]("n_pairs"))
+    np.zip(np.tail).foreach { case (a, b) => assert(a == b + 1) }
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("r")) <= 1.0))
+  }
+
+  test("cusum: scaled statistic matches a driver-side replay of the series") {
+    val grid = Tables(spark, sf).orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("day").collect()
+      .map(r => r.getAs[java.sql.Date]("day") -> r.getAs[Long]("n"))
+    // rebuild the zero-filled spine locally
+    val d0 = grid.head._1.toLocalDate
+    val d1 = grid.last._1.toLocalDate
+    val byDay = grid.map { case (d, n) => d.toLocalDate -> n }.toMap
+    val series = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+      .map(d => byDay.getOrElse(d, 0L)).toArray
+    val days = series.length.toLong
+    val total = series.sum
+    val cusums = series.scanLeft(0L)(_ + _).tail.zipWithIndex.map {
+      case (c, i) => days * c - (i + 1L) * total
+    }
+    val expectTop = cusums.map(math.abs).max
+    val got = q("q_cusum_changepoint").collect()
+    assert(got.length == 5)
+    assert(math.abs(got.head.getAs[Long]("cusum_scaled")) == expectTop)
+  }
+}
