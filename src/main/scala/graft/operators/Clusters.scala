@@ -191,6 +191,62 @@ object Clusters {
         .select(col("node").as("doc_id"), col("degree"),
           coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
         .orderBy("doc_id")
+    },
+
+    // ---- neighborhood Jaccard: supplier-pair similarity by shared
+    //      customer sets over the lineitem⋈orders trade graph — the
+    //      link-prediction / entity-merge signal (two suppliers serving
+    //      the same customers are candidates for consolidation). The
+    //      fact side reduces FIRST to distinct (supplier, customer)
+    //      edges — bounded by the bipartite graph, not by fact rows —
+    //      then pairs form by self-joining on the customer (each shared
+    //      customer contributes one pair instance; the count IS the
+    //      intersection size) and |union| = deg(a) + deg(b) − |∩|.
+    //      Scale: the self-join shuffles on customer id; a celebrity
+    //      customer (one connected to everything) is the skew risk and
+    //      gets capped/salted exactly like any hot join key.
+    QueryDef.checked(
+      "q_graph_jaccard",
+      """WITH e AS (
+        |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |), deg AS (
+        |  SELECT s, count(*) AS d FROM e GROUP BY s
+        |), pairs AS (
+        |  SELECT a.s AS supp_a, b.s AS supp_b, count(*) AS n_common
+        |  FROM e a JOIN e b ON b.c = a.c AND a.s < b.s
+        |  GROUP BY a.s, b.s
+        |)
+        |SELECT p.supp_a, p.supp_b, p.n_common,
+        |  da.d + db.d - p.n_common AS n_union,
+        |  round(CAST(p.n_common AS DOUBLE) / (da.d + db.d - p.n_common), 6)
+        |    AS jaccard
+        |FROM pairs p
+        |JOIN deg da ON da.s = p.supp_a
+        |JOIN deg db ON db.s = p.supp_b
+        |ORDER BY p.supp_a, p.supp_b""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val e = t.lineitem.join(t.orders,
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
+        .distinct()
+        .localCheckpoint() // feeds degrees and both pair-join sides
+      val deg = e.groupBy("s").agg(count(lit(1)).as("d"))
+      val pairs = e.select(col("s").as("supp_a"), col("c"))
+        .join(e.select(col("s").as("supp_b"), col("c")), Seq("c"))
+        .filter(col("supp_a") < col("supp_b"))
+        .groupBy("supp_a", "supp_b")
+        .agg(count(lit(1)).as("n_common"))
+      pairs
+        .join(broadcast(deg.select(col("s").as("supp_a"), col("d").as("da"))),
+          Seq("supp_a"))
+        .join(broadcast(deg.select(col("s").as("supp_b"), col("d").as("db"))),
+          Seq("supp_b"))
+        .select(col("supp_a"), col("supp_b"), col("n_common"),
+          (col("da") + col("db") - col("n_common")).as("n_union"),
+          round(col("n_common").cast("double") /
+            (col("da") + col("db") - col("n_common")), 6).as("jaccard"))
+        .orderBy("supp_a", "supp_b")
     }
   )
 }

@@ -663,6 +663,53 @@ object Curation {
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))
         .orderBy("source")
+    },
+
+    // ---- boilerplate n-gram audit: the cross-doc twin of
+    //      [[q_chunk_dedup]]'s within-corpus keep-first pass. A shingle
+    //      (word 3-gram, shared [[Dedup.gramsExpr]] fragment) is
+    //      "boilerplate" when it appears in >= 3 DISTINCT documents —
+    //      the nav-bar/footer/disclaimer text a crawl pipeline strips
+    //      before dedup (CCNet/RefinedWeb line-frequency pass, adapted
+    //      to the fixture's newline-free word soup). Per-source report:
+    //      how much of each source's shingle mass is shared boilerplate.
+    //      Scale: the doc-frequency aggregate is keyed by gram (vocab-
+    //      bounded, not corpus-bounded) and the flagged relation joins
+    //      back gram→pairs before the |sources|-row rollup; every count
+    //      is exact-integer, the share is one final int/int division.
+    QueryDef.checked(
+      "q_boilerplate_ngrams",
+      s"""WITH gr AS (
+         |  SELECT DISTINCT doc_id, unnest(${Dedup.duckGrams}) AS gram FROM documents
+         |), df AS (
+         |  SELECT gram, count(*) AS df FROM gr GROUP BY gram
+         |), flagged AS (
+         |  SELECT g.doc_id, f.df >= 3 AS boiler
+         |  FROM gr g JOIN df f USING (gram)
+         |)
+         |SELECT d.source,
+         |  CAST(count(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
+         |  count(*) AS n_gram_pairs,
+         |  CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         |  round(CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS boiler_share
+         |FROM flagged f JOIN documents d USING (doc_id)
+         |GROUP BY d.source
+         |ORDER BY d.source""".stripMargin) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      val grams = Dedup.gramRelation(docs).localCheckpoint()
+      val df = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+      val flagged = grams.join(df, Seq("gram"))
+        .select(col("doc_id"), (col("df") >= 3).as("boiler"))
+      flagged.join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_gram_pairs"),
+          sum(when(col("boiler"), 1).otherwise(0)).cast("long").as("n_boiler"))
+        .select(col("source"), col("n_docs"), col("n_gram_pairs"), col("n_boiler"),
+          round(col("n_boiler").cast("double") / col("n_gram_pairs"), 6)
+            .as("boiler_share"))
+        .orderBy("source")
     }
   )
 }

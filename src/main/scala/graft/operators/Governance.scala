@@ -154,6 +154,139 @@ object Governance {
         .agg(count(lit(1)).as("n"),
           min(col("d")).as("d_min"), max(col("d")).as("d_max"))
         .orderBy("split")
+    },
+
+    // ---- deterministic pseudonymization: the masked-clone projection
+    //      (reference provisions fresh credentials for clones,
+    //      clone_databases.sh:256-305 — the analytics twin is shipping
+    //      a clone whose direct identifiers are masked). Keyed-hash
+    //      pseudonyms keep joins working (same input → same pseudonym)
+    //      while the balance generalizes to a 100-unit bucket. The
+    //      order count per pseudonym proves referential consistency
+    //      end-to-end. All derivations are integer/string (bal buckets
+    //      from exact cents via `div`, [[Parity]] discipline) — no
+    //      float formatting anywhere.
+    QueryDef.checked(
+      "q_mask_pseudonym",
+      """SELECT
+        |  concat('cust_', substring(md5(concat('salt42:',
+        |    CAST(c_custkey AS VARCHAR))), 1, 12)) AS pseudonym,
+        |  n_name AS nation,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) // 10000 * 100 AS bal_bucket,
+        |  count(o_orderkey) AS n_orders
+        |FROM customer
+        |JOIN nation ON n_nationkey = c_nationkey
+        |LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY 1, 2, 3
+        |ORDER BY pseudonym""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.customer
+        .join(broadcast(t.nation), col("n_nationkey") === col("c_nationkey"))
+        .join(t.orders, col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(
+          concat(lit("cust_"), substring(md5(concat(lit("salt42:"),
+            col("c_custkey").cast("string"))), 1, 12)).as("pseudonym"),
+          col("n_name").as("nation"),
+          (expr("CAST(round(c_acctbal * 100) AS BIGINT) div 10000") * 100)
+            .as("bal_bucket"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("pseudonym")
+    },
+
+    // ---- retention / TTL purge plan: per calendar-month partition of
+    //      the event log, how much is past the 30-day retention window
+    //      (cutoff = max event time − 30 days, a 1-row broadcast bound)
+    //      and the cheapest action — DROP the whole partition when all
+    //      rows expired (a metadata delete at the target), REWRITE when
+    //      mixed, KEEP when untouched. The plan output is
+    //      |months|-sized; this is the artifact a 100 TB purge job
+    //      executes partition-by-partition.
+    QueryDef.checked(
+      "q_retention_purge",
+      """WITH b AS (SELECT max(ts) AS mx FROM events),
+        |lab AS (
+        |  SELECT strftime(ts, '%Y-%m') AS month,
+        |    ts < mx - INTERVAL 30 DAY AS expired
+        |  FROM events, b
+        |)
+        |SELECT month, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN expired THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_expired,
+        |  CASE
+        |    WHEN sum(CASE WHEN expired THEN 1 ELSE 0 END) = count(*)
+        |      THEN 'drop_partition'
+        |    WHEN sum(CASE WHEN expired THEN 1 ELSE 0 END) > 0
+        |      THEN 'rewrite'
+        |    ELSE 'keep' END AS action
+        |FROM lab
+        |GROUP BY month
+        |ORDER BY month""".stripMargin) { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+      val b = ev.agg(max(col("ts")).as("mx"))
+      ev.crossJoin(broadcast(b))
+        .select(date_format(col("ts"), "yyyy-MM").as("month"),
+          (col("ts") < expr("mx - INTERVAL 30 DAYS")).as("expired"))
+        .groupBy("month")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("expired"), 1).otherwise(0)).cast("long")
+            .as("n_expired"))
+        .select(col("month"), col("n_rows"), col("n_expired"),
+          when(col("n_expired") === col("n_rows"), "drop_partition")
+            .when(col("n_expired") > 0, "rewrite")
+            .otherwise("keep").as("action"))
+        .orderBy("month")
+    },
+
+    // ---- GDPR erasure cascade: given a subject set (every 37th
+    //      customer), count what a right-to-be-forgotten pass would
+    //      delete across the FK graph — orders via custkey, line items
+    //      via the affected order keys — reported per nation. The
+    //      subject set broadcasts (erasure batches are tiny vs facts);
+    //      each hop is one keyed join, and all outputs are exact
+    //      integer counts, aggregated per nation BEFORE the 3-way
+    //      assembly join so nothing fans out.
+    QueryDef.checked(
+      "q_gdpr_cascade",
+      """WITH subj AS (
+        |  SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 37 = 0
+        |), ns AS (
+        |  SELECT c_nationkey, count(*) AS n_subjects FROM subj GROUP BY 1
+        |), no_ AS (
+        |  SELECT c_nationkey, count(*) AS n_orders
+        |  FROM subj JOIN orders ON o_custkey = c_custkey GROUP BY 1
+        |), nl AS (
+        |  SELECT c_nationkey, count(*) AS n_lineitems
+        |  FROM subj JOIN orders ON o_custkey = c_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1
+        |)
+        |SELECT n_name AS nation, ns.n_subjects,
+        |  coalesce(no_.n_orders, CAST(0 AS BIGINT)) AS n_orders,
+        |  coalesce(nl.n_lineitems, CAST(0 AS BIGINT)) AS n_lineitems
+        |FROM ns
+        |JOIN nation ON n_nationkey = ns.c_nationkey
+        |LEFT JOIN no_ ON no_.c_nationkey = ns.c_nationkey
+        |LEFT JOIN nl ON nl.c_nationkey = ns.c_nationkey
+        |ORDER BY nation""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val subj = t.customer.filter(col("c_custkey") % 37 === 0)
+        .select("c_custkey", "c_nationkey")
+        .localCheckpoint() // three consumers, keep the scan one-shot
+      val ns = subj.groupBy("c_nationkey").agg(count(lit(1)).as("n_subjects"))
+      val ords = t.orders.join(broadcast(subj),
+        col("o_custkey") === col("c_custkey"))
+      val no = ords.groupBy("c_nationkey").agg(count(lit(1)).as("n_orders"))
+      val nl = t.lineitem.join(
+          ords.select("c_nationkey", "o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_lineitems"))
+      ns.join(broadcast(t.nation),
+          col("n_nationkey") === col("c_nationkey"))
+        .join(no, Seq("c_nationkey"), "left")
+        .join(nl, Seq("c_nationkey"), "left")
+        .select(col("n_name").as("nation"), col("n_subjects"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_lineitems"), lit(0L)).as("n_lineitems"))
+        .orderBy("nation")
     }
   )
 }

@@ -379,6 +379,118 @@ object SqlSurface {
         .agg(sum(col("l_quantity")).cast("double").as("sum_qty"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---- multiset set-ops: INTERSECT ALL / EXCEPT ALL between the
+    //      click and view user multisets — the bag semantics (min /
+    //      difference of multiplicities) that DISTINCT-based set-ops
+    //      lose. Both reduce to per-key counted aggregates under the
+    //      hood, so the shuffle is keyed and the output user-bounded.
+    QueryDef.checked(
+      "q_setops_all",
+      """WITH a AS (SELECT user_id FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id FROM events WHERE event_type = 'view'),
+        |ia AS (SELECT user_id FROM a INTERSECT ALL SELECT user_id FROM b),
+        |ea AS (SELECT user_id FROM a EXCEPT ALL SELECT user_id FROM b)
+        |SELECT 'intersect_all' AS op, user_id, count(*) AS n
+        |FROM ia GROUP BY user_id
+        |UNION ALL
+        |SELECT 'except_all' AS op, user_id, count(*) AS n
+        |FROM ea GROUP BY user_id
+        |ORDER BY op, user_id""".stripMargin) { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+      val a = ev.filter(col("event_type") === "click").select("user_id")
+      val b = ev.filter(col("event_type") === "view").select("user_id")
+      val ia = a.intersectAll(b).groupBy("user_id")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("intersect_all").as("op"), col("user_id"), col("n"))
+      val ea = a.exceptAll(b).groupBy("user_id")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("except_all").as("op"), col("user_id"), col("n"))
+      ia.unionAll(ea).orderBy("op", "user_id")
+    },
+
+    // ---- pagination: page 3 (rows 101..150) of the order book under a
+    //      total (o_orderdate, o_orderkey) order — Dataset.offset, the
+    //      LIMIT/OFFSET surface. Scale note: OFFSET still sorts/skips
+    //      the prefix; the production cursor is the KEYSET predicate
+    //      (WHERE (date, key) > last-seen) which prunes instead of
+    //      skipping — same 50-row result, asserted in RelationalSpec.
+    QueryDef.checked(
+      "q_offset_page",
+      """SELECT o_orderkey, o_orderdate, o_totalprice
+        |FROM orders
+        |ORDER BY o_orderdate, o_orderkey
+        |LIMIT 50 OFFSET 100""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).orders
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+        .offset(100)
+        .limit(50)
+    },
+
+    // ---- cross join: the dense region × priority reporting grid,
+    //      zero-filled via LEFT JOIN back onto the observed aggregate —
+    //      the "every cell present" contract pivot tables need. Both
+    //      cross sides are dimension-sized (broadcast nested loop);
+    //      the fact aggregate happens BEFORE the grid join.
+    QueryDef.checked(
+      "q_join_cross",
+      """WITH pr AS (SELECT DISTINCT o_orderpriority AS priority FROM orders),
+        |grid AS (SELECT r_name, priority FROM region, pr),
+        |agg AS (
+        |  SELECT r_name, o_orderpriority AS priority, count(*) AS n
+        |  FROM orders
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey
+        |  GROUP BY r_name, o_orderpriority
+        |)
+        |SELECT g.r_name, g.priority,
+        |  coalesce(a.n, CAST(0 AS BIGINT)) AS n_orders
+        |FROM grid g LEFT JOIN agg a
+        |  ON a.r_name = g.r_name AND a.priority = g.priority
+        |ORDER BY g.r_name, g.priority""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val pr = t.orders.select(col("o_orderpriority").as("priority")).distinct()
+      val grid = t.region.select("r_name").crossJoin(pr)
+      val agg = t.orders
+        .join(t.customer, col("c_custkey") === col("o_custkey"))
+        .join(broadcast(t.nation), col("n_nationkey") === col("c_nationkey"))
+        .join(broadcast(t.region), col("r_regionkey") === col("n_regionkey"))
+        .groupBy(col("r_name"), col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"))
+      grid.join(agg, Seq("r_name", "priority"), "left")
+        .select(col("r_name"), col("priority"),
+          coalesce(col("n"), lit(0L)).as("n_orders"))
+        .orderBy("r_name", "priority")
+    },
+
+    // ---- positional window picks: first_value / nth_value(2) under
+    //      the default running frame, last_value over the full
+    //      partition — raw column values pass through untouched, so
+    //      doubles hash-match without any decimal routing.
+    QueryDef.checked(
+      "q_window_nth",
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price,
+        |  last_value(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS final_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(spark, dir).orders
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_price"),
+          last(col("o_totalprice")).over(full).as("final_price"))
+        .orderBy("o_custkey", "o_orderkey")
     }
   )
 }

@@ -459,6 +459,41 @@ object Training {
           round(sum(col("nll_fp")) / lit(1000000000.0) / count(lit(1)), 6)
             .as("avg_nll"))
         .orderBy("doc_id")
+    },
+
+    // ---- curriculum ordering: stage docs easiest-first (shorter docs
+    //      = earlier stage via a length quartile), then shuffle
+    //      deterministically WITHIN each stage by md5(doc_id) so every
+    //      rerun and every engine derives the identical training order
+    //      (the curriculum twin of q_global_shuffle, which is stageless).
+    //      Scale: ntile over a single global ORDER BY is the small-corpus
+    //      shortcut — the 100 TB cut derives stage bounds from
+    //      approx_percentile(n_chars) in one pass and labels by range
+    //      (no global sort), then sorts WITHIN stages only, keyed by
+    //      (stage, md5) — a sortWithinPartitions after repartition(stage).
+    QueryDef.checked(
+      "q_curriculum_order",
+      """WITH staged AS (
+        |  SELECT doc_id, n_chars,
+        |    ntile(4) OVER (ORDER BY n_chars, doc_id) AS stage,
+        |    md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |  FROM documents
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY stage, shuffle_key, doc_id)
+        |    AS BIGINT) AS step,
+        |  doc_id, stage, n_chars
+        |FROM staged
+        |ORDER BY step""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables(spark, dir).documents
+        .select(col("doc_id"), col("n_chars"),
+          ntile(4).over(Window.orderBy("n_chars", "doc_id")).as("stage"),
+          md5(col("doc_id").cast("string")).as("shuffle_key"))
+        .select(
+          row_number().over(Window.orderBy("stage", "shuffle_key", "doc_id"))
+            .cast("long").as("step"),
+          col("doc_id"), col("stage"), col("n_chars"))
+        .orderBy("step")
     }
   )
 }

@@ -415,6 +415,81 @@ object VectorCuration {
           expr("1000 * n_members div n").as("share_permille"),
           (col("n_members") * 10 > col("n") * 2).as("is_hot"))
         .orderBy("cell")
+    },
+
+    // ---- one Lloyd (k-means) refinement iteration: assign every vector
+    //      to its nearest seed centroid (the [[IvfIndex]] label means —
+    //      the same deterministic stand-in every IVF/PQ query uses),
+    //      then recompute each cell's centroid and report how far it
+    //      moved. This is the training step that produces the codebooks
+    //      q_ann_ivf / q_pq_encode consume. All arithmetic after the
+    //      assignment is fixed-point: components scale to 1e-6 longs,
+    //      the per-(cell,dim) mean is an integer `div`, the movement is
+    //      an L1 sum of longs — order-independent on any partitioning.
+    //      Scale: one broadcast-assign scan + one (cell,dim)-keyed
+    //      aggregate (k×64 rows out); iterating = re-running the same
+    //      two stages with the 10-row centroid table swapped.
+    QueryDef.checked(
+      "q_kmeans_iter",
+      s"""WITH ${IvfIndex.duckCentroidCtes},
+         |asim AS (
+         |  SELECT e.vec_id, c.cell,
+         |    ${IvfIndex.duckMixedCosineSql("c.centroid", "e.embedding")} AS csim
+         |  FROM embeddings e, cents c
+         |), assigned AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+         |    FROM asim) r
+         |  WHERE rn = 1
+         |), comp AS (
+         |  SELECT a.cell, i AS pos,
+         |    sum(CAST(round(CAST(e.embedding[i + 1] AS DOUBLE) * 1000000)
+         |      AS BIGINT)) AS s,
+         |    count(*) AS n
+         |  FROM assigned a JOIN embeddings e USING (vec_id), range(64) t(i)
+         |  GROUP BY a.cell, i
+         |), newc AS (
+         |  SELECT cell, pos, s // n AS nc, n FROM comp
+         |), oldc AS (
+         |  SELECT cell, i AS pos,
+         |    CAST(round(centroid[i + 1] * 1000000) AS BIGINT) AS oc
+         |  FROM cents, range(64) t(i)
+         |)
+         |SELECT n.cell, max(n.n) AS n_members,
+         |  sum((n.pos + 1) * n.nc) AS centroid_checksum,
+         |  sum(abs(n.nc - o.oc)) AS l1_move_fp
+         |FROM newc n JOIN oldc o ON o.cell = n.cell AND o.pos = n.pos
+         |GROUP BY n.cell
+         |ORDER BY n.cell""".stripMargin) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+      val ivf = IvfIndex(nprobe = 1)
+      val cents = ivf.centroids(emb)
+        .select(col("label").as("cell"), col("centroid"))
+        .localCheckpoint() // feeds the assignment AND the old-centroid diff
+      val assigned = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cell"), col("embedding"),
+          ivf.mixedCosine("embedding", "centroid").as("csim"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))))
+        .filter(col("rn") === 1)
+        .select("cell", "embedding")
+      val comp = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("sv", expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)"))
+        .groupBy("cell", "pos")
+        .agg(sum(col("sv")).as("s"), count(lit(1)).as("n"))
+        .withColumn("nc", expr("s div n"))
+      val oldc = cents
+        .select(col("cell"), posexplode(col("centroid")).as(Seq("pos", "c")))
+        .select(col("cell"), col("pos"),
+          expr("CAST(round(c * 1000000) AS BIGINT)").as("oc"))
+      comp.join(broadcast(oldc), Seq("cell", "pos"))
+        .groupBy("cell")
+        .agg(max(col("n")).as("n_members"),
+          sum((col("pos") + 1) * col("nc")).as("centroid_checksum"),
+          sum(abs(col("nc") - col("oc"))).as("l1_move_fp"))
+        .orderBy("cell")
     }
   )
 }

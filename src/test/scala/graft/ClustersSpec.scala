@@ -60,4 +60,19 @@ class ClustersSpec extends SparkSpec {
     assert(cc.length == 60)
     assert(cc.forall(_.getLong(1) == 0L), "all nodes label to the min id")
   }
+
+  test("graph jaccard: symmetric-free pairs with exact set arithmetic") {
+    val rows = q("q_graph_jaccard").collect()
+    assert(rows.nonEmpty)
+    val seen = scala.collection.mutable.Set[(Long, Long)]()
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("supp_a"), r.getAs[Long]("supp_b"))
+      assert(a < b, s"pairs must be canonical a<b: ($a,$b)")
+      assert(seen.add((a, b)), s"duplicate pair ($a,$b)")
+      val (common, union) = (r.getAs[Long]("n_common"), r.getAs[Long]("n_union"))
+      assert(common >= 1 && union >= common)
+      assert(math.abs(r.getAs[Double]("jaccard") -
+        math.rint(common.toDouble / union * 1e6) / 1e6) < 1e-9)
+    }
+  }
 }

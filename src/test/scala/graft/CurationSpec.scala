@@ -167,4 +167,41 @@ class CurationSpec extends SparkSpec {
       assert(r.getAs[Long]("total_tokens") >= r.getAs[Long]("n_docs"))
     }
   }
+
+  test("boilerplate ngrams: covers the corpus; shares are exact ratios") {
+    val rows = q("q_boilerplate_ngrams").collect()
+    val docs = Tables(spark, sf).documents
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // per-source gram-pair mass must sum to the global shingle relation
+    // (independent recompute of the word-3-gram distinct pairs)
+    val pairTotal = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """filter(transform(toks, (x, i) ->
+          |  IF(i + 3 <= size(toks),
+          |     concat_ws(' ', x, toks[i + 1], toks[i + 2]), NULL)),
+          |  g -> g IS NOT NULL)""".stripMargin)).as("gram"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_gram_pairs")).sum == pairTotal)
+    rows.foreach { r =>
+      val (pairs, boiler) =
+        (r.getAs[Long]("n_gram_pairs"), r.getAs[Long]("n_boiler"))
+      assert(boiler >= 0 && boiler <= pairs)
+      assert(math.abs(r.getAs[Double]("boiler_share") -
+        math.rint(boiler.toDouble / pairs * 1e6) / 1e6) < 1e-9)
+    }
+  }
+
+  test("curriculum order: contiguous steps, stages balanced and monotone") {
+    val rows = q("q_curriculum_order").collect()
+    val n = Tables(spark, sf).documents.count()
+    assert(rows.length == n)
+    assert(rows.map(_.getAs[Long]("step")).toSeq == (1L to n).toSeq)
+    // step order never revisits an earlier stage
+    val stages = rows.sortBy(_.getAs[Long]("step")).map(_.getAs[Int]("stage"))
+    assert(stages.zip(stages.tail).forall { case (a, b) => a <= b })
+    // ntile(4) keeps bucket sizes within one of each other
+    val sizes = stages.groupBy(identity).values.map(_.length)
+    assert(sizes.max - sizes.min <= 1)
+  }
 }

@@ -253,4 +253,22 @@ class RetrievalCurationSpec extends SparkSpec {
       assert(r.getAs[Boolean]("is_hot") == (n * 10 > 2 * total))
     }
   }
+
+  test("kmeans iter: same assignment as ivf balance; movement bounded") {
+    val iter = q("q_kmeans_iter").collect()
+    val balance = q("q_ivf_balance").collect()
+      .map(r => r.getAs[Int]("cell") -> r.getAs[Long]("n_members")).toMap
+    // the Lloyd step and the balance report share the nearest-centroid
+    // assignment — their per-cell populations must agree exactly
+    assert(iter.map(r =>
+      r.getAs[Int]("cell") -> r.getAs[Long]("n_members")).toMap == balance)
+    assert(iter.map(_.getAs[Long]("n_members")).sum ==
+      Tables(spark, sf).embeddings.count())
+    iter.foreach { r =>
+      // components live in ~[-1, 1] scaled by 1e6: a 64-dim centroid
+      // cannot move more than 2e6 per dim in one step
+      val move = r.getAs[Long]("l1_move_fp")
+      assert(move >= 0 && move < 64L * 2000000L, s"implausible move $move")
+    }
+  }
 }
