@@ -624,6 +624,162 @@ object Dedup {
         .select(col("doc_id"), col("n_grams"), col("n_dup"),
           round(col("n_dup").cast("double") / col("n_grams"), 6).as("dup_rate"))
         .orderBy("doc_id")
+    },
+
+    // ---- exact substring-span dedup audit (the Lee et al.
+    //      "Deduplicating Training Data" pass, at 8-token granularity):
+    //      every positioned 8-gram occurring ≥ 2 times corpus-wide is a
+    //      duplicated span seed; overlapping/adjacent seeds MERGE into
+    //      maximal spans per doc (gaps-and-islands over the running
+    //      span-end maximum), and the report is each doc's duplicated
+    //      token mass. Differs from q_dup_ngram_rate by keeping
+    //      POSITIONS — the output is removable spans, not a rate.
+    //      Scale: one corpus-sized shuffle keyed by the 8-byte gram
+    //      hash for the occurrence count, then per-doc windows; the
+    //      suffix-array of the original is replaced by the fixed-L
+    //      gram relation — the standard distributed approximation.
+    QueryDef.checked(
+      "q_substring_dedup",
+      """WITH sp AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(greatest(len(toks) - 7, 0)),
+        |      i -> CAST(concat('0x', substring(md5(
+        |        array_to_string(toks[i + 1 : i + 8], ' ')), 1, 15)) AS BIGINT)))
+        |      AS h,
+        |    unnest(range(greatest(len(toks) - 7, 0))) AS pos
+        |  FROM sp
+        |), c AS (
+        |  SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt FROM g
+        |), f AS (
+        |  SELECT doc_id, pos FROM c WHERE cnt >= 2
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > coalesce(max(pos + 7) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9) + 1
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM f
+        |), grp AS (
+        |  SELECT doc_id, pos, sum(brk) OVER (
+        |    PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+        |  FROM isl
+        |), spans AS (
+        |  SELECT doc_id, gid, min(pos) AS s, max(pos) + 7 AS e
+        |  FROM grp GROUP BY doc_id, gid
+        |), per_doc AS (
+        |  SELECT doc_id, count(*) AS n_spans,
+        |    CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+        |  FROM spans GROUP BY doc_id
+        |), tot AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT t.doc_id, t.n_tokens,
+        |  coalesce(p.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+        |  coalesce(p.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
+        |  round(CAST(coalesce(p.dup_tokens, CAST(0 AS BIGINT)) AS DOUBLE)
+        |    / t.n_tokens, 6) AS dup_frac
+        |FROM tot t LEFT JOIN per_doc p ON p.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(spark, dir).documents
+      // positioned 8-gram hashes: transform keeps the index, the null
+      // tail (short docs) drops AFTER posexplode so positions survive
+      val g = docs
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        // Spark's sequence(0, -1) counts DOWN — guard short docs out
+        // before building positions (DuckDB's range() is empty there)
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, size(toks) - 8),
+            |  i -> concat_ws(' ', slice(toks, i + 1, 8)))""".stripMargin))
+          .as(Seq("pos", "gram")))
+        .select(col("doc_id"), col("pos"),
+          (md5h64(col("gram"))).as("h"))
+      val f = g
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
+        .filter(col("cnt") >= 2)
+        .select("doc_id", "pos")
+      val wPrev = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val spans = f
+        .withColumn("brk",
+          when(col("pos") >
+            coalesce(max(col("pos") + 7).over(wPrev), lit(-9)) + 1, 1)
+            .otherwise(0))
+        .withColumn("gid", sum(col("brk")).over(wRun))
+        .groupBy("doc_id", "gid")
+        .agg(min(col("pos")).as("s"), (max(col("pos")) + 7).as("e"))
+      val perDoc = spans.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("e") - col("s") + 1).cast("long").as("dup_tokens"))
+      docs.select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          round(coalesce(col("dup_tokens"), lit(0L)).cast("double")
+            / col("n_tokens"), 6).as("dup_frac"))
+        .orderBy("doc_id")
+    },
+
+    // ---- cross-source overlap matrix: shingle-set Jaccard and mutual
+    //      containment for every source pair — the corpus-level
+    //      contamination map (which crawl snapshots/feeds duplicate
+    //      each other) that decides dedup ORDER before doc-level
+    //      passes run. Source shingle sets reduce to distinct (source,
+    //      hash) pairs first — vocabulary-bounded, far smaller than the
+    //      doc-level relation — then one hash-keyed self-join counts
+    //      intersections; |sources|² output.
+    QueryDef.checked(
+      "q_source_overlap",
+      s"""WITH sg AS (
+         |  SELECT DISTINCT d.source, h FROM ($duckHashedGrams) hg
+         |  JOIN documents d ON d.doc_id = hg.doc_id
+         |), sz AS (
+         |  SELECT source, count(*) AS n FROM sg GROUP BY source
+         |), inter AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_int
+         |  FROM sg a JOIN sg b ON b.h = a.h AND a.source < b.source
+         |  GROUP BY a.source, b.source
+         |)
+         |SELECT i.src_a, i.src_b, sa.n AS n_a, sb.n AS n_b, i.n_int,
+         |  round(CAST(i.n_int AS DOUBLE) / (sa.n + sb.n - i.n_int), 6)
+         |    AS jaccard,
+         |  round(CAST(i.n_int AS DOUBLE) / least(sa.n, sb.n), 6)
+         |    AS containment
+         |FROM inter i
+         |JOIN sz sa ON sa.source = i.src_a
+         |JOIN sz sb ON sb.source = i.src_b
+         |ORDER BY i.src_a, i.src_b""".stripMargin) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      val sg = hashedGrams(docs)
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .select("source", "h").distinct()
+        .localCheckpoint() // sizes + both self-join sides
+      val sz = sg.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = sg.select(col("source").as("src_a"), col("h"))
+        .join(sg.select(col("source").as("src_b"), col("h")), Seq("h"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_int"))
+      inter
+        .join(broadcast(sz.select(col("source").as("src_a"),
+          col("n").as("n_a"))), Seq("src_a"))
+        .join(broadcast(sz.select(col("source").as("src_b"),
+          col("n").as("n_b"))), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          col("n_int"),
+          round(col("n_int").cast("double") /
+            (col("n_a") + col("n_b") - col("n_int")), 6).as("jaccard"),
+          round(col("n_int").cast("double") /
+            least(col("n_a"), col("n_b")), 6).as("containment"))
+        .orderBy("src_a", "src_b")
     }
   )
 }

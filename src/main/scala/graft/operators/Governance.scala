@@ -193,23 +193,23 @@ object Governance {
         .orderBy("pseudonym")
     },
 
-    // ---- retention / TTL purge plan: per calendar-month partition of
-    //      the event log, how much is past the 30-day retention window
-    //      (cutoff = max event time − 30 days, a 1-row broadcast bound)
+    // ---- retention / TTL purge plan: per calendar-day partition of
+    //      the event log, how much is past the 10-day retention window
+    //      (cutoff = max event time − 10 days, a 1-row broadcast bound)
     //      and the cheapest action — DROP the whole partition when all
     //      rows expired (a metadata delete at the target), REWRITE when
     //      mixed, KEEP when untouched. The plan output is
-    //      |months|-sized; this is the artifact a 100 TB purge job
+    //      |days|-sized; this is the artifact a 100 TB purge job
     //      executes partition-by-partition.
     QueryDef.checked(
       "q_retention_purge",
       """WITH b AS (SELECT max(ts) AS mx FROM events),
         |lab AS (
-        |  SELECT strftime(ts, '%Y-%m') AS month,
-        |    ts < mx - INTERVAL 30 DAY AS expired
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |    ts < mx - INTERVAL 10 DAY AS expired
         |  FROM events, b
         |)
-        |SELECT month, count(*) AS n_rows,
+        |SELECT day, count(*) AS n_rows,
         |  CAST(sum(CASE WHEN expired THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_expired,
         |  CASE
@@ -219,22 +219,22 @@ object Governance {
         |      THEN 'rewrite'
         |    ELSE 'keep' END AS action
         |FROM lab
-        |GROUP BY month
-        |ORDER BY month""".stripMargin) { (spark, dir) =>
+        |GROUP BY day
+        |ORDER BY day""".stripMargin) { (spark, dir) =>
       val ev = Tables(spark, dir).events
       val b = ev.agg(max(col("ts")).as("mx"))
       ev.crossJoin(broadcast(b))
-        .select(date_format(col("ts"), "yyyy-MM").as("month"),
-          (col("ts") < expr("mx - INTERVAL 30 DAYS")).as("expired"))
-        .groupBy("month")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          (col("ts") < expr("mx - INTERVAL 10 DAYS")).as("expired"))
+        .groupBy("day")
         .agg(count(lit(1)).as("n_rows"),
           sum(when(col("expired"), 1).otherwise(0)).cast("long")
             .as("n_expired"))
-        .select(col("month"), col("n_rows"), col("n_expired"),
+        .select(col("day"), col("n_rows"), col("n_expired"),
           when(col("n_expired") === col("n_rows"), "drop_partition")
             .when(col("n_expired") > 0, "rewrite")
             .otherwise("keep").as("action"))
-        .orderBy("month")
+        .orderBy("day")
     },
 
     // ---- GDPR erasure cascade: given a subject set (every 37th

@@ -305,6 +305,33 @@ object Layout {
           (col("max_ok") < 10000 || col("min_ok") > 12000).as("skip_clustered"),
           (col("max_pk") < 1000 || col("min_pk") > 1200).as("skip_unclustered"))
         .orderBy("bucket")
+    },
+
+    // ---- explicit join-strategy hint: the per-segment revenue rollup
+    //      with the orders⋈customer join FORCED to a shuffled hash join
+    //      (no sort phase) — the strategy override a tuner reaches for
+    //      when both sides are large but one hashes comfortably within
+    //      a task (SMJ's sort is wasted work when the aggregate above
+    //      destroys order anyway). Result is strategy-invariant (the
+    //      oracle is plain SQL); PlanSpec pins the physical operator to
+    //      ShuffledHashJoin so a silent fallback to SMJ fails loudly.
+    QueryDef.checked(
+      "q_join_hints",
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders JOIN customer ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      t.orders
+        .join(t.customer.hint("SHUFFLE_HASH"),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types
+            .DecimalType(14, 2))).cast("double").as("revenue"))
+        .orderBy("c_mktsegment")
     }
   )
 }

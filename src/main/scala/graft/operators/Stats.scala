@@ -448,6 +448,121 @@ object Stats {
           round(col("full_mean") / 100, 6).as("mean_value"),
           round(col("lo") / 100, 6).as("ci_lo"),
           round(col("hi") / 100, 6).as("ci_hi"))
+    },
+
+    // ---- winsorization: clip order totals at the exact [p05, p95]
+    //      bounds and report per-status clip counts and the winsorized
+    //      mean — the outlier treatment a feature pipeline applies
+    //      before model fitting. Bounds come from the exact percentile
+    //      over integer cents (interpolation lands on halves, so ×2
+    //      keeps EVERY clipped value an integer — the winsorized sum is
+    //      a long, order-independent). The 1-row bound relation
+    //      broadcasts; production swaps exact percentile for
+    //      approx_percentile without touching the clip stage.
+    QueryDef.checked(
+      "q_winsorize",
+      """WITH c AS (
+        |  SELECT o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |), b AS (
+        |  SELECT CAST(round(quantile_cont(cents, 0.05) * 2) AS BIGINT) AS lo2,
+        |    CAST(round(quantile_cont(cents, 0.95) * 2) AS BIGINT) AS hi2
+        |  FROM c
+        |)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CASE WHEN cents * 2 < lo2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_lo,
+        |  CAST(sum(CASE WHEN cents * 2 > hi2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_hi,
+        |  round(CAST(sum(greatest(least(cents * 2, hi2), lo2)) AS DOUBLE)
+        |    / (200.0 * count(*)), 6) AS mean_winsor,
+        |  round(CAST(sum(cents) AS DOUBLE) / (100.0 * count(*)), 6) AS mean_raw
+        |FROM c, b
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      val c = Tables(spark, dir).orders
+        .select(col("o_orderstatus"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val b = c.agg(
+        expr("CAST(round(percentile(cents, 0.05D) * 2) AS BIGINT)").as("lo2"),
+        expr("CAST(round(percentile(cents, 0.95D) * 2) AS BIGINT)").as("hi2"))
+      c.crossJoin(broadcast(b))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("cents") * 2 < col("lo2"), 1).otherwise(0)).cast("long")
+            .as("n_clip_lo"),
+          sum(when(col("cents") * 2 > col("hi2"), 1).otherwise(0)).cast("long")
+            .as("n_clip_hi"),
+          round(sum(greatest(least(col("cents") * 2, col("hi2")), col("lo2")))
+            .cast("double") / (lit(200.0) * count(lit(1))), 6)
+            .as("mean_winsor"),
+          round(sum(col("cents")).cast("double") / (lit(100.0) * count(lit(1))), 6)
+            .as("mean_raw"))
+        .orderBy("o_orderstatus")
+    },
+
+    // ---- mutual information between market segment and order
+    //      priority: the categorical feature-relevance score a feature-
+    //      selection pass computes per (feature, label) pair. PMI terms
+    //      are fixed-point 1e-9 longs (the ln argument is the same
+    //      integer-derived rational on both engines), so the MI sum is
+    //      order-independent; joint/marginal relations are domain-
+    //      bounded (5×5) and broadcast. One fact-sized keyed aggregate.
+    QueryDef.checked(
+      "q_mutual_info",
+      """WITH f AS (
+        |  SELECT c_mktsegment AS seg, o_orderpriority AS pri
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |), joint AS (
+        |  SELECT seg, pri, count(*) AS nij FROM f GROUP BY seg, pri
+        |), ms AS (
+        |  SELECT seg, count(*) AS ni FROM f GROUP BY seg
+        |), mp AS (
+        |  SELECT pri, count(*) AS nj FROM f GROUP BY pri
+        |), tot AS (
+        |  SELECT count(*) AS n FROM f
+        |), cells AS (
+        |  SELECT j.seg, j.pri, j.nij,
+        |    CAST(round(ln((CAST(j.nij AS DOUBLE) * t.n) /
+        |      (CAST(ms.ni AS DOUBLE) * mp.nj)) * 1000000000) AS BIGINT)
+        |      AS pmi_fp,
+        |    t.n AS n
+        |  FROM joint j
+        |  JOIN ms ON ms.seg = j.seg
+        |  JOIN mp ON mp.pri = j.pri
+        |  CROSS JOIN tot t
+        |)
+        |SELECT seg, pri, nij, round(pmi_fp / 1000000000.0, 6) AS pmi,
+        |  round(sum(nij * pmi_fp) OVER () / (1000000000.0 * n), 6) AS mi_total
+        |FROM cells
+        |ORDER BY seg, pri""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir)
+      val f = t.orders
+        .join(t.customer, col("c_custkey") === col("o_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          col("o_orderpriority").as("pri"))
+        .localCheckpoint() // four aggregate consumers of one fact join
+      val joint = f.groupBy("seg", "pri").agg(count(lit(1)).as("nij"))
+      val ms = f.groupBy("seg").agg(count(lit(1)).as("ni"))
+      val mp = f.groupBy("pri").agg(count(lit(1)).as("nj"))
+      val tot = f.agg(count(lit(1)).as("n"))
+      joint
+        .join(broadcast(ms), Seq("seg"))
+        .join(broadcast(mp), Seq("pri"))
+        .crossJoin(broadcast(tot))
+        .select(col("seg"), col("pri"), col("nij"),
+          expr("""CAST(round(ln((CAST(nij AS DOUBLE) * n) /
+            (CAST(ni AS DOUBLE) * nj)) * 1000000000) AS BIGINT)""")
+            .as("pmi_fp"),
+          col("n"))
+        .select(col("seg"), col("pri"), col("nij"),
+          round(col("pmi_fp") / lit(1000000000.0), 6).as("pmi"),
+          round(sum(col("nij") * col("pmi_fp"))
+            .over(Window.partitionBy())
+            / (lit(1000000000.0) * col("n")), 6).as("mi_total"))
+        .orderBy("seg", "pri")
     }
   )
 }

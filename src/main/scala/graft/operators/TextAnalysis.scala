@@ -368,6 +368,40 @@ object TextAnalysis {
             col("es") / lit(1000000000.0) / log(col("nd").cast("double")))
             .otherwise(0d), 6).as("evenness"))
         .orderBy("doc_id")
+    },
+
+    // ---- text normalization: the lowercase → strip-non-alnum →
+    //      collapse-whitespace → trim pipeline every corpus runs before
+    //      tokenization, reported per doc with before/after sizes and a
+    //      post-normalization fingerprint (the dedup key the CLEANED
+    //      corpus hashes on). Stateless per-row map — scan-stage
+    //      codegen, zero shuffle besides the presentation sort; the
+    //      regexes are simple character classes that Java and RE2
+    //      evaluate identically.
+    QueryDef.checked(
+      "q_text_normalize",
+      """SELECT doc_id, n_chars AS orig_chars,
+        |  length(norm) AS norm_chars,
+        |  len(string_split(norm, ' ')) AS norm_tokens,
+        |  length(norm) < n_chars AS shrank,
+        |  md5(norm) AS norm_sig
+        |FROM (
+        |  SELECT doc_id, n_chars,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g')) AS norm
+        |  FROM documents
+        |)
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .select(col("doc_id"), col("n_chars"),
+          trim(regexp_replace(regexp_replace(lower(col("text")),
+            "[^a-z0-9 ]", ""), "  +", " ")).as("norm"))
+        .select(col("doc_id"), col("n_chars").as("orig_chars"),
+          length(col("norm")).as("norm_chars"),
+          size(split(col("norm"), " ")).as("norm_tokens"),
+          (length(col("norm")) < col("n_chars")).as("shrank"),
+          md5(col("norm")).as("norm_sig"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -182,6 +182,152 @@ object TimeSeries {
             .as("cusum_scaled"))
         .orderBy(abs(col("cusum_scaled")).desc, col("day"))
         .limit(5)
+    },
+
+    // ---- naive STL decomposition: trend = centered 7-day moving
+    //      average (full windows only), seasonal = weekday mean of the
+    //      detrended series, residual = remainder. The detrended series
+    //      is kept as an INTEGER ×7 (7·y − Σ₇y), so the weekday means
+    //      are exact integer sums with one final division — no float
+    //      accumulation anywhere ([[Parity]] discipline). Scale: the
+    //      series is calendar-sized after the per-day pre-aggregate,
+    //      the 7-row seasonal profile broadcasts back.
+    QueryDef.checked(
+      "q_stl_naive",
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS y
+        |  FROM orders GROUP BY 1
+        |), win AS (
+        |  SELECT day, y, dayofweek(day) AS dow,
+        |    sum(y) OVER w AS s7, count(*) OVER w AS n7
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |), det AS (
+        |  SELECT day, y, dow, s7,
+        |    CASE WHEN n7 = 7 THEN 7 * y - s7 END AS d7
+        |  FROM win
+        |), seas AS (
+        |  SELECT dow, CAST(sum(d7) AS BIGINT) AS sd, count(d7) AS nd
+        |  FROM det WHERE d7 IS NOT NULL GROUP BY dow
+        |)
+        |SELECT d.day, d.y,
+        |  CASE WHEN d.d7 IS NOT NULL
+        |    THEN round(CAST(d.s7 AS DOUBLE) / 7, 6) END AS trend,
+        |  round(CAST(s.sd AS DOUBLE) / (7 * s.nd), 6) AS seasonal,
+        |  CASE WHEN d.d7 IS NOT NULL
+        |    THEN round(d.y - CAST(d.s7 AS DOUBLE) / 7
+        |      - CAST(s.sd AS DOUBLE) / (7 * s.nd), 6) END AS resid
+        |FROM det d JOIN seas s ON s.dow = d.dow
+        |ORDER BY d.day""".stripMargin) { (spark, dir) =>
+      val daily = Tables(spark, dir).orders
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val w = Window.orderBy("day").rowsBetween(-3, 3)
+      val det = daily
+        .select(col("day"), col("y"),
+          (dayofweek(col("day")) - 1).cast("int").as("dow"),
+          sum(col("y")).over(w).as("s7"), count(lit(1)).over(w).as("n7"))
+        .withColumn("d7", when(col("n7") === 7, lit(7) * col("y") - col("s7")))
+        .localCheckpoint() // feeds the seasonal profile AND the final join
+      val seas = det.filter(col("d7").isNotNull)
+        .groupBy("dow")
+        .agg(sum(col("d7")).cast("long").as("sd"), count(col("d7")).as("nd"))
+      det.join(broadcast(seas), Seq("dow"))
+        .select(col("day"), col("y"),
+          when(col("d7").isNotNull,
+            round(col("s7").cast("double") / 7, 6)).as("trend"),
+          round(col("sd").cast("double") / (lit(7) * col("nd")), 6)
+            .as("seasonal"),
+          when(col("d7").isNotNull,
+            round(col("y") - col("s7").cast("double") / 7
+              - col("sd").cast("double") / (lit(7) * col("nd")), 6))
+            .as("resid"))
+        .orderBy("day")
+    },
+
+    // ---- forecasting feature frame: per-day revenue with lag-1/lag-7,
+    //      trailing 7-day sum and coverage count, and the day-over-day
+    //      volume delta — the feature-engineering projection a demand
+    //      model trains on. Revenue stays DECIMAL through every lag and
+    //      rolling sum (exact, order-independent); doubles appear only
+    //      in the final casts.
+    QueryDef.checked(
+      "q_lag_features",
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n,
+        |    sum(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT day, n, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(lag(rev, 1) OVER (ORDER BY day) AS DOUBLE) AS rev_lag1,
+        |  CAST(lag(rev, 7) OVER (ORDER BY day) AS DOUBLE) AS rev_lag7,
+        |  CAST(sum(rev) OVER (ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d,
+        |  CAST(count(*) OVER (ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_days_7d,
+        |  n - lag(n, 1) OVER (ORDER BY day) AS n_delta
+        |FROM daily
+        |ORDER BY day""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.orderBy("day")
+      val w7 = w.rowsBetween(-6, 0)
+      Tables(spark, dir).orders
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(14, 2))).as("rev"))
+        .select(col("day"), col("n"), col("rev").cast("double").as("revenue"),
+          lag(col("rev"), 1).over(w).cast("double").as("rev_lag1"),
+          lag(col("rev"), 7).over(w).cast("double").as("rev_lag7"),
+          sum(col("rev")).over(w7).cast("double").as("rev_7d"),
+          count(lit(1)).over(w7).cast("long").as("n_days_7d"),
+          (col("n") - lag(col("n"), 1).over(w)).as("n_delta"))
+        .orderBy("day")
+    },
+
+    // ---- late-data audit: replay the event log in simulated arrival
+    //      order (deterministic per-event network delay of event_id%30
+    //      seconds), track the event-time high-watermark over what has
+    //      ARRIVED, and count rows that a 10-second watermark would
+    //      have dropped — the batch audit that sizes
+    //      withWatermark(delay) for the streaming pipeline
+    //      (q_stream_* family). The global arrival-order window is the
+    //      sf-scale shortcut; the production audit runs the same window
+    //      per shard/partition key.
+    QueryDef.checked(
+      "q_late_data_audit",
+      """WITH arr AS (
+        |  SELECT event_id, event_type, ts,
+        |    ts + to_seconds(CAST(event_id % 30 AS BIGINT)) AS arrival_ts
+        |  FROM events
+        |), hw AS (
+        |  SELECT event_id, event_type, ts,
+        |    max(ts) OVER (ORDER BY arrival_ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+        |  FROM arr
+        |)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN ts < wm - INTERVAL 10 SECOND THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_late,
+        |  round(CAST(sum(CASE WHEN ts < wm - INTERVAL 10 SECOND
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS late_share
+        |FROM hw
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val w = Window.orderBy("arrival_ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val isLate = col("ts") < expr("wm - INTERVAL 10 SECONDS")
+      Tables(spark, dir).events
+        .select(col("event_id"), col("event_type"), col("ts"),
+          expr("timestampadd(SECOND, CAST(event_id % 30 AS INT), ts)")
+            .as("arrival_ts"))
+        .withColumn("wm", max(col("ts")).over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(isLate, 1).otherwise(0)).cast("long").as("n_late"))
+        .select(col("event_type"), col("n_events"), col("n_late"),
+          round(col("n_late").cast("double") / col("n_events"), 6)
+            .as("late_share"))
+        .orderBy("event_type")
     }
   )
 }

@@ -490,6 +490,48 @@ object VectorCuration {
           sum((col("pos") + 1) * col("nc")).as("centroid_checksum"),
           sum(abs(col("nc") - col("oc"))).as("l1_move_fp"))
         .orderBy("cell")
+    },
+
+    // ---- embedding health audit: per-label L2-norm profile (1e-6
+    //      fixed-point after the documented strict fold) plus the
+    //      degenerate-vector guards an ingest gate enforces — zero
+    //      norms and severely sub-unit norms both poison cosine math
+    //      downstream. Stateless per-row norm inside the scan, one
+    //      label-keyed aggregate; |labels| rows out.
+    QueryDef.checked(
+      "q_embedding_stats",
+      """SELECT label, count(*) AS n_vecs,
+        |  min(norm_fp) AS min_norm_fp, max(norm_fp) AS max_norm_fp,
+        |  round(sum(norm_fp) / 1000000.0 / count(*), 6) AS mean_norm,
+        |  CAST(sum(CASE WHEN norm_fp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero,
+        |  CAST(sum(CASE WHEN norm_fp < 500000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_subhalf
+        |FROM (
+        |  SELECT label,
+        |    CAST(round(sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))
+        |      * 1000000) AS BIGINT) AS norm_fp
+        |  FROM embeddings
+        |)
+        |GROUP BY label
+        |ORDER BY label""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).embeddings
+        .select(col("label"),
+          expr("""CAST(round(sqrt(aggregate(transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D,
+            (acc, v) -> acc + v)) * 1000000) AS BIGINT)""").as("norm_fp"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("norm_fp")).as("min_norm_fp"),
+          max(col("norm_fp")).as("max_norm_fp"),
+          round(sum(col("norm_fp")) / lit(1000000.0) / count(lit(1)), 6)
+            .as("mean_norm"),
+          sum(when(col("norm_fp") === 0, 1).otherwise(0)).cast("long")
+            .as("n_zero"),
+          sum(when(col("norm_fp") < 500000, 1).otherwise(0)).cast("long")
+            .as("n_subhalf"))
+        .orderBy("label")
     }
   )
 }

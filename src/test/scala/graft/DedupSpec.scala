@@ -170,4 +170,35 @@ class DedupSpec extends SparkSpec {
         (math.max(ca, cb) >= 0.8 && j < 0.5))
     }
   }
+
+  test("substring dedup: merged spans respect 8-gram and doc bounds") {
+    val rows = q("q_substring_dedup").collect()
+    assert(rows.length == Tables(spark, sf).documents.count())
+    rows.foreach { r =>
+      val (nTok, nSpans, dupTok) = (r.getAs[Int]("n_tokens"),
+        r.getAs[Long]("n_spans"), r.getAs[Long]("dup_tokens"))
+      assert(dupTok <= nTok, s"span mass exceeds doc: $dupTok > $nTok")
+      // every maximal span covers at least one full 8-gram
+      assert(dupTok >= 8 * nSpans)
+      if (nTok < 8) assert(nSpans == 0 && dupTok == 0)
+      assert(math.abs(r.getAs[Double]("dup_frac") -
+        math.rint(dupTok.toDouble / nTok * 1e6) / 1e6) < 1e-9)
+    }
+    // the corpus-wide audit must find SOME duplicated span (the word
+    // soup repeats 3-grams heavily; 8-gram repeats are rarer but exist)
+    assert(rows.map(_.getAs[Long]("n_spans")).sum > 0)
+  }
+
+  test("source overlap: full pair matrix with set-algebra invariants") {
+    val rows = q("q_source_overlap").collect()
+    assert(rows.length == 20 * 19 / 2)
+    rows.foreach { r =>
+      val (na, nb, ni) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("n_int"))
+      assert(ni >= 1 && ni <= math.min(na, nb))
+      val (j, c) = (r.getAs[Double]("jaccard"), r.getAs[Double]("containment"))
+      assert(j > 0.0 && j <= 1.0 && c > 0.0 && c <= 1.0)
+      assert(c >= j - 1e-6, "containment dominates jaccard")
+    }
+  }
 }

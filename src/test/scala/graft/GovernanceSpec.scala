@@ -57,4 +57,47 @@ class GovernanceSpec extends SparkSpec {
       assert(math.abs(num - math.rint(num)) < 1e-6)
     }
   }
+
+  test("pseudonymization: injective over customers, orders conserved") {
+    val rows = q("q_mask_pseudonym").collect()
+    val t = Tables(spark, sf)
+    // one output row per customer (pseudonym is keyed-hash injective;
+    // nation/bucket can't merge rows because the group key includes it)
+    assert(rows.length == t.customer.count())
+    assert(rows.map(_.getAs[String]("pseudonym")).distinct.length == rows.length)
+    assert(rows.forall(_.getAs[String]("pseudonym").matches("cust_[0-9a-f]{12}")))
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == t.orders.count())
+    assert(rows.forall(_.getAs[Long]("bal_bucket") % 100 == 0))
+  }
+
+  test("retention purge: actions match counts and partition the log") {
+    val rows = q("q_retention_purge").collect()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum ==
+      Tables(spark, sf).events.count())
+    rows.foreach { r =>
+      val (n, ex) = (r.getAs[Long]("n_rows"), r.getAs[Long]("n_expired"))
+      val action = r.getAs[String]("action")
+      assert(ex <= n)
+      assert(action == (if (ex == n) "drop_partition"
+        else if (ex > 0) "rewrite" else "keep"))
+    }
+    // a 10-day retention over a ~30-day log must produce drops AND keeps
+    val actions = rows.map(_.getAs[String]("action")).toSet
+    assert(actions.contains("drop_partition") && actions.contains("keep"))
+  }
+
+  test("gdpr cascade: counts agree with an independent recompute") {
+    val rows = q("q_gdpr_cascade").collect()
+    val t = Tables(spark, sf)
+    val subj = t.customer.filter(col("c_custkey") % 37 === 0)
+    assert(rows.map(_.getAs[Long]("n_subjects")).sum == subj.count())
+    val expOrders = t.orders.join(subj, col("o_custkey") === col("c_custkey"))
+      .count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == expOrders)
+    val expLi = t.lineitem.join(
+      t.orders.join(subj, col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey"),
+      col("l_orderkey") === col("o_orderkey")).count()
+    assert(rows.map(_.getAs[Long]("n_lineitems")).sum == expLi)
+  }
 }

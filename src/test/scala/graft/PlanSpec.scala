@@ -157,4 +157,11 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       "median/MAD relations must broadcast onto the fact rows")
   }
+
+  test("SHUFFLE_HASH hint forces a ShuffledHashJoin (no sort, no silent SMJ)") {
+    val plan = physical("q_join_hints")
+    assert(plan.contains("ShuffledHashJoin"), plan.take(600))
+    assert(!plan.contains("SortMergeJoin"),
+      "hint must suppress the sort-merge fallback")
+  }
 }

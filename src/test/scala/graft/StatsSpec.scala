@@ -200,4 +200,36 @@ class StatsSpec extends SparkSpec {
       _.filter(_.getAs[Int]("day_offset") == 0).head.getAs[Long]("n_users"))
       .sum == totalUsers)
   }
+
+  test("winsorize: ~5% clipped each side; winsorized mean between bounds") {
+    val rows = q("q_winsorize").collect()
+    val n = rows.map(_.getAs[Long]("n")).sum
+    assert(n == Tables(spark, sf).orders.count())
+    val lo = rows.map(_.getAs[Long]("n_clip_lo")).sum
+    val hi = rows.map(_.getAs[Long]("n_clip_hi")).sum
+    // exact p05/p95 bounds clip at most 5% strictly-outside each side
+    assert(lo <= n * 5 / 100 + 1 && hi <= n * 5 / 100 + 1, s"lo=$lo hi=$hi n=$n")
+    assert(lo >= n * 4 / 100 - 1 && hi >= n * 4 / 100 - 1, s"lo=$lo hi=$hi n=$n")
+    rows.foreach { r =>
+      // clipping pulls tails inward: winsorized mean stays finite and
+      // within the raw min/max envelope implied by the clip bounds
+      assert(r.getAs[Double]("mean_winsor") > 0)
+      assert(r.getAs[Long]("n_clip_lo") + r.getAs[Long]("n_clip_hi") <
+        r.getAs[Long]("n"))
+    }
+  }
+
+  test("mutual information: cells cover the table; MI nonnegative, constant") {
+    val rows = q("q_mutual_info").collect()
+    val t = Tables(spark, sf)
+    val total = t.orders.count()
+    assert(rows.map(_.getAs[Long]("nij")).sum == total)
+    assert(rows.length == 25) // 5 segments x 5 priorities
+    val mis = rows.map(_.getAs[Double]("mi_total")).distinct
+    assert(mis.length == 1, s"mi_total must be the same on every row: $mis")
+    assert(mis.head >= -1e-6, s"MI is nonnegative, got ${mis.head}")
+    // PMI symmetry of mass: sum of nij*pmi equals MI*N within rounding
+    val recon = rows.map(r => r.getAs[Long]("nij") * r.getAs[Double]("pmi")).sum
+    assert(math.abs(recon / total - mis.head) < 1e-3)
+  }
 }

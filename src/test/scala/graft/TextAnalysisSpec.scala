@@ -113,4 +113,19 @@ class TextAnalysisSpec extends SparkSpec {
       assert(nll > 0.0 && nll < 20.0)
     }
   }
+
+  test("text normalize: idempotent cleanup with stable fingerprints") {
+    val rows = q("q_text_normalize").collect()
+    assert(rows.length == Tables(spark, sf).documents.count())
+    rows.foreach { r =>
+      assert(r.getAs[Int]("norm_chars") <= r.getAs[Long]("orig_chars"))
+      assert(r.getAs[Int]("norm_tokens") >= 1)
+      assert(r.getAs[String]("norm_sig").matches("[0-9a-f]{32}"))
+      assert(r.getAs[Boolean]("shrank") ==
+        (r.getAs[Int]("norm_chars") < r.getAs[Long]("orig_chars")))
+    }
+    // fingerprints collide only for truly identical normalized text —
+    // on this corpus they are unique per doc
+    assert(rows.map(_.getAs[String]("norm_sig")).distinct.length == rows.length)
+  }
 }

@@ -49,4 +49,49 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.length == 5)
     assert(math.abs(got.head.getAs[Long]("cusum_scaled")) == expectTop)
   }
+
+  test("stl naive: components reassemble; trend missing only at edges") {
+    val rows = q("q_stl_naive").orderBy("day").collect()
+    val n = rows.length
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val trendNull = r.isNullAt(r.fieldIndex("trend"))
+      assert(trendNull == (i < 3 || i >= n - 3),
+        s"trend nullability wrong at index $i")
+      if (!trendNull) {
+        val recon = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+          r.getAs[Double]("resid")
+        assert(math.abs(recon - r.getAs[Long]("y")) < 1e-4,
+          s"y=${r.getAs[Long]("y")} recon=$recon")
+      }
+    }
+  }
+
+  test("lag features: rolling window arithmetic replays locally") {
+    val rows = q("q_lag_features").orderBy("day").collect()
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("n_days_7d") == math.min(i + 1, 7))
+      val exp7 = revs.slice(math.max(0, i - 6), i + 1).sum
+      assert(math.abs(r.getAs[Double]("rev_7d") - exp7) < 1e-4)
+      if (i >= 1)
+        assert(r.getAs[Double]("rev_lag1") == revs(i - 1))
+      else assert(r.isNullAt(r.fieldIndex("rev_lag1")))
+      if (i >= 7)
+        assert(r.getAs[Double]("rev_lag7") == revs(i - 7))
+    }
+  }
+
+  test("late-data audit: covers the log and the jitter produces lateness") {
+    val rows = q("q_late_data_audit").collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sum ==
+      Tables(spark, sf).events.count())
+    rows.foreach { r =>
+      val (n, late) = (r.getAs[Long]("n_events"), r.getAs[Long]("n_late"))
+      assert(late >= 0 && late <= n)
+      assert(math.abs(r.getAs[Double]("late_share") -
+        math.rint(late.toDouble / n * 1e6) / 1e6) < 1e-9)
+    }
+    // the %30-second jitter against a 10s watermark must drop something
+    assert(rows.map(_.getAs[Long]("n_late")).sum > 0)
+  }
 }
