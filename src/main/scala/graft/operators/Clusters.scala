@@ -232,7 +232,14 @@ object Clusters {
         .distinct()
         .localCheckpoint() // feeds degrees and both pair-join sides
       val deg = e.groupBy("s").agg(count(lit(1)).as("d"))
+      // the pair join EXPANDS ~20× past its byte-sized inputs — an
+      // explicit-count repartition on the join key keeps AQE from
+      // coalescing the expansion onto one task (the [[graft.Tables
+      // .spread]] rationale; the checkpointed edge relation is tiny,
+      // so the extra exchange moves pre-expansion rows only)
+      val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
       val pairs = e.select(col("s").as("supp_a"), col("c"))
+        .repartition(nPart, col("c"))
         .join(e.select(col("s").as("supp_b"), col("c")), Seq("c"))
         .filter(col("supp_a") < col("supp_b"))
         .groupBy("supp_a", "supp_b")

@@ -175,6 +175,128 @@ object Diagnostics {
         .unionAll(audit("orders->customer", t.orders, "o_custkey", t.customer, "c_custkey"))
         .unionAll(audit("customer->nation", t.customer, "c_nationkey", t.nation, "n_nationkey"))
         .orderBy("rel")
+    },
+
+    // ---- Bloom-filter sizing plan: for each join key, the optimal
+    //      bit count m = ceil(n·ln(1/p)/ln²2) and hash count
+    //      k = round((m/n)·ln 2) at p = 1% — the capacity planning
+    //      behind q_bloom_contamination and runtime-filter pushdown.
+    //      The transcendental constants are 6-dp literals on BOTH
+    //      engines ([[Parity]] discipline: ln(100)/ln²2 ≈ 9.585063,
+    //      ln 2 ≈ 0.693147), so the plan is pure integer×literal
+    //      arithmetic off one distinct-count scan per key.
+    QueryDef.checked(
+      "q_bloom_sizing",
+      """WITH keys AS (
+        |  SELECT 'orders.o_custkey' AS key_col,
+        |    count(DISTINCT o_custkey) AS n FROM orders
+        |  UNION ALL SELECT 'lineitem.l_partkey',
+        |    count(DISTINCT l_partkey) FROM lineitem
+        |  UNION ALL SELECT 'lineitem.l_suppkey',
+        |    count(DISTINCT l_suppkey) FROM lineitem
+        |  UNION ALL SELECT 'customer.c_custkey',
+        |    count(DISTINCT c_custkey) FROM customer
+        |)
+        |SELECT key_col, CAST(n AS BIGINT) AS n_keys,
+        |  CAST(ceil(n * 9.585063) AS BIGINT) AS m_bits,
+        |  CAST(round(9.585063 * 0.693147) AS INTEGER) AS k_hashes,
+        |  CAST(ceil(n * 9.585063 / 8388608.0) AS BIGINT) AS mb_ceil
+        |FROM keys
+        |ORDER BY key_col""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      def row(name: String, df: org.apache.spark.sql.DataFrame, c: String) =
+        df.agg(countDistinct(col(c)).as("n"))
+          .select(lit(name).as("key_col"), col("n"))
+      row("orders.o_custkey", t.orders, "o_custkey")
+        .unionAll(row("lineitem.l_partkey", t.lineitem, "l_partkey"))
+        .unionAll(row("lineitem.l_suppkey", t.lineitem, "l_suppkey"))
+        .unionAll(row("customer.c_custkey", t.customer, "c_custkey"))
+        .select(col("key_col"), col("n").cast("long").as("n_keys"),
+          ceil(col("n") * lit(9.585063)).cast("long").as("m_bits"),
+          round(lit(9.585063) * lit(0.693147)).cast("int").as("k_hashes"),
+          ceil(col("n") * lit(9.585063) / lit(8388608.0)).cast("long")
+            .as("mb_ceil"))
+        .orderBy("key_col")
+    },
+
+    // ---- sample-ratio mismatch (SRM) check: hash users into a 50/50
+    //      experiment split and z-test the realized counts — the FIRST
+    //      validity gate any A/B readout must pass (a skewed split
+    //      invalidates q_ab_test's comparison downstream). Counts are
+    //      exact integers off one distinct-user aggregate; the z
+    //      statistic is one closed-form double at the end.
+    QueryDef.checked(
+      "q_srm_check",
+      """WITH u AS (
+        |  SELECT DISTINCT user_id FROM events
+        |), assigned AS (
+        |  SELECT user_id,
+        |    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 2 AS variant
+        |  FROM u
+        |), c AS (
+        |  SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b
+        |  FROM assigned
+        |)
+        |SELECT n_a, n_b,
+        |  round((n_a - (n_a + n_b) / 2.0) / sqrt((n_a + n_b) / 4.0), 6) AS z,
+        |  abs((n_a - (n_a + n_b) / 2.0) / sqrt((n_a + n_b) / 4.0)) > 3.0
+        |    AS srm_flag
+        |FROM c""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).events
+        .select("user_id").distinct()
+        .select(
+          (Dedup.md5h64(col("user_id").cast("string")) % 2).as("variant"))
+        .agg(
+          sum(when(col("variant") === 0, 1).otherwise(0)).cast("long").as("n_a"),
+          sum(when(col("variant") === 1, 1).otherwise(0)).cast("long").as("n_b"))
+        .select(col("n_a"), col("n_b"),
+          round((col("n_a") - (col("n_a") + col("n_b")) / 2.0) /
+            sqrt((col("n_a") + col("n_b")) / 4.0), 6).as("z"),
+          (abs((col("n_a") - (col("n_a") + col("n_b")) / 2.0) /
+            sqrt((col("n_a") + col("n_b")) / 4.0)) > 3.0).as("srm_flag"))
+    },
+
+    // ---- dirty-ingest audit via try_cast: a mixed-format value column
+    //      (every 7th row is deliberately non-numeric) parsed with
+    //      try_cast — failures count per event type instead of killing
+    //      the job, the PERMISSIVE-ingestion contract a 100 TB loader
+    //      needs (one malformed row in a billion must not fail the
+    //      pipeline). Stateless scan-stage map + one keyed aggregate.
+    QueryDef.checked(
+      "q_try_cast_audit",
+      """WITH raw AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN concat('v=', CAST(value AS VARCHAR))
+        |         ELSE CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) END AS s
+        |  FROM events
+        |), parsed AS (
+        |  SELECT event_type, try_cast(s AS DOUBLE) AS v FROM raw
+        |)
+        |SELECT event_type, count(*) AS n_rows,
+        |  CAST(count(v) AS BIGINT) AS n_parsed,
+        |  CAST(count(*) - count(v) AS BIGINT) AS n_failed,
+        |  round(CAST(sum(CAST(v AS DECIMAL(14,2))) AS DOUBLE), 2) AS sum_parsed
+        |FROM parsed
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).events
+        .select(col("event_type"),
+          when(col("event_id") % 7 === 0,
+            concat(lit("v="), col("value").cast("string")))
+            .otherwise(col("value").cast("decimal(12,2)").cast("string"))
+            .as("s"))
+        .select(col("event_type"), expr("try_cast(s AS DOUBLE)").as("v"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("v")).cast("long").as("n_parsed"),
+          (count(lit(1)) - count(col("v"))).cast("long").as("n_failed"),
+          round(sum(col("v").cast("decimal(14,2)")).cast("double"), 2)
+            .as("sum_parsed"))
+        .orderBy("event_type")
     }
   )
 }

@@ -392,6 +392,108 @@ object Packing {
           (col("target_tokens") - least(col("avail_tokens") * col("repeat_epochs"),
             col("target_tokens"))).as("shortfall"))
         .orderBy("source")
+    },
+
+    // ---- rendezvous (highest-random-weight) sharding: every doc
+    //      scores each shard with a keyed hash and lands on the argmax
+    //      — resizing 8 → 9 shards moves only ~1/9 of the corpus (the
+    //      minimal-movement property mod-hashing lacks: doc_id % N
+    //      moves (N−1)/N of all rows). The report shows per-shard
+    //      populations under both sizes and the measured movement
+    //      rate — the reshard-cost artifact for incremental clone
+    //      maintenance. Argmax is a pure-integer encoded max
+    //      (hash·16 + shard), so assignment is reproducible on any
+    //      engine; per-doc work is O(shards) inside the scan stage.
+    QueryDef.checked(
+      "q_rendezvous_shards",
+      """WITH w AS (
+        |  SELECT doc_id, s,
+        |    (CAST(concat('0x', substring(md5(
+        |      concat(CAST(doc_id AS VARCHAR), ':', CAST(s AS VARCHAR))),
+        |      1, 13)) AS BIGINT)) * 16 + s AS wk
+        |  FROM documents, range(9) t(s)
+        |), a8 AS (
+        |  SELECT doc_id, CAST(max(wk) % 16 AS BIGINT) AS shard8
+        |  FROM w WHERE s < 8 GROUP BY doc_id
+        |), a9 AS (
+        |  SELECT doc_id, CAST(max(wk) % 16 AS BIGINT) AS shard9
+        |  FROM w GROUP BY doc_id
+        |)
+        |SELECT a8.shard8 AS shard, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN a9.shard9 <> a8.shard8 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_moved,
+        |  round(CAST(sum(CASE WHEN a9.shard9 <> a8.shard8 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS move_rate
+        |FROM a8 JOIN a9 ON a9.doc_id = a8.doc_id
+        |GROUP BY a8.shard8
+        |ORDER BY shard""".stripMargin) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      // one exploded weight relation (9 rows/doc), consumed by both
+      // shard counts — the 52-bit hash × 16 + shard encoding makes the
+      // argmax a plain integer max with a built-in tie-break
+      val w = docs.select(col("doc_id"),
+          explode(expr("sequence(0, 8)")).as("s"))
+        .select(col("doc_id"), col("s"),
+          (expr("""CAST(conv(substring(md5(concat(
+            CAST(doc_id AS STRING), ':', CAST(s AS STRING))), 1, 13), 16, 10)
+            AS BIGINT)""") * 16 + col("s")).as("wk"))
+        .localCheckpoint()
+      val a8 = w.filter(col("s") < 8).groupBy("doc_id")
+        .agg((max(col("wk")) % 16).cast("long").as("shard8"))
+      val a9 = w.groupBy("doc_id")
+        .agg((max(col("wk")) % 16).cast("long").as("shard9"))
+      a8.join(a9, Seq("doc_id"))
+        .groupBy(col("shard8").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("shard9") =!= col("shard8"), 1).otherwise(0))
+            .cast("long").as("n_moved"))
+        .select(col("shard"), col("n_docs"), col("n_moved"),
+          round(col("n_moved").cast("double") / col("n_docs"), 6)
+            .as("move_rate"))
+        .orderBy("shard")
+    },
+
+    // ---- smoothed target encoding: the categorical-feature encoder a
+    //      tabular model trains with — category mean of the target
+    //      blended toward the global prior by pseudo-count m=50
+    //      (James-Stein-style shrinkage that keeps rare categories from
+    //      memorizing). Sums stay exact DECIMAL to the final division;
+    //      the category table (|domain| rows) broadcasts back onto
+    //      facts at the target for the actual feature join.
+    QueryDef.checked(
+      "q_target_encoding",
+      """WITH g AS (
+        |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+        |    / count(*) AS prior
+        |  FROM orders
+        |), per_cat AS (
+        |  SELECT c_mktsegment, count(*) AS n,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS s
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |  GROUP BY c_mktsegment
+        |)
+        |SELECT c_mktsegment, n,
+        |  round(s / n, 6) AS raw_mean,
+        |  round((s + g.prior * 50) / (n + 50), 6) AS encoded
+        |FROM per_cat, g
+        |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      val t = Tables(spark, dir)
+      val g = t.orders.agg(
+        (sum(col("o_totalprice").cast(DecimalType(14, 2))).cast("double")
+          / count(lit(1))).as("prior"))
+      t.orders
+        .join(t.customer, col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(14, 2))).cast("double")
+            .as("s"))
+        .crossJoin(broadcast(g))
+        .select(col("c_mktsegment"), col("n"),
+          round(col("s") / col("n"), 6).as("raw_mean"),
+          round((col("s") + col("prior") * 50) / (col("n") + 50), 6)
+            .as("encoded"))
+        .orderBy("c_mktsegment")
     }
   )
 }

@@ -342,6 +342,65 @@ object Retrieval {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).cast("long").as("total_tokens"))
         .orderBy("lang")
+    },
+
+    // ---- late-interaction retrieval (ColBERT MaxSim): passages are
+    //      multi-vector (4 consecutive vec_ids form one passage), and
+    //      score(q, d) = Σ over query vectors of max over doc vectors
+    //      of cosine. The sum-of-max runs on 1e-6 fixed-point longs
+    //      (max commutes on rounded values, integer sum commutes), so
+    //      the score is partition-invariant. Physical shape: the tiny
+    //      query-vector set broadcasts, similarity computes corpus-side
+    //      in the codegen'd expression, the per-(query, passage, qvec)
+    //      max and per-(query, passage) sum are ONE keyed aggregate
+    //      chain, and top-5 is a window rank on the query key.
+    QueryDef.checked(
+      "q_colbert_maxsim",
+      s"""WITH q AS (
+         |  SELECT vec_id // 4 AS qid, vec_id AS qvec, embedding AS qe
+         |  FROM embeddings WHERE vec_id < 8
+         |), d AS (
+         |  SELECT vec_id // 4 AS did, embedding FROM embeddings
+         |  WHERE vec_id >= 8
+         |), mx AS (
+         |  SELECT q.qid, d.did, q.qvec,
+         |    max(CAST(round(
+         |      ${VectorFunctions.duckCosineSql("q.qe", "d.embedding")}
+         |      * 1000000) AS BIGINT)) AS m_fp
+         |  FROM q, d
+         |  GROUP BY q.qid, d.did, q.qvec
+         |), sc AS (
+         |  SELECT qid, did, sum(m_fp) AS s_fp FROM mx GROUP BY qid, did
+         |), rk AS (
+         |  SELECT qid, did, s_fp,
+         |    row_number() OVER (PARTITION BY qid ORDER BY s_fp DESC, did) AS rn
+         |  FROM sc
+         |)
+         |SELECT qid, CAST(rn AS INTEGER) AS rank, did,
+         |  round(s_fp / 1000000.0, 6) AS maxsim
+         |FROM rk WHERE rn <= 5
+         |ORDER BY qid, rank""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables(spark, dir).embeddings
+      val q = emb.filter(col("vec_id") < 8)
+        .select(expr("vec_id div 4").as("qid"), col("vec_id").as("qvec"),
+          col("embedding").as("qe"))
+      val d = emb.filter(col("vec_id") >= 8)
+        .select(expr("vec_id div 4").as("did"), col("embedding"))
+      val sc = d.crossJoin(broadcast(q))
+        .select(col("qid"), col("did"), col("qvec"),
+          round(VectorFunctions.cosineSim(col("qe"), col("embedding"))
+            * 1000000).cast("long").as("c_fp"))
+        .groupBy("qid", "did", "qvec")
+        .agg(max(col("c_fp")).as("m_fp"))
+        .groupBy("qid", "did")
+        .agg(sum(col("m_fp")).as("s_fp"))
+      sc.withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("s_fp").desc, col("did"))))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("rn").cast("int").as("rank"), col("did"),
+          round(col("s_fp") / lit(1000000.0), 6).as("maxsim"))
+        .orderBy("qid", "rank")
     }
   )
 }

@@ -140,6 +140,60 @@ object Sampling {
             .partitionBy("shard").orderBy(col("h"), col("doc_id"))))
         .select("doc_id", "shard", "pos")
         .orderBy("shard", "pos")
+    },
+
+    // ---- class-balanced downsampling: cap every language at the
+    //      minority class's count by deterministic hash ranking (keep
+    //      the n_min smallest md5 keys per class) — the rebalancing
+    //      pass a classifier-training set runs after filtering. Unlike
+    //      q_sample_stratified (fixed per-stratum FRACTION), the rate
+    //      here is DERIVED from the class profile (1-row broadcast of
+    //      the min count). Per-class output proves the equalization.
+    //      Scale: one per-class window rank (shuffles on the class
+    //      key); heavily skewed majority classes are exactly the rows
+    //      the rank drops, and a pre-filter by an approx per-class
+    //      quantile of the hash would skip even ranking them.
+    QueryDef.checked(
+      "q_class_balance",
+      """WITH prof AS (
+        |  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        |), m AS (
+        |  SELECT min(n) AS n_min FROM prof
+        |), ranked AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents
+        |)
+        |SELECT r.lang, p.n AS n_before,
+        |  CAST(sum(CASE WHEN r.rk <= m.n_min THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  md5(string_agg(CASE WHEN r.rk <= m.n_min
+        |    THEN CAST(r.doc_id AS VARCHAR) END, ',' ORDER BY r.doc_id))
+        |    AS kept_sig
+        |FROM ranked r JOIN prof p ON p.lang = r.lang, m
+        |GROUP BY r.lang, p.n
+        |ORDER BY r.lang""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(spark, dir).documents
+      val prof = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val m = prof.agg(min(col("n")).as("n_min"))
+      docs
+        .select(col("lang"), col("doc_id"),
+          row_number().over(Window.partitionBy("lang")
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+            .as("rk"))
+        .join(broadcast(prof), Seq("lang"))
+        .crossJoin(broadcast(m))
+        .groupBy(col("lang"), col("n").as("n_before"))
+        .agg(
+          sum(when(col("rk") <= col("n_min"), 1).otherwise(0)).cast("long")
+            .as("n_kept"),
+          md5(expr("""concat_ws(',', transform(sort_array(collect_list(
+            IF(rk <= n_min, struct(doc_id, CAST(doc_id AS STRING) AS ds),
+               NULL))), s -> s.ds))""")).as("kept_sig"))
+        .select(col("lang"), col("n_before"), col("n_kept"), col("kept_sig"))
+        .orderBy("lang")
     }
   )
 }

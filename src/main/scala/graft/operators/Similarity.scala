@@ -276,6 +276,81 @@ object Similarity {
       picks
         .select(col("pick"), col("vec_id"), round(col("score"), 6).as("mmr_score"))
         .orderBy("pick")
+    },
+
+    // ---- kNN classification eval: label the 50-vector test slice by
+    //      majority vote of its 5 nearest train neighbours (cosine),
+    //      report per-class accuracy — the sanity eval that tells you
+    //      whether an embedding space separates the classes AT ALL
+    //      before anything trains on it. Same physical shape as
+    //      [[q_ann_batch_topk]]: test set broadcasts, similarity runs
+    //      corpus-side in the codegen'd expression, per-query windows
+    //      shuffle on the query key only; votes and the argmax
+    //      tie-break (votes desc, label asc) are pure integers.
+    QueryDef.checked(
+      "q_knn_classify",
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, label AS true_label, embedding AS qe
+         |  FROM embeddings WHERE vec_id < 50
+         |), t AS (
+         |  SELECT vec_id, label, embedding FROM embeddings WHERE vec_id >= 50
+         |), sims AS (
+         |  SELECT q.q_id, q.true_label, t.vec_id, t.label,
+         |    round(${VectorFunctions.duckCosineSql("q.qe", "t.embedding")}, 6)
+         |      AS sim
+         |  FROM q, t
+         |), top5 AS (
+         |  SELECT q_id, true_label, label FROM (
+         |    SELECT q_id, true_label, label,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+         |        AS rn
+         |    FROM sims) r
+         |  WHERE rn <= 5
+         |), votes AS (
+         |  SELECT q_id, true_label, label, count(*) AS v
+         |  FROM top5 GROUP BY q_id, true_label, label
+         |), pred AS (
+         |  SELECT q_id, true_label, label AS pred_label FROM (
+         |    SELECT q_id, true_label, label,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY v DESC, label) AS rn
+         |    FROM votes) r
+         |  WHERE rn = 1
+         |)
+         |SELECT true_label, count(*) AS n_queries,
+         |  CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_correct,
+         |  round(CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS accuracy
+         |FROM pred
+         |GROUP BY true_label
+         |ORDER BY true_label""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables(spark, dir).embeddings
+      val q = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+          col("embedding").as("qe"))
+      val t = emb.filter(col("vec_id") >= 50)
+      val top5 = t.crossJoin(broadcast(q))
+        .select(col("q_id"), col("true_label"), col("vec_id"), col("label"),
+          round(VectorFunctions.cosineSim(col("qe"), col("embedding")), 6)
+            .as("sim"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))))
+        .filter(col("rn") <= 5)
+      val pred = top5.groupBy("q_id", "true_label", "label")
+        .agg(count(lit(1)).as("v"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("v").desc, col("label"))))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("true_label"), col("label").as("pred_label"))
+      pred.groupBy("true_label")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("pred_label") === col("true_label"), 1).otherwise(0))
+            .cast("long").as("n_correct"))
+        .select(col("true_label"), col("n_queries"), col("n_correct"),
+          round(col("n_correct").cast("double") / col("n_queries"), 6)
+            .as("accuracy"))
+        .orderBy("true_label")
     }
   )
 }

@@ -532,6 +532,71 @@ object VectorCuration {
           sum(when(col("norm_fp") < 500000, 1).otherwise(0)).cast("long")
             .as("n_subhalf"))
         .orderBy("label")
+    },
+
+    // ---- k-means++ (farthest-first) seeding, 3 rounds unrolled: seed 1
+    //      is vec 0; each next seed is the vector maximizing its
+    //      min cosine-distance (1e-6 fixed-point) to the seeds chosen so
+    //      far. The deterministic farthest-first variant of the k-means++
+    //      D² sampling — the seeding half of the training loop whose
+    //      update half is [[q_kmeans_iter]]. Each round is one broadcast
+    //      of the seed vector + one corpus scan + one 1-row argmax
+    //      (ORDER BY LIMIT 1): k rounds cost k scans, never a shuffle of
+    //      the corpus.
+    QueryDef.checked(
+      "q_kmeans_pp",
+      s"""WITH s1 AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0
+         |), d1 AS (
+         |  SELECT e.vec_id,
+         |    CAST(round((1 - ${VectorFunctions.duckCosineSql(
+               "s.embedding", "e.embedding")}) * 1000000) AS BIGINT) AS d
+         |  FROM embeddings e, s1 s WHERE e.vec_id <> 0
+         |), s2 AS (
+         |  SELECT vec_id, d FROM d1 ORDER BY d DESC, vec_id LIMIT 1
+         |), d2 AS (
+         |  SELECT d1.vec_id, least(d1.d,
+         |    CAST(round((1 - ${VectorFunctions.duckCosineSql(
+               "s.embedding", "e.embedding")}) * 1000000) AS BIGINT)) AS d
+         |  FROM d1
+         |  JOIN embeddings e ON e.vec_id = d1.vec_id
+         |  JOIN embeddings s ON s.vec_id = (SELECT vec_id FROM s2)
+         |  WHERE d1.vec_id <> (SELECT vec_id FROM s2)
+         |), s3 AS (
+         |  SELECT vec_id, d FROM d2 ORDER BY d DESC, vec_id LIMIT 1
+         |)
+         |SELECT 1 AS seed_idx, CAST(vec_id AS BIGINT) AS vec_id,
+         |  CAST(0 AS BIGINT) AS min_dist_fp FROM s1
+         |UNION ALL SELECT 2, vec_id, d FROM s2
+         |UNION ALL SELECT 3, vec_id, d FROM s3
+         |ORDER BY seed_idx""".stripMargin) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+      def distTo(seed: org.apache.spark.sql.DataFrame,
+          from: org.apache.spark.sql.DataFrame) =
+        from.crossJoin(broadcast(seed.select(col("embedding").as("se"))))
+          .select(col("vec_id"),
+            round((lit(1) - VectorFunctions.cosineSim(col("se"),
+              col("embedding"))) * 1000000).cast("long").as("d"))
+      val s1 = emb.filter(col("vec_id") === 0)
+      val d1 = distTo(s1, emb.filter(col("vec_id") =!= 0))
+        .localCheckpoint() // reused by round 2's min() and the argmax
+      val s2row = d1.orderBy(col("d").desc, col("vec_id")).limit(1)
+        .localCheckpoint()
+      val s2vec = emb.join(broadcast(s2row.select("vec_id")), Seq("vec_id"))
+      val d2 = d1.join(broadcast(s2row.select(col("vec_id").as("ex"))),
+          col("vec_id") === col("ex"), "left_anti")
+        .join(emb, Seq("vec_id"))
+        .crossJoin(broadcast(s2vec.select(col("embedding").as("se"))))
+        .select(col("vec_id"),
+          least(col("d"),
+            round((lit(1) - VectorFunctions.cosineSim(col("se"),
+              col("embedding"))) * 1000000).cast("long")).as("d"))
+      val s3row = d2.orderBy(col("d").desc, col("vec_id")).limit(1)
+      s1.select(lit(1).as("seed_idx"), col("vec_id").cast("long").as("vec_id"),
+          lit(0L).as("min_dist_fp"))
+        .unionAll(s2row.select(lit(2), col("vec_id"), col("d")))
+        .unionAll(s3row.select(lit(3), col("vec_id"), col("d")))
+        .orderBy("seed_idx")
     }
   )
 }

@@ -62,4 +62,41 @@ class DiagnosticsSpec extends SparkSpec {
       case Array(a, b) => assert(a >= b); case _ => ()
     }
   }
+
+  test("bloom sizing: optimal-m formula and 7 hashes at p=1%") {
+    val rows = q("q_bloom_sizing").collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_keys")
+      assert(n > 0)
+      assert(r.getAs[Long]("m_bits") == math.ceil(n * 9.585063).toLong)
+      assert(r.getAs[Int]("k_hashes") == 7) // round(ln(100)/ln2) at p=1%
+      assert(r.getAs[Long]("mb_ceil") ==
+        math.ceil(n * 9.585063 / 8388608.0).toLong)
+    }
+  }
+
+  test("srm check: counts cover distinct users; z matches the counts") {
+    val r = q("q_srm_check").collect().head
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    assert(na + nb == Tables(spark, sf).events
+      .select("user_id").distinct().count())
+    val z = (na - (na + nb) / 2.0) / math.sqrt((na + nb) / 4.0)
+    assert(math.abs(r.getAs[Double]("z") - math.rint(z * 1e6) / 1e6) < 1e-9)
+    assert(r.getAs[Boolean]("srm_flag") == (math.abs(z) > 3.0))
+    // a healthy md5 hash splits ~50/50: the flag must be OFF
+    assert(!r.getAs[Boolean]("srm_flag"))
+  }
+
+  test("try_cast audit: exactly the planted 1-in-7 rows fail to parse") {
+    val rows = q("q_try_cast_audit").collect()
+    val events = Tables(spark, sf).events
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == events.count())
+    val expectedFailed = events.filter(col("event_id") % 7 === 0).count()
+    assert(rows.map(_.getAs[Long]("n_failed")).sum == expectedFailed)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_parsed") + r.getAs[Long]("n_failed") ==
+        r.getAs[Long]("n_rows"))
+    }
+  }
 }

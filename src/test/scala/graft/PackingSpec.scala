@@ -141,4 +141,34 @@ class PackingSpec extends SparkSpec {
       if (rep < 4 && rep > 1) assert(avail * (rep - 1) < target)
     }
   }
+
+  test("rendezvous shards: covers the corpus and moves ~1/9 on resize") {
+    val rows = q("q_rendezvous_shards").collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables(spark, sf).documents.count())
+    assert(rows.forall(r => (0L to 7L).contains(r.getAs[Long]("shard"))))
+    val moved = rows.map(_.getAs[Long]("n_moved")).sum
+    // HRW property: adding a 9th shard relocates ≈ 1/9 of docs — far
+    // below mod-hashing's ≈ 8/9; generous band for the small corpus
+    val rate = moved.toDouble / total
+    assert(rate > 0.03 && rate < 0.25, s"move rate $rate not ~1/9")
+  }
+
+  test("target encoding: shrinkage lands between category mean and prior") {
+    val rows = q("q_target_encoding").collect()
+    assert(rows.length == 5)
+    import org.apache.spark.sql.types.DecimalType
+    val prior = Tables(spark, sf).orders
+      .agg((sum(col("o_totalprice").cast(DecimalType(14, 2))).cast("double") /
+        count(lit(1))).as("p")).collect()(0).getAs[Double]("p")
+    rows.foreach { r =>
+      val (raw, enc) = (r.getAs[Double]("raw_mean"), r.getAs[Double]("encoded"))
+      val (lo, hi) = (math.min(raw, prior), math.max(raw, prior))
+      assert(enc >= lo - 1e-6 && enc <= hi + 1e-6,
+        s"encoded $enc outside [$lo, $hi]")
+      // m=50 pseudo-count: with n >> m the encoding hugs the raw mean
+      if (r.getAs[Long]("n") > 500)
+        assert(math.abs(enc - raw) < math.abs(prior - raw) / 2)
+    }
+  }
 }

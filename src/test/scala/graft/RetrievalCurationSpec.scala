@@ -285,4 +285,45 @@ class RetrievalCurationSpec extends SparkSpec {
       assert(r.getAs[Long]("n_subhalf") == 0)
     }
   }
+
+  test("colbert maxsim: 5 ranked passages per query, bounded scores") {
+    val rows = q("q_colbert_maxsim").collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet == Set(0L, 1L))
+    byQ.values.foreach { g =>
+      assert(g.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 5))
+      assert(g.map(_.getAs[Long]("did")).distinct.length == 5)
+      // 4 query vectors, each max-cos in [-1, 1] → |maxsim| ≤ 4
+      g.foreach(r => assert(math.abs(r.getAs[Double]("maxsim")) <= 4.0))
+      val ordered = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("maxsim"))
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b - 1e-9 })
+    }
+  }
+
+  test("kmeans++ seeding: 3 distinct seeds, farthest-first replays locally") {
+    val rows = q("q_kmeans_pp").collect()
+    assert(rows.map(_.getAs[Int]("seed_idx")).toSeq == Seq(1, 2, 3))
+    val ids = rows.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == 3 && ids.head == 0L)
+    // distances are 1e-6-scaled (1 - cosine) ∈ [0, 2e6]; seed 1 is 0
+    val d = rows.map(_.getAs[Long]("min_dist_fp"))
+    assert(d.head == 0L && d.tail.forall(x => x > 0 && x <= 2000000L))
+    // seed 3's min-dist cannot exceed seed 2's (adding seeds only
+    // shrinks the candidates' min distance)
+    assert(d(2) <= d(1))
+  }
+
+  test("class balance: every language capped exactly at the minority count") {
+    val rows = q("q_class_balance").collect()
+    val counts = Tables(spark, sf).documents
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = counts.values.min
+    assert(rows.length == counts.size)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_before") == counts(r.getAs[String]("lang")))
+      assert(r.getAs[Long]("n_kept") == nMin)
+      assert(r.getAs[String]("kept_sig").matches("[0-9a-f]{32}"))
+    }
+  }
 }

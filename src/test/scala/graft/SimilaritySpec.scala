@@ -57,4 +57,46 @@ class SimilaritySpec extends SparkSpec {
     val s = rows.map(_.getAs[Double]("mmr_score"))
     assert(s.zip(s.tail).forall { case (a, b) => a >= b - 1e-9 })
   }
+
+  test("knn classify: covers the test slice; prediction replays locally") {
+    val rows = q("q_knn_classify").collect()
+    assert(rows.map(_.getAs[Long]("n_queries")).sum == 50)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n_queries"))
+      val acc = r.getAs[Double]("accuracy")
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(math.abs(acc - math.rint(r.getAs[Long]("n_correct").toDouble /
+        r.getAs[Long]("n_queries") * 1e6) / 1e6) < 1e-9)
+    }
+    // NOTE the eval's verdict on THIS fixture: labels are not
+    // geometrically clustered, so accuracy sits at/below the 0.1
+    // chance floor — exactly the signal the gate exists to surface.
+    // Independent local replay of the full vote: per-class table must
+    // match the engine's output exactly.
+    val emb = Tables(spark, sf).embeddings.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Seq[Float]]("embedding").toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i)
+        na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val train = emb.filter(_._1 >= 50)
+    val local = emb.filter(_._1 < 50).map { case (_, trueLabel, qe) =>
+      val top5 = train
+        .map(t => (t._1, t._2, BigDecimal(cos(qe, t._3))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .sortBy { case (id, _, s) => (-s, id) }.take(5)
+      val pred = top5.groupBy(_._2).view.mapValues(_.length).toSeq
+        .sortBy { case (l, v) => (-v, l) }.head._1
+      (trueLabel, pred)
+    }
+    val expected = local.groupBy(_._1).view.mapValues { g =>
+      (g.length.toLong, g.count { case (t, p) => t == p }.toLong)
+    }.toMap
+    val got = rows.map(r => r.getAs[Int]("true_label") ->
+      (r.getAs[Long]("n_queries"), r.getAs[Long]("n_correct"))).toMap
+    assert(got == expected, s"vote replay mismatch: $got vs $expected")
+  }
 }
