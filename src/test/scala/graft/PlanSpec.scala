@@ -164,4 +164,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       "hint must suppress the sort-merge fallback")
   }
+
+  test("broadcast-query retrieval ops never shuffle the corpus side") {
+    // MaxSim and kNN: the tiny query set must broadcast (nested-loop
+    // cross join), never trigger a corpus-vs-corpus cartesian
+    Seq("q_colbert_maxsim", "q_knn_classify").foreach { name =>
+      val plan = physical(name)
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastHashJoin"), s"$name: no broadcast join")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name: corpus-sized cartesian product")
+    }
+  }
 }
