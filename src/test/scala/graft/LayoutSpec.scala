@@ -156,4 +156,17 @@ class LayoutSpec extends SparkSpec {
         (r.getAs[Long]("max_pk") < 1000 || r.getAs[Long]("min_pk") > 1200))
     }
   }
+
+  test("null-skew bypass: union plan reproduces the naive left join") {
+    val rows = q("q_null_skew_join").collect()
+    val li = Tables(spark, sf).lineitem
+    assert(rows.map(_.getAs[Long]("n_items")).sum == li.count())
+    val nulls = li.filter(col("l_linenumber") >= 4).count()
+    val noneRow = rows.find(_.getAs[String]("supp_nation") == "none").get
+    assert(noneRow.getAs[Long]("n_items") == nulls,
+      "every NULL-key row must land in the bypass bucket")
+    // the bypass carries roughly half the facts - the hot key a naive
+    // shuffle would serialize
+    assert(nulls * 2 >= li.count() / 2)
+  }
 }

@@ -140,6 +140,33 @@ class RelationalSpec extends SparkSpec {
       Tables(spark, sf).orders.count())
   }
 
+  test("share of parent: shares partition both levels exactly") {
+    val rows = q("q_share_of_parent").collect()
+    val byFlag = rows.groupBy(_.getAs[String]("l_returnflag"))
+    byFlag.values.foreach { g =>
+      assert(math.abs(g.map(_.getAs[Double]("share_of_flag")).sum - 1.0) < 1e-4)
+      assert(g.map(_.getAs[Long]("n")).sum == g.head.getAs[Long]("parent_n"))
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("share_of_total")).sum - 1.0) < 1e-4)
+    assert(rows.map(_.getAs[Long]("n")).sum == rows.head.getAs[Long]("grand_n"))
+  }
+
+  test("union by name: drifted schemas align, missing columns null-fill") {
+    val rows = q("q_union_by_name").collect()
+    rows.foreach { r =>
+      val v1 = r.getAs[String]("src") == "v1"
+      assert(r.isNullAt(r.fieldIndex(
+        if (v1) "o_orderpriority" else "o_totalprice")))
+      assert(!r.isNullAt(r.fieldIndex(
+        if (v1) "o_totalprice" else "o_orderpriority")))
+    }
+    val orders = Tables(spark, sf).orders
+    assert(rows.count(_.getAs[String]("src") == "v1") ==
+      orders.filter(col("o_orderkey") % 100 === 0).count())
+    assert(rows.count(_.getAs[String]("src") == "v2") ==
+      orders.filter(col("o_orderkey") % 100 === 1).count())
+  }
+
   test("window nth: first/second/final prices agree with a local replay") {
     val rows = q("q_window_nth").collect()
     val byCust = rows.groupBy(_.getAs[Long]("o_custkey"))

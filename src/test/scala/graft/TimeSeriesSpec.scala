@@ -94,4 +94,21 @@ class TimeSeriesSpec extends SparkSpec {
     // the %30-second jitter against a 10s watermark must drop something
     assert(rows.map(_.getAs[Long]("n_late")).sum > 0)
   }
+
+  test("decayed score: top-20 by recency-weighted value, dyadic-exact") {
+    val rows = q("q_decayed_score").collect()
+    val nUsers = Tables(spark, sf).events
+      .select("user_id").distinct().count()
+    assert(rows.length == math.min(20L, nUsers))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_events") >= 1)
+      val s = r.getAs[Double]("score")
+      assert(s >= 0.0)
+    }
+    // rows arrive ordered by the exact integer numerator: scores are
+    // non-increasing (6-dp rounding cannot reorder a sorted sequence
+    // by more than the rounding step)
+    val s = rows.map(_.getAs[Double]("score"))
+    assert(s.zip(s.tail).forall { case (a, b) => a >= b - 1e-6 })
+  }
 }
