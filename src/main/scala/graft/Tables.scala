@@ -31,22 +31,25 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
 
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
-    * refuses by default. Read nanos as raw longs, then convert to the
-    * engine-wide µs TimestampType (the generator emits µs-aligned values,
-    * so `div 1000` is lossless — FIXTURES.md).
-    *
-    * `nanosAsLong` is a session SQLConf (no per-read DataSource option
-    * exists), so setting it here leaks to later parquet reads in the
-    * session: any OTHER nanos-timestamp source read afterwards would
-    * silently arrive as LongType instead of erroring. Acceptable here —
-    * events is the only nanos source in the corpus — but a multi-source
-    * deployment should gate this behind a dedicated session. */
+  /** `events.ts` arrives differently depending on the generator
+    * vintage: current fixtures write parquet TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) → Spark 4 reads TIMESTAMP_NTZ; older ones
+    * wrote TIMESTAMP(NANOS) → readable only as raw Long. Normalize
+    * both to the engine-wide µs TimestampType (the session timezone is
+    * pinned to UTC everywhere — build.sbt, Verify, Bench — so the
+    * NTZ→LTZ cast is value-preserving wall-clock-wise and matches what
+    * the DuckDB oracle sees in its naive TIMESTAMP reads). */
   def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = t("events")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    raw.schema("ts").dataType match {
+      case LongType => // legacy nanos-as-long fixture
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

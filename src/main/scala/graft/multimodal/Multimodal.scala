@@ -181,6 +181,70 @@ object Multimodal {
         .select(col("vec_id"), col("label"),
           pool(0).as("pool0"), pool(1).as("pool1"), pool(15).as("pool15"))
         .orderBy("vec_id")
+    },
+
+    // ---- perceptual near-dup over media: average-hash (aHash) of the
+    //      first 32 "pixels" (bytes) of each blob — bit i set iff byte i
+    //      is above the window mean — then banded hamming join: pairs
+    //      must agree on ≥1 of 4 8-bit bands (LSH-style blocking, no
+    //      all-pairs pass) and differ in ≤ 1 of 32 bits. The Spark side
+    //      computes from the BINARY media column; the oracle from the
+    //      text twin (media = utf8(text), ASCII corpus — byte = char).
+    //      At 100 TB the band join is the scale path: 4 shuffles on
+    //      uniform 8-bit+byte keys, candidate set bounded by true
+    //      near-collisions.
+    QueryDef.checked(
+      "q_media_ahash_neardup",
+      """WITH px AS (
+        |  SELECT doc_id, list_transform(range(32),
+        |    i -> ascii(substring(text, CAST(i AS INT) + 1, 1))) AS p
+        |  FROM documents
+        |), ah AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(32), i ->
+        |      CASE WHEN p[CAST(i AS INT) + 1] * 32 > list_sum(p)
+        |           THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE 0 END)) AS BIGINT) AS h
+        |  FROM px
+        |), bands AS (
+        |  SELECT doc_id, h, unnest(range(4)) AS b FROM ah
+        |), keyed AS (
+        |  SELECT doc_id, h, b, (h >> CAST(b * 8 AS INT)) & 255 AS bk FROM bands
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.h AS h1, b.h AS h2
+        |  FROM keyed a JOIN keyed b
+        |    ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
+        |)
+        |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(h1, h2)) <= 1
+        |ORDER BY d1, d2""".stripMargin) { (spark, dir) =>
+      // pixels from the real binary column: hex view → one byte per
+      // 2-hex-char slice (exact for any byte value, ASCII or not)
+      val ah = attachMedia(Tables(spark, dir).documents).toDF()
+        .select(col("doc_id"),
+          expr("""transform(sequence(0, 31),
+                 |  i -> cast(conv(substring(hex(media), i * 2 + 1, 2), 16, 10)
+                 |       as int))""".stripMargin).as("p"))
+        .select(col("doc_id"),
+          expr("""cast(aggregate(sequence(0, 31), 0L, (acc, i) ->
+                 |  acc + (case when element_at(p, i + 1) * 32 >
+                 |    aggregate(p, 0, (a, x) -> a + x)
+                 |  then shiftleft(1L, i) else 0L end)) as bigint)""".stripMargin)
+            .as("h"))
+      val keyed = ah.select(col("doc_id"), col("h"),
+          explode(expr("sequence(0, 3)")).as("b"))
+        .withColumn("bk", expr("(h >> cast(b * 8 as int)) & 255"))
+      val cand = keyed.as("a").join(keyed.as("b"),
+          col("a.b") === col("b.b") && col("a.bk") === col("b.bk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          col("a.h").as("h1"), col("b.h").as("h2"))
+        .distinct()
+      cand
+        .withColumn("hamming", expr("cast(bit_count(h1 ^ h2) as int)"))
+        .filter(col("hamming") <= 1)
+        .select("d1", "d2", "hamming")
+        .orderBy("d1", "d2")
     }
   )
 }

@@ -287,6 +287,43 @@ object Governance {
           coalesce(col("n_orders"), lit(0L)).as("n_orders"),
           coalesce(col("n_lineitems"), lit(0L)).as("n_lineitems"))
         .orderBy("nation")
+    },
+
+    // ---- differentially-private release: per (lang, source) doc counts
+    //      with Laplace(1/ε) noise, ε=1 per cell. The noise draw is a
+    //      DETERMINISTIC hash-uniform (seeded release, reproducible
+    //      audits); production swaps in a true RNG — the plumbing
+    //      (sensitivity-1 count, per-cell budget, inverse-CDF transform)
+    //      is identical. Noise is added POST-aggregation, so the pass is
+    //      one groupBy regardless of corpus size; the true count never
+    //      leaves the engine.
+    QueryDef.checked(
+      "q_dp_counts",
+      """WITH agg AS (
+        |  SELECT lang, source, count(*) AS c FROM documents GROUP BY lang, source
+        |), noise AS (
+        |  SELECT lang, source, c,
+        |    -- hash-uniform u in (-0.5, 0.5), exclusive of the endpoints
+        |    (CAST(concat('0x', substring(md5(concat(lang, '|', source)), 1, 8))
+        |        AS BIGINT) % 1000000 + 0.5) / 1000000.0 - 0.5 AS u
+        |  FROM agg
+        |)
+        |SELECT lang, source,
+        |  round(c + (CASE WHEN u >= 0 THEN -1.0 ELSE 1.0 END)
+        |    * ln(1.0 - 2.0 * abs(u)), 6) AS noisy_count,
+        |  CAST(1.0 AS DOUBLE) AS epsilon
+        |FROM noise
+        |ORDER BY lang, source""".stripMargin) { (spark, dir) =>
+      val u = ((conv(substring(md5(concat(col("lang"), lit("|"), col("source"))), 1, 8),
+        16, 10).cast("long") % 1000000 + lit(0.5)) / lit(1000000.0)) - lit(0.5)
+      Tables(spark, dir).documents
+        .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+        .withColumn("u", u)
+        .select(col("lang"), col("source"),
+          round(col("c") + (when(col("u") >= 0, lit(-1.0)).otherwise(lit(1.0)))
+            * log(lit(1.0) - lit(2.0) * abs(col("u"))), 6).as("noisy_count"),
+          lit(1.0).as("epsilon"))
+        .orderBy("lang", "source")
     }
   )
 }

@@ -1,0 +1,288 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Learning-adjacent batch operators: the distributed halves of model
+  * fitting loops a data platform runs next to its corpus — pairwise
+  * preference ranking (Bradley-Terry, the RLHF reward-model data step),
+  * a rank-1 ALS half-step (collaborative filtering), the Gram-matrix +
+  * power-iteration top principal direction (PCA over embeddings), one
+  * label-propagation round over the trade graph, and Wilson-lower-bound
+  * confidence ranking.
+  *
+  * Scale stance (100 TB):
+  *   - Every operator here reduces the corpus to a MODEL-sized relation
+  *     (5 event types, 64×64 Gram entries, one factor per user) in ONE
+  *     distributed pass, then iterates on the small relation. The
+  *     expensive part is always the first keyed aggregate; the update
+  *     math runs on kilobytes.
+  *   - [[q_bradley_terry]] derives comparisons from CONSECUTIVE events
+  *     per user (lag window, linear) rather than the quadratic per-user
+  *     self-join — at 100 TB the pair stream is the same size as the
+  *     event stream.
+  *   - [[q_pca_power]] expands each row to its 64×64 outer-product
+  *     terms inline (generator, no self-join) and sums fixed-point
+  *     integers, so the Gram matrix is one shuffle of 4096 keys; the
+  *     two power iterations run on the 4096-row relation.
+  *
+  * Numeric discipline: per-term fixed-point rounding (×1e9 → BIGINT)
+  * before every sum, so results are partition-order invariant; the one
+  * transcendental (sqrt in Wilson) is IEEE-correctly-rounded in both
+  * engines and still rounded at the edge.
+  */
+object Learning {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Bradley-Terry skill fit (2 MM iterations) over event-type
+    //      "matches": consecutive events of one user with different
+    //      types form a comparison; larger value wins (tie → earlier
+    //      type wins). The count matrix is 5×5; the MM update runs on
+    //      it after one linear pass over the event log.
+    QueryDef.checked(
+      "q_bradley_terry",
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER w AS prev_type,
+        |    value, lag(value) OVER w AS prev_value
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |), matches AS (
+        |  SELECT CASE WHEN value > prev_value THEN event_type ELSE prev_type END AS winner,
+        |         CASE WHEN value > prev_value THEN prev_type ELSE event_type END AS loser
+        |  FROM seq WHERE prev_type IS NOT NULL AND prev_type <> event_type
+        |), wl AS (
+        |  SELECT winner, loser, count(*) AS n FROM matches GROUP BY winner, loser
+        |), games AS (
+        |  SELECT winner AS a, loser AS b, n, n AS wins_a FROM wl
+        |  UNION ALL
+        |  SELECT loser AS a, winner AS b, n, 0 AS wins_a FROM wl
+        |), tot AS (
+        |  SELECT a, CAST(sum(n) AS BIGINT) AS n_games,
+        |    CAST(sum(wins_a) AS BIGINT) AS n_wins
+        |  FROM games GROUP BY a
+        |), p1 AS (  -- first MM step from p=1: p_i = 2*W_i/N_i (1e9 fixed point)
+        |  SELECT a, n_games, n_wins,
+        |    CAST(round(2000000000.0 * n_wins / n_games) AS BIGINT) AS p
+        |  FROM tot
+        |), d2 AS (  -- denominator of step 2: sum_j n_ij/(p_i+p_j), 1e9 scale
+        |  SELECT g.a, CAST(sum(CAST(round(
+        |      g.n * 1e18 / (pa.p + pb.p)) AS BIGINT)) AS BIGINT) AS den
+        |  FROM (SELECT a, b, CAST(sum(n) AS BIGINT) AS n FROM games GROUP BY a, b) g
+        |  JOIN p1 pa ON pa.a = g.a JOIN p1 pb ON pb.a = g.b
+        |  GROUP BY g.a
+        |)
+        |SELECT t.a AS event_type, t.n_games, t.n_wins,
+        |  round(CAST(round(t.n_wins * 1e18 / d.den) AS BIGINT) / 1e9, 6) AS skill
+        |FROM tot t JOIN d2 d ON d.a = t.a
+        |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val seq0 = Tables(spark, dir).events
+        .select(col("user_id"), col("event_type"), col("value"), col("event_id"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .filter(col("prev_type").isNotNull && col("prev_type") =!= col("event_type"))
+      val wl = seq0
+        .select(
+          when(col("value") > col("prev_value"), col("event_type"))
+            .otherwise(col("prev_type")).as("winner"),
+          when(col("value") > col("prev_value"), col("prev_type"))
+            .otherwise(col("event_type")).as("loser"))
+        .groupBy("winner", "loser").agg(count(lit(1)).as("n"))
+      val games = wl.select(col("winner").as("a"), col("loser").as("b"),
+          col("n"), col("n").as("wins_a"))
+        .unionAll(wl.select(col("loser").as("a"), col("winner").as("b"),
+          col("n"), lit(0L).as("wins_a")))
+      val tot = games.groupBy("a")
+        .agg(sum(col("n")).cast("long").as("n_games"),
+          sum(col("wins_a")).cast("long").as("n_wins"))
+      val p1 = tot.withColumn("p",
+        round(lit(2000000000.0) * col("n_wins") / col("n_games")).cast("long"))
+      val pairN = games.groupBy("a", "b").agg(sum(col("n")).cast("long").as("n"))
+      // model-sized relations from here down — broadcast both sides of
+      // the 5×5 join; the corpus never reappears
+      val d2 = pairN
+        .join(broadcast(p1.select(col("a"), col("p").as("pa"))), Seq("a"))
+        .join(broadcast(p1.select(col("a").as("b"), col("p").as("pb"))), Seq("b"))
+        .select(col("a"),
+          round(col("n") * lit(1e18) / (col("pa") + col("pb"))).cast("long").as("term"))
+        .groupBy("a").agg(sum(col("term")).cast("long").as("den"))
+      tot.join(d2, Seq("a"))
+        .select(col("a").as("event_type"), col("n_games"), col("n_wins"),
+          round(round(col("n_wins") * lit(1e18) / col("den")).cast("long") / lit(1e9), 6)
+            .as("skill"))
+        .orderBy("event_type")
+    },
+
+    // ---- rank-1 ALS user half-step: item factors fixed (a data
+    //      relation, as a deployed model would be), solve each user's
+    //      scalar least squares u = Σrv / Σv² in closed form. One
+    //      groupBy(user) over the event log; factors broadcast.
+    QueryDef.checked(
+      "q_als_step",
+      """WITH v AS (
+        |  SELECT * FROM (VALUES ('click', 200000), ('view', 100000),
+        |    ('signup', 500000), ('purchase', 900000), ('error', 50000))
+        |    AS t(event_type, vf)  -- item factor, 1e6 fixed point
+        |), terms AS (
+        |  SELECT e.user_id,
+        |    CAST(round(e.value * v.vf) AS BIGINT) AS num_t,  -- r*v (1e6 scale)
+        |    CAST(v.vf AS BIGINT) * v.vf AS den_t             -- v*v (1e12 scale)
+        |  FROM events e JOIN v USING (event_type)
+        |)
+        |SELECT user_id, count(*) AS n_obs,
+        |  round(CAST(round(sum(num_t) * 1e12 / sum(den_t)) AS BIGINT) / 1e6, 6)
+        |    AS u_factor
+        |FROM terms GROUP BY user_id
+        |ORDER BY u_factor DESC, user_id
+        |LIMIT 100""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val v = Seq(("click", 200000L), ("view", 100000L), ("signup", 500000L),
+        ("purchase", 900000L), ("error", 50000L)).toDF("event_type", "vf")
+      Tables(spark, dir).events
+        .join(broadcast(v), Seq("event_type"))
+        .select(col("user_id"),
+          round(col("value") * col("vf")).cast("long").as("num_t"),
+          (col("vf") * col("vf")).as("den_t"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_obs"),
+          round(round(sum(col("num_t")) * lit(1e12) / sum(col("den_t")))
+            .cast("long") / lit(1e6), 6).as("u_factor"))
+        .orderBy(col("u_factor").desc, col("user_id"))
+        .limit(100)
+    },
+
+    // ---- top principal direction of the embedding corpus: Gram matrix
+    //      via inline outer-product expansion (one generator pass, no
+    //      self-join), then two power iterations on the 64×64 relation,
+    //      normalized by the max-|component| (no sqrt needed).
+    QueryDef.checked(
+      "q_pca_power",
+      """WITH idx AS (
+        |  SELECT unnest(range(64)) AS k
+        |), g AS (  -- Gram matrix, per-term 1e9 fixed point
+        |  SELECT a.k AS i, b.k AS j,
+        |    CAST(sum(CAST(round(
+        |      CAST(e.embedding[a.k + 1] AS DOUBLE)
+        |      * CAST(e.embedding[b.k + 1] AS DOUBLE) * 1e9) AS BIGINT))
+        |      AS BIGINT) AS gij
+        |  FROM embeddings e, idx a, idx b
+        |  GROUP BY a.k, b.k
+        |), v1 AS (  -- G · 1  (sum rows), stays integer
+        |  SELECT i, CAST(sum(gij) AS BIGINT) AS v FROM g GROUP BY i
+        |), v1n AS (  -- normalize to 1e6 fixed point by max |v|
+        |  SELECT i, CAST(round(v * 1e6 / (SELECT max(abs(v)) FROM v1)) AS BIGINT) AS v
+        |  FROM v1
+        |), v2 AS (  -- G · v1
+        |  SELECT g.j AS i,
+        |    CAST(sum(CAST(round(g.gij / 1e9 * v.v) AS BIGINT)) AS BIGINT) AS v
+        |  FROM g JOIN v1n v ON v.i = g.i
+        |  GROUP BY g.j
+        |)
+        |SELECT i AS dim,
+        |  round(CAST(round(v * 1e6 / (SELECT max(abs(v)) FROM v2)) AS BIGINT) / 1e6, 6)
+        |    AS component
+        |FROM v2 ORDER BY dim""".stripMargin) { (spark, dir) =>
+      // inline outer product: each row becomes its 64×64 fixed-point
+      // terms with NO join — one generator + one 4096-key shuffle
+      val terms = Tables(spark, dir).embeddings
+        .select(explode(expr(
+          """flatten(transform(embedding, (x, i) ->
+            |  transform(embedding, (y, j) ->
+            |    struct(i, j, cast(round(cast(x as double) * cast(y as double) * 1e9)
+            |                 as bigint) as t))))""".stripMargin)).as("e"))
+        .select(col("e.i").as("i"), col("e.j").as("j"), col("e.t").as("t"))
+      val g = terms.groupBy("i", "j").agg(sum(col("t")).cast("long").as("gij"))
+        .localCheckpoint() // 4096 rows; feeds both iterations
+      val v1 = g.groupBy("i").agg(sum(col("gij")).cast("long").as("v"))
+      val v1max = v1.agg(max(abs(col("v"))).as("m"))
+      val v1n = v1.crossJoin(broadcast(v1max))
+        .select(col("i"), round(col("v") * lit(1e6) / col("m")).cast("long").as("v"))
+      val v2 = g.join(broadcast(v1n), Seq("i"))
+        .select(col("j").as("i"),
+          round(col("gij") / lit(1e9) * col("v")).cast("long").as("t"))
+        .groupBy("i").agg(sum(col("t")).cast("long").as("v"))
+      val v2max = v2.agg(max(abs(col("v"))).as("m"))
+      v2.crossJoin(broadcast(v2max))
+        .select((col("i")).as("dim"),
+          round(round(col("v") * lit(1e6) / col("m")).cast("long") / lit(1e6), 6)
+            .as("component"))
+        .orderBy("dim")
+    },
+
+    // ---- one label-propagation round: each supplier adopts the
+    //      majority nation among its customers, weighted by distinct
+    //      orders traded (ties → smallest nation key). The supervised
+    //      seed labels are the customers' own nations.
+    QueryDef.checked(
+      "q_label_prop",
+      """WITH votes AS (
+        |  SELECT l_suppkey AS s, c.c_nationkey AS nat,
+        |    count(DISTINCT o.o_orderkey) AS w
+        |  FROM lineitem
+        |  JOIN orders o ON l_orderkey = o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY l_suppkey, c.c_nationkey
+        |), ranked AS (
+        |  SELECT s, nat, w,
+        |    row_number() OVER (PARTITION BY s ORDER BY w DESC, nat) AS rn
+        |  FROM votes
+        |)
+        |SELECT s AS s_suppkey, nat AS adopted_nation, CAST(w AS BIGINT) AS votes
+        |FROM ranked WHERE rn = 1
+        |ORDER BY s_suppkey""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir)
+      val votes = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+        .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.customer.select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_suppkey").as("s"), col("c_nationkey").as("nat"))
+        .agg(countDistinct(col("o_orderkey")).as("w"))
+      votes
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("s").orderBy(col("w").desc, col("nat"))))
+        .filter(col("rn") === 1)
+        .select(col("s").as("s_suppkey"), col("nat").as("adopted_nation"),
+          col("w").cast("long").as("votes"))
+        .orderBy("s_suppkey")
+    },
+
+    // ---- Wilson lower-bound ranking (z=1.96): the confidence-adjusted
+    //      "conversion rate" per event type, the classic fix for naive
+    //      rate ranking on unequal sample sizes. One aggregate pass;
+    //      the sqrt is IEEE-exact in both engines, rounded at the edge.
+    QueryDef.checked(
+      "q_ctr_wilson",
+      """WITH agg AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT event_type, n, pos,
+        |  round(pos * 1.0 / n, 6) AS naive_rate,
+        |  round((pos * 1.0 / n + 1.9208 / n
+        |      - 1.96 * sqrt((pos * 1.0 / n) * (1.0 - pos * 1.0 / n) / n
+        |                    + 0.9604 / (n * n * 1.0)))
+        |    / (1.0 + 3.8416 / n), 6) AS wilson_lb
+        |FROM agg
+        |ORDER BY wilson_lb DESC, event_type""".stripMargin) { (spark, dir) =>
+      val agg = Tables(spark, dir).events
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") >= 50, 1L).otherwise(0L)).cast("long").as("pos"))
+      val p = col("pos") * lit(1.0) / col("n")
+      agg.select(col("event_type"), col("n"), col("pos"),
+          round(p, 6).as("naive_rate"),
+          round((p + lit(1.9208) / col("n")
+              - lit(1.96) * sqrt(p * (lit(1.0) - p) / col("n")
+                + lit(0.9604) / (col("n") * col("n") * lit(1.0))))
+            / (lit(1.0) + lit(3.8416) / col("n")), 6).as("wilson_lb"))
+        .orderBy(col("wilson_lb").desc, col("event_type"))
+    }
+  )
+}

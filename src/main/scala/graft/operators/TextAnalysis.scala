@@ -402,6 +402,79 @@ object TextAnalysis {
           (length(col("norm")) < col("n_chars")).as("shrank"),
           md5(col("norm")).as("norm_sig"))
         .orderBy("doc_id")
+    },
+
+    // ---- continuation-leak detection: doc B starting with the exact
+    //      3-token suffix of doc A suggests A,B are split halves of one
+    //      source document (a chunked-crawl artifact that silently
+    //      doubles effective epoch count). Fingerprints are md5 of the
+    //      3-token edge spans; the candidate join is hash = hash — at
+    //      100 TB both fingerprint relations are corpus-sized but the
+    //      join keys are uniform md5s (no skew), and the output is
+    //      bounded by true collisions, not the cross product.
+    QueryDef.checked(
+      "q_prefix_suffix_leak",
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS pre_sig,
+        |    md5(array_to_string(string_split(text, ' ')[-3:], ' ')) AS suf_sig
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS tail_doc, b.doc_id AS head_doc
+        |FROM sig a JOIN sig b ON a.suf_sig = b.pre_sig
+        |WHERE a.doc_id <> b.doc_id
+        |ORDER BY tail_doc, head_doc""".stripMargin) { (spark, dir) =>
+      val toks = split(col("text"), " ")
+      val sig = Tables(spark, dir).documents
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(toks, 1, 3))).as("pre_sig"),
+          md5(concat_ws(" ", slice(toks, -3, 3))).as("suf_sig"))
+      sig.as("a").join(sig.as("b"),
+          col("a.suf_sig") === col("b.pre_sig") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("tail_doc"), col("b.doc_id").as("head_doc"))
+        .orderBy("tail_doc", "head_doc")
+    },
+
+    // ---- tokenizer fertility audit: pieces-per-word under a
+    //      fixed-width 4-chars-per-piece proxy tokenizer, per language —
+    //      the pre-training health check that catches a tokenizer
+    //      mismatched to a language's word lengths. Pure per-row array
+    //      arithmetic folded to one integer aggregate per lang: zero
+    //      extra shuffles, whole-stage codegen end to end.
+    QueryDef.checked(
+      "q_tokenizer_fertility",
+      """WITH t AS (
+        |  SELECT lang, string_split(text, ' ') AS toks FROM documents
+        |), pw AS (
+        |  SELECT lang,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(toks,
+        |      w -> (length(w) + 3) // 4)) AS BIGINT) AS n_pieces,
+        |    CAST(len(list_filter(toks, w -> length(w) > 6)) AS BIGINT) AS n_long
+        |  FROM t
+        |)
+        |SELECT lang, CAST(sum(n_words) AS BIGINT) AS words,
+        |  CAST(sum(n_pieces) AS BIGINT) AS pieces,
+        |  round(sum(n_pieces) * 1.0 / sum(n_words), 6) AS fertility,
+        |  round(sum(n_long) * 1.0 / sum(n_words), 6) AS long_word_rate
+        |FROM pw GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .select(col("lang"), split(col("text"), " ").as("toks"))
+        .select(col("lang"),
+          size(col("toks")).cast("long").as("n_words"),
+          expr("aggregate(toks, 0L, (acc, w) -> acc + (length(w) + 3) div 4)")
+            .as("n_pieces"),
+          size(expr("filter(toks, w -> length(w) > 6)")).cast("long").as("n_long"))
+        .groupBy("lang")
+        .agg(sum(col("n_words")).cast("long").as("words"),
+          sum(col("n_pieces")).cast("long").as("pieces"),
+          round(sum(col("n_pieces")) * lit(1.0) / sum(col("n_words")), 6)
+            .as("fertility"),
+          round(sum(col("n_long")) * lit(1.0) / sum(col("n_words")), 6)
+            .as("long_word_rate"))
+        .orderBy("lang")
     }
   )
 }

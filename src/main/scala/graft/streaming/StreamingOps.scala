@@ -56,11 +56,13 @@ class TypeStatsProcessor extends org.apache.spark.sql.streaming.StatefulProcesso
   */
 object StreamingOps {
 
-  /** Raw parquet schema of events (ts is TIMESTAMP(NANOS) stored as
-    * int64; read as long, converted to µs in [[eventsStream]]). */
+  /** Raw parquet schema of events (ts is TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) → TIMESTAMP_NTZ; converted to the
+    * engine-wide TimestampType in [[eventsStream]] — the session
+    * timezone is pinned to UTC, so the cast is value-preserving). */
   private val rawSchema = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -83,13 +85,11 @@ object StreamingOps {
   }
 
   /** Replayable finite stream over the driver's events parquet. */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(rawSchema)
       .parquet(stageStreamDir(dir))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+      .withColumn("ts", col("ts").cast(TimestampType))
 
   /** Run `body` with streaming confs scoped to the query, restoring the
     * session after:
