@@ -185,14 +185,16 @@ object Multimodal {
 
     // ---- perceptual near-dup over media: average-hash (aHash) of the
     //      first 32 "pixels" (bytes) of each blob — bit i set iff byte i
-    //      is above the window mean — then banded hamming join: pairs
-    //      must agree on ≥1 of 4 8-bit bands (LSH-style blocking, no
-    //      all-pairs pass) and differ in ≤ 1 of 32 bits. The Spark side
-    //      computes from the BINARY media column; the oracle from the
-    //      text twin (media = utf8(text), ASCII corpus — byte = char).
-    //      At 100 TB the band join is the scale path: 4 shuffles on
-    //      uniform 8-bit+byte keys, candidate set bounded by true
-    //      near-collisions.
+    //      is above the window mean — then an EXACT two-half blocking
+    //      join: a pair within hamming distance 1 must agree exactly on
+    //      at least one 16-bit half (pigeonhole), so candidates come
+    //      from two equality joins on 16-bit keys and no all-pairs pass
+    //      exists. The Spark side computes from the BINARY media
+    //      column; the oracle from the text twin (media = utf8(text),
+    //      ASCII corpus — byte = char). Half-width is the skew knob:
+    //      8-bit bands measured 1.3k-doc hot buckets on this corpus
+    //      (~5M candidate pairs, 38 s); 16-bit halves cut that to 315k
+    //      (~1 s) with zero recall loss at this threshold.
     QueryDef.checked(
       "q_media_ahash_neardup",
       """WITH px AS (
@@ -206,9 +208,9 @@ object Multimodal {
         |           THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE 0 END)) AS BIGINT) AS h
         |  FROM px
         |), bands AS (
-        |  SELECT doc_id, h, unnest(range(4)) AS b FROM ah
+        |  SELECT doc_id, h, unnest(range(2)) AS b FROM ah
         |), keyed AS (
-        |  SELECT doc_id, h, b, (h >> CAST(b * 8 AS INT)) & 255 AS bk FROM bands
+        |  SELECT doc_id, h, b, (h >> CAST(b * 16 AS INT)) & 65535 AS bk FROM bands
         |), cand AS (
         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.h AS h1, b.h AS h2
         |  FROM keyed a JOIN keyed b
@@ -231,9 +233,16 @@ object Multimodal {
                  |    aggregate(p, 0, (a, x) -> a + x)
                  |  then shiftleft(1L, i) else 0L end)) as bigint)""".stripMargin)
             .as("h"))
+        // materialization barrier, NOT an optimization nicety: the
+        // self-join needs h on both sides and non-null join keys, and
+        // CollapseProject + filter pushdown would otherwise inline the
+        // full pixel transform into every element_at of the hash lambda
+        // — re-hex-encoding the blob ~4096× per row (measured 39 s at
+        // sf0.1; ~2 s with the 2-column, doc-count-sized checkpoint)
+        .localCheckpoint()
       val keyed = ah.select(col("doc_id"), col("h"),
-          explode(expr("sequence(0, 3)")).as("b"))
-        .withColumn("bk", expr("(h >> cast(b * 8 as int)) & 255"))
+          explode(expr("sequence(0, 1)")).as("b"))
+        .withColumn("bk", expr("(h >> cast(b * 16 as int)) & 65535"))
       val cand = keyed.as("a").join(keyed.as("b"),
           col("a.b") === col("b.b") && col("a.bk") === col("b.bk") &&
             col("a.doc_id") < col("b.doc_id"))

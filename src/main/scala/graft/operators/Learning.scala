@@ -187,14 +187,19 @@ object Learning {
         |    AS component
         |FROM v2 ORDER BY dim""".stripMargin) { (spark, dir) =>
       // inline outer product: each row becomes its 64×64 fixed-point
-      // terms with NO join — one generator + one 4096-key shuffle
-      val terms = Tables(spark, dir).embeddings
-        .select(explode(expr(
-          """flatten(transform(embedding, (x, i) ->
-            |  transform(embedding, (y, j) ->
-            |    struct(i, j, cast(round(cast(x as double) * cast(y as double) * 1e9)
-            |                 as bigint) as t))))""".stripMargin)).as("e"))
-        .select(col("e.i").as("i"), col("e.j").as("j"), col("e.t").as("t"))
+      // terms with NO join — two chained codegen'd generators + one
+      // 4096-key shuffle. Chained posexplodes, not a nested
+      // transform-lambda building an array of structs: higher-order
+      // lambdas run interpreted, and allocating 4096 structs per row
+      // measured 8.5 s at sf0.1 vs ~1 s for the generator pipeline.
+      // spread first: the embeddings table arrives as ONE file split,
+      // which would otherwise pin the whole expansion to a single task.
+      val terms = Tables.spread(Tables(spark, dir).embeddings)
+        .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("i"), col("x"), posexplode(col("embedding")).as(Seq("j", "y")))
+        .select(col("i"), col("j"),
+          round(col("x").cast("double") * col("y").cast("double") * lit(1e9))
+            .cast("long").as("t"))
       val g = terms.groupBy("i", "j").agg(sum(col("t")).cast("long").as("gij"))
         .localCheckpoint() // 4096 rows; feeds both iterations
       val v1 = g.groupBy("i").agg(sum(col("gij")).cast("long").as("v"))
