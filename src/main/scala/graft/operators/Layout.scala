@@ -374,6 +374,49 @@ object Layout {
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_quantity")).cast("double").as("sum_qty"))
         .orderBy("supp_nation")
+    },
+
+    // ---- Bloom-pruned semi join: build a Bloom filter over the
+    //      qualifying dim keys (bloom_filter_agg), pre-filter the fact
+    //      scan with might_contain, THEN do the exact semi join — the
+    //      runtime-filter pattern that turns a fact-side shuffle into a
+    //      mostly-local scan when the dim predicate is selective. The
+    //      result is EXACT (false positives survive the pre-filter but
+    //      die in the semi join), so the oracle is the plain IN query.
+    //      At 100 TB this is the difference between shuffling the whole
+    //      fact table and shuffling the ~matching slice; Spark's own
+    //      injectRuntimeFilter does the same thing when stats allow —
+    //      here it is explicit, so the plan survives a stats miss.
+    QueryDef.checked(
+      "q_bloom_join_prune",
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val dim = t.supplier.filter(col("s_acctbal") > 5000)
+        .select(col("s_suppkey"))
+      // the Bloom filter builds DISTRIBUTED (treeAggregate under
+      // stat.bloomFilter — executors each fold their partition, the
+      // driver merges sketch pages, never the keys), then ships to the
+      // scan tasks as one read-only broadcast value. bloom_filter_agg
+      // exists in Catalyst but is not registered for public SQL, so the
+      // stat API is the supported route; the mightContain gate is a
+      // closure (non-codegen) — acceptable because it prunes BEFORE the
+      // shuffle, which is the cost that matters at scale.
+      val bloom = dim.stat.bloomFilter("s_suppkey", 10000L, 0.01)
+      val bloomBc = spark.sparkContext.broadcast(bloom)
+      val mightContain = udf((k: Long) => bloomBc.value.mightContainLong(k))
+      t.lineitem
+        .select(col("l_returnflag"), col("l_quantity"), col("l_suppkey"))
+        .filter(mightContain(col("l_suppkey")))
+        .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
     }
   )
 }

@@ -194,6 +194,37 @@ object Sampling {
                NULL))), s -> s.ds))""")).as("kept_sig"))
         .select(col("lang"), col("n_before"), col("n_kept"), col("kept_sig"))
         .orderBy("lang")
+    },
+
+    // ---- per-group reservoir (deterministic): exactly k=10 docs per
+    //      language, selected by md5-rank — the keyed fixed-size sample
+    //      (distinct from q_sample_stratified's fixed-FRACTION hash
+    //      gate). The md5 order is a uniform permutation, so the first
+    //      k of it IS a uniform k-reservoir, and reruns/backfills pick
+    //      the same rows. Scale: rank-within-group is one shuffle on
+    //      the group key; a hot group degrades to that group's sort,
+    //      fixed by pre-aggregating a per-partition top-k (the
+    //      TakeOrderedAndProject shape) before the global rank.
+    QueryDef.checked(
+      "q_grouped_reservoir",
+      """WITH ranked AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT lang, doc_id, CAST(rn AS INT) AS pick
+        |FROM ranked WHERE rn <= 10
+        |ORDER BY lang, pick""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables(spark, dir).documents
+        .select(col("lang"), col("doc_id"),
+          row_number().over(Window.partitionBy("lang")
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+            .as("rn"))
+        .filter(col("rn") <= 10)
+        .select(col("lang"), col("doc_id"), col("rn").cast("int").as("pick"))
+        .orderBy("lang", "pick")
     }
   )
 }

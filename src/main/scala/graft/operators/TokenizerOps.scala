@@ -265,6 +265,54 @@ object TokenizerOps {
             .localCheckpoint()
       }
       merges.result().toDF("round", "l", "r", "merged", "n")
+    },
+
+    // ---- vocabulary coverage curve: tokens ranked by corpus frequency
+    //      with cumulative coverage — the "how big a vocab covers X% of
+    //      the stream" table that sizes a tokenizer's vocab budget.
+    //      The curve relation is VOCAB-sized (sublinear in the corpus),
+    //      so the global window sort is over the small aggregate, never
+    //      the token stream; ties break on the token string so every
+    //      engine derives the identical ranking.
+    QueryDef.checked(
+      "q_vocab_coverage_curve",
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        |), freq AS (
+        |  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS t FROM freq
+        |), ranked AS (
+        |  SELECT tok, c,
+        |    row_number() OVER (ORDER BY c DESC, tok) AS rnk,
+        |    sum(c) OVER (ORDER BY c DESC, tok
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM freq
+        |)
+        |SELECT CAST(rnk AS INT) AS rank, tok, CAST(c AS BIGINT) AS freq,
+        |  round(cum * 1.0 / t, 6) AS cum_coverage,
+        |  cum * 2 >= t AS covers_half,
+        |  cum * 10 >= t * 9 AS covers_90
+        |FROM ranked CROSS JOIN tot
+        |ORDER BY rank""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val freq = Tables(spark, dir).documents
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val tot = freq.agg(sum(col("c")).cast("long").as("t"))
+      val w = Window.orderBy(col("c").desc, col("tok"))
+      freq
+        .select(col("tok"), col("c"),
+          row_number().over(w).as("rnk"),
+          sum(col("c")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .as("cum"))
+        .crossJoin(broadcast(tot))
+        .select(col("rnk").cast("int").as("rank"), col("tok"),
+          col("c").cast("long").as("freq"),
+          round(col("cum") * lit(1.0) / col("t"), 6).as("cum_coverage"),
+          (col("cum") * 2 >= col("t")).as("covers_half"),
+          (col("cum") * 10 >= col("t") * 9).as("covers_90"))
+        .orderBy("rank")
     }
   )
 }

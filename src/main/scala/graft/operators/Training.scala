@@ -494,6 +494,82 @@ object Training {
             .cast("long").as("step"),
           col("doc_id"), col("stage"), col("n_chars"))
         .orderBy("step")
+    },
+
+    // ---- interpolated Kneser-Ney bigram scoring (D=0.75): the standard
+    //      smoothed LM upgrade of q_bigram_lm — continuation probability
+    //      from distinct-predecessor counts, absolute discounting on the
+    //      observed bigram mass. Count relations are vocabulary-bounded
+    //      (broadcast); the bigram stream is the only corpus-sized
+    //      relation and is counted and scored in the SAME shape. Per-term
+    //      1e-9 fixed-point rounding keeps the per-doc sums partition-
+    //      order invariant.
+    QueryDef.checked(
+      "q_kneser_ney",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS a FROM documents
+        |), bg AS (
+        |  SELECT doc_id, p.l AS w1, p.r AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(a)),
+        |      i -> {'l': a[i], 'r': a[i+1]})) AS p
+        |    FROM toks WHERE len(a) >= 2)
+        |), c2 AS (
+        |  SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY w1, w2
+        |), c1 AS (
+        |  SELECT w1, CAST(sum(n2) AS BIGINT) AS n1, count(*) AS n_after
+        |  FROM c2 GROUP BY w1
+        |), cont AS (
+        |  SELECT w2, count(*) AS n_before FROM c2 GROUP BY w2
+        |), npairs AS (
+        |  SELECT count(*) AS np FROM c2
+        |), scored AS (
+        |  -- e-notation literals: plain 0.75 parses as DECIMAL in both
+        |  -- engines, and their decimal-division scale rules differ;
+        |  -- 0.75e0 is a DOUBLE everywhere, so the arithmetic is IEEE-
+        |  -- identical
+        |  SELECT b.doc_id,
+        |    CAST(round(-ln(
+        |      (greatest(CAST(c2.n2 AS DOUBLE) - 0.75e0, 0e0)
+        |       + 0.75e0 * c1.n_after * (CAST(cont.n_before AS DOUBLE) / npairs.np))
+        |      / c1.n1
+        |    ) * 1000000000) AS BIGINT) AS nll_fp
+        |  FROM bg b
+        |  JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+        |  JOIN c1 ON c1.w1 = b.w1
+        |  JOIN cont ON cont.w2 = b.w2
+        |  CROSS JOIN npairs
+        |)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(sum(nll_fp) / 1000000000.0 / count(*), 6) AS avg_nll
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val bg = Tables(spark, dir).documents
+        .select(col("doc_id"), split(col("text"), " ").as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(a) - 2)," +
+            " i -> struct(a[i] AS w1, a[i + 1] AS w2))")).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .localCheckpoint() // five consumers share one explosion
+      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+        .localCheckpoint() // c1/cont/npairs all derive from c2
+      val c1 = c2.groupBy("w1")
+        .agg(sum(col("n2")).cast("long").as("n1"), count(lit(1)).as("n_after"))
+      val cont = c2.groupBy("w2").agg(count(lit(1)).as("n_before"))
+      val np = c2.agg(count(lit(1)).as("np"))
+      bg.join(broadcast(c2), Seq("w1", "w2"))
+        .join(broadcast(c1), Seq("w1"))
+        .join(broadcast(cont), Seq("w2"))
+        .crossJoin(broadcast(np))
+        .select(col("doc_id"), expr(
+          """CAST(round(-ln(
+            |  (greatest(CAST(n2 AS DOUBLE) - 0.75e0, 0e0)
+            |   + 0.75e0 * n_after * (CAST(n_before AS DOUBLE) / np)) / n1
+            |) * 1000000000) AS BIGINT)""".stripMargin).as("nll_fp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("nll_fp")) / lit(1000000000.0) / count(lit(1)), 6)
+            .as("avg_nll"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -539,6 +539,52 @@ object StreamingOps {
         }
       runToMemory(updated.toDF(), "graft_stream_stateful", "update")
         .orderBy("user_id")
+    },
+
+    // ---- foreachBatch sink: each micro-batch is PARTIALLY aggregated
+    //      (type → count + cents sum) and appended to a shared buffer;
+    //      the final result merges the partials — provably equal to the
+    //      one-shot batch aggregate because count/sum are associative,
+    //      whatever the micro-batch boundaries were. This is the escape
+    //      hatch surface for sinks Structured Streaming lacks (JDBC
+    //      upserts, MERGE targets): at scale the lambda runs `df.write`
+    //      / MERGE INTO per batch instead of collecting, and the
+    //      merge-≡-recompute property is exactly what makes the
+    //      incremental target trustworthy.
+    QueryDef.checked(
+      "q_stream_foreach_batch",
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val partials =
+        scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      val src = eventsStream(spark, dir)
+        .select(col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+      withStreamConfs(spark, noDataBatches = false, extra = Nil) {
+        val q = src.writeStream
+          .outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            val rows = batch.groupBy("event_type")
+              .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+              .collect()
+            partials.synchronized {
+              partials ++= rows.map(r =>
+                (r.getString(0), r.getLong(1), r.getLong(2)))
+            }
+            () // foreachBatch wants Unit, not the buffer
+          }
+          .start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      }
+      partials.toSeq.toDF("event_type", "n", "c")
+        .groupBy("event_type")
+        .agg(sum(col("n")).cast("long").as("n_events"),
+          sum(col("c")).cast("long").as("total_cents"))
+        .orderBy("event_type")
     }
   )
 }
