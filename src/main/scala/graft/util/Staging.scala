@@ -3,17 +3,42 @@ package graft.util
 /** Deterministic local staging directories: one path per (prefix, key),
   * stable across JVM restarts — required wherever a path is recorded in
   * durable state (streaming checkpoints) or reused across bench runs to
-  * avoid temp-dir accumulation. */
+  * avoid temp-dir accumulation.
+  *
+  * The key folds in the SOURCE DATA FINGERPRINT (every file's name,
+  * size, and mtime under the keyed path), not just the path: the test
+  * fixtures were regenerated in place mid-build once, and a path-only
+  * key would have kept serving layouts staged from the previous data —
+  * a silent correctness hole that only the end-to-end oracle would
+  * catch. A regenerated source now simply maps to a fresh staging dir
+  * (and, downstream, fresh streaming checkpoints, which is the correct
+  * cache-invalidation behavior for offset-by-path sources).
+  */
 object Staging {
 
-  /** Collision-resistant path tag: first 16 hex chars of md5 of the
-    * absolute path. 32-bit String.hashCode collides at birthday scale
-    * (~77k paths → 50%); two data dirs colliding would silently share a
-    * staging dir and clobber each other's state. */
+  /** Collision-resistant tag: first 16 hex chars of md5 over the
+    * absolute path PLUS the (name, size, mtime) of each file under it
+    * (the path itself if it is a file; sorted, recursion depth 1 — the
+    * fixture dirs are flat). 32-bit String.hashCode would collide at
+    * birthday scale (~77k keys → 50%), and two keys colliding would
+    * silently share a staging dir and clobber each other's state. */
   def pathTag(key: String): String = {
-    val abs = java.nio.file.Paths.get(key).toAbsolutePath.toString
+    // keys may carry a "|spec" suffix that is not a filesystem path
+    val (pathPart, spec) = key.indexOf('|') match {
+      case -1 => (key, "")
+      case i  => (key.substring(0, i), key.substring(i))
+    }
+    val abs = java.nio.file.Paths.get(pathPart).toAbsolutePath
+    val sb = new StringBuilder(abs.toString).append(spec)
+    val f = abs.toFile
+    def stamp(x: java.io.File): Unit =
+      sb.append('|').append(x.getName).append(':')
+        .append(x.length).append(':').append(x.lastModified)
+    if (f.isFile) stamp(f)
+    else if (f.isDirectory)
+      f.listFiles().sortBy(_.getName).foreach(stamp)
     val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(abs.getBytes("UTF-8"))
+      .digest(sb.toString.getBytes("UTF-8"))
     md5.take(8).map(b => f"$b%02x").mkString
   }
 
