@@ -297,6 +297,59 @@ object Diagnostics {
           round(sum(col("v").cast("decimal(14,2)")).cast("double"), 2)
             .as("sum_parsed"))
         .orderBy("event_type")
+    },
+
+    // ---- join-cardinality estimation audit: the equi-width-histogram
+    //      estimate (n_left × n_right ÷ distinct keys, uniformity
+    //      assumed within each bucket) against the TRUE join size per
+    //      orderkey-range bucket — the optimizer-stats health check
+    //      that tells you where uniform histograms lie and a real
+    //      per-key histogram (or runtime stats / AQE) is needed. Both
+    //      sides reduce to 20-row histograms before anything joins; the
+    //      exact count is one keyed join. err_pm is a ×1000 integer
+    //      ratio, so the comparison is bit-exact.
+    QueryDef.checked(
+      "q_join_card_estimate",
+      """WITH lh AS (
+        |  SELECT l_orderkey % 20 AS bucket, count(*) AS n_l
+        |  FROM lineitem GROUP BY l_orderkey % 20
+        |), oh AS (
+        |  SELECT o_orderkey % 20 AS bucket, count(*) AS n_o,
+        |    count(DISTINCT o_orderkey) AS n_keys
+        |  FROM orders GROUP BY o_orderkey % 20
+        |), act AS (
+        |  SELECT o_orderkey % 20 AS bucket, count(*) AS n_join
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  GROUP BY o_orderkey % 20
+        |)
+        |SELECT lh.bucket, CAST(lh.n_l AS BIGINT) AS n_left,
+        |  CAST(oh.n_o AS BIGINT) AS n_right,
+        |  CAST(lh.n_l * oh.n_o // oh.n_keys AS BIGINT) AS est_rows,
+        |  CAST(act.n_join AS BIGINT) AS actual_rows,
+        |  CAST((lh.n_l * oh.n_o // oh.n_keys) * 1000 // act.n_join AS BIGINT)
+        |    AS est_over_actual_pm
+        |FROM lh JOIN oh ON oh.bucket = lh.bucket
+        |JOIN act ON act.bucket = lh.bucket
+        |ORDER BY lh.bucket""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val lh = t.lineitem.groupBy((col("l_orderkey") % 20).as("bucket"))
+        .agg(count(lit(1)).as("n_l"))
+      val oh = t.orders.groupBy((col("o_orderkey") % 20).as("bucket"))
+        .agg(count(lit(1)).as("n_o"),
+          countDistinct(col("o_orderkey")).as("n_keys"))
+      val act = t.lineitem.select(col("l_orderkey"))
+        .join(t.orders.select(col("o_orderkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_orderkey") % 20).as("bucket"))
+        .agg(count(lit(1)).as("n_join"))
+      lh.join(oh, Seq("bucket")).join(act, Seq("bucket"))
+        .select(col("bucket"), col("n_l").cast("long").as("n_left"),
+          col("n_o").cast("long").as("n_right"),
+          expr("n_l * n_o div n_keys").cast("long").as("est_rows"),
+          col("n_join").cast("long").as("actual_rows"),
+          expr("(n_l * n_o div n_keys) * 1000 div n_join").cast("long")
+            .as("est_over_actual_pm"))
+        .orderBy("bucket")
     }
   )
 }

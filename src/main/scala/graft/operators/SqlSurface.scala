@@ -491,6 +491,59 @@ object SqlSurface {
           nth_value(col("o_totalprice"), 2).over(w).as("second_price"),
           last(col("o_totalprice")).over(full).as("final_price"))
         .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ---- recursive CTE (Spark 4 SQL surface): walk each supplier's
+    //      ancestor chain in the implicit binary tree parent(k)=(k-1)/2
+    //      and roll up depth + root-path account balance — the
+    //      hierarchy-rollup shape (org charts, BOM explosions,
+    //      category trees). Balances accumulate in exact cents so the
+    //      path sum is iteration-order-proof. Scale: recursion depth is
+    //      log₂(nodes); every iteration is one self-contained
+    //      join+filter over the frontier, which Spark materializes per
+    //      step — at 100 TB the frontier relation is what you'd
+    //      checkpoint every few levels, exactly like the PageRank loop.
+    QueryDef.checked(
+      "q_recursive_hierarchy",
+      """WITH RECURSIVE walk AS (
+        |  SELECT s_suppkey AS node, s_suppkey AS anc,
+        |    0 AS depth,
+        |    CAST(round(s_acctbal * 100) AS BIGINT) AS path_cents
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT w.node, (w.anc - 1) // 2 AS anc, w.depth + 1,
+        |    w.path_cents + CAST(round(s.s_acctbal * 100) AS BIGINT)
+        |  FROM walk w JOIN supplier s ON s.s_suppkey = (w.anc - 1) // 2
+        |  WHERE w.anc > 0
+        |)
+        |SELECT node AS s_suppkey,
+        |  CAST(max(depth) AS INT) AS depth,
+        |  CAST(max(path_cents) AS BIGINT) AS root_path_cents
+        |FROM walk
+        |GROUP BY node
+        |ORDER BY s_suppkey""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).supplier
+        .select(col("s_suppkey"), col("s_acctbal"))
+        .createOrReplaceTempView("graft_rcte_supplier")
+      spark.sql(
+        """WITH RECURSIVE walk AS (
+          |  SELECT s_suppkey AS node, s_suppkey AS anc,
+          |    0 AS depth,
+          |    CAST(round(s_acctbal * 100) AS BIGINT) AS path_cents
+          |  FROM graft_rcte_supplier
+          |  UNION ALL
+          |  SELECT w.node, (w.anc - 1) div 2 AS anc, w.depth + 1,
+          |    w.path_cents + CAST(round(s.s_acctbal * 100) AS BIGINT)
+          |  FROM walk w JOIN graft_rcte_supplier s
+          |    ON s.s_suppkey = (w.anc - 1) div 2
+          |  WHERE w.anc > 0
+          |)
+          |SELECT node AS s_suppkey,
+          |  CAST(max(depth) AS INT) AS depth,
+          |  CAST(max(path_cents) AS BIGINT) AS root_path_cents
+          |FROM walk
+          |GROUP BY node
+          |ORDER BY s_suppkey""".stripMargin)
     }
   )
 }

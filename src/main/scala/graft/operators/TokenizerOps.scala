@@ -313,6 +313,60 @@ object TokenizerOps {
           (col("cum") * 2 >= col("t")).as("covers_half"),
           (col("cum") * 10 >= col("t") * 9).as("covers_90"))
         .orderBy("rank")
+    },
+
+    // ---- negative-sampling table (word2vec recipe): unigram counts
+    //      raised to the 3/4 power, normalized, with cumulative ranges —
+    //      the lookup table a skip-gram trainer samples negatives from.
+    //      c^0.75 computes as sqrt(sqrt(c³)): both sqrts are IEEE-
+    //      correctly-rounded in every engine (pow(x, 0.75) is NOT), and
+    //      the cube of any corpus-scale count is exact in double, so the
+    //      weights are bit-identical before the fixed-point edge. The
+    //      table is vocab-sized; the only corpus-sized pass is the count.
+    QueryDef.checked(
+      "q_negative_sampling",
+      """WITH freq AS (
+        |  SELECT tok, count(*) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok
+        |), w AS (
+        |  SELECT tok, c,
+        |    CAST(round(sqrt(sqrt(CAST(c AS DOUBLE) * c * c)) * 1000000)
+        |      AS BIGINT) AS w_fp
+        |  FROM freq
+        |), cum AS (
+        |  SELECT tok, c, w_fp,
+        |    sum(w_fp) OVER (ORDER BY c DESC, tok
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_hi,
+        |    CAST((SELECT sum(w_fp) FROM w) AS BIGINT) AS tot
+        |  FROM w
+        |)
+        |SELECT row_number() OVER (ORDER BY c DESC, tok) AS rank,
+        |  tok, CAST(c AS BIGINT) AS freq,
+        |  CAST(cum_hi - w_fp AS BIGINT) AS cum_lo,
+        |  CAST(cum_hi AS BIGINT) AS cum_hi,
+        |  round(w_fp * 1.0 / tot, 6) AS prob
+        |FROM cum
+        |ORDER BY rank""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val freq = Tables(spark, dir).documents
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val w = freq.select(col("tok"), col("c"),
+        expr("cast(round(sqrt(sqrt(cast(c as double) * c * c)) * 1000000) as bigint)")
+          .as("w_fp"))
+      val tot = w.agg(sum(col("w_fp")).cast("long").as("tot"))
+      val win = Window.orderBy(col("c").desc, col("tok"))
+      w.crossJoin(broadcast(tot))
+        .select(
+          row_number().over(win).cast("long").as("rank"),
+          col("tok"), col("c").cast("long").as("freq"),
+          (sum(col("w_fp")).over(win.rowsBetween(Window.unboundedPreceding, 0))
+            - col("w_fp")).cast("long").as("cum_lo"),
+          sum(col("w_fp")).over(win.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long").as("cum_hi"),
+          round(col("w_fp") * lit(1.0) / col("tot"), 6).as("prob"))
+        .orderBy("rank")
     }
   )
 }
