@@ -324,6 +324,55 @@ object Governance {
             * log(lit(1.0) - lit(2.0) * abs(col("u"))), 6).as("noisy_count"),
           lit(1.0).as("epsilon"))
         .orderBy("lang", "source")
+    },
+
+    // ---- inter-rater agreement (Fleiss κ, 3 raters × 2 categories):
+    //      three deterministic heuristic "raters" vote keep/drop per
+    //      doc; κ is the chance-corrected agreement per language — the
+    //      labeling-quality gate run before heuristics are trusted as
+    //      silver labels. Everything up to the final κ division is
+    //      integer (vote counts and pair-agreement numerators), so the
+    //      aggregate is partition-proof; the two divisions happen once
+    //      per output row.
+    QueryDef.checked(
+      "q_rater_kappa",
+      """WITH votes AS (
+        |  SELECT lang,
+        |    CAST(len(string_split(text, ' ')) >= 40 AS INT)
+        |    + CAST(len(list_distinct(string_split(text, ' '))) * 4
+        |           >= len(string_split(text, ' ')) AS INT)
+        |    + CAST(length(text) < 520 AS INT) AS k
+        |  FROM documents
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(k) AS BIGINT) AS keep_votes,
+        |  -- P̄: mean per-doc pair agreement, (k² + (3-k)² - 3) / 6
+        |  round(sum(k * k + (3 - k) * (3 - k) - 3) / (count(*) * 6.0), 6)
+        |    AS p_bar,
+        |  round((
+        |    sum(k * k + (3 - k) * (3 - k) - 3) / (count(*) * 6.0)
+        |    - ((sum(k) / (count(*) * 3.0)) * (sum(k) / (count(*) * 3.0))
+        |       + (1.0 - sum(k) / (count(*) * 3.0)) * (1.0 - sum(k) / (count(*) * 3.0)))
+        |  ) / (1.0 - ((sum(k) / (count(*) * 3.0)) * (sum(k) / (count(*) * 3.0))
+        |       + (1.0 - sum(k) / (count(*) * 3.0)) * (1.0 - sum(k) / (count(*) * 3.0)))), 6) AS kappa
+        |FROM votes GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (spark, dir) =>
+      val toks = split(col("text"), " ")
+      val votes = Tables(spark, dir).documents
+        .select(col("lang"),
+          ((size(toks) >= 40).cast("int")
+            + (size(array_distinct(toks)) * 4 >= size(toks)).cast("int")
+            + (length(col("text")) < 520).cast("int")).as("k"))
+      val pBar = sum(col("k") * col("k") + (lit(3) - col("k")) * (lit(3) - col("k"))
+        - lit(3)) / (count(lit(1)) * lit(6.0))
+      val pKeep = sum(col("k")) / (count(lit(1)) * lit(3.0))
+      val pe = pKeep * pKeep + (lit(1.0) - pKeep) * (lit(1.0) - pKeep)
+      votes.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("k")).cast("long").as("keep_votes"),
+          round(pBar, 6).as("p_bar"),
+          round((pBar - pe) / (lit(1.0) - pe), 6).as("kappa"))
+        .orderBy("lang")
     }
   )
 }

@@ -480,6 +480,48 @@ object Profiling {
             .as("avg_gap_us"),
           round(expr("median(gap_us)"), 6).as("p50_gap_us"))
         .orderBy("event_type")
+    },
+
+    // ---- compressibility ranking: per source, distinct-to-total
+    //      3-gram ratio as a dictionary-compressibility proxy (low
+    //      ratio = repetitive = compresses well / dedups hard) — the
+    //      report that orders sources for storage-codec and dedup-pass
+    //      planning. One explode + a per-source pair of counts; the
+    //      distinct count shuffles on (source, gram) with no hot keys
+    //      (grams are near-uniform).
+    QueryDef.checked(
+      "q_compressibility_rank", {
+        s"""WITH g AS (
+           |  SELECT source, unnest(${Dedup.duckGrams}) AS gram FROM documents
+           |), per_src AS (
+           |  SELECT source, count(*) AS n_grams,
+           |    count(DISTINCT gram) AS n_distinct
+           |  FROM g GROUP BY source
+           |)
+           |SELECT source, CAST(n_grams AS BIGINT) AS n_grams,
+           |  CAST(n_distinct AS BIGINT) AS n_distinct,
+           |  round(n_distinct * 1.0 / n_grams, 6) AS distinct_ratio,
+           |  CAST(row_number() OVER (ORDER BY n_distinct * 1000000 // n_grams,
+           |    source) AS INT) AS compress_rank
+           |FROM per_src
+           |ORDER BY compress_rank""".stripMargin
+      }) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val perSrc = Tables(spark, dir).documents
+        .select(col("source"), split(col("text"), " ").as("toks"))
+        .select(col("source"), explode(expr(Dedup.gramsExpr)).as("gram"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct(col("gram")).as("n_distinct"))
+      perSrc
+        .select(col("source"), col("n_grams").cast("long").as("n_grams"),
+          col("n_distinct").cast("long").as("n_distinct"),
+          round(col("n_distinct") * lit(1.0) / col("n_grams"), 6)
+            .as("distinct_ratio"),
+          row_number().over(Window.orderBy(
+            expr("n_distinct * 1000000 div n_grams"), col("source")))
+            .cast("int").as("compress_rank"))
+        .orderBy("compress_rank")
     }
   )
 }

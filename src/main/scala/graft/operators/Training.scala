@@ -570,6 +570,76 @@ object Training {
           round(sum(col("nll_fp")) / lit(1000000000.0) / count(lit(1)), 6)
             .as("avg_nll"))
         .orderBy("doc_id")
+    },
+
+    // ---- span-corruption mask plan (the T5 denoising recipe): each
+    //      token masks independently at 15% via a deterministic
+    //      (doc_id, position) hash, consecutive masked tokens merge
+    //      into spans (one sentinel each), and the plan reports per-doc
+    //      mask/span statistics. The mask is pure per-row arithmetic —
+    //      the span merge is the only window, keyed by doc so it
+    //      shuffles once on doc_id and never globally. At 100 TB the
+    //      plan is a column you WRITE (mask array per doc), not a
+    //      report; the same hash makes every epoch's corruption
+    //      reproducible.
+    QueryDef.checked(
+      "q_span_mask_plan",
+      """WITH tok AS (
+        |  SELECT doc_id, i,
+        |    CAST(concat('0x', substring(md5(concat(CAST(doc_id AS VARCHAR),
+        |      ':', CAST(i AS VARCHAR))), 1, 6)) AS INT) % 100 < 15 AS masked
+        |  FROM (SELECT doc_id, unnest(range(len(string_split(text, ' ')))) AS i
+        |        FROM documents)
+        |), spans AS (
+        |  SELECT doc_id, i,
+        |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS island
+        |  FROM tok WHERE masked
+        |), per_span AS (
+        |  SELECT doc_id, island, count(*) AS span_len
+        |  FROM spans GROUP BY doc_id, island
+        |), per_doc AS (
+        |  SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS n_masked,
+        |    count(*) AS n_spans, CAST(max(span_len) AS BIGINT) AS max_span
+        |  FROM per_span GROUP BY doc_id
+        |), base AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT b.doc_id, b.n_tokens,
+        |  coalesce(p.n_masked, CAST(0 AS BIGINT)) AS n_masked,
+        |  coalesce(p.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+        |  coalesce(p.max_span, CAST(0 AS BIGINT)) AS max_span,
+        |  round(coalesce(p.n_masked, CAST(0 AS BIGINT)) * 1.0 / b.n_tokens, 6)
+        |    AS mask_rate
+        |FROM base b LEFT JOIN per_doc p ON p.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(spark, dir).documents
+      val tok = docs
+        .select(col("doc_id"),
+          explode(expr("sequence(0, size(split(text, ' ')) - 1)")).as("i"))
+        .filter(conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(":"), col("i").cast("string"))), 1, 6), 16, 10)
+          .cast("int") % 100 < 15)
+      val perSpan = tok
+        .withColumn("island",
+          col("i") - row_number().over(
+            Window.partitionBy("doc_id").orderBy("i")))
+        .groupBy("doc_id", "island").agg(count(lit(1)).as("span_len"))
+      val perDoc = perSpan.groupBy("doc_id")
+        .agg(sum(col("span_len")).cast("long").as("n_masked"),
+          count(lit(1)).as("n_spans"),
+          max(col("span_len")).cast("long").as("max_span"))
+      docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("max_span"), lit(0L)).as("max_span"),
+          round(coalesce(col("n_masked"), lit(0L)) * lit(1.0) / col("n_tokens"), 6)
+            .as("mask_rate"))
+        .orderBy("doc_id")
     }
   )
 }

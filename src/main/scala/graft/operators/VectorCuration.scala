@@ -597,6 +597,62 @@ object VectorCuration {
         .unionAll(s2row.select(lit(2), col("vec_id"), col("d")))
         .unionAll(s3row.select(lit(3), col("vec_id"), col("d")))
         .orderBy("seed_idx")
+    },
+
+    // ---- contrastive-margin audit: for every vector, the hardest
+    //      positive (max cosine, same label, not self) vs the hardest
+    //      negative (max cosine, other label); per-label margin stats
+    //      tell you whether the embedding space can support contrastive
+    //      training at all. The pairwise pass is one self-join with the
+    //      codegen'd cosine expression; per-vector argmaxes are integer
+    //      fixed-point maxes (no window), and at 100 TB the exact
+    //      all-pairs pass is replaced by the IVF/LSH candidate
+    //      generation already in this library — the margin math is
+    //      unchanged.
+    QueryDef.checked(
+      "q_contrastive_margin", {
+        val cos = graft.functions.VectorFunctions
+          .duckCosineSql("a.embedding", "b.embedding")
+        s"""WITH pairs AS (
+           |  SELECT a.vec_id, a.label AS la, b.label AS lb,
+           |    CAST(round(($cos) * 1000000) AS BIGINT) AS sim_fp
+           |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+           |), per_vec AS (
+           |  SELECT vec_id, la AS label,
+           |    max(CASE WHEN lb = la THEN sim_fp END) AS pos_fp,
+           |    max(CASE WHEN lb <> la THEN sim_fp END) AS neg_fp
+           |  FROM pairs GROUP BY vec_id, la
+           |)
+           |SELECT label, count(*) AS n_vecs,
+           |  round(sum(pos_fp - neg_fp) / 1000000.0 / count(*), 6) AS mean_margin,
+           |  CAST(sum(CASE WHEN pos_fp > neg_fp THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_positive_margin
+           |FROM per_vec
+           |GROUP BY label
+           |ORDER BY label""".stripMargin
+      }) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val right = emb.select(col("vec_id").as("vb"), col("label").as("lb"),
+        col("embedding").as("eb"))
+      // spread before the quadratic pass: one file split would pin the
+      // all-pairs cosine work to a single task
+      val pairs = Tables.spread(emb).crossJoin(broadcast(right))
+        .filter(col("vb") =!= col("vec_id"))
+        .select(col("vec_id"), col("label"), col("lb"),
+          round(graft.functions.VectorFunctions
+            .cosineSim(col("embedding"), col("eb")) * 1000000)
+            .cast("long").as("sim_fp"))
+      pairs.groupBy("vec_id", "label")
+        .agg(max(when(col("lb") === col("label"), col("sim_fp"))).as("pos_fp"),
+          max(when(col("lb") =!= col("label"), col("sim_fp"))).as("neg_fp"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(col("pos_fp") - col("neg_fp")) / lit(1000000.0)
+            / count(lit(1)), 6).as("mean_margin"),
+          sum(when(col("pos_fp") > col("neg_fp"), 1).otherwise(0))
+            .cast("long").as("n_positive_margin"))
+        .orderBy("label")
     }
   )
 }
