@@ -94,6 +94,35 @@ object Extras {
         .orderBy("event_id")
     },
 
+    // ---- higher-order map functions: transform_values / map_filter /
+    //      map_zip_with over a per-row map merged from the JSON props
+    //      and a derived map — the map-manipulation surface beyond
+    //      lookup. All per-row codegen work; the oracle reconstructs
+    //      each result from the single JSON key arithmetically.
+    QueryDef.checked(
+      "q_map_higher_order",
+      """SELECT event_id,
+        |  CAST(props->>'$.k' AS BIGINT) * 2 AS k_doubled,
+        |  CAST(props->>'$.k' AS BIGINT) >= 50 AS k_kept,
+        |  CAST(props->>'$.k' AS BIGINT) + event_id % 100 AS k_zip_sum
+        |FROM events
+        |WHERE event_id < 200
+        |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).events
+        .filter(col("event_id") < 200)
+        .select(col("event_id"),
+          from_json(col("props"), MapType(StringType, LongType)).as("m"),
+          map(lit("k"), col("event_id") % 100).as("m2"))
+        .select(col("event_id"),
+          element_at(expr("transform_values(m, (k, v) -> v * 2)"), "k")
+            .as("k_doubled"),
+          expr("cardinality(map_filter(m, (k, v) -> v >= 50)) = 1")
+            .as("k_kept"),
+          element_at(expr("map_zip_with(m, m2, (k, v1, v2) -> v1 + v2)"), "k")
+            .as("k_zip_sum"))
+        .orderBy("event_id")
+    },
+
     // ---- TPC-H Q3 shape: shipping-priority top-10 (3-way join, filters
     //      on both fact sides, agg, top-k)
     QueryDef.checked(

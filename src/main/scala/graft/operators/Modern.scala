@@ -336,6 +336,69 @@ object Modern {
         .select(col("day"), col("n_orders"),
           col("rev2").cast("double").as("revenue"))
         .orderBy("day")
+    },
+
+    // ---- typed cogroup: per-order fulfillment audit with imperative
+    //      per-key logic (order + its lineitems side by side) — the
+    //      KeyValueGroupedDataset.cogroup surface for merge logic that
+    //      doesn't decompose into join+agg cleanly. Here it CAN be
+    //      (that's what makes the oracle possible); the point is the
+    //      execution shape: both sides hash-partition on the key once,
+    //      then each key's two iterators stream through one function
+    //      call — at 100 TB this is one co-partitioned shuffle each,
+    //      same cost as the equivalent join, with arbitrary Scala in
+    //      the middle.
+    QueryDef.checked(
+      "q_cogroup_fulfillment",
+      """WITH li AS (
+        |  SELECT l_orderkey, count(*) AS n_items,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+        |    max(CAST(l_shipdate AS DATE)) AS last_ship
+        |  FROM lineitem GROUP BY l_orderkey
+        |)
+        |SELECT o.o_orderkey AS orderkey, o.o_orderstatus AS status,
+        |  coalesce(li.n_items, 0) AS n_items,
+        |  coalesce(li.total_qty, CAST(0 AS BIGINT)) AS total_qty,
+        |  CASE WHEN li.l_orderkey IS NULL THEN 'empty'
+        |       WHEN li.last_ship <= CAST(o.o_orderdate AS DATE) + 90
+        |         THEN 'on_time'
+        |       ELSE 'late' END AS fulfillment
+        |FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey < 2000
+        |ORDER BY orderkey""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val t = Tables(spark, dir)
+      val orders = t.orders
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          to_date(col("o_orderdate")).cast("string").as("od"))
+        .as[(Long, String, String)]
+        .groupByKey(_._1)
+      val items = t.lineitem
+        .filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), col("l_quantity").cast("long"),
+          to_date(col("l_shipdate")).cast("string").as("sd"))
+        .as[(Long, Long, String)]
+        .groupByKey(_._1)
+      val audited = orders.cogroup(items) { (key, os, ls) =>
+        // imperative per-key merge: stream both iterators once
+        os.map { case (_, status, od) =>
+          var n = 0L; var qty = 0L; var lastShip = ""
+          ls.foreach { case (_, q, sd) =>
+            n += 1; qty += q
+            if (sd > lastShip) lastShip = sd
+          }
+          val cutoff = java.time.LocalDate.parse(od).plusDays(90)
+          val verdict =
+            if (n == 0) "empty"
+            else if (!java.time.LocalDate.parse(lastShip).isAfter(cutoff))
+              "on_time"
+            else "late"
+          (key, status, n, qty, verdict)
+        }
+      }
+      audited.toDF("orderkey", "status", "n_items", "total_qty", "fulfillment")
+        .orderBy("orderkey")
     }
   )
 }

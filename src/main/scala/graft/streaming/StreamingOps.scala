@@ -585,6 +585,56 @@ object StreamingOps {
         .agg(sum(col("n")).cast("long").as("n_events"),
           sum(col("c")).cast("long").as("total_cents"))
         .orderBy("event_type")
+    },
+
+    // ---- checkpoint restart: run a complete-mode aggregate over half
+    //      the data, STOP the query, land the second half, restart with
+    //      the SAME checkpoint — the final table must equal the batch
+    //      aggregate over everything, proving state recovery + file-
+    //      source offset tracking give exactly-once across restarts.
+    //      This is the operational property a 100 TB pipeline actually
+    //      relies on (executors die, jobs redeploy); the run-scoped
+    //      temp source/checkpoint dirs make the restart REAL, not a
+    //      processAllAvailable artifact.
+    QueryDef.checked(
+      "q_stream_restart",
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_restart_")
+      val srcDir = base.resolve("src").toString
+      val ckpt = base.resolve("ckpt").toString
+      val ev = graft.Tables(spark, dir).events
+        .select(col("event_id"), col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+      def land(parity: Int): Unit =
+        ev.filter(col("event_id") % 2 === parity).drop("event_id")
+          .coalesce(1).write.mode("append").parquet(srcDir)
+      val srcSchema = StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("cents", LongType)))
+      def runOnce(): Unit =
+        withStreamConfs(spark, noDataBatches = false, extra = Nil) {
+          val q = spark.readStream.schema(srcSchema).parquet(srcDir)
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n_events"),
+              sum(col("cents")).cast("long").as("total_cents"))
+            .writeStream
+            .format("memory")
+            .queryName("graft_stream_restart")
+            .option("checkpointLocation", ckpt)
+            .outputMode("complete")
+            .start()
+          try { q.processAllAvailable() } finally { q.stop() }
+        }
+      land(0); runOnce() // phase 1: half the data, then a clean stop
+      land(1); runOnce() // phase 2: restart from the checkpoint
+      val out = spark.table("graft_stream_restart")
+        .orderBy("event_type").localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      out
     }
   )
 }
