@@ -120,6 +120,49 @@ object Inference {
           (col("n_oov").cast("double") / col("n_tokens")).cast("double")
             .as("oov_rate"))
         .orderBy("source")
+    },
+
+    // ---- hashing-trick featurizer audit: tokens map to 64 buckets by
+    //      md5, and the report shows per-language bucket occupancy and
+    //      the worst collision pile-up — the check run before shipping
+    //      a hashed bag-of-words featurizer (collisions silently merge
+    //      features). Vocabulary-sized after the first distinct; one
+    //      shuffle on (lang, token), one on (lang, bucket).
+    QueryDef.checked(
+      "q_feature_hashing",
+      """WITH vocab AS (
+        |  SELECT DISTINCT lang, tok FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |), bucketed AS (
+        |  SELECT lang, tok,
+        |    CAST(concat('0x', substring(md5(tok), 1, 8)) AS BIGINT) % 64
+        |      AS bucket
+        |  FROM vocab
+        |), hist AS (
+        |  SELECT lang, bucket, count(*) AS n_toks
+        |  FROM bucketed GROUP BY lang, bucket
+        |)
+        |SELECT lang,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_distinct_tokens,
+        |  count(*) AS n_buckets_used,
+        |  CAST(max(n_toks) AS BIGINT) AS max_bucket_load,
+        |  round(count(*) / 64.0, 6) AS fill_ratio
+        |FROM hist GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (spark, dir) =>
+      val vocab = Tables(spark, dir).documents
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+      val hist = vocab
+        .select(col("lang"),
+          (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % 64)
+            .as("bucket"))
+        .groupBy("lang", "bucket").agg(count(lit(1)).as("n_toks"))
+      hist.groupBy("lang")
+        .agg(sum(col("n_toks")).cast("long").as("n_distinct_tokens"),
+          count(lit(1)).as("n_buckets_used"),
+          max(col("n_toks")).cast("long").as("max_bucket_load"),
+          round(count(lit(1)) / lit(64.0), 6).as("fill_ratio"))
+        .orderBy("lang")
     }
   )
 }

@@ -563,6 +563,60 @@ object Stats {
             .over(Window.partitionBy())
             / (lit(1000000000.0) * col("n")), 6).as("mi_total"))
         .orderBy("seg", "pri")
+    },
+
+    // ---- sequential probability ratio test monitor (Wald SPRT): the
+    //      always-on experiment monitor that decides H1 (p=0.5) vs H0
+    //      (p=0.3) the moment the cumulative log-likelihood ratio
+    //      crosses ±ln(19) (α=β=0.05), instead of waiting for a fixed
+    //      horizon. The per-event increments are two integer constants
+    //      (1e9-scaled ln ratios, rounded ONCE at plan build), so the
+    //      running LLR is an exact integer cumsum — the window is the
+    //      only shuffle, keyed by experiment at scale (here one global
+    //      sequence sampled every 1000 events).
+    QueryDef.checked(
+      "q_sprt_monitor",
+      """WITH seq AS (
+        |  SELECT event_id,
+        |    sum(CASE WHEN value >= 50
+        |      THEN CAST(round(ln(0.5 / 0.3) * 1000000000) AS BIGINT)
+        |      ELSE CAST(round(ln(0.5 / 0.7) * 1000000000) AS BIGINT) END)
+        |      OVER (ORDER BY event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr_fp,
+        |    sum(CASE WHEN value >= 50 THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_succ
+        |  FROM events
+        |)
+        |SELECT event_id, CAST(n_succ AS BIGINT) AS n_succ,
+        |  round(llr_fp / 1000000000.0, 6) AS llr,
+        |  CASE WHEN llr_fp >= CAST(round(ln(19.0) * 1000000000) AS BIGINT)
+        |         THEN 'accept_h1'
+        |       WHEN llr_fp <= -CAST(round(ln(19.0) * 1000000000) AS BIGINT)
+        |         THEN 'accept_h0'
+        |       ELSE 'continue' END AS decision
+        |FROM seq
+        |WHERE event_id % 1000 = 999
+        |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val incPos = math.round(math.log(0.5 / 0.3) * 1e9)
+      val incNeg = math.round(math.log(0.5 / 0.7) * 1e9)
+      val bound = math.round(math.log(19.0) * 1e9)
+      val w = Window.orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables(spark, dir).events
+        .select(col("event_id"), (col("value") >= 50).as("succ"))
+        .select(col("event_id"),
+          sum(when(col("succ"), incPos).otherwise(incNeg)).over(w)
+            .as("llr_fp"),
+          sum(when(col("succ"), 1L).otherwise(0L)).over(w).as("n_succ"))
+        .filter(col("event_id") % 1000 === 999)
+        .select(col("event_id"), col("n_succ").cast("long").as("n_succ"),
+          round(col("llr_fp") / lit(1000000000.0), 6).as("llr"),
+          when(col("llr_fp") >= bound, "accept_h1")
+            .when(col("llr_fp") <= -bound, "accept_h0")
+            .otherwise("continue").as("decision"))
+        .orderBy("event_id")
     }
   )
 }

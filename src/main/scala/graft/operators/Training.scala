@@ -640,6 +640,67 @@ object Training {
           round(coalesce(col("n_masked"), lit(0L)) * lit(1.0) / col("n_tokens"), 6)
             .as("mask_rate"))
         .orderBy("doc_id")
+    },
+
+    // ---- held-out perplexity: fit the unigram LM on the 80% hash
+    //      split, score ONLY the 20% held-out docs with add-1 smoothing
+    //      over the train vocabulary — the honest eval twin of
+    //      q_unigram_logprob (which scores in-sample). Per-lang average
+    //      nll plus the held-out OOV rate: rising OOV is the signal the
+    //      split leaked or the corpus drifted. Train counts are
+    //      vocab-sized and broadcast; both scans are one pass each.
+    QueryDef.checked(
+      "q_heldout_ppl",
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok,
+        |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+        |      AS INT) % 10 < 8 AS is_train
+        |  FROM documents
+        |), train_freq AS (
+        |  SELECT tok, count(*) AS c FROM toks WHERE is_train GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM train_freq
+        |), scored AS (
+        |  SELECT k.lang,
+        |    CAST(round(-ln((coalesce(f.c, 0) + 1.0e0) / (tot.t + tot.v))
+        |      * 1000000000) AS BIGINT) AS nll_fp,
+        |    CASE WHEN f.tok IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM toks k
+        |  LEFT JOIN train_freq f ON f.tok = k.tok
+        |  CROSS JOIN tot
+        |  WHERE NOT k.is_train
+        |)
+        |SELECT lang, count(*) AS n_tokens,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  round(sum(nll_fp) / 1000000000.0 / count(*), 6) AS avg_nll
+        |FROM scored GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (spark, dir) =>
+      val toks = Tables.spread(Tables(spark, dir).documents)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        .withColumn("is_train",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+            .cast("int") % 10 < 8)
+        .localCheckpoint() // feeds the train profile AND the test scan
+      val trainFreq = toks.filter(col("is_train"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val tot = trainFreq.agg(sum(col("c")).cast("long").as("t"),
+        count(lit(1)).cast("long").as("v"))
+      toks.filter(!col("is_train"))
+        .join(broadcast(trainFreq), Seq("tok"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("lang"),
+          expr("""CAST(round(-ln((coalesce(c, 0) + 1.0e0) / (t + v))
+                |  * 1000000000) AS BIGINT)""".stripMargin).as("nll_fp"),
+          when(col("c").isNull, 1).otherwise(0).as("oov"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("oov")).cast("long").as("n_oov"),
+          round(sum(col("nll_fp")) / lit(1000000000.0) / count(lit(1)), 6)
+            .as("avg_nll"))
+        .orderBy("lang")
     }
   )
 }
