@@ -172,7 +172,9 @@ object Governance {
         |  concat('cust_', substring(md5(concat('salt42:',
         |    CAST(c_custkey AS VARCHAR))), 1, 12)) AS pseudonym,
         |  n_name AS nation,
-        |  CAST(round(c_acctbal * 100) AS BIGINT) // 10000 * 100 AS bal_bucket,
+        |  CAST((abs(CAST(round(c_acctbal * 100) AS BIGINT)) // 10000)
+        |    * sign(CAST(round(c_acctbal * 100) AS BIGINT)) * 100
+        |    AS BIGINT) AS bal_bucket,
         |  count(o_orderkey) AS n_orders
         |FROM customer
         |JOIN nation ON n_nationkey = c_nationkey

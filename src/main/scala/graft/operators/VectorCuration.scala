@@ -426,6 +426,11 @@ object VectorCuration {
     //      assignment is fixed-point: components scale to 1e-6 longs,
     //      the per-(cell,dim) mean is an integer `div`, the movement is
     //      an L1 sum of longs — order-independent on any partitioning.
+    //      (Integer division: Spark's `div` truncates toward zero; the
+    //      oracle's `//` runs on a HUGEINT sum whose floor-vs-trunc
+    //      behavior has differed across DuckDB versions, so the oracle
+    //      spells the division sign-factored — abs-divide-then-resign —
+    //      which is truncation under either semantics.)
     //      Scale: one broadcast-assign scan + one (cell,dim)-keyed
     //      aggregate (k×64 rows out); iterating = re-running the same
     //      two stages with the 10-row centroid table swapped.
@@ -450,7 +455,13 @@ object VectorCuration {
          |  FROM assigned a JOIN embeddings e USING (vec_id), range(64) t(i)
          |  GROUP BY a.cell, i
          |), newc AS (
-         |  SELECT cell, pos, s // n AS nc, n FROM comp
+         |  -- sign-factored so the result is TRUNCATING division on every
+         |  -- DuckDB vintage: s is a sum -> HUGEINT, and HUGEINT `//`
+         |  -- semantics (floor vs trunc) have differed across versions;
+         |  -- abs() makes the numerator non-negative where floor == trunc,
+         |  -- matching Spark's `div` exactly
+         |  SELECT cell, pos, CAST((abs(s) // n) * sign(s) AS BIGINT) AS nc,
+         |    n FROM comp
          |), oldc AS (
          |  SELECT cell, i AS pos,
          |    CAST(round(centroid[i + 1] * 1000000) AS BIGINT) AS oc
