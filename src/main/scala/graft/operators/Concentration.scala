@@ -63,8 +63,13 @@ object Concentration {
       val rev = Tables(spark, dir).orders
         .groupBy("o_custkey")
         .agg(sumMoney(col("o_totalprice")).as("revenue"))
-      val ranked = rev.withColumn("decile",
-        ntile(10).over(Window.orderBy(col("revenue").desc, col("o_custkey"))))
+      // scale-safe ntile: range-partitioned rank + driver arithmetic
+      // (RangeRank) instead of a single-partition window — the per-
+      // custkey aggregate is |customers|-sized, which at 100× still
+      // outgrows one task
+      val ranked = graft.util.RangeRank.withGlobalNtile(rev, "decile", 10,
+        spark.sessionState.conf.numShufflePartitions,
+        col("revenue").desc, col("o_custkey"))
       val agg = ranked.groupBy("decile")
         .agg(count(lit(1)).as("n_customers"),
           // revenue is an exact-decimal-derived double with 2 decimals;

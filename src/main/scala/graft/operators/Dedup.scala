@@ -378,14 +378,15 @@ object Dedup {
          |JOIN sizes sb ON sb.doc_id = c.doc_b
          |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
          |ORDER BY c.doc_a, c.doc_b""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables(spark, dir).documents
-      // global rank over the similarity key; at scale this is a range
-      // partitioning (sortWithinPartitions + boundary exchange), local
-      // mode plans it as a single-partition window over 16-byte rows
-      val ranked = simhash16(docs)
-        .withColumn("rn", row_number().over(
-          Window.orderBy("simhash16", "doc_id")))
+      // global rank over the similarity key via range partitioning +
+      // per-partition rank + broadcast offsets (RangeRank) — no
+      // single-partition exchange anywhere in the plan; (simhash16,
+      // doc_id) is unique per row so the rank is well-defined
+      val ranked = graft.util.RangeRank.withGlobalRank(
+          simhash16(docs), "rn",
+          spark.sessionState.conf.numShufflePartitions,
+          col("simhash16"), col("doc_id"))
         .localCheckpoint() // both sides of the rank-equi join
       val cand = ranked
         .select(col("doc_id").as("doc_a"), col("rn"),

@@ -239,16 +239,18 @@ object Layout {
     },
 
     // ---- range-partition design: equi-depth bucket assignment over
-    //      order value (integer cents; ntile over the total order with
-    //      a unique tie-break) and the per-bucket stats a range-
-    //      partitioned write needs — counts within ±1 of each other and
-    //      non-overlapping [lo, hi] ranges. This is what Spark's
-    //      RangePartitioner computes before any sorted/range-bucketed
-    //      write; the checked query derives boundaries from the full
-    //      rank (exact — hence a global-order window, fine at report
-    //      scale), where a 100 TB run derives them from a reservoir
-    //      sample exactly like RangePartitioner.sketch, then assigns
-    //      buckets map-side by broadcast boundary comparison.
+    //      order value (integer cents; ntile semantics over the total
+    //      order with a unique tie-break) and the per-bucket stats a
+    //      range-partitioned write needs — counts within ±1 of each
+    //      other and non-overlapping [lo, hi] ranges. This is what
+    //      Spark's RangePartitioner computes before any sorted/range-
+    //      bucketed write. The Spark side derives the EXACT design
+    //      scale-safely: [[graft.util.RangeRank]] global rank (range
+    //      partitions + per-partition sort + broadcast offsets — no
+    //      single-partition exchange) and the ntile bucket as driver
+    //      arithmetic on (rank, total). A 100 TB run that tolerates
+    //      approximate boundaries can instead sample like
+    //      RangePartitioner.sketch; this query is the exact auditor.
     QueryDef.checked(
       "q_range_partition_design",
       """WITH r AS (
@@ -263,12 +265,12 @@ object Layout {
         |  min(cents) AS lo_cents, max(cents) AS hi_cents
         |FROM b GROUP BY bucket
         |ORDER BY bucket""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      Tables(spark, dir).orders
+      val cents = Tables(spark, dir).orders
         .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
           col("o_orderkey"))
-        .withColumn("bucket",
-          ntile(16).over(Window.orderBy("cents", "o_orderkey")))
+      graft.util.RangeRank.withGlobalNtile(cents, "bucket", 16,
+          spark.sessionState.conf.numShufflePartitions,
+          col("cents"), col("o_orderkey"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"),
           min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"))

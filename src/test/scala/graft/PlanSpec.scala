@@ -176,4 +176,45 @@ class PlanSpec extends SparkSpec {
         s"$name: corpus-sized cartesian product")
     }
   }
+
+  test("equi-depth designs rank shard-locally — no single-partition rank") {
+    // both ntile queries ride RangeRank; the rank window must partition
+    // by the range-partition id, never funnel the input to one task
+    Seq("q_range_partition_design", "q_revenue_deciles").foreach { name =>
+      assert(physical(name).contains("hashpartitioning(__rr_pid"),
+        s"$name: rank window must partition by the range-partition id")
+    }
+    // the design query's whole plan is single-partition-free; the decile
+    // query keeps ONE SinglePartition stage — the share/cum_share window
+    // over the 10-row decile aggregate, bounded by construction
+    assert(!physical("q_range_partition_design").contains("SinglePartition"),
+      "q_range_partition_design funnels the corpus to one partition")
+    val decilePlan = physical("q_revenue_deciles")
+    val below = decilePlan.linesIterator
+      .dropWhile(!_.contains("Exchange SinglePartition")).toSeq
+    assert(below.exists(l => l.contains("HashAggregate") && l.contains("decile")),
+      "the only single-partition stage must sit above the decile aggregate")
+  }
+
+  test("RangeRank: global rank without a single-partition exchange") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"), length(col("text")).as("len"))
+    val ranked = graft.util.RangeRank.withGlobalRank(
+      docs, "rn", 8, col("len"), col("doc_id"))
+    // the window sorts per range partition (partitioned by the pid),
+    // never funnels the corpus through one task — q_sorted_neighborhood
+    // relies on this shape
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      "no stage may funnel the corpus to one partition")
+    assert(plan.contains("hashpartitioning(__rr_pid"),
+      s"window must partition by the range-partition id: ${plan.take(500)}")
+    // rank values equal the naive global window's
+    val naive = docs.withColumn("rn",
+      row_number().over(Window.orderBy("len", "doc_id")))
+    assert(ranked.orderBy("rn").collect().toSeq ==
+      naive.orderBy("rn").collect().toSeq)
+  }
 }
