@@ -186,4 +186,37 @@ class CloneSpec extends SparkSpec {
     assert(cloned.count() == 5000)
     assert(cloned.columns.toSeq == Seq("id", "grp", "val"))
   }
+
+  test("CloneMain: config file → run → exit code (clone_databases.sh:1094-1118)") {
+    val target = Files.createTempDirectory("graft_clone_main_").toString
+    val conf = Files.createTempFile("graft_clone_main_", ".conf")
+    Files.writeString(conf,
+      s"""# test clone config
+         |SOURCE_DIR=$sf
+         |TARGET_DIR=$target
+         |TABLES_TO_CLONE=region.parquet, nation.parquet
+         |DB_PREFIX=preprod_
+         |""".stripMargin)
+    // happy path: all tables clone → 0, content lands under the prefix
+    assert(CloneMain.runCli(spark, Array(conf.toString), quiet = true) == 0)
+    assert(spark.read.parquet(s"$target/preprod_region.parquet").count() ==
+      spark.read.parquet(s"$sf/region.parquet").count())
+    // idempotent re-run: skip-if-exists counts as success → 0
+    assert(CloneMain.runCli(spark, Array(conf.toString), quiet = true) == 0)
+    // partial failure → 1 (reference: "Some databases failed to clone")
+    val confBad = Files.createTempFile("graft_clone_main_", ".conf")
+    Files.writeString(confBad,
+      s"""SOURCE_DIR=$sf
+         |TARGET_DIR=$target
+         |TABLES_TO_CLONE=region.parquet, nope.parquet
+         |OVERWRITE=true
+         |""".stripMargin)
+    assert(CloneMain.runCli(spark, Array(confBad.toString), quiet = true) == 1)
+    // config guards: missing file and missing required keys → 1
+    assert(CloneMain.runCli(spark, Array("/nonexistent.conf"), quiet = true) == 1)
+    val confMissing = Files.createTempFile("graft_clone_main_", ".conf")
+    Files.writeString(confMissing, s"SOURCE_DIR=$sf\n")
+    assert(CloneMain.runCli(spark, Array(confMissing.toString), quiet = true) == 1)
+    assert(CloneMain.runCli(spark, Array.empty[String], quiet = true) == 1)
+  }
 }
