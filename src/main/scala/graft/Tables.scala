@@ -31,21 +31,20 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
 
-  /** `events.ts` arrives differently depending on the generator
-    * vintage: current fixtures write parquet TIMESTAMP(MICROS,
-    * isAdjustedToUTC=false) → Spark 4 reads TIMESTAMP_NTZ; older ones
-    * wrote TIMESTAMP(NANOS) → readable only as raw Long. Normalize
-    * both to the engine-wide µs TimestampType (the session timezone is
-    * pinned to UTC everywhere — build.sbt, Verify, Bench — so the
-    * NTZ→LTZ cast is value-preserving wall-clock-wise and matches what
-    * the DuckDB oracle sees in its naive TIMESTAMP reads). */
+  /** `events.ts` is parquet TIMESTAMP(MICROS, isAdjustedToUTC=false),
+    * which Spark 4 reads as TIMESTAMP_NTZ; normalize to the engine-wide
+    * µs TimestampType. The session timezone is pinned to UTC everywhere
+    * — build.sbt, Verify, Bench — so the NTZ→LTZ cast is value-
+    * preserving wall-clock-wise and matches what the DuckDB oracle sees
+    * in its naive TIMESTAMP reads. (A TIMESTAMP(NANOS) fixture would
+    * need `spark.sql.legacy.parquet.nanosAsLong` set BEFORE schema
+    * inference — Spark 4 otherwise rejects the file outright — so no
+    * read-side branch can handle that vintage; none exists today.) */
   def events: DataFrame = {
     val raw = t("events")
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     raw.schema("ts").dataType match {
-      case LongType => // legacy nanos-as-long fixture
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _: TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw

@@ -198,9 +198,13 @@ object Multimodal {
     QueryDef.checked(
       "q_media_ahash_neardup",
       """WITH px AS (
+        |  -- blobs shorter than the 32-byte window are excluded on BOTH
+        |  -- sides: the engines disagree on missing bytes (Spark's
+        |  -- lambda null-propagates, DuckDB's ascii('') yields 0s), and
+        |  -- an aHash over a padded stub is meaningless anyway
         |  SELECT doc_id, list_transform(range(32),
         |    i -> ascii(substring(text, CAST(i AS INT) + 1, 1))) AS p
-        |  FROM documents
+        |  FROM documents WHERE length(text) >= 32
         |), ah AS (
         |  SELECT doc_id,
         |    CAST(list_sum(list_transform(range(32), i ->
@@ -223,6 +227,9 @@ object Multimodal {
       // pixels from the real binary column: hex view → one byte per
       // 2-hex-char slice (exact for any byte value, ASCII or not)
       val ah = attachMedia(Tables(spark, dir).documents).toDF()
+        // same >= 32-byte guard as the oracle's px CTE (media = utf8
+        // of ASCII text, so byte length == char length)
+        .filter(length(col("media")) >= 32)
         .select(col("doc_id"),
           expr("""transform(sequence(0, 31),
                  |  i -> cast(conv(substring(hex(media), i * 2 + 1, 2), 16, 10)

@@ -518,7 +518,7 @@ object SqlSurface {
         |)
         |SELECT node AS s_suppkey,
         |  CAST(max(depth) AS INT) AS depth,
-        |  CAST(max(path_cents) AS BIGINT) AS root_path_cents
+        |  CAST(max_by(path_cents, depth) AS BIGINT) AS root_path_cents
         |FROM walk
         |GROUP BY node
         |ORDER BY s_suppkey""".stripMargin) { (spark, dir) =>
@@ -540,7 +540,7 @@ object SqlSurface {
           |)
           |SELECT node AS s_suppkey,
           |  CAST(max(depth) AS INT) AS depth,
-          |  CAST(max(path_cents) AS BIGINT) AS root_path_cents
+          |  CAST(max_by(path_cents, depth) AS BIGINT) AS root_path_cents
           |FROM walk
           |GROUP BY node
           |ORDER BY s_suppkey""".stripMargin)

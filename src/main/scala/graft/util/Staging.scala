@@ -17,11 +17,14 @@ package graft.util
 object Staging {
 
   /** Collision-resistant tag: first 16 hex chars of md5 over the
-    * absolute path PLUS the (name, size, mtime) of each file under it
-    * (the path itself if it is a file; sorted, recursion depth 1 — the
-    * fixture dirs are flat). 32-bit String.hashCode would collide at
-    * birthday scale (~77k keys → 50%), and two keys colliding would
-    * silently share a staging dir and clobber each other's state. */
+    * absolute path PLUS the (relative path, size, mtime) of every file
+    * under it, recursively — a file rewritten in place inside a nested
+    * subdirectory must change the tag too (a directory's own mtime does
+    * not change when a child file is rewritten, so depth-1 stamping
+    * would silently reuse the stale staged copy). 32-bit
+    * String.hashCode would collide at birthday scale (~77k keys → 50%),
+    * and two keys colliding would silently share a staging dir and
+    * clobber each other's state. */
   def pathTag(key: String): String = {
     // keys may carry a "|spec" suffix that is not a filesystem path
     val (pathPart, spec) = key.indexOf('|') match {
@@ -31,12 +34,24 @@ object Staging {
     val abs = java.nio.file.Paths.get(pathPart).toAbsolutePath
     val sb = new StringBuilder(abs.toString).append(spec)
     val f = abs.toFile
-    def stamp(x: java.io.File): Unit =
-      sb.append('|').append(x.getName).append(':')
+    def stamp(x: java.io.File, rel: String): Unit = {
+      sb.append('|').append(rel).append(':')
         .append(x.length).append(':').append(x.lastModified)
-    if (f.isFile) stamp(f)
-    else if (f.isDirectory)
-      f.listFiles().sortBy(_.getName).foreach(stamp)
+      if (x.isDirectory) {
+        // listFiles() returns null on an I/O error or a vanished dir —
+        // treat as empty; the size/mtime stamp above still contributes
+        val children = x.listFiles()
+        if (children != null)
+          children.sortBy(_.getName)
+            .foreach(c => stamp(c, s"$rel/${c.getName}"))
+      }
+    }
+    if (f.isFile) stamp(f, f.getName)
+    else if (f.isDirectory) {
+      val children = f.listFiles()
+      if (children != null)
+        children.sortBy(_.getName).foreach(c => stamp(c, c.getName))
+    }
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest(sb.toString.getBytes("UTF-8"))
     md5.take(8).map(b => f"$b%02x").mkString
