@@ -399,6 +399,34 @@ object Modern {
       }
       audited.toDF("orderkey", "status", "n_items", "total_qty", "fulfillment")
         .orderBy("orderkey")
+    },
+
+    // ---- SQL pipe syntax (Spark 4 surface): the same rollup written as
+    //      a |> chain — FROM … |> WHERE … |> EXTEND … |> AGGREGATE …
+    //      GROUP BY … |> ORDER BY. Pipe operators desugar to the exact
+    //      relational plan the keyword form produces (the oracle IS the
+    //      keyword form), so Catalyst optimizes both identically — this
+    //      checks the modern parser surface, not a new execution path.
+    QueryDef.checked(
+      "q_pipe_sql",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders
+        |WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).orders
+        .createOrReplaceTempView("graft_pipe_orders")
+      // no stripMargin here: |> at line starts must survive verbatim
+      spark.sql(
+        "FROM graft_pipe_orders\n" +
+          "|> WHERE o_orderstatus = 'O'\n" +
+          "|> EXTEND CAST(round(o_totalprice * 100) AS BIGINT) AS cents\n" +
+          "|> AGGREGATE count(*) AS n, sum(cents) AS sum_cents\n" +
+          "   GROUP BY o_orderpriority\n" +
+          "|> SELECT o_orderpriority, n, sum_cents\n" +
+          "|> ORDER BY o_orderpriority")
     }
   )
 }

@@ -475,6 +475,89 @@ object TextAnalysis {
           round(sum(col("n_long")) * lit(1.0) / sum(col("n_words")), 6)
             .as("long_word_rate"))
         .orderBy("lang")
+    },
+
+    // ---- Gopher-style rule audit: the classic pretraining quality
+    //      rules evaluated per document, reported per rule — the
+    //      corpus-health dashboard a filter pipeline is tuned against
+    //      (each rule's pass rate BEFORE committing to the conjunction;
+    //      q_quality_score applies a fused filter, this measures the
+    //      rules one by one). One scan computes all per-doc features,
+    //      the per-rule unpivot is a 5-way stack of that one relation —
+    //      no rescan per rule (the q_dq_expectations discipline), and
+    //      the output is |rules|-sized. Pass rates are exact integer
+    //      permille (positive operands — `div` ≡ `//` on every engine
+    //      vintage).
+    QueryDef.checked(
+      "q_gopher_rules",
+      """WITH f AS (
+        |  SELECT
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    list_sum(list_transform(string_split(text, ' '),
+        |      w -> CAST(length(w) AS BIGINT))) AS n_chars,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('a', 'the'))) AS BIGINT) AS n_stop,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      w -> length(w) > 12)) AS BIGINT) AS n_overlong,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS n_distinct
+        |  FROM documents
+        |), v AS (
+        |  SELECT
+        |    CASE WHEN n_words BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS r_word_count,
+        |    CASE WHEN n_chars * 10 >= n_words * 30
+        |          AND n_chars * 10 <= n_words * 60 THEN 1 ELSE 0 END AS r_mean_word_len,
+        |    CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stopwords,
+        |    CASE WHEN n_overlong = 0 THEN 1 ELSE 0 END AS r_no_overlong,
+        |    CASE WHEN n_distinct * 10 >= n_words * 3 THEN 1 ELSE 0 END AS r_distinct_ratio
+        |  FROM f
+        |), u AS (
+        |  SELECT 'word_count_20_80' AS rule, r_word_count AS pass FROM v
+        |  UNION ALL SELECT 'mean_word_len_3_6', r_mean_word_len FROM v
+        |  UNION ALL SELECT 'stopwords_ge_2', r_stopwords FROM v
+        |  UNION ALL SELECT 'no_overlong_words', r_no_overlong FROM v
+        |  UNION ALL SELECT 'distinct_ratio_ge_030', r_distinct_ratio FROM v
+        |)
+        |SELECT rule,
+        |  CAST(sum(pass) AS BIGINT) AS n_pass,
+        |  CAST(count(*) - sum(pass) AS BIGINT) AS n_fail,
+        |  CAST(1000 * sum(pass) // count(*) AS BIGINT) AS pass_permille
+        |FROM u GROUP BY rule
+        |ORDER BY rule""".stripMargin) { (spark, dir) =>
+      val feats = Tables(spark, dir).documents
+        .select(split(col("text"), " ").as("toks"))
+        .select(
+          size(col("toks")).cast("long").as("n_words"),
+          expr("aggregate(toks, 0L, (acc, w) -> acc + length(w))").as("n_chars"),
+          size(expr("filter(toks, w -> w IN ('a', 'the'))")).cast("long")
+            .as("n_stop"),
+          size(expr("filter(toks, w -> length(w) > 12)")).cast("long")
+            .as("n_overlong"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+      val verdicts = feats.select(
+        when(col("n_words").between(20, 80), 1).otherwise(0).as("r_word_count"),
+        when(col("n_chars") * 10 >= col("n_words") * 30 &&
+          col("n_chars") * 10 <= col("n_words") * 60, 1).otherwise(0)
+          .as("r_mean_word_len"),
+        when(col("n_stop") >= 2, 1).otherwise(0).as("r_stopwords"),
+        when(col("n_overlong") === 0, 1).otherwise(0).as("r_no_overlong"),
+        when(col("n_distinct") * 10 >= col("n_words") * 3, 1).otherwise(0)
+          .as("r_distinct_ratio"))
+      verdicts
+        .select(expr(
+          """stack(5,
+            |  'word_count_20_80', r_word_count,
+            |  'mean_word_len_3_6', r_mean_word_len,
+            |  'stopwords_ge_2', r_stopwords,
+            |  'no_overlong_words', r_no_overlong,
+            |  'distinct_ratio_ge_030', r_distinct_ratio) AS (rule, pass)"""
+            .stripMargin))
+        .groupBy("rule")
+        .agg(sum(col("pass")).cast("long").as("n_pass"),
+          (count(lit(1)) - sum(col("pass"))).cast("long").as("n_fail"),
+          expr("CAST(1000 * sum(pass) div count(*) AS BIGINT)")
+            .as("pass_permille"))
+        .orderBy("rule")
     }
   )
 }

@@ -20,6 +20,59 @@ import graft.functions.VectorFunctions
   */
 object VectorCuration {
 
+  import org.apache.spark.sql.DataFrame
+
+  /** SQL twin of [[pqCodewords]]+[[pqAssigned]] — CTE chain `cw` →
+    * `dists` → `assigned(vec_id, label, block, code, dist)` on top of
+    * [[IvfIndex.duckSvCcCtes]]. ONE definition shared by q_pq_encode
+    * and q_pq_adc so codebook and code assignment cannot drift between
+    * the encoder and the searcher. */
+  private val duckPqCtes =
+    """cw AS (
+      |  SELECT label AS code, pos // 8 AS block, list(c ORDER BY pos) AS codeword
+      |  FROM cc GROUP BY label, pos // 8
+      |), dists AS (
+      |  SELECT e.vec_id, e.label, w.block, w.code,
+      |    list_reduce(list_transform(e.embedding[w.block * 8 + 1 : w.block * 8 + 8],
+      |      (x, i) -> (CAST(x AS DOUBLE) - w.codeword[i]) * (CAST(x AS DOUBLE) - w.codeword[i])),
+      |      (p, q) -> p + q) AS dist
+      |  FROM embeddings e, cw w
+      |), assigned AS (
+      |  SELECT vec_id, label, block, code, dist FROM (
+      |    SELECT vec_id, label, block, code, dist,
+      |      row_number() OVER (PARTITION BY vec_id, block ORDER BY dist, code) AS rn
+      |    FROM dists) r
+      |  WHERE rn = 1
+      |)""".stripMargin
+
+  /** PQ codebook: per (code, block) fixed-point centroid of the 8-dim
+    * subvector — 80 rows, broadcast into the encode scan. */
+  private def pqCodewords(emb: DataFrame): DataFrame =
+    emb
+      .select(col("label").as("code"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("s", expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)"))
+      .groupBy("code", "pos")
+      .agg((sum(col("s")).cast("double") /
+        (lit(1000000.0) * count(lit(1)))).as("c"))
+      .groupBy(col("code"), expr("pos div 8").as("block"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("code"), col("block"),
+        expr("transform(pc, s -> s.c)").as("codeword"))
+
+  /** Per-(vec_id, block) nearest codeword: `(vec_id, label, block,
+    * code, dist)` — the encode scan both PQ queries share. */
+  private def pqAssigned(emb: DataFrame, cw: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cw))
+      .select(col("vec_id"), col("label"), col("block"), col("code"), expr(
+        """aggregate(zip_with(slice(embedding, CAST(block * 8 + 1 AS INT), 8),
+          |  codeword, (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),
+          |  0D, (p, q) -> p + q)""".stripMargin).as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id", "block").orderBy(col("dist"), col("code"))))
+      .filter(col("rn") === 1)
+      .drop("rn")
+
   /** Shared truncation-ranking chain ending in `rk(q_id, vec_id,
     * rn_full, rn_trunc)`: queries = vec_ids 0..9 against the rest of
     * the corpus, ranked by full-dim and by 16-dim-prefix cosine. One
@@ -184,22 +237,7 @@ object VectorCuration {
     //      fixed-point so the argmin+sum replay bit-identically.
     QueryDef.checked(
       "q_pq_encode",
-      s"""WITH ${IvfIndex.duckSvCcCtes}, cw AS (
-        |  SELECT label AS code, pos // 8 AS block, list(c ORDER BY pos) AS codeword
-        |  FROM cc GROUP BY label, pos // 8
-        |), dists AS (
-        |  SELECT e.vec_id, e.label, w.block, w.code,
-        |    list_reduce(list_transform(e.embedding[w.block * 8 + 1 : w.block * 8 + 8],
-        |      (x, i) -> (CAST(x AS DOUBLE) - w.codeword[i]) * (CAST(x AS DOUBLE) - w.codeword[i])),
-        |      (p, q) -> p + q) AS dist
-        |  FROM embeddings e, cw w
-        |), assigned AS (
-        |  SELECT vec_id, label, block, code, dist FROM (
-        |    SELECT vec_id, label, block, code, dist,
-        |      row_number() OVER (PARTITION BY vec_id, block ORDER BY dist, code) AS rn
-        |    FROM dists) r
-        |  WHERE rn = 1
-        |)
+      s"""WITH ${IvfIndex.duckSvCcCtes}, $duckPqCtes
         |SELECT vec_id, label,
         |  CAST(sum(code * CAST(pow(10, block) AS BIGINT)) AS BIGINT) AS pq_code,
         |  round(sum(CAST(round(dist * 1000000000) AS BIGINT)) / 1000000000.0, 6) AS sq_err
@@ -207,33 +245,157 @@ object VectorCuration {
         |GROUP BY vec_id, label
         |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
       val emb = Tables(spark, dir).embeddings
-      // codebook: per (code, block) fixed-point centroid of the 8-dim
-      // subvector — 80 rows, broadcast into the encode scan
-      val cw = emb
-        .select(col("label").as("code"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        .withColumn("s", expr("CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)"))
-        .groupBy("code", "pos")
-        .agg((sum(col("s")).cast("double") /
-          (lit(1000000.0) * count(lit(1)))).as("c"))
-        .groupBy(col("code"), expr("pos div 8").as("block"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
-        .select(col("code"), col("block"),
-          expr("transform(pc, s -> s.c)").as("codeword"))
-      emb.crossJoin(broadcast(cw))
-        .select(col("vec_id"), col("label"), col("block"), col("code"), expr(
-          """aggregate(zip_with(slice(embedding, CAST(block * 8 + 1 AS INT), 8),
-            |  codeword, (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),
-            |  0D, (p, q) -> p + q)""".stripMargin).as("dist"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id", "block").orderBy(col("dist"), col("code"))))
-        .filter(col("rn") === 1)
+      pqAssigned(emb, pqCodewords(emb))
         .groupBy("vec_id", "label")
         .agg(expr("CAST(sum(code * CAST(pow(10, block) AS BIGINT)) AS BIGINT)")
           .as("pq_code"),
           round(expr("sum(CAST(round(dist * 1000000000) AS BIGINT))")
             / lit(1000000000.0), 6).as("sq_err"))
         .orderBy("vec_id")
+    },
+
+    // ---- PQ asymmetric-distance (ADC) search: the query side of the
+    //      codebook q_pq_encode builds. The query vector precomputes an
+    //      80-entry (block, code) → squared-distance table ONCE; every
+    //      corpus vector's approximate distance is then 8 table lookups
+    //      + adds on its stored codes — no float math against the full
+    //      vector, which is the entire point of PQ at 100 TB (the scan
+    //      touches 8 bytes of code, not 256 bytes of floats). Here the
+    //      table is a broadcast join on (block, code) and distances sum
+    //      in 1e-9 fixed point; exact squared distance is recomputed
+    //      for the reported top-10 only (10-row join), showing the
+    //      approximation error alongside.
+    QueryDef.checked(
+      "q_pq_adc",
+      s"""WITH ${IvfIndex.duckSvCcCtes}, $duckPqCtes,
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |dt AS (
+         |  SELECT w.block, w.code,
+         |    list_reduce(list_transform(q.qe[w.block * 8 + 1 : w.block * 8 + 8],
+         |      (x, i) -> (CAST(x AS DOUBLE) - w.codeword[i]) * (CAST(x AS DOUBLE) - w.codeword[i])),
+         |      (p, q2) -> p + q2) AS qd
+         |  FROM cw w, q
+         |), adc AS (
+         |  SELECT a.vec_id,
+         |    CAST(sum(CAST(round(d.qd * 1000000000) AS BIGINT)) AS BIGINT) AS adc_fp
+         |  FROM assigned a JOIN dt d ON d.block = a.block AND d.code = a.code
+         |  WHERE a.vec_id <> 0
+         |  GROUP BY a.vec_id
+         |), top AS (
+         |  SELECT vec_id, adc_fp FROM adc ORDER BY adc_fp, vec_id LIMIT 10
+         |)
+         |SELECT t.vec_id, t.adc_fp,
+         |  round(list_reduce(list_transform(e.embedding,
+         |    (x, i) -> (CAST(x AS DOUBLE) - CAST(q.qe[i] AS DOUBLE))
+         |             * (CAST(x AS DOUBLE) - CAST(q.qe[i] AS DOUBLE))),
+         |    (p, q2) -> p + q2), 6) AS exact_sq
+         |FROM top t JOIN embeddings e ON e.vec_id = t.vec_id, q
+         |ORDER BY t.adc_fp, t.vec_id""".stripMargin) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+      val cw = pqCodewords(emb)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"))
+      // 80-row query-to-codeword distance table (the ADC lookup table)
+      val dt = cw.crossJoin(broadcast(query))
+        .select(col("block"), col("code"), expr(
+          """aggregate(zip_with(slice(qe, CAST(block * 8 + 1 AS INT), 8),
+            |  codeword, (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),
+            |  0D, (p, q) -> p + q)""".stripMargin).as("qd"))
+      val adc = pqAssigned(emb, cw)
+        .filter(col("vec_id") =!= 0)
+        .join(broadcast(dt), Seq("block", "code"))
+        .groupBy("vec_id")
+        .agg(expr("CAST(sum(CAST(round(qd * 1000000000) AS BIGINT)) AS BIGINT)")
+          .as("adc_fp"))
+      adc.orderBy(col("adc_fp"), col("vec_id")).limit(10)
+        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .crossJoin(broadcast(query))
+        .select(col("vec_id"), col("adc_fp"), round(expr(
+          """aggregate(zip_with(embedding, qe,
+            |  (x, c) -> (CAST(x AS DOUBLE) - CAST(c AS DOUBLE))
+            |           * (CAST(x AS DOUBLE) - CAST(c AS DOUBLE))),
+            |  0D, (p, q) -> p + q)""".stripMargin), 6).as("exact_sq"))
+        .orderBy(col("adc_fp"), col("vec_id"))
+    },
+
+    // ---- similarity-graph transitivity audit: triangles and wedges of
+    //      the near-dup graph (same label cell, cosine > 0.25, va < vb)
+    //      — the QA gate for transitive dedup policies: dropping "all
+    //      but one per connected component" is only safe when the
+    //      relation is actually transitive, and this measures how much.
+    //      Scale: edges are CELL-LOCAL by construction (the semdedup
+    //      bound — pair generation never crosses cells), the triangle
+    //      join is the standard oriented edge-edge-edge equi-join keyed
+    //      on (cell, shared endpoint) — va < vb orientation counts each
+    //      triangle exactly once and caps join fan-out by forward
+    //      degree, and wedge counts come from the degree aggregate, not
+    //      path enumeration. No global structure anywhere.
+    QueryDef.checked(
+      "q_graph_triangles",
+      s"""WITH e AS (
+         |  SELECT a.label, a.vec_id AS va, b.vec_id AS vb
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE round(${VectorFunctions.duckCosineSql("a.embedding", "b.embedding")}, 6) > 0.25
+         |), ends AS (
+         |  SELECT label, va AS node FROM e
+         |  UNION ALL
+         |  SELECT label, vb AS node FROM e
+         |), deg AS (
+         |  SELECT label, node, count(*) AS d FROM ends GROUP BY label, node
+         |), base AS (
+         |  SELECT label, count(*) AS n_nodes,
+         |    CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+         |  FROM deg GROUP BY label
+         |), ecnt AS (
+         |  SELECT label, count(*) AS n_edges FROM e GROUP BY label
+         |), tri AS (
+         |  SELECT e1.label, count(*) AS n_tri
+         |  FROM e e1
+         |  JOIN e e2 ON e2.label = e1.label AND e2.va = e1.vb
+         |  JOIN e e3 ON e3.label = e1.label AND e3.va = e1.va AND e3.vb = e2.vb
+         |  GROUP BY e1.label
+         |)
+         |SELECT b.label, b.n_nodes, c.n_edges, b.n_wedges,
+         |  coalesce(t.n_tri, 0) AS n_triangles,
+         |  round(CASE WHEN b.n_wedges = 0 THEN 0
+         |        ELSE 3.0 * coalesce(t.n_tri, 0) / b.n_wedges END, 6)
+         |    AS transitivity
+         |FROM base b JOIN ecnt c ON c.label = b.label
+         |LEFT JOIN tri t ON t.label = b.label
+         |ORDER BY b.label""".stripMargin) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val right = emb.select(col("label"), col("vec_id").as("vb"),
+        col("embedding").as("eb"))
+      val edges = emb.join(right, Seq("label"))
+        .filter(col("vec_id") < col("vb"))
+        .filter(round(VectorFunctions.cosineSim(col("embedding"), col("eb")), 6)
+          > 0.25)
+        .select(col("label"), col("vec_id").as("va"), col("vb"))
+        .localCheckpoint() // 5 consumers: degrees, edge count, 3 join sides
+      val deg = edges.select(col("label"), col("va").as("node"))
+        .unionAll(edges.select(col("label"), col("vb").as("node")))
+        .groupBy("label", "node").agg(count(lit(1)).as("d"))
+      val base = deg.groupBy("label")
+        .agg(count(lit(1)).as("n_nodes"),
+          expr("CAST(sum(d * (d - 1) div 2) AS BIGINT)").as("n_wedges"))
+      val ecnt = edges.groupBy("label").agg(count(lit(1)).as("n_edges"))
+      val tri = edges.as("e1")
+        .join(edges.as("e2"),
+          col("e2.label") === col("e1.label") && col("e2.va") === col("e1.vb"))
+        .join(edges.as("e3"),
+          col("e3.label") === col("e1.label") &&
+            col("e3.va") === col("e1.va") && col("e3.vb") === col("e2.vb"))
+        .groupBy(col("e1.label").as("label"))
+        .agg(count(lit(1)).as("n_tri"))
+      base.join(ecnt, Seq("label")).join(tri, Seq("label"), "left")
+        .select(col("label"), col("n_nodes"), col("n_edges"), col("n_wedges"),
+          coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+          round(when(col("n_wedges") === 0, lit(0.0))
+            .otherwise(lit(3.0) * coalesce(col("n_tri"), lit(0L))
+              / col("n_wedges")), 6).as("transitivity"))
+        .orderBy("label")
     },
 
     // ---- matryoshka truncation gate: recall@10 of ranking with only
