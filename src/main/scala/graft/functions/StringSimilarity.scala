@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Jaro-Winkler similarity kernel, callable from both the interpreted
+  * eval path and generated Java (top-level Scala objects emit static
+  * forwarders, so codegen references
+  * `graft.functions.JaroWinklerAlgo.similarity(...)` directly).
+  *
+  * Definition parity (the DuckDB oracle's `jaro_winkler_similarity`,
+  * the standard Winkler variant; validated pairwise against it over the
+  * whole part-name fixture in StringSimilaritySpec):
+  *   - match window = max(|a|,|b|)/2 − 1 (floor, min 0);
+  *   - transpositions = aligned-mismatch count / 2, FLOORED to an
+  *     integer (the rapidfuzz convention DuckDB inherits — the classic
+  *     real-valued mism/2 was algebraically reverse-engineered out of
+  *     the observed divergence and disconfirmed over 80k pairs);
+  *   - prefix boost `+ l·0.1·(1−jaro)` for the common prefix l ≤ 4,
+  *     applied only when jaro exceeds the 0.7 boost threshold.
+  */
+object JaroWinklerAlgo {
+
+  def similarity(a: UTF8String, b: UTF8String): Double =
+    jaroWinkler(a.toString, b.toString)
+
+  def jaroWinkler(s: String, t: String): Double = {
+    val j = jaro(s, t)
+    if (j > 0.7) {
+      val max = math.min(4, math.min(s.length, t.length))
+      var l = 0
+      while (l < max && s.charAt(l) == t.charAt(l)) l += 1
+      j + l * 0.1 * (1.0 - j)
+    } else j
+  }
+
+  def jaro(s: String, t: String): Double = {
+    val la = s.length
+    val lb = t.length
+    if (la == 0 && lb == 0) return 1.0
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(0, math.max(la, lb) / 2 - 1)
+    val sM = new Array[Boolean](la)
+    val tM = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val hi = math.min(lb - 1, i + window)
+      var k = math.max(0, i - window)
+      var found = false
+      while (k <= hi && !found) {
+        if (!tM(k) && t.charAt(k) == s.charAt(i)) {
+          sM(i) = true; tM(k) = true; m += 1; found = true
+        }
+        k += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var mismatches = 0
+    var j = 0
+    i = 0
+    while (i < la) {
+      if (sM(i)) {
+        while (!tM(j)) j += 1
+        if (s.charAt(i) != t.charAt(j)) mismatches += 1
+        j += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    val transpositions = mismatches / 2 // floored — see object doc
+    (md / la + md / lb + (md - transpositions) / md) / 3.0
+  }
+}
+
+/** `jaro_winkler(string, string) -> double` as a native Catalyst
+  * expression: the entity-resolution kernel (fuzzy name matching)
+  * Spark lacks as a builtin — `levenshtein` exists, the
+  * prefix-weighted ratio classically used for name dedup does not.
+  * Same design rationale as [[CosineSimilarity]]: the kernel runs in
+  * the inner loop of a blocked self-join, so it must stay inside the
+  * WholeStageCodegen span instead of boxing through a Scala UDF; the
+  * generated code is a static call into [[JaroWinklerAlgo]], the
+  * pattern Spark's own string expressions use for nontrivial kernels.
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two string arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "jaro_winkler"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(JaroWinklerAlgo.similarity(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.JaroWinklerAlgo.similarity($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object StringSimilarity {
+  /** Column wrapper: Jaro-Winkler similarity of two string columns. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    ColumnBridge.column(JaroWinkler(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -638,6 +638,40 @@ object Curation {
         .orderBy("clean_id", "dirty_id")
     },
 
+    // ---- fuzzy name matching via the native [[graft.functions.JaroWinkler]]
+    //      codegen expression (the prefix-weighted ratio entity
+    //      resolution classically uses; Spark ships levenshtein but not
+    //      this) — near-identical part names within a brand block. Same
+    //      scale shape as q_fuzzy_join: candidates form inside blocks
+    //      (brand here; production blocks on a cheap canopy key), the
+    //      kernel runs inside the join's codegen stage, never boxing
+    //      through a UDF, and the blocked pair count — not the corpus
+    //      square — bounds the work. Kernel parity with the oracle's
+    //      jaro_winkler_similarity is pinned over every fixture pair by
+    //      StringSimilaritySpec (floored-transposition convention).
+    QueryDef.checked(
+      "q_fuzzy_name_match",
+      """SELECT a.p_brand AS brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
+        |ORDER BY brand, key_a, key_b""".stripMargin) { (spark, dir) =>
+      val part = Tables(spark, dir).part
+        .select(col("p_brand"), col("p_partkey"), col("p_name"))
+      val right = part.select(col("p_brand").as("brand_b"),
+        col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+      part.join(right,
+          col("p_brand") === col("brand_b") &&
+            col("p_partkey") < col("key_b"))
+        .withColumn("jw_raw",
+          graft.functions.StringSimilarity.jaroWinkler(col("p_name"), col("name_b")))
+        .filter(col("jw_raw") >= 0.9)
+        .select(col("p_brand").as("brand"), col("p_partkey").as("key_a"),
+          col("key_b"), round(col("jw_raw"), 6).as("jw"))
+        .orderBy("brand", "key_a", "key_b")
+    },
+
     // ---- text line-format roundtrip: the log/CSV-adjacent source+sink
     //      of §2B "Sources / sinks" — write TSV lines with write.text,
     //      read them back with read.text, re-parse, aggregate. Oracle
