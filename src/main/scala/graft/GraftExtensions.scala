@@ -2,14 +2,19 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, DotProduct}
+import org.apache.spark.sql.catalyst.expressions.{
+  Expression, ExpressionInfo, If, IsNull, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+import graft.functions.{CosineSimilarity, DotProduct, JaroWinkler}
 
 /** Session-extension entry point: users enable the engine's Catalyst
   * extensions for every session with
   * `--conf spark.sql.extensions=graft.GraftExtensions`, making
-  * `cosine_sim` / `dot_product` first-class SQL functions (SURVEY.md
-  * §7.1(iii)). Per-session registration without extensions is
+  * `cosine_sim` / `dot_product` / `jaro_winkler` first-class SQL
+  * functions (SURVEY.md §7.1(iii)) and installing the engine's
+  * optimizer rule. Per-session registration without extensions is
   * [[graft.functions.VectorFunctions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -26,5 +31,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         graft.functions.VectorFunctions.build2(
           "dot_product", DotProduct.apply)(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.VectorFunctions.build2(
+          "jaro_winkler", JaroWinkler.apply)(exprs)))
+    ext.injectOptimizerRule(_ => FoldSelfSimilarity)
   }
+}
+
+/** Engine-knowledge constant folding Catalyst cannot do on its own:
+  * `jaro_winkler(x, x)` is 1.0 for every non-null x (including empty),
+  * so the kernel call folds to a null-preserving literal — the join
+  * self-pair fast path of an entity-resolution workload. Guarded on
+  * determinism so an expression with side effects is never elided;
+  * ConstantFolding/SimplifyConditionals then finish the job when `x`
+  * is non-nullable. The shape to copy for further rules: a
+  * `transformAllExpressions` rewrite injected via
+  * `injectOptimizerRule`, proven semantics-preserving by
+  * GraftExtensionsSpec.
+  */
+object FoldSelfSimilarity extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case JaroWinkler(l, r) if l.deterministic && l.semanticEquals(r) =>
+        If(IsNull(l), Literal(null, DoubleType), Literal(1.0))
+    }
 }

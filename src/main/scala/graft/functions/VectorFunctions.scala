@@ -164,6 +164,8 @@ object VectorFunctions {
       "cosine_sim", build2("cosine_sim", CosineSimilarity.apply), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", build2("dot_product", DotProduct.apply), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler", build2("jaro_winkler", JaroWinkler.apply), "built-in")
   }
 
   /** DuckDB SQL snippet computing the identical cosine fold — kept beside

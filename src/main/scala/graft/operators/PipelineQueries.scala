@@ -66,6 +66,134 @@ object PipelineQueries {
         .select(col("table"), col("status"), col("rows"),
           col("schemaMatches"), col("run_success"))
         .orderBy("table")
+    },
+
+    // ---- row-level clone-drift report: the verification a cloner runs
+    //      when checksums DISAGREE — classify every key as added /
+    //      removed / changed / unchanged between source and target
+    //      (q_clone_checksum says "shard 17 differs"; this says which
+    //      rows and how). The target here is a deterministic drift of
+    //      orders built inside the query (keys %97 dropped, %89
+    //      price-bumped, %101 re-keyed past max as inserts), so both
+    //      engines diff identical relations. Scale: ONE full outer join
+    //      shuffled on the key, fingerprint comparison inside the join
+    //      projection, |classes| rows out; the max-key bound is a 1-row
+    //      broadcast. At 100 TB this runs per-shard under the Merkle
+    //      tree's failing branch, never corpus-wide.
+    QueryDef.checked(
+      "q_table_diff",
+      """WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+        |src AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderstatus AS st
+        |  FROM orders
+        |), tgt AS (
+        |  SELECT k, CASE WHEN k % 89 = 0 THEN cents + 1 ELSE cents END AS cents, st
+        |  FROM src WHERE k % 97 <> 0
+        |  UNION ALL
+        |  SELECT k + mk AS k, cents, st FROM src, mx WHERE k % 101 = 0
+        |), d AS (
+        |  SELECT coalesce(s.k, t.k) AS k,
+        |    CASE WHEN t.k IS NULL THEN 'removed'
+        |         WHEN s.k IS NULL THEN 'added'
+        |         WHEN s.cents <> t.cents OR s.st <> t.st THEN 'changed'
+        |         ELSE 'unchanged' END AS class
+        |  FROM src s FULL OUTER JOIN tgt t ON t.k = s.k
+        |)
+        |SELECT class, count(*) AS n,
+        |  CAST(sum(k % 1000003) AS BIGINT) AS key_checksum
+        |FROM d GROUP BY class
+        |ORDER BY class""".stripMargin) { (spark, dir) =>
+      val src = Tables(spark, dir).orders
+        .select(col("o_orderkey").as("k"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          col("o_orderstatus").as("st"))
+        .localCheckpoint() // feeds tgt construction AND the diff's source side
+      val mx = src.agg(max(col("k")).as("mk"))
+      val tgt = src.filter(col("k") % 97 =!= 0)
+        .select(col("k"),
+          when(col("k") % 89 === 0, col("cents") + 1).otherwise(col("cents"))
+            .as("cents"), col("st"))
+        .unionAll(src.filter(col("k") % 101 === 0).crossJoin(broadcast(mx))
+          .select((col("k") + col("mk")).as("k"), col("cents"), col("st")))
+      val s = src.select(col("k").as("sk"), col("cents").as("s_cents"),
+        col("st").as("s_st"))
+      val t = tgt.select(col("k").as("tk"), col("cents").as("t_cents"),
+        col("st").as("t_st"))
+      s.join(t, col("tk") === col("sk"), "full_outer")
+        .select(coalesce(col("sk"), col("tk")).as("k"),
+          when(col("tk").isNull, "removed")
+            .when(col("sk").isNull, "added")
+            .when(col("s_cents") =!= col("t_cents") ||
+              col("s_st") =!= col("t_st"), "changed")
+            .otherwise("unchanged").as("class"))
+        .groupBy("class")
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(k % 1000003) AS BIGINT)").as("key_checksum"))
+        .orderBy("class")
+    },
+
+    // ---- incremental-aggregate maintenance law, as a checked query:
+    //      base aggregate (keys ≤ the 80% cut) merged with the delta
+    //      batch's aggregate must EQUAL the full recompute — the
+    //      merge-≡-recompute invariant every incremental ETL target
+    //      (foreachBatch MERGE INTO, IVM) relies on. Output carries the
+    //      merged values plus the per-group equality verdict, so a
+    //      violation is visible in the row, not just a test. Scale: the
+    //      delta aggregate scans ONLY the delta; merging is a
+    //      |groups|-sized outer join; the recompute here is the audit's
+    //      cost, not the maintenance path's.
+    QueryDef.checked(
+      "q_incremental_agg_merge",
+      """WITH cut AS (SELECT max(o_orderkey) * 4 // 5 AS c FROM orders),
+        |base AS (
+        |  SELECT o_orderpriority AS p, count(*) AS n,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s
+        |  FROM orders, cut WHERE o_orderkey <= cut.c GROUP BY o_orderpriority
+        |), delta AS (
+        |  SELECT o_orderpriority AS p, count(*) AS n,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s
+        |  FROM orders, cut WHERE o_orderkey > cut.c GROUP BY o_orderpriority
+        |), merged AS (
+        |  SELECT coalesce(b.p, d.p) AS p,
+        |    coalesce(b.n, 0) + coalesce(d.n, 0) AS n,
+        |    coalesce(b.s, 0) + coalesce(d.s, 0) AS s
+        |  FROM base b FULL OUTER JOIN delta d ON d.p = b.p
+        |), full_agg AS (
+        |  SELECT o_orderpriority AS p, count(*) AS n,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s
+        |  FROM orders GROUP BY o_orderpriority
+        |)
+        |SELECT m.p AS priority, CAST(m.n AS BIGINT) AS n_orders,
+        |  CAST(m.s AS BIGINT) AS sum_cents,
+        |  m.n = f.n AND m.s = f.s AS matches_recompute
+        |FROM merged m JOIN full_agg f ON f.p = m.p
+        |ORDER BY priority""".stripMargin) { (spark, dir) =>
+      val orders = Tables(spark, dir).orders
+        .select(col("o_orderpriority").as("p"),
+          col("o_orderkey").as("k"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val cut = orders.agg(expr("max(k) * 4 div 5").as("c"))
+      val withCut = orders.crossJoin(broadcast(cut))
+      def agg(df: org.apache.spark.sql.DataFrame) = df.groupBy("p")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).cast("long").as("s"))
+      val base = agg(withCut.filter(col("k") <= col("c")))
+        .select(col("p").as("bp"), col("n").as("bn"), col("s").as("bs"))
+      val delta = agg(withCut.filter(col("k") > col("c")))
+        .select(col("p").as("dp"), col("n").as("dn"), col("s").as("ds"))
+      val merged = base.join(delta, col("dp") === col("bp"), "full_outer")
+        .select(coalesce(col("bp"), col("dp")).as("p"),
+          (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("bs"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("s"))
+      val full = agg(orders)
+        .select(col("p").as("fp"), col("n").as("fn"), col("s").as("fs"))
+      merged.join(full, col("fp") === col("p"))
+        .select(col("p").as("priority"), col("n").as("n_orders"),
+          col("s").as("sum_cents"),
+          (col("n") === col("fn") && col("s") === col("fs"))
+            .as("matches_recompute"))
+        .orderBy("priority")
     }
   )
 }

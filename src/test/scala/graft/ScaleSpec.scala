@@ -70,4 +70,31 @@ class ScaleSpec extends SparkSpec {
     // exercised end-to-end via VectorFunctions.register in
     // VectorFunctionsSpec (same builder functions)
   }
+
+  test("FoldSelfSimilarity rewrites jaro_winkler(x, x) to a null-safe literal") {
+    import org.apache.spark.sql.functions._
+    val df = Tables(spark, sf).part
+      .select(graft.functions.StringSimilarity
+        .jaroWinkler(col("p_name"), col("p_name")).as("jw"))
+    val analyzed = df.queryExecution.analyzed
+    assert(analyzed.expressions.exists(
+      _.exists(_.isInstanceOf[graft.functions.JaroWinkler])))
+    val folded = FoldSelfSimilarity(analyzed)
+    assert(!folded.expressions.exists(
+      _.exists(_.isInstanceOf[graft.functions.JaroWinkler])),
+      "self-similarity call must fold away")
+    // the fold claims jw(x, x) = 1.0 for all non-null x — hold it to that
+    assert(df.collect().forall(_.getDouble(0) == 1.0))
+  }
+
+  test("FoldSelfSimilarity leaves distinct arguments untouched") {
+    import org.apache.spark.sql.functions._
+    val df = Tables(spark, sf).part
+      .select(graft.functions.StringSimilarity
+        .jaroWinkler(col("p_name"), col("p_type")).as("jw"))
+    val folded = FoldSelfSimilarity(df.queryExecution.analyzed)
+    assert(folded.expressions.exists(
+      _.exists(_.isInstanceOf[graft.functions.JaroWinkler])),
+      "distinct-argument call must survive")
+  }
 }
