@@ -17,10 +17,11 @@ import graft.Tables
   *     bounded by |entities| × |domain|, not fact rows — before the
   *     dimension join, so the audit's shuffle is entity-sized. The
   *     QI-group aggregate output is capped by the QI-domain product.
-  *   - [[q_calibration]] uses a global ntile only because the bin
-  *     count is 10 and the scored relation here is small; the
-  *     production cut computes approx_percentile bounds (one pass,
-  *     mergeable sketch) and bins by range — noted inline.
+  *   - [[q_calibration]] decile-bins the fact-sized scored relation
+  *     via [[graft.util.RangeRank]] (range-partitioned rank + driver
+  *     bucket arithmetic) — no single-partition window; an
+  *     approx_percentile range-binning is the cheaper alternative when
+  *     exact equi-depth is not required.
   *   - [[q_purged_split]] derives its cut dates from a 2-row bounds
   *     aggregate broadcast back over the facts — one scan for bounds,
   *     one scan to label; no shuffle beyond the final per-split
@@ -92,16 +93,18 @@ object Governance {
         |  CAST(CAST(sum(score) AS DOUBLE) / count(*) AS DOUBLE) AS mean_score,
         |  CAST(CAST(sum(pos) AS DOUBLE) / count(*) AS DOUBLE) AS pos_rate
         |FROM binned GROUP BY bin ORDER BY bin""".stripMargin) { (spark, dir) =>
-      // global ntile is fine at 10 bins over this corpus; the production
-      // binning computes approx_percentile cut points (mergeable sketch,
-      // one pass) and assigns bins by range comparison instead
+      // scale-safe exact ntile over the FACT-sized scored relation:
+      // RangeRank (range partitions + per-partition rank + broadcast
+      // offsets + driver bucket arithmetic) — the same shape as
+      // q_range_partition_design; an approx_percentile range-binning is
+      // the alternative when exact equi-depth is not required
       val scored = Tables(spark, dir).events
         .select(col("event_id"),
           col("value").cast("decimal(12,2)").as("score"),
           (col("event_type") === "purchase").cast("int").as("pos"))
-      scored
-        .withColumn("bin",
-          ntile(10).over(Window.orderBy("score", "event_id")))
+      graft.util.RangeRank.withGlobalNtile(scored, "bin", 10,
+          spark.sessionState.conf.numShufflePartitions,
+          col("score"), col("event_id"))
         .groupBy("bin")
         .agg(count(lit(1)).as("n"),
           (sum(col("score")).cast("double") / count(lit(1)))

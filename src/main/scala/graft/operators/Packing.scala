@@ -259,10 +259,11 @@ object Packing {
     // ---- token-budget head: walk the corpus in content-hash order and
     //      keep every doc that STARTS before a 20k-token budget is
     //      exhausted; report the kept set per language. The running sum
-    //      is a single-partition window — right for a report; at corpus
-    //      scale the same selection is done in two passes (estimate the
-    //      budget's hash-value cutoff from a sample, then map-side
-    //      filter h < cutoff) so no global sort ever materializes.
+    //      is a RangeRank distributed prefix scan (range partitions +
+    //      per-partition running sums + broadcast prefix offsets — no
+    //      single-partition window); when only the cutoff matters, the
+    //      cheaper production variant estimates the budget's hash-value
+    //      cutoff from a sample and map-side filters h < cutoff.
     QueryDef.checked(
       "q_token_budget_head",
       s"""WITH h AS (
@@ -281,13 +282,13 @@ object Packing {
          |FROM c WHERE cum - n_tok < $TokenBudget
          |GROUP BY lang
          |ORDER BY lang""".stripMargin) { (spark, dir) =>
-      val w = Window.orderBy("hv", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables(spark, dir).documents
+      val h = Tables(spark, dir).documents
         .select(col("doc_id"), col("lang"),
           size(split(col("text"), " ")).as("n_tok"),
           Dedup.md5h64(col("doc_id").cast("string")).as("hv"))
-        .withColumn("cum", sum(col("n_tok")).over(w))
+      graft.util.RangeRank.withGlobalCumSum(h, "cum", "n_tok",
+          spark.sessionState.conf.numShufflePartitions,
+          col("hv"), col("doc_id"))
         .filter(col("cum") - col("n_tok") < TokenBudget)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),

@@ -265,14 +265,17 @@ object Retrieval {
         |FROM ra FULL OUTER JOIN rb ON rb.doc_id = ra.doc_id
         |ORDER BY rrf_micro DESC, doc_id
         |LIMIT 50""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val toks = Tables(spark, dir).documents
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      // per-term posting lists are corpus-fraction-sized: rank them via
+      // the RangeRank shard-local pattern, not a single-partition window
       def ranked(term: String, rankCol: String) =
-        toks.filter(col("tok") === term)
-          .groupBy("doc_id").agg(count(lit(1)).as("tf"))
-          .withColumn(rankCol,
-            row_number().over(Window.orderBy(col("tf").desc, col("doc_id"))))
+        graft.util.RangeRank.withGlobalRank(
+            toks.filter(col("tok") === term)
+              .groupBy("doc_id").agg(count(lit(1)).as("tf")),
+            rankCol,
+            toks.sparkSession.sessionState.conf.numShufflePartitions,
+            col("tf").desc, col("doc_id"))
           .select("doc_id", rankCol)
       ranked("vector", "rank_a")
         .join(ranked("scan", "rank_b"), Seq("doc_id"), "full_outer")

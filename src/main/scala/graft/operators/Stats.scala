@@ -598,18 +598,19 @@ object Stats {
         |FROM seq
         |WHERE event_id % 1000 = 999
         |ORDER BY event_id""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val incPos = math.round(math.log(0.5 / 0.3) * 1e9)
       val incNeg = math.round(math.log(0.5 / 0.7) * 1e9)
       val bound = math.round(math.log(19.0) * 1e9)
-      val w = Window.orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      Tables(spark, dir).events
+      // both running sums share ONE RangeRank prefix scan (one range
+      // exchange, one offset pass) — no single-partition window
+      val inc = Tables(spark, dir).events
         .select(col("event_id"), (col("value") >= 50).as("succ"))
         .select(col("event_id"),
-          sum(when(col("succ"), incPos).otherwise(incNeg)).over(w)
-            .as("llr_fp"),
-          sum(when(col("succ"), 1L).otherwise(0L)).over(w).as("n_succ"))
+          when(col("succ"), incPos).otherwise(incNeg).as("llr_inc"),
+          when(col("succ"), 1L).otherwise(0L).as("succ_inc"))
+      graft.util.RangeRank.withGlobalCumSums(inc,
+          Seq("llr_inc" -> "llr_fp", "succ_inc" -> "n_succ"),
+          spark.sessionState.conf.numShufflePartitions, col("event_id"))
         .filter(col("event_id") % 1000 === 999)
         .select(col("event_id"), col("n_succ").cast("long").as("n_succ"),
           round(col("llr_fp") / lit(1000000000.0), 6).as("llr"),

@@ -313,14 +313,19 @@ object TimeSeries {
         |FROM hw
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin) { (spark, dir) =>
-      val w = Window.orderBy("arrival_ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
       val isLate = col("ts") < expr("wm - INTERVAL 10 SECONDS")
-      Tables(spark, dir).events
+      // running max over arrival order = RangeRank prefix-MAX scan with
+      // the strictly-preceding frame (watermark semantics: a row cannot
+      // advance the watermark it is judged against); no single-partition
+      // window over the fact stream
+      val arr = Tables(spark, dir).events
         .select(col("event_id"), col("event_type"), col("ts"),
           expr("timestampadd(SECOND, CAST(event_id % 30 AS INT), ts)")
             .as("arrival_ts"))
-        .withColumn("wm", max(col("ts")).over(w))
+      graft.util.RangeRank.withGlobalCumMax(arr, "wm", "ts",
+          frameEnd = -1,
+          arr.sparkSession.sessionState.conf.numShufflePartitions,
+          col("arrival_ts"), col("event_id"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
           sum(when(isLate, 1).otherwise(0)).cast("long").as("n_late"))

@@ -87,19 +87,23 @@ object Training {
     * `ppl_keep` CTE. The per-doc average uses a FIXED-POINT token sum:
     * this value feeds ntile, where a 1-ulp flip at a rounding boundary
     * would reassign a doc's bucket. */
-  private[operators] def pplKeep(docs: org.apache.spark.sql.DataFrame) =
-    scoredNll(docs)
+  private[operators] def pplKeep(docs: org.apache.spark.sql.DataFrame) = {
+    val perDoc = scoredNll(docs)
       .groupBy("doc_id")
       .agg(sum(expr("CAST(round(nll * 1000000000) AS BIGINT)")).as("ss"),
         count(lit(1)).as("n"))
       .select(col("doc_id"),
         round(col("ss") / lit(1000000000.0) / col("n"), 6).as("avg_nll"))
-      .withColumn("bucket", ntile(3).over(
-        org.apache.spark.sql.expressions.Window.orderBy("avg_nll", "doc_id")))
+    // doc-count-sized relation: tertile via the scale-safe RangeRank
+    // ntile, not a single-partition window
+    graft.util.RangeRank.withGlobalNtile(perDoc, "bucket", 3,
+        perDoc.sparkSession.sessionState.conf.numShufflePartitions,
+        col("avg_nll"), col("doc_id"))
       .withColumn("keep",
         Dedup.md5h64(col("doc_id").cast("string")) % 100 <
           when(col("bucket") === 1, 10)
             .when(col("bucket") === 2, 50).otherwise(100))
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -484,15 +488,16 @@ object Training {
         |  doc_id, stage, n_chars
         |FROM staged
         |ORDER BY step""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      Tables(spark, dir).documents
-        .select(col("doc_id"), col("n_chars"),
-          ntile(4).over(Window.orderBy("n_chars", "doc_id")).as("stage"),
-          md5(col("doc_id").cast("string")).as("shuffle_key"))
-        .select(
-          row_number().over(Window.orderBy("stage", "shuffle_key", "doc_id"))
-            .cast("long").as("step"),
-          col("doc_id"), col("stage"), col("n_chars"))
+      // both the stage tertiles and the step numbering ride RangeRank —
+      // corpus-sized orderings, no single-partition window
+      val p = spark.sessionState.conf.numShufflePartitions
+      val staged = graft.util.RangeRank.withGlobalNtile(
+          Tables(spark, dir).documents.select(col("doc_id"), col("n_chars")),
+          "stage", 4, p, col("n_chars"), col("doc_id"))
+        .withColumn("shuffle_key", md5(col("doc_id").cast("string")))
+      graft.util.RangeRank.withGlobalRank(staged, "step", p,
+          col("stage"), col("shuffle_key"), col("doc_id"))
+        .select(col("step"), col("doc_id"), col("stage"), col("n_chars"))
         .orderBy("step")
     },
 

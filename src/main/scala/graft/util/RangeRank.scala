@@ -86,4 +86,97 @@ object RangeRank {
         ELSE $r + (__rr_rn - 1 - $threshold) div $q END AS INT) + 1""")
     ranked.withColumn(tileCol, tile).drop("__rr_rn")
   }
+
+  /** `df` plus, for each `(valueCol, outCol)` pair, a column `outCol` =
+    * running SUM of long-typed `valueCol` over the total order by
+    * `keys` (inclusive frame — the `UNBOUNDED PRECEDING AND CURRENT
+    * ROW` shape): per-partition running sums lifted by a broadcast of
+    * per-partition total prefixes. All scans share ONE range exchange
+    * and one offset pass. Same plan discipline as [[withGlobalRank]] —
+    * no single-partition stage. */
+  def withGlobalCumSums(df: DataFrame, cols: Seq[(String, String)],
+      numPartitions: Int, keys: Column*): DataFrame = {
+    val ranged = df.repartitionByRange(numPartitions, keys: _*)
+      .withColumn("__rr_pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = ranged.groupBy("__rr_pid")
+      .agg(cols.map { case (v, _) => sum(col(v)).as(s"__t_$v") }.head,
+        cols.drop(1).map { case (v, _) => sum(col(v)).as(s"__t_$v") }: _*)
+      .collect()
+      .map(r => r.getInt(0) -> cols.indices.map(i => r.getLong(i + 1)))
+      .sortBy(_._1)
+    val offsets = totals.map(_._1).zip(
+      totals.map(_._2).scanLeft(cols.map(_ => 0L)) {
+        (acc, t) => acc.zip(t).map { case (a, b) => a + b } })
+    val spark = df.sparkSession
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__rr_pid",
+        org.apache.spark.sql.types.IntegerType, nullable = false) +:
+        cols.map { case (v, _) => org.apache.spark.sql.types.StructField(
+          s"__rr_off_$v", org.apache.spark.sql.types.LongType,
+          nullable = false) })
+    val offs = spark.createDataFrame(
+      java.util.Arrays.asList(offsets.map { case (p, vs) =>
+        org.apache.spark.sql.Row.fromSeq(p +: vs) }: _*), offSchema)
+    val win = Window.partitionBy("__rr_pid").orderBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val locals = cols.foldLeft(ranged) { case (d, (v, _)) =>
+      d.withColumn(s"__rr_loc_$v", sum(col(v)).over(win)) }
+    val joined = locals.join(broadcast(offs), Seq("__rr_pid"))
+    val out = cols.foldLeft(joined) { case (d, (v, o)) =>
+      d.withColumn(o, col(s"__rr_off_$v") + col(s"__rr_loc_$v")) }
+    out.drop("__rr_pid")
+      .drop(cols.flatMap { case (v, _) =>
+        Seq(s"__rr_loc_$v", s"__rr_off_$v") }: _*)
+  }
+
+  /** Single-column convenience over [[withGlobalCumSums]]. */
+  def withGlobalCumSum(df: DataFrame, outCol: String, valueCol: String,
+      numPartitions: Int, keys: Column*): DataFrame =
+    withGlobalCumSums(df, Seq(valueCol -> outCol), numPartitions, keys: _*)
+
+  /** `df` plus column `outCol` = running MAX of `valueCol` over the
+    * total order by `keys`, with the frame ending at `frameEnd` rows
+    * from the current one (0 = inclusive, -1 = strictly-preceding, the
+    * watermark shape). Null semantics match the global window exactly:
+    * rows whose frame is empty (the first row under -1) get null —
+    * `greatest` skips nulls, and the partition-prefix offset is null
+    * for the first range partition. Works for any ordered type (the
+    * per-partition maxima are prefix-combined on the driver via the
+    * row values' natural ordering). */
+  def withGlobalCumMax(df: DataFrame, outCol: String, valueCol: String,
+      frameEnd: Int, numPartitions: Int, keys: Column*): DataFrame = {
+    require(frameEnd == 0 || frameEnd == -1, s"frameEnd $frameEnd")
+    val ranged = df.repartitionByRange(numPartitions, keys: _*)
+      .withColumn("__rr_pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = ranged.groupBy("__rr_pid")
+      .agg(max(col(valueCol)).as("t"))
+      .collect().map(r => r.getInt(0) -> r.get(1)).sortBy(_._1)
+    // offset(pid) = max of all partitions BEFORE pid (null for the first)
+    def gt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) > 0
+    val offsets = totals.map(_._1).zip(
+      totals.map(_._2).scanLeft(null: Any) {
+        case (null, v) => v
+        case (acc, null) => acc
+        case (acc, v) => if (gt(v, acc)) v else acc
+      })
+    val spark = df.sparkSession
+    val valueType = ranged.schema(valueCol).dataType
+    val offSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__rr_pid",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("__rr_off", valueType)))
+    val offs = spark.createDataFrame(
+      java.util.Arrays.asList(offsets.map { case (p, v) =>
+        org.apache.spark.sql.Row(p, v) }: _*), offSchema)
+    ranged
+      .withColumn("__rr_local", max(col(valueCol)).over(
+        Window.partitionBy("__rr_pid").orderBy(keys: _*)
+          .rowsBetween(Window.unboundedPreceding, frameEnd)))
+      .join(broadcast(offs), Seq("__rr_pid"))
+      .withColumn(outCol, greatest(col("__rr_local"), col("__rr_off")))
+      .drop("__rr_pid", "__rr_local", "__rr_off")
+  }
 }

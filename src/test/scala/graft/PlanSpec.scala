@@ -217,4 +217,31 @@ class PlanSpec extends SparkSpec {
     assert(ranked.orderBy("rn").collect().toSeq ==
       naive.orderBy("rn").collect().toSeq)
   }
+
+  test("RangeRank prefix scans equal the naive global windows") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, sf).events
+      .select(col("event_id"), col("ts"),
+        (col("value") * 100).cast("long").as("v"))
+      .limit(2000)
+    // cumulative sum, inclusive frame
+    val cum = graft.util.RangeRank.withGlobalCumSum(
+      ev, "c", "v", 8, col("event_id"))
+    val cumNaive = ev.withColumn("c", sum(col("v")).over(
+      Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)))
+    assert(cum.orderBy("event_id").collect().toSeq ==
+      cumNaive.orderBy("event_id").collect().toSeq)
+    // running max, strictly-preceding frame (null on the first row)
+    val mx = graft.util.RangeRank.withGlobalCumMax(
+      ev, "m", "ts", frameEnd = -1, 8, col("event_id"))
+    val mxNaive = ev.withColumn("m", max(col("ts")).over(
+      Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)))
+    assert(mx.orderBy("event_id").collect().toSeq ==
+      mxNaive.orderBy("event_id").collect().toSeq)
+    // neither plan funnels the input through one partition
+    Seq(cum, mx).foreach { df =>
+      assert(!df.queryExecution.executedPlan.toString.contains("SinglePartition"))
+    }
+  }
 }

@@ -141,8 +141,8 @@ class RetrievalCurationSpec extends SparkSpec {
     val scores = rows.map(_.getAs[Long]("rrf_micro"))
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
     rows.foreach { r =>
-      val ra = Option(r.getAs[Integer]("rank_a")).map(_.toInt)
-      val rb = Option(r.getAs[Integer]("rank_b")).map(_.toInt)
+      val ra = Option(r.getAs[java.lang.Long]("rank_a")).map(_.toLong)
+      val rb = Option(r.getAs[java.lang.Long]("rank_b")).map(_.toLong)
       // a doc only appears when at least one ranker returned it
       assert(ra.isDefined || rb.isDefined)
       (ra.toSeq ++ rb.toSeq).foreach(rk => assert(rk >= 1))
