@@ -427,6 +427,35 @@ object Modern {
           "   GROUP BY o_orderpriority\n" +
           "|> SELECT o_orderpriority, n, sum_cents\n" +
           "|> ORDER BY o_orderpriority")
+    },
+
+    // ---- bitmap aggregates (Spark 4 surface): per-(type, day) partial
+    //      bitmaps of the 15-bit user-slot space, OR-merged per type —
+    //      the roaring-bitmap distinct-counting pattern. Unlike HLL this
+    //      is EXACT on a bounded id domain, and the partial bitmaps are
+    //      re-mergeable bytes: at 100 TB each shard/day persists its 4 KB
+    //      bitmap and any rollup (type, week, global) is bitmap_or_agg
+    //      over stored partials — no re-scan of facts, same serving
+    //      story as q_hll_sketch_merge but with exact semantics. The
+    //      oracle computes the identical values as COUNT(DISTINCT slot)
+    //      / COUNT(DISTINCT day), proving the merge is lossless.
+    QueryDef.checked(
+      "q_bitmap_distinct",
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id % 32768 + 1) AS BIGINT) AS n_slots,
+        |  CAST(count(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT)
+        |    AS n_partial_bitmaps
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val perDay = Tables(spark, dir).events
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id % 32768 + 1))")
+          .as("bm"))
+      perDay.groupBy("event_type")
+        .agg(expr("bitmap_count(bitmap_or_agg(bm))").as("n_slots"),
+          count(lit(1)).as("n_partial_bitmaps"))
+        .orderBy("event_type")
     }
   )
 }
