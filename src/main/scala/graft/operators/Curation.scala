@@ -658,12 +658,21 @@ object Curation {
         |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
         |ORDER BY brand, key_a, key_b""".stripMargin) { (spark, dir) =>
       val part = Tables(spark, dir).part
-        .select(col("p_brand"), col("p_partkey"), col("p_name"))
+        .select(col("p_brand"), col("p_partkey"), col("p_name"),
+          length(col("p_name")).as("len_a"))
       val right = part.select(col("p_brand").as("brand_b"),
-        col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+        col("p_partkey").as("key_b"), col("p_name").as("name_b"),
+        col("len_a").as("len_b"))
+      // lossless length prefilter, Spark-side only: jw >= 0.9 forces
+      // jaro >= 5/6 (boost adds at most 0.4·(1−j)), and jaro <=
+      // (2 + Lmin/Lmax)/3, so Lmax <= 2·Lmin for every surviving pair.
+      // The oracle carries NO such filter — a wrong bound would break
+      // the hash match, so the differential gate proves it lossless.
       part.join(right,
           col("p_brand") === col("brand_b") &&
-            col("p_partkey") < col("key_b"))
+            col("p_partkey") < col("key_b") &&
+            col("len_a") <= col("len_b") * 2 &&
+            col("len_b") <= col("len_a") * 2)
         .withColumn("jw_raw",
           graft.functions.StringSimilarity.jaroWinkler(col("p_name"), col("name_b")))
         .filter(col("jw_raw") >= 0.9)

@@ -618,6 +618,128 @@ object Stats {
             .when(col("llr_fp") <= -bound, "accept_h0")
             .otherwise("continue").as("decision"))
         .orderBy("event_id")
+    },
+
+    // ---- population stability index: the third drift detector beside
+    //      χ² (q_drift_chisq) and KS (q_ks_drift) — the industry-
+    //      standard model-monitoring metric, Σ (p−q)·ln(p/q) over fixed
+    //      value bins, first half-month as reference vs second as
+    //      current. Add-1 smoothing keeps empty bins finite and
+    //      deterministic. One scan bins and splits, one 10-row
+    //      aggregate; shares and the ln() run over 10 bounded rows.
+    QueryDef.checked(
+      "q_psi_drift",
+      """WITH b AS (
+        |  SELECT least(CAST(floor(value / 50) AS INT), 9) AS bin,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |         THEN 1 ELSE 0 END AS is_ref
+        |  FROM events
+        |), c AS (
+        |  SELECT bin,
+        |    CAST(sum(is_ref) AS BIGINT) AS n_ref,
+        |    CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
+        |  FROM b GROUP BY bin
+        |), s AS (
+        |  SELECT bin, n_ref, n_cur,
+        |    CAST(n_ref + 1 AS DOUBLE)
+        |      / (sum(n_ref) OVER () + 10) AS pr,
+        |    CAST(n_cur + 1 AS DOUBLE)
+        |      / (sum(n_cur) OVER () + 10) AS pc
+        |  FROM c
+        |)
+        |SELECT bin, n_ref, n_cur,
+        |  round((pc - pr) * ln(pc / pr), 6) AS psi_term
+        |FROM s
+        |ORDER BY bin""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val c = Tables(spark, dir).events
+        .select(least(floor(col("value") / 50).cast("int"), lit(9)).as("bin"),
+          when(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), 1)
+            .otherwise(0).as("is_ref"))
+        .groupBy("bin")
+        .agg(sum(col("is_ref")).cast("long").as("n_ref"),
+          sum(lit(1) - col("is_ref")).cast("long").as("n_cur"))
+      // the unpartitioned windows run over the 10-row bin aggregate
+      val wAll = Window.partitionBy()
+      c.select(col("bin"), col("n_ref"), col("n_cur"),
+          ((col("n_ref") + 1).cast("double") /
+            (sum(col("n_ref")).over(wAll) + 10)).as("pr"),
+          ((col("n_cur") + 1).cast("double") /
+            (sum(col("n_cur")).over(wAll) + 10)).as("pc"))
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          round((col("pc") - col("pr")) * log(col("pc") / col("pr")), 6)
+            .as("psi_term"))
+        .orderBy("bin")
+    },
+
+    // ---- Mann-Whitney U (Wilcoxon rank-sum): the nonparametric
+    //      two-sample test — does `value` differ in distribution
+    //      between purchase events and the rest, no normality assumed.
+    //      Rank arithmetic stays INTEGER throughout via doubled
+    //      tie-averaged ranks (r2 = min_rank + max_rank per tie group),
+    //      derived from a RangeRank prefix scan over the DISTINCT-value
+    //      relation — no single-partition window, no float ranks, so
+    //      U replays bit-identically on any partitioning. The normal
+    //      approximation applies the full tie-corrected variance;
+    //      doubles enter only in that final z step.
+    QueryDef.checked(
+      "q_mann_whitney",
+      """WITH pts AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_x
+        |  FROM events
+        |), vg AS (
+        |  SELECT v, count(*) AS n_v, CAST(sum(is_x) AS BIGINT) AS n_x_v
+        |  FROM pts GROUP BY v
+        |), cum AS (
+        |  SELECT v, n_v, n_x_v,
+        |    sum(n_v) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mc
+        |  FROM vg
+        |), r AS (
+        |  SELECT n_x_v, n_v, 2 * mc - n_v + 1 AS r2
+        |  FROM cum
+        |), tot AS (
+        |  SELECT CAST(sum(n_x_v * r2) AS BIGINT) AS r2x,
+        |    CAST(sum(n_x_v) AS BIGINT) AS n1,
+        |    CAST(sum(n_v) AS BIGINT) AS n,
+        |    CAST(sum(n_v * n_v * n_v - n_v) AS BIGINT) AS tie3
+        |  FROM r
+        |)
+        |SELECT n1, n - n1 AS n2,
+        |  CAST(r2x - n1 * (n1 + 1) AS BIGINT) AS u2_x,
+        |  CAST(2 * n1 * (n - n1) - (r2x - n1 * (n1 + 1)) AS BIGINT) AS u2_y,
+        |  round((CAST(r2x - n1 * (n1 + 1) AS DOUBLE) / 2
+        |         - CAST(n1 AS DOUBLE) * (n - n1) / 2)
+        |    / sqrt(CAST(n1 AS DOUBLE) * (n - n1) / 12
+        |           * ((n + 1) - CAST(tie3 AS DOUBLE) / (n * (n - 1)))), 6)
+        |    AS z
+        |FROM tot""".stripMargin) { (spark, dir) =>
+      val vg = Tables(spark, dir).events
+        .select(expr("CAST(round(value * 100) AS BIGINT)").as("v"),
+          when(col("event_type") === "purchase", 1).otherwise(0).as("is_x"))
+        .groupBy("v")
+        .agg(count(lit(1)).as("n_v"), sum(col("is_x")).cast("long").as("n_x_v"))
+      // doubled tie-averaged rank from the distinct-value prefix scan
+      val r = graft.util.RangeRank.withGlobalCumSum(vg, "mc", "n_v",
+          spark.sessionState.conf.numShufflePartitions, col("v"))
+        .select(col("n_x_v"), col("n_v"),
+          (lit(2) * col("mc") - col("n_v") + 1).as("r2"))
+      r.agg(sum(col("n_x_v") * col("r2")).cast("long").as("r2x"),
+          sum(col("n_x_v")).cast("long").as("n1"),
+          sum(col("n_v")).cast("long").as("n"),
+          sum(col("n_v") * col("n_v") * col("n_v") - col("n_v"))
+            .cast("long").as("tie3"))
+        .select(col("n1"), (col("n") - col("n1")).as("n2"),
+          (col("r2x") - col("n1") * (col("n1") + 1)).as("u2_x"),
+          (lit(2) * col("n1") * (col("n") - col("n1"))
+            - (col("r2x") - col("n1") * (col("n1") + 1))).as("u2_y"),
+          round(((col("r2x") - col("n1") * (col("n1") + 1)).cast("double") / 2
+              - col("n1").cast("double") * (col("n") - col("n1")) / 2)
+            / sqrt(col("n1").cast("double") * (col("n") - col("n1")) / 12
+              * ((col("n") + 1)
+                - col("tie3").cast("double") / (col("n") * (col("n") - 1)))), 6)
+            .as("z"))
     }
   )
 }

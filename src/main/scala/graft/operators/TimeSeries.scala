@@ -372,8 +372,62 @@ object TimeSeries {
         .orderBy(col("s").desc, col("user_id"))
         .limit(20)
         .select(col("user_id"), col("n_events"),
-          round(col("s").cast("double") / (lit(100.0) * lit(1048576.0)), 6)
+          round(col("s").cast("double") / (lit(100.0) * lit(1048576.0)),  6)
             .as("score"))
+    },
+
+    // ---- churn labeling: classify every user by activity in two
+    //      6-hour observation windows a month apart — retained (both),
+    //      churned (W1 only), new (W2 only), inactive (neither; still
+    //      in the log between them) — the label-generation pass of a
+    //      churn model's training set, plus per-class volume and a key
+    //      checksum so the hash gate pins MEMBERSHIP, not just counts.
+    //      One scan aggregates per user (two conditional counts), one
+    //      |users|-sized classify + 4-row rollup; at 100 TB the
+    //      windows come from partition pruning on the date key, not a
+    //      filter over the full log.
+    QueryDef.checked(
+      "q_churn_labels",
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |      AND ts < TIMESTAMP '2024-01-01 06:00:00'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_w1,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-30 18:00:00'
+        |      AND ts < TIMESTAMP '2024-01-31 00:00:00'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_w2
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT CASE WHEN n_w1 > 0 AND n_w2 > 0 THEN 'retained'
+        |            WHEN n_w1 > 0 THEN 'churned'
+        |            WHEN n_w2 > 0 THEN 'new'
+        |            ELSE 'inactive' END AS label,
+        |  count(*) AS n_users,
+        |  CAST(sum(n_w1 + n_w2) AS BIGINT) AS n_window_events,
+        |  CAST(sum(user_id % 1000003) AS BIGINT) AS user_checksum
+        |FROM per_user
+        |GROUP BY 1
+        |ORDER BY label""".stripMargin) { (spark, dir) =>
+      val w1a = lit("2024-01-01 00:00:00").cast("timestamp")
+      val w1b = lit("2024-01-01 06:00:00").cast("timestamp")
+      val w2a = lit("2024-01-30 18:00:00").cast("timestamp")
+      val w2b = lit("2024-01-31 00:00:00").cast("timestamp")
+      Tables(spark, dir).events
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("ts") >= w1a && col("ts") < w1b, 1).otherwise(0))
+            .cast("long").as("n_w1"),
+          sum(when(col("ts") >= w2a && col("ts") < w2b, 1).otherwise(0))
+            .cast("long").as("n_w2"))
+        .groupBy(
+          when(col("n_w1") > 0 && col("n_w2") > 0, "retained")
+            .when(col("n_w1") > 0, "churned")
+            .when(col("n_w2") > 0, "new")
+            .otherwise("inactive").as("label"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("n_w1") + col("n_w2")).cast("long").as("n_window_events"),
+          expr("CAST(sum(user_id % 1000003) AS BIGINT)").as("user_checksum"))
+        .orderBy("label")
     }
   )
 }
