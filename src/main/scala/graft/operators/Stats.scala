@@ -740,6 +740,75 @@ object Stats {
               * ((col("n") + 1)
                 - col("tie3").cast("double") / (col("n") * (col("n") - 1)))), 6)
             .as("z"))
+    },
+
+    // ---- CUPED variance reduction: adjust each user's experiment-
+    //      period metric by their pre-period covariate
+    //      (y' = y − θ·(x − x̄), θ = cov(x,y)/var(x)) and report how
+    //      much metric variance the adjustment removes — the standard
+    //      experimentation-platform trick that shrinks A/B confidence
+    //      intervals without more traffic. Per-user sums are EXACT
+    //      integer cents; all power sums are exact longs; doubles enter
+    //      only in the final closed-form moments (identical expression
+    //      order both engines — the q_stats_moments discipline).
+    QueryDef.checked(
+      "q_cuped",
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY user_id
+        |), p AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM per_user
+        |)
+        |SELECT CAST(n AS BIGINT) AS n_users,
+        |  round((CAST(sxy AS DOUBLE) / n - CAST(sx AS DOUBLE) / n * (CAST(sy AS DOUBLE) / n))
+        |      / (CAST(sxx AS DOUBLE) / n - CAST(sx AS DOUBLE) / n * (CAST(sx AS DOUBLE) / n)), 6)
+        |    AS theta,
+        |  round(CAST(syy AS DOUBLE) / n - CAST(sy AS DOUBLE) / n * (CAST(sy AS DOUBLE) / n), 6)
+        |    AS var_post,
+        |  round((CAST(syy AS DOUBLE) / n - CAST(sy AS DOUBLE) / n * (CAST(sy AS DOUBLE) / n))
+        |      - (CAST(sxy AS DOUBLE) / n - CAST(sx AS DOUBLE) / n * (CAST(sy AS DOUBLE) / n))
+        |      * (CAST(sxy AS DOUBLE) / n - CAST(sx AS DOUBLE) / n * (CAST(sy AS DOUBLE) / n))
+        |      / (CAST(sxx AS DOUBLE) / n - CAST(sx AS DOUBLE) / n * (CAST(sx AS DOUBLE) / n)), 6)
+        |    AS var_adjusted,
+        |  round(((CAST(sxy AS DOUBLE) / n - CAST(sx AS DOUBLE) / n * (CAST(sy AS DOUBLE) / n))
+        |      * (CAST(sxy AS DOUBLE) / n - CAST(sx AS DOUBLE) / n * (CAST(sy AS DOUBLE) / n))
+        |      / (CAST(sxx AS DOUBLE) / n - CAST(sx AS DOUBLE) / n * (CAST(sx AS DOUBLE) / n)))
+        |      / (CAST(syy AS DOUBLE) / n - CAST(sy AS DOUBLE) / n * (CAST(sy AS DOUBLE) / n)), 6)
+        |    AS var_reduction
+        |FROM p""".stripMargin) { (spark, dir) =>
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val cents = expr("CAST(round(value * 100) AS BIGINT)")
+      val p = Tables(spark, dir).events
+        .groupBy("user_id")
+        .agg(sum(when(col("ts") < cut, cents).otherwise(0L)).cast("long").as("x"),
+          sum(when(col("ts") >= cut, cents).otherwise(0L)).cast("long").as("y"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("long").as("sx"), sum(col("y")).cast("long").as("sy"),
+          sum(col("x") * col("x")).cast("long").as("sxx"),
+          sum(col("y") * col("y")).cast("long").as("syy"),
+          sum(col("x") * col("y")).cast("long").as("sxy"))
+      // moments in the exact same expression order as the oracle so the
+      // doubles agree bit-for-bit
+      def m(num: String) = expr(s"CAST($num AS DOUBLE) / n")
+      val varX = m("sxx") - m("sx") * m("sx")
+      val varY = m("syy") - m("sy") * m("sy")
+      p.select(col("n").cast("long").as("n_users"),
+        round((m("sxy") - m("sx") * m("sy")) / (m("sxx") - m("sx") * m("sx")), 6)
+          .as("theta"),
+        round(varY, 6).as("var_post"),
+        round(varY - (m("sxy") - m("sx") * m("sy"))
+          * (m("sxy") - m("sx") * m("sy")) / varX, 6).as("var_adjusted"),
+        round((m("sxy") - m("sx") * m("sy")) * (m("sxy") - m("sx") * m("sy"))
+          / varX / varY, 6).as("var_reduction"))
     }
   )
 }

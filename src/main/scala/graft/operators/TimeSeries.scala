@@ -428,6 +428,68 @@ object TimeSeries {
           sum(col("n_w1") + col("n_w2")).cast("long").as("n_window_events"),
           expr("CAST(sum(user_id % 1000003) AS BIGINT)").as("user_checksum"))
         .orderBy("label")
+    },
+
+    // ---- ordered event-pattern matching (the MATCH_RECOGNIZE shape
+    //      Spark lacks as a builtin): count each user's NON-OVERLAPPING
+    //      CONTIGUOUS view → click → purchase runs in the first three
+    //      days — a per-user left-to-right fold whose integer
+    //      accumulator packs (completed_count · 4 + progress), i.e. a
+    //      deterministic automaton in a higher-order function. This is
+    //      the compose-from-primitives answer for sequence semantics
+    //      (full MATCH_RECOGNIZE with DEFINE/AFTER MATCH SKIP would be
+    //      the custom-LogicalPlan route). One shuffle on user_id; the
+    //      fold runs inside the aggregate's projection; |distinct
+    //      match-counts| rows out. Order is total (ts ties broken by
+    //      event_id), so the automaton replays identically on any
+    //      partitioning.
+    QueryDef.checked(
+      "q_event_pattern",
+      """WITH coded AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |         WHEN 'purchase' THEN 3 ELSE 0 END AS code
+        |  FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-04 00:00:00'
+        |), folded AS (
+        |  SELECT user_id,
+        |    list_reduce(
+        |      list_prepend(0, list(code ORDER BY ts, event_id)),
+        |      (acc, x) -> CASE
+        |        WHEN x = 1 THEN acc - acc % 4 + 1
+        |        WHEN x = 2 AND acc % 4 = 1 THEN acc + 1
+        |        WHEN x = 3 AND acc % 4 = 2 THEN acc - 2 + 4
+        |        ELSE acc - acc % 4 END) AS packed
+        |  FROM coded GROUP BY user_id
+        |)
+        |SELECT CAST(packed // 4 AS INT) AS n_matches,
+        |  count(*) AS n_users,
+        |  CAST(sum(user_id % 1000003) AS BIGINT) AS user_checksum
+        |FROM folded
+        |GROUP BY packed // 4
+        |ORDER BY n_matches""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).events
+        .filter(col("ts") < lit("2024-01-04 00:00:00").cast("timestamp"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "view", 1)
+            .when(col("event_type") === "click", 2)
+            .when(col("event_type") === "purchase", 3)
+            .otherwise(0).as("code"))
+        .groupBy("user_id")
+        .agg(expr(
+          """aggregate(
+            |  transform(array_sort(collect_list(struct(ts, event_id, code))),
+            |            s -> s.code),
+            |  0,
+            |  (acc, x) -> CASE
+            |    WHEN x = 1 THEN acc - acc % 4 + 1
+            |    WHEN x = 2 AND acc % 4 = 1 THEN acc + 1
+            |    WHEN x = 3 AND acc % 4 = 2 THEN acc - 2 + 4
+            |    ELSE acc - acc % 4 END)""".stripMargin).as("packed"))
+        .groupBy(expr("CAST(packed div 4 AS INT)").as("n_matches"))
+        .agg(count(lit(1)).as("n_users"),
+          expr("CAST(sum(user_id % 1000003) AS BIGINT)").as("user_checksum"))
+        .orderBy("n_matches")
     }
   )
 }
