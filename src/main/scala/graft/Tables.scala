@@ -36,15 +36,19 @@ final case class Tables(spark: SparkSession, dir: String) {
     * µs TimestampType. The session timezone is pinned to UTC everywhere
     * — build.sbt, Verify, Bench — so the NTZ→LTZ cast is value-
     * preserving wall-clock-wise and matches what the DuckDB oracle sees
-    * in its naive TIMESTAMP reads. (A TIMESTAMP(NANOS) fixture would
-    * need `spark.sql.legacy.parquet.nanosAsLong` set BEFORE schema
-    * inference — Spark 4 otherwise rejects the file outright — so no
-    * read-side branch can handle that vintage; none exists today.) */
+    * in its naive TIMESTAMP reads. A TIMESTAMP(NANOS) fixture is
+    * readable ONLY when the user sets
+    * `spark.sql.legacy.parquet.nanosAsLong` before schema inference
+    * (Spark 4 otherwise rejects the file outright); under that conf the
+    * column arrives as LongType and the branch below normalizes it —
+    * the conf is the user's choice, the normalization is ours. */
   def events: DataFrame = {
     val raw = t("events")
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long under the legacy conf
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _: TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw

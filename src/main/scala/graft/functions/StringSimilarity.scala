@@ -26,22 +26,37 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object JaroWinklerAlgo {
 
+  /** Entry point for the expression. ASCII inputs (numBytes ==
+    * numChars) run a zero-copy byte kernel — no String materialization
+    * in the blocked join's inner loop; anything else falls back to the
+    * char kernel for correct non-ASCII comparison. */
   def similarity(a: UTF8String, b: UTF8String): Double =
-    jaroWinkler(a.toString, b.toString)
+    if (a.numBytes == a.numChars && b.numBytes == b.numChars) {
+      val sa: Int => Char = i => a.getByte(i).toChar
+      val tb: Int => Char = i => b.getByte(i).toChar
+      boost(jaro(a.numBytes, b.numBytes, sa, tb),
+        a.numBytes, b.numBytes, sa, tb)
+    } else jaroWinkler(a.toString, b.toString)
 
   def jaroWinkler(s: String, t: String): Double = {
-    val j = jaro(s, t)
-    if (j > 0.7) {
-      val max = math.min(4, math.min(s.length, t.length))
-      var l = 0
-      while (l < max && s.charAt(l) == t.charAt(l)) l += 1
-      j + l * 0.1 * (1.0 - j)
-    } else j
+    val j = jaro(s.length, t.length, s.charAt, t.charAt)
+    boost(j, s.length, t.length, s.charAt, t.charAt)
   }
 
-  def jaro(s: String, t: String): Double = {
-    val la = s.length
-    val lb = t.length
+  private def boost(j: Double, la: Int, lb: Int,
+      s: Int => Char, t: Int => Char): Double =
+    if (j > 0.7) {
+      val max = math.min(4, math.min(la, lb))
+      var l = 0
+      while (l < max && s(l) == t(l)) l += 1
+      j + l * 0.1 * (1.0 - j)
+    } else j
+
+  def jaro(s: String, t: String): Double =
+    jaro(s.length, t.length, s.charAt, t.charAt)
+
+  private def jaro(la: Int, lb: Int,
+      s: Int => Char, t: Int => Char): Double = {
     if (la == 0 && lb == 0) return 1.0
     if (la == 0 || lb == 0) return 0.0
     val window = math.max(0, math.max(la, lb) / 2 - 1)
@@ -54,7 +69,7 @@ object JaroWinklerAlgo {
       var k = math.max(0, i - window)
       var found = false
       while (k <= hi && !found) {
-        if (!tM(k) && t.charAt(k) == s.charAt(i)) {
+        if (!tM(k) && t(k) == s(i)) {
           sM(i) = true; tM(k) = true; m += 1; found = true
         }
         k += 1
@@ -68,7 +83,7 @@ object JaroWinklerAlgo {
     while (i < la) {
       if (sM(i)) {
         while (!tM(j)) j += 1
-        if (s.charAt(i) != t.charAt(j)) mismatches += 1
+        if (s(i) != t(j)) mismatches += 1
         j += 1
       }
       i += 1

@@ -87,44 +87,56 @@ object RangeRank {
     ranked.withColumn(tileCol, tile).drop("__rr_rn")
   }
 
+  /** Per-partition aggregate `totals(__rr_pid, __t_<v>...)` lifted to
+    * EXCLUSIVE prefix combines per pid via a tiny self-join (P² rows,
+    * P = partition count — trivial, and every combine runs through
+    * Spark's own aggregate semantics, so ordering/null behavior can
+    * never diverge from the window function being distributed; the
+    * first pid gets nulls from the left join, exactly like an empty
+    * frame). */
+  private def prefixOffsets(totals: DataFrame,
+      combine: (String, String) => Column, valueCols: Seq[String]): DataFrame = {
+    val left = totals.select(col("__rr_pid") +:
+      valueCols.map(v => col(s"__t_$v")): _*)
+    val right = totals.select(col("__rr_pid").as("__rr_pid_b") +:
+      valueCols.map(v => col(s"__t_$v").as(s"__tb_$v")): _*)
+    left.join(right, col("__rr_pid_b") < col("__rr_pid"), "left")
+      .groupBy("__rr_pid")
+      .agg(combine(s"__tb_${valueCols.head}", s"__rr_off_${valueCols.head}"),
+        valueCols.drop(1).map(v => combine(s"__tb_$v", s"__rr_off_$v")): _*)
+  }
+
   /** `df` plus, for each `(valueCol, outCol)` pair, a column `outCol` =
     * running SUM of long-typed `valueCol` over the total order by
     * `keys` (inclusive frame — the `UNBOUNDED PRECEDING AND CURRENT
     * ROW` shape): per-partition running sums lifted by a broadcast of
     * per-partition total prefixes. All scans share ONE range exchange
-    * and one offset pass. Same plan discipline as [[withGlobalRank]] —
-    * no single-partition stage. */
+    * and one offset pass. Null semantics match the naive window: a sum
+    * whose whole preceding frame is null is null, and null values are
+    * skipped. Same plan discipline as [[withGlobalRank]] — no
+    * single-partition stage. */
   def withGlobalCumSums(df: DataFrame, cols: Seq[(String, String)],
       numPartitions: Int, keys: Column*): DataFrame = {
     val ranged = df.repartitionByRange(numPartitions, keys: _*)
       .withColumn("__rr_pid", spark_partition_id())
       .localCheckpoint()
     val totals = ranged.groupBy("__rr_pid")
-      .agg(cols.map { case (v, _) => sum(col(v)).as(s"__t_$v") }.head,
+      .agg(sum(col(cols.head._1)).as(s"__t_${cols.head._1}"),
         cols.drop(1).map { case (v, _) => sum(col(v)).as(s"__t_$v") }: _*)
-      .collect()
-      .map(r => r.getInt(0) -> cols.indices.map(i => r.getLong(i + 1)))
-      .sortBy(_._1)
-    val offsets = totals.map(_._1).zip(
-      totals.map(_._2).scanLeft(cols.map(_ => 0L)) {
-        (acc, t) => acc.zip(t).map { case (a, b) => a + b } })
-    val spark = df.sparkSession
-    val offSchema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("__rr_pid",
-        org.apache.spark.sql.types.IntegerType, nullable = false) +:
-        cols.map { case (v, _) => org.apache.spark.sql.types.StructField(
-          s"__rr_off_$v", org.apache.spark.sql.types.LongType,
-          nullable = false) })
-    val offs = spark.createDataFrame(
-      java.util.Arrays.asList(offsets.map { case (p, vs) =>
-        org.apache.spark.sql.Row.fromSeq(p +: vs) }: _*), offSchema)
+    val offs = prefixOffsets(totals,
+      (in, out) => sum(col(in)).as(out), cols.map(_._1))
     val win = Window.partitionBy("__rr_pid").orderBy(keys: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val locals = cols.foldLeft(ranged) { case (d, (v, _)) =>
       d.withColumn(s"__rr_loc_$v", sum(col(v)).over(win)) }
     val joined = locals.join(broadcast(offs), Seq("__rr_pid"))
     val out = cols.foldLeft(joined) { case (d, (v, o)) =>
-      d.withColumn(o, col(s"__rr_off_$v") + col(s"__rr_loc_$v")) }
+      // null only when BOTH sides are null (empty/all-null global frame)
+      d.withColumn(o,
+        when(col(s"__rr_loc_$v").isNull && col(s"__rr_off_$v").isNull,
+          lit(null))
+          .otherwise(coalesce(col(s"__rr_loc_$v"), lit(0L)) +
+            coalesce(col(s"__rr_off_$v"), lit(0L)))) }
     out.drop("__rr_pid")
       .drop(cols.flatMap { case (v, _) =>
         Seq(s"__rr_loc_$v", s"__rr_off_$v") }: _*)
@@ -141,9 +153,10 @@ object RangeRank {
     * watermark shape). Null semantics match the global window exactly:
     * rows whose frame is empty (the first row under -1) get null —
     * `greatest` skips nulls, and the partition-prefix offset is null
-    * for the first range partition. Works for any ordered type (the
-    * per-partition maxima are prefix-combined on the driver via the
-    * row values' natural ordering). */
+    * for the first range partition. Works for any type Spark can
+    * max(): the prefix combine is itself a Spark `max` over the P-row
+    * per-partition maxima ([[prefixOffsets]]), so its ordering can
+    * never diverge from the window function being distributed. */
   def withGlobalCumMax(df: DataFrame, outCol: String, valueCol: String,
       frameEnd: Int, numPartitions: Int, keys: Column*): DataFrame = {
     require(frameEnd == 0 || frameEnd == -1, s"frameEnd $frameEnd")
@@ -151,32 +164,16 @@ object RangeRank {
       .withColumn("__rr_pid", spark_partition_id())
       .localCheckpoint()
     val totals = ranged.groupBy("__rr_pid")
-      .agg(max(col(valueCol)).as("t"))
-      .collect().map(r => r.getInt(0) -> r.get(1)).sortBy(_._1)
-    // offset(pid) = max of all partitions BEFORE pid (null for the first)
-    def gt(a: Any, b: Any): Boolean =
-      a.asInstanceOf[Comparable[Any]].compareTo(b) > 0
-    val offsets = totals.map(_._1).zip(
-      totals.map(_._2).scanLeft(null: Any) {
-        case (null, v) => v
-        case (acc, null) => acc
-        case (acc, v) => if (gt(v, acc)) v else acc
-      })
-    val spark = df.sparkSession
-    val valueType = ranged.schema(valueCol).dataType
-    val offSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("__rr_pid",
-        org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("__rr_off", valueType)))
-    val offs = spark.createDataFrame(
-      java.util.Arrays.asList(offsets.map { case (p, v) =>
-        org.apache.spark.sql.Row(p, v) }: _*), offSchema)
+      .agg(max(col(valueCol)).as(s"__t_$valueCol"))
+    val offs = prefixOffsets(totals,
+      (in, out) => max(col(in)).as(out), Seq(valueCol))
     ranged
       .withColumn("__rr_local", max(col(valueCol)).over(
         Window.partitionBy("__rr_pid").orderBy(keys: _*)
           .rowsBetween(Window.unboundedPreceding, frameEnd)))
       .join(broadcast(offs), Seq("__rr_pid"))
-      .withColumn(outCol, greatest(col("__rr_local"), col("__rr_off")))
-      .drop("__rr_pid", "__rr_local", "__rr_off")
+      .withColumn(outCol,
+        greatest(col("__rr_local"), col(s"__rr_off_$valueCol")))
+      .drop("__rr_pid", "__rr_local", s"__rr_off_$valueCol")
   }
 }

@@ -34,23 +34,29 @@ object Staging {
     val abs = java.nio.file.Paths.get(pathPart).toAbsolutePath
     val sb = new StringBuilder(abs.toString).append(spec)
     val f = abs.toFile
-    def stamp(x: java.io.File, rel: String): Unit = {
+    // depth-capped, symlink-dirs-not-followed: a symlink cycle (or a
+    // link escaping into a huge unrelated tree) must not turn a tag
+    // computation into an infinite/filesystem-wide walk; the link
+    // itself still stamps (name + target mtime), so retargeting it
+    // changes the tag
+    def stamp(x: java.io.File, rel: String, depth: Int): Unit = {
       sb.append('|').append(rel).append(':')
         .append(x.length).append(':').append(x.lastModified)
-      if (x.isDirectory) {
+      if (x.isDirectory && depth < 32 &&
+          !java.nio.file.Files.isSymbolicLink(x.toPath)) {
         // listFiles() returns null on an I/O error or a vanished dir —
         // treat as empty; the size/mtime stamp above still contributes
         val children = x.listFiles()
         if (children != null)
           children.sortBy(_.getName)
-            .foreach(c => stamp(c, s"$rel/${c.getName}"))
+            .foreach(c => stamp(c, s"$rel/${c.getName}", depth + 1))
       }
     }
-    if (f.isFile) stamp(f, f.getName)
+    if (f.isFile) stamp(f, f.getName, 0)
     else if (f.isDirectory) {
       val children = f.listFiles()
       if (children != null)
-        children.sortBy(_.getName).foreach(c => stamp(c, c.getName))
+        children.sortBy(_.getName).foreach(c => stamp(c, c.getName, 0))
     }
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest(sb.toString.getBytes("UTF-8"))

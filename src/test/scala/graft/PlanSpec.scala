@@ -221,10 +221,12 @@ class PlanSpec extends SparkSpec {
   test("RangeRank prefix scans equal the naive global windows") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
+    // deterministic subset: a bare LIMIT could pick different rows on
+    // each evaluation of the two independent pipelines below
     val ev = Tables(spark, sf).events
       .select(col("event_id"), col("ts"),
         (col("value") * 100).cast("long").as("v"))
-      .limit(2000)
+      .filter(col("event_id") < 2000)
     // cumulative sum, inclusive frame
     val cum = graft.util.RangeRank.withGlobalCumSum(
       ev, "c", "v", 8, col("event_id"))

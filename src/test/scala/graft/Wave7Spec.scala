@@ -63,8 +63,9 @@ class Wave7Spec extends SparkSpec {
       assert(t >= 0.0 && t <= 1.0)
       tris += tri
     }
-    // fixture calibration: threshold 0.3 yields a sparse graph that
-    // still contains triangles somewhere (probed: 111 edges, 2 tris)
+    // fixture calibration: threshold 0.25 yields a sparse graph with
+    // triangles at BOTH spec SFs (probed: sf0.001 246 edges/13 tris,
+    // sf0.01 293/9; 0.3 had zero triangles at sf0.001)
     assert(tris > 0, "calibrate the threshold: no triangles anywhere")
   }
 
