@@ -544,6 +544,40 @@ object SqlSurface {
           |FROM walk
           |GROUP BY node
           |ORDER BY s_suppkey""".stripMargin)
+    },
+
+    // ---- SQL-defined scalar functions + the IDENTIFIER clause (Spark 4
+    //      SQL surface): business logic packaged as catalog-registered
+    //      SQL UDFs — Catalyst INLINES the body into the plan, so unlike
+    //      a Scala/Python UDF these cost nothing at 100 TB (same codegen
+    //      as writing the expression inline, which is exactly what the
+    //      oracle does) — plus template-safe dynamic table resolution
+    //      via IDENTIFIER(...) instead of string-spliced SQL.
+    QueryDef.checked(
+      "q_sql_udf",
+      """SELECT
+        |  CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) < 10000000
+        |         THEN 'small' ELSE 'large' END AS band,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY band""".stripMargin) { (spark, dir) =>
+      spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_cents(x DOUBLE)
+        RETURNS BIGINT RETURN CAST(round(x * 100) AS BIGINT)""")
+      spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_band(c BIGINT)
+        RETURNS STRING RETURN
+        CASE WHEN c < 10000000 THEN 'small' ELSE 'large' END""")
+      Tables(spark, dir).orders
+        .createOrReplaceTempView("graft_sqludf_orders")
+      spark.sql(
+        """SELECT graft_band(graft_cents(o_totalprice)) AS band,
+          |  count(*) AS n,
+          |  sum(graft_cents(o_totalprice)) AS sum_cents
+          |FROM IDENTIFIER('graft_sqludf_orders')
+          |GROUP BY band
+          |ORDER BY band""".stripMargin)
     }
   )
 }
