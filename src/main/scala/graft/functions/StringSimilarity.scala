@@ -27,36 +27,40 @@ import org.apache.spark.unsafe.types.UTF8String
 object JaroWinklerAlgo {
 
   /** Entry point for the expression. ASCII inputs (numBytes ==
-    * numChars) run a zero-copy byte kernel — no String materialization
-    * in the blocked join's inner loop; anything else falls back to the
-    * char kernel for correct non-ASCII comparison. */
+    * numChars) run a zero-copy CONCRETE byte kernel — no String
+    * materialization in the blocked join's inner loop, and no lambda
+    * indirection either (a Function1-parameterized kernel measured
+    * ~15% SLOWER than the String path it replaced; the two loops are
+    * duplicated on purpose to stay monomorphic for the JIT). Anything
+    * non-ASCII falls back to the char kernel for correct comparison. */
   def similarity(a: UTF8String, b: UTF8String): Double =
-    if (a.numBytes == a.numChars && b.numBytes == b.numChars) {
-      val sa: Int => Char = i => a.getByte(i).toChar
-      val tb: Int => Char = i => b.getByte(i).toChar
-      boost(jaro(a.numBytes, b.numBytes, sa, tb),
-        a.numBytes, b.numBytes, sa, tb)
-    } else jaroWinkler(a.toString, b.toString)
+    if (a.numBytes == a.numChars && b.numBytes == b.numChars)
+      jaroWinklerBytes(a, b)
+    else jaroWinkler(a.toString, b.toString)
 
   def jaroWinkler(s: String, t: String): Double = {
-    val j = jaro(s.length, t.length, s.charAt, t.charAt)
-    boost(j, s.length, t.length, s.charAt, t.charAt)
-  }
-
-  private def boost(j: Double, la: Int, lb: Int,
-      s: Int => Char, t: Int => Char): Double =
+    val j = jaro(s, t)
     if (j > 0.7) {
-      val max = math.min(4, math.min(la, lb))
+      val max = math.min(4, math.min(s.length, t.length))
       var l = 0
-      while (l < max && s(l) == t(l)) l += 1
+      while (l < max && s.charAt(l) == t.charAt(l)) l += 1
       j + l * 0.1 * (1.0 - j)
     } else j
+  }
 
-  def jaro(s: String, t: String): Double =
-    jaro(s.length, t.length, s.charAt, t.charAt)
+  private def jaroWinklerBytes(s: UTF8String, t: UTF8String): Double = {
+    val j = jaroBytes(s, t)
+    if (j > 0.7) {
+      val max = math.min(4, math.min(s.numBytes, t.numBytes))
+      var l = 0
+      while (l < max && s.getByte(l) == t.getByte(l)) l += 1
+      j + l * 0.1 * (1.0 - j)
+    } else j
+  }
 
-  private def jaro(la: Int, lb: Int,
-      s: Int => Char, t: Int => Char): Double = {
+  def jaro(s: String, t: String): Double = {
+    val la = s.length
+    val lb = t.length
     if (la == 0 && lb == 0) return 1.0
     if (la == 0 || lb == 0) return 0.0
     val window = math.max(0, math.max(la, lb) / 2 - 1)
@@ -69,7 +73,7 @@ object JaroWinklerAlgo {
       var k = math.max(0, i - window)
       var found = false
       while (k <= hi && !found) {
-        if (!tM(k) && t(k) == s(i)) {
+        if (!tM(k) && t.charAt(k) == s.charAt(i)) {
           sM(i) = true; tM(k) = true; m += 1; found = true
         }
         k += 1
@@ -83,7 +87,48 @@ object JaroWinklerAlgo {
     while (i < la) {
       if (sM(i)) {
         while (!tM(j)) j += 1
-        if (s(i) != t(j)) mismatches += 1
+        if (s.charAt(i) != t.charAt(j)) mismatches += 1
+        j += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    val transpositions = mismatches / 2 // floored — see object doc
+    (md / la + md / lb + (md - transpositions) / md) / 3.0
+  }
+
+  /** Byte-for-byte copy of [[jaro]] over UTF8String bytes (ASCII-only
+    * inputs; the caller guarantees numBytes == numChars). */
+  private def jaroBytes(s: UTF8String, t: UTF8String): Double = {
+    val la = s.numBytes
+    val lb = t.numBytes
+    if (la == 0 && lb == 0) return 1.0
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(0, math.max(la, lb) / 2 - 1)
+    val sM = new Array[Boolean](la)
+    val tM = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val hi = math.min(lb - 1, i + window)
+      var k = math.max(0, i - window)
+      var found = false
+      while (k <= hi && !found) {
+        if (!tM(k) && t.getByte(k) == s.getByte(i)) {
+          sM(i) = true; tM(k) = true; m += 1; found = true
+        }
+        k += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var mismatches = 0
+    var j = 0
+    i = 0
+    while (i < la) {
+      if (sM(i)) {
+        while (!tM(j)) j += 1
+        if (s.getByte(i) != t.getByte(j)) mismatches += 1
         j += 1
       }
       i += 1
