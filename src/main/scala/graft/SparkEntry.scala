@@ -24,7 +24,8 @@ object SparkEntry {
       Packing.defs ++ Retrieval.defs ++ VectorCuration.defs ++
       GraphRank.defs ++ Profiling.defs ++ Concentration.defs ++
       Intervals.defs ++ Diagnostics.defs ++ TokenizerOps.defs ++
-      Governance.defs ++ Inference.defs ++ TimeSeries.defs ++ Learning.defs
+      Governance.defs ++ Inference.defs ++ TimeSeries.defs ++ Learning.defs ++
+      Experiments.defs
 
   require(allDefs.map(_.name).distinct.size == allDefs.size,
     "duplicate query names across operator families")

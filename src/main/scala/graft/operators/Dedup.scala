@@ -627,6 +627,43 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // ---- n-gram novelty (first-occurrence attribution): for each doc,
+    //      the share of its distinct shingles whose corpus-wide FIRST
+    //      owner (min doc_id) is the doc itself — the quantity a
+    //      keep-first dedup policy preserves, where q_dup_ngram_rate
+    //      measures raw duplication symmetrically. Same h-keyed shuffle
+    //      as the MinHash path (the min-doc window replaces the count
+    //      window); nothing corpus-wide lands on one node.
+    QueryDef.checked(
+      "q_ngram_novelty",
+      s"""WITH hg AS (
+         |  SELECT DISTINCT doc_id, h FROM ($duckHashedGrams)
+         |), fo AS (
+         |  SELECT doc_id, h, min(doc_id) OVER (PARTITION BY h) AS first_doc
+         |  FROM hg
+         |)
+         |SELECT doc_id, count(*) AS n_grams,
+         |  CAST(count(*) FILTER (WHERE first_doc = doc_id) AS BIGINT)
+         |    AS n_novel,
+         |  round(CAST(count(*) FILTER (WHERE first_doc = doc_id) AS DOUBLE)
+         |    / count(*), 6) AS novelty_rate
+         |FROM fo GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      hashedGrams(Tables(spark, dir).documents)
+        .distinct()
+        .withColumn("first_doc",
+          min(col("doc_id")).over(Window.partitionBy("h")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("first_doc") === col("doc_id"), 1)).cast("long")
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_grams"), 6)
+            .as("novelty_rate"))
+        .orderBy("doc_id")
+    },
+
     // ---- exact substring-span dedup audit (the Lee et al.
     //      "Deduplicating Training Data" pass, at 8-token granularity):
     //      every positioned 8-gram occurring ≥ 2 times corpus-wide is a

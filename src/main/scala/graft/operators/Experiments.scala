@@ -1,0 +1,331 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Experiment-analysis and model-evaluation statistics: Kaplan-Meier
+  * survival over customer order histories, Welch's unequal-variance
+  * t-test, Benjamini-Hochberg FDR control across a metric family, and
+  * a seasonal-naive forecast backtest (the canonical "is the fancy
+  * model beating the dumb baseline" report).
+  *
+  * Scale stance (100 TB):
+  *   - Every query reduces the fact table to a BOUNDED relation first
+  *     (per-customer 1-row aggregate, per-type 1-row moments, per-(type,
+  *     day) counts) with one keyed shuffle; the windows/cumulatives that
+  *     follow run over those bounded relations only — duration buckets
+  *     (≤ ~80 rows), event types (5), type×day grids — and are annotated
+  *     at the call site.
+  *   - Moments (mean/variance) are computed from raw sum/sum-of-squares
+  *     aggregates with the SAME closed form on both engines, so the
+  *     oracle comparison never depends on an engine's private variance
+  *     recurrence.
+  *   - The Kaplan-Meier cumulative product is exp∘Σln on BOTH sides —
+  *     one associative sum instead of an ordered product, which is also
+  *     what makes it a mergeable partial at scale.
+  */
+object Experiments {
+
+  /** One-sided normal tail approximation p ≈ exp(−0.717z − 0.416z²)
+    * (Lin 1989's logistic-family bound; max abs error < 0.0014 for
+    * z ≥ 0). Chosen over erfc because both engines evaluate this exact
+    * expression identically — there is no libm erfc in either SQL
+    * surface. */
+  private def duckTail(z: String) = s"exp(-0.717 * $z - 0.416 * $z * $z)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Kaplan-Meier survival: per-customer lifetime = days between
+    //      first and last order, binned to 30-day buckets; "churned"
+    //      (event) if the last order predates 1998-01-01, else censored.
+    //      S(t) = Π_{u≤t} (1 − d_u/n_u) over event buckets, computed as
+    //      exp(Σ ln) identically on both engines.
+    QueryDef.checked(
+      "q_kaplan_meier",
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', min(o_orderdate), max(o_orderdate)) // 30
+        |      AS BIGINT) AS t,
+        |    CASE WHEN max(o_orderdate) < TIMESTAMP '1998-01-01'
+        |         THEN 1 ELSE 0 END AS ev
+        |  FROM orders GROUP BY o_custkey
+        |), tot AS (
+        |  SELECT count(*) AS n_total FROM cust
+        |), bytime AS (
+        |  SELECT t, CAST(sum(ev) AS BIGINT) AS n_events,
+        |    CAST(count(*) - sum(ev) AS BIGINT) AS n_censored
+        |  FROM cust GROUP BY t
+        |), risk AS (
+        |  SELECT t, n_events, n_censored,
+        |    CAST(tot.n_total - coalesce(sum(n_events + n_censored) OVER (
+        |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_at_risk
+        |  FROM bytime, tot
+        |)
+        |SELECT t, n_events, n_censored, n_at_risk,
+        |  round(exp(sum(CASE WHEN n_events > 0
+        |    THEN ln(1.0 - CAST(n_events AS DOUBLE) / n_at_risk)
+        |    ELSE 0.0 END) OVER (
+        |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+        |    AS survival
+        |FROM risk
+        |ORDER BY t""".stripMargin) { (spark, dir) =>
+      // churned iff the customer's LAST order predates the cutoff
+      val custs = Tables(spark, dir).orders
+        .groupBy("o_custkey")
+        .agg(
+          expr("CAST(datediff(max(o_orderdate), min(o_orderdate)) AS BIGINT) div 30")
+            .as("t"),
+          when(max(col("o_orderdate")) < lit("1998-01-01").cast("timestamp"), 1)
+            .otherwise(0).as("ev"))
+      val total = custs.agg(count(lit(1)).as("n_total"))
+      val bytime = custs.groupBy("t")
+        .agg(sum(col("ev")).cast("long").as("n_events"),
+          (count(lit(1)) - sum(col("ev"))).cast("long").as("n_censored"))
+      // windows below run over the duration-bucket relation — bounded by
+      // the calendar span (≤ ~80 rows), not the order count
+      val wPrev = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCur = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bytime.crossJoin(broadcast(total))
+        .withColumn("n_at_risk",
+          (col("n_total") -
+            coalesce(sum(col("n_events") + col("n_censored")).over(wPrev),
+              lit(0L))).cast("long"))
+        .withColumn("survival",
+          round(exp(sum(when(col("n_events") > 0,
+            log(lit(1.0) - col("n_events").cast("double") / col("n_at_risk")))
+            .otherwise(lit(0.0))).over(wCur)), 6))
+        .select("t", "n_events", "n_censored", "n_at_risk", "survival")
+        .orderBy("t")
+    },
+
+    // ---- Welch's unequal-variance t-test: purchase vs click event
+    //      values. Moments from raw Σv/Σv² so both engines share one
+    //      closed form; t statistic + Welch-Satterthwaite df.
+    QueryDef.checked(
+      "q_welch_ttest",
+      """WITH g AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(value) AS sx, sum(value * value) AS sxx
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |  GROUP BY event_type
+        |), m AS (
+        |  SELECT event_type, n, sx / n AS mean,
+        |    (sxx - sx * sx / n) / (n - 1) AS var
+        |  FROM g
+        |), w AS (
+        |  SELECT
+        |    max(CASE WHEN event_type = 'purchase' THEN n END) AS n1,
+        |    max(CASE WHEN event_type = 'click' THEN n END) AS n2,
+        |    max(CASE WHEN event_type = 'purchase' THEN mean END) AS m1,
+        |    max(CASE WHEN event_type = 'click' THEN mean END) AS m2,
+        |    max(CASE WHEN event_type = 'purchase' THEN var END) AS v1,
+        |    max(CASE WHEN event_type = 'click' THEN var END) AS v2
+        |  FROM m
+        |)
+        |SELECT CAST(n1 AS BIGINT) AS n_purchase, CAST(n2 AS BIGINT) AS n_click,
+        |  round(m1, 6) AS mean_purchase, round(m2, 6) AS mean_click,
+        |  round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+        |  round((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+        |    / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+        |     + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS welch_df
+        |FROM w""".stripMargin) { (spark, dir) =>
+      val g = Tables(spark, dir).events
+        .filter(col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sx"),
+          sum(col("value") * col("value")).as("sxx"))
+        .select(col("event_type"), col("n"),
+          (col("sx") / col("n")).as("mean"),
+          ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+            .as("var"))
+      // 2-row pivot to a single row — driver-free, one tiny aggregate
+      g.agg(
+        max(when(col("event_type") === "purchase", col("n"))).as("n1"),
+        max(when(col("event_type") === "click", col("n"))).as("n2"),
+        max(when(col("event_type") === "purchase", col("mean"))).as("m1"),
+        max(when(col("event_type") === "click", col("mean"))).as("m2"),
+        max(when(col("event_type") === "purchase", col("var"))).as("v1"),
+        max(when(col("event_type") === "click", col("var"))).as("v2"))
+        .select(
+          col("n1").cast("long").as("n_purchase"),
+          col("n2").cast("long").as("n_click"),
+          round(col("m1"), 6).as("mean_purchase"),
+          round(col("m2"), 6).as("mean_click"),
+          round((col("m1") - col("m2")) /
+            sqrt(col("v1") / col("n1") + col("v2") / col("n2")), 6)
+            .as("t_stat"),
+          round(
+            (col("v1") / col("n1") + col("v2") / col("n2")) *
+              (col("v1") / col("n1") + col("v2") / col("n2")) /
+              ((col("v1") / col("n1")) * (col("v1") / col("n1")) / (col("n1") - 1) +
+                (col("v2") / col("n2")) * (col("v2") / col("n2")) / (col("n2") - 1)),
+            6).as("welch_df"))
+    },
+
+    // ---- Benjamini-Hochberg FDR across the per-event-type "did the
+    //      mean value shift after 2024-01-16" test family: z from the
+    //      two-sample closed form, p from the shared tail approximation,
+    //      then the BH step-up rule at q = 0.10 (reject ranks ≤ the
+    //      LARGEST rank whose p ≤ q·i/m — including any non-flagged
+    //      ranks below it, the part naive implementations get wrong).
+    QueryDef.checked(
+      "q_bh_fdr",
+      s"""WITH g AS (
+        |  SELECT event_type,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 'r' ELSE 'o' END AS per,
+        |    count(*) AS n, sum(value) AS sx, sum(value * value) AS sxx
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, per, n, sx / n AS mean,
+        |    (sxx - sx * sx / n) / (n - 1) AS var
+        |  FROM g
+        |), z AS (
+        |  SELECT r.event_type, r.n AS n_recent, o.n AS n_old,
+        |    (r.mean - o.mean) / sqrt(r.var / r.n + o.var / o.n) AS zval
+        |  FROM m r JOIN m o ON o.event_type = r.event_type
+        |  WHERE r.per = 'r' AND o.per = 'o'
+        |), p AS (
+        |  SELECT event_type, n_recent, n_old, zval,
+        |    least(1.0, 2.0 * ${duckTail("abs(zval)")}) AS pval
+        |  FROM z
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY pval, event_type) AS p_rank,
+        |    count(*) OVER () AS m_tests
+        |  FROM p
+        |), gated AS (
+        |  SELECT *, max(CASE WHEN pval <= 0.10 * p_rank / m_tests
+        |                     THEN p_rank END) OVER () AS k_max
+        |  FROM ranked
+        |)
+        |SELECT event_type, CAST(n_recent AS BIGINT) AS n_recent,
+        |  CAST(n_old AS BIGINT) AS n_old,
+        |  round(zval, 6) AS z, round(pval, 6) AS p,
+        |  CAST(p_rank AS BIGINT) AS p_rank,
+        |  coalesce(p_rank <= k_max, FALSE) AS rejected
+        |FROM gated
+        |ORDER BY p_rank""".stripMargin) { (spark, dir) =>
+      val g = Tables(spark, dir).events
+        .withColumn("per",
+          when(col("ts") >= lit("2024-01-16").cast("timestamp"), "r")
+            .otherwise("o"))
+        .groupBy("event_type", "per")
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sx"),
+          sum(col("value") * col("value")).as("sxx"))
+        .select(col("event_type"), col("per"), col("n"),
+          (col("sx") / col("n")).as("mean"),
+          ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+            .as("var"))
+      val r = g.filter(col("per") === "r")
+        .select(col("event_type"), col("n").as("n_recent"),
+          col("mean").as("mr"), col("var").as("vr"))
+      val o = g.filter(col("per") === "o")
+        .select(col("event_type"), col("n").as("n_old"),
+          col("mean").as("mo"), col("var").as("vo"))
+      val z = r.join(o, Seq("event_type"))
+        .select(col("event_type"), col("n_recent"), col("n_old"),
+          ((col("mr") - col("mo")) /
+            sqrt(col("vr") / col("n_recent") + col("vo") / col("n_old")))
+            .as("zval"))
+        .withColumn("az", abs(col("zval")))
+        .withColumn("pval",
+          least(lit(1.0),
+            lit(2.0) * exp(lit(-0.717) * col("az") -
+              lit(0.416) * col("az") * col("az"))))
+      // windows over the metric family — |event_type| = 5 rows, bounded
+      val wAll = Window.partitionBy(lit(1))
+      val wRank = Window.partitionBy(lit(1)).orderBy("pval", "event_type")
+      z.withColumn("p_rank", row_number().over(wRank))
+        .withColumn("m_tests", count(lit(1)).over(wAll))
+        .withColumn("k_max",
+          max(when(col("pval") <= lit(0.10) * col("p_rank") / col("m_tests"),
+            col("p_rank"))).over(wAll))
+        .select(col("event_type"),
+          col("n_recent").cast("long").as("n_recent"),
+          col("n_old").cast("long").as("n_old"),
+          round(col("zval"), 6).as("z"), round(col("pval"), 6).as("p"),
+          col("p_rank").cast("long").as("p_rank"),
+          coalesce(col("p_rank") <= col("k_max"), lit(false)).as("rejected"))
+        .orderBy("p_rank")
+    },
+
+    // ---- seasonal-naive backtest: forecast each (type, day) count with
+    //      the count 7 days earlier (JOIN on the date key, not lag(7
+    //      rows) — gap-proof), then per-type MAE / sMAPE. The baseline
+    //      every forecasting model must beat before it ships.
+    QueryDef.checked(
+      "q_seasonal_backtest",
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS d, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), eval AS (
+        |  SELECT a.event_type, a.d, a.n AS actual, b.n AS forecast
+        |  FROM daily a JOIN daily b
+        |    ON b.event_type = a.event_type
+        |   AND b.d = a.d - INTERVAL 7 DAY
+        |)
+        |SELECT event_type, count(*) AS n_days,
+        |  round(avg(CAST(abs(actual - forecast) AS DOUBLE)), 6) AS mae,
+        |  round(avg(2.0 * abs(actual - forecast)
+        |    / CAST(actual + forecast AS DOUBLE)), 6) AS smape
+        |FROM eval
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val daily = Tables(spark, dir).events
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      // fully-renamed forecast side — no ambiguous self-join lineage
+      val fc = daily.select(col("event_type").as("f_type"),
+        col("d").as("fd"), col("n").as("forecast"))
+      daily.join(fc,
+        col("f_type") === col("event_type") &&
+          col("fd") === col("d") - expr("INTERVAL 7 DAY"))
+        .select(col("event_type"), col("d"), col("n").as("actual"),
+          col("forecast"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          round(avg(abs(col("actual") - col("forecast")).cast("double")), 6)
+            .as("mae"),
+          round(avg(lit(2.0) * abs(col("actual") - col("forecast")) /
+            (col("actual") + col("forecast")).cast("double")), 6).as("smape"))
+        .orderBy("event_type")
+    },
+
+    // ---- power analysis / minimum detectable effect: per event type,
+    //      the smallest mean shift a 50/50 experiment over the observed
+    //      population could detect at α = 0.05 (two-sided, z = 1.959964)
+    //      with 80% power (z = 0.841621):
+    //      MDE = (z_α + z_β)·σ·√(2/(n/2)). One 1-row-per-type moment
+    //      aggregate — the pre-registration sizing report.
+    QueryDef.checked(
+      "q_power_mde",
+      """WITH g AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sqrt((sum(value * value) - sum(value) * sum(value) / count(*))
+        |      / (count(*) - 1)) AS sd
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, round(sd, 6) AS sd,
+        |  round((1.959964 + 0.841621) * sd * sqrt(2.0 / (n / 2)), 6)
+        |    AS mde_abs,
+        |  CAST(n // 2 AS BIGINT) AS n_per_arm
+        |FROM g
+        |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).events
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sqrt((sum(col("value") * col("value")) -
+            sum(col("value")) * sum(col("value")) / count(lit(1))) /
+            (count(lit(1)) - 1)).as("sd"))
+        .select(col("event_type"), col("n").cast("long").as("n"),
+          round(col("sd"), 6).as("sd"),
+          round(lit(1.959964 + 0.841621) * col("sd") *
+            sqrt(lit(2.0) / (col("n") / 2)), 6).as("mde_abs"),
+          expr("n div 2").as("n_per_arm"))
+        .orderBy("event_type")
+    }
+  )
+}

@@ -164,6 +164,59 @@ object GraphRank {
         .orderBy("node")
     },
 
+    // ---- k-core peeling (k = 3, 3 rounds) over the sparse high-volume
+    //      trade graph: each round drops nodes of degree < k and keeps
+    //      only edges with both endpoints surviving; the report is the
+    //      per-round node/edge census. Each round is one degree
+    //      aggregate + two semi joins, all shuffling on the node id the
+    //      edge relation is already partitioned by — the same key
+    //      PageRank iterates on, so a 100 TB run reuses one bucketing.
+    //      (Full peeling runs to a fixpoint with the same convergence
+    //      check as q_dedup_clusters; 3 unrolled rounds keep the DuckDB
+    //      oracle expressible.)
+    QueryDef.checked(
+      "q_kcore_peel",
+      s"""WITH ${duckTradeEdges("\n  WHERE l_quantity >= 49")},
+        |d0 AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        |k0 AS (SELECT src FROM d0 WHERE deg >= 3),
+        |e1 AS (SELECT e.src, e.dst FROM edges e
+        |       JOIN k0 a ON a.src = e.src JOIN k0 b ON b.src = e.dst),
+        |d1 AS (SELECT src, count(*) AS deg FROM e1 GROUP BY src),
+        |k1 AS (SELECT src FROM d1 WHERE deg >= 3),
+        |e2 AS (SELECT e.src, e.dst FROM e1 e
+        |       JOIN k1 a ON a.src = e.src JOIN k1 b ON b.src = e.dst),
+        |d2 AS (SELECT src, count(*) AS deg FROM e2 GROUP BY src),
+        |k2 AS (SELECT src FROM d2 WHERE deg >= 3),
+        |e3 AS (SELECT e.src, e.dst FROM e2 e
+        |       JOIN k2 a ON a.src = e.src JOIN k2 b ON b.src = e.dst)
+        |SELECT 0 AS round, count(DISTINCT src) AS n_nodes, count(*) AS n_dir_edges FROM edges
+        |UNION ALL
+        |SELECT 1, count(DISTINCT src), count(*) FROM e1
+        |UNION ALL
+        |SELECT 2, count(DISTINCT src), count(*) FROM e2
+        |UNION ALL
+        |SELECT 3, count(DISTINCT src), count(*) FROM e3
+        |ORDER BY round""".stripMargin) { (spark, dir) =>
+      // one materialization feeds all three peel rounds + the census
+      var e = tradeEdges(Tables(spark, dir), Some(col("l_quantity") >= 49))
+        .localCheckpoint()
+      def census(round: Int, ed: org.apache.spark.sql.DataFrame) =
+        ed.agg(countDistinct(col("src")).as("n_nodes"),
+          count(lit(1)).as("n_dir_edges"))
+          .select(lit(round).as("round"), col("n_nodes"), col("n_dir_edges"))
+      var out = census(0, e)
+      for (r <- 1 to 3) {
+        val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 3).select("src")
+        e = e.join(keep, Seq("src"), "left_semi")
+          .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+          .select("src", "dst")
+          .localCheckpoint() // each round feeds the next round + census
+        out = out.unionAll(census(r, e))
+      }
+      out.orderBy("round")
+    },
+
     // ---- batch sessionization: 30-minute-gap sessions per user over
     //      the event log (lag → new-session flag → running sum), with
     //      per-session stats. The batch twin of q_stream_session: one

@@ -454,6 +454,55 @@ object Packing {
         .orderBy("shard")
     },
 
+    // ---- shuffle sharding (the Route 53 / Shuffle Sharding isolation
+    //      pattern): each user is assigned the 2 of 8 shards with the
+    //      smallest per-(user, shard) hash weights, so two users share
+    //      BOTH shards with probability only 1/C(8,2) — a noisy
+    //      neighbor takes out at most its own pair. The report is the
+    //      pair-occupancy census (all 28 pairs + load skew inputs).
+    //      Scale: the 8-row explode rides the user scan; the choose-2
+    //      is a per-user window over 8 rows (bounded); one shuffle on
+    //      the pair key for the census — no corpus-wide sort anywhere.
+    QueryDef.checked(
+      "q_shuffle_sharding",
+      """WITH users AS (
+        |  SELECT DISTINCT user_id FROM events
+        |), w AS (
+        |  SELECT user_id, s,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY
+        |      CAST(concat('0x', substring(md5(
+        |        concat(CAST(user_id AS VARCHAR), '#', CAST(s AS VARCHAR))),
+        |        1, 13)) AS BIGINT), s) AS rn
+        |  FROM users, range(8) t(s)
+        |), pick AS (
+        |  SELECT user_id,
+        |    CAST(min(CASE WHEN rn <= 2 THEN s END) AS BIGINT) AS s_lo,
+        |    CAST(max(CASE WHEN rn <= 2 THEN s END) AS BIGINT) AS s_hi
+        |  FROM w GROUP BY user_id
+        |)
+        |SELECT s_lo, s_hi, count(*) AS n_users
+        |FROM pick
+        |GROUP BY s_lo, s_hi
+        |ORDER BY s_lo, s_hi""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val users = Tables(spark, dir).events.select("user_id").distinct()
+      // per-user window over exactly 8 exploded rows — bounded frame
+      val wU = Window.partitionBy("user_id").orderBy(col("hv"), col("s"))
+      users.select(col("user_id"), explode(expr("sequence(0, 7)")).as("s"))
+        .withColumn("hv", expr(
+          """CAST(conv(substring(md5(concat(
+            |  CAST(user_id AS STRING), '#', CAST(s AS STRING))), 1, 13),
+            |  16, 10) AS BIGINT)""".stripMargin))
+        .withColumn("rn", row_number().over(wU))
+        .groupBy("user_id")
+        .agg(
+          min(when(col("rn") <= 2, col("s"))).cast("long").as("s_lo"),
+          max(when(col("rn") <= 2, col("s"))).cast("long").as("s_hi"))
+        .groupBy("s_lo", "s_hi")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("s_lo", "s_hi")
+    },
+
     // ---- smoothed target encoding: the categorical-feature encoder a
     //      tabular model trains with — category mean of the target
     //      blended toward the global prior by pseudo-count m=50

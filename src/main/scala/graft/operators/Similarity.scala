@@ -351,6 +351,73 @@ object Similarity {
           round(col("n_correct").cast("double") / col("n_queries"), 6)
             .as("accuracy"))
         .orderBy("true_label")
+    },
+
+    // ---- binary quantization + hamming rerank (the BQ serving path):
+    //      sign-bit-pack each 64-dim embedding into two 32-bit words,
+    //      shortlist the 30 nearest codes by hamming distance to the
+    //      query's code, then exact-cosine rerank the shortlist to a
+    //      top-10. At 100 TB only the 8-byte codes column scans (64×
+    //      smaller than the floats); the floats are read back for 30
+    //      rows. Two 32-bit words rather than one 64-bit pack keeps bit
+    //      63 out of the BIGINT sign position on both engines.
+    QueryDef.checked(
+      "q_binary_hamming_rerank",
+      s"""WITH bits AS (
+        |  SELECT e.vec_id, t.i,
+        |    CASE WHEN CAST(e.embedding[t.i + 1] AS DOUBLE) >= 0
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM embeddings e, range(64) t(i)
+        |), codes AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN i < 32 THEN bit * (1::BIGINT << i)
+        |             ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN i >= 32 THEN bit * (1::BIGINT << (i - 32))
+        |             ELSE 0 END) AS BIGINT) AS hi
+        |  FROM bits GROUP BY vec_id
+        |), qc AS (
+        |  SELECT lo AS q_lo, hi AS q_hi FROM codes WHERE vec_id = 0
+        |), cand AS (
+        |  SELECT c.vec_id,
+        |    CAST(bit_count(xor(c.lo, q_lo)) + bit_count(xor(c.hi, q_hi))
+        |      AS BIGINT) AS hamming
+        |  FROM codes c, qc WHERE c.vec_id <> 0
+        |  ORDER BY hamming, c.vec_id LIMIT 30
+        |)
+        |SELECT b.vec_id, c.hamming, round($cosSimSql, 6) AS sim
+        |FROM cand c
+        |JOIN embeddings b ON b.vec_id = c.vec_id,
+        |  (SELECT embedding FROM embeddings WHERE vec_id = 0) a
+        |ORDER BY round($cosSimSql, 6) DESC, b.vec_id
+        |LIMIT 10""".stripMargin) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+      def pack(off: Int) =
+        expr(s"""aggregate(zip_with(slice(embedding, ${off + 1}, 32),
+          |  sequence(0, 31),
+          |  (x, i) -> IF(CAST(x AS DOUBLE) >= 0,
+          |            shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+          |  CAST(0 AS BIGINT), (p, q) -> p + q)""".stripMargin)
+      val codes = emb.select(col("vec_id"),
+        pack(0).as("lo"), pack(32).as("hi"))
+      val qc = codes.filter(col("vec_id") === 0)
+        .select(col("lo").as("q_lo"), col("hi").as("q_hi"))
+      // TakeOrderedAndProject top-30 on the 16-byte code stream
+      val cand = codes.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qc))
+        .select(col("vec_id"),
+          (expr("bit_count(lo ^ q_lo)") + expr("bit_count(hi ^ q_hi)"))
+            .cast("long").as("hamming"))
+        .orderBy(col("hamming"), col("vec_id"))
+        .limit(30)
+      val qe = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_embedding"))
+      cand.join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .crossJoin(broadcast(qe))
+        .select(col("vec_id"), col("hamming"),
+          round(VectorFunctions.cosineSim(col("q_embedding"), col("embedding")), 6)
+            .as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
     }
   )
 }

@@ -578,6 +578,37 @@ object SqlSurface {
           |FROM IDENTIFIER('graft_sqludf_orders')
           |GROUP BY band
           |ORDER BY band""".stripMargin)
+    },
+
+    // ---- GROUP BY ALL / ORDER BY ALL: the modern-SQL ergonomics
+    //      surface — both engines resolve ALL from the non-aggregate
+    //      select list (derived expressions included). Plans identically
+    //      to the explicit GROUP BY — resolution sugar only. (A lateral
+    //      column alias inside GROUP BY ALL is DuckDB-only today; Spark
+    //      raises UNSUPPORTED_FEATURE, so both sides spell the
+    //      expression out.)
+    QueryDef.checked(
+      "q_group_by_all",
+      """SELECT o_orderpriority,
+        |  year(o_orderdate) AS yr,
+        |  year(o_orderdate) - 1995 AS yr_idx,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders
+        |GROUP BY ALL
+        |ORDER BY ALL""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).orders
+        .createOrReplaceTempView("graft_gba_orders")
+      spark.sql(
+        """SELECT o_orderpriority,
+          |  year(o_orderdate) AS yr,
+          |  year(o_orderdate) - 1995 AS yr_idx,
+          |  count(*) AS n,
+          |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents
+          |FROM graft_gba_orders
+          |GROUP BY ALL
+          |ORDER BY ALL""".stripMargin)
     }
   )
 }

@@ -809,6 +809,57 @@ object Stats {
           * (m("sxy") - m("sx") * m("sy")) / varX, 6).as("var_adjusted"),
         round((m("sxy") - m("sx") * m("sy")) * (m("sxy") - m("sx") * m("sy"))
           / varX / varY, 6).as("var_reduction"))
+    },
+
+    // ---- Gaussian kernel density estimate of purchase values at 11
+    //      evenly spaced evaluation points, Silverman bandwidth
+    //      h = 1.06·σ·n^(−1/5). The spine (11 rows, from the 1-row
+    //      min/max/σ aggregate) broadcasts over ONE fact scan — the
+    //      kernel sum is a map-side aggregate keyed by the 11-point id,
+    //      so at 100 TB it is a single pass with an 11-row result; no
+    //      per-point rescans, no corpus sort. Same closed forms (σ from
+    //      Σv/Σv², exp kernel) on both engines.
+    QueryDef.checked(
+      "q_kde_density",
+      """WITH m AS (
+        |  SELECT count(*) AS n, min(value) AS lo, max(value) AS hi,
+        |    sqrt((sum(value * value) - sum(value) * sum(value) / count(*))
+        |      / (count(*) - 1)) AS sd
+        |  FROM events WHERE event_type = 'purchase'
+        |), pts AS (
+        |  SELECT i, lo + i * (hi - lo) / 10.0 AS x,
+        |    1.06 * sd * pow(n, -0.2) AS h, n
+        |  FROM m, range(11) t(i)
+        |)
+        |SELECT CAST(p.i AS BIGINT) AS pt, round(p.x, 6) AS x,
+        |  round(sum(exp(-(p.x - e.value) * (p.x - e.value)
+        |      / (2 * p.h * p.h)))
+        |    / (p.n * p.h * sqrt(2 * pi())), 6) AS density
+        |FROM pts p, (SELECT value FROM events
+        |             WHERE event_type = 'purchase') e
+        |GROUP BY p.i, p.x, p.h, p.n
+        |ORDER BY pt""".stripMargin) { (spark, dir) =>
+      val purch = Tables(spark, dir).events
+        .filter(col("event_type") === "purchase").select("value")
+      val m = purch.agg(count(lit(1)).as("n"), min(col("value")).as("lo"),
+        max(col("value")).as("hi"),
+        sqrt((sum(col("value") * col("value")) -
+          sum(col("value")) * sum(col("value")) / count(lit(1))) /
+          (count(lit(1)) - 1)).as("sd"))
+      val pts = m.select(explode(expr("sequence(0, 10)")).as("i"),
+          col("lo"), col("hi"), col("sd"), col("n"))
+        .select(col("i"),
+          (col("lo") + col("i") * (col("hi") - col("lo")) / 10.0).as("x"),
+          (lit(1.06) * col("sd") * pow(col("n"), -0.2)).as("h"), col("n"))
+      purch.crossJoin(broadcast(pts))
+        .groupBy("i", "x", "h", "n")
+        .agg(sum(exp(-(col("x") - col("value")) * (col("x") - col("value")) /
+          (lit(2) * col("h") * col("h")))).as("ksum"))
+        .select(col("i").cast("long").as("pt"), round(col("x"), 6).as("x"),
+          round(col("ksum") /
+            (col("n") * col("h") * sqrt(lit(2) * lit(math.Pi))), 6)
+            .as("density"))
+        .orderBy("pt")
     }
   )
 }

@@ -558,6 +558,44 @@ object TextAnalysis {
           expr("CAST(1000 * sum(pass) div count(*) AS BIGINT)")
             .as("pass_permille"))
         .orderBy("rule")
+    },
+
+    // ---- readability scoring (Flesch reading ease, syllables
+    //      approximated as vowel runs): words from the whitespace
+    //      tokenizer, sentences from terminal-punctuation counts
+    //      (floored at 1), all three counts per-row scalar work that
+    //      rides the document scan — no shuffle until the final sort,
+    //      which a real pipeline drops (the score joins back onto the
+    //      doc row). The quality-filter signal complementary to
+    //      q_quality_score's ratio rules.
+    QueryDef.checked(
+      "q_readability",
+      """SELECT doc_id, n_words, n_sents, n_syll,
+        |  round(206.835 - 1.015 * CAST(n_words AS DOUBLE) / n_sents
+        |    - 84.6 * CAST(n_syll AS DOUBLE) / n_words, 6) AS flesch
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]')))
+        |      AS BIGINT) AS n_sents,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syll
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          greatest(lit(1),
+            size(regexp_extract_all(col("text"), lit("[.!?]"), lit(0))))
+            .cast("long").as("n_sents"),
+          size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+            .cast("long").as("n_syll"))
+        .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syll"),
+          round(lit(206.835)
+            - lit(1.015) * col("n_words").cast("double") / col("n_sents")
+            - lit(84.6) * col("n_syll").cast("double") / col("n_words"), 6)
+            .as("flesch"))
+        .orderBy("doc_id")
     }
   )
 }

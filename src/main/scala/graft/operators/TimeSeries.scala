@@ -376,6 +376,65 @@ object TimeSeries {
             .as("score"))
     },
 
+    // ---- Brown's double exponential smoothing (α = 0.3, normalized
+    //      finite-history weights — pandas ewm adjust=True semantics):
+    //      S1 = EWMA(y), S2 = EWMA(S1), one-step forecast
+    //      2·S1 − S2 + (α/(1−α))·(S1 − S2). Each smoothing pass is a
+    //      decay-weighted self-join of the per-(type, day) grid on the
+    //      date key — the grid is |types|×|days| (bounded), so the
+    //      quadratic join is calendar-bounded, never fact-sized; the
+    //      single fact-table scan is the daily aggregate. Identical
+    //      pow(0.7, Δd) expressions on both engines.
+    QueryDef.checked(
+      "q_brown_smoothing",
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS d,
+        |    CAST(count(*) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1, 2
+        |), s1 AS (
+        |  SELECT a.event_type, a.d,
+        |    sum(pow(0.7, date_diff('day', b.d, a.d)) * b.y)
+        |      / sum(pow(0.7, date_diff('day', b.d, a.d))) AS s1
+        |  FROM daily a JOIN daily b
+        |    ON b.event_type = a.event_type AND b.d <= a.d
+        |  GROUP BY a.event_type, a.d
+        |), s2 AS (
+        |  SELECT a.event_type, a.d, a.s1,
+        |    sum(pow(0.7, date_diff('day', b.d, a.d)) * b.s1)
+        |      / sum(pow(0.7, date_diff('day', b.d, a.d))) AS s2
+        |  FROM s1 a JOIN s1 b
+        |    ON b.event_type = a.event_type AND b.d <= a.d
+        |  GROUP BY a.event_type, a.d, a.s1
+        |)
+        |SELECT event_type, CAST(d AS DATE) AS d,
+        |  round(s1, 6) AS s1, round(s2, 6) AS s2,
+        |  round(2 * s1 - s2 + (0.3 / 0.7) * (s1 - s2), 6) AS forecast_next
+        |FROM s2
+        |ORDER BY event_type, d""".stripMargin) { (spark, dir) =>
+      val daily = Tables(spark, dir).events
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).cast("double").as("y"))
+        .localCheckpoint() // feeds both sides of both smoothing passes
+      def smooth(grid: org.apache.spark.sql.DataFrame, valCol: String,
+          outCol: String): org.apache.spark.sql.DataFrame = {
+        val b = grid.select(col("event_type").as("b_type"),
+          col("d").as("b_d"), col(valCol).as("b_v"))
+        val decay = pow(lit(0.7), datediff(col("d"), col("b_d")))
+        grid.join(b, col("b_type") === col("event_type") &&
+            col("b_d") <= col("d"))
+          .groupBy(grid.columns.map(col): _*)
+          .agg((sum(decay * col("b_v")) / sum(decay)).as(outCol))
+      }
+      val s1 = smooth(daily, "y", "s1").drop("y").localCheckpoint()
+      smooth(s1, "s1", "s2")
+        .select(col("event_type"), to_date(col("d")).as("d"),
+          round(col("s1"), 6).as("s1"), round(col("s2"), 6).as("s2"),
+          round(lit(2) * col("s1") - col("s2") +
+            (lit(0.3) / lit(0.7)) * (col("s1") - col("s2")), 6)
+            .as("forecast_next"))
+        .orderBy("event_type", "d")
+    },
+
     // ---- churn labeling: classify every user by activity in two
     //      6-hour observation windows a month apart — retained (both),
     //      churned (W1 only), new (W2 only), inactive (neither; still
