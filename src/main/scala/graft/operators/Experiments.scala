@@ -326,6 +326,148 @@ object Experiments {
             sqrt(lit(2.0) / (col("n") / 2)), 6).as("mde_abs"),
           expr("n div 2").as("n_per_arm"))
         .orderBy("event_type")
+    },
+
+    // ---- split-conformal prediction coverage: train (event_id%4 ∈
+    //      {0,1}) fits the per-type mean predictor, calibration
+    //      (event_id%4 = 2) takes the ⌈0.9·(n+1)⌉-th smallest absolute
+    //      residual as q̂ per type, test (event_id%4 = 3) reports
+    //      empirical coverage of |y − μ| ≤ q̂ (~90% by the conformal
+    //      guarantee). The per-type order statistic uses the scale-safe
+    //      [[graft.util.RangeRank]] global rank over (type, score, id)
+    //      lifted to per-type ranks by a |types|-row broadcast offset —
+    //      no single-partition sort, no per-type skewed window.
+    QueryDef.checked(
+      "q_conformal_coverage",
+      """WITH mu AS (
+        |  SELECT event_type, sum(value) / count(*) AS mu
+        |  FROM events WHERE event_id % 4 IN (0, 1) GROUP BY event_type
+        |), cal AS (
+        |  SELECT e.event_type, e.event_id, abs(e.value - m.mu) AS s
+        |  FROM events e JOIN mu m ON m.event_type = e.event_type
+        |  WHERE e.event_id % 4 = 2
+        |), ranked AS (
+        |  SELECT event_type, s,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY s, event_id)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n_cal
+        |  FROM cal
+        |), qhat AS (
+        |  SELECT event_type, CAST(n_cal AS BIGINT) AS n_cal,
+        |    CAST(rn AS BIGINT) AS k, s AS qh
+        |  FROM ranked
+        |  WHERE rn = least(n_cal, CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT))
+        |), test AS (
+        |  SELECT e.event_type, abs(e.value - m.mu) AS s
+        |  FROM events e JOIN mu m ON m.event_type = e.event_type
+        |  WHERE e.event_id % 4 = 3
+        |)
+        |SELECT t.event_type, q.n_cal, q.k, round(q.qh, 6) AS qhat,
+        |  count(*) AS n_test,
+        |  CAST(sum(CASE WHEN t.s <= q.qh THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_covered,
+        |  round(CAST(sum(CASE WHEN t.s <= q.qh THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS coverage
+        |FROM test t JOIN qhat q ON q.event_type = t.event_type
+        |GROUP BY t.event_type, q.n_cal, q.k, q.qh
+        |ORDER BY t.event_type""".stripMargin) { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+      val mu = ev.filter(col("event_id") % 4 < 2)
+        .groupBy("event_type")
+        .agg((sum(col("value")) / count(lit(1))).as("mu"))
+      val cal = ev.filter(col("event_id") % 4 === 2)
+        .join(broadcast(mu), Seq("event_type"))
+        .select(col("event_type"), col("event_id"),
+          abs(col("value") - col("mu")).as("s"))
+      // global rank by (type, score, id); per-type offsets come from a
+      // |types|-row aggregate — the per-type rank with no skewed window
+      val ranked = graft.util.RangeRank.withGlobalRank(
+          cal, "grn", spark.sessionState.conf.numShufflePartitions,
+          col("event_type"), col("s"), col("event_id"))
+        .localCheckpoint() // feeds the offset aggregate AND the k-row pick
+      val offs = ranked.groupBy("event_type")
+        .agg(min(col("grn")).as("g0"), count(lit(1)).as("n_cal"))
+      val qhat = ranked.join(broadcast(offs), Seq("event_type"))
+        .withColumn("rn", col("grn") - col("g0") + 1)
+        .filter(col("rn") === least(col("n_cal"),
+          ceil(lit(0.9) * (col("n_cal") + 1)).cast("long")))
+        .select(col("event_type"), col("n_cal").cast("long").as("n_cal"),
+          col("rn").cast("long").as("k"), col("s").as("qh"))
+      val test = ev.filter(col("event_id") % 4 === 3)
+        .join(broadcast(mu), Seq("event_type"))
+        .select(col("event_type"), abs(col("value") - col("mu")).as("ts"))
+      test.join(broadcast(qhat), Seq("event_type"))
+        .groupBy("event_type", "n_cal", "k", "qh")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("ts") <= col("qh"), 1).otherwise(0)).cast("long")
+            .as("n_covered"))
+        .select(col("event_type"), col("n_cal"), col("k"),
+          round(col("qh"), 6).as("qhat"), col("n_test"), col("n_covered"),
+          round(col("n_covered").cast("double") / col("n_test"), 6)
+            .as("coverage"))
+        .orderBy("event_type")
+    },
+
+    // ---- difference-in-differences: purchase (treated) vs view
+    //      (control) mean values, before vs after the mid-log cutoff —
+    //      the 2×2 cell means, the DiD point estimate, and its
+    //      pooled-variance standard error. One grouped moment aggregate
+    //      (4 cells), then pure closed-form arithmetic on the 1-row
+    //      pivot; the same Σv/Σv² discipline as the other test queries.
+    QueryDef.checked(
+      "q_diff_in_diff",
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS post,
+        |    count(*) AS n, sum(value) AS sx, sum(value * value) AS sxx
+        |  FROM events WHERE event_type IN ('purchase', 'view')
+        |  GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, post, n, sx / n AS mean,
+        |    (sxx - sx * sx / n) / (n - 1) AS var
+        |  FROM g
+        |), p AS (
+        |  SELECT
+        |    max(CASE WHEN event_type = 'purchase' AND post = 1 THEN mean END) AS t1,
+        |    max(CASE WHEN event_type = 'purchase' AND post = 0 THEN mean END) AS t0,
+        |    max(CASE WHEN event_type = 'view' AND post = 1 THEN mean END) AS c1,
+        |    max(CASE WHEN event_type = 'view' AND post = 0 THEN mean END) AS c0,
+        |    sum(var / n) AS se2,
+        |    CAST(sum(n) AS BIGINT) AS n_total
+        |  FROM m
+        |)
+        |SELECT n_total,
+        |  round(t1, 6) AS treated_post, round(t0, 6) AS treated_pre,
+        |  round(c1, 6) AS control_post, round(c0, 6) AS control_pre,
+        |  round((t1 - t0) - (c1 - c0), 6) AS did,
+        |  round(sqrt(se2), 6) AS did_se
+        |FROM p""".stripMargin) { (spark, dir) =>
+      val m = Tables(spark, dir).events
+        .filter(col("event_type").isin("purchase", "view"))
+        .withColumn("post",
+          when(col("ts") >= lit("2024-01-16").cast("timestamp"), 1)
+            .otherwise(0))
+        .groupBy("event_type", "post")
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sx"),
+          sum(col("value") * col("value")).as("sxx"))
+        .select(col("event_type"), col("post"), col("n"),
+          (col("sx") / col("n")).as("mean"),
+          ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+            .as("var"))
+      def cell(t: String, p: Int) =
+        max(when(col("event_type") === t && col("post") === p, col("mean")))
+      m.agg(cell("purchase", 1).as("t1"), cell("purchase", 0).as("t0"),
+          cell("view", 1).as("c1"), cell("view", 0).as("c0"),
+          sum(col("var") / col("n")).as("se2"),
+          sum(col("n")).cast("long").as("n_total"))
+        .select(col("n_total"),
+          round(col("t1"), 6).as("treated_post"),
+          round(col("t0"), 6).as("treated_pre"),
+          round(col("c1"), 6).as("control_post"),
+          round(col("c0"), 6).as("control_pre"),
+          round((col("t1") - col("t0")) - (col("c1") - col("c0")), 6)
+            .as("did"),
+          round(sqrt(col("se2")), 6).as("did_se"))
     }
   )
 }

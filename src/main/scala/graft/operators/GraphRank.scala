@@ -260,6 +260,69 @@ object GraphRank {
           (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
             .cast("long").as("duration_us"))
         .orderBy("user_id", "session_no")
+    },
+
+    // ---- session path mining: the 10 most common session-opening
+    //      paths (first ≤3 event types per 30-minute session, in
+    //      order). Reuses the q_sessionize gaps-and-islands shape; the
+    //      path string is built per session from ≤3 rows (bounded
+    //      collect_list under an explicit in-array sort, so partition
+    //      order cannot leak into the result), then one path-keyed
+    //      count. All shuffles key on user_id or the path — no global
+    //      window, top-10 is TakeOrderedAndProject.
+    QueryDef.checked(
+      "q_path_mining",
+      """WITH flag AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_no
+        |  FROM flag
+        |), pos AS (
+        |  SELECT user_id, session_no, event_type,
+        |    row_number() OVER (PARTITION BY user_id, session_no
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM sess
+        |), paths AS (
+        |  SELECT user_id, session_no,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM pos WHERE rn <= 3
+        |  GROUP BY user_id, session_no
+        |)
+        |SELECT path, count(*) AS n_sessions
+        |FROM paths
+        |GROUP BY path
+        |ORDER BY n_sessions DESC, path
+        |LIMIT 10""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sess = Tables(spark, dir).events
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("session_no",
+          sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      val wS = Window.partitionBy("user_id", "session_no")
+        .orderBy("ts", "event_id")
+      sess.withColumn("rn", row_number().over(wS))
+        .filter(col("rn") <= 3)
+        .groupBy("user_id", "session_no")
+        .agg(expr("array_join(transform(array_sort(" +
+          "collect_list(struct(rn, event_type))), x -> x.event_type), '>')")
+          .as("path"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(10)
     }
   )
 }
