@@ -246,4 +246,32 @@ class PlanSpec extends SparkSpec {
       assert(!df.queryExecution.executedPlan.toString.contains("SinglePartition"))
     }
   }
+
+  test("statistics wave: no corpus-sized single-partition stages") {
+    // conformal's per-type order statistic goes through RangeRank, path
+    // mining / sharding / novelty key their windows on entity ids —
+    // none of these may plan a global single-partition exchange over
+    // fact-sized input
+    Seq("q_conformal_coverage", "q_path_mining", "q_shuffle_sharding",
+        "q_ngram_novelty").foreach { name =>
+      assert(!physical(name).contains("Exchange SinglePartition"),
+        s"$name has a single-partition exchange")
+    }
+  }
+
+  test("binary-quantization rerank: shortlist is TakeOrderedAndProject") {
+    val plan = physical("q_binary_hamming_rerank")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
+  test("kde: the point spine broadcasts; the corpus scans once") {
+    val plan = physical("q_kde_density")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(800))
+    // exactly one parquet scan of events feeds the kernel sum (the
+    // 1-row moment aggregate is the spine's own scan)
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("events"))
+    assert(scans <= 2, s"events scanned $scans times")
+  }
 }
