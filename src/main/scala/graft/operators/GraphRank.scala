@@ -262,6 +262,59 @@ object GraphRank {
         .orderBy("user_id", "session_no")
     },
 
+    // ---- HITS hubs (2 unrolled iterations, unnormalized integer
+    //      scores) on the DIRECTED supplier→customer trade relation:
+    //      auth = Σ hub over in-edges, hub = Σ auth over out-edges,
+    //      starting from hub ≡ 1 — so hub₂ is pure integer arithmetic,
+    //      bit-identical under any partitioning (score bound ~deg³ ≪
+    //      2⁶³ at any plausible SF; normalization is ONE double
+    //      division by the 1-row max at the edge). Each half-iteration
+    //      is a join + keyed sum on the node id, the PageRank shuffle
+    //      key, reusing the same bucketing at scale.
+    QueryDef.checked(
+      "q_hits_hubs",
+      s"""WITH pairs AS (
+        |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), auth1 AS (
+        |  SELECT c, CAST(count(*) AS BIGINT) AS a FROM pairs GROUP BY c
+        |), hub1 AS (
+        |  SELECT p.s, CAST(sum(a.a) AS BIGINT) AS h
+        |  FROM pairs p JOIN auth1 a ON a.c = p.c GROUP BY p.s
+        |), auth2 AS (
+        |  SELECT p.c, CAST(sum(h.h) AS BIGINT) AS a
+        |  FROM pairs p JOIN hub1 h ON h.s = p.s GROUP BY p.c
+        |), hub2 AS (
+        |  SELECT p.s, CAST(sum(a.a) AS BIGINT) AS h
+        |  FROM pairs p JOIN auth2 a ON a.c = p.c GROUP BY p.s
+        |), mx AS (SELECT max(h) AS hmax FROM hub2)
+        |SELECT s AS s_suppkey, h AS hub_score,
+        |  round(CAST(h AS DOUBLE) / hmax, 6) AS hub_norm
+        |FROM hub2, mx
+        |ORDER BY h DESC, s
+        |LIMIT 20""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val pairs = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+        .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
+        .distinct()
+        .localCheckpoint() // feeds all four half-iterations
+      val auth1 = pairs.groupBy("c").agg(count(lit(1)).cast("long").as("a"))
+      val hub1 = pairs.join(auth1, Seq("c"))
+        .groupBy("s").agg(sum(col("a")).cast("long").as("h"))
+      val auth2 = pairs.join(hub1, Seq("s"))
+        .groupBy("c").agg(sum(col("h")).cast("long").as("a"))
+      val hub2 = pairs.join(auth2, Seq("c"))
+        .groupBy("s").agg(sum(col("a")).cast("long").as("h"))
+      val mx = hub2.agg(max(col("h")).as("hmax"))
+      hub2.crossJoin(broadcast(mx))
+        .select(col("s").as("s_suppkey"), col("h").as("hub_score"),
+          round(col("h").cast("double") / col("hmax"), 6).as("hub_norm"))
+        .orderBy(col("hub_score").desc, col("s_suppkey"))
+        .limit(20)
+    },
+
     // ---- session path mining: the 10 most common session-opening
     //      paths (first ≤3 event types per 30-minute session, in
     //      order). Reuses the q_sessionize gaps-and-islands shape; the

@@ -435,6 +435,123 @@ object TimeSeries {
         .orderBy("event_type", "d")
     },
 
+    // ---- Theil-Sen robust trend: median of pairwise slopes over the
+    //      last-60-day daily order volume (1,770 pairs — the pair join
+    //      is CALENDAR-bounded, so the classic O(n²) estimator is safe
+    //      here; at longer horizons the windowed variant keeps the same
+    //      bound). Intercept = median(y − slope·t) with the 1-row slope
+    //      broadcast back. Both engines interpolate median identically.
+    QueryDef.checked(
+      "q_theil_sen",
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+        |  FROM orders GROUP BY 1
+        |), b AS (
+        |  SELECT max(day) AS dmax FROM daily
+        |), win AS (
+        |  SELECT date_diff('day', dmax, day) + 59 AS t, n
+        |  FROM daily, b
+        |  WHERE date_diff('day', day, dmax) < 60
+        |), slopes AS (
+        |  SELECT CAST(b.n - a.n AS DOUBLE) / (b.t - a.t) AS slope
+        |  FROM win a JOIN win b ON b.t > a.t
+        |), sl AS (
+        |  SELECT median(slope) AS slope, count(*) AS n_pairs FROM slopes
+        |)
+        |SELECT CAST((SELECT count(*) FROM win) AS BIGINT) AS n_days,
+        |  CAST(sl.n_pairs AS BIGINT) AS n_pairs,
+        |  round(sl.slope, 6) AS slope,
+        |  round(median(w.n - sl.slope * w.t), 6) AS intercept
+        |FROM win w, sl
+        |GROUP BY sl.slope, sl.n_pairs""".stripMargin) { (spark, dir) =>
+      val daily = Tables(spark, dir).orders
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val b = daily.agg(max(col("day")).as("dmax"))
+      val win = daily.crossJoin(broadcast(b))
+        .filter(datediff(col("dmax"), col("day")) < 60)
+        .select((datediff(col("day"), col("dmax")) + 59).as("t"), col("n"))
+        .localCheckpoint() // feeds pair join sides + the residual pass
+      val wb = win.select(col("t").as("bt"), col("n").as("bn"))
+      val sl = win.join(wb, col("bt") > col("t"))
+        .select(((col("bn") - col("n")).cast("double") /
+          (col("bt") - col("t"))).as("slope"))
+        .agg(expr("median(slope)").as("slope"),
+          count(lit(1)).as("n_pairs"))
+      val nDays = win.agg(count(lit(1)).as("n_days"))
+      win.crossJoin(broadcast(sl)).crossJoin(broadcast(nDays))
+        .groupBy("slope", "n_pairs", "n_days")
+        .agg(expr("median(n - slope * t)").as("intercept"))
+        .select(col("n_days").cast("long").as("n_days"),
+          col("n_pairs").cast("long").as("n_pairs"),
+          round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"))
+    },
+
+    // ---- Mann-Kendall trend test over the same 60-day window:
+    //      S = Σ_{i<j} sign(y_j − y_i) (pure integer), tie-corrected
+    //      variance [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18, continuity-
+    //      corrected z. The pair join is calendar-bounded like
+    //      q_theil_sen; ties come from a |distinct y|-sized aggregate.
+    QueryDef.checked(
+      "q_mann_kendall",
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+        |  FROM orders GROUP BY 1
+        |), b AS (
+        |  SELECT max(day) AS dmax FROM daily
+        |), win AS (
+        |  SELECT date_diff('day', dmax, day) + 59 AS t, n
+        |  FROM daily, b
+        |  WHERE date_diff('day', day, dmax) < 60
+        |), s AS (
+        |  SELECT CAST(sum(CASE WHEN b.n > a.n THEN 1
+        |                       WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT)
+        |    AS s_stat
+        |  FROM win a JOIN win b ON b.t > a.t
+        |), ties AS (
+        |  SELECT CAST(sum(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tie_term
+        |  FROM (SELECT count(*) AS c FROM win GROUP BY n)
+        |), v AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nd,
+        |    CAST(count(*) * (count(*) - 1) * (2 * count(*) + 5) AS BIGINT)
+        |      AS full_term
+        |  FROM win
+        |)
+        |SELECT v.nd AS n_days, s.s_stat,
+        |  round((v.full_term - ties.tie_term) / 18.0, 6) AS var_s,
+        |  round((s.s_stat - CASE WHEN s.s_stat > 0 THEN 1
+        |                         WHEN s.s_stat < 0 THEN -1 ELSE 0 END)
+        |    / sqrt((v.full_term - ties.tie_term) / 18.0), 6) AS z
+        |FROM s, ties, v""".stripMargin) { (spark, dir) =>
+      val daily = Tables(spark, dir).orders
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val b = daily.agg(max(col("day")).as("dmax"))
+      val win = daily.crossJoin(broadcast(b))
+        .filter(datediff(col("dmax"), col("day")) < 60)
+        .select((datediff(col("day"), col("dmax")) + 59).as("t"), col("n"))
+        .localCheckpoint() // pair join + tie groups + count
+      val wb = win.select(col("t").as("bt"), col("n").as("bn"))
+      val s = win.join(wb, col("bt") > col("t"))
+        .agg(sum(when(col("bn") > col("n"), 1)
+          .when(col("bn") < col("n"), -1).otherwise(0)).cast("long")
+          .as("s_stat"))
+      val ties = win.groupBy("n").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * (col("c") - 1) * (lit(2) * col("c") + 5))
+          .cast("long").as("tie_term"))
+      val v = win.agg(count(lit(1)).cast("long").as("nd"),
+        (count(lit(1)) * (count(lit(1)) - 1) * (lit(2) * count(lit(1)) + 5))
+          .cast("long").as("full_term"))
+      s.crossJoin(broadcast(ties)).crossJoin(broadcast(v))
+        .select(col("nd").as("n_days"), col("s_stat"),
+          round((col("full_term") - col("tie_term")) / 18.0, 6).as("var_s"),
+          round((col("s_stat") -
+            when(col("s_stat") > 0, 1).when(col("s_stat") < 0, -1)
+              .otherwise(0)) /
+            sqrt((col("full_term") - col("tie_term")) / 18.0), 6).as("z"))
+    },
+
     // ---- churn labeling: classify every user by activity in two
     //      6-hour observation windows a month apart — retained (both),
     //      churned (W1 only), new (W2 only), inactive (neither; still

@@ -212,6 +212,34 @@ object Windows {
         .orderBy(col("user_id"))
     },
 
+    // ---- multi-measure pivot: two aggregates (count + exact-cents sum)
+    //      per pivoted event type in ONE pass — Spark names the columns
+    //      `{value}_{aggAlias}`, matched on the oracle side by FILTER
+    //      twins. Same single-shuffle plan as the one-measure pivot;
+    //      the column count, not the row count, carries the fan-out.
+    QueryDef.checked(
+      "q_pivot_multi",
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click_n,
+        |  CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+        |    FILTER (WHERE event_type = 'click'), 0) AS BIGINT) AS click_cents,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase_n,
+        |  CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+        |    FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT) AS purchase_cents
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      val pivoted = Tables(spark, dir).events
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "purchase"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("cents"))
+      Seq("click_n", "click_cents", "purchase_n", "purchase_cents")
+        .foldLeft(pivoted)((df, c) =>
+          df.withColumn(c, coalesce(col(c), lit(0L))))
+        .orderBy(col("user_id"))
+    },
+
     // ---- explode / lateral: token frequencies over the document corpus
     QueryDef.checked(
       "q_explode_tokens",
