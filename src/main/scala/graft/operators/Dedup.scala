@@ -664,6 +664,115 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // ---- EXACT set-similarity join by prefix filtering (the
+    //      AllPairs/PPJoin family): 3-gram SHINGLE sets with Jaccard ≥
+    //      3/5, found with NO false negatives and no all-pairs pass.
+    //      Shingles, not unigrams: on this template-heavy corpus the
+    //      unigram variant degenerates (rare words are still shared —
+    //      measured 12.2M/12.5M candidate pairs at sf0.1), while
+    //      shingles keep candidates at ~3% of the pair space. Shingles
+    //      are globally ordered rarest-first (by doc frequency); a pair
+    //      with overlap ≥ α = ⌈t·|x|⌉ must share a shingle from x's
+    //      (|x|−α+1)-prefix, so candidates come from joining the PREFIX
+    //      relation against the full shingle relation; exact
+    //      verification runs on candidates only. The 3/5 threshold is
+    //      enforced in INTEGERS (5·inter ≥ 3·union) — no float drift.
+    //      Complements MinHash-LSH: exact recall where LSH is
+    //      probabilistic, same shingle relation, same shuffle keys.
+    QueryDef.checked(
+      "q_prefix_filter_join",
+      s"""WITH toks AS (
+        |  SELECT DISTINCT doc_id, h FROM ($duckHashedGrams)
+        |), sz AS (
+        |  SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id
+        |), df AS (
+        |  SELECT h, count(*) AS df FROM toks GROUP BY h
+        |), ordered AS (
+        |  SELECT t.doc_id, t.h, s.len,
+        |    row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.h)
+        |      AS rn
+        |  FROM toks t JOIN df d ON d.h = t.h
+        |  JOIN sz s ON s.doc_id = t.doc_id
+        |), prefix AS (
+        |  SELECT doc_id, h FROM ordered
+        |  WHERE rn <= len - ((3 * len + 4) // 5) + 1
+        |), cand AS (
+        |  SELECT DISTINCT least(p.doc_id, t.doc_id) AS da,
+        |    greatest(p.doc_id, t.doc_id) AS db
+        |  FROM prefix p JOIN toks t
+        |    ON t.h = p.h AND t.doc_id <> p.doc_id
+        |), inter AS (
+        |  SELECT c.da, c.db, count(*) AS ninter
+        |  FROM cand c
+        |  JOIN toks ta ON ta.doc_id = c.da
+        |  JOIN toks tb ON tb.doc_id = c.db AND tb.h = ta.h
+        |  GROUP BY c.da, c.db
+        |)
+        |SELECT i.da AS doc_a, i.db AS doc_b,
+        |  CAST(i.ninter AS BIGINT) AS n_inter,
+        |  CAST(sa.len + sb.len - i.ninter AS BIGINT) AS n_union,
+        |  round(CAST(i.ninter AS DOUBLE)
+        |    / (sa.len + sb.len - i.ninter), 6) AS jaccard
+        |FROM inter i
+        |JOIN sz sa ON sa.doc_id = i.da
+        |JOIN sz sb ON sb.doc_id = i.db
+        |WHERE 5 * i.ninter >= 3 * (sa.len + sb.len - i.ninter)
+        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      // 8-byte hashed shingles, not ~25-byte gram strings — every join
+      // and shuffle below keys on the long h (the MinHash path's trick)
+      val toks = hashedGrams(Tables(spark, dir).documents)
+        .distinct()
+        .localCheckpoint() // feeds sz/df/prefix/candidates/verify
+      val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val df = toks.groupBy("h").agg(count(lit(1)).as("df"))
+      // per-doc rarity rank — window bounded by the doc's shingle count
+      val wDoc = Window.partitionBy("doc_id").orderBy("df", "h")
+      val prefix = toks.join(df, Seq("h")).join(sz, Seq("doc_id"))
+        .withColumn("rn", row_number().over(wDoc))
+        .filter(col("rn") <=
+          col("len") - expr("(3 * len + 4) div 5") + 1)
+        .select(col("doc_id").as("p_doc"), col("h"), col("len").as("p_len"))
+      // length filter rides the candidate join: J ≥ 3/5 forces
+      // 5·min(|x|,|y|) ≥ 3·max(|x|,|y|) — lossless pruning (the final
+      // exact filter implies it), cuts candidates before the distinct
+      val tWithLen = toks.join(sz, Seq("doc_id"))
+        .select(col("doc_id").as("t_doc"), col("h"), col("len").as("t_len"))
+      val cand = prefix
+        .join(tWithLen, Seq("h"))
+        .filter(col("t_doc") =!= col("p_doc") &&
+          lit(5) * least(col("p_len"), col("t_len")) >=
+          lit(3) * greatest(col("p_len"), col("t_len")))
+        .select(least(col("p_doc"), col("t_doc")).as("da"),
+          greatest(col("p_doc"), col("t_doc")).as("db"))
+        .distinct()
+      // verify by carrying each doc's SORTED hash set into the pair
+      // join (the SemDeDup carry trick): intersection = one codegen'd
+      // array_intersect over ~|doc|-element arrays per candidate,
+      // instead of re-exploding candidates against the tuple relation
+      // (a candidates×|doc| row blow-up). Sets are doc-bounded arrays,
+      // so the two set-carrying shuffles stay |docs|-sized.
+      val sets = toks.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("h"))).as("hs"))
+      val inter = cand
+        .join(sets.select(col("doc_id").as("da"), col("hs").as("ha")),
+          Seq("da"))
+        .join(sets.select(col("doc_id").as("db"), col("hs").as("hb")),
+          Seq("db"))
+        .select(col("da"), col("db"), size(col("ha")).as("la"),
+          size(col("hb")).as("lb"),
+          size(array_intersect(col("ha"), col("hb"))).as("ninter"))
+      inter
+        .filter(lit(5) * col("ninter") >=
+          lit(3) * (col("la") + col("lb") - col("ninter")))
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          col("ninter").cast("long").as("n_inter"),
+          (col("la") + col("lb") - col("ninter")).cast("long").as("n_union"),
+          round(col("ninter").cast("double") /
+            (col("la") + col("lb") - col("ninter")), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // ---- exact substring-span dedup audit (the Lee et al.
     //      "Deduplicating Training Data" pass, at 8-token granularity):
     //      every positioned 8-gram occurring ≥ 2 times corpus-wide is a

@@ -860,6 +860,66 @@ object Stats {
             (col("n") * col("h") * sqrt(lit(2) * lit(math.Pi))), 6)
             .as("density"))
         .orderBy("pt")
+    },
+
+    // ---- KMV (bottom-k) distinct sketch via the custom mergeable
+    //      [[graft.functions.KMVAggregator]] UDAF: per event type, keep
+    //      the 64 smallest 60-bit user hashes and estimate distinct
+    //      users as (k−1)·2⁶⁰/h_k; report the estimate against the true
+    //      count and the relative error. The aggregator consumes the
+    //      DISTINCT (type, hash) relation, so its result is partition-
+    //      and order-invariant — which is what lets the DuckDB
+    //      window-rank oracle replay the exact same k-th minimum.
+    //      Unlike HLL this sketch is exact over its retained minima and
+    //      merges across shards/days losslessly (bounded ≤ k-long
+    //      buffers at every exchange).
+    QueryDef.checked(
+      "q_kmv_distinct",
+      """WITH uh AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM events
+        |), ranked AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM uh
+        |), kth AS (
+        |  SELECT event_type, CAST(max(nd) AS BIGINT) AS n_true,
+        |    CAST(max(CASE WHEN rn = least(nd, 64) THEN h END) AS BIGINT) AS hk,
+        |    CAST(max(least(nd, 64)) AS BIGINT) AS k
+        |  FROM ranked GROUP BY event_type
+        |)
+        |SELECT event_type, n_true, k,
+        |  round(CASE WHEN n_true <= 64 THEN CAST(n_true AS DOUBLE)
+        |        ELSE (k - 1) * 1152921504606846976.0 / hk END, 2) AS kmv_est,
+        |  round(abs(CASE WHEN n_true <= 64 THEN CAST(n_true AS DOUBLE)
+        |        ELSE (k - 1) * 1152921504606846976.0 / hk END - n_true)
+        |    / n_true, 4) AS rel_err
+        |FROM kth
+        |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val uh = Tables(spark, dir).events
+        .select(col("event_type"),
+          expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15)," +
+            " 16, 10) AS BIGINT)").as("h"))
+        .distinct()
+      val kmv64 = graft.functions.KMVAggregator.kmv(64)
+      uh.groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_true"),
+          kmv64(col("h")).as("mins"))
+        .select(col("event_type"), col("n_true"),
+          size(col("mins")).cast("long").as("k"),
+          element_at(col("mins"), size(col("mins"))).as("hk"))
+        .select(col("event_type"), col("n_true"), col("k"),
+          when(col("n_true") <= 64, col("n_true").cast("double"))
+            .otherwise((col("k") - 1) * lit(1152921504606846976.0) / col("hk"))
+            .as("est"))
+        .select(col("event_type"), col("n_true"), col("k"),
+          round(col("est"), 2).as("kmv_est"),
+          round(abs(col("est") - col("n_true")) / col("n_true"), 4)
+            .as("rel_err"))
+        .orderBy("event_type")
     }
   )
 }
