@@ -290,6 +290,60 @@ object Concentration {
           when(col("n_viewers") === 0, lit(null).cast("double"))
             .otherwise(round(col("n_converted_24h") * lit(1.0) /
               col("n_viewers"), 6)).as("conversion_rate"))
+    },
+
+    // ---- maximum drawdown of the daily revenue index: cumulative
+    //      exact-cents revenue, running peak (strict window cummax),
+    //      deepest peak-to-trough gap. Facts reduce to the day grid in
+    //      one keyed aggregate; the cumulative/peak windows run over
+    //      calendar-bounded rows (annotated — at an unbounded horizon
+    //      the RangeRank prefix-scan family takes over, as with the
+    //      other global scans). Integer cents end-to-end; the one
+    //      double division is the reported percentage.
+    QueryDef.checked(
+      "q_max_drawdown",
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1
+        |), cum AS (
+        |  SELECT day,
+        |    CAST(sum(cents) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS idx
+        |  FROM daily
+        |), dd AS (
+        |  SELECT day, idx,
+        |    CAST(max(idx) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS peak
+        |  FROM cum
+        |)
+        |SELECT day AS trough_day, peak AS peak_cents, idx AS index_cents,
+        |  peak - idx AS drawdown_cents,
+        |  round(CAST(peak - idx AS DOUBLE) / peak, 6) AS drawdown_pct
+        |FROM dd
+        |ORDER BY peak - idx DESC, day
+        |LIMIT 1""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables(spark, dir).orders
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .cast("long").as("cents"))
+      // day-grid windows: calendar-bounded by construction
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("idx", sum(col("cents")).over(w).cast("long"))
+        .withColumn("peak", max(col("idx")).over(w).cast("long"))
+        .select(col("day").as("trough_day"), col("peak").as("peak_cents"),
+          col("idx").as("index_cents"),
+          (col("peak") - col("idx")).as("drawdown_cents"),
+          round((col("peak") - col("idx")).cast("double") / col("peak"), 6)
+            .as("drawdown_pct"))
+        .orderBy(col("drawdown_cents").desc, col("trough_day"))
+        .limit(1)
     }
   )
 }

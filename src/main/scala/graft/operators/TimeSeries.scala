@@ -435,6 +435,38 @@ object TimeSeries {
         .orderBy("event_type", "d")
     },
 
+    // ---- cumulative unique users per event type (the growth curve):
+    //      the only fact-sized shuffle is the (type, user) first-seen
+    //      aggregate; new-user counts and the running total then live
+    //      on the |types|×|days| grid (bounded windows, annotated).
+    QueryDef.checked(
+      "q_cumulative_uniques",
+      """WITH fs AS (
+        |  SELECT event_type, user_id,
+        |    min(date_trunc('day', ts)) AS d0
+        |  FROM events GROUP BY 1, 2
+        |), nu AS (
+        |  SELECT event_type, CAST(d0 AS DATE) AS day, count(*) AS new_users
+        |  FROM fs GROUP BY 1, 2
+        |)
+        |SELECT event_type, day, new_users,
+        |  CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM nu
+        |ORDER BY event_type, day""".stripMargin) { (spark, dir) =>
+      val fs = Tables(spark, dir).events
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(min(date_trunc("day", col("ts"))).as("d0"))
+      val nu = fs.groupBy(col("event_type"), to_date(col("d0")).as("day"))
+        .agg(count(lit(1)).as("new_users"))
+      // running total over the per-type day grid — calendar-bounded
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      nu.withColumn("cum_users", sum(col("new_users")).over(w).cast("long"))
+        .orderBy("event_type", "day")
+    },
+
     // ---- Theil-Sen robust trend: median of pairwise slopes over the
     //      last-60-day daily order volume (1,770 pairs — the pair join
     //      is CALENDAR-bounded, so the classic O(n²) estimator is safe

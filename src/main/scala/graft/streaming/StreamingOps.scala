@@ -11,6 +11,15 @@ import graft.operators.QueryDef
   * cents/100 division bit-matches the oracle's DECIMAL sum. */
 final case class UserState(n: Long, cents: Long, lastUs: Long)
 
+/** Last-write-wins CDC state for [[StreamingOps]]' upsert-apply query:
+  * the winning (ts, event_id) version key, its value in exact cents, and
+  * the applied-update count. The version key makes replacement
+  * deterministic whatever order micro-batches deliver rows in. */
+final case class CdcState(lastUs: Long, lastId: Long, cents: Long, n: Long)
+
+final case class CdcRow(
+    user_id: Long, n_updates: Long, last_event_id: Long, last_cents: Long)
+
 final case class UserAgg(
     user_id: Long, n_events: Long,
     last_ts: java.sql.Timestamp, total_value: Double)
@@ -538,6 +547,65 @@ object StreamingOps {
             UserAgg(uid, s.n, fromUs(s.lastUs), s.cents / 100.0)
         }
       runToMemory(updated.toDF(), "graft_stream_stateful", "update")
+        .orderBy("user_id")
+    },
+
+    // ---- CDC apply (last-write-wins upsert materialization): the
+    //      event stream is a change feed keyed by user_id; state holds
+    //      only the WINNING version per key — ordered by the (ts,
+    //      event_id) version key, not arrival order, so the
+    //      materialized row is identical whatever the micro-batch
+    //      boundaries or delivery order (the replication-apply
+    //      semantics of the reference's clone loop, as a stream).
+    //      Differs from the stateful aggregates above: state REPLACES
+    //      instead of accumulating, which is the MERGE/upsert shape.
+    //      At 100 TB: O(1) state per key in RocksDB, shuffle on the
+    //      primary key only.
+    QueryDef.checked(
+      "q_stream_cdc_apply",
+      """WITH v AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_updates
+        |  FROM events
+        |)
+        |SELECT user_id, CAST(n_updates AS BIGINT) AS n_updates,
+        |  event_id AS last_event_id, cents AS last_cents
+        |FROM v WHERE rn = 1
+        |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+      val typed = eventsStream(spark, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .as[(Long, Long, java.sql.Timestamp, Long)]
+      def toUs(ts: java.sql.Timestamp): Long =
+        Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+      val applied = typed
+        .groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+          (uid: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, Long)],
+           state: GroupState[CdcState]) =>
+            var s = state.getOption
+              .getOrElse(CdcState(Long.MinValue, Long.MinValue, 0L, 0L))
+            rows.foreach { case (_, eid, ts, cents) =>
+              val us = toUs(ts)
+              // version key (ts, event_id): replace iff strictly newer
+              val newer = us > s.lastUs || (us == s.lastUs && eid > s.lastId)
+              s = CdcState(
+                if (newer) us else s.lastUs,
+                if (newer) eid else s.lastId,
+                if (newer) cents else s.cents,
+                s.n + 1)
+            }
+            state.update(s)
+            CdcRow(uid, s.n, s.lastId, s.cents)
+        }
+      runToMemory(applied.toDF(), "graft_stream_cdc", "update")
+        .select(col("user_id"), col("n_updates"), col("last_event_id"),
+          col("last_cents"))
         .orderBy("user_id")
     },
 
