@@ -681,6 +681,76 @@ object Curation {
         .orderBy("brand", "key_a", "key_b")
     },
 
+    // ---- entity resolution to GOLDEN RECORDS: fuzzy-match edges
+    //      (same-brand block, Jaro-Winkler ≥ 0.92 — the q_fuzzy_name_match
+    //      kernel), connected components over the match graph, then
+    //      survivorship per entity cluster: the member with the highest
+    //      retail price (tie → lowest key) becomes the canonical record.
+    //      The er pipeline's last mile — match → cluster → survive.
+    //      Scale: edges are block-bounded; components via the shared
+    //      min-label propagation ([[Clusters.connectedComponents]], one
+    //      keyed shuffle per round); survivorship is one max_by per
+    //      cluster. Oracle replays the closure with a recursive CTE.
+    QueryDef.checked(
+      "q_er_golden_record",
+      """WITH RECURSIVE edges AS (
+        |  SELECT a.p_partkey AS a, b.p_partkey AS b
+        |  FROM part a JOIN part b
+        |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.92
+        |), sym AS (
+        |  SELECT a, b FROM edges UNION SELECT b, a FROM edges
+        |), reach(node, r) AS (
+        |  SELECT a, a FROM sym
+        |  UNION
+        |  SELECT e.a, r.r FROM sym e JOIN reach r ON e.b = r.node
+        |), comp AS (
+        |  SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+        |), gold AS (
+        |  -- composite survivorship key packed into one BIGINT:
+        |  -- cents·2^20 − partkey (partkey < 2^20 at any tested SF)
+        |  SELECT c.cluster_id, count(*) AS n_members,
+        |    max_by(p.p_partkey,
+        |      CAST(round(p.p_retailprice * 100) AS BIGINT) * 1048576
+        |        - p.p_partkey) AS golden_key,
+        |    max(p.p_retailprice) AS golden_price
+        |  FROM comp c JOIN part p ON p.p_partkey = c.node
+        |  GROUP BY c.cluster_id
+        |)
+        |SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+        |  golden_key, golden_price
+        |FROM gold
+        |ORDER BY cluster_id""".stripMargin) { (spark, dir) =>
+      val part = Tables(spark, dir).part
+        .select(col("p_brand"), col("p_partkey"), col("p_name"),
+          length(col("p_name")).as("len_a"))
+      val right = part.select(col("p_brand").as("brand_b"),
+        col("p_partkey").as("key_b"), col("p_name").as("name_b"),
+        col("len_a").as("len_b"))
+      // same lossless 2× length prefilter as q_fuzzy_name_match (valid
+      // for any threshold ≥ 0.9)
+      val edges = part.join(right,
+          col("p_brand") === col("brand_b") &&
+            col("p_partkey") < col("key_b") &&
+            col("len_a") <= col("len_b") * 2 &&
+            col("len_b") <= col("len_a") * 2)
+        .filter(graft.functions.StringSimilarity
+          .jaroWinkler(col("p_name"), col("name_b")) >= 0.92)
+        .select(col("p_partkey").as("a"), col("key_b").as("b"))
+      val comp = Clusters.connectedComponents(edges)
+      val p = Tables(spark, dir).part
+        .select(col("p_partkey"), col("p_retailprice"))
+      comp.join(p, col("p_partkey") === col("node"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          expr("max_by(p_partkey, CAST(round(p_retailprice * 100) AS BIGINT)" +
+            " * 1048576 - p_partkey)").as("golden_key"),
+          max(col("p_retailprice")).as("golden_price"))
+        .select(col("cluster_id"), col("n_members"),
+          col("golden_key"), col("golden_price"))
+        .orderBy("cluster_id")
+    },
+
     // ---- text line-format roundtrip: the log/CSV-adjacent source+sink
     //      of §2B "Sources / sinks" — write TSV lines with write.text,
     //      read them back with read.text, re-parse, aggregate. Oracle

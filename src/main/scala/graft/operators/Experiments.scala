@@ -468,6 +468,134 @@ object Experiments {
           round((col("t1") - col("t0")) - (col("c1") - col("c0")), 6)
             .as("did"),
           round(sqrt(col("se2")), 6).as("did_se"))
+    },
+
+    // ---- Markov removal-effect attribution (bounded horizon): user
+    //      journeys become a first-order transition chain (START → …,
+    //      purchase absorbed as CONV, paths truncated at the first
+    //      purchase). For each channel c, re-walk the chain with every
+    //      transition touching c deleted and compare the ≤4-step
+    //      conversion mass — the removal effect is the share of
+    //      conversions that die with the channel. All matrix work runs
+    //      on the |states|² transition relation (≤ 36 rows × 5
+    //      scenarios); the only fact-sized shuffles build the ordered
+    //      journeys. The 4-step horizon is what keeps the walk an
+    //      unrolled join chain both engines replay identically.
+    QueryDef.checked(
+      "q_markov_attribution",
+      """WITH seq0 AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_type = 'purchase' THEN 'CONV'
+        |         ELSE event_type END AS st,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events
+        |), seq AS (
+        |  SELECT user_id, st, rn,
+        |    min(CASE WHEN st = 'CONV' THEN rn END)
+        |      OVER (PARTITION BY user_id) AS first_conv
+        |  FROM seq0
+        |), cut AS (
+        |  SELECT user_id, st, rn FROM seq
+        |  WHERE first_conv IS NULL OR rn <= first_conv
+        |), tr AS (
+        |  SELECT coalesce(lag(st) OVER (PARTITION BY user_id ORDER BY rn),
+        |      'START') AS from_s,
+        |    st AS to_s
+        |  FROM cut
+        |), tcnt AS (
+        |  SELECT from_s, to_s, count(*) AS c FROM tr GROUP BY 1, 2
+        |), p AS (
+        |  SELECT from_s, to_s,
+        |    CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY from_s) AS p
+        |  FROM tcnt
+        |), scen AS (
+        |  SELECT * FROM (VALUES ('none'), ('click'), ('view'),
+        |    ('signup'), ('error')) AS t(removed)
+        |), st AS (
+        |  SELECT s.removed, p.from_s, p.to_s, p.p
+        |  FROM scen s JOIN p
+        |    ON p.from_s <> s.removed AND p.to_s <> s.removed
+        |), v1 AS (
+        |  SELECT removed, to_s AS state, p FROM st WHERE from_s = 'START'
+        |), v2 AS (
+        |  SELECT a.removed, t.to_s AS state, sum(a.p * t.p) AS p
+        |  FROM v1 a JOIN st t
+        |    ON t.removed = a.removed AND t.from_s = a.state
+        |  WHERE a.state <> 'CONV' GROUP BY 1, 2
+        |), v3 AS (
+        |  SELECT a.removed, t.to_s AS state, sum(a.p * t.p) AS p
+        |  FROM v2 a JOIN st t
+        |    ON t.removed = a.removed AND t.from_s = a.state
+        |  WHERE a.state <> 'CONV' GROUP BY 1, 2
+        |), v4 AS (
+        |  SELECT a.removed, t.to_s AS state, sum(a.p * t.p) AS p
+        |  FROM v3 a JOIN st t
+        |    ON t.removed = a.removed AND t.from_s = a.state
+        |  WHERE a.state <> 'CONV' GROUP BY 1, 2
+        |), conv AS (
+        |  SELECT removed, sum(p) AS p_conv FROM (
+        |    SELECT removed, p FROM v1 WHERE state = 'CONV'
+        |    UNION ALL SELECT removed, p FROM v2 WHERE state = 'CONV'
+        |    UNION ALL SELECT removed, p FROM v3 WHERE state = 'CONV'
+        |    UNION ALL SELECT removed, p FROM v4 WHERE state = 'CONV')
+        |  GROUP BY removed
+        |), base AS (
+        |  SELECT p_conv AS p0 FROM conv WHERE removed = 'none'
+        |)
+        |SELECT c.removed, round(c.p_conv, 6) AS p_conv_4step,
+        |  round((b.p0 - c.p_conv) / b.p0, 6) AS removal_effect
+        |FROM conv c, base b
+        |ORDER BY c.removed""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wAllU = Window.partitionBy("user_id")
+      val seq = Tables(spark, dir).events
+        .withColumn("st", when(col("event_type") === "purchase", "CONV")
+          .otherwise(col("event_type")))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("first_conv",
+          min(when(col("st") === "CONV", col("rn"))).over(wAllU))
+      val tr = seq
+        .filter(col("first_conv").isNull || col("rn") <= col("first_conv"))
+        .withColumn("from_s", coalesce(
+          lag(col("st"), 1).over(Window.partitionBy("user_id").orderBy("rn")),
+          lit("START")))
+        .select(col("from_s"), col("st").as("to_s"))
+      val tcnt = tr.groupBy("from_s", "to_s").agg(count(lit(1)).as("c"))
+      // |states|-bounded window — the transition matrix is tiny
+      val p = tcnt.withColumn("p", col("c").cast("double") /
+          sum(col("c")).over(Window.partitionBy("from_s")))
+        .select("from_s", "to_s", "p")
+      import spark.implicits._
+      val scen = Seq("none", "click", "view", "signup", "error")
+        .toDF("removed")
+      val st = scen.join(p,
+          col("from_s") =!= col("removed") && col("to_s") =!= col("removed"))
+        .localCheckpoint() // feeds all four walk steps
+      def step(v: org.apache.spark.sql.DataFrame) = {
+        val a = v.filter(col("state") =!= "CONV")
+          .select(col("removed").as("r2"), col("state").as("from2"),
+            col("p").as("pa"))
+        a.join(st, col("removed") === col("r2") && col("from_s") === col("from2"))
+          .groupBy(col("removed"), col("to_s").as("state"))
+          .agg(sum(col("pa") * col("p")).as("p"))
+      }
+      val v1 = st.filter(col("from_s") === "START")
+        .select(col("removed"), col("to_s").as("state"), col("p"))
+        .localCheckpoint()
+      val v2 = step(v1).localCheckpoint()
+      val v3 = step(v2).localCheckpoint()
+      val v4 = step(v3)
+      val conv = v1.unionAll(v2).unionAll(v3).unionAll(v4)
+        .filter(col("state") === "CONV")
+        .groupBy("removed").agg(sum(col("p")).as("p_conv"))
+      val base = conv.filter(col("removed") === "none")
+        .select(col("p_conv").as("p0"))
+      conv.crossJoin(broadcast(base))
+        .select(col("removed"), round(col("p_conv"), 6).as("p_conv_4step"),
+          round((col("p0") - col("p_conv")) / col("p0"), 6)
+            .as("removal_effect"))
+        .orderBy("removed")
     }
   )
 }

@@ -596,6 +596,58 @@ object TextAnalysis {
             - lit(84.6) * col("n_syll").cast("double") / col("n_words"), 6)
             .as("flesch"))
         .orderBy("doc_id")
+    },
+
+    // ---- partial top-k merge audit: each source computes a LOCAL
+    //      top-10 token list; the merged candidate union is what a
+    //      shard-merge serving tier would see. For every TRUE global
+    //      top-10 token the report shows how many local lists carried
+    //      it and whether the merge recovered it at all — the classic
+    //      distributed top-k failure mode (a token ranked 11th in every
+    //      shard vanishes globally). Local/global aggregates are
+    //      vocab-bounded; the local rank windows partition by source.
+    QueryDef.checked(
+      "q_partial_topk_merge",
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), loc AS (
+        |  SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2
+        |), ltop AS (
+        |  SELECT source, tok FROM (
+        |    SELECT source, tok,
+        |      row_number() OVER (PARTITION BY source ORDER BY c DESC, tok)
+        |        AS rn
+        |    FROM loc)
+        |  WHERE rn <= 10
+        |), gcnt AS (
+        |  SELECT tok, count(*) AS c FROM tok GROUP BY tok
+        |), gtop AS (
+        |  SELECT tok, c FROM gcnt ORDER BY c DESC, tok LIMIT 10
+        |)
+        |SELECT g.tok, g.c AS global_count,
+        |  CAST(count(l.source) AS BIGINT) AS n_local_lists,
+        |  count(l.source) > 0 AS in_merged
+        |FROM gtop g LEFT JOIN ltop l ON l.tok = g.tok
+        |GROUP BY g.tok, g.c
+        |ORDER BY global_count DESC, g.tok""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tok = Tables(spark, dir).documents
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .localCheckpoint() // feeds the local and global aggregates
+      val ltop = tok.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(col("c").desc, col("tok"))))
+        .filter(col("rn") <= 10)
+        .select(col("source").as("l_source"), col("tok"))
+      val gtop = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(10)
+      gtop.join(ltop, Seq("tok"), "left")
+        .groupBy("tok", "c")
+        .agg(count(col("l_source")).cast("long").as("n_local_lists"))
+        .select(col("tok"), col("c").as("global_count"),
+          col("n_local_lists"), (col("n_local_lists") > 0).as("in_merged"))
+        .orderBy(col("global_count").desc, col("tok"))
     }
   )
 }
