@@ -682,8 +682,8 @@ object Curation {
     },
 
     // ---- entity resolution to GOLDEN RECORDS: fuzzy-match edges
-    //      (same-brand block, Jaro-Winkler ≥ 0.92 — the q_fuzzy_name_match
-    //      kernel), connected components over the match graph, then
+    //      ((brand, type) block, Jaro-Winkler ≥ 0.92 — the
+    //      q_fuzzy_name_match kernel), connected components, then
     //      survivorship per entity cluster: the member with the highest
     //      retail price (tie → lowest key) becomes the canonical record.
     //      The er pipeline's last mile — match → cluster → survive.
@@ -696,7 +696,8 @@ object Curation {
       """WITH RECURSIVE edges AS (
         |  SELECT a.p_partkey AS a, b.p_partkey AS b
         |  FROM part a JOIN part b
-        |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |    ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+        |   AND a.p_partkey < b.p_partkey
         |  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.92
         |), sym AS (
         |  SELECT a, b FROM edges UNION SELECT b, a FROM edges
@@ -722,15 +723,18 @@ object Curation {
         |FROM gold
         |ORDER BY cluster_id""".stripMargin) { (spark, dir) =>
       val part = Tables(spark, dir).part
-        .select(col("p_brand"), col("p_partkey"), col("p_name"),
-          length(col("p_name")).as("len_a"))
+        .select(col("p_brand"), col("p_type"), col("p_partkey"),
+          col("p_name"), length(col("p_name")).as("len_a"))
       val right = part.select(col("p_brand").as("brand_b"),
-        col("p_partkey").as("key_b"), col("p_name").as("name_b"),
-        col("len_a").as("len_b"))
+        col("p_type").as("type_b"), col("p_partkey").as("key_b"),
+        col("p_name").as("name_b"), col("len_a").as("len_b"))
       // same lossless 2× length prefilter as q_fuzzy_name_match (valid
-      // for any threshold ≥ 0.9)
+      // for any threshold ≥ 0.9); (brand, type) blocking — a type
+      // mismatch is a different entity, and the tighter block cuts the
+      // kernel evaluations 6× at sf0.1 (measured 8.0M → 1.3M pairs)
       val edges = part.join(right,
           col("p_brand") === col("brand_b") &&
+            col("p_type") === col("type_b") &&
             col("p_partkey") < col("key_b") &&
             col("len_a") <= col("len_b") * 2 &&
             col("len_b") <= col("len_a") * 2)
