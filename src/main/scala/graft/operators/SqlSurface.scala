@@ -609,6 +609,50 @@ object SqlSurface {
           |FROM graft_gba_orders
           |GROUP BY ALL
           |ORDER BY ALL""".stripMargin)
+    },
+
+    // ---- boolean/conditional aggregates: bool_and / bool_or /
+    //      count_if / every — the predicate-aggregation surface, one
+    //      keyed pass.
+    QueryDef.checked(
+      "q_bool_aggregates",
+      """SELECT l_returnflag,
+        |  bool_and(l_quantity > 0) AS all_positive_qty,
+        |  bool_or(l_discount > 0.09) AS any_deep_discount,
+        |  CAST(count(*) FILTER (WHERE l_tax = 0) AS BIGINT) AS n_tax_free,
+        |  bool_and(l_shipdate IS NOT NULL) AS all_shipped
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          expr("bool_and(l_quantity > 0)").as("all_positive_qty"),
+          expr("bool_or(l_discount > 0.09)").as("any_deep_discount"),
+          expr("count_if(l_tax = 0)").as("n_tax_free"),
+          expr("every(l_shipdate IS NOT NULL)").as("all_shipped"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- explode_outer: generator null-preservation — docs whose
+    //      long-token list is EMPTY survive as a null row instead of
+    //      vanishing, so the per-doc census keeps every doc. The
+    //      LEFT-JOIN-shaped generator every flatten pipeline needs when
+    //      downstream counts must cover the full population.
+    QueryDef.checked(
+      "q_explode_outer",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> length(t) > 12)) AS BIGINT) AS n_long_tokens
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).documents
+        .select(col("doc_id"),
+          explode_outer(expr(
+            "filter(split(text, ' '), t -> length(t) > 12)")).as("tok"))
+        .groupBy("doc_id")
+        .agg(count(col("tok")).cast("long").as("n_long_tokens"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -648,6 +648,98 @@ object TextAnalysis {
         .select(col("tok"), col("c").as("global_count"),
           col("n_local_lists"), (col("n_local_lists") > 0).as("in_merged"))
         .orderBy(col("global_count").desc, col("tok"))
+    },
+
+    // ---- BLEU-2 between adjacent documents (candidate d vs reference
+    //      d+1): clipped unigram/bigram precision (multiset min over
+    //      n-gram counts), geometric mean, brevity penalty — the
+    //      generation-eval metric, run as pure count joins. Each n-gram
+    //      relation shuffles on (doc, gram); the clip join pairs doc d
+    //      with d+1 on the gram key. Zero shared bigrams → BLEU 0 (the
+    //      standard convention), spelled as a CASE on both engines.
+    QueryDef.checked(
+      "q_bleu_pairs",
+      """WITH u AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  GROUP BY doc_id, tok
+        |), bgl AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), bg AS (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_filter(list_transform(t, (x, i) ->
+        |      CASE WHEN i + 1 <= len(t)
+        |        THEN concat(x, ' ', t[i + 1]) END), v -> v IS NOT NULL))
+        |      AS g
+        |    FROM bgl)
+        |  GROUP BY doc_id, g
+        |), lens AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n1 FROM u GROUP BY doc_id
+        |), o1 AS (
+        |  SELECT a.doc_id, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov1
+        |  FROM u a JOIN u b ON b.tok = a.tok AND b.doc_id = a.doc_id + 1
+        |  GROUP BY a.doc_id
+        |), o2 AS (
+        |  SELECT a.doc_id, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov2
+        |  FROM bg a JOIN bg b ON b.g = a.g AND b.doc_id = a.doc_id + 1
+        |  GROUP BY a.doc_id
+        |)
+        |SELECT ca.doc_id AS cand_id, ca.doc_id + 1 AS ref_id,
+        |  coalesce(o1.ov1, 0) AS clip1, coalesce(o2.ov2, 0) AS clip2,
+        |  round(CASE
+        |    WHEN coalesce(o1.ov1, 0) = 0 OR coalesce(o2.ov2, 0) = 0 THEN 0.0
+        |    ELSE least(1.0, exp(1.0 - CAST(re.n1 AS DOUBLE) / ca.n1))
+        |      * sqrt((CAST(o1.ov1 AS DOUBLE) / ca.n1)
+        |           * (CAST(o2.ov2 AS DOUBLE) / (ca.n1 - 1))) END, 6)
+        |    AS bleu2
+        |FROM lens ca
+        |JOIN lens re ON re.doc_id = ca.doc_id + 1
+        |LEFT JOIN o1 ON o1.doc_id = ca.doc_id
+        |LEFT JOIN o2 ON o2.doc_id = ca.doc_id
+        |ORDER BY cand_id""".stripMargin) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      val u = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // both sides of the clip join + lens
+      val bg = docs
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(expr(
+          """filter(transform(t, (x, i) ->
+            |  IF(i + 2 <= size(t), concat(x, ' ', t[i + 1]), NULL)),
+            |  v -> v IS NOT NULL)""".stripMargin)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val lens = u.groupBy("doc_id").agg(sum(col("c")).cast("long").as("n1"))
+      def clip(rel: org.apache.spark.sql.DataFrame, key: String, out: String) = {
+        val b = rel.select((col("doc_id") - 1).as("doc_id"),
+          col(key).as("bk"), col("c").as("cb"))
+        rel.withColumnRenamed(key, "bk")
+          .join(b, Seq("doc_id", "bk"))
+          .groupBy("doc_id")
+          .agg(sum(least(col("c"), col("cb"))).cast("long").as(out))
+      }
+      val o1 = clip(u, "tok", "ov1")
+      val o2 = clip(bg, "g", "ov2")
+      val re = lens.select((col("doc_id") - 1).as("doc_id"),
+        col("n1").as("rn1"))
+      lens.join(re, Seq("doc_id"))
+        .join(o1, Seq("doc_id"), "left")
+        .join(o2, Seq("doc_id"), "left")
+        .select(col("doc_id").as("cand_id"),
+          (col("doc_id") + 1).as("ref_id"),
+          coalesce(col("ov1"), lit(0L)).as("clip1"),
+          coalesce(col("ov2"), lit(0L)).as("clip2"),
+          round(when(coalesce(col("ov1"), lit(0L)) === 0 ||
+              coalesce(col("ov2"), lit(0L)) === 0, 0.0)
+            .otherwise(
+              least(lit(1.0),
+                exp(lit(1.0) - col("rn1").cast("double") / col("n1"))) *
+                sqrt((col("ov1").cast("double") / col("n1")) *
+                  (col("ov2").cast("double") / (col("n1") - 1)))), 6)
+            .as("bleu2"))
+        .orderBy("cand_id")
     }
   )
 }

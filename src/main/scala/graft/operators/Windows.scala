@@ -240,6 +240,44 @@ object Windows {
         .orderBy(col("user_id"))
     },
 
+    // ---- session_window in BATCH mode: the streaming session operator
+    //      applied to a static table — one built-in operator replaces
+    //      the lag/flag/running-sum chain of q_sessionize, with
+    //      identical 30-minute-gap semantics (window end = last event +
+    //      gap). Oracled by the gaps-and-islands formulation, proving
+    //      the two session definitions agree row-for-row.
+    QueryDef.checked(
+      "q_session_window_batch",
+      """WITH flag AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_no
+        |  FROM flag
+        |)
+        |SELECT user_id, min(ts) AS w_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS w_end,
+        |  count(*) AS n_events
+        |FROM sess
+        |GROUP BY user_id, session_no
+        |ORDER BY user_id, w_start""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).events
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("w_start"),
+          col("session_window.end").as("w_end"),
+          col("n_events"))
+        .orderBy("user_id", "w_start")
+    },
+
     // ---- explode / lateral: token frequencies over the document corpus
     QueryDef.checked(
       "q_explode_tokens",
