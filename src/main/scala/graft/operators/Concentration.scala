@@ -292,6 +292,71 @@ object Concentration {
               col("n_viewers"), 6)).as("conversion_rate"))
     },
 
+    // ---- RFM segmentation: recency/frequency/monetary quintiles per
+    //      customer, reported as the 5×5×5 cell census. Each quintile
+    //      is a GLOBAL ntile over the customer population — assigned
+    //      with the scale-safe [[graft.util.RangeRank.withGlobalNtile]]
+    //      (range partitions + broadcast offsets), never a
+    //      single-partition window; the oracle replays plain SQL ntile.
+    //      Ties break on custkey so the assignment is total.
+    QueryDef.checked(
+      "q_rfm_segments",
+      """WITH b AS (
+        |  SELECT CAST(max(o_orderdate) AS DATE) AS dmax FROM orders
+        |), rfm AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', CAST(max(o_orderdate) AS DATE), b.dmax)
+        |      AS recency_days,
+        |    count(*) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders, b GROUP BY o_custkey, b.dmax
+        |), scored AS (
+        |  SELECT o_custkey,
+        |    ntile(5) OVER (ORDER BY recency_days, o_custkey) AS rq,
+        |    ntile(5) OVER (ORDER BY n_orders DESC, o_custkey) AS fq,
+        |    ntile(5) OVER (ORDER BY cents DESC, o_custkey) AS mq,
+        |    cents
+        |  FROM rfm
+        |)
+        |SELECT CAST(rq AS BIGINT) AS rq, CAST(fq AS BIGINT) AS fq,
+        |  CAST(mq AS BIGINT) AS mq,
+        |  count(*) AS n_customers,
+        |  CAST(sum(cents) AS BIGINT) AS cell_cents
+        |FROM scored
+        |GROUP BY rq, fq, mq
+        |ORDER BY rq, fq, mq""".stripMargin) { (spark, dir) =>
+      val orders = Tables(spark, dir).orders
+      val b = orders.agg(to_date(max(col("o_orderdate"))).as("dmax"))
+      val rfm = orders.crossJoin(broadcast(b))
+        .groupBy("o_custkey", "dmax")
+        .agg(max(to_date(col("o_orderdate"))).as("dlast"),
+          count(lit(1)).as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("long").as("cents"))
+        .select(col("o_custkey"),
+          datediff(col("dmax"), col("dlast")).as("recency_days"),
+          col("n_orders"), col("cents"))
+        .localCheckpoint() // three independent ntile passes read it
+      val parts = spark.sessionState.conf.numShufflePartitions
+      def tile(df: org.apache.spark.sql.DataFrame, out: String,
+          keys: org.apache.spark.sql.Column*) =
+        graft.util.RangeRank.withGlobalNtile(df, out, 5, parts, keys: _*)
+          .select(col("o_custkey").as(s"k_$out"), col(out))
+      val rq = tile(rfm, "rq", col("recency_days"), col("o_custkey"))
+      val fq = tile(rfm, "fq", col("n_orders").desc, col("o_custkey"))
+      val mq = tile(rfm, "mq", col("cents").desc, col("o_custkey"))
+      rfm.join(rq, col("k_rq") === col("o_custkey"))
+        .join(fq, col("k_fq") === col("o_custkey"))
+        .join(mq, col("k_mq") === col("o_custkey"))
+        .groupBy(col("rq").cast("long").as("rq"),
+          col("fq").cast("long").as("fq"),
+          col("mq").cast("long").as("mq"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents")).cast("long").as("cell_cents"))
+        .orderBy("rq", "fq", "mq")
+    },
+
     // ---- maximum drawdown of the daily revenue index: cumulative
     //      exact-cents revenue, running peak (strict window cummax),
     //      deepest peak-to-trough gap. Facts reduce to the day grid in

@@ -467,6 +467,63 @@ object TimeSeries {
         .orderBy("event_type", "day")
     },
 
+    // ---- rolling 14-day Pearson correlation between the purchase and
+    //      click daily-count series: integer co-moment sums over a
+    //      14-row window on the (bounded) day grid, one double division
+    //      per row at the edge. The co-movement monitor that flags a
+    //      tracking breakage between two metrics.
+    QueryDef.checked(
+      "q_rolling_corr",
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+        |      AS x,
+        |    CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+        |      AS y
+        |  FROM events GROUP BY 1
+        |), w AS (
+        |  SELECT day,
+        |    CAST(count(*) OVER win AS BIGINT) AS n,
+        |    CAST(sum(x) OVER win AS BIGINT) AS sx,
+        |    CAST(sum(y) OVER win AS BIGINT) AS sy,
+        |    CAST(sum(x * y) OVER win AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) OVER win AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) OVER win AS BIGINT) AS syy
+        |  FROM daily
+        |  WINDOW win AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT day,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS r14
+        |FROM w WHERE n = 14
+        |ORDER BY day""".stripMargin) { (spark, dir) =>
+      val daily = Tables(spark, dir).events
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(count(when(col("event_type") === "purchase", 1)).cast("long")
+          .as("x"),
+          count(when(col("event_type") === "click", 1)).cast("long")
+            .as("y"))
+      // 14-row window over the day grid — calendar-bounded
+      val win = Window.orderBy("day").rowsBetween(-13, Window.currentRow)
+      daily
+        .select(col("day"),
+          count(lit(1)).over(win).cast("long").as("n"),
+          sum(col("x")).over(win).cast("long").as("sx"),
+          sum(col("y")).over(win).cast("long").as("sy"),
+          sum(col("x") * col("y")).over(win).cast("long").as("sxy"),
+          sum(col("x") * col("x")).over(win).cast("long").as("sxx"),
+          sum(col("y") * col("y")).over(win).cast("long").as("syy"))
+        .filter(col("n") === 14)
+        .select(col("day"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")) *
+               sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))), 6).as("r14"))
+        .orderBy("day")
+    },
+
     // ---- Theil-Sen robust trend: median of pairwise slopes over the
     //      last-60-day daily order volume (1,770 pairs — the pair join
     //      is CALENDAR-bounded, so the classic O(n²) estimator is safe

@@ -826,6 +826,74 @@ object VectorCuration {
           sum(when(col("pos_fp") > col("neg_fp"), 1).otherwise(0))
             .cast("long").as("n_positive_margin"))
         .orderBy("label")
+    },
+
+    // ---- DBSCAN density classification (one labeling pass): within
+    //      each label cell, a vector is CORE if it has ≥ 3 neighbors at
+    //      cosine > 0.3, BORDER if not core but adjacent to a core,
+    //      NOISE otherwise — the density triage a clustering pipeline
+    //      runs before committing centroids. The neighbor self-join is
+    //      cell-bounded (the SemDeDup bound); degree and the
+    //      border-adjacency pass key on vec_id. Same rounded-cosine
+    //      threshold discipline as q_embedding_neardup.
+    QueryDef.checked(
+      "q_dbscan_classify",
+      s"""WITH pairs AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM embeddings a JOIN embeddings b
+         |    ON b.label = a.label AND b.vec_id <> a.vec_id
+         |  WHERE round(${VectorFunctions.duckCosineSql("a.embedding", "b.embedding")}, 6) > 0.3
+         |), deg AS (
+         |  SELECT va AS vec_id, count(*) AS n_nbrs FROM pairs GROUP BY va
+         |), core AS (
+         |  SELECT vec_id FROM deg WHERE n_nbrs >= 3
+         |), nbr_core AS (
+         |  SELECT DISTINCT p.va AS vec_id
+         |  FROM pairs p JOIN core c ON c.vec_id = p.vb
+         |)
+         |SELECT e.label,
+         |  count(*) AS n_vecs,
+         |  CAST(count(*) FILTER (WHERE c.vec_id IS NOT NULL) AS BIGINT)
+         |    AS n_core,
+         |  CAST(count(*) FILTER (WHERE c.vec_id IS NULL
+         |    AND nc.vec_id IS NOT NULL) AS BIGINT) AS n_border,
+         |  CAST(count(*) FILTER (WHERE c.vec_id IS NULL
+         |    AND nc.vec_id IS NULL) AS BIGINT) AS n_noise
+         |FROM embeddings e
+         |LEFT JOIN core c ON c.vec_id = e.vec_id
+         |LEFT JOIN nbr_core nc ON nc.vec_id = e.vec_id
+         |GROUP BY e.label
+         |ORDER BY e.label""".stripMargin) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+      val a = emb.select(col("label"), col("vec_id").as("va"),
+        col("embedding").as("ea"))
+      val bb = emb.select(col("label"), col("vec_id").as("vb"),
+        col("embedding").as("eb"))
+      val pairs = a.join(bb, Seq("label"))
+        .filter(col("vb") =!= col("va"))
+        .filter(round(VectorFunctions.cosineSim(col("ea"), col("eb")), 6)
+          > 0.3)
+        .select("va", "vb")
+        .localCheckpoint() // feeds degree + border-adjacency
+      val core = pairs.groupBy(col("va").as("vec_id"))
+        .agg(count(lit(1)).as("n_nbrs"))
+        .filter(col("n_nbrs") >= 3).select("vec_id")
+      val nbrCore = pairs
+        .join(core.select(col("vec_id").as("vb")), Seq("vb"), "left_semi")
+        .select(col("va").as("vec_id")).distinct()
+      emb.select(col("label"), col("vec_id"))
+        .join(core.select(col("vec_id"), lit(1).as("is_core")),
+          Seq("vec_id"), "left")
+        .join(nbrCore.select(col("vec_id"), lit(1).as("is_nbr")),
+          Seq("vec_id"), "left")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          count(col("is_core")).cast("long").as("n_core"),
+          sum(when(col("is_core").isNull && col("is_nbr").isNotNull, 1)
+            .otherwise(0)).cast("long").as("n_border"),
+          sum(when(col("is_core").isNull && col("is_nbr").isNull, 1)
+            .otherwise(0)).cast("long").as("n_noise"))
+        .orderBy("label")
     }
   )
 }

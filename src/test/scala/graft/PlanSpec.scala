@@ -264,6 +264,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
   }
 
+  test("similarity/graph wave: no corpus-sized single-partition stages") {
+    // prefix-filter join windows partition by doc, BLEU joins key on
+    // (doc, gram), uniques key on (type, user) — none may collapse to a
+    // single-partition exchange. (q_kcore_peel / q_hits_hubs are
+    // excluded: their 1-row census/normalizer aggregates legitimately
+    // finish on one partition AFTER map-side partials — bounded-row
+    // reductions, not corpus sorts.)
+    Seq("q_prefix_filter_join", "q_bleu_pairs",
+        "q_cumulative_uniques").foreach { name =>
+      assert(!physical(name).contains("Exchange SinglePartition"),
+        s"$name has a single-partition exchange")
+    }
+  }
+
   test("kde: the point spine broadcasts; the corpus scans once") {
     val plan = physical("q_kde_density")
     assert(plan.contains("BroadcastNestedLoopJoin") ||
