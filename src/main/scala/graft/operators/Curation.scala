@@ -782,6 +782,46 @@ object Curation {
         .orderBy("lang")
     },
 
+    // ---- PERMISSIVE CSV ingest audit: stage a CSV feed with planted
+    //      malformed numerics (every 97th order key), read it back with
+    //      an explicit schema + columnNameOfCorruptRecord, and report
+    //      the clean/corrupt split plus the exact-cents sum over clean
+    //      rows — the survive-dirty-ingest contract (job completes,
+    //      quarantine counted, good rows exact). Oracle derives the
+    //      same split rule directly from the table.
+    QueryDef.checked(
+      "q_csv_permissive_audit",
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_corrupt,
+        |  CAST(sum(CASE WHEN o_orderkey % 97 <> 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clean,
+        |  CAST(sum(CASE WHEN o_orderkey % 97 <> 0
+        |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+        |    AS clean_cents
+        |FROM orders""".stripMargin) { (spark, dir) =>
+      val staged = graft.util.Staging.dir("graft_csv_permissive_", dir)
+      Tables(spark, dir).orders
+        .select(concat_ws(",",
+          col("o_orderkey").cast("string"),
+          when(col("o_orderkey") % 97 === 0, lit("not_a_number"))
+            .otherwise(col("o_totalprice").cast("string"))).as("value"))
+        .write.mode("overwrite").text(staged)
+      spark.read
+        .schema("o_orderkey LONG, price DOUBLE, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(staged)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("_corrupt_record").isNotNull, 1).otherwise(0))
+            .cast("long").as("n_corrupt"),
+          sum(when(col("_corrupt_record").isNull, 1).otherwise(0))
+            .cast("long").as("n_clean"),
+          sum(when(col("_corrupt_record").isNull,
+            expr("CAST(round(price * 100) AS BIGINT)"))).cast("long")
+            .as("clean_cents"))
+    },
+
     // ---- blocklist (safety) filtering: drop documents containing any
     //      banned term, reported as a per-source funnel — the
     //      wordlist-screen stage every corpus pipeline runs before the

@@ -467,6 +467,49 @@ object TimeSeries {
         .orderBy("event_type", "day")
     },
 
+    // ---- last-observation-carried-forward gap fill: purchase daily
+    //      mean value on the FULL day spine (missing days → NULL), then
+    //      `last(..., ignoreNulls)` over the ordered window — the
+    //      IGNORE NULLS window surface, and the step-function
+    //      complement to q_interpolate's linear fill. Spine and windows
+    //      are calendar-bounded; one fact scan.
+    QueryDef.checked(
+      "q_locf_fill",
+      """WITH b AS (
+        |  SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS d0,
+        |    CAST(max(date_trunc('day', ts)) AS DATE) AS d1
+        |  FROM events
+        |), spine AS (
+        |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+        |    AS day FROM b
+        |), daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    round(sum(value) / count(*), 6) AS v
+        |  FROM events WHERE event_type = 'purchase' AND value > 220
+        |  GROUP BY 1
+        |)
+        |SELECT s.day, d.v AS observed,
+        |  last_value(d.v IGNORE NULLS) OVER (ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM spine s LEFT JOIN daily d ON d.day = s.day
+        |ORDER BY s.day""".stripMargin) { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+      val b = ev.agg(to_date(min(date_trunc("day", col("ts")))).as("d0"),
+        to_date(max(date_trunc("day", col("ts")))).as("d1"))
+      val spine = b.select(
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val daily = ev
+        .filter(col("event_type") === "purchase" && col("value") > 220)
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(round(sum(col("value")) / count(lit(1)), 6).as("v"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"), col("v").as("observed"),
+          last(col("v"), ignoreNulls = true).over(w).as("filled"))
+        .orderBy("day")
+    },
+
     // ---- rolling 14-day Pearson correlation between the purchase and
     //      click daily-count series: integer co-moment sums over a
     //      14-row window on the (bounded) day grid, one double division
