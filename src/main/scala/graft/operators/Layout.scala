@@ -143,6 +143,83 @@ object Layout {
         .orderBy("event_type")
     },
 
+    // ---- DYNAMIC partition pruning: the partitioned events layout
+    //      joined to a parquet dim filtered at RUNTIME (is_campaign) —
+    //      Catalyst injects a dynamicpruning subquery into the fact
+    //      scan's PartitionFilters, so only the dim-selected day
+    //      directories are read even though the days are not literals
+    //      in the query. THE join-shaped cousin of static pruning at
+    //      100 TB (scan 3 directories because the dim said so).
+    //      LayoutSpec/PlanSpec assert the dynamicpruning expression.
+    QueryDef.checked(
+      "q_dpp_join",
+      """SELECT event_type, count(*) AS n
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val staged = graft.util.Staging.dir("graft_events_bydate_",
+        s"$dir|partitionBy=event_date")
+      val marker = new org.apache.hadoop.fs.Path(staged, "_SUCCESS")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker))
+        Tables(spark, dir).events
+          .withColumn("event_date", to_date(col("ts")))
+          .write.partitionBy("event_date").mode("overwrite").parquet(staged)
+      // dim staged as parquet so its filter is a runtime scan, not a
+      // foldable local relation — that is what makes the pruning DYNAMIC
+      // the dim filter must be LIKELY-SELECTIVE for the PartitionPruning
+      // rule (equality on a literal qualifies; a bare boolean attribute
+      // does not), hence the campaign STRING column
+      val dimStaged = graft.util.Staging.dir("graft_day_dim_",
+        s"$dir|dayDim2")
+      val dimMarker = new org.apache.hadoop.fs.Path(dimStaged, "_SUCCESS")
+      if (!fs.exists(dimMarker))
+        Tables(spark, dir).events
+          .select(to_date(col("ts")).as("d")).distinct()
+          .withColumn("campaign",
+            when(dayofmonth(col("d")).between(10, 12), "mid_jan")
+              .otherwise("none"))
+          .write.mode("overwrite").parquet(dimStaged)
+      val dim = spark.read.parquet(dimStaged)
+        .filter(col("campaign") === "mid_jan").select(col("d"))
+      spark.read.parquet(staged)
+        .join(dim, col("event_date") === col("d"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    // ---- parquet AGGREGATE pushdown: MIN/MAX/COUNT answered from
+    //      parquet footer statistics — the scan reads metadata, not
+    //      rows (plan shows PushedAggregation). Needs the DSv2 parquet
+    //      path; both confs are saved/restored around the EAGER
+    //      materialization so the session is untouched afterwards. At
+    //      100 TB this is the difference between a metadata sweep and
+    //      a full-table scan for table-stats queries.
+    QueryDef.checked(
+      "q_agg_pushdown",
+      """SELECT min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+        |  count(*) AS n_rows
+        |FROM lineitem""".stripMargin) { (spark, dir) =>
+      val confs = Seq(
+        "spark.sql.parquet.aggregatePushdown" -> "true",
+        "spark.sql.sources.useV1SourceList" -> "")
+      val prev = confs.map { case (k, _) =>
+        k -> scala.util.Try(spark.conf.get(k)).toOption }
+      try {
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        spark.read.parquet(s"$dir/lineitem.parquet")
+          .agg(min(col("l_orderkey")).as("min_key"),
+            max(col("l_orderkey")).as("max_key"),
+            count(lit(1)).as("n_rows"))
+          .localCheckpoint() // materialize under the pushdown confs
+      } finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    },
+
     // ---- salted hot-key join: the fact side salts deterministically,
     //      the dimension replicates ×16, each (key, salt) bucket joins
     //      locally — the hash-join skew mitigation AQE cannot apply when

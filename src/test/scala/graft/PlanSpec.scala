@@ -278,6 +278,49 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition pruning: the fact scan carries a runtime filter") {
+    // the optimized plan embeds a dynamicpruning subquery in the
+    // partitioned scan's filters — the dim decides the directories.
+    // The sf0.001 fixture is tiny, so the size-based benefit estimate
+    // is disabled for the assertion (at real scale useStats approves
+    // pruning on its own).
+    val prev = scala.util.Try(spark.conf.get(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats")).toOption
+    try {
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      val df = q("q_dpp_join")
+      val plan = df.queryExecution.optimizedPlan.toString +
+        df.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(1200))
+    } finally prev.fold(spark.conf.unset(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats"))(
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats", _))
+  }
+
+  test("parquet aggregate pushdown: MIN/MAX/COUNT answered by the footer") {
+    import org.apache.spark.sql.functions._
+    val prevA = scala.util.Try(
+      spark.conf.get("spark.sql.parquet.aggregatePushdown")).toOption
+    val prevV = scala.util.Try(
+      spark.conf.get("spark.sql.sources.useV1SourceList")).toOption
+    try {
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      spark.conf.set("spark.sql.sources.useV1SourceList", "")
+      val df = spark.read.parquet(s"$sf/lineitem.parquet")
+        .agg(min(col("l_orderkey")), max(col("l_orderkey")), count(lit(1)))
+      assert(df.queryExecution.executedPlan.toString
+        .contains("PushedAggregation"),
+        df.queryExecution.executedPlan.toString.take(1200))
+    } finally {
+      prevA.fold(spark.conf.unset("spark.sql.parquet.aggregatePushdown"))(
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", _))
+      prevV.fold(spark.conf.unset("spark.sql.sources.useV1SourceList"))(
+        spark.conf.set("spark.sql.sources.useV1SourceList", _))
+    }
+  }
+
   test("kde: the point spine broadcasts; the corpus scans once") {
     val plan = physical("q_kde_density")
     assert(plan.contains("BroadcastNestedLoopJoin") ||
