@@ -596,6 +596,82 @@ object Experiments {
           round((col("p0") - col("p_conv")) / col("p0"), 6)
             .as("removal_effect"))
         .orderBy("removed")
+    },
+
+    // ---- covariate balance (standardized mean difference): the
+    //      experiment-QA check that the hash split did not tilt any
+    //      pre-treatment customer feature — SMD = (m̄_A − m̄_B) /
+    //      √((v_A + v_B)/2) per feature, |SMD| ≤ 0.1 = balanced. Same
+    //      md5 unit split as q_srm_check, same Σv/Σv² closed-form
+    //      moments as the test-statistic family; the stack unpivot
+    //      makes features DATA (3 rows/customer, one grouped pass).
+    QueryDef.checked(
+      "q_covariate_balance",
+      """WITH feats AS (
+        |  SELECT o_custkey,
+        |    CAST(concat('0x', substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 2 AS arm,
+        |    CAST(count(*) AS DOUBLE) AS f_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |      AS f_cents,
+        |    CAST(date_diff('day', max(CAST(o_orderdate AS DATE)),
+        |      DATE '2001-08-01') AS DOUBLE) AS f_recency
+        |  FROM orders GROUP BY o_custkey
+        |), unp AS (
+        |  SELECT arm, 'f_orders' AS feat, f_orders AS v FROM feats
+        |  UNION ALL SELECT arm, 'f_cents', f_cents FROM feats
+        |  UNION ALL SELECT arm, 'f_recency', f_recency FROM feats
+        |), m AS (
+        |  SELECT feat, arm, count(*) AS n, sum(v) AS sx, sum(v * v) AS sxx
+        |  FROM unp GROUP BY feat, arm
+        |), p AS (
+        |  SELECT feat,
+        |    max(CASE WHEN arm = 0 THEN n END) AS n_a,
+        |    max(CASE WHEN arm = 1 THEN n END) AS n_b,
+        |    max(CASE WHEN arm = 0 THEN sx / n END) AS m_a,
+        |    max(CASE WHEN arm = 1 THEN sx / n END) AS m_b,
+        |    max(CASE WHEN arm = 0 THEN (sxx - sx * sx / n) / (n - 1) END) AS v_a,
+        |    max(CASE WHEN arm = 1 THEN (sxx - sx * sx / n) / (n - 1) END) AS v_b
+        |  FROM m GROUP BY feat
+        |)
+        |SELECT feat, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  round((m_a - m_b) / sqrt((v_a + v_b) / 2), 6) AS smd,
+        |  abs((m_a - m_b) / sqrt((v_a + v_b) / 2)) <= 0.1 AS balanced
+        |FROM p
+        |ORDER BY feat""".stripMargin) { (spark, dir) =>
+      val feats = Tables(spark, dir).orders
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).cast("double").as("f_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("double").as("f_cents"),
+          datediff(lit("2001-08-01").cast("date"),
+            to_date(max(col("o_orderdate")))).cast("double").as("f_recency"))
+        .withColumn("arm",
+          expr("CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 15)," +
+            " 16, 10) AS BIGINT) % 2"))
+      val m = feats.select(col("arm"),
+          expr("stack(3, 'f_orders', f_orders, 'f_cents', f_cents," +
+            " 'f_recency', f_recency) AS (feat, v)"))
+        .groupBy("feat", "arm")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sx"),
+          sum(col("v") * col("v")).as("sxx"))
+      def arm(a: Int, e: org.apache.spark.sql.Column) =
+        max(when(col("arm") === a, e))
+      m.groupBy("feat")
+        .agg(arm(0, col("n")).as("n_a"), arm(1, col("n")).as("n_b"),
+          arm(0, col("sx") / col("n")).as("m_a"),
+          arm(1, col("sx") / col("n")).as("m_b"),
+          arm(0, (col("sxx") - col("sx") * col("sx") / col("n")) /
+            (col("n") - 1)).as("v_a"),
+          arm(1, (col("sxx") - col("sx") * col("sx") / col("n")) /
+            (col("n") - 1)).as("v_b"))
+        .select(col("feat"),
+          col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+          round((col("m_a") - col("m_b")) /
+            sqrt((col("v_a") + col("v_b")) / 2), 6).as("smd"),
+          (abs((col("m_a") - col("m_b")) /
+            sqrt((col("v_a") + col("v_b")) / 2)) <= 0.1).as("balanced"))
+        .orderBy("feat")
     }
   )
 }

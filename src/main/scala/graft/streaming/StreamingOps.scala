@@ -655,6 +655,68 @@ object StreamingOps {
         .orderBy("event_type")
     },
 
+    // ---- dead-letter split sink: each micro-batch routes rows to the
+    //      MAIN or DLQ buffer by a validity rule (value must parse to a
+    //      positive amount and props must be valid JSON) inside ONE
+    //      foreachBatch — the two-target sink pattern a production
+    //      pipeline uses so poison rows quarantine instead of killing
+    //      the query. Per-batch partial counts merge associatively, so
+    //      the final report equals the batch split whatever the batch
+    //      boundaries (same merge-≡-recompute law as foreach_batch).
+    QueryDef.checked(
+      "q_stream_dlq",
+      """WITH split AS (
+        |  SELECT CASE WHEN value > 0.05
+        |      AND json_valid(props) THEN 'main' ELSE 'dlq' END AS route,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |)
+        |SELECT route, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN route = 'main' THEN cents END) AS BIGINT)
+        |    AS main_cents
+        |FROM split
+        |GROUP BY route
+        |ORDER BY route""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val partials =
+        scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      val src = eventsStream(spark, dir)
+        .select(col("value"), col("props"))
+      withStreamConfs(spark, noDataBatches = false, extra = Nil) {
+        val q = src.writeStream
+          .outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            // single pass over the batch: route, then partial-aggregate
+            // each target (at scale: two df.write calls, main + DLQ)
+            val rows = batch
+              .withColumn("route",
+                when(col("value") > 0.05 &&
+                  expr("props IS NOT NULL AND isnotnull(get_json_object(props, '$'))"),
+                  "main").otherwise("dlq"))
+              .withColumn("cents",
+                expr("CAST(round(value * 100) AS BIGINT)"))
+              .groupBy("route")
+              .agg(count(lit(1)).as("n"),
+                sum(when(col("route") === "main", col("cents"))).as("c"))
+              .collect()
+            partials.synchronized {
+              partials ++= rows.map(r =>
+                (r.getString(0), r.getLong(1),
+                  if (r.isNullAt(2)) 0L else r.getLong(2)))
+            }
+            ()
+          }
+          .start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      }
+      partials.toSeq.toDF("route", "n", "c")
+        .groupBy("route")
+        .agg(sum(col("n")).cast("long").as("n_rows"),
+          when(col("route") === "main", sum(col("c")).cast("long"))
+            .otherwise(lit(null).cast("long")).as("main_cents"))
+        .orderBy("route")
+    },
+
     // ---- checkpoint restart: run a complete-mode aggregate over half
     //      the data, STOP the query, land the second half, restart with
     //      the SAME checkpoint — the final table must equal the batch
