@@ -130,6 +130,33 @@ object Windows {
         .orderBy(col("o_custkey"), col("rn"))
     },
 
+    // ---- top-k per group via the CUSTOM physical operator
+    //      ([[graft.plans.TopKPerGroup]], SURVEY §7.4 tier (c)): same
+    //      semantics as q_topk_per_group's window formulation, executed
+    //      by the bounded-heap TopKPerGroupExec instead of a full
+    //      per-group sort — O(n log k), memory groups × k. The oracle
+    //      (and PlanSpec's result-equality + plan-shape assertions)
+    //      prove the operator against the window plan.
+    QueryDef.checked(
+      "q_topk_operator",
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin) {
+      (spark, dir) =>
+      graft.plans.TopKPerGroup(
+          Tables(spark, dir).orders
+            .select("o_custkey", "o_orderkey", "o_totalprice"),
+          groupCols = Seq("o_custkey"),
+          orderBy = Seq("o_totalprice" -> false, "o_orderkey" -> true),
+          k = 3)
+        .orderBy(col("o_custkey"), col("o_totalprice").desc,
+          col("o_orderkey"))
+    },
+
     // ---- global sort + limit (top-k): Spark plans TakeOrderedAndProject —
     //      a per-partition heap + single k-row merge, no full sort at scale
     QueryDef.checked(
