@@ -292,6 +292,80 @@ object Concentration {
               col("n_viewers"), 6)).as("conversion_rate"))
     },
 
+    // ---- cohort LTV triangle: customers cohorted by first-order
+    //      QUARTER; for each (cohort, quarters-since-acquisition) cell,
+    //      cumulative revenue per cohort member — the lifetime-value
+    //      curve finance reads off the triangle's rows. Cumulative via
+    //      a window over the quarter axis of the (cohorts × ages)
+    //      grid (bounded ~28×28); the only fact-sized shuffles are the
+    //      first-order aggregate and the (cohort, age) revenue rollup.
+    //      Revenue stays exact integer cents; the per-member division
+    //      is the one double at the edge.
+    QueryDef.checked(
+      "q_cohort_ltv",
+      """WITH firsts AS (
+        |  SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS d0
+        |  FROM orders GROUP BY o_custkey
+        |), cohorts AS (
+        |  SELECT o_custkey,
+        |    CAST(year(d0) * 4 + (month(d0) - 1) // 3 AS BIGINT) AS cq
+        |  FROM firsts
+        |), sizes AS (
+        |  SELECT cq, count(*) AS n_members FROM cohorts GROUP BY cq
+        |), rev AS (
+        |  SELECT c.cq,
+        |    CAST(year(CAST(o.o_orderdate AS DATE)) * 4
+        |      + (month(CAST(o.o_orderdate AS DATE)) - 1) // 3 - c.cq
+        |      AS BIGINT) AS age_q,
+        |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders o JOIN cohorts c ON c.o_custkey = o.o_custkey
+        |  GROUP BY 1, 2
+        |), tri AS (
+        |  SELECT cq, age_q, cents,
+        |    CAST(sum(cents) OVER (PARTITION BY cq ORDER BY age_q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_cents
+        |  FROM rev
+        |)
+        |SELECT t.cq AS cohort_q, t.age_q, s.n_members,
+        |  t.cum_cents,
+        |  round(CAST(t.cum_cents AS DOUBLE) / s.n_members / 100.0, 6)
+        |    AS ltv_per_member
+        |FROM tri t JOIN sizes s ON s.cq = t.cq
+        |WHERE t.age_q <= 8
+        |ORDER BY cohort_q, age_q""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val orders = Tables(spark, dir).orders
+      val cohorts = orders.groupBy("o_custkey")
+        .agg(min(to_date(col("o_orderdate"))).as("d0"))
+        .select(col("o_custkey"),
+          (year(col("d0")) * 4 + expr("(month(d0) - 1) div 3")).cast("long")
+            .as("cq"))
+        .localCheckpoint() // sizes + the fact join both read it
+      val sizes = cohorts.groupBy("cq").agg(count(lit(1)).as("n_members"))
+      val rev = orders
+        .join(cohorts, Seq("o_custkey"))
+        .select(col("cq"),
+          ((year(to_date(col("o_orderdate"))) * 4 +
+            expr("(month(to_date(o_orderdate)) - 1) div 3")).cast("long")
+            - col("cq")).as("age_q"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+        .groupBy("cq", "age_q")
+        .agg(sum(col("c")).cast("long").as("cents"))
+      // cumulative along the age axis of the bounded cohort grid
+      val w = Window.partitionBy("cq").orderBy("age_q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.withColumn("cum_cents", sum(col("cents")).over(w).cast("long"))
+        .join(broadcast(sizes), Seq("cq"))
+        .filter(col("age_q") <= 8)
+        .select(col("cq").as("cohort_q"), col("age_q"), col("n_members"),
+          col("cum_cents"),
+          round(col("cum_cents").cast("double") / col("n_members") / 100.0, 6)
+            .as("ltv_per_member"))
+        .orderBy("cohort_q", "age_q")
+    },
+
     // ---- RFM segmentation: recency/frequency/monetary quintiles per
     //      customer, reported as the 5×5×5 cell census. Each quintile
     //      is a GLOBAL ntile over the customer population — assigned

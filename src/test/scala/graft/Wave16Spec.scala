@@ -29,6 +29,20 @@ class Wave16Spec extends SparkSpec {
     }
   }
 
+  test("cohort ltv: cumulative per-member revenue is non-decreasing") {
+    val rows = q("q_cohort_ltv").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("cohort_q")).foreach { case (_, trs) =>
+      val sorted = trs.sortBy(_.getAs[Long]("age_q"))
+      // age 0 always exists (the acquisition quarter itself)
+      assert(sorted.head.getAs[Long]("age_q") == 0L)
+      val cums = sorted.map(_.getAs[Long]("cum_cents"))
+      cums.sliding(2).foreach { case Array(a, b) => assert(b >= a) }
+      val members = sorted.map(_.getAs[Long]("n_members")).distinct
+      assert(members.length == 1 && members.head > 0)
+    }
+  }
+
   test("dbscan: the three classes partition every cell") {
     val rows = q("q_dbscan_classify").collect()
     assert(rows.map(_.getAs[Long]("n_vecs")).sum == 500)
