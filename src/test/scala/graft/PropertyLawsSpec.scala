@@ -148,4 +148,57 @@ class PropertyLawsSpec extends SparkSpec {
         s"doc ${r.getAs[Long]("doc_id")}: $t triangles with degree $d")
     }
   }
+
+  // ---- KMV sketch laws: any split of a distinct multiset into
+  //      partial reductions merges to the exact k smallest — the
+  //      monoid property partial aggregation depends on
+  test("KMV merge is split-invariant and equals the exact bottom-k") {
+    val agg = new graft.functions.KMVAggregator(8)
+    val gen = for {
+      n <- Gen.chooseNum(0, 60)
+      vs <- Gen.listOfN(n, Gen.chooseNum(0L, 1000L))
+    } yield vs.distinct
+    (1L to 10L).foreach { seed =>
+      val vs = sample(gen, seed)
+      val expect = vs.sorted.take(8)
+      // sequential fold
+      assert(vs.foldLeft(agg.zero)(agg.reduce).toSeq == expect)
+      // every 3-way split, merged in both associations
+      val (a, rest) = vs.splitAt(vs.length / 3)
+      val (b, c) = rest.splitAt(rest.length / 2)
+      def red(xs: Seq[Long]) = xs.foldLeft(agg.zero)(agg.reduce)
+      val left = agg.merge(agg.merge(red(a), red(b)), red(c))
+      val right = agg.merge(red(a), agg.merge(red(b), red(c)))
+      assert(left.toSeq == expect && right.toSeq == expect)
+      // commutativity
+      assert(agg.merge(red(b), red(a)).toSeq ==
+        agg.merge(red(a), red(b)).toSeq)
+    }
+  }
+
+  // ---- TopKPerGroup operator law: for random tables and random k,
+  //      the custom exec equals the window-rank reference
+  test("TopKPerGroup equals window rank on random tables") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 80)
+      k <- Gen.chooseNum(1, 5)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.chooseNum(0, 4)
+        v <- Gen.chooseNum(-50, 50)
+        id <- Gen.chooseNum(0, 1000000)
+      } yield (g, v, id))
+    } yield (rows.distinctBy(_._3), k)
+    (1L to 4L).foreach { seed =>
+      val (rows, k) = sample(gen, seed)
+      val df = rows.toDF("g", "v", "id")
+      val got = graft.plans.TopKPerGroup(df, Seq("g"),
+          Seq("v" -> false, "id" -> true), k)
+        .orderBy("g", "id").collect().toSeq
+      val w = Window.partitionBy("g").orderBy(col("v").desc, col("id"))
+      val expect = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+        .orderBy("g", "id").collect().toSeq
+      assert(got == expect, s"seed=$seed k=$k")
+    }
+  }
 }
