@@ -630,8 +630,8 @@ object VectorCuration {
          |  FROM cents, range(64) t(i)
          |)
          |SELECT n.cell, max(n.n) AS n_members,
-         |  sum((n.pos + 1) * n.nc) AS centroid_checksum,
-         |  sum(abs(n.nc - o.oc)) AS l1_move_fp
+         |  CAST(sum((n.pos + 1) * n.nc) AS BIGINT) AS centroid_checksum,
+         |  CAST(sum(abs(n.nc - o.oc)) AS BIGINT) AS l1_move_fp
          |FROM newc n JOIN oldc o ON o.cell = n.cell AND o.pos = n.pos
          |GROUP BY n.cell
          |ORDER BY n.cell""".stripMargin) { (spark, dir) =>
