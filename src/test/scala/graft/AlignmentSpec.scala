@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Alignment wave: DPO pairs, best-of-n lift, win matrix, KTO labels. */
+class AlignmentSpec extends SparkSpec {
+
+  private def ttr(text: String): Long = {
+    val t = text.split(" ")
+    t.distinct.length * 1000000L / t.length
+  }
+
+  test("dpo pairs: chosen dominates rejected and margin matches recompute") {
+    val docs = Tables(spark, sf).documents.select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> ttr(r.getAs[String]("text"))).toMap
+    val rows = q("q_dpo_pairs").collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { r =>
+      val c = r.getAs[Long]("chosen_id")
+      val j = r.getAs[Long]("rejected_id")
+      assert(c != j)
+      assert(r.getAs[Long]("margin_fp") == docs(c) - docs(j))
+      assert(r.getAs[Long]("margin_fp") >= 0)
+      assert(r.getAs[Long]("n_cands") >= 2)
+    }
+  }
+
+  test("best-of-n: lift is nonnegative and users partition exactly") {
+    val rows = q("q_best_of_n").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_lift_cents") >= 0) // max >= floor(mean)
+    }
+    val nGroups = Tables(spark, sf).events
+      .select("user_id", "event_type").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == nGroups)
+  }
+
+  test("win matrix: wins + ties never exceed pairs; rate reconstructs") {
+    val rows = q("q_pref_win_matrix").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_pairs")
+      val w = r.getAs[Long]("wins_a")
+      val t = r.getAs[Long]("ties")
+      assert(w + t <= n)
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+      assert(math.abs(r.getAs[Double]("win_rate_a") -
+        math.rint(w.toDouble / n * 1e6) / 1e6) < 1e-9)
+    }
+  }
+
+  test("kto labels: classes partition each source and weight is n_u/n_d") {
+    val perSource = Tables(spark, sf).documents.groupBy("source")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n")).toMap
+    val rows = q("q_kto_labels").collect()
+    assert(rows.map(_.getAs[String]("source")).toSet == perSource.keySet)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("n_desirable")
+      val u = r.getAs[Long]("n_undesirable")
+      assert(d + u == perSource(r.getAs[String]("source")))
+      assert(r.getAs[Long]("pos_weight_fp") ==
+        u * 1000000L / math.max(d, 1L))
+    }
+  }
+}
