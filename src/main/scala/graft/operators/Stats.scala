@@ -920,6 +920,97 @@ object Stats {
           round(abs(col("est") - col("n_true")) / col("n_true"), 4)
             .as("rel_err"))
         .orderBy("event_type")
+    },
+
+    // ---- theta-style KMV set algebra: union/intersection/Jaccard
+    //      ESTIMATES for two user populations from their k=64 minimum
+    //      hash sketches alone — the union sketch is the k smallest of
+    //      the merged minima with threshold θ; the intersection counts
+    //      retained hashes below θ present in BOTH sketches (ρ), and
+    //      est(A∩B) = ρ/k · est(∪). Exact counts ride along so the
+    //      result shows the estimate AND its error. At 100 TB only the
+    //      two ≤64-long sketch arrays cross the wire; populations never
+    //      meet row-wise (the exact twin here is the verification
+    //      harness, not the production path). All set algebra runs on
+    //      bounded arrays both engines evaluate identically — the same
+    //      deterministic 60-bit md5 hash as q_kmv_distinct.
+    QueryDef.checked(
+      "q_kmv_set_ops",
+      """WITH ua AS (
+        |  SELECT DISTINCT CAST(concat('0x', substring(md5(CAST(user_id
+        |    AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events WHERE event_type = 'click'
+        |), ub AS (
+        |  SELECT DISTINCT CAST(concat('0x', substring(md5(CAST(user_id
+        |    AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events WHERE event_type = 'purchase' AND value > 0.5
+        |), sa AS (SELECT list_slice(list_sort(list(h)), 1, 64) AS m,
+        |    count(*) AS n FROM ua),
+        |sb AS (SELECT list_slice(list_sort(list(h)), 1, 64) AS m,
+        |    count(*) AS n FROM ub),
+        |un AS (SELECT count(*) AS n FROM (SELECT h FROM ua UNION
+        |    SELECT h FROM ub)),
+        |ix AS (SELECT count(*) AS n FROM (SELECT h FROM ua INTERSECT
+        |    SELECT h FROM ub)),
+        |merged AS (
+        |  SELECT sa.n AS n_a_true, sb.n AS n_b_true, un.n AS n_union_true,
+        |    ix.n AS n_inter_true,
+        |    list_slice(list_sort(list_distinct(list_concat(sa.m, sb.m))),
+        |      1, 64) AS mu,
+        |    len(list_concat(sa.m, sb.m)) AS raw_len,
+        |    sa.m AS ma, sb.m AS mb
+        |  FROM sa, sb, un, ix
+        |), scored AS (
+        |  SELECT *, mu[len(mu)] AS theta, CAST(len(mu) AS BIGINT) AS ku,
+        |    CAST(len(list_filter(list_intersect(ma, mb),
+        |      x -> x <= mu[len(mu)])) AS BIGINT) AS rho
+        |  FROM merged
+        |)
+        |SELECT CAST(n_a_true AS BIGINT) AS n_a_true,
+        |  CAST(n_b_true AS BIGINT) AS n_b_true,
+        |  CAST(n_union_true AS BIGINT) AS n_union_true,
+        |  CAST(n_inter_true AS BIGINT) AS n_inter_true, ku, rho,
+        |  round(CASE WHEN n_union_true <= 64 THEN CAST(n_union_true AS DOUBLE)
+        |    ELSE (ku - 1) * 1152921504606846976.0 / theta END, 2)
+        |    AS union_est,
+        |  round(CAST(rho AS DOUBLE) / ku *
+        |    (CASE WHEN n_union_true <= 64 THEN CAST(n_union_true AS DOUBLE)
+        |     ELSE (ku - 1) * 1152921504606846976.0 / theta END), 2)
+        |    AS inter_est,
+        |  round(CAST(rho AS DOUBLE) / ku, 6) AS jaccard_est
+        |FROM scored""".stripMargin) { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+      def pop(df: org.apache.spark.sql.DataFrame) = df
+        .select(expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1," +
+          " 15), 16, 10) AS BIGINT)").as("h"))
+        .distinct()
+      val ua = pop(ev.filter(col("event_type") === "click"))
+        .localCheckpoint() // sketch + exact union/intersection consumers
+      val ub = pop(ev.filter(col("event_type") === "purchase" &&
+          col("value") > 0.5))
+        .localCheckpoint()
+      val kmv64 = graft.functions.KMVAggregator.kmv(64)
+      val sa = ua.agg(kmv64(col("h")).as("ma"), count(lit(1)).as("n_a_true"))
+      val sb = ub.agg(kmv64(col("h")).as("mb"), count(lit(1)).as("n_b_true"))
+      val un = ua.union(ub).distinct().agg(count(lit(1)).as("n_union_true"))
+      val ix = ua.join(ub, Seq("h")).agg(count(lit(1)).as("n_inter_true"))
+      sa.crossJoin(sb).crossJoin(un).crossJoin(ix)
+        .withColumn("mu",
+          expr("slice(array_sort(array_distinct(concat(ma, mb))), 1, 64)"))
+        .withColumn("theta", expr("element_at(mu, size(mu))"))
+        .withColumn("ku", expr("CAST(size(mu) AS BIGINT)"))
+        .withColumn("rho", expr(
+          "CAST(size(filter(array_intersect(ma, mb), x -> x <= theta)) AS BIGINT)"))
+        .withColumn("u_est",
+          when(col("n_union_true") <= 64, col("n_union_true").cast("double"))
+            .otherwise((col("ku") - 1) * lit(1152921504606846976.0) /
+              col("theta")))
+        .select(col("n_a_true"), col("n_b_true"), col("n_union_true"),
+          col("n_inter_true"), col("ku"), col("rho"),
+          round(col("u_est"), 2).as("union_est"),
+          round(col("rho").cast("double") / col("ku") * col("u_est"), 2)
+            .as("inter_est"),
+          round(col("rho").cast("double") / col("ku"), 6).as("jaccard_est"))
     }
   )
 }

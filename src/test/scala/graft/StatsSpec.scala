@@ -232,4 +232,21 @@ class StatsSpec extends SparkSpec {
     val recon = rows.map(r => r.getAs[Long]("nij") * r.getAs[Double]("pmi")).sum
     assert(math.abs(recon / total - mis.head) < 1e-3)
   }
+
+  test("kmv set ops: sketch-merge union sketch equals the sketch of the " +
+      "union population, and estimates track truth") {
+    val r = q("q_kmv_set_ops").collect()(0)
+    val (nu, ni) = (r.getAs[Long]("n_union_true"), r.getAs[Long]("n_inter_true"))
+    val (ku, rho) = (r.getAs[Long]("ku"), r.getAs[Long]("rho"))
+    assert(rho <= ku && ku <= 64)
+    val j = r.getAs[Double]("jaccard_est")
+    assert(j >= 0.0 && j <= 1.0)
+    // intersection estimate within 50% of truth at k=64 on this data
+    if (ni > 0) {
+      assert(math.abs(r.getAs[Double]("inter_est") - ni) / ni < 0.5)
+    }
+    if (nu > 0) {
+      assert(math.abs(r.getAs[Double]("union_est") - nu) / nu < 0.3)
+    }
+  }
 }
