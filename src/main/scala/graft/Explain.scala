@@ -72,7 +72,10 @@ object Explain {
     "q_kaplan_meier", "q_kmv_distinct", "q_bleu_pairs",
     "q_session_window_batch", "q_path_mining", "q_hits_hubs",
     "q_theil_sen", "q_kde_density", "q_stream_cdc_apply",
-    "q_max_drawdown", "q_cumulative_uniques", "q_shuffle_sharding")
+    "q_max_drawdown", "q_cumulative_uniques", "q_shuffle_sharding",
+    "q_geo_grid_knn", "q_geo_bbox_join", "q_suffix_lcp",
+    "q_dpo_pairs", "q_pref_win_matrix", "q_kmv_set_ops",
+    "q_kanon_ladder")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -179,6 +179,50 @@ object Alignment {
         .orderBy("source_a", "source_b")
     },
 
+    // ---- discounted episode returns: each user's event stream is an
+    //      RLHF-style trajectory (steps ordered by time, reward = event
+    //      value in cents); the return is Σ r_t·γ^t with γ = 0.9 over
+    //      the first 20 steps. The discount table is PRECOMPUTED 1e-9
+    //      fixed-point integers injected into both engines — the sum is
+    //      pure integer arithmetic, immune to libm pow() ulp drift (the
+    //      q_retrieval_metrics discount-table discipline). The step
+    //      window partitions by episode (bounded per-entity), never the
+    //      corpus; truncation at 20 steps is the documented horizon.
+    QueryDef.checked(
+      "q_episode_returns", {
+        val disc = Seq.tabulate(20)(t => math.round(math.pow(0.9, t) * 1e9))
+        val caseSql = disc.zipWithIndex
+          .map { case (d, t) => s"WHEN $t THEN $d" }
+          .mkString("CASE t ", " ", " ELSE 0 END")
+        s"""WITH steps AS (
+           |  SELECT user_id,
+           |    CAST(row_number() OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) - 1 AS INTEGER) AS t,
+           |    CAST(round(value * 100) AS BIGINT) AS r_cents
+           |  FROM events
+           |)
+           |SELECT user_id, CAST(count(*) AS BIGINT) AS n_steps,
+           |  CAST(sum(r_cents) AS BIGINT) AS raw_cents,
+           |  CAST(sum(r_cents * ($caseSql)) AS BIGINT) AS return_fp
+           |FROM steps GROUP BY user_id
+           |ORDER BY user_id""".stripMargin
+      }) { (spark, dir) =>
+      val disc = Seq.tabulate(20)(t => math.round(math.pow(0.9, t) * 1e9))
+      val caseSql = disc.zipWithIndex
+        .map { case (d, t) => s"WHEN $t THEN ${d}L" }
+        .mkString("CASE t ", " ", " ELSE 0L END")
+      Tables(spark, dir).events
+        .select(col("user_id"),
+          (row_number().over(Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")) - 1).as("t"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("r_cents"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_steps"),
+          sum(col("r_cents")).as("raw_cents"),
+          sum(col("r_cents") * expr(caseSql)).as("return_fp"))
+        .orderBy("user_id")
+    },
+
     // ---- KTO label construction: binary desirable/undesirable per
     //      document from a fixed reward threshold, with the per-source
     //      class-imbalance weight (the λ_U/λ_D ratio KTO applies to the

@@ -378,6 +378,66 @@ object Governance {
           round(pBar, 6).as("p_bar"),
           round((pBar - pe) / (lit(1.0) - pe), 6).as("kappa"))
         .orderBy("lang")
+    },
+
+    // ---- k-anonymity generalization ladder: coarsen the QI step by
+    //      step (nation+segment+sign → nation+segment → region+segment
+    //      → segment) and report, per level, the violating groups and
+    //      how many records suppression would cost — then flag the
+    //      MINIMAL level where every group reaches k ≥ 5 (the
+    //      generalize-vs-suppress tradeoff an anonymization pass
+    //      actually decides). One entity-bounded scan; each level is a
+    //      keyed aggregate of it; the chooser window runs over 4 rows.
+    QueryDef.checked(
+      "q_kanon_ladder",
+      """WITH qi AS (
+        |  SELECT c.c_custkey, c.c_nationkey, n.n_regionkey, c.c_mktsegment,
+        |    c.c_acctbal >= 0 AS bal_pos
+        |  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |), sizes AS (
+        |  SELECT 0 AS level, count(*) AS n FROM qi
+        |    GROUP BY c_nationkey, c_mktsegment, bal_pos
+        |  UNION ALL SELECT 1, count(*) FROM qi
+        |    GROUP BY c_nationkey, c_mktsegment
+        |  UNION ALL SELECT 2, count(*) FROM qi
+        |    GROUP BY n_regionkey, c_mktsegment
+        |  UNION ALL SELECT 3, count(*) FROM qi GROUP BY c_mktsegment
+        |), lvl AS (
+        |  SELECT level, CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(min(n) AS BIGINT) AS min_size,
+        |    CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violations,
+        |    CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |      AS n_suppressed
+        |  FROM sizes GROUP BY level
+        |)
+        |SELECT level, n_groups, min_size, n_violations, n_suppressed,
+        |  coalesce(level = min(CASE WHEN n_violations = 0 THEN level END)
+        |    OVER (), false) AS is_chosen
+        |FROM lvl ORDER BY level""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val qi = t.customer
+        .join(broadcast(t.nation.select("n_nationkey", "n_regionkey")),
+          col("n_nationkey") === col("c_nationkey"))
+        .select(col("c_nationkey"), col("n_regionkey"), col("c_mktsegment"),
+          (col("c_acctbal") >= 0).as("bal_pos"))
+        .localCheckpoint() // four level aggregates of one scan
+      def level(l: Int, keys: String*) = qi.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n")).select(lit(l).as("level"), col("n"))
+      val sizes = level(0, "c_nationkey", "c_mktsegment", "bal_pos")
+        .union(level(1, "c_nationkey", "c_mktsegment"))
+        .union(level(2, "n_regionkey", "c_mktsegment"))
+        .union(level(3, "c_mktsegment"))
+      val lvl = sizes.groupBy("level")
+        .agg(count(lit(1)).as("n_groups"), min(col("n")).as("min_size"),
+          sum(when(col("n") < 5, 1L).otherwise(0L)).as("n_violations"),
+          sum(when(col("n") < 5, col("n")).otherwise(0L)).as("n_suppressed"))
+      // 4-row chooser window (bounded by the ladder's level count)
+      lvl.withColumn("is_chosen", coalesce(
+          col("level") === min(when(col("n_violations") === 0, col("level")))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy()),
+          lit(false)))
+        .orderBy("level")
     }
   )
 }

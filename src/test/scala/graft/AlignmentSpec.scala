@@ -50,6 +50,27 @@ class AlignmentSpec extends SparkSpec {
     }
   }
 
+  test("episode returns: discounted return matches an in-memory replay") {
+    val disc = Seq.tabulate(20)(t => math.round(math.pow(0.9, t) * 1e9))
+    val byUser = Tables(spark, sf).events
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        (r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[Long]("event_id")),
+        math.round(r.getAs[Double]("value") * 100)))
+      .groupBy(_._1)
+    val rows = q("q_episode_returns").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val steps = byUser(u).sortBy(_._2).map(_._3)
+      assert(r.getAs[Long]("n_steps") == steps.length)
+      assert(r.getAs[Long]("raw_cents") == steps.sum)
+      val want = steps.take(20).zipWithIndex
+        .map { case (c, t) => c * disc(t) }.sum
+      assert(r.getAs[Long]("return_fp") == want, s"user $u")
+    }
+  }
+
   test("kto labels: classes partition each source and weight is n_u/n_d") {
     val perSource = Tables(spark, sf).documents.groupBy("source")
       .agg(count(lit(1)).as("n")).collect()

@@ -331,4 +331,32 @@ class PlanSpec extends SparkSpec {
       l.contains("FileScan parquet") && l.contains("events"))
     assert(scans <= 2, s"events scanned $scans times")
   }
+
+  test("spatial wave: cell joins are keyed, never cartesian") {
+    // grid kNN and bbox cover both join EQUI on the cell key with the
+    // exact predicate as residual — a BroadcastNestedLoopJoin or
+    // CartesianProduct here would mean the blocking key was lost
+    Seq("q_geo_grid_knn", "q_geo_bbox_join").foreach { name =>
+      val plan = physical(name)
+      assert(!plan.contains("CartesianProduct"), s"$name is cartesian")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name lost its cell equi-key")
+    }
+  }
+
+  test("suffix lcp: no corpus-sized single-partition stage") {
+    // the global suffix order must come from RangeRank (range exchange +
+    // per-partition window), not a single-partition sort; the final
+    // top-20 is TakeOrderedAndProject
+    val plan = physical("q_suffix_lcp")
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(800))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
+  test("alignment wave: prompt/bucket windows never collapse to one task") {
+    Seq("q_dpo_pairs", "q_pref_win_matrix", "q_best_of_n").foreach { name =>
+      assert(!physical(name).contains("Exchange SinglePartition"),
+        s"$name has a single-partition exchange")
+    }
+  }
 }
