@@ -194,6 +194,88 @@ object PipelineQueries {
           (col("n") === col("fn") && col("s") === col("fs"))
             .as("matches_recompute"))
         .orderBy("priority")
+    },
+
+    // ---- retraction-aware incremental view maintenance: the delta is a
+    //      CDC batch with DELETES (keys ≡ 0 mod 97) and UPDATES (keys ≡
+    //      0 mod 101, re-priced +10%), encoded as SIGNED rows — an
+    //      update is retract(old) + insert(new). The maintained
+    //      aggregate is base + Σ sign·x per group; count and sum are
+    //      self-retractable so no per-key state is needed (min/max would
+    //      need one — that asymmetry is the point of the signed-delta
+    //      algebra). The recompute twin applies the same CDC to the
+    //      fact table and re-aggregates; the row carries the equality
+    //      verdict. Scale: maintenance cost is |delta| + a
+    //      |groups|-sized join; the recompute is the audit, not the
+    //      serving path.
+    QueryDef.checked(
+      "q_retractable_agg",
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS p,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |), base AS (
+        |  SELECT p, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s
+        |  FROM o GROUP BY p
+        |), cdc AS (
+        |  SELECT p, -1 AS sign, cents FROM o WHERE k % 97 = 0
+        |  UNION ALL
+        |  SELECT p, -1, cents FROM o WHERE k % 101 = 0 AND k % 97 <> 0
+        |  UNION ALL
+        |  SELECT p, 1, cents + cents // 10 FROM o
+        |    WHERE k % 101 = 0 AND k % 97 <> 0
+        |), delta AS (
+        |  SELECT p, CAST(sum(sign) AS BIGINT) AS dn,
+        |    CAST(sum(sign * cents) AS BIGINT) AS ds
+        |  FROM cdc GROUP BY p
+        |), merged AS (
+        |  SELECT b.p, b.n + coalesce(d.dn, 0) AS n, b.s + coalesce(d.ds, 0) AS s
+        |  FROM base b LEFT JOIN delta d ON d.p = b.p
+        |), applied AS (
+        |  SELECT p, CASE WHEN k % 101 = 0 THEN cents + cents // 10
+        |              ELSE cents END AS cents
+        |  FROM o WHERE k % 97 <> 0
+        |), recomputed AS (
+        |  SELECT p, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s
+        |  FROM applied GROUP BY p
+        |)
+        |SELECT m.p AS priority, CAST(m.n AS BIGINT) AS n_rows,
+        |  CAST(m.s AS BIGINT) AS sum_cents,
+        |  m.n = r.n AND m.s = r.s AS matches_recompute
+        |FROM merged m JOIN recomputed r ON r.p = m.p
+        |ORDER BY priority""".stripMargin) { (spark, dir) =>
+      val o = Tables(spark, dir).orders
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("p"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .localCheckpoint() // base, cdc, and recompute all read it
+      val base = o.groupBy("p")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).cast("long").as("s"))
+      val del = o.filter(col("k") % 97 === 0)
+        .select(col("p"), lit(-1L).as("sign"), col("cents"))
+      val updOld = o.filter(col("k") % 101 === 0 && col("k") % 97 =!= 0)
+        .select(col("p"), lit(-1L).as("sign"), col("cents"))
+      val updNew = o.filter(col("k") % 101 === 0 && col("k") % 97 =!= 0)
+        .select(col("p"), lit(1L).as("sign"),
+          (col("cents") + expr("cents div 10")).as("cents"))
+      val delta = del.union(updOld).union(updNew).groupBy("p")
+        .agg(sum(col("sign")).as("dn"), sum(col("sign") * col("cents")).as("ds"))
+        .select(col("p").as("dp"), col("dn"), col("ds"))
+      val merged = base.join(delta, col("dp") === col("p"), "left")
+        .select(col("p"), (col("n") + coalesce(col("dn"), lit(0L))).as("n"),
+          (col("s") + coalesce(col("ds"), lit(0L))).as("s"))
+      val recomputed = o.filter(col("k") % 97 =!= 0)
+        .select(col("p"), when(col("k") % 101 === 0,
+          col("cents") + expr("cents div 10")).otherwise(col("cents"))
+          .as("cents"))
+        .groupBy("p")
+        .agg(count(lit(1)).as("rn"), sum(col("cents")).cast("long").as("rs"))
+        .select(col("p").as("rp"), col("rn"), col("rs"))
+      merged.join(recomputed, col("rp") === col("p"))
+        .select(col("p").as("priority"), col("n").cast("long").as("n_rows"),
+          col("s").as("sum_cents"),
+          (col("n") === col("rn") && col("s") === col("rs"))
+            .as("matches_recompute"))
+        .orderBy("priority")
     }
   )
 }

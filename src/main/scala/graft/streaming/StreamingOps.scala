@@ -54,6 +54,69 @@ class TypeStatsProcessor extends org.apache.spark.sql.streaming.StatefulProcesso
   }
 }
 
+final case class SessRow(user_id: Long, start_us: Long, end_us: Long,
+    n_events: Long, cents: Long)
+final case class SessState(startUs: Long, lastUs: Long, n: Long, cents: Long)
+
+/** Event-time TIMER sessionizer (state API v2): sessions close either
+  * inline, when a same-key event arrives past the gap, or via an
+  * event-time timer once the watermark passes `last + gap` — the timer
+  * half is what `session_window` cannot express (emit-on-inactivity
+  * with custom per-session payload). Each batch re-registers the timer
+  * at the extended expiry; stale timers from earlier registrations are
+  * ignored by re-deriving the current expiry from state. Gap semantics
+  * mirror `session_window`'s half-open interval: an event EXACTLY gap
+  * after the previous starts a new session. */
+class TimerSessionProcessor(gapUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long), SessRow] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+  @transient private var st: ValueState[SessState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[SessState]("sess",
+      org.apache.spark.sql.Encoders.product[SessState], TTLConfig.NONE)
+
+  /** Timer slot in ms (timers are ms-granular): first whole ms at or
+    * after the half-open session end `last + gap`. */
+  private def expiryMs(lastUs: Long): Long =
+    Math.floorDiv(lastUs + gapUs + 999L, 1000L)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+      tv: TimerValues): Iterator[SessRow] = {
+    val sorted = rows.toArray.sortBy(_._2)
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessRow]
+    var cur = if (st.exists()) Option(st.get()) else None
+    sorted.foreach { case (_, ts, cents) =>
+      cur match {
+        case Some(s) if ts - s.lastUs < gapUs => // strict: gap-exact splits
+          cur = Some(SessState(math.min(s.startUs, ts),
+            math.max(s.lastUs, ts), s.n + 1, s.cents + cents))
+        case Some(s) =>
+          out += SessRow(key, s.startUs, s.lastUs, s.n, s.cents)
+          cur = Some(SessState(ts, ts, 1L, cents))
+        case None =>
+          cur = Some(SessState(ts, ts, 1L, cents))
+      }
+    }
+    cur.foreach { s =>
+      st.update(s)
+      getHandle.registerTimer(expiryMs(s.lastUs))
+    }
+    out.iterator
+  }
+
+  override def handleExpiredTimer(key: Long, tv: TimerValues,
+      info: ExpiredTimerInfo): Iterator[SessRow] = {
+    if (!st.exists()) return Iterator.empty
+    val s = st.get()
+    if (info.getExpiryTimeInMs >= expiryMs(s.lastUs)) {
+      st.clear()
+      Iterator.single(SessRow(key, s.startUs, s.lastUs, s.n, s.cents))
+    } else Iterator.empty // stale timer; the session was extended since
+  }
+}
+
 /** Structured Streaming surface over the `events` table (SURVEY.md §2B
   * "Streaming"). The checked queries run REAL streaming jobs — file
   * source → windowed stateful aggregation → memory sink, driven to
@@ -505,6 +568,66 @@ object StreamingOps {
         extra = Seq("spark.sql.streaming.stateStore.providerClass" ->
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
         .orderBy("event_type")
+    },
+
+    // ---- state API v2 TIMERS: custom sessionizer where the LAST session
+    //      per key closes on an event-time timer (emit-on-inactivity),
+    //      not on a successor event — the timer surface session_window
+    //      can't express. Mid-stream sessions emit inline at gap breaks;
+    //      tail sessions emit only if the final watermark (max ts − 2 h,
+    //      ms floor) passes their registered expiry slot, and the oracle
+    //      reproduces that cut with the same ms arithmetic.
+    QueryDef.checked(
+      "q_stream_timer_session",
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |), islands AS (
+        |  SELECT user_id, ts, cents,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked
+        |), agg AS (
+        |  SELECT user_id, session_id, min(ts) AS session_start,
+        |    max(ts) AS session_end, count(*) AS n_events,
+        |    CAST(sum(cents) AS BIGINT) AS cents,
+        |    epoch_us(max(ts)) AS last_us
+        |  FROM islands GROUP BY user_id, session_id
+        |), wm AS (
+        |  SELECT epoch_us(max(ts)) // 1000 - 7200000 AS wm_ms FROM events
+        |), lastsess AS (
+        |  SELECT user_id, max(session_id) AS last_id FROM agg GROUP BY user_id
+        |)
+        |SELECT a.user_id, a.session_start, a.session_end,
+        |  CAST(a.n_events AS BIGINT) AS n_events, a.cents
+        |FROM agg a JOIN lastsess l ON l.user_id = a.user_id, wm
+        |WHERE a.session_id < l.last_id
+        |   OR (a.last_us + 1800000000 + 999) // 1000 < wm.wm_ms
+        |ORDER BY a.user_id, a.session_start""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val typed = eventsStream(spark, dir)
+        .withWatermark("ts", "2 hours")
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .as[(Long, Long, Long)]
+      val out = typed.groupByKey(_._1)
+        .transformWithState(new TimerSessionProcessor(1800L * 1000000L),
+          TimeMode.EventTime(), OutputMode.Append(),
+          org.apache.spark.sql.Encoders.product[SessRow])
+      runToMemory(out.toDF(), "graft_stream_timer_session", "append",
+        noDataBatches = true,
+        extra = Seq("spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+        .select(col("user_id"),
+          expr("timestamp_micros(start_us)").as("session_start"),
+          expr("timestamp_micros(end_us)").as("session_end"),
+          col("n_events"), col("cents"))
+        .orderBy("user_id", "session_start")
     },
 
     // ---- arbitrary stateful processing (mapGroupsWithState): per-user

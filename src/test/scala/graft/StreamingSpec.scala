@@ -201,4 +201,29 @@ class StreamingSpec extends SparkSpec {
     assert(unmatchedIds.intersect(matchedIds).isEmpty,
       "a click cannot be both matched and null-extended")
   }
+
+  test("timer sessionizer agrees with session_window; only per-user tail " +
+      "sessions are withheld") {
+    val timer = q("q_stream_timer_session").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("session_start")) ->
+        r.getAs[Long]("n_events")).toMap
+    val win = q("q_stream_session").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("session_start")) ->
+        r.getAs[Long]("n_events")).toMap
+    // every timer-emitted session exists in the session_window result
+    // with the same event count
+    timer.foreach { case (k, n) =>
+      assert(win.get(k).contains(n), s"session $k: timer=$n window=${win.get(k)}")
+    }
+    // whatever the timer withheld is the LAST session of its user (the
+    // watermark never passed its expiry)
+    val withheld = win.keySet -- timer.keySet
+    withheld.foreach { case (u, start) =>
+      val lastStart = win.keys.filter(_._1 == u).map(_._2.getTime).max
+      assert(start.getTime == lastStart,
+        s"user $u: withheld session $start is not the tail session")
+    }
+  }
 }
