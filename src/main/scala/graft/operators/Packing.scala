@@ -544,6 +544,53 @@ object Packing {
           round((col("s") + col("prior") * 50) / (col("n") + 50), 6)
             .as("encoded"))
         .orderBy("c_mktsegment")
+    },
+
+    // ---- fill-in-the-middle split planning (Bavarian et al. 2022):
+    //      each document gets two deterministic character cuts from its
+    //      content hash — (prefix, middle, suffix) — and a 50/50
+    //      PSM/SPM mode bit, then the plan reports per (source, mode)
+    //      segment-mass shares. The cuts are pure integer arithmetic on
+    //      the 60-bit md5 hash, so the split replays bit-identically on
+    //      any engine/partitioning — the property FIM prep needs so a
+    //      re-run doesn't re-cut the corpus differently. Stateless
+    //      per-row work in the scan + one bounded aggregate.
+    QueryDef.checked(
+      "q_fim_split",
+      """WITH cuts AS (
+        |  SELECT source,
+        |    CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT) AS h,
+        |    len(text) AS n
+        |  FROM documents
+        |), seg AS (
+        |  SELECT source, n,
+        |    h % (n + 1) AS c1,
+        |    h % (n + 1) + ((h // 1000003) % (n - (h % (n + 1)) + 1)) AS c2,
+        |    CASE WHEN (h // 13) % 2 = 0 THEN 'psm' ELSE 'spm' END AS mode
+        |  FROM cuts
+        |)
+        |SELECT source, mode, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(c1) AS BIGINT) AS prefix_chars,
+        |  CAST(sum(c2 - c1) AS BIGINT) AS middle_chars,
+        |  CAST(sum(n - c2) AS BIGINT) AS suffix_chars,
+        |  CAST(sum(c2 - c1) * 1000000 // sum(n) AS BIGINT) AS middle_share_fp
+        |FROM seg GROUP BY source, mode
+        |ORDER BY source, mode""".stripMargin) { (spark, dir) =>
+      val seg = Tables(spark, dir).documents
+        .select(col("source"), Dedup.md5h64(col("text")).as("h"),
+          length(col("text")).cast("long").as("n"))
+        .withColumn("c1", col("h") % (col("n") + 1))
+        .withColumn("c2",
+          col("c1") + (expr("h div 1000003") % (col("n") - col("c1") + 1)))
+        .withColumn("mode",
+          when(expr("h div 13") % 2 === 0, "psm").otherwise("spm"))
+      seg.groupBy("source", "mode")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("c1")).as("prefix_chars"),
+          sum(col("c2") - col("c1")).as("middle_chars"),
+          sum(col("n") - col("c2")).as("suffix_chars"),
+          expr("sum(c2 - c1) * 1000000 div sum(n)").as("middle_share_fp"))
+        .orderBy("source", "mode")
     }
   )
 }

@@ -522,6 +522,79 @@ object Profiling {
             expr("n_distinct * 1000000 div n_grams"), col("source")))
             .cast("int").as("compress_rank"))
         .orderBy("compress_rank")
+    },
+
+    // ---- max-min fair-share allocation (waterfilling): tenants are
+    //      corpus sources, demand is their character mass, capacity is
+    //      60% of total demand — the allocator a multi-tenant ingest
+    //      or training-token budget applies. Ascending-demand scan:
+    //      a tenant saturates if its demand fits under the running
+    //      water level ((C − cum_prev) div remaining); everyone else
+    //      splits the residue evenly. All integer arithmetic; the
+    //      windows run over the |sources| aggregate (bounded — the
+    //      fact-sized scan is the one demand aggregate).
+    QueryDef.checked(
+      "q_fair_share",
+      """WITH dem AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS d
+        |  FROM documents GROUP BY source
+        |), cap AS (
+        |  SELECT CAST(sum(d) * 3 // 5 AS BIGINT) AS c,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM dem
+        |), rk AS (
+        |  SELECT source, d, row_number() OVER (ORDER BY d, source) AS rn,
+        |    coalesce(sum(d) OVER (ORDER BY d, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumprev
+        |  FROM dem
+        |), flag AS (
+        |  SELECT rk.source, rk.d, rk.rn, cap.c, cap.n,
+        |    rk.d <= (cap.c - rk.cumprev) // (cap.n - rk.rn + 1) AS saturated
+        |  FROM rk, cap
+        |), lvl AS (
+        |  SELECT c, n,
+        |    CAST(sum(CASE WHEN saturated THEN d ELSE 0 END) AS BIGINT)
+        |      AS cumsat,
+        |    CAST(sum(CASE WHEN saturated THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nsat
+        |  FROM flag GROUP BY c, n
+        |), alloc AS (
+        |  SELECT f.source, f.d AS demand, CAST(f.rn AS INTEGER) AS rank,
+        |    f.saturated,
+        |    CAST(CASE WHEN f.saturated THEN f.d
+        |      ELSE (l.c - l.cumsat) // (l.n - l.nsat) END AS BIGINT) AS alloc
+        |  FROM flag f, lvl l
+        |)
+        |SELECT source, demand, rank, saturated, alloc,
+        |  CAST(sum(alloc) OVER () AS BIGINT) AS total_alloc
+        |FROM alloc ORDER BY rank""".stripMargin) { (spark, dir) =>
+      val w = Window.orderBy(col("d"), col("source")) // |sources| rows
+      val dem = Tables(spark, dir).documents
+        .groupBy("source").agg(sum(col("n_chars")).as("d"))
+        .localCheckpoint() // capacity aggregate + the ranked scan
+      val cap = dem.agg(expr("sum(d) * 3 div 5").as("c"),
+        count(lit(1)).as("n"))
+      val flag = dem
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cumprev", coalesce(
+          sum(col("d")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .crossJoin(broadcast(cap))
+        .withColumn("saturated",
+          col("d") <= expr("(c - cumprev) div (n - rn + 1)"))
+        .localCheckpoint() // level aggregate + the allocation projection
+      val lvl = flag.groupBy("c", "n")
+        .agg(sum(when(col("saturated"), col("d")).otherwise(0L)).as("cumsat"),
+          sum(when(col("saturated"), 1L).otherwise(0L)).as("nsat"))
+        .select(col("cumsat"), col("nsat"))
+      flag.crossJoin(broadcast(lvl))
+        .select(col("source"), col("d").as("demand"),
+          col("rn").cast("int").as("rank"), col("saturated"),
+          when(col("saturated"), col("d"))
+            .otherwise(expr("(c - cumsat) div (n - nsat)")).as("alloc"))
+        .withColumn("total_alloc",
+          sum(col("alloc")).over(Window.partitionBy())) // |sources| rows
+        .orderBy("rank")
     }
   )
 }

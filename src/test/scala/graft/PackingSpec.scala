@@ -171,4 +171,23 @@ class PackingSpec extends SparkSpec {
         assert(math.abs(enc - raw) < math.abs(prior - raw) / 2)
     }
   }
+
+  test("fim split: segment masses partition the corpus exactly per group") {
+    val rows = q("q_fim_split").collect()
+    assert(rows.nonEmpty)
+    val direct = Tables(spark, sf).documents
+      .groupBy("source").agg(sum(length(col("text"))).as("chars"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("chars"))
+      .toMap
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, rs) =>
+      val total = rs.map(r => r.getAs[Long]("prefix_chars") +
+        r.getAs[Long]("middle_chars") + r.getAs[Long]("suffix_chars")).sum
+      assert(total == direct(src), s"$src: $total != ${direct(src)}")
+    }
+    rows.foreach { r =>
+      val share = r.getAs[Long]("middle_share_fp")
+      assert(share >= 0 && share <= 1000000)
+    }
+  }
 }

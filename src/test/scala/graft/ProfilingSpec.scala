@@ -137,4 +137,24 @@ class ProfilingSpec extends SparkSpec {
       assert(r.getAs[Double]("p50_gap_us") >= mn && r.getAs[Double]("p50_gap_us") <= mx)
     }
   }
+
+  test("fair share: feasible, demand-capped, equal level for unsaturated, " +
+      "leftover bounded by flooring") {
+    val rows = q("q_fair_share").collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    val capacity = rows.map(_.getAs[Long]("demand")).sum * 3 / 5
+    rows.foreach { r =>
+      assert(r.getAs[Long]("alloc") <= r.getAs[Long]("demand"))
+      if (r.getAs[Boolean]("saturated"))
+        assert(r.getAs[Long]("alloc") == r.getAs[Long]("demand"))
+    }
+    val unsat = rows.filter(!_.getAs[Boolean]("saturated"))
+      .map(_.getAs[Long]("alloc")).distinct
+    assert(unsat.length <= 1, s"unsaturated tenants get one water level: $unsat")
+    val total = rows.map(_.getAs[Long]("alloc")).sum
+    assert(total == rows.head.getAs[Long]("total_alloc"))
+    assert(total <= capacity && capacity - total < n.toLong,
+      s"leftover ${capacity - total} must be < $n (integer flooring only)")
+  }
 }
