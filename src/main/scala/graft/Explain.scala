@@ -75,7 +75,8 @@ object Explain {
     "q_max_drawdown", "q_cumulative_uniques", "q_shuffle_sharding",
     "q_geo_grid_knn", "q_geo_bbox_join", "q_suffix_lcp",
     "q_dpo_pairs", "q_pref_win_matrix", "q_kmv_set_ops",
-    "q_kanon_ladder")
+    "q_kanon_ladder", "q_episode_returns", "q_retractable_agg",
+    "q_fim_split", "q_fair_share")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
