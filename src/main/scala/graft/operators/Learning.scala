@@ -288,6 +288,94 @@ object Learning {
                 + lit(0.9604) / (col("n") * col("n") * lit(1.0))))
             / (lit(1.0) + lit(3.8416) / col("n")), 6).as("wilson_lb"))
         .orderBy(col("wilson_lb").desc, col("event_type"))
+    },
+
+    // ---- ridge regression, closed form (2 features + intercept, per
+    //      return-flag group): y = price cents on (quantity, discount
+    //      permille). The centered 2×2 normal equations solve by
+    //      Cramer's rule with λ = 1000 on the diagonal — every Gram
+    //      entry is an integer-cents power sum, and the double algebra
+    //      after it is the same expression tree on both engines, so the
+    //      coefficients hash-match. One scan, |groups| rows; this is
+    //      the whole-dataset single-pass GLM the feature-store serving
+    //      path wants (vs iterative SGD needing epochs).
+    QueryDef.checked(
+      "q_ridge_2f",
+      """WITH m AS (
+        |  SELECT l_returnflag AS flag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx1,
+        |    CAST(sum(CAST(round(l_discount * 1000) AS BIGINT)) AS DOUBLE)
+        |      AS sx2,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx1x1,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)
+        |      * CAST(round(l_discount * 1000) AS BIGINT)) AS DOUBLE)
+        |      AS sx1x2,
+        |    CAST(sum(CAST(round(l_discount * 1000) AS BIGINT)
+        |      * CAST(round(l_discount * 1000) AS BIGINT)) AS DOUBLE)
+        |      AS sx2x2,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)
+        |      * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+        |      AS sx1y,
+        |    CAST(sum(CAST(round(l_discount * 1000) AS BIGINT)
+        |      * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+        |      AS sx2y
+        |  FROM lineitem GROUP BY l_returnflag
+        |), g AS (
+        |  SELECT flag, n,
+        |    sx1x1 - sx1 * sx1 / n + 1000 AS a11,
+        |    sx1x2 - sx1 * sx2 / n AS a12,
+        |    sx2x2 - sx2 * sx2 / n + 1000 AS a22,
+        |    sx1y - sx1 * sy / n AS b1,
+        |    sx2y - sx2 * sy / n AS b2,
+        |    sx1 / n AS mx1, sx2 / n AS mx2, sy / n AS my
+        |  FROM m
+        |)
+        |SELECT flag, CAST(n AS BIGINT) AS n_rows,
+        |  round((b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12), 6)
+        |    AS beta_qty,
+        |  round((b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12), 6)
+        |    AS beta_disc,
+        |  round(my - (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) * mx1
+        |    - (b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12) * mx2, 6)
+        |    AS intercept_cents
+        |FROM g
+        |ORDER BY flag""".stripMargin) { (spark, dir) =>
+      val li = Tables(spark, dir).lineitem
+        .select(col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("x1"),
+          expr("CAST(round(l_discount * 1000) AS BIGINT)").as("x2"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"))
+      val m = li.groupBy("flag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x1")).cast("double").as("sx1"),
+          sum(col("x2")).cast("double").as("sx2"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("x1") * col("x1")).cast("double").as("sx1x1"),
+          sum(col("x1") * col("x2")).cast("double").as("sx1x2"),
+          sum(col("x2") * col("x2")).cast("double").as("sx2x2"),
+          sum(col("x1") * col("y")).cast("double").as("sx1y"),
+          sum(col("x2") * col("y")).cast("double").as("sx2y"))
+      val g = m.select(col("flag"), col("n"),
+        (col("sx1x1") - col("sx1") * col("sx1") / col("n") + 1000).as("a11"),
+        (col("sx1x2") - col("sx1") * col("sx2") / col("n")).as("a12"),
+        (col("sx2x2") - col("sx2") * col("sx2") / col("n") + 1000).as("a22"),
+        (col("sx1y") - col("sx1") * col("sy") / col("n")).as("b1"),
+        (col("sx2y") - col("sx2") * col("sy") / col("n")).as("b2"),
+        (col("sx1") / col("n")).as("mx1"),
+        (col("sx2") / col("n")).as("mx2"),
+        (col("sy") / col("n")).as("my"))
+      val det = col("a11") * col("a22") - col("a12") * col("a12")
+      val beta1 = (col("b1") * col("a22") - col("b2") * col("a12")) / det
+      val beta2 = (col("b2") * col("a11") - col("b1") * col("a12")) / det
+      g.select(col("flag"), col("n").cast("long").as("n_rows"),
+          round(beta1, 6).as("beta_qty"),
+          round(beta2, 6).as("beta_disc"),
+          round(col("my") - beta1 * col("mx1") - beta2 * col("mx2"), 6)
+            .as("intercept_cents"))
+        .orderBy("flag")
     }
   )
 }

@@ -225,6 +225,73 @@ object Sampling {
         .filter(col("rn") <= 10)
         .select(col("lang"), col("doc_id"), col("rn").cast("int").as("pick"))
         .orderBy("lang", "pick")
+    },
+
+    // ---- Neyman allocation + largest-remainder apportionment: a 500-
+    //      unit sample budget is split across market segments ∝ n_h·s_h
+    //      (optimal stratified allocation), then made integer by
+    //      Hamilton's method — floor every quota, hand the leftover
+    //      seats to the largest remainders. Stddev comes from integer
+    //      cents power sums via the same closed form on both engines,
+    //      and IEEE sqrt/÷ are exactly rounded, so the quotas — and
+    //      therefore the seat order — replay bit-identically. Windows
+    //      run over the |strata| aggregate (bounded).
+    QueryDef.checked(
+      "q_neyman_allocation",
+      """WITH s AS (
+        |  SELECT c_mktsegment, count(*) AS n,
+        |    CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+        |      AS s1,
+        |    CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)
+        |      * CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) AS s2
+        |  FROM customer GROUP BY c_mktsegment
+        |), wt AS (
+        |  SELECT c_mktsegment, n,
+        |    n * sqrt((s2 - s1 * s1 / n) / (n - 1)) AS w
+        |  FROM s
+        |), quota AS (
+        |  SELECT c_mktsegment, n, w,
+        |    500 * w / sum(w) OVER () AS q
+        |  FROM wt
+        |), seats AS (
+        |  SELECT c_mktsegment, n, q, floor(q) AS base,
+        |    row_number() OVER (ORDER BY q - floor(q) DESC, c_mktsegment)
+        |      AS rem_rank,
+        |    500 - CAST(sum(floor(q)) OVER () AS BIGINT) AS leftover
+        |  FROM quota
+        |)
+        |SELECT c_mktsegment, CAST(n AS BIGINT) AS n_members,
+        |  round(q, 6) AS quota,
+        |  CAST(base + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc
+        |FROM seats
+        |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w5 = Window.partitionBy() // |strata| rows (5)
+      val s = Tables(spark, dir).customer
+        .select(col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).cast("double").as("s1"),
+          sum(col("cents") * col("cents")).cast("double").as("s2"))
+      val quota = s
+        .select(col("c_mktsegment"), col("n"),
+          (col("n") * sqrt((col("s2") - col("s1") * col("s1") / col("n"))
+            / (col("n") - 1))).as("w"))
+        .withColumn("q", lit(500) * col("w") / sum(col("w")).over(w5))
+      quota
+        .withColumn("base", floor(col("q")))
+        .withColumn("rem_rank", row_number().over(
+          Window.orderBy((col("q") - floor(col("q"))).desc,
+            col("c_mktsegment")))) // |strata| rows
+        .withColumn("leftover",
+          lit(500) - sum(floor(col("q"))).over(w5).cast("long"))
+        .select(col("c_mktsegment"), col("n").as("n_members"),
+          round(col("q"), 6).as("quota"),
+          (col("base") + when(col("rem_rank") <= col("leftover"), 1L)
+            .otherwise(0L)).cast("long").as("alloc"))
+        .orderBy("c_mktsegment")
     }
   )
 }
