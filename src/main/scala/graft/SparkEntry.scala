@@ -25,7 +25,8 @@ object SparkEntry {
       GraphRank.defs ++ Profiling.defs ++ Concentration.defs ++
       Intervals.defs ++ Diagnostics.defs ++ TokenizerOps.defs ++
       Governance.defs ++ Inference.defs ++ TimeSeries.defs ++ Learning.defs ++
-      Experiments.defs ++ Spatial.defs ++ SuffixDedup.defs ++ Alignment.defs
+      Experiments.defs ++ Spatial.defs ++ SuffixDedup.defs ++ Alignment.defs ++
+      Evaluation.defs
 
   require(allDefs.map(_.name).distinct.size == allDefs.size,
     "duplicate query names across operator families")

@@ -927,6 +927,97 @@ object Dedup {
           round(col("n_int").cast("double") /
             least(col("n_a"), col("n_b")), 6).as("containment"))
         .orderBy("src_a", "src_b")
+    },
+
+    // ---- robust winnowing (the MOSS fingerprint scheme): hash each
+    //      positional 3-gram shingle, slide a w=4 window over the hash
+    //      sequence and keep each window's MINIMUM — guaranteeing any
+    //      shared run of ≥ w+k-1 tokens contributes at least one shared
+    //      fingerprint (the detection floor MinHash cannot promise).
+    //      Positions matter, so the shingle relation here is NOT
+    //      de-duplicated before windowing. Scale: the window partitions
+    //      BY DOC (never global); fingerprints thin the corpus ~1/w
+    //      before the one fingerprint-keyed shuffle; ubiquitous
+    //      fingerprints (boilerplate, df > 20) are dropped before the
+    //      pair join — the same hot-bucket cap as the LSH band join, so
+    //      no fingerprint bucket can go quadratic.
+    QueryDef.checked(
+      "q_winnowing",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($duckGrams) AS gram,
+         |    generate_subscripts($duckGrams, 1) AS pos
+         |  FROM documents
+         |), hashed AS (
+         |  SELECT doc_id, pos, ${duckH64("gram")} % 1073741824 AS h
+         |  FROM toks
+         |), wmin AS (
+         |  SELECT doc_id, pos,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         |    count(*) OVER (PARTITION BY doc_id) AS n_pos
+         |  FROM hashed
+         |), fps AS (
+         |  SELECT DISTINCT doc_id, fp FROM wmin WHERE pos <= n_pos - 3
+         |), freq AS (
+         |  SELECT fp, count(*) AS df FROM fps GROUP BY fp
+         |), kept AS (
+         |  SELECT f.doc_id, f.fp FROM fps f JOIN freq q ON q.fp = f.fp
+         |  WHERE q.df <= 20
+         |), sizes AS (
+         |  SELECT doc_id, count(*) AS n_fp FROM kept GROUP BY doc_id
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |  FROM kept a JOIN kept b ON b.fp = a.fp AND b.doc_id > a.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |)
+         |SELECT p.doc_a, p.doc_b, p.n_shared,
+         |  round(CAST(p.n_shared AS DOUBLE)
+         |    / least(sa.n_fp, sb.n_fp), 6) AS containment
+         |FROM pairs p
+         |JOIN sizes sa ON sa.doc_id = p.doc_a
+         |JOIN sizes sb ON sb.doc_id = p.doc_b
+         |WHERE p.n_shared >= 3
+         |ORDER BY p.n_shared DESC, p.doc_a, p.doc_b
+         |LIMIT 50""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hashed = Tables(spark, dir).documents
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), posexplode(expr(gramsExpr)).as(Seq("pos", "gram")))
+        .select(col("doc_id"), col("pos"),
+          (md5h64(col("gram")) % 1073741824L).as("h"))
+      val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.currentRow, 3)
+      val wCnt = Window.partitionBy("doc_id")
+      val fps = hashed
+        .withColumn("fp", min(col("h")).over(wDoc))
+        .withColumn("n_pos", count(lit(1)).over(wCnt))
+        // posexplode is 0-based (oracle's subscripts are 1-based): the
+        // same "full 4-hash windows only" cut is pos <= n_pos - 4
+        .filter(col("pos") <= col("n_pos") - 4)
+        .select("doc_id", "fp").distinct()
+        .localCheckpoint() // frequency cap, sizes, and both join sides
+      val kept = fps.join(
+        fps.groupBy("fp").agg(count(lit(1)).as("df")).filter(col("df") <= 20)
+          .select("fp"), Seq("fp"))
+      val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+      val pairs = kept.select(col("fp"), col("doc_id").as("doc_a"))
+        .join(kept.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+        .filter(col("doc_b") > col("doc_a"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+      // sizes is per-doc (corpus-sized) — keyed joins, no broadcast;
+      // AQE will broadcast the (thresholded, tiny) pairs side instead
+      pairs
+        .join(sizes.select(col("doc_id").as("doc_a"),
+          col("n_fp").as("n_a")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"),
+          col("n_fp").as("n_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          round(col("n_shared").cast("double")
+            / least(col("n_a"), col("n_b")), 6).as("containment"))
+        .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+        .limit(50)
     }
   )
 }

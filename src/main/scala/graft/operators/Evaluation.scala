@@ -1,0 +1,358 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Statistical-test and classifier-evaluation operators: one-way ANOVA,
+  * Spearman rank correlation, a precision/recall threshold sweep,
+  * Kruskal-Wallis rank ANOVA, and a trained naive-Bayes classifier with
+  * its held-out confusion matrix.
+  *
+  * The reference (`clone_databases.sh`) verifies clones with row counts;
+  * an analytics engine serving a training-data pipeline needs the next
+  * step up: hypothesis tests over engagement metrics and eval harnesses
+  * for the filters/classifiers the pipeline trains.
+  *
+  * Scale notes:
+  *   - Every statistic here reduces to per-group sums/counts (one keyed
+  *     aggregate over the fact table) followed by closed-form arithmetic
+  *     on a bounded relation — the mergeable-moments discipline
+  *     q_welch_ttest established.
+  *   - Rank statistics (Spearman, Kruskal-Wallis, the PR sweep) never
+  *     use a single-partition global window: ranks come from
+  *     [[graft.util.RangeRank]] (range partitions + broadcast offsets),
+  *     and tie-averaging runs in a window partitioned BY VALUE, so no
+  *     task ever sorts more than its own range partition.
+  *   - Tie-averaged ranks are exact in IEEE double (per-tie-group
+  *     averages of consecutive integers land on x.0 / x.5, both
+  *     representable), so rank sums below 2^53 are bit-identical on any
+  *     partitioning and across engines.
+  *   - The naive-Bayes model is a bounded relation (26 chars × |langs|)
+  *     broadcast back over the corpus; log-probabilities are frozen to
+  *     1e-6 fixed-point BIGINTs at model-build time so the per-doc
+  *     argmax is integer arithmetic — no float tie can flip a
+  *     prediction between engines or between runs.
+  */
+object Evaluation {
+
+  /** Letters the naive-Bayes profiler counts — one definition shared by
+    * the Spark side and the generated oracle SQL. */
+  private val nbLetters: Seq[String] = ('a' to 'z').map(_.toString)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- one-way ANOVA: does mean event value differ across event
+    //      types? F = (SSB/(k-1)) / (SSW/(N-k)) from per-group
+    //      (n, Σv, Σv²) — one aggregate pass, closed form on k rows.
+    QueryDef.checked(
+      "q_anova_oneway",
+      """WITH g AS (
+        |  SELECT event_type, count(*) AS n, sum(value) AS sx,
+        |    sum(value * value) AS sxx
+        |  FROM events GROUP BY event_type
+        |), s AS (
+        |  SELECT count(*) AS k, sum(n) AS nt, sum(sx) AS sxt,
+        |    sum(sxx - sx * sx / n) AS ssw
+        |  FROM g
+        |), b AS (
+        |  SELECT max(s.k) AS k, max(s.nt) AS nt, max(s.ssw) AS ssw,
+        |    sum(g.n * (g.sx / g.n - s.sxt / s.nt)
+        |      * (g.sx / g.n - s.sxt / s.nt)) AS ssb
+        |  FROM g, s
+        |)
+        |SELECT CAST(k AS INT) AS k, CAST(nt AS BIGINT) AS n_total,
+        |  round(ssb, 6) AS ss_between, round(ssw, 6) AS ss_within,
+        |  round((ssb / (k - 1)) / (ssw / (nt - k)), 6) AS f_stat,
+        |  round(ssb / (ssb + ssw), 6) AS eta_sq
+        |FROM b""".stripMargin) { (spark, dir) =>
+      val g = Tables(spark, dir).events
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sx"),
+          sum(col("value") * col("value")).as("sxx"))
+      val s = g.agg(count(lit(1)).as("k"), sum(col("n")).as("nt"),
+        sum(col("sx")).as("sxt"),
+        sum(col("sxx") - col("sx") * col("sx") / col("n")).as("ssw"))
+      g.crossJoin(broadcast(s))
+        .agg(max(col("k")).as("k"), max(col("nt")).as("nt"),
+          max(col("ssw")).as("ssw"),
+          sum(col("n") * (col("sx") / col("n") - col("sxt") / col("nt"))
+            * (col("sx") / col("n") - col("sxt") / col("nt"))).as("ssb"))
+        .select(col("k").cast("int").as("k"),
+          col("nt").cast("long").as("n_total"),
+          round(col("ssb"), 6).as("ss_between"),
+          round(col("ssw"), 6).as("ss_within"),
+          round((col("ssb") / (col("k") - 1))
+            / (col("ssw") / (col("nt") - col("k"))), 6).as("f_stat"),
+          round(col("ssb") / (col("ssb") + col("ssw")), 6).as("eta_sq"))
+    },
+
+    // ---- Spearman rank correlation between per-customer total spend
+    //      and largest single order (cents, so tie groups are exact).
+    //      Average-rank ties; Pearson on the rank pairs. Ranks via
+    //      RangeRank (scale-safe), tie-average via a BY-VALUE window.
+    QueryDef.checked(
+      "q_spearman_corr",
+      """WITH c AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_c,
+        |    max(CAST(round(o_totalprice * 100) AS BIGINT)) AS maxp_c
+        |  FROM orders GROUP BY o_custkey
+        |), r1 AS (
+        |  SELECT o_custkey, spend_c, maxp_c,
+        |    avg(rn) OVER (PARTITION BY spend_c) AS rs
+        |  FROM (SELECT *, CAST(row_number()
+        |      OVER (ORDER BY spend_c, o_custkey) AS DOUBLE) AS rn FROM c)
+        |), r2 AS (
+        |  SELECT o_custkey, rs,
+        |    avg(rn2) OVER (PARTITION BY maxp_c) AS rm
+        |  FROM (SELECT *, CAST(row_number()
+        |      OVER (ORDER BY maxp_c, o_custkey) AS DOUBLE) AS rn2 FROM r1)
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  round((count(*) * sum(rs * rm) - sum(rs) * sum(rm))
+        |    / (sqrt(count(*) * sum(rs * rs) - sum(rs) * sum(rs))
+        |     * sqrt(count(*) * sum(rm * rm) - sum(rm) * sum(rm))), 6)
+        |    AS spearman_rho
+        |FROM r2""".stripMargin) { (spark, dir) =>
+      val parts = spark.sessionState.conf.numShufflePartitions
+      val c = Tables(spark, dir).orders
+        .groupBy("o_custkey")
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("spend_c"),
+          max(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("maxp_c"))
+      val r1 = graft.util.RangeRank
+        .withGlobalRank(c, "rn", parts, col("spend_c"), col("o_custkey"))
+        .withColumn("rs", avg(col("rn").cast("double"))
+          .over(Window.partitionBy("spend_c")))
+      val r2 = graft.util.RangeRank
+        .withGlobalRank(r1, "rn2", parts, col("maxp_c"), col("o_custkey"))
+        .withColumn("rm", avg(col("rn2").cast("double"))
+          .over(Window.partitionBy("maxp_c")))
+      r2.agg(count(lit(1)).as("n"), sum(col("rs") * col("rm")).as("sxy"),
+        sum(col("rs")).as("sx"), sum(col("rm")).as("sy"),
+        sum(col("rs") * col("rs")).as("sxx"),
+        sum(col("rm") * col("rm")).as("syy"))
+        .select(col("n").cast("long").as("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+             * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("spearman_rho"))
+    },
+
+    // ---- precision/recall sweep: score = event value, label =
+    //      purchase; predict positive above each of 19 ventile cuts.
+    //      The ventile assignment is RangeRank's scale-safe ntile; the
+    //      confusion counts are running sums over the 20-row ventile
+    //      aggregate (bounded window).
+    QueryDef.checked(
+      "q_pr_curve",
+      """WITH s AS (
+        |  SELECT event_id, CAST(round(value * 1000000) AS BIGINT) AS score,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events
+        |), t AS (
+        |  SELECT y, ntile(20) OVER (ORDER BY score, event_id) AS tile FROM s
+        |), agg AS (
+        |  SELECT tile, count(*) AS n, sum(y) AS npos FROM t GROUP BY tile
+        |), cum AS (
+        |  SELECT tile AS k,
+        |    sum(npos) OVER (ORDER BY tile) AS fn_k,
+        |    sum(n) OVER (ORDER BY tile) AS n_le,
+        |    sum(npos) OVER () AS pos_tot,
+        |    sum(n) OVER () AS n_tot
+        |  FROM agg
+        |)
+        |SELECT CAST(k AS INT) AS k,
+        |  CAST(pos_tot - fn_k AS BIGINT) AS tp,
+        |  CAST((n_tot - n_le) - (pos_tot - fn_k) AS BIGINT) AS fp,
+        |  CAST(fn_k AS BIGINT) AS fn,
+        |  round((pos_tot - fn_k) / CAST(n_tot - n_le AS DOUBLE), 6)
+        |    AS precision_k,
+        |  round((pos_tot - fn_k) / CAST(pos_tot AS DOUBLE), 6) AS recall_k,
+        |  round(2.0 * (pos_tot - fn_k) / (n_tot - n_le + pos_tot), 6) AS f1_k
+        |FROM cum WHERE k < 20 ORDER BY k""".stripMargin) { (spark, dir) =>
+      val parts = spark.sessionState.conf.numShufflePartitions
+      val s = Tables(spark, dir).events
+        .select(col("event_id"),
+          expr("CAST(round(value * 1000000) AS BIGINT)").as("score"),
+          when(col("event_type") === "purchase", 1).otherwise(0).as("y"))
+      val t = graft.util.RangeRank
+        .withGlobalNtile(s, "tile", 20, parts, col("score"), col("event_id"))
+      val agg = t.groupBy("tile")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("npos"))
+      // 20-row relation: the windows below are bounded by construction
+      val wCum = Window.orderBy("tile")
+      val wAll = Window.partitionBy()
+      agg
+        .withColumn("fn_k", sum(col("npos")).over(wCum))
+        .withColumn("n_le", sum(col("n")).over(wCum))
+        .withColumn("pos_tot", sum(col("npos")).over(wAll))
+        .withColumn("n_tot", sum(col("n")).over(wAll))
+        .filter(col("tile") < 20)
+        .select(col("tile").cast("int").as("k"),
+          (col("pos_tot") - col("fn_k")).cast("long").as("tp"),
+          ((col("n_tot") - col("n_le")) - (col("pos_tot") - col("fn_k")))
+            .cast("long").as("fp"),
+          col("fn_k").cast("long").as("fn"),
+          round((col("pos_tot") - col("fn_k"))
+            / (col("n_tot") - col("n_le")).cast("double"), 6).as("precision_k"),
+          round((col("pos_tot") - col("fn_k"))
+            / col("pos_tot").cast("double"), 6).as("recall_k"),
+          round(lit(2.0) * (col("pos_tot") - col("fn_k"))
+            / (col("n_tot") - col("n_le") + col("pos_tot")), 6).as("f1_k"))
+        .orderBy("k")
+    },
+
+    // ---- Kruskal-Wallis rank ANOVA (the nonparametric q_anova_oneway):
+    //      H from tie-averaged global ranks of event value by type, with
+    //      the tie-correction divisor. Same RangeRank + BY-VALUE-window
+    //      machinery as q_spearman_corr.
+    QueryDef.checked(
+      "q_kruskal_wallis",
+      """WITH s AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 1000000) AS BIGINT) AS v
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, v, avg(rn) OVER (PARTITION BY v) AS rk
+        |  FROM (SELECT *, CAST(row_number()
+        |      OVER (ORDER BY v, event_id) AS DOUBLE) AS rn FROM s)
+        |), g AS (
+        |  SELECT event_type, count(*) AS n, sum(rk) AS sr
+        |  FROM r GROUP BY event_type
+        |), tie AS (
+        |  SELECT sum(CAST(cnt AS DOUBLE) * cnt * cnt - cnt) AS tsum
+        |  FROM (SELECT count(*) AS cnt FROM s GROUP BY v)
+        |), h AS (
+        |  SELECT count(*) AS k, sum(n) AS nt, sum(sr * sr / n) AS srr FROM g
+        |)
+        |SELECT CAST(k AS INT) AS k, CAST(nt AS BIGINT) AS n_total,
+        |  round(12.0 / (nt * (nt + 1.0)) * srr - 3.0 * (nt + 1), 6) AS h_stat,
+        |  round((12.0 / (nt * (nt + 1.0)) * srr - 3.0 * (nt + 1))
+        |    / (1.0 - tsum / (CAST(nt AS DOUBLE) * nt * nt - nt)), 6)
+        |    AS h_corrected
+        |FROM h, tie""".stripMargin) { (spark, dir) =>
+      val parts = spark.sessionState.conf.numShufflePartitions
+      val s = Tables(spark, dir).events
+        .select(col("event_id"), col("event_type"),
+          expr("CAST(round(value * 1000000) AS BIGINT)").as("v"))
+        .localCheckpoint() // ranks AND the tie profile read the same rows
+      val r = graft.util.RangeRank
+        .withGlobalRank(s, "rn", parts, col("v"), col("event_id"))
+        .withColumn("rk", avg(col("rn").cast("double"))
+          .over(Window.partitionBy("v")))
+      val g = r.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("rk")).as("sr"))
+      val h = g.agg(count(lit(1)).as("k"), sum(col("n")).as("nt"),
+        sum(col("sr") * col("sr") / col("n")).as("srr"))
+      val tie = s.groupBy("v").agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt").cast("double") * col("cnt") * col("cnt")
+          - col("cnt")).as("tsum"))
+      h.crossJoin(broadcast(tie))
+        .select(col("k").cast("int").as("k"),
+          col("nt").cast("long").as("n_total"),
+          round(lit(12.0) / (col("nt") * (col("nt") + 1.0)) * col("srr")
+            - lit(3.0) * (col("nt") + 1), 6).as("h_stat"),
+          round((lit(12.0) / (col("nt") * (col("nt") + 1.0)) * col("srr")
+            - lit(3.0) * (col("nt") + 1))
+            / (lit(1.0) - col("tsum")
+              / (col("nt").cast("double") * col("nt") * col("nt") - col("nt"))),
+            6).as("h_corrected"))
+    },
+
+    // ---- multinomial naive Bayes language-ID: train letter-frequency
+    //      profiles on docs with doc_id % 5 != 0 (Laplace-smoothed),
+    //      classify the held-out 20%, report the confusion matrix.
+    //      Letter counts come from the length-delta trick
+    //      (len(t) - len(replace(t, ch, ''))) — per-row arithmetic, no
+    //      char explosion; the model is 26 × |langs| rows broadcast back
+    //      over the test split, and scores are 1e-6 fixed-point BIGINTs
+    //      so the per-doc argmax can never float-tie.
+    QueryDef.checked(
+      "q_naive_bayes", {
+        val letters = nbLetters.map(c => s"('$c')").mkString(", ")
+        s"""WITH chars AS (SELECT ch FROM (VALUES $letters) t(ch)),
+           |train AS (
+           |  SELECT doc_id, lang, lower(text) AS txt FROM documents
+           |  WHERE doc_id % 5 != 0
+           |), test AS (
+           |  SELECT doc_id, lang, lower(text) AS txt FROM documents
+           |  WHERE doc_id % 5 = 0
+           |), cnts AS (
+           |  SELECT t.lang, c.ch,
+           |    sum(CAST(length(t.txt) - length(replace(t.txt, c.ch, ''))
+           |      AS BIGINT)) AS cnt
+           |  FROM train t CROSS JOIN chars c GROUP BY t.lang, c.ch
+           |), tot AS (
+           |  SELECT lang, sum(cnt) AS total FROM cnts GROUP BY lang
+           |), model AS (
+           |  SELECT c.lang, c.ch,
+           |    CAST(round(ln((c.cnt + 1.0) / (t.total + 26.0)) * 1000000)
+           |      AS BIGINT) AS lp_fp
+           |  FROM cnts c JOIN tot t USING (lang)
+           |), prior AS (
+           |  SELECT lang, CAST(round(ln(CAST(nd AS DOUBLE) / sum(nd) OVER ())
+           |    * 1000000) AS BIGINT) AS prior_fp
+           |  FROM (SELECT lang, count(*) AS nd FROM train GROUP BY lang) p
+           |), feats AS (
+           |  SELECT d.doc_id, d.lang AS actual, c.ch,
+           |    CAST(length(d.txt) - length(replace(d.txt, c.ch, ''))
+           |      AS BIGINT) AS cnt
+           |  FROM test d CROSS JOIN chars c
+           |), scored AS (
+           |  SELECT f.doc_id, f.actual, m.lang AS cand,
+           |    max(p.prior_fp) + sum(f.cnt * m.lp_fp) AS score
+           |  FROM feats f JOIN model m ON m.ch = f.ch
+           |  JOIN prior p ON p.lang = m.lang
+           |  GROUP BY f.doc_id, f.actual, m.lang
+           |), pred AS (
+           |  SELECT doc_id, actual, cand AS predicted
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY score DESC, cand) AS rn FROM scored) r
+           |  WHERE rn = 1
+           |)
+           |SELECT actual, predicted, count(*) AS n
+           |FROM pred GROUP BY actual, predicted
+           |ORDER BY actual, predicted""".stripMargin
+      }) { (spark, dir) =>
+      import spark.implicits._
+      val chars = nbLetters.toDF("ch")
+      val docs = Tables(spark, dir).documents
+        .select(col("doc_id"), col("lang"), lower(col("text")).as("txt"))
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      val test = docs.filter(col("doc_id") % 5 === 0)
+      val cnts = train.crossJoin(broadcast(chars))
+        .select(col("lang"), col("ch"),
+          (length(col("txt")) - length(expr("replace(txt, ch, '')")))
+            .cast("long").as("cnt"))
+        .groupBy("lang", "ch").agg(sum(col("cnt")).as("cnt"))
+      val tot = cnts.groupBy("lang").agg(sum(col("cnt")).as("total"))
+      val model = cnts.join(tot, Seq("lang"))
+        .select(col("lang"), col("ch"),
+          expr("CAST(round(ln((cnt + 1.0) / (total + 26.0)) * 1000000) AS BIGINT)")
+            .as("lp_fp"))
+      val nd = train.groupBy("lang").agg(count(lit(1)).as("nd"))
+      val prior = nd
+        .withColumn("prior_fp",
+          expr("CAST(round(ln(CAST(nd AS DOUBLE) / (sum(nd) OVER ())) * 1000000) AS BIGINT)"))
+        .select(col("lang").as("cand"), col("prior_fp"))
+      val feats = test.crossJoin(broadcast(chars))
+        .select(col("doc_id"), col("lang").as("actual"), col("ch"),
+          (length(col("txt")) - length(expr("replace(txt, ch, '')")))
+            .cast("long").as("cnt"))
+      val scored = feats
+        .join(broadcast(model), Seq("ch"))
+        .groupBy(col("doc_id"), col("actual"), col("lang").as("cand"))
+        .agg(sum(col("cnt") * col("lp_fp")).as("sfp"))
+        .join(broadcast(prior), Seq("cand"))
+        .withColumn("score", col("prior_fp") + col("sfp"))
+      scored
+        .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("cand"))))
+        .filter(col("rn") === 1)
+        .groupBy(col("actual"), col("cand").as("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("actual", "predicted")
+    }
+  )
+}

@@ -438,6 +438,182 @@ object Governance {
             .over(org.apache.spark.sql.expressions.Window.partitionBy()),
           lit(false)))
         .orderBy("level")
+    },
+
+    // ---- l-diversity audit (the attribute-disclosure follow-up to the
+    //      k-anonymity checks): per (nation, segment) quasi-identifier
+    //      group, how many DISTINCT sensitive values (account-balance
+    //      band) appear, plus entropy l-diversity. A k-anonymous group
+    //      whose members all share one balance band still leaks the
+    //      balance — l_distinct/entropy is what catches that. One
+    //      (QI, band) aggregate then a QI-sized rollup; the per-group
+    //      entropy window runs over ≤ |bands| rows.
+    QueryDef.checked(
+      "q_l_diversity",
+      """WITH t AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 2000) AS INT) AS band
+        |  FROM customer
+        |), gb AS (
+        |  SELECT c_nationkey, c_mktsegment, band, count(*) AS n
+        |  FROM t GROUP BY 1, 2, 3
+        |), p AS (
+        |  SELECT c_nationkey, c_mktsegment, n,
+        |    CAST(n AS DOUBLE)
+        |      / sum(n) OVER (PARTITION BY c_nationkey, c_mktsegment) AS pr
+        |  FROM gb
+        |), g AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(sum(n) AS BIGINT) AS k_size,
+        |    CAST(count(*) AS BIGINT) AS l_distinct,
+        |    round(-sum(pr * ln(pr)), 6) AS entropy_l
+        |  FROM p GROUP BY c_nationkey, c_mktsegment
+        |)
+        |SELECT c_nationkey, c_mktsegment, k_size, l_distinct, entropy_l,
+        |  l_distinct >= 3 AS meets_l3
+        |FROM g ORDER BY c_nationkey, c_mktsegment""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val gb = Tables(spark, dir).customer
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          expr("CAST(floor(c_acctbal / 2000) AS INT)").as("band"))
+        .groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(count(lit(1)).as("n"))
+      gb
+        .withColumn("pr", col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy("c_nationkey", "c_mktsegment")))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(sum(col("n")).cast("long").as("k_size"),
+          count(lit(1)).cast("long").as("l_distinct"),
+          round(-sum(col("pr") * log(col("pr"))), 6).as("entropy_l"))
+        .withColumn("meets_l3", col("l_distinct") >= 3)
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
+    // ---- t-closeness audit: ordered earth-mover's distance between
+    //      each QI group's balance-band distribution and the global one
+    //      (EMD over an ordered attribute = mean |cumulative
+    //      difference|). Both distributions are bounded relations
+    //      (|QI groups| × |bands| grid built by a broadcast cross join);
+    //      the running-sum window is per-group over ≤ |bands| rows, so
+    //      nothing here scales with the fact table beyond the first
+    //      aggregate.
+    QueryDef.checked(
+      "q_t_closeness",
+      """WITH t AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 2000) AS INT) AS band
+        |  FROM customer
+        |), gb AS (
+        |  SELECT c_nationkey, c_mktsegment, band, count(*) AS n
+        |  FROM t GROUP BY 1, 2, 3
+        |), gt AS (
+        |  SELECT c_nationkey, c_mktsegment, sum(n) AS gn FROM gb GROUP BY 1, 2
+        |), gdist AS (
+        |  SELECT band, count(*) AS n FROM t GROUP BY band
+        |), gtot AS (
+        |  SELECT sum(n) AS nt, count(*) AS m FROM gdist
+        |), grid AS (
+        |  SELECT g.c_nationkey, g.c_mktsegment, b.band,
+        |    COALESCE(gb.n, 0) / CAST(g.gn AS DOUBLE)
+        |      - b.n / CAST(t2.nt AS DOUBLE) AS diff
+        |  FROM gt g CROSS JOIN gdist b CROSS JOIN gtot t2
+        |  LEFT JOIN gb ON gb.c_nationkey = g.c_nationkey
+        |    AND gb.c_mktsegment = g.c_mktsegment AND gb.band = b.band
+        |), cd AS (
+        |  SELECT c_nationkey, c_mktsegment, band,
+        |    sum(diff) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |      ORDER BY band) AS c
+        |  FROM grid
+        |), emd AS (
+        |  SELECT c_nationkey, c_mktsegment, sum(abs(c)) AS s, count(*) AS m
+        |  FROM cd GROUP BY 1, 2
+        |)
+        |SELECT c_nationkey, c_mktsegment, round(s / (m - 1), 6) AS t_emd,
+        |  s / (m - 1) <= 0.2 AS meets_t02
+        |FROM emd ORDER BY c_nationkey, c_mktsegment""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir).customer
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          expr("CAST(floor(c_acctbal / 2000) AS INT)").as("band"))
+        .localCheckpoint() // group and global distributions of one scan
+      val gb = t.groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(count(lit(1)).as("n"))
+      val gt = gb.groupBy("c_nationkey", "c_mktsegment")
+        .agg(sum(col("n")).as("gn"))
+      val gdist = t.groupBy("band").agg(count(lit(1)).as("gbn"))
+      val gtot = gdist.agg(sum(col("gbn")).as("nt"), count(lit(1)).as("m"))
+      val grid = gt
+        .crossJoin(broadcast(gdist))
+        .crossJoin(broadcast(gtot))
+        .join(gb, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+        .select(col("c_nationkey"), col("c_mktsegment"), col("band"),
+          (coalesce(col("n"), lit(0)) / col("gn").cast("double")
+            - col("gbn") / col("nt").cast("double")).as("diff"))
+      grid
+        .withColumn("c", sum(col("diff")).over(
+          Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("band")))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(sum(abs(col("c"))).as("s"), count(lit(1)).as("m"))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          round(col("s") / (col("m") - 1), 6).as("t_emd"),
+          (col("s") / (col("m") - 1) <= 0.2).as("meets_t02"))
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
+    // ---- USER-level DP release (the q_dp_counts upgrade): bound each
+    //      user's contribution to C = 3 events per type (rank within
+    //      (user, type), keep the 3 earliest — a per-user window, never
+    //      global), then publish clipped counts with deterministic
+    //      Laplace noise scaled to the sensitivity C. Event-level DP
+    //      protects rows; user-level protects people — contribution
+    //      bounding is what makes ε mean anything when one user can emit
+    //      thousands of events. Noise uses the same hash-uniform inverse-
+    //      CDF construction as q_dp_counts (u from md5, b = C/ε).
+    QueryDef.checked(
+      "q_dp_user_clip",
+      """WITH ranked AS (
+        |  SELECT event_type, user_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), agg AS (
+        |  SELECT event_type, count(*) AS raw_n,
+        |    sum(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS clipped_n
+        |  FROM ranked GROUP BY event_type
+        |), noise AS (
+        |  SELECT event_type, raw_n, clipped_n,
+        |    (CAST(concat('0x', substring(md5(event_type), 1, 8)) AS BIGINT)
+        |      % 1000000 + 0.5) / 1000000.0 - 0.5 AS u
+        |  FROM agg
+        |)
+        |SELECT event_type, CAST(raw_n AS BIGINT) AS raw_n,
+        |  CAST(clipped_n AS BIGINT) AS clipped_n,
+        |  CAST(raw_n - clipped_n AS BIGINT) AS n_clipped_away,
+        |  round(clipped_n + (CASE WHEN u >= 0 THEN -1.0 ELSE 1.0 END)
+        |    * 3.0 * ln(1.0 - 2.0 * abs(u)), 6) AS noisy_count,
+        |  CAST(3 AS INT) AS sensitivity
+        |FROM noise ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ranked = Tables(spark, dir).events
+        .select(col("event_type"), col("user_id"), col("ts"), col("event_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "event_type")
+            .orderBy("ts", "event_id")))
+      val agg = ranked.groupBy("event_type")
+        .agg(count(lit(1)).as("raw_n"),
+          sum(when(col("rn") <= 3, 1).otherwise(0)).as("clipped_n"))
+      val u = ((conv(substring(md5(col("event_type")), 1, 8), 16, 10)
+        .cast("long") % 1000000 + lit(0.5)) / lit(1000000.0)) - lit(0.5)
+      agg.withColumn("u", u)
+        .select(col("event_type"),
+          col("raw_n").cast("long").as("raw_n"),
+          col("clipped_n").cast("long").as("clipped_n"),
+          (col("raw_n") - col("clipped_n")).cast("long").as("n_clipped_away"),
+          round(col("clipped_n")
+            + (when(col("u") >= 0, lit(-1.0)).otherwise(lit(1.0)))
+              * lit(3.0) * log(lit(1.0) - lit(2.0) * abs(col("u"))), 6)
+            .as("noisy_count"),
+          lit(3).as("sensitivity"))
+        .orderBy("event_type")
     }
   )
 }

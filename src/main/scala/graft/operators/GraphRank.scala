@@ -376,6 +376,76 @@ object GraphRank {
         .agg(count(lit(1)).as("n_sessions"))
         .orderBy(col("n_sessions").desc, col("path"))
         .limit(10)
+    },
+
+    // ---- modularity of the nation partition over the supplier↔customer
+    //      trade graph: does trade respect nation boundaries? For each
+    //      community c (= nationkey of the endpoint's entity),
+    //      Q_c = e_in/m − (d_c/2m)²; Σ Q_c is Newman-Girvan modularity.
+    //      This is the objective Louvain-style community detection
+    //      optimizes — computing it is one edge-relation scan plus
+    //      |communities|-sized aggregates: internal-edge counts and
+    //      degree sums both shuffle on the community key only. The edge
+    //      relation (distinct supplier–customer pairs) is the one
+    //      fact-sized shuffle; everything after is bounded by |nations|.
+    QueryDef.checked(
+      "q_modularity",
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), e AS (
+        |  SELECT sn.s_nationkey AS cs, cn.c_nationkey AS cc
+        |  FROM pairs p
+        |  JOIN supplier sn ON sn.s_suppkey = p.s
+        |  JOIN customer cn ON cn.c_custkey = p.c
+        |), m AS (
+        |  SELECT count(*) AS m FROM e
+        |), deg AS (
+        |  SELECT comm, sum(d) AS d_c FROM (
+        |    SELECT cs AS comm, count(*) AS d FROM e GROUP BY cs
+        |    UNION ALL
+        |    SELECT cc AS comm, count(*) AS d FROM e GROUP BY cc
+        |  ) dd GROUP BY comm
+        |), intra AS (
+        |  SELECT cs AS comm, count(*) AS e_in FROM e WHERE cs = cc GROUP BY cs
+        |)
+        |SELECT d.comm AS community,
+        |  CAST(COALESCE(i.e_in, 0) AS BIGINT) AS internal_edges,
+        |  CAST(d.d_c AS BIGINT) AS degree_sum,
+        |  round(CAST(COALESCE(i.e_in, 0) AS DOUBLE) / m.m
+        |    - (CAST(d.d_c AS DOUBLE) / (2 * m.m))
+        |      * (CAST(d.d_c AS DOUBLE) / (2 * m.m)), 6) AS q_contrib
+        |FROM deg d LEFT JOIN intra i ON i.comm = d.comm CROSS JOIN m
+        |ORDER BY community""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val pairs = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+        .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
+        .distinct()
+      val e = pairs
+        .join(broadcast(t.supplier.select(col("s_suppkey"),
+          col("s_nationkey").as("cs"))), col("s_suppkey") === col("s"))
+        .join(t.customer.select(col("c_custkey"),
+          col("c_nationkey").as("cc")), col("c_custkey") === col("c"))
+        .select("cs", "cc")
+        .localCheckpoint() // m, degrees, and intra counts of one build
+      val m = e.agg(count(lit(1)).as("m"))
+      val deg = e.select(col("cs").as("comm"))
+        .unionAll(e.select(col("cc").as("comm")))
+        .groupBy("comm").agg(count(lit(1)).as("d_c"))
+      val intra = e.filter(col("cs") === col("cc"))
+        .groupBy(col("cs").as("comm")).agg(count(lit(1)).as("e_in"))
+      deg.join(intra, Seq("comm"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("comm").as("community"),
+          coalesce(col("e_in"), lit(0)).cast("long").as("internal_edges"),
+          col("d_c").cast("long").as("degree_sum"),
+          round(coalesce(col("e_in"), lit(0)).cast("double") / col("m")
+            - (col("d_c").cast("double") / (lit(2) * col("m")))
+              * (col("d_c").cast("double") / (lit(2) * col("m"))), 6)
+            .as("q_contrib"))
+        .orderBy("community")
     }
   )
 }

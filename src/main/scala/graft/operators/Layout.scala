@@ -44,6 +44,34 @@ object Layout {
   private def tag(dir: String, layoutSpec: String): String =
     graft.util.Staging.pathTag(s"$dir|$layoutSpec")
 
+  /** Unrolled order-4 Hilbert xy2d recurrence as a CTE chain over a
+    * relation `base(bx, by, x, y, d)` with d = 0 — ONE generated SQL
+    * text shared verbatim by Spark and the DuckDB oracle (only `&`,
+    * `%`-free arithmetic and CASE, which parse identically in both).
+    * Returns (cte chain, final relation name); the final `d` is the
+    * Hilbert index of the (bx, by) cell. Validated cell-by-cell against
+    * the classic iterative algorithm for the full 16×16 grid. */
+  private[operators] def hilbertSteps(base: String): (String, String) = {
+    val ctes = Seq(8, 4, 2, 1).zipWithIndex.map { case (s, i) =>
+      val prev = if (i == 0) base else s"h${i - 1}"
+      val rx = s"(CASE WHEN (x & $s) != 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN (y & $s) != 0 THEN 1 ELSE 0 END)"
+      s"""h$i AS (
+         |  SELECT bx, by,
+         |    d + ${s * s} * (CASE WHEN $rx = 1 AND $ry = 1 THEN 2
+         |                         WHEN $rx = 1 THEN 3
+         |                         WHEN $ry = 1 THEN 1 ELSE 0 END) AS d,
+         |    CASE WHEN $ry = 0
+         |         THEN (CASE WHEN $rx = 1 THEN ${s - 1} - y ELSE y END)
+         |         ELSE x END AS x,
+         |    CASE WHEN $ry = 0
+         |         THEN (CASE WHEN $rx = 1 THEN ${s - 1} - x ELSE x END)
+         |         ELSE y END AS y
+         |  FROM $prev)""".stripMargin
+    }
+    (ctes.mkString(",\n"), s"h${Seq(8, 4, 2, 1).size - 1}")
+  }
+
   /** Ensure a bucketed managed table exists, writing it at most once per
     * immutable source dir. Bucketing is an INGEST-time layout decision:
     * the whole point (here and at 100 TB) is that one bucketed write
@@ -313,6 +341,62 @@ object Layout {
           min(col("bx")).as("min_x"), max(col("bx")).as("max_x"),
           min(col("by")).as("min_y"), max(col("by")).as("max_y"))
         .orderBy("z_cluster")
+    },
+
+    // ---- Hilbert-curve clustering: the locality-preserving alternative
+    //      to q_zorder_cluster (Hilbert keeps adjacent curve positions
+    //      adjacent in space — no Z-order "seams" — which is why
+    //      large-table layout engines offer it for multi-dimensional
+    //      clustering). The xy2d walk is the standard 4-level
+    //      rotate-and-reflect recurrence UNROLLED into a shared CTE
+    //      chain — both engines run the byte-identical SQL text
+    //      ([[hilbertSteps]]), so the curve index cannot drift between
+    //      the plan and the oracle. Intermediates go negative during
+    //      reflection, hence the bitwise `& s` tests (two's complement
+    //      in both engines) rather than div/mod. Stateless per-row
+    //      arithmetic in the scan + one bounded aggregate — the same
+    //      scale shape as Z-order.
+    QueryDef.checked(
+      "q_hilbert_cluster", {
+        val (ctes, last) = Layout.hilbertSteps("bucketed")
+        s"""WITH mx AS (
+           |  SELECT max(l_partkey) + 1 AS mp, max(l_suppkey) + 1 AS ms
+           |  FROM lineitem
+           |), bucketed AS (
+           |  SELECT CAST(l_partkey * 16 // mp AS BIGINT) AS bx,
+           |    CAST(l_suppkey * 16 // ms AS BIGINT) AS by,
+           |    CAST(l_partkey * 16 // mp AS BIGINT) AS x,
+           |    CAST(l_suppkey * 16 // ms AS BIGINT) AS y,
+           |    CAST(0 AS BIGINT) AS d
+           |  FROM lineitem, mx
+           |),
+           |$ctes
+           |SELECT CAST(d // 16 AS BIGINT) AS h_cluster, count(*) AS n,
+           |  min(bx) AS min_x, max(bx) AS max_x,
+           |  min(by) AS min_y, max(by) AS max_y
+           |FROM $last
+           |GROUP BY d // 16
+           |ORDER BY h_cluster""".stripMargin
+      }) { (spark, dir) =>
+      val (ctes, last) = Layout.hilbertSteps("graft_hilbert_base")
+      val li = Tables(spark, dir).lineitem
+      val mx = li.agg((max(col("l_partkey")) + 1).as("mp"),
+        (max(col("l_suppkey")) + 1).as("ms"))
+      li.select(col("l_partkey"), col("l_suppkey"))
+        .crossJoin(broadcast(mx))
+        .select(expr("CAST(l_partkey * 16 div mp AS BIGINT)").as("bx"),
+          expr("CAST(l_suppkey * 16 div ms AS BIGINT)").as("by"))
+        .withColumn("x", col("bx")).withColumn("y", col("by"))
+        .withColumn("d", lit(0L))
+        .createOrReplaceTempView("graft_hilbert_base")
+      spark.sql(
+        s"""WITH $ctes
+           |SELECT CAST(d div 16 AS BIGINT) AS h_cluster, count(*) AS n,
+           |  min(bx) AS min_x, max(bx) AS max_x,
+           |  min(by) AS min_y, max(by) AS max_y
+           |FROM $last
+           |GROUP BY d div 16
+           |ORDER BY h_cluster""".stripMargin)
     },
 
     // ---- range-partition design: equi-depth bucket assignment over

@@ -376,6 +376,130 @@ object Learning {
           round(col("my") - beta1 * col("mx1") - beta2 * col("mx2"), 6)
             .as("intercept_cents"))
         .orderBy("flag")
+    },
+
+    // ---- decision stump (one round of histogram-based tree learning,
+    //      the LightGBM/XGBoost-approx shape): bin the feature into
+    //      fixed-width histogram buckets, accumulate per-bin (n, n_pos)
+    //      — ONE aggregate over the fact table, mergeable — then score
+    //      every bin boundary by exact-rational Gini gain
+    //      (gini = 2p(n-p)/n², so the gain is products/quotients of
+    //      integer counts; both engines evaluate the identical
+    //      expression tree, making the argmax deterministic) over the
+    //      bounded histogram. This is exactly how distributed GBDT
+    //      finds splits at 100 TB: candidate thresholds come from the
+    //      histogram, never from a global sort.
+    QueryDef.checked(
+      "q_decision_stump",
+      """WITH b AS (
+        |  SELECT CAST(floor(o_totalprice / 25000) AS INT) AS bin,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders
+        |), h AS (
+        |  SELECT bin, count(*) AS n, sum(y) AS npos FROM b GROUP BY bin
+        |), c AS (
+        |  SELECT bin,
+        |    sum(n) OVER (ORDER BY bin) AS nl,
+        |    sum(npos) OVER (ORDER BY bin) AS pl,
+        |    sum(n) OVER () AS nt, sum(npos) OVER () AS pt
+        |  FROM h
+        |), gains AS (
+        |  SELECT bin, nl, pl, nt - nl AS nr, pt - pl AS prr,
+        |    2.0 * pt * (nt - pt) / nt / nt
+        |      - 2.0 * pl * (nl - pl) / nt / nl
+        |      - 2.0 * (pt - pl) * ((nt - nl) - (pt - pl)) / nt / (nt - nl)
+        |      AS gain
+        |  FROM c WHERE nl > 0 AND nl < nt
+        |)
+        |SELECT CAST((bin + 1) * 2500000 AS BIGINT) AS threshold_cents,
+        |  CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+        |  round(gain, 6) AS gini_gain,
+        |  round(CAST(pl AS DOUBLE) / nl, 6) AS pos_rate_left,
+        |  round(CAST(prr AS DOUBLE) / nr, 6) AS pos_rate_right
+        |FROM gains ORDER BY gain DESC, bin LIMIT 1""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = Tables(spark, dir).orders
+        .select(expr("CAST(floor(o_totalprice / 25000) AS INT)").as("bin"),
+          when(col("o_orderstatus") === "F", 1).otherwise(0).as("y"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("npos"))
+      // the windows below run over the BOUNDED histogram (≤ 20 bins)
+      val wCum = Window.orderBy("bin")
+      val wAll = Window.partitionBy()
+      val c = h
+        .withColumn("nl", sum(col("n")).over(wCum))
+        .withColumn("pl", sum(col("npos")).over(wCum))
+        .withColumn("nt", sum(col("n")).over(wAll))
+        .withColumn("pt", sum(col("npos")).over(wAll))
+        .filter(col("nl") > 0 && col("nl") < col("nt"))
+      val gain = lit(2.0) * col("pt") * (col("nt") - col("pt")) / col("nt") / col("nt") -
+        lit(2.0) * col("pl") * (col("nl") - col("pl")) / col("nt") / col("nl") -
+        lit(2.0) * (col("pt") - col("pl")) *
+          ((col("nt") - col("nl")) - (col("pt") - col("pl"))) /
+          col("nt") / (col("nt") - col("nl"))
+      c.withColumn("gain", gain)
+        .orderBy(col("gain").desc, col("bin"))
+        .limit(1)
+        .select(((col("bin") + 1) * 2500000L).cast("long").as("threshold_cents"),
+          col("nl").cast("long").as("n_left"),
+          (col("nt") - col("nl")).cast("long").as("n_right"),
+          round(col("gain"), 6).as("gini_gain"),
+          round(col("pl").cast("double") / col("nl"), 6).as("pos_rate_left"),
+          round((col("pt") - col("pl")).cast("double")
+            / (col("nt") - col("nl")), 6).as("pos_rate_right"))
+    },
+
+    // ---- one perceptron epoch (batch update): integer features
+    //      (dollars, order-year offset), fixed starting weights, and the
+    //      summed misclassified-example update Δw = Σ y·x — everything
+    //      is BIGINT so the new weights are exact on any partitioning.
+    //      One scan, one mergeable aggregate; iterating = re-running
+    //      with the 1-row weight relation swapped (the q_kmeans_iter /
+    //      q_als_step loop discipline).
+    QueryDef.checked(
+      "q_perceptron_step",
+      """WITH x AS (
+        |  SELECT CAST(round(o_totalprice) AS BIGINT) AS x1,
+        |    CAST(year(o_orderdate) - 1992 AS BIGINT) AS x2,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE -1 END AS y
+        |  FROM orders
+        |), p AS (
+        |  SELECT x1, x2, y,
+        |    CASE WHEN -300000 + 2 * x1 + 10000 * x2 >= 0
+        |         THEN 1 ELSE -1 END AS yhat
+        |  FROM x
+        |), u AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN y != yhat THEN 1 ELSE 0 END) AS n_mis,
+        |    sum(CASE WHEN y != yhat THEN y ELSE 0 END) AS db,
+        |    sum(CASE WHEN y != yhat THEN y * x1 ELSE 0 END) AS dw1,
+        |    sum(CASE WHEN y != yhat THEN y * x2 ELSE 0 END) AS dw2
+        |  FROM p
+        |)
+        |SELECT CAST(-300000 + db AS BIGINT) AS w0_new,
+        |  CAST(2 + dw1 AS BIGINT) AS w1_new,
+        |  CAST(10000 + dw2 AS BIGINT) AS w2_new,
+        |  CAST(n_mis AS BIGINT) AS n_misclassified,
+        |  round(CAST(n_mis AS DOUBLE) / n, 6) AS error_rate
+        |FROM u""".stripMargin) { (spark, dir) =>
+      val p = Tables(spark, dir).orders
+        .select(expr("CAST(round(o_totalprice) AS BIGINT)").as("x1"),
+          expr("CAST(year(o_orderdate) - 1992 AS BIGINT)").as("x2"),
+          when(col("o_orderstatus") === "F", 1).otherwise(-1).as("y"))
+        .withColumn("yhat",
+          when(lit(-300000L) + lit(2L) * col("x1") + lit(10000L) * col("x2") >= 0, 1)
+            .otherwise(-1))
+      val mis = col("y") =!= col("yhat")
+      p.agg(count(lit(1)).as("n"),
+          sum(when(mis, 1L).otherwise(0L)).as("n_mis"),
+          sum(when(mis, col("y")).otherwise(0L)).as("db"),
+          sum(when(mis, col("y") * col("x1")).otherwise(0L)).as("dw1"),
+          sum(when(mis, col("y") * col("x2")).otherwise(0L)).as("dw2"))
+        .select((lit(-300000L) + col("db")).cast("long").as("w0_new"),
+          (lit(2L) + col("dw1")).cast("long").as("w1_new"),
+          (lit(10000L) + col("dw2")).cast("long").as("w2_new"),
+          col("n_mis").cast("long").as("n_misclassified"),
+          round(col("n_mis").cast("double") / col("n"), 6).as("error_rate"))
     }
   )
 }

@@ -482,6 +482,71 @@ object Profiling {
         .orderBy("event_type")
     },
 
+    // ---- burstiness profile: is each event stream Poisson-like, bursty,
+    //      or metronomic? Two complementary statistics per type — the
+    //      Goh-Barabási burstiness coefficient B = (σ−μ)/(σ+μ) over the
+    //      per-user inter-event gaps (B→−1 periodic, 0 Poisson, →1
+    //      bursty), and the Fano factor (var/mean) of hourly arrival
+    //      counts. Both reduce to Σ/Σ² moments: one windowed gap pass
+    //      (partitioned per user, like q_interevent_gaps) and one
+    //      hour-bucketed count — no global ordering anywhere.
+    QueryDef.checked(
+      "q_burstiness",
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('microsecond', lag(ts) OVER w, ts) AS BIGINT)
+        |      AS gap_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |), gs AS (
+        |  SELECT event_type, count(*) AS n, sum(gap_us) AS s,
+        |    sum(CAST(gap_us AS DOUBLE) * gap_us) AS ss
+        |  FROM g WHERE gap_us IS NOT NULL GROUP BY event_type
+        |), hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS c
+        |  FROM events GROUP BY 1, 2
+        |), hs AS (
+        |  SELECT event_type, count(*) AS nh, sum(c) AS sc,
+        |    sum(CAST(c AS DOUBLE) * c) AS scc
+        |  FROM hourly GROUP BY event_type
+        |)
+        |SELECT g.event_type, CAST(g.n AS BIGINT) AS n_gaps,
+        |  round((sqrt((g.ss - CAST(g.s AS DOUBLE) * g.s / g.n) / (g.n - 1))
+        |       - CAST(g.s AS DOUBLE) / g.n)
+        |      / (sqrt((g.ss - CAST(g.s AS DOUBLE) * g.s / g.n) / (g.n - 1))
+        |       + CAST(g.s AS DOUBLE) / g.n), 6) AS burstiness,
+        |  round(((h.scc - CAST(h.sc AS DOUBLE) * h.sc / h.nh) / (h.nh - 1))
+        |      / (CAST(h.sc AS DOUBLE) / h.nh), 6) AS fano_hourly
+        |FROM gs g JOIN hs h ON h.event_type = g.event_type
+        |ORDER BY g.event_type""".stripMargin) { (spark, dir) =>
+      val events = Tables(spark, dir).events
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+      val gs = events
+        .select(col("event_type"),
+          (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+            .as("gap_us"))
+        .filter(col("gap_us").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("gap_us")).as("s"),
+          sum(col("gap_us").cast("double") * col("gap_us")).as("ss"))
+      val hs = events
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("nh"), sum(col("c")).as("sc"),
+          sum(col("c").cast("double") * col("c")).as("scc"))
+      val sd = sqrt((col("ss") - col("s").cast("double") * col("s") / col("n"))
+        / (col("n") - 1))
+      val mean = col("s").cast("double") / col("n")
+      gs.join(hs, Seq("event_type"))
+        .select(col("event_type"), col("n").cast("long").as("n_gaps"),
+          round((sd - mean) / (sd + mean), 6).as("burstiness"),
+          round(((col("scc") - col("sc").cast("double") * col("sc") / col("nh"))
+            / (col("nh") - 1)) / (col("sc").cast("double") / col("nh")), 6)
+            .as("fano_hourly"))
+        .orderBy("event_type")
+    },
+
     // ---- compressibility ranking: per source, distinct-to-total
     //      3-gram ratio as a dictionary-compressibility proxy (low
     //      ratio = repetitive = compresses well / dedups hard) — the
