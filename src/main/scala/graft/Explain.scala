@@ -76,7 +76,11 @@ object Explain {
     "q_geo_grid_knn", "q_geo_bbox_join", "q_suffix_lcp",
     "q_dpo_pairs", "q_pref_win_matrix", "q_kmv_set_ops",
     "q_kanon_ladder", "q_episode_returns", "q_retractable_agg",
-    "q_fim_split", "q_fair_share")
+    "q_fim_split", "q_fair_share",
+    "q_anova_oneway", "q_spearman_corr", "q_pr_curve", "q_kruskal_wallis",
+    "q_naive_bayes", "q_l_diversity", "q_t_closeness", "q_decision_stump",
+    "q_perceptron_step", "q_modularity", "q_hilbert_cluster",
+    "q_winnowing", "q_dp_user_clip", "q_burstiness")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
