@@ -672,6 +672,125 @@ object Experiments {
           (abs((col("m_a") - col("m_b")) /
             sqrt((col("v_a") + col("v_b")) / 2)) <= 0.1).as("balanced"))
         .orderBy("feat")
+    },
+
+    // ---- Cochran–Mantel–Haenszel test: does high priority associate
+    //      with FINISHED status after controlling for order year? One
+    //      2×2 table per stratum from a single aggregate pass; the CMH
+    //      statistic (continuity-corrected) and the Mantel-Haenszel
+    //      pooled odds ratio are closed forms over the |strata|-row
+    //      relation. This is the stratified A/B test q_ab_test cannot
+    //      express: a confounder that shifts both margins per stratum
+    //      would fool the pooled 2×2 (Simpson's paradox); CMH conditions
+    //      it away.
+    QueryDef.checked(
+      "q_cmh_test",
+      """WITH s AS (
+        |  SELECT year(o_orderdate) AS stratum,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |         THEN 1 ELSE 0 END AS x,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders
+        |), t AS (
+        |  SELECT stratum,
+        |    sum(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0 END) AS a,
+        |    sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END) AS b,
+        |    sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END) AS c,
+        |    sum(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END) AS d,
+        |    count(*) AS n
+        |  FROM s GROUP BY stratum
+        |), agg AS (
+        |  SELECT count(*) AS k, sum(a) AS sa,
+        |    sum(CAST(a + b AS DOUBLE) * (a + c) / n) AS se,
+        |    sum(CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)
+        |      / (CAST(n AS DOUBLE) * n * (n - 1))) AS sv,
+        |    sum(CAST(a AS DOUBLE) * d / n) AS sad,
+        |    sum(CAST(b AS DOUBLE) * c / n) AS sbc
+        |  FROM t
+        |)
+        |SELECT CAST(k AS INT) AS n_strata, CAST(sa AS BIGINT) AS sum_a,
+        |  round(se, 6) AS expected_a,
+        |  round((abs(sa - se) - 0.5) * (abs(sa - se) - 0.5) / sv, 6)
+        |    AS cmh_stat,
+        |  round(sad / sbc, 6) AS mh_odds_ratio
+        |FROM agg""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir).orders
+        .select(year(col("o_orderdate")).as("stratum"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0).as("x"),
+          when(col("o_orderstatus") === "F", 1).otherwise(0).as("y"))
+        .groupBy("stratum")
+        .agg(sum(when(col("x") === 1 && col("y") === 1, 1).otherwise(0)).as("a"),
+          sum(when(col("x") === 1 && col("y") === 0, 1).otherwise(0)).as("b"),
+          sum(when(col("x") === 0 && col("y") === 1, 1).otherwise(0)).as("c"),
+          sum(when(col("x") === 0 && col("y") === 0, 1).otherwise(0)).as("d"),
+          count(lit(1)).as("n"))
+      t.agg(count(lit(1)).as("k"), sum(col("a")).as("sa"),
+          sum((col("a") + col("b")).cast("double") * (col("a") + col("c"))
+            / col("n")).as("se"),
+          sum((col("a") + col("b")).cast("double") * (col("c") + col("d"))
+            * (col("a") + col("c")) * (col("b") + col("d"))
+            / (col("n").cast("double") * col("n") * (col("n") - 1))).as("sv"),
+          sum(col("a").cast("double") * col("d") / col("n")).as("sad"),
+          sum(col("b").cast("double") * col("c") / col("n")).as("sbc"))
+        .select(col("k").cast("int").as("n_strata"),
+          col("sa").cast("long").as("sum_a"),
+          round(col("se"), 6).as("expected_a"),
+          round((abs(col("sa") - col("se")) - 0.5)
+            * (abs(col("sa") - col("se")) - 0.5) / col("sv"), 6).as("cmh_stat"),
+          round(col("sad") / col("sbc"), 6).as("mh_odds_ratio"))
+    },
+
+    // ---- UCB1 bandit scoring: treat event types as arms, value as
+    //      reward (normalized to [0, 1] by the global max so the
+    //      sqrt(2 ln N / n) exploration bonus is on the canonical
+    //      scale). The serving loop this feeds recomputes one bounded
+    //      aggregate per round — no per-decision state. The chosen flag
+    //      compares 1e-6-ROUNDED scores, so a final-ulp ln/sqrt
+    //      difference between engines cannot flip the argmax.
+    QueryDef.checked(
+      "q_ucb_bandit",
+      """WITH mx AS (
+        |  SELECT max(CAST(round(value * 100) AS BIGINT)) AS maxc,
+        |    count(*) AS nt
+        |  FROM events
+        |), arms AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS s
+        |  FROM events GROUP BY event_type
+        |), scored AS (
+        |  SELECT event_type, n,
+        |    CAST(s AS DOUBLE) / n / maxc AS mean_r,
+        |    CAST(s AS DOUBLE) / n / maxc
+        |      + sqrt(2.0 * ln(CAST(nt AS DOUBLE)) / n) AS ucb
+        |  FROM arms, mx
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_pulls,
+        |  round(mean_r, 6) AS mean_reward,
+        |  round(ucb, 6) AS ucb_score,
+        |  round(ucb, 6) = max(round(ucb, 6)) OVER () AS chosen
+        |FROM scored ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val mx = Tables(spark, dir).events
+        .agg(max(expr("CAST(round(value * 100) AS BIGINT)")).as("maxc"),
+          count(lit(1)).as("nt"))
+      val arms = Tables(spark, dir).events
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("s"))
+      val meanR = col("s").cast("double") / col("n") / col("maxc")
+      arms.crossJoin(broadcast(mx))
+        .select(col("event_type"), col("n"),
+          meanR.as("mean_r"),
+          (meanR + sqrt(lit(2.0) * log(col("nt").cast("double")) / col("n")))
+            .as("ucb"))
+        // |arms|-row chooser window, bounded by the event-type vocabulary
+        .select(col("event_type"), col("n").cast("long").as("n_pulls"),
+          round(col("mean_r"), 6).as("mean_reward"),
+          round(col("ucb"), 6).as("ucb_score"),
+          (round(col("ucb"), 6) ===
+            max(round(col("ucb"), 6)).over(Window.partitionBy())).as("chosen"))
+        .orderBy("event_type")
     }
   )
 }

@@ -527,6 +527,93 @@ object Extras {
         .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
           .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // ---- Shapley-value channel attribution (the game-theoretic upgrade
+    //      of q_attribution / q_markov_attribution): journeys are each
+    //      user's first-5-event channel SET, the coalition value v(S) is
+    //      total conversions among journeys contained in S, and each
+    //      channel's credit is the exact Shapley sum
+    //      φ_c = Σ_{S∌c} |S|!(k−|S|−1)!/k! · (v(S∪c) − v(S)).
+    //      With k = 4 channels the coalition lattice is 16 rows: after
+    //      ONE fact-sized aggregate (per-user mask + conversions via
+    //      bit_or — a single keyed shuffle), everything is joins over
+    //      bounded relations, and 24·φ is an exact BIGINT (weights
+    //      |S|!(3−|S|)! ∈ {6,2,2,6}), so the split is
+    //      partitioning-proof. Efficiency holds by construction:
+    //      Σφ_c = v(full) − v(∅) — pinned in Wave21Spec.
+    QueryDef.checked(
+      "q_shapley_attribution",
+      """WITH ch AS (
+        |  SELECT 'click' AS channel, 1 AS pw UNION ALL
+        |  SELECT 'view', 2 UNION ALL
+        |  SELECT 'signup', 4 UNION ALL
+        |  SELECT 'error', 8
+        |), fe AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), j AS (
+        |  SELECT f.user_id,
+        |    COALESCE(bit_or(c.pw), 0) AS mask,
+        |    sum(CASE WHEN f.event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM fe f LEFT JOIN ch c ON c.channel = f.event_type
+        |  WHERE f.rn <= 5
+        |  GROUP BY f.user_id
+        |), jm AS (
+        |  SELECT mask, sum(conv) AS conv FROM j GROUP BY mask
+        |), coal AS (
+        |  SELECT unnest(range(16)) AS s
+        |), v AS (
+        |  SELECT c.s, COALESCE(sum(jm.conv), 0) AS v
+        |  FROM coal c LEFT JOIN jm ON (jm.mask & c.s) = jm.mask
+        |  GROUP BY c.s
+        |), marg AS (
+        |  SELECT ch.channel,
+        |    (CASE bit_count(CAST(vs.s AS BIGINT)) WHEN 0 THEN 6
+        |      WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 6 ELSE 0 END) AS w,
+        |    vu.v - vs.v AS delta
+        |  FROM ch
+        |  JOIN v vs ON (vs.s & ch.pw) = 0
+        |  JOIN v vu ON vu.s = (vs.s | ch.pw)
+        |)
+        |SELECT channel,
+        |  CAST(sum(w * delta) AS BIGINT) AS phi24,
+        |  round(sum(w * delta) / 24.0, 6) AS shapley_value
+        |FROM marg
+        |GROUP BY channel ORDER BY channel""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ch = Seq(("click", 1), ("view", 2), ("signup", 4), ("error", 8))
+        .toDF("channel", "pw")
+      val fe = Tables(spark, dir).events
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")))
+        .filter(col("rn") <= 5)
+      val j = fe.join(broadcast(ch), col("channel") === col("event_type"), "left")
+        .groupBy("user_id")
+        .agg(coalesce(expr("bit_or(pw)"), lit(0)).as("mask"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+      val jm = j.groupBy("mask").agg(sum(col("conv")).as("conv"))
+      val coal = spark.range(16).select(col("id").cast("int").as("s"))
+      // 16-coalition lattice: every join below is over bounded relations
+      val v = coal.join(jm, (col("mask").bitwiseAND(col("s"))) === col("mask"), "left")
+        .groupBy("s").agg(coalesce(sum(col("conv")), lit(0L)).as("v"))
+        .localCheckpoint() // both sides of the S / S∪{c} self-join
+      val w = expr("""CASE bit_count(CAST(s AS BIGINT)) WHEN 0 THEN 6
+        WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 6 ELSE 0 END""")
+      val vs = v.select(col("s"), col("v").as("v_s"), w.as("w"))
+      val vu = v.select(col("s").as("su"), col("v").as("v_u"))
+      ch.join(vs, (col("s").bitwiseAND(col("pw"))) === 0)
+        .join(vu, col("su") === (col("s").bitwiseOR(col("pw"))))
+        .groupBy("channel")
+        .agg(sum(col("w") * (col("v_u") - col("v_s"))).as("phi24"))
+        .select(col("channel"), col("phi24").cast("long").as("phi24"),
+          round(col("phi24") / lit(24.0), 6).as("shapley_value"))
+        .orderBy("channel")
     }
   )
 }

@@ -446,6 +446,54 @@ object GraphRank {
               * (col("d_c").cast("double") / (lit(2) * col("m"))), 6)
             .as("q_contrib"))
         .orderBy("community")
+    },
+
+    // ---- degree assortativity: do high-degree nodes trade with other
+    //      high-degree nodes? Pearson correlation of (deg(src), deg(dst))
+    //      over the symmetric directed edge list — one degree aggregate,
+    //      two degree joins keyed on the edge endpoints, and a
+    //      closed-form correlation from exact integer sums. Bipartite
+    //      hub-and-spoke graphs are strongly DISassortative (hubs link
+    //      to leaves), so r should be deeply negative here. Shares the
+    //      2^40 customer-offset id scheme with q_pagerank.
+    QueryDef.checked(
+      "q_graph_assortativity",
+      s"""WITH ${duckTradeEdges("")},
+         |deg AS (
+         |  SELECT src AS node, count(*) AS d FROM edges GROUP BY src
+         |), de AS (
+         |  SELECT da.d AS dx, db.d AS dy
+         |  FROM edges e
+         |  JOIN deg da ON da.node = e.src
+         |  JOIN deg db ON db.node = e.dst
+         |)
+         |SELECT CAST(count(*) AS BIGINT) AS n_directed_edges,
+         |  round((count(*) * sum(CAST(dx AS DOUBLE) * dy)
+         |      - sum(CAST(dx AS DOUBLE)) * sum(CAST(dy AS DOUBLE)))
+         |    / (sqrt(count(*) * sum(CAST(dx AS DOUBLE) * dx)
+         |        - sum(CAST(dx AS DOUBLE)) * sum(CAST(dx AS DOUBLE)))
+         |     * sqrt(count(*) * sum(CAST(dy AS DOUBLE) * dy)
+         |        - sum(CAST(dy AS DOUBLE)) * sum(CAST(dy AS DOUBLE)))), 6)
+         |    AS assortativity
+         |FROM de""".stripMargin) { (spark, dir) =>
+      val edges = tradeEdges(Tables(spark, dir), None)
+        .localCheckpoint() // degree build + both endpoint joins
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("d"))
+      val de = edges
+        .join(deg.select(col("node").as("src"), col("d").as("dx")), Seq("src"))
+        .join(deg.select(col("node").as("dst"), col("d").as("dy")), Seq("dst"))
+      de.agg(count(lit(1)).as("n"),
+          sum(col("dx").cast("double") * col("dy")).as("sxy"),
+          sum(col("dx").cast("double")).as("sx"),
+          sum(col("dy").cast("double")).as("sy"),
+          sum(col("dx").cast("double") * col("dx")).as("sxx"),
+          sum(col("dy").cast("double") * col("dy")).as("syy"))
+        .select(col("n").cast("long").as("n_directed_edges"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+             * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("assortativity"))
     }
   )
 }

@@ -1011,6 +1011,57 @@ object Stats {
           round(col("rho").cast("double") / col("ku") * col("u_est"), 2)
             .as("inter_est"),
           round(col("rho").cast("double") / col("ku"), 6).as("jaccard_est"))
+    },
+
+    // ---- Q-Q comparison: decile-by-decile quantiles of purchase vs
+    //      click values — the distribution-shape diff a KS p-value
+    //      (q_ks_drift) summarizes away. Decile bounds come from
+    //      per-GROUP ntile (RangeRank, partitioned by event type — two
+    //      bounded range sorts, no global window), reduced to a 10-row
+    //      grid; at 100 TB the same artifact comes from mergeable
+    //      approx_percentile sketches, this is the exact auditor.
+    QueryDef.checked(
+      "q_qq_plot",
+      """WITH s AS (
+        |  SELECT event_type, event_id,
+        |    CAST(round(value * 1000000) AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |), t AS (
+        |  SELECT event_type, v,
+        |    ntile(10) OVER (PARTITION BY event_type ORDER BY v, event_id)
+        |      AS tile
+        |  FROM s
+        |), qx AS (
+        |  SELECT tile,
+        |    max(CASE WHEN event_type = 'purchase' THEN v END) AS q_purchase,
+        |    max(CASE WHEN event_type = 'click' THEN v END) AS q_click
+        |  FROM (SELECT event_type, tile, max(v) AS v FROM t
+        |        GROUP BY event_type, tile)
+        |  GROUP BY tile
+        |)
+        |SELECT CAST(tile AS INT) AS decile, q_purchase, q_click,
+        |  CAST(q_purchase - q_click AS BIGINT) AS diff_micro,
+        |  round(CAST(q_purchase AS DOUBLE) / q_click, 6) AS ratio
+        |FROM qx ORDER BY decile""".stripMargin) { (spark, dir) =>
+      val parts = spark.sessionState.conf.numShufflePartitions
+      val s = Tables(spark, dir).events
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_type"), col("event_id"),
+          expr("CAST(round(value * 1000000) AS BIGINT)").as("v"))
+      // per-group exact ntile: one scale-safe RangeRank pass per group
+      // (2 groups — a bounded family; the general-K path would ntile on
+      // (group, v) keys with per-group offsets)
+      def tiles(grp: String) = graft.util.RangeRank.withGlobalNtile(
+        s.filter(col("event_type") === grp), "tile", 10, parts,
+        col("v"), col("event_id"))
+        .groupBy("tile").agg(max(col("v")).as(s"q_$grp"))
+      tiles("purchase").join(tiles("click"), Seq("tile"))
+        .select(col("tile").cast("int").as("decile"),
+          col("q_purchase"), col("q_click"),
+          (col("q_purchase") - col("q_click")).cast("long").as("diff_micro"),
+          round(col("q_purchase").cast("double") / col("q_click"), 6)
+            .as("ratio"))
+        .orderBy("decile")
     }
   )
 }
