@@ -494,6 +494,118 @@ object GraphRank {
             / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
              * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
             .as("assortativity"))
+    },
+
+    // ---- one Louvain move phase: for every node, the best community
+    //      move among its NEIGHBORS' communities by modularity gain,
+    //      starting from the nation partition q_modularity scores. The
+    //      gain is held as the exact integer ΔQ·2m²
+    //      ( = 2m·(k_i,B − k_i,A) − k_i·(d_B − d_A + k_i) ), so the
+    //      per-node argmax can never float-tie and the phase is
+    //      partitioning-proof. Everything is edge-relation aggregates:
+    //      per-node degree, per-community degree totals (|nations|
+    //      rows, broadcast), per-(node, neighbor-community) link counts
+    //      — the same shuffle set Louvain needs at any scale; iterating
+    //      swaps the community relation and reruns (q_kmeans_iter
+    //      discipline). Output is the bounded (from, to) move matrix.
+    QueryDef.checked(
+      "q_louvain_move",
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), e0 AS (
+        |  SELECT p.s AS u, p.c + 1099511627776 AS v,
+        |    sn.s_nationkey AS cu, cn.c_nationkey AS cv
+        |  FROM pairs p
+        |  JOIN supplier sn ON sn.s_suppkey = p.s
+        |  JOIN customer cn ON cn.c_custkey = p.c
+        |), edges AS (
+        |  SELECT u AS src, v AS dst, cu AS csrc, cv AS cdst FROM e0
+        |  UNION ALL
+        |  SELECT v, u, cv, cu FROM e0
+        |), m2 AS (
+        |  SELECT count(*) AS m2 FROM edges
+        |), deg AS (
+        |  SELECT src AS node, max(csrc) AS comm, count(*) AS k
+        |  FROM edges GROUP BY src
+        |), ctot AS (
+        |  SELECT comm, sum(k) AS d_c FROM deg GROUP BY comm
+        |), kin AS (
+        |  SELECT src AS node, cdst AS comm, count(*) AS k_in
+        |  FROM edges GROUP BY src, cdst
+        |), own AS (
+        |  SELECT d.node, d.comm, d.k, COALESCE(ki.k_in, 0) AS k_own
+        |  FROM deg d LEFT JOIN kin ki
+        |    ON ki.node = d.node AND ki.comm = d.comm
+        |), cand AS (
+        |  SELECT o.node, o.comm AS from_comm, ki.comm AS to_comm,
+        |    m2.m2 * (ki.k_in - o.k_own)
+        |      - o.k * (ct.d_c - cf.d_c + o.k) AS delta2m2
+        |  FROM own o
+        |  JOIN kin ki ON ki.node = o.node AND ki.comm != o.comm
+        |  JOIN ctot ct ON ct.comm = ki.comm
+        |  JOIN ctot cf ON cf.comm = o.comm
+        |  CROSS JOIN m2
+        |), best AS (
+        |  SELECT node, from_comm, to_comm, delta2m2
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY node
+        |      ORDER BY delta2m2 DESC, to_comm) AS rn FROM cand) r
+        |  WHERE rn = 1 AND delta2m2 > 0
+        |)
+        |SELECT from_comm, to_comm, CAST(count(*) AS BIGINT) AS n_movers,
+        |  CAST(sum(delta2m2) AS BIGINT) AS sum_delta2m2
+        |FROM best GROUP BY from_comm, to_comm
+        |ORDER BY from_comm, to_comm""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir)
+      val pairs = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+        .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
+        .distinct()
+      val e0 = pairs
+        .join(broadcast(t.supplier.select(col("s_suppkey"),
+          col("s_nationkey").as("cu"))), col("s_suppkey") === col("s"))
+        .join(t.customer.select(col("c_custkey"),
+          col("c_nationkey").as("cv")), col("c_custkey") === col("c"))
+        .select(col("s").as("u"), (col("c") + 1099511627776L).as("v"),
+          col("cu"), col("cv"))
+      val edges = e0.select(col("u").as("src"), col("v").as("dst"),
+          col("cu").as("csrc"), col("cv").as("cdst"))
+        .unionAll(e0.select(col("v").as("src"), col("u").as("dst"),
+          col("cv").as("csrc"), col("cu").as("cdst")))
+        .localCheckpoint() // m2, deg, and kin all read the edge build
+      val m2 = edges.agg(count(lit(1)).as("m2"))
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(max(col("csrc")).as("comm"), count(lit(1)).as("k"))
+      val ctot = deg.groupBy("comm").agg(sum(col("k")).as("d_c"))
+      val kin = edges.groupBy(col("src").as("node"), col("cdst").as("comm"))
+        .agg(count(lit(1)).as("k_in"))
+      val own = deg.join(kin.select(col("node"), col("comm"),
+          col("k_in").as("k_own")), Seq("node", "comm"), "left")
+        .na.fill(0L, Seq("k_own"))
+      val cand = own.select(col("node"), col("comm").as("from_comm"),
+          col("k"), col("k_own"))
+        .join(kin.select(col("node"), col("comm").as("to_comm"),
+          col("k_in")), Seq("node"))
+        .filter(col("to_comm") =!= col("from_comm"))
+        .join(broadcast(ctot.select(col("comm").as("to_comm"),
+          col("d_c").as("d_to"))), Seq("to_comm"))
+        .join(broadcast(ctot.select(col("comm").as("from_comm"),
+          col("d_c").as("d_from"))), Seq("from_comm"))
+        .crossJoin(broadcast(m2))
+        .select(col("node"), col("from_comm"), col("to_comm"),
+          (col("m2") * (col("k_in") - col("k_own"))
+            - col("k") * (col("d_to") - col("d_from") + col("k")))
+            .as("delta2m2"))
+      cand
+        .withColumn("rn", row_number().over(Window.partitionBy("node")
+          .orderBy(col("delta2m2").desc, col("to_comm"))))
+        .filter(col("rn") === 1 && col("delta2m2") > 0)
+        .groupBy("from_comm", "to_comm")
+        .agg(count(lit(1)).cast("long").as("n_movers"),
+          sum(col("delta2m2")).cast("long").as("sum_delta2m2"))
+        .orderBy("from_comm", "to_comm")
     }
   )
 }

@@ -1062,6 +1062,42 @@ object Stats {
           round(col("q_purchase").cast("double") / col("q_click"), 6)
             .as("ratio"))
         .orderBy("decile")
+    },
+
+    // ---- Hill tail-index estimator: α̂ from the top-k = 100 order
+    //      values — the MLE of the Pareto exponent above the k-th order
+    //      statistic, complementing q_zipf_slope's rank-regression
+    //      (Hill is the estimator you trust when only the extreme tail
+    //      matters, e.g. sizing skew mitigations for the heaviest keys).
+    //      The top-k is a TakeOrderedAndProject (per-partition heaps +
+    //      one k-row merge, never a global sort); the estimator is a
+    //      closed form over the bounded k rows.
+    QueryDef.checked(
+      "q_hill_tail_index",
+      """WITH topk AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders ORDER BY cents DESC, o_orderkey LIMIT 100
+        |), mn AS (
+        |  SELECT min(cents) AS xk FROM topk
+        |)
+        |SELECT CAST(count(*) AS INT) AS k,
+        |  max(mn.xk) AS threshold_cents,
+        |  round(1.0 / (sum(ln(CAST(t.cents AS DOUBLE) / mn.xk))
+        |    / (count(*) - 1)), 6) AS hill_alpha
+        |FROM topk t, mn""".stripMargin) { (spark, dir) =>
+      val topk = Tables(spark, dir).orders
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          col("o_orderkey"))
+        .orderBy(col("cents").desc, col("o_orderkey"))
+        .limit(100)
+        .select("cents")
+        .localCheckpoint() // threshold and the log-sum share the top-k
+      val mn = topk.agg(min(col("cents")).as("xk"))
+      topk.crossJoin(broadcast(mn))
+        .agg(count(lit(1)).as("k"), max(col("xk")).as("threshold_cents"),
+          sum(log(col("cents").cast("double") / col("xk"))).as("slog"))
+        .select(col("k").cast("int").as("k"), col("threshold_cents"),
+          round(lit(1.0) / (col("slog") / (col("k") - 1)), 6).as("hill_alpha"))
     }
   )
 }

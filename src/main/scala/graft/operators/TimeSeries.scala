@@ -798,6 +798,72 @@ object TimeSeries {
         .agg(count(lit(1)).as("n_users"),
           expr("CAST(sum(user_id % 1000003) AS BIGINT)").as("user_checksum"))
         .orderBy("n_matches")
+    },
+
+    // ---- periodogram: DFT power of the daily order-count series at
+    //      candidate calendar periods (week, fortnight, month, quarter,
+    //      half-year, year) — the frequency-domain periodicity detector
+    //      complementing q_autocorr's lag-domain view. Each trig weight
+    //      is frozen to 1e-6 fixed point so the Σ x·cos / Σ x·sin sums
+    //      are EXACT integers on any partitioning (< 2^53), and the
+    //      final squares are deterministic doubles. One daily aggregate
+    //      (|days| rows), a bounded ×6 period cross, one keyed sum.
+    QueryDef.checked(
+      "q_periodogram",
+      """WITH daily AS (
+        |  SELECT CAST(date_diff('day', (SELECT min(o_orderdate) FROM orders),
+        |    o_orderdate) AS BIGINT) AS t, count(*) AS x
+        |  FROM orders GROUP BY 1
+        |), periods AS (
+        |  SELECT unnest([7, 14, 30, 91, 182, 365]) AS p
+        |), terms AS (
+        |  SELECT p.p, d.x,
+        |    CAST(round(cos(2 * pi() * d.t / p.p) * 1000000) AS BIGINT) AS c_fp,
+        |    CAST(round(sin(2 * pi() * d.t / p.p) * 1000000) AS BIGINT) AS s_fp
+        |  FROM daily d CROSS JOIN periods p
+        |), sums AS (
+        |  SELECT p, count(*) AS n_days,
+        |    sum(x * c_fp) AS sc, sum(x * s_fp) AS ss, sum(x) AS sx,
+        |    sum(CAST(x AS DOUBLE) * x) AS sxx
+        |  FROM terms GROUP BY p
+        |)
+        |SELECT CAST(p AS INT) AS period_days, CAST(n_days AS BIGINT) AS n_days,
+        |  round((CAST(sc AS DOUBLE)/1000000)*(CAST(sc AS DOUBLE)/1000000)
+        |      + (CAST(ss AS DOUBLE)/1000000)*(CAST(ss AS DOUBLE)/1000000), 2)
+        |    AS power,
+        |  round(((CAST(sc AS DOUBLE)/1000000)*(CAST(sc AS DOUBLE)/1000000)
+        |      + (CAST(ss AS DOUBLE)/1000000)*(CAST(ss AS DOUBLE)/1000000))
+        |    / (sxx - CAST(sx AS DOUBLE) * sx / n_days), 6) AS norm_power
+        |FROM sums ORDER BY period_days""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val orders = Tables(spark, dir).orders
+      val mn = orders.agg(min(to_date(col("o_orderdate"))).as("d0"))
+      val daily = orders.crossJoin(broadcast(mn))
+        .select(datediff(to_date(col("o_orderdate")), col("d0"))
+          .cast("long").as("t"))
+        .groupBy("t").agg(count(lit(1)).as("x"))
+      val periods = Seq(7, 14, 30, 91, 182, 365).toDF("p")
+      val terms = daily.crossJoin(broadcast(periods))
+        .select(col("p"), col("x"),
+          expr("CAST(round(cos(2 * pi() * t / p) * 1000000) AS BIGINT)")
+            .as("c_fp"),
+          expr("CAST(round(sin(2 * pi() * t / p) * 1000000) AS BIGINT)")
+            .as("s_fp"))
+      val scD = col("sc").cast("double") / 1000000
+      val ssD = col("ss").cast("double") / 1000000
+      terms.groupBy("p")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("x") * col("c_fp")).as("sc"),
+          sum(col("x") * col("s_fp")).as("ss"),
+          sum(col("x")).as("sx"),
+          sum(col("x").cast("double") * col("x")).as("sxx"))
+        .select(col("p").cast("int").as("period_days"),
+          col("n_days").cast("long").as("n_days"),
+          round(scD * scD + ssD * ssD, 2).as("power"),
+          round((scD * scD + ssD * ssD)
+            / (col("sxx") - col("sx").cast("double") * col("sx")
+              / col("n_days")), 6).as("norm_power"))
+        .orderBy("period_days")
     }
   )
 }
