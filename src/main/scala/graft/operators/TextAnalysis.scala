@@ -740,6 +740,86 @@ object TextAnalysis {
                   (col("ov2").cast("double") / (col("n1") - 1)))), 6)
             .as("bleu2"))
         .orderBy("cand_id")
+    },
+
+    // ---- TextRank keyword extraction: weighted PageRank over the
+    //      token co-occurrence graph (content tokens ≥ 4 chars, window
+    //      of 2 positions, undirected edge weight = corpus co-occurrence
+    //      count), 2 damped iterations in the exact fixed-point integer
+    //      discipline of q_pagerank (contributions are `pr·w div Σw` —
+    //      truncating division both engines compute identically), top-20
+    //      keywords out. The graph is VOCAB-bounded: one positional
+    //      explode, one doc-local position join (never cross-doc), then
+    //      every iteration shuffles |E| = distinct co-occurring pairs.
+    QueryDef.checked(
+      "q_textrank",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents
+        |), ct AS (
+        |  SELECT doc_id, tok, pos FROM toks WHERE length(tok) >= 4
+        |), cooc AS (
+        |  SELECT a.tok AS u, b.tok AS v, count(*) AS w
+        |  FROM ct a JOIN ct b
+        |    ON b.doc_id = a.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 2
+        |   AND a.tok != b.tok
+        |  GROUP BY a.tok, b.tok
+        |), edges AS (
+        |  SELECT u, v, w FROM cooc
+        |  UNION ALL
+        |  SELECT v, u, w FROM cooc
+        |), ew AS (
+        |  SELECT u, v, sum(w) AS w FROM edges GROUP BY u, v
+        |), degw AS (
+        |  SELECT u AS node, sum(w) AS sw FROM ew GROUP BY u
+        |), r0 AS (
+        |  SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM degw
+        |), r1 AS (
+        |  SELECT e.v AS node,
+        |    CAST(150000000 + (sum(r0.pr * e.w // d.sw) * 17) // 20 AS BIGINT) AS pr
+        |  FROM ew e JOIN r0 ON r0.node = e.u JOIN degw d ON d.node = e.u
+        |  GROUP BY e.v
+        |), r2 AS (
+        |  SELECT e.v AS node,
+        |    CAST(150000000 + (sum(r1.pr * e.w // d.sw) * 17) // 20 AS BIGINT) AS pr
+        |  FROM ew e JOIN r1 ON r1.node = e.u JOIN degw d ON d.node = e.u
+        |  GROUP BY e.v
+        |)
+        |SELECT node AS keyword, pr AS textrank_fp
+        |FROM r2 ORDER BY pr DESC, keyword LIMIT 20""".stripMargin) { (spark, dir) =>
+      val ct = Tables(spark, dir).documents
+        .select(col("doc_id"), posexplode(split(col("text"), " "))
+          .as(Seq("pos0", "tok")))
+        // oracle subscripts are 1-based; only relative order matters,
+        // but keep them identical anyway
+        .select(col("doc_id"), col("tok"), (col("pos0") + 1).as("pos"))
+        .filter(length(col("tok")) >= 4)
+      val cooc = ct.as("a")
+        .join(ct.as("b"),
+          col("b.doc_id") === col("a.doc_id") &&
+            col("b.pos") > col("a.pos") &&
+            col("b.pos") <= col("a.pos") + 2 &&
+            col("a.tok") =!= col("b.tok"))
+        .groupBy(col("a.tok").as("u"), col("b.tok").as("v"))
+        .agg(count(lit(1)).as("w"))
+      val ew = cooc.select(col("u"), col("v"), col("w"))
+        .unionAll(cooc.select(col("v").as("u"), col("u").as("v"), col("w")))
+        .groupBy("u", "v").agg(sum(col("w")).as("w"))
+        .localCheckpoint() // the degree build and both rank iterations
+      val degw = ew.groupBy(col("u").as("node")).agg(sum(col("w")).as("sw"))
+      val edgesD = ew.join(degw.withColumnRenamed("node", "u"), Seq("u"))
+      def iterate(prev: org.apache.spark.sql.DataFrame) = edgesD
+        .join(prev.withColumnRenamed("node", "u"), Seq("u"))
+        .select(col("v").as("node"), expr("pr * w div sw").as("contrib"))
+        .groupBy("node")
+        .agg(expr("CAST(150000000 + (sum(contrib) * 17) div 20 AS BIGINT)")
+          .as("pr"))
+      val r0 = degw.select(col("node"), lit(1000000000L).as("pr"))
+      val r2 = iterate(iterate(r0))
+      r2.select(col("node").as("keyword"), col("pr").as("textrank_fp"))
+        .orderBy(col("textrank_fp").desc, col("keyword"))
+        .limit(20)
     }
   )
 }

@@ -894,6 +894,104 @@ object VectorCuration {
           sum(when(col("is_core").isNull && col("is_nbr").isNull, 1)
             .otherwise(0)).cast("long").as("n_noise"))
         .orderBy("label")
+    },
+
+    // ---- semi-hard triplet mining (FaceNet's curriculum for the
+    //      contrastive loss): anchor → nearest same-label POSITIVE,
+    //      then the hardest negative from the nearest rival label whose
+    //      similarity stays BELOW the positive's but within a 0.05
+    //      margin of it — easy negatives teach nothing and
+    //      harder-than-positive ones collapse training, so this band is
+    //      the useful one. Candidate scoping is the q_hard_negatives
+    //      discipline verbatim: positives search only the anchor's own
+    //      label cell, negatives only the 10-row-broadcast-argmax rival
+    //      cell — never the corpus. Conditions compare 1e-6-ROUNDED
+    //      cosines so the band membership cannot flip between engines.
+    //      Anchors with no semi-hard negative drop out (that's the
+    //      signal the margin has converged for them).
+    QueryDef.checked(
+      "q_triplet_mining",
+      s"""WITH ${IvfIndex.duckCentroidCtes},
+         |pos AS (
+         |  SELECT vec_id, label, pos_id, cos_pos FROM (
+         |    SELECT a.vec_id, a.label, p.vec_id AS pos_id,
+         |      round(${graft.functions.VectorFunctions.duckCosineSql("a.embedding", "p.embedding")}, 6) AS cos_pos,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY round(${graft.functions.VectorFunctions.duckCosineSql("a.embedding", "p.embedding")}, 6) DESC, p.vec_id) AS rn
+         |    FROM embeddings a
+         |    JOIN embeddings p ON p.label = a.label AND p.vec_id != a.vec_id
+         |  ) r WHERE rn = 1
+         |), rsim AS (
+         |  SELECT e.vec_id, e.label, c.cell,
+         |    ${IvfIndex.duckMixedCosineSql("c.centroid", "e.embedding")} AS csim
+         |  FROM embeddings e, cents c WHERE c.cell <> e.label
+         |), rival AS (
+         |  SELECT vec_id, cell AS rival_label FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+         |    FROM rsim) r
+         |  WHERE rn = 1
+         |), negs AS (
+         |  SELECT p.vec_id, p.label, p.pos_id, p.cos_pos, rv.rival_label,
+         |    n.vec_id AS neg_id,
+         |    round(${graft.functions.VectorFunctions.duckCosineSql("ea.embedding", "n.embedding")}, 6) AS cos_neg
+         |  FROM pos p
+         |  JOIN rival rv ON rv.vec_id = p.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = p.vec_id
+         |  JOIN embeddings n ON n.label = rv.rival_label
+         |), shband AS (
+         |  SELECT * FROM negs
+         |  WHERE cos_neg < cos_pos AND cos_neg >= cos_pos - 0.05
+         |)
+         |SELECT vec_id, label, pos_id, neg_id, cos_pos, cos_neg,
+         |  round(cos_pos - cos_neg, 6) AS band_gap
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos_neg DESC, neg_id) AS rn
+         |  FROM shband) t
+         |WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+        .localCheckpoint() // anchor, positive, and negative sides
+      val ivf = IvfIndex(nprobe = 1)
+      val cents = ivf.centroids(emb)
+        .select(col("label").as("cell"), col("centroid"))
+      val cos = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+        round(graft.functions.VectorFunctions.cosineSim(a, b), 6)
+      val pos = emb.select(col("vec_id"), col("label"), col("embedding"))
+        .join(emb.select(col("label"), col("vec_id").as("pos_id"),
+          col("embedding").as("ep")), Seq("label"))
+        .filter(col("pos_id") =!= col("vec_id"))
+        .select(col("vec_id"), col("label"), col("embedding"), col("pos_id"),
+          cos(col("embedding"), col("ep")).as("cos_pos"))
+        .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+          .orderBy(col("cos_pos").desc, col("pos_id"))))
+        .filter(col("rn") === 1)
+        .drop("rn")
+      val rival = emb.crossJoin(broadcast(cents))
+        .filter(col("cell") =!= col("label"))
+        .select(col("vec_id"), col("cell"),
+          ivf.mixedCosine("embedding", "centroid").as("csim"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cell").as("rival_label"))
+      pos
+        .join(rival, Seq("vec_id"))
+        .join(emb.select(col("label").as("rival_label"),
+          col("vec_id").as("neg_id"), col("embedding").as("en")),
+          Seq("rival_label"))
+        .select(col("vec_id"), col("label"), col("pos_id"), col("cos_pos"),
+          col("neg_id"), cos(col("embedding"), col("en")).as("cos_neg"))
+        .filter(col("cos_neg") < col("cos_pos") &&
+          col("cos_neg") >= col("cos_pos") - 0.05)
+        .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+          .orderBy(col("cos_neg").desc, col("neg_id"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("label"), col("pos_id"), col("neg_id"),
+          col("cos_pos"), col("cos_neg"),
+          round(col("cos_pos") - col("cos_neg"), 6).as("band_gap"))
+        .orderBy("vec_id")
     }
   )
 }
