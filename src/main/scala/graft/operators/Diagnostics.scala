@@ -350,6 +350,68 @@ object Diagnostics {
           expr("(n_l * n_o div n_keys) * 1000 div n_join").cast("long")
             .as("est_over_actual_pm"))
         .orderBy("bucket")
+    },
+
+    // ---- CBO catalog statistics round-trip: ANALYZE TABLE ... FOR
+    //      COLUMNS on a managed copy of `customer`, then read the
+    //      optimizer's column statistics back out of the catalog and
+    //      audit them against the data — exact null counts and min/max
+    //      must match bit-for-bit, the HLL-based ndv within 5% (the
+    //      same within-band contract q_hll_sketch_merge uses, since the
+    //      sketch estimate has no DuckDB twin). These stats are what
+    //      Catalyst's cost-based join reorder and broadcast decisions
+    //      consume — at 100 TB, stale or absent ANALYZE output is the
+    //      #1 cause of a wrong join order, and this query is the audit
+    //      a pipeline runs after ingest. The staged table is keyed by
+    //      source dir (Staging.pathTag), written once per source.
+    QueryDef.checked(
+      "q_cbo_stats",
+      """SELECT 'c_acctbal' AS col_name,
+        |  count(DISTINCT c_acctbal) AS exact_distinct,
+        |  TRUE AS ndv_within_5pct,
+        |  CAST(0 AS BIGINT) AS num_nulls,
+        |  round(min(c_acctbal), 6) AS min_val,
+        |  round(max(c_acctbal), 6) AS max_val
+        |FROM customer
+        |UNION ALL
+        |SELECT 'c_nationkey', count(DISTINCT c_nationkey), TRUE,
+        |  CAST(0 AS BIGINT),
+        |  round(min(c_nationkey), 6), round(max(c_nationkey), 6)
+        |FROM customer
+        |ORDER BY col_name""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val name = s"graft_cbo_customer_${graft.util.Staging.pathTag(dir)}"
+      if (!spark.catalog.tableExists(name))
+        Tables(spark, dir).customer.write.saveAsTable(name)
+      spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS " +
+        "FOR COLUMNS c_nationkey, c_acctbal")
+      // DESCRIBE output is a bounded (info, value) relation per column
+      def stats(c: String): Map[String, String] =
+        spark.sql(s"DESCRIBE EXTENDED $name $c").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+      val exact = spark.table(name).agg(
+        countDistinct(col("c_acctbal")).as("d_bal"),
+        countDistinct(col("c_nationkey")).as("d_nat"))
+        .first()
+      // min/max/nulls come FROM THE CATALOG — a stale or wrong stat
+      // breaks the oracle hash, which is the point of the audit; only
+      // the sketch-based ndv gets the within-band treatment
+      def row(cn: String, exactD: Long) = {
+        val s = stats(cn)
+        val ndv = s("distinct_count").toLong
+        (cn, exactD,
+          math.abs(ndv - exactD) <= math.max(1L, math.round(exactD * 0.05)),
+          s("num_nulls").toLong,
+          BigDecimal(s("min")).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble,
+          BigDecimal(s("max")).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)
+      }
+      Seq(row("c_acctbal", exact.getAs[Long]("d_bal")),
+        row("c_nationkey", exact.getAs[Long]("d_nat")))
+        .toDF("col_name", "exact_distinct", "ndv_within_5pct", "num_nulls",
+          "min_val", "max_val")
+        .orderBy("col_name")
     }
   )
 }

@@ -500,6 +500,160 @@ object Learning {
           (lit(10000L) + col("dw2")).cast("long").as("w2_new"),
           col("n_mis").cast("long").as("n_misclassified"),
           round(col("n_mis").cast("double") / col("n"), 6).as("error_rate"))
+    },
+
+    // ---- mRMR feature selection (max-relevance min-redundancy): rank
+    //      candidate features by MI(feature; label) against their
+    //      average pairwise MI with the other candidates, plus the
+    //      round-2 score (relevance − MI with the first pick) a greedy
+    //      selector would use next. All MI terms come from contingency
+    //      counts: the fact table is unpivoted to a long (feature,
+    //      value, label) relation — ONE shuffle keyed by (feat, v, y) —
+    //      and every joint/marginal after that is bounded by the bin
+    //      vocabularies, so at 100 TB the cost is 1 + |pairs| keyed
+    //      aggregates of the same scan, never a per-feature pass.
+    QueryDef.checked(
+      "q_feature_mrmr",
+      """WITH w AS (
+        |  SELECT CAST(floor(o_totalprice / 50000) AS INT) AS f_price,
+        |    year(o_orderdate) AS f_year,
+        |    o_orderpriority AS f_prio,
+        |    c_mktsegment AS f_seg,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |), fv AS (
+        |  SELECT 'price' AS feat, CAST(f_price AS VARCHAR) AS v, y FROM w
+        |  UNION ALL SELECT 'year', CAST(f_year AS VARCHAR), y FROM w
+        |  UNION ALL SELECT 'prio', f_prio, y FROM w
+        |  UNION ALL SELECT 'seg', f_seg, y FROM w
+        |), njl AS (
+        |  SELECT feat, v, y, count(*) AS n FROM fv GROUP BY 1, 2, 3
+        |), nf AS (
+        |  SELECT feat, v, sum(n) AS nv FROM njl GROUP BY 1, 2
+        |), ny AS (
+        |  SELECT feat, y, sum(n) AS nyc FROM njl GROUP BY 1, 2
+        |), nt AS (
+        |  SELECT feat, sum(n) AS ntc FROM njl GROUP BY 1
+        |), rel AS (
+        |  SELECT j.feat,
+        |    sum(CAST(j.n AS DOUBLE) / t.ntc
+        |      * ln((CAST(j.n AS DOUBLE) * t.ntc)
+        |          / (CAST(f.nv AS DOUBLE) * y.nyc))) AS mi_y
+        |  FROM njl j
+        |  JOIN nf f ON f.feat = j.feat AND f.v = j.v
+        |  JOIN ny y ON y.feat = j.feat AND y.y = j.y
+        |  JOIN nt t ON t.feat = j.feat
+        |  GROUP BY j.feat
+        |), pj AS (
+        |  SELECT 'price' AS fa, 'year' AS fb,
+        |    CAST(f_price AS VARCHAR) AS a, CAST(f_year AS VARCHAR) AS b FROM w
+        |  UNION ALL SELECT 'price', 'prio', CAST(f_price AS VARCHAR), f_prio FROM w
+        |  UNION ALL SELECT 'price', 'seg', CAST(f_price AS VARCHAR), f_seg FROM w
+        |  UNION ALL SELECT 'year', 'prio', CAST(f_year AS VARCHAR), f_prio FROM w
+        |  UNION ALL SELECT 'year', 'seg', CAST(f_year AS VARCHAR), f_seg FROM w
+        |  UNION ALL SELECT 'prio', 'seg', f_prio, f_seg FROM w
+        |), pn AS (
+        |  SELECT fa, fb, a, b, count(*) AS n FROM pj GROUP BY 1, 2, 3, 4
+        |), pa AS (SELECT fa, fb, a, sum(n) AS na FROM pn GROUP BY 1, 2, 3),
+        |pb AS (SELECT fa, fb, b, sum(n) AS nb FROM pn GROUP BY 1, 2, 3),
+        |pt AS (SELECT fa, fb, sum(n) AS ntc FROM pn GROUP BY 1, 2),
+        |mif AS (
+        |  SELECT p.fa, p.fb,
+        |    sum(CAST(p.n AS DOUBLE) / t.ntc
+        |      * ln((CAST(p.n AS DOUBLE) * t.ntc)
+        |          / (CAST(a.na AS DOUBLE) * b.nb))) AS mi
+        |  FROM pn p
+        |  JOIN pa a ON a.fa = p.fa AND a.fb = p.fb AND a.a = p.a
+        |  JOIN pb b ON b.fa = p.fa AND b.fb = p.fb AND b.b = p.b
+        |  JOIN pt t ON t.fa = p.fa AND t.fb = p.fb
+        |  GROUP BY p.fa, p.fb
+        |), mis AS (
+        |  SELECT fa, fb, mi FROM mif UNION ALL SELECT fb, fa, mi FROM mif
+        |), red AS (
+        |  SELECT fa AS feat, sum(mi) / count(*) AS avg_red FROM mis GROUP BY fa
+        |), top1 AS (
+        |  SELECT feat FROM rel ORDER BY mi_y DESC, feat LIMIT 1
+        |)
+        |SELECT r.feat, round(r.mi_y, 6) AS relevance,
+        |  round(d.avg_red, 6) AS avg_redundancy,
+        |  round(r.mi_y - d.avg_red, 6) AS mrmr_score,
+        |  r.feat = max(t1.feat) OVER () AS selected_first,
+        |  CASE WHEN r.feat = max(t1.feat) OVER () THEN NULL
+        |    ELSE round(r.mi_y - m.mi, 6) END AS round2_score
+        |FROM rel r
+        |JOIN red d ON d.feat = r.feat
+        |CROSS JOIN top1 t1
+        |LEFT JOIN mis m ON m.fa = r.feat AND m.fb = t1.feat
+        |ORDER BY r.feat""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(spark, dir)
+      val w = t.orders.join(t.customer, col("c_custkey") === col("o_custkey"))
+        .select(expr("CAST(floor(o_totalprice / 50000) AS INT)").as("f_price"),
+          year(col("o_orderdate")).as("f_year"),
+          col("o_orderpriority").as("f_prio"),
+          col("c_mktsegment").as("f_seg"),
+          when(col("o_orderstatus") === "F", 1).otherwise(0).as("y"))
+        .localCheckpoint() // the label unpivot AND six pair unpivots
+      def lf(feat: String, c: org.apache.spark.sql.Column) =
+        w.select(lit(feat).as("feat"), c.cast("string").as("v"), col("y"))
+      val fv = lf("price", col("f_price"))
+        .unionAll(lf("year", col("f_year")))
+        .unionAll(lf("prio", col("f_prio")))
+        .unionAll(lf("seg", col("f_seg")))
+      val njl = fv.groupBy("feat", "v", "y").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // marginals and the MI sum re-read it
+      val nf = njl.groupBy("feat", "v").agg(sum(col("n")).as("nv"))
+      val ny = njl.groupBy("feat", "y").agg(sum(col("n")).as("nyc"))
+      val nt = njl.groupBy("feat").agg(sum(col("n")).as("ntc"))
+      val rel = njl
+        .join(nf, Seq("feat", "v")).join(ny, Seq("feat", "y"))
+        .join(broadcast(nt), Seq("feat"))
+        .groupBy("feat")
+        .agg(sum(col("n").cast("double") / col("ntc")
+          * log((col("n").cast("double") * col("ntc"))
+            / (col("nv").cast("double") * col("nyc")))).as("mi_y"))
+      def pf(fa: String, fb: String, a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column) =
+        w.select(lit(fa).as("fa"), lit(fb).as("fb"),
+          a.cast("string").as("a"), b.cast("string").as("b"))
+      val pj = pf("price", "year", col("f_price"), col("f_year"))
+        .unionAll(pf("price", "prio", col("f_price"), col("f_prio")))
+        .unionAll(pf("price", "seg", col("f_price"), col("f_seg")))
+        .unionAll(pf("year", "prio", col("f_year"), col("f_prio")))
+        .unionAll(pf("year", "seg", col("f_year"), col("f_seg")))
+        .unionAll(pf("prio", "seg", col("f_prio"), col("f_seg")))
+      val pn = pj.groupBy("fa", "fb", "a", "b").agg(count(lit(1)).as("n"))
+        .localCheckpoint() // three marginals + the pair-MI sum
+      val pa = pn.groupBy("fa", "fb", "a").agg(sum(col("n")).as("na"))
+      val pb = pn.groupBy("fa", "fb", "b").agg(sum(col("n")).as("nb"))
+      val pt = pn.groupBy("fa", "fb").agg(sum(col("n")).as("ntc"))
+      val mif = pn
+        .join(pa, Seq("fa", "fb", "a")).join(pb, Seq("fa", "fb", "b"))
+        .join(broadcast(pt), Seq("fa", "fb"))
+        .groupBy("fa", "fb")
+        .agg(sum(col("n").cast("double") / col("ntc")
+          * log((col("n").cast("double") * col("ntc"))
+            / (col("na").cast("double") * col("nb")))).as("mi"))
+      val mis = mif.select(col("fa"), col("fb"), col("mi"))
+        .unionAll(mif.select(col("fb").as("fa"), col("fa").as("fb"), col("mi")))
+        .localCheckpoint() // redundancy average AND the top1 lookup join
+      val red = mis.groupBy(col("fa").as("feat"))
+        .agg((sum(col("mi")) / count(lit(1))).as("avg_red"))
+      val top1 = rel.orderBy(col("mi_y").desc, col("feat")).limit(1)
+        .select(col("feat").as("t1"))
+      rel.join(red, Seq("feat"))
+        .crossJoin(broadcast(top1))
+        .join(mis.select(col("fa").as("feat"), col("fb").as("t1"),
+          col("mi").as("mi_t1")), Seq("feat", "t1"), "left")
+        .withColumn("sel", col("feat") === max(col("t1"))
+          .over(Window.partitionBy()))
+        .select(col("feat"), round(col("mi_y"), 6).as("relevance"),
+          round(col("avg_red"), 6).as("avg_redundancy"),
+          round(col("mi_y") - col("avg_red"), 6).as("mrmr_score"),
+          col("sel").as("selected_first"),
+          when(col("sel"), lit(null).cast("double"))
+            .otherwise(round(col("mi_y") - col("mi_t1"), 6)).as("round2_score"))
+        .orderBy("feat")
     }
   )
 }
