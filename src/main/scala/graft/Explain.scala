@@ -80,7 +80,11 @@ object Explain {
     "q_anova_oneway", "q_spearman_corr", "q_pr_curve", "q_kruskal_wallis",
     "q_naive_bayes", "q_l_diversity", "q_t_closeness", "q_decision_stump",
     "q_perceptron_step", "q_modularity", "q_hilbert_cluster",
-    "q_winnowing", "q_dp_user_clip", "q_burstiness")
+    "q_winnowing", "q_dp_user_clip", "q_burstiness",
+    "q_cmh_test", "q_ucb_bandit", "q_qq_plot", "q_shapley_attribution",
+    "q_graph_assortativity", "q_louvain_move", "q_periodogram",
+    "q_hill_tail_index", "q_textrank", "q_triplet_mining",
+    "q_feature_mrmr", "q_cbo_stats", "q_prf_expansion", "q_linkage_em")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -933,6 +933,122 @@ object Curation {
           round(col("n_boiler").cast("double") / col("n_gram_pairs"), 6)
             .as("boiler_share"))
         .orderBy("source")
+    },
+
+    // ---- Fellegi-Sunter record linkage, one EM step: blocked customer
+    //      pairs compared on 3 agreement fields (balance band, order
+    //      count, price band); starting from priors m = (.9,.8,.7),
+    //      u = (.1,.2,.3), p = .01, the E-step computes the match
+    //      posterior PER AGREEMENT PATTERN (8 rows — the pattern table
+    //      is the whole state, never the pair list) and the M-step
+    //      re-estimates each field's m/u and the match prevalence.
+    //      This is the probabilistic upgrade of q_er_golden_record's
+    //      deterministic rules: the EM-learned m/u become the log-odds
+    //      match weights a production linker thresholds on. Scale: one
+    //      blocked self-join (bounded block occupancy, the ER blocking
+    //      discipline), then everything is 8-row arithmetic; iterating
+    //      swaps the 3-row parameter relation (q_kmeans_iter loop).
+    QueryDef.checked(
+      "q_linkage_em",
+      """WITH feats AS (
+        |  SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment,
+        |    CAST(floor(c.c_acctbal / 1000) AS INT) AS bal_band,
+        |    COALESCE(o.n_orders, 0) AS n_orders,
+        |    CAST(floor(COALESCE(o.avg_price, 0) / 50000) AS INT) AS price_band
+        |  FROM customer c LEFT JOIN (
+        |    SELECT o_custkey, count(*) AS n_orders,
+        |      avg(o_totalprice) AS avg_price
+        |    FROM orders GROUP BY o_custkey) o ON o.o_custkey = c.c_custkey
+        |), pairs AS (
+        |  SELECT CASE WHEN a.bal_band = b.bal_band THEN 1 ELSE 0 END AS g1,
+        |    CASE WHEN a.n_orders = b.n_orders THEN 1 ELSE 0 END AS g2,
+        |    CASE WHEN a.price_band = b.price_band THEN 1 ELSE 0 END AS g3
+        |  FROM feats a JOIN feats b
+        |    ON b.c_nationkey = a.c_nationkey
+        |   AND b.c_mktsegment = a.c_mktsegment
+        |   AND b.c_custkey > a.c_custkey
+        |), pat AS (
+        |  SELECT g1, g2, g3, count(*) AS n FROM pairs GROUP BY 1, 2, 3
+        |), post AS (
+        |  SELECT g1, g2, g3, n,
+        |    (0.01 * (CASE WHEN g1 = 1 THEN 0.9 ELSE 0.1 END)
+        |          * (CASE WHEN g2 = 1 THEN 0.8 ELSE 0.2 END)
+        |          * (CASE WHEN g3 = 1 THEN 0.7 ELSE 0.3 END))
+        |    / (0.01 * (CASE WHEN g1 = 1 THEN 0.9 ELSE 0.1 END)
+        |            * (CASE WHEN g2 = 1 THEN 0.8 ELSE 0.2 END)
+        |            * (CASE WHEN g3 = 1 THEN 0.7 ELSE 0.3 END)
+        |     + 0.99 * (CASE WHEN g1 = 1 THEN 0.1 ELSE 0.9 END)
+        |            * (CASE WHEN g2 = 1 THEN 0.2 ELSE 0.8 END)
+        |            * (CASE WHEN g3 = 1 THEN 0.3 ELSE 0.7 END)) AS p
+        |  FROM pat
+        |), tot AS (
+        |  SELECT sum(n * p) AS sp, sum(n * (1 - p)) AS su, sum(n) AS nt
+        |  FROM post
+        |), longf AS (
+        |  SELECT 'bal_band' AS field, g1 AS g, n, p FROM post
+        |  UNION ALL SELECT 'n_orders', g2, n, p FROM post
+        |  UNION ALL SELECT 'price_band', g3, n, p FROM post
+        |), est AS (
+        |  SELECT field, sum(n * p * g) AS mg, sum(n * (1 - p) * g) AS ug
+        |  FROM longf GROUP BY field
+        |)
+        |SELECT e.field, round(e.mg / t.sp, 6) AS m_new,
+        |  round(e.ug / t.su, 6) AS u_new,
+        |  round(t.sp / t.nt, 6) AS p_match_new,
+        |  CAST(t.nt AS BIGINT) AS n_pairs
+        |FROM est e, tot t ORDER BY e.field""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val perCust = t.orders.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), avg(col("o_totalprice")).as("avg_price"))
+      val feats = t.customer
+        .join(perCust, col("o_custkey") === col("c_custkey"), "left")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          expr("CAST(floor(c_acctbal / 1000) AS INT)").as("bal_band"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          expr("CAST(floor(COALESCE(avg_price, 0) / 50000) AS INT)")
+            .as("price_band"))
+        .localCheckpoint() // both sides of the blocked self-join
+      val a = feats.select(col("c_nationkey"), col("c_mktsegment"),
+        col("c_custkey").as("ka"), col("bal_band").as("b1"),
+        col("n_orders").as("o1"), col("price_band").as("p1"))
+      val b = feats.select(col("c_nationkey"), col("c_mktsegment"),
+        col("c_custkey").as("kb"), col("bal_band").as("b2"),
+        col("n_orders").as("o2"), col("price_band").as("p2"))
+      val pat = a.join(b, Seq("c_nationkey", "c_mktsegment"))
+        .filter(col("kb") > col("ka"))
+        .select(when(col("b1") === col("b2"), 1).otherwise(0).as("g1"),
+          when(col("o1") === col("o2"), 1).otherwise(0).as("g2"),
+          when(col("p1") === col("p2"), 1).otherwise(0).as("g3"))
+        .groupBy("g1", "g2", "g3").agg(count(lit(1)).as("n"))
+      // literal complements, NOT `1 - m`: 1 - 0.9 is 0.09999999999999998
+      // in IEEE double while the oracle's CASE carries the literal 0.1 —
+      // the products would drift in the last ulps
+      def lik(m1: Double, c1: Double, m2: Double, c2: Double,
+          m3: Double, c3: Double) =
+        (when(col("g1") === 1, m1).otherwise(c1)
+          * when(col("g2") === 1, m2).otherwise(c2)
+          * when(col("g3") === 1, m3).otherwise(c3))
+      val post = pat.withColumn("p",
+        (lit(0.01) * lik(0.9, 0.1, 0.8, 0.2, 0.7, 0.3))
+          / (lit(0.01) * lik(0.9, 0.1, 0.8, 0.2, 0.7, 0.3)
+            + lit(0.99) * lik(0.1, 0.9, 0.2, 0.8, 0.3, 0.7)))
+        .localCheckpoint() // totals and the long-form unpivot (8 rows)
+      val tot = post.agg(sum(col("n") * col("p")).as("sp"),
+        sum(col("n") * (lit(1) - col("p"))).as("su"), sum(col("n")).as("nt"))
+      def lf(f: String, g: org.apache.spark.sql.Column) =
+        post.select(lit(f).as("field"), g.as("g"), col("n"), col("p"))
+      val est = lf("bal_band", col("g1"))
+        .unionAll(lf("n_orders", col("g2")))
+        .unionAll(lf("price_band", col("g3")))
+        .groupBy("field")
+        .agg(sum(col("n") * col("p") * col("g")).as("mg"),
+          sum(col("n") * (lit(1) - col("p")) * col("g")).as("ug"))
+      est.crossJoin(broadcast(tot))
+        .select(col("field"), round(col("mg") / col("sp"), 6).as("m_new"),
+          round(col("ug") / col("su"), 6).as("u_new"),
+          round(col("sp") / col("nt"), 6).as("p_match_new"),
+          col("nt").cast("long").as("n_pairs"))
+        .orderBy("field")
     }
   )
 }

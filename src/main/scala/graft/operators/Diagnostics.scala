@@ -381,8 +381,16 @@ object Diagnostics {
         |ORDER BY col_name""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       val name = s"graft_cbo_customer_${graft.util.Staging.pathTag(dir)}"
-      if (!spark.catalog.tableExists(name))
+      if (!spark.catalog.tableExists(name)) {
+        // a previous JVM may have left the warehouse dir without this
+        // session's catalog knowing the table — clear the stale location
+        // or saveAsTable fails with LOCATION_ALREADY_EXISTS
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        val p = new org.apache.hadoop.fs.Path(s"$wh/$name")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
         Tables(spark, dir).customer.write.saveAsTable(name)
+      }
       spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS " +
         "FOR COLUMNS c_nationkey, c_acctbal")
       // DESCRIBE output is a bounded (info, value) relation per column

@@ -404,6 +404,62 @@ object Retrieval {
         .select(col("qid"), col("rn").cast("int").as("rank"), col("did"),
           round(col("s_fp") / lit(1000000.0), 6).as("maxsim"))
         .orderBy("qid", "rank")
+    },
+
+    // ---- pseudo-relevance feedback (the RM3 expansion step): take the
+    //      BM25 top-10 for the standing query, weight every candidate
+    //      term by Σ_d tf(t,d)·score(d)/dl(d) over those docs — the
+    //      relevance-model estimate P(t|R) — and emit the 10 strongest
+    //      expansion terms. Reuses the EXACT shared BM25 chain
+    //      ([[duckBm25Ctes]]/[[bm25Scored]]), so expansion can never
+    //      rank against different scores than retrieval served; per-doc
+    //      contributions are integer `tf·s div dl` (score s is already
+    //      1e-9 fixed point), making the term ranking partition- and
+    //      engine-proof. Scale: the feedback set is 10 docs — the
+    //      expansion pass touches ONLY their tokens via a broadcast
+    //      semi-join, not the corpus.
+    QueryDef.checked(
+      "q_prf_expansion",
+      s"""WITH $duckBm25Ctes,
+         |top10 AS (
+         |  SELECT doc_id, s FROM bm25 ORDER BY s DESC, doc_id LIMIT 10
+         |), exp_tf AS (
+         |  SELECT t.doc_id, t.tok, count(*) AS tf
+         |  FROM btoks t JOIN top10 x ON x.doc_id = t.doc_id
+         |  WHERE length(t.tok) >= 4
+         |    AND t.tok NOT IN $termsSql
+         |  GROUP BY t.doc_id, t.tok
+         |), wgt AS (
+         |  SELECT e.tok, CAST(sum(e.tf * x.s // l.dl) AS BIGINT) AS w_fp,
+         |    CAST(count(*) AS BIGINT) AS n_docs_with
+         |  FROM exp_tf e JOIN top10 x ON x.doc_id = e.doc_id
+         |  JOIN bdl l ON l.doc_id = e.doc_id
+         |  GROUP BY e.tok
+         |)
+         |SELECT tok AS expansion_term, w_fp, n_docs_with
+         |FROM wgt ORDER BY w_fp DESC, tok LIMIT 10""".stripMargin) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents.localCheckpoint()
+      val toks = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val top10 = bm25Scored(docs)
+        .orderBy(col("s").desc, col("doc_id")).limit(10)
+        .select(col("doc_id"), col("s"))
+      val expTf = toks
+        .join(broadcast(top10), Seq("doc_id"))
+        .filter(length(col("tok")) >= 4 && !col("tok").isin(terms: _*))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"),
+          max(col("s")).as("s"))
+      expTf
+        .join(broadcast(dl.join(broadcast(top10), Seq("doc_id"))
+          .select(col("doc_id"), col("dl"))), Seq("doc_id"))
+        .select(col("tok"), expr("tf * s div dl").as("c"))
+        .groupBy("tok")
+        .agg(sum(col("c")).cast("long").as("w_fp"),
+          count(lit(1)).cast("long").as("n_docs_with"))
+        .select(col("tok").as("expansion_term"), col("w_fp"), col("n_docs_with"))
+        .orderBy(col("w_fp").desc, col("expansion_term"))
+        .limit(10)
     }
   )
 }
