@@ -654,6 +654,129 @@ object Learning {
           when(col("sel"), lit(null).cast("double"))
             .otherwise(round(col("mi_y") - col("mi_t1"), 6)).as("round2_score"))
         .orderBy("feat")
+    },
+
+    // ---- 2-component Gaussian mixture, one EM step: responsibilities
+    //      from fixed initial params (w=.5/.5, μ=20/80, σ²=100/400) in
+    //      the E-step — a stateless per-row expression in the scan —
+    //      then the weighted-moment M-step as ONE mergeable aggregate.
+    //      Density modeling over a metric (here: event value) is how a
+    //      pipeline separates organic vs whale behavior without labels;
+    //      iterating swaps the 1-row parameter relation (q_kmeans_iter
+    //      loop discipline). Both engines evaluate the byte-identical
+    //      responsibility expression, so the only cross-engine slack is
+    //      sub-ulp exp() drift washed out by the 1e-6 output rounding.
+    QueryDef.checked(
+      "q_gaussian_mixture_em",
+      """WITH resp AS (
+        |  SELECT value AS v,
+        |    (0.5 * exp(-(value - 20.0) * (value - 20.0) / (2.0 * 100.0))
+        |       / sqrt(100.0))
+        |    / ((0.5 * exp(-(value - 20.0) * (value - 20.0) / (2.0 * 100.0))
+        |         / sqrt(100.0))
+        |     + (0.5 * exp(-(value - 80.0) * (value - 80.0) / (2.0 * 400.0))
+        |         / sqrt(400.0))) AS r1
+        |  FROM events
+        |), m AS (
+        |  SELECT count(*) AS n, sum(r1) AS n1, sum(1 - r1) AS n2,
+        |    sum(r1 * v) AS s1, sum((1 - r1) * v) AS s2,
+        |    sum(r1 * v * v) AS q1, sum((1 - r1) * v * v) AS q2
+        |  FROM resp
+        |)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(n1 / n, 6) AS weight_1,
+        |  round(s1 / n1, 6) AS mean_1, round(s2 / n2, 6) AS mean_2,
+        |  round(q1 / n1 - (s1 / n1) * (s1 / n1), 6) AS var_1,
+        |  round(q2 / n2 - (s2 / n2) * (s2 / n2), 6) AS var_2
+        |FROM m""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).events
+        .select(col("value").as("v"), expr(
+          """(0.5 * exp(-(value - 20.0) * (value - 20.0) / (2.0 * 100.0))
+            |   / sqrt(100.0))
+            |/ ((0.5 * exp(-(value - 20.0) * (value - 20.0) / (2.0 * 100.0))
+            |     / sqrt(100.0))
+            | + (0.5 * exp(-(value - 80.0) * (value - 80.0) / (2.0 * 400.0))
+            |     / sqrt(400.0)))""".stripMargin).as("r1"))
+        .agg(count(lit(1)).as("n"), sum(col("r1")).as("n1"),
+          sum(lit(1) - col("r1")).as("n2"),
+          sum(col("r1") * col("v")).as("s1"),
+          sum((lit(1) - col("r1")) * col("v")).as("s2"),
+          sum(col("r1") * col("v") * col("v")).as("q1"),
+          sum((lit(1) - col("r1")) * col("v") * col("v")).as("q2"))
+        .select(col("n").cast("long").as("n"),
+          round(col("n1") / col("n"), 6).as("weight_1"),
+          round(col("s1") / col("n1"), 6).as("mean_1"),
+          round(col("s2") / col("n2"), 6).as("mean_2"),
+          round(col("q1") / col("n1")
+            - (col("s1") / col("n1")) * (col("s1") / col("n1")), 6).as("var_1"),
+          round(col("q2") / col("n2")
+            - (col("s2") / col("n2")) * (col("s2") / col("n2")), 6).as("var_2"))
+    },
+
+    // ---- HMM forward log-likelihood: a 2-state hidden Markov model
+    //      (fixed π/A/B) scored over each user's first 10 events
+    //      (purchase/signup = the "engaged" observation). The Spark
+    //      side folds the per-user OBSERVATION ARRAY with the
+    //      `aggregate` higher-order function — the α-recursion runs
+    //      inside codegen per row, state never leaves the executor —
+    //      while the oracle unrolls the identical recurrence as a
+    //      recursive CTE; both apply the same transition-then-emit
+    //      arithmetic in the same order, so the likelihoods agree to
+    //      the last ulp. Scale: one (user)-keyed sort-collect of a
+    //      CAPPED sequence (10 obs), then per-row arithmetic — the
+    //      standard shape for cheap sequence scoring at 100 TB.
+    QueryDef.checked(
+      "q_hmm_forward",
+      """WITH RECURSIVE obs AS (
+        |  SELECT * FROM (
+        |    SELECT user_id,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS t,
+        |      CASE WHEN event_type IN ('purchase', 'signup')
+        |           THEN 1 ELSE 0 END AS o
+        |    FROM events) z
+        |  WHERE t <= 10
+        |), nmax AS (
+        |  SELECT user_id, max(t) AS tmax FROM obs GROUP BY user_id
+        |), fwd AS (
+        |  SELECT user_id, 0 AS t, CAST(0.5 AS DOUBLE) AS a0,
+        |    CAST(0.5 AS DOUBLE) AS a1
+        |  FROM nmax
+        |  UNION ALL
+        |  SELECT f.user_id, f.t + 1,
+        |    (CASE WHEN o.o = 1 THEN 0.1 ELSE 0.9 END)
+        |      * (f.a0 * 0.8 + f.a1 * 0.3),
+        |    (CASE WHEN o.o = 1 THEN 0.6 ELSE 0.4 END)
+        |      * (f.a0 * 0.2 + f.a1 * 0.7)
+        |  FROM fwd f JOIN obs o ON o.user_id = f.user_id AND o.t = f.t + 1
+        |)
+        |SELECT f.user_id, CAST(n.tmax AS INT) AS n_obs,
+        |  round(ln(f.a0 + f.a1), 6) AS log_likelihood
+        |FROM fwd f JOIN nmax n ON n.user_id = f.user_id AND f.t = n.tmax
+        |ORDER BY f.user_id""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables(spark, dir).events
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type").isin("purchase", "signup"), 1)
+            .otherwise(0).as("o"))
+        .withColumn("t", row_number().over(w))
+        .filter(col("t") <= 10)
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("int").as("n_obs"),
+          expr("transform(array_sort(collect_list(struct(t, o))), x -> x.o)")
+            .as("os"))
+        .select(col("user_id"), col("n_obs"), expr(
+          """round(ln(aggregate(os,
+            |  named_struct('a0', CAST(0.5 AS DOUBLE), 'a1', CAST(0.5 AS DOUBLE)),
+            |  (acc, o) -> named_struct(
+            |    'a0', (CASE WHEN o = 1 THEN 0.1 ELSE 0.9 END)
+            |            * (acc.a0 * 0.8 + acc.a1 * 0.3),
+            |    'a1', (CASE WHEN o = 1 THEN 0.6 ELSE 0.4 END)
+            |            * (acc.a0 * 0.2 + acc.a1 * 0.7)),
+            |  acc -> acc.a0 + acc.a1)), 6)""".stripMargin)
+          .as("log_likelihood"))
+        .orderBy("user_id")
     }
   )
 }
