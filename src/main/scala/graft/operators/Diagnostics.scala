@@ -420,6 +420,99 @@ object Diagnostics {
         .toDF("col_name", "exact_distinct", "ndv_within_5pct", "num_nulls",
           "min_val", "max_val")
         .orderBy("col_name")
+    },
+
+    // ---- V-optimal histogram: dynamic programming over the bounded
+    //      bin series to place 4 buckets minimizing within-bucket SSE —
+    //      the histogram an optimizer wants for selectivity estimation,
+    //      vs the equi-width default (q_histogram) and the equi-depth
+    //      design (q_range_partition_design). One fact-sized bin
+    //      aggregate collapses the data to ≤ 20 rows; the DP is 3
+    //      unrolled min-plus joins over that bounded relation with
+    //      row_number argmins (min_by has no deterministic tie-break in
+    //      either engine), then boundary backtracking. ONE SQL text
+    //      runs on both engines.
+    QueryDef.checked(
+      "q_voptimal_histogram",
+      Diagnostics.vOptimalSql("orders")) { (spark, dir) =>
+      Tables(spark, dir).orders.select("o_totalprice")
+        .createOrReplaceTempView("graft_vopt_orders")
+      spark.sql(Diagnostics.vOptimalSql("graft_vopt_orders"))
     }
   )
+
+  /** The full V-optimal DP as one engine-portable SQL text (only
+    * portable constructs: windows, joins, row_number argmins). `tbl`
+    * must expose `o_totalprice`. */
+  private[operators] def vOptimalSql(tbl: String): String =
+    s"""WITH b AS (
+       |  SELECT CAST(floor(o_totalprice / 25000) AS INT) AS bin,
+       |    count(*) AS x
+       |  FROM $tbl GROUP BY 1
+       |), p AS (
+       |  SELECT bin, x,
+       |    sum(x) OVER (ORDER BY bin) AS cx,
+       |    sum(CAST(x AS DOUBLE) * x) OVER (ORDER BY bin) AS cxx,
+       |    count(*) OVER (ORDER BY bin) AS i,
+       |    count(*) OVER () AS nb
+       |  FROM b
+       |), p0 AS (
+       |  SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS cx,
+       |    CAST(0 AS DOUBLE) AS cxx
+       |  UNION ALL SELECT i, cx, cxx FROM p
+       |), sse AS (
+       |  SELECT pa.i AS a, pb.i AS b2,
+       |    (pb.cxx - pa.cxx) - (CAST(pb.cx - pa.cx AS DOUBLE)
+       |      * (pb.cx - pa.cx)) / (pb.i - pa.i) AS s
+       |  FROM p0 pa JOIN p pb ON pb.i > pa.i
+       |), e1 AS (
+       |  SELECT b2 AS i, s AS e FROM sse WHERE a = 0
+       |), e2 AS (
+       |  SELECT i, e, j FROM (
+       |    SELECT s.b2 AS i, e1.e + s.s AS e, s.a AS j,
+       |      row_number() OVER (PARTITION BY s.b2
+       |        ORDER BY e1.e + s.s, s.a) AS rn
+       |    FROM e1 JOIN sse s ON s.a = e1.i) z WHERE rn = 1
+       |), e3 AS (
+       |  SELECT i, e, j FROM (
+       |    SELECT s.b2 AS i, e2.e + s.s AS e, s.a AS j,
+       |      row_number() OVER (PARTITION BY s.b2
+       |        ORDER BY e2.e + s.s, s.a) AS rn
+       |    FROM e2 JOIN sse s ON s.a = e2.i) z WHERE rn = 1
+       |), e4 AS (
+       |  SELECT i, e, j FROM (
+       |    SELECT s.b2 AS i, e3.e + s.s AS e, s.a AS j,
+       |      row_number() OVER (PARTITION BY s.b2
+       |        ORDER BY e3.e + s.s, s.a) AS rn
+       |    FROM e3 JOIN sse s ON s.a = e3.i) z WHERE rn = 1
+       |), top AS (
+       |  SELECT i, e, j FROM e4 ORDER BY i DESC LIMIT 1
+       |), bt AS (  -- backtrack the three boundaries
+       |  SELECT t.i AS nb, t.e AS e_opt, t.j AS b3, e3.j AS b2, e2.j AS b1
+       |  FROM top t
+       |  JOIN e3 ON e3.i = t.j
+       |  JOIN e2 ON e2.i = e3.j
+       |), equi AS (  -- 4 equal-count-of-bins segments as the baseline
+       |  -- floor(), not `/` or CAST: int `/` is float division in both
+       |  -- engines, and CAST(double AS INT) truncates in one and
+       |  -- rounds in the other
+       |  SELECT sum(s.s) AS e_equi
+       |  FROM sse s JOIN (
+       |    SELECT CAST(floor(max(nb) / 4.0) AS BIGINT) AS q1,
+       |      CAST(floor(max(nb) / 2.0) AS BIGINT) AS q2,
+       |      CAST(floor(3.0 * max(nb) / 4.0) AS BIGINT) AS q3,
+       |      max(nb) AS q4
+       |    FROM p) q
+       |    ON (s.a = 0 AND s.b2 = q.q1)
+       |    OR (s.a = q.q1 AND s.b2 = q.q2)
+       |    OR (s.a = q.q2 AND s.b2 = q.q3)
+       |    OR (s.a = q.q3 AND s.b2 = q.q4)
+       |)
+       |SELECT CAST(bt.nb AS INT) AS n_bins,
+       |  CAST(bt.b1 AS INT) AS cut1, CAST(bt.b2 AS INT) AS cut2,
+       |  CAST(bt.b3 AS INT) AS cut3,
+       |  round(bt.e_opt, 6) AS sse_voptimal,
+       |  round(eq.e_equi, 6) AS sse_equiwidth,
+       |  round(bt.e_opt / eq.e_equi, 6) AS sse_ratio
+       |FROM bt, equi eq""".stripMargin
 }

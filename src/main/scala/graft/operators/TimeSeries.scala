@@ -864,6 +864,81 @@ object TimeSeries {
             / (col("sxx") - col("sx").cast("double") * col("sx")
               / col("n_days")), 6).as("norm_power"))
         .orderBy("period_days")
+    },
+
+    // ---- binary-segmentation changepoint: the single split of the
+    //      daily order-count series that maximizes SSE reduction —
+    //      CUSUM (q_cusum_changepoint) detects drift online; this is
+    //      the offline "where does the level actually break" answer,
+    //      and recursing into each side is the full BinSeg algorithm.
+    //      Gains are closed forms over prefix sums of the DAY series
+    //      (bounded by the calendar span, not data volume — the window
+    //      runs over ≤ |days| rows after the one fact-sized daily
+    //      aggregate); prefix sums are exact integers, so the argmax
+    //      is deterministic.
+    QueryDef.checked(
+      "q_binseg_changepoint",
+      """WITH daily AS (
+        |  SELECT CAST(date_diff('day', (SELECT min(o_orderdate) FROM orders),
+        |    o_orderdate) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1
+        |), c AS (
+        |  SELECT t, x,
+        |    sum(x) OVER (ORDER BY t) AS cx,
+        |    sum(x * x) OVER (ORDER BY t) AS cxx,
+        |    count(*) OVER (ORDER BY t) AS cn,
+        |    sum(x) OVER () AS sx, sum(x * x) OVER () AS sxx,
+        |    count(*) OVER () AS n
+        |  FROM daily
+        |), gains AS (
+        |  SELECT t, cn, n,
+        |    (sxx - CAST(sx AS DOUBLE) * sx / n)
+        |    - ((cxx - CAST(cx AS DOUBLE) * cx / cn)
+        |     + ((sxx - cxx) - CAST(sx - cx AS DOUBLE) * (sx - cx)
+        |        / (n - cn))) AS gain,
+        |    CAST(cx AS DOUBLE) / cn AS mean_left,
+        |    CAST(sx - cx AS DOUBLE) / (n - cn) AS mean_right
+        |  FROM c WHERE cn < n
+        |)
+        |SELECT CAST(t AS BIGINT) AS split_day, CAST(cn AS BIGINT) AS n_left,
+        |  CAST(n - cn AS BIGINT) AS n_right,
+        |  round(gain, 6) AS sse_reduction,
+        |  round(mean_left, 6) AS mean_left,
+        |  round(mean_right, 6) AS mean_right
+        |FROM gains ORDER BY gain DESC, t LIMIT 1""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val orders = Tables(spark, dir).orders
+      val mn = orders.agg(min(to_date(col("o_orderdate"))).as("d0"))
+      val daily = orders.crossJoin(broadcast(mn))
+        .select(datediff(to_date(col("o_orderdate")), col("d0"))
+          .cast("long").as("t"))
+        .groupBy("t").agg(count(lit(1)).as("x"))
+      // prefix windows over the ≤ |days| series (calendar-bounded)
+      val wCum = Window.orderBy("t")
+      val wAll = Window.partitionBy()
+      val c = daily
+        .withColumn("cx", sum(col("x")).over(wCum))
+        .withColumn("cxx", sum(col("x") * col("x")).over(wCum))
+        .withColumn("cn", count(lit(1)).over(wCum))
+        .withColumn("sx", sum(col("x")).over(wAll))
+        .withColumn("sxx", sum(col("x") * col("x")).over(wAll))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .filter(col("cn") < col("n"))
+      val gain = (col("sxx") - col("sx").cast("double") * col("sx") / col("n")) -
+        ((col("cxx") - col("cx").cast("double") * col("cx") / col("cn")) +
+          ((col("sxx") - col("cxx")) -
+            (col("sx") - col("cx")).cast("double") * (col("sx") - col("cx"))
+              / (col("n") - col("cn"))))
+      c.withColumn("gain", gain)
+        .orderBy(col("gain").desc, col("t"))
+        .limit(1)
+        .select(col("t").cast("long").as("split_day"),
+          col("cn").cast("long").as("n_left"),
+          (col("n") - col("cn")).cast("long").as("n_right"),
+          round(col("gain"), 6).as("sse_reduction"),
+          round(col("cx").cast("double") / col("cn"), 6).as("mean_left"),
+          round((col("sx") - col("cx")).cast("double")
+            / (col("n") - col("cn")), 6).as("mean_right"))
     }
   )
 }

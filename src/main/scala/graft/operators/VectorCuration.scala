@@ -992,6 +992,87 @@ object VectorCuration {
           col("cos_pos"), col("cos_neg"),
           round(col("cos_pos") - col("cos_neg"), 6).as("band_gap"))
         .orderBy("vec_id")
+    },
+
+    // ---- KNN-Shapley data valuation (Jia et al.'s closed form for the
+    //      1-NN utility): per test query, every training point's exact
+    //      Shapley contribution falls out of one distance-sorted suffix
+    //      scan — s_n = 1[y_n=y]/n, s_i = s_{i+1} + (1[y_i=y] −
+    //      1[y_{i+1}=y])/i — no coalition enumeration. The per-query
+    //      window is the q_ann_batch_topk shape (partitioned by query
+    //      over the candidate set; at 100 TB you pre-cut candidates
+    //      with the IVF index and run the same recurrence on the
+    //      shortlist). Output: each query's 5 most valuable training
+    //      points — the examples worth keeping when the budget bites.
+    QueryDef.checked(
+      "q_knn_shapley",
+      s"""WITH test AS (
+         |  SELECT vec_id AS q_id, embedding AS qe, label AS qy
+         |  FROM embeddings WHERE vec_id < 5
+         |), train AS (
+         |  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 5
+         |), d AS (
+         |  SELECT t.q_id, t.qy, r.vec_id, r.label,
+         |    round(${graft.functions.VectorFunctions.duckCosineSql("t.qe", "r.embedding")}, 6) AS sim
+         |  FROM test t, train r
+         |), ranked AS (
+         |  SELECT q_id, qy, vec_id, label, sim,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+         |      AS i,
+         |    count(*) OVER (PARTITION BY q_id) AS n
+         |  FROM d
+         |), terms AS (
+         |  SELECT q_id, vec_id, i, n, sim,
+         |    CASE WHEN label = qy THEN 1 ELSE 0 END AS a,
+         |    lead(CASE WHEN label = qy THEN 1 ELSE 0 END) OVER
+         |      (PARTITION BY q_id ORDER BY i) AS a_next
+         |  FROM ranked
+         |), contrib AS (
+         |  SELECT q_id, vec_id, i, sim,
+         |    CASE WHEN i = n THEN CAST(a AS DOUBLE) / n
+         |      ELSE CAST(a - a_next AS DOUBLE) / i END AS dterm
+         |  FROM terms
+         |), shap AS (
+         |  SELECT q_id, vec_id, i, sim,
+         |    sum(dterm) OVER (PARTITION BY q_id ORDER BY i DESC) AS s
+         |  FROM contrib
+         |)
+         |SELECT q_id, CAST(rnk AS INT) AS rank, vec_id,
+         |  round(s, 6) AS shapley, sim
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY s DESC, vec_id) AS rnk
+         |  FROM shap) z
+         |WHERE rnk <= 5
+         |ORDER BY q_id, rank""".stripMargin) { (spark, dir) =>
+      val emb = Tables(spark, dir).embeddings
+      val test = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("label").as("qy"))
+      val ranked = emb.filter(col("vec_id") >= 5)
+        .crossJoin(broadcast(test))
+        .select(col("q_id"), col("qy"), col("vec_id"), col("label"),
+          round(graft.functions.VectorFunctions.cosineSim(
+            col("qe"), col("embedding")), 6).as("sim"))
+        .withColumn("i", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("vec_id"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("q_id")))
+      val wAsc = Window.partitionBy("q_id").orderBy("i")
+      val contrib = ranked
+        .withColumn("a", when(col("label") === col("qy"), 1).otherwise(0))
+        .withColumn("a_next", lead(col("a"), 1).over(wAsc))
+        .withColumn("dterm",
+          when(col("i") === col("n"), col("a").cast("double") / col("n"))
+            .otherwise((col("a") - col("a_next")).cast("double") / col("i")))
+      contrib
+        .withColumn("s", sum(col("dterm")).over(
+          Window.partitionBy("q_id").orderBy(col("i").desc)))
+        .withColumn("rnk", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("s").desc, col("vec_id"))))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk").cast("int").as("rank"), col("vec_id"),
+          round(col("s"), 6).as("shapley"), col("sim"))
+        .orderBy("q_id", "rank")
     }
   )
 }
