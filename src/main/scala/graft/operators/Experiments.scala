@@ -791,6 +791,126 @@ object Experiments {
           (round(col("ucb"), 6) ===
             max(round(col("ucb"), 6)).over(Window.partitionBy())).as("chosen"))
         .orderBy("event_type")
+    },
+
+    // ---- instrumental-variable 2SLS (one instrument, closed form):
+    //      OLS of price on item count is confounded; instrumenting with
+    //      the urgency flag gives β_IV = cov(z,y)/cov(z,x) — the Wald
+    //      estimator — alongside the OLS slope and the first-stage
+    //      coefficient (the weak-instrument check: a first stage near 0
+    //      means β_IV is noise, and the numbers here show exactly
+    //      that). One join + one moments aggregate; everything after is
+    //      1-row arithmetic.
+    QueryDef.checked(
+      "q_iv_2sls",
+      """WITH d AS (
+        |  SELECT o.o_orderkey,
+        |    CAST(l.n_items AS DOUBLE) AS x,
+        |    o.o_totalprice AS y,
+        |    CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |         THEN 1.0 ELSE 0.0 END AS z
+        |  FROM orders o JOIN (
+        |    SELECT l_orderkey, count(*) AS n_items FROM lineitem
+        |    GROUP BY l_orderkey
+        |  ) l ON l.l_orderkey = o.o_orderkey
+        |), m AS (
+        |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+        |    sum(x * y) AS sxy, sum(z * y) AS szy, sum(z * x) AS szx,
+        |    sum(x * x) AS sxx, sum(z * z) AS szz
+        |  FROM d
+        |)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta_ols,
+        |  round((n * szy - sz * sy) / (n * szx - sz * sx), 6) AS beta_iv,
+        |  round((n * szx - sz * sx) / (n * szz - sz * sz), 6)
+        |    AS first_stage_coef
+        |FROM m""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val items = t.lineitem.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_items"))
+      t.orders.join(items, col("l_orderkey") === col("o_orderkey"))
+        .select(col("n_items").cast("double").as("x"),
+          col("o_totalprice").as("y"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0)
+            .otherwise(0.0).as("z"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("z") * col("y")).as("szy"),
+          sum(col("z") * col("x")).as("szx"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("z") * col("z")).as("szz"))
+        .select(col("n").cast("long").as("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("beta_ols"),
+          round((col("n") * col("szy") - col("sz") * col("sy"))
+            / (col("n") * col("szx") - col("sz") * col("sx")), 6)
+            .as("beta_iv"),
+          round((col("n") * col("szx") - col("sz") * col("sx"))
+            / (col("n") * col("szz") - col("sz") * col("sz")), 6)
+            .as("first_stage_coef"))
+    },
+
+    // ---- regression discontinuity: local linear fits on each side of
+    //      a 250k price cutoff (±100k bandwidth), jump = intercept
+    //      difference AT the cutoff. The band filter prunes at the
+    //      scan; each side's fit is a closed form over one moments
+    //      aggregate — the whole design is two rows of arithmetic.
+    QueryDef.checked(
+      "q_regression_discontinuity",
+      """WITH d AS (
+        |  SELECT (o_totalprice - 250000.0) / 100000.0 AS r,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+        |    CASE WHEN o_totalprice >= 250000.0 THEN 1 ELSE 0 END AS side
+        |  FROM orders
+        |  WHERE o_totalprice >= 150000.0 AND o_totalprice < 350000.0
+        |), m AS (
+        |  SELECT side, count(*) AS n, sum(r) AS sr, sum(y) AS sy,
+        |    sum(r * y) AS sry, sum(r * r) AS srr
+        |  FROM d GROUP BY side
+        |), fit AS (
+        |  SELECT side, n,
+        |    (n * sry - sr * sy) / (n * srr - sr * sr) AS slope,
+        |    sy / n - (n * sry - sr * sy) / (n * srr - sr * sr) * sr / n
+        |      AS intercept
+        |  FROM m
+        |)
+        |SELECT
+        |  max(CASE WHEN side = 0 THEN n END) AS n_left,
+        |  max(CASE WHEN side = 1 THEN n END) AS n_right,
+        |  round(max(CASE WHEN side = 0 THEN intercept END), 6) AS y_left,
+        |  round(max(CASE WHEN side = 1 THEN intercept END), 6) AS y_right,
+        |  round(max(CASE WHEN side = 1 THEN intercept END)
+        |      - max(CASE WHEN side = 0 THEN intercept END), 6) AS rd_jump,
+        |  round(max(CASE WHEN side = 0 THEN slope END), 6) AS slope_left,
+        |  round(max(CASE WHEN side = 1 THEN slope END), 6) AS slope_right
+        |FROM fit""".stripMargin) { (spark, dir) =>
+      val fit = Tables(spark, dir).orders
+        .filter(col("o_totalprice") >= 150000.0 && col("o_totalprice") < 350000.0)
+        .select(((col("o_totalprice") - 250000.0) / 100000.0).as("r"),
+          when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("y"),
+          when(col("o_totalprice") >= 250000.0, 1).otherwise(0).as("side"))
+        .groupBy("side")
+        .agg(count(lit(1)).as("n"), sum(col("r")).as("sr"),
+          sum(col("y")).as("sy"), sum(col("r") * col("y")).as("sry"),
+          sum(col("r") * col("r")).as("srr"))
+      val slope = (col("n") * col("sry") - col("sr") * col("sy")) /
+        (col("n") * col("srr") - col("sr") * col("sr"))
+      val intercept = col("sy") / col("n") - slope * col("sr") / col("n")
+      fit.select(col("side"), col("n"), slope.as("slope"),
+          intercept.as("intercept"))
+        .agg(max(when(col("side") === 0, col("n"))).as("n_left"),
+          max(when(col("side") === 1, col("n"))).as("n_right"),
+          max(when(col("side") === 0, col("intercept"))).as("il"),
+          max(when(col("side") === 1, col("intercept"))).as("ir"),
+          max(when(col("side") === 0, col("slope"))).as("sl"),
+          max(when(col("side") === 1, col("slope"))).as("sr2"))
+        .select(col("n_left"), col("n_right"),
+          round(col("il"), 6).as("y_left"), round(col("ir"), 6).as("y_right"),
+          round(col("ir") - col("il"), 6).as("rd_jump"),
+          round(col("sl"), 6).as("slope_left"),
+          round(col("sr2"), 6).as("slope_right"))
     }
   )
 }
