@@ -84,7 +84,10 @@ object Explain {
     "q_cmh_test", "q_ucb_bandit", "q_qq_plot", "q_shapley_attribution",
     "q_graph_assortativity", "q_louvain_move", "q_periodogram",
     "q_hill_tail_index", "q_textrank", "q_triplet_mining",
-    "q_feature_mrmr", "q_cbo_stats", "q_prf_expansion", "q_linkage_em")
+    "q_feature_mrmr", "q_cbo_stats", "q_prf_expansion", "q_linkage_em",
+    "q_gaussian_mixture_em", "q_hmm_forward", "q_knn_shapley",
+    "q_binseg_changepoint", "q_voptimal_histogram", "q_iv_2sls",
+    "q_regression_discontinuity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -660,6 +660,216 @@ object Profiling {
         .withColumn("total_alloc",
           sum(col("alloc")).over(Window.partitionBy())) // |sources| rows
         .orderBy("rank")
+    },
+
+    // ---- functional-dependency discovery (Metanome-style profiling):
+    //      for each candidate A→B, count LHS values with >1 distinct
+    //      RHS — zero violators means the FD holds; the g3 share is the
+    //      approximate-FD tolerance. All candidates ride ONE long-form
+    //      union (one (fd, a)-keyed distinct aggregate for the whole
+    //      candidate set, not a pass per pair). This is how a cloner's
+    //      schema-inference step discovers key→attribute structure the
+    //      catalog never declared.
+    QueryDef.checked(
+      "q_fd_discovery",
+      """WITH cand AS (
+        |  SELECT 'o_custkey->o_orderstatus' AS fd,
+        |    CAST(o_custkey AS VARCHAR) AS a, o_orderstatus AS b FROM orders
+        |  UNION ALL SELECT 'o_orderkey->o_orderpriority',
+        |    CAST(o_orderkey AS VARCHAR), o_orderpriority FROM orders
+        |  UNION ALL SELECT 'c_nationkey->c_mktsegment',
+        |    CAST(c_nationkey AS VARCHAR), c_mktsegment FROM customer
+        |  UNION ALL SELECT 'l_orderkey->l_returnflag',
+        |    CAST(l_orderkey AS VARCHAR), l_returnflag FROM lineitem
+        |  UNION ALL SELECT 'n_nationkey->n_regionkey',
+        |    CAST(n_nationkey AS VARCHAR), CAST(n_regionkey AS VARCHAR)
+        |  FROM nation
+        |), g AS (
+        |  SELECT fd, a, count(DISTINCT b) AS nb FROM cand GROUP BY fd, a
+        |)
+        |SELECT fd, CAST(count(*) AS BIGINT) AS n_lhs_values,
+        |  CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating_lhs,
+        |  sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0 AS holds,
+        |  round(1.0 - CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS g3_share
+        |FROM g GROUP BY fd ORDER BY fd""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      def c(fd: String, df: org.apache.spark.sql.DataFrame,
+          a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        df.select(lit(fd).as("fd"), a.cast("string").as("a"),
+          b.cast("string").as("b"))
+      val cand = c("o_custkey->o_orderstatus", t.orders,
+          col("o_custkey"), col("o_orderstatus"))
+        .unionAll(c("o_orderkey->o_orderpriority", t.orders,
+          col("o_orderkey"), col("o_orderpriority")))
+        .unionAll(c("c_nationkey->c_mktsegment", t.customer,
+          col("c_nationkey"), col("c_mktsegment")))
+        .unionAll(c("l_orderkey->l_returnflag", t.lineitem,
+          col("l_orderkey"), col("l_returnflag")))
+        .unionAll(c("n_nationkey->n_regionkey", t.nation,
+          col("n_nationkey"), col("n_regionkey")))
+      cand.groupBy("fd", "a").agg(countDistinct(col("b")).as("nb"))
+        .groupBy("fd")
+        .agg(count(lit(1)).cast("long").as("n_lhs_values"),
+          sum(when(col("nb") > 1, 1).otherwise(0)).cast("long")
+            .as("n_violating_lhs"))
+        .select(col("fd"), col("n_lhs_values"), col("n_violating_lhs"),
+          (col("n_violating_lhs") === 0).as("holds"),
+          round(lit(1.0) - col("n_violating_lhs").cast("double")
+            / col("n_lhs_values"), 6).as("g3_share"))
+        .orderBy("fd")
+    },
+
+    // ---- inclusion-dependency discovery: which column's value set is
+    //      contained in another's — candidate foreign keys the schema
+    //      never declared (q_ri_audit checks KNOWN FKs; this finds
+    //      them). Each candidate is one distinct-projection anti-join —
+    //      the scalable IND test (never a full-column materialization).
+    QueryDef.checked(
+      "q_ind_discovery",
+      """WITH cand AS (
+        |  SELECT 'customer.c_custkey<=orders.o_custkey' AS ind,
+        |    (SELECT count(DISTINCT c_custkey) FROM customer) AS n_lhs,
+        |    (SELECT count(*) FROM (SELECT DISTINCT c_custkey FROM customer) l
+        |     LEFT JOIN (SELECT DISTINCT o_custkey AS k FROM orders) r
+        |       ON r.k = l.c_custkey
+        |     WHERE r.k IS NULL) AS n_missing
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey<=orders.o_orderkey',
+        |    (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+        |    (SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem) l
+        |     LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) r
+        |       ON r.k = l.l_orderkey
+        |     WHERE r.k IS NULL)
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey<=customer.c_custkey',
+        |    (SELECT count(DISTINCT o_custkey) FROM orders),
+        |    (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders) l
+        |     LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) r
+        |       ON r.k = l.o_custkey
+        |     WHERE r.k IS NULL)
+        |)
+        |SELECT ind, CAST(n_lhs AS BIGINT) AS n_lhs,
+        |  CAST(n_missing AS BIGINT) AS n_missing,
+        |  n_missing = 0 AS holds,
+        |  round(1.0 - CAST(n_missing AS DOUBLE) / n_lhs, 6) AS coverage
+        |FROM cand ORDER BY ind""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      def ind(name: String, lhs: org.apache.spark.sql.DataFrame,
+          rhs: org.apache.spark.sql.DataFrame) = {
+        val l = lhs.distinct().toDF("k")
+        val r = rhs.distinct().toDF("k")
+        val nLhs = l.count()
+        val nMissing = l.join(r, Seq("k"), "left_anti").count()
+        (name, nLhs, nMissing)
+      }
+      import spark.implicits._
+      Seq(
+        ind("customer.c_custkey<=orders.o_custkey",
+          t.customer.select("c_custkey"), t.orders.select("o_custkey")),
+        ind("lineitem.l_orderkey<=orders.o_orderkey",
+          t.lineitem.select("l_orderkey"), t.orders.select("o_orderkey")),
+        ind("orders.o_custkey<=customer.c_custkey",
+          t.orders.select("o_custkey"), t.customer.select("c_custkey")))
+        .toDF("ind", "n_lhs", "n_missing")
+        .select(col("ind"), col("n_lhs"), col("n_missing"),
+          (col("n_missing") === 0).as("holds"),
+          round(lit(1.0) - col("n_missing").cast("double") / col("n_lhs"), 6)
+            .as("coverage"))
+        .orderBy("ind")
+    },
+
+    // ---- schema matching by distribution shape: Jensen-Shannon
+    //      divergence between the log10-magnitude profiles of numeric
+    //      columns ACROSS tables — the "which columns mean the same
+    //      thing" signal a data-integration step runs before any join
+    //      is written. Profiles are bounded (≤ ~10 magnitude bins per
+    //      column) after one long-form scan; non-shared support
+    //      contributes its exact ½·mass·ln2. Best matches surface
+    //      first.
+    QueryDef.checked(
+      "q_schema_match",
+      """WITH vals AS (
+        |  SELECT 'orders.o_totalprice' AS c,
+        |    CAST(floor(ln(o_totalprice + 1) / ln(10)) AS INT) AS bin
+        |  FROM orders
+        |  UNION ALL SELECT 'lineitem.l_extendedprice',
+        |    CAST(floor(ln(l_extendedprice + 1) / ln(10)) AS INT) FROM lineitem
+        |  UNION ALL SELECT 'lineitem.l_quantity',
+        |    CAST(floor(ln(l_quantity + 1) / ln(10)) AS INT) FROM lineitem
+        |  UNION ALL SELECT 'events.value',
+        |    CAST(floor(ln(abs(value) + 1) / ln(10)) AS INT) FROM events
+        |  UNION ALL SELECT 'part.p_retailprice',
+        |    CAST(floor(ln(p_retailprice + 1) / ln(10)) AS INT) FROM part
+        |), d AS (
+        |  SELECT c, bin, count(*) AS n FROM vals GROUP BY c, bin
+        |), tot AS (
+        |  SELECT c, sum(n) AS nt FROM d GROUP BY c
+        |), p AS (
+        |  SELECT d.c, d.bin, CAST(d.n AS DOUBLE) / t.nt AS pr
+        |  FROM d JOIN tot t ON t.c = d.c
+        |), cols AS (
+        |  SELECT DISTINCT c FROM d
+        |), pairsu AS (  -- FULL pair universe: disjoint-support pairs
+        |  -- must surface at jsd = ln 2, not silently vanish
+        |  SELECT a.c AS col_a, b.c AS col_b
+        |  FROM cols a JOIN cols b ON b.c > a.c
+        |), pairs AS (
+        |  SELECT a.c AS col_a, b.c AS col_b, a.bin, a.pr AS pa, b.pr AS pb
+        |  FROM p a JOIN p b ON b.bin = a.bin AND b.c > a.c
+        |), half AS (
+        |  SELECT col_a, col_b,
+        |    sum(0.5 * pa * ln(pa / ((pa + pb) / 2))
+        |      + 0.5 * pb * ln(pb / ((pa + pb) / 2))) AS jsd_shared,
+        |    sum(pa) AS ma, sum(pb) AS mb
+        |  FROM pairs GROUP BY col_a, col_b
+        |)
+        |SELECT u.col_a, u.col_b,
+        |  round(COALESCE(h.jsd_shared, 0)
+        |    + 0.5 * (1 - COALESCE(h.ma, 0)) * ln(2)
+        |    + 0.5 * (1 - COALESCE(h.mb, 0)) * ln(2), 6) AS jsd,
+        |  round(COALESCE(h.ma, 0), 6) AS overlap_a,
+        |  round(COALESCE(h.mb, 0), 6) AS overlap_b
+        |FROM pairsu u LEFT JOIN half h
+        |  ON h.col_a = u.col_a AND h.col_b = u.col_b
+        |ORDER BY jsd, u.col_a, u.col_b""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      def v(name: String, df: org.apache.spark.sql.DataFrame, e: String) =
+        df.select(lit(name).as("c"),
+          expr(s"CAST(floor(ln($e + 1) / ln(10)) AS INT)").as("bin"))
+      val vals = v("orders.o_totalprice", t.orders, "o_totalprice")
+        .unionAll(v("lineitem.l_extendedprice", t.lineitem, "l_extendedprice"))
+        .unionAll(v("lineitem.l_quantity", t.lineitem, "l_quantity"))
+        .unionAll(v("events.value", t.events, "abs(value)"))
+        .unionAll(v("part.p_retailprice", t.part, "p_retailprice"))
+      val d = vals.groupBy("c", "bin").agg(count(lit(1)).as("n"))
+      val p = d.join(d.groupBy("c").agg(sum(col("n")).as("nt")), Seq("c"))
+        .select(col("c"), col("bin"), (col("n").cast("double") / col("nt")).as("pr"))
+        .localCheckpoint() // both sides of the bounded pair join
+      val cols_ = p.select("c").distinct()
+      // full pair universe: disjoint-support pairs must report jsd = ln 2
+      val pairsU = cols_.select(col("c").as("col_a"))
+        .crossJoin(cols_.select(col("c").as("col_b")))
+        .filter(col("col_b") > col("col_a"))
+      val pairs = p.select(col("c").as("col_a"), col("bin"), col("pr").as("pa"))
+        .join(p.select(col("c").as("col_b"), col("bin"), col("pr").as("pb")),
+          Seq("bin"))
+        .filter(col("col_b") > col("col_a"))
+      val half = pairs.groupBy("col_a", "col_b")
+        .agg(sum(lit(0.5) * col("pa") * log(col("pa") / ((col("pa") + col("pb")) / 2))
+          + lit(0.5) * col("pb") * log(col("pb") / ((col("pa") + col("pb")) / 2)))
+          .as("jsd_shared"),
+          sum(col("pa")).as("ma"), sum(col("pb")).as("mb"))
+      pairsU.join(half, Seq("col_a", "col_b"), "left")
+        .select(col("col_a"), col("col_b"),
+          round(coalesce(col("jsd_shared"), lit(0.0))
+            + lit(0.5) * (lit(1) - coalesce(col("ma"), lit(0.0))) * log(lit(2.0))
+            + lit(0.5) * (lit(1) - coalesce(col("mb"), lit(0.0))) * log(lit(2.0)),
+            6).as("jsd"),
+          round(coalesce(col("ma"), lit(0.0)), 6).as("overlap_a"),
+          round(coalesce(col("mb"), lit(0.0)), 6).as("overlap_b"))
+        .orderBy(col("jsd"), col("col_a"), col("col_b"))
     }
   )
 }
