@@ -163,6 +163,55 @@ object Inference {
           max(col("n_toks")).cast("long").as("max_bucket_load"),
           round(count(lit(1)) / lit(64.0), 6).as("fill_ratio"))
         .orderBy("lang")
+    },
+
+    // ---- temperature scaling, one Newton step (Guo et al.'s
+    //      calibration FIT, where q_calibration only measures): from
+    //      T = 1, T' = T − ∇/∇² of the NLL of σ(s/T) against the labels
+    //      — both derivatives are per-row closed forms aggregated in
+    //      one pass, so the fit is a mergeable moments job like every
+    //      learner here. Probabilities clamp to [1e-12, 1−1e-12]
+    //      (identically on both engines) so saturated logits cannot
+    //      ln(0). Iterating = re-running with the 1-row T relation
+    //      swapped.
+    QueryDef.checked(
+      "q_temperature_scaling",
+      """WITH d AS (
+        |  SELECT (value - 50.0) / 10.0 AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM events
+        |), t AS (
+        |  SELECT s, y,
+        |    least(greatest(1.0 / (1.0 + exp(-s)), 0.000000000001),
+        |      0.999999999999) AS p
+        |  FROM d
+        |), m AS (
+        |  SELECT count(*) AS n,
+        |    sum(-(y * ln(p) + (1 - y) * ln(1 - p))) AS nll,
+        |    sum((p - y) * (-s)) AS g,
+        |    sum(p * (1 - p) * s * s + (p - y) * 2 * s) AS h
+        |  FROM t
+        |)
+        |SELECT CAST(n AS BIGINT) AS n, round(nll / n, 6) AS mean_nll_t1,
+        |  round(g, 6) AS grad, round(h, 6) AS hess,
+        |  round(1.0 - g / h, 6) AS t_new
+        |FROM m""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir).events
+        .select(((col("value") - 50.0) / 10.0).as("s"),
+          when(col("event_type") === "purchase", 1.0).otherwise(0.0).as("y"))
+        .select(col("s"), col("y"),
+          least(greatest(lit(1.0) / (lit(1.0) + exp(-col("s"))),
+            lit(0.000000000001)), lit(0.999999999999)).as("p"))
+        .agg(count(lit(1)).as("n"),
+          sum(-(col("y") * log(col("p"))
+            + (lit(1) - col("y")) * log(lit(1) - col("p")))).as("nll"),
+          sum((col("p") - col("y")) * -col("s")).as("g"),
+          sum(col("p") * (lit(1) - col("p")) * col("s") * col("s")
+            + (col("p") - col("y")) * lit(2) * col("s")).as("h"))
+        .select(col("n").cast("long").as("n"),
+          round(col("nll") / col("n"), 6).as("mean_nll_t1"),
+          round(col("g"), 6).as("grad"), round(col("h"), 6).as("hess"),
+          round(lit(1.0) - col("g") / col("h"), 6).as("t_new"))
     }
   )
 }

@@ -1073,6 +1073,157 @@ object VectorCuration {
         .select(col("q_id"), col("rnk").cast("int").as("rank"), col("vec_id"),
           round(col("s"), 6).as("shapley"), col("sim"))
         .orderBy("q_id", "rank")
+    },
+
+    // ---- embedding whitening (2-dim slice): Σ^{-1/2} from the
+    //      closed-form 2×2 eigensystem via the identity
+    //      C^{1/2} = (C + √(λ1λ2)·I) / (√λ1 + √λ2), inverted
+    //      analytically — whitening decorrelates the embedding space so
+    //      cosine stops over-weighting dominant directions (the
+    //      standard retrieval post-process). ONE moments aggregate; the
+    //      matrix algebra is 1-row arithmetic, and the output carries
+    //      the audit: the whitened covariance must come back as the
+    //      identity. At 64 dims the same job is per-block 2×2/arrowhead
+    //      approximations or a driver-side eigensolve of the 64×64
+    //      moment matrix — the corpus pass is identical.
+    QueryDef.checked(
+      "q_whitening_2d",
+      """WITH x AS (
+        |  SELECT CAST(embedding[1] AS DOUBLE) AS x1,
+        |    CAST(embedding[2] AS DOUBLE) AS x2
+        |  FROM embeddings
+        |), m AS (
+        |  SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2,
+        |    sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22
+        |  FROM x
+        |), c AS (
+        |  SELECT n, s11 / n - (s1 / n) * (s1 / n) AS c11,
+        |    s12 / n - (s1 / n) * (s2 / n) AS c12,
+        |    s22 / n - (s2 / n) * (s2 / n) AS c22
+        |  FROM m
+        |), eig AS (
+        |  SELECT n, c11, c12, c22,
+        |    (c11 + c22) / 2
+        |      + sqrt(((c11 - c22) / 2) * ((c11 - c22) / 2) + c12 * c12) AS l1,
+        |    (c11 + c22) / 2
+        |      - sqrt(((c11 - c22) / 2) * ((c11 - c22) / 2) + c12 * c12) AS l2
+        |  FROM c
+        |), w AS (
+        |  SELECT n, c11, c12, c22, l1, l2,
+        |    sqrt(l1) + sqrt(l2) AS s, sqrt(l1 * l2) AS d
+        |  FROM eig
+        |), inv AS (
+        |  SELECT n, c11, c12, c22, l1, l2,
+        |    s * (c22 + d) / ((c11 + d) * (c22 + d) - c12 * c12) AS w11,
+        |    s * (-c12) / ((c11 + d) * (c22 + d) - c12 * c12) AS w12,
+        |    s * (c11 + d) / ((c11 + d) * (c22 + d) - c12 * c12) AS w22
+        |  FROM w
+        |)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(c11, 6) AS c11, round(c12, 6) AS c12, round(c22, 6) AS c22,
+        |  round(l1, 6) AS eig1, round(l2, 6) AS eig2,
+        |  round(w11, 6) AS w11, round(w12, 6) AS w12, round(w22, 6) AS w22,
+        |  round(w11 * c11 * w11 + 2 * w11 * c12 * w12 + w12 * c22 * w12, 6)
+        |    AS check_var1,
+        |  round(w12 * c11 * w12 + 2 * w12 * c12 * w22 + w22 * c22 * w22, 6)
+        |    AS check_var2,
+        |  round(w11 * c11 * w12 + w11 * c12 * w22 + w12 * c12 * w12
+        |    + w12 * c22 * w22, 6) AS check_cov
+        |FROM inv""".stripMargin) { (spark, dir) =>
+      // ONE distributed moments aggregate; the 2×2 matrix algebra runs
+      // on the collected 1-row result (the bounded-collect discipline).
+      // A pure-Column formulation was measured to drift 6e-5 on w11:
+      // with many outputs in one collapsed projection, codegen's
+      // subexpression elimination evaluates semantically-equal subtrees
+      // in a different association order than the oracle's textual one.
+      // Driver scalar math replays the closed form bit-for-bit.
+      val m = Tables(spark, dir).embeddings
+        .select(expr("CAST(embedding[0] AS DOUBLE)").as("x1"),
+          expr("CAST(embedding[1] AS DOUBLE)").as("x2"))
+        .agg(count(lit(1)).as("n"), sum(col("x1")).as("s1"),
+          sum(col("x2")).as("s2"), sum(col("x1") * col("x1")).as("s11"),
+          sum(col("x1") * col("x2")).as("s12"),
+          sum(col("x2") * col("x2")).as("s22"))
+        .first()
+      val n = m.getAs[Long]("n").toDouble
+      val (s1, s2) = (m.getAs[Double]("s1"), m.getAs[Double]("s2"))
+      val c11 = m.getAs[Double]("s11") / n - (s1 / n) * (s1 / n)
+      val c12 = m.getAs[Double]("s12") / n - (s1 / n) * (s2 / n)
+      val c22 = m.getAs[Double]("s22") / n - (s2 / n) * (s2 / n)
+      val disc = math.sqrt(((c11 - c22) / 2) * ((c11 - c22) / 2) + c12 * c12)
+      val l1 = (c11 + c22) / 2 + disc
+      val l2 = (c11 + c22) / 2 - disc
+      val s = math.sqrt(l1) + math.sqrt(l2)
+      val d = math.sqrt(l1 * l2)
+      val det = (c11 + d) * (c22 + d) - c12 * c12
+      val (w11, w12, w22) =
+        (s * (c22 + d) / det, s * -c12 / det, s * (c11 + d) / det)
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import spark.implicits._
+      Seq((m.getAs[Long]("n"), r6(c11), r6(c12), r6(c22), r6(l1), r6(l2),
+        r6(w11), r6(w12), r6(w22),
+        r6(w11 * c11 * w11 + 2 * w11 * c12 * w12 + w12 * c22 * w12),
+        r6(w12 * c11 * w12 + 2 * w12 * c12 * w22 + w22 * c22 * w22),
+        r6(w11 * c11 * w12 + w11 * c12 * w22 + w12 * c12 * w12
+          + w12 * c22 * w22)))
+        .toDF("n", "c11", "c12", "c22", "eig1", "eig2", "w11", "w12", "w22",
+          "check_var1", "check_var2", "check_cov")
+    },
+
+    // ---- orthogonal Procrustes alignment (2-dim slices): the rotation
+    //      mapping dims (1,2) onto dims (3,4) has the closed form
+    //      θ = atan2(Σ(x1y2 − x2y1), Σ(x1y1 + x2y2)) — the 2D SVD
+    //      solved analytically — and the aligned error is
+    //      Σ|x|² + Σ|y|² − 2√(Sc² + Ss²), so ONE moments pass yields
+    //      the map and its quality. This is embedding-space migration
+    //      (align an old model's space to a new one) at its smallest;
+    //      higher dims go through the same cross-covariance moments
+    //      with a driver-side SVD of the tiny d×d matrix.
+    QueryDef.checked(
+      "q_procrustes_2d",
+      """WITH x AS (
+        |  SELECT CAST(embedding[1] AS DOUBLE) AS x1,
+        |    CAST(embedding[2] AS DOUBLE) AS x2,
+        |    CAST(embedding[3] AS DOUBLE) AS y1,
+        |    CAST(embedding[4] AS DOUBLE) AS y2
+        |  FROM embeddings
+        |), m AS (
+        |  SELECT count(*) AS n,
+        |    sum(x1 * y1 + x2 * y2) AS sc,
+        |    sum(x1 * y2 - x2 * y1) AS ss,
+        |    sum(x1 * x1 + x2 * x2) AS sxx,
+        |    sum(y1 * y1 + y2 * y2) AS syy,
+        |    sum((x1 - y1) * (x1 - y1) + (x2 - y2) * (x2 - y2)) AS e_before
+        |  FROM x
+        |)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(atan2(ss, sc), 6) AS theta,
+        |  round(e_before, 6) AS err_before,
+        |  round(sxx + syy - 2 * sqrt(sc * sc + ss * ss), 6) AS err_after,
+        |  round((e_before - (sxx + syy - 2 * sqrt(sc * sc + ss * ss)))
+        |    / e_before, 6) AS err_reduction
+        |FROM m""".stripMargin) { (spark, dir) =>
+      val m = Tables(spark, dir).embeddings
+        .select(expr("CAST(embedding[0] AS DOUBLE)").as("x1"),
+          expr("CAST(embedding[1] AS DOUBLE)").as("x2"),
+          expr("CAST(embedding[2] AS DOUBLE)").as("y1"),
+          expr("CAST(embedding[3] AS DOUBLE)").as("y2"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x1") * col("y1") + col("x2") * col("y2")).as("sc"),
+          sum(col("x1") * col("y2") - col("x2") * col("y1")).as("ss"),
+          sum(col("x1") * col("x1") + col("x2") * col("x2")).as("sxx"),
+          sum(col("y1") * col("y1") + col("y2") * col("y2")).as("syy"),
+          sum((col("x1") - col("y1")) * (col("x1") - col("y1"))
+            + (col("x2") - col("y2")) * (col("x2") - col("y2"))).as("e_before"))
+      val errAfter = col("sxx") + col("syy") -
+        lit(2) * sqrt(col("sc") * col("sc") + col("ss") * col("ss"))
+      m.select(col("n").cast("long").as("n"),
+        round(atan2(col("ss"), col("sc")), 6).as("theta"),
+        round(col("e_before"), 6).as("err_before"),
+        round(errAfter, 6).as("err_after"),
+        round((col("e_before") - errAfter) / col("e_before"), 6)
+          .as("err_reduction"))
     }
   )
 }
