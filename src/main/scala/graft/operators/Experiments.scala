@@ -911,6 +911,85 @@ object Experiments {
           round(col("ir") - col("il"), 6).as("rd_jump"),
           round(col("sl"), 6).as("slope_left"),
           round(col("sr2"), 6).as("slope_right"))
+    },
+
+    // ---- Cox proportional hazards, one Newton step from β = 0 (the
+    //      covariate-adjusted upgrade of q_kaplan_meier): score
+    //      U(0) = Σ_events (x_i − x̄(risk set)) and information
+    //      I(0) = Σ_events Var_x(risk set) give β̂ = U/I and the hazard
+    //      ratio for a positive-balance customer. Risk-set sums come
+    //      from DURATION-level suffix cumulatives: aggregating per
+    //      distinct duration FIRST makes the window both tie-correct
+    //      (risk set = everyone with t_j ≥ t_i, ties included) and
+    //      bounded — distinct day-durations are calendar-capped, so the
+    //      cumulative never sees a corpus-sized partition. Censoring is
+    //      adaptive (last order > max date − 180 d ⇒ censored), so the
+    //      event rate survives any scale factor's date span.
+    QueryDef.checked(
+      "q_cox_step",
+      """WITH mx AS (SELECT max(o_orderdate) AS m FROM orders),
+        |cust AS (
+        |  SELECT o.o_custkey,
+        |    CAST(date_diff('day', min(o.o_orderdate), max(o.o_orderdate))
+        |      AS BIGINT) AS t,
+        |    CASE WHEN max(o.o_orderdate) < (SELECT m FROM mx)
+        |        - INTERVAL 180 DAY THEN 1 ELSE 0 END AS ev,
+        |    CASE WHEN max(c.c_acctbal) > 0 THEN 1 ELSE 0 END AS x
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY o.o_custkey
+        |), pt AS (
+        |  SELECT t, count(*) AS n_t, sum(x) AS sx_t, sum(ev) AS d_t,
+        |    sum(ev * x) AS dx_t
+        |  FROM cust GROUP BY t
+        |), risk AS (
+        |  SELECT t, d_t, dx_t,
+        |    sum(n_t) OVER (ORDER BY t DESC) AS sn,
+        |    sum(sx_t) OVER (ORDER BY t DESC) AS sx
+        |  FROM pt
+        |), terms AS (
+        |  SELECT t, d_t, dx_t, CAST(sx AS DOUBLE) / sn AS xbar
+        |  FROM risk WHERE d_t > 0
+        |), m AS (
+        |  SELECT sum(d_t) AS n_events,
+        |    sum(dx_t - d_t * xbar) AS u,
+        |    sum(d_t * (xbar - xbar * xbar)) AS i
+        |  FROM terms
+        |)
+        |SELECT CAST(n_events AS BIGINT) AS n_events,
+        |  round(u, 6) AS score_u, round(i, 6) AS info_i,
+        |  round(u / i, 6) AS beta1,
+        |  round(exp(u / i), 6) AS hazard_ratio
+        |FROM m""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val mx = t.orders.agg(max(col("o_orderdate")).as("m"))
+      val cust = t.orders
+        .join(t.customer, col("c_custkey") === col("o_custkey"))
+        .groupBy("o_custkey")
+        .agg(expr("CAST(datediff(max(o_orderdate), min(o_orderdate)) AS BIGINT)")
+          .as("t"),
+          max(col("o_orderdate")).as("last_d"),
+          max(when(col("c_acctbal") > 0, 1).otherwise(0)).as("x"))
+        .crossJoin(broadcast(mx))
+        .select(col("t"), col("x"),
+          when(col("last_d") < expr("m - INTERVAL 180 DAY"), 1)
+            .otherwise(0).as("ev"))
+      val pt = cust.groupBy("t")
+        .agg(count(lit(1)).as("n_t"), sum(col("x")).as("sx_t"),
+          sum(col("ev")).as("d_t"), sum(col("ev") * col("x")).as("dx_t"))
+      // suffix window over DISTINCT durations — calendar-bounded rows
+      val wSuf = Window.orderBy(col("t").desc)
+      val terms = pt
+        .withColumn("sn", sum(col("n_t")).over(wSuf))
+        .withColumn("sx", sum(col("sx_t")).over(wSuf))
+        .filter(col("d_t") > 0)
+        .withColumn("xbar", col("sx").cast("double") / col("sn"))
+      terms.agg(sum(col("d_t")).as("n_events"),
+          sum(col("dx_t") - col("d_t") * col("xbar")).as("u"),
+          sum(col("d_t") * (col("xbar") - col("xbar") * col("xbar"))).as("i"))
+        .select(col("n_events").cast("long").as("n_events"),
+          round(col("u"), 6).as("score_u"), round(col("i"), 6).as("info_i"),
+          round(col("u") / col("i"), 6).as("beta1"),
+          round(exp(col("u") / col("i")), 6).as("hazard_ratio"))
     }
   )
 }
