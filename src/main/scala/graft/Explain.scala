@@ -87,7 +87,10 @@ object Explain {
     "q_feature_mrmr", "q_cbo_stats", "q_prf_expansion", "q_linkage_em",
     "q_gaussian_mixture_em", "q_hmm_forward", "q_knn_shapley",
     "q_binseg_changepoint", "q_voptimal_histogram", "q_iv_2sls",
-    "q_regression_discontinuity")
+    "q_regression_discontinuity",
+    "q_fd_discovery", "q_ind_discovery", "q_schema_match",
+    "q_whitening_2d", "q_procrustes_2d", "q_temperature_scaling",
+    "q_cox_step")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

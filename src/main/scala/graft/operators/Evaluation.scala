@@ -353,6 +353,223 @@ object Evaluation {
         .groupBy(col("actual"), col("cand").as("predicted"))
         .agg(count(lit(1)).as("n"))
         .orderBy("actual", "predicted")
+    },
+
+    // ---- partial correlation: does order value still track item count
+    //      once order YEAR is controlled for? r_xy·z from the three
+    //      pairwise Pearson correlations — one joined moments pass,
+    //      1-row closed form. The confounder-removal counterpart of
+    //      q_corr_regr's raw correlation.
+    QueryDef.checked(
+      "q_partial_correlation",
+      """WITH d AS (
+        |  SELECT o.o_totalprice AS x, CAST(l.n AS DOUBLE) AS y,
+        |    CAST(year(o.o_orderdate) AS DOUBLE) AS z
+        |  FROM orders o JOIN (
+        |    SELECT l_orderkey, count(*) AS n FROM lineitem
+        |    GROUP BY l_orderkey) l
+        |    ON l.l_orderkey = o.o_orderkey
+        |), m AS (
+        |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+        |    sum(x*y) AS sxy, sum(x*z) AS sxz, sum(y*z) AS syz,
+        |    sum(x*x) AS sxx, sum(y*y) AS syy, sum(z*z) AS szz
+        |  FROM d
+        |), r AS (
+        |  SELECT n,
+        |    (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+        |      AS rxy,
+        |    (n*sxz - sx*sz) / (sqrt(n*sxx - sx*sx) * sqrt(n*szz - sz*sz))
+        |      AS rxz,
+        |    (n*syz - sy*sz) / (sqrt(n*syy - sy*sy) * sqrt(n*szz - sz*sz))
+        |      AS ryz
+        |  FROM m
+        |)
+        |SELECT CAST(n AS BIGINT) AS n, round(rxy, 6) AS r_xy,
+        |  round(rxz, 6) AS r_xz, round(ryz, 6) AS r_yz,
+        |  round((rxy - rxz * ryz)
+        |    / (sqrt(1 - rxz * rxz) * sqrt(1 - ryz * ryz)), 6)
+        |    AS r_xy_given_z
+        |FROM r""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val items = t.lineitem.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("ni"))
+      val m = t.orders.join(items, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_totalprice").as("x"), col("ni").cast("double").as("y"),
+          year(col("o_orderdate")).cast("double").as("z"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("z")).as("sz"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("z")).as("sxz"),
+          sum(col("y") * col("z")).as("syz"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("z") * col("z")).as("szz"))
+      def corr2(sab: String, sa: String, sb: String, saa: String, sbb: String) =
+        (col("n") * col(sab) - col(sa) * col(sb)) /
+          (sqrt(col("n") * col(saa) - col(sa) * col(sa))
+            * sqrt(col("n") * col(sbb) - col(sb) * col(sb)))
+      val r = m.select(col("n"),
+        corr2("sxy", "sx", "sy", "sxx", "syy").as("rxy"),
+        corr2("sxz", "sx", "sz", "sxx", "szz").as("rxz"),
+        corr2("syz", "sy", "sz", "syy", "szz").as("ryz"))
+      r.select(col("n").cast("long").as("n"),
+        round(col("rxy"), 6).as("r_xy"), round(col("rxz"), 6).as("r_xz"),
+        round(col("ryz"), 6).as("r_yz"),
+        round((col("rxy") - col("rxz") * col("ryz"))
+          / (sqrt(lit(1) - col("rxz") * col("rxz"))
+            * sqrt(lit(1) - col("ryz") * col("ryz"))), 6)
+          .as("r_xy_given_z"))
+    },
+
+    // ---- Cronbach's alpha: internal-consistency reliability of a
+    //      3-item per-user engagement scale (click/view/purchase
+    //      counts) — α = k/(k−1)·(1 − Σ item variance / total
+    //      variance). One per-user aggregate, one moments pass, 1-row
+    //      closed form; near-zero/negative α correctly reports that
+    //      independent synthetic event streams do NOT form a scale.
+    QueryDef.checked(
+      "q_cronbach_alpha",
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS i1,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS i2,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS DOUBLE) AS i3
+        |  FROM events GROUP BY user_id
+        |), m AS (
+        |  SELECT count(*) AS n,
+        |    sum(i1) AS s1, sum(i1*i1) AS q1,
+        |    sum(i2) AS s2, sum(i2*i2) AS q2,
+        |    sum(i3) AS s3, sum(i3*i3) AS q3,
+        |    sum(i1+i2+i3) AS st, sum((i1+i2+i3)*(i1+i2+i3)) AS qt
+        |  FROM u
+        |), v AS (
+        |  SELECT n,
+        |    (q1 - s1*s1/n) / (n - 1) AS v1,
+        |    (q2 - s2*s2/n) / (n - 1) AS v2,
+        |    (q3 - s3*s3/n) / (n - 1) AS v3,
+        |    (qt - st*st/n) / (n - 1) AS vt
+        |  FROM m
+        |)
+        |SELECT CAST(n AS BIGINT) AS n_users,
+        |  round(v1, 6) AS var_1, round(v2, 6) AS var_2,
+        |  round(v3, 6) AS var_3, round(vt, 6) AS var_total,
+        |  round(3.0 / 2.0 * (1 - (v1 + v2 + v3) / vt), 6) AS cronbach_alpha
+        |FROM v""".stripMargin) { (spark, dir) =>
+      val u = Tables(spark, dir).events
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "click", 1).otherwise(0))
+          .cast("double").as("i1"),
+          sum(when(col("event_type") === "view", 1).otherwise(0))
+            .cast("double").as("i2"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0))
+            .cast("double").as("i3"))
+      val tot = col("i1") + col("i2") + col("i3")
+      val m = u.agg(count(lit(1)).as("n"),
+        sum(col("i1")).as("s1"), sum(col("i1") * col("i1")).as("q1"),
+        sum(col("i2")).as("s2"), sum(col("i2") * col("i2")).as("q2"),
+        sum(col("i3")).as("s3"), sum(col("i3") * col("i3")).as("q3"),
+        sum(tot).as("st"), sum(tot * tot).as("qt"))
+      def vr(q: String, s: String) =
+        (col(q) - col(s) * col(s) / col("n")) / (col("n") - 1)
+      val v = m.select(col("n"), vr("q1", "s1").as("v1"),
+        vr("q2", "s2").as("v2"), vr("q3", "s3").as("v3"),
+        vr("qt", "st").as("vt"))
+      v.select(col("n").cast("long").as("n_users"),
+        round(col("v1"), 6).as("var_1"), round(col("v2"), 6).as("var_2"),
+        round(col("v3"), 6).as("var_3"), round(col("vt"), 6).as("var_total"),
+        round(lit(3.0) / 2.0 * (lit(1) - (col("v1") + col("v2") + col("v3"))
+          / col("vt")), 6).as("cronbach_alpha"))
+    },
+
+    // ---- effect sizes (purchase vs click values): Cohen's d and
+    //      Hedges' g from pooled moments, plus the nonparametric
+    //      Cliff's delta = 2U/(n1·n2) − 1 from tie-averaged ranks
+    //      (RangeRank + BY-VALUE window, the q_spearman_corr
+    //      machinery). The magnitude companions to q_welch_ttest's
+    //      p-value: significance without size is how big-data A/B
+    //      programs ship no-op changes.
+    QueryDef.checked(
+      "q_effect_sizes",
+      """WITH g AS (
+        |  SELECT event_type, count(*) AS n, sum(value) AS s,
+        |    sum(value * value) AS q
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |  GROUP BY event_type
+        |), w AS (
+        |  SELECT
+        |    max(CASE WHEN event_type = 'purchase' THEN n END) AS n1,
+        |    max(CASE WHEN event_type = 'click' THEN n END) AS n2,
+        |    max(CASE WHEN event_type = 'purchase' THEN s END) AS s1,
+        |    max(CASE WHEN event_type = 'click' THEN s END) AS s2,
+        |    max(CASE WHEN event_type = 'purchase' THEN q END) AS q1,
+        |    max(CASE WHEN event_type = 'click' THEN q END) AS q2
+        |  FROM g
+        |), u AS (
+        |  SELECT sum(CASE WHEN event_type = 'purchase' THEN rk ELSE 0 END)
+        |    AS r1
+        |  FROM (
+        |    SELECT event_type, avg(rn) OVER (PARTITION BY v) AS rk
+        |    FROM (
+        |      SELECT event_type,
+        |        CAST(round(value * 1000000) AS BIGINT) AS v,
+        |        CAST(row_number() OVER (ORDER BY
+        |          CAST(round(value * 1000000) AS BIGINT), event_id)
+        |          AS DOUBLE) AS rn
+        |      FROM events WHERE event_type IN ('purchase', 'click')) a) b
+        |), es AS (
+        |  SELECT n1, n2,
+        |    (s1/n1 - s2/n2)
+        |      / sqrt(((q1 - s1*s1/n1) + (q2 - s2*s2/n2)) / (n1 + n2 - 2))
+        |      AS d,
+        |    u.r1 - n1 * (n1 + 1.0) / 2 AS bigu
+        |  FROM w, u
+        |)
+        |SELECT CAST(n1 AS BIGINT) AS n_purchase,
+        |  CAST(n2 AS BIGINT) AS n_click,
+        |  round(d, 6) AS cohens_d,
+        |  round(d * (1 - 3.0 / (4 * (n1 + n2) - 9)), 6) AS hedges_g,
+        |  round(2.0 * bigu / (CAST(n1 AS DOUBLE) * n2) - 1, 6)
+        |    AS cliffs_delta
+        |FROM es""".stripMargin) { (spark, dir) =>
+      val parts = spark.sessionState.conf.numShufflePartitions
+      val ev = Tables(spark, dir).events
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_type"), col("event_id"), col("value"),
+          expr("CAST(round(value * 1000000) AS BIGINT)").as("v"))
+        .localCheckpoint() // moments AND the rank pass share one scan
+      val w = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("s"),
+          sum(col("value") * col("value")).as("q"))
+        .agg(max(when(col("event_type") === "purchase", col("n"))).as("n1"),
+          max(when(col("event_type") === "click", col("n"))).as("n2"),
+          max(when(col("event_type") === "purchase", col("s"))).as("s1"),
+          max(when(col("event_type") === "click", col("s"))).as("s2"),
+          max(when(col("event_type") === "purchase", col("q"))).as("q1"),
+          max(when(col("event_type") === "click", col("q"))).as("q2"))
+      val ranked = graft.util.RangeRank
+        .withGlobalRank(ev, "rn", parts, col("v"), col("event_id"))
+        .withColumn("rk", avg(col("rn").cast("double"))
+          .over(Window.partitionBy("v")))
+      val u = ranked.agg(sum(when(col("event_type") === "purchase",
+        col("rk")).otherwise(0.0)).as("r1"))
+      val d = (col("s1") / col("n1") - col("s2") / col("n2")) /
+        sqrt(((col("q1") - col("s1") * col("s1") / col("n1"))
+          + (col("q2") - col("s2") * col("s2") / col("n2")))
+          / (col("n1") + col("n2") - 2))
+      w.crossJoin(broadcast(u))
+        .select(col("n1"), col("n2"), d.as("d"),
+          (col("r1") - col("n1") * (col("n1") + 1.0) / 2).as("bigu"))
+        .select(col("n1").cast("long").as("n_purchase"),
+          col("n2").cast("long").as("n_click"),
+          round(col("d"), 6).as("cohens_d"),
+          round(col("d") * (lit(1) - lit(3.0)
+            / (lit(4) * (col("n1") + col("n2")) - 9)), 6).as("hedges_g"),
+          round(lit(2.0) * col("bigu")
+            / (col("n1").cast("double") * col("n2")) - 1, 6)
+            .as("cliffs_delta"))
     }
   )
 }
