@@ -706,6 +706,98 @@ object Training {
           round(sum(col("nll_fp")) / lit(1000000000.0) / count(lit(1)), 6)
             .as("avg_nll"))
         .orderBy("lang")
+    },
+
+    // ---- NMF topic step (one Lee-Seung multiplicative update of H on
+    //      the source×term count matrix, k = 2 topics): H ← H ⊙ WᵀV ⊘
+    //      (WᵀW)H. After the ONE corpus aggregate that builds V
+    //      (top-50-vocab-filtered (source, term) counts), every matrix
+    //      product is a join over k×|vocab| / k×k / |sources|×k bounded
+    //      relations — the 100 TB cost is the V build, exactly like
+    //      every factorization step here (q_als_step discipline).
+    //      Deterministic hash init replaces random init so the update
+    //      replays bit-identically; iterating alternates the H and W
+    //      updates with the factor relations swapped.
+    QueryDef.checked(
+      "q_nmf_step",
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS n FROM toks GROUP BY tok
+        |    ORDER BY n DESC, tok LIMIT 50) v
+        |), v AS (
+        |  SELECT t.source, t.tok, CAST(count(*) AS DOUBLE) AS x
+        |  FROM toks t JOIN vocab vb ON vb.tok = t.tok
+        |  GROUP BY t.source, t.tok
+        |), w0 AS (
+        |  SELECT source, k,
+        |    0.5 + (CAST(concat('0x', substring(md5(concat(source, '|',
+        |      CAST(k AS VARCHAR))), 1, 8)) AS BIGINT) % 1000) / 1000.0 AS w
+        |  FROM (SELECT DISTINCT source FROM v) s,
+        |    (SELECT 0 AS k UNION ALL SELECT 1) kk
+        |), h0 AS (
+        |  SELECT k, tok,
+        |    0.5 + (CAST(concat('0x', substring(md5(concat(
+        |      CAST(k AS VARCHAR), '|', tok)), 1, 8)) AS BIGINT) % 1000)
+        |      / 1000.0 AS h
+        |  FROM vocab, (SELECT 0 AS k UNION ALL SELECT 1) kk
+        |), wtv AS (
+        |  SELECT w0.k, v.tok, sum(w0.w * v.x) AS a
+        |  FROM w0 JOIN v ON v.source = w0.source
+        |  GROUP BY w0.k, v.tok
+        |), wtw AS (
+        |  SELECT a.k AS k1, b.k AS k2, sum(a.w * b.w) AS g
+        |  FROM w0 a JOIN w0 b ON b.source = a.source
+        |  GROUP BY a.k, b.k
+        |), wtwh AS (
+        |  SELECT ww.k1 AS k, h0.tok, sum(ww.g * h0.h) AS b
+        |  FROM wtw ww JOIN h0 ON h0.k = ww.k2
+        |  GROUP BY ww.k1, h0.tok
+        |)
+        |SELECT h0.k, h0.tok,
+        |  round(h0.h, 6) AS h_old,
+        |  round(h0.h * wtv.a / wtwh.b, 6) AS h_new
+        |FROM h0
+        |JOIN wtv ON wtv.k = h0.k AND wtv.tok = h0.tok
+        |JOIN wtwh ON wtwh.k = h0.k AND wtwh.tok = h0.tok
+        |ORDER BY h0.k, h0.tok""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val toks = Tables(spark, dir).documents
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(50).select("tok")
+      val v = toks.join(broadcast(vocab), Seq("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).cast("double").as("x"))
+        .localCheckpoint() // source list, WᵀV, and the final join
+      val ks = Seq(0, 1).toDF("k")
+      def hashInit(parts: org.apache.spark.sql.Column) =
+        lit(0.5) + (conv(substring(md5(parts), 1, 8), 16, 10).cast("long")
+          % 1000) / lit(1000.0)
+      val w0 = v.select("source").distinct().crossJoin(broadcast(ks))
+        .select(col("source"), col("k"),
+          hashInit(concat(col("source"), lit("|"), col("k").cast("string")))
+            .as("w"))
+      val h0 = vocab.crossJoin(broadcast(ks))
+        .select(col("k"), col("tok"),
+          hashInit(concat(col("k").cast("string"), lit("|"), col("tok")))
+            .as("h"))
+        .localCheckpoint() // (WᵀW)H and the final update both read it
+      val wtv = w0.join(v, Seq("source"))
+        .groupBy("k", "tok").agg(sum(col("w") * col("x")).as("a"))
+      val wtw = w0.select(col("source"), col("k").as("k1"), col("w").as("wa"))
+        .join(w0.select(col("source"), col("k").as("k2"), col("w").as("wb")),
+          Seq("source"))
+        .groupBy("k1", "k2").agg(sum(col("wa") * col("wb")).as("g"))
+      val wtwh = wtw.join(h0.select(col("k").as("k2"), col("tok"),
+          col("h")), Seq("k2"))
+        .groupBy(col("k1").as("k"), col("tok"))
+        .agg(sum(col("g") * col("h")).as("b"))
+      h0.join(wtv, Seq("k", "tok")).join(wtwh, Seq("k", "tok"))
+        .select(col("k"), col("tok"), round(col("h"), 6).as("h_old"),
+          round(col("h") * col("a") / col("b"), 6).as("h_new"))
+        .orderBy("k", "tok")
     }
   )
 }
