@@ -91,7 +91,8 @@ object Explain {
     "q_fd_discovery", "q_ind_discovery", "q_schema_match",
     "q_whitening_2d", "q_procrustes_2d", "q_temperature_scaling",
     "q_cox_step", "q_partial_correlation", "q_cronbach_alpha",
-    "q_effect_sizes", "q_nmf_step")
+    "q_effect_sizes", "q_nmf_step", "q_isotonic_calibration",
+    "q_propensity_match", "q_capture_recapture")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

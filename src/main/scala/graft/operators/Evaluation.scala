@@ -570,6 +570,84 @@ object Evaluation {
           round(lit(2.0) * col("bigu")
             / (col("n1").cast("double") * col("n2")) - 1, 6)
             .as("cliffs_delta"))
+    },
+
+    // ---- isotonic calibration (pool-adjacent-violators): the
+    //      monotone-nondecreasing fit of purchase rate on score, via the
+    //      minimax closed form g(i) = max_{j≤i} min_{k≥i} avg(y[j..k])
+    //      — exactly the PAV solution, but expressed as relational
+    //      algebra instead of the sequential pooling loop. The scale
+    //      split: the corpus contributes ONE pass (ventile assignment
+    //      via RangeRank + a 50-row bin aggregate); the cubic-looking
+    //      minimax then runs entirely on the bounded 50-bin relation
+    //      (≤1275 (j,k) pairs; suffix-min window PARTITION BY j; one
+    //      grouped max) — driver-free and size-independent of the data.
+    //      q_temperature_scaling is the parametric sibling; this is the
+    //      nonparametric calibrator sklearn's isotonic mode ships.
+    QueryDef.checked(
+      "q_isotonic_calibration",
+      """WITH s AS (
+        |  SELECT event_id, CAST(round(value * 1000000) AS BIGINT) AS score,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events
+        |), t AS (
+        |  SELECT y, ntile(50) OVER (ORDER BY score, event_id) AS bin FROM s
+        |), b AS (
+        |  SELECT bin, count(*) AS n, sum(y) AS pos FROM t GROUP BY bin
+        |), c AS (
+        |  SELECT bin, n, pos,
+        |    sum(n) OVER (ORDER BY bin) AS cn,
+        |    sum(pos) OVER (ORDER BY bin) AS cpos
+        |  FROM b
+        |), pair AS (
+        |  SELECT j.bin AS j, k.bin AS k,
+        |    (k.cpos - j.cpos + j.pos) / CAST(k.cn - j.cn + j.n AS DOUBLE)
+        |      AS avg_jk
+        |  FROM c j JOIN c k ON j.bin <= k.bin
+        |), mn AS (
+        |  SELECT j, k, min(avg_jk) OVER (PARTITION BY j ORDER BY k DESC)
+        |    AS m
+        |  FROM pair
+        |), fit AS (
+        |  SELECT k AS bin, max(m) AS iso FROM mn GROUP BY k
+        |)
+        |SELECT CAST(b.bin AS INT) AS bin, CAST(b.n AS BIGINT) AS n,
+        |  round(b.pos / CAST(b.n AS DOUBLE), 6) AS raw_rate,
+        |  round(f.iso, 6) AS iso_rate
+        |FROM b JOIN fit f ON b.bin = f.bin
+        |ORDER BY bin""".stripMargin) { (spark, dir) =>
+      val parts = spark.sessionState.conf.numShufflePartitions
+      val s = Tables(spark, dir).events
+        .select(col("event_id"),
+          expr("CAST(round(value * 1000000) AS BIGINT)").as("score"),
+          when(col("event_type") === "purchase", 1).otherwise(0).as("y"))
+      val t = graft.util.RangeRank
+        .withGlobalNtile(s, "bin", 50, parts, col("score"), col("event_id"))
+      val b = t.groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+        .localCheckpoint() // 50 rows; feeds prefix sums AND the final join
+      // everything below runs on the bounded bin relation
+      val c = b
+        .withColumn("cn", sum(col("n")).over(Window.orderBy("bin")))
+        .withColumn("cpos", sum(col("pos")).over(Window.orderBy("bin")))
+      val cj = c.select(col("bin").as("j"), col("n").as("n_j"),
+        col("pos").as("pos_j"), col("cn").as("cn_j"), col("cpos").as("cpos_j"))
+      val ck = c.select(col("bin").as("k"), col("cn").as("cn_k"),
+        col("cpos").as("cpos_k"))
+      val pair = cj.join(broadcast(ck), col("j") <= col("k"))
+        .select(col("j"), col("k"),
+          ((col("cpos_k") - col("cpos_j") + col("pos_j")) /
+            (col("cn_k") - col("cn_j") + col("n_j")).cast("double"))
+            .as("avg_jk"))
+      val fit = pair
+        .withColumn("m", min(col("avg_jk"))
+          .over(Window.partitionBy("j").orderBy(col("k").desc)))
+        .groupBy("k").agg(max(col("m")).as("iso"))
+      b.join(fit, col("bin") === col("k"))
+        .select(col("bin").cast("int").as("bin"), col("n").cast("long").as("n"),
+          round(col("pos") / col("n").cast("double"), 6).as("raw_rate"),
+          round(col("iso"), 6).as("iso_rate"))
+        .orderBy("bin")
     }
   )
 }

@@ -990,6 +990,112 @@ object Experiments {
           round(col("u"), 6).as("score_u"), round(col("i"), 6).as("info_i"),
           round(col("u") / col("i"), 6).as("beta1"),
           round(exp(col("u") / col("i")), 6).as("hazard_ratio"))
+    },
+
+    // ---- propensity-score matching (caliper nearest neighbor, with
+    //      replacement): every 7th customer is "treated"; each treated
+    //      unit matches the control with exact agreement on market
+    //      segment and the closest account-balance score within a
+    //      500-cent caliper (tie → lowest control key); ATT = mean
+    //      matched spend difference per segment. Scale shape: the
+    //      caliper is the blocking key — scores land in 500-cent
+    //      buckets, treated rows explode to their 3 admissible buckets
+    //      (own ±1, which losslessly covers every |Δ| ≤ caliper pair),
+    //      and candidates form in an EQUI join on (segment, bucket) —
+    //      never a theta join, never a cross product. Best-match is a
+    //      window partitioned by treated key (bounded by bucket
+    //      occupancy); outcomes arrive via keyed left joins. Scores are
+    //      shifted to nonnegative before bucketing so Spark's
+    //      truncating `div` and DuckDB's flooring `//` agree (the
+    //      q_kmeans_iter sign lesson, applied preemptively).
+    QueryDef.checked(
+      "q_propensity_match",
+      """WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment AS segment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) + 100000 AS score,
+        |    c_custkey % 7 = 0 AS treated
+        |  FROM customer
+        |), spend AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY o_custkey
+        |), t AS (
+        |  SELECT c_custkey AS t_key, segment, score AS t_score,
+        |    score // 500 AS b
+        |  FROM cust WHERE treated
+        |), c AS (
+        |  SELECT c_custkey AS c_key, segment, score AS c_score,
+        |    score // 500 AS b
+        |  FROM cust WHERE NOT treated
+        |), best AS (
+        |  SELECT t_key, segment, c_key FROM (
+        |    SELECT t.t_key, t.segment, c.c_key,
+        |      row_number() OVER (PARTITION BY t.t_key
+        |        ORDER BY abs(t.t_score - c.c_score), c.c_key) AS rn
+        |    FROM t JOIN c ON t.segment = c.segment
+        |      AND c.b BETWEEN t.b - 1 AND t.b + 1
+        |    WHERE abs(t.t_score - c.c_score) <= 500) z
+        |  WHERE rn = 1
+        |), m AS (
+        |  SELECT b.segment,
+        |    coalesce(st.cents, 0) AS t_cents,
+        |    coalesce(sc.cents, 0) AS c_cents
+        |  FROM best b
+        |  LEFT JOIN spend st ON st.o_custkey = b.t_key
+        |  LEFT JOIN spend sc ON sc.o_custkey = b.c_key
+        |), nt AS (
+        |  SELECT segment, count(*) AS n_treated FROM t GROUP BY segment
+        |)
+        |SELECT nt.segment, CAST(nt.n_treated AS BIGINT) AS n_treated,
+        |  CAST(count(m.t_cents) AS BIGINT) AS n_matched,
+        |  round(avg(m.t_cents), 6) AS avg_treated_cents,
+        |  round(avg(m.c_cents), 6) AS avg_control_cents,
+        |  round(avg(m.t_cents) - avg(m.c_cents), 6) AS att_cents
+        |FROM nt LEFT JOIN m ON nt.segment = m.segment
+        |GROUP BY nt.segment, nt.n_treated
+        |ORDER BY nt.segment""".stripMargin) { (spark, dir) =>
+      val tb = Tables(spark, dir)
+      val cust = tb.customer.select(col("c_custkey"),
+        col("c_mktsegment").as("segment"),
+        (expr("CAST(round(c_acctbal * 100) AS BIGINT)") + 100000).as("score"),
+        (col("c_custkey") % 7 === 0).as("treated"))
+      val spend = tb.orders.groupBy("o_custkey")
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      val t = cust.filter(col("treated"))
+        .select(col("c_custkey").as("t_key"), col("segment"),
+          col("score").as("t_score"), expr("score div 500").as("b"))
+      val ctrl = cust.filter(!col("treated"))
+        .select(col("c_custkey").as("c_key"), col("segment").as("c_segment"),
+          col("score").as("c_score"), expr("score div 500").as("c_b"))
+      val cand = t
+        .withColumn("jb", explode(array(col("b") - 1, col("b"), col("b") + 1)))
+        .join(ctrl, col("segment") === col("c_segment") &&
+          col("jb") === col("c_b"))
+        .filter(abs(col("t_score") - col("c_score")) <= 500)
+      val best = cand
+        .withColumn("rn", row_number().over(Window.partitionBy("t_key")
+          .orderBy(abs(col("t_score") - col("c_score")), col("c_key"))))
+        .filter(col("rn") === 1)
+        .select(col("t_key"), col("segment"), col("c_key"))
+      val m = best
+        .join(spend.select(col("o_custkey"), col("cents").as("t_cents0")),
+          col("t_key") === col("o_custkey"), "left").drop("o_custkey")
+        .join(spend.select(col("o_custkey"), col("cents").as("c_cents0")),
+          col("c_key") === col("o_custkey"), "left").drop("o_custkey")
+        .select(col("segment").as("m_segment"),
+          coalesce(col("t_cents0"), lit(0L)).as("t_cents"),
+          coalesce(col("c_cents0"), lit(0L)).as("c_cents"))
+      val nt = t.groupBy("segment").agg(count(lit(1)).as("n_treated"))
+      nt.join(m, col("segment") === col("m_segment"), "left")
+        .groupBy("segment", "n_treated")
+        .agg(count(col("t_cents")).as("n_matched"),
+          avg(col("t_cents")).as("avg_t"), avg(col("c_cents")).as("avg_c"))
+        .select(col("segment"), col("n_treated").cast("long").as("n_treated"),
+          col("n_matched").cast("long").as("n_matched"),
+          round(col("avg_t"), 6).as("avg_treated_cents"),
+          round(col("avg_c"), 6).as("avg_control_cents"),
+          round(col("avg_t") - col("avg_c"), 6).as("att_cents"))
+        .orderBy("segment")
     }
   )
 }

@@ -870,6 +870,76 @@ object Profiling {
           round(coalesce(col("ma"), lit(0.0)), 6).as("overlap_a"),
           round(coalesce(col("mb"), lit(0.0)), 6).as("overlap_b"))
         .orderBy(col("jsd"), col("col_a"), col("col_b"))
+    },
+
+    // ---- capture-recapture population estimate (Chapman): how many
+    //      distinct users does the event log REALLY have, estimated
+    //      from two one-day "capture occasions" (Jan 3 and Jan 10)
+    //      without ever scanning the rest of the month — the ecology
+    //      estimator applied to data profiling (same question HLL
+    //      answers approximately, answered here from two cheap
+    //      partition-pruned samples plus independence). Chapman's
+    //      bias-corrected N̂ = (n_a+1)(n_b+1)/(m+1) − 1 with its
+    //      closed-form variance and a 95% CI, reported next to the true
+    //      distinct count so the estimate is auditable. One grouped
+    //      pass over the two pruned days (per-user capture flags), then
+    //      scalar arithmetic on a single aggregate row.
+    QueryDef.checked(
+      "q_capture_recapture",
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-03'
+        |        THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-10'
+        |        THEN 1 ELSE 0 END) AS in_b
+        |  FROM events
+        |  WHERE CAST(ts AS DATE) = DATE '2024-01-03'
+        |     OR CAST(ts AS DATE) = DATE '2024-01-10'
+        |  GROUP BY user_id
+        |), truth AS (
+        |  SELECT count(DISTINCT user_id) AS n_true FROM events
+        |), s AS (
+        |  SELECT sum(in_a) AS na, sum(in_b) AS nb,
+        |    sum(in_a * in_b) AS m
+        |  FROM u
+        |)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(m AS BIGINT) AS m_both,
+        |  CAST(n_true AS BIGINT) AS n_true,
+        |  round((na + 1.0) * (nb + 1.0) / (m + 1.0) - 1, 6) AS chapman_est,
+        |  round(sqrt((na + 1.0) * (nb + 1.0) * (na - m) * (nb - m)
+        |    / ((m + 1.0) * (m + 1.0) * (m + 2.0))), 6) AS se,
+        |  round((na + 1.0) * (nb + 1.0) / (m + 1.0) - 1
+        |    - 1.96 * sqrt((na + 1.0) * (nb + 1.0) * (na - m) * (nb - m)
+        |      / ((m + 1.0) * (m + 1.0) * (m + 2.0))), 6) AS ci_lo,
+        |  round((na + 1.0) * (nb + 1.0) / (m + 1.0) - 1
+        |    + 1.96 * sqrt((na + 1.0) * (nb + 1.0) * (na - m) * (nb - m)
+        |      / ((m + 1.0) * (m + 1.0) * (m + 2.0))), 6) AS ci_hi
+        |FROM s, truth""".stripMargin) { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+      val dayA = lit("2024-01-03").cast("date")
+      val dayB = lit("2024-01-10").cast("date")
+      val u = ev
+        .filter(to_date(col("ts")).isin(dayA, dayB))
+        .groupBy("user_id")
+        .agg(max(when(to_date(col("ts")) === dayA, 1).otherwise(0)).as("in_a"),
+          max(when(to_date(col("ts")) === dayB, 1).otherwise(0)).as("in_b"))
+      val s = u.agg(sum(col("in_a")).as("na"), sum(col("in_b")).as("nb"),
+        sum(col("in_a") * col("in_b")).as("m"))
+      val truth = ev.agg(countDistinct(col("user_id")).as("n_true"))
+      val est = (col("na") + 1.0) * (col("nb") + 1.0) / (col("m") + 1.0) - 1
+      val se = sqrt((col("na") + 1.0) * (col("nb") + 1.0)
+        * (col("na") - col("m")) * (col("nb") - col("m"))
+        / ((col("m") + 1.0) * (col("m") + 1.0) * (col("m") + 2.0)))
+      s.crossJoin(broadcast(truth))
+        .select(col("na").cast("long").as("n_a"),
+          col("nb").cast("long").as("n_b"),
+          col("m").cast("long").as("m_both"),
+          col("n_true").cast("long").as("n_true"),
+          round(est, 6).as("chapman_est"),
+          round(se, 6).as("se"),
+          round(est - lit(1.96) * se, 6).as("ci_lo"),
+          round(est + lit(1.96) * se, 6).as("ci_hi"))
     }
   )
 }
