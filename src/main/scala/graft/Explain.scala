@@ -92,7 +92,9 @@ object Explain {
     "q_whitening_2d", "q_procrustes_2d", "q_temperature_scaling",
     "q_cox_step", "q_partial_correlation", "q_cronbach_alpha",
     "q_effect_sizes", "q_nmf_step", "q_isotonic_calibration",
-    "q_propensity_match", "q_capture_recapture")
+    "q_propensity_match", "q_capture_recapture",
+    "q_quantile_sketch_merge", "q_regression_impute", "q_seed_distance",
+    "q_quantile_normalize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -1049,6 +1049,71 @@ object Curation {
           round(col("sp") / col("nt"), 6).as("p_match_new"),
           col("nt").cast("long").as("n_pairs"))
         .orderBy("field")
+    },
+
+    // ---- quantile normalization across sources: each source's doc
+    //      lengths are mapped onto the POOLED length distribution at
+    //      the same relative rank (the microarray/source-debias
+    //      technique: after it, every equal-sized source has an
+    //      identical value distribution). Ranks are per-source windows
+    //      (scale-safe by construction); the pooled lookup is the
+    //      RangeRank global rank joined by the integer target rank
+    //      ceil(p·N) — computed in integer arithmetic ((rn·N + n_s − 1)
+    //      div n_s, nonnegative so truncation ≡ floor on both engines).
+    //      Per-source means before/after make the flattening auditable:
+    //      mean_norm must agree across equal-sized sources far more
+    //      tightly than mean_raw does.
+    QueryDef.checked(
+      "q_quantile_normalize",
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars FROM documents
+        |), ranked AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n_s
+        |  FROM d
+        |), pooled AS (
+        |  SELECT n_chars AS pooled_v,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS rg
+        |  FROM d
+        |), tot AS (SELECT count(*) AS n FROM d
+        |), tgt AS (
+        |  SELECT r.doc_id, r.source, r.n_chars,
+        |    (r.rn * t.n + r.n_s - 1) // r.n_s AS rstar
+        |  FROM ranked r, tot t
+        |)
+        |SELECT g.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(g.n_chars), 6) AS mean_raw,
+        |  round(avg(p.pooled_v), 6) AS mean_norm,
+        |  CAST(min(p.pooled_v) AS BIGINT) AS min_norm,
+        |  CAST(max(p.pooled_v) AS BIGINT) AS max_norm
+        |FROM tgt g JOIN pooled p ON p.rg = g.rstar
+        |GROUP BY g.source
+        |ORDER BY g.source""".stripMargin) { (spark, dir) =>
+      val parts = spark.sessionState.conf.numShufflePartitions
+      val d = Tables(spark, dir).documents
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .localCheckpoint() // per-source rank pass AND the pooled rank pass
+      val ranked = d
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))))
+        .withColumn("n_s", count(lit(1)).over(Window.partitionBy("source")))
+      val pooled = graft.util.RangeRank
+        .withGlobalRank(d, "rg", parts, col("n_chars"), col("doc_id"))
+        .select(col("n_chars").as("pooled_v"), col("rg"))
+      val tot = d.agg(count(lit(1)).as("n"))
+      val tgt = ranked.crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          expr("(rn * n + n_s - 1) div n_s").as("rstar"))
+      tgt.join(pooled, col("rg") === col("rstar"))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          round(avg(col("n_chars")), 6).as("mean_raw"),
+          round(avg(col("pooled_v")), 6).as("mean_norm"),
+          min(col("pooled_v")).cast("long").as("min_norm"),
+          max(col("pooled_v")).cast("long").as("max_norm"))
+        .orderBy("source")
     }
   )
 }

@@ -606,6 +606,67 @@ object GraphRank {
         .agg(count(lit(1)).cast("long").as("n_movers"),
           sum(col("delta2m2")).cast("long").as("sum_delta2m2"))
         .orderBy("from_comm", "to_comm")
+    },
+
+    // ---- multi-source BFS (hop distance to the nearest seed, capped
+    //      at 3): every 20th supplier seeds at distance 0; three
+    //      min-relaxation rounds over the trade graph — each round is
+    //      join(frontier, edges) → groupBy(node).min, the same
+    //      one-keyed-shuffle-per-round shape as PageRank and connected
+    //      components — then a per-distance census with id checksums.
+    //      The "distance to known-bad node" primitive spam/abuse
+    //      pipelines run over web graphs. The 3-cap makes the unrolled
+    //      recursion finite on BOTH sides (the oracle's recursive CTE
+    //      caps on d < 3), and the unreached mass is reported — a
+    //      silent-truncation census, not a silent cap.
+    QueryDef.checked(
+      "q_seed_distance",
+      s"""WITH RECURSIVE ${duckTradeEdges("")},
+        |bfs AS (
+        |  SELECT DISTINCT src AS node, 0 AS d FROM edges
+        |  WHERE src % 20 = 0 AND src < $custOffset
+        |  UNION
+        |  SELECT e.dst AS node, b.d + 1 AS d
+        |  FROM bfs b JOIN edges e ON e.src = b.node
+        |  WHERE b.d < 3
+        |), dist AS (
+        |  SELECT node, min(d) AS d FROM bfs GROUP BY node
+        |), nodes AS (
+        |  SELECT DISTINCT src AS node FROM edges
+        |), joined AS (
+        |  SELECT n.node, coalesce(d.d, -1) AS d
+        |  FROM nodes n LEFT JOIN dist d ON d.node = n.node
+        |)
+        |SELECT CAST(d AS INT) AS dist, CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(min(node) AS BIGINT) AS min_node,
+        |  CAST(max(node) AS BIGINT) AS max_node,
+        |  CAST(sum(node) AS BIGINT) AS sum_nodes
+        |FROM joined GROUP BY d ORDER BY dist""".stripMargin) { (spark, dir) =>
+      val edges = tradeEdges(Tables(spark, dir), None)
+        .localCheckpoint() // reused by 3 relaxation rounds + the census
+      val nodes = edges.select(col("src").as("node")).distinct()
+      var dist = nodes
+        .filter(col("node") % 20 === 0 && col("node") < custOffset)
+        .select(col("node"), lit(0).as("d"))
+        .localCheckpoint()
+      for (_ <- 1 to 3) {
+        dist = dist
+          .join(edges, col("node") === col("src"))
+          .select(col("dst").as("node"), (col("d") + 1).as("d"))
+          .unionAll(dist)
+          .groupBy("node").agg(min(col("d")).as("d"))
+          .localCheckpoint() // truncate the per-round lineage
+      }
+      nodes.join(dist, Seq("node"), "left")
+        .select(col("node"), coalesce(col("d"), lit(-1)).as("d"))
+        .groupBy("d")
+        .agg(count(lit(1)).cast("long").as("n_nodes"),
+          min(col("node")).cast("long").as("min_node"),
+          max(col("node")).cast("long").as("max_node"),
+          sum(col("node")).cast("long").as("sum_nodes"))
+        .select(col("d").cast("int").as("dist"), col("n_nodes"),
+          col("min_node"), col("max_node"), col("sum_nodes"))
+        .orderBy("dist")
     }
   )
 }

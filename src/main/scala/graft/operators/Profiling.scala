@@ -940,6 +940,172 @@ object Profiling {
           round(se, 6).as("se"),
           round(est - lit(1.96) * se, 6).as("ci_lo"),
           round(est + lit(1.96) * se, 6).as("ci_hi"))
+    },
+
+    // ---- mergeable quantile estimation, audited: each event type
+    //      builds a LOCAL 20-bin equi-depth histogram (the mergeable
+    //      summary a 1000-executor job would emit per partition — this
+    //      is the one-pass, bounded-memory path exact quantiles don't
+    //      have at 100 TB); the histograms merge by pooling weighted
+    //      upper bounds and reading deciles off the cumulative weight;
+    //      the EXACT global deciles (RangeRank) sit beside the estimate
+    //      so the merge error is part of the checked output, not a
+    //      claim. Local ranks are per-group windows (scale-safe); the
+    //      merge runs on the bounded |groups|×20 relation.
+    QueryDef.checked(
+      "q_quantile_sketch_merge",
+      """WITH s AS (
+        |  SELECT event_type AS g, event_id,
+        |    CAST(round(value * 1000000) AS BIGINT) AS v
+        |  FROM events
+        |), loc AS (
+        |  SELECT g, v,
+        |    ntile(20) OVER (PARTITION BY g ORDER BY v, event_id) AS tile
+        |  FROM s
+        |), hist AS (
+        |  SELECT g, tile, max(v) AS ub, count(*) AS cnt
+        |  FROM loc GROUP BY g, tile
+        |), cum AS (
+        |  SELECT ub, sum(cnt) OVER (ORDER BY ub) AS cw,
+        |    sum(cnt) OVER () AS tot
+        |  FROM hist
+        |), est AS (
+        |  SELECT d.decile, min(c.ub) AS est_v
+        |  FROM (SELECT unnest(range(1, 11)) AS decile) d
+        |  JOIN cum c ON c.cw * 10 >= c.tot * d.decile
+        |  GROUP BY d.decile
+        |), ex AS (
+        |  SELECT tile AS decile, max(v) AS exact_v
+        |  FROM (SELECT v, ntile(10) OVER (ORDER BY v, event_id) AS tile
+        |        FROM s) z
+        |  GROUP BY tile
+        |)
+        |SELECT CAST(e.decile AS INT) AS decile,
+        |  CAST(est_v AS BIGINT) AS est_v, CAST(exact_v AS BIGINT) AS exact_v,
+        |  CAST(abs(est_v - exact_v) AS BIGINT) AS abs_err
+        |FROM est e JOIN ex ON ex.decile = e.decile
+        |ORDER BY decile""".stripMargin) { (spark, dir) =>
+      val parts = spark.sessionState.conf.numShufflePartitions
+      val s = Tables(spark, dir).events
+        .select(col("event_type").as("g"), col("event_id"),
+          expr("CAST(round(value * 1000000) AS BIGINT)").as("v"))
+        .localCheckpoint() // local-histogram pass AND the exact-decile pass
+      val hist = s
+        .withColumn("tile", ntile(20).over(
+          Window.partitionBy("g").orderBy(col("v"), col("event_id"))))
+        .groupBy("g", "tile").agg(max(col("v")).as("ub"), count(lit(1)).as("cnt"))
+        .localCheckpoint() // bounded |groups|*20 rows; two windows below
+      val cum = hist
+        .withColumn("cw", sum(col("cnt")).over(Window.orderBy("ub")))
+        .withColumn("tot", sum(col("cnt")).over(Window.partitionBy()))
+      val deciles = spark.range(1, 11).select(col("id").as("decile"))
+      val est = broadcast(deciles)
+        .join(cum, col("cw") * 10 >= col("tot") * col("decile"))
+        .groupBy("decile").agg(min(col("ub")).as("est_v"))
+      val ex = graft.util.RangeRank
+        .withGlobalNtile(s, "tile", 10, parts, col("v"), col("event_id"))
+        .groupBy("tile").agg(max(col("v")).as("exact_v"))
+        .withColumnRenamed("tile", "ex_decile")
+      est.join(ex, col("decile") === col("ex_decile"))
+        .select(col("decile").cast("int").as("decile"),
+          col("est_v").cast("long").as("est_v"),
+          col("exact_v").cast("long").as("exact_v"),
+          abs(col("est_v") - col("exact_v")).cast("long").as("abs_err"))
+        .orderBy("decile")
+    },
+
+    // ---- model-based imputation, audited: every 11th customer's
+    //      account balance is masked, an OLS plane on two order-derived
+    //      features (order count, spend) is fit on the REST in closed
+    //      form — one moments pass, a 2×2 normal-equation solve on the
+    //      single aggregate row — and the imputed values are scored
+    //      against the held-back truth per segment. The grown-up
+    //      sibling of q_locf_fill/q_interpolate: imputation as a model
+    //      with a measured error, not a fill rule. Scale: one grouped
+    //      pass over orders, one moments aggregate, broadcast
+    //      coefficients, one keyed join — no iteration.
+    QueryDef.checked(
+      "q_regression_impute",
+      """WITH feats AS (
+        |  SELECT c.c_custkey, c.c_mktsegment AS segment, c.c_acctbal AS y,
+        |    c.c_custkey % 11 = 0 AS masked,
+        |    coalesce(f.n_orders, 0.0) AS x1,
+        |    coalesce(f.spend, 0.0) / 100000 AS x2
+        |  FROM customer c LEFT JOIN (
+        |    SELECT o_custkey, CAST(count(*) AS DOUBLE) AS n_orders,
+        |      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |        AS spend
+        |    FROM orders GROUP BY o_custkey) f ON f.o_custkey = c.c_custkey
+        |), m AS (
+        |  SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+        |    sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+        |    sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+        |  FROM feats WHERE NOT masked
+        |), b AS (
+        |  SELECT n, s1 / n AS m1, s2 / n AS m2, sy / n AS my,
+        |    s11 - s1 * s1 / n AS c11, s12 - s1 * s2 / n AS c12,
+        |    s22 - s2 * s2 / n AS c22,
+        |    s1y - s1 * sy / n AS c1y, s2y - s2 * sy / n AS c2y
+        |  FROM m
+        |), beta AS (
+        |  SELECT m1, m2, my,
+        |    (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
+        |    (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
+        |  FROM b
+        |)
+        |SELECT segment, CAST(count(*) AS BIGINT) AS n_masked,
+        |  round(avg(my + b1 * (x1 - m1) + b2 * (x2 - m2)), 6) AS avg_imputed,
+        |  round(avg(y), 6) AS avg_true,
+        |  round(sqrt(avg((my + b1 * (x1 - m1) + b2 * (x2 - m2) - y)
+        |    * (my + b1 * (x1 - m1) + b2 * (x2 - m2) - y))), 6) AS rmse
+        |FROM feats, beta WHERE masked
+        |GROUP BY segment
+        |ORDER BY segment""".stripMargin) { (spark, dir) =>
+      val tb = Tables(spark, dir)
+      val f = tb.orders.groupBy("o_custkey")
+        .agg(count(lit(1)).cast("double").as("n_orders"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("double").as("spend"))
+      val feats = tb.customer
+        .join(f, col("o_custkey") === col("c_custkey"), "left")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+          col("c_acctbal").as("y"), (col("c_custkey") % 11 === 0).as("masked"),
+          coalesce(col("n_orders"), lit(0.0)).as("x1"),
+          (coalesce(col("spend"), lit(0.0)) / 100000).as("x2"))
+        .localCheckpoint() // moments pass AND the masked scoring pass
+      val m = feats.filter(!col("masked"))
+        .agg(count(lit(1)).as("n"), sum(col("x1")).as("s1"),
+          sum(col("x2")).as("s2"), sum(col("y")).as("sy"),
+          sum(col("x1") * col("x1")).as("s11"),
+          sum(col("x1") * col("x2")).as("s12"),
+          sum(col("x2") * col("x2")).as("s22"),
+          sum(col("x1") * col("y")).as("s1y"),
+          sum(col("x2") * col("y")).as("s2y"))
+      val b = m.select(col("n"),
+        (col("s1") / col("n")).as("m1"), (col("s2") / col("n")).as("m2"),
+        (col("sy") / col("n")).as("my"),
+        (col("s11") - col("s1") * col("s1") / col("n")).as("c11"),
+        (col("s12") - col("s1") * col("s2") / col("n")).as("c12"),
+        (col("s22") - col("s2") * col("s2") / col("n")).as("c22"),
+        (col("s1y") - col("s1") * col("sy") / col("n")).as("c1y"),
+        (col("s2y") - col("s2") * col("sy") / col("n")).as("c2y"))
+      val beta = b.select(col("m1"), col("m2"), col("my"),
+        ((col("c22") * col("c1y") - col("c12") * col("c2y"))
+          / (col("c11") * col("c22") - col("c12") * col("c12"))).as("b1"),
+        ((col("c11") * col("c2y") - col("c12") * col("c1y"))
+          / (col("c11") * col("c22") - col("c12") * col("c12"))).as("b2"))
+      val pred = col("my") + col("b1") * (col("x1") - col("m1")) +
+        col("b2") * (col("x2") - col("m2"))
+      feats.filter(col("masked")).crossJoin(broadcast(beta))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_masked"),
+          avg(pred).as("avg_imputed"), avg(col("y")).as("avg_true"),
+          sqrt(avg((pred - col("y")) * (pred - col("y")))).as("rmse"))
+        .select(col("segment"), col("n_masked").cast("long").as("n_masked"),
+          round(col("avg_imputed"), 6).as("avg_imputed"),
+          round(col("avg_true"), 6).as("avg_true"),
+          round(col("rmse"), 6).as("rmse"))
+        .orderBy("segment")
     }
   )
 }
