@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -777,6 +778,198 @@ object Learning {
             |  acc -> acc.a0 + acc.a1)), 6)""".stripMargin)
           .as("log_likelihood"))
         .orderBy("user_id")
+    },
+
+    // ---- logistic regression, one Newton step from the zero init: at
+    //      β=0 every probability is ½, so the gradient is Σ(y−½)·[1,x]
+    //      and the Hessian is ¼·Σ[1,x][1,x]ᵀ — both from ONE moments
+    //      pass; the step itself is a 2×2 solve on the single aggregate
+    //      row. A second broadcast pass scores the stepped model
+    //      (log-loss and sign accuracy) so the step's effect is checked
+    //      output. The GLM sibling of q_perceptron_step /
+    //      q_temperature_scaling: same moments→closed-form→broadcast
+    //      shape, nothing iterative touches the corpus.
+    QueryDef.checked(
+      "q_logreg_newton",
+      """WITH s AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+        |    value AS x
+        |  FROM events
+        |), m AS (
+        |  SELECT count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+        |    sum(y - 0.5) AS g0, sum((y - 0.5) * x) AS g1
+        |  FROM s
+        |), beta AS (
+        |  SELECT n,
+        |    4 * (sxx * g0 - sx * g1) / (n * sxx - sx * sx) AS b0,
+        |    4 * (n * g1 - sx * g0) / (n * sxx - sx * sx) AS b1
+        |  FROM m
+        |)
+        |SELECT CAST(b.n AS BIGINT) AS n,
+        |  round(b.b0, 6) AS b0, round(b.b1, 6) AS b1,
+        |  round(ln(2), 6) AS loss_before,
+        |  round(avg(ln(1 + exp(-(2 * s.y - 1) * (b.b0 + b.b1 * s.x)))), 6)
+        |    AS loss_after,
+        |  round(avg(CASE WHEN (b.b0 + b.b1 * s.x > 0) = (s.y = 1)
+        |    THEN 1.0 ELSE 0.0 END), 6) AS accuracy_after
+        |FROM s, beta b
+        |GROUP BY b.n, b.b0, b.b1""".stripMargin) { (spark, dir) =>
+      val s = Tables(spark, dir).events
+        .select(when(col("event_type") === "purchase", 1).otherwise(0).as("y"),
+          col("value").as("x"))
+        .localCheckpoint() // moments pass AND the scoring pass
+      val m = s.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") - 0.5).as("g0"),
+        sum((col("y") - 0.5) * col("x")).as("g1"))
+      val det = col("n") * col("sxx") - col("sx") * col("sx")
+      val beta = m.select(col("n"),
+        (lit(4) * (col("sxx") * col("g0") - col("sx") * col("g1")) / det)
+          .as("b0"),
+        (lit(4) * (col("n") * col("g1") - col("sx") * col("g0")) / det)
+          .as("b1"))
+      val z = col("b0") + col("b1") * col("x")
+      s.crossJoin(broadcast(beta))
+        .groupBy("n", "b0", "b1")
+        .agg(avg(log(lit(1) + exp((lit(2) * col("y") - 1) * z * -1)))
+          .as("loss_after"),
+          avg(when((z > 0) === (col("y") === 1), 1.0).otherwise(0.0))
+            .as("accuracy_after"))
+        .select(col("n").cast("long").as("n"),
+          round(col("b0"), 6).as("b0"), round(col("b1"), 6).as("b1"),
+          round(log(lit(2)), 6).as("loss_before"),
+          round(col("loss_after"), 6).as("loss_after"),
+          round(col("accuracy_after"), 6).as("accuracy_after"))
+    },
+
+    // ---- gradient boosting, two depth-1 rounds as dataflow: F₀ = ȳ,
+    //      then each round fits a stump to the residuals — but because
+    //      the feature (l_quantity) is small-cardinality, the corpus
+    //      contributes ONE grouped pass (per-quantity n, Σy, Σy² in
+    //      BIGINT dollars) and both split searches + both refits run on
+    //      the ≤50-row group relation: prefix sums give every
+    //      candidate's gain, argmax is a window rank, and the residual
+    //      group sums after a ν-scaled stump are EXACT closed forms
+    //      (Σr stays 0; Σr² drops by ν(2−ν)·gain), so round 2 never
+    //      rescans the data. The boosting analogue of
+    //      q_decision_stump's single fit.
+    QueryDef.checked(
+      "q_boosting_stumps",
+      """WITH s AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem
+        |), g AS (
+        |  SELECT q, count(*) AS n, sum(y) AS s, sum(y * y) AS qq
+        |  FROM s GROUP BY q
+        |), tot AS (
+        |  SELECT sum(n) AS nt, sum(s) AS st, sum(qq) AS qqt FROM g
+        |), r1 AS (
+        |  SELECT g.q, g.n, g.s - g.n * (CAST(t.st AS DOUBLE) / t.nt) AS rs,
+        |    t.nt, t.st, t.qqt
+        |  FROM g, tot t
+        |), p1 AS (
+        |  SELECT q, nt, qqt, st,
+        |    sum(n) OVER (ORDER BY q) AS cn,
+        |    sum(rs) OVER (ORDER BY q) AS crs
+        |  FROM r1
+        |), g1 AS (
+        |  SELECT q, nt, qqt, st,
+        |    crs * crs / cn + crs * crs / (nt - cn) AS gain,
+        |    crs / cn AS m_lo, -crs / (nt - cn) AS m_hi, cn
+        |  FROM p1 WHERE cn < nt
+        |), b1 AS (
+        |  SELECT * FROM (SELECT *,
+        |    row_number() OVER (ORDER BY gain DESC, q) AS rn FROM g1)
+        |  WHERE rn = 1
+        |), r2 AS (
+        |  SELECT r1.q, r1.n,
+        |    r1.rs - r1.n * 0.5 * (CASE WHEN r1.q <= b1.q
+        |      THEN b1.m_lo ELSE b1.m_hi END) AS rs,
+        |    r1.nt, b1.q AS t1, b1.m_lo AS m1_lo, b1.m_hi AS m1_hi,
+        |    b1.gain AS gain1, r1.qqt, r1.st
+        |  FROM r1, b1
+        |), p2 AS (
+        |  SELECT q, nt, t1, m1_lo, m1_hi, gain1, qqt, st,
+        |    sum(n) OVER (ORDER BY q) AS cn,
+        |    sum(rs) OVER (ORDER BY q) AS crs
+        |  FROM r2
+        |), g2 AS (
+        |  SELECT q, nt, t1, m1_lo, m1_hi, gain1, qqt, st,
+        |    crs * crs / cn + crs * crs / (nt - cn) AS gain,
+        |    crs / cn AS m_lo, -crs / (nt - cn) AS m_hi
+        |  FROM p2 WHERE cn < nt
+        |), b2 AS (
+        |  SELECT * FROM (SELECT *,
+        |    row_number() OVER (ORDER BY gain DESC, q) AS rn FROM g2)
+        |  WHERE rn = 1
+        |), base AS (
+        |  SELECT nt, t1, m1_lo, m1_hi, gain1, q AS t2, m_lo AS m2_lo,
+        |    m_hi AS m2_hi, gain AS gain2,
+        |    qqt - CAST(st AS DOUBLE) * st / nt AS sse0
+        |  FROM b2
+        |)
+        |SELECT CAST(t1 AS INT) AS t1,
+        |  round(0.5 * m1_lo, 6) AS inc1_lo, round(0.5 * m1_hi, 6) AS inc1_hi,
+        |  CAST(t2 AS INT) AS t2,
+        |  round(0.5 * m2_lo, 6) AS inc2_lo, round(0.5 * m2_hi, 6) AS inc2_hi,
+        |  round(sse0 / nt, 6) AS mse0,
+        |  round((sse0 - 0.75 * gain1) / nt, 6) AS mse1,
+        |  round((sse0 - 0.75 * gain1 - 0.75 * gain2) / nt, 6) AS mse2
+        |FROM base""".stripMargin) { (spark, dir) =>
+      val s = Tables(spark, dir).lineitem
+        .select(expr("CAST(l_quantity AS BIGINT)").as("q"),
+          expr("CAST(round(l_extendedprice) AS BIGINT)").as("y"))
+      val g = s.groupBy("q")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
+          sum(col("y") * col("y")).as("qq"))
+        .localCheckpoint() // <=50 rows; everything below is bounded
+      val tot = g.agg(sum(col("n")).as("nt"), sum(col("s")).as("st"),
+        sum(col("qq")).as("qqt"))
+      val r1 = g.crossJoin(broadcast(tot))
+        .select(col("q"), col("n"),
+          (col("s") - col("n") * (col("st").cast("double") / col("nt")))
+            .as("rs"),
+          col("nt"), col("st"), col("qqt"))
+      def bestSplit(r: org.apache.spark.sql.DataFrame, keep: Seq[String]) = {
+        val w = Window.orderBy("q")
+        val p = r
+          .withColumn("cn", sum(col("n")).over(w))
+          .withColumn("crs", sum(col("rs")).over(w))
+          .filter(col("cn") < col("nt"))
+          .withColumn("gain", col("crs") * col("crs") / col("cn")
+            + col("crs") * col("crs") / (col("nt") - col("cn")))
+          .withColumn("m_lo", col("crs") / col("cn"))
+          .withColumn("m_hi", -col("crs") / (col("nt") - col("cn")))
+        p.withColumn("rn", row_number().over(
+            Window.orderBy(col("gain").desc, col("q"))))
+          .filter(col("rn") === 1)
+          .select((Seq("q", "gain", "m_lo", "m_hi") ++ keep).map(col): _*)
+      }
+      val b1 = bestSplit(r1, Seq("nt", "st", "qqt"))
+        .withColumnRenamed("q", "t1").withColumnRenamed("gain", "gain1")
+        .withColumnRenamed("m_lo", "m1_lo").withColumnRenamed("m_hi", "m1_hi")
+      val r2 = r1.select("q", "n", "rs").crossJoin(broadcast(b1))
+        .select(col("q"), col("n"),
+          (col("rs") - col("n") * 0.5 * when(col("q") <= col("t1"),
+            col("m1_lo")).otherwise(col("m1_hi"))).as("rs"),
+          col("nt"), col("t1"), col("m1_lo"), col("m1_hi"), col("gain1"),
+          col("qqt"), col("st"))
+      val b2 = bestSplit(r2,
+        Seq("nt", "t1", "m1_lo", "m1_hi", "gain1", "qqt", "st"))
+      b2.withColumn("sse0",
+          col("qqt") - col("st").cast("double") * col("st") / col("nt"))
+        .select(col("t1").cast("int").as("t1"),
+          round(lit(0.5) * col("m1_lo"), 6).as("inc1_lo"),
+          round(lit(0.5) * col("m1_hi"), 6).as("inc1_hi"),
+          col("q").cast("int").as("t2"),
+          round(lit(0.5) * col("m_lo"), 6).as("inc2_lo"),
+          round(lit(0.5) * col("m_hi"), 6).as("inc2_hi"),
+          round(col("sse0") / col("nt"), 6).as("mse0"),
+          round((col("sse0") - lit(0.75) * col("gain1")) / col("nt"), 6)
+            .as("mse1"),
+          round((col("sse0") - lit(0.75) * col("gain1")
+            - lit(0.75) * col("gain")) / col("nt"), 6).as("mse2"))
     }
   )
 }

@@ -939,6 +939,70 @@ object TimeSeries {
           round(col("cx").cast("double") / col("cn"), 6).as("mean_left"),
           round((col("sx") - col("cx")).cast("double")
             / (col("n") - col("cn")), 6).as("mean_right"))
+    },
+
+    // ---- AR(1) fit + one-step forecast on the daily order volume:
+    //      conditional least squares (OLS of n_t on n_{t-1}) gives φ
+    //      and the intercept in closed form from BIGINT pair sums, the
+    //      innovation variance is the OLS residual variance, and the
+    //      forecast extrapolates from the last observed day. The
+    //      model-fitting step q_autocorr stops short of: same one
+    //      corpus aggregate onto the calendar-bounded grid, same
+    //      integer-sum discipline, then scalar arithmetic.
+    QueryDef.checked(
+      "q_ar1_forecast",
+      s"""WITH $duckGridCtes, lagged AS (
+        |  SELECT day, n, lag(n, 1) OVER (ORDER BY day) AS l1 FROM grid
+        |), sums AS (
+        |  SELECT count(*) AS np,
+        |    CAST(sum(l1) AS BIGINT) AS sx, CAST(sum(n) AS BIGINT) AS sy,
+        |    CAST(sum(l1 * n) AS BIGINT) AS sxy,
+        |    CAST(sum(l1 * l1) AS BIGINT) AS sxx,
+        |    CAST(sum(n * n) AS BIGINT) AS syy
+        |  FROM lagged WHERE l1 IS NOT NULL
+        |), last AS (
+        |  SELECT max_by(n, day) AS n_last FROM grid
+        |), fit AS (
+        |  SELECT np, n_last,
+        |    CAST(np * sxy - sx * sy AS DOUBLE)
+        |      / CAST(np * sxx - sx * sx AS DOUBLE) AS phi,
+        |    sx, sy, sxy, sxx, syy
+        |  FROM sums, last
+        |)
+        |SELECT CAST(np AS BIGINT) AS n_pairs,
+        |  round(phi, 6) AS phi,
+        |  round((sy - phi * sx) / np, 6) AS intercept,
+        |  round(((syy - CAST(sy AS DOUBLE) * sy / np)
+        |    - phi * (sxy - CAST(sx AS DOUBLE) * sy / np)) / (np - 2), 6)
+        |    AS sigma2_innov,
+        |  CAST(n_last AS BIGINT) AS last_n,
+        |  round((sy - phi * sx) / np + phi * n_last, 6) AS forecast_next
+        |FROM fit""".stripMargin) { (spark, dir) =>
+      val grid = dailyGrid(spark, dir).localCheckpoint() // lag pass + last-day
+      val lagged = grid
+        .withColumn("l1", lag(col("n"), 1).over(Window.orderBy("day")))
+        .filter(col("l1").isNotNull)
+      val sums = lagged.agg(count(lit(1)).as("np"),
+        sum(col("l1")).cast("long").as("sx"),
+        sum(col("n")).cast("long").as("sy"),
+        sum(col("l1") * col("n")).cast("long").as("sxy"),
+        sum(col("l1") * col("l1")).cast("long").as("sxx"),
+        sum(col("n") * col("n")).cast("long").as("syy"))
+      val last = grid.agg(expr("max_by(n, day)").as("n_last"))
+      val phi = (col("np") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("np") * col("sxx") - col("sx") * col("sx")).cast("double")
+      sums.crossJoin(broadcast(last))
+        .withColumn("phi", phi)
+        .select(col("np").cast("long").as("n_pairs"),
+          round(col("phi"), 6).as("phi"),
+          round((col("sy") - col("phi") * col("sx")) / col("np"), 6)
+            .as("intercept"),
+          round(((col("syy") - col("sy").cast("double") * col("sy") / col("np"))
+            - col("phi") * (col("sxy") - col("sx").cast("double") * col("sy")
+              / col("np"))) / (col("np") - 2), 6).as("sigma2_innov"),
+          col("n_last").cast("long").as("last_n"),
+          round((col("sy") - col("phi") * col("sx")) / col("np")
+            + col("phi") * col("n_last"), 6).as("forecast_next"))
     }
   )
 }
