@@ -1114,6 +1114,106 @@ object Curation {
           min(col("pooled_v")).cast("long").as("min_norm"),
           max(col("pooled_v")).cast("long").as("max_norm"))
         .orderBy("source")
+    },
+
+    // ---- greedy maximum-coverage selection (3 rounds): pick the doc
+    //      covering the most uncovered BIGRAMS, remove them, repeat —
+    //      the (1−1/e)-approximate coreset/diversity selection a
+    //      training-data pipeline runs to seed a corpus with breadth.
+    //      (Bigrams, not unigrams: the fixture vocabulary is a 31-word
+    //      palette a single doc can exhaust, which would make the
+    //      greedy loop degenerate; the bigram universe is ~30× larger.)
+    //      Each round is one keyed aggregate over the REMAINING token
+    //      postings plus an anti-join against the (tiny, broadcast)
+    //      covered-token set — the corpus is never rescanned from
+    //      scratch, and the covered set grows only by the winners'
+    //      vocabularies. The oracle unrolls the three rounds as CTE
+    //      stages, the same discipline as the PageRank/BFS unrolls.
+    QueryDef.checked(
+      "q_greedy_coverage",
+      """WITH bgl AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), tok AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(list_filter(list_transform(t, (x, i) ->
+        |      CASE WHEN i + 1 <= len(t)
+        |        THEN concat(x, ' ', t[i + 1]) END), v -> v IS NOT NULL))
+        |      AS tok
+        |    FROM bgl)
+        |), g1 AS (
+        |  SELECT doc_id, count(*) AS gain FROM tok GROUP BY doc_id
+        |), w1 AS (
+        |  SELECT doc_id, gain FROM g1 ORDER BY gain DESC, doc_id LIMIT 1
+        |), c1 AS (
+        |  SELECT DISTINCT t.tok FROM tok t JOIN w1 ON t.doc_id = w1.doc_id
+        |), r2 AS (
+        |  SELECT t.doc_id, t.tok FROM tok t
+        |  LEFT JOIN c1 ON c1.tok = t.tok WHERE c1.tok IS NULL
+        |), g2 AS (
+        |  SELECT doc_id, count(*) AS gain FROM r2 GROUP BY doc_id
+        |), w2 AS (
+        |  SELECT doc_id, gain FROM g2 ORDER BY gain DESC, doc_id LIMIT 1
+        |), c2 AS (
+        |  SELECT tok FROM c1
+        |  UNION
+        |  SELECT DISTINCT r2.tok FROM r2 JOIN w2 ON r2.doc_id = w2.doc_id
+        |), r3 AS (
+        |  SELECT t.doc_id, t.tok FROM tok t
+        |  LEFT JOIN c2 ON c2.tok = t.tok WHERE c2.tok IS NULL
+        |), g3 AS (
+        |  SELECT doc_id, count(*) AS gain FROM r3 GROUP BY doc_id
+        |), w3 AS (
+        |  SELECT doc_id, gain FROM g3 ORDER BY gain DESC, doc_id LIMIT 1
+        |), c3 AS (
+        |  SELECT tok FROM c2
+        |  UNION
+        |  SELECT DISTINCT r3.tok FROM r3 JOIN w3 ON r3.doc_id = w3.doc_id
+        |)
+        |SELECT 1 AS round, w1.doc_id,
+        |  CAST(w1.gain AS BIGINT) AS gain,
+        |  CAST((SELECT count(*) FROM c1) AS BIGINT) AS cum_covered
+        |FROM w1
+        |UNION ALL
+        |SELECT 2, w2.doc_id, CAST(w2.gain AS BIGINT),
+        |  CAST((SELECT count(*) FROM c2) AS BIGINT) FROM w2
+        |UNION ALL
+        |SELECT 3, w3.doc_id, CAST(w3.gain AS BIGINT),
+        |  CAST((SELECT count(*) FROM c3) AS BIGINT) FROM w3
+        |ORDER BY round""".stripMargin) { (spark, dir) =>
+      val tok = Tables(spark, dir).documents
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(expr(
+          """filter(transform(t, (x, i) ->
+            |  IF(i + 2 <= size(t), concat(x, ' ', t[i + 1]), NULL)),
+            |  v -> v IS NOT NULL)""".stripMargin)).as("tok"))
+        .distinct()
+        .localCheckpoint() // three rounds share the posting relation
+      def pick(remaining: org.apache.spark.sql.DataFrame) = {
+        val w = remaining.groupBy("doc_id")
+          .agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col("doc_id")).limit(1)
+          .localCheckpoint() // 1 row; feeds the cover join AND the output
+        val cov = remaining
+          .join(broadcast(w.select("doc_id")), Seq("doc_id"))
+          .select("tok").distinct()
+        (w, cov)
+      }
+      val (w1, cov1) = pick(tok)
+      val c1 = cov1.localCheckpoint()
+      val r2 = tok.join(broadcast(c1), Seq("tok"), "left_anti")
+      val (w2, cov2) = pick(r2)
+      val c2 = c1.unionAll(cov2).distinct().localCheckpoint()
+      val r3 = tok.join(broadcast(c2), Seq("tok"), "left_anti")
+      val (w3, cov3) = pick(r3)
+      val c3 = c2.unionAll(cov3).distinct()
+      def row(n: Int, w: org.apache.spark.sql.DataFrame,
+          c: org.apache.spark.sql.DataFrame) =
+        w.crossJoin(broadcast(c.agg(count(lit(1)).as("cum_covered"))))
+          .select(lit(n).as("round"), col("doc_id"),
+            col("gain").cast("long").as("gain"),
+            col("cum_covered").cast("long").as("cum_covered"))
+      row(1, w1, c1).unionAll(row(2, w2, c2)).unionAll(row(3, w3, c3))
+        .orderBy("round")
     }
   )
 }

@@ -292,6 +292,76 @@ object Sampling {
           (col("base") + when(col("rem_rank") <= col("leftover"), 1L)
             .otherwise(0L)).cast("long").as("alloc"))
         .orderBy("c_mktsegment")
+    },
+
+    // ---- Horvitz-Thompson estimation from the unequal-probability
+    //      sample: q_sample_stratified's deterministic md5 sample keeps
+    //      en docs at π=0.10 and everything else at π=0.50; HT
+    //      reweights each sampled doc by 1/π to estimate the total
+    //      character mass per language, with the Bernoulli-design
+    //      variance Σ(1−π)/π²·y² and a 95% CI — and the TRUE total
+    //      beside it, so the estimator's coverage is checked output.
+    //      The AQP primitive: at 100 TB the full scan is the thing you
+    //      can't afford; the sample (partition-prunable by the hash
+    //      digit) plus this reweighting answers SUM queries with
+    //      calibrated error, and the oracle proves the arithmetic.
+    QueryDef.checked(
+      "q_ht_estimator",
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CASE WHEN lang = 'en' THEN 0.10 ELSE 0.50 END AS pi,
+        |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 100 AS h
+        |  FROM documents
+        |), s AS (
+        |  SELECT lang, count(*) AS n_sampled,
+        |    sum(n_chars / pi) AS est,
+        |    sum((1 - pi) / (pi * pi) * n_chars * n_chars) AS v
+        |  FROM d WHERE h < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+        |  GROUP BY lang
+        |), t AS (
+        |  SELECT lang, count(*) AS n_pop,
+        |    CAST(sum(n_chars) AS BIGINT) AS true_total
+        |  FROM d GROUP BY lang
+        |)
+        |SELECT t.lang, CAST(t.n_pop AS BIGINT) AS n_pop,
+        |  CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+        |  t.true_total,
+        |  round(coalesce(s.est, 0.0), 6) AS ht_estimate,
+        |  round(sqrt(coalesce(s.v, 0.0)), 6) AS se,
+        |  coalesce(s.est, 0.0) - 1.96 * sqrt(coalesce(s.v, 0.0))
+        |    <= t.true_total
+        |  AND t.true_total
+        |    <= coalesce(s.est, 0.0) + 1.96 * sqrt(coalesce(s.v, 0.0))
+        |    AS ci_covers
+        |FROM t LEFT JOIN s ON s.lang = t.lang
+        |ORDER BY t.lang""".stripMargin) { (spark, dir) =>
+      val d = Tables(spark, dir).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          when(col("lang") === "en", 0.10).otherwise(0.50).as("pi"),
+          (Dedup.md5h64(col("doc_id").cast("string")) % 100).as("h"))
+        .localCheckpoint() // sample pass AND the truth pass share the scan
+      val s = d
+        .filter(col("h") < when(col("lang") === "en", 10).otherwise(50))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("n_chars") / col("pi")).as("est"),
+          sum((lit(1) - col("pi")) / (col("pi") * col("pi"))
+            * col("n_chars") * col("n_chars")).as("v"))
+      val t = d.groupBy("lang")
+        .agg(count(lit(1)).as("n_pop"),
+          sum(col("n_chars")).cast("long").as("true_total"))
+      val est = coalesce(col("est"), lit(0.0))
+      val se = sqrt(coalesce(col("v"), lit(0.0)))
+      t.join(s, Seq("lang"), "left")
+        .select(col("lang"), col("n_pop").cast("long").as("n_pop"),
+          coalesce(col("n_sampled"), lit(0L)).cast("long").as("n_sampled"),
+          col("true_total"),
+          round(est, 6).as("ht_estimate"),
+          round(se, 6).as("se"),
+          (est - lit(1.96) * se <= col("true_total")
+            && col("true_total") <= est + lit(1.96) * se).as("ci_covers"))
+        .orderBy("lang")
     }
   )
 }
