@@ -113,7 +113,10 @@ object Alignment {
         |  FROM events GROUP BY user_id, event_type
         |), lifted AS (
         |  SELECT CASE WHEN n >= 8 THEN 8 ELSE n END AS n_bucket,
-        |    best_cents - (sum_cents // n) AS lift_cents
+        |    -- sign-factored: truncating division under either `//`
+        |    -- semantics, matching Spark `div` (cents can go negative
+        |    -- if the fixture ever gains refund-like values)
+        |    best_cents - ((abs(sum_cents) // n) * sign(sum_cents)) AS lift_cents
         |  FROM per_user
         |)
         |SELECT CAST(n_bucket AS BIGINT) AS n_bucket,

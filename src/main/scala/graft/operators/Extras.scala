@@ -325,7 +325,10 @@ object Extras {
         |    AND p.pts <= c.cts + INTERVAL 1 HOUR
         |)
         |SELECT click_id, CAST(count(*) AS BIGINT) AS n_purchases,
-        |  round(CAST(sum(v_micro // n_clicks) AS BIGINT) / 1000000.0, 6) AS linear_credit,
+        |  -- sign-factored so the share is TRUNCATING division under
+        |  -- either floor- or trunc-`//` semantics (matches Spark `div`)
+        |  round(CAST(sum((abs(v_micro) // n_clicks) * sign(v_micro)) AS BIGINT)
+        |    / 1000000.0, 6) AS linear_credit,
         |  round(CAST(sum(CASE WHEN rn_last = 1 THEN v_micro ELSE 0 END) AS BIGINT)
         |    / 1000000.0, 6) AS last_touch_credit
         |FROM touch
@@ -348,14 +351,10 @@ object Extras {
           .orderBy(col("cts").desc, col("click_id").desc)))
         .groupBy("click_id")
         .agg(count(lit(1)).cast("long").as("n_purchases"),
-          // FLOOR division to match the oracle's `//`: Spark `div`
-          // truncates toward zero, which diverges on negative values
-          // (refunds); n_clicks > 0, so floor = trunc − 1 exactly when
-          // a negative v_micro doesn't divide evenly
-          round(sum(expr(
-            """v_micro div n_clicks -
-              |  CASE WHEN v_micro < 0 AND v_micro % n_clicks != 0
-              |       THEN 1 ELSE 0 END""".stripMargin)).cast("long")
+          // TRUNCATING share on both sides: Spark `div` truncates toward
+          // zero, and the oracle sign-factors its `//` so it truncates
+          // under either floor- or trunc-division DuckDB semantics
+          round(sum(expr("v_micro div n_clicks")).cast("long")
             / lit(1000000.0), 6).as("linear_credit"),
           round(sum(when(col("rn_last") === 1, col("v_micro")).otherwise(0L))
             .cast("long") / lit(1000000.0), 6).as("last_touch_credit"))
