@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.util.Checkpoint.PinOps
 
 /** Duplicate-cluster assignment: connected components over the near-dup
   * pair graph (north star, SURVEY.md §2B dedup family).
@@ -53,10 +54,10 @@ object Clusters {
     // symmetrize once so "neighbours of n" is a single equi-join on src
     val sym = edges.select(col("a"), col("b"))
       .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
+      .pin()
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint()
+      .pin()
     var prevSum: java.math.BigDecimal = null
     var iter = 0
     var converged = false
@@ -68,7 +69,7 @@ object Clusters {
       val ck = df
         .observe(obs, sum(col("label")
           .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
-        .localCheckpoint()
+        .pin()
       (ck, obs.get("s").asInstanceOf[java.math.BigDecimal])
     }
     while (!converged && iter < maxIter) {
@@ -86,7 +87,7 @@ object Clusters {
       // relation, but stay total.
       val (next, s) = if (iter < 6) checkpointWithSum(propagated)
       else {
-        val base = propagated.localCheckpoint()
+        val base = propagated.pin()
         val lookup = base.select(col("node").as("label"), col("label").as("ll"))
         checkpointWithSum(base
           .join(lookup, Seq("label"), "left")

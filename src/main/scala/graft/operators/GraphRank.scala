@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.util.Checkpoint.PinOps
 
 /** Iterative graph computation done as dataflow: PageRank over the
   * supplier↔customer trade graph (who supplies whom, via
@@ -96,7 +97,7 @@ object GraphRank {
       // spread's split-count probe would execute those stages eagerly.)
       val shuffleN = spark.conf.get("spark.sql.shuffle.partitions").toInt
       val ed = edges.join(deg, Seq("src"))
-        .repartition(shuffleN, col("src")).localCheckpoint()
+        .repartition(shuffleN, col("src")).pin()
       // node set from the CHECKPOINTED relation — deriving it from
       // `edges` would re-run the whole lineitem⋈orders+distinct subtree
       var ranks = ed.select(col("src").as("node")).distinct()
@@ -199,7 +200,7 @@ object GraphRank {
         |ORDER BY round""".stripMargin) { (spark, dir) =>
       // one materialization feeds all three peel rounds + the census
       var e = tradeEdges(Tables(spark, dir), Some(col("l_quantity") >= 49))
-        .localCheckpoint()
+        .pin()
       def census(round: Int, ed: org.apache.spark.sql.DataFrame) =
         ed.agg(countDistinct(col("src")).as("n_nodes"),
           count(lit(1)).as("n_dir_edges"))
@@ -211,7 +212,7 @@ object GraphRank {
         e = e.join(keep, Seq("src"), "left_semi")
           .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
           .select("src", "dst")
-          .localCheckpoint() // each round feeds the next round + census
+          .pin() // each round feeds the next round + census
         out = out.unionAll(census(r, e))
       }
       out.orderBy("round")
@@ -299,7 +300,7 @@ object GraphRank {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
         .distinct()
-        .localCheckpoint() // feeds all four half-iterations
+        .pin() // feeds all four half-iterations
       val auth1 = pairs.groupBy("c").agg(count(lit(1)).cast("long").as("a"))
       val hub1 = pairs.join(auth1, Seq("c"))
         .groupBy("s").agg(sum(col("a")).cast("long").as("h"))
@@ -574,7 +575,7 @@ object GraphRank {
           col("cu").as("csrc"), col("cv").as("cdst"))
         .unionAll(e0.select(col("v").as("src"), col("u").as("dst"),
           col("cv").as("csrc"), col("cu").as("cdst")))
-        .localCheckpoint() // m2, deg, and kin all read the edge build
+        .pin() // m2, deg, and kin all read the edge build
       val m2 = edges.agg(count(lit(1)).as("m2"))
       val deg = edges.groupBy(col("src").as("node"))
         .agg(max(col("csrc")).as("comm"), count(lit(1)).as("k"))
@@ -643,19 +644,19 @@ object GraphRank {
         |  CAST(sum(node) AS BIGINT) AS sum_nodes
         |FROM joined GROUP BY d ORDER BY dist""".stripMargin) { (spark, dir) =>
       val edges = tradeEdges(Tables(spark, dir), None)
-        .localCheckpoint() // reused by 3 relaxation rounds + the census
+        .pin() // reused by 3 relaxation rounds + the census
       val nodes = edges.select(col("src").as("node")).distinct()
       var dist = nodes
         .filter(col("node") % 20 === 0 && col("node") < custOffset)
         .select(col("node"), lit(0).as("d"))
-        .localCheckpoint()
+        .pin()
       for (_ <- 1 to 3) {
         dist = dist
           .join(edges, col("node") === col("src"))
           .select(col("dst").as("node"), (col("d") + 1).as("d"))
           .unionAll(dist)
           .groupBy("node").agg(min(col("d")).as("d"))
-          .localCheckpoint() // truncate the per-round lineage
+          .pin() // truncate the per-round lineage
       }
       nodes.join(dist, Seq("node"), "left")
         .select(col("node"), coalesce(col("d"), lit(-1)).as("d"))

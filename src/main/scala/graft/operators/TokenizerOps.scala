@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.util.Checkpoint.PinOps
 
 /** Tokenizer-training and pipeline-evaluation operators: the first BPE
   * merge round (character-pair frequencies — what a tokenizer trainer
@@ -242,7 +243,7 @@ object TokenizerOps {
       // periodic-checkpoint discipline, here every round)
       var syms = words.select(
         concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("s"))
-        .localCheckpoint()
+        .pin()
       val merges = Seq.newBuilder[(Long, String, String, String, Long)]
       for (round <- 1 to 3) {
         val top = syms
@@ -262,7 +263,7 @@ object TokenizerOps {
         // the last round's winner needs no re-application
         if (round < 3)
           syms = syms.select(expr(s"replace(s, ' $l $r ', ' $l$r ')").as("s"))
-            .localCheckpoint()
+            .pin()
       }
       merges.result().toDF("round", "l", "r", "merged", "n")
     },

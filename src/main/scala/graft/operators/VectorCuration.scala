@@ -1,8 +1,10 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.util.Checkpoint.PinOps
 import graft.functions.VectorFunctions
 
 /** Embedding-side curation operators (north star, SURVEY.md §2B):
@@ -639,7 +641,7 @@ object VectorCuration {
       val ivf = IvfIndex(nprobe = 1)
       val cents = ivf.centroids(emb)
         .select(col("label").as("cell"), col("centroid"))
-        .localCheckpoint() // feeds the assignment AND the old-centroid diff
+        .pin() // feeds the assignment AND the old-centroid diff
       val assigned = emb.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("cell"), col("embedding"),
           ivf.mixedCosine("embedding", "centroid").as("csim"))
@@ -752,9 +754,9 @@ object VectorCuration {
               col("embedding"))) * 1000000).cast("long").as("d"))
       val s1 = emb.filter(col("vec_id") === 0)
       val d1 = distTo(s1, emb.filter(col("vec_id") =!= 0))
-        .localCheckpoint() // reused by round 2's min() and the argmax
+        .pin() // reused by round 2's min() and the argmax
       val s2row = d1.orderBy(col("d").desc, col("vec_id")).limit(1)
-        .localCheckpoint()
+        .pin()
       val s2vec = emb.join(broadcast(s2row.select("vec_id")), Seq("vec_id"))
       val d2 = d1.join(broadcast(s2row.select(col("vec_id").as("ex"))),
           col("vec_id") === col("ex"), "left_anti")
@@ -1093,8 +1095,12 @@ object VectorCuration {
         |    CAST(embedding[2] AS DOUBLE) AS x2
         |  FROM embeddings
         |), m AS (
-        |  SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2,
-        |    sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CAST(x1 AS DECIMAL(38,18))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(x2 AS DECIMAL(38,18))) AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(x1 * x1 AS DECIMAL(38,18))) AS DOUBLE) AS s11,
+        |    CAST(sum(CAST(x1 * x2 AS DECIMAL(38,18))) AS DOUBLE) AS s12,
+        |    CAST(sum(CAST(x2 * x2 AS DECIMAL(38,18))) AS DOUBLE) AS s22
         |  FROM x
         |), c AS (
         |  SELECT n, s11 / n - (s1 / n) * (s1 / n) AS c11,
@@ -1132,18 +1138,22 @@ object VectorCuration {
         |FROM inv""".stripMargin) { (spark, dir) =>
       // ONE distributed moments aggregate; the 2×2 matrix algebra runs
       // on the collected 1-row result (the bounded-collect discipline).
-      // A pure-Column formulation was measured to drift 6e-5 on w11:
-      // with many outputs in one collapsed projection, codegen's
-      // subexpression elimination evaluates semantically-equal subtrees
-      // in a different association order than the oracle's textual one.
-      // Driver scalar math replays the closed form bit-for-bit.
+      // Moments are summed in DECIMAL(38,18): products of doubles cast
+      // identically on both engines and decimal addition is associative,
+      // so the sum is independent of Spark's partial-aggregate order —
+      // IEEE double sums drift with accumulation order and that drift
+      // survived round(.,6) at a digit boundary (round-5 hash miss).
+      // Driver scalar math then replays the closed form bit-for-bit
+      // against the oracle's textual order of operations.
+      def dsum(c: Column): Column =
+        sum(c.cast("decimal(38,18)")).cast("double")
       val m = Tables(spark, dir).embeddings
         .select(expr("CAST(embedding[0] AS DOUBLE)").as("x1"),
           expr("CAST(embedding[1] AS DOUBLE)").as("x2"))
-        .agg(count(lit(1)).as("n"), sum(col("x1")).as("s1"),
-          sum(col("x2")).as("s2"), sum(col("x1") * col("x1")).as("s11"),
-          sum(col("x1") * col("x2")).as("s12"),
-          sum(col("x2") * col("x2")).as("s22"))
+        .agg(count(lit(1)).as("n"), dsum(col("x1")).as("s1"),
+          dsum(col("x2")).as("s2"), dsum(col("x1") * col("x1")).as("s11"),
+          dsum(col("x1") * col("x2")).as("s12"),
+          dsum(col("x2") * col("x2")).as("s22"))
         .first()
       val n = m.getAs[Long]("n").toDouble
       val (s1, s2) = (m.getAs[Double]("s1"), m.getAs[Double]("s2"))
@@ -1190,11 +1200,16 @@ object VectorCuration {
         |  FROM embeddings
         |), m AS (
         |  SELECT count(*) AS n,
-        |    sum(x1 * y1 + x2 * y2) AS sc,
-        |    sum(x1 * y2 - x2 * y1) AS ss,
-        |    sum(x1 * x1 + x2 * x2) AS sxx,
-        |    sum(y1 * y1 + y2 * y2) AS syy,
-        |    sum((x1 - y1) * (x1 - y1) + (x2 - y2) * (x2 - y2)) AS e_before
+        |    CAST(sum(CAST(x1 * y1 + x2 * y2 AS DECIMAL(38,18)))
+        |      AS DOUBLE) AS sc,
+        |    CAST(sum(CAST(x1 * y2 - x2 * y1 AS DECIMAL(38,18)))
+        |      AS DOUBLE) AS ss,
+        |    CAST(sum(CAST(x1 * x1 + x2 * x2 AS DECIMAL(38,18)))
+        |      AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y1 * y1 + y2 * y2 AS DECIMAL(38,18)))
+        |      AS DOUBLE) AS syy,
+        |    CAST(sum(CAST((x1 - y1) * (x1 - y1) + (x2 - y2) * (x2 - y2)
+        |      AS DECIMAL(38,18))) AS DOUBLE) AS e_before
         |  FROM x
         |)
         |SELECT CAST(n AS BIGINT) AS n,
@@ -1204,18 +1219,25 @@ object VectorCuration {
         |  round((e_before - (sxx + syy - 2 * sqrt(sc * sc + ss * ss)))
         |    / e_before, 6) AS err_reduction
         |FROM m""".stripMargin) { (spark, dir) =>
+      // Same order-proof discipline as q_whitening_2d: per-row double
+      // arithmetic is identical on both engines, so casting the row
+      // value to DECIMAL(38,18) and summing in decimal makes the
+      // moments independent of partial-aggregate order.
+      def dsum(c: Column): Column =
+        sum(c.cast("decimal(38,18)")).cast("double")
       val m = Tables(spark, dir).embeddings
         .select(expr("CAST(embedding[0] AS DOUBLE)").as("x1"),
           expr("CAST(embedding[1] AS DOUBLE)").as("x2"),
           expr("CAST(embedding[2] AS DOUBLE)").as("y1"),
           expr("CAST(embedding[3] AS DOUBLE)").as("y2"))
         .agg(count(lit(1)).as("n"),
-          sum(col("x1") * col("y1") + col("x2") * col("y2")).as("sc"),
-          sum(col("x1") * col("y2") - col("x2") * col("y1")).as("ss"),
-          sum(col("x1") * col("x1") + col("x2") * col("x2")).as("sxx"),
-          sum(col("y1") * col("y1") + col("y2") * col("y2")).as("syy"),
-          sum((col("x1") - col("y1")) * (col("x1") - col("y1"))
-            + (col("x2") - col("y2")) * (col("x2") - col("y2"))).as("e_before"))
+          dsum(col("x1") * col("y1") + col("x2") * col("y2")).as("sc"),
+          dsum(col("x1") * col("y2") - col("x2") * col("y1")).as("ss"),
+          dsum(col("x1") * col("x1") + col("x2") * col("x2")).as("sxx"),
+          dsum(col("y1") * col("y1") + col("y2") * col("y2")).as("syy"),
+          dsum((col("x1") - col("y1")) * (col("x1") - col("y1"))
+            + (col("x2") - col("y2")) * (col("x2") - col("y2")))
+            .as("e_before"))
       val errAfter = col("sxx") + col("syy") -
         lit(2) * sqrt(col("sc") * col("sc") + col("ss") * col("ss"))
       m.select(col("n").cast("long").as("n"),

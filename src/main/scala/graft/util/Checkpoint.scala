@@ -1,0 +1,51 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+
+/** The single swap point between `localCheckpoint()` (this harness:
+  * one JVM, executor loss impossible, cheapest barrier available) and
+  * reliable `checkpoint()` (a real cluster: blocks must survive
+  * executor loss because lineage is truncated — SCALING.md
+  * "localCheckpoint policy", family 2).
+  *
+  * Iterative loops (PageRank, label propagation / connected
+  * components, k-core peeling, BFS relaxation, BPE rounds, k-means)
+  * route their per-round pin through [[pin]]; flipping ONE conf moves
+  * every loop onto HDFS/object-store-backed checkpoints with no code
+  * change:
+  *
+  *   spark.graft.checkpoint.reliable = true
+  *   spark.graft.checkpoint.dir      = hdfs://…/graft-ckpt   (optional;
+  *     defaults to java.io.tmpdir, which is only sensible locally)
+  *
+  * Both primitives are EAGER for DataFrames, so call sites that rely
+  * on materialize-now semantics (e.g. `observe(...)` accumulators
+  * filled by the checkpoint job in
+  * [[graft.operators.Clusters.connectedComponents]]) behave
+  * identically under either mode.
+  */
+object Checkpoint {
+
+  /** True when the session asks for cluster-durable checkpoints. */
+  def isReliable(df: DataFrame): Boolean =
+    df.sparkSession.conf.getOption("spark.graft.checkpoint.reliable")
+      .exists(_.equalsIgnoreCase("true"))
+
+  /** Materialize `df` and truncate its lineage, durably when
+    * configured. The checkpoint dir is initialized lazily on first
+    * reliable pin so local runs never touch the filesystem. */
+  def pin(df: DataFrame): DataFrame =
+    if (isReliable(df)) {
+      val sc = df.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty)
+        sc.setCheckpointDir(
+          df.sparkSession.conf.getOption("spark.graft.checkpoint.dir")
+            .getOrElse(sys.props("java.io.tmpdir") + "/graft-ckpt"))
+      df.checkpoint()
+    } else df.localCheckpoint()
+
+  /** `df.pin()` sugar so iterative call sites stay chainable. */
+  implicit class PinOps(private val df: DataFrame) extends AnyVal {
+    def pin(): DataFrame = Checkpoint.pin(df)
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.util.Checkpoint
+
+/** The reliable-checkpoint swap (SCALING.md localCheckpoint policy,
+  * family 2): one conf flips every `pin()` site from executor-local
+  * blocks to durable checkpoint files, with identical results. */
+class CheckpointSpec extends SparkSpec {
+
+  test("pin() defaults to localCheckpoint (no checkpoint dir touched)") {
+    assert(!Checkpoint.isReliable(spark.range(1).toDF()))
+    val df = Checkpoint.pin(spark.range(10).toDF("x"))
+    assert(df.count() === 10)
+  }
+
+  test("pin() under spark.graft.checkpoint.reliable writes durable files") {
+    val dir = Files.createTempDirectory("graft-ckpt-spec").toString
+    spark.conf.set("spark.graft.checkpoint.reliable", "true")
+    spark.conf.set("spark.graft.checkpoint.dir", dir)
+    try {
+      val df = Checkpoint.pin(
+        spark.range(100).toDF("x").withColumn("y", col("x") * 2))
+      assert(df.agg(sum("y")).head.getLong(0) === 9900)
+      // the durable path: checkpoint files must actually exist
+      val files = Files.walk(java.nio.file.Paths.get(dir))
+        .filter(Files.isRegularFile(_)).count()
+      assert(files > 0, s"no checkpoint files under $dir")
+    } finally {
+      spark.conf.set("spark.graft.checkpoint.reliable", "false")
+    }
+  }
+
+  test("an iterative query is oracle-identical under reliable checkpoints") {
+    // connected components + pagerank both route per-round pins through
+    // Checkpoint.pin; flipping the conf must not change a single row.
+    val local = q("q_pagerank").collect().map(_.toString).sorted
+    spark.conf.set("spark.graft.checkpoint.reliable", "true")
+    spark.conf.set("spark.graft.checkpoint.dir",
+      Files.createTempDirectory("graft-ckpt-spec2").toString)
+    try {
+      val reliable = q("q_pagerank").collect().map(_.toString).sorted
+      assert(reliable.toSeq === local.toSeq)
+    } finally {
+      spark.conf.set("spark.graft.checkpoint.reliable", "false")
+    }
+  }
+}
