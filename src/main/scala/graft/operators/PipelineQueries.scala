@@ -276,6 +276,86 @@ object PipelineQueries {
           (col("n") === col("rn") && col("s") === col("rs"))
             .as("matches_recompute"))
         .orderBy("priority")
+    },
+
+    // ---- the document-store clone wire (clone_databases.sh:784-825:
+    //      mongodump | mongorestore --nsFrom "db.*" --nsTo "prefix.*"),
+    //      end-to-end through a NON-PATH custom DSv2 connector: two
+    //      collections are seeded into the fake store, ClonePipeline
+    //      reads them through `option("collection", …)` addressing (its
+    //      connector-source branch — the same code path a live Mongo
+    //      connector would take), rewrites the namespace with the
+    //      prefix, writes parquet, and verifies schema + counts. The
+    //      output re-reads the CLONED namespaces and aggregates parsed
+    //      document fields, so a hash match proves every document — not
+    //      just row counts — survived store → connector → clone.
+    //      Scale: the connector plans one partition per store part
+    //      (read parallelism = writer parallelism), prunes columns at
+    //      the reader, and the clone itself is the distributed
+    //      scan→write; nothing moves through the driver.
+    QueryDef.checked(
+      "q_clone_docstore",
+      """WITH stats AS (
+        |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'docs_even'
+        |              ELSE 'docs_odd' END AS collection,
+        |    count(*) AS n_docs,
+        |    count(DISTINCT doc_id) AS distinct_ids,
+        |    CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |    count(DISTINCT source) AS n_sources
+        |  FROM documents GROUP BY 1
+        |)
+        |SELECT collection, concat('preprod_', collection) AS target,
+        |  'cloned' AS status, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(distinct_ids AS BIGINT) AS distinct_ids, sum_chars,
+        |  CAST(n_sources AS BIGINT) AS n_sources
+        |FROM stats ORDER BY collection""".stripMargin) { (spark, dir) =>
+      import graft.sources.DocStoreSource
+      val docs = Tables(spark, dir).documents
+      val store = graft.util.Staging.dir("graft_docstore_", dir)
+      // seed: one JSON document per row; doc bodies carry the fields
+      // the post-clone aggregate parses back out
+      def seed(name: String, even: Boolean): Unit =
+        DocStoreSource.seedCollection(
+          docs.filter(col("doc_id") % 2 === (if (even) 0 else 1))
+            .select(to_json(struct(
+              concat(lit("D"), col("doc_id")).as("_id"),
+              col("source").as("source"),
+              length(col("text")).as("nc"))).as("value")),
+          store, name)
+      seed("docs_even", even = true)
+      seed("docs_odd", even = false)
+
+      val target = graft.util.Staging.dir("graft_docstore_tgt_", dir)
+      val cfg = CloneConfig(
+        sourceDir = store, targetDir = target,
+        tables = Seq("docs_even", "docs_odd"),
+        prefix = "preprod_", overwrite = true,
+        sourceFormat = DocStoreSource.FORMAT,
+        sourceOptions = Map("path" -> store),
+        tableOptionKey = "collection")
+      val report = ClonePipeline(spark, cfg).report()
+        .select(col("table").as("collection"), col("status"))
+
+      // read back THROUGH THE CLONED NAMESPACE and parse the documents
+      val cloned = spark.read.parquet(s"$target/preprod_docs_even")
+        .withColumn("collection", lit("docs_even"))
+        .unionByName(spark.read.parquet(s"$target/preprod_docs_odd")
+          .withColumn("collection", lit("docs_odd")))
+      cloned
+        .select(col("collection"), col("_id"),
+          get_json_object(col("doc"), "$.source").as("source"),
+          get_json_object(col("doc"), "$.nc").cast("long").as("nc"))
+        .groupBy("collection")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("_id")).as("distinct_ids"),
+          sum(col("nc")).as("sum_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .join(report, Seq("collection"))
+        .select(col("collection"),
+          concat(lit("preprod_"), col("collection")).as("target"),
+          col("status"), col("n_docs"), col("distinct_ids"),
+          col("sum_chars"), col("n_sources"))
+        .orderBy("collection")
     }
   )
 }

@@ -187,6 +187,61 @@ class CloneSpec extends SparkSpec {
     assert(cloned.columns.toSeq == Seq("id", "grp", "val"))
   }
 
+  test("document-store clone: nsFrom/nsTo over the docstore connector " +
+      "(clone_databases.sh:784-825)") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.DocStoreSource
+    // seed a 2-collection store: one JSON doc per line, _id unique
+    val store = Files.createTempDirectory("graft_docstore_spec_").toString
+    val docs = Tables(spark, sf).documents.limit(200)
+      .select(to_json(struct(
+        concat(lit("D"), col("doc_id")).as("_id"),
+        col("lang").as("lang"))).as("value"))
+    DocStoreSource.seedCollection(docs, store, "corpus_main")
+    DocStoreSource.seedCollection(docs.limit(50), store, "corpus_small")
+
+    // direct connector read: options-addressed, no load path
+    val direct = spark.read.format(DocStoreSource.FORMAT)
+      .option("path", store).option("collection", "corpus_main").load()
+    assert(direct.count() == 200)
+    assert(direct.columns.toSeq == Seq("_id", "doc"))
+    assert(direct.select("_id").distinct().count() == 200) // ids extracted
+    // column pruning reaches the connector: the scan leaf emits ONLY
+    // the projected column (the reader skips the _id regex entirely)
+    val scanOut = direct.select("doc").queryExecution.executedPlan
+      .collectLeaves().head.output.map(_.name)
+    assert(scanOut == Seq("doc"), s"scan not pruned: $scanOut")
+
+    // missing collection: read probe fails → validateSource false
+    val cfgBad = CloneConfig(
+      sourceDir = store, targetDir = store + "_tgt0",
+      tables = Seq("no_such_collection"),
+      sourceFormat = DocStoreSource.FORMAT,
+      sourceOptions = Map("path" -> store), tableOptionKey = "collection")
+    assert(!ClonePipeline(spark, cfgBad).validateSource("no_such_collection"))
+
+    // the clone run: store → prefixed parquet namespaces, verified
+    val target = Files.createTempDirectory("graft_docstore_tgt_").toString
+    val cfg = cfgBad.copy(
+      tables = Seq("corpus_main", "corpus_small"), targetDir = target,
+      prefix = "preprod_")
+    val pipe = ClonePipeline(spark, cfg)
+    assert(pipe.testConnection())
+    val results = pipe.run()
+    assert(results.forall(r => r.status == "cloned" && r.schemaMatches),
+      results.mkString("; "))
+    assert(results.map(r => r.table -> r.rows).toMap ==
+      Map("corpus_main" -> 200L, "corpus_small" -> 50L))
+    // every document survived the namespace rewrite, by id
+    val back = spark.read.parquet(s"$target/preprod_corpus_main")
+    assert(back.select("_id").distinct().count() == 200)
+    assert(back.filter(get_json_object(col("doc"), "$.lang").isNull)
+      .count() == 0)
+    // idempotency carries over the connector source too
+    val again = pipe.run()
+    assert(again.forall(_.status == "skipped_exists"), again.mkString("; "))
+  }
+
   test("CloneMain: config file → run → exit code (clone_databases.sh:1094-1118)") {
     val target = Files.createTempDirectory("graft_clone_main_").toString
     val conf = Files.createTempFile("graft_clone_main_", ".conf")
