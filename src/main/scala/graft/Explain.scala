@@ -95,7 +95,10 @@ object Explain {
     "q_propensity_match", "q_capture_recapture",
     "q_quantile_sketch_merge", "q_regression_impute", "q_seed_distance",
     "q_quantile_normalize", "q_ar1_forecast", "q_logreg_newton",
-    "q_boosting_stumps", "q_ht_estimator", "q_greedy_coverage")
+    "q_boosting_stumps", "q_ht_estimator", "q_greedy_coverage",
+    "q_tpch_q10_returns", "q_clone_docstore", "q_resource_allocation",
+    "q_permutation_test", "q_jackknife_variance", "q_padding_waste",
+    "q_temperature_mix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -1,50 +1,83 @@
 package graft
 
-import org.apache.spark.sql.functions._
-
-/** Wave-6 specs: feature hashing, SPRT monitoring, held-out perplexity. */
+/** Invariants for the round-6 wave (the oracle proves value equality;
+  * these prove the SEMANTICS are the intended ones). */
 class Wave6Spec extends SparkSpec {
 
-  test("feature hashing: bucket loads account for every distinct token") {
-    val vocabSizes = Tables(spark, sf).documents
-      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
-      .distinct().groupBy("lang").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    q("q_feature_hashing").collect().foreach { r =>
-      val lang = r.getAs[String]("lang")
-      assert(r.getAs[Long]("n_distinct_tokens") == vocabSizes(lang))
-      assert(r.getAs[Long]("n_buckets_used") <= 64)
-      assert(r.getAs[Long]("max_bucket_load") >= 1)
-    }
-  }
-
-  test("sprt: llr walks by the two fixed increments and the decision " +
-    "matches the boundary") {
-    val incPos = math.round(math.log(0.5 / 0.3) * 1e9)
-    val incNeg = math.round(math.log(0.5 / 0.7) * 1e9)
-    val bound = math.round(math.log(19.0) * 1e9)
-    q("q_sprt_monitor").collect().foreach { r =>
-      val n = r.getAs[Long]("event_id") + 1
-      val succ = r.getAs[Long]("n_succ")
-      val llrFp = math.round(r.getAs[Double]("llr") * 1e9)
-      val exact = succ * incPos + (n - succ) * incNeg
-      // llr was rounded to 6dp for output; compare at that precision
-      assert(math.abs(llrFp - exact) <= 1000,
-        s"event ${r.getAs[Long]("event_id")}: $llrFp vs $exact")
-      val expected =
-        if (exact >= bound) "accept_h1"
-        else if (exact <= -bound) "accept_h0"
-        else "continue"
-      assert(r.getAs[String]("decision") == expected)
-    }
-  }
-
-  test("held-out ppl: every lang scored, oov bounded, nll positive") {
-    val rows = q("q_heldout_ppl").collect()
+  test("resource allocation: scores bounded by common-neighbor count") {
+    val rows = q("q_resource_allocation").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_tokens"))
-      assert(r.getAs[Double]("avg_nll") > 0.0)
+      val (s1, s2) = (r.getAs[Long]("s1"), r.getAs[Long]("s2"))
+      assert(s1 < s2, "pairs must be canonical s1 < s2")
+      val n = r.getAs[Long]("n_common")
+      val ra = r.getAs[Long]("ra_fp")
+      // each common neighbor contributes 1e12/deg ≤ 1e12 (deg ≥ 1) and
+      // ≥ 1e12/|customers|; the sum is between those bounds
+      assert(ra <= n * 1000000000000L && ra > 0)
     }
+    // descending by score (the top-k contract)
+    val scores = rows.map(_.getAs[Long]("ra_fp")).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("permutation test: p-value is a valid exact rational") {
+    val r = q("q_permutation_test").collect().head
+    assert(r.getAs[Long]("n_perms") == 199L)
+    val extreme = r.getAs[Long]("n_extreme")
+    assert(extreme >= 0 && extreme <= 199)
+    val p = r.getAs[Double]("p_value")
+    assert(p >= 1.0 / 200 && p <= 1.0)
+    assert(math.abs(p - (1.0 + extreme) / 200.0) < 1e-9)
+  }
+
+  test("jackknife: deviations center on zero, variance non-negative") {
+    val rows = q("q_jackknife_variance").collect()
+    assert(rows.length == 5) // one per order priority
+    val devs = rows.map(_.getAs[Long]("dev_fp"))
+    // Σ(θ(i) − θ̄) = 0 up to the integer-division floor per group
+    assert(math.abs(devs.sum) <= rows.length)
+    val v = rows.map(_.getAs[Long]("jk_var_fp")).distinct
+    assert(v.length == 1 && v.head >= 0)
+  }
+
+  test("padding waste: sorting by length never loses to arrival order") {
+    val rows = q("q_padding_waste").collect()
+      .map(r => r.getAs[String]("strategy") ->
+        (r.getAs[Long]("total_tokens"), r.getAs[Long]("padded_tokens"),
+          r.getAs[Long]("waste_ppm"))).toMap
+    val (arr, srt) = (rows("arrival"), rows("sorted"))
+    assert(arr._1 == srt._1, "both strategies batch the same tokens")
+    assert(srt._2 <= arr._2, "sorted batching pads at most as much")
+    assert(srt._3 <= arr._3)
+    assert(arr._2 >= arr._1 && srt._2 >= srt._1) // padding ≥ payload
+  }
+
+  test("loso regression: ablations bracket the full fit") {
+    val rows = q("q_loso_regression").collect()
+    assert(rows.length > 1)
+    val total = Tables(spark, sf).documents.count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") < total) // every ablation drops rows
+      assert(!r.getAs[Double]("slope_loo").isNaN)
+    }
+    // deleting one source moves the slope both ways across sources (the
+    // deltas cannot all share a sign unless one source IS the corpus)
+    val deltas = rows.map(_.getAs[Double]("slope_delta"))
+    assert(deltas.exists(_ >= 0) && deltas.exists(_ <= 0))
+  }
+
+  test("temperature mix: α=0.5 upweights low-resource languages") {
+    val rows = q("q_temperature_mix").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_tok"),
+        r.getAs[Double]("p_sample")))
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    val total = rows.map(_._2).sum.toDouble
+    val smallest = rows.minBy(_._2)
+    val largest = rows.maxBy(_._2)
+    // sampling share vs natural share: up for the rarest, down for the
+    // most common — the whole point of temperature sampling
+    assert(smallest._3 > smallest._2 / total)
+    assert(largest._3 < largest._2 / total)
   }
 }
