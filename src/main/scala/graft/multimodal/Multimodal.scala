@@ -261,6 +261,57 @@ object Multimodal {
         .filter(col("hamming") <= 1)
         .select("d1", "d2", "hamming")
         .orderBy("d1", "d2")
+    },
+
+    // ---- difference hash (dHash), the second standard perceptual-hash
+    //      family: bit i set iff byte i+1 > byte i over a 33-byte
+    //      window — a GRADIENT signature, robust where aHash's global
+    //      mean washes out (uniform-brightness media). Output is the
+    //      corpus collision profile: population-count histogram + the
+    //      largest collision buckets — the dedup-planning view (bucket
+    //      sizes bound the near-dup join's candidate count, exactly
+    //      like LSH band-bucket audits). Per-row lambda arithmetic in
+    //      codegen, one |histogram|-sized aggregate; no pair join here.
+    QueryDef.checked(
+      "q_media_dhash",
+      """WITH px AS (
+        |  SELECT doc_id, list_transform(range(33),
+        |    i -> ascii(substring(text, CAST(i AS INT) + 1, 1))) AS p
+        |  FROM documents WHERE length(text) >= 33
+        |), dh AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(32), i ->
+        |      CASE WHEN p[CAST(i AS INT) + 2] > p[CAST(i AS INT) + 1]
+        |           THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE 0 END))
+        |      AS BIGINT) AS h
+        |  FROM px
+        |), coll AS (
+        |  SELECT h, count(*) AS n FROM dh GROUP BY h
+        |)
+        |SELECT CAST(bit_count(h) AS INT) AS popcount,
+        |  CAST(count(*) AS BIGINT) AS n_hashes,
+        |  CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(max(n) AS BIGINT) AS max_bucket
+        |FROM coll GROUP BY 1 ORDER BY popcount""".stripMargin) {
+      (spark, dir) =>
+      import org.apache.spark.sql.functions._
+      val dh = attachMedia(Tables(spark, dir).documents).toDF()
+        .filter(length(col("media")) >= 33)
+        .select(col("doc_id"),
+          expr("""transform(sequence(0, 32),
+                 |  i -> cast(conv(substring(hex(media), i * 2 + 1, 2), 16, 10)
+                 |       as int))""".stripMargin).as("p"))
+        .select(col("doc_id"),
+          expr("""cast(aggregate(sequence(0, 31), 0L, (acc, i) ->
+                 |  acc + (case when element_at(p, i + 2) > element_at(p, i + 1)
+                 |  then shiftleft(1L, i) else 0L end)) as bigint)""".stripMargin)
+            .as("h"))
+      dh.groupBy("h").agg(count(lit(1)).as("n"))
+        .groupBy(expr("cast(bit_count(h) as int)").as("popcount"))
+        .agg(count(lit(1)).as("n_hashes"),
+          sum(col("n")).cast("long").as("n_docs"),
+          max(col("n")).cast("long").as("max_bucket"))
+        .orderBy("popcount")
     }
   )
 }

@@ -48,17 +48,19 @@ object Evaluation {
     QueryDef.checked(
       "q_anova_oneway",
       """WITH g AS (
-        |  SELECT event_type, count(*) AS n, sum(value) AS sx,
-        |    sum(value * value) AS sxx
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS sxx
         |  FROM events GROUP BY event_type
         |), s AS (
-        |  SELECT count(*) AS k, sum(n) AS nt, sum(sx) AS sxt,
-        |    sum(sxx - sx * sx / n) AS ssw
+        |  SELECT count(*) AS k, sum(n) AS nt,
+        |    CAST(sum(CAST(sx AS DECIMAL(38,12))) AS DOUBLE) AS sxt,
+        |    CAST(sum(CAST(sxx - sx * sx / n AS DECIMAL(38,12))) AS DOUBLE) AS ssw
         |  FROM g
         |), b AS (
         |  SELECT max(s.k) AS k, max(s.nt) AS nt, max(s.ssw) AS ssw,
-        |    sum(g.n * (g.sx / g.n - s.sxt / s.nt)
-        |      * (g.sx / g.n - s.sxt / s.nt)) AS ssb
+        |    CAST(sum(CAST(g.n * (g.sx / g.n - s.sxt / s.nt)
+        |      * (g.sx / g.n - s.sxt / s.nt) AS DECIMAL(38,12))) AS DOUBLE) AS ssb
         |  FROM g, s
         |)
         |SELECT CAST(k AS INT) AS k, CAST(nt AS BIGINT) AS n_total,
@@ -68,16 +70,16 @@ object Evaluation {
         |FROM b""".stripMargin) { (spark, dir) =>
       val g = Tables(spark, dir).events
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("sx"),
-          sum(col("value") * col("value")).as("sxx"))
+        .agg(count(lit(1)).as("n"), sum((col("value")).cast("decimal(38,12)")).cast("double").as("sx"),
+          sum((col("value") * col("value")).cast("decimal(38,12)")).cast("double").as("sxx"))
       val s = g.agg(count(lit(1)).as("k"), sum(col("n")).as("nt"),
-        sum(col("sx")).as("sxt"),
-        sum(col("sxx") - col("sx") * col("sx") / col("n")).as("ssw"))
+        sum((col("sx")).cast("decimal(38,12)")).cast("double").as("sxt"),
+        sum((col("sxx") - col("sx") * col("sx") / col("n")).cast("decimal(38,12)")).cast("double").as("ssw"))
       g.crossJoin(broadcast(s))
         .agg(max(col("k")).as("k"), max(col("nt")).as("nt"),
           max(col("ssw")).as("ssw"),
-          sum(col("n") * (col("sx") / col("n") - col("sxt") / col("nt"))
-            * (col("sx") / col("n") - col("sxt") / col("nt"))).as("ssb"))
+          sum((col("n") * (col("sx") / col("n") - col("sxt") / col("nt"))
+            * (col("sx") / col("n") - col("sxt") / col("nt"))).cast("decimal(38,12)")).cast("double").as("ssb"))
         .select(col("k").cast("int").as("k"),
           col("nt").cast("long").as("n_total"),
           round(col("ssb"), 6).as("ss_between"),
@@ -370,9 +372,11 @@ object Evaluation {
         |    GROUP BY l_orderkey) l
         |    ON l.l_orderkey = o.o_orderkey
         |), m AS (
-        |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
-        |    sum(x*y) AS sxy, sum(x*z) AS sxz, sum(y*z) AS syz,
-        |    sum(x*x) AS sxx, sum(y*y) AS syy, sum(z*z) AS szz
+        |  SELECT count(*) AS n, CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    sum(y) AS sy, sum(z) AS sz,
+        |    CAST(sum(CAST(x*y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x*z AS DECIMAL(38,12))) AS DOUBLE) AS sxz, sum(y*z) AS syz,
+        |    CAST(sum(CAST(x*x AS DECIMAL(38,12))) AS DOUBLE) AS sxx, sum(y*y) AS syy, sum(z*z) AS szz
         |  FROM d
         |), r AS (
         |  SELECT n,
@@ -396,12 +400,12 @@ object Evaluation {
       val m = t.orders.join(items, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_totalprice").as("x"), col("ni").cast("double").as("y"),
           year(col("o_orderdate")).cast("double").as("z"))
-        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        .agg(count(lit(1)).as("n"), sum((col("x")).cast("decimal(38,12)")).cast("double").as("sx"),
           sum(col("y")).as("sy"), sum(col("z")).as("sz"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("z")).as("sxz"),
+          sum((col("x") * col("y")).cast("decimal(38,12)")).cast("double").as("sxy"),
+          sum((col("x") * col("z")).cast("decimal(38,12)")).cast("double").as("sxz"),
           sum(col("y") * col("z")).as("syz"),
-          sum(col("x") * col("x")).as("sxx"),
+          sum((col("x") * col("x")).cast("decimal(38,12)")).cast("double").as("sxx"),
           sum(col("y") * col("y")).as("syy"),
           sum(col("z") * col("z")).as("szz"))
       def corr2(sab: String, sa: String, sb: String, saa: String, sbb: String) =
@@ -494,8 +498,9 @@ object Evaluation {
     QueryDef.checked(
       "q_effect_sizes",
       """WITH g AS (
-        |  SELECT event_type, count(*) AS n, sum(value) AS s,
-        |    sum(value * value) AS q
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS s,
+        |    CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS q
         |  FROM events WHERE event_type IN ('purchase', 'click')
         |  GROUP BY event_type
         |), w AS (
@@ -541,8 +546,8 @@ object Evaluation {
           expr("CAST(round(value * 1000000) AS BIGINT)").as("v"))
         .localCheckpoint() // moments AND the rank pass share one scan
       val w = ev.groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("s"),
-          sum(col("value") * col("value")).as("q"))
+        .agg(count(lit(1)).as("n"), sum((col("value")).cast("decimal(38,12)")).cast("double").as("s"),
+          sum((col("value") * col("value")).cast("decimal(38,12)")).cast("double").as("q"))
         .agg(max(when(col("event_type") === "purchase", col("n"))).as("n1"),
           max(when(col("event_type") === "click", col("n"))).as("n2"),
           max(when(col("event_type") === "purchase", col("s"))).as("s1"),

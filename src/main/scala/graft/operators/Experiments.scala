@@ -109,7 +109,8 @@ object Experiments {
       "q_welch_ttest",
       """WITH g AS (
         |  SELECT event_type, count(*) AS n,
-        |    sum(value) AS sx, sum(value * value) AS sxx
+        |    CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS sxx
         |  FROM events WHERE event_type IN ('purchase', 'click')
         |  GROUP BY event_type
         |), m AS (
@@ -136,8 +137,9 @@ object Experiments {
       val g = Tables(spark, dir).events
         .filter(col("event_type").isin("purchase", "click"))
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("sx"),
-          sum(col("value") * col("value")).as("sxx"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("value")).cast("decimal(38,12)")).cast("double").as("sx"),
+          sum((col("value") * col("value")).cast("decimal(38,12)")).cast("double").as("sxx"))
         .select(col("event_type"), col("n"),
           (col("sx") / col("n")).as("mean"),
           ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
@@ -177,7 +179,8 @@ object Experiments {
       s"""WITH g AS (
         |  SELECT event_type,
         |    CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 'r' ELSE 'o' END AS per,
-        |    count(*) AS n, sum(value) AS sx, sum(value * value) AS sxx
+        |    count(*) AS n, CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS sxx
         |  FROM events GROUP BY 1, 2
         |), m AS (
         |  SELECT event_type, per, n, sx / n AS mean,
@@ -213,8 +216,9 @@ object Experiments {
           when(col("ts") >= lit("2024-01-16").cast("timestamp"), "r")
             .otherwise("o"))
         .groupBy("event_type", "per")
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("sx"),
-          sum(col("value") * col("value")).as("sxx"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("value")).cast("decimal(38,12)")).cast("double").as("sx"),
+          sum((col("value") * col("value")).cast("decimal(38,12)")).cast("double").as("sxx"))
         .select(col("event_type"), col("per"), col("n"),
           (col("sx") / col("n")).as("mean"),
           ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
@@ -304,7 +308,8 @@ object Experiments {
       "q_power_mde",
       """WITH g AS (
         |  SELECT event_type, count(*) AS n,
-        |    sqrt((sum(value * value) - sum(value) * sum(value) / count(*))
+        |    sqrt((CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE)
+        |      - CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) * CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / count(*))
         |      / (count(*) - 1)) AS sd
         |  FROM events GROUP BY event_type
         |)
@@ -317,8 +322,8 @@ object Experiments {
       Tables(spark, dir).events
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          sqrt((sum(col("value") * col("value")) -
-            sum(col("value")) * sum(col("value")) / count(lit(1))) /
+          sqrt((sum((col("value") * col("value")).cast("decimal(38,12)")).cast("double") -
+            sum((col("value")).cast("decimal(38,12)")).cast("double") * sum((col("value")).cast("decimal(38,12)")).cast("double") / count(lit(1))) /
             (count(lit(1)) - 1)).as("sd"))
         .select(col("event_type"), col("n").cast("long").as("n"),
           round(col("sd"), 6).as("sd"),
@@ -340,7 +345,7 @@ object Experiments {
     QueryDef.checked(
       "q_conformal_coverage",
       """WITH mu AS (
-        |  SELECT event_type, sum(value) / count(*) AS mu
+        |  SELECT event_type, CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mu
         |  FROM events WHERE event_id % 4 IN (0, 1) GROUP BY event_type
         |), cal AS (
         |  SELECT e.event_type, e.event_id, abs(e.value - m.mu) AS s
@@ -374,7 +379,7 @@ object Experiments {
       val ev = Tables(spark, dir).events
       val mu = ev.filter(col("event_id") % 4 < 2)
         .groupBy("event_type")
-        .agg((sum(col("value")) / count(lit(1))).as("mu"))
+        .agg((sum((col("value")).cast("decimal(38,12)")).cast("double") / count(lit(1))).as("mu"))
       val cal = ev.filter(col("event_id") % 4 === 2)
         .join(broadcast(mu), Seq("event_type"))
         .select(col("event_type"), col("event_id"),
@@ -419,7 +424,8 @@ object Experiments {
       """WITH g AS (
         |  SELECT event_type,
         |    CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS post,
-        |    count(*) AS n, sum(value) AS sx, sum(value * value) AS sxx
+        |    count(*) AS n, CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS sxx
         |  FROM events WHERE event_type IN ('purchase', 'view')
         |  GROUP BY 1, 2
         |), m AS (
@@ -448,8 +454,9 @@ object Experiments {
           when(col("ts") >= lit("2024-01-16").cast("timestamp"), 1)
             .otherwise(0))
         .groupBy("event_type", "post")
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("sx"),
-          sum(col("value") * col("value")).as("sxx"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("value")).cast("decimal(38,12)")).cast("double").as("sx"),
+          sum((col("value") * col("value")).cast("decimal(38,12)")).cast("double").as("sxx"))
         .select(col("event_type"), col("post"), col("n"),
           (col("sx") / col("n")).as("mean"),
           ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
@@ -519,22 +526,25 @@ object Experiments {
         |), v1 AS (
         |  SELECT removed, to_s AS state, p FROM st WHERE from_s = 'START'
         |), v2 AS (
-        |  SELECT a.removed, t.to_s AS state, sum(a.p * t.p) AS p
+        |  SELECT a.removed, t.to_s AS state,
+        |    CAST(sum(CAST(a.p * t.p AS DECIMAL(38,18))) AS DOUBLE) AS p
         |  FROM v1 a JOIN st t
         |    ON t.removed = a.removed AND t.from_s = a.state
         |  WHERE a.state <> 'CONV' GROUP BY 1, 2
         |), v3 AS (
-        |  SELECT a.removed, t.to_s AS state, sum(a.p * t.p) AS p
+        |  SELECT a.removed, t.to_s AS state,
+        |    CAST(sum(CAST(a.p * t.p AS DECIMAL(38,18))) AS DOUBLE) AS p
         |  FROM v2 a JOIN st t
         |    ON t.removed = a.removed AND t.from_s = a.state
         |  WHERE a.state <> 'CONV' GROUP BY 1, 2
         |), v4 AS (
-        |  SELECT a.removed, t.to_s AS state, sum(a.p * t.p) AS p
+        |  SELECT a.removed, t.to_s AS state,
+        |    CAST(sum(CAST(a.p * t.p AS DECIMAL(38,18))) AS DOUBLE) AS p
         |  FROM v3 a JOIN st t
         |    ON t.removed = a.removed AND t.from_s = a.state
         |  WHERE a.state <> 'CONV' GROUP BY 1, 2
         |), conv AS (
-        |  SELECT removed, sum(p) AS p_conv FROM (
+        |  SELECT removed, CAST(sum(CAST(p AS DECIMAL(38,18))) AS DOUBLE) AS p_conv FROM (
         |    SELECT removed, p FROM v1 WHERE state = 'CONV'
         |    UNION ALL SELECT removed, p FROM v2 WHERE state = 'CONV'
         |    UNION ALL SELECT removed, p FROM v3 WHERE state = 'CONV'
@@ -578,7 +588,7 @@ object Experiments {
             col("p").as("pa"))
         a.join(st, col("removed") === col("r2") && col("from_s") === col("from2"))
           .groupBy(col("removed"), col("to_s").as("state"))
-          .agg(sum(col("pa") * col("p")).as("p"))
+          .agg(sum((col("pa") * col("p")).cast("decimal(38,18)")).cast("double").as("p"))
       }
       val v1 = st.filter(col("from_s") === "START")
         .select(col("removed"), col("to_s").as("state"), col("p"))
@@ -588,7 +598,7 @@ object Experiments {
       val v4 = step(v3)
       val conv = v1.unionAll(v2).unionAll(v3).unionAll(v4)
         .filter(col("state") === "CONV")
-        .groupBy("removed").agg(sum(col("p")).as("p_conv"))
+        .groupBy("removed").agg(sum((col("p")).cast("decimal(38,18)")).cast("double").as("p_conv"))
       val base = conv.filter(col("removed") === "none")
         .select(col("p_conv").as("p0"))
       conv.crossJoin(broadcast(base))
@@ -622,7 +632,8 @@ object Experiments {
         |  UNION ALL SELECT arm, 'f_cents', f_cents FROM feats
         |  UNION ALL SELECT arm, 'f_recency', f_recency FROM feats
         |), m AS (
-        |  SELECT feat, arm, count(*) AS n, sum(v) AS sx, sum(v * v) AS sxx
+        |  SELECT feat, arm, count(*) AS n, CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS sxx
         |  FROM unp GROUP BY feat, arm
         |), p AS (
         |  SELECT feat,
@@ -653,8 +664,8 @@ object Experiments {
           expr("stack(3, 'f_orders', f_orders, 'f_cents', f_cents," +
             " 'f_recency', f_recency) AS (feat, v)"))
         .groupBy("feat", "arm")
-        .agg(count(lit(1)).as("n"), sum(col("v")).as("sx"),
-          sum(col("v") * col("v")).as("sxx"))
+        .agg(count(lit(1)).as("n"), sum((col("v")).cast("decimal(38,12)")).cast("double").as("sx"),
+          sum((col("v") * col("v")).cast("decimal(38,12)")).cast("double").as("sxx"))
       def arm(a: Int, e: org.apache.spark.sql.Column) =
         max(when(col("arm") === a, e))
       m.groupBy("feat")
@@ -701,11 +712,11 @@ object Experiments {
         |  FROM s GROUP BY stratum
         |), agg AS (
         |  SELECT count(*) AS k, sum(a) AS sa,
-        |    sum(CAST(a + b AS DOUBLE) * (a + c) / n) AS se,
-        |    sum(CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)
-        |      / (CAST(n AS DOUBLE) * n * (n - 1))) AS sv,
-        |    sum(CAST(a AS DOUBLE) * d / n) AS sad,
-        |    sum(CAST(b AS DOUBLE) * c / n) AS sbc
+        |    CAST(sum(CAST(CAST(a + b AS DOUBLE) * (a + c) / n AS DECIMAL(38,12))) AS DOUBLE) AS se,
+        |    CAST(sum(CAST(CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)
+        |      / (CAST(n AS DOUBLE) * n * (n - 1)) AS DECIMAL(38,12))) AS DOUBLE) AS sv,
+        |    CAST(sum(CAST(CAST(a AS DOUBLE) * d / n AS DECIMAL(38,12))) AS DOUBLE) AS sad,
+        |    CAST(sum(CAST(CAST(b AS DOUBLE) * c / n AS DECIMAL(38,12))) AS DOUBLE) AS sbc
         |  FROM t
         |)
         |SELECT CAST(k AS INT) AS n_strata, CAST(sa AS BIGINT) AS sum_a,
@@ -726,13 +737,13 @@ object Experiments {
           sum(when(col("x") === 0 && col("y") === 0, 1).otherwise(0)).as("d"),
           count(lit(1)).as("n"))
       t.agg(count(lit(1)).as("k"), sum(col("a")).as("sa"),
-          sum((col("a") + col("b")).cast("double") * (col("a") + col("c"))
-            / col("n")).as("se"),
-          sum((col("a") + col("b")).cast("double") * (col("c") + col("d"))
+          sum(((col("a") + col("b")).cast("double") * (col("a") + col("c"))
+            / col("n")).cast("decimal(38,12)")).cast("double").as("se"),
+          sum(((col("a") + col("b")).cast("double") * (col("c") + col("d"))
             * (col("a") + col("c")) * (col("b") + col("d"))
-            / (col("n").cast("double") * col("n") * (col("n") - 1))).as("sv"),
-          sum(col("a").cast("double") * col("d") / col("n")).as("sad"),
-          sum(col("b").cast("double") * col("c") / col("n")).as("sbc"))
+            / (col("n").cast("double") * col("n") * (col("n") - 1))).cast("decimal(38,12)")).cast("double").as("sv"),
+          sum((col("a").cast("double") * col("d") / col("n")).cast("decimal(38,12)")).cast("double").as("sad"),
+          sum((col("b").cast("double") * col("c") / col("n")).cast("decimal(38,12)")).cast("double").as("sbc"))
         .select(col("k").cast("int").as("n_strata"),
           col("sa").cast("long").as("sum_a"),
           round(col("se"), 6).as("expected_a"),
@@ -814,8 +825,10 @@ object Experiments {
         |    GROUP BY l_orderkey
         |  ) l ON l.l_orderkey = o.o_orderkey
         |), m AS (
-        |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
-        |    sum(x * y) AS sxy, sum(z * y) AS szy, sum(z * x) AS szx,
+        |  SELECT count(*) AS n, sum(x) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy, sum(z) AS sz,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(z * y AS DECIMAL(38,12))) AS DOUBLE) AS szy, sum(z * x) AS szx,
         |    sum(x * x) AS sxx, sum(z * z) AS szz
         |  FROM d
         |)
@@ -834,9 +847,9 @@ object Experiments {
           when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0)
             .otherwise(0.0).as("z"))
         .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("y")).as("sy"), sum(col("z")).as("sz"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("z") * col("y")).as("szy"),
+          sum((col("y")).cast("decimal(38,12)")).cast("double").as("sy"), sum(col("z")).as("sz"),
+          sum((col("x") * col("y")).cast("decimal(38,12)")).cast("double").as("sxy"),
+          sum((col("z") * col("y")).cast("decimal(38,12)")).cast("double").as("szy"),
           sum(col("z") * col("x")).as("szx"),
           sum(col("x") * col("x")).as("sxx"),
           sum(col("z") * col("z")).as("szz"))
@@ -866,8 +879,9 @@ object Experiments {
         |  FROM orders
         |  WHERE o_totalprice >= 150000.0 AND o_totalprice < 350000.0
         |), m AS (
-        |  SELECT side, count(*) AS n, sum(r) AS sr, sum(y) AS sy,
-        |    sum(r * y) AS sry, sum(r * r) AS srr
+        |  SELECT side, count(*) AS n, CAST(sum(CAST(r AS DECIMAL(38,12))) AS DOUBLE) AS sr, sum(y) AS sy,
+        |    CAST(sum(CAST(r * y AS DECIMAL(38,12))) AS DOUBLE) AS sry,
+        |    CAST(sum(CAST(r * r AS DECIMAL(38,12))) AS DOUBLE) AS srr
         |  FROM d GROUP BY side
         |), fit AS (
         |  SELECT side, n,
@@ -892,9 +906,10 @@ object Experiments {
           when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("y"),
           when(col("o_totalprice") >= 250000.0, 1).otherwise(0).as("side"))
         .groupBy("side")
-        .agg(count(lit(1)).as("n"), sum(col("r")).as("sr"),
-          sum(col("y")).as("sy"), sum(col("r") * col("y")).as("sry"),
-          sum(col("r") * col("r")).as("srr"))
+        .agg(count(lit(1)).as("n"), sum((col("r")).cast("decimal(38,12)")).cast("double").as("sr"),
+          sum(col("y")).as("sy"),
+          sum((col("r") * col("y")).cast("decimal(38,12)")).cast("double").as("sry"),
+          sum((col("r") * col("r")).cast("decimal(38,12)")).cast("double").as("srr"))
       val slope = (col("n") * col("sry") - col("sr") * col("sy")) /
         (col("n") * col("srr") - col("sr") * col("sr"))
       val intercept = col("sy") / col("n") - slope * col("sr") / col("n")
@@ -951,8 +966,8 @@ object Experiments {
         |  FROM risk WHERE d_t > 0
         |), m AS (
         |  SELECT sum(d_t) AS n_events,
-        |    sum(dx_t - d_t * xbar) AS u,
-        |    sum(d_t * (xbar - xbar * xbar)) AS i
+        |    CAST(sum(CAST(dx_t - d_t * xbar AS DECIMAL(38,12))) AS DOUBLE) AS u,
+        |    CAST(sum(CAST(d_t * (xbar - xbar * xbar) AS DECIMAL(38,12))) AS DOUBLE) AS i
         |  FROM terms
         |)
         |SELECT CAST(n_events AS BIGINT) AS n_events,
@@ -984,8 +999,8 @@ object Experiments {
         .filter(col("d_t") > 0)
         .withColumn("xbar", col("sx").cast("double") / col("sn"))
       terms.agg(sum(col("d_t")).as("n_events"),
-          sum(col("dx_t") - col("d_t") * col("xbar")).as("u"),
-          sum(col("d_t") * (col("xbar") - col("xbar") * col("xbar"))).as("i"))
+          sum((col("dx_t") - col("d_t") * col("xbar")).cast("decimal(38,12)")).cast("double").as("u"),
+          sum((col("d_t") * (col("xbar") - col("xbar") * col("xbar"))).cast("decimal(38,12)")).cast("double").as("i"))
         .select(col("n_events").cast("long").as("n_events"),
           round(col("u"), 6).as("score_u"), round(col("i"), 6).as("info_i"),
           round(col("u") / col("i"), 6).as("beta1"),

@@ -187,9 +187,9 @@ object Inference {
         |  FROM d
         |), m AS (
         |  SELECT count(*) AS n,
-        |    sum(-(y * ln(p) + (1 - y) * ln(1 - p))) AS nll,
-        |    sum((p - y) * (-s)) AS g,
-        |    sum(p * (1 - p) * s * s + (p - y) * 2 * s) AS h
+        |    CAST(sum(CAST(-(y * ln(p) + (1 - y) * ln(1 - p)) AS DECIMAL(38,14))) AS DOUBLE) AS nll,
+        |    CAST(sum(CAST((p - y) * (-s) AS DECIMAL(38,14))) AS DOUBLE) AS g,
+        |    CAST(sum(CAST(p * (1 - p) * s * s + (p - y) * 2 * s AS DECIMAL(38,14))) AS DOUBLE) AS h
         |  FROM t
         |)
         |SELECT CAST(n AS BIGINT) AS n, round(nll / n, 6) AS mean_nll_t1,
@@ -203,11 +203,11 @@ object Inference {
           least(greatest(lit(1.0) / (lit(1.0) + exp(-col("s"))),
             lit(0.000000000001)), lit(0.999999999999)).as("p"))
         .agg(count(lit(1)).as("n"),
-          sum(-(col("y") * log(col("p"))
-            + (lit(1) - col("y")) * log(lit(1) - col("p")))).as("nll"),
-          sum((col("p") - col("y")) * -col("s")).as("g"),
-          sum(col("p") * (lit(1) - col("p")) * col("s") * col("s")
-            + (col("p") - col("y")) * lit(2) * col("s")).as("h"))
+          sum((-(col("y") * log(col("p"))
+            + (lit(1) - col("y")) * log(lit(1) - col("p")))).cast("decimal(38,14)")).cast("double").as("nll"),
+          sum(((col("p") - col("y")) * -col("s")).cast("decimal(38,14)")).cast("double").as("g"),
+          sum((col("p") * (lit(1) - col("p")) * col("s") * col("s")
+            + (col("p") - col("y")) * lit(2) * col("s")).cast("decimal(38,14)")).cast("double").as("h"))
         .select(col("n").cast("long").as("n"),
           round(col("nll") / col("n"), 6).as("mean_nll_t1"),
           round(col("g"), 6).as("grad"), round(col("h"), 6).as("hess"),

@@ -679,9 +679,12 @@ object Learning {
         |         / sqrt(400.0))) AS r1
         |  FROM events
         |), m AS (
-        |  SELECT count(*) AS n, sum(r1) AS n1, sum(1 - r1) AS n2,
-        |    sum(r1 * v) AS s1, sum((1 - r1) * v) AS s2,
-        |    sum(r1 * v * v) AS q1, sum((1 - r1) * v * v) AS q2
+        |  SELECT count(*) AS n, CAST(sum(CAST(r1 AS DECIMAL(38,14))) AS DOUBLE) AS n1,
+        |    CAST(sum(CAST(1 - r1 AS DECIMAL(38,14))) AS DOUBLE) AS n2,
+        |    CAST(sum(CAST(r1 * v AS DECIMAL(38,14))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST((1 - r1) * v AS DECIMAL(38,14))) AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(r1 * v * v AS DECIMAL(38,14))) AS DOUBLE) AS q1,
+        |    CAST(sum(CAST((1 - r1) * v * v AS DECIMAL(38,14))) AS DOUBLE) AS q2
         |  FROM resp
         |)
         |SELECT CAST(n AS BIGINT) AS n,
@@ -698,12 +701,12 @@ object Learning {
             |     / sqrt(100.0))
             | + (0.5 * exp(-(value - 80.0) * (value - 80.0) / (2.0 * 400.0))
             |     / sqrt(400.0)))""".stripMargin).as("r1"))
-        .agg(count(lit(1)).as("n"), sum(col("r1")).as("n1"),
-          sum(lit(1) - col("r1")).as("n2"),
-          sum(col("r1") * col("v")).as("s1"),
-          sum((lit(1) - col("r1")) * col("v")).as("s2"),
-          sum(col("r1") * col("v") * col("v")).as("q1"),
-          sum((lit(1) - col("r1")) * col("v") * col("v")).as("q2"))
+        .agg(count(lit(1)).as("n"), sum((col("r1")).cast("decimal(38,14)")).cast("double").as("n1"),
+          sum((lit(1) - col("r1")).cast("decimal(38,14)")).cast("double").as("n2"),
+          sum((col("r1") * col("v")).cast("decimal(38,14)")).cast("double").as("s1"),
+          sum(((lit(1) - col("r1")) * col("v")).cast("decimal(38,14)")).cast("double").as("s2"),
+          sum((col("r1") * col("v") * col("v")).cast("decimal(38,14)")).cast("double").as("q1"),
+          sum(((lit(1) - col("r1")) * col("v") * col("v")).cast("decimal(38,14)")).cast("double").as("q2"))
         .select(col("n").cast("long").as("n"),
           round(col("n1") / col("n"), 6).as("weight_1"),
           round(col("s1") / col("n1"), 6).as("mean_1"),
@@ -796,8 +799,10 @@ object Learning {
         |    value AS x
         |  FROM events
         |), m AS (
-        |  SELECT count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
-        |    sum(y - 0.5) AS g0, sum((y - 0.5) * x) AS g1
+        |  SELECT count(*) AS n, CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |    sum(y - 0.5) AS g0,
+        |    CAST(sum(CAST((y - 0.5) * x AS DECIMAL(38,12))) AS DOUBLE) AS g1
         |  FROM s
         |), beta AS (
         |  SELECT n,
@@ -808,7 +813,8 @@ object Learning {
         |SELECT CAST(b.n AS BIGINT) AS n,
         |  round(b.b0, 6) AS b0, round(b.b1, 6) AS b1,
         |  round(ln(2), 6) AS loss_before,
-        |  round(avg(ln(1 + exp(-(2 * s.y - 1) * (b.b0 + b.b1 * s.x)))), 6)
+        |  round(CAST(sum(CAST(ln(1 + exp(-(2 * s.y - 1) * (b.b0 + b.b1 * s.x))) AS DECIMAL(38,18))) AS DOUBLE)
+        |      / count(*), 6)
         |    AS loss_after,
         |  round(avg(CASE WHEN (b.b0 + b.b1 * s.x > 0) = (s.y = 1)
         |    THEN 1.0 ELSE 0.0 END), 6) AS accuracy_after
@@ -818,10 +824,10 @@ object Learning {
         .select(when(col("event_type") === "purchase", 1).otherwise(0).as("y"),
           col("value").as("x"))
         .localCheckpoint() // moments pass AND the scoring pass
-      val m = s.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-        sum(col("x") * col("x")).as("sxx"),
+      val m = s.agg(count(lit(1)).as("n"), sum((col("x")).cast("decimal(38,12)")).cast("double").as("sx"),
+        sum((col("x") * col("x")).cast("decimal(38,12)")).cast("double").as("sxx"),
         sum(col("y") - 0.5).as("g0"),
-        sum((col("y") - 0.5) * col("x")).as("g1"))
+        sum(((col("y") - 0.5) * col("x")).cast("decimal(38,12)")).cast("double").as("g1"))
       val det = col("n") * col("sxx") - col("sx") * col("sx")
       val beta = m.select(col("n"),
         (lit(4) * (col("sxx") * col("g0") - col("sx") * col("g1")) / det)
@@ -831,8 +837,8 @@ object Learning {
       val z = col("b0") + col("b1") * col("x")
       s.crossJoin(broadcast(beta))
         .groupBy("n", "b0", "b1")
-        .agg(avg(log(lit(1) + exp((lit(2) * col("y") - 1) * z * -1)))
-          .as("loss_after"),
+        .agg((sum((log(lit(1) + exp((lit(2) * col("y") - 1) * z * -1))).cast("decimal(38,18)")).cast("double")
+          / count(lit(1))).as("loss_after"),
           avg(when((z > 0) === (col("y") === 1), 1.0).otherwise(0.0))
             .as("accuracy_after"))
         .select(col("n").cast("long").as("n"),

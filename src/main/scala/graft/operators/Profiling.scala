@@ -500,7 +500,7 @@ object Profiling {
         |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
         |), gs AS (
         |  SELECT event_type, count(*) AS n, sum(gap_us) AS s,
-        |    sum(CAST(gap_us AS DOUBLE) * gap_us) AS ss
+        |    CAST(sum(CAST(CAST(gap_us AS DOUBLE) * gap_us AS DECIMAL(38,6))) AS DOUBLE) AS ss
         |  FROM g WHERE gap_us IS NOT NULL GROUP BY event_type
         |), hourly AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS c
@@ -528,7 +528,7 @@ object Profiling {
         .filter(col("gap_us").isNotNull)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(col("gap_us")).as("s"),
-          sum(col("gap_us").cast("double") * col("gap_us")).as("ss"))
+          sum((col("gap_us").cast("double") * col("gap_us")).cast("decimal(38,6)")).cast("double").as("ss"))
       val hs = events
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
         .agg(count(lit(1)).as("c"))
@@ -1037,9 +1037,14 @@ object Profiling {
         |        AS spend
         |    FROM orders GROUP BY o_custkey) f ON f.o_custkey = c.c_custkey
         |), m AS (
-        |  SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
-        |    sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
-        |    sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+        |  SELECT count(*) AS n, sum(x1) AS s1,
+        |    CAST(sum(CAST(x2 AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |    sum(x1 * x1) AS s11,
+        |    CAST(sum(CAST(x1 * x2 AS DECIMAL(38,12))) AS DOUBLE) AS s12,
+        |    CAST(sum(CAST(x2 * x2 AS DECIMAL(38,12))) AS DOUBLE) AS s22,
+        |    CAST(sum(CAST(x1 * y AS DECIMAL(38,12))) AS DOUBLE) AS s1y,
+        |    CAST(sum(CAST(x2 * y AS DECIMAL(38,12))) AS DOUBLE) AS s2y
         |  FROM feats WHERE NOT masked
         |), b AS (
         |  SELECT n, s1 / n AS m1, s2 / n AS m2, sy / n AS my,
@@ -1054,10 +1059,11 @@ object Profiling {
         |  FROM b
         |)
         |SELECT segment, CAST(count(*) AS BIGINT) AS n_masked,
-        |  round(avg(my + b1 * (x1 - m1) + b2 * (x2 - m2)), 6) AS avg_imputed,
-        |  round(avg(y), 6) AS avg_true,
-        |  round(sqrt(avg((my + b1 * (x1 - m1) + b2 * (x2 - m2) - y)
-        |    * (my + b1 * (x1 - m1) + b2 * (x2 - m2) - y))), 6) AS rmse
+        |  round(CAST(sum(CAST(my + b1 * (x1 - m1) + b2 * (x2 - m2) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+        |    AS avg_imputed,
+        |  round(CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS avg_true,
+        |  round(sqrt(CAST(sum(CAST((my + b1 * (x1 - m1) + b2 * (x2 - m2) - y)
+        |    * (my + b1 * (x1 - m1) + b2 * (x2 - m2) - y) AS DECIMAL(38,12))) AS DOUBLE) / count(*)), 6) AS rmse
         |FROM feats, beta WHERE masked
         |GROUP BY segment
         |ORDER BY segment""".stripMargin) { (spark, dir) =>
@@ -1075,12 +1081,13 @@ object Profiling {
         .localCheckpoint() // moments pass AND the masked scoring pass
       val m = feats.filter(!col("masked"))
         .agg(count(lit(1)).as("n"), sum(col("x1")).as("s1"),
-          sum(col("x2")).as("s2"), sum(col("y")).as("sy"),
+          sum((col("x2")).cast("decimal(38,12)")).cast("double").as("s2"),
+          sum((col("y")).cast("decimal(38,12)")).cast("double").as("sy"),
           sum(col("x1") * col("x1")).as("s11"),
-          sum(col("x1") * col("x2")).as("s12"),
-          sum(col("x2") * col("x2")).as("s22"),
-          sum(col("x1") * col("y")).as("s1y"),
-          sum(col("x2") * col("y")).as("s2y"))
+          sum((col("x1") * col("x2")).cast("decimal(38,12)")).cast("double").as("s12"),
+          sum((col("x2") * col("x2")).cast("decimal(38,12)")).cast("double").as("s22"),
+          sum((col("x1") * col("y")).cast("decimal(38,12)")).cast("double").as("s1y"),
+          sum((col("x2") * col("y")).cast("decimal(38,12)")).cast("double").as("s2y"))
       val b = m.select(col("n"),
         (col("s1") / col("n")).as("m1"), (col("s2") / col("n")).as("m2"),
         (col("sy") / col("n")).as("my"),
@@ -1099,8 +1106,10 @@ object Profiling {
       feats.filter(col("masked")).crossJoin(broadcast(beta))
         .groupBy("segment")
         .agg(count(lit(1)).as("n_masked"),
-          avg(pred).as("avg_imputed"), avg(col("y")).as("avg_true"),
-          sqrt(avg((pred - col("y")) * (pred - col("y")))).as("rmse"))
+          (sum((pred).cast("decimal(38,12)")).cast("double") / count(lit(1))).as("avg_imputed"),
+          (sum((col("y")).cast("decimal(38,12)")).cast("double") / count(lit(1))).as("avg_true"),
+          sqrt(sum(((pred - col("y")) * (pred - col("y"))).cast("decimal(38,12)")).cast("double")
+            / count(lit(1))).as("rmse"))
         .select(col("segment"), col("n_masked").cast("long").as("n_masked"),
           round(col("avg_imputed"), 6).as("avg_imputed"),
           round(col("avg_true"), 6).as("avg_true"),

@@ -315,8 +315,9 @@ object Sampling {
         |  FROM documents
         |), s AS (
         |  SELECT lang, count(*) AS n_sampled,
-        |    sum(n_chars / pi) AS est,
-        |    sum((1 - pi) / (pi * pi) * n_chars * n_chars) AS v
+        |    CAST(sum(CAST(n_chars / pi AS DECIMAL(38,12))) AS DOUBLE) AS est,
+        |    CAST(sum(CAST((1 - pi) / (pi * pi) * n_chars * n_chars
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS v
         |  FROM d WHERE h < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
         |  GROUP BY lang
         |), t AS (
@@ -345,9 +346,11 @@ object Sampling {
         .filter(col("h") < when(col("lang") === "en", 10).otherwise(50))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_sampled"),
-          sum(col("n_chars") / col("pi")).as("est"),
-          sum((lit(1) - col("pi")) / (col("pi") * col("pi"))
-            * col("n_chars") * col("n_chars")).as("v"))
+          sum((col("n_chars") / col("pi")).cast("decimal(38,12)"))
+            .cast("double").as("est"),
+          sum(((lit(1) - col("pi")) / (col("pi") * col("pi"))
+            * col("n_chars") * col("n_chars")).cast("decimal(38,12)"))
+            .cast("double").as("v"))
       val t = d.groupBy("lang")
         .agg(count(lit(1)).as("n_pop"),
           sum(col("n_chars")).cast("long").as("true_total"))

@@ -823,7 +823,8 @@ object Stats {
       "q_kde_density",
       """WITH m AS (
         |  SELECT count(*) AS n, min(value) AS lo, max(value) AS hi,
-        |    sqrt((sum(value * value) - sum(value) * sum(value) / count(*))
+        |    sqrt((CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE)
+        |      - CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) * CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / count(*))
         |      / (count(*) - 1)) AS sd
         |  FROM events WHERE event_type = 'purchase'
         |), pts AS (
@@ -832,8 +833,8 @@ object Stats {
         |  FROM m, range(11) t(i)
         |)
         |SELECT CAST(p.i AS BIGINT) AS pt, round(p.x, 6) AS x,
-        |  round(sum(exp(-(p.x - e.value) * (p.x - e.value)
-        |      / (2 * p.h * p.h)))
+        |  round(CAST(sum(CAST(exp(-(p.x - e.value) * (p.x - e.value)
+        |      / (2 * p.h * p.h)) AS DECIMAL(38,18))) AS DOUBLE)
         |    / (p.n * p.h * sqrt(2 * pi())), 6) AS density
         |FROM pts p, (SELECT value FROM events
         |             WHERE event_type = 'purchase') e
@@ -843,8 +844,8 @@ object Stats {
         .filter(col("event_type") === "purchase").select("value")
       val m = purch.agg(count(lit(1)).as("n"), min(col("value")).as("lo"),
         max(col("value")).as("hi"),
-        sqrt((sum(col("value") * col("value")) -
-          sum(col("value")) * sum(col("value")) / count(lit(1))) /
+        sqrt((sum((col("value") * col("value")).cast("decimal(38,12)")).cast("double") -
+          sum((col("value")).cast("decimal(38,12)")).cast("double") * sum((col("value")).cast("decimal(38,12)")).cast("double") / count(lit(1))) /
           (count(lit(1)) - 1)).as("sd"))
       val pts = m.select(explode(expr("sequence(0, 10)")).as("i"),
           col("lo"), col("hi"), col("sd"), col("n"))
@@ -853,8 +854,8 @@ object Stats {
           (lit(1.06) * col("sd") * pow(col("n"), -0.2)).as("h"), col("n"))
       purch.crossJoin(broadcast(pts))
         .groupBy("i", "x", "h", "n")
-        .agg(sum(exp(-(col("x") - col("value")) * (col("x") - col("value")) /
-          (lit(2) * col("h") * col("h")))).as("ksum"))
+        .agg(sum((exp(-(col("x") - col("value")) * (col("x") - col("value")) /
+          (lit(2) * col("h") * col("h")))).cast("decimal(38,18)")).cast("double").as("ksum"))
         .select(col("i").cast("long").as("pt"), round(col("x"), 6).as("x"),
           round(col("ksum") /
             (col("n") * col("h") * sqrt(lit(2) * lit(math.Pi))), 6)

@@ -484,7 +484,8 @@ object TimeSeries {
         |    AS day FROM b
         |), daily AS (
         |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-        |    round(sum(value) / count(*), 6) AS v
+        |    round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+        |      / count(*), 6) AS v
         |  FROM events WHERE event_type = 'purchase' AND value > 220
         |  GROUP BY 1
         |)
@@ -501,7 +502,8 @@ object TimeSeries {
       val daily = ev
         .filter(col("event_type") === "purchase" && col("value") > 220)
         .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
-        .agg(round(sum(col("value")) / count(lit(1)), 6).as("v"))
+        .agg(round(sum(col("value").cast("decimal(38,12)")).cast("double")
+          / count(lit(1)), 6).as("v"))
       val w = Window.orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       spine.join(daily, Seq("day"), "left")
@@ -1003,6 +1005,92 @@ object TimeSeries {
           col("n_last").cast("long").as("last_n"),
           round((col("sy") - col("phi") * col("sx")) / col("np")
             + col("phi") * col("n_last"), 6).as("forecast_next"))
+    },
+
+    // ---- Holt's double exponential smoothing (level + trend) over the
+    //      daily event series, α = 1/5, β = 1/10 — the trend-aware
+    //      upgrade of q_ewma, run as ONE recursive CTE on BOTH engines
+    //      over the calendar-bounded day spine (gaps filled with 0 —
+    //      a missing day IS a zero-count observation). Everything is
+    //      micro-unit fixed point; divisions are sign-factored in the
+    //      oracle so floor-`//` matches Spark's truncating `div` even
+    //      on negative numerators (downtrends make l', b' deltas
+    //      negative — this is exactly where naive ports diverge).
+    //      Scale: the corpus contributes one grouped count; the
+    //      recursion runs over |days| rows — the q_recursive_hierarchy
+    //      frontier discipline.
+    QueryDef.checked(
+      "q_holt_winters",
+      """WITH RECURSIVE b AS (
+        |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        |  FROM events
+        |), spine AS (
+        |  SELECT CAST(date_diff('day', d0, CAST(unnest(
+        |    generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)) AS BIGINT)
+        |    AS t
+        |  FROM b
+        |), daily AS (
+        |  SELECT s.t, coalesce(c.n, 0) * 1000000 AS y
+        |  FROM spine s LEFT JOIN (
+        |    SELECT CAST(date_diff('day', b.d0, CAST(ts AS DATE)) AS BIGINT)
+        |      AS t, count(*) AS n
+        |    FROM events, b GROUP BY 1) c ON c.t = s.t
+        |), mx AS (SELECT max(t) AS tmax FROM daily),
+        |hw AS (
+        |  SELECT d0.t, d0.y AS l, d1.y - d0.y AS b, CAST(0 AS BIGINT) AS sae
+        |  FROM daily d0, daily d1 WHERE d0.t = 0 AND d1.t = 1
+        |  UNION ALL
+        |  SELECT d.t,
+        |    (abs(d.y + 4 * (h.l + h.b)) // 5)
+        |      * (CASE WHEN d.y + 4 * (h.l + h.b) < 0 THEN -1 ELSE 1 END),
+        |    (abs(((abs(d.y + 4 * (h.l + h.b)) // 5)
+        |        * (CASE WHEN d.y + 4 * (h.l + h.b) < 0 THEN -1 ELSE 1 END)
+        |        - h.l) + 9 * h.b) // 10)
+        |      * (CASE WHEN ((abs(d.y + 4 * (h.l + h.b)) // 5)
+        |        * (CASE WHEN d.y + 4 * (h.l + h.b) < 0 THEN -1 ELSE 1 END)
+        |        - h.l) + 9 * h.b < 0 THEN -1 ELSE 1 END),
+        |    h.sae + abs(d.y - (h.l + h.b))
+        |  FROM hw h JOIN daily d ON d.t = h.t + 1
+        |)
+        |SELECT CAST(mx.tmax + 1 AS BIGINT) AS n_days,
+        |  round(h.l / 1000000.0, 6) AS level,
+        |  round(h.b / 1000000.0, 6) AS trend,
+        |  round((h.l + h.b) / 1000000.0, 6) AS forecast_1,
+        |  round((h.l + 2 * h.b) / 1000000.0, 6) AS forecast_2,
+        |  round(h.sae / 1000000.0 / (mx.tmax - 1), 6) AS mean_abs_err
+        |FROM hw h, mx WHERE h.t = mx.tmax""".stripMargin) { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+      val b = ev.agg(to_date(min(col("ts"))).as("d0"),
+        to_date(max(col("ts"))).as("d1"))
+      val spine = b.select(col("d0"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        .select(datediff(col("day"), col("d0")).cast("long").as("t"))
+      val counts = ev.crossJoin(broadcast(b))
+        .groupBy(datediff(to_date(col("ts")), col("d0")).cast("long").as("t"))
+        .agg(count(lit(1)).as("n"))
+      spine.join(counts, Seq("t"), "left")
+        .select(col("t"), (coalesce(col("n"), lit(0L)) * 1000000L).as("y"))
+        .createOrReplaceTempView("graft_hw_daily")
+      spark.sql(
+        """WITH RECURSIVE hw AS (
+          |  SELECT d0.t, d0.y AS l, d1.y - d0.y AS b, CAST(0 AS BIGINT) AS sae
+          |  FROM graft_hw_daily d0, graft_hw_daily d1
+          |  WHERE d0.t = 0 AND d1.t = 1
+          |  UNION ALL
+          |  SELECT d.t,
+          |    (d.y + 4 * (h.l + h.b)) div 5,
+          |    (((d.y + 4 * (h.l + h.b)) div 5 - h.l) + 9 * h.b) div 10,
+          |    h.sae + abs(d.y - (h.l + h.b))
+          |  FROM hw h JOIN graft_hw_daily d ON d.t = h.t + 1
+          |), mx AS (SELECT max(t) AS tmax FROM graft_hw_daily)
+          |SELECT CAST(mx.tmax + 1 AS BIGINT) AS n_days,
+          |  round(CAST(h.l AS DOUBLE) / 1000000.0, 6) AS level,
+          |  round(CAST(h.b AS DOUBLE) / 1000000.0, 6) AS trend,
+          |  round(CAST(h.l + h.b AS DOUBLE) / 1000000.0, 6) AS forecast_1,
+          |  round(CAST(h.l + 2 * h.b AS DOUBLE) / 1000000.0, 6) AS forecast_2,
+          |  round(CAST(h.sae AS DOUBLE) / 1000000.0 / (mx.tmax - 1), 6)
+          |    AS mean_abs_err
+          |FROM hw h, mx WHERE h.t = mx.tmax""".stripMargin)
     }
   )
 }

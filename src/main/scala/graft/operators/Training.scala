@@ -744,15 +744,15 @@ object Training {
         |      / 1000.0 AS h
         |  FROM vocab, (SELECT 0 AS k UNION ALL SELECT 1) kk
         |), wtv AS (
-        |  SELECT w0.k, v.tok, sum(w0.w * v.x) AS a
+        |  SELECT w0.k, v.tok, CAST(sum(CAST(w0.w * v.x AS DECIMAL(38,15))) AS DOUBLE) AS a
         |  FROM w0 JOIN v ON v.source = w0.source
         |  GROUP BY w0.k, v.tok
         |), wtw AS (
-        |  SELECT a.k AS k1, b.k AS k2, sum(a.w * b.w) AS g
+        |  SELECT a.k AS k1, b.k AS k2, CAST(sum(CAST(a.w * b.w AS DECIMAL(38,15))) AS DOUBLE) AS g
         |  FROM w0 a JOIN w0 b ON b.source = a.source
         |  GROUP BY a.k, b.k
         |), wtwh AS (
-        |  SELECT ww.k1 AS k, h0.tok, sum(ww.g * h0.h) AS b
+        |  SELECT ww.k1 AS k, h0.tok, CAST(sum(CAST(ww.g * h0.h AS DECIMAL(38,15))) AS DOUBLE) AS b
         |  FROM wtw ww JOIN h0 ON h0.k = ww.k2
         |  GROUP BY ww.k1, h0.tok
         |)
@@ -785,15 +785,18 @@ object Training {
             .as("h"))
         .localCheckpoint() // (WᵀW)H and the final update both read it
       val wtv = w0.join(v, Seq("source"))
-        .groupBy("k", "tok").agg(sum(col("w") * col("x")).as("a"))
+        .groupBy("k", "tok").agg(sum((col("w") * col("x"))
+          .cast("decimal(38,15)")).cast("double").as("a"))
       val wtw = w0.select(col("source"), col("k").as("k1"), col("w").as("wa"))
         .join(w0.select(col("source"), col("k").as("k2"), col("w").as("wb")),
           Seq("source"))
-        .groupBy("k1", "k2").agg(sum(col("wa") * col("wb")).as("g"))
+        .groupBy("k1", "k2").agg(sum((col("wa") * col("wb"))
+          .cast("decimal(38,15)")).cast("double").as("g"))
       val wtwh = wtw.join(h0.select(col("k").as("k2"), col("tok"),
           col("h")), Seq("k2"))
         .groupBy(col("k1").as("k"), col("tok"))
-        .agg(sum(col("g") * col("h")).as("b"))
+        .agg(sum((col("g") * col("h")).cast("decimal(38,15)"))
+          .cast("double").as("b"))
       h0.join(wtv, Seq("k", "tok")).join(wtwh, Seq("k", "tok"))
         .select(col("k"), col("tok"), round(col("h"), 6).as("h_old"),
           round(col("h") * col("a") / col("b"), 6).as("h_new"))
