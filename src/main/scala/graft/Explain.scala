@@ -98,7 +98,10 @@ object Explain {
     "q_boosting_stumps", "q_ht_estimator", "q_greedy_coverage",
     "q_tpch_q10_returns", "q_clone_docstore", "q_resource_allocation",
     "q_permutation_test", "q_jackknife_variance", "q_padding_waste",
-    "q_temperature_mix")
+    "q_temperature_mix", "q_loso_regression", "q_levene_test",
+    "q_grubbs_outlier", "q_var_es", "q_bpe_apply",
+    "q_quantile_regression_grid", "q_kv_cache_budget", "q_holt_winters",
+    "q_media_dhash")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

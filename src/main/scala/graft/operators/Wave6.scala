@@ -1,17 +1,22 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.util.RangeRank
 
 /** Round-6 additions: link prediction (resource-allocation index),
-  * exact permutation testing, jackknife variance, batch-padding
-  * efficiency, and temperature-based language sampling — each a
-  * standard large-pipeline operation re-expressed as bounded Spark
-  * dataflow with an integer/IEEE-exact oracle contract (the repo's
-  * order-proof discipline: integer fixed-point where sums cross
-  * partition boundaries, correctly-rounded IEEE ops — sqrt, a single
-  * division — where both engines are bit-identical by spec).
+  * exact permutation testing, jackknife and leave-one-source-out
+  * ablation, batch-padding efficiency, temperature-based language
+  * sampling, variance-homogeneity and single-outlier tests, tail risk
+  * (VaR/ES by exact order statistic), static BPE-merge application,
+  * pinball-loss quantile screening, and KV-cache capacity planning —
+  * each a standard large-pipeline operation re-expressed as bounded
+  * Spark dataflow with an integer/IEEE-exact oracle contract (the
+  * repo's order-proof discipline: integer fixed-point where sums
+  * cross partition boundaries, DECIMAL summation for true-double
+  * addends, correctly-rounded IEEE ops — sqrt, a single division —
+  * where both engines are bit-identical by spec).
   */
 object Wave6 {
 
@@ -366,6 +371,342 @@ object Wave6 {
             / (col("n2") * col("sxx2") - col("sx2") * col("sx2"))
             - col("b_full"), 6).as("slope_delta"))
         .orderBy("source")
+    },
+
+    // ---- Brown-Forsythe (median-based Levene) test: do event-value
+    //      VARIANCES differ across event types? ANOVA's F on the
+    //      absolute deviations from each group's median — the robust
+    //      homogeneity-of-variance gate run before trusting a pooled-
+    //      variance test (q_welch_ttest sidesteps it; this measures
+    //      it). Medians interpolate the same two values on both
+    //      engines; deviation moments sum in DECIMAL (the round-6
+    //      order-proof discipline). Scale: one grouped median pass +
+    //      one moments pass with the |groups|-row medians broadcast.
+    QueryDef.checked(
+      "q_levene_test",
+      """WITH med AS (
+        |  SELECT event_type, median(value) AS md FROM events
+        |  GROUP BY event_type
+        |), z AS (
+        |  SELECT e.event_type, abs(e.value - m.md) AS z
+        |  FROM events e JOIN med m ON m.event_type = e.event_type
+        |), g AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(z AS DECIMAL(38,12))) AS DOUBLE) AS sz,
+        |    CAST(sum(CAST(z * z AS DECIMAL(38,12))) AS DOUBLE) AS szz
+        |  FROM z GROUP BY event_type
+        |), tot AS (
+        |  SELECT count(*) AS k, sum(n) AS nt,
+        |    CAST(sum(CAST(sz AS DECIMAL(38,12))) AS DOUBLE) AS szt,
+        |    CAST(sum(CAST(szz - sz * sz / n AS DECIMAL(38,12))) AS DOUBLE)
+        |      AS ssw
+        |  FROM g
+        |), b AS (
+        |  SELECT max(t.k) AS k, max(t.nt) AS nt, max(t.ssw) AS ssw,
+        |    CAST(sum(CAST(g.n * (g.sz / g.n - t.szt / t.nt)
+        |      * (g.sz / g.n - t.szt / t.nt) AS DECIMAL(38,12))) AS DOUBLE)
+        |      AS ssb
+        |  FROM g, tot t
+        |)
+        |SELECT CAST(k AS INT) AS k, CAST(nt AS BIGINT) AS n_total,
+        |  round(ssb, 6) AS ss_between, round(ssw, 6) AS ss_within,
+        |  round((ssb / (k - 1)) / (ssw / (nt - k)), 6) AS bf_stat
+        |FROM b""".stripMargin) { (spark, dir) =>
+      def dsum(c: Column): Column =
+        sum(c.cast("decimal(38,12)")).cast("double")
+      val ev = Tables(spark, dir).events
+      val med = ev.groupBy("event_type").agg(expr("median(value)").as("md"))
+      val g = ev.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), abs(col("value") - col("md")).as("z"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("z")).as("sz"),
+          dsum(col("z") * col("z")).as("szz"))
+      val tot = g.agg(count(lit(1)).as("k"), sum(col("n")).as("nt"),
+        dsum(col("sz")).as("szt"),
+        dsum(col("szz") - col("sz") * col("sz") / col("n")).as("ssw"))
+      g.crossJoin(broadcast(tot))
+        .agg(max(col("k")).as("k"), max(col("nt")).as("nt"),
+          max(col("ssw")).as("ssw"),
+          dsum(col("n") * (col("sz") / col("n") - col("szt") / col("nt"))
+            * (col("sz") / col("n") - col("szt") / col("nt"))).as("ssb"))
+        .select(col("k").cast("int").as("k"),
+          col("nt").cast("long").as("n_total"),
+          round(col("ssb"), 6).as("ss_between"),
+          round(col("ssw"), 6).as("ss_within"),
+          round((col("ssb") / (col("k") - 1))
+            / (col("ssw") / (col("nt") - col("k"))), 6).as("bf_stat"))
+    },
+
+    // ---- Grubbs outlier test: the single most extreme supplier
+    //      balance vs the N(μ,σ) hypothesis. The ARGMAX is decided on
+    //      the exact integer |x·N − S| (cross-multiplied deviation —
+    //      no float compare can flip it, the q_louvain_move argmax
+    //      discipline); only the final G statistic touches doubles,
+    //      computed from exact integer moments identically on both
+    //      engines. One moments pass + one broadcast-threshold scan.
+    QueryDef.checked(
+      "q_grubbs_outlier",
+      """WITH s AS (
+        |  SELECT s_suppkey AS k,
+        |    CAST(round(s_acctbal * 100) AS BIGINT) AS c
+        |  FROM supplier
+        |), m AS (
+        |  SELECT count(*) AS n, sum(c) AS sc, sum(c * c) AS scc FROM s
+        |), top AS (
+        |  SELECT s.k, s.c, abs(s.c * m.n - m.sc) AS dev_xn
+        |  FROM s, m ORDER BY abs(s.c * m.n - m.sc) DESC, s.k LIMIT 1
+        |)
+        |SELECT CAST(m.n AS BIGINT) AS n, t.k AS suspect_key,
+        |  round(t.c / 100.0, 6) AS suspect_value,
+        |  round(CAST(m.sc AS DOUBLE) / m.n / 100.0, 6) AS mean_value,
+        |  round((CAST(t.dev_xn AS DOUBLE) / m.n / 100.0)
+        |    / sqrt((m.scc - CAST(m.sc AS DOUBLE) * m.sc / m.n)
+        |           / (m.n - 1)) * 100.0, 6) AS g_stat
+        |FROM top t, m""".stripMargin) { (spark, dir) =>
+      val s = Tables(spark, dir).supplier.select(col("s_suppkey").as("k"),
+        expr("CAST(round(s_acctbal * 100) AS BIGINT)").as("c"))
+      val m = s.agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("scc"))
+      val top = s.crossJoin(broadcast(m))
+        .withColumn("dev_xn", abs(col("c") * col("n") - col("sc")))
+        .orderBy(col("dev_xn").desc, col("k"))
+        .limit(1)
+      top.select(col("n").cast("long").as("n"), col("k").as("suspect_key"),
+        round(col("c") / 100.0, 6).as("suspect_value"),
+        round(col("sc").cast("double") / col("n") / 100.0, 6)
+          .as("mean_value"),
+        round((col("dev_xn").cast("double") / col("n") / 100.0)
+          / sqrt((col("scc") - col("sc").cast("double") * col("sc")
+            / col("n")) / (col("n") - 1)) * 100.0, 6).as("g_stat"))
+    },
+
+    // ---- tail risk: 95% VaR and expected shortfall over order values
+    //      — VaR as the EXACT ⌈0.95·N⌉-th order statistic (no
+    //      interpolation ambiguity across engines) via RangeRank's
+    //      range-exchange global rank, ES as the exact-cents mean of
+    //      the tail at or above it. The risk-reporting twin of
+    //      q_max_drawdown; at 100 TB the rank pass is the same
+    //      repartitionByRange the percentile family already uses.
+    QueryDef.checked(
+      "q_var_es",
+      """WITH s AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders
+        |), r AS (
+        |  SELECT c, row_number() OVER (ORDER BY c, o_orderkey) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM s
+        |), v AS (
+        |  SELECT c AS var_cents, n FROM r
+        |  WHERE rn = CAST(ceil(0.95 * n) AS BIGINT)
+        |)
+        |SELECT CAST(v.n AS BIGINT) AS n,
+        |  v.var_cents,
+        |  CAST(count(*) AS BIGINT) AS n_tail,
+        |  round(CAST(sum(s.c) AS DOUBLE) / count(*) / 100.0, 6)
+        |    AS es_value
+        |FROM s, v WHERE s.c >= v.var_cents
+        |GROUP BY v.n, v.var_cents""".stripMargin) { (spark, dir) =>
+      val s = Tables(spark, dir).orders.select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      val (ranked, n) = RangeRank.withGlobalRankAndTotal(
+        s, "rn", 8, col("c"), col("o_orderkey"))
+      val kth = math.ceil(0.95 * n).toLong
+      val v = ranked.filter(col("rn") === kth)
+        .select(col("c").as("var_cents"))
+      s.crossJoin(broadcast(v))
+        .filter(col("c") >= col("var_cents"))
+        .groupBy("var_cents")
+        .agg(count(lit(1)).as("n_tail"), sum(col("c")).as("tail_sum"))
+        .select(lit(n).as("n"), col("var_cents"),
+          col("n_tail").cast("long").as("n_tail"),
+          round(col("tail_sum").cast("double") / col("n_tail") / 100.0, 6)
+            .as("es_value"))
+    },
+
+    // ---- static merge application (the inference half of the BPE
+    //      family): take the corpus's top-3 character bigrams (the
+    //      q_bpe_pairs ranking) and apply them as merges to the
+    //      spaced-symbol form, reporting per-source token counts
+    //      before/after — tokenizer-fertility measurement for a
+    //      candidate merge table. replace() is left-to-right
+    //      non-overlapping on both engines (the q_bpe_train parity
+    //      contract). One bigram aggregate (3-row broadcast) + one
+    //      corpus rewrite pass.
+    QueryDef.checked(
+      "q_bpe_apply",
+      """WITH words AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |), cp AS (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> substring(w, CAST(i AS INT), 2))) AS pair
+        |  FROM words WHERE len(w) >= 2
+        |), top3 AS (
+        |  SELECT pair, row_number() OVER (ORDER BY count(*) DESC, pair)
+        |    AS r
+        |  FROM cp GROUP BY pair
+        |  ORDER BY count(*) DESC, pair LIMIT 3
+        |), m AS (
+        |  SELECT max(CASE WHEN r = 1 THEN pair END) AS p1,
+        |    max(CASE WHEN r = 2 THEN pair END) AS p2,
+        |    max(CASE WHEN r = 3 THEN pair END) AS p3
+        |  FROM top3
+        |), sym AS (
+        |  SELECT source,
+        |    concat(' ', regexp_replace(w, '(.)', '\1 ', 'g')) AS s0
+        |  FROM words
+        |), applied AS (
+        |  SELECT source,
+        |    len(string_split(trim(s0), ' ')) AS n_before,
+        |    len(string_split(trim(replace(replace(replace(s0,
+        |      concat(' ', substring(p1, 1, 1), ' ', substring(p1, 2, 1), ' '),
+        |      concat(' ', p1, ' ')),
+        |      concat(' ', substring(p2, 1, 1), ' ', substring(p2, 2, 1), ' '),
+        |      concat(' ', p2, ' ')),
+        |      concat(' ', substring(p3, 1, 1), ' ', substring(p3, 2, 1), ' '),
+        |      concat(' ', p3, ' '))), ' ')) AS n_after
+        |  FROM sym, m
+        |)
+        |SELECT source,
+        |  CAST(sum(n_before) AS BIGINT) AS tokens_before,
+        |  CAST(sum(n_after) AS BIGINT) AS tokens_after,
+        |  CAST((sum(n_before) - sum(n_after)) * 1000000 // sum(n_before)
+        |    AS BIGINT) AS saved_ppm
+        |FROM applied GROUP BY source ORDER BY source""".stripMargin) {
+      (spark, dir) =>
+      val words = Tables(spark, dir).documents
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .localCheckpoint() // bigram count + the rewrite pass share it
+      val top3 = words.filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(3)
+        .collect().map(_.getString(0)) // 3-row bounded collect
+      val Array(p1, p2, p3) = top3
+      def sp(p: String) = s" ${p.charAt(0)} ${p.charAt(1)} "
+      def mg(p: String) = s" $p "
+      words
+        .select(col("source"),
+          concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("s0"))
+        .select(col("source"),
+          size(split(trim(col("s0")), " ")).as("n_before"),
+          size(split(trim(
+            regexp_replace(regexp_replace(regexp_replace(col("s0"),
+              java.util.regex.Pattern.quote(sp(p1)), mg(p1)),
+              java.util.regex.Pattern.quote(sp(p2)), mg(p2)),
+              java.util.regex.Pattern.quote(sp(p3)), mg(p3))), " "))
+            .as("n_after"))
+        .groupBy("source")
+        .agg(sum(col("n_before")).cast("long").as("tokens_before"),
+          sum(col("n_after")).cast("long").as("tokens_after"))
+        .withColumn("saved_ppm", expr(
+          "(tokens_before - tokens_after) * 1000000 div tokens_before"))
+        .orderBy("source")
+    },
+
+    // ---- quantile regression by pinball-loss grid: the τ = 0.9 check
+    //      loss evaluated at every 25k-dollar candidate threshold —
+    //      the loss CURVE, with the argmin flagged by exact integer
+    //      comparison (loss is exact cents: Σ 9·(x−c)⁺ + 1·(c−x)⁺,
+    //      scaled ×10 to keep τ rational). This is how a quantile fit
+    //      is screened distributively: one scan crossed with a
+    //      20-row broadcast grid, partial aggregation does the rest.
+    QueryDef.checked(
+      "q_quantile_regression_grid",
+      """WITH s AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders
+        |), grid AS (
+        |  SELECT unnest(range(1, 21)) * 2500000 AS cand
+        |), loss AS (
+        |  SELECT g.cand,
+        |    sum(CASE WHEN s.c > g.cand THEN 9 * (s.c - g.cand)
+        |             ELSE (g.cand - s.c) END) AS pinball10
+        |  FROM s, grid g GROUP BY g.cand
+        |), best AS (
+        |  -- argmin by an encoded exact integer key (loss ties broken by
+        |  -- candidate index) -- portable where struct min_by is not
+        |  SELECT min(pinball10 * 32 + cand // 2500000) AS bk FROM loss
+        |)
+        |SELECT CAST(l.cand AS BIGINT) AS cand_cents,
+        |  CAST(l.pinball10 AS BIGINT) AS pinball_x10,
+        |  l.pinball10 * 32 + l.cand // 2500000 = b.bk AS is_argmin
+        |FROM loss l, best b
+        |ORDER BY cand_cents""".stripMargin) { (spark, dir) =>
+      val s = Tables(spark, dir).orders
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      val grid = spark.range(1, 21)
+        .select((col("id") * 2500000L).as("cand"))
+      val loss = s.crossJoin(broadcast(grid))
+        .groupBy("cand")
+        .agg(sum(when(col("c") > col("cand"), lit(9) * (col("c") - col("cand")))
+          .otherwise(col("cand") - col("c"))).as("pinball10"))
+        .localCheckpoint() // 20 rows; feeds argmin + the curve
+      val best = loss.agg(
+        expr("min(pinball10 * 32 + cand div 2500000)").as("bk"))
+      loss.crossJoin(broadcast(best))
+        .select(col("cand").cast("long").as("cand_cents"),
+          col("pinball10").cast("long").as("pinball_x10"),
+          (col("pinball10") * 32 + expr("cand div 2500000") === col("bk"))
+            .as("is_argmin"))
+        .orderBy("cand_cents")
+    },
+
+    // ---- KV-cache capacity planning: for each serving configuration
+    //      (layers × kv-heads × head-dim × bytes/elem), per-token KV
+    //      bytes are a constant and the doc-length distribution prices
+    //      the batch — max batch sizes under an 24 GiB cache budget by
+    //      mean and by max doc length (the optimistic/safe bracket
+    //      every inference scheduler computes). Pure integer
+    //      arithmetic over one length aggregate crossed with the
+    //      3-row config grid.
+    QueryDef.checked(
+      "q_kv_cache_budget",
+      """WITH d AS (
+        |  SELECT (n_chars + 3) // 4 AS tok FROM documents
+        |), stats AS (
+        |  SELECT count(*) AS n_docs, sum(tok) AS tok_total,
+        |    max(tok) AS tok_max FROM d
+        |), cfg AS (
+        |  SELECT * FROM (VALUES
+        |    ('7b',  32, 8, 128, 2),
+        |    ('13b', 40, 8, 128, 2),
+        |    ('70b', 80, 8, 128, 2)) AS t(model, layers, kv_heads, hd, b)
+        |)
+        |SELECT model,
+        |  CAST(2 * layers * kv_heads * hd * b AS BIGINT)
+        |    AS kv_bytes_per_tok,
+        |  CAST(2 * layers * kv_heads * hd * b * (tok_total // n_docs)
+        |    AS BIGINT) AS kv_bytes_mean_doc,
+        |  CAST(25769803776 // (2 * layers * kv_heads * hd * b
+        |    * (tok_total // n_docs)) AS BIGINT) AS batch_by_mean,
+        |  CAST(25769803776 // (2 * layers * kv_heads * hd * b * tok_max)
+        |    AS BIGINT) AS batch_by_max
+        |FROM cfg, stats ORDER BY model""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val stats = Tables(spark, dir).documents
+        .select(expr("(n_chars + 3) div 4").as("tok"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tok_total"),
+          max(col("tok")).as("tok_max"))
+      val cfg = Seq(("7b", 32, 8, 128, 2), ("13b", 40, 8, 128, 2),
+        ("70b", 80, 8, 128, 2)).toDF("model", "layers", "kv_heads", "hd", "b")
+      cfg.crossJoin(broadcast(stats))
+        .withColumn("kv_bytes_per_tok",
+          (lit(2) * col("layers") * col("kv_heads") * col("hd") * col("b"))
+            .cast("long"))
+        .withColumn("mean_tok", expr("tok_total div n_docs"))
+        .select(col("model"), col("kv_bytes_per_tok"),
+          (col("kv_bytes_per_tok") * col("mean_tok")).cast("long")
+            .as("kv_bytes_mean_doc"),
+          expr("25769803776L div (kv_bytes_per_tok * mean_tok)")
+            .cast("long").as("batch_by_mean"),
+          expr("25769803776L div (kv_bytes_per_tok * tok_max)")
+            .cast("long").as("batch_by_max"))
+        .orderBy("model")
     }
   )
 }

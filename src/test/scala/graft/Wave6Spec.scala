@@ -67,6 +67,72 @@ class Wave6Spec extends SparkSpec {
     assert(deltas.exists(_ >= 0) && deltas.exists(_ <= 0))
   }
 
+  test("levene: deviations ANOVA is non-negative and df-consistent") {
+    val r = q("q_levene_test").collect().head
+    assert(r.getAs[Int]("k") == 5)
+    assert(r.getAs[Double]("ss_between") >= 0)
+    assert(r.getAs[Double]("ss_within") > 0)
+    assert(r.getAs[Double]("bf_stat") >= 0)
+  }
+
+  test("grubbs: the suspect is the extreme deviation, G positive") {
+    val r = q("q_grubbs_outlier").collect().head
+    val (mean, v) = (r.getAs[Double]("mean_value"),
+      r.getAs[Double]("suspect_value"))
+    assert(r.getAs[Double]("g_stat") > 0)
+    // the suspect must deviate at least as much as any other row
+    val cents = Tables(spark, sf).supplier
+      .selectExpr("CAST(round(s_acctbal * 100) AS BIGINT) AS c")
+      .collect().map(_.getLong(0))
+    val maxDev = cents.map(c => math.abs(c / 100.0 - mean)).max
+    assert(math.abs(math.abs(v - mean) - maxDev) < 0.02)
+  }
+
+  test("var/es: the tail mean dominates the quantile") {
+    val r = q("q_var_es").collect().head
+    val varC = r.getAs[Long]("var_cents")
+    assert(r.getAs[Double]("es_value") >= varC / 100.0)
+    // tail fraction ≈ 5%
+    val frac = r.getAs[Long]("n_tail").toDouble / r.getAs[Long]("n")
+    assert(frac > 0.03 && frac < 0.07, s"tail fraction $frac")
+  }
+
+  test("bpe apply: merges only ever shrink the token stream") {
+    q("q_bpe_apply").collect().foreach { r =>
+      assert(r.getAs[Long]("tokens_after") <= r.getAs[Long]("tokens_before"))
+      assert(r.getAs[Long]("saved_ppm") >= 0)
+    }
+  }
+
+  test("pinball grid: loss curve is convex-ish with a single argmin") {
+    val rows = q("q_quantile_regression_grid").collect()
+    assert(rows.length == 20)
+    assert(rows.count(_.getAs[Boolean]("is_argmin")) == 1)
+    val losses = rows.map(_.getAs[Long]("pinball_x10"))
+    val am = rows.indexWhere(_.getAs[Boolean]("is_argmin"))
+    // non-increasing before the argmin, non-decreasing after (check
+    // loss is V-shaped, the pinball-loss guarantee on a sorted grid)
+    assert((1 to am).forall(i => losses(i) <= losses(i - 1)))
+    assert((am + 1 until 20).forall(i => losses(i) >= losses(i - 1)))
+  }
+
+  test("kv cache: bigger models fit fewer docs, safe ≤ optimistic") {
+    val rows = q("q_kv_cache_budget").collect()
+      .map(r => r.getAs[String]("model") ->
+        (r.getAs[Long]("batch_by_mean"), r.getAs[Long]("batch_by_max"))).toMap
+    rows.values.foreach { case (bm, bx) => assert(bx <= bm && bx >= 0) }
+    assert(rows("70b")._1 < rows("13b")._1)
+    assert(rows("13b")._1 < rows("7b")._1)
+  }
+
+  test("holt smoothing: forecasts extrapolate the trend linearly") {
+    val r = q("q_holt_winters").collect().head
+    val (l, b) = (r.getAs[Double]("level"), r.getAs[Double]("trend"))
+    assert(math.abs(r.getAs[Double]("forecast_1") - (l + b)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("forecast_2") - (l + 2 * b)) < 1e-6)
+    assert(r.getAs[Double]("mean_abs_err") >= 0)
+  }
+
   test("temperature mix: α=0.5 upweights low-resource languages") {
     val rows = q("q_temperature_mix").collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_tok"),
