@@ -101,7 +101,8 @@ object Explain {
     "q_temperature_mix", "q_loso_regression", "q_levene_test",
     "q_grubbs_outlier", "q_var_es", "q_bpe_apply",
     "q_quantile_regression_grid", "q_kv_cache_budget", "q_holt_winters",
-    "q_media_dhash")
+    "q_media_dhash", "q_minhash_union", "q_topic_coherence",
+    "q_gradient_sparsify", "q_shard_rebalance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -1018,6 +1018,115 @@ object Dedup {
             / least(col("n_a"), col("n_b")), 6).as("containment"))
         .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
         .limit(50)
+    },
+
+    // ---- MinHash sketch ALGEBRA: per-source signatures built two ways
+    //      — directly from each source's shingle union, and by MERGING
+    //      per-document signatures with elementwise min — must agree
+    //      (min over a union = min of mins), which is exactly what
+    //      makes MinHash distributable: per-partition sketches merge
+    //      associatively, so a 100 TB corpus sketches in one map-side
+    //      pass + a k-long shuffle per key (the same monoid contract
+    //      KMVAggregator property-tests). Output: source-pair Jaccard
+    //      ESTIMATED from the merged signatures vs the EXACT shingle
+    //      Jaccard, with the merge-law verdict riding each row.
+    QueryDef.checked(
+      "q_minhash_union",
+      s"""WITH hg AS (
+         |  SELECT source, doc_id, ${duckH64("gram")} % 1073741824 AS h
+         |  FROM (SELECT DISTINCT source, doc_id, unnest($duckGrams) AS gram
+         |        FROM documents)
+         |), direct AS (
+         |  SELECT source,
+         |    ${(0 until 4).map(duckSig).mkString(",\n    ")}
+         |  FROM hg GROUP BY source
+         |), perdoc AS (
+         |  SELECT source, doc_id,
+         |    ${(0 until 4).map(duckSig).mkString(",\n    ")}
+         |  FROM hg GROUP BY source, doc_id
+         |), merged AS (
+         |  SELECT source, min(mh0) AS mh0, min(mh1) AS mh1,
+         |    min(mh2) AS mh2, min(mh3) AS mh3
+         |  FROM perdoc GROUP BY source
+         |), sh AS (
+         |  SELECT DISTINCT source, h FROM hg
+         |), exact AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |    count(*) AS n_inter
+         |  FROM sh a JOIN sh b ON b.h = a.h AND b.source > a.source
+         |  GROUP BY a.source, b.source
+         |), card AS (
+         |  SELECT source, count(*) AS n_sh FROM sh GROUP BY source
+         |)
+         |SELECT e.src_a, e.src_b,
+         |  CAST((CASE WHEN da.mh0 = db.mh0 THEN 1 ELSE 0 END
+         |      + CASE WHEN da.mh1 = db.mh1 THEN 1 ELSE 0 END
+         |      + CASE WHEN da.mh2 = db.mh2 THEN 1 ELSE 0 END
+         |      + CASE WHEN da.mh3 = db.mh3 THEN 1 ELSE 0 END) AS INT)
+         |    AS sig_matches,
+         |  CAST(e.n_inter AS BIGINT) AS n_inter,
+         |  CAST(ca.n_sh + cb.n_sh - e.n_inter AS BIGINT) AS n_union,
+         |  round(CAST(e.n_inter AS DOUBLE)
+         |    / (ca.n_sh + cb.n_sh - e.n_inter), 6) AS exact_jaccard,
+         |  (da.mh0 = ma.mh0 AND da.mh1 = ma.mh1 AND da.mh2 = ma.mh2
+         |   AND da.mh3 = ma.mh3 AND db.mh0 = mb.mh0 AND db.mh1 = mb.mh1
+         |   AND db.mh2 = mb.mh2 AND db.mh3 = mb.mh3) AS merge_law_holds
+         |FROM exact e
+         |JOIN direct da ON da.source = e.src_a
+         |JOIN direct db ON db.source = e.src_b
+         |JOIN merged ma ON ma.source = e.src_a
+         |JOIN merged mb ON mb.source = e.src_b
+         |JOIN card ca ON ca.source = e.src_a
+         |JOIN card cb ON cb.source = e.src_b
+         |ORDER BY src_a, src_b""".stripMargin) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      val hg = docs
+        .select(col("source"), col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("source"), col("doc_id"), explode(expr(gramsExpr)).as("gram"))
+        .distinct()
+        .select(col("source"), col("doc_id"),
+          (md5h64(col("gram")) % 1073741824L).as("h"))
+        .localCheckpoint() // direct sigs, per-doc sigs, and exact sets
+      def sigAggs = (0 until 4).map(j =>
+        min((lit(A(j)) * col("h") + lit(B(j))) % lit(P)).as(s"mh$j"))
+      val direct = hg.groupBy("source").agg(sigAggs.head, sigAggs.tail: _*)
+      val merged = hg.groupBy("source", "doc_id")
+        .agg(sigAggs.head, sigAggs.tail: _*)
+        .groupBy("source")
+        .agg(min("mh0").as("mh0"), min("mh1").as("mh1"),
+          min("mh2").as("mh2"), min("mh3").as("mh3"))
+      val sh = hg.select("source", "h").distinct()
+        .localCheckpoint() // both sides of the intersection join + card
+      val exact = sh.select(col("source").as("src_a"), col("h"))
+        .join(sh.select(col("source").as("src_b"), col("h")), Seq("h"))
+        .filter(col("src_b") > col("src_a"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_inter"))
+      val card = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+      def sigs(df: DataFrame, tag: String) = df.select(
+        col("source").as(s"source_$tag"),
+        col("mh0").as(s"${tag}0"), col("mh1").as(s"${tag}1"),
+        col("mh2").as(s"${tag}2"), col("mh3").as(s"${tag}3"))
+      exact
+        .join(broadcast(sigs(direct, "da")), col("source_da") === col("src_a"))
+        .join(broadcast(sigs(direct, "db")), col("source_db") === col("src_b"))
+        .join(broadcast(sigs(merged, "ma")), col("source_ma") === col("src_a"))
+        .join(broadcast(sigs(merged, "mb")), col("source_mb") === col("src_b"))
+        .join(broadcast(card.select(col("source").as("src_a"),
+          col("n_sh").as("na"))), Seq("src_a"))
+        .join(broadcast(card.select(col("source").as("src_b"),
+          col("n_sh").as("nb"))), Seq("src_b"))
+        .select(col("src_a"), col("src_b"),
+          ((0 until 4).map(j =>
+            when(col(s"da$j") === col(s"db$j"), 1).otherwise(0))
+            .reduce(_ + _)).cast("int").as("sig_matches"),
+          col("n_inter").cast("long").as("n_inter"),
+          (col("na") + col("nb") - col("n_inter")).cast("long").as("n_union"),
+          round(col("n_inter").cast("double")
+            / (col("na") + col("nb") - col("n_inter")), 6).as("exact_jaccard"),
+          ((0 until 4).map(j => col(s"da$j") === col(s"ma$j"))
+            ++ (0 until 4).map(j => col(s"db$j") === col(s"mb$j")))
+            .reduce(_ && _).as("merge_law_holds"))
+        .orderBy("src_a", "src_b")
     }
   )
 }

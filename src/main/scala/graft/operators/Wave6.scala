@@ -707,6 +707,220 @@ object Wave6 {
           expr("25769803776L div (kv_bytes_per_tok * tok_max)")
             .cast("long").as("batch_by_max"))
         .orderBy("model")
+    },
+
+    // ---- topic coherence by pairwise lift: each source's top-5 terms
+    //      (its "topic"), scored by document-co-occurrence lift
+    //      nab·N/(na·nb) — 1 means independent, >1 coherent. Lift is
+    //      an exact rational (counts only, one division), so unlike
+    //      NPMI there is no cross-libm ln in the loop; the per-source
+    //      mean decimal-sums 10 bounded addends. Scale: term counts
+    //      are one grouped pass; the incidence self-join is restricted
+    //      to the 5-term-per-source broadcast, so each doc contributes
+    //      ≤ C(5,2) pair rows.
+    QueryDef.checked(
+      "q_topic_coherence",
+      """WITH toks AS (
+        |  SELECT DISTINCT source, doc_id,
+        |    unnest(string_split(text, ' ')) AS term
+        |  FROM documents
+        |), cnt AS (
+        |  SELECT source, term, count(*) AS df FROM toks
+        |  GROUP BY source, term
+        |), top5 AS (
+        |  SELECT source, term, df FROM (
+        |    SELECT source, term, df, row_number() OVER (
+        |      PARTITION BY source ORDER BY df DESC, term) AS r
+        |    FROM cnt) x WHERE r <= 5
+        |), nd AS (
+        |  SELECT source, count(DISTINCT doc_id) AS n_docs FROM toks
+        |  GROUP BY source
+        |), inc AS (
+        |  SELECT t.source, t.doc_id, t.term
+        |  FROM toks t JOIN top5 f
+        |    ON f.source = t.source AND f.term = t.term
+        |), pair AS (
+        |  SELECT a.source, a.term AS ta, b.term AS tb, count(*) AS nab
+        |  FROM inc a JOIN inc b
+        |    ON b.source = a.source AND b.doc_id = a.doc_id
+        |    AND b.term > a.term
+        |  GROUP BY a.source, a.term, b.term
+        |), lifted AS (
+        |  SELECT p.source,
+        |    CAST(p.nab AS DOUBLE) * d.n_docs / (fa.df * fb.df) AS lift
+        |  FROM pair p
+        |  JOIN top5 fa ON fa.source = p.source AND fa.term = p.ta
+        |  JOIN top5 fb ON fb.source = p.source AND fb.term = p.tb
+        |  JOIN nd d ON d.source = p.source
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(CAST(sum(CAST(lift AS DECIMAL(38,15))) AS DOUBLE)
+        |    / count(*), 6) AS mean_lift,
+        |  round(min(lift), 6) AS min_lift,
+        |  round(max(lift), 6) AS max_lift
+        |FROM lifted GROUP BY source ORDER BY source""".stripMargin) {
+      (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables(spark, dir).documents
+        .select(col("source"), col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        .distinct()
+        .localCheckpoint() // counts, incidence, and doc totals share it
+      val cnt = toks.groupBy("source", "term").agg(count(lit(1)).as("df"))
+      val top5 = cnt.withColumn("r", row_number().over(
+          Window.partitionBy("source").orderBy(col("df").desc, col("term"))))
+        .filter(col("r") <= 5).select("source", "term", "df")
+        .localCheckpoint() // 5 rows per source; broadcast everywhere
+      val nd = toks.groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      val inc = toks.join(broadcast(top5.select("source", "term")),
+        Seq("source", "term"))
+      val pair = inc.select(col("source"), col("doc_id"), col("term").as("ta"))
+        .join(inc.select(col("source"), col("doc_id"), col("term").as("tb")),
+          Seq("source", "doc_id"))
+        .filter(col("tb") > col("ta"))
+        .groupBy("source", "ta", "tb").agg(count(lit(1)).as("nab"))
+      pair
+        .join(broadcast(top5.select(col("source"), col("term").as("ta"),
+          col("df").as("dfa"))), Seq("source", "ta"))
+        .join(broadcast(top5.select(col("source"), col("term").as("tb"),
+          col("df").as("dfb"))), Seq("source", "tb"))
+        .join(broadcast(nd), Seq("source"))
+        .select(col("source"),
+          (col("nab").cast("double") * col("n_docs")
+            / (col("dfa") * col("dfb"))).as("lift"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("lift").cast("decimal(38,15)")).cast("double")
+            / count(lit(1)), 6).as("mean_lift"),
+          round(min(col("lift")), 6).as("min_lift"),
+          round(max(col("lift")), 6).as("max_lift"))
+        .select(col("source"), col("n_pairs").cast("long").as("n_pairs"),
+          col("mean_lift"), col("min_lift"), col("max_lift"))
+        .orderBy("source")
+    },
+
+    // ---- gradient top-k sparsification: per-label mean vector (the
+    //      "gradient" of a one-step centroid objective), kept to its 8
+    //      largest-magnitude dims — the communication-compression
+    //      decision every distributed trainer prices: coverage_ppm is
+    //      the L1 mass the sparse update preserves. Means come from
+    //      decimal-summed dims (order-proof), then EVERYTHING is
+    //      1e6 fixed point: the magnitude ranking can never float-tie.
+    //      One corpus pass; ranking runs on the bounded
+    //      |labels|×64-row relation.
+    QueryDef.checked(
+      "q_gradient_sparsify",
+      """WITH dims AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |), m AS (
+        |  SELECT label, dim,
+        |    CAST(round(CAST(sum(CAST(v AS DECIMAL(38,15))) AS DOUBLE)
+        |      / count(*) * 1000000) AS BIGINT) AS g_fp
+        |  FROM dims GROUP BY label, dim
+        |), ranked AS (
+        |  SELECT label, dim, g_fp, row_number() OVER (
+        |    PARTITION BY label ORDER BY abs(g_fp) DESC, dim) AS r
+        |  FROM m
+        |)
+        |SELECT label,
+        |  CAST(sum(abs(g_fp)) AS BIGINT) AS l1_total_fp,
+        |  CAST(sum(CASE WHEN r <= 8 THEN abs(g_fp) ELSE 0 END) AS BIGINT)
+        |    AS l1_kept_fp,
+        |  CAST(sum(CASE WHEN r <= 8 THEN abs(g_fp) ELSE 0 END) * 1000000
+        |    // sum(abs(g_fp)) AS BIGINT) AS coverage_ppm,
+        |  CAST(min(CASE WHEN r = 1 THEN dim END) AS INT) AS top_dim
+        |FROM ranked GROUP BY label ORDER BY label""".stripMargin) {
+      (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val m = Tables(spark, dir).embeddings
+        .select(col("label"), posexplode(col("embedding")).as(Seq("d0", "v")))
+        .select(col("label"), (col("d0") + 1).as("dim"),
+          col("v").cast("double").as("v"))
+        .groupBy("label", "dim")
+        .agg(round(sum(col("v").cast("decimal(38,15)")).cast("double")
+          / count(lit(1)) * 1000000).cast("long").as("g_fp"))
+      // bounded: |labels| × 64 rows
+      val ranked = m.withColumn("r", row_number().over(
+        Window.partitionBy("label").orderBy(abs(col("g_fp")).desc, col("dim"))))
+      ranked.groupBy("label")
+        .agg(sum(abs(col("g_fp"))).cast("long").as("l1_total_fp"),
+          sum(when(col("r") <= 8, abs(col("g_fp"))).otherwise(0L))
+            .cast("long").as("l1_kept_fp"),
+          min(when(col("r") === 1, col("dim"))).cast("int").as("top_dim"))
+        .select(col("label"), col("l1_total_fp"), col("l1_kept_fp"),
+          expr("l1_kept_fp * 1000000 div l1_total_fp").as("coverage_ppm"),
+          col("top_dim"))
+        .select("label", "l1_total_fp", "l1_kept_fp", "coverage_ppm",
+          "top_dim")
+        .orderBy("label")
+    },
+
+    // ---- shard rebalance manifest: hash-sharded doc bytes vs the
+    //      even-split target — each shard's surplus/deficit and its
+    //      cumulative position in the move "pool" (senders fill it,
+    //      receivers drain it; matching cumulative intervals IS the
+    //      move plan, the classic balanced-repartition trick). The
+    //      corpus contributes one grouped size pass; the plan is
+    //      arithmetic over the 8-row shard relation.
+    QueryDef.checked(
+      "q_shard_rebalance",
+      """WITH s AS (
+        |  SELECT CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+        |      1, 15)) AS BIGINT) % 8 AS shard,
+        |    n_chars
+        |  FROM documents
+        |), sz AS (
+        |  SELECT shard, count(*) AS n_docs, sum(n_chars) AS bytes
+        |  FROM s GROUP BY shard
+        |), t AS (
+        |  SELECT sum(bytes) AS total, sum(bytes) // 8 AS target FROM sz
+        |)
+        |SELECT sz.shard, CAST(sz.n_docs AS BIGINT) AS n_docs,
+        |  CAST(sz.bytes AS BIGINT) AS bytes,
+        |  CAST(t.target AS BIGINT) AS target_bytes,
+        |  CAST(sz.bytes - t.target AS BIGINT) AS delta_bytes,
+        |  CASE WHEN sz.bytes > t.target THEN 'send'
+        |       WHEN sz.bytes < t.target THEN 'receive'
+        |       ELSE 'hold' END AS role,
+        |  CAST(sum(CASE WHEN sz.bytes > t.target
+        |      THEN sz.bytes - t.target ELSE 0 END)
+        |    OVER (ORDER BY sz.shard) AS BIGINT) AS send_pool_end,
+        |  CAST(sum(CASE WHEN sz.bytes < t.target
+        |      THEN t.target - sz.bytes ELSE 0 END)
+        |    OVER (ORDER BY sz.shard) AS BIGINT) AS recv_pool_end
+        |FROM sz, t ORDER BY sz.shard""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val sz = Tables(spark, dir).documents
+        .select(expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15)," +
+          " 16, 10) AS BIGINT) % 8").as("shard"), col("n_chars"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+      val t = sz.agg(sum(col("bytes")).as("total"),
+        expr("sum(bytes) div 8").as("target"))
+      // 8-row relation: the pool windows are bounded by shard count
+      val w = Window.orderBy("shard")
+      sz.crossJoin(broadcast(t))
+        .withColumn("delta_bytes", col("bytes") - col("target"))
+        .withColumn("role",
+          when(col("bytes") > col("target"), "send")
+            .when(col("bytes") < col("target"), "receive")
+            .otherwise("hold"))
+        .withColumn("send_pool_end",
+          sum(when(col("bytes") > col("target"),
+            col("bytes") - col("target")).otherwise(0L)).over(w))
+        .withColumn("recv_pool_end",
+          sum(when(col("bytes") < col("target"),
+            col("target") - col("bytes")).otherwise(0L)).over(w))
+        .select(col("shard"), col("n_docs").cast("long").as("n_docs"),
+          col("bytes").cast("long").as("bytes"),
+          col("target").cast("long").as("target_bytes"),
+          col("delta_bytes").cast("long").as("delta_bytes"), col("role"),
+          col("send_pool_end").cast("long").as("send_pool_end"),
+          col("recv_pool_end").cast("long").as("recv_pool_end"))
+        .orderBy("shard")
     }
   )
 }

@@ -133,6 +133,51 @@ class Wave6Spec extends SparkSpec {
     assert(r.getAs[Double]("mean_abs_err") >= 0)
   }
 
+  test("minhash union: the sketch-merge law holds on every pair") {
+    val rows = q("q_minhash_union").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("merge_law_holds"),
+        s"min-of-mins != min-over-union for ${r.getAs[String]("src_a")}")
+      val (i, u) = (r.getAs[Long]("n_inter"), r.getAs[Long]("n_union"))
+      assert(i >= 0 && u >= i)
+      val est = r.getAs[Int]("sig_matches") / 4.0
+      assert(est >= 0 && est <= 1)
+    }
+  }
+
+  test("topic coherence: lifts are positive, mean within [min, max]") {
+    q("q_topic_coherence").collect().foreach { r =>
+      val (mn, mean, mx) = (r.getAs[Double]("min_lift"),
+        r.getAs[Double]("mean_lift"), r.getAs[Double]("max_lift"))
+      assert(mn > 0 && mn <= mean + 1e-6 && mean <= mx + 1e-6)
+      assert(r.getAs[Long]("n_pairs") == 10) // C(5,2)
+    }
+  }
+
+  test("gradient sparsify: 8-of-64 keeps a strict-majority of L1 mass") {
+    q("q_gradient_sparsify").collect().foreach { r =>
+      assert(r.getAs[Long]("l1_kept_fp") <= r.getAs[Long]("l1_total_fp"))
+      val ppm = r.getAs[Long]("coverage_ppm")
+      assert(ppm > 125000 && ppm <= 1000000,
+        s"top-8 of 64 must beat the uniform 1/8 share, got $ppm ppm")
+      val d = r.getAs[Int]("top_dim")
+      assert(d >= 1 && d <= 64)
+    }
+  }
+
+  test("shard rebalance: deltas net to ~zero and pools balance") {
+    val rows = q("q_shard_rebalance").collect()
+    assert(rows.length == 8)
+    val deltas = rows.map(_.getAs[Long]("delta_bytes"))
+    // floors: total - 8*target in [0, 8)
+    assert(deltas.sum >= 0 && deltas.sum < 8)
+    val lastSend = rows.last.getAs[Long]("send_pool_end")
+    val lastRecv = rows.last.getAs[Long]("recv_pool_end")
+    // every sent byte has a receiver slot (up to the division floor)
+    assert(math.abs(lastSend - lastRecv) < 8)
+  }
+
   test("temperature mix: α=0.5 upweights low-resource languages") {
     val rows = q("q_temperature_mix").collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_tok"),
