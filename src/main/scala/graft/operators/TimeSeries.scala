@@ -1068,29 +1068,38 @@ object TimeSeries {
       val counts = ev.crossJoin(broadcast(b))
         .groupBy(datediff(to_date(col("ts")), col("d0")).cast("long").as("t"))
         .agg(count(lit(1)).as("n"))
+      // The oracle unrolls the recurrence as a recursive CTE; here the
+      // CALENDAR-BOUNDED day series collects into one array and the
+      // identical integer recurrence folds inside codegen via the
+      // `aggregate` higher-order function (the q_hmm_forward pattern) —
+      // ONE job instead of one Spark job per recursion step (measured
+      // 11.9 s → sub-second at sf0.1; the recursive-CTE surface itself
+      // is exercised by q_recursive_hierarchy).
       spine.join(counts, Seq("t"), "left")
         .select(col("t"), (coalesce(col("n"), lit(0L)) * 1000000L).as("y"))
-        .createOrReplaceTempView("graft_hw_daily")
-      spark.sql(
-        """WITH RECURSIVE hw AS (
-          |  SELECT d0.t, d0.y AS l, d1.y - d0.y AS b, CAST(0 AS BIGINT) AS sae
-          |  FROM graft_hw_daily d0, graft_hw_daily d1
-          |  WHERE d0.t = 0 AND d1.t = 1
-          |  UNION ALL
-          |  SELECT d.t,
-          |    (d.y + 4 * (h.l + h.b)) div 5,
-          |    (((d.y + 4 * (h.l + h.b)) div 5 - h.l) + 9 * h.b) div 10,
-          |    h.sae + abs(d.y - (h.l + h.b))
-          |  FROM hw h JOIN graft_hw_daily d ON d.t = h.t + 1
-          |), mx AS (SELECT max(t) AS tmax FROM graft_hw_daily)
-          |SELECT CAST(mx.tmax + 1 AS BIGINT) AS n_days,
-          |  round(CAST(h.l AS DOUBLE) / 1000000.0, 6) AS level,
-          |  round(CAST(h.b AS DOUBLE) / 1000000.0, 6) AS trend,
-          |  round(CAST(h.l + h.b AS DOUBLE) / 1000000.0, 6) AS forecast_1,
-          |  round(CAST(h.l + 2 * h.b AS DOUBLE) / 1000000.0, 6) AS forecast_2,
-          |  round(CAST(h.sae AS DOUBLE) / 1000000.0 / (mx.tmax - 1), 6)
-          |    AS mean_abs_err
-          |FROM hw h, mx WHERE h.t = mx.tmax""".stripMargin)
+        .agg(sort_array(collect_list(struct(col("t"), col("y")))).as("a"))
+        .select(size(col("a")).cast("long").as("n_days"),
+          expr("""aggregate(
+                 |  slice(a, 2, size(a) - 1),
+                 |  named_struct(
+                 |    'l', element_at(a, 1).y,
+                 |    'b', element_at(a, 2).y - element_at(a, 1).y,
+                 |    'sae', CAST(0 AS BIGINT)),
+                 |  (acc, x) -> named_struct(
+                 |    'l', (x.y + 4 * (acc.l + acc.b)) div 5,
+                 |    'b', (((x.y + 4 * (acc.l + acc.b)) div 5 - acc.l)
+                 |          + 9 * acc.b) div 10,
+                 |    'sae', acc.sae + abs(x.y - (acc.l + acc.b))))"""
+            .stripMargin).as("hw"))
+        .select(col("n_days"),
+          round(col("hw.l").cast("double") / 1000000.0, 6).as("level"),
+          round(col("hw.b").cast("double") / 1000000.0, 6).as("trend"),
+          round((col("hw.l") + col("hw.b")).cast("double") / 1000000.0, 6)
+            .as("forecast_1"),
+          round((col("hw.l") + lit(2) * col("hw.b")).cast("double")
+            / 1000000.0, 6).as("forecast_2"),
+          round(col("hw.sae").cast("double") / 1000000.0
+            / (col("n_days") - 2), 6).as("mean_abs_err"))
     }
   )
 }
