@@ -921,6 +921,167 @@ object Wave6 {
           col("send_pool_end").cast("long").as("send_pool_end"),
           col("recv_pool_end").cast("long").as("recv_pool_end"))
         .orderBy("shard")
+    },
+
+    // ---- SQL session variables (Spark 4 surface): business constants
+    //      DECLAREd once and referenced by name — Catalyst inlines the
+    //      variable's VALUE into the plan at analysis time, so unlike a
+    //      join against a settings table this costs nothing at 100 TB
+    //      (constant folding + filter pushdown see the literal). The
+    //      oracle inlines the same constants textually, proving the
+    //      variable indirection is free.
+    QueryDef.checked(
+      "q_sql_variables",
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_big,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders
+        |WHERE o_totalprice >= 150000.0
+        |  AND year(o_orderdate) >= 1996
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      spark.sql("DECLARE OR REPLACE VARIABLE graft_min_price DOUBLE")
+      spark.sql("DECLARE OR REPLACE VARIABLE graft_min_year INT DEFAULT 1996")
+      spark.sql("SET VAR graft_min_price = 150000.0")
+      Tables(spark, dir).orders.createOrReplaceTempView("graft_var_orders")
+      spark.sql(
+        """SELECT o_orderpriority,
+          |  count(*) AS n_big,
+          |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents
+          |FROM graft_var_orders
+          |WHERE o_totalprice >= graft_min_price
+          |  AND year(o_orderdate) >= graft_min_year
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // ---- month-over-month / year-over-year growth: the BI staple —
+    //      monthly revenue in exact cents, growth vs lag(1) and
+    //      lag(12) over the CALENDAR-BOUNDED month spine (≤ ~84 rows
+    //      for the TPC-H date span; a bare ordered window is safe
+    //      here and forever). Ratios are single divisions of exact
+    //      integers — bit-identical on both engines.
+    QueryDef.checked(
+      "q_mom_yoy",
+      """WITH m AS (
+        |  SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT CAST(ym AS INT) AS ym,
+        |  CAST(n_orders AS BIGINT) AS n_orders, CAST(cents AS BIGINT) AS cents,
+        |  round(CAST(cents - lag(cents, 1) OVER w AS DOUBLE)
+        |    / lag(cents, 1) OVER w, 6) AS mom_growth,
+        |  round(CAST(cents - lag(cents, 12) OVER w AS DOUBLE)
+        |    / lag(cents, 12) OVER w, 6) AS yoy_growth
+        |FROM m
+        |WINDOW w AS (ORDER BY ym)
+        |ORDER BY ym""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val m = Tables(spark, dir).orders
+        .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .as("ym"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("cents"), count(lit(1)).as("n_orders"))
+      // bare ordered window over the month spine — ≤ 84 rows, bounded
+      // by the calendar (sweep-allowlisted)
+      val w = Window.orderBy("ym")
+      m.select(col("ym").cast("int").as("ym"),
+          col("n_orders").cast("long").as("n_orders"),
+          col("cents").cast("long").as("cents"),
+          round((col("cents") - lag(col("cents"), 1).over(w)).cast("double")
+            / lag(col("cents"), 1).over(w), 6).as("mom_growth"),
+          round((col("cents") - lag(col("cents"), 12).over(w)).cast("double")
+            / lag(col("cents"), 12).over(w), 6).as("yoy_growth"))
+        .orderBy("ym")
+    },
+
+    // ---- Merkle-descent clone diff: level-1 digests over 16 shards
+    //      find WHICH shards drifted, then level-2 digests over 256
+    //      sub-shards run ONLY inside the failing shards — the
+    //      two-round narrowing that localizes re-sync work to ~1/256
+    //      of the keyspace while scanning the corpus twice at most
+    //      (q_clone_checksum is the one-level version; q_table_diff is
+    //      the row-level endgame below the failing leaf). Digests are
+    //      order-independent (count + XOR of row hashes), so shard
+    //      aggregation order can never flip a verdict.
+    QueryDef.checked(
+      "q_clone_merkle_diff",
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, o_orderkey % 16 AS s1,
+        |    o_orderkey % 256 AS s2,
+        |    CAST(concat('0x', substring(md5(concat(
+        |      CAST(o_orderkey AS VARCHAR), '|',
+        |      CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR))),
+        |      1, 15)) AS BIGINT) AS h
+        |  FROM orders
+        |), tgt AS (
+        |  SELECT k, s1, s2,
+        |    CAST(concat('0x', substring(md5(concat(
+        |      CAST(k AS VARCHAR), '|', CAST(c2 AS VARCHAR))), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM (
+        |    SELECT o_orderkey AS k, o_orderkey % 16 AS s1,
+        |      o_orderkey % 256 AS s2,
+        |      CAST(round(o_totalprice * 100) AS BIGINT)
+        |        + CASE WHEN o_orderkey % 9973 = 0 THEN 1 ELSE 0 END AS c2
+        |    FROM orders)
+        |), l1 AS (
+        |  SELECT a.s1, a.n AS n_src, b.n AS n_tgt
+        |  FROM (SELECT s1, count(*) AS n, bit_xor(h) AS d FROM src GROUP BY s1) a
+        |  JOIN (SELECT s1, count(*) AS n, bit_xor(h) AS d FROM tgt GROUP BY s1) b
+        |    ON b.s1 = a.s1
+        |  WHERE a.d <> b.d OR a.n <> b.n
+        |), l2 AS (
+        |  SELECT a.s2, a.n AS n_src, a.d AS d_src, b.d AS d_tgt
+        |  FROM (SELECT s2, count(*) AS n, bit_xor(h) AS d FROM src
+        |        WHERE s1 IN (SELECT s1 FROM l1) GROUP BY s2) a
+        |  JOIN (SELECT s2, count(*) AS n, bit_xor(h) AS d FROM tgt
+        |        WHERE s1 IN (SELECT s1 FROM l1) GROUP BY s2) b
+        |    ON b.s2 = a.s2
+        |  WHERE a.d <> b.d OR a.n <> b.n
+        |)
+        |SELECT CAST(s2 AS BIGINT) AS subshard,
+        |  CAST(s2 % 16 AS BIGINT) AS parent_shard,
+        |  CAST(n_src AS BIGINT) AS n_rows,
+        |  CAST((SELECT count(*) FROM l1) AS BIGINT) AS n_dirty_shards
+        |FROM l2 ORDER BY subshard""".stripMargin) { (spark, dir) =>
+      val base = Tables(spark, dir).orders
+        .select(col("o_orderkey").as("k"),
+          (col("o_orderkey") % 16).as("s1"), (col("o_orderkey") % 256).as("s2"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+        .localCheckpoint() // src and the planted-drift tgt share the scan
+      def hashed(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("k"), col("s1"), col("s2"),
+        expr("""CAST(conv(substring(md5(concat(
+               |  CAST(k AS STRING), '|', CAST(c AS STRING))), 1, 15),
+               |  16, 10) AS BIGINT)""".stripMargin).as("h"))
+      val src = hashed(base)
+      val tgt = hashed(base.withColumn("c",
+        col("c") + when(col("k") % 9973 === 0, 1L).otherwise(0L)))
+      def digests(df: org.apache.spark.sql.DataFrame, key: String) =
+        df.groupBy(key).agg(count(lit(1)).as("n"),
+          expr("bit_xor(h)").as("d"))
+      val l1 = digests(src, "s1").select(col("s1"), col("n").as("na"),
+          col("d").as("da"))
+        .join(digests(tgt, "s1").select(col("s1"), col("n").as("nb"),
+          col("d").as("db")), Seq("s1"))
+        .filter(col("da") =!= col("db") || col("na") =!= col("nb"))
+        .select("s1")
+        .localCheckpoint() // tiny dirty-shard list; prunes both level-2 scans
+      val nDirty = l1.count()
+      val l2 = digests(src.join(broadcast(l1), Seq("s1")), "s2")
+        .select(col("s2"), col("n").as("na"), col("d").as("da"))
+        .join(digests(tgt.join(broadcast(l1), Seq("s1")), "s2")
+          .select(col("s2"), col("n").as("nb"), col("d").as("db")), Seq("s2"))
+        .filter(col("da") =!= col("db") || col("na") =!= col("nb"))
+      l2.select(col("s2").cast("long").as("subshard"),
+          (col("s2") % 16).cast("long").as("parent_shard"),
+          col("na").cast("long").as("n_rows"),
+          lit(nDirty).as("n_dirty_shards"))
+        .orderBy("subshard")
     }
   )
 }

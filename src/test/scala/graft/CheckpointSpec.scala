@@ -33,6 +33,29 @@ class CheckpointSpec extends SparkSpec {
     }
   }
 
+  test("observe() accumulators fill under reliable checkpoint() too") {
+    // connectedComponents' convergence probe rides the pin job's
+    // materialization (Observation + pin in one action); durable
+    // checkpoint() is also eager, so the probe must still fill — this
+    // is the behavioral contract the conf swap depends on.
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (12L, 12L))
+      .toDF("a", "b")
+    val expected = graft.operators.Clusters.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.checkpoint.reliable", "true")
+    spark.conf.set("spark.graft.checkpoint.dir",
+      Files.createTempDirectory("graft-ckpt-cc").toString)
+    try {
+      val got = graft.operators.Clusters.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected)
+      assert(got(3L) == 1L && got(11L) == 10L)
+    } finally {
+      spark.conf.set("spark.graft.checkpoint.reliable", "false")
+    }
+  }
+
   test("an iterative query is oracle-identical under reliable checkpoints") {
     // connected components + pagerank both route per-round pins through
     // Checkpoint.pin; flipping the conf must not change a single row.

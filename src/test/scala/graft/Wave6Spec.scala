@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 /** Invariants for the round-6 wave (the oracle proves value equality;
   * these prove the SEMANTICS are the intended ones). */
 class Wave6Spec extends SparkSpec {
@@ -176,6 +178,41 @@ class Wave6Spec extends SparkSpec {
     val lastRecv = rows.last.getAs[Long]("recv_pool_end")
     // every sent byte has a receiver slot (up to the division floor)
     assert(math.abs(lastSend - lastRecv) < 8)
+  }
+
+  test("sql variables: variable-driven plan equals the inlined literal plan") {
+    val rows = q("q_sql_variables").collect()
+    assert(rows.nonEmpty)
+    // the variable must fold to a literal in the scan's pushed filter
+    val plan = q("q_sql_variables").queryExecution.executedPlan.toString
+    assert(plan.contains("150000.0") || plan.contains("PushedFilters"),
+      plan.take(600))
+  }
+
+  test("mom/yoy: first month has no growth, ratios reconstruct cents") {
+    val rows = q("q_mom_yoy").collect()
+    assert(rows.length > 12)
+    assert(rows.head.isNullAt(rows.head.fieldIndex("mom_growth")))
+    assert(rows.take(12).forall(_.isNullAt(rows.head.fieldIndex("yoy_growth"))))
+    // spot-reconstruct one mom ratio
+    val c = rows.map(_.getAs[Long]("cents"))
+    val mom1 = rows(1).getAs[Double]("mom_growth")
+    assert(math.abs(mom1 - (c(1) - c(0)).toDouble / c(0)) < 1e-6)
+  }
+
+  test("merkle diff: descent narrows to the planted sub-shards only") {
+    val rows = q("q_clone_merkle_diff").collect()
+    assert(rows.nonEmpty)
+    // planted drift at k % 9973 == 0 → dirty sub-shards are exactly
+    // the s2 classes of those keys
+    val planted = Tables(spark, sf).orders
+      .filter(col("o_orderkey") % 9973 === 0)
+      .selectExpr("o_orderkey % 256 AS s2").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getAs[Long]("subshard")).toSet == planted)
+    rows.foreach(r => assert(
+      r.getAs[Long]("n_dirty_shards") <= 16 &&
+        r.getAs[Long]("n_dirty_shards") >= 1))
   }
 
   test("temperature mix: α=0.5 upweights low-resource languages") {
