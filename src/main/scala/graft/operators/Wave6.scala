@@ -1082,6 +1082,114 @@ object Wave6 {
           col("na").cast("long").as("n_rows"),
           lit(nDirty).as("n_dirty_shards"))
         .orderBy("subshard")
+    },
+
+    // ---- weighted quantiles: the median and p90 of per-unit price
+    //      WEIGHTED BY QUANTITY (each unit sold counts once) — the
+    //      inventory-valuation / effort-weighted-latency shape plain
+    //      percentiles get wrong. Exact by construction: one grouped
+    //      pass collapses to ≤ |distinct price| rows, the running
+    //      weight is a prefix sum over that bounded relation, and the
+    //      quantile is the smallest value whose cumulative weight
+    //      clears the threshold (integer compare; thresholds are
+    //      ceil-rational via cross-multiplication, no doubles).
+    QueryDef.checked(
+      "q_weighted_quantile",
+      """WITH u AS (
+        |  SELECT CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT)
+        |    AS unit_cents, CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem
+        |), g AS (
+        |  SELECT unit_cents, sum(w) AS w FROM u GROUP BY unit_cents
+        |), c AS (
+        |  SELECT unit_cents, w,
+        |    sum(w) OVER (ORDER BY unit_cents) AS cw,
+        |    sum(w) OVER () AS tw
+        |  FROM g
+        |)
+        |SELECT
+        |  CAST(max(tw) AS BIGINT) AS total_weight,
+        |  CAST(min(CASE WHEN cw * 2 >= tw THEN unit_cents END) AS BIGINT)
+        |    AS weighted_median_cents,
+        |  CAST(min(CASE WHEN cw * 10 >= tw * 9 THEN unit_cents END)
+        |    AS BIGINT) AS weighted_p90_cents,
+        |  CAST(min(CASE WHEN cw * 100 >= tw * 99 THEN unit_cents END)
+        |    AS BIGINT) AS weighted_p99_cents
+        |FROM c""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val g = Tables(spark, dir).lineitem
+        .select(expr("CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT)")
+          .as("unit_cents"), col("l_quantity").cast("long").as("w"))
+        .groupBy("unit_cents").agg(sum(col("w")).as("w"))
+      // prefix sums over the DISTINCT-price relation — bounded by the
+      // price domain, not the fact table (sweep-allowlisted)
+      val c = g
+        .withColumn("cw", sum(col("w")).over(Window.orderBy("unit_cents")))
+        .withColumn("tw", sum(col("w")).over(Window.partitionBy()))
+      c.agg(max(col("tw")).cast("long").as("total_weight"),
+        min(when(col("cw") * 2 >= col("tw"), col("unit_cents")))
+          .cast("long").as("weighted_median_cents"),
+        min(when(col("cw") * 10 >= col("tw") * 9, col("unit_cents")))
+          .cast("long").as("weighted_p90_cents"),
+        min(when(col("cw") * 100 >= col("tw") * 99, col("unit_cents")))
+          .cast("long").as("weighted_p99_cents"))
+    },
+
+    // ---- exact ROC AUC by the rank formula: AUC = (R₁ − n₁(n₁+1)/2)
+    //      / (n₁·n₀) with R₁ the positive class's tie-averaged rank
+    //      sum — the probabilistic-interpretation identity that makes
+    //      exact AUC ONE rank pass instead of a threshold sweep
+    //      (q_pr_curve is the sweep view; this is the scalar that gets
+    //      tracked per model version). Ranks are tie-averaged over the
+    //      score's fixed-point value, so the only division is the
+    //      final one. Scale: global ranks via the grouped score
+    //      relation's prefix sums — bounded by |distinct scores|.
+    QueryDef.checked(
+      "q_auc_roc",
+      """WITH s AS (
+        |  SELECT CAST(round(value * 1000000) AS BIGINT) AS sc,
+        |    CAST(event_type = 'purchase' AS INT) AS y
+        |  FROM events
+        |), g AS (
+        |  SELECT sc, count(*) AS n, sum(y) AS n_pos FROM s GROUP BY sc
+        |), r AS (
+        |  SELECT sc, n, n_pos,
+        |    sum(n) OVER (ORDER BY sc) AS cn
+        |  FROM g
+        |), ranked AS (
+        |  -- tie-averaged rank of every row at this score:
+        |  -- (cn - n + 1 + cn) / 2, held as 2× to stay integer
+        |  SELECT n_pos, (2 * cn - n + 1) AS rank2 FROM r
+        |), m AS (
+        |  SELECT sum(CAST(n_pos AS BIGINT) * rank2) AS r1_2,
+        |    sum(n_pos) AS n1 FROM ranked
+        |), t AS (SELECT count(*) AS n FROM s)
+        |SELECT CAST(m.n1 AS BIGINT) AS n_pos,
+        |  CAST(t.n - m.n1 AS BIGINT) AS n_neg,
+        |  round((CAST(m.r1_2 AS DOUBLE) / 2 - CAST(m.n1 AS DOUBLE)
+        |      * (m.n1 + 1) / 2)
+        |    / (CAST(m.n1 AS DOUBLE) * (t.n - m.n1)), 6) AS auc
+        |FROM m, t""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val s = Tables(spark, dir).events
+        .select(expr("CAST(round(value * 1000000) AS BIGINT)").as("sc"),
+          (col("event_type") === "purchase").cast("int").as("y"))
+      val g = s.groupBy("sc")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+      // prefix sum over the |distinct scores| relation (bounded;
+      // sweep-allowlisted), 2× tie-averaged ranks stay integer
+      val r = g.withColumn("cn", sum(col("n")).over(Window.orderBy("sc")))
+        .withColumn("rank2", lit(2) * col("cn") - col("n") + 1)
+      val m = r.agg(sum(col("n_pos").cast("long") * col("rank2")).as("r1_2"),
+        sum(col("n_pos")).as("n1"))
+      val t = s.agg(count(lit(1)).as("n"))
+      m.crossJoin(broadcast(t))
+        .select(col("n1").cast("long").as("n_pos"),
+          (col("n") - col("n1")).cast("long").as("n_neg"),
+          round((col("r1_2").cast("double") / 2
+            - col("n1").cast("double") * (col("n1") + 1) / 2)
+            / (col("n1").cast("double") * (col("n") - col("n1"))), 6)
+            .as("auc"))
     }
   )
 }

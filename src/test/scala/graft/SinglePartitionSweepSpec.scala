@@ -78,5 +78,5 @@ object SinglePartitionSweepSpec {
     "q_neyman_allocation", "q_pareto_front", "q_pr_curve", "q_psi_drift",
     "q_quantile_sketch_merge", "q_revenue_deciles", "q_rolling_corr",
     "q_ucb_bandit", "q_vocab_coverage_curve", "q_voptimal_histogram",
-    "q_shard_rebalance", "q_mom_yoy")
+    "q_shard_rebalance", "q_mom_yoy", "q_weighted_quantile", "q_auc_roc")
 }

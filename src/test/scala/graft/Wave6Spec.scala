@@ -215,6 +215,50 @@ class Wave6Spec extends SparkSpec {
         r.getAs[Long]("n_dirty_shards") >= 1))
   }
 
+  test("weighted quantile: monotone, and total weight is the quantity sum") {
+    val r = q("q_weighted_quantile").collect().head
+    val (med, p90, p99) = (r.getAs[Long]("weighted_median_cents"),
+      r.getAs[Long]("weighted_p90_cents"), r.getAs[Long]("weighted_p99_cents"))
+    assert(med <= p90 && p90 <= p99)
+    val tw = Tables(spark, sf).lineitem
+      .agg(sum(col("l_quantity").cast("long"))).head.getLong(0)
+    assert(r.getAs[Long]("total_weight") == tw)
+  }
+
+  test("auc: rank formula equals brute-force pair counting") {
+    val r = q("q_auc_roc").collect().head
+    val auc = r.getAs[Double]("auc")
+    assert(auc >= 0 && auc <= 1)
+    // exact O(n²)-free check at sf0.001: P(score_pos > score_neg)
+    // + 0.5·P(tie) over all (pos, neg) pairs
+    val rows = Tables(spark, sf).events
+      .selectExpr("CAST(round(value * 1000000) AS BIGINT) AS sc",
+        "event_type = 'purchase' AS y").collect()
+    val pos = rows.filter(_.getBoolean(1)).map(_.getLong(0)).sorted
+    val neg = rows.filterNot(_.getBoolean(1)).map(_.getLong(0)).sorted
+    var wins = 0.0
+    for (p <- pos) {
+      val lt = lowerBound(neg, p) // negs strictly below p
+      val le = upperBound(neg, p) // negs at or below p
+      wins += lt + 0.5 * (le - lt)
+    }
+    val brute = wins / (pos.length.toDouble * neg.length)
+    assert(math.abs(auc - brute) < 1e-6, s"rank $auc vs brute $brute")
+  }
+
+  private def lowerBound(a: Array[Long], key: Long): Int = {
+    var (lo, hi) = (0, a.length)
+    while (lo < hi) { val m = (lo + hi) >>> 1
+      if (a(m) < key) lo = m + 1 else hi = m }
+    lo
+  }
+  private def upperBound(a: Array[Long], key: Long): Int = {
+    var (lo, hi) = (0, a.length)
+    while (lo < hi) { val m = (lo + hi) >>> 1
+      if (a(m) <= key) lo = m + 1 else hi = m }
+    lo
+  }
+
   test("temperature mix: α=0.5 upweights low-resource languages") {
     val rows = q("q_temperature_mix").collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_tok"),
