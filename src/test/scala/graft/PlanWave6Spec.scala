@@ -52,12 +52,15 @@ class PlanWave6Spec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"), plan.take(1200))
   }
 
-  test("holt-winters: the corpus contributes one grouped count") {
+  test("holt-winters: the recurrence folds in one stage, no per-step scans") {
     val plan = physical("q_holt_winters")
-    // the recursion runs over the |days| spine; events scans appear in
-    // the bounds aggregate + the daily counts, never per iteration
-    assert(plan.linesIterator.count(_.contains("events.parquet")) <= 2,
-      "recursive steps must not rescan the fact table")
+    // the fold version: bounds aggregate + day counts + the spine's
+    // bounds seed each scan events ONCE — a fixed count independent of
+    // the recursion depth (the recursive-CTE formulation scheduled one
+    // job per day-step; the regression this guards)
+    assert(plan.linesIterator.count(_.contains("events.parquet")) <= 3,
+      "the fold must not rescan the fact table per step")
+    assert(!plan.contains("UnionLoop"), "no recursive execution nodes")
   }
 
   test("media dhash: per-row lambda then bounded double aggregate") {
