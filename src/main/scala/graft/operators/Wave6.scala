@@ -1190,6 +1190,106 @@ object Wave6 {
             - col("n1").cast("double") * (col("n1") + 1) / 2)
             / (col("n1").cast("double") * (col("n") - col("n1"))), 6)
             .as("auc"))
+    },
+
+    // ---- trimmed mean: the 5%-each-side mean of order value — the
+    //      robust center that survives fat tails without winsorize's
+    //      value substitution. Exact: global ranks via RangeRank, the
+    //      trim bounds are cross-multiplied integer comparisons, and
+    //      the kept mass sums in exact cents; ONE division at the end.
+    QueryDef.checked(
+      "q_trimmed_mean",
+      """WITH s AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders
+        |), r AS (
+        |  SELECT c, row_number() OVER (ORDER BY c, o_orderkey) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM s
+        |), kept AS (
+        |  SELECT c, n FROM r WHERE rn * 20 > n AND (n - rn) * 20 >= n
+        |)
+        |SELECT CAST(max(n) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  round(CAST(sum(c) AS DOUBLE) / count(*) / 100.0, 6)
+        |    AS trimmed_mean,
+        |  round((SELECT CAST(sum(c) AS DOUBLE) / count(*) / 100.0 FROM s), 6)
+        |    AS raw_mean
+        |FROM kept""".stripMargin) { (spark, dir) =>
+      val s = Tables(spark, dir).orders.select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      val (ranked, n) = RangeRank.withGlobalRankAndTotal(
+        s, "rn", 8, col("c"), col("o_orderkey"))
+      val raw = s.agg(
+        round(sum(col("c")).cast("double") / count(lit(1)) / 100.0, 6)
+          .as("raw_mean"))
+      ranked.filter(col("rn") * 20 > n && (lit(n) - col("rn")) * 20 >= n)
+        .agg(lit(n).as("n"), count(lit(1)).as("n_kept"),
+          round(sum(col("c")).cast("double") / count(lit(1)) / 100.0, 6)
+            .as("trimmed_mean"))
+        .crossJoin(broadcast(raw))
+        .select(col("n"), col("n_kept").cast("long").as("n_kept"),
+          col("trimmed_mean"), col("raw_mean"))
+    },
+
+    // ---- Cramér's V: effect size for the priority × status
+    //      contingency — the companion q_drift_chisq's raw χ² lacks
+    //      (χ² grows with N; V is the [0,1] association strength that
+    //      stays comparable across corpus sizes). Expected counts are
+    //      exact rationals of the margins; χ² sums |cells| ≤ 15
+    //      bounded addends in DECIMAL; V's sqrt is correctly rounded.
+    QueryDef.checked(
+      "q_cramers_v",
+      """WITH t AS (
+        |  SELECT o_orderpriority AS a, o_orderstatus AS b, count(*) AS n
+        |  FROM orders GROUP BY 1, 2
+        |), mar AS (
+        |  SELECT a, sum(n) AS na FROM t GROUP BY a
+        |), mbr AS (
+        |  SELECT b, sum(n) AS nb FROM t GROUP BY b
+        |), tot AS (
+        |  SELECT sum(n) AS nt, count(DISTINCT a) AS ra,
+        |    count(DISTINCT b) AS cb
+        |  FROM t
+        |), chi AS (
+        |  SELECT CAST(sum(CAST(
+        |      (t.n - CAST(m.na AS DOUBLE) * mb.nb / tt.nt)
+        |      * (t.n - CAST(m.na AS DOUBLE) * mb.nb / tt.nt)
+        |      / (CAST(m.na AS DOUBLE) * mb.nb / tt.nt)
+        |    AS DECIMAL(38,12))) AS DOUBLE) AS chi2,
+        |    max(tt.nt) AS nt, max(tt.ra) AS ra, max(tt.cb) AS cb
+        |  FROM t
+        |  JOIN mar m ON m.a = t.a
+        |  JOIN mbr mb ON mb.b = t.b
+        |  CROSS JOIN tot tt
+        |)
+        |SELECT CAST(nt AS BIGINT) AS n, CAST(ra AS INT) AS n_rows_dim,
+        |  CAST(cb AS INT) AS n_cols_dim,
+        |  round(chi2, 6) AS chi2,
+        |  round(sqrt(chi2 / (nt * (least(ra, cb) - 1))), 6) AS cramers_v
+        |FROM chi""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir).orders
+        .groupBy(col("o_orderpriority").as("a"), col("o_orderstatus").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // ≤15 cells; feeds margins + the chi2 sum
+      val mar = t.groupBy("a").agg(sum(col("n")).as("na"))
+      val mbr = t.groupBy("b").agg(sum(col("n")).as("nb"))
+      val tot = t.agg(sum(col("n")).as("nt"),
+        countDistinct(col("a")).as("ra"), countDistinct(col("b")).as("cb"))
+      val e = col("na").cast("double") * col("nb") / col("nt")
+      t.join(broadcast(mar), Seq("a")).join(broadcast(mbr), Seq("b"))
+        .crossJoin(broadcast(tot))
+        .agg(sum((((col("n") - e) * (col("n") - e)) / e)
+          .cast("decimal(38,12)")).cast("double").as("chi2"),
+          max(col("nt")).as("nt"), max(col("ra")).as("ra"),
+          max(col("cb")).as("cb"))
+        .select(col("nt").cast("long").as("n"),
+          col("ra").cast("int").as("n_rows_dim"),
+          col("cb").cast("int").as("n_cols_dim"),
+          round(col("chi2"), 6).as("chi2"),
+          round(sqrt(col("chi2") / (col("nt") * (least(col("ra"), col("cb"))
+            - 1))), 6).as("cramers_v"))
     }
   )
 }

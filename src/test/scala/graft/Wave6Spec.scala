@@ -259,6 +259,21 @@ class Wave6Spec extends SparkSpec {
     lo
   }
 
+  test("trimmed mean: keeps ~90%, robust center between bounds") {
+    val r = q("q_trimmed_mean").collect().head
+    val (n, kept) = (r.getAs[Long]("n"), r.getAs[Long]("n_kept"))
+    assert(kept < n && kept >= n * 89 / 100 && kept <= n * 91 / 100)
+    assert(r.getAs[Double]("trimmed_mean") > 0)
+  }
+
+  test("cramers v: association strength lives in [0, 1]") {
+    val r = q("q_cramers_v").collect().head
+    val v = r.getAs[Double]("cramers_v")
+    assert(v >= 0 && v <= 1)
+    assert(r.getAs[Double]("chi2") >= 0)
+    assert(r.getAs[Int]("n_rows_dim") == 5 && r.getAs[Int]("n_cols_dim") == 3)
+  }
+
   test("temperature mix: α=0.5 upweights low-resource languages") {
     val rows = q("q_temperature_mix").collect()
       .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_tok"),
