@@ -201,4 +201,54 @@ class PropertyLawsSpec extends SparkSpec {
       assert(got == expect, s"seed=$seed k=$k")
     }
   }
+
+  // ---- MinHash merge law on random corpora: signatures of a UNION of
+  //      shingle sets must equal the elementwise min of the parts'
+  //      signatures, for ANY split of the corpus — the distributability
+  //      property q_minhash_union oracle-checks on the fixtures, here
+  //      hammered on generated data and random 3-way splits.
+  test("minhash signatures merge associatively over any corpus split") {
+    val docGen = for {
+      n <- Gen.chooseNum(3, 10)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.chooseNum(5, 12)
+        toks <- Gen.listOfN(len, Gen.oneOf(
+          "alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"))
+      } yield toks.mkString(" "))
+    } yield docs
+    val P = 2147483647L
+    val A = Seq(787L, 2003L, 4423L, 8423L)
+    val B = Seq(1471L, 3559L, 7907L, 15091L)
+    (1L to 6L).foreach { seed =>
+      val texts = sample(docGen, seed)
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, s"part${i % 3}") }
+        .toDF("doc_id", "text", "part")
+      // hashed 3-gram shingles (same construction as Dedup.hashedGrams,
+      // inlined so the law is tested independently of that code path)
+      val hg = docs
+        .select(col("part"), col("doc_id"), explode(expr(
+          """filter(transform(split(text, ' '), (x, i) ->
+            |  CASE WHEN i + 2 < size(split(text, ' '))
+            |    THEN concat_ws(' ', slice(split(text, ' '), i + 1, 3)) END),
+            |  g -> g IS NOT NULL)""".stripMargin)).as("gram"))
+        .distinct()
+        .select(col("part"), col("doc_id"),
+          (abs(xxhash64(col("gram"))) % 1073741824L).as("h"))
+      def sigAggs = (0 until 4).map(j =>
+        min((lit(A(j)) * col("h") + lit(B(j))) % lit(P)).as(s"mh$j"))
+      val whole = hg.agg(sigAggs.head, sigAggs.tail: _*).collect().head
+      val merged = hg.groupBy("part").agg(sigAggs.head, sigAggs.tail: _*)
+        .agg(min("mh0"), min("mh1"), min("mh2"), min("mh3")).collect().head
+      val perDocMerged = hg.groupBy("doc_id")
+        .agg(sigAggs.head, sigAggs.tail: _*)
+        .agg(min("mh0"), min("mh1"), min("mh2"), min("mh3")).collect().head
+      (0 until 4).foreach { j =>
+        assert(whole.getLong(j) == merged.getLong(j),
+          s"seed=$seed part-split broke mh$j")
+        assert(whole.getLong(j) == perDocMerged.getLong(j),
+          s"seed=$seed doc-split broke mh$j")
+      }
+    }
+  }
 }
