@@ -63,6 +63,53 @@ class TypeStatsProcessor extends org.apache.spark.sql.streaming.StatefulProcesso
   }
 }
 
+final case class AdmitRow(user_id: Long, event_id: Long,
+    admitted: Boolean, tokens_after: Long)
+final case class BucketState(tokens: Long, lastUs: Long)
+
+/** Token-bucket rate limiter (state API v2): per-key bucket of
+  * `capacity` tokens refilling one per `refillUs` of EVENT time — the
+  * per-tenant admission control a streaming ingest tier runs. Within a
+  * batch, a key's rows sort by (ts, event_id) (the repo's finite
+  * replay delivers each key in one batch, so the sort IS the global
+  * per-key order — the TimerSessionProcessor contract). Refill
+  * arithmetic is all-integer and remainder-preserving: accrual banks
+  * from the last WHOLE-token boundary, and saturating at capacity
+  * resets the boundary to "now" (a full bucket earns no credit). */
+class RateLimitProcessor(capacity: Long, refillUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long), AdmitRow] {
+  import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+  @transient private var st: ValueState[BucketState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[BucketState]("bucket",
+      org.apache.spark.sql.Encoders.product[BucketState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+      tv: TimerValues): Iterator[AdmitRow] = {
+    // (user_id, us, event_id) sorted into event-time order
+    val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+    val out = scala.collection.mutable.ArrayBuffer.empty[AdmitRow]
+    var cur = if (st.exists()) Option(st.get()) else None
+    sorted.foreach { case (_, us, eventId) =>
+      val (t2, last2) = cur match {
+        case None => (capacity, us) // fresh bucket, boundary = now
+        case Some(b) =>
+          val k = (us - b.lastUs) / refillUs
+          if (b.tokens + k >= capacity) (capacity, us)
+          else (b.tokens + k, b.lastUs + k * refillUs)
+      }
+      val admitted = t2 > 0
+      val t3 = if (admitted) t2 - 1 else t2
+      out += AdmitRow(key, eventId, admitted, t3)
+      cur = Some(BucketState(t3, last2))
+    }
+    cur.foreach(st.update)
+    out.iterator
+  }
+}
+
 final case class SessRow(user_id: Long, start_us: Long, end_us: Long,
     n_events: Long, cents: Long)
 final case class SessState(startUs: Long, lastUs: Long, n: Long, cents: Long)
@@ -954,6 +1001,70 @@ object StreamingOps {
         .orderBy("event_type").localCheckpoint()
       org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
       out
+    },
+
+    // ---- streaming ADMISSION CONTROL: a per-user token bucket
+    //      (capacity 2, one token per 2 h of event time) deciding
+    //      admit/reject per event — the rate-limit tier every
+    //      multi-tenant ingest runs, expressed as transformWithState
+    //      with integer remainder-preserving refill arithmetic. The
+    //      oracle replays the identical bucket recurrence as a
+    //      recursive CTE over per-user event sequences; the checked
+    //      output is the admission census plus a checksum of WHICH
+    //      events were rejected, so a single divergent decision flips
+    //      the hash. Scale: state is 2 longs per user; decisions are
+    //      per-row in the state operator, no extra shuffle beyond the
+    //      keyed exchange.
+    QueryDef.checked(
+      "q_stream_rate_limit",
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events
+        |), rec AS (
+        |  SELECT user_id, rn, us AS last, CAST(1 AS BIGINT) AS tokens,
+        |    TRUE AS admitted, event_id
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn,
+        |    CASE WHEN r.tokens + (e.us - r.last) // 7200000000 >= 2
+        |         THEN e.us
+        |         ELSE r.last + ((e.us - r.last) // 7200000000) * 7200000000
+        |         END,
+        |    CASE WHEN least(2, r.tokens + (e.us - r.last) // 7200000000) > 0
+        |         THEN least(2, r.tokens + (e.us - r.last) // 7200000000) - 1
+        |         ELSE least(2, r.tokens + (e.us - r.last) // 7200000000) END,
+        |    least(2, r.tokens + (e.us - r.last) // 7200000000) > 0,
+        |    e.event_id
+        |  FROM rec r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(*) FILTER (WHERE admitted) AS BIGINT) AS n_admitted,
+        |  CAST(count(*) FILTER (WHERE NOT admitted) AS BIGINT) AS n_rejected,
+        |  CAST(sum(CASE WHEN NOT admitted THEN event_id % 1000003
+        |           ELSE 0 END) AS BIGINT) AS rejected_checksum
+        |FROM rec""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val typed = eventsStream(spark, dir)
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+          col("event_id"))
+        .as[(Long, Long, Long)]
+      val out = typed.groupByKey(_._1)
+        .transformWithState(new RateLimitProcessor(2L, 7200000000L),
+          TimeMode.None(), OutputMode.Update(),
+          org.apache.spark.sql.Encoders.product[AdmitRow])
+      runToMemory(out.toDF(), "graft_stream_rate_limit", "update",
+        extra = Seq("spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+          sum(when(!col("admitted"), 1L).otherwise(0L)).as("n_rejected"),
+          sum(when(!col("admitted"), col("event_id") % 1000003)
+            .otherwise(0L)).cast("long").as("rejected_checksum"))
+        .select(col("n_events").cast("long"), col("n_admitted").cast("long"),
+          col("n_rejected").cast("long"), col("rejected_checksum"))
     }
   )
 }

@@ -226,4 +226,21 @@ class StreamingSpec extends SparkSpec {
         s"user $u: withheld session $start is not the tail session")
     }
   }
+
+  test("rate limiter: admissions bounded by bucket capacity + accrual") {
+    val r = q("q_stream_rate_limit").collect().head
+    val (n, adm, rej) = (r.getAs[Long]("n_events"),
+      r.getAs[Long]("n_admitted"), r.getAs[Long]("n_rejected"))
+    assert(adm + rej == n)
+    assert(rej > 0, "the replay must actually exercise rejection")
+    // upper bound: each user can admit at most 2 (capacity) + elapsed/2h
+    // + 1 tokens over the replay window; n_users * that bounds admissions
+    val users = Tables(spark, sf).events
+      .select("user_id").distinct().count()
+    val spanUs = Tables(spark, sf).events
+      .agg((max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))))
+      .head.getLong(0)
+    val maxPerUser = 2 + spanUs / 7200000000L + 1
+    assert(adm <= users * maxPerUser)
+  }
 }
