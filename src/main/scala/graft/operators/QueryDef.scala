@@ -28,6 +28,10 @@ object QueryDef {
   def toQueries(defs: Seq[QueryDef]): Map[String, (SparkSession, String) => DataFrame] =
     defs.map(d => d.name -> d.fn).toMap
 
+  /** Every published oracle passes through the signed-zero
+    * canonicalizer — see [[Parity.normalizeSignedZero]]; never wrap
+    * rounds by hand in the per-query SQL. */
   def toOracle(defs: Seq[QueryDef]): Map[String, String] =
-    defs.flatMap(d => d.oracle.map(d.name -> _)).toMap
+    defs.flatMap(d =>
+      d.oracle.map(d.name -> Parity.normalizeSignedZero(_))).toMap
 }

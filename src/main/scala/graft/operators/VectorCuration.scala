@@ -1171,12 +1171,17 @@ object VectorCuration {
       def r6(x: Double): Double =
         BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       import spark.implicits._
+      // check_cov rounds a ~1e-17 residual: DuckDB's round preserves the
+      // IEEE sign (-0.0) where BigDecimal has no signed zero (0.0), and
+      // the driver hash distinguishes them (r6 red row). The oracle side
+      // is normalized fleet-wide by Parity.normalizeSignedZero; the
+      // explicit `+ 0.0` below mirrors it on the driver-math side.
       Seq((m.getAs[Long]("n"), r6(c11), r6(c12), r6(c22), r6(l1), r6(l2),
         r6(w11), r6(w12), r6(w22),
         r6(w11 * c11 * w11 + 2 * w11 * c12 * w12 + w12 * c22 * w12),
         r6(w12 * c11 * w12 + 2 * w12 * c12 * w22 + w22 * c22 * w22),
         r6(w11 * c11 * w12 + w11 * c12 * w22 + w12 * c12 * w12
-          + w12 * c22 * w22)))
+          + w12 * c22 * w22) + 0.0))
         .toDF("n", "c11", "c12", "c22", "eig1", "eig2", "w11", "w12", "w22",
           "check_var1", "check_var2", "check_cov")
     },

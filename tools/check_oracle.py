@@ -17,11 +17,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def canon(rows):
+    # Floats carry their IEEE sign bit explicitly: the driver's hash
+    # distinguishes -0.0 from 0.0 (Python == does not), which hid the
+    # r6 q_whitening_2d signed-zero mismatch from this local replica.
     out = []
     for row in rows:
         out.append(tuple(
             ("f", "nan") if isinstance(v, float) and math.isnan(v) else
-            ("f", round(v, 9)) if isinstance(v, float) else
+            ("f", math.copysign(1.0, v), round(v, 9))
+            if isinstance(v, float) else
             ("v", str(v)) for v in row))
     out.sort()
     return out
