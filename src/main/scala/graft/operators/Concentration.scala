@@ -76,6 +76,7 @@ object Concentration {
           // re-sum through decimal to stay order-independent
           round(sum(col("revenue").cast(DecimalType(18, 2))).cast("double"), 2)
             .as("decile_revenue"))
+      // decile relation: measured 10 rows @ sf0.01 AND sf0.1 (PlanProbe r7)
       val wAll = Window.partitionBy()
       val wCum = Window.orderBy("decile")
         .rowsBetween(Window.unboundedPreceding, 0)
@@ -470,7 +471,8 @@ object Concentration {
         .groupBy(to_date(col("o_orderdate")).as("day"))
         .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
           .cast("long").as("cents"))
-      // day-grid windows: calendar-bounded by construction
+      // day-grid windows: measured 2399 rows @ sf0.01, 2405 @ sf0.1
+      // (PlanProbe r7) — saturates at the calendar span
       val w = Window.orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       daily

@@ -431,7 +431,9 @@ object Diagnostics {
     //      unrolled min-plus joins over that bounded relation with
     //      row_number argmins (min_by has no deterministic tie-break in
     //      either engine), then boundary backtracking. ONE SQL text
-    //      runs on both engines.
+    //      runs on both engines. The 21 global windows all ride the
+    //      20-row bin table: measured 20 rows @ sf0.01 AND sf0.1
+    //      (PlanProbe r7).
     QueryDef.checked(
       "q_voptimal_histogram",
       Diagnostics.vOptimalSql("orders")) { (spark, dir) =>

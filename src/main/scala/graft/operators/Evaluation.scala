@@ -182,7 +182,8 @@ object Evaluation {
         .withGlobalNtile(s, "tile", 20, parts, col("score"), col("event_id"))
       val agg = t.groupBy("tile")
         .agg(count(lit(1)).as("n"), sum(col("y")).as("npos"))
-      // 20-row relation: the windows below are bounded by construction
+      // 20-row tile relation: measured 20 @ sf0.01 AND sf0.1 (PlanProbe
+      // r7) — bounded by construction
       val wCum = Window.orderBy("tile")
       val wAll = Window.partitionBy()
       agg
@@ -335,6 +336,7 @@ object Evaluation {
             .as("lp_fp"))
       val nd = train.groupBy("lang").agg(count(lit(1)).as("nd"))
       val prior = nd
+        // |langs| rows: measured 5 @ sf0.01 AND sf0.1 (PlanProbe r7)
         .withColumn("prior_fp",
           expr("CAST(round(ln(CAST(nd AS DOUBLE) / (sum(nd) OVER ())) * 1000000) AS BIGINT)"))
         .select(col("lang").as("cand"), col("prior_fp"))
@@ -631,7 +633,8 @@ object Evaluation {
       val b = t.groupBy("bin")
         .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
         .localCheckpoint() // 50 rows; feeds prefix sums AND the final join
-      // everything below runs on the bounded bin relation
+      // everything below runs on the bounded bin relation: measured 50
+      // rows @ sf0.01 AND sf0.1 (PlanProbe r7)
       val c = b
         .withColumn("cn", sum(col("n")).over(Window.orderBy("bin")))
         .withColumn("cpos", sum(col("pos")).over(Window.orderBy("bin")))

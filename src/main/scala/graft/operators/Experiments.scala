@@ -84,7 +84,8 @@ object Experiments {
         .agg(sum(col("ev")).cast("long").as("n_events"),
           (count(lit(1)) - sum(col("ev"))).cast("long").as("n_censored"))
       // windows below run over the duration-bucket relation — bounded by
-      // the calendar span (≤ ~80 rows), not the order count
+      // the calendar span, not the order count: measured 66 rows @ sf0.01,
+      // 78 @ sf0.1 (PlanProbe r7), saturating toward the span
       val wPrev = Window.orderBy("t")
         .rowsBetween(Window.unboundedPreceding, -1)
       val wCur = Window.orderBy("t")
@@ -239,7 +240,8 @@ object Experiments {
           least(lit(1.0),
             lit(2.0) * exp(lit(-0.717) * col("az") -
               lit(0.416) * col("az") * col("az"))))
-      // windows over the metric family — |event_type| = 5 rows, bounded
+      // windows over the metric family — |event_type| rows: measured 5 @
+      // sf0.01 AND sf0.1 (PlanProbe r7)
       val wAll = Window.partitionBy(lit(1))
       val wRank = Window.partitionBy(lit(1)).orderBy("pval", "event_type")
       z.withColumn("p_rank", row_number().over(wRank))
@@ -799,6 +801,7 @@ object Experiments {
         .select(col("event_type"), col("n").cast("long").as("n_pulls"),
           round(col("mean_r"), 6).as("mean_reward"),
           round(col("ucb"), 6).as("ucb_score"),
+          // |arms| rows: measured 5 @ sf0.01 AND sf0.1 (PlanProbe r7)
           (round(col("ucb"), 6) ===
             max(round(col("ucb"), 6)).over(Window.partitionBy())).as("chosen"))
         .orderBy("event_type")
@@ -991,7 +994,10 @@ object Experiments {
       val pt = cust.groupBy("t")
         .agg(count(lit(1)).as("n_t"), sum(col("x")).as("sx_t"),
           sum(col("ev")).as("d_t"), sum(col("ev") * col("x")).as("dx_t"))
-      // suffix window over DISTINCT durations — calendar-bounded rows
+      // suffix window over DISTINCT tenure durations: measured 808 rows @
+      // sf0.01, 1574 @ sf0.1 (PlanProbe r7) — growth is saturation toward
+      // the hard bound |calendar days| ≈ 2406 (t is a day difference inside
+      // the fixed order-date span), the same bound the day-grid windows ride
       val wSuf = Window.orderBy(col("t").desc)
       val terms = pt
         .withColumn("sn", sum(col("n_t")).over(wSuf))

@@ -432,7 +432,8 @@ object Governance {
         .agg(count(lit(1)).as("n_groups"), min(col("n")).as("min_size"),
           sum(when(col("n") < 5, 1L).otherwise(0L)).as("n_violations"),
           sum(when(col("n") < 5, col("n")).otherwise(0L)).as("n_suppressed"))
-      // 4-row chooser window (bounded by the ladder's level count)
+      // 4-row chooser window (bounded by the ladder's level count):
+      // measured 4 @ sf0.01 AND sf0.1 (PlanProbe r7)
       lvl.withColumn("is_chosen", coalesce(
           col("level") === min(when(col("n_violations") === 0, col("level")))
             .over(org.apache.spark.sql.expressions.Window.partitionBy()),

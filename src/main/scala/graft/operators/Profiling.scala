@@ -216,6 +216,9 @@ object Profiling {
       val localW = Window.partitionBy("price_bucket")
         .orderBy(col("p_retailprice"), col("p_size").desc, col("p_partkey"))
         .rowsBetween(Window.unboundedPreceding, -1)
+      // the exact global pass sees only local-front survivors: measured
+      // 4 rows @ sf0.01, 2 @ sf0.1 (PlanProbe r7) — bounded by
+      // |price buckets| × |distinct sizes|, both fixed domains
       val globalW = Window
         .orderBy(col("p_retailprice"), col("p_size").desc, col("p_partkey"))
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -266,6 +269,8 @@ object Profiling {
           .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
         .groupBy("digit").agg(count(lit(1)).as("n"))
         .withColumn("exp_share", expShare)
+        // global window over the digit table: measured 9 rows @ sf0.01 AND
+        // sf0.1 (PlanProbe r7) — first digits, constant
         .withColumn("tot", sum(col("n")).over(Window.partitionBy()).cast("long"))
         .select(col("digit"), col("n"),
           round(col("n") * lit(1.0) / col("tot"), 6).as("obs_share"),
@@ -297,6 +302,8 @@ object Profiling {
          |  CAST(sum(size_chars) OVER (PARTITION BY bin) AS BIGINT) AS bin_chars
          |FROM planned
          |ORDER BY bin, size_chars DESC, source""".stripMargin) { (spark, dir) =>
+      // global window over the per-source aggregate: measured 20 rows @
+      // sf0.01 AND sf0.1 (PlanProbe r7) — |sources| is a corpus constant
       val wOrd = Window.orderBy(col("size_chars").desc, col("source"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val wBin = Window.partitionBy("bin")
@@ -583,6 +590,8 @@ object Profiling {
           col("n_distinct").cast("long").as("n_distinct"),
           round(col("n_distinct") * lit(1.0) / col("n_grams"), 6)
             .as("distinct_ratio"),
+          // global rank over |sources|: measured 20 @ sf0.01 AND sf0.1
+          // (PlanProbe r7) — constant
           row_number().over(Window.orderBy(
             expr("n_distinct * 1000000 div n_grams"), col("source")))
             .cast("int").as("compress_rank"))
@@ -633,7 +642,8 @@ object Profiling {
         |SELECT source, demand, rank, saturated, alloc,
         |  CAST(sum(alloc) OVER () AS BIGINT) AS total_alloc
         |FROM alloc ORDER BY rank""".stripMargin) { (spark, dir) =>
-      val w = Window.orderBy(col("d"), col("source")) // |sources| rows
+      // |sources| rows: measured 20 @ sf0.01 AND sf0.1 (PlanProbe r7)
+      val w = Window.orderBy(col("d"), col("source"))
       val dem = Tables(spark, dir).documents
         .groupBy("source").agg(sum(col("n_chars")).as("d"))
         .localCheckpoint() // capacity aggregate + the ranked scan
@@ -658,7 +668,8 @@ object Profiling {
           when(col("saturated"), col("d"))
             .otherwise(expr("(c - cumsat) div (n - nsat)")).as("alloc"))
         .withColumn("total_alloc",
-          sum(col("alloc")).over(Window.partitionBy())) // |sources| rows
+          // |sources| rows: measured 20 @ sf0.01 AND sf0.1 (PlanProbe r7)
+          sum(col("alloc")).over(Window.partitionBy()))
         .orderBy("rank")
     },
 
@@ -995,6 +1006,8 @@ object Profiling {
           Window.partitionBy("g").orderBy(col("v"), col("event_id"))))
         .groupBy("g", "tile").agg(max(col("v")).as("ub"), count(lit(1)).as("cnt"))
         .localCheckpoint() // bounded |groups|*20 rows; two windows below
+      // global windows over the sketch-bucket table: measured 100 rows @
+      // sf0.01 AND sf0.1 (PlanProbe r7) — |groups|×20 tiles, constant
       val cum = hist
         .withColumn("cw", sum(col("cnt")).over(Window.orderBy("ub")))
         .withColumn("tot", sum(col("cnt")).over(Window.partitionBy()))

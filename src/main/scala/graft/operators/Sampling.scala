@@ -267,7 +267,8 @@ object Sampling {
         |FROM seats
         |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val w5 = Window.partitionBy() // |strata| rows (5)
+      // |strata| rows: measured 5 @ sf0.01 AND sf0.1 (PlanProbe r7)
+      val w5 = Window.partitionBy()
       val s = Tables(spark, dir).customer
         .select(col("c_mktsegment"),
           expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
@@ -284,7 +285,7 @@ object Sampling {
         .withColumn("base", floor(col("q")))
         .withColumn("rem_rank", row_number().over(
           Window.orderBy((col("q") - floor(col("q"))).desc,
-            col("c_mktsegment")))) // |strata| rows
+            col("c_mktsegment")))) // |strata| rows (5 at both scales)
         .withColumn("leftover",
           lit(500) - sum(floor(col("q"))).over(w5).cast("long"))
         .select(col("c_mktsegment"), col("n").as("n_members"),

@@ -236,6 +236,8 @@ object SqlSurface {
         .select(col("day"),
           coalesce(col("n_orders"), lit(0L)).as("n_orders"),
           col("revenue").isNotNull.as("is_observed"),
+          // LOCF over the day spine: measured 2405 rows @ sf0.01 AND
+          // sf0.1 (PlanProbe r7) — calendar-bounded
           last(col("revenue"), ignoreNulls = true).over(
             Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0))
             .as("filled_revenue"))

@@ -280,6 +280,10 @@ object Stats {
         .groupBy(floor(col("value") / 8).cast("long").as("bin"))
         .agg(count(when(col("event_type") === "click", 1)).as("ca"),
           count(when(col("event_type") === "view", 1)).as("cb"))
+      // prefix sum over value/8 bins: measured 41 rows @ sf0.01, 61 @
+      // sf0.1 (PlanProbe r7) — bins track max(value), which grows ~log n
+      // on this exponential-tailed metric (max 327→490→560 across
+      // 1k/10k/100k events), so the relation is O(log corpus), not linear
       val w = Window.orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = binned.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
@@ -559,6 +563,7 @@ object Stats {
           col("n"))
         .select(col("seg"), col("pri"), col("nij"),
           round(col("pmi_fp") / lit(1000000000.0), 6).as("pmi"),
+          // |seg×pri| cells: measured 25 @ sf0.01 AND sf0.1 (PlanProbe r7)
           round(sum(col("nij") * col("pmi_fp"))
             .over(Window.partitionBy())
             / (lit(1000000000.0) * col("n")), 6).as("mi_total"))
@@ -659,7 +664,8 @@ object Stats {
         .groupBy("bin")
         .agg(sum(col("is_ref")).cast("long").as("n_ref"),
           sum(lit(1) - col("is_ref")).cast("long").as("n_cur"))
-      // the unpartitioned windows run over the 10-row bin aggregate
+      // the unpartitioned windows run over the capped bin aggregate:
+      // measured 9 rows @ sf0.01, 10 @ sf0.1 (PlanProbe r7; least(…,9) cap)
       val wAll = Window.partitionBy()
       c.select(col("bin"), col("n_ref"), col("n_cur"),
           ((col("n_ref") + 1).cast("double") /

@@ -126,6 +126,8 @@ object TimeSeries {
         |    / (sqrt(CAST(np*sxx - sx*sx AS DOUBLE))
         |       * sqrt(CAST(np*syy - sy*sy AS DOUBLE))), 6) AS r
         |FROM sums ORDER BY lag_k""".stripMargin) { (spark, dir) =>
+      // global window over dailyGrid: measured 2405 rows @ sf0.01 AND
+      // sf0.1 (PlanProbe r7) — the calendar span, saturated, not corpus-sized
       val w = Window.orderBy("day")
       val lagged = dailyGrid(spark, dir)
         .select(Seq(col("day"), col("n")) ++
@@ -172,6 +174,8 @@ object TimeSeries {
       val grid = dailyGrid(spark, dir)
       val tot = grid.agg(sum(col("n")).cast("long").as("total"),
         count(lit(1)).as("days"))
+      // global window over dailyGrid: measured 2405 @ sf0.01 AND sf0.1
+      // (PlanProbe r7) — calendar-bounded
       val w = Window.orderBy("day")
       grid.crossJoin(broadcast(tot))
         .select(col("day"),
@@ -269,6 +273,8 @@ object TimeSeries {
         |FROM daily
         |ORDER BY day""".stripMargin) { (spark, dir) =>
       import org.apache.spark.sql.types.DecimalType
+      // global window over the day aggregate: measured 2399 @ sf0.01,
+      // 2405 @ sf0.1 (PlanProbe r7) — saturates at the calendar span
       val w = Window.orderBy("day")
       val w7 = w.rowsBetween(-6, 0)
       Tables(spark, dir).orders
@@ -504,6 +510,8 @@ object TimeSeries {
         .groupBy(to_date(date_trunc("day", col("ts"))).as("day"))
         .agg(round(sum(col("value").cast("decimal(38,12)")).cast("double")
           / count(lit(1)), 6).as("v"))
+      // global window over the filtered day grid: measured 30 @ sf0.01
+      // AND sf0.1 (PlanProbe r7) — purchase-day aggregate, calendar-bounded
       val w = Window.orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       spine.join(daily, Seq("day"), "left")
@@ -549,7 +557,8 @@ object TimeSeries {
           .as("x"),
           count(when(col("event_type") === "click", 1)).cast("long")
             .as("y"))
-      // 14-row window over the day grid — calendar-bounded
+      // 14-row frame over the day grid: measured 30 rows @ sf0.01 AND
+      // sf0.1 (PlanProbe r7) — calendar-bounded
       val win = Window.orderBy("day").rowsBetween(-13, Window.currentRow)
       daily
         .select(col("day"),
@@ -915,7 +924,8 @@ object TimeSeries {
         .select(datediff(to_date(col("o_orderdate")), col("d0"))
           .cast("long").as("t"))
         .groupBy("t").agg(count(lit(1)).as("x"))
-      // prefix windows over the ≤ |days| series (calendar-bounded)
+      // prefix windows over the ≤ |days| series: measured 2399 @ sf0.01,
+      // 2405 @ sf0.1 (PlanProbe r7) — saturates at the calendar span
       val wCum = Window.orderBy("t")
       val wAll = Window.partitionBy()
       val c = daily
@@ -981,6 +991,8 @@ object TimeSeries {
         |  round((sy - phi * sx) / np + phi * n_last, 6) AS forecast_next
         |FROM fit""".stripMargin) { (spark, dir) =>
       val grid = dailyGrid(spark, dir).localCheckpoint() // lag pass + last-day
+      // lag over dailyGrid: measured 2405 @ sf0.01 AND sf0.1 (PlanProbe
+      // r7) — calendar-bounded
       val lagged = grid
         .withColumn("l1", lag(col("n"), 1).over(Window.orderBy("day")))
         .filter(col("l1").isNotNull)

@@ -61,6 +61,8 @@ object TokenizerOps {
           .as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .withColumn("rank",
+          // global rank over |distinct char bigrams|: measured 82 rows @
+          // sf0.01 AND sf0.1 (PlanProbe r7) — alphabet²-bounded
           row_number().over(Window.orderBy(col("n").desc, col("pair")))
             .cast("long"))
         .select("rank", "pair", "n")
@@ -301,6 +303,11 @@ object TokenizerOps {
         .select(explode(split(col("text"), " ")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("c"))
       val tot = freq.agg(sum(col("c")).cast("long").as("t"))
+      // global window over the vocabulary: measured 31 rows @ sf0.01 AND
+      // sf0.1 (PlanProbe r7) — the synthetic corpus draws from a FIXED
+      // vocabulary, so this saturates immediately; on a natural-language
+      // corpus the vocab grows (Heaps' law) and this window must move to
+      // util.RangeRank (the q_weighted_quantile migration shape)
       val w = Window.orderBy(col("c").desc, col("tok"))
       freq
         .select(col("tok"), col("c"),
@@ -357,6 +364,9 @@ object TokenizerOps {
         expr("cast(round(sqrt(sqrt(cast(c as double) * c * c)) * 1000000) as bigint)")
           .as("w_fp"))
       val tot = w.agg(sum(col("w_fp")).cast("long").as("tot"))
+      // global window over the vocabulary: measured 31 rows @ sf0.01 AND
+      // sf0.1 (PlanProbe r7) — fixed synthetic vocab (see
+      // q_vocab_coverage_curve note: natural corpora need RangeRank here)
       val win = Window.orderBy(col("c").desc, col("tok"))
       w.crossJoin(broadcast(tot))
         .select(

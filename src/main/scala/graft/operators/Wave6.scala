@@ -29,10 +29,14 @@ object Wave6 {
     //      chosen here because 1/x is exact in integer fixed-point
     //      while log parity across libms is not guaranteed). Scale:
     //      the candidate generator is the self-join on the shared
-    //      customer — Σ_c deg(c)² pairs, the standard bound; hubs
-    //      above a degree cap would be dropped first (they contribute
-    //      ≤ 1/cap each and dominate the pair count — the classic
-    //      common-neighbor skew guard). Top-20 by exact ties.
+    //      customer — Σ_c deg(c)² pairs, the standard bound — so hubs
+    //      above a degree cap (30) are dropped FIRST: they contribute
+    //      ≤ 1/30 each to the score yet dominate the pair count (the
+    //      classic common-neighbor skew guard). Measured: the cap cuts
+    //      Σd² from 1.71M → 0.35M at sf0.01 and 25.7M → 2.3M at sf0.1
+    //      — without it the candidate set grew 15× per 10× corpus
+    //      (mean degree itself grows with SF); with it ~6.6×. Top-20
+    //      by exact ties.
     QueryDef.checked(
       "q_resource_allocation",
       """WITH pairs0 AS (
@@ -40,13 +44,19 @@ object Wave6 {
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |), deg AS (
         |  SELECT c, count(*) AS d FROM pairs0 GROUP BY c
+        |), p AS (
+        |  -- hub-degree cap: customers with > 30 distinct suppliers are
+        |  -- dropped before the quadratic self-join
+        |  SELECT pairs0.s, pairs0.c, deg.d
+        |  FROM pairs0 JOIN deg ON deg.c = pairs0.c
+        |  WHERE deg.d <= 30
         |), cand AS (
-        |  SELECT a.s AS s1, b.s AS s2, a.c AS c
-        |  FROM pairs0 a JOIN pairs0 b ON b.c = a.c AND b.s > a.s
+        |  SELECT a.s AS s1, b.s AS s2, a.d AS d
+        |  FROM p a JOIN p b ON b.c = a.c AND b.s > a.s
         |), sc AS (
         |  SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_common,
         |    CAST(sum(1000000000000 // d) AS BIGINT) AS ra_fp
-        |  FROM cand JOIN deg ON deg.c = cand.c
+        |  FROM cand
         |  GROUP BY s1, s2
         |)
         |SELECT s1, s2, n_common, ra_fp
@@ -60,10 +70,13 @@ object Wave6 {
         .distinct()
         .localCheckpoint() // feeds deg + both self-join sides
       val deg = pairs.groupBy("c").agg(count(lit(1)).as("d"))
-      pairs.select(col("s").as("s1"), col("c"))
-        .join(pairs.select(col("s").as("s2"), col("c").as("c2")),
+      // the cap (see oracle comment) lands BEFORE the self-join, so the
+      // d² blow-up never materializes; d rides along — no re-join
+      val p = pairs.join(deg.filter(col("d") <= 30), Seq("c"))
+        .localCheckpoint() // both self-join sides
+      p.select(col("s").as("s1"), col("c"), col("d"))
+        .join(p.select(col("s").as("s2"), col("c").as("c2")),
           col("c2") === col("c") && col("s2") > col("s1"))
-        .join(deg, Seq("c"))
         .groupBy("s1", "s2")
         .agg(count(lit(1)).as("n_common"),
           sum(expr("1000000000000 div d")).cast("long").as("ra_fp"))
@@ -586,6 +599,9 @@ object Wave6 {
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair")).limit(3)
         .collect().map(_.getString(0)) // 3-row bounded collect
+      require(top3.length == 3,
+        s"q_bpe_apply needs >= 3 distinct character bigrams in the corpus" +
+          s" (found ${top3.length}) — the oracle's 3-merge table assumes them")
       val Array(p1, p2, p3) = top3
       def sp(p: String) = s" ${p.charAt(0)} ${p.charAt(1)} "
       def mg(p: String) = s" $p "
@@ -900,7 +916,8 @@ object Wave6 {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
       val t = sz.agg(sum(col("bytes")).as("total"),
         expr("sum(bytes) div 8").as("target"))
-      // 8-row relation: the pool windows are bounded by shard count
+      // 8-row relation (shard count): measured 8 @ sf0.01 AND sf0.1
+      // (PlanProbe r7)
       val w = Window.orderBy("shard")
       sz.crossJoin(broadcast(t))
         .withColumn("delta_bytes", col("bytes") - col("target"))
@@ -985,8 +1002,9 @@ object Wave6 {
           .as("ym"))
         .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
           .as("cents"), count(lit(1)).as("n_orders"))
-      // bare ordered window over the month spine — ≤ 84 rows, bounded
-      // by the calendar (sweep-allowlisted)
+      // bare ordered window over the month spine — calendar-bounded:
+      // measured 80 rows @ sf0.01 AND sf0.1 (PlanProbe r7;
+      // sweep-allowlisted)
       val w = Window.orderBy("ym")
       m.select(col("ym").cast("int").as("ym"),
           col("n_orders").cast("long").as("n_orders"),
@@ -1116,16 +1134,17 @@ object Wave6 {
         |  CAST(min(CASE WHEN cw * 100 >= tw * 99 THEN unit_cents END)
         |    AS BIGINT) AS weighted_p99_cents
         |FROM c""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val g = Tables(spark, dir).lineitem
         .select(expr("CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT)")
           .as("unit_cents"), col("l_quantity").cast("long").as("w"))
         .groupBy("unit_cents").agg(sum(col("w")).as("w"))
-      // prefix sums over the DISTINCT-price relation — bounded by the
-      // price domain, not the fact table (sweep-allowlisted)
-      val c = g
-        .withColumn("cw", sum(col("w")).over(Window.orderBy("unit_cents")))
-        .withColumn("tw", sum(col("w")).over(Window.partitionBy()))
+      // the distinct-price relation GROWS with the corpus (57k rows at
+      // sf0.01 → 400k at sf0.1, ~linear), so the prefix sum rides
+      // RangeRank's range-exchange scan — no single-partition window
+      val tot = g.agg(sum(col("w")).as("tw"))
+      val c = RangeRank.withGlobalCumSum(g, "cw", "w",
+          spark.sessionState.conf.numShufflePartitions, col("unit_cents"))
+        .crossJoin(broadcast(tot))
       c.agg(max(col("tw")).cast("long").as("total_weight"),
         min(when(col("cw") * 2 >= col("tw"), col("unit_cents")))
           .cast("long").as("weighted_median_cents"),
@@ -1170,15 +1189,16 @@ object Wave6 {
         |      * (m.n1 + 1) / 2)
         |    / (CAST(m.n1 AS DOUBLE) * (t.n - m.n1)), 6) AS auc
         |FROM m, t""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val s = Tables(spark, dir).events
         .select(expr("CAST(round(value * 1000000) AS BIGINT)").as("sc"),
           (col("event_type") === "purchase").cast("int").as("y"))
       val g = s.groupBy("sc")
         .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
-      // prefix sum over the |distinct scores| relation (bounded;
-      // sweep-allowlisted), 2× tie-averaged ranks stay integer
-      val r = g.withColumn("cn", sum(col("n")).over(Window.orderBy("sc")))
+      // |distinct scores| grows with the corpus (6.6k at sf0.01 → 17.8k
+      // at sf0.1), so the rank prefix sum rides RangeRank's range-
+      // exchange scan; 2× tie-averaged ranks stay integer
+      val r = RangeRank.withGlobalCumSum(g, "cn", "n",
+          spark.sessionState.conf.numShufflePartitions, col("sc"))
         .withColumn("rank2", lit(2) * col("cn") - col("n") + 1)
       val m = r.agg(sum(col("n_pos").cast("long") * col("rank2")).as("r1_2"),
         sum(col("n_pos")).as("n1"))

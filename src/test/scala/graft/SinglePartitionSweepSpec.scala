@@ -58,14 +58,20 @@ class SinglePartitionSweepSpec extends SparkSpec {
 }
 
 object SinglePartitionSweepSpec {
-  // Every name below was individually reviewed (round-5 plan audit +
-  // this sweep): the global window runs over an upstream AGGREGATE
-  // whose cardinality is bounded by construction — deciles (10), day
-  // grids (365), histogram bins (≤64), vocab/bigram tables after
-  // groupBy, per-source rollups (5), PR-curve thresholds, survival
-  // event times, allocation strata. The bound is stated in a comment
-  // at the Window definition in the operator source. Adding a name
-  // here without such a comment is a review failure.
+  // Every name below was individually reviewed, and in round 7 every
+  // windowed relation was MEASURED at two scales with
+  // `graft.tools.PlanProbe <sfDir> <names>` (it counts the rows feeding
+  // each global window); the two-scale numbers live in a comment at the
+  // Window definition in the operator source. The audit's shape
+  // classes: constants (deciles 10, strata 5, shards 8, sketch tiles
+  // 100, …), calendar-saturating series (day grids 2399→2405, tenure
+  // days 808→1574 — both capped by the fixed date span ≈ 2406), and one
+  // O(log n) case (q_ks_drift's value/8 bins, 41→61, tracking the max
+  // of an exponential-tailed metric). Anything that grew LINEARLY with
+  // the corpus was migrated to util.RangeRank instead of listed here
+  // (q_weighted_quantile 57k→400k and q_auc_roc 6.6k→17.8k in round 7).
+  // Adding a name without a measured two-scale comment is a review
+  // failure; re-run PlanProbe at sf0.01 and sf0.1 for every addition.
   val allow: Set[String] = Set(
     "q_ar1_forecast", "q_autocorr", "q_benford", "q_bh_fdr",
     "q_binseg_changepoint", "q_boosting_stumps", "q_bpe_pairs",
@@ -78,5 +84,5 @@ object SinglePartitionSweepSpec {
     "q_neyman_allocation", "q_pareto_front", "q_pr_curve", "q_psi_drift",
     "q_quantile_sketch_merge", "q_revenue_deciles", "q_rolling_corr",
     "q_ucb_bandit", "q_vocab_coverage_curve", "q_voptimal_histogram",
-    "q_shard_rebalance", "q_mom_yoy", "q_weighted_quantile", "q_auc_roc")
+    "q_shard_rebalance", "q_mom_yoy")
 }
