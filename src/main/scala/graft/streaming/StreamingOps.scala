@@ -96,7 +96,10 @@ class RateLimitProcessor(capacity: Long, refillUs: Long)
       val (t2, last2) = cur match {
         case None => (capacity, us) // fresh bucket, boundary = now
         case Some(b) =>
-          val k = (us - b.lastUs) / refillUs
+          // clamped: rows within a batch arrive sorted, but a LATER
+          // batch can deliver event time < state.lastUs — a negative k
+          // would drain tokens below zero and walk lastUs backwards
+          val k = math.max(0L, (us - b.lastUs) / refillUs)
           if (b.tokens + k >= capacity) (capacity, us)
           else (b.tokens + k, b.lastUs + k * refillUs)
       }

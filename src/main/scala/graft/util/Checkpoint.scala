@@ -31,16 +31,33 @@ object Checkpoint {
     df.sparkSession.conf.getOption("spark.graft.checkpoint.reliable")
       .exists(_.equalsIgnoreCase("true"))
 
+  /** The raw configured dir behind the live `sc.setCheckpointDir`, so a
+    * session that re-points `spark.graft.checkpoint.dir` mid-life gets a
+    * fresh `setCheckpointDir` instead of silently riding the first pin's
+    * dir. (`sc.getCheckpointDir` holds the scheme-qualified resolved URI
+    * plus a per-call UUID subdir, so the conf value can't be compared
+    * against it directly — we track what we set.) */
+  @volatile private var pinnedDir: Option[String] = None
+
   /** Materialize `df` and truncate its lineage, durably when
     * configured. The checkpoint dir is initialized lazily on first
-    * reliable pin so local runs never touch the filesystem. */
+    * reliable pin so local runs never touch the filesystem, and
+    * re-initialized whenever `spark.graft.checkpoint.dir` changes.
+    *
+    * Checkpoint files are NOT deleted when the DataFrame is collected —
+    * long-lived sessions that loop over reliable pins should set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (a
+    * SparkContext-construction conf) so the ContextCleaner reaps
+    * checkpoint dirs whose RDDs are garbage-collected. */
   def pin(df: DataFrame): DataFrame =
     if (isReliable(df)) {
       val sc = df.sparkSession.sparkContext
-      if (sc.getCheckpointDir.isEmpty)
-        sc.setCheckpointDir(
-          df.sparkSession.conf.getOption("spark.graft.checkpoint.dir")
-            .getOrElse(sys.props("java.io.tmpdir") + "/graft-ckpt"))
+      val want = df.sparkSession.conf.getOption("spark.graft.checkpoint.dir")
+        .getOrElse(sys.props("java.io.tmpdir") + "/graft-ckpt")
+      if (sc.getCheckpointDir.isEmpty || !pinnedDir.contains(want)) {
+        sc.setCheckpointDir(want)
+        pinnedDir = Some(want)
+      }
       df.checkpoint()
     } else df.localCheckpoint()
 

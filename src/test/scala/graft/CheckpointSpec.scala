@@ -56,6 +56,26 @@ class CheckpointSpec extends SparkSpec {
     }
   }
 
+  test("re-pointing spark.graft.checkpoint.dir mid-session takes effect") {
+    val dirA = Files.createTempDirectory("graft-ckpt-a").toString
+    val dirB = Files.createTempDirectory("graft-ckpt-b").toString
+    spark.conf.set("spark.graft.checkpoint.reliable", "true")
+    try {
+      spark.conf.set("spark.graft.checkpoint.dir", dirA)
+      assert(Checkpoint.pin(spark.range(10).toDF("x")).count() === 10)
+      spark.conf.set("spark.graft.checkpoint.dir", dirB)
+      assert(Checkpoint.pin(spark.range(10).toDF("x")).count() === 10)
+      def files(d: String) = Files.walk(java.nio.file.Paths.get(d))
+        .filter(Files.isRegularFile(_)).count()
+      assert(files(dirA) > 0, s"first pin never used $dirA")
+      // before the pinnedDir tracking, the second pin silently kept
+      // writing under dirA and dirB stayed empty
+      assert(files(dirB) > 0, s"re-pointed pin never used $dirB")
+    } finally {
+      spark.conf.set("spark.graft.checkpoint.reliable", "false")
+    }
+  }
+
   test("an iterative query is oracle-identical under reliable checkpoints") {
     // connected components + pagerank both route per-round pins through
     // Checkpoint.pin; flipping the conf must not change a single row.
