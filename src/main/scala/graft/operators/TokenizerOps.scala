@@ -303,17 +303,18 @@ object TokenizerOps {
         .select(explode(split(col("text"), " ")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("c"))
       val tot = freq.agg(sum(col("c")).cast("long").as("t"))
-      // global window over the vocabulary: measured 31 rows @ sf0.01 AND
-      // sf0.1 (PlanProbe r7) — the synthetic corpus draws from a FIXED
-      // vocabulary, so this saturates immediately; on a natural-language
-      // corpus the vocab grows (Heaps' law) and this window must move to
-      // util.RangeRank (the q_weighted_quantile migration shape)
-      val w = Window.orderBy(col("c").desc, col("tok"))
-      freq
-        .select(col("tok"), col("c"),
-          row_number().over(w).as("rnk"),
-          sum(col("c")).over(w.rowsBetween(Window.unboundedPreceding, 0))
-            .as("cum"))
+      // vocabulary-ranked prefix scan: only 31 rows here (fixed synthetic
+      // vocab, PlanProbe r7), but a natural-language corpus grows its
+      // vocabulary by Heaps' law, so the rank AND the coverage cumsum ride
+      // ONE RangeRank range-exchange pass (rank = running sum of ones over
+      // the unique (c desc, tok) order) instead of a global window
+      val ranked = graft.util.RangeRank.withGlobalCumSums(
+        freq.withColumn("__one", lit(1L)),
+        Seq("__one" -> "rnk", "c" -> "cum"),
+        spark.sessionState.conf.numShufflePartitions,
+        col("c").desc, col("tok"))
+      ranked
+        .select(col("tok"), col("c"), col("rnk"), col("cum"))
         .crossJoin(broadcast(tot))
         .select(col("rnk").cast("int").as("rank"), col("tok"),
           col("c").cast("long").as("freq"),
@@ -364,18 +365,21 @@ object TokenizerOps {
         expr("cast(round(sqrt(sqrt(cast(c as double) * c * c)) * 1000000) as bigint)")
           .as("w_fp"))
       val tot = w.agg(sum(col("w_fp")).cast("long").as("tot"))
-      // global window over the vocabulary: measured 31 rows @ sf0.01 AND
-      // sf0.1 (PlanProbe r7) — fixed synthetic vocab (see
-      // q_vocab_coverage_curve note: natural corpora need RangeRank here)
-      val win = Window.orderBy(col("c").desc, col("tok"))
-      w.crossJoin(broadcast(tot))
+      // vocabulary-ranked prefix scan — same RangeRank shape as
+      // q_vocab_coverage_curve (31 rows on this fixed synthetic vocab,
+      // Heaps-law-sized on a natural corpus): rank and the sampling-range
+      // cumsum share ONE range exchange; cum_lo derives from cum_hi
+      val ranked = graft.util.RangeRank.withGlobalCumSums(
+        w.withColumn("__one", lit(1L)),
+        Seq("__one" -> "rank", "w_fp" -> "cum_hi"),
+        spark.sessionState.conf.numShufflePartitions,
+        col("c").desc, col("tok"))
+      ranked.crossJoin(broadcast(tot))
         .select(
-          row_number().over(win).cast("long").as("rank"),
+          col("rank").cast("long").as("rank"),
           col("tok"), col("c").cast("long").as("freq"),
-          (sum(col("w_fp")).over(win.rowsBetween(Window.unboundedPreceding, 0))
-            - col("w_fp")).cast("long").as("cum_lo"),
-          sum(col("w_fp")).over(win.rowsBetween(Window.unboundedPreceding, 0))
-            .cast("long").as("cum_hi"),
+          (col("cum_hi") - col("w_fp")).cast("long").as("cum_lo"),
+          col("cum_hi").cast("long").as("cum_hi"),
           round(col("w_fp") * lit(1.0) / col("tot"), 6).as("prob"))
         .orderBy("rank")
     }
