@@ -178,6 +178,51 @@ class PropertyLawsSpec extends SparkSpec {
 
   // ---- TopKPerGroup operator law: for random tables and random k,
   //      the custom exec equals the window-rank reference
+  test("RangeRank rank/cumsum equal the single-partition window on " +
+    "random tables, any partition count, asc or desc keys") {
+    // Four r7-migrated queries (weighted_quantile, auc_roc, vocab
+    // coverage, negative sampling) lean on withGlobalCumSums replacing
+    // Window.orderBy exactly — pin the equivalence on random inputs,
+    // including null values (window sum skips them; an all-null prefix
+    // is null) and duplicate sort values disambiguated by id.
+    val rowsGen = for {
+      n <- Gen.chooseNum(1, 60)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.chooseNum(-20L, 20L) // deliberately collides
+        v <- Gen.frequency(4 -> Gen.chooseNum(-50L, 50L).map(Option(_)),
+          1 -> Gen.const(Option.empty[Long]))
+      } yield (k, v))
+    } yield rows.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+    (1L to 6L).foreach { seed =>
+      val rows = sample(rowsGen, seed)
+      val df = rows.toDF("k", "v", "id")
+      val desc = seed % 2 == 0
+      val keys = if (desc) Seq(col("k").desc, col("id")) else Seq(col("k"), col("id"))
+      val win = Window.orderBy(keys: _*)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val expect = df
+        .withColumn("cs", sum(col("v")).over(win))
+        .withColumn("rn", row_number().over(Window.orderBy(keys: _*)).cast("long"))
+        .select("id", "cs", "rn").collect()
+        .map(r => r.getLong(0) -> (Option(r.get(1)), r.getLong(2))).toMap
+      Seq(1, 3, 8).foreach { parts =>
+        val got = graft.util.RangeRank.withGlobalCumSums(
+            df.withColumn("__one", lit(1L)),
+            Seq("v" -> "cs", "__one" -> "rn"), parts, keys: _*)
+          .select("id", "cs", "rn").collect()
+          .map(r => r.getLong(0) -> (Option(r.get(1)), r.getLong(2))).toMap
+        assert(got === expect, s"seed=$seed parts=$parts desc=$desc")
+        val (ranked, total) = graft.util.RangeRank.withGlobalRankAndTotal(
+          df, "rn2", parts, keys: _*)
+        assert(total === rows.length.toLong)
+        val gotRanks = ranked.select("id", "rn2").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(gotRanks === expect.map { case (id, (_, rn)) => id -> rn },
+          s"rank seed=$seed parts=$parts desc=$desc")
+      }
+    }
+  }
+
   test("TopKPerGroup equals window rank on random tables") {
     val gen = for {
       n <- Gen.chooseNum(1, 80)
