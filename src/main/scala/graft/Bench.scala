@@ -160,13 +160,18 @@ object Bench {
     // "parsed": null). Persist the full line to a file and ALSO print a
     // compact self-contained summary line LAST so a tail-window parser
     // finds one complete JSON object.
+    // A restricted dev run must not clobber the committed baseline that
+    // the prior-round regression pass reads — it goes to a side file.
+    // (Full runs at ANY SF still overwrite: the driver's run is full.)
+    val fullOut =
+      if (only.isEmpty) "BENCH_FULL.json" else "BENCH_RESTRICTED.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
+      java.nio.file.Paths.get(fullOut), full + "\n")
     catch { case _: Throwable => () } // read-only cwd must not fail the bench
     val slow = results.sortBy(-_._2).take(5)
       .map { case (k, v, _) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"slowest":$slow,"failed":$failed$restricted,"n_regressions":${regressions.size},"sf":"$sfDir","full":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"slowest":$slow,"failed":$failed$restricted,"n_regressions":${regressions.size},"sf":"$sfDir","full":"$fullOut"}""")
     spark.stop()
   }
 }

@@ -1140,11 +1140,14 @@ object Wave6 {
         .groupBy("unit_cents").agg(sum(col("w")).as("w"))
       // the distinct-price relation GROWS with the corpus (57k rows at
       // sf0.01 → 400k at sf0.1, ~linear), so the prefix sum rides
-      // RangeRank's range-exchange scan — no single-partition window
-      val tot = g.agg(sum(col("w")).as("tw"))
-      val c = RangeRank.withGlobalCumSum(g, "cw", "w",
-          spark.sessionState.conf.numShufflePartitions, col("unit_cents"))
-        .crossJoin(broadcast(tot))
+      // RangeRank's range-exchange scan — no single-partition window.
+      // The scalar total aggregates the RangeRank OUTPUT (backed by its
+      // internal localCheckpoint), not `g` — aggregating `g` again
+      // would re-run the full lineitem scan + groupBy just for one row
+      val c0 = RangeRank.withGlobalCumSum(g, "cw", "w",
+        spark.sessionState.conf.numShufflePartitions, col("unit_cents"))
+      val tot = c0.agg(sum(col("w")).as("tw"))
+      val c = c0.crossJoin(broadcast(tot))
       c.agg(max(col("tw")).cast("long").as("total_weight"),
         min(when(col("cw") * 2 >= col("tw"), col("unit_cents")))
           .cast("long").as("weighted_median_cents"),
@@ -1200,10 +1203,12 @@ object Wave6 {
       val r = RangeRank.withGlobalCumSum(g, "cn", "n",
           spark.sessionState.conf.numShufflePartitions, col("sc"))
         .withColumn("rank2", lit(2) * col("cn") - col("n") + 1)
+      // the total event count folds into the SAME aggregate as the rank
+      // sum (Σ n over the grouped relation == count(s)) — no second
+      // events scan just for the denominator
       val m = r.agg(sum(col("n_pos").cast("long") * col("rank2")).as("r1_2"),
-        sum(col("n_pos")).as("n1"))
-      val t = s.agg(count(lit(1)).as("n"))
-      m.crossJoin(broadcast(t))
+        sum(col("n_pos")).as("n1"), sum(col("n")).as("n"))
+      m
         .select(col("n1").cast("long").as("n_pos"),
           (col("n") - col("n1")).cast("long").as("n_neg"),
           round((col("r1_2").cast("double") / 2

@@ -98,9 +98,12 @@ class RateLimitProcessor(capacity: Long, refillUs: Long)
         case Some(b) =>
           // clamped: rows within a batch arrive sorted, but a LATER
           // batch can deliver event time < state.lastUs — a negative k
-          // would drain tokens below zero and walk lastUs backwards
+          // would drain tokens below zero and walk lastUs backwards;
+          // the saturation branch maxes lastUs forward-only too, else a
+          // late event with a full bucket rewinds the boundary and the
+          // next on-time event instantly refills (burst past the limit)
           val k = math.max(0L, (us - b.lastUs) / refillUs)
-          if (b.tokens + k >= capacity) (capacity, us)
+          if (b.tokens + k >= capacity) (capacity, math.max(us, b.lastUs))
           else (b.tokens + k, b.lastUs + k * refillUs)
       }
       val admitted = t2 > 0

@@ -52,11 +52,21 @@ object Checkpoint {
   def pin(df: DataFrame): DataFrame =
     if (isReliable(df)) {
       val sc = df.sparkSession.sparkContext
-      val want = df.sparkSession.conf.getOption("spark.graft.checkpoint.dir")
-        .getOrElse(sys.props("java.io.tmpdir") + "/graft-ckpt")
-      if (sc.getCheckpointDir.isEmpty || !pinnedDir.contains(want)) {
-        sc.setCheckpointDir(want)
-        pinnedDir = Some(want)
+      df.sparkSession.conf.getOption("spark.graft.checkpoint.dir") match {
+        case Some(want) =>
+          // an explicit graft conf always wins and re-points on change
+          if (!pinnedDir.contains(want)) {
+            sc.setCheckpointDir(want)
+            pinnedDir = Some(want)
+          }
+        case None =>
+          // no graft conf: respect a dir the app set directly on the
+          // SparkContext; fall back to tmpdir only when nothing is set
+          if (sc.getCheckpointDir.isEmpty) {
+            val want = sys.props("java.io.tmpdir") + "/graft-ckpt"
+            sc.setCheckpointDir(want)
+            pinnedDir = Some(want)
+          }
       }
       df.checkpoint()
     } else df.localCheckpoint()

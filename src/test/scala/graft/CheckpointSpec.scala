@@ -76,6 +76,28 @@ class CheckpointSpec extends SparkSpec {
     }
   }
 
+  test("a dir set directly on the SparkContext is respected when no " +
+    "graft conf is present") {
+    // regression guard for the re-pointing fix: the tmpdir DEFAULT must
+    // not clobber an app-level sc.setCheckpointDir when
+    // spark.graft.checkpoint.dir is unset
+    val external = Files.createTempDirectory("graft-ckpt-ext").toString
+    spark.sparkContext.setCheckpointDir(external)
+    val hadConf = spark.conf.getOption("spark.graft.checkpoint.dir")
+    spark.conf.unset("spark.graft.checkpoint.dir")
+    spark.conf.set("spark.graft.checkpoint.reliable", "true")
+    try {
+      assert(Checkpoint.pin(spark.range(10).toDF("x")).count() === 10)
+      assert(spark.sparkContext.getCheckpointDir.exists(_.contains(
+        java.nio.file.Paths.get(external).getFileName.toString)),
+        s"external dir $external was clobbered: " +
+          spark.sparkContext.getCheckpointDir)
+    } finally {
+      spark.conf.set("spark.graft.checkpoint.reliable", "false")
+      hadConf.foreach(spark.conf.set("spark.graft.checkpoint.dir", _))
+    }
+  }
+
   test("an iterative query is oracle-identical under reliable checkpoints") {
     // connected components + pagerank both route per-round pins through
     // Checkpoint.pin; flipping the conf must not change a single row.
