@@ -103,7 +103,9 @@ object Explain {
     "q_quantile_regression_grid", "q_kv_cache_budget", "q_holt_winters",
     "q_media_dhash", "q_minhash_union", "q_topic_coherence",
     "q_gradient_sparsify", "q_shard_rebalance", "q_sql_variables",
-    "q_mom_yoy", "q_clone_merkle_diff", "q_weighted_quantile", "q_auc_roc", "q_trimmed_mean", "q_cramers_v")
+    "q_mom_yoy", "q_clone_merkle_diff", "q_weighted_quantile", "q_auc_roc", "q_trimmed_mean", "q_cramers_v",
+    "q_cdc_chunking", "q_spmm_blocked", "q_ivm_delta_join",
+    "q_phonetic_blocking", "q_aho_corasick_scan", "q_audio_vad")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -312,6 +312,87 @@ object Multimodal {
           sum(col("n")).cast("long").as("n_docs"),
           max(col("n")).cast("long").as("max_bucket"))
         .orderBy("popcount")
+    },
+
+    // ---- audio activity segmentation (energy VAD): the `wav`-format
+    //      blobs (doc_id % 3 = 2 under the attachMedia model), read as
+    //      8-bit PCM — amplitude = byte − 32, frame = 16 samples, frame
+    //      energy = Σ amplitude² — gated at a fixed threshold and merged
+    //      into maximal speech runs by the per-doc gaps-and-islands
+    //      scan. This is the audio twin of the aHash/dHash pixel ops:
+    //      the decode from a real container is the documented codec stub
+    //      boundary, the Spark-side byte plumbing, frame aggregation,
+    //      and segment algebra are real and hash-checked (the oracle
+    //      reads the same bytes from the ASCII text twin). Scale: frames
+    //      group per (doc, frame) key, islands window per doc — nothing
+    //      crosses documents until the final ordered output.
+    QueryDef.checked(
+      "q_audio_vad",
+      """WITH ch AS (
+        |  SELECT doc_id, CAST((u - 1) // 16 AS INT) AS f,
+        |    (ascii(substring(text, CAST(u AS INT), 1)) - 32)
+        |      * (ascii(substring(text, CAST(u AS INT), 1)) - 32) AS e2
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, (length(text) // 16) * 16 + 1)) AS u
+        |        FROM documents WHERE doc_id % 3 = 2)
+        |), fr AS (
+        |  SELECT doc_id, f, CAST(sum(e2) AS BIGINT) AS energy
+        |  FROM ch GROUP BY 1, 2
+        |), sp AS (
+        |  SELECT doc_id, f,
+        |    f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+        |  FROM fr WHERE energy > 75000
+        |), seg AS (
+        |  SELECT doc_id, count(*) AS seg_len FROM sp GROUP BY doc_id, grp
+        |), per_doc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+        |    CAST(max(seg_len) AS BIGINT) AS max_seg,
+        |    CAST(sum(seg_len) AS BIGINT) AS n_speech
+        |  FROM seg GROUP BY doc_id
+        |), nf AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames
+        |  FROM fr GROUP BY doc_id
+        |)
+        |SELECT nf.doc_id, nf.n_frames,
+        |  coalesce(p.n_speech, 0) AS n_speech,
+        |  coalesce(p.n_segments, 0) AS n_segments,
+        |  coalesce(p.max_seg, 0) AS max_seg
+        |FROM nf LEFT JOIN per_doc p ON nf.doc_id = p.doc_id
+        |ORDER BY nf.doc_id""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.functions._
+      // bytes from the real BINARY media column (hex view, one byte per
+      // 2-hex-char slice), frames by integer-division key — a plain
+      // groupBy, no per-doc window until the bounded islands scan
+      val fr = attachMedia(Tables(spark, dir).documents).toDF()
+        .filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id"), hex(col("media")).as("hx"),
+          expr("cast(n_bytes div 16 as int)").as("nf"))
+        .select(col("doc_id"), col("hx"),
+          explode(expr("sequence(1, nf * 16)")).as("u"))
+        .select(col("doc_id"), expr("cast((u - 1) div 16 as int)").as("f"),
+          expr("cast(conv(substring(hx, (u - 1) * 2 + 1, 2), 16, 10) as int)")
+            .as("code"))
+        .select(col("doc_id"), col("f"),
+          ((col("code") - 32) * (col("code") - 32)).as("e2"))
+        .groupBy("doc_id", "f")
+        .agg(sum(col("e2")).cast("long").as("energy"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("f")
+      val seg = fr.filter(col("energy") > 75000)
+        .withColumn("grp", col("f") - row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(count(lit(1)).as("seg_len"))
+      val perDoc = seg.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segments"),
+          max(col("seg_len")).cast("long").as("max_seg"),
+          sum(col("seg_len")).cast("long").as("n_speech"))
+      fr.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_frames"),
+          coalesce(col("n_speech"), lit(0L)).as("n_speech"),
+          coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+          coalesce(col("max_seg"), lit(0L)).as("max_seg"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -1,0 +1,339 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-7 additions: content-defined chunking (the FastCDC-family
+  * dedup primitive), distributed sparse matrix multiply, incremental
+  * view maintenance by the bilinear delta rule, phonetic-key blocking
+  * for entity resolution, and a one-pass Aho-Corasick multi-pattern
+  * corpus scan (the production swap-in the `q_blocklist_filter`
+  * Scaladoc promises). Oracle discipline as ever: integer arithmetic
+  * end-to-end (counts, byte sums, md5 hex), with the only doubles
+  * being exact integer divisions rounded once.
+  */
+object Wave7 {
+
+  /** Nested-`replace` run collapser: `replace(x,'dd','d')` applied 4×
+    * per digit halves (then re-halves) any run, so runs up to 16 chars
+    * collapse to one — far beyond any single-word digit string here.
+    * Pure `replace`, so the SAME text runs in Spark and DuckDB (no
+    * regex-flag dialect split, and RE2 has no backreferences anyway).
+    */
+  private def collapseRuns(e: String): String =
+    (1 to 6).foldLeft(e) { (acc, d) =>
+      (1 to 4).foldLeft(acc)((a, _) => s"replace($a, '$d$d', '$d')")
+    }
+
+  /** Soundex-class phonetic key of the FIRST word of `c`, as a SQL
+    * expression string: keep the first letter, map the remaining
+    * consonants to the classic Soundex digit classes
+    * (bfpv→1 cgjkqsxz→2 dt→3 l→4 mn→5 r→6) via `translate`, DELETE
+    * vowels+h+w+y, collapse adjacent equal digits, pad with zeros to 4.
+    * Variant note (documented, deliberate): vowels are deleted before
+    * the collapse, so equal digits separated by a vowel also merge —
+    * one `translate` + one `regexp_replace` instead of the classic
+    * positional scan, which keeps the whole key inside codegen'd
+    * builtins on the engine side and plain SQL on the oracle side.
+    * `duck` switches only the regexp_replace global-flag dialect.
+    */
+  private[graft] def phoneticKeySql(c: String, duck: Boolean): String = {
+    val w = s"lower(split_part($c, ' ', 1))"
+    val mapped =
+      s"translate(substring($w, 2), 'bfpvcgjkqsxzdtlmnr', '111122222222334556')"
+    val noVowels =
+      if (duck) s"regexp_replace($mapped, '[aeiouyhw]', '', 'g')"
+      else s"regexp_replace($mapped, '[aeiouyhw]', '')"
+    s"substring(concat(substring($w, 1, 1), ${collapseRuns(noVowels)}, '000'), 1, 4)"
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- content-defined chunking (CDC): the rolling-fingerprint
+    //      boundary rule of the FastCDC family — a chunk ends wherever
+    //      the fingerprint of the trailing W=8 bytes hits 0 mod 17 —
+    //      so chunk boundaries are INVARIANT under insertions elsewhere
+    //      in the document (the property fixed-size chunking lacks, and
+    //      the reason dedup stores chunk by content not by offset).
+    //      Fingerprint here is the windowed byte sum (the simplest
+    //      genuine rolling hash; production uses Rabin/gear — same
+    //      boundary logic, same plan). Per-doc windows only: the
+    //      rolling sum partitions by doc_id, chunk spans come from a
+    //      per-doc lag over boundary positions, and chunk bytes are a
+    //      substring of the original text — no cross-doc shuffle until
+    //      the final per-source hash-dedup aggregate. The covered_chars
+    //      column audits the span algebra: it must equal sum(n_chars).
+    QueryDef.checked(
+      "q_cdc_chunking",
+      """WITH ch AS (
+        |  SELECT doc_id, CAST(u AS INT) AS pos,
+        |    ascii(substring(text, CAST(u AS INT), 1)) AS code
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, CAST(length(text) AS INT) + 1)) AS u
+        |        FROM documents)
+        |), wins AS (
+        |  SELECT doc_id, pos,
+        |    sum(code) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS winsum
+        |  FROM ch
+        |), bounds AS (
+        |  SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT doc_id, pos FROM wins WHERE pos >= 8 AND winsum % 17 = 0
+        |    UNION ALL
+        |    SELECT doc_id, CAST(n_chars AS INT) FROM documents
+        |  )
+        |), spans AS (
+        |  SELECT doc_id,
+        |    coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 0) + 1
+        |      AS st,
+        |    pos AS en
+        |  FROM bounds
+        |), chunks AS (
+        |  SELECT s.doc_id, d.source,
+        |    md5(substring(d.text, s.st, s.en - s.st + 1)) AS h,
+        |    s.en - s.st + 1 AS len
+        |  FROM spans s JOIN documents d ON s.doc_id = d.doc_id
+        |)
+        |SELECT source, count(*) AS n_chunks,
+        |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+        |  round(CAST(count(*) - count(DISTINCT h) AS DOUBLE) / count(*), 6)
+        |    AS dup_ratio,
+        |  CAST(sum(len) AS BIGINT) AS covered_chars,
+        |  CAST(max(len) AS BIGINT) AS max_chunk
+        |FROM chunks GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+      val docs = Tables(spark, dir).documents
+      val ch = docs
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(1, cast(length(text) as int))")).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          ascii(expr("substring(text, pos, 1)")).as("code"))
+      val wins = ch.withColumn("winsum",
+        sum(col("code")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos").rowsBetween(-7, 0)))
+      val bounds = wins
+        .filter(col("pos") >= 8 && col("winsum") % 17 === 0)
+        .select(col("doc_id"), col("pos"))
+        .unionAll(docs.select(col("doc_id"), col("n_chars").cast("int").as("pos")))
+        .distinct()
+      val spans = bounds.withColumn("st",
+          coalesce(lag(col("pos"), 1).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("doc_id").orderBy("pos")), lit(0)) + 1)
+        .withColumnRenamed("pos", "en")
+      // chunk bytes come from ONE substring against the original text:
+      // the spans→documents join is co-partitioned on doc_id (no
+      // broadcast needed at scale; both sides hash the same key)
+      val chunks = spans.join(docs.select("doc_id", "source", "text"), "doc_id")
+        .select(col("doc_id"), col("source"),
+          md5(expr("substring(text, st, en - st + 1)")).as("h"),
+          (col("en") - col("st") + 1).as("len"))
+      chunks.groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("h")).as("n_distinct"),
+          round((count(lit(1)) - countDistinct(col("h"))).cast("double")
+            / count(lit(1)), 6).as("dup_ratio"),
+          sum(col("len")).cast("long").as("covered_chars"),
+          max(col("len")).cast("long").as("max_chunk"))
+        .orderBy("source")
+    },
+
+    // ---- distributed sparse matrix multiply (SpMM): C = A·B with
+    //      A = user×event-type counts and B = event-type×month counts,
+    //      both integer contingency matrices from one events scan each.
+    //      The join contracts the INNER dimension (event_type, 5
+    //      values): B is |types|×|months| ≈ 60 rows, so it broadcasts
+    //      and the multiply is map-side — the SUMMA degenerate case.
+    //      When neither factor is small, the same query blocks both
+    //      matrices on (row-block, inner-block) / (inner-block,
+    //      col-block) keys and shuffles per-block partial products —
+    //      the groupBy(i,j) below is already that reduce; only the
+    //      partitioning key widens. Exact: counts and products are
+    //      integers end-to-end.
+    QueryDef.checked(
+      "q_spmm_blocked",
+      """WITH a AS (
+        |  SELECT user_id % 64 AS i, event_type AS t, count(*) AS av
+        |  FROM events GROUP BY 1, 2
+        |), b AS (
+        |  SELECT event_type AS t, CAST(month(ts) AS INTEGER) AS j,
+        |    count(*) AS bv
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT i, j, CAST(sum(av * bv) AS BIGINT) AS cij
+        |FROM a JOIN b USING (t)
+        |GROUP BY i, j ORDER BY i, j""".stripMargin) { (spark, dir) =>
+      val ev = Tables(spark, dir).events
+      val a = ev.groupBy((col("user_id") % 64).as("i"),
+          col("event_type").as("t"))
+        .agg(count(lit(1)).as("av"))
+      val b = ev.groupBy(col("event_type").as("t"),
+          month(col("ts")).as("j"))
+        .agg(count(lit(1)).as("bv"))
+      a.join(broadcast(b), "t")
+        .groupBy("i", "j")
+        .agg(sum(col("av") * col("bv")).cast("long").as("cij"))
+        .orderBy("i", "j")
+    },
+
+    // ---- incremental view maintenance by the bilinear delta rule:
+    //      for V = γ_custkey(R ⋈ S) with R = orders split at the batch
+    //      cut 1999-01-01 and S = lineitem split at ship-cut
+    //      1999-07-01, the engine assembles V from the four partials
+    //      γ(R₀⋈S₀) ⊎ γ(ΔR⋈S₀) ⊎ γ(R₀⋈ΔS) ⊎ γ(ΔR⋈ΔS) and sum-merges —
+    //      Δ(R⋈S) = ΔR⋈S ∪ R₀⋈ΔS ∪ ΔR⋈ΔS, the identity every
+    //      incremental pipeline rides. The oracle recomputes the view
+    //      from scratch; the hash match IS the IVM-correctness proof.
+    //      At 100 TB the three delta joins touch only the new
+    //      partitions (both split predicates are partition-prunable
+    //      date filters) while γ(R₀⋈S₀) is the standing materialization
+    //      read back from the store — the only term that never rescans.
+    //      Additive aggregates only (sum, count), the class the delta
+    //      rule covers without retraction state.
+    QueryDef.checked(
+      "q_ivm_delta_join",
+      """SELECT o_custkey AS custkey,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+        |  count(*) AS n_items
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+      val t = Tables(spark, dir)
+      val cut = lit("1999-01-01").cast("timestamp")
+      val shipCut = lit("1999-07-01").cast("timestamp")
+      val r0 = t.orders.filter(col("o_orderdate") < cut)
+      val dR = t.orders.filter(col("o_orderdate") >= cut)
+      val s0 = t.lineitem.filter(col("l_shipdate") < shipCut)
+      val dS = t.lineitem.filter(col("l_shipdate") >= shipCut)
+      def partial(r: org.apache.spark.sql.DataFrame,
+          s: org.apache.spark.sql.DataFrame) =
+        r.join(s, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(sum(col("l_quantity").cast("long")).as("q"),
+            count(lit(1)).as("c"))
+      partial(r0, s0).unionAll(partial(dR, s0))
+        .unionAll(partial(r0, dS)).unionAll(partial(dR, dS))
+        .groupBy("custkey")
+        .agg(sum(col("q")).cast("long").as("qty_sum"),
+          sum(col("c")).cast("long").as("n_items"))
+        .orderBy("custkey")
+    },
+
+    // ---- phonetic-key blocking (Soundex-class): the OTHER classic
+    //      entity-resolution blocking family — q_fuzzy_join blocks on a
+    //      raw substring, phonetic keys block on how the name SOUNDS,
+    //      so sound-alike corruptions stay in-block. A deterministically
+    //      dirtied part-name twin (one char overlaid at a key-dependent
+    //      position) is re-linked by (phonetic key of first word,
+    //      first-word length) block + levenshtein ≤ 1 verify. Blocks
+    //      bound the candidate pairs (the color-word key space is
+    //      corpus-independent, block sizes grow linearly, never the
+    //      corpus square); recall < 1 is the honest phonetic story —
+    //      overlays that change the consonant skeleton leave the block.
+    QueryDef.checked(
+      "q_phonetic_blocking",
+      s"""WITH clean AS (
+        |  SELECT p_partkey AS clean_id, p_name,
+        |    ${phoneticKeySql("p_name", duck = true)} AS pk,
+        |    length(split_part(p_name, ' ', 1)) AS wl
+        |  FROM part
+        |), dirty AS (
+        |  SELECT p_partkey AS dirty_id,
+        |    concat(substring(p_name, 1, 2 + p_partkey % 8), 'x',
+        |           substring(p_name, 4 + p_partkey % 8)) AS dirty_name
+        |  FROM part
+        |), dkey AS (
+        |  SELECT dirty_id, dirty_name,
+        |    ${phoneticKeySql("dirty_name", duck = true)} AS pk,
+        |    length(split_part(dirty_name, ' ', 1)) AS wl
+        |  FROM dirty
+        |), cand AS (
+        |  SELECT clean_id, dirty_id, p_name, dirty_name
+        |  FROM clean JOIN dkey USING (pk, wl)
+        |), verified AS (
+        |  SELECT clean_id, dirty_id FROM cand
+        |  WHERE levenshtein(p_name, dirty_name) <= 1
+        |)
+        |SELECT
+        |  (SELECT count(*) FROM cand) AS n_candidates,
+        |  (SELECT count(*) FROM verified) AS n_matches,
+        |  (SELECT count(*) FROM verified WHERE clean_id = dirty_id)
+        |    AS n_true,
+        |  round(CAST((SELECT count(*) FROM verified
+        |              WHERE clean_id = dirty_id) AS DOUBLE)
+        |    / (SELECT count(*) FROM part), 6) AS recall""".stripMargin) {
+      (spark, dir) =>
+        val part = Tables(spark, dir).part
+        val nPart = part.count()
+        val clean = part.select(col("p_partkey").as("clean_id"),
+          col("p_name"),
+          expr(phoneticKeySql("p_name", duck = false)).as("pk"),
+          length(expr("split_part(p_name, ' ', 1)")).as("wl"))
+        val dirty = part.select(col("p_partkey").as("dirty_id"),
+            expr("""concat(substring(p_name, 1, 2 + p_partkey % 8), 'x',
+                   |  substring(p_name, 4 + p_partkey % 8))""".stripMargin)
+              .as("dirty_name"))
+          .select(col("dirty_id"), col("dirty_name"),
+            expr(phoneticKeySql("dirty_name", duck = false)).as("pk"),
+            length(expr("split_part(dirty_name, ' ', 1)")).as("wl"))
+        // ONE distributed pass over the blocked pairs: candidates,
+        // verified matches, and true links come from the same aggregate
+        // (the bounded-collect discipline — the collect is 1 row)
+        val lev = levenshtein(col("p_name"), col("dirty_name"))
+        val s = clean.join(dirty, Seq("pk", "wl"))
+          .agg(count(lit(1)).as("n_candidates"),
+            count(when(lev <= 1, 1)).as("n_matches"),
+            count(when(lev <= 1 && col("clean_id") === col("dirty_id"), 1))
+              .as("n_true"))
+          .first()
+        import spark.implicits._
+        Seq((s.getAs[Long]("n_candidates"), s.getAs[Long]("n_matches"),
+          s.getAs[Long]("n_true")))
+          .toDF("n_candidates", "n_matches", "n_true")
+          // same round(exact-integer-division, 6) shape as the oracle —
+          // the engine-side round, not driver math, per Parity rules
+          .withColumn("recall",
+            round(col("n_true").cast("double") / lit(nPart.toDouble), 6))
+    },
+
+    // ---- one-pass multi-pattern corpus scan: the Aho-Corasick
+    //      automaton ([[graft.functions.MultiPatternCount]], a native
+    //      codegen expression carrying the compiled automaton as a
+    //      reference object) counts EVERY pattern in ONE pass over each
+    //      document — the production blocklist/PII-term scan, where the
+    //      naive plan is P separate regexp passes over the same 100 TB.
+    //      Counts include overlapping and nested occurrences (the
+    //      dictionary-suffix-link semantics); the oracle replays the
+    //      same all-positions definition by brute force, so the hash
+    //      match pins the automaton against a definitionally-transparent
+    //      spec, not against another automaton.
+    QueryDef.checked(
+      "q_aho_corasick_scan",
+      """WITH pats AS (
+        |  SELECT * FROM (VALUES ('batch'), ('fast'), ('merge'), ('scan'),
+        |    ('sort'), ('table'), ('vector'), ('window')) AS t(p)
+        |), hits AS (
+        |  SELECT p, doc_id,
+        |    coalesce(list_sum(list_transform(
+        |      range(CAST(length(text) - length(p) + 1 AS BIGINT)),
+        |      i -> CASE WHEN substring(text, CAST(i AS INT) + 1,
+        |                   CAST(length(p) AS INT)) = p
+        |           THEN 1 ELSE 0 END)), 0) AS cnt
+        |  FROM documents, pats
+        |)
+        |SELECT p AS pattern, CAST(sum(cnt) AS BIGINT) AS occurrences,
+        |  CAST(count(*) FILTER (WHERE cnt > 0) AS BIGINT) AS n_docs
+        |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+      val pats = Seq("batch", "fast", "merge", "scan",
+        "sort", "table", "vector", "window")
+      Tables(spark, dir).documents
+        .select(posexplode(
+          graft.functions.AhoCorasick.multiPatternCount(col("text"), pats)))
+        .select(element_at(array(pats.map(lit): _*), col("pos") + 1)
+            .as("pattern"),
+          col("col").as("cnt"))
+        .groupBy("pattern")
+        .agg(sum(col("cnt")).cast("long").as("occurrences"),
+          count(when(col("cnt") > 0, 1)).cast("long").as("n_docs"))
+        .orderBy("pattern")
+    }
+  )
+}

@@ -2,93 +2,114 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Wave-7 specs: PQ asymmetric-distance search, similarity-graph
-  * transitivity, SQL pipe syntax, Gopher rule audit. */
+/** Invariants for the round-7 wave (the oracle proves value equality;
+  * these prove the SEMANTICS are the intended ones). */
 class Wave7Spec extends SparkSpec {
 
-  test("pq adc: approximate top-10 recalls most of the exact top-10") {
-    // exact squared-L2 top-10 for query vec 0
-    val emb = Tables(spark, sf).embeddings
-    val query = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").as("qe"))
-    val exact = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(query))
-      .select(col("vec_id"), expr(
-        """aggregate(zip_with(embedding, qe,
-          |  (x, c) -> (CAST(x AS DOUBLE) - CAST(c AS DOUBLE))
-          |           * (CAST(x AS DOUBLE) - CAST(c AS DOUBLE))),
-          |  0D, (p, q) -> p + q)""".stripMargin).as("d"))
-      .orderBy(col("d"), col("vec_id")).limit(10)
-      .collect().map(_.getLong(0)).toSet
-    val adcRows = q("q_pq_adc").collect()
-    val adc = adcRows.map(_.getAs[Long]("vec_id")).toSet
-    assert(adc.size == 10)
-    // 8-block/10-code PQ is coarse (10 codewords ≪ a trained codebook);
-    // expect nonzero overlap with exact plus a strong ranking signal:
-    // the ADC top-10's exact distances must sit well below the corpus
-    // mean exact distance
-    assert((adc & exact).size >= 1, s"no recall: ${(adc & exact).size}/10")
-    val corpusMean = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(query))
-      .select(expr(
-        """aggregate(zip_with(embedding, qe,
-          |  (x, c) -> (CAST(x AS DOUBLE) - CAST(c AS DOUBLE))
-          |           * (CAST(x AS DOUBLE) - CAST(c AS DOUBLE))),
-          |  0D, (p, q) -> p + q)""".stripMargin).as("d"))
-      .agg(avg(col("d"))).collect()(0).getDouble(0)
-    val adcMean = adcRows.map(_.getAs[Double]("exact_sq")).sum / adcRows.length
-    assert(adcMean < corpusMean,
-      s"ADC ranking carries no signal: $adcMean vs corpus $corpusMean")
-  }
-
-  test("pq adc: adc distance is the sum of the lookup-table entries") {
-    // monotone sanity: reported rows are sorted by adc_fp and all
-    // distances are positive
-    val rows = q("q_pq_adc").collect()
-    val fps = rows.map(_.getAs[Long]("adc_fp"))
-    assert(fps.forall(_ > 0) && (fps, fps.sorted).zipped.forall(_ == _))
-    rows.foreach(r => assert(r.getAs[Double]("exact_sq") > 0.0))
-  }
-
-  test("graph triangles: invariants hold per cell") {
-    val rows = q("q_graph_triangles").collect()
+  test("cdc chunking: spans exactly tile every document") {
+    val rows = q("q_cdc_chunking").collect()
     assert(rows.nonEmpty)
-    var tris = 0L
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val expected = docs.groupBy("source")
+      .agg(sum("n_chars").as("chars"), count(lit(1)).as("docs"))
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("chars"), r.getAs[Long]("docs"))).toMap
     rows.foreach { r =>
-      val nodes = r.getAs[Long]("n_nodes")
-      val edges = r.getAs[Long]("n_edges")
-      val wedges = r.getAs[Long]("n_wedges")
-      val tri = r.getAs[Long]("n_triangles")
-      val t = r.getAs[Double]("transitivity")
-      assert(edges <= nodes * (nodes - 1) / 2)
-      assert(tri * 3 <= wedges, "each triangle closes three wedges")
-      assert(t >= 0.0 && t <= 1.0)
-      tris += tri
+      val (chars, ndocs) = expected(r.getAs[String]("source"))
+      // chunk spans cover every char exactly once (the span-algebra audit)
+      assert(r.getAs[Long]("covered_chars") == chars)
+      // at least one chunk per doc (the forced end boundary)
+      assert(r.getAs[Long]("n_chunks") >= ndocs)
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_chunks"))
+      val ratio = r.getAs[Double]("dup_ratio")
+      assert(ratio >= 0.0 && ratio < 1.0)
     }
-    // fixture calibration: threshold 0.25 yields a sparse graph with
-    // triangles at BOTH spec SFs (probed: sf0.001 246 edges/13 tris,
-    // sf0.01 293/9; 0.3 had zero triangles at sf0.001)
-    assert(tris > 0, "calibrate the threshold: no triangles anywhere")
   }
 
-  test("pipe syntax plans identically to the keyword form") {
-    val pipe = q("q_pipe_sql")
-    val keyword = spark.sql(
-      """SELECT o_orderpriority, count(*) AS n,
-        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents
-        |FROM graft_pipe_orders
-        |WHERE o_orderstatus = 'O'
-        |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin)
-    assert(pipe.collect().toSeq == keyword.collect().toSeq)
+  test("spmm: total mass equals sum of squared inner-dim counts") {
+    // Σ_ij C[i,j] = Σ_t (Σ_i A[i,t])(Σ_j B[t,j]) = Σ_t n_t² for the
+    // contingency construction — an exact end-to-end identity
+    val c = q("q_spmm_blocked").agg(sum("cij")).collect().head.getLong(0)
+    val nt = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("event_type").count().collect().map(_.getAs[Long]("count"))
+    assert(c == nt.map(n => n * n).sum)
   }
 
-  test("gopher rules: pass + fail = corpus size for every rule") {
-    val total = Tables(spark, sf).documents.count()
-    val rows = q("q_gopher_rules").collect()
-    assert(rows.length == 5)
+  test("ivm delta join: incremental assembly equals direct recompute") {
+    val inc = q("q_ivm_delta_join").collect()
+      .map(r => r.getAs[Long]("custkey") ->
+        (r.getAs[Long]("qty_sum"), r.getAs[Long]("n_items"))).toMap
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+    val direct = orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(col("l_quantity").cast("long")).as("q"),
+        count(lit(1)).as("c"))
+      .collect()
+      .map(r => r.getAs[Long]("o_custkey") ->
+        (r.getAs[Long]("q"), r.getAs[Long]("c"))).toMap
+    assert(inc == direct)
+  }
+
+  test("phonetic key: sound-alike names share a key, funnel is ordered") {
+    import spark.implicits._
+    // robert/rupert is THE classic soundex pair (both r163); the repo
+    // variant must also collapse them together
+    val keys = Seq("robert plain", "rupert plain").toDF("n")
+      .select(expr(graft.operators.Wave7.phoneticKeySql("n", duck = false)))
+      .collect().map(_.getString(0))
+    assert(keys.distinct.length == 1 && keys.head == "r163")
+    val r = q("q_phonetic_blocking").collect().head
+    val (cand, m, t) = (r.getAs[Long]("n_candidates"),
+      r.getAs[Long]("n_matches"), r.getAs[Long]("n_true"))
+    assert(t > 0 && t <= m && m <= cand)
+    val recall = r.getAs[Double]("recall")
+    assert(recall > 0.0 && recall <= 1.0)
+  }
+
+  test("audio vad: segment algebra is internally consistent") {
+    val rows = q("q_audio_vad").collect()
+    assert(rows.nonEmpty)
+    val nBytes = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), length(col("text")).cast("long").as("nb"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("nb")).toMap
+    // every wav doc appears exactly once
+    assert(rows.length == nBytes.size)
     rows.foreach { r =>
-      assert(r.getAs[Long]("n_pass") + r.getAs[Long]("n_fail") == total)
-      val pm = r.getAs[Long]("pass_permille")
-      assert(pm >= 0 && pm <= 1000)
+      val frames = r.getAs[Long]("n_frames")
+      val speech = r.getAs[Long]("n_speech")
+      val segs = r.getAs[Long]("n_segments")
+      val maxSeg = r.getAs[Long]("max_seg")
+      assert(frames == nBytes(r.getAs[Long]("doc_id")) / 16)
+      assert(speech <= frames && maxSeg <= speech && segs <= speech)
+      assert((segs == 0) == (speech == 0))
+      if (segs > 0) assert(maxSeg * segs >= speech)
+    }
+    // the threshold actually separates: some speech, some silence overall
+    val totSpeech = rows.map(_.getAs[Long]("n_speech")).sum
+    val totFrames = rows.map(_.getAs[Long]("n_frames")).sum
+    assert(totSpeech > 0 && totSpeech < totFrames)
+  }
+
+  test("aho-corasick scan: per-pattern totals match independent regex counts") {
+    val rows = q("q_aho_corasick_scan").collect()
+    assert(rows.length == 8)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    rows.foreach { r =>
+      val p = r.getAs[String]("pattern")
+      // regexp_count counts non-overlapping occurrences; in this
+      // space-separated corpus no pattern occurrence can overlap
+      // another (matches never span a space), so it equals the AC
+      // all-occurrence count
+      val viaRegex = docs
+        .agg(sum(expr(s"regexp_count(text, '$p')")).cast("long"),
+          count(when(expr(s"text like '%$p%'"), 1)).cast("long"))
+        .collect().head
+      assert(r.getAs[Long]("occurrences") == viaRegex.getLong(0))
+      assert(r.getAs[Long]("n_docs") == viaRegex.getLong(1))
     }
   }
 }
