@@ -65,8 +65,41 @@ class Wave7Spec extends SparkSpec {
     val (cand, m, t) = (r.getAs[Long]("n_candidates"),
       r.getAs[Long]("n_matches"), r.getAs[Long]("n_true"))
     assert(t > 0 && t <= m && m <= cand)
+    // block purging hard-bounds the candidate join: ≤ cap pairs per
+    // dirty row (cap = 64 clean members per surviving block)
+    val nEnt = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(cand <= 64L * nEnt)
+    assert(r.getAs[Long]("n_purged") >= 0)
     val recall = r.getAs[Double]("recall")
     assert(recall > 0.0 && recall <= 1.0)
+  }
+
+  test("cdc spans expression: tiles the text, boundary rule exact") {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$sf/documents.parquet").limit(100)
+      .select(col("text"),
+        graft.functions.CdcSpans.cdcSpans(col("text")).as("sp"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val text = r.getAs[String]("text")
+      val sp = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(s => (s.getInt(0), s.getInt(1)))
+      // spans tile [1, n] contiguously
+      assert(sp.head._1 == 1 && sp.last._2 == text.length)
+      sp.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(s2 == e1 + 1)
+        case _ =>
+      }
+      // every internal boundary satisfies the rolling rule; no interior
+      // position of any chunk does (boundaries are exactly the rule)
+      val bytes = text.getBytes("UTF-8").map(_ & 0xff)
+      def winsum(p: Int) = bytes.slice(math.max(0, p - 8), p).sum // 1-based end
+      sp.dropRight(1).foreach { case (_, e) =>
+        assert(e >= 8 && winsum(e) % 17 == 0) }
+      sp.foreach { case (s, e) =>
+        (math.max(s, 8) to e - 1).foreach(p => assert(winsum(p) % 17 != 0)) }
+    }
   }
 
   test("audio vad: segment algebra is internally consistent") {
