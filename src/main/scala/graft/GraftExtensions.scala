@@ -38,6 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.VectorFunctions.build2(
           "jaro_winkler", JaroWinkler.apply)(exprs)))
     ext.injectOptimizerRule(_ => FoldSelfSimilarity)
+    // materialized-view rollup rewrite (summaries registered via
+    // graft.plans.MvRewrite.register; inert until one is)
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
     // tier-(c) whole-operator extension: the bounded-heap top-k-per-
     // group physical operator (graft.plans.TopKPerGroup)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)

@@ -317,6 +317,57 @@ object Wave7 {
             round(col("n_true").cast("double") / lit(nEnt.toDouble), 6))
     },
 
+    // ---- materialized-view rewrite: the read half of the IVM story
+    //      (q_ivm_delta_join maintains the summary; this ANSWERS from
+    //      it). A (l_returnflag, l_linestatus) summary with additive
+    //      measures is staged once per fixture fingerprint; the
+    //      [[graft.plans.MvRewrite]] optimizer rule (injected via
+    //      extraOptimizations here, via GraftExtensions in configured
+    //      sessions) then rewrites this query's coarser rollup —
+    //      grouped by l_returnflag only — from the fact scan onto the
+    //      6-row summary: Calcite-style subset-of-grouping matching,
+    //      sum→sum-of-sums, count(*)→sum(cnt). The oracle recomputes
+    //      from the raw fact table in DuckDB, so the hash match proves
+    //      the rewrite semantics-preserving end-to-end; PlanWave7Spec
+    //      asserts the physical scan reads the summary, not lineitem.
+    //      At 100 TB the rewritten plan reads |group domain| rows.
+    QueryDef.checked(
+      "q_mv_rewrite",
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  count(*) AS n_items
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+      val factPath = java.nio.file.Paths.get(s"$dir/lineitem.parquet")
+        .toAbsolutePath.toString
+      val mvDir = graft.util.Staging.dir("graft_mv_",
+        s"$dir/lineitem.parquet|mv_rf_ls_qty")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(mvDir, "_SUCCESS")))
+        spark.read.parquet(factPath)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(col("l_quantity").cast("long")).as("mv_sum_l_quantity"),
+            count(lit(1)).as("mv_cnt"))
+          .write.mode("overwrite").parquet(mvDir)
+      graft.plans.MvRewrite.register(graft.plans.MvRewrite.Mv(
+        factPath,
+        spark.read.parquet(mvDir).queryExecution.analyzed,
+        Set("l_returnflag", "l_linestatus"),
+        Map("l_quantity" -> "mv_sum_l_quantity"),
+        "mv_cnt"))
+      if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.MvRewrite))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.MvRewrite
+      // sum(long) is LongType already — no outer cast, so the alias
+      // carries the bare AggregateExpression the matcher requires
+      spark.read.parquet(factPath)
+        .groupBy("l_returnflag")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- one-pass multi-pattern corpus scan: the Aho-Corasick
     //      automaton ([[graft.functions.MultiPatternCount]], a native
     //      codegen expression carrying the compiled automaton as a

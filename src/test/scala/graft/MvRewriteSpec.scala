@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.MvRewrite
+
+/** The materialized-view rewrite must (a) actually answer the rollup
+  * from the summary scan, (b) preserve the fact-scan semantics exactly,
+  * and (c) never fire on shapes the summary cannot answer. */
+class MvRewriteSpec extends SparkSpec {
+
+  /** AQE-final executed-plan text (collect() resolves the stages). */
+  private def planText(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_mv_rewrite answers from the summary, not the fact table") {
+    val plan = planText(q("q_mv_rewrite"))
+    assert(plan.contains("graft_mv_"), plan.take(800))
+    assert(!plan.contains("lineitem.parquet"), plan.take(800))
+  }
+
+  test("rewritten rollup equals the fact-scan answer, bit for bit") {
+    val viaMv = q("q_mv_rewrite").collect().toSeq
+    // same logical query with the registry emptied: must scan the fact
+    MvRewrite.clear()
+    try {
+      val direct = spark.read.parquet(s"$sf/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy("l_returnflag")
+      assert(planText(direct).contains("lineitem.parquet"))
+      assert(direct.collect().toSeq == viaMv)
+    } finally q("q_mv_rewrite") // re-register for later suites
+  }
+
+  test("identity grouping and global rollup also rewrite") {
+    q("q_mv_rewrite") // ensure registered + rule installed
+    val full = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+    val fullPlan = planText(full)
+    assert(fullPlan.contains("graft_mv_") &&
+      !fullPlan.contains("lineitem.parquet"))
+    val global = spark.read.parquet(s"$sf/lineitem.parquet")
+      .agg(sum(col("l_quantity").cast("long")).as("s"))
+    val globalPlan = planText(global)
+    assert(globalPlan.contains("graft_mv_") &&
+      !globalPlan.contains("lineitem.parquet"))
+    // and the global value matches the fact scan
+    MvRewrite.clear()
+    val s2 =
+      try spark.read.parquet(s"$sf/lineitem.parquet")
+        .select(sum(col("l_quantity").cast("long"))).collect().head.getLong(0)
+      finally q("q_mv_rewrite")
+    assert(global.collect().head.getLong(0) == s2)
+  }
+
+  test("shapes the summary cannot answer never rewrite") {
+    q("q_mv_rewrite") // ensure registered + rule installed
+    // residual filter on a non-grouped column
+    val filtered = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") > 10)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    assert(planText(filtered).contains("lineitem.parquet"))
+    // aggregate not derivable from the summary's measures
+    val maxAgg = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(max(col("l_quantity")).as("m"))
+    assert(planText(maxAgg).contains("lineitem.parquet"))
+    // grouping outside the summary's grouping set
+    val otherGroup = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+    assert(planText(otherGroup).contains("lineitem.parquet"))
+    // count(distinct) is not additive
+    val dist = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_linestatus")).as("n"))
+    assert(planText(dist).contains("lineitem.parquet"))
+  }
+}
