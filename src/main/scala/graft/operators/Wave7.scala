@@ -368,6 +368,57 @@ object Wave7 {
         .orderBy("l_returnflag")
     },
 
+    // ---- inverted text index: the secondary-index storage capability —
+    //      postings (term, doc_id, tf) staged once per fixture
+    //      fingerprint and written PARTITIONED BY term, so a term
+    //      lookup prunes to the queried terms' directories and the
+    //      documents table is never scanned at query time (PlanWave7
+    //      assertion: PartitionFilters on term, no documents.parquet in
+    //      the plan). The query is the classic conjunctive (AND) term
+    //      search: docs containing ALL three terms, ranked key + summed
+    //      tf from the postings alone. At 100 TB the same layout
+    //      hash-buckets terms instead of one-directory-per-term (high-
+    //      cardinality vocab) and doc-partitions within term, keeping
+    //      the intersection a co-partitioned join; the oracle replays
+    //      the definition from the raw text, so the hash match proves
+    //      index build + pruned lookup ≡ corpus scan.
+    QueryDef.checked(
+      "q_inverted_index",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents
+        |), hits AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM tok WHERE term IN ('spark', 'scan', 'batch')
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf
+        |FROM hits GROUP BY doc_id
+        |HAVING count(DISTINCT term) = 3
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val staged = graft.util.Staging.dir("graft_invidx_",
+        s"$dir/documents.parquet|postings_v1")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS")))
+        Tables(spark, dir).documents
+          .select(col("doc_id"),
+            explode(split(col("text"), " ")).as("term"))
+          .groupBy("term", "doc_id")
+          .agg(count(lit(1)).as("tf"))
+          .write.mode("overwrite").partitionBy("term").parquet(staged)
+      // query side: postings only — conjunctive lookup over 3 pruned
+      // term partitions, intersect by doc_id, sum tf
+      spark.read.parquet(staged)
+        .filter(col("term").isin("spark", "scan", "batch"))
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).cast("long").as("total_tf"),
+          countDistinct(col("term")).as("nt"))
+        .filter(col("nt") === 3)
+        .select(col("doc_id"), col("total_tf"))
+        .orderBy("doc_id")
+    },
+
     // ---- one-pass multi-pattern corpus scan: the Aho-Corasick
     //      automaton ([[graft.functions.MultiPatternCount]], a native
     //      codegen expression carrying the compiled automaton as a

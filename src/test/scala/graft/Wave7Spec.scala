@@ -127,6 +127,26 @@ class Wave7Spec extends SparkSpec {
     assert(totSpeech > 0 && totSpeech < totFrames)
   }
 
+  test("inverted index: lookup never scans documents, prunes to 3 terms") {
+    val df = q("q_inverted_index")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"), plan.take(600))
+    assert(plan.contains("graft_invidx_"))
+    // the term filter must prune partitions, not survive as a data filter
+    assert(plan.contains("PartitionFilters") && plan.contains("term"))
+    // semantics: AND of the three terms, tf summed — replay directly
+    val direct = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t").isin("spark", "scan", "batch"))
+      .groupBy("doc_id")
+      .agg(sum(lit(1L)).as("total_tf"), countDistinct(col("t")).as("nt"))
+      .filter(col("nt") === 3)
+      .select(col("doc_id"), col("total_tf")).orderBy("doc_id")
+      .collect().toSeq
+    assert(df.collect().toSeq == direct && direct.nonEmpty)
+  }
+
   test("aho-corasick scan: per-pattern totals match independent regex counts") {
     val rows = q("q_aho_corasick_scan").collect()
     assert(rows.length == 8)
