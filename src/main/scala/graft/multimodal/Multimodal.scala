@@ -393,6 +393,70 @@ object Multimodal {
           coalesce(col("n_segments"), lit(0L)).as("n_segments"),
           coalesce(col("max_seg"), lit(0L)).as("max_seg"))
         .orderBy("doc_id")
+    },
+
+    // ---- ViT-style patch grid: the `png` blobs viewed as 16-px-wide
+    //      8-bit images, cropped to the full 4-row bands of the first
+    //      16 rows and cut into 4×4 patches — the patch-tokenization
+    //      reshape every vision-transformer pipeline runs before
+    //      embedding. Per-patch integer sums aggregate by (doc, patch)
+    //      key (a plain groupBy — the reshape itself is row-local, no
+    //      shuffle until the patch aggregate); the brightest patch is
+    //      an exact integer argmax (enc = sum·16 + (15 − patch), ties
+    //      to the lowest patch index), and total_sum audits the tiling:
+    //      it must equal the sum over all cropped bytes. The decode
+    //      from a real container is the documented codec stub boundary;
+    //      the 2-D block algebra, batch shape, and argmax contract are
+    //      real and hash-checked against the ASCII text twin.
+    QueryDef.checked(
+      "q_patch_grid",
+      """WITH lim AS (
+        |  SELECT doc_id, text,
+        |    ((least(CAST(length(text) AS INT), 256) // 16) // 4) * 64 AS lim
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), b AS (
+        |  SELECT doc_id, CAST(u AS INT) AS u,
+        |    ascii(substring(text, CAST(u AS INT), 1)) AS v
+        |  FROM (SELECT doc_id, text, unnest(range(1, lim + 1)) AS u
+        |        FROM lim WHERE lim > 0)
+        |), patches AS (
+        |  SELECT doc_id,
+        |    (((u - 1) // 16) // 4) * 4 + (((u - 1) % 16) // 4) AS p,
+        |    CAST(sum(v) AS BIGINT) AS psum
+        |  FROM b GROUP BY 1, 2
+        |)
+        |SELECT doc_id, count(*) AS n_patches,
+        |  CAST(sum(psum) AS BIGINT) AS total_sum,
+        |  CAST(max(psum * 16 + (15 - p)) // 16 AS BIGINT) AS max_patch_sum,
+        |  CAST((15 - max(psum * 16 + (15 - p)) % 16) // 4 AS BIGINT) AS max_pr,
+        |  CAST((15 - max(psum * 16 + (15 - p)) % 16) % 4 AS BIGINT) AS max_pc
+        |FROM patches GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (spark, dir) =>
+      val patches = attachMedia(Tables(spark, dir).documents).toDF()
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), hex(col("media")).as("hx"),
+          expr("((least(cast(n_bytes as int), 256) div 16) div 4) * 64")
+            .as("lim"))
+        .filter(col("lim") > 0)
+        .select(col("doc_id"), col("hx"),
+          explode(expr("sequence(1, lim)")).as("u"))
+        .select(col("doc_id"),
+          expr("(((u - 1) div 16) div 4) * 4 + (((u - 1) % 16) div 4)")
+            .as("p"),
+          expr("cast(conv(substring(hx, (u - 1) * 2 + 1, 2), 16, 10) as int)")
+            .as("v"))
+        .groupBy("doc_id", "p")
+        .agg(sum(col("v")).cast("long").as("psum"))
+      patches.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_patches"),
+          sum(col("psum")).cast("long").as("total_sum"),
+          max(col("psum") * 16 + (lit(15) - col("p"))).as("enc"))
+        .select(col("doc_id"), col("n_patches"),
+          col("total_sum"),
+          expr("enc div 16").as("max_patch_sum"),
+          expr("(15 - enc % 16) div 4").as("max_pr"),
+          expr("(15 - enc % 16) % 4").as("max_pc"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -37,4 +37,33 @@ class MultimodalSpec extends SparkSpec {
     assert(sims.forall(r => r.isNullAt(0) ||
       (r.getDouble(0) >= -1.0 - 1e-9 && r.getDouble(0) <= 1.0 + 1e-9)))
   }
+
+  test("patch grid: tiling audit and exact brightest-patch argmax") {
+    val rows = SparkEntry.queries("q_patch_grid")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent per-doc recompute from the text twin
+    val texts = Tables(spark, sf).documents
+      .filter(col("doc_id") % 3 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val byDoc = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    texts.foreach { case (id, text) =>
+      val lim = ((math.min(text.length, 256) / 16) / 4) * 64
+      if (lim == 0) assert(!byDoc.contains(id))
+      else {
+        val r = byDoc(id)
+        val bytes = text.getBytes("UTF-8").take(lim).map(_ & 0xff)
+        val psums = bytes.zipWithIndex
+          .groupBy { case (_, i) => (i / 16 / 4) * 4 + (i % 16) / 4 }
+          .view.mapValues(_.map(_._1.toLong).sum).toMap
+        assert(r.getAs[Long]("n_patches") == psums.size)
+        assert(r.getAs[Long]("total_sum") == bytes.map(_.toLong).sum)
+        val (bestP, bestSum) =
+          psums.toSeq.maxBy { case (p, s) => (s, -p) }
+        assert(r.getAs[Long]("max_patch_sum") == bestSum)
+        assert(r.getAs[Long]("max_pr") == bestP / 4)
+        assert(r.getAs[Long]("max_pc") == bestP % 4)
+      }
+    }
+  }
 }
