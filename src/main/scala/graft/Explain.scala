@@ -106,7 +106,8 @@ object Explain {
     "q_mom_yoy", "q_clone_merkle_diff", "q_weighted_quantile", "q_auc_roc", "q_trimmed_mean", "q_cramers_v",
     "q_cdc_chunking", "q_spmm_blocked", "q_ivm_delta_join",
     "q_phonetic_blocking", "q_aho_corasick_scan", "q_audio_vad",
-    "q_mv_rewrite", "q_inverted_index", "q_patch_grid")
+    "q_mv_rewrite", "q_inverted_index", "q_patch_grid",
+    "q_three_way_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -134,6 +134,117 @@ object PipelineQueries {
         .orderBy("class")
     },
 
+    // ---- three-way merge: base + two divergent clones → merged rows +
+    //      conflict classes, the reconciliation step after bidirectional
+    //      clone drift (q_table_diff classifies ONE divergent copy; this
+    //      reconciles TWO against their common ancestor, the git-merge
+    //      shape for tables). Both clones are deterministic mutation
+    //      sets over orders (disjoint-prime deletes and updates, plus
+    //      one IDENTICAL update in both — the convergent case). Per-key
+    //      classes: unchanged, ours/theirs update, ours/theirs/both
+    //      deleted, convergent update (same change on both sides — no
+    //      conflict), update-update and update-delete conflicts (no
+    //      merged row; surfaced for a human). cents_checksum pins the
+    //      merged VALUES per class, not just the counts. Scale: two
+    //      co-partitioned left joins on the key — clone reconciliation
+    //      at 100 TB is exactly these joins over the real twins.
+    QueryDef.checked(
+      "q_three_way_merge",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderstatus AS st
+        |  FROM orders
+        |), ours AS (
+        |  SELECT k, CASE WHEN k % 11 = 0 THEN cents + 2 ELSE cents END AS cents,
+        |    CASE WHEN k % 13 = 0 THEN 'X' ELSE st END AS st
+        |  FROM base WHERE k % 31 <> 0
+        |), theirs AS (
+        |  SELECT k, CASE WHEN k % 17 = 0 THEN cents + 3 ELSE cents END AS cents,
+        |    CASE WHEN k % 13 = 0 THEN 'X' ELSE st END AS st
+        |  FROM base WHERE k % 37 <> 0
+        |), j AS (
+        |  SELECT b.k, b.cents AS bc, b.st AS bs,
+        |    o.k IS NOT NULL AS po, t.k IS NOT NULL AS pt,
+        |    o.cents AS oc, o.st AS os, t.cents AS tc, t.st AS ts
+        |  FROM base b
+        |  LEFT JOIN ours o ON o.k = b.k
+        |  LEFT JOIN theirs t ON t.k = b.k
+        |), e AS (
+        |  SELECT k, po, pt, bc, oc, tc,
+        |    (oc = bc AND os = bs) AS eo,
+        |    (tc = bc AND ts = bs) AS et,
+        |    (oc = tc AND os = ts) AS eot
+        |  FROM j
+        |), c AS (
+        |  SELECT k,
+        |    CASE
+        |      WHEN NOT po AND NOT pt THEN 'both_deleted'
+        |      WHEN NOT po AND et THEN 'ours_deleted'
+        |      WHEN NOT po THEN 'conflict_delete_update'
+        |      WHEN NOT pt AND eo THEN 'theirs_deleted'
+        |      WHEN NOT pt THEN 'conflict_update_delete'
+        |      WHEN eo AND et THEN 'unchanged'
+        |      WHEN NOT eo AND et THEN 'ours_update'
+        |      WHEN eo AND NOT et THEN 'theirs_update'
+        |      WHEN eot THEN 'convergent_update'
+        |      ELSE 'conflict_update_update' END AS class,
+        |    CASE
+        |      WHEN NOT po OR NOT pt THEN NULL
+        |      WHEN NOT eo AND NOT et AND NOT eot THEN NULL
+        |      WHEN NOT eo THEN oc
+        |      WHEN NOT et THEN tc
+        |      ELSE bc END AS m
+        |  FROM e
+        |)
+        |SELECT class, count(*) AS n,
+        |  coalesce(CAST(sum(m) AS BIGINT), 0) AS cents_checksum
+        |FROM c GROUP BY class ORDER BY class""".stripMargin) { (spark, dir) =>
+      val base = Tables(spark, dir).orders
+        .select(col("o_orderkey").as("k"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          col("o_orderstatus").as("st"))
+        .localCheckpoint() // feeds base AND both clone constructions
+      val ours = base.filter(col("k") % 31 =!= 0)
+        .select(col("k").as("ok"),
+          when(col("k") % 11 === 0, col("cents") + 2).otherwise(col("cents"))
+            .as("oc"),
+          when(col("k") % 13 === 0, lit("X")).otherwise(col("st")).as("os"))
+      val theirs = base.filter(col("k") % 37 =!= 0)
+        .select(col("k").as("tk"),
+          when(col("k") % 17 === 0, col("cents") + 3).otherwise(col("cents"))
+            .as("tc"),
+          when(col("k") % 13 === 0, lit("X")).otherwise(col("st")).as("ts"))
+      val j = base
+        .join(ours, col("ok") === col("k"), "left")
+        .join(theirs, col("tk") === col("k"), "left")
+      val po = col("ok").isNotNull
+      val pt = col("tk").isNotNull
+      val eo = col("oc") === col("cents") && col("os") === col("st")
+      val et = col("tc") === col("cents") && col("ts") === col("st")
+      val eot = col("oc") === col("tc") && col("os") === col("ts")
+      j.select(
+          when(!po && !pt, "both_deleted")
+            .when(!po && et, "ours_deleted")
+            .when(!po, "conflict_delete_update")
+            .when(!pt && eo, "theirs_deleted")
+            .when(!pt, "conflict_update_delete")
+            .when(eo && et, "unchanged")
+            .when(!eo && et, "ours_update")
+            .when(eo && !et, "theirs_update")
+            .when(eot, "convergent_update")
+            .otherwise("conflict_update_update").as("class"),
+          when(!po || !pt, lit(null))
+            .when(!eo && !et && !eot, lit(null))
+            .when(!eo, col("oc"))
+            .when(!et, col("tc"))
+            .otherwise(col("cents")).as("m"))
+        .groupBy("class")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("m")).cast("long"), lit(0L)).as("cents_checksum"))
+        .orderBy("class")
+    },
+
     // ---- incremental-aggregate maintenance law, as a checked query:
     //      base aggregate (keys ≤ the 80% cut) merged with the delta
     //      batch's aggregate must EQUAL the full recompute — the

@@ -147,6 +147,29 @@ class Wave7Spec extends SparkSpec {
     assert(df.collect().toSeq == direct && direct.nonEmpty)
   }
 
+  test("three-way merge: classes partition the base, all ten occur") {
+    val rows = q("q_three_way_merge").collect()
+      .map(r => r.getAs[String]("class") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("cents_checksum"))).toMap
+    val nBase = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(rows.values.map(_._1).sum == nBase,
+      "every base key lands in exactly one class")
+    // the mutation primes are sized so every class is non-empty at the
+    // spec SF — a class that vanishes means the classifier broke
+    val expected = Set("unchanged", "ours_update", "theirs_update",
+      "ours_deleted", "theirs_deleted", "both_deleted",
+      "convergent_update", "conflict_update_update",
+      "conflict_update_delete", "conflict_delete_update")
+    assert(rows.keySet == expected, rows.keySet.toString)
+    // conflict and deleted classes carry no merged values
+    Seq("both_deleted", "ours_deleted", "theirs_deleted",
+      "conflict_update_update", "conflict_update_delete",
+      "conflict_delete_update").foreach(c => assert(rows(c)._2 == 0L))
+    // merged classes do
+    Seq("unchanged", "ours_update", "theirs_update", "convergent_update")
+      .foreach(c => assert(rows(c)._2 > 0L))
+  }
+
   test("aho-corasick scan: per-pattern totals match independent regex counts") {
     val rows = q("q_aho_corasick_scan").collect()
     assert(rows.length == 8)
