@@ -335,36 +335,49 @@ object Wave7 {
       "q_mv_rewrite",
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-        |  count(*) AS n_items
+        |  count(*) AS n_items,
+        |  avg(CAST(l_quantity AS BIGINT)) AS avg_qty,
+        |  CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
+        |  CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
       val factPath = java.nio.file.Paths.get(s"$dir/lineitem.parquet")
         .toAbsolutePath.toString
       val mvDir = graft.util.Staging.dir("graft_mv_",
-        s"$dir/lineitem.parquet|mv_rf_ls_qty")
+        s"$dir/lineitem.parquet|mv_rf_ls_qty_v2")
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
+      val qty = col("l_quantity").cast("long")
       if (!fs.exists(new org.apache.hadoop.fs.Path(mvDir, "_SUCCESS")))
         spark.read.parquet(factPath)
           .groupBy("l_returnflag", "l_linestatus")
-          .agg(sum(col("l_quantity").cast("long")).as("mv_sum_l_quantity"),
-            count(lit(1)).as("mv_cnt"))
+          .agg(sum(qty).as("mv_sum_l_quantity"),
+            count(lit(1)).as("mv_cnt"),
+            min(qty).as("mv_min_l_quantity"),
+            max(qty).as("mv_max_l_quantity"))
           .write.mode("overwrite").parquet(mvDir)
       graft.plans.MvRewrite.register(graft.plans.MvRewrite.Mv(
         factPath,
         spark.read.parquet(mvDir).queryExecution.analyzed,
         Set("l_returnflag", "l_linestatus"),
         Map("l_quantity" -> "mv_sum_l_quantity"),
-        "mv_cnt"))
+        "mv_cnt",
+        Map("l_quantity" -> "mv_min_l_quantity"),
+        Map("l_quantity" -> "mv_max_l_quantity")))
       if (!spark.experimental.extraOptimizations
           .contains(graft.plans.MvRewrite))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ graft.plans.MvRewrite
-      // sum(long) is LongType already — no outer cast, so the alias
-      // carries the bare AggregateExpression the matcher requires
+      // sum(long) is LongType already — no outer cast, so each alias
+      // carries the bare AggregateExpression the matcher requires; the
+      // avg derivation is the non-self-merging one (sum-of-sums over
+      // sum-of-counts), min/max re-apply themselves over the extrema
       spark.read.parquet(factPath)
         .groupBy("l_returnflag")
-        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
-          count(lit(1)).as("n_items"))
+        .agg(sum(qty).as("sum_qty"),
+          count(lit(1)).as("n_items"),
+          avg(qty).as("avg_qty"),
+          min(qty).as("min_qty"),
+          max(qty).as("max_qty"))
         .orderBy("l_returnflag")
     },
 

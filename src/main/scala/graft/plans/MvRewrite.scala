@@ -1,7 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -45,7 +45,9 @@ object MvRewrite extends Rule[LogicalPlan] {
       mvPlan: LogicalPlan, // analyzed plan of the summary parquet
       groupCols: Set[String], // fact grouping column names
       sumCols: Map[String, String], // fact col -> mv sum-measure col
-      cntCol: String) // mv count-measure col
+      cntCol: String, // mv count-measure col
+      minCols: Map[String, String] = Map.empty, // fact col -> mv min col
+      maxCols: Map[String, String] = Map.empty) // fact col -> mv max col
 
   @volatile private var registered: Map[String, Mv] = Map.empty
 
@@ -75,16 +77,52 @@ object MvRewrite extends Rule[LogicalPlan] {
       case _ => false
     })
 
+  /** The fact column under `cast(col as bigint)`, if registered in
+    * `reg` (the per-function measure map). */
+  private def castLongCol(child: Expression,
+      reg: Map[String, String]): Option[String] = child match {
+    case Cast(ar: AttributeReference, LongType, _, _)
+        if reg.contains(ar.name) => Some(ar.name)
+    case _ => None
+  }
+
   /** `sum(cast(col as bigint))` over a fact column with a registered
     * sum measure -> that fact column name. */
   private def summedCol(ae: AggregateExpression, mv: Mv): Option[String] =
     if (ae.isDistinct || ae.filter.nonEmpty) None
     else ae.aggregateFunction match {
-      case s: Sum => s.child match {
-        case Cast(ar: AttributeReference, LongType, _, _)
-            if mv.sumCols.contains(ar.name) => Some(ar.name)
-        case _ => None
-      }
+      case s: Sum => castLongCol(s.child, mv.sumCols)
+      case _ => None
+    }
+
+  /** `min(cast(col as bigint))` / `max(cast(col as bigint))` with a
+    * registered min/max measure -> that fact column name. min/max are
+    * self-merging, so the rollup re-applies the SAME function over the
+    * summary's per-group extrema. */
+  private def minnedCol(ae: AggregateExpression, mv: Mv): Option[String] =
+    if (ae.isDistinct || ae.filter.nonEmpty) None
+    else ae.aggregateFunction match {
+      case m: Min => castLongCol(m.child, mv.minCols)
+      case _ => None
+    }
+
+  private def maxxedCol(ae: AggregateExpression, mv: Mv): Option[String] =
+    if (ae.isDistinct || ae.filter.nonEmpty) None
+    else ae.aggregateFunction match {
+      case m: Max => castLongCol(m.child, mv.maxCols)
+      case _ => None
+    }
+
+  /** `avg(cast(col as bigint))` needs BOTH a sum measure and the count
+    * measure: the rollup is sum-of-sums / sum-of-counts — the textbook
+    * non-self-merging derivation (avg of avgs is wrong). Exact: both
+    * operands are exact integers below 2^53, and Average over longs
+    * performs the identical single division, so the rewritten double is
+    * bit-identical. */
+  private def averagedCol(ae: AggregateExpression, mv: Mv): Option[String] =
+    if (ae.isDistinct || ae.filter.nonEmpty) None
+    else ae.aggregateFunction match {
+      case a: Average => castLongCol(a.child, mv.sumCols)
       case _ => None
     }
 
@@ -110,7 +148,9 @@ object MvRewrite extends Rule[LogicalPlan] {
         case ar: AttributeReference => groupNames.contains(ar.name)
         case Alias(ar: AttributeReference, _) => groupNames.contains(ar.name)
         case Alias(ae: AggregateExpression, _) =>
-          isCountStar(ae) || summedCol(ae, mv).isDefined
+          isCountStar(ae) || summedCol(ae, mv).isDefined ||
+            minnedCol(ae, mv).isDefined || maxxedCol(ae, mv).isDefined ||
+            averagedCol(ae, mv).isDefined
         case _ => false
       }
   }
@@ -141,9 +181,32 @@ object MvRewrite extends Rule[LogicalPlan] {
             Coalesce(Seq(
               ae.copy(aggregateFunction = Sum(byName(mv.cntCol))),
               Literal(0L)))
-          else {
-            val factCol = summedCol(ae, mv).get
-            ae.copy(aggregateFunction = Sum(mvSumOf(factCol)))
+          else summedCol(ae, mv) match {
+            case Some(factCol) =>
+              ae.copy(aggregateFunction = Sum(mvSumOf(factCol)))
+            case None => minnedCol(ae, mv) match {
+              case Some(factCol) => // min/max self-merge over the extrema
+                ae.copy(aggregateFunction =
+                  Min(byName(mv.minCols(factCol))))
+              case None => maxxedCol(ae, mv) match {
+                case Some(factCol) =>
+                  ae.copy(aggregateFunction =
+                    Max(byName(mv.maxCols(factCol))))
+                case None =>
+                  // avg = sum-of-sums / sum-of-counts, one division of
+                  // two exact longs — bit-identical to Average's own
+                  val factCol = averagedCol(ae, mv).get
+                  Divide(
+                    Cast(ae.copy(
+                      aggregateFunction = Sum(mvSumOf(factCol))),
+                      org.apache.spark.sql.types.DoubleType),
+                    Cast(ae.copy(
+                      aggregateFunction = Sum(byName(mv.cntCol)),
+                      resultId = org.apache.spark.sql.catalyst.expressions
+                        .NamedExpression.newExprId),
+                      org.apache.spark.sql.types.DoubleType))
+              }
+            }
           }
         Alias(rewritten, name)(exprId = al.exprId)
     }

@@ -25,12 +25,16 @@ class MvRewriteSpec extends SparkSpec {
     // same logical query with the registry emptied: must scan the fact
     MvRewrite.clear()
     try {
+      val qty = col("l_quantity").cast("long")
       val direct = spark.read.parquet(s"$sf/lineitem.parquet")
         .groupBy("l_returnflag")
-        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
-          count(lit(1)).as("n_items"))
+        .agg(sum(qty).as("sum_qty"), count(lit(1)).as("n_items"),
+          avg(qty).as("avg_qty"), min(qty).as("min_qty"),
+          max(qty).as("max_qty"))
         .orderBy("l_returnflag")
       assert(planText(direct).contains("lineitem.parquet"))
+      // includes the avg column: sum-of-sums / sum-of-counts must be
+      // bit-identical to Average's own division over the fact rows
       assert(direct.collect().toSeq == viaMv)
     } finally q("q_mv_rewrite") // re-register for later suites
   }
@@ -64,11 +68,17 @@ class MvRewriteSpec extends SparkSpec {
       .filter(col("l_quantity") > 10)
       .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
     assert(planText(filtered).contains("lineitem.parquet"))
-    // aggregate not derivable from the summary's measures
+    // aggregate not derivable from the summary's measures: max over the
+    // RAW double (only max(cast(l_quantity as bigint)) is registered)
     val maxAgg = spark.read.parquet(s"$sf/lineitem.parquet")
       .groupBy("l_returnflag")
       .agg(max(col("l_quantity")).as("m"))
     assert(planText(maxAgg).contains("lineitem.parquet"))
+    // ... and a registered-measure max DOES rewrite
+    val maxCast = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(max(col("l_quantity").cast("long")).as("m"))
+    assert(planText(maxCast).contains("graft_mv_"))
     // grouping outside the summary's grouping set
     val otherGroup = spark.read.parquet(s"$sf/lineitem.parquet")
       .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
