@@ -26,7 +26,8 @@ object SparkEntry {
       Intervals.defs ++ Diagnostics.defs ++ TokenizerOps.defs ++
       Governance.defs ++ Inference.defs ++ TimeSeries.defs ++ Learning.defs ++
       Experiments.defs ++ Spatial.defs ++ SuffixDedup.defs ++ Alignment.defs ++
-      Evaluation.defs ++ JdbcOps.defs ++ Wave6.defs ++ Wave7.defs
+      Evaluation.defs ++ JdbcOps.defs ++ Wave6.defs ++ Wave7.defs ++
+      Wave8.defs
 
   require(allDefs.map(_.name).distinct.size == allDefs.size,
     "duplicate query names across operator families")

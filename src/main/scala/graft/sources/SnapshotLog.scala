@@ -1,0 +1,149 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Minimal snapshot-versioned parquet table: an append-only commit log
+  * over immutable data files, giving AS-OF reads (time travel) and a
+  * log-derived change feed — the storage generalization of the
+  * reference's backup-before-overwrite discipline
+  * (clone_databases.sh:203-217 snapshots the whole database before every
+  * clone; a versioned table keeps EVERY state readable, not just the
+  * last one).
+  *
+  * Design for 100 TB:
+  *  - The log is the source of truth for liveness: an AS-OF read never
+  *    lists directories — it resolves the (kilobyte) manifest on the
+  *    driver and hands Spark the exact file set, so planning cost is
+  *    O(log), not O(files on disk).
+  *  - Appends add files; nothing is rewritten, so commit cost tracks
+  *    the delta, not the table.
+  *  - Deletes aligned with the partition layout are METADATA-ONLY
+  *    (log `remove` entries; zero bytes moved) — the reason the layout
+  *    partitions by the column deletes target.
+  *  - Non-aligned deletes are copy-on-write scoped to the matching
+  *    partition directories: only files that can contain victims are
+  *    rewritten, surfacing in the log as remove(old)+add(survivors)
+  *    under one version — exactly how change-feed consumers see COW in
+  *    production table formats.
+  *
+  * Files are moved into one `data/<part>=<v>/` tree with a `v{n}-`
+  * name prefix, so leaf names are globally unique and partition
+  * discovery (via `basePath`) recovers the partition column on read.
+  */
+object SnapshotLog {
+
+  /** One log line. `action` is "add" or "remove"; `path` is relative
+    * to the table's data root. A remove never deletes bytes — old
+    * versions stay readable. */
+  final case class Entry(version: Int, action: String, path: String)
+
+  final class Table(spark: SparkSession, val root: String) {
+    private val dataDir = s"$root/data"
+    private val logPath = new Path(s"$root/log.csv")
+    private def fs: FileSystem =
+      logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def entries: Seq[Entry] = {
+      if (!fs.exists(logPath)) return Seq.empty
+      val in = fs.open(logPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().map { l =>
+        val Array(v, a, p) = l.split(",", 3)
+        Entry(v.toInt, a, p)
+      }.toList
+      finally in.close()
+    }
+
+    def version: Int = entries.lastOption.map(_.version).getOrElse(0)
+
+    /** Live file set at version `v` — the log fold, newest wins. */
+    def liveFiles(asOfVersion: Int): Seq[String] =
+      entries.filter(_.version <= asOfVersion).foldLeft(Vector.empty[String]) {
+        case (acc, Entry(_, "add", p))    => acc :+ p
+        case (acc, Entry(_, "remove", p)) => acc.filterNot(_ == p)
+        case (acc, _)                     => acc
+      }
+
+    /** Time-travel read: exactly the files live at `v`, with the
+      * partition column recovered through `basePath`. */
+    def asOf(v: Int): DataFrame = {
+      val files = liveFiles(v).map(p => s"$dataDir/$p")
+      require(files.nonEmpty, s"version $v of $root has no live files")
+      spark.read.option("basePath", dataDir).parquet(files: _*)
+    }
+
+    private def appendLog(lines: Seq[Entry]): Unit = {
+      val prev = entries
+      val out = fs.create(logPath, true)
+      try (prev ++ lines).foreach(e =>
+        out.write(s"${e.version},${e.action},${e.path}\n".getBytes("UTF-8")))
+      finally out.close()
+    }
+
+    /** List the `part=val/part-*.parquet` leaves Spark wrote under
+      * `tmp`, relative to `tmp`. */
+    private def leaves(tmp: Path): Seq[(String, Path)] = {
+      val parts = fs.listStatus(tmp).filter(_.isDirectory)
+      parts.flatMap { d =>
+        fs.listStatus(d.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => (d.getPath.getName, f.getPath))
+      }.toSeq.sortBy { case (d, f) => (d, f.getName) }
+    }
+
+    /** Move Spark-written leaves into the unified data tree with a
+      * version prefix; returns the relative paths added. */
+    private def adopt(tmp: Path, v: Int): Seq[String] =
+      leaves(tmp).map { case (partDir, file) =>
+        val rel = s"$partDir/v$v-${file.getName}"
+        val dest = new Path(s"$dataDir/$rel")
+        fs.mkdirs(dest.getParent)
+        require(fs.rename(file, dest), s"rename $file -> $dest failed")
+        rel
+      }
+
+    /** Append commit: write `df` partitioned by `partCol`, adopt the
+      * files, log the adds. Nothing existing is touched. */
+    def commitAppend(df: DataFrame, partCol: String): Int = {
+      val v = version + 1
+      val tmp = new Path(s"$root/_tmp_v$v")
+      df.write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
+      val added = adopt(tmp, v)
+      fs.delete(tmp, true)
+      appendLog(added.map(Entry(v, "add", _)))
+      v
+    }
+
+    /** Metadata-only delete of one partition value: log `remove` for
+      * every live file under `partCol=value`; zero bytes move. */
+    def commitDeletePartition(partCol: String, value: String): Int = {
+      val v = version + 1
+      val prefix = s"$partCol=$value/"
+      val victims = liveFiles(v - 1).filter(_.startsWith(prefix))
+      require(victims.nonEmpty, s"no live files under $prefix")
+      appendLog(victims.map(Entry(v, "remove", _)))
+      v
+    }
+
+    /** Copy-on-write delete inside one partition value: rewrite that
+      * partition's live files with only the rows satisfying `keep`;
+      * one version carries remove(old)+add(survivors). Files of other
+      * partition values are untouched — the COW blast radius is the
+      * set of files that can contain victims. */
+    def commitDeleteWhere(partCol: String, value: String, keep: Column): Int = {
+      val v = version + 1
+      val prefix = s"$partCol=$value/"
+      val victims = liveFiles(v - 1).filter(_.startsWith(prefix))
+      require(victims.nonEmpty, s"no live files under $prefix")
+      val tmp = new Path(s"$root/_tmp_v$v")
+      asOf(v - 1).filter(col(partCol) === value).filter(keep)
+        .write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
+      val added = adopt(tmp, v)
+      fs.delete(tmp, true)
+      appendLog(victims.map(Entry(v, "remove", _)) ++
+        added.map(Entry(v, "add", _)))
+      v
+    }
+  }
+}
