@@ -57,6 +57,22 @@ object SnapshotLog {
 
     def version: Int = entries.lastOption.map(_.version).getOrElse(0)
 
+    /** Optimistic-concurrency check: every commit validates that the
+      * table is still at the version the writer planned against. A
+      * lost race throws instead of silently interleaving — the caller
+      * re-reads the new snapshot and retries (the CAS discipline that
+      * makes multi-writer commits safe without a lock service holding
+      * the table hostage; on a real object store the log append itself
+      * is the atomic primitive). Pass -1 to skip (single-writer). */
+    private def casCheck(expected: Int): Int = {
+      val v = version
+      if (expected >= 0 && v != expected)
+        throw new java.util.ConcurrentModificationException(
+          s"commit expected version $expected but table is at $v — " +
+            "re-read the snapshot and retry")
+      v + 1
+    }
+
     /** Live file set at version `v` — the log fold, newest wins. */
     def liveFiles(asOfVersion: Int): Seq[String] =
       entries.filter(_.version <= asOfVersion).foldLeft(Vector.empty[String]) {
@@ -105,8 +121,9 @@ object SnapshotLog {
 
     /** Append commit: write `df` partitioned by `partCol`, adopt the
       * files, log the adds. Nothing existing is touched. */
-    def commitAppend(df: DataFrame, partCol: String): Int = {
-      val v = version + 1
+    def commitAppend(df: DataFrame, partCol: String,
+        expectedVersion: Int = -1): Int = {
+      val v = casCheck(expectedVersion)
       val tmp = new Path(s"$root/_tmp_v$v")
       df.write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
       val added = adopt(tmp, v)
@@ -117,8 +134,9 @@ object SnapshotLog {
 
     /** Metadata-only delete of one partition value: log `remove` for
       * every live file under `partCol=value`; zero bytes move. */
-    def commitDeletePartition(partCol: String, value: String): Int = {
-      val v = version + 1
+    def commitDeletePartition(partCol: String, value: String,
+        expectedVersion: Int = -1): Int = {
+      val v = casCheck(expectedVersion)
       val prefix = s"$partCol=$value/"
       val victims = liveFiles(v - 1).filter(_.startsWith(prefix))
       require(victims.nonEmpty, s"no live files under $prefix")
@@ -131,13 +149,45 @@ object SnapshotLog {
       * one version carries remove(old)+add(survivors). Files of other
       * partition values are untouched — the COW blast radius is the
       * set of files that can contain victims. */
-    def commitDeleteWhere(partCol: String, value: String, keep: Column): Int = {
-      val v = version + 1
+    def commitDeleteWhere(partCol: String, value: String, keep: Column,
+        expectedVersion: Int = -1): Int = {
+      val v = casCheck(expectedVersion)
       val prefix = s"$partCol=$value/"
       val victims = liveFiles(v - 1).filter(_.startsWith(prefix))
       require(victims.nonEmpty, s"no live files under $prefix")
       val tmp = new Path(s"$root/_tmp_v$v")
       asOf(v - 1).filter(col(partCol) === value).filter(keep)
+        .write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
+      val added = adopt(tmp, v)
+      fs.delete(tmp, true)
+      appendLog(victims.map(Entry(v, "remove", _)) ++
+        added.map(Entry(v, "add", _)))
+      v
+    }
+
+    /** Compaction: bin-pack each partition's live files into
+      * `filesPerPartition` larger ones as a new version — pure
+      * reorganization, so AS-OF(new) is row-identical to AS-OF(old)
+      * while read planning touches far fewer files. Old versions stay
+      * readable (their files are immutable); a change-feed consumer
+      * sees a net_delta of exactly 0. The small-files problem is the
+      * canonical failure mode of long-lived append logs at 100 TB —
+      * thousands of commit-sized files per partition — and compaction
+      * is the answer that does NOT lose history. */
+    def commitCompact(partCol: String,
+        filesPerPartition: Int = 1, expectedVersion: Int = -1): Int = {
+      val v = casCheck(expectedVersion)
+      val victims = liveFiles(v - 1)
+      val tmp = new Path(s"$root/_tmp_v$v")
+      // rows of one partition value spread over at most
+      // filesPerPartition shuffle tasks (the __bin column), so each
+      // partition dir compacts to at most that many files — one task
+      // per (value, bin), not one global task per value
+      asOf(v - 1)
+        .withColumn("__bin", pmod(monotonically_increasing_id(),
+          lit(filesPerPartition.toLong)).cast("int"))
+        .repartition(col(partCol), col("__bin"))
+        .drop("__bin")
         .write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
       val added = adopt(tmp, v)
       fs.delete(tmp, true)

@@ -68,6 +68,41 @@ class Wave8Spec extends SparkSpec {
       v4.getAs[Long]("n_added_rows") > 0)
   }
 
+  test("snapshot log: CAS commits, compaction preserves rows exactly") {
+    import graft.sources.SnapshotLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_snap_spec_").toString
+    val t = new SnapshotLog.Table(spark, root)
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    // two appends build a multi-file-per-partition table
+    assert(t.commitAppend(orders.limit(200), "o_orderstatus",
+      expectedVersion = 0) == 1)
+    assert(t.commitAppend(orders.filter(col("o_orderkey") > 500),
+      "o_orderstatus", expectedVersion = 1) == 2)
+    // a writer that planned against v1 loses the race and must retry
+    intercept[java.util.ConcurrentModificationException] {
+      t.commitDeletePartition("o_orderstatus", "F", expectedVersion = 1)
+    }
+    assert(t.version == 2) // the failed commit left no log entries
+    // compaction: same rows, fewer files, net-zero change feed
+    val before = t.asOf(2).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("s"))
+      .collect().map(_.toSeq).toSet
+    val nFilesBefore = t.liveFiles(2).size
+    assert(t.commitCompact("o_orderstatus", expectedVersion = 2) == 3)
+    val after = t.asOf(3).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("s"))
+      .collect().map(_.toSeq).toSet
+    assert(after == before) // pure reorganization
+    assert(t.liveFiles(3).size < nFilesBefore)
+    // one file per partition value at filesPerPartition = 1
+    assert(t.liveFiles(3).groupBy(_.split("/")(0)).values
+      .forall(_.size == 1))
+    // history survives compaction: v1 still reads exactly its content
+    assert(t.asOf(1).count() == 200)
+  }
+
   test("cluster split: near-dup pairs never straddle splits") {
     val rows = q("q_cluster_split").collect()
     assert(rows.map(_.getAs[String]("split")).toSet
