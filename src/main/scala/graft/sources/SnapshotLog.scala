@@ -132,6 +132,34 @@ object SnapshotLog {
       v
     }
 
+    /** Transaction ids already committed (the `txn` log entries). */
+    def committedTxns: Set[String] =
+      entries.filter(_.action == "txn").map(_.path).toSet
+
+    /** Idempotent append keyed by `txnId` — the exactly-once sink
+      * primitive for streaming `foreachBatch`: the batch id becomes the
+      * transaction id, so a re-delivered micro-batch (restart replay,
+      * speculative retry) is a no-op instead of a duplicate. Returns
+      * false when the txn was already committed. The `txn` marker
+      * rides the SAME log append as the adds, so a committed batch is
+      * always skippable and a crashed one (files adopted, log not
+      * written) is invisible — the log append is the commit point. */
+    def commitAppendIdempotent(df: DataFrame, partCol: String,
+        txnId: String): Boolean = {
+      require(!txnId.contains(",") && !txnId.contains("\n"),
+        s"txnId must be log-safe: $txnId")
+      if (committedTxns.contains(txnId)) false
+      else {
+        val v = version + 1
+        val tmp = new Path(s"$root/_tmp_v$v")
+        df.write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
+        val added = adopt(tmp, v)
+        fs.delete(tmp, true)
+        appendLog(added.map(Entry(v, "add", _)) :+ Entry(v, "txn", txnId))
+        true
+      }
+    }
+
     /** Metadata-only delete of one partition value: log `remove` for
       * every live file under `partCol=value`; zero bytes move. */
     def commitDeletePartition(partCol: String, value: String,
@@ -163,6 +191,27 @@ object SnapshotLog {
       appendLog(victims.map(Entry(v, "remove", _)) ++
         added.map(Entry(v, "add", _)))
       v
+    }
+
+    /** Vacuum: physically delete files whose `remove` version is at or
+      * below `version - retainVersions` — they are unreachable from
+      * every retained AS-OF read. Time travel inside the retention
+      * window is untouched; reads older than the horizon fail loudly
+      * in [[asOf]] (their file set is gone), which is the honest
+      * contract — at 100 TB, unbounded history is a cost decision the
+      * operator makes explicitly via `retainVersions`. Returns the
+      * relative paths deleted. The log keeps the full history of
+      * entries: vacuum reclaims bytes, never provenance. */
+    def vacuum(retainVersions: Int): Seq[String] = {
+      require(retainVersions >= 0, "retention must be non-negative")
+      val horizon = version - retainVersions
+      val keep = (math.max(1, horizon) to version)
+        .flatMap(liveFiles).toSet
+      val removed = entries.collect {
+        case Entry(v, "remove", p) if v <= horizon && !keep.contains(p) => p
+      }.distinct
+      removed.foreach(p => fs.delete(new Path(s"$dataDir/$p"), false))
+      removed
     }
 
     /** Compaction: bin-pack each partition's live files into

@@ -1071,6 +1071,72 @@ object StreamingOps {
             .otherwise(0L)).cast("long").as("rejected_checksum"))
         .select(col("n_events").cast("long"), col("n_admitted").cast("long"),
           col("n_rejected").cast("long"), col("rejected_checksum"))
+    },
+
+    // ---- transactional (exactly-once) streaming sink: foreachBatch
+    //      commits each micro-batch into a snapshot-log table
+    //      ([[graft.sources.SnapshotLog]]) with the batch id as the
+    //      transaction id, so a re-delivered batch — restart replay
+    //      after a sink-committed-but-offset-uncommitted crash, the
+    //      one seam where file sinks silently double-write — is a
+    //      logged no-op. The query exercises the whole contract: two
+    //      landings with a checkpoint restart between them
+    //      (maxFilesPerTrigger=1 forces multiple batches), then an
+    //      explicit duplicate re-delivery of an already-committed txn
+    //      id carrying the FULL relation; if the idempotence guard
+    //      dropped a single row or admitted the duplicate, the oracle
+    //      hash would flip.
+    QueryDef.checked(
+      "q_stream_txn_sink",
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_txnsink_")
+      val srcDir = base.resolve("src").toString
+      val ckpt = base.resolve("ckpt").toString
+      val t = new graft.sources.SnapshotLog.Table(
+        spark, base.resolve("table").toString)
+      val ev = graft.Tables(spark, dir).events
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+      def land(parity: Int): Unit =
+        ev.filter(col("event_id") % 2 === parity).drop("event_id")
+          .coalesce(1).write.mode("append").parquet(srcDir)
+      val srcSchema = StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("user_id", LongType),
+        StructField("cents", LongType)))
+      def runOnce(): Unit =
+        withStreamConfs(spark, noDataBatches = false, extra = Nil) {
+          val q = spark.readStream.schema(srcSchema)
+            .option("maxFilesPerTrigger", "1").parquet(srcDir)
+            .writeStream
+            .foreachBatch { (bdf: DataFrame, bid: Long) =>
+              t.commitAppendIdempotent(bdf, "event_type", s"stream-$bid")
+              ()
+            }
+            .option("checkpointLocation", ckpt)
+            .start()
+          try { q.processAllAvailable() } finally { q.stop() }
+        }
+      land(0); runOnce() // phase 1, clean stop
+      land(1); runOnce() // phase 2: restart from the checkpoint
+      // duplicate delivery of a committed txn: must be a logged no-op
+      val dup = t.commitAppendIdempotent(
+        ev.drop("event_id"), "event_type", "stream-0")
+      require(!dup, "duplicate txn was admitted — exactly-once broken")
+      val out = t.asOf(t.version)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents")).cast("long").as("total_cents"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type").localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      out
     }
   )
 }

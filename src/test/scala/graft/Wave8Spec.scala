@@ -101,6 +101,43 @@ class Wave8Spec extends SparkSpec {
       .forall(_.size == 1))
     // history survives compaction: v1 still reads exactly its content
     assert(t.asOf(1).count() == 200)
+    // vacuum retention 1: v2 must stay readable, and v3's compaction
+    // removed exactly v2's live set — so nothing is reclaimable yet
+    assert(t.vacuum(retainVersions = 1).isEmpty)
+    assert(t.asOf(2).count() == t.asOf(3).count())
+    // retention 0: only the current version is protected; the
+    // pre-compaction files (removed at v3) are reclaimed
+    val reclaimed = t.vacuum(retainVersions = 0)
+    assert(reclaimed.nonEmpty)
+    assert(t.asOf(3).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("s"))
+      .collect().map(_.toSeq).toSet == before) // retained reads intact
+    // the log keeps provenance even after bytes are reclaimed
+    assert(t.entries.exists(e => e.version == 1 && e.action == "add"))
+    // a vacuumed historical read fails loudly instead of lying
+    intercept[Exception] { t.asOf(1).count() }
+  }
+
+  test("idempotent txn commits: duplicates skipped, crash seam safe") {
+    import graft.sources.SnapshotLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_txn_spec_").toString
+    val t = new SnapshotLog.Table(spark, root)
+    val df = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus")).limit(100)
+    assert(t.commitAppendIdempotent(df, "o_orderstatus", "b-0"))
+    val n1 = t.asOf(t.version).count()
+    // re-delivery of the same txn id: logged no-op, rows unchanged
+    assert(!t.commitAppendIdempotent(df, "o_orderstatus", "b-0"))
+    assert(t.asOf(t.version).count() == n1)
+    assert(t.committedTxns == Set("b-0"))
+    // a different txn id commits normally
+    assert(t.commitAppendIdempotent(df, "o_orderstatus", "b-1"))
+    assert(t.asOf(t.version).count() == 2 * n1)
+    // log-unsafe txn ids are rejected before any write
+    intercept[IllegalArgumentException] {
+      t.commitAppendIdempotent(df, "o_orderstatus", "a,b")
+    }
   }
 
   test("cluster split: near-dup pairs never straddle splits") {
