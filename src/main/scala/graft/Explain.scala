@@ -107,7 +107,8 @@ object Explain {
     "q_cdc_chunking", "q_spmm_blocked", "q_ivm_delta_join",
     "q_phonetic_blocking", "q_aho_corasick_scan", "q_audio_vad",
     "q_mv_rewrite", "q_inverted_index", "q_patch_grid",
-    "q_three_way_merge")
+    "q_three_way_merge", "q_time_travel", "q_change_feed",
+    "q_cluster_split")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -169,6 +169,73 @@ object Wave8 {
         .orderBy("version")
     },
 
+    // ---- row-level MERGE (upsert) into the versioned table: the
+    //      source batch updates every key it shares with the target
+    //      (here: repriced orders) and inserts the rest — and only the
+    //      files CONTAINING a matched key are rewritten (COW blast
+    //      radius = files with hits; the hit set comes from one
+    //      broadcast key-intersection scan). The oracle recomputes the
+    //      post-merge state as (target ∖ source-keys) ⊎ source — the
+    //      hash match proves file-granular COW implements exactly the
+    //      row-level spec, and version 1 staying bit-identical proves
+    //      the merge didn't bleed into history.
+    QueryDef.checked(
+      "q_snapshot_merge",
+      s"""WITH v1 AS (
+         |  SELECT o_orderkey AS k, o_orderstatus AS st,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders WHERE o_orderdate < TIMESTAMP '$D1 00:00:00'
+         |), src AS (
+         |  SELECT o_orderkey AS k, o_orderstatus AS st,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) + 7 AS cents
+         |  FROM orders
+         |  WHERE o_orderdate < TIMESTAMP '$D2 00:00:00'
+         |    AND o_orderkey % 5 = 0
+         |), v2 AS (
+         |  SELECT k, st, cents FROM v1
+         |  WHERE k NOT IN (SELECT k FROM src)
+         |  UNION ALL SELECT k, st, cents FROM src
+         |)
+         |SELECT 1 AS version, count(*) AS n_rows,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+         |  count(DISTINCT k) AS n_keys FROM v1
+         |UNION ALL
+         |SELECT 2, count(*), CAST(sum(cents) AS BIGINT),
+         |  count(DISTINCT k) FROM v2
+         |ORDER BY version""".stripMargin) { (spark, dir) =>
+      val factPath = java.nio.file.Paths.get(s"$dir/orders.parquet")
+        .toAbsolutePath.toString
+      val root = graft.util.Staging.dir("graft_snapm_", s"$factPath|merge_v1")
+      val t = new SnapshotLog.Table(spark, root)
+      val marker = new Path(s"$root/_BUILT")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) {
+        fs.delete(new Path(s"$root/data"), true)
+        fs.delete(new Path(s"$root/log.csv"), false)
+        val orders = spark.read.parquet(factPath).select(
+          col("o_orderkey"), col("o_orderstatus"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+          col("o_orderdate"))
+        t.commitAppend(
+          orders.filter(col("o_orderdate") < lit(D1).cast("timestamp")),
+          "o_orderstatus")
+        val src = orders
+          .filter(col("o_orderdate") < lit(D2).cast("timestamp") &&
+            col("o_orderkey") % 5 === 0)
+          .withColumn("price_cents", col("price_cents") + 7)
+        t.commitMerge(src, "o_orderstatus", "o_orderkey")
+        fs.create(marker, true).close()
+      }
+      (1 to 2).map { v =>
+        t.asOf(v).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("price_cents")).as("sum_cents"),
+          countDistinct(col("o_orderkey")).as("n_keys"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_cents"),
+            col("n_keys"))
+      }.reduce(_ union _).orderBy("version")
+    },
+
     // ---- cluster-aware train/val/test split: the unit of
     //      randomization is the near-dup CLUSTER (connected component
     //      of the MinHash-LSH pair graph), not the document — two

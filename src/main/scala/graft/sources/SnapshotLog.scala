@@ -193,6 +193,50 @@ object SnapshotLog {
       v
     }
 
+    /** Row-level MERGE (upsert) keyed by `keyCol`: target rows whose
+      * key appears in `source` are replaced by the source row; source
+      * rows with no match are inserts. File granularity is the scale
+      * story: only live files that CONTAIN a matched key are rewritten
+      * (COW blast radius = files with hits, found by one metadata-cheap
+      * key-intersection scan); untouched files carry over by log
+      * reference. One version records remove(hit files) + add(rewritten
+      * survivors + all source rows). Assumes `keyCol` is unique within
+      * `source` (last-writer-wins semantics are the caller's to
+      * pre-aggregate). */
+    def commitMerge(source: DataFrame, partCol: String, keyCol: String,
+        expectedVersion: Int = -1): Int = {
+      val v = casCheck(expectedVersion)
+      val dd = dataDir
+      val live = liveFiles(v - 1)
+      val seg = split(input_file_name(), "/")
+      val withFile = spark.read.option("basePath", dd)
+        .parquet(live.map(p => s"$dd/$p"): _*)
+        .withColumn("__f",
+          concat_ws("/", element_at(seg, -2), element_at(seg, -1)))
+      val srcKeys = source.select(col(keyCol)).distinct()
+      // driver-side file list: bounded by live-file count (metadata
+      // scale), not row count
+      val hits = withFile.join(broadcast(srcKeys), Seq(keyCol))
+        .select("__f").distinct().collect().map(_.getString(0)).toSeq
+      val survivors =
+        if (hits.isEmpty) source.sparkSession.emptyDataFrame
+        else spark.read.option("basePath", dd)
+          .parquet(hits.map(p => s"$dd/$p"): _*)
+          .join(broadcast(srcKeys), Seq(keyCol), "left_anti")
+      val rewritten =
+        if (hits.isEmpty) source
+        else survivors.select(source.columns.map(col): _*)
+          .unionByName(source)
+      val tmp = new Path(s"$root/_tmp_v$v")
+      rewritten.write.partitionBy(partCol).mode("overwrite")
+        .parquet(tmp.toString)
+      val added = adopt(tmp, v)
+      fs.delete(tmp, true)
+      appendLog(hits.map(Entry(v, "remove", _)) ++
+        added.map(Entry(v, "add", _)))
+      v
+    }
+
     /** Vacuum: physically delete files whose `remove` version is at or
       * below `version - retainVersions` — they are unreachable from
       * every retained AS-OF read. Time travel inside the retention

@@ -140,6 +140,39 @@ class Wave8Spec extends SparkSpec {
     }
   }
 
+  test("merge: COW touches only hit files, updates can move partitions") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_merge_spec_").toString
+    val t = new SnapshotLog.Table(spark, root)
+    t.commitAppend(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+      .toDF("k", "part", "v"), "part")
+    t.commitAppend(Seq((4L, "b", 40L)).toDF("k", "part", "v"), "part")
+    // update k=3 AND move it from partition b to c; insert k=5
+    val merged = t.commitMerge(
+      Seq((3L, "c", 99L), (5L, "a", 50L)).toDF("k", "part", "v"),
+      "part", "k")
+    val out = t.asOf(merged).orderBy("k")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("part"),
+        r.getAs[Long]("v"))).toSeq
+    assert(out == Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "c", 99L),
+      (4L, "b", 40L), (5L, "a", 50L)))
+    // blast radius: v2's file (no hit) carried over untouched; only
+    // v1's files were rewritten
+    val es = t.entries.filter(_.version == merged)
+    assert(!es.exists(e => e.action == "remove" && e.path.contains("/v2-")))
+    assert(es.exists(e => e.action == "remove" && e.path.contains("/v1-")))
+    // history: pre-merge state unchanged
+    assert(t.asOf(2).filter(col("k") === 3L).select("v")
+      .head().getLong(0) == 30L)
+    // pure-insert merge (no key overlap) removes nothing
+    val v4 = t.commitMerge(Seq((9L, "a", 90L)).toDF("k", "part", "v"),
+      "part", "k")
+    assert(t.entries.filter(_.version == v4).forall(_.action == "add"))
+    assert(t.asOf(v4).count() == 6)
+  }
+
   test("cluster split: near-dup pairs never straddle splits") {
     val rows = q("q_cluster_split").collect()
     assert(rows.map(_.getAs[String]("split")).toSet
