@@ -58,6 +58,37 @@ object Wave8 {
     t
   }
 
+  /** Build-once versioned table over `events` for the CDF stream:
+    * v1/v2 append the even/odd event halves, v3 COW-deletes expensive
+    * clicks (cents > 25000) — so the feed contains inserts from three
+    * commits and deletes from one. */
+  private[graft] def cdfStagedTable(
+      spark: SparkSession, dir: String): SnapshotLog.Table = {
+    val factPath = java.nio.file.Paths.get(s"$dir/events.parquet")
+      .toAbsolutePath.toString
+    val root = graft.util.Staging.dir("graft_snapc_", s"$factPath|cdf_v1")
+    val t = new SnapshotLog.Table(spark, root)
+    val marker = new Path(s"$root/_BUILT")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      fs.delete(new Path(s"$root/data"), true)
+      fs.delete(new Path(s"$root/log.csv"), false)
+      val events = spark.read.parquet(factPath).select(
+        col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        col("event_id"), col("event_type"))
+      t.commitAppend(
+        events.filter(col("event_id") % 2 === 0).drop("event_id"),
+        "event_type")
+      t.commitAppend(
+        events.filter(col("event_id") % 2 === 1).drop("event_id"),
+        "event_type")
+      t.commitDeleteWhere("event_type", "click", col("cents") <= 25000L)
+      fs.create(marker, true).close()
+    }
+    t
+  }
+
   /** Shared oracle preamble: the logical content of every version,
     * recomputed from the fact table by predicate algebra. */
   private val duckBase =
@@ -234,6 +265,59 @@ object Wave8 {
           .select(lit(v).as("version"), col("n_rows"), col("sum_cents"),
             col("n_keys"))
       }.reduce(_ union _).orderBy("version")
+    },
+
+    // ---- streaming change-data-feed SOURCE: a DataSource V2
+    //      MicroBatchStream over the snapshot log whose offset IS the
+    //      commit version ([[graft.sources.SnapshotCdfSource]]) —
+    //      micro-batch (start, end] carries exactly commits
+    //      start+1..end as row-level inserts/deletes (COW surfaces as
+    //      delete+reinsert), planned from the kilobyte manifest with
+    //      one InputPartition per changed file. The staged table
+    //      commits two appends and one COW delete; the oracle
+    //      recomputes the full feed by predicate algebra, so the hash
+    //      convicts a missed commit, a double-delivered file, or a
+    //      mistagged change type.
+    QueryDef.checked(
+      "q_stream_cdf_feed",
+      """WITH base AS (
+        |  SELECT event_type AS et,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), ins AS (
+        |  SELECT cents FROM base
+        |  UNION ALL
+        |  SELECT cents FROM base WHERE et = 'click' AND cents <= 25000
+        |), del AS (
+        |  SELECT cents FROM base WHERE et = 'click'
+        |)
+        |SELECT 'delete' AS change, count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents FROM del
+        |UNION ALL
+        |SELECT 'insert', count(*), CAST(sum(cents) AS BIGINT) FROM ins
+        |ORDER BY change""".stripMargin) { (spark, dir) =>
+      val t = cdfStagedTable(spark, dir)
+      val feed = spark.readStream
+        .format("graft.sources.SnapshotCdfSource")
+        .option("path", t.root)
+        .option("partCol", "event_type")
+        .option("schema.ddl", "user_id LONG, cents LONG")
+        .load()
+        .groupBy(col("_change").as("change"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_cdf_ckpt_").toString
+      val q = feed.writeStream.format("memory")
+        .queryName("graft_stream_cdf_feed")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val out = spark.table("graft_stream_cdf_feed")
+        .orderBy("change").localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(ckpt))
+      out
     },
 
     // ---- cluster-aware train/val/test split: the unit of

@@ -1,0 +1,172 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** Streaming CHANGE-DATA-FEED source over a [[SnapshotLog]] table — a
+  * DataSource V2 `MicroBatchStream` whose offset IS the commit version:
+  * micro-batch (start, end] carries exactly the row-level changes of
+  * commits start+1..end, each row tagged `_version` and `_change`
+  * ("insert" for rows arriving in `add` files, "delete" for rows
+  * leaving in `remove` files; a copy-on-write commit honestly surfaces
+  * as deletes + reinserts, which nets to the row-level truth).
+  *
+  * Why this shape scales:
+  *  - Offsets are DURABLE table versions, so checkpoint restart resumes
+  *    mid-history with exactly-once delivery for free — the same
+  *    property the file-stream source gets from file names, but with
+  *    transactional commit granularity instead of directory listing.
+  *  - planInputPartitions resolves (start, end] against the kilobyte
+  *    manifest on the driver: one InputPartition per changed FILE, no
+  *    directory walk, readers share nothing.
+  *  - Vacuum interacts correctly: a consumer whose offset is older than
+  *    the vacuum horizon fails loudly on the missing file instead of
+  *    silently skipping history (retention must cover consumer lag —
+  *    the operational contract every log-compacted feed has).
+  *
+  * Schema: file columns are declared via the `schema.ddl` option
+  * (INT64/DOUBLE/BINARY-UTF8 parquet physical types), the partition
+  * column (`partCol` option) is recovered from the `key=value` path
+  * segment, and `_version` (LONG) + `_change` (STRING) are appended.
+  * Addressing: `readStream.format("graft.sources.SnapshotCdfSource")
+  * .option("path", tableRoot).option("partCol", ...)
+  * .option("schema.ddl", "user_id LONG, cents LONG")`.
+  */
+class SnapshotCdfSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SnapshotCdfSource.fullSchema(options)
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SnapshotCdfTable(properties.get("path"),
+      properties.get("partCol"), properties.get("schema.ddl"))
+}
+
+object SnapshotCdfSource {
+  def fullSchema(options: CaseInsensitiveStringMap): StructType =
+    fullSchema(options.get("partCol"), options.get("schema.ddl"))
+  def fullSchema(partCol: String, ddl: String): StructType = {
+    val fileCols = StructType.fromDDL(ddl)
+    StructType(fileCols.fields.toSeq ++ Seq(
+      StructField(partCol, StringType),
+      StructField("_version", LongType),
+      StructField("_change", StringType)))
+  }
+}
+
+final class SnapshotCdfTable(root: String, partCol: String, ddl: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"snapshot_cdf($root)"
+  override def schema(): StructType =
+    SnapshotCdfSource.fullSchema(partCol, ddl)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan {
+      override def build(): Scan = this
+      override def readSchema(): StructType = schema()
+      override def toMicroBatchStream(ckpt: String): MicroBatchStream =
+        new SnapshotCdfStream(root, partCol, ddl)
+    }
+}
+
+/** Offset = commit version, serialized as its decimal string. */
+final case class VersionOffset(v: Int) extends Offset {
+  override def json(): String = v.toString
+}
+
+final class SnapshotCdfStream(root: String, partCol: String, ddl: String)
+    extends MicroBatchStream {
+  private def spark = org.apache.spark.sql.SparkSession.active
+  private def table = new SnapshotLog.Table(spark, root)
+
+  override def initialOffset(): Offset = VersionOffset(0)
+  override def latestOffset(): Offset = VersionOffset(table.version)
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset):
+      Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[VersionOffset].v,
+      end.asInstanceOf[VersionOffset].v)
+    table.entries
+      .filter(en => en.version > s && en.version <= e &&
+        (en.action == "add" || en.action == "remove"))
+      .map(en => CdfPart(s"$root/data/${en.path}", en.version,
+        if (en.action == "add") "insert" else "delete"))
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val fileSchema = StructType.fromDDL(ddl)
+    val pc = partCol
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new CdfReader(p.asInstanceOf[CdfPart], fileSchema, pc, conf.value)
+    }
+  }
+}
+
+final case class CdfPart(file: String, version: Int, change: String)
+    extends InputPartition
+
+/** Reads one parquet file via the parquet-hadoop Group API and emits
+  * rows as (file columns..., partition value, _version, _change). The
+  * example-Group reader is fine here because CDF partitions are
+  * commit-sized; a bulk path would use the vectorized reader. */
+final class CdfReader(part: CdfPart, fileSchema: StructType,
+    partCol: String, conf: Configuration)
+    extends PartitionReader[InternalRow] {
+  private val reader: ParquetReader[Group] =
+    ParquetReader.builder(new GroupReadSupport(), new Path(part.file))
+      .withConf(conf).build()
+  private val partValue: UTF8String = {
+    val seg = part.file.split('/').takeRight(2).head
+    require(seg.startsWith(s"$partCol="),
+      s"expected $partCol=... path segment, got $seg")
+    UTF8String.fromString(seg.substring(partCol.length + 1))
+  }
+  private var cur: Group = _
+
+  override def next(): Boolean = { cur = reader.read(); cur != null }
+
+  override def get(): InternalRow = {
+    val vals = new Array[Any](fileSchema.length + 3)
+    fileSchema.fields.zipWithIndex.foreach { case (f, i) =>
+      // parquet repetition: a missing (null) value has count 0
+      if (cur.getFieldRepetitionCount(f.name) == 0) vals(i) = null
+      else vals(i) = f.dataType match {
+        case LongType    => cur.getLong(f.name, 0)
+        case IntegerType => cur.getInteger(f.name, 0)
+        case DoubleType  => cur.getDouble(f.name, 0)
+        case StringType  => UTF8String.fromString(cur.getString(f.name, 0))
+        case dt => throw new IllegalArgumentException(
+          s"unsupported CDF column type $dt for ${f.name}")
+      }
+    }
+    vals(fileSchema.length) = partValue
+    vals(fileSchema.length + 1) = part.version.toLong
+    vals(fileSchema.length + 2) = UTF8String.fromString(part.change)
+    new GenericInternalRow(vals)
+  }
+
+  override def close(): Unit = reader.close()
+}

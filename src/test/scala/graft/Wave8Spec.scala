@@ -173,6 +173,45 @@ class Wave8Spec extends SparkSpec {
     assert(t.asOf(v4).count() == 6)
   }
 
+  test("cdf stream: offset = version, restart resumes mid-history") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val base = java.nio.file.Files.createTempDirectory("graft_cdfspec_")
+    val t = new SnapshotLog.Table(spark, base.resolve("tbl").toString)
+    val ckpt = base.resolve("ckpt").toString
+    t.commitAppend(Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("k", "part", "v"), "part")
+    def readFeed(): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.SnapshotCdfSource")
+        .option("path", t.root).option("partCol", "part")
+        .option("schema.ddl", "k LONG, v LONG")
+        .load()
+        .groupBy("_change")
+        .agg(count(lit(1)).as("n"), max(col("_version")).as("maxv"))
+        .writeStream.format("memory").queryName("cdf_spec")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+    readFeed()
+    val first = spark.table("cdf_spec").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(first == Map("insert" -> (2L, 1L)))
+    // land a COW delete, RESTART from the checkpoint: only commit 2
+    // arrives (insert survivors + delete old file rows)
+    t.commitDeleteWhere("part", "a", col("v") < 0L) // deletes the a-row
+    readFeed()
+    val second = spark.table("cdf_spec").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // complete-mode state accumulated across the restart: inserts
+    // 2 (v1) + 0 survivors (all of partition a deleted), deletes 1 @ v2
+    assert(second == Map("insert" -> (2L, 1L), "delete" -> (1L, 2L)))
+    // the stream itself proves resume-not-replay: a replay of commit 1
+    // would have doubled the insert count
+    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
   test("cluster split: near-dup pairs never straddle splits") {
     val rows = q("q_cluster_split").collect()
     assert(rows.map(_.getAs[String]("split")).toSet
