@@ -32,7 +32,7 @@ object Wave8 {
       spark: SparkSession, dir: String): SnapshotLog.Table = {
     val factPath = java.nio.file.Paths.get(s"$dir/orders.parquet")
       .toAbsolutePath.toString
-    val root = graft.util.Staging.dir("graft_snap_", s"$factPath|snap_v1")
+    val root = graft.util.Staging.dir("graft_snap_", s"$factPath|snap_v2")
     val t = new SnapshotLog.Table(spark, root)
     val marker = new Path(s"$root/_BUILT")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -66,7 +66,7 @@ object Wave8 {
       spark: SparkSession, dir: String): SnapshotLog.Table = {
     val factPath = java.nio.file.Paths.get(s"$dir/events.parquet")
       .toAbsolutePath.toString
-    val root = graft.util.Staging.dir("graft_snapc_", s"$factPath|cdf_v1")
+    val root = graft.util.Staging.dir("graft_snapc_", s"$factPath|cdf_v2")
     val t = new SnapshotLog.Table(spark, root)
     val marker = new Path(s"$root/_BUILT")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -88,6 +88,42 @@ object Wave8 {
     }
     t
   }
+
+  /** Build-once versioned table for zone-map skipping: four appends of
+    * date-range batches (the natural time-ordered ingest), so each
+    * commit's files span one narrow `o_date_days` range and a
+    * range-selective read can skip whole commits from the manifest. */
+  private[graft] def skipStagedTable(
+      spark: SparkSession, dir: String): SnapshotLog.Table = {
+    val factPath = java.nio.file.Paths.get(s"$dir/orders.parquet")
+      .toAbsolutePath.toString
+    val root = graft.util.Staging.dir("graft_snaps_", s"$factPath|skip_v1")
+    val t = new SnapshotLog.Table(spark, root)
+    val marker = new Path(s"$root/_BUILT")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      fs.delete(new Path(s"$root/data"), true)
+      fs.delete(new Path(s"$root/log.csv"), false)
+      val orders = spark.read.parquet(factPath).select(
+        col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+        expr("CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT)")
+          .as("o_date_days"),
+        col("o_orderstatus"))
+      val cuts = Seq(Long.MinValue, days("1997-01-01"),
+        days("1999-01-01"), days("2001-01-01"), Long.MaxValue)
+      cuts.sliding(2).foreach { case Seq(lo, hi) =>
+        t.commitAppend(orders.filter(
+          col("o_date_days") >= lo && col("o_date_days") < hi),
+          "o_orderstatus")
+      }
+      fs.create(marker, true).close()
+    }
+    t
+  }
+
+  private[graft] def days(d: String): Long =
+    java.time.LocalDate.parse(d).toEpochDay
 
   /** Shared oracle preamble: the logical content of every version,
     * recomputed from the fact table by predicate algebra. */
@@ -236,7 +272,7 @@ object Wave8 {
          |ORDER BY version""".stripMargin) { (spark, dir) =>
       val factPath = java.nio.file.Paths.get(s"$dir/orders.parquet")
         .toAbsolutePath.toString
-      val root = graft.util.Staging.dir("graft_snapm_", s"$factPath|merge_v1")
+      val root = graft.util.Staging.dir("graft_snapm_", s"$factPath|merge_v2")
       val t = new SnapshotLog.Table(spark, root)
       val marker = new Path(s"$root/_BUILT")
       val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -318,6 +354,43 @@ object Wave8 {
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(ckpt))
       out
+    },
+
+    // ---- zone-map data skipping on the snapshot log: per-file
+    //      min/max recorded from parquet FOOTERS at commit time (a
+    //      metadata-only pass), and a range-selective AS-OF read that
+    //      prunes whole files from the MANIFEST before any footer is
+    //      opened. The table is four date-range appends — the natural
+    //      time-ordered ingest — so the mid-1997..mid-1998 window
+    //      survives only commit 2's files (spec-asserted); at 100 TB
+    //      this is the difference between scanning one day's commits
+    //      and listing the table. Correctness: the pruned read plus
+    //      the row-level filter must hash-match the full-table filter
+    //      the oracle computes — pruning may only skip files it can
+    //      PROVE empty of matches.
+    QueryDef.checked(
+      "q_snapshot_skipping",
+      s"""SELECT o_orderstatus, count(*) AS n_rows,
+         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |    AS sum_cents,
+         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         |FROM orders
+         |WHERE datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+         |  BETWEEN ${days("1997-06-01")} AND ${days("1998-06-01")}
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      val t = skipStagedTable(spark, dir)
+      val (lo, hi) = (days("1997-06-01"), days("1998-06-01"))
+      val pruned = t.asOfWhere(t.version, "o_date_days", lo, hi)
+        .getOrElse(sys.error("range must intersect the table"))
+      pruned
+        .filter(col("o_date_days").between(lo, hi)) // rows, not files
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price_cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
     },
 
     // ---- cluster-aware train/val/test split: the unit of

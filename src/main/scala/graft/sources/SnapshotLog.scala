@@ -89,12 +89,98 @@ object SnapshotLog {
       spark.read.option("basePath", dataDir).parquet(files: _*)
     }
 
+
+    /** Zone-map `stats` entries for freshly adopted files. */
+    private def statsEntries(v: Int, added: Seq[String]): Seq[Entry] =
+      added.flatMap { rel =>
+        footerStats(new Path(s"$dataDir/$rel")).toSeq.sortBy(_._1).map {
+          case (c, (lo, hi)) => Entry(v, "stats", s"$rel|$c|$lo|$hi")
+        }
+      }
+
     private def appendLog(lines: Seq[Entry]): Unit = {
       val prev = entries
       val out = fs.create(logPath, true)
       try (prev ++ lines).foreach(e =>
         out.write(s"${e.version},${e.action},${e.path}\n".getBytes("UTF-8")))
       finally out.close()
+    }
+
+    /** Per-file zone maps recorded at commit time: `stats` log entries
+      * carry `path|col|min|max` (long-typed columns only) read from the
+      * parquet FOOTER of each adopted file — a metadata-only pass, no
+      * data read. Keyed by relative path. */
+    def zoneMaps: Map[String, Map[String, (Long, Long)]] =
+      entries.filter(_.action == "stats")
+        .groupBy(_.path.split('|')(0))
+        .map { case (p, es) =>
+          p -> es.map { e =>
+            val Array(_, c, lo, hi) = e.path.split('|')
+            c -> (lo.toLong, hi.toLong)
+          }.toMap
+        }
+
+    /** The live files at `v` that can contain a row with
+      * `col ∈ [lo, hi]`, by zone-map pruning — files with no recorded
+      * stats for `col` are conservatively kept. This is the manifest-
+      * level skipping that makes a selective AS-OF read touch only the
+      * files whose range intersects the predicate, BEFORE any parquet
+      * footer is opened on the read path. */
+    def pruneFiles(v: Int, col: String, lo: Long, hi: Long): Seq[String] = {
+      val zm = zoneMaps
+      liveFiles(v).filter { p =>
+        zm.get(p).flatMap(_.get(col)) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None           => true
+        }
+      }
+    }
+
+    /** [[asOf]] restricted to zone-map-surviving files for
+      * `col BETWEEN lo AND hi`. The row-level filter must still be
+      * applied downstream (zone maps bound files, not rows); returns
+      * None when no file can match (the empty relation needs a schema
+      * the manifest doesn't carry). */
+    def asOfWhere(v: Int, col: String, lo: Long, hi: Long):
+        Option[DataFrame] = {
+      val files = pruneFiles(v, col, lo, hi)
+      if (files.isEmpty) None
+      else Some(spark.read.option("basePath", dataDir)
+        .parquet(files.map(p => s"$dataDir/$p"): _*))
+    }
+
+    /** Footer-level (file min, file max) for every INT64 column of
+      * `file`, aggregated across row groups; columns with missing or
+      * unusable stats are omitted. */
+    private def footerStats(file: Path): Map[String, (Long, Long)] = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(file, spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        val acc = scala.collection.mutable.Map[String, (Long, Long)]()
+        var ok = Set.empty[String]
+        var bad = Set.empty[String]
+        r.getFooter.getBlocks.asScala.foreach { b =>
+          b.getColumns.asScala.foreach { c =>
+            val name = c.getPath.toDotString
+            val s = c.getStatistics
+            if (c.getPrimitiveType.getPrimitiveTypeName ==
+                org.apache.parquet.schema.PrimitiveType
+                  .PrimitiveTypeName.INT64 &&
+                s != null && s.hasNonNullValue) {
+              val (lo, hi) = (s.genericGetMin.asInstanceOf[Long],
+                s.genericGetMax.asInstanceOf[Long])
+              ok += name
+              acc(name) = acc.get(name) match {
+                case Some((a, b2)) => (math.min(a, lo), math.max(b2, hi))
+                case None          => (lo, hi)
+              }
+            } else bad += name // any stat-less row group voids the column
+          }
+        }
+        (ok -- bad).map(n => n -> acc(n)).toMap
+      } finally r.close()
     }
 
     /** List the `part=val/part-*.parquet` leaves Spark wrote under
@@ -128,7 +214,7 @@ object SnapshotLog {
       df.write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
-      appendLog(added.map(Entry(v, "add", _)))
+      appendLog(added.map(Entry(v, "add", _)) ++ statsEntries(v, added))
       v
     }
 
@@ -155,7 +241,8 @@ object SnapshotLog {
         df.write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
         val added = adopt(tmp, v)
         fs.delete(tmp, true)
-        appendLog(added.map(Entry(v, "add", _)) :+ Entry(v, "txn", txnId))
+        appendLog(added.map(Entry(v, "add", _)) ++ statsEntries(v, added) :+
+          Entry(v, "txn", txnId))
         true
       }
     }
@@ -189,7 +276,7 @@ object SnapshotLog {
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
       appendLog(victims.map(Entry(v, "remove", _)) ++
-        added.map(Entry(v, "add", _)))
+        added.map(Entry(v, "add", _)) ++ statsEntries(v, added))
       v
     }
 
@@ -233,7 +320,7 @@ object SnapshotLog {
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
       appendLog(hits.map(Entry(v, "remove", _)) ++
-        added.map(Entry(v, "add", _)))
+        added.map(Entry(v, "add", _)) ++ statsEntries(v, added))
       v
     }
 
@@ -285,7 +372,7 @@ object SnapshotLog {
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
       appendLog(victims.map(Entry(v, "remove", _)) ++
-        added.map(Entry(v, "add", _)))
+        added.map(Entry(v, "add", _)) ++ statsEntries(v, added))
       v
     }
   }

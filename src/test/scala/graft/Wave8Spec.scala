@@ -22,7 +22,7 @@ class Wave8Spec extends SparkSpec {
     assert(v4.exists(_.action == "remove") && v4.exists(_.action == "add"))
     assert(v4.forall(_.path.startsWith("o_orderstatus=O/")))
     // appends never remove
-    assert(es.filter(e => e.version <= 2).forall(_.action == "add"))
+    assert(es.filter(e => e.version <= 2).forall(_.action != "remove"))
     // time travel prunes: v3 reads strictly fewer files than v2, and
     // none of them is an F file
     val live2 = t.liveFiles(2)
@@ -169,7 +169,7 @@ class Wave8Spec extends SparkSpec {
     // pure-insert merge (no key overlap) removes nothing
     val v4 = t.commitMerge(Seq((9L, "a", 90L)).toDF("k", "part", "v"),
       "part", "k")
-    assert(t.entries.filter(_.version == v4).forall(_.action == "add"))
+    assert(t.entries.filter(_.version == v4).forall(_.action != "remove"))
     assert(t.asOf(v4).count() == 6)
   }
 
@@ -210,6 +210,25 @@ class Wave8Spec extends SparkSpec {
     // the stream itself proves resume-not-replay: a replay of commit 1
     // would have doubled the insert count
     org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
+  test("zone maps: range read skips every non-intersecting commit") {
+    q("q_snapshot_skipping").collect() // force the staged build
+    val t = Wave8.skipStagedTable(spark, sf)
+    val (lo, hi) = (Wave8.days("1997-06-01"), Wave8.days("1998-06-01"))
+    val all = t.liveFiles(t.version)
+    val pruned = t.pruneFiles(t.version, "o_date_days", lo, hi)
+    // the [97-06, 98-06] window lies inside commit 2's [97-01, 99-01)
+    // batch: only v2- files survive, and the skip is real
+    assert(pruned.nonEmpty && pruned.size < all.size)
+    assert(pruned.forall(_.contains("/v2-")))
+    // every file of the table carries stats for the ingest column
+    assert(all.forall(p => t.zoneMaps.get(p).exists(_.contains("o_date_days"))))
+    // pruning is conservative: a column with no stats keeps everything
+    assert(t.pruneFiles(t.version, "no_such_col", 0, 1) == all)
+    // a range beyond the data proves files can be skipped entirely
+    assert(t.pruneFiles(t.version, "o_date_days", -5000, -4000).isEmpty)
+    assert(t.asOfWhere(t.version, "o_date_days", -5000, -4000).isEmpty)
   }
 
   test("cluster split: near-dup pairs never straddle splits") {
