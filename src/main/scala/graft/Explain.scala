@@ -108,7 +108,7 @@ object Explain {
     "q_phonetic_blocking", "q_aho_corasick_scan", "q_audio_vad",
     "q_mv_rewrite", "q_inverted_index", "q_patch_grid",
     "q_three_way_merge", "q_time_travel", "q_change_feed",
-    "q_cluster_split")
+    "q_cluster_split", "q_snapshot_merge", "q_snapshot_skipping")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
