@@ -32,14 +32,14 @@ object Wave8 {
       spark: SparkSession, dir: String): SnapshotLog.Table = {
     val factPath = java.nio.file.Paths.get(s"$dir/orders.parquet")
       .toAbsolutePath.toString
-    val root = graft.util.Staging.dir("graft_snap_", s"$factPath|snap_v2")
+    val root = graft.util.Staging.dir("graft_snap_", s"$factPath|snap_v3")
     val t = new SnapshotLog.Table(spark, root)
     val marker = new Path(s"$root/_BUILT")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {
       // clear any partial previous attempt before (re)building
       fs.delete(new Path(s"$root/data"), true)
-      fs.delete(new Path(s"$root/log.csv"), false)
+      fs.delete(new Path(s"$root/log"), true)
       val orders = spark.read.parquet(factPath).select(
         col("o_orderkey"), col("o_custkey"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
@@ -66,13 +66,13 @@ object Wave8 {
       spark: SparkSession, dir: String): SnapshotLog.Table = {
     val factPath = java.nio.file.Paths.get(s"$dir/events.parquet")
       .toAbsolutePath.toString
-    val root = graft.util.Staging.dir("graft_snapc_", s"$factPath|cdf_v2")
+    val root = graft.util.Staging.dir("graft_snapc_", s"$factPath|cdf_v3")
     val t = new SnapshotLog.Table(spark, root)
     val marker = new Path(s"$root/_BUILT")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {
       fs.delete(new Path(s"$root/data"), true)
-      fs.delete(new Path(s"$root/log.csv"), false)
+      fs.delete(new Path(s"$root/log"), true)
       val events = spark.read.parquet(factPath).select(
         col("user_id"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
@@ -97,13 +97,13 @@ object Wave8 {
       spark: SparkSession, dir: String): SnapshotLog.Table = {
     val factPath = java.nio.file.Paths.get(s"$dir/orders.parquet")
       .toAbsolutePath.toString
-    val root = graft.util.Staging.dir("graft_snaps_", s"$factPath|skip_v1")
+    val root = graft.util.Staging.dir("graft_snaps_", s"$factPath|skip_v2")
     val t = new SnapshotLog.Table(spark, root)
     val marker = new Path(s"$root/_BUILT")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(marker)) {
       fs.delete(new Path(s"$root/data"), true)
-      fs.delete(new Path(s"$root/log.csv"), false)
+      fs.delete(new Path(s"$root/log"), true)
       val orders = spark.read.parquet(factPath).select(
         col("o_orderkey"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
@@ -272,13 +272,13 @@ object Wave8 {
          |ORDER BY version""".stripMargin) { (spark, dir) =>
       val factPath = java.nio.file.Paths.get(s"$dir/orders.parquet")
         .toAbsolutePath.toString
-      val root = graft.util.Staging.dir("graft_snapm_", s"$factPath|merge_v2")
+      val root = graft.util.Staging.dir("graft_snapm_", s"$factPath|merge_v3")
       val t = new SnapshotLog.Table(spark, root)
       val marker = new Path(s"$root/_BUILT")
       val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(marker)) {
         fs.delete(new Path(s"$root/data"), true)
-        fs.delete(new Path(s"$root/log.csv"), false)
+        fs.delete(new Path(s"$root/log"), true)
         val orders = spark.read.parquet(factPath).select(
           col("o_orderkey"), col("o_orderstatus"),
           expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),

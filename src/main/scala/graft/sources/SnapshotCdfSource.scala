@@ -53,7 +53,8 @@ class SnapshotCdfSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new SnapshotCdfTable(properties.get("path"),
-      properties.get("partCol"), properties.get("schema.ddl"))
+      properties.get("partCol"), properties.get("schema.ddl"),
+      Option(properties.get("startingVersion")))
 }
 
 object SnapshotCdfSource {
@@ -68,7 +69,8 @@ object SnapshotCdfSource {
   }
 }
 
-final class SnapshotCdfTable(root: String, partCol: String, ddl: String)
+final class SnapshotCdfTable(root: String, partCol: String, ddl: String,
+    startingVersion: Option[String] = None)
     extends Table with SupportsRead {
   override def name(): String = s"snapshot_cdf($root)"
   override def schema(): StructType =
@@ -80,7 +82,7 @@ final class SnapshotCdfTable(root: String, partCol: String, ddl: String)
       override def build(): Scan = this
       override def readSchema(): StructType = schema()
       override def toMicroBatchStream(ckpt: String): MicroBatchStream =
-        new SnapshotCdfStream(root, partCol, ddl)
+        new SnapshotCdfStream(root, partCol, ddl, startingVersion)
     }
 }
 
@@ -89,12 +91,25 @@ final case class VersionOffset(v: Int) extends Offset {
   override def json(): String = v.toString
 }
 
-final class SnapshotCdfStream(root: String, partCol: String, ddl: String)
+final class SnapshotCdfStream(root: String, partCol: String, ddl: String,
+    startingVersion: Option[String] = None)
     extends MicroBatchStream {
   private def spark = org.apache.spark.sql.SparkSession.active
   private def table = new SnapshotLog.Table(spark, root)
 
-  override def initialOffset(): Offset = VersionOffset(0)
+  /** A NEW consumer (no checkpoint) starts after `startingVersion`:
+    * a number v means "deliver commits > v"; "latest" resolves the
+    * table's current version ONCE here, so history is skipped and only
+    * commits landing after stream start flow — the production CDF
+    * default, and the knob that makes the vacuum-lag contract operable
+    * (retention only has to cover consumer lag from the chosen start,
+    * not the table's whole history). A checkpointed restart never
+    * calls this — the durable offset wins, semantics unchanged. */
+  override def initialOffset(): Offset = startingVersion match {
+    case None           => VersionOffset(0)
+    case Some("latest") => VersionOffset(table.version)
+    case Some(v)        => VersionOffset(v.toInt)
+  }
   override def latestOffset(): Offset = VersionOffset(table.version)
   override def deserializeOffset(json: String): Offset =
     VersionOffset(json.toInt)

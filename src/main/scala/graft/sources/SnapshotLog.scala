@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -19,6 +19,18 @@ import org.apache.spark.sql.functions._
   *    O(log), not O(files on disk).
   *  - Appends add files; nothing is rewritten, so commit cost tracks
   *    the delta, not the table.
+  *  - The log itself is SEGMENTED: one immutable `log/<v>.csv` per
+  *    commit, published with put-if-absent semantics (write a temp
+  *    file, then a no-overwrite rename). Commit I/O is O(delta) — not
+  *    O(total log) — and a crash mid-publish can never damage prior
+  *    segments, because prior segments are never reopened. The
+  *    version-collision failure on publish IS the concurrency control:
+  *    two writers racing for the same version produce exactly one
+  *    segment and one ConcurrentModificationException — the loser
+  *    re-reads the new snapshot and retries. This is the commit
+  *    protocol production table formats use (Delta's HDFS log store
+  *    publishes `<v>.json` via rename-without-overwrite; Iceberg CASes
+  *    the metadata pointer).
   *  - Deletes aligned with the partition layout are METADATA-ONLY
   *    (log `remove` entries; zero bytes moved) — the reason the layout
   *    partitions by the column deletes target.
@@ -31,6 +43,18 @@ import org.apache.spark.sql.functions._
   * Files are moved into one `data/<part>=<v>/` tree with a `v{n}-`
   * name prefix, so leaf names are globally unique and partition
   * discovery (via `basePath`) recovers the partition column on read.
+  *
+  * Crash seam: a writer that dies between adopting data files and
+  * publishing its log segment leaves ORPHANS — bytes under `data/`
+  * covered by no `add` entry. They are invisible to every read (reads
+  * resolve the manifest, never list directories), re-commits are
+  * unaffected (fresh adopted names carry the writer's own task UUIDs),
+  * and [[Table.orphanFiles]]/[[Table.cleanOrphans]] detect and reclaim
+  * them. Vacuum deliberately does NOT touch orphans: an in-flight
+  * commit's adopted-but-unpublished files are indistinguishable from a
+  * crashed writer's, so orphan reclamation is a separate, explicitly
+  * operator-invoked pass (the same reason Delta's VACUUM has a
+  * retention check).
   */
 object SnapshotLog {
 
@@ -39,31 +63,58 @@ object SnapshotLog {
     * versions stay readable. */
   final case class Entry(version: Int, action: String, path: String)
 
-  final class Table(spark: SparkSession, val root: String) {
+  /** @param bloomCols integer (LONG) columns to index with a per-file
+    *   BLOOM FILTER SIDECAR at commit time (`index/<rel>.<col>.bloom`).
+    *   The complement of zone maps: zone maps skip by RANGE (great for
+    *   ingest-clustered columns, useless for uniformly scattered keys),
+    *   blooms skip by MEMBERSHIP (a point lookup on a scattered key
+    *   prunes to ~the files that actually contain it, FPR ≈ 0.8% at 10
+    *   bits/key). Sidecars keep the manifest kilobyte-sized — bloom
+    *   bits live next to the data, read only at lookup-planning time,
+    *   exactly how production formats ship file-level indexes. */
+  final class Table(spark: SparkSession, val root: String,
+      val bloomCols: Seq[String] = Nil) {
     private val dataDir = s"$root/data"
-    private val logPath = new Path(s"$root/log.csv")
-    private def fs: FileSystem =
-      logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    private val logDir = new Path(s"$root/log")
+    private def hadoopConf = spark.sparkContext.hadoopConfiguration
+    private def fs: FileSystem = logDir.getFileSystem(hadoopConf)
 
-    def entries: Seq[Entry] = {
-      if (!fs.exists(logPath)) return Seq.empty
-      val in = fs.open(logPath)
+    /** Merge-pruning instrumentation: (candidate files scanned for
+      * hits, live files) of the last [[commitMerge]] on this handle. */
+    private[graft] var lastMergeScan: Option[(Int, Int)] = None
+
+    /** The published segment files, sorted by version. One immutable
+      * file per commit; the listing is the only directory walk the
+      * table ever does, and it walks the (kilobyte-scale) log, never
+      * the data tree. */
+    private def segments: Seq[(Int, Path)] = {
+      if (!fs.exists(logDir)) return Seq.empty
+      fs.listStatus(logDir).toSeq
+        .map(_.getPath)
+        .flatMap { p =>
+          val n = p.getName
+          if (n.endsWith(".csv")) n.stripSuffix(".csv").toIntOption.map(_ -> p)
+          else None // in-flight temp files are not part of the log
+        }
+        .sortBy(_._1)
+    }
+
+    def entries: Seq[Entry] = segments.flatMap { case (_, p) =>
+      val in = fs.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().map { l =>
-        val Array(v, a, p) = l.split(",", 3)
-        Entry(v.toInt, a, p)
+        val Array(v, a, pp) = l.split(",", 3)
+        Entry(v.toInt, a, pp)
       }.toList
       finally in.close()
     }
 
-    def version: Int = entries.lastOption.map(_.version).getOrElse(0)
+    def version: Int = segments.lastOption.map(_._1).getOrElse(0)
 
-    /** Optimistic-concurrency check: every commit validates that the
-      * table is still at the version the writer planned against. A
-      * lost race throws instead of silently interleaving — the caller
-      * re-reads the new snapshot and retries (the CAS discipline that
-      * makes multi-writer commits safe without a lock service holding
-      * the table hostage; on a real object store the log append itself
-      * is the atomic primitive). Pass -1 to skip (single-writer). */
+    /** Friendly pre-flight for optimistic concurrency: a writer that
+      * planned against a stale version fails BEFORE doing any work.
+      * This is advisory — the authoritative check is the put-if-absent
+      * segment publish in [[publishSegment]], which no interleaving can
+      * slip past. Pass -1 to skip the pre-flight (single-writer). */
     private def casCheck(expected: Int): Int = {
       val v = version
       if (expected >= 0 && v != expected)
@@ -72,6 +123,47 @@ object SnapshotLog {
             "re-read the snapshot and retry")
       v + 1
     }
+
+    /** Publish `lines` as the immutable segment for version `v`:
+      * write a temp file in full, then rename WITHOUT overwrite onto
+      * `log/<v>.csv`. The rename is the atomic commit point — before
+      * it, the commit does not exist; after it, it is durable; a
+      * collision (second writer racing for `v`) throws and leaves the
+      * winner's segment untouched. Prior segments are never reopened,
+      * so no crash can destroy history, and publish I/O is O(this
+      * commit), not O(total log). */
+    private[graft] def publishSegment(v: Int, lines: Seq[Entry]): Unit = {
+      fs.mkdirs(logDir)
+      val tmp = new Path(logDir,
+        s".tmp-$v-${java.util.UUID.randomUUID.toString.take(8)}")
+      val out = fs.create(tmp, false)
+      try lines.foreach(e =>
+        out.write(s"${e.version},${e.action},${e.path}\n".getBytes("UTF-8")))
+      finally out.close()
+      val dst = fs.makeQualified(new Path(logDir, s"$v.csv"))
+      val fc = FileContext.getFileContext(dst.toUri, hadoopConf)
+      try fc.rename(fs.makeQualified(tmp), dst) // Options.Rename.NONE
+      catch {
+        case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                  _: java.nio.file.FileAlreadyExistsException) =>
+          fs.delete(tmp, false)
+          throw new java.util.ConcurrentModificationException(
+            s"version $v was committed concurrently ($e) — " +
+              "re-read the snapshot and retry")
+      }
+    }
+
+    /** Publish, and on a lost race reclaim the data files this writer
+      * adopted (they are covered by no segment — orphans by
+      * construction — and this writer knows their exact names). */
+    private def publishOrCleanup(v: Int, lines: Seq[Entry],
+        added: Seq[String]): Unit =
+      try publishSegment(v, lines)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          added.foreach(p => fs.delete(new Path(s"$dataDir/$p"), false))
+          throw e
+      }
 
     /** Live file set at version `v` — the log fold, newest wins. */
     def liveFiles(asOfVersion: Int): Seq[String] =
@@ -89,25 +181,222 @@ object SnapshotLog {
       spark.read.option("basePath", dataDir).parquet(files: _*)
     }
 
+    /** Data files covered by NO log entry — the residue of a writer
+      * that crashed between adopting files and publishing its segment
+      * (or lost the publish race before cleanup ran). Invisible to
+      * every read; listed here for reclamation. Metadata-scale: walks
+      * the data tree once, compares against the manifest. */
+    def orphanFiles(): Seq[String] = {
+      val dd = new Path(dataDir)
+      if (!fs.exists(dd)) return Seq.empty
+      val known = entries.filter(e =>
+        e.action == "add" || e.action == "remove").map(_.path).toSet
+      fs.listStatus(dd).filter(_.isDirectory).toSeq.flatMap { d =>
+        fs.listStatus(d.getPath).filter(_.isFile).toSeq
+          .map(f => s"${d.getPath.getName}/${f.getPath.getName}")
+          .filterNot(known.contains)
+      }
+    }
 
-    /** Zone-map `stats` entries for freshly adopted files. */
+    /** Physically delete orphans. Operator-invoked and separate from
+      * [[vacuum]] on purpose: a concurrent writer's adopted-but-not-
+      * yet-published files look exactly like orphans, so this pass
+      * must only run when no commit is in flight. Returns the
+      * relative paths deleted. */
+    def cleanOrphans(): Seq[String] = {
+      val os = orphanFiles()
+      os.foreach { p =>
+        fs.delete(new Path(s"$dataDir/$p"), false)
+        dropSidecars(p)
+      }
+      os
+    }
+
+    // ---- bloom file index ------------------------------------------
+
+    /** Bloom sizing: 10 bits per row (k=7 gives FPR ≈ 0.8%). Row count
+      * comes from the parquet footer — no data pass for sizing. */
+    private val BloomBitsPerRow = 10
+    private val BloomK = 7
+
+    private def bloomPath(rel: String, c: String): Path =
+      new Path(s"$root/index/$rel.$c.bloom")
+
+    /** Double-hashed bit positions (Kirsch-Mitzenmacher): both the
+      * build job (executors, via the identical Column expressions) and
+      * the lookup (driver) derive k positions from one xxhash64. */
+    private def bloomPositions(h: Long, m: Long): Seq[Long] = {
+      val d = (h >>> 32) | 1L
+      (0 until BloomK).map(i => java.lang.Math.floorMod(h + i * d, m))
+    }
+
+    /** xxhash64 of each key EXACTLY as the build job computed it for
+      * the column values — one tiny Spark job, so driver and executor
+      * hashing can never drift. */
+    private def keyHashes(keys: Seq[Long]): Map[Long, Long] = {
+      import spark.implicits._
+      keys.toDF("k").select(col("k"), xxhash64(col("k")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+
+    private def footerRowCount(file: Path): Long = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(file, hadoopConf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      } finally r.close()
+    }
+
+    /** Build one bloom sidecar per (adopted file, indexed column) in a
+      * SINGLE distributed pass per column: hash → k positions → 64-bit
+      * word ORs grouped by (file, word), then each file's words are
+      * assembled and written EXECUTOR-SIDE (repartition by file), so
+      * no bloom byte ever rides through the driver — at a 1B-row
+      * commit the index build scales like the commit, not like the
+      * driver's heap. Runs AFTER the segment publish: a crash here
+      * leaves files without sidecars, which lookups treat
+      * conservatively (kept), never wrongly. */
+    private def buildBlooms(v: Int, added: Seq[String]): Unit = {
+      if (bloomCols.isEmpty || added.isEmpty) return
+      val files = added.map(p => s"$dataDir/$p")
+      val df = spark.read.option("basePath", dataDir).parquet(files: _*)
+      val present = bloomCols.filter(df.columns.contains)
+      if (present.isEmpty) return
+      // per-file m from footer row counts (metadata-only), rounded to
+      // whole 64-bit words
+      val mByFile: Map[String, Long] = added.map { rel =>
+        val n = math.max(1L, footerRowCount(new Path(s"$dataDir/$rel")))
+        rel -> (((n * BloomBitsPerRow + 63) / 64) * 64)
+      }.toMap
+      val seg = split(input_file_name(), "/")
+      val rel = concat_ws("/", element_at(seg, -2), element_at(seg, -1))
+      val mExpr = element_at(
+        map(mByFile.toSeq.flatMap { case (p, m) =>
+          Seq(lit(p), lit(m)) }: _*), rel)
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        hadoopConf)
+      val idxRoot = s"$root/index"
+      val k = BloomK // local copy: the executor closure must not drag
+      //               the (unserializable, session-holding) Table in
+      present.foreach { c =>
+        require(df.schema(c).dataType ==
+          org.apache.spark.sql.types.LongType,
+          s"bloom index supports LONG columns, got ${df.schema(c).dataType} for $c")
+        val h = xxhash64(col(c))
+        val d = shiftrightunsigned(h, 32).bitwiseOR(lit(1L))
+        val poss = (0 until BloomK).map(i => pmod(h + lit(i.toLong) * d,
+          col("__m")))
+        val words = df
+          .select(rel.as("__f"), col(c)).where(col(c).isNotNull)
+          .withColumn("__m", mExpr)
+          .select(col("__f"), col("__m"),
+            explode(array(poss: _*)).as("__p"))
+          .select(col("__f"), col("__m"),
+            shiftrightunsigned(col("__p"), 6).as("__w"),
+            call_function("shiftleft", lit(1L),
+              col("__p").bitwiseAND(lit(63L)).cast("int")).as("__b"))
+          .groupBy("__f", "__m", "__w")
+          .agg(call_function("bit_or", col("__b")).as("__bits"))
+        words.repartition(col("__f")).sortWithinPartitions("__f", "__w")
+          .foreachPartition {
+            (it: Iterator[org.apache.spark.sql.Row]) =>
+              val pfs = new Path(idxRoot)
+                .getFileSystem(conf.value)
+              var cur: String = null
+              var m = 0L
+              var arr: Array[Long] = null
+              def flush(): Unit = if (cur != null) {
+                val out = pfs.create(
+                  new Path(s"$idxRoot/$cur.$c.bloom"), true)
+                try {
+                  out.write(s"$m $k\n".getBytes("UTF-8"))
+                  out.write(arr.map(w => f"$w%016x").mkString
+                    .getBytes("UTF-8"))
+                } finally out.close()
+              }
+              it.foreach { r =>
+                val f = r.getString(0)
+                if (f != cur) {
+                  flush(); cur = f; m = r.getLong(1)
+                  arr = new Array[Long]((m / 64).toInt)
+                }
+                arr((r.getLong(2)).toInt) = r.getLong(3)
+              }
+              flush()
+          }
+      }
+    }
+
+    /** The live files at `v` that can contain ANY of `keys` in `col`,
+      * by bloom-sidecar membership. Files without a sidecar (older
+      * commits, unindexed columns, crashed index build) are kept
+      * conservatively. The complement of [[pruneFiles]]: a point
+      * lookup on a key UNCORRELATED with ingest order prunes here and
+      * nowhere else. */
+    def pointLookupFiles(v: Int, c: String, keys: Seq[Long]):
+        Seq[String] = {
+      val hs = keyHashes(keys).values.toSeq
+      liveFiles(v).filter { p =>
+        val bp = bloomPath(p, c)
+        if (!fs.exists(bp)) true
+        else {
+          val in = fs.open(bp)
+          val txt = try scala.io.Source
+            .fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+          val nl = txt.indexOf('\n')
+          val Array(mS, _) = txt.substring(0, nl).split(" ")
+          val m = mS.toLong
+          val hex = txt.substring(nl + 1)
+          def word(w: Int): Long =
+            java.lang.Long.parseUnsignedLong(
+              hex.substring(w * 16, w * 16 + 16), 16)
+          hs.exists(h => bloomPositions(h, m).forall(pos =>
+            (word((pos / 64).toInt) & (1L << (pos % 64).toInt)) != 0))
+        }
+      }
+    }
+
+    /** [[asOf]] restricted to bloom-surviving files for
+      * `col IN (keys)`. The row-level filter must still be applied
+      * downstream; None when no file can match. */
+    def asOfPoint(v: Int, c: String, keys: Seq[Long]):
+        Option[DataFrame] = {
+      val files = pointLookupFiles(v, c, keys)
+      if (files.isEmpty) None
+      else Some(spark.read.option("basePath", dataDir)
+        .parquet(files.map(p => s"$dataDir/$p"): _*))
+    }
+
+    /** Delete every bloom sidecar of a reclaimed data file. */
+    private def dropSidecars(rel: String): Unit = {
+      val glob = new Path(s"$root/index/$rel.*.bloom")
+      val hits = try fs.globStatus(glob) catch { case _: Exception => null }
+      if (hits != null) hits.foreach(s => fs.delete(s.getPath, false))
+    }
+
+    /** Zone-map `stats`/`stats_s` entries for freshly adopted files. */
     private def statsEntries(v: Int, added: Seq[String]): Seq[Entry] =
       added.flatMap { rel =>
-        footerStats(new Path(s"$dataDir/$rel")).toSeq.sortBy(_._1).map {
-          case (c, (lo, hi)) => Entry(v, "stats", s"$rel|$c|$lo|$hi")
+        val (longs, strs) = footerStats(new Path(s"$dataDir/$rel"))
+        longs.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+          Entry(v, "stats", s"$rel|$c|$lo|$hi")
+        } ++ strs.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+          Entry(v, "stats_s", s"$rel|$c|${hex(lo)}|${hex(hi)}")
         }
       }
 
-    private def appendLog(lines: Seq[Entry]): Unit = {
-      val prev = entries
-      val out = fs.create(logPath, true)
-      try (prev ++ lines).foreach(e =>
-        out.write(s"${e.version},${e.action},${e.path}\n".getBytes("UTF-8")))
-      finally out.close()
-    }
+    private def hex(s: String): String =
+      s.getBytes("UTF-8").map(b => f"$b%02x").mkString
+    private def unhex(h: String): String =
+      new String(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+        "UTF-8")
 
     /** Per-file zone maps recorded at commit time: `stats` log entries
-      * carry `path|col|min|max` (long-typed columns only) read from the
+      * carry `path|col|min|max` for integer-physical columns (INT64,
+      * and INT32 including DATE — widened to long) read from the
       * parquet FOOTER of each adopted file — a metadata-only pass, no
       * data read. Keyed by relative path. */
     def zoneMaps: Map[String, Map[String, (Long, Long)]] =
@@ -120,14 +409,42 @@ object SnapshotLog {
           }.toMap
         }
 
+    /** String zone maps (`stats_s` entries, hex-encoded bounds so the
+      * csv stays delimiter-safe): per-file [min, max] where max may be
+      * a truncation-safe upper bound (prefix with last char bumped). */
+    def zoneMapsStr: Map[String, Map[String, (String, String)]] =
+      entries.filter(_.action == "stats_s")
+        .groupBy(_.path.split('|')(0))
+        .map { case (p, es) =>
+          p -> es.map { e =>
+            val Array(_, c, lo, hi) = e.path.split('|')
+            c -> (unhex(lo), unhex(hi))
+          }.toMap
+        }
+
     /** The live files at `v` that can contain a row with
       * `col ∈ [lo, hi]`, by zone-map pruning — files with no recorded
       * stats for `col` are conservatively kept. This is the manifest-
       * level skipping that makes a selective AS-OF read touch only the
       * files whose range intersects the predicate, BEFORE any parquet
-      * footer is opened on the read path. */
+      * footer is opened on the read path. Integer-physical columns
+      * (long, int, date-as-days). */
     def pruneFiles(v: Int, col: String, lo: Long, hi: Long): Seq[String] = {
       val zm = zoneMaps
+      liveFiles(v).filter { p =>
+        zm.get(p).flatMap(_.get(col)) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None           => true
+        }
+      }
+    }
+
+    /** [[pruneFiles]] for string columns: keeps files whose recorded
+      * [min, max] (byte-order bounds; max truncation-bumped) intersects
+      * [lo, hi] lexicographically. */
+    def pruneFilesStr(v: Int, col: String, lo: String, hi: String):
+        Seq[String] = {
+      val zm = zoneMapsStr
       liveFiles(v).filter { p =>
         zm.get(p).flatMap(_.get(col)) match {
           case Some((mn, mx)) => mx >= lo && mn <= hi
@@ -149,37 +466,107 @@ object SnapshotLog {
         .parquet(files.map(p => s"$dataDir/$p"): _*))
     }
 
-    /** Footer-level (file min, file max) for every INT64 column of
-      * `file`, aggregated across row groups; columns with missing or
-      * unusable stats are omitted. */
-    private def footerStats(file: Path): Map[String, (Long, Long)] = {
+    /** String twin of [[asOfWhere]]. */
+    def asOfWhereStr(v: Int, col: String, lo: String, hi: String):
+        Option[DataFrame] = {
+      val files = pruneFilesStr(v, col, lo, hi)
+      if (files.isEmpty) None
+      else Some(spark.read.option("basePath", dataDir)
+        .parquet(files.map(p => s"$dataDir/$p"): _*))
+    }
+
+    /** Bound of chars kept for string zone-map bounds: enough to
+      * separate real-world key prefixes, small enough that a wide
+      * UTF8 column can't bloat the manifest. */
+    private val StrStatLen = 16
+
+    /** Truncation-safe string bounds: min truncates freely (a prefix
+      * is ≤ the full string), max must ROUND UP — truncate then bump
+      * the last bumpable char (Iceberg's upper-bound truncation), or
+      * give up on the column if every kept char is already maximal. */
+    private def truncBounds(lo: String, hi: String):
+        Option[(String, String)] = {
+      val tLo = lo.take(StrStatLen)
+      if (hi.length <= StrStatLen) Some((tLo, hi))
+      else {
+        val p = hi.take(StrStatLen)
+        val i = p.lastIndexWhere(_ < Char.MaxValue)
+        if (i < 0) None
+        else Some((tLo, p.substring(0, i) + (p(i) + 1).toChar))
+      }
+    }
+
+    /** Footer-level (file min, file max) for every integer-physical
+      * column (INT64, INT32 — the latter covers DATE, widened to long)
+      * and every ASCII-bounded BINARY/UTF8 string column of `file`,
+      * aggregated across row groups; columns with missing or unusable
+      * stats are omitted. Strings are recorded only when both bounds
+      * are pure ASCII: parquet orders binary stats byte-wise and the
+      * pruning comparison is Java-String-wise — the orders agree
+      * exactly on ASCII, so a non-ASCII bound gets no stat rather than
+      * a wrong one. */
+    private def footerStats(file: Path):
+        (Map[String, (Long, Long)], Map[String, (String, String)]) = {
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(file, spark.sparkContext.hadoopConfiguration)
+        .fromPath(file, hadoopConf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         import scala.jdk.CollectionConverters._
-        val acc = scala.collection.mutable.Map[String, (Long, Long)]()
+        val accL = scala.collection.mutable.Map[String, (Long, Long)]()
+        val accS = scala.collection.mutable.Map[String, (String, String)]()
         var ok = Set.empty[String]
         var bad = Set.empty[String]
         r.getFooter.getBlocks.asScala.foreach { b =>
           b.getColumns.asScala.foreach { c =>
             val name = c.getPath.toDotString
             val s = c.getStatistics
-            if (c.getPrimitiveType.getPrimitiveTypeName ==
-                org.apache.parquet.schema.PrimitiveType
-                  .PrimitiveTypeName.INT64 &&
-                s != null && s.hasNonNullValue) {
-              val (lo, hi) = (s.genericGetMin.asInstanceOf[Long],
-                s.genericGetMax.asInstanceOf[Long])
-              ok += name
-              acc(name) = acc.get(name) match {
-                case Some((a, b2)) => (math.min(a, lo), math.max(b2, hi))
-                case None          => (lo, hi)
-              }
-            } else bad += name // any stat-less row group voids the column
+            val pt = c.getPrimitiveType.getPrimitiveTypeName
+            val usable = s != null && s.hasNonNullValue
+            (pt, usable) match {
+              case (INT64, true) =>
+                val (lo, hi) = (s.genericGetMin.asInstanceOf[Long],
+                  s.genericGetMax.asInstanceOf[Long])
+                ok += name
+                accL(name) = accL.get(name) match {
+                  case Some((a, b2)) => (math.min(a, lo), math.max(b2, hi))
+                  case None          => (lo, hi)
+                }
+              case (INT32, true) =>
+                val (lo, hi) =
+                  (s.genericGetMin.asInstanceOf[Integer].longValue,
+                    s.genericGetMax.asInstanceOf[Integer].longValue)
+                ok += name
+                accL(name) = accL.get(name) match {
+                  case Some((a, b2)) => (math.min(a, lo), math.max(b2, hi))
+                  case None          => (lo, hi)
+                }
+              case (BINARY, true) =>
+                val lo = new String(s.genericGetMin
+                  .asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .getBytes, "UTF-8")
+                val hi = new String(s.genericGetMax
+                  .asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .getBytes, "UTF-8")
+                val ascii = (lo + hi).forall(ch => ch >= ' ' && ch < 0x7f)
+                truncBounds(lo, hi) match {
+                  case Some((tLo, tHi)) if ascii =>
+                    ok += name
+                    accS(name) = accS.get(name) match {
+                      case Some((a, b2)) =>
+                        (if (a <= tLo) a else tLo,
+                          if (b2 >= tHi) b2 else tHi)
+                      case None => (tLo, tHi)
+                    }
+                  case _ => bad += name
+                }
+              case _ => bad += name // any stat-less row group voids the col
+            }
           }
         }
-        (ok -- bad).map(n => n -> acc(n)).toMap
+        val good = ok -- bad
+        (good.flatMap(n => accL.get(n).map(n -> _)).toMap,
+          good.flatMap(n => accS.get(n).map(n -> _)).toMap)
       } finally r.close()
     }
 
@@ -206,15 +593,18 @@ object SnapshotLog {
       }
 
     /** Append commit: write `df` partitioned by `partCol`, adopt the
-      * files, log the adds. Nothing existing is touched. */
+      * files, publish the segment. Nothing existing is touched. */
     def commitAppend(df: DataFrame, partCol: String,
         expectedVersion: Int = -1): Int = {
       val v = casCheck(expectedVersion)
-      val tmp = new Path(s"$root/_tmp_v$v")
+      val tmp = new Path(s"$root/_tmp_v$v-${
+        java.util.UUID.randomUUID.toString.take(8)}")
       df.write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
-      appendLog(added.map(Entry(v, "add", _)) ++ statsEntries(v, added))
+      publishOrCleanup(v,
+        added.map(Entry(v, "add", _)) ++ statsEntries(v, added), added)
+      buildBlooms(v, added)
       v
     }
 
@@ -227,9 +617,10 @@ object SnapshotLog {
       * transaction id, so a re-delivered micro-batch (restart replay,
       * speculative retry) is a no-op instead of a duplicate. Returns
       * false when the txn was already committed. The `txn` marker
-      * rides the SAME log append as the adds, so a committed batch is
-      * always skippable and a crashed one (files adopted, log not
-      * written) is invisible — the log append is the commit point. */
+      * rides the SAME log segment as the adds, so a committed batch is
+      * always skippable and a crashed one (files adopted, segment not
+      * published) is invisible — the segment publish is the commit
+      * point. */
     def commitAppendIdempotent(df: DataFrame, partCol: String,
         txnId: String): Boolean = {
       require(!txnId.contains(",") && !txnId.contains("\n"),
@@ -237,12 +628,15 @@ object SnapshotLog {
       if (committedTxns.contains(txnId)) false
       else {
         val v = version + 1
-        val tmp = new Path(s"$root/_tmp_v$v")
+        val tmp = new Path(s"$root/_tmp_v$v-${
+          java.util.UUID.randomUUID.toString.take(8)}")
         df.write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
         val added = adopt(tmp, v)
         fs.delete(tmp, true)
-        appendLog(added.map(Entry(v, "add", _)) ++ statsEntries(v, added) :+
-          Entry(v, "txn", txnId))
+        publishOrCleanup(v,
+          added.map(Entry(v, "add", _)) ++ statsEntries(v, added) :+
+            Entry(v, "txn", txnId), added)
+        buildBlooms(v, added)
         true
       }
     }
@@ -255,7 +649,7 @@ object SnapshotLog {
       val prefix = s"$partCol=$value/"
       val victims = liveFiles(v - 1).filter(_.startsWith(prefix))
       require(victims.nonEmpty, s"no live files under $prefix")
-      appendLog(victims.map(Entry(v, "remove", _)))
+      publishSegment(v, victims.map(Entry(v, "remove", _)))
       v
     }
 
@@ -270,13 +664,15 @@ object SnapshotLog {
       val prefix = s"$partCol=$value/"
       val victims = liveFiles(v - 1).filter(_.startsWith(prefix))
       require(victims.nonEmpty, s"no live files under $prefix")
-      val tmp = new Path(s"$root/_tmp_v$v")
+      val tmp = new Path(s"$root/_tmp_v$v-${
+        java.util.UUID.randomUUID.toString.take(8)}")
       asOf(v - 1).filter(col(partCol) === value).filter(keep)
         .write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
-      appendLog(victims.map(Entry(v, "remove", _)) ++
-        added.map(Entry(v, "add", _)) ++ statsEntries(v, added))
+      publishOrCleanup(v, victims.map(Entry(v, "remove", _)) ++
+        added.map(Entry(v, "add", _)) ++ statsEntries(v, added), added)
+      buildBlooms(v, added)
       v
     }
 
@@ -284,27 +680,46 @@ object SnapshotLog {
       * key appears in `source` are replaced by the source row; source
       * rows with no match are inserts. File granularity is the scale
       * story: only live files that CONTAIN a matched key are rewritten
-      * (COW blast radius = files with hits, found by one metadata-cheap
-      * key-intersection scan); untouched files carry over by log
-      * reference. One version records remove(hit files) + add(rewritten
-      * survivors + all source rows). Assumes `keyCol` is unique within
-      * `source` (last-writer-wins semantics are the caller's to
-      * pre-aggregate). */
+      * (COW blast radius = files with hits), and the files SCANNED to
+      * find hits are pre-pruned by the manifest's zone maps against
+      * the source batch's key range — a MERGE carrying one day of keys
+      * into a 100 TB table reads the candidate files of that range,
+      * not the table. Integer keys prune; other key types fall back to
+      * the conservative full-candidate scan. Untouched files carry
+      * over by log reference. One version records remove(hit files) +
+      * add(rewritten survivors + all source rows). Assumes `keyCol` is
+      * unique within `source` (last-writer-wins semantics are the
+      * caller's to pre-aggregate). */
     def commitMerge(source: DataFrame, partCol: String, keyCol: String,
         expectedVersion: Int = -1): Int = {
+      import org.apache.spark.sql.types.{IntegerType, LongType}
       val v = casCheck(expectedVersion)
       val dd = dataDir
       val live = liveFiles(v - 1)
+      // zone-map candidate pruning: the source's key range bounds the
+      // files that can possibly contain a hit. One tiny agg over the
+      // (delta-sized) source; the manifest does the rest driver-side.
+      val candidates = source.schema(keyCol).dataType match {
+        case LongType | IntegerType =>
+          val r = source.agg(min(col(keyCol)).cast("long"),
+            max(col(keyCol)).cast("long")).head()
+          if (r.isNullAt(0)) Seq.empty // empty source: no hits possible
+          else pruneFiles(v - 1, keyCol, r.getLong(0), r.getLong(1))
+        case _ => live
+      }
+      lastMergeScan = Some((candidates.size, live.size))
       val seg = split(input_file_name(), "/")
-      val withFile = spark.read.option("basePath", dd)
-        .parquet(live.map(p => s"$dd/$p"): _*)
-        .withColumn("__f",
-          concat_ws("/", element_at(seg, -2), element_at(seg, -1)))
       val srcKeys = source.select(col(keyCol)).distinct()
-      // driver-side file list: bounded by live-file count (metadata
-      // scale), not row count
-      val hits = withFile.join(broadcast(srcKeys), Seq(keyCol))
-        .select("__f").distinct().collect().map(_.getString(0)).toSeq
+      // driver-side file list: bounded by candidate-file count
+      // (metadata scale), not row count
+      val hits =
+        if (candidates.isEmpty) Seq.empty[String]
+        else spark.read.option("basePath", dd)
+          .parquet(candidates.map(p => s"$dd/$p"): _*)
+          .withColumn("__f",
+            concat_ws("/", element_at(seg, -2), element_at(seg, -1)))
+          .join(broadcast(srcKeys), Seq(keyCol))
+          .select("__f").distinct().collect().map(_.getString(0)).toSeq
       val survivors =
         if (hits.isEmpty) source.sparkSession.emptyDataFrame
         else spark.read.option("basePath", dd)
@@ -314,13 +729,15 @@ object SnapshotLog {
         if (hits.isEmpty) source
         else survivors.select(source.columns.map(col): _*)
           .unionByName(source)
-      val tmp = new Path(s"$root/_tmp_v$v")
+      val tmp = new Path(s"$root/_tmp_v$v-${
+        java.util.UUID.randomUUID.toString.take(8)}")
       rewritten.write.partitionBy(partCol).mode("overwrite")
         .parquet(tmp.toString)
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
-      appendLog(hits.map(Entry(v, "remove", _)) ++
-        added.map(Entry(v, "add", _)) ++ statsEntries(v, added))
+      publishOrCleanup(v, hits.map(Entry(v, "remove", _)) ++
+        added.map(Entry(v, "add", _)) ++ statsEntries(v, added), added)
+      buildBlooms(v, added)
       v
     }
 
@@ -332,7 +749,8 @@ object SnapshotLog {
       * contract — at 100 TB, unbounded history is a cost decision the
       * operator makes explicitly via `retainVersions`. Returns the
       * relative paths deleted. The log keeps the full history of
-      * entries: vacuum reclaims bytes, never provenance. */
+      * entries: vacuum reclaims bytes, never provenance. Orphans are
+      * out of scope here (see [[cleanOrphans]]). */
     def vacuum(retainVersions: Int): Seq[String] = {
       require(retainVersions >= 0, "retention must be non-negative")
       val horizon = version - retainVersions
@@ -341,7 +759,10 @@ object SnapshotLog {
       val removed = entries.collect {
         case Entry(v, "remove", p) if v <= horizon && !keep.contains(p) => p
       }.distinct
-      removed.foreach(p => fs.delete(new Path(s"$dataDir/$p"), false))
+      removed.foreach { p =>
+        fs.delete(new Path(s"$dataDir/$p"), false)
+        dropSidecars(p)
+      }
       removed
     }
 
@@ -358,7 +779,8 @@ object SnapshotLog {
         filesPerPartition: Int = 1, expectedVersion: Int = -1): Int = {
       val v = casCheck(expectedVersion)
       val victims = liveFiles(v - 1)
-      val tmp = new Path(s"$root/_tmp_v$v")
+      val tmp = new Path(s"$root/_tmp_v$v-${
+        java.util.UUID.randomUUID.toString.take(8)}")
       // rows of one partition value spread over at most
       // filesPerPartition shuffle tasks (the __bin column), so each
       // partition dir compacts to at most that many files — one task
@@ -371,8 +793,9 @@ object SnapshotLog {
         .write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
-      appendLog(victims.map(Entry(v, "remove", _)) ++
-        added.map(Entry(v, "add", _)) ++ statsEntries(v, added))
+      publishOrCleanup(v, victims.map(Entry(v, "remove", _)) ++
+        added.map(Entry(v, "add", _)) ++ statsEntries(v, added), added)
+      buildBlooms(v, added)
       v
     }
   }
