@@ -370,8 +370,11 @@ object Wave7 {
       // sum(long) is LongType already — no outer cast, so each alias
       // carries the bare AggregateExpression the matcher requires; the
       // avg derivation is the non-self-merging one (sum-of-sums over
-      // sum-of-counts), min/max re-apply themselves over the extrema
-      spark.read.parquet(factPath)
+      // sum-of-counts), min/max re-apply themselves over the extrema.
+      // graft.mv=true is the per-scan opt-in: ONLY this scan is
+      // eligible for the rewrite, so no other same-session aggregate
+      // over lineitem can silently read the summary
+      spark.read.option("graft.mv", "true").parquet(factPath)
         .groupBy("l_returnflag")
         .agg(sum(qty).as("sum_qty"),
           count(lit(1)).as("n_items"),

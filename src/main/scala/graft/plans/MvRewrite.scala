@@ -33,8 +33,11 @@ import org.apache.spark.sql.types.LongType
   * resolving) and are idempotent: the rewritten child is the summary
   * relation, which no longer matches the fact path. Registered via
   * `SparkSessionExtensions` ([[graft.GraftExtensions]]) or
-  * `spark.experimental.extraOptimizations` (what `q_mv_rewrite` uses,
-  * so the rewrite is live in any session).
+  * `spark.experimental.extraOptimizations` (what `q_mv_rewrite` uses)
+  * — but INERT by default even when registered: only scans carrying
+  * the `graft.mv=true` reader option (or sessions setting
+  * `spark.graft.mv.enabled=true`) are eligible, so registering a
+  * summary can never silently change another query's plan.
   */
 object MvRewrite extends Rule[LogicalPlan] {
 
@@ -60,9 +63,26 @@ object MvRewrite extends Rule[LogicalPlan] {
   /** Test hook. */
   def clear(): Unit = synchronized { registered = Map.empty }
 
+  /** Opt-in gate: the rule rewrites ONLY scans that asked for it — the
+    * reader option `graft.mv=true` on the fact scan (what
+    * `q_mv_rewrite` sets; it travels WITH the plan, so every
+    * re-optimization — including the fresh QueryExecution a write
+    * command builds — sees it), or the session conf
+    * `spark.graft.mv.enabled=true` for a session-wide switch. Without
+    * one of these, a registered summary never changes any other
+    * query's plan (or flatters its bench time). */
+  private val ScanOpt = "graft.mv"
+  private val SessionConf = "spark.graft.mv.enabled"
+
+  private def sessionEnabled: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(SessionConf, "false").equalsIgnoreCase("true")
+
   private def factPathOf(plan: LogicalPlan): Option[String] = plan match {
     case lr: LogicalRelation => lr.relation match {
-      case fs: HadoopFsRelation =>
+      case fs: HadoopFsRelation
+          if sessionEnabled ||
+            fs.options.get(ScanOpt).exists(_.equalsIgnoreCase("true")) =>
         fs.location.rootPaths.headOption.map(_.toUri.getPath)
       case _ => None
     }
