@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotLog
+
+/** Round-8 additions: the file-index wave over the snapshot log.
+  * Round 7 built the versioned table (time travel, change feed, COW
+  * merge, zone-map skipping); round 8 made its commit protocol atomic
+  * and O(delta) and extends DATA SKIPPING to the two cases range stats
+  * can't serve:
+  *
+  *  - typed zone maps: min/max recorded for INT32/DATE (and ASCII
+  *    string) parquet physical types, so the natural "filter by day"
+  *    read over a date-typed ingest column prunes whole commits from
+  *    the manifest — not just BIGINT columns;
+  *  - bloom file index: per-file bloom sidecars on a designated key
+  *    column, pruning POINT lookups on keys uncorrelated with ingest
+  *    order — where every file's [min,max] spans the whole domain and
+  *    zone maps keep everything;
+  *  - a CDF consumer that starts from a chosen version instead of
+  *    replaying all history (`startingVersion`).
+  *
+  * The storage generalization of the reference's verify-after-clone
+  * discipline (clone_databases.sh:480-551 re-reads what it wrote):
+  * every skipping path is hash-checked against the full-scan oracle,
+  * so pruning may only skip files it can PROVE empty of matches.
+  */
+object FileIndex {
+
+  /** Lookup keys for the bloom point lookup: three dense orderkeys
+    * that exist at every SF, plus one that exists nowhere — membership
+    * semantics must hold for both. */
+  private val LookupKeys = Seq(11L, 97L, 123L, 10000000L)
+
+  /** Build-once versioned table for the file-index queries: four
+    * date-range appends (the natural time-ordered ingest) of
+    * (o_orderkey, price_cents, o_date DATE, o_orderstatus), with a
+    * bloom sidecar index on `o_orderkey`. The layout is the point:
+    * `o_date` is ingest-clustered (each commit's files span one narrow
+    * date range → zone maps skip), `o_orderkey` is uniform across time
+    * (every file spans ~the full key range → only the bloom index
+    * skips). */
+  private[graft] def idxStagedTable(
+      spark: SparkSession, dir: String): SnapshotLog.Table = {
+    val factPath = java.nio.file.Paths.get(s"$dir/orders.parquet")
+      .toAbsolutePath.toString
+    val root = graft.util.Staging.dir("graft_snapx_", s"$factPath|idx_v1")
+    val t = new SnapshotLog.Table(spark, root,
+      bloomCols = Seq("o_orderkey"))
+    val marker = new Path(s"$root/_BUILT")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      fs.delete(new Path(s"$root/data"), true)
+      fs.delete(new Path(s"$root/log"), true)
+      fs.delete(new Path(s"$root/index"), true)
+      val orders = spark.read.parquet(factPath).select(
+        col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+        col("o_orderdate").cast("date").as("o_date"),
+        col("o_orderstatus"))
+      val cuts = Seq("0001-01-01", "1997-01-01", "1999-01-01",
+        "2001-01-01", "9999-01-01")
+      cuts.sliding(2).foreach { case Seq(lo, hi) =>
+        t.commitAppend(orders.filter(
+          col("o_date") >= lit(lo).cast("date") &&
+            col("o_date") < lit(hi).cast("date")),
+          "o_orderstatus")
+      }
+      fs.create(marker, true).close()
+    }
+    t
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- bloom-index point lookup: per-file bloom sidecars (10
+    //      bits/key, k=7, built executor-side at commit time) prune a
+    //      key-set lookup to ~the files that actually contain the keys
+    //      — the skipping case zone maps cannot serve, because
+    //      o_orderkey is uniform over ingest time and every file's
+    //      [min,max] spans the whole domain (Wave9Spec asserts the
+    //      range-prune keeps everything while the bloom-prune skips).
+    //      At 100 TB this is the "find these 3 records" query reading
+    //      a handful of files instead of the table. Correctness: the
+    //      pruned read + row filter must hash-match the full-scan IN
+    //      filter the oracle computes — a bloom may only skip files it
+    //      can prove keyless (no false negatives; false positives cost
+    //      I/O, never rows).
+    QueryDef.checked(
+      "q_snapshot_point_lookup",
+      s"""SELECT o_orderstatus, count(*) AS n_rows,
+         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |    AS sum_cents,
+         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         |FROM orders
+         |WHERE o_orderkey IN (${LookupKeys.mkString(", ")})
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      val t = idxStagedTable(spark, dir)
+      val pruned = t.asOfPoint(t.version, "o_orderkey", LookupKeys)
+        .getOrElse(sys.error("lookup keys must land in some file"))
+      pruned
+        .filter(col("o_orderkey").isin(LookupKeys: _*)) // rows, not files
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price_cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
+    },
+
+    // ---- typed zone-map skipping: the same manifest-level pruning as
+    //      q_snapshot_skipping, but on a DATE-typed column (parquet
+    //      INT32/date physical stats, widened to epoch days) — the
+    //      natural type of the ingest-clustering column in production
+    //      tables, which round 7's INT64-only stats silently did not
+    //      cover. The mid-1997..mid-1998 window survives only commit
+    //      2's files (spec-asserted); the oracle recomputes from the
+    //      full fact scan, so a pruned file that COULD have matched
+    //      flips the hash.
+    QueryDef.checked(
+      "q_snapshot_skipping_date",
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE)
+        |  BETWEEN DATE '1997-06-01' AND DATE '1998-06-01'
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      val t = idxStagedTable(spark, dir)
+      val (lo, hi) = (Wave8.days("1997-06-01"), Wave8.days("1998-06-01"))
+      val pruned = t.asOfWhere(t.version, "o_date", lo, hi)
+        .getOrElse(sys.error("range must intersect the table"))
+      pruned
+        .filter(col("o_date").between(
+          lit("1997-06-01").cast("date"),
+          lit("1998-06-01").cast("date"))) // rows, not files
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price_cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
+    },
+
+    // ---- CDF tail consume: a NEW change-feed consumer that starts
+    //      from a chosen version (`startingVersion`) instead of
+    //      replaying the table's whole history — the production CDF
+    //      default, and what makes the vacuum-lag contract operable
+    //      (retention covers lag from the chosen start, not all time).
+    //      The staged table has two appends and one COW delete;
+    //      starting at version 2 must deliver EXACTLY commit 3: the
+    //      deletes of every pre-COW click row and the reinserts of the
+    //      surviving (cents ≤ 25000) clicks. The oracle recomputes
+    //      that single commit by predicate algebra, so the hash
+    //      convicts a replayed earlier commit (history not skipped) as
+    //      loudly as a missed one.
+    QueryDef.checked(
+      "q_stream_cdf_tail",
+      """WITH base AS (
+        |  SELECT event_type AS et,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |)
+        |SELECT 'delete' AS change, count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM base WHERE et = 'click'
+        |UNION ALL
+        |SELECT 'insert', count(*), CAST(sum(cents) AS BIGINT)
+        |FROM base WHERE et = 'click' AND cents <= 25000
+        |ORDER BY change""".stripMargin) { (spark, dir) =>
+      val t = Wave8.cdfStagedTable(spark, dir)
+      val feed = spark.readStream
+        .format("graft.sources.SnapshotCdfSource")
+        .option("path", t.root)
+        .option("partCol", "event_type")
+        .option("schema.ddl", "user_id LONG, cents LONG")
+        .option("startingVersion", (t.version - 1).toString)
+        .load()
+        .groupBy(col("_change").as("change"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_cdft_ckpt_").toString
+      val q = feed.writeStream.format("memory")
+        .queryName("graft_stream_cdf_tail")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val out = spark.table("graft_stream_cdf_tail")
+        .orderBy("change").localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(ckpt))
+      out
+    }
+  )
+}

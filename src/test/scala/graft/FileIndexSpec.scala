@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{FileIndex, Wave8}
+
+/** Invariants for the file-index wave: the oracle proves value
+  * equality; these prove the SKIPPING is real (files actually pruned)
+  * and honest (never a file that could have matched). */
+class FileIndexSpec extends SparkSpec {
+
+  test("bloom index prunes point lookups where zone maps cannot") {
+    q("q_snapshot_point_lookup").collect() // force the staged build
+    val t = FileIndex.idxStagedTable(spark, sf)
+    val all = t.liveFiles(t.version)
+    // o_orderkey is uniform over ingest time: every file's [min,max]
+    // spans ~the whole domain, so the RANGE prune keeps everything...
+    val byRange = t.pruneFiles(t.version, "o_orderkey", 11L, 123L)
+    assert(byRange.size == all.size, "range stats should not help here")
+    // ...and the bloom MEMBERSHIP prune skips most files
+    val byBloom = t.pointLookupFiles(t.version, "o_orderkey",
+      Seq(11L, 97L, 123L))
+    assert(byBloom.nonEmpty && byBloom.size < all.size,
+      s"bloom kept ${byBloom.size} of ${all.size}")
+    // every live file carries a sidecar (no conservative keeps hiding
+    // a broken index build)
+    all.foreach { p =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        s"${t.root}/index/$p.o_orderkey.bloom")), s"missing sidecar: $p")
+    }
+    // no false negatives: the files containing the keys all survive
+    val seg = split(input_file_name(), "/")
+    val truth = t.asOf(t.version)
+      .filter(col("o_orderkey").isin(11L, 97L, 123L))
+      .select(concat_ws("/", element_at(seg, -2), element_at(seg, -1)))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(truth.subsetOf(byBloom.toSet))
+    // a key that exists nowhere keeps ~no files (FPR-bounded, not 0)
+    val ghost = t.pointLookupFiles(t.version, "o_orderkey",
+      Seq(10000000L))
+    assert(ghost.size < all.size / 2, s"ghost kept ${ghost.size}")
+  }
+
+  test("date zone maps skip every non-intersecting commit") {
+    q("q_snapshot_skipping_date").collect() // force the staged build
+    val t = FileIndex.idxStagedTable(spark, sf)
+    val (lo, hi) = (Wave8.days("1997-06-01"), Wave8.days("1998-06-01"))
+    val all = t.liveFiles(t.version)
+    val pruned = t.pruneFiles(t.version, "o_date", lo, hi)
+    // the [97-06, 98-06] window lies inside commit 2's [97-01, 99-01)
+    // batch: only v2- files survive
+    assert(pruned.nonEmpty && pruned.size < all.size)
+    assert(pruned.forall(_.contains("/v2-")))
+    // every file carries date stats (INT32/date covered, not just i64)
+    assert(all.forall(p => t.zoneMaps.get(p).exists(_.contains("o_date"))))
+  }
+
+  test("vacuum and orphan cleanup reclaim bloom sidecars with the data") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bloomvac_spec_").toString
+    val t = new SnapshotLog.Table(spark, root, bloomCols = Seq("k"))
+    t.commitAppend((1L to 50L).map(k => (k, "a", k)).toDF("k", "part", "v"),
+      "part")
+    val f1 = t.liveFiles(1)
+    f1.foreach(p => assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/index/$p.k.bloom"))))
+    // compact (removes v1 files), vacuum at retention 0: the reclaimed
+    // data files take their sidecars with them
+    t.commitCompact("part")
+    val reclaimed = t.vacuum(retainVersions = 0)
+    assert(reclaimed.toSet == f1.toSet)
+    f1.foreach(p => assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/index/$p.k.bloom"))))
+    // the compacted file got its own sidecar and still prunes
+    val live = t.liveFiles(t.version)
+    assert(t.pointLookupFiles(t.version, "k", Seq(7L)) == live)
+    assert(t.pointLookupFiles(t.version, "k", Seq(999999L)).isEmpty)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
+  test("cdf tail equals the last commit of the full feed") {
+    // the tail (startingVersion = 2) must be the v3 slice of the full
+    // feed: deletes of all clicks, reinserts of the cheap ones — and
+    // re-running is deterministic (fresh checkpoint each call)
+    val tail = q("q_stream_cdf_tail").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(tail.keySet == Set("insert", "delete"))
+    assert(tail("delete")._1 > tail("insert")._1) // COW removed rows
+    val again = q("q_stream_cdf_tail").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(tail == again)
+  }
+}
