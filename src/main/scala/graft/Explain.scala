@@ -108,7 +108,9 @@ object Explain {
     "q_phonetic_blocking", "q_aho_corasick_scan", "q_audio_vad",
     "q_mv_rewrite", "q_inverted_index", "q_patch_grid",
     "q_three_way_merge", "q_time_travel", "q_change_feed",
-    "q_cluster_split", "q_snapshot_merge", "q_snapshot_skipping")
+    "q_cluster_split", "q_snapshot_merge", "q_snapshot_skipping",
+    "q_snapshot_point_lookup", "q_snapshot_skipping_date",
+    "q_stream_cdf_tail")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -134,7 +136,14 @@ object Explain {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       sb ++= "\n```\n"
     }
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
+    // Staged scratch dirs (graft.util.Staging fingerprints, 16 hex
+    // chars) and java.io.tmpdir temp suffixes are machine/run-local;
+    // normalize them so regenerating this dump on another host diffs
+    // only when a PLAN changes, not when a temp path does.
+    val normalized = sb.toString
+      .replaceAll("(graft_[a-z0-9_]*?_)[0-9a-f]{16}", "$1STAGETAG")
+      .replaceAll("(graft_[a-z0-9_]*?_)[0-9]{6,}", "$1TMPTAG")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), normalized)
     println(s"[explain] wrote $out (${headline.size} plans)")
     spark.stop()
   }
