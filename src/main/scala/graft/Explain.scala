@@ -110,7 +110,8 @@ object Explain {
     "q_three_way_merge", "q_time_travel", "q_change_feed",
     "q_cluster_split", "q_snapshot_merge", "q_snapshot_skipping",
     "q_snapshot_point_lookup", "q_snapshot_skipping_date",
-    "q_stream_cdf_tail")
+    "q_stream_cdf_tail", "q_snapshot_cluster",
+    "q_snapshot_schema_evolution")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -20,7 +20,12 @@ import graft.sources.SnapshotLog
   *    order — where every file's [min,max] spans the whole domain and
   *    zone maps keep everything;
   *  - a CDF consumer that starts from a chosen version instead of
-  *    replaying all history (`startingVersion`).
+  *    replaying all history (`startingVersion`);
+  *  - clustered compaction (`commitCluster`): when the column is
+  *    scattered across files, stats exist but help nothing — rewriting
+  *    the layout range-partitioned is what makes them prune;
+  *  - additive schema evolution: later commits may add columns, reads
+  *    union the schemas and null pre-evolution rows.
   *
   * The storage generalization of the reference's verify-after-clone
   * discipline (clone_databases.sh:480-551 re-reads what it wrote):
@@ -68,6 +73,73 @@ object FileIndex {
             col("o_date") < lit(hi).cast("date")),
           "o_orderstatus")
       }
+      fs.create(marker, true).close()
+    }
+    t
+  }
+
+  /** Schema-evolution epoch cuts: rows before [[SeD1]] land in the
+    * pre-evolution commit (no priority column), rows in [SeD1, SeD2)
+    * in the evolved one. */
+  private val SeD1 = "1997-01-01"
+  private val SeD2 = "1999-01-01"
+
+  /** Build-once versioned table for the clustering query: four
+    * KEY-HASH batches (o_orderkey % 4), so `price_cents` is scattered
+    * uniformly across every file and zone maps on it prune nothing —
+    * then one [[SnapshotLog.Table.commitCluster]] by price_cents
+    * rewrites the layout into narrow non-overlapping price slices. */
+  private[graft] def clusterStagedTable(
+      spark: SparkSession, dir: String): SnapshotLog.Table = {
+    val factPath = java.nio.file.Paths.get(s"$dir/orders.parquet")
+      .toAbsolutePath.toString
+    val root = graft.util.Staging.dir("graft_snapcl_",
+      s"$factPath|cluster_v1")
+    val t = new SnapshotLog.Table(spark, root)
+    val marker = new Path(s"$root/_BUILT")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      fs.delete(new Path(s"$root/data"), true)
+      fs.delete(new Path(s"$root/log"), true)
+      val orders = spark.read.parquet(factPath).select(
+        col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+        col("o_orderstatus"))
+      (0L to 3L).foreach { r =>
+        t.commitAppend(orders.filter(col("o_orderkey") % 4 === r),
+          "o_orderstatus")
+      }
+      t.commitCluster("o_orderstatus", "price_cents", filesPerRange = 8)
+      fs.create(marker, true).close()
+    }
+    t
+  }
+
+  /** Build-once versioned table for the schema-evolution query: v1
+    * appends WITHOUT `o_orderpriority` (the pre-evolution pipeline),
+    * v2 WITH it — reads must union the schemas. */
+  private[graft] def seStagedTable(
+      spark: SparkSession, dir: String): SnapshotLog.Table = {
+    val factPath = java.nio.file.Paths.get(s"$dir/orders.parquet")
+      .toAbsolutePath.toString
+    val root = graft.util.Staging.dir("graft_snapse_", s"$factPath|se_v1")
+    val t = new SnapshotLog.Table(spark, root)
+    val marker = new Path(s"$root/_BUILT")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      fs.delete(new Path(s"$root/data"), true)
+      fs.delete(new Path(s"$root/log"), true)
+      val orders = spark.read.parquet(factPath).select(
+        col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+        col("o_orderdate"), col("o_orderstatus"), col("o_orderpriority"))
+      val ts1 = lit(SeD1).cast("timestamp")
+      val ts2 = lit(SeD2).cast("timestamp")
+      t.commitAppend(orders.filter(col("o_orderdate") < ts1)
+        .drop("o_orderpriority", "o_orderdate"), "o_orderstatus")
+      t.commitAppend(orders.filter(
+        col("o_orderdate") >= ts1 && col("o_orderdate") < ts2)
+        .drop("o_orderdate"), "o_orderstatus")
       fs.create(marker, true).close()
     }
     t
@@ -144,6 +216,80 @@ object FileIndex {
           sum(col("price_cents")).as("sum_cents"),
           min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
+    },
+
+    // ---- clustered compaction: the LAYOUT half of data skipping.
+    //      The staged table commits orders in four key-hash batches,
+    //      so price_cents is scattered uniformly across every file —
+    //      each file's [min,max] spans the whole price domain and
+    //      zone maps prune NOTHING (spec-asserted at the pre-cluster
+    //      version). commitCluster then rewrites the live files
+    //      range-partitioned by price_cents (one shuffle, pure
+    //      reorganization, history intact), after which the SAME
+    //      footer stats give each file a narrow non-overlapping price
+    //      slice and the band read prunes most files from the
+    //      manifest. This is OPTIMIZE/cluster-by in production table
+    //      formats — at 100 TB the difference between "stats exist"
+    //      and "stats help" is the layout, not the manifest. The
+    //      oracle recomputes the band from the raw fact table, so a
+    //      file pruned despite containing a match flips the hash.
+    QueryDef.checked(
+      "q_snapshot_cluster",
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+        |  BETWEEN 10000000 AND 20000000
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      val t = clusterStagedTable(spark, dir)
+      val (lo, hi) = (10000000L, 20000000L) // the $100k..$200k band
+      val pruned = t.asOfWhere(t.version, "price_cents", lo, hi)
+        .getOrElse(sys.error("band must intersect the table"))
+      pruned
+        .filter(col("price_cents").between(lo, hi)) // rows, not files
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price_cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
+    },
+
+    // ---- schema evolution: commits may ADD columns over time; reads
+    //      with mergeSchema union the file schemas and fill
+    //      pre-evolution rows with nulls — the additive-evolution
+    //      contract every long-lived table needs (a 100 TB corpus is
+    //      never rewritten because a pipeline started emitting one
+    //      more field). The staged table appends v1 WITHOUT
+    //      o_orderpriority and v2 WITH it; the oracle nulls the
+    //      column exactly where the ingest hadn't evolved yet, so the
+    //      hash convicts a read that loses old rows, misaligns the
+    //      new column, or invents values for pre-evolution data.
+    QueryDef.checked(
+      "q_snapshot_schema_evolution",
+      s"""WITH t AS (
+         |  SELECT o_orderstatus AS st,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         |    CASE WHEN o_orderdate >= TIMESTAMP '$SeD1 00:00:00'
+         |      THEN o_orderpriority END AS prio
+         |  FROM orders WHERE o_orderdate < TIMESTAMP '$SeD2 00:00:00'
+         |)
+         |SELECT st AS o_orderstatus, count(*) AS n_rows,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+         |  count(prio) AS n_with_priority,
+         |  count(DISTINCT prio) AS n_priorities
+         |FROM t GROUP BY st ORDER BY st""".stripMargin) { (spark, dir) =>
+      val t = seStagedTable(spark, dir)
+      t.asOf(t.version, mergeSchema = true)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price_cents")).as("sum_cents"),
+          count(col("o_orderpriority")).as("n_with_priority"),
+          countDistinct(col("o_orderpriority")).as("n_priorities"))
         .orderBy("o_orderstatus")
     },
 

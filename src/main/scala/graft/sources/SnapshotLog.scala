@@ -174,11 +174,39 @@ object SnapshotLog {
       }
 
     /** Time-travel read: exactly the files live at `v`, with the
-      * partition column recovered through `basePath`. */
-    def asOf(v: Int): DataFrame = {
+      * partition column recovered through `basePath`. Pass
+      * `mergeSchema = true` when commits evolved the schema (columns
+      * added over time): the read unions all file schemas and fills
+      * pre-evolution rows with nulls — the standard
+      * additive-schema-evolution contract. Off by default because
+      * schema union costs a footer pass per distinct schema. */
+    def asOf(v: Int, mergeSchema: Boolean = false): DataFrame = {
       val files = liveFiles(v).map(p => s"$dataDir/$p")
       require(files.nonEmpty, s"version $v of $root has no live files")
-      spark.read.option("basePath", dataDir).parquet(files: _*)
+      spark.read.option("basePath", dataDir)
+        .option("mergeSchema", mergeSchema.toString)
+        .parquet(files: _*)
+    }
+
+    /** Run `commit` (which takes the expected current version and
+      * returns the committed one) under optimistic-concurrency retry:
+      * on a lost race, re-read the new snapshot version and try again.
+      * This is the multi-writer liveness half of the CAS protocol —
+      * [[publishSegment]] guarantees safety (exactly one winner per
+      * version), this guarantees every well-behaved writer eventually
+      * lands, with the retry bounded so a livelock surfaces as an
+      * error instead of an infinite loop. */
+    def withRetry(maxAttempts: Int = 5)(commit: Int => Int): Int = {
+      var attempt = 0
+      while (true) {
+        attempt += 1
+        try return commit(version)
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            if (attempt >= maxAttempts) throw e
+        }
+      }
+      -1 // unreachable
     }
 
     /** Data files covered by NO log entry — the residue of a writer
@@ -790,6 +818,36 @@ object SnapshotLog {
           lit(filesPerPartition.toLong)).cast("int"))
         .repartition(col(partCol), col("__bin"))
         .drop("__bin")
+        .write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
+      val added = adopt(tmp, v)
+      fs.delete(tmp, true)
+      publishOrCleanup(v, victims.map(Entry(v, "remove", _)) ++
+        added.map(Entry(v, "add", _)) ++ statsEntries(v, added), added)
+      buildBlooms(v, added)
+      v
+    }
+
+    /** CLUSTERED compaction: rewrite the live files RANGE-PARTITIONED
+      * by `clusterCol`, so each new file covers one narrow,
+      * non-overlapping slice of the cluster column — after which the
+      * per-file zone maps recorded at adopt time actually PRUNE on
+      * that column. This is the layout half of data skipping (the
+      * OPTIMIZE/cluster-by of production table formats): stats on a
+      * column scattered uniformly across files skip nothing — every
+      * file's [min,max] spans the domain — and no amount of manifest
+      * cleverness fixes that; only rewriting the layout does. Pure
+      * reorganization like [[commitCompact]]: AS-OF row identity holds,
+      * the change feed nets to zero, history stays readable. One
+      * shuffle (range exchange with sampled bounds) sized by
+      * `filesPerRange` output tasks. */
+    def commitCluster(partCol: String, clusterCol: String,
+        filesPerRange: Int, expectedVersion: Int = -1): Int = {
+      val v = casCheck(expectedVersion)
+      val victims = liveFiles(v - 1)
+      val tmp = new Path(s"$root/_tmp_v$v-${
+        java.util.UUID.randomUUID.toString.take(8)}")
+      asOf(v - 1)
+        .repartitionByRange(filesPerRange, col(clusterCol))
         .write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
       val added = adopt(tmp, v)
       fs.delete(tmp, true)

@@ -80,6 +80,71 @@ class FileIndexSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("clustering turns useless stats into real skipping") {
+    q("q_snapshot_cluster").collect() // force the staged build
+    val t = FileIndex.clusterStagedTable(spark, sf)
+    val (lo, hi) = (10000000L, 20000000L)
+    // pre-cluster (version 4): price scattered by the key-hash ingest,
+    // every file's [min,max] spans the band — stats prune NOTHING
+    val pre = t.pruneFiles(4, "price_cents", lo, hi)
+    assert(pre.size == t.liveFiles(4).size, "scattered layout must not prune")
+    // post-cluster: narrow per-file slices — the same stats now skip
+    val post = t.pruneFiles(t.version, "price_cents", lo, hi)
+    assert(post.nonEmpty && post.size < t.liveFiles(t.version).size,
+      s"kept ${post.size} of ${t.liveFiles(t.version).size}")
+    // pure reorganization: row identity across the cluster commit
+    val before = t.asOf(4).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("s"))
+      .collect().map(_.toSeq).toSet
+    val after = t.asOf(t.version).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("s"))
+      .collect().map(_.toSeq).toSet
+    assert(before == after)
+  }
+
+  test("schema evolution: old rows null the new column, nothing lost") {
+    q("q_snapshot_schema_evolution").collect() // force the staged build
+    val t = FileIndex.seStagedTable(spark, sf)
+    // version 1 predates the column entirely
+    assert(!t.asOf(1).columns.contains("o_orderpriority"))
+    // merged read: nulls EXACTLY on the pre-evolution rows
+    val merged = t.asOf(2, mergeSchema = true)
+    val n1 = t.asOf(1).count()
+    assert(merged.filter(col("o_orderpriority").isNull).count() == n1)
+    assert(merged.count() > n1)
+    // and no column misalignment: evolved rows carry real priorities
+    assert(merged.filter(col("o_orderpriority").isNotNull)
+      .select("o_orderpriority").distinct().count() >= 2)
+  }
+
+  test("withRetry: a racing writer lands on the next version") {
+    import graft.sources.SnapshotLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_retry_spec_").toString
+    val t = new SnapshotLog.Table(spark, root)
+    val other = new SnapshotLog.Table(spark, root)
+    val df = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus")).limit(50)
+    t.commitAppend(df, "o_orderstatus")
+    // writer A plans against v1; writer B commits v2 under A's feet on
+    // A's FIRST attempt; the retry re-reads and lands at v3
+    var interfered = false
+    val landed = t.withRetry() { expected =>
+      if (!interfered) { interfered = true; other.commitAppend(df, "o_orderstatus") }
+      t.commitAppend(df, "o_orderstatus", expectedVersion = expected)
+    }
+    assert(landed == 3 && t.version == 3)
+    assert(t.asOf(3).count() == 150) // all three appends present
+    // bounded: exhausted retries surface the conflict
+    intercept[java.util.ConcurrentModificationException] {
+      t.withRetry(maxAttempts = 2) { _ =>
+        throw new java.util.ConcurrentModificationException("always")
+      }
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("cdf tail equals the last commit of the full feed") {
     // the tail (startingVersion = 2) must be the v3 slice of the full
     // feed: deletes of all clicks, reinserts of the cheap ones — and
