@@ -111,7 +111,8 @@ object Explain {
     "q_cluster_split", "q_snapshot_merge", "q_snapshot_skipping",
     "q_snapshot_point_lookup", "q_snapshot_skipping_date",
     "q_stream_cdf_tail", "q_snapshot_cluster",
-    "q_snapshot_schema_evolution")
+    "q_snapshot_schema_evolution", "q_snapshot_delete_range",
+    "q_snapshot_wap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

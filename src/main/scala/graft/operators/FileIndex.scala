@@ -145,7 +145,121 @@ object FileIndex {
     t
   }
 
+  /** Build-once versioned table for the range-delete query: four
+    * date-range appends, then one `commitDeleteRange` of the
+    * mid-1997..end-1997 day band — the zone maps bound the COW blast
+    * radius to commit 2's files. */
+  private[graft] def drStagedTable(
+      spark: SparkSession, dir: String): SnapshotLog.Table = {
+    val factPath = java.nio.file.Paths.get(s"$dir/orders.parquet")
+      .toAbsolutePath.toString
+    val root = graft.util.Staging.dir("graft_snapdr_", s"$factPath|dr_v1")
+    val t = new SnapshotLog.Table(spark, root)
+    val marker = new Path(s"$root/_BUILT")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      fs.delete(new Path(s"$root/data"), true)
+      fs.delete(new Path(s"$root/log"), true)
+      val orders = spark.read.parquet(factPath).select(
+        col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+        expr("CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT)")
+          .as("o_date_days"),
+        col("o_orderstatus"))
+      val cuts = Seq(Long.MinValue, Wave8.days("1997-01-01"),
+        Wave8.days("1999-01-01"), Wave8.days("2001-01-01"), Long.MaxValue)
+      cuts.sliding(2).foreach { case Seq(lo, hi) =>
+        t.commitAppend(orders.filter(
+          col("o_date_days") >= lo && col("o_date_days") < hi),
+          "o_orderstatus")
+      }
+      t.commitDeleteRange("o_orderstatus", "o_date_days",
+        Wave8.days("1997-06-01"), Wave8.days("1997-12-31"))
+      fs.create(marker, true).close()
+    }
+    t
+  }
+
+  /** Build-once versioned table for the write-audit-publish query:
+    * v1 = the pre-[[SeD1]] orders; then a POISONED batch (prices
+    * negated — the audit's job to catch) is staged and dropped, and
+    * the real [SeD1, SeD2) batch is staged, audited, and published.
+    * Final state ≡ all orders < SeD2 — anything the poisoned batch
+    * leaked, or the drop wrongly removed, breaks that equivalence. */
+  private[graft] def wapStagedTable(
+      spark: SparkSession, dir: String): SnapshotLog.Table = {
+    val factPath = java.nio.file.Paths.get(s"$dir/orders.parquet")
+      .toAbsolutePath.toString
+    val root = graft.util.Staging.dir("graft_snapwap_", s"$factPath|wap_v1")
+    val t = new SnapshotLog.Table(spark, root)
+    val marker = new Path(s"$root/_BUILT")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      fs.delete(new Path(s"$root/data"), true)
+      fs.delete(new Path(s"$root/log"), true)
+      val orders = spark.read.parquet(factPath).select(
+        col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+        col("o_orderdate"), col("o_orderstatus"))
+      val ts1 = lit(SeD1).cast("timestamp")
+      val ts2 = lit(SeD2).cast("timestamp")
+      t.commitAppend(orders.filter(col("o_orderdate") < ts1)
+        .drop("o_orderdate"), "o_orderstatus")
+      val batch = orders.filter(
+        col("o_orderdate") >= ts1 && col("o_orderdate") < ts2)
+        .drop("o_orderdate")
+      // the poisoned twin: negated prices — staged, audited, DROPPED
+      t.stageAppend(batch.withColumn("price_cents", -col("price_cents")),
+        "o_orderstatus", "poisoned")
+      val badMin = t.stagedRead("poisoned")
+        .agg(min(col("price_cents"))).head().getLong(0)
+      require(badMin < 0, "audit must see the staged batch's real rows")
+      t.dropStaged("poisoned")
+      // the real batch: staged, audited, PUBLISHED
+      t.stageAppend(batch, "o_orderstatus", "ingest")
+      val goodMin = t.stagedRead("ingest")
+        .agg(min(col("price_cents"))).head().getLong(0)
+      require(goodMin >= 0, "audit gate failed on the good batch")
+      t.publishStaged("ingest")
+      fs.create(marker, true).close()
+    }
+    t
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ---- predicate-scoped row-level DELETE: remove a day band that
+    //      CROSSES no partition boundary usefully (status partitions
+    //      are orthogonal to time), so partition-value COW can't scope
+    //      it — the zone maps do: only commit 2's files (the one
+    //      ingest batch whose [min,max] day range intersects the band)
+    //      are rewritten; commits 1/3/4 carry over by log reference,
+    //      unread (spec-asserted on the remove entries). At 100 TB
+    //      this is GDPR-style "delete H2-1997" rewriting one batch's
+    //      files, not the table. The oracle recomputes the survivor
+    //      set from the raw fact table, so deleting too much, too
+    //      little, or from the wrong files flips the hash.
+    QueryDef.checked(
+      "q_snapshot_delete_range",
+      s"""SELECT o_orderstatus, count(*) AS n_rows,
+         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |    AS sum_cents,
+         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         |FROM orders
+         |WHERE datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+         |  NOT BETWEEN ${Wave8.days("1997-06-01")}
+         |          AND ${Wave8.days("1997-12-31")}
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      val t = drStagedTable(spark, dir)
+      t.asOf(t.version)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price_cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
+    },
 
     // ---- bloom-index point lookup: per-file bloom sidecars (10
     //      bits/key, k=7, built executor-side at commit time) prune a
@@ -290,6 +404,37 @@ object FileIndex {
           sum(col("price_cents")).as("sum_cents"),
           count(col("o_orderpriority")).as("n_with_priority"),
           countDistinct(col("o_orderpriority")).as("n_priorities"))
+        .orderBy("o_orderstatus")
+    },
+
+    // ---- write-audit-publish: the ingest quality gate as a STORAGE
+    //      protocol, not a convention. A batch is staged (files land,
+    //      recorded only in a branch manifest no read resolves),
+    //      audited against exactly those files, and either published
+    //      (re-stamped with the next version through the same
+    //      put-if-absent segment CAS as any commit) or dropped without
+    //      the table ever having seen it. Here a poisoned twin batch
+    //      is staged, audited, and dropped; the good batch is staged,
+    //      audited, and published — the oracle recomputes the final
+    //      state from the fact table, so a leaked staged file, a lost
+    //      publish, or a drop that removed the wrong bytes all flip
+    //      the hash.
+    QueryDef.checked(
+      "q_snapshot_wap",
+      s"""SELECT o_orderstatus, count(*) AS n_rows,
+         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |    AS sum_cents,
+         |  count(DISTINCT o_orderkey) AS n_keys
+         |FROM orders
+         |WHERE o_orderdate < TIMESTAMP '$SeD2 00:00:00'
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      val t = wapStagedTable(spark, dir)
+      t.asOf(t.version)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price_cents")).as("sum_cents"),
+          countDistinct(col("o_orderkey")).as("n_keys"))
         .orderBy("o_orderstatus")
     },
 

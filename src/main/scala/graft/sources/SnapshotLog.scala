@@ -94,12 +94,25 @@ object SnapshotLog {
         .flatMap { p =>
           val n = p.getName
           if (n.endsWith(".csv")) n.stripSuffix(".csv").toIntOption.map(_ -> p)
-          else None // in-flight temp files are not part of the log
+          else None // in-flight temps and checkpoints are not segments
         }
         .sortBy(_._1)
     }
 
-    def entries: Seq[Entry] = segments.flatMap { case (_, p) =>
+    /** The latest log checkpoint (version, path), if one exists. */
+    private def latestCheckpoint: Option[(Int, Path)] = {
+      if (!fs.exists(logDir)) return None
+      fs.listStatus(logDir).toSeq
+        .map(_.getPath)
+        .flatMap { p =>
+          val n = p.getName
+          if (n.endsWith(".ckpt")) n.stripSuffix(".ckpt").toIntOption.map(_ -> p)
+          else None
+        }
+        .sortBy(_._1).lastOption
+    }
+
+    private def parseLines(p: Path): Seq[Entry] = {
       val in = fs.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().map { l =>
         val Array(v, a, pp) = l.split(",", 3)
@@ -108,7 +121,63 @@ object SnapshotLog {
       finally in.close()
     }
 
-    def version: Int = segments.lastOption.map(_._1).getOrElse(0)
+    /** Full entry history: the latest checkpoint (a verbatim
+      * consolidation of every entry ≤ its version — the fold is NOT
+      * collapsed, so the change feed, zone maps, and txn markers all
+      * survive checkpointing) plus the segment tail after it. Without
+      * a checkpoint, read planning opens one segment per commit —
+      * O(#commits) per read, O(N²) cumulative over a table's life;
+      * with one, it opens checkpoint + tail. */
+    def entries: Seq[Entry] = latestCheckpoint match {
+      case None => segments.flatMap { case (_, p) => parseLines(p) }
+      case Some((cv, cp)) =>
+        parseLines(cp) ++
+          segments.filter(_._1 > cv).flatMap { case (_, p) => parseLines(p) }
+    }
+
+    def version: Int =
+      math.max(segments.lastOption.map(_._1).getOrElse(0),
+        latestCheckpoint.map(_._1).getOrElse(0))
+
+    /** Consolidate every log entry up to the current version into one
+      * `log/<v>.ckpt` file (published like a segment: temp +
+      * no-overwrite rename; a concurrent commit lands in the tail and
+      * is unaffected). After a checkpoint the covered segments are
+      * REDUNDANT — [[vacuumLog]] may delete them — and read planning
+      * cost drops from O(#commits) to O(checkpoint + tail): the same
+      * manifest-compaction move as Delta's checkpoint files. Returns
+      * the checkpointed version. */
+    def checkpointLog(): Int = {
+      val v = version
+      val es = entries
+      val dst = fs.makeQualified(new Path(logDir, s"$v.ckpt"))
+      if (fs.exists(dst)) return v // already checkpointed at v
+      val tmp = new Path(logDir,
+        s".tmp-ckpt-$v-${java.util.UUID.randomUUID.toString.take(8)}")
+      val out = fs.create(tmp, false)
+      try es.foreach(e =>
+        out.write(s"${e.version},${e.action},${e.path}\n".getBytes("UTF-8")))
+      finally out.close()
+      val fc = FileContext.getFileContext(dst.toUri, hadoopConf)
+      try fc.rename(fs.makeQualified(tmp), dst)
+      catch { // a concurrent checkpointer won; ours was identical
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(tmp, false)
+      }
+      v
+    }
+
+    /** Delete segment files covered by the latest checkpoint (their
+      * entries live verbatim in the checkpoint; history and provenance
+      * are unchanged). Returns the deleted segment versions. */
+    def vacuumLog(): Seq[Int] = latestCheckpoint match {
+      case None => Seq.empty
+      case Some((cv, _)) =>
+        val victims = segments.filter(_._1 <= cv)
+        victims.foreach { case (_, p) => fs.delete(p, false) }
+        victims.map(_._1)
+    }
 
     /** Friendly pre-flight for optimistic concurrency: a writer that
       * planned against a stale version fails BEFORE doing any work.
@@ -137,7 +206,14 @@ object SnapshotLog {
       val tmp = new Path(logDir,
         s".tmp-$v-${java.util.UUID.randomUUID.toString.take(8)}")
       val out = fs.create(tmp, false)
-      try lines.foreach(e =>
+      // every commit stamps its wall-clock publish time as a `meta`
+      // entry — the resolution data for AS-OF-TIMESTAMP reads. Never
+      // part of any hashed result (liveFiles/zoneMaps/txns all filter
+      // by action), so run-to-run nondeterminism of the clock is
+      // invisible to the correctness gate.
+      val stamped = lines :+
+        Entry(v, "meta", s"ts|${System.currentTimeMillis}")
+      try stamped.foreach(e =>
         out.write(s"${e.version},${e.action},${e.path}\n".getBytes("UTF-8")))
       finally out.close()
       val dst = fs.makeQualified(new Path(logDir, s"$v.csv"))
@@ -188,6 +264,105 @@ object SnapshotLog {
         .parquet(files: _*)
     }
 
+    /** Resolve a wall-clock instant to the last version published at
+      * or before it (AS OF TIMESTAMP): every segment carries a
+      * publish-time `meta` stamp, so the resolution is a manifest
+      * fold, no data touched. Throws when `tsMillis` predates the
+      * first commit — "the table did not exist yet" should fail
+      * loudly, not serve version 1. */
+    def versionAsOfTimestamp(tsMillis: Long): Int = {
+      val stamps = entries.collect {
+        case Entry(v, "meta", p) if p.startsWith("ts|") =>
+          (v, p.stripPrefix("ts|").toLong)
+      }
+      val hits = stamps.filter(_._2 <= tsMillis)
+      require(hits.nonEmpty,
+        s"no commit at or before timestamp $tsMillis (first commit: " +
+          s"${stamps.headOption.map(_._2).getOrElse(-1L)})")
+      hits.map(_._1).max
+    }
+
+    /** [[asOf]] at the version resolved by [[versionAsOfTimestamp]]. */
+    def asOfTimestamp(tsMillis: Long): DataFrame =
+      asOf(versionAsOfTimestamp(tsMillis))
+
+    // ---- write-audit-publish -----------------------------------------
+
+    private def stagedPath(branch: String): Path = {
+      require(branch.matches("[A-Za-z0-9_-]+"),
+        s"branch must be filesystem/log-safe: $branch")
+      new Path(logDir, s".staged-$branch")
+    }
+
+    /** WRITE step of write-audit-publish: land `df`'s files in the
+      * data tree and record them in a STAGED (branch-named) manifest
+      * that no read resolves — the batch exists physically but not
+      * logically. The audit step reads it via [[stagedRead]]; only
+      * [[publishStaged]] makes it a commit. This is the quality gate
+      * for training-data ingest: a batch that fails its audit is
+      * dropped without ever having been visible, instead of landing
+      * and needing a compensating delete. One staged batch per branch
+      * name at a time. */
+    def stageAppend(df: DataFrame, partCol: String, branch: String): Unit = {
+      val sp = stagedPath(branch)
+      require(!fs.exists(sp), s"branch $branch already has a staged batch")
+      val tmp = new Path(s"$root/_tmp_b$branch-${
+        java.util.UUID.randomUUID.toString.take(8)}")
+      df.write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
+      // adopt with a branch prefix (no version exists yet — the
+      // version is assigned at publish time)
+      val added = leaves(tmp).map { case (partDir, file) =>
+        val rel = s"$partDir/b$branch-${file.getName}"
+        val dest = new Path(s"$dataDir/$rel")
+        fs.mkdirs(dest.getParent)
+        require(fs.rename(file, dest), s"rename $file -> $dest failed")
+        rel
+      }
+      fs.delete(tmp, true)
+      val out = fs.create(sp, false)
+      try (added.map(Entry(0, "add", _)) ++ statsEntries(0, added))
+        .foreach(e =>
+          out.write(s"${e.version},${e.action},${e.path}\n".getBytes("UTF-8")))
+      finally out.close()
+    }
+
+    private def stagedEntries(branch: String): Seq[Entry] = {
+      val sp = stagedPath(branch)
+      require(fs.exists(sp), s"no staged batch on branch $branch")
+      parseLines(sp)
+    }
+
+    /** AUDIT step: read exactly the staged batch's rows (the files of
+      * this branch, nothing of the table). */
+    def stagedRead(branch: String): DataFrame = {
+      val files = stagedEntries(branch).filter(_.action == "add")
+        .map(e => s"$dataDir/${e.path}")
+      require(files.nonEmpty, s"staged branch $branch has no files")
+      spark.read.option("basePath", dataDir).parquet(files: _*)
+    }
+
+    /** PUBLISH step: turn the staged batch into a real commit — its
+      * entries are re-stamped with the next version and published
+      * through the same put-if-absent segment CAS as any commit, so
+      * WAP composes with concurrent writers. The staged manifest is
+      * removed on success. */
+    def publishStaged(branch: String, expectedVersion: Int = -1): Int = {
+      val v = casCheck(expectedVersion)
+      val lines = stagedEntries(branch).map(e => e.copy(version = v))
+      publishSegment(v, lines)
+      fs.delete(stagedPath(branch), false)
+      v
+    }
+
+    /** DROP step: the audit failed — delete the staged manifest and
+      * its data files; the table never saw the batch. */
+    def dropStaged(branch: String): Seq[String] = {
+      val files = stagedEntries(branch).filter(_.action == "add").map(_.path)
+      files.foreach(p => fs.delete(new Path(s"$dataDir/$p"), false))
+      fs.delete(stagedPath(branch), false)
+      files
+    }
+
     /** Run `commit` (which takes the expected current version and
       * returns the committed one) under optimistic-concurrency retry:
       * on a lost race, re-read the new snapshot version and try again.
@@ -217,8 +392,16 @@ object SnapshotLog {
     def orphanFiles(): Seq[String] = {
       val dd = new Path(dataDir)
       if (!fs.exists(dd)) return Seq.empty
-      val known = entries.filter(e =>
-        e.action == "add" || e.action == "remove").map(_.path).toSet
+      // staged (write-audit-publish) batches are deliberate not-yet-
+      // published files — known, not orphaned
+      val staged =
+        if (!fs.exists(logDir)) Seq.empty[String]
+        else fs.listStatus(logDir).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith(".staged-"))
+          .flatMap(parseLines).filter(_.action == "add").map(_.path)
+      val known = (entries.filter(e =>
+        e.action == "add" || e.action == "remove").map(_.path) ++
+        staged).toSet
       fs.listStatus(dd).filter(_.isDirectory).toSeq.flatMap { d =>
         fs.listStatus(d.getPath).filter(_.isFile).toSeq
           .map(f => s"${d.getPath.getName}/${f.getPath.getName}")
@@ -695,6 +878,39 @@ object SnapshotLog {
       val tmp = new Path(s"$root/_tmp_v$v-${
         java.util.UUID.randomUUID.toString.take(8)}")
       asOf(v - 1).filter(col(partCol) === value).filter(keep)
+        .write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
+      val added = adopt(tmp, v)
+      fs.delete(tmp, true)
+      publishOrCleanup(v, victims.map(Entry(v, "remove", _)) ++
+        added.map(Entry(v, "add", _)) ++ statsEntries(v, added), added)
+      buildBlooms(v, added)
+      v
+    }
+
+    /** Row-level DELETE of `col ∈ [lo, hi]` ACROSS partitions: the
+      * copy-on-write blast radius is the ZONE-MAP candidate set —
+      * only files whose recorded [min, max] intersects the range (or
+      * that carry no stats for `col`, kept conservatively) are
+      * rewritten without their matching rows; every file provably
+      * outside the range carries over by log reference, unread and
+      * unmoved. The stats-bounded generalization of
+      * [[commitDeleteWhere]] (which scopes by partition VALUE):
+      * deleting one day from a time-clustered 100 TB table rewrites
+      * that day's files, not the table. A candidate that happens to
+      * contain no matching rows is rewritten as-is — correct, and
+      * bounded by the same candidate set. Deleting a range no file
+      * can contain publishes an empty commit (the version advances,
+      * the fold is unchanged — an honest audit record of the no-op). */
+    def commitDeleteRange(partCol: String, c: String, lo: Long, hi: Long,
+        expectedVersion: Int = -1): Int = {
+      val v = casCheck(expectedVersion)
+      val victims = pruneFiles(v - 1, c, lo, hi)
+      if (victims.isEmpty) { publishSegment(v, Seq.empty); return v }
+      val tmp = new Path(s"$root/_tmp_v$v-${
+        java.util.UUID.randomUUID.toString.take(8)}")
+      spark.read.option("basePath", dataDir)
+        .parquet(victims.map(p => s"$dataDir/$p"): _*)
+        .filter(!col(c).between(lo, hi))
         .write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
       val added = adopt(tmp, v)
       fs.delete(tmp, true)

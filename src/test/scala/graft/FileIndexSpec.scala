@@ -145,6 +145,137 @@ class FileIndexSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("range delete: blast radius is the zone-map candidate set") {
+    q("q_snapshot_delete_range").collect() // force the staged build
+    val t = FileIndex.drStagedTable(spark, sf)
+    val dv = t.version // the delete commit
+    val es = t.entries.filter(_.version == dv)
+    // the 97-06..97-12 band lies inside commit 2's [97-01, 99-01)
+    // batch: ONLY v2- files were rewritten; 1/3/4 carried over unread
+    val removes = es.filter(_.action == "remove")
+    assert(removes.nonEmpty && removes.forall(_.path.contains("/v2-")))
+    assert(es.filter(_.action == "add").forall(_.path.contains(s"/v$dv-")))
+    // row accounting: survivors = pre-delete minus the band
+    val pre = t.asOf(dv - 1)
+    val (lo, hi) = (Wave8.days("1997-06-01"), Wave8.days("1997-12-31"))
+    val band = pre.filter(col("o_date_days").between(lo, hi)).count()
+    assert(band > 0)
+    assert(t.asOf(dv).count() == pre.count() - band)
+    assert(t.asOf(dv)
+      .filter(col("o_date_days").between(lo, hi)).count() == 0)
+    // a range no file can contain: honest no-op commit, fold unchanged
+    val nop = t.withRetry() { exp =>
+      t.commitDeleteRange("o_orderstatus", "o_date_days",
+        -99999L, -99990L, expectedVersion = exp)
+    }
+    assert(t.entries.filter(e => e.version == nop &&
+      (e.action == "add" || e.action == "remove")).isEmpty)
+    assert(t.asOf(nop).count() == t.asOf(dv).count())
+  }
+
+  test("log checkpoint: reads go O(tail), history and stats survive") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ckptlog_spec_").toString
+    val t = new SnapshotLog.Table(spark, root)
+    t.commitAppend((1L to 40L).map(k => (k, "a", k)).toDF("k", "part", "v"),
+      "part")
+    t.commitAppend((41L to 80L).map(k => (k, "a", k)).toDF("k", "part", "v"),
+      "part")
+    t.commitDeleteRange("part", "k", 10L, 20L)
+    val es0 = t.entries
+    val live0 = t.liveFiles(t.version)
+    // checkpoint consolidates verbatim: entries identical
+    assert(t.checkpointLog() == 3)
+    assert(t.entries == es0)
+    // the covered segments are redundant and reclaimable
+    val dropped = t.vacuumLog()
+    assert(dropped == Seq(1, 2, 3))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/log/1.csv")))
+    // reads, version, zone maps, and the change-feed history all
+    // survive on the checkpoint alone
+    assert(t.version == 3)
+    assert(t.entries == es0)
+    assert(t.liveFiles(3) == live0)
+    assert(t.asOf(3).filter(col("k").between(10L, 20L)).count() == 0)
+    assert(t.pruneFiles(3, "k", 1L, 5L).size < live0.size + 1) // stats live
+    assert(t.entries.exists(e => e.version == 1 && e.action == "add"))
+    // the log keeps working past the checkpoint
+    t.commitAppend(Seq((100L, "a", 100L)).toDF("k", "part", "v"), "part")
+    assert(t.version == 4 && t.asOf(4).count() == t.asOf(3).count() + 1)
+    // idempotent re-checkpoint at a new version
+    assert(t.checkpointLog() == 4)
+    assert(t.vacuumLog() == Seq(4))
+    assert(t.asOf(4).count() == 80L - 11L + 1L) // appends − band + late row
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
+  test("write-audit-publish: staged batches are invisible until published") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_wap_spec_").toString
+    val t = new SnapshotLog.Table(spark, root)
+    t.commitAppend((1L to 30L).map(k => (k, "a", k)).toDF("k", "part", "v"),
+      "part")
+    val n1 = t.asOf(1).count()
+    // stage: files land, nothing logical changes
+    t.stageAppend((31L to 40L).map(k => (k, "a", k)).toDF("k", "part", "v"),
+      "part", "br1")
+    assert(t.version == 1 && t.asOf(1).count() == n1)
+    // staged files are known, not orphans — cleanOrphans must not eat
+    // an in-flight WAP batch
+    assert(t.orphanFiles().isEmpty)
+    // audit reads exactly the staged rows
+    assert(t.stagedRead("br1").count() == 10)
+    // double-stage on the same branch is refused
+    intercept[IllegalArgumentException] {
+      t.stageAppend(Seq((99L, "a", 9L)).toDF("k", "part", "v"),
+        "part", "br1")
+    }
+    // publish: the batch becomes one real commit, CAS-protected
+    val v2 = t.publishStaged("br1")
+    assert(v2 == 2 && t.asOf(2).count() == n1 + 10)
+    assert(t.entries.exists(e => e.version == 2 && e.action == "stats"))
+    // drop path: a rejected batch vanishes without a version
+    t.stageAppend(Seq((777L, "a", 7L)).toDF("k", "part", "v"),
+      "part", "bad")
+    val dropped = t.dropStaged("bad")
+    assert(dropped.nonEmpty && t.version == 2)
+    assert(t.asOf(2).filter(col("k") === 777L).count() == 0)
+    assert(t.orphanFiles().isEmpty) // drop reclaimed the bytes
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
+  test("timestamp travel resolves to the last commit at or before t") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ts_spec_").toString
+    val t = new SnapshotLog.Table(spark, root)
+    val t0 = System.currentTimeMillis
+    Thread.sleep(5)
+    t.commitAppend(Seq((1L, "a", 1L)).toDF("k", "part", "v"), "part")
+    Thread.sleep(5)
+    val t1 = System.currentTimeMillis
+    Thread.sleep(5)
+    t.commitAppend(Seq((2L, "a", 2L)).toDF("k", "part", "v"), "part")
+    Thread.sleep(5)
+    val t2 = System.currentTimeMillis
+    assert(t.versionAsOfTimestamp(t1) == 1)
+    assert(t.versionAsOfTimestamp(t2) == 2)
+    assert(t.asOfTimestamp(t1).count() == 1)
+    assert(t.asOfTimestamp(t2).count() == 2)
+    // before the table existed: loud failure, never version 1
+    intercept[IllegalArgumentException] { t.versionAsOfTimestamp(t0) }
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("cdf tail equals the last commit of the full feed") {
     // the tail (startingVersion = 2) must be the v3 slice of the full
     // feed: deletes of all clicks, reinserts of the cheap ones — and

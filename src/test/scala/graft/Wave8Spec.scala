@@ -14,11 +14,12 @@ class Wave8Spec extends SparkSpec {
     assert(t.version == 4)
     val es = t.entries
     // v3 removed the F partition without writing a single file
-    val v3 = es.filter(_.version == 3)
+    val v3 = es.filter(e => e.version == 3 && e.action != "meta")
     assert(v3.nonEmpty && v3.forall(_.action == "remove"))
     assert(v3.forall(_.path.startsWith("o_orderstatus=F/")))
     // v4 (COW) rewrote only inside the O partition
-    val v4 = es.filter(_.version == 4)
+    val v4 = es.filter(e => e.version == 4 &&
+      (e.action == "add" || e.action == "remove" || e.action == "stats"))
     assert(v4.exists(_.action == "remove") && v4.exists(_.action == "add"))
     assert(v4.forall(_.path.startsWith("o_orderstatus=O/")))
     // appends never remove
