@@ -145,6 +145,10 @@ object Explain {
     val normalized = sb.toString
       .replaceAll("(graft_[a-z0-9_]*?_)[0-9a-f]{16}", "$1STAGETAG")
       .replaceAll("(graft_[a-z0-9_]*?_)[0-9]{6,}", "$1TMPTAG")
+      // task-UUID leaf names inside staged layouts differ per build
+      .replaceAll(
+        "part-[0-9]{5}-[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-" +
+          "[0-9a-f]{12}", "part-NNNNN-UUID")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), normalized)
     println(s"[explain] wrote $out (${headline.size} plans)")
     spark.stop()

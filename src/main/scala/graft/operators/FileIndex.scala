@@ -153,7 +153,7 @@ object FileIndex {
       spark: SparkSession, dir: String): SnapshotLog.Table = {
     val factPath = java.nio.file.Paths.get(s"$dir/orders.parquet")
       .toAbsolutePath.toString
-    val root = graft.util.Staging.dir("graft_snapdr_", s"$factPath|dr_v1")
+    val root = graft.util.Staging.dir("graft_snapdr_", s"$factPath|dr_v2")
     val t = new SnapshotLog.Table(spark, root)
     val marker = new Path(s"$root/_BUILT")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -148,7 +148,9 @@ class FileIndexSpec extends SparkSpec {
   test("range delete: blast radius is the zone-map candidate set") {
     q("q_snapshot_delete_range").collect() // force the staged build
     val t = FileIndex.drStagedTable(spark, sf)
-    val dv = t.version // the delete commit
+    // the delete commit = the last version with remove entries (the
+    // staged fixture is shared and append-only across spec runs)
+    val dv = t.entries.filter(_.action == "remove").map(_.version).max
     val es = t.entries.filter(_.version == dv)
     // the 97-06..97-12 band lies inside commit 2's [97-01, 99-01)
     // batch: ONLY v2- files were rewritten; 1/3/4 carried over unread
@@ -163,14 +165,22 @@ class FileIndexSpec extends SparkSpec {
     assert(t.asOf(dv).count() == pre.count() - band)
     assert(t.asOf(dv)
       .filter(col("o_date_days").between(lo, hi)).count() == 0)
-    // a range no file can contain: honest no-op commit, fold unchanged
-    val nop = t.withRetry() { exp =>
-      t.commitDeleteRange("o_orderstatus", "o_date_days",
-        -99999L, -99990L, expectedVersion = exp)
-    }
-    assert(t.entries.filter(e => e.version == nop &&
+    // a range no file can contain: honest no-op commit, fold
+    // unchanged — on a SCRATCH table (the staged fixture is shared;
+    // mutating it would shift later runs' version numbering)
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_droprange_nop_").toString
+    val s = new SnapshotLog.Table(spark, root)
+    s.commitAppend(Seq((1L, "a", 5L)).toDF("k", "part", "v"), "part")
+    val nop = s.commitDeleteRange("part", "v", -99L, -90L)
+    assert(nop == 2)
+    assert(s.entries.filter(e => e.version == nop &&
       (e.action == "add" || e.action == "remove")).isEmpty)
-    assert(t.asOf(nop).count() == t.asOf(dv).count())
+    assert(s.asOf(nop).count() == 1)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
   }
 
   test("log checkpoint: reads go O(tail), history and stats survive") {
