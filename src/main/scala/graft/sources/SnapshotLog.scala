@@ -351,6 +351,7 @@ object SnapshotLog {
       val lines = stagedEntries(branch).map(e => e.copy(version = v))
       publishSegment(v, lines)
       fs.delete(stagedPath(branch), false)
+      buildBlooms(v, lines.filter(_.action == "add").map(_.path))
       v
     }
 
@@ -483,9 +484,10 @@ object SnapshotLog {
       }.toMap
       val seg = split(input_file_name(), "/")
       val rel = concat_ws("/", element_at(seg, -2), element_at(seg, -1))
-      val mExpr = element_at(
-        map(mByFile.toSeq.flatMap { case (p, m) =>
-          Seq(lit(p), lit(m)) }: _*), rel)
+      // file -> m as a broadcast join, not a literal map expression: a
+      // thousand-file commit must not inflate the plan itself
+      import spark.implicits._
+      val mDf = broadcast(mByFile.toSeq.toDF("__f", "__m"))
       val conf = new org.apache.spark.util.SerializableConfiguration(
         hadoopConf)
       val idxRoot = s"$root/index"
@@ -501,7 +503,7 @@ object SnapshotLog {
           col("__m")))
         val words = df
           .select(rel.as("__f"), col(c)).where(col(c).isNotNull)
-          .withColumn("__m", mExpr)
+          .join(mDf, Seq("__f"))
           .select(col("__f"), col("__m"),
             explode(array(poss: _*)).as("__p"))
           .select(col("__f"), col("__m"),
@@ -545,7 +547,13 @@ object SnapshotLog {
       * commits, unindexed columns, crashed index build) are kept
       * conservatively. The complement of [[pruneFiles]]: a point
       * lookup on a key UNCORRELATED with ingest order prunes here and
-      * nowhere else. */
+      * nowhere else. Planning cost is one sidecar read per live file
+      * (driver-side, kilobytes each); at very large file counts the
+      * consult belongs executor-side (ship candidate sidecars with a
+      * custom FileIndex and test during the scan, as production
+      * formats do) — the sidecar layout already supports that move,
+      * and composing with [[pruneFiles]] first bounds the candidate
+      * set whenever any range column correlates with the key. */
     def pointLookupFiles(v: Int, c: String, keys: Seq[Long]):
         Seq[String] = {
       val hs = keyHashes(keys).values.toSeq

@@ -228,7 +228,7 @@ class FileIndexSpec extends SparkSpec {
     import graft.sources.SnapshotLog
     val root = java.nio.file.Files
       .createTempDirectory("graft_wap_spec_").toString
-    val t = new SnapshotLog.Table(spark, root)
+    val t = new SnapshotLog.Table(spark, root, bloomCols = Seq("k"))
     t.commitAppend((1L to 30L).map(k => (k, "a", k)).toDF("k", "part", "v"),
       "part")
     val n1 = t.asOf(1).count()
@@ -250,6 +250,10 @@ class FileIndexSpec extends SparkSpec {
     val v2 = t.publishStaged("br1")
     assert(v2 == 2 && t.asOf(2).count() == n1 + 10)
     assert(t.entries.exists(e => e.version == 2 && e.action == "stats"))
+    // published batches get their bloom sidecars like any commit
+    t.liveFiles(2).filter(_.contains(s"/bbr1-")).foreach(p =>
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$root/index/$p.k.bloom"))))
     // drop path: a rejected batch vanishes without a version
     t.stageAppend(Seq((777L, "a", 7L)).toDF("k", "part", "v"),
       "part", "bad")
