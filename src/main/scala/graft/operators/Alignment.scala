@@ -48,7 +48,82 @@ object Alignment {
     s"""SELECT doc_id, source, ${duckKeyHash("doc_id")} AS kh,
        |  $duckScore AS score_fp FROM documents""".stripMargin
 
+  /** pass@k k values: exact 64-bit falling factorials at this
+    * fixture's n ≤ 86 samples per task (perm(86, 8) ≈ 2.6e15, and the
+    * corpus-wide sums stay far below Long range even at 100× tasks). */
+  private val PassKs = Seq(1, 4, 8)
+
+  /** Falling factorial perm(a, k) = a·(a−1)·…·(a−k+1), clamped so
+    * a < k yields 0 — exactly the "no all-incorrect k-subset exists"
+    * case where pass@k is certainly 1. Integer-exact, unrolled per k. */
+  private def perm(a: org.apache.spark.sql.Column, k: Int) =
+    (0 until k).map(j => greatest(a - lit(j.toLong), lit(0L)))
+      .reduce(_ * _)
+
+  private def permSql(a: String, k: Int): String =
+    (0 until k).map(j => s"greatest($a - $j, CAST(0 AS BIGINT))")
+      .mkString(" * ")
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ---- unbiased pass@k sufficient statistics: per task (user), n
+    //      samples of which c are correct; the Chen-et-al. estimator
+    //      pass@k = 1 − C(n−c,k)/C(n,k) = 1 − perm(n−c,k)/perm(n,k).
+    //      Per-k output carries the EXACT integer sufficient
+    //      statistics — Σ perm(n−c,k), Σ perm(n,k), the task count,
+    //      and the certainly-solved count (perm(n−c,k) = 0 ⇔ fewer
+    //      than k incorrect samples exist) — instead of a float mean,
+    //      because a cross-task mean of rationals has no
+    //      order-independent IEEE form and this engine's parity
+    //      discipline forbids order-dependent double sums. One
+    //      mergeable aggregate pass over the completion log per k;
+    //      the falling factorials are integer products inside codegen.
+    QueryDef.checked(
+      "q_pass_at_k", {
+        val per =
+          """per_u AS (
+            |  SELECT user_id, count(*) AS n,
+            |    count(*) FILTER (WHERE event_type = 'click'
+            |      AND CAST(round(value * 100) AS BIGINT) >= 5000) AS c
+            |  FROM events GROUP BY user_id
+            |)""".stripMargin
+        val arms = PassKs.map { k =>
+          s"""SELECT CAST($k AS BIGINT) AS k,
+             |  CAST(count(*) AS BIGINT) AS n_tasks,
+             |  CAST(count(*) FILTER (WHERE ${permSql("n - c", k)} = 0)
+             |    AS BIGINT) AS n_certain,
+             |  CAST(sum(CAST(${permSql("n - c", k)} AS DECIMAL(38,0)))
+             |    AS DECIMAL(38,0)) AS sum_keep,
+             |  CAST(sum(CAST(${permSql("n", k)} AS DECIMAL(38,0)))
+             |    AS DECIMAL(38,0)) AS sum_all
+             |FROM per_u WHERE n >= $k""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"WITH $per\n$arms\nORDER BY k"
+      }) { (spark, dir) =>
+      val cents = expr("CAST(round(value * 100) AS BIGINT)")
+      val per = Tables(spark, dir).events
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "click" && cents >= 5000L, 1L)
+            .otherwise(0L)).as("c"))
+        .localCheckpoint() // one log pass feeds all three k arms
+      PassKs.map { k =>
+        per.filter(col("n") >= k).agg(
+          count(lit(1)).as("n_tasks"),
+          sum(when(perm(col("n") - col("c"), k) === 0L, 1L).otherwise(0L))
+            .as("n_certain"),
+          sum(perm(col("n") - col("c"), k)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            .as("sum_keep"),
+          sum(perm(col("n"), k)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            .as("sum_all"))
+          .select(lit(k.toLong).as("k"), col("n_tasks"),
+            col("n_certain"), col("sum_keep"), col("sum_all"))
+      }.reduce(_ unionByName _).orderBy("k")
+    },
 
     // ---- DPO pair construction: hash documents into 50 prompt groups,
     //      emit (chosen, rejected) = (arg-max, arg-min) score per group

@@ -85,4 +85,44 @@ class AlignmentSpec extends SparkSpec {
         u * 1000000L / math.max(d, 1L))
     }
   }
+
+  test("pass@k: statistics reproduce the brute-force estimator") {
+    val rows = q("q_pass_at_k").collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("n_tasks"), r.getAs[Long]("n_certain"),
+          BigInt(r.getAs[java.math.BigDecimal]("sum_keep").toBigInteger),
+          BigInt(r.getAs[java.math.BigDecimal]("sum_all").toBigInteger)))
+      .toMap
+    assert(rows.keySet == Set(1L, 4L, 8L))
+    // brute-force per-task recompute from the raw log
+    val cents = expr("CAST(round(value * 100) AS BIGINT)")
+    val per = Tables(spark, sf).events.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "click" && cents >= 5000L, 1L)
+          .otherwise(0L)).as("c"))
+      .collect().map(r => (r.getAs[Long]("n"), r.getAs[Long]("c")))
+    def permL(a: Long, k: Int): Long =
+      (0 until k).map(j => math.max(a - j, 0L)).product
+    Seq(1, 4, 8).foreach { k =>
+      val tasks = per.filter(_._1 >= k)
+      val (nT, nC, sK, sA) = rows(k.toLong)
+      assert(nT == tasks.length)
+      assert(nC == tasks.count { case (n, c) => n - c < k })
+      assert(sK == tasks.map { case (n, c) => BigInt(permL(n - c, k)) }.sum)
+      assert(sA == tasks.map { case (n, _) => BigInt(permL(n, k)) }.sum)
+      // derived mean pass@k is a probability and grows with k
+      val mean = 1.0 - tasks.map { case (n, c) =>
+        permL(n - c, k).toDouble / permL(n, k) }.sum / tasks.length
+      assert(mean >= 0.0 && mean <= 1.0)
+      if (k > 1) {
+        val mean1 = 1.0 - tasks.map { case (n, c) =>
+          permL(n - c, 1).toDouble / permL(n, 1) }.sum / tasks.length
+        assert(mean >= mean1 - 1e-12) // pass@k ≥ pass@1 on the same tasks
+      }
+    }
+    // headroom: each TERM stays well inside a long (the sums ride
+    // DECIMAL(38,0), exact to ~1e22 tasks)
+    val maxN = per.map(_._1).max
+    assert(permL(maxN, 8) < Long.MaxValue / 1000L)
+  }
 }
