@@ -54,7 +54,8 @@ class SnapshotCdfSource extends TableProvider {
       properties: util.Map[String, String]): Table =
     new SnapshotCdfTable(properties.get("path"),
       properties.get("partCol"), properties.get("schema.ddl"),
-      Option(properties.get("startingVersion")))
+      Option(properties.get("startingVersion")),
+      Option(properties.get("maxVersionsPerTrigger")).map(_.toInt))
 }
 
 object SnapshotCdfSource {
@@ -70,7 +71,8 @@ object SnapshotCdfSource {
 }
 
 final class SnapshotCdfTable(root: String, partCol: String, ddl: String,
-    startingVersion: Option[String] = None)
+    startingVersion: Option[String] = None,
+    maxVersionsPerTrigger: Option[Int] = None)
     extends Table with SupportsRead {
   override def name(): String = s"snapshot_cdf($root)"
   override def schema(): StructType =
@@ -82,7 +84,8 @@ final class SnapshotCdfTable(root: String, partCol: String, ddl: String,
       override def build(): Scan = this
       override def readSchema(): StructType = schema()
       override def toMicroBatchStream(ckpt: String): MicroBatchStream =
-        new SnapshotCdfStream(root, partCol, ddl, startingVersion)
+        new SnapshotCdfStream(root, partCol, ddl, startingVersion,
+          maxVersionsPerTrigger)
     }
 }
 
@@ -92,10 +95,26 @@ final case class VersionOffset(v: Int) extends Offset {
 }
 
 final class SnapshotCdfStream(root: String, partCol: String, ddl: String,
-    startingVersion: Option[String] = None)
+    startingVersion: Option[String] = None,
+    maxVersionsPerTrigger: Option[Int] = None)
     extends MicroBatchStream {
   private def spark = org.apache.spark.sql.SparkSession.active
   private def table = new SnapshotLog.Table(spark, root)
+
+  /** Admission control base: the furthest offset this stream has
+    * already PLANNED (or replayed from the checkpoint), so
+    * `maxVersionsPerTrigger` can rate-limit a backlogged consumer to
+    * that many COMMITS per micro-batch instead of swallowing all
+    * history in one batch — the maxFilesPerTrigger of this source, and
+    * what keeps an incremental consumer (e.g. streaming MV
+    * maintenance) incremental on catch-up. Tracked at plan time, not
+    * commit time: the engine may ask for the next latest offset before
+    * it durably commits the previous batch, and a base that lags makes
+    * the stream look caught-up and stop early. */
+  @volatile private var rateBase: Option[Int] = None
+  private def raiseBase(v: Int): Unit = synchronized {
+    rateBase = Some(math.max(v, rateBase.getOrElse(v)))
+  }
 
   /** A NEW consumer (no checkpoint) starts after `startingVersion`:
     * a number v means "deliver commits > v"; "latest" resolves the
@@ -110,10 +129,28 @@ final class SnapshotCdfStream(root: String, partCol: String, ddl: String,
     case Some("latest") => VersionOffset(table.version)
     case Some(v)        => VersionOffset(v.toInt)
   }
-  override def latestOffset(): Offset = VersionOffset(table.version)
-  override def deserializeOffset(json: String): Offset =
-    VersionOffset(json.toInt)
-  override def commit(end: Offset): Unit = ()
+  override def latestOffset(): Offset = {
+    val v = table.version
+    maxVersionsPerTrigger match {
+      case None => VersionOffset(v)
+      case Some(max) =>
+        val base = rateBase.getOrElse(
+          initialOffset().asInstanceOf[VersionOffset].v)
+        val end = math.min(v, base + max)
+        raiseBase(end) // this offset WILL be planned; never re-offer it
+        VersionOffset(end)
+    }
+  }
+  override def deserializeOffset(json: String): Offset = {
+    val v = json.toInt
+    // a checkpointed offset replayed at restart is a floor for the
+    // rate-limit base — without this, latestOffset() could plan below
+    // the resume point and stall a maxVersionsPerTrigger stream
+    raiseBase(v)
+    VersionOffset(v)
+  }
+  override def commit(end: Offset): Unit =
+    raiseBase(end.asInstanceOf[VersionOffset].v)
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset):

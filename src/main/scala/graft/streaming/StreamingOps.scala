@@ -1137,6 +1137,86 @@ object StreamingOps {
         .orderBy("event_type").localCheckpoint()
       org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
       out
+    },
+
+    // ---- streaming materialized-view maintenance from the change
+    //      feed: the round's storage pieces composed end-to-end. The
+    //      CDF source streams a snapshot-log table's commits
+    //      (maxVersionsPerTrigger = 1, so each COMMIT is its own
+    //      micro-batch — genuinely incremental, never a
+    //      swallow-all-history batch); each batch folds its row-level
+    //      inserts/deletes into a per-group delta (±cents, ±1) and
+    //      MERGEs it into a summary snapshot table keyed by the group
+    //      — COW touches only the partitions of touched groups. The
+    //      in-query require proves one summary commit per source
+    //      commit; the oracle recomputes the final summary from the
+    //      raw events by predicate algebra, so a missed delta, a
+    //      double-applied batch, or a sign error on deletes flips the
+    //      hash. This is the IVM loop production tables run: CDC in,
+    //      incrementally-maintained aggregate out, both transactional.
+    QueryDef.checked(
+      "q_stream_mv_maintain",
+      """WITH final AS (
+        |  SELECT event_type AS et,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE NOT (event_type = 'click'
+        |    AND CAST(round(value * 100) AS BIGINT) > 25000)
+        |)
+        |SELECT et AS event_type, count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM final GROUP BY et ORDER BY et""".stripMargin) { (spark, dir) =>
+      val src = graft.operators.Wave8.cdfStagedTable(spark, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_mvm_")
+      val summary = new graft.sources.SnapshotLog.Table(
+        spark, base.resolve("summary").toString)
+      val feed = spark.readStream
+        .format("graft.sources.SnapshotCdfSource")
+        .option("path", src.root)
+        .option("partCol", "event_type")
+        .option("schema.ddl", "user_id LONG, cents LONG")
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+      withStreamConfs(spark, noDataBatches = false, extra = Nil) {
+        val q = feed.writeStream
+          .foreachBatch { (bdf: DataFrame, _: Long) =>
+            if (!bdf.isEmpty) {
+              val delta = bdf.groupBy("event_type").agg(
+                sum(when(col("_change") === "insert", col("cents"))
+                  .otherwise(-col("cents"))).cast("long").as("d_cents"),
+                sum(when(col("_change") === "insert", 1L).otherwise(-1L))
+                  .as("d_rows"))
+              val merged =
+                if (summary.version == 0)
+                  delta.select(col("event_type"),
+                    col("d_rows").as("n_rows"),
+                    col("d_cents").as("sum_cents"))
+                else delta.join(summary.asOf(summary.version),
+                    Seq("event_type"), "left")
+                  .select(col("event_type"),
+                    (coalesce(col("n_rows"), lit(0L)) + col("d_rows"))
+                      .as("n_rows"),
+                    (coalesce(col("sum_cents"), lit(0L)) + col("d_cents"))
+                      .as("sum_cents"))
+              if (summary.version == 0)
+                summary.commitAppend(merged, "event_type")
+              else summary.commitMerge(merged, "event_type", "event_type")
+            }
+            ()
+          }
+          .option("checkpointLocation", base.resolve("ckpt").toString)
+          .start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      }
+      // incrementality conviction: one summary commit per source commit
+      require(summary.version == src.version,
+        s"expected ${src.version} incremental merges, " +
+          s"got ${summary.version}")
+      val out = summary.asOf(summary.version)
+        .select("event_type", "n_rows", "sum_cents")
+        .orderBy("event_type").localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      out
     }
   )
 }

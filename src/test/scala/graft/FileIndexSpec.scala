@@ -290,6 +290,41 @@ class FileIndexSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("cdf rate limit: a backlog drains one commit per micro-batch") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val base = java.nio.file.Files.createTempDirectory("graft_cdfrl_")
+    val t = new SnapshotLog.Table(spark, base.resolve("tbl").toString)
+    (1 to 3).foreach { i =>
+      t.commitAppend(Seq((i.toLong, "a", i.toLong))
+        .toDF("k", "part", "v"), "part")
+    }
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    val q = spark.readStream
+      .format("graft.sources.SnapshotCdfSource")
+      .option("path", t.root).option("partCol", "part")
+      .option("schema.ddl", "k LONG, v LONG")
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream
+      .foreachBatch {
+        (bdf: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!bdf.isEmpty)
+            batches.add(bdf.select("_version").distinct()
+              .collect().map(_.getLong(0)).toSeq.sorted)
+          ()
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    import scala.jdk.CollectionConverters._
+    val got = batches.asScala.toSeq
+    // the 3-commit backlog arrives as 3 single-commit batches, in order
+    assert(got == Seq(Seq(1L), Seq(2L), Seq(3L)), got.toString)
+    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
   test("cdf tail equals the last commit of the full feed") {
     // the tail (startingVersion = 2) must be the v3 slice of the full
     // feed: deletes of all clicks, reinserts of the cheap ones — and
