@@ -170,12 +170,19 @@ object SnapshotLog {
 
     /** Delete segment files covered by the latest checkpoint (their
       * entries live verbatim in the checkpoint; history and provenance
-      * are unchanged). Returns the deleted segment versions. */
+      * are unchanged), plus any SUPERSEDED checkpoints — the latest one
+      * subsumes them. Returns the deleted segment versions. */
     def vacuumLog(): Seq[Int] = latestCheckpoint match {
       case None => Seq.empty
       case Some((cv, _)) =>
         val victims = segments.filter(_._1 <= cv)
         victims.foreach { case (_, p) => fs.delete(p, false) }
+        fs.listStatus(logDir).toSeq.map(_.getPath)
+          .filter { p =>
+            p.getName.endsWith(".ckpt") &&
+              p.getName.stripSuffix(".ckpt").toIntOption.exists(_ < cv)
+          }
+          .foreach(p => fs.delete(p, false))
         victims.map(_._1)
     }
 

@@ -215,9 +215,14 @@ class FileIndexSpec extends SparkSpec {
     // the log keeps working past the checkpoint
     t.commitAppend(Seq((100L, "a", 100L)).toDF("k", "part", "v"), "part")
     assert(t.version == 4 && t.asOf(4).count() == t.asOf(3).count() + 1)
-    // idempotent re-checkpoint at a new version
+    // idempotent re-checkpoint at a new version; the superseded
+    // checkpoint is reclaimed with the covered segment
     assert(t.checkpointLog() == 4)
     assert(t.vacuumLog() == Seq(4))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/log/3.ckpt")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/log/4.ckpt")))
     assert(t.asOf(4).count() == 80L - 11L + 1L) // appends − band + late row
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(root))
