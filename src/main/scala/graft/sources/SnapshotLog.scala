@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -746,7 +746,8 @@ object SnapshotLog {
         r.getFooter.getBlocks.asScala.foreach { b =>
           b.getColumns.asScala.foreach { c =>
             val name = c.getPath.toDotString
-            val s = c.getStatistics
+            val s: org.apache.parquet.column.statistics.Statistics[_] =
+              c.getStatistics
             val pt = c.getPrimitiveType.getPrimitiveTypeName
             val usable = s != null && s.hasNonNullValue
             (pt, usable) match {

@@ -172,7 +172,7 @@ class TimerSessionProcessor(gapUs: Long)
       info: ExpiredTimerInfo): Iterator[SessRow] = {
     if (!st.exists()) return Iterator.empty
     val s = st.get()
-    if (info.getExpiryTimeInMs >= expiryMs(s.lastUs)) {
+    if (info.getExpiryTimeInMs() >= expiryMs(s.lastUs)) {
       st.clear()
       Iterator.single(SessRow(key, s.startUs, s.lastUs, s.n, s.cents))
     } else Iterator.empty // stale timer; the session was extended since

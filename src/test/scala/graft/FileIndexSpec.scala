@@ -270,6 +270,45 @@ class FileIndexSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("WAP under concurrency: publish lands after interleaved commits") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_wapc_spec_").toString
+    val t = new SnapshotLog.Table(spark, root)
+    val other = new SnapshotLog.Table(spark, root)
+    t.commitAppend(Seq((1L, "a", 1L)).toDF("k", "part", "v"), "part")
+    // two branches staged against version 1
+    t.stageAppend(Seq((10L, "a", 10L)).toDF("k", "part", "v"), "part", "x")
+    t.stageAppend(Seq((20L, "a", 20L)).toDF("k", "part", "v"), "part", "y")
+    // a THIRD writer commits normally while both sit staged
+    other.commitAppend(Seq((2L, "a", 2L)).toDF("k", "part", "v"), "part")
+    // each publish re-stamps to the version current AT PUBLISH TIME
+    val vx = t.publishStaged("x")
+    val vy = t.publishStaged("y")
+    assert(vx == 3 && vy == 4)
+    // entries carry the re-stamped versions, including their stats
+    assert(t.entries.filter(_.version == vx).exists(_.action == "add"))
+    assert(t.entries.filter(_.version == vx).exists(_.action == "stats"))
+    assert(t.asOf(4).count() == 4)
+    // zone maps recorded at stage time survive re-stamping: the
+    // k=20 batch's file is prunable by range
+    val hit = t.pruneFiles(4, "k", 20L, 20L)
+    assert(hit.exists(_.contains("by-")) && hit.size < t.liveFiles(4).size)
+    // time travel: version 2 (the interleaved commit) never saw
+    // either staged batch
+    assert(t.asOf(2).count() == 2)
+    // a stale expectedVersion on publish fails loudly, batch intact
+    t.stageAppend(Seq((30L, "a", 30L)).toDF("k", "part", "v"), "part", "z")
+    intercept[java.util.ConcurrentModificationException] {
+      t.publishStaged("z", expectedVersion = 1)
+    }
+    assert(t.stagedRead("z").count() == 1) // still publishable
+    assert(t.withRetry()(exp => t.publishStaged("z", exp)) == 5)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("timestamp travel resolves to the last commit at or before t") {
     import spark.implicits._
     import graft.sources.SnapshotLog
