@@ -37,6 +37,61 @@ object Learning {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // ---- factorized learning over a join (the LMFAO/AC-DC move):
+    //      regression sufficient statistics for y = order price vs
+    //      x = customer account balance over orders ⋈ customer,
+    //      computed WITHOUT materializing the join — the fact side
+    //      reduces to per-customer partials (n_c, Σy, Σy²) first, the
+    //      dim side joins AFTER, and every cross moment distributes
+    //      through the 1:N join algebra: Σxy = Σ_c x_c·Σy_c,
+    //      Σx² = Σ_c n_c·x_c². At 100 TB the join input is |customers|
+    //      rows instead of |orders| — the shuffle the factorization
+    //      deletes is exactly the one a naive join-then-aggregate
+    //      plan pays. All moments are exact integers in DECIMAL(38,0)
+    //      (cents² terms reach ~4e15 per row; 64-bit sums would
+    //      overflow near 10⁴ rows). The oracle computes the SAME
+    //      statistics from the explicitly materialized join, so the
+    //      hash match IS the factorization-correctness proof.
+    QueryDef.checked(
+      "q_factorized_regression",
+      """WITH j AS (
+        |  SELECT CAST(round(o.o_totalprice * 100) AS BIGINT) AS y,
+        |    CAST(round(c.c_acctbal * 100) AS BIGINT) AS x
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+        |  CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+        |  CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+        |  CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+        |  CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+        |FROM j""".stripMargin) { (spark, dir) =>
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val t = Tables(spark, dir)
+      val y = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+      // fact side first: per-customer partials, one keyed aggregate
+      val perCust = t.orders
+        .select(col("o_custkey"), y.as("y"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_c"),
+          sum(col("y").cast(dec)).as("sy_c"),
+          sum((col("y") * col("y")).cast(dec)).as("syy_c"))
+      val cust = t.customer.select(col("c_custkey"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("x"))
+      perCust
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .agg(
+          sum(col("n_c")).cast("long").as("n"),
+          sum((col("n_c") * col("x")).cast(dec)).cast(dec).as("sx"),
+          sum(col("sy_c")).cast(dec).as("sy"),
+          sum((col("n_c") * col("x") * col("x")).cast(dec)).cast(dec)
+            .as("sxx"),
+          sum((col("x").cast(dec) * col("sy_c")).cast(dec)).cast(dec)
+            .as("sxy"),
+          sum(col("syy_c")).cast(dec).as("syy"))
+        .select("n", "sx", "sy", "sxx", "sxy", "syy")
+    },
+
     // ---- Bradley-Terry skill fit (2 MM iterations) over event-type
     //      "matches": consecutive events of one user with different
     //      types form a comparison; larger value wins (tie → earlier

@@ -116,4 +116,35 @@ class LearningSpec extends SparkSpec {
       assert(r.getAs[Long]("d1") < r.getAs[Long]("d2"))
     }
   }
+
+  test("factorized regression: aggregates run below the join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val df = q("q_factorized_regression")
+    // structural factorization proof: the optimized plan's join takes
+    // an ALREADY-AGGREGATED fact side — |customers| rows meet the dim,
+    // never |orders|
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.size == 1)
+    assert(joins.head.children.exists(side =>
+      side.collectFirst { case a: Aggregate => a }.isDefined),
+      "expected a pre-join aggregate on the fact side")
+    // value proof: identical to the brute-force join-then-aggregate
+    val r = df.collect().head
+    val t = Tables(spark, sf)
+    val j = t.orders.select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("y"))
+      .join(t.customer.select(col("c_custkey"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("x")),
+        col("o_custkey") === col("c_custkey"))
+      .select("x", "y").collect()
+      .map(row => (BigInt(row.getLong(0)), BigInt(row.getLong(1))))
+    def big(c: String) =
+      BigInt(r.getAs[java.math.BigDecimal](c).toBigInteger)
+    assert(r.getAs[Long]("n") == j.length)
+    assert(big("sx") == j.map(_._1).sum)
+    assert(big("sy") == j.map(_._2).sum)
+    assert(big("sxx") == j.map(p => p._1 * p._1).sum)
+    assert(big("sxy") == j.map(p => p._1 * p._2).sum)
+    assert(big("syy") == j.map(p => p._2 * p._2).sum)
+  }
 }
