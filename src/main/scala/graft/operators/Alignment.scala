@@ -93,9 +93,9 @@ object Alignment {
              |  CAST(count(*) FILTER (WHERE ${permSql("n - c", k)} = 0)
              |    AS BIGINT) AS n_certain,
              |  CAST(sum(CAST(${permSql("n - c", k)} AS DECIMAL(38,0)))
-             |    AS DECIMAL(38,0)) AS sum_keep,
+             |    AS VARCHAR) AS sum_keep,
              |  CAST(sum(CAST(${permSql("n", k)} AS DECIMAL(38,0)))
-             |    AS DECIMAL(38,0)) AS sum_all
+             |    AS VARCHAR) AS sum_all
              |FROM per_u WHERE n >= $k""".stripMargin
         }.mkString("\nUNION ALL\n")
         s"WITH $per\n$arms\nORDER BY k"
@@ -112,14 +112,16 @@ object Alignment {
           count(lit(1)).as("n_tasks"),
           sum(when(perm(col("n") - col("c"), k) === 0L, 1L).otherwise(0L))
             .as("n_certain"),
+          // Emitted as DECIMAL(38,0)→string: the sums exceed 2^53
+          // (sum_all@k=8 ≈ 6e16 at sf0.1), the float64-exact bound of
+          // the driver's hash canonicalization — the digit string is
+          // value-identical in both engines and hash-stable.
           sum(perm(col("n") - col("c"), k)
             .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0))
-            .as("sum_keep"),
+            .cast("string").as("sum_keep"),
           sum(perm(col("n"), k)
             .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0))
-            .as("sum_all"))
+            .cast("string").as("sum_all"))
           .select(lit(k.toLong).as("k"), col("n_tasks"),
             col("n_certain"), col("sum_keep"), col("sum_all"))
       }.reduce(_ unionByName _).orderBy("k")

@@ -203,14 +203,27 @@ object Clusters {
     //      then pairs form by self-joining on the customer (each shared
     //      customer contributes one pair instance; the count IS the
     //      intersection size) and |union| = deg(a) + deg(b) − |∩|.
-    //      Scale: the self-join shuffles on customer id; a celebrity
-    //      customer (one connected to everything) is the skew risk and
-    //      gets capped/salted exactly like any hot join key.
+    //      Scale: the self-join shuffles on customer id and expands
+    //      Σ_c deg(c)² pairs, so a celebrity customer is quadratic on
+    //      ONE task — hub customers above degree 30 leave the graph
+    //      BEFORE the self-join (the q_resource_allocation guard;
+    //      degrees and Jaccard are then consistently those of the
+    //      capped graph, and n_common ≤ min(deg) still holds).
+    //      Measured candidate growth (Σd², capped): 0.35M at sf0.01 →
+    //      2.3M at sf0.1, ~6.6× per 10× corpus vs 15× uncapped — the
+    //      cap is what keeps the expansion sub-quadratic at 100 TB.
     QueryDef.checked(
       "q_graph_jaccard",
-      """WITH e AS (
+      """WITH e0 AS (
         |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
         |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |), cdeg AS (
+        |  SELECT c, count(*) AS dc FROM e0 GROUP BY c
+        |), e AS (
+        |  -- hub cap: customers with > 30 distinct suppliers are dropped
+        |  -- before the quadratic self-join (mirrored in the engine)
+        |  SELECT e0.s, e0.c FROM e0 JOIN cdeg ON cdeg.c = e0.c
+        |  WHERE cdeg.dc <= 30
         |), deg AS (
         |  SELECT s, count(*) AS d FROM e GROUP BY s
         |), pairs AS (
@@ -227,10 +240,16 @@ object Clusters {
         |JOIN deg db ON db.s = p.supp_b
         |ORDER BY p.supp_a, p.supp_b""".stripMargin) { (spark, dir) =>
       val t = Tables(spark, dir)
-      val e = t.lineitem.join(t.orders,
+      val e0 = t.lineitem.join(t.orders,
           col("o_orderkey") === col("l_orderkey"))
         .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
         .distinct()
+        .localCheckpoint() // feeds the hub-degree cap and the capped graph
+      // hub cap BEFORE the self-join: the d² expansion of a celebrity
+      // customer never materializes (see oracle CTE `e`)
+      val cdeg = e0.groupBy("c").agg(count(lit(1)).as("dc"))
+      val e = e0.join(cdeg.filter(col("dc") <= 30), Seq("c"))
+        .select("s", "c")
         .localCheckpoint() // feeds degrees and both pair-join sides
       val deg = e.groupBy("s").agg(count(lit(1)).as("d"))
       // the pair join EXPANDS ~20× past its byte-sized inputs — an

@@ -60,11 +60,11 @@ object Learning {
         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |)
         |SELECT CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
-        |  CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
-        |  CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
-        |  CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
-        |  CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+        |  CAST(sum(CAST(x AS DECIMAL(38,0))) AS VARCHAR) AS sx,
+        |  CAST(sum(CAST(y AS DECIMAL(38,0))) AS VARCHAR) AS sy,
+        |  CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS VARCHAR) AS sxx,
+        |  CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS VARCHAR) AS sxy,
+        |  CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS VARCHAR) AS syy
         |FROM j""".stripMargin) { (spark, dir) =>
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val t = Tables(spark, dir)
@@ -82,13 +82,17 @@ object Learning {
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .agg(
           sum(col("n_c")).cast("long").as("n"),
-          sum((col("n_c") * col("x")).cast(dec)).cast(dec).as("sx"),
-          sum(col("sy_c")).cast(dec).as("sy"),
+          // DECIMAL(38,0)→string at the edge: syy ≈ 1.25e19 exceeds
+          // both int64 and the driver hash's 2^53-exact float domain;
+          // the digit string is value-identical in Spark and DuckDB.
+          sum((col("n_c") * col("x")).cast(dec)).cast(dec)
+            .cast("string").as("sx"),
+          sum(col("sy_c")).cast(dec).cast("string").as("sy"),
           sum((col("n_c") * col("x") * col("x")).cast(dec)).cast(dec)
-            .as("sxx"),
+            .cast("string").as("sxx"),
           sum((col("x").cast(dec) * col("sy_c")).cast(dec)).cast(dec)
-            .as("sxy"),
-          sum(col("syy_c")).cast(dec).as("syy"))
+            .cast("string").as("sxy"),
+          sum(col("syy_c")).cast(dec).cast("string").as("syy"))
         .select("n", "sx", "sy", "sxx", "sxy", "syy")
     },
 

@@ -428,7 +428,7 @@ object TimeSeries {
         val decay = pow(lit(0.7), datediff(col("d"), col("b_d")))
         grid.join(b, col("b_type") === col("event_type") &&
             col("b_d") <= col("d"))
-          .groupBy(grid.columns.map(col): _*)
+          .groupBy(grid.columns.toIndexedSeq.map(col): _*)
           .agg((sum(decay * col("b_v")) / sum(decay)).as(outCol))
       }
       val s1 = smooth(daily, "y", "s1").drop("y").localCheckpoint()

@@ -123,11 +123,23 @@ final class SnapshotCdfStream(root: String, partCol: String, ddl: String,
     * default, and the knob that makes the vacuum-lag contract operable
     * (retention only has to cover consumer lag from the chosen start,
     * not the table's whole history). A checkpointed restart never
-    * calls this — the durable offset wins, semantics unchanged. */
-  override def initialOffset(): Offset = startingVersion match {
-    case None           => VersionOffset(0)
-    case Some("latest") => VersionOffset(table.version)
-    case Some(v)        => VersionOffset(v.toInt)
+    * calls this — the durable offset wins, semantics unchanged.
+    * `latest` is resolved ONCE and cached: latestOffset()'s rate-base
+    * fallback re-enters here, and a re-resolved `latest` would return
+    * the table's CURRENT version — swallowing every commit since
+    * stream start in one batch, bypassing the per-trigger cap. */
+  @volatile private var resolvedStart: Option[Int] = None
+  override def initialOffset(): Offset = synchronized {
+    val v = resolvedStart.getOrElse {
+      val s = startingVersion match {
+        case None           => 0
+        case Some("latest") => table.version
+        case Some(x)        => x.toInt
+      }
+      resolvedStart = Some(s)
+      s
+    }
+    VersionOffset(v)
   }
   override def latestOffset(): Offset = {
     val v = table.version

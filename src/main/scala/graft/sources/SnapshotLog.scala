@@ -72,8 +72,16 @@ object SnapshotLog {
     *   bits/key). Sidecars keep the manifest kilobyte-sized — bloom
     *   bits live next to the data, read only at lookup-planning time,
     *   exactly how production formats ship file-level indexes. */
+  /** @param autoCheckpointEvery write a log checkpoint whenever the
+    *   segment tail past the latest checkpoint reaches this many
+    *   commits (0 disables). Production formats checkpoint on a fixed
+    *   cadence (Delta: every 10 commits) precisely so that read
+    *   planning and stream-source polling stay O(checkpoint + tail)
+    *   WITHOUT operator discipline — an uncheckpointed N-commit table
+    *   pays O(N) segment opens per read, O(N²) over its life. */
   final class Table(spark: SparkSession, val root: String,
-      val bloomCols: Seq[String] = Nil) {
+      val bloomCols: Seq[String] = Nil,
+      val autoCheckpointEvery: Int = 10) {
     private val dataDir = s"$root/data"
     private val logDir = new Path(s"$root/log")
     private def hadoopConf = spark.sparkContext.hadoopConfiguration
@@ -148,8 +156,13 @@ object SnapshotLog {
       * manifest-compaction move as Delta's checkpoint files. Returns
       * the checkpointed version. */
     def checkpointLog(): Int = {
+      // resolve v FIRST, then snapshot entries filtered to ≤ v: a
+      // commit published between the two listings lands in the tail
+      // (its segment is > v, so vacuumLog keeps it) instead of inside
+      // the checkpoint AND the tail — which would double-count its
+      // adds in every later fold.
       val v = version
-      val es = entries
+      val es = entries.filter(_.version <= v)
       val dst = fs.makeQualified(new Path(logDir, s"$v.ckpt"))
       if (fs.exists(dst)) return v // already checkpointed at v
       val tmp = new Path(logDir,
@@ -234,7 +247,18 @@ object SnapshotLog {
             s"version $v was committed concurrently ($e) — " +
               "re-read the snapshot and retry")
       }
+      maybeAutoCheckpoint(v)
     }
+
+    /** Every-N auto-checkpoint, invoked after each successful segment
+      * publish. Racing checkpointers are harmless (identical content,
+      * put-if-absent publish); a failure here never fails the commit —
+      * the segment is already durable, and the next commit retries. */
+    private def maybeAutoCheckpoint(v: Int): Unit =
+      if (autoCheckpointEvery > 0 &&
+          v - latestCheckpoint.map(_._1).getOrElse(0) >= autoCheckpointEvery)
+        try checkpointLog()
+        catch { case scala.util.control.NonFatal(_) => () }
 
     /** Publish, and on a lost race reclaim the data files this writer
       * adopted (they are covered by no segment — orphans by
@@ -438,15 +462,23 @@ object SnapshotLog {
     private val BloomBitsPerRow = 10
     private val BloomK = 7
 
+    /** Distinct-key cap for the merge-time bloom probe: above this the
+      * probe is skipped (the range candidate set stands) so the
+      * driver-side key collect stays metadata-scale. */
+    private val BloomProbeMaxKeys = 1024
+
     private def bloomPath(rel: String, c: String): Path =
       new Path(s"$root/index/$rel.$c.bloom")
 
     /** Double-hashed bit positions (Kirsch-Mitzenmacher): both the
       * build job (executors, via the identical Column expressions) and
-      * the lookup (driver) derive k positions from one xxhash64. */
-    private def bloomPositions(h: Long, m: Long): Seq[Long] = {
+      * the lookup (driver) derive k positions from one xxhash64. `k`
+      * comes from the SIDECAR HEADER at lookup time, never the
+      * compiled-in constant — a sidecar built under a different k
+      * (version skew) must not produce silent false negatives. */
+    private def bloomPositions(h: Long, m: Long, k: Int): Seq[Long] = {
       val d = (h >>> 32) | 1L
-      (0 until BloomK).map(i => java.lang.Math.floorMod(h + i * d, m))
+      (0 until k).map(i => java.lang.Math.floorMod(h + i * d, m))
     }
 
     /** xxhash64 of each key EXACTLY as the build job computed it for
@@ -527,14 +559,23 @@ object SnapshotLog {
               var cur: String = null
               var m = 0L
               var arr: Array[Long] = null
+              // publish discipline as for log segments: write a
+              // task-unique temp, rename WITHOUT overwrite — a
+              // speculative/retried attempt racing the original can
+              // never interleave bytes into one torn sidecar; the
+              // loser's content is identical, so it just discards.
               def flush(): Unit = if (cur != null) {
-                val out = pfs.create(
-                  new Path(s"$idxRoot/$cur.$c.bloom"), true)
+                val dst = new Path(s"$idxRoot/$cur.$c.bloom")
+                val tmp = new Path(s"$idxRoot/.tmp-${
+                  java.util.UUID.randomUUID.toString.take(12)}")
+                val out = pfs.create(tmp, false)
                 try {
                   out.write(s"$m $k\n".getBytes("UTF-8"))
                   out.write(arr.map(w => f"$w%016x").mkString
                     .getBytes("UTF-8"))
                 } finally out.close()
+                pfs.delete(dst, false) // rebuild (e.g. re-commit) wins
+                if (!pfs.rename(tmp, dst)) pfs.delete(tmp, false)
               }
               it.foreach { r =>
                 val f = r.getString(0)
@@ -564,26 +605,35 @@ object SnapshotLog {
     def pointLookupFiles(v: Int, c: String, keys: Seq[Long]):
         Seq[String] = {
       val hs = keyHashes(keys).values.toSeq
-      liveFiles(v).filter { p =>
+      bloomSurvivors(liveFiles(v), c, hs)
+    }
+
+    /** The subset of `files` whose bloom sidecar for `c` admits ANY of
+      * the pre-hashed `hs`. Kept conservatively on a missing sidecar
+      * AND on any parse failure (a torn sidecar from a crashed build
+      * degrades to "no pruning", never to a wrong answer). */
+    private def bloomSurvivors(files: Seq[String], c: String,
+        hs: Seq[Long]): Seq[String] =
+      files.filter { p =>
         val bp = bloomPath(p, c)
         if (!fs.exists(bp)) true
-        else {
+        else try {
           val in = fs.open(bp)
           val txt = try scala.io.Source
             .fromInputStream(in, "UTF-8").mkString
           finally in.close()
           val nl = txt.indexOf('\n')
-          val Array(mS, _) = txt.substring(0, nl).split(" ")
-          val m = mS.toLong
+          val Array(mS, kS) = txt.substring(0, nl).split(" ")
+          val (m, k) = (mS.toLong, kS.toInt) // header k, not BloomK
           val hex = txt.substring(nl + 1)
+          require(hex.length == (m / 64).toInt * 16, "truncated sidecar")
           def word(w: Int): Long =
             java.lang.Long.parseUnsignedLong(
               hex.substring(w * 16, w * 16 + 16), 16)
-          hs.exists(h => bloomPositions(h, m).forall(pos =>
+          hs.exists(h => bloomPositions(h, m, k).forall(pos =>
             (word((pos / 64).toInt) & (1L << (pos % 64).toInt)) != 0))
-        }
+        } catch { case scala.util.control.NonFatal(_) => true }
       }
-    }
 
     /** [[asOf]] restricted to bloom-surviving files for
       * `col IN (keys)`. The row-level filter must still be applied
@@ -918,15 +968,37 @@ object SnapshotLog {
       * can contain publishes an empty commit (the version advances,
       * the fold is unchanged — an honest audit record of the no-op). */
     def commitDeleteRange(partCol: String, c: String, lo: Long, hi: Long,
-        expectedVersion: Int = -1): Int = {
+        expectedVersion: Int = -1): Int =
+      deleteRangeImpl(partCol, expectedVersion,
+        v => pruneFiles(v, c, lo, hi),
+        // NULL-safe keep: `NOT (c BETWEEN lo AND hi)` is NULL for a
+        // NULL key, and a NULL-filtered row is DROPPED — a range
+        // delete must never destroy NULL-keyed rows (SQL `DELETE
+        // WHERE c BETWEEN lo AND hi` does not match NULLs). Files
+        // without stats are conservatively rewritten, so all-null
+        // columns are exactly the exposed case.
+        col(c).isNull || !col(c).between(lo, hi))
+
+    /** [[commitDeleteRange]] for string-keyed ranges: the candidate
+      * set comes from the string zone maps ([[pruneFilesStr]] —
+      * truncation-bumped upper bounds, so candidates are a superset),
+      * everything else is the same COW contract. */
+    def commitDeleteRangeStr(partCol: String, c: String,
+        lo: String, hi: String, expectedVersion: Int = -1): Int =
+      deleteRangeImpl(partCol, expectedVersion,
+        v => pruneFilesStr(v, c, lo, hi),
+        col(c).isNull || !col(c).between(lo, hi))
+
+    private def deleteRangeImpl(partCol: String, expectedVersion: Int,
+        prune: Int => Seq[String], keep: Column): Int = {
       val v = casCheck(expectedVersion)
-      val victims = pruneFiles(v - 1, c, lo, hi)
+      val victims = prune(v - 1)
       if (victims.isEmpty) { publishSegment(v, Seq.empty); return v }
       val tmp = new Path(s"$root/_tmp_v$v-${
         java.util.UUID.randomUUID.toString.take(8)}")
       spark.read.option("basePath", dataDir)
         .parquet(victims.map(p => s"$dataDir/$p"): _*)
-        .filter(!col(c).between(lo, hi))
+        .filter(keep)
         .write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
@@ -944,28 +1016,60 @@ object SnapshotLog {
       * find hits are pre-pruned by the manifest's zone maps against
       * the source batch's key range — a MERGE carrying one day of keys
       * into a 100 TB table reads the candidate files of that range,
-      * not the table. Integer keys prune; other key types fall back to
-      * the conservative full-candidate scan. Untouched files carry
-      * over by log reference. One version records remove(hit files) +
-      * add(rewritten survivors + all source rows). Assumes `keyCol` is
-      * unique within `source` (last-writer-wins semantics are the
-      * caller's to pre-aggregate). */
+      * not the table. Integer, DATE (epoch-day zone maps), and string
+      * keys (string zone maps, truncation-safe bounds) all prune;
+      * other key types fall back to the conservative full-candidate
+      * scan. A LONG key that is also bloom-indexed gets a SECOND
+      * pruning pass: when the source carries few distinct keys (a
+      * point-shaped merge), the per-file bloom sidecars cut the range
+      * candidates down to ~the files that actually contain a key —
+      * the same complement-of-zone-maps argument as
+      * [[pointLookupFiles]], applied to the write path. Untouched
+      * files carry over by log reference. One version records
+      * remove(hit files) + add(rewritten survivors + all source
+      * rows). Assumes `keyCol` is unique within `source`
+      * (last-writer-wins semantics are the caller's to
+      * pre-aggregate). */
     def commitMerge(source: DataFrame, partCol: String, keyCol: String,
         expectedVersion: Int = -1): Int = {
-      import org.apache.spark.sql.types.{IntegerType, LongType}
+      import org.apache.spark.sql.types.{DateType, IntegerType, LongType,
+        StringType}
       val v = casCheck(expectedVersion)
       val dd = dataDir
       val live = liveFiles(v - 1)
       // zone-map candidate pruning: the source's key range bounds the
       // files that can possibly contain a hit. One tiny agg over the
       // (delta-sized) source; the manifest does the rest driver-side.
-      val candidates = source.schema(keyCol).dataType match {
+      val rangeCand = source.schema(keyCol).dataType match {
         case LongType | IntegerType =>
           val r = source.agg(min(col(keyCol)).cast("long"),
             max(col(keyCol)).cast("long")).head()
           if (r.isNullAt(0)) Seq.empty // empty source: no hits possible
           else pruneFiles(v - 1, keyCol, r.getLong(0), r.getLong(1))
+        case DateType => // DATE zone maps are epoch-day-widened INT32
+          val r = source.agg(min(unix_date(col(keyCol))).cast("long"),
+            max(unix_date(col(keyCol))).cast("long")).head()
+          if (r.isNullAt(0)) Seq.empty
+          else pruneFiles(v - 1, keyCol, r.getLong(0), r.getLong(1))
+        case StringType =>
+          val r = source.agg(min(col(keyCol)), max(col(keyCol))).head()
+          if (r.isNullAt(0)) Seq.empty
+          else pruneFilesStr(v - 1, keyCol, r.getString(0), r.getString(1))
         case _ => live
+      }
+      // bloom pass on top of the range pass: membership beats range
+      // exactly when the source's keys are sparse in the range — cap
+      // the probe at a bounded distinct-key collect so a wide merge
+      // never hauls its key set to the driver.
+      val candidates = source.schema(keyCol).dataType match {
+        case LongType if bloomCols.contains(keyCol) && rangeCand.nonEmpty =>
+          val ks = source.select(col(keyCol))
+            .where(col(keyCol).isNotNull).distinct()
+            .limit(BloomProbeMaxKeys + 1).collect().map(_.getLong(0))
+          if (ks.length > BloomProbeMaxKeys) rangeCand
+          else bloomSurvivors(rangeCand, keyCol,
+            keyHashes(ks.toSeq).values.toSeq)
+        case _ => rangeCand
       }
       lastMergeScan = Some((candidates.size, live.size))
       val seg = split(input_file_name(), "/")
@@ -987,7 +1091,7 @@ object SnapshotLog {
           .join(broadcast(srcKeys), Seq(keyCol), "left_anti")
       val rewritten =
         if (hits.isEmpty) source
-        else survivors.select(source.columns.map(col): _*)
+        else survivors.select(source.columns.toIndexedSeq.map(col): _*)
           .unionByName(source)
       val tmp = new Path(s"$root/_tmp_v$v-${
         java.util.UUID.randomUUID.toString.take(8)}")

@@ -90,8 +90,8 @@ class AlignmentSpec extends SparkSpec {
     val rows = q("q_pass_at_k").collect()
       .map(r => r.getAs[Long]("k") ->
         (r.getAs[Long]("n_tasks"), r.getAs[Long]("n_certain"),
-          BigInt(r.getAs[java.math.BigDecimal]("sum_keep").toBigInteger),
-          BigInt(r.getAs[java.math.BigDecimal]("sum_all").toBigInteger)))
+          BigInt(r.getAs[String]("sum_keep")),
+          BigInt(r.getAs[String]("sum_all"))))
       .toMap
     assert(rows.keySet == Set(1L, 4L, 8L))
     // brute-force per-task recompute from the raw log

@@ -138,8 +138,7 @@ class LearningSpec extends SparkSpec {
         col("o_custkey") === col("c_custkey"))
       .select("x", "y").collect()
       .map(row => (BigInt(row.getLong(0)), BigInt(row.getLong(1))))
-    def big(c: String) =
-      BigInt(r.getAs[java.math.BigDecimal](c).toBigInteger)
+    def big(c: String) = BigInt(r.getAs[String](c))
     assert(r.getAs[Long]("n") == j.length)
     assert(big("sx") == j.map(_._1).sum)
     assert(big("sy") == j.map(_._2).sum)

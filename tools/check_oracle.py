@@ -16,6 +16,25 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+LIMIT_2_53 = 1 << 53
+
+def overflow_2_53(rows):
+    """Values outside the driver hash's float64-exact integer domain.
+
+    The r8 red rows (q_pass_at_k, q_factorized_regression) were value-
+    exact but emitted integers above 2^53; the driver's hash
+    canonicalization is not exact there, so rows_match/schema_match
+    held while hash_match failed. Any such value must ship as a digit
+    string instead (see HashDomainSweepSpec for the type-level half).
+    """
+    bad = []
+    for row in rows:
+        for v in row:
+            if isinstance(v, int) and not isinstance(v, bool) \
+                    and abs(v) > LIMIT_2_53:
+                bad.append(v)
+    return bad
+
 def canon(rows):
     # Floats carry their IEEE sign bit explicitly: the driver's hash
     # distinguishes -0.0 from 0.0 (Python == does not), which hid the
@@ -61,6 +80,12 @@ def main(sf_dir, out_dir):
         exp2 = canon([[r[i] for i in eidx] for r in exp_rows])
         gidx = [i for i, _ in sorted(enumerate(got_desc), key=lambda p: p[1])]
         got2 = canon([[r[i] for i in gidx] for r in got_rows])
+        over = overflow_2_53(got_rows)
+        if over:
+            print(f"FAIL {name}: {len(over)} values above 2^53 "
+                  f"(driver-hash domain), e.g. {over[0]} — emit as string")
+            bad += 1
+            continue
         if len(exp2) != len(got2):
             print(f"FAIL {name}: rows {len(got2)} != oracle {len(exp2)}")
             bad += 1
