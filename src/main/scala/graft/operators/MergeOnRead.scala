@@ -1,0 +1,275 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotLog
+
+/** Round-9 storage wave: merge-on-read deletion vectors and full CDC
+  * merge semantics over the snapshot log.
+  *
+  * Round 8 made every row-level write COPY-ON-WRITE: a delete or merge
+  * rewrites each file that contains a victim. That is the right shape
+  * for bulk changes, and the wrong one for the other production delete
+  * pattern — a steady trickle of small, targeted deletes (GDPR erasure
+  * queues, label corrections) against a 100 TB table, where rewriting
+  * a 1 GB file to drop 3 rows per request multiplies write
+  * amplification by ~10⁸. The production answer (Delta deletion
+  * vectors, Iceberg position deletes) is MERGE-ON-READ:
+  *
+  *  - [[SnapshotLog.Table.commitDeleteKeysMor]] records victims' row
+  *    POSITIONS (`_metadata.row_index` — stable in an immutable file)
+  *    in per-file sidecars; the commit costs O(victim rows), zero data
+  *    bytes move;
+  *  - [[SnapshotLog.Table.asOfMor]] applies them as a (file, pos)
+  *    anti-join against the delta-scale DV relation at read time;
+  *  - [[SnapshotLog.Table.commitMaterializeDv]] amortizes: ONLY the
+  *    DV-carrying files are rewritten, the DVs retire, and read-side
+  *    overhead returns to zero.
+  *
+  * The CDC half: [[SnapshotLog.Table.commitApplyChanges]] is the full
+  * tri-clause MERGE INTO (matched-update / matched-delete /
+  * not-matched-insert) that upsert-only commitMerge cannot express —
+  * the batch landing of an OLTP change stream, with the same zone-map
+  * + bloom candidate pruning and file-granular COW blast radius.
+  *
+  * Reference anchor: clone_databases.sh:220-253 clones by full dump —
+  * its only "delete" is DROP-and-recreate. These operators are the
+  * surgical generalization the reference's users would need the day
+  * one row, not one database, must change.
+  */
+object MergeOnRead {
+
+  /** Modulus picking the first DV-delete victim set (o_orderkey % 97
+    * == 0): sparse, scattered across every ingest batch — the shape
+    * COW handles worst and DVs handle best. */
+  private val Mod1 = 97
+  /** Second victim set (% 89): overlaps files already carrying a DV,
+    * so the sidecar-union (supersede) path is exercised, not just the
+    * first-write path. */
+  private val Mod2 = 89
+
+  /** Build-once DV table: four date-band ingest commits of orders
+    * (v1-v4), then two merge-on-read key-set deletes (v5: %97,
+    * v6: %89). NO materialization here — the queries read through the
+    * DV anti-join. Versions are deterministic: build-once, CAS log. */
+  private[graft] def morStagedTable(
+      spark: SparkSession, dir: String): SnapshotLog.Table = {
+    val factPath = java.nio.file.Paths.get(s"$dir/orders.parquet")
+      .toAbsolutePath.toString
+    val root = graft.util.Staging.dir("graft_snapmor_", s"$factPath|mor_v2")
+    val t = new SnapshotLog.Table(spark, root)
+    val marker = new Path(s"$root/_BUILT")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      Seq("data", "log", "index", "dv").foreach(d =>
+        fs.delete(new Path(s"$root/$d"), true))
+      buildBands(spark, t, factPath)
+      deleteMor(spark, t)
+      fs.create(marker, true).close()
+    }
+    t
+  }
+
+  /** Build-once materialized twin: same commits and DV deletes, then
+    * [[SnapshotLog.Table.commitMaterializeDv]] (v7) — the compaction
+    * that applies the DVs copy-on-write and retires them. */
+  private[graft] def morCompactStagedTable(
+      spark: SparkSession, dir: String): SnapshotLog.Table = {
+    val factPath = java.nio.file.Paths.get(s"$dir/orders.parquet")
+      .toAbsolutePath.toString
+    val root = graft.util.Staging.dir("graft_snapmoc_", s"$factPath|moc_v2")
+    val t = new SnapshotLog.Table(spark, root)
+    val marker = new Path(s"$root/_BUILT")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      Seq("data", "log", "index", "dv").foreach(d =>
+        fs.delete(new Path(s"$root/$d"), true))
+      buildBands(spark, t, factPath)
+      deleteMor(spark, t)
+      t.commitMaterializeDv("o_orderstatus")
+      fs.create(marker, true).close()
+    }
+    t
+  }
+
+  private def buildBands(spark: SparkSession, t: SnapshotLog.Table,
+      factPath: String): Unit = {
+    val orders = spark.read.parquet(factPath).select(
+      col("o_orderkey"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+      col("o_orderdate").cast("date").as("o_date"),
+      col("o_orderstatus"))
+    val cuts = Seq("0001-01-01", "1997-01-01", "1999-01-01",
+      "2001-01-01", "9999-01-01")
+    cuts.sliding(2).foreach { case Seq(lo, hi) =>
+      t.commitAppend(orders.filter(
+        col("o_date") >= lit(lo).cast("date") &&
+          col("o_date") < lit(hi).cast("date")), "o_orderstatus")
+    }
+  }
+
+  private def deleteMor(spark: SparkSession, t: SnapshotLog.Table): Unit = {
+    val live = t.asOf(t.version).select("o_orderkey")
+    t.commitDeleteKeysMor(
+      live.filter(col("o_orderkey") % Mod1 === 0), "o_orderkey")
+    t.commitDeleteKeysMor(
+      live.filter(col("o_orderkey") % Mod2 === 0), "o_orderkey")
+  }
+
+  /** Build-once CDC table: four KEY-RANGE ingest commits (quartiles of
+    * o_orderkey, so the key zone maps actually separate files), then
+    * one [[SnapshotLog.Table.commitApplyChanges]] batch scoped to the
+    * FIRST quartile — updates (%13), tombstones (%17), and inserts
+    * (%19 → key+1e8). The quartile scoping is the blast-radius story:
+    * candidate files come from the batch's key range, so commits 2-4
+    * carry over by log reference, unread (spec-asserted). */
+  private[graft] def cdcStagedTable(
+      spark: SparkSession, dir: String): SnapshotLog.Table = {
+    val factPath = java.nio.file.Paths.get(s"$dir/orders.parquet")
+      .toAbsolutePath.toString
+    val root = graft.util.Staging.dir("graft_snapcdc_", s"$factPath|cdc_v1")
+    val t = new SnapshotLog.Table(spark, root)
+    val marker = new Path(s"$root/_BUILT")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      Seq("data", "log", "index", "dv").foreach(d =>
+        fs.delete(new Path(s"$root/$d"), true))
+      val orders = spark.read.parquet(factPath).select(
+        col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+        col("o_orderstatus"))
+      val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+      val cuts = Seq(Long.MinValue, mx / 4 + 1, mx / 2 + 1,
+        3 * (mx / 4) + 1, Long.MaxValue)
+      cuts.sliding(2).foreach { case Seq(lo, hi) =>
+        t.commitAppend(orders.filter(
+          col("o_orderkey") >= lo && col("o_orderkey") < hi),
+          "o_orderstatus")
+      }
+      t.commitApplyChanges(
+        changeBatch(t.asOf(t.version), mx), "o_orderstatus", "o_orderkey")
+      fs.create(marker, true).close()
+    }
+    t
+  }
+
+  /** The deterministic change batch over first-quartile keys: one row
+    * per key, ops disjoint by construction (D wins %17; U takes
+    * %13∧¬%17; I synthesizes fresh keys at +1e8 from %19∧¬%17∧¬%13,
+    * so no key appears twice). */
+  private def changeBatch(state: DataFrame, mx: Long): DataFrame = {
+    val q1 = state.filter(col("o_orderkey") <= mx / 4)
+    val dels = q1.filter(col("o_orderkey") % 17 === 0)
+      .select(col("o_orderkey"), col("price_cents"),
+        col("o_orderstatus"), lit("D").as("__op"))
+    val upds = q1.filter(
+      col("o_orderkey") % 13 === 0 && col("o_orderkey") % 17 =!= 0)
+      .select(col("o_orderkey"), (col("price_cents") + 100).as("price_cents"),
+        col("o_orderstatus"), lit("U").as("__op"))
+    val ins = q1.filter(col("o_orderkey") % 19 === 0 &&
+      col("o_orderkey") % 17 =!= 0 && col("o_orderkey") % 13 =!= 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        (col("price_cents") + 7).as("price_cents"),
+        col("o_orderstatus"), lit("U").as("__op"))
+    dels.unionByName(upds).unionByName(ins)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- merge-on-read delete: two key-set deletes committed as
+    //      deletion vectors (zero data files rewritten — spec-asserted
+    //      on the live set), read back through the (file, pos)
+    //      anti-join. The oracle recomputes the survivor set from the
+    //      raw fact table, so a position mis-mapped, a sidecar lost in
+    //      the v6 supersede, or a row doubly-deleted all flip the
+    //      hash. At 100 TB this is the GDPR-queue shape: the delete
+    //      commits in O(victims), the table's 10⁸ untouched rows never
+    //      move.
+    QueryDef.checked(
+      "q_snapshot_mor_delete",
+      s"""SELECT o_orderstatus, count(*) AS n_rows,
+         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |    AS sum_cents,
+         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         |FROM orders
+         |WHERE o_orderkey % $Mod1 <> 0 AND o_orderkey % $Mod2 <> 0
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      val t = morStagedTable(spark, dir)
+      t.asOfMor(t.version)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price_cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
+    },
+
+    // ---- DV materialization: the compaction twin — the same two
+    //      deletes applied copy-on-write to ONLY the DV-carrying
+    //      files, DVs retired (spec asserts dvFor is empty and
+    //      untouched files carried over by reference). The PLAIN asOf
+    //      read — no anti-join — must reproduce the same survivor
+    //      set, which is exactly the mor→cow equivalence contract.
+    QueryDef.checked(
+      "q_snapshot_mor_compact",
+      s"""SELECT count(*) AS n_rows,
+         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |    AS sum_cents,
+         |  count(DISTINCT o_orderstatus) AS n_status
+         |FROM orders
+         |WHERE o_orderkey % $Mod1 <> 0 AND o_orderkey % $Mod2 <> 0"""
+        .stripMargin) { (spark, dir) =>
+      val t = morCompactStagedTable(spark, dir)
+      t.asOf(t.version)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price_cents")).as("sum_cents"),
+          countDistinct(col("o_orderstatus")).as("n_status"))
+    },
+
+    // ---- full CDC merge (tri-clause MERGE INTO): one change batch
+    //      carrying updates, tombstones, and inserts lands in one
+    //      commit; the final state must equal the oracle's
+    //      re-derivation of the same clauses over the raw table. The
+    //      key-quartile scoping makes the blast radius visible:
+    //      lastMergeScan proves commits 2-4 were never read
+    //      (spec-asserted), the log shows them carried by reference.
+    QueryDef.checked(
+      "q_snapshot_cdc_merge",
+      """WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+        |base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderstatus AS status
+        |  FROM orders
+        |), kept AS (  -- matched-delete drops %17 of the first quartile
+        |  SELECT k,
+        |    CASE WHEN k <= (SELECT mx FROM m) // 4
+        |           AND k % 13 = 0 AND k % 17 <> 0
+        |         THEN cents + 100 ELSE cents END AS cents,
+        |    status
+        |  FROM base
+        |  WHERE NOT (k <= (SELECT mx FROM m) // 4 AND k % 17 = 0)
+        |), ins AS (   -- not-matched-insert synthesizes fresh keys
+        |  SELECT k + 100000000 AS k, cents + 7 AS cents, status
+        |  FROM base
+        |  WHERE k <= (SELECT mx FROM m) // 4
+        |    AND k % 19 = 0 AND k % 17 <> 0 AND k % 13 <> 0
+        |), final AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        |SELECT status AS o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(k) AS min_key, max(k) AS max_key
+        |FROM final GROUP BY status ORDER BY status""".stripMargin) {
+      (spark, dir) =>
+      val t = cdcStagedTable(spark, dir)
+      t.asOf(t.version)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price_cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
+    }
+  )
+}

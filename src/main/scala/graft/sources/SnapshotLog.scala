@@ -646,12 +646,14 @@ object SnapshotLog {
         .parquet(files.map(p => s"$dataDir/$p"): _*))
     }
 
-    /** Delete every bloom sidecar of a reclaimed data file. */
-    private def dropSidecars(rel: String): Unit = {
-      val glob = new Path(s"$root/index/$rel.*.bloom")
-      val hits = try fs.globStatus(glob) catch { case _: Exception => null }
-      if (hits != null) hits.foreach(s => fs.delete(s.getPath, false))
-    }
+    /** Delete every bloom and deletion-vector sidecar of a reclaimed
+      * data file — sidecars die with their data bytes. */
+    private def dropSidecars(rel: String): Unit =
+      Seq(s"$root/index/$rel.*.bloom", s"$root/dv/$rel.*.dv").foreach { g =>
+        val hits = try fs.globStatus(new Path(g))
+        catch { case _: Exception => null }
+        if (hits != null) hits.foreach(s => fs.delete(s.getPath, false))
+      }
 
     /** Zone-map `stats`/`stats_s` entries for freshly adopted files. */
     private def statsEntries(v: Int, added: Seq[String]): Seq[Entry] =
@@ -1030,38 +1032,39 @@ object SnapshotLog {
       * rows). Assumes `keyCol` is unique within `source`
       * (last-writer-wins semantics are the caller's to
       * pre-aggregate). */
-    def commitMerge(source: DataFrame, partCol: String, keyCol: String,
-        expectedVersion: Int = -1): Int = {
+    /** The live files at `vPrev` that can contain any of `source`'s
+      * keys: zone-map range pruning by key type (LONG/INT, DATE via
+      * epoch days, string via the truncation-safe string stats; other
+      * types keep everything), then — for bloom-indexed LONG keys — a
+      * membership pass that cuts the range candidates to ~the files
+      * actually containing a key. One tiny agg over the (delta-sized)
+      * source; the manifest does the rest driver-side. */
+    private def mergeCandidates(vPrev: Int, source: DataFrame,
+        keyCol: String, live: Seq[String]): Seq[String] = {
       import org.apache.spark.sql.types.{DateType, IntegerType, LongType,
         StringType}
-      val v = casCheck(expectedVersion)
-      val dd = dataDir
-      val live = liveFiles(v - 1)
-      // zone-map candidate pruning: the source's key range bounds the
-      // files that can possibly contain a hit. One tiny agg over the
-      // (delta-sized) source; the manifest does the rest driver-side.
       val rangeCand = source.schema(keyCol).dataType match {
         case LongType | IntegerType =>
           val r = source.agg(min(col(keyCol)).cast("long"),
             max(col(keyCol)).cast("long")).head()
           if (r.isNullAt(0)) Seq.empty // empty source: no hits possible
-          else pruneFiles(v - 1, keyCol, r.getLong(0), r.getLong(1))
+          else pruneFiles(vPrev, keyCol, r.getLong(0), r.getLong(1))
         case DateType => // DATE zone maps are epoch-day-widened INT32
           val r = source.agg(min(unix_date(col(keyCol))).cast("long"),
             max(unix_date(col(keyCol))).cast("long")).head()
           if (r.isNullAt(0)) Seq.empty
-          else pruneFiles(v - 1, keyCol, r.getLong(0), r.getLong(1))
+          else pruneFiles(vPrev, keyCol, r.getLong(0), r.getLong(1))
         case StringType =>
           val r = source.agg(min(col(keyCol)), max(col(keyCol))).head()
           if (r.isNullAt(0)) Seq.empty
-          else pruneFilesStr(v - 1, keyCol, r.getString(0), r.getString(1))
+          else pruneFilesStr(vPrev, keyCol, r.getString(0), r.getString(1))
         case _ => live
       }
       // bloom pass on top of the range pass: membership beats range
       // exactly when the source's keys are sparse in the range — cap
       // the probe at a bounded distinct-key collect so a wide merge
       // never hauls its key set to the driver.
-      val candidates = source.schema(keyCol).dataType match {
+      source.schema(keyCol).dataType match {
         case LongType if bloomCols.contains(keyCol) && rangeCand.nonEmpty =>
           val ks = source.select(col(keyCol))
             .where(col(keyCol).isNotNull).distinct()
@@ -1071,6 +1074,14 @@ object SnapshotLog {
             keyHashes(ks.toSeq).values.toSeq)
         case _ => rangeCand
       }
+    }
+
+    def commitMerge(source: DataFrame, partCol: String, keyCol: String,
+        expectedVersion: Int = -1): Int = {
+      val v = casCheck(expectedVersion)
+      val dd = dataDir
+      val live = liveFiles(v - 1)
+      val candidates = mergeCandidates(v - 1, source, keyCol, live)
       lastMergeScan = Some((candidates.size, live.size))
       val seg = split(input_file_name(), "/")
       val srcKeys = source.select(col(keyCol)).distinct()
@@ -1100,6 +1111,248 @@ object SnapshotLog {
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
       publishOrCleanup(v, hits.map(Entry(v, "remove", _)) ++
+        added.map(Entry(v, "add", _)) ++ statsEntries(v, added), added)
+      buildBlooms(v, added)
+      v
+    }
+
+    /** CDC batch apply — the full tri-clause MERGE INTO semantics
+      * [[commitMerge]] (upsert-only) cannot express: `changes` carries
+      * the key, the data columns, and an `__op` column where
+      * - `U` = WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT
+      *   (upsert, as commitMerge), and
+      * - `D` = WHEN MATCHED THEN DELETE (a tombstone; deleting an
+      *   absent key is a no-op, the standard CDC-idempotency
+      *   contract).
+      * This is how a change stream from an upstream OLTP store lands
+      * in the analytical table — the batch half of q_stream_cdc_apply,
+      * with FILE-granular blast radius: candidate files come from the
+      * same zone-map + bloom pruning as commitMerge (the tombstones'
+      * keys prune too — they are keys like any other), only files with
+      * hits are rewritten, and the rewrite drops tombstoned rows
+      * instead of re-inserting them. One version records remove(hit
+      * files) + add(survivors + upserts). Assumes keys are unique
+      * within `changes` (pre-collapse a multi-change batch to its last
+      * state per key first — the caller owns change ordering). */
+    def commitApplyChanges(changes: DataFrame, partCol: String,
+        keyCol: String, opCol: String = "__op",
+        expectedVersion: Int = -1): Int = {
+      val v = casCheck(expectedVersion)
+      val dd = dataDir
+      val live = liveFiles(v - 1)
+      val candidates = mergeCandidates(v - 1, changes, keyCol, live)
+      lastMergeScan = Some((candidates.size, live.size))
+      val seg = split(input_file_name(), "/")
+      val srcKeys = changes.select(col(keyCol)).distinct()
+      val upserts = changes.filter(col(opCol) =!= "D").drop(opCol)
+      val hits =
+        if (candidates.isEmpty) Seq.empty[String]
+        else spark.read.option("basePath", dd)
+          .parquet(candidates.map(p => s"$dd/$p"): _*)
+          .withColumn("__f",
+            concat_ws("/", element_at(seg, -2), element_at(seg, -1)))
+          .join(broadcast(srcKeys), Seq(keyCol))
+          .select("__f").distinct().collect().map(_.getString(0)).toSeq
+      val survivors =
+        if (hits.isEmpty) upserts.limit(0)
+        else spark.read.option("basePath", dd)
+          .parquet(hits.map(p => s"$dd/$p"): _*)
+          .join(broadcast(srcKeys), Seq(keyCol), "left_anti")
+      val rewritten = survivors
+        .select(upserts.columns.toIndexedSeq.map(col): _*)
+        .unionByName(upserts)
+      val tmp = new Path(s"$root/_tmp_v$v-${
+        java.util.UUID.randomUUID.toString.take(8)}")
+      rewritten.write.partitionBy(partCol).mode("overwrite")
+        .parquet(tmp.toString)
+      val added = adopt(tmp, v)
+      fs.delete(tmp, true)
+      publishOrCleanup(v, hits.map(Entry(v, "remove", _)) ++
+        added.map(Entry(v, "add", _)) ++ statsEntries(v, added), added)
+      buildBlooms(v, added)
+      v
+    }
+
+    // ---- merge-on-read deletion vectors ------------------------------
+
+    /** DV sidecar path for data file `rel` as written at version `v`:
+      * ascending row positions, one per line. Versioned names make DV
+      * files immutable — an AS-OF read at an older version resolves
+      * the OLDER sidecar, so row-level deletes time-travel exactly
+      * like file-level ones. */
+    private def dvPath(rel: String, v: Int): Path =
+      new Path(s"$root/dv/$rel.$v.dv")
+
+    /** The active deletion vector per live file at `v`: a `dv` entry
+      * (`rel|version`) binds a sidecar to a file, newest wins; a
+      * `remove` of the file retires it (the rewrite that removed the
+      * file either applied or carried the deletes). */
+    def dvFor(v: Int): Map[String, Int] =
+      entries.filter(_.version <= v).foldLeft(Map.empty[String, Int]) {
+        case (acc, Entry(_, "dv", p)) =>
+          val Array(rel, dvv) = p.split('|')
+          acc + (rel -> dvv.toInt)
+        case (acc, Entry(_, "remove", p)) => acc - p
+        case (acc, _)                     => acc
+      }
+
+    /** The (file, position) delete relation at `v` — empty schema'd
+      * DataFrame when no DVs are active. Delta-scale: one row per
+      * deleted row, read from the per-file sidecars. */
+    private def dvRelation(v: Int): Option[DataFrame] = {
+      val dvs = dvFor(v)
+      if (dvs.isEmpty) None
+      else {
+        // the data-file rel is recoverable from the sidecar's own path
+        // (dv/<part=val>/<file>.<v>.dv): last two segments, version
+        // suffix stripped. input_file_name() is URI-shaped, so never
+        // string-compare it against raw paths — segment extraction is
+        // the one transform both representations agree on.
+        val paths = dvs.toSeq.map { case (rel, dvv) =>
+          dvPath(rel, dvv).toString
+        }
+        val seg = split(input_file_name(), "/")
+        Some(spark.read.textFile(paths: _*)
+          .select(
+            concat_ws("/", element_at(seg, -2),
+              regexp_replace(element_at(seg, -1), "\\.\\d+\\.dv$", ""))
+              .as("__f"),
+            col("value").cast("long").as("__pos")))
+      }
+    }
+
+    /** Merge-on-read row-level DELETE by key set: instead of
+      * rewriting every file that contains a victim (copy-on-write,
+      * [[commitDeleteRange]]), record the victims' ROW POSITIONS in
+      * per-file deletion-vector sidecars and leave every data byte in
+      * place — the delete commits in O(victim rows), and the rewrite
+      * cost is deferred to [[commitMaterializeDv]] (or the next
+      * compaction), where it amortizes over many deletes. This is the
+      * position-delete half of production formats (Delta deletion
+      * vectors, Iceberg position deletes); at 100 TB it is the only
+      * delete shape that keeps a high-frequency GDPR queue from
+      * rewriting the table once per request.
+      *
+      * Mechanics: candidate files = the same zone-map + bloom pruning
+      * as [[commitMerge]]; positions come from `_metadata.row_index`
+      * (stable per immutable parquet file); a file's new sidecar is
+      * the UNION of its previous positions and this batch's, written
+      * executor-side (repartitioned by file), so no position rides
+      * the driver. Readers go through [[asOfMor]]. */
+    def commitDeleteKeysMor(keys: DataFrame, keyCol: String,
+        expectedVersion: Int = -1): Int = {
+      val v = casCheck(expectedVersion)
+      val dd = dataDir
+      val live = liveFiles(v - 1)
+      val candidates = mergeCandidates(v - 1, keys, keyCol, live)
+      lastMergeScan = Some((candidates.size, live.size))
+      if (candidates.isEmpty) { publishSegment(v, Seq.empty); return v }
+      val seg = split(input_file_name(), "/")
+      val srcKeys = keys.select(col(keyCol)).distinct()
+      val matched = spark.read.option("basePath", dd)
+        .parquet(candidates.map(p => s"$dd/$p"): _*)
+        .select(
+          concat_ws("/", element_at(seg, -2), element_at(seg, -1))
+            .as("__f"),
+          col("_metadata.row_index").as("__pos"), col(keyCol))
+        .join(broadcast(srcKeys), Seq(keyCol))
+        .select("__f", "__pos")
+      // affected file list: bounded by candidate count, driver-side
+      val affected = matched.select("__f").distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      if (affected.isEmpty) { publishSegment(v, Seq.empty); return v }
+      // fold in the affected files' PRIOR positions so the new sidecar
+      // supersedes (newest-wins fold reads exactly one dv per file)
+      val prior = dvFor(v - 1).filter(kv => affected.contains(kv._1))
+      val withPrior = prior.foldLeft(matched) { case (acc, (rel, dvv)) =>
+        acc.unionByName(spark.read.textFile(dvPath(rel, dvv).toString)
+          .select(lit(rel).as("__f"),
+            col("value").cast("long").as("__pos")))
+      }.distinct()
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        hadoopConf)
+      val dvRoot = s"$root/dv"
+      withPrior.repartition(col("__f")).sortWithinPartitions("__f", "__pos")
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val pfs = new Path(dvRoot).getFileSystem(conf.value)
+          var cur: String = null
+          var out: org.apache.hadoop.fs.FSDataOutputStream = null
+          var tmp: Path = null
+          def flush(): Unit = if (cur != null) {
+            out.close()
+            val dst = new Path(s"$dvRoot/$cur.$v.dv")
+            pfs.mkdirs(dst.getParent) // rel carries the part=val subdir
+            pfs.delete(dst, false) // retried attempt: identical content
+            require(pfs.rename(tmp, dst), s"dv publish failed: $dst")
+          }
+          it.foreach { r =>
+            val f = r.getString(0)
+            if (f != cur) {
+              flush(); cur = f
+              tmp = new Path(s"$dvRoot/.tmp-${
+                java.util.UUID.randomUUID.toString.take(12)}")
+              pfs.mkdirs(tmp.getParent)
+              out = pfs.create(tmp, false)
+            }
+            out.write(s"${r.getLong(1)}\n".getBytes("UTF-8"))
+          }
+          flush()
+        }
+      publishSegment(v, affected.map(rel => Entry(v, "dv", s"$rel|$v")))
+      v
+    }
+
+    /** Merge-on-read AS-OF: [[asOf]] with the version's active
+      * deletion vectors applied — an anti-join on (file, position)
+      * against the delta-scale DV relation. With no active DVs this
+      * IS [[asOf]] (zero overhead). The join key is synthetic and
+      * collision-free, so the anti-join is exact; Spark plans it as a
+      * broadcast when the DV side is small (the common case — DVs are
+      * deferred rewrites, compaction keeps them bounded). */
+    def asOfMor(v: Int): DataFrame = dvRelation(v) match {
+      case None => asOf(v)
+      case Some(dv) =>
+        val files = liveFiles(v).map(p => s"$dataDir/$p")
+        require(files.nonEmpty, s"version $v of $root has no live files")
+        val seg = split(input_file_name(), "/")
+        spark.read.option("basePath", dataDir).parquet(files: _*)
+          .withColumn("__f",
+            concat_ws("/", element_at(seg, -2), element_at(seg, -1)))
+          .withColumn("__pos", col("_metadata.row_index"))
+          .join(dv, Seq("__f", "__pos"), "left_anti")
+          .drop("__f", "__pos")
+    }
+
+    /** Materialize the active deletion vectors: rewrite ONLY the
+      * files that carry a DV (applying their deletes), leave every
+      * other file by log reference, and retire the DVs via the
+      * remove-entry fold. After this commit [[asOf]] ≡ [[asOfMor]]
+      * again and read-side anti-join overhead is zero — the
+      * compaction half of the merge-on-read bargain. Pure
+      * reorganization of surviving rows: the change feed shows
+      * remove(dv'd files) + add(survivors). */
+    def commitMaterializeDv(partCol: String,
+        expectedVersion: Int = -1): Int = {
+      val v = casCheck(expectedVersion)
+      val dvs = dvFor(v - 1)
+      if (dvs.isEmpty) { publishSegment(v, Seq.empty); return v }
+      val victims = dvs.keys.toSeq.sorted
+      val dv = dvRelation(v - 1).get
+      val seg = split(input_file_name(), "/")
+      val rewritten = spark.read.option("basePath", dataDir)
+        .parquet(victims.map(p => s"$dataDir/$p"): _*)
+        .withColumn("__f",
+          concat_ws("/", element_at(seg, -2), element_at(seg, -1)))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(dv, Seq("__f", "__pos"), "left_anti")
+        .drop("__f", "__pos")
+      val tmp = new Path(s"$root/_tmp_v$v-${
+        java.util.UUID.randomUUID.toString.take(8)}")
+      rewritten.write.partitionBy(partCol).mode("overwrite")
+        .parquet(tmp.toString)
+      val added = adopt(tmp, v)
+      fs.delete(tmp, true)
+      publishOrCleanup(v, victims.map(Entry(v, "remove", _)) ++
         added.map(Entry(v, "add", _)) ++ statsEntries(v, added), added)
       buildBlooms(v, added)
       v

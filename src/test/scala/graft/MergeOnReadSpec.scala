@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.MergeOnRead
+import graft.sources.SnapshotLog
+
+/** Structural contracts of the merge-on-read wave: the oracle proves
+  * the VALUES; these prove the deletes were actually deferred (zero
+  * rewrites at delete time), the materialization actually bounded
+  * (only DV files rewritten), and the CDC blast radius actually
+  * pruned. */
+class MergeOnReadSpec extends SparkSpec {
+
+  test("DV delete commits move zero data bytes and time-travel") {
+    q("q_snapshot_mor_delete").collect() // force the staged build
+    val t = MergeOnRead.morStagedTable(spark, sf)
+    // v4 = last ingest; v5, v6 = the two DV deletes
+    assert(t.liveFiles(4) == t.liveFiles(6),
+      "a merge-on-read delete must not add or remove data files")
+    assert(t.dvFor(6).nonEmpty)
+    // deletes are versioned like everything else: v4 sees everything,
+    // v5 only the %97 victims gone, v6 both
+    val full = t.asOfMor(4).count()
+    val after1 = t.asOfMor(5).count()
+    val after2 = t.asOfMor(6).count()
+    assert(full > after1 && after1 > after2)
+    // v6's supersede kept v5's positions: no %97 key resurfaces
+    assert(t.asOfMor(6).filter(col("o_orderkey") % 97 === 0).count() == 0)
+    assert(t.asOfMor(6).filter(col("o_orderkey") % 89 === 0).count() == 0)
+    // no DV'd file lost rows it should keep: plain asOf still full
+    assert(t.asOf(6).count() == full)
+  }
+
+  test("materialization rewrites ONLY DV-carrying files, retires DVs") {
+    q("q_snapshot_mor_compact").collect() // force the staged build
+    val t = MergeOnRead.morCompactStagedTable(spark, sf)
+    val dvd = t.dvFor(6).keySet // files that carried a DV before v7
+    val before = t.liveFiles(6).toSet
+    val after = t.liveFiles(7).toSet
+    assert(t.dvFor(7).isEmpty, "materialization must retire the DVs")
+    // removed ⊆ DV'd; everything else carried over by log reference
+    val removed = before -- after
+    assert(removed == dvd,
+      s"rewrote ${removed.size} files; DV'd were ${dvd.size}")
+    assert((before -- dvd).subsetOf(after))
+    // row identity: plain read after == anti-join read before
+    assert(t.asOf(7).count() == t.asOfMor(6).count())
+  }
+
+  test("CDC merge: key-range scoping keeps commits 2-4 unread") {
+    q("q_snapshot_cdc_merge").collect() // force the staged build
+    val t = MergeOnRead.cdcStagedTable(spark, sf)
+    // blast radius from the LOG (the staged build may predate this
+    // handle, so lastMergeScan is gone): the change batch is scoped to
+    // quartile 1, so only commit 1's files may be removed at v5
+    val removed = t.liveFiles(4).toSet -- t.liveFiles(5).toSet
+    assert(removed.nonEmpty && removed.forall(_.contains("/v1-")),
+      s"CDC rewrite touched non-quartile-1 files: $removed")
+    // inserts present; tombstoned keys gone
+    val s = t.asOf(t.version)
+    assert(s.filter(col("o_orderkey") >= 100000000L).count() > 0,
+      "no inserts landed")
+  }
+
+  test("CDC merge prunes candidates on a fresh key-clustered table") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cdcprune_").toString
+    val t = new SnapshotLog.Table(spark, root)
+    Seq(0L, 100L, 200L).foreach { base =>
+      t.commitAppend((base until base + 100L).map(k => (k, "x", k))
+        .toDF("k", "part", "v").coalesce(1), "part")
+    }
+    val changes = Seq((5L, "x", 500L, "U"), (7L, "x", 0L, "D"))
+      .toDF("k", "part", "v", "__op")
+    t.commitApplyChanges(changes, "part", "k")
+    val Some((cand, live)) = t.lastMergeScan
+    assert(cand < live, s"scanned $cand of $live")
+    assert(t.asOf(t.version).count() == 299)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
+  test("tombstone for an absent key is an idempotent no-op") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cdcnoop_").toString
+    val t = new SnapshotLog.Table(spark, root)
+    t.commitAppend(Seq((1L, "x", 10L), (2L, "x", 20L))
+      .toDF("k", "part", "v").coalesce(1), "part")
+    // delete k=999 (absent) + update k=2: the absent tombstone must
+    // not throw, not insert, not disturb k=1
+    val changes = Seq((999L, "x", 0L, "D"), (2L, "x", 22L, "U"))
+      .toDF("k", "part", "v", "__op")
+    t.commitApplyChanges(changes, "part", "k")
+    val rows = t.asOf(t.version).orderBy("k").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows.map(_.getAs[Long]("v")).toSeq == Seq(10L, 22L))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
+  test("vacuum after materialization reclaims retired DV sidecars") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dvvac_").toString
+    val t = new SnapshotLog.Table(spark, root)
+    t.commitAppend((1L to 40L).map(k => (k, "x")).toDF("k", "part")
+      .coalesce(1), "part")
+    t.commitDeleteKeysMor(Seq(3L, 7L).toDF("k"), "k")
+    val Seq(f) = t.liveFiles(1)
+    val side = java.nio.file.Paths.get(s"$root/dv/$f.2.dv")
+    assert(java.nio.file.Files.exists(side))
+    assert(t.asOfMor(2).count() == 38)
+    t.commitMaterializeDv("part")
+    t.vacuum(retainVersions = 0)
+    assert(!java.nio.file.Files.exists(side),
+      "the removed file's DV sidecar must die with its data bytes")
+    assert(t.asOf(t.version).count() == 38)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+}
