@@ -27,7 +27,8 @@ object SparkEntry {
       Governance.defs ++ Inference.defs ++ TimeSeries.defs ++ Learning.defs ++
       Experiments.defs ++ Spatial.defs ++ SuffixDedup.defs ++ Alignment.defs ++
       Evaluation.defs ++ JdbcOps.defs ++ Wave6.defs ++ Wave7.defs ++
-      Wave8.defs ++ FileIndex.defs ++ MergeOnRead.defs
+      Wave8.defs ++ FileIndex.defs ++ MergeOnRead.defs ++
+      Posttrain.defs ++ Reweight.defs
 
   require(allDefs.map(_.name).distinct.size == allDefs.size,
     "duplicate query names across operator families")
