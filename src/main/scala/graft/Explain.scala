@@ -112,7 +112,10 @@ object Explain {
     "q_snapshot_point_lookup", "q_snapshot_skipping_date",
     "q_stream_cdf_tail", "q_snapshot_cluster",
     "q_snapshot_schema_evolution", "q_snapshot_delete_range",
-    "q_snapshot_wap", "q_pass_at_k", "q_stream_mv_maintain", "q_factorized_regression")
+    "q_snapshot_wap", "q_pass_at_k", "q_stream_mv_maintain",
+    "q_factorized_regression",
+    "q_snapshot_mor_delete", "q_snapshot_cdc_merge", "q_grpo_advantage",
+    "q_ppo_clip_stats", "q_raking_ipf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

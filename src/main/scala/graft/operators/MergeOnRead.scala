@@ -270,6 +270,67 @@ object MergeOnRead {
           min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"))
         .orderBy("o_orderstatus")
+    },
+
+    // ---- merge-on-read-aware change feed: a DV commit must surface
+    //      its deletes ROW-LEVEL in the CDF (only the NEWLY tombstoned
+    //      positions — a superseding sidecar repeats prior positions
+    //      by design, and re-emitting them would double-delete), and a
+    //      materialization must net to ZERO (its file removes emit
+    //      only still-live rows, because the DV'd rows already left
+    //      the feed when their DV committed — in-query require). The
+    //      feed is folded (+insert/−delete) back into per-type state;
+    //      the oracle recomputes that state from the raw events, so a
+    //      missed tombstone, a repeated one, or a double-counted
+    //      materialization all flip the hash. This is the contract
+    //      that lets a downstream IVM consumer keep its aggregate
+    //      exact across MOR deletes AND their eventual compaction.
+    QueryDef.checked(
+      "q_stream_cdf_mor",
+      """SELECT event_type, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events
+        |WHERE event_id % 11 <> 0 AND event_id % 13 <> 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (spark, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_cdfmor_")
+      val t = new SnapshotLog.Table(spark, base.resolve("table").toString)
+      val ev = graft.Tables(spark, dir).events.select(
+        col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      t.commitAppend(ev.filter(col("event_id") % 2 === 0), "event_type")
+      t.commitAppend(ev.filter(col("event_id") % 2 === 1), "event_type")
+      val live = t.asOf(2).select("event_id")
+      t.commitDeleteKeysMor(
+        live.filter(col("event_id") % 11 === 0), "event_id") // v3
+      t.commitDeleteKeysMor(
+        live.filter(col("event_id") % 13 === 0), "event_id") // v4
+      t.commitMaterializeDv("event_type")                    // v5
+      val ckpt = base.resolve("ckpt").toString
+      val q = spark.readStream
+        .format("graft.sources.SnapshotCdfSource")
+        .option("path", t.root)
+        .option("partCol", "event_type")
+        .option("schema.ddl", "event_id LONG, cents LONG")
+        .load()
+        .writeStream.format("memory").queryName("graft_stream_cdf_mor")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val feed = spark.table("graft_stream_cdf_mor").localCheckpoint()
+      // materialization nets to zero, row count AND mass
+      val sgn = when(col("_change") === "insert", 1L).otherwise(-1L)
+      val net5 = feed.filter(col("_version") === 5)
+        .agg(sum(sgn), sum(sgn * col("cents"))).head()
+      require(net5.getLong(0) == 0L && net5.getLong(1) == 0L,
+        s"materialization did not net to zero in the feed: $net5")
+      val out = feed.groupBy("event_type")
+        .agg(sum(sgn).cast("long").as("n_rows"),
+          sum(sgn * col("cents")).cast("long").as("sum_cents"))
+        .orderBy("event_type").localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      out
     }
   )
 }

@@ -183,7 +183,7 @@ object Wave6 {
         |  CAST(theta_fp - theta_bar_fp AS BIGINT) AS dev_fp,
         |  CAST((SELECT (max(n_groups) - 1)
         |      * sum((theta_fp - theta_bar_fp) * (theta_fp - theta_bar_fp))
-        |      // max(n_groups) FROM loo, ctr) AS BIGINT) AS jk_var_fp
+        |      // max(n_groups) FROM loo, ctr) AS VARCHAR) AS jk_var_fp
         |FROM loo, ctr
         |ORDER BY grp""".stripMargin) { (spark, dir) =>
       val g = Tables(spark, dir).orders
@@ -207,7 +207,9 @@ object Wave6 {
         .select(col("grp"), col("n_i").cast("long").as("n_excluded"),
           col("theta_fp").cast("long").as("theta_loo_fp"),
           col("dev_fp").cast("long").as("dev_fp"),
-          col("jk_var_fp").cast("long").as("jk_var_fp"))
+          // ≈2e16 at sf0.01 — above the driver hash's 2^53-exact
+          // domain, so it ships as a digit string (the r9 fleet rule)
+          col("jk_var_fp").cast("long").cast("string").as("jk_var_fp"))
         .orderBy("grp")
     },
 

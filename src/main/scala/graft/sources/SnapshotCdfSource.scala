@@ -165,16 +165,48 @@ final class SnapshotCdfStream(root: String, partCol: String, ddl: String,
     raiseBase(end.asInstanceOf[VersionOffset].v)
   override def stop(): Unit = ()
 
+  /** (start, end] resolved against the manifest. Merge-on-read aware:
+    * a `dv` commit surfaces as DELETE rows for exactly the positions
+    * NEWLY tombstoned (new sidecar minus the superseded one — a
+    * superseding DV repeats prior positions by design, and repeating
+    * them in the feed would double-delete); a `remove` of a file that
+    * carried an active DV emits deletes only for its still-live rows
+    * (the DV'd rows already left the feed when their DV committed), so
+    * a materialization nets to exactly zero — the same net-zero
+    * contract compaction has always had. */
   override def planInputPartitions(start: Offset, end: Offset):
       Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[VersionOffset].v,
       end.asInstanceOf[VersionOffset].v)
-    table.entries
-      .filter(en => en.version > s && en.version <= e &&
-        (en.action == "add" || en.action == "remove"))
-      .map(en => CdfPart(s"$root/data/${en.path}", en.version,
-        if (en.action == "add") "insert" else "delete"))
-      .toArray[InputPartition]
+    def dvPath(rel: String, dvv: Int) = s"$root/dv/$rel.$dvv.dv"
+    val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    // one ordered fold tracks each file's ACTIVE sidecar so every
+    // window emission knows its predecessor — O(log), driver-side
+    val dvActive = scala.collection.mutable.Map.empty[String, Int]
+    table.entries.filter(_.version <= e).foreach { en =>
+      val inWindow = en.version > s
+      en.action match {
+        case "add" =>
+          if (inWindow)
+            parts += CdfPart(s"$root/data/${en.path}", en.version, "insert")
+        case "remove" =>
+          val prior = dvActive.remove(en.path)
+          if (inWindow)
+            parts += CdfPart(s"$root/data/${en.path}", en.version,
+              "delete", dvNew = None, dvOld = prior.map(dvPath(en.path, _)))
+        case "dv" =>
+          val Array(rel, dvvS) = en.path.split('|')
+          val dvv = dvvS.toInt
+          val prior = dvActive.get(rel)
+          if (inWindow)
+            parts += CdfPart(s"$root/data/$rel", en.version, "delete",
+              dvNew = Some(dvPath(rel, dvv)),
+              dvOld = prior.map(dvPath(rel, _)))
+          dvActive(rel) = dvv
+        case _ => ()
+      }
+    }
+    parts.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -189,13 +221,22 @@ final class SnapshotCdfStream(root: String, partCol: String, ddl: String,
   }
 }
 
-final case class CdfPart(file: String, version: Int, change: String)
+/** @param dvNew when set, this partition surfaces a DELETION-VECTOR
+  *   commit: emit only rows whose position is in dvNew's sidecar and
+  *   NOT in dvOld's (the newly tombstoned delta).
+  * @param dvOld without dvNew: the file is being REMOVED while a DV
+  *   was active — emit only rows outside dvOld (the still-live ones;
+  *   the DV'd rows already left the feed). */
+final case class CdfPart(file: String, version: Int, change: String,
+    dvNew: Option[String] = None, dvOld: Option[String] = None)
     extends InputPartition
 
 /** Reads one parquet file via the parquet-hadoop Group API and emits
   * rows as (file columns..., partition value, _version, _change). The
   * example-Group reader is fine here because CDF partitions are
-  * commit-sized; a bulk path would use the vectorized reader. */
+  * commit-sized; a bulk path would use the vectorized reader. Row
+  * position = sequential read order, the same contract as
+  * `_metadata.row_index`, so DV sidecar positions apply directly. */
 final class CdfReader(part: CdfPart, fileSchema: StructType,
     partCol: String, conf: Configuration)
     extends PartitionReader[InternalRow] {
@@ -210,7 +251,36 @@ final class CdfReader(part: CdfPart, fileSchema: StructType,
   }
   private var cur: Group = _
 
-  override def next(): Boolean = { cur = reader.read(); cur != null }
+  private def loadPositions(p: String): java.util.BitSet = {
+    val fs = new Path(p).getFileSystem(conf)
+    val in = fs.open(new Path(p))
+    val bits = new java.util.BitSet()
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .foreach(l => bits.set(l.trim.toInt))
+    finally in.close()
+    bits
+  }
+
+  /** Whether the row at sequential position `i` belongs to this
+    * partition's change set (see [[CdfPart]]). */
+  private val admit: Long => Boolean = (part.dvNew, part.dvOld) match {
+    case (None, None) => _ => true
+    case (Some(nw), old) =>
+      val n = loadPositions(nw)
+      val o = old.map(loadPositions).getOrElse(new java.util.BitSet())
+      i => n.get(i.toInt) && !o.get(i.toInt)
+    case (None, Some(old)) =>
+      val o = loadPositions(old)
+      i => !o.get(i.toInt)
+  }
+
+  private var pos = -1L
+  override def next(): Boolean = {
+    while ({ cur = reader.read(); pos += 1; cur != null }) {
+      if (admit(pos)) return true
+    }
+    false
+  }
 
   override def get(): InternalRow = {
     val vals = new Array[Any](fileSchema.length + 3)

@@ -1136,8 +1136,34 @@ object SnapshotLog {
       * state per key first — the caller owns change ordering). */
     def commitApplyChanges(changes: DataFrame, partCol: String,
         keyCol: String, opCol: String = "__op",
-        expectedVersion: Int = -1): Int = {
-      val v = casCheck(expectedVersion)
+        expectedVersion: Int = -1): Int =
+      applyChangesImpl(changes, partCol, keyCol, opCol,
+        casCheck(expectedVersion), Seq.empty)
+
+    /** [[commitApplyChanges]] keyed by `txnId` — the exactly-once CDC
+      * sink primitive: a re-delivered change batch (streaming restart
+      * replay, speculative retry) is a logged no-op instead of a
+      * double-apply, which for CDC is not merely duplicate rows but
+      * WRONG rows (a replayed tombstone could kill the re-insert of a
+      * later batch). Returns false when the txn was already
+      * committed; the marker rides the same segment as the rewrite,
+      * so apply and dedup record are one atomic publish. */
+    def commitApplyChangesIdempotent(changes: DataFrame, partCol: String,
+        keyCol: String, txnId: String, opCol: String = "__op"): Boolean = {
+      require(!txnId.contains(",") && !txnId.contains("\n"),
+        s"txnId must be log-safe: $txnId")
+      if (committedTxns.contains(txnId)) false
+      else {
+        val v = version + 1
+        applyChangesImpl(changes, partCol, keyCol, opCol, v,
+          Seq(Entry(v, "txn", txnId)))
+        true
+      }
+    }
+
+    private def applyChangesImpl(changes: DataFrame, partCol: String,
+        keyCol: String, opCol: String, v: Int,
+        extraEntries: Seq[Entry]): Int = {
       val dd = dataDir
       val live = liveFiles(v - 1)
       val candidates = mergeCandidates(v - 1, changes, keyCol, live)
@@ -1168,7 +1194,8 @@ object SnapshotLog {
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
       publishOrCleanup(v, hits.map(Entry(v, "remove", _)) ++
-        added.map(Entry(v, "add", _)) ++ statsEntries(v, added), added)
+        added.map(Entry(v, "add", _)) ++ statsEntries(v, added) ++
+        extraEntries, added)
       buildBlooms(v, added)
       v
     }

@@ -1217,6 +1217,91 @@ object StreamingOps {
         .orderBy("event_type").localCheckpoint()
       org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
       out
+    },
+
+    // ---- transactional CDC sink with tombstones: the streaming twin
+    //      of q_snapshot_cdc_merge. Four change batches stream in
+    //      order (slice k = event_id % 4 == k): each upserts its own
+    //      rows and TOMBSTONES keys of earlier slices (event_id % 7 ==
+    //      k ∧ % 4 < k — no later slice ever re-inserts a killed key,
+    //      so the final dead set is a pure predicate the oracle
+    //      replays). Batches land through
+    //      commitApplyChangesIdempotent keyed by batch id, across a
+    //      stop/restart seam; a replayed batch must be a logged no-op
+    //      — for CDC that is a CORRECTNESS requirement, not a
+    //      dedup nicety: a replayed tombstone would kill a key a later
+    //      batch legitimately re-owned. The in-query duplicate
+    //      redelivery proves it.
+    QueryDef.checked(
+      "q_stream_cdc_txn_sink",
+      """SELECT event_type, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(event_id) AS min_key, max(event_id) AS max_key
+        |FROM events
+        |WHERE NOT (event_id % 7 IN (1, 2, 3)
+        |           AND event_id % 4 < event_id % 7)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (spark, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_cdcsink_")
+      val srcDir = base.resolve("src").toString
+      val ckpt = base.resolve("ckpt").toString
+      val t = new graft.sources.SnapshotLog.Table(
+        spark, base.resolve("table").toString)
+      val ev = graft.Tables(spark, dir).events
+        .select(col("event_id"), col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        .localCheckpoint() // feeds all four slices + the tombstone scan
+      // slice k: own upserts + tombstones for earlier slices' %7==k keys
+      def land(k: Int): Unit = {
+        val ups = ev.filter(col("event_id") % 4 === k)
+          .withColumn("__op", lit("U"))
+        val tombs = ev.filter(
+          col("event_id") % 7 === k && col("event_id") % 4 < k)
+          .withColumn("__op", lit("D"))
+        ups.unionByName(tombs).coalesce(1)
+          .write.mode("append").parquet(srcDir)
+      }
+      val srcSchema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("cents", LongType),
+        StructField("__op", StringType)))
+      def runOnce(): Unit =
+        withStreamConfs(spark, noDataBatches = false, extra = Nil) {
+          val q = spark.readStream.schema(srcSchema)
+            .option("maxFilesPerTrigger", "1").parquet(srcDir)
+            .writeStream
+            .foreachBatch { (bdf: DataFrame, bid: Long) =>
+              t.commitApplyChangesIdempotent(
+                bdf, "event_type", "event_id", s"cdc-$bid")
+              ()
+            }
+            .option("checkpointLocation", ckpt)
+            .start()
+          try { q.processAllAvailable() } finally { q.stop() }
+        }
+      // one run per slice: CDC application order is semantics (a
+      // tombstone applied before its key's insert is a no-op and the
+      // insert would resurrect it), so each restart seam lands exactly
+      // one slice — 3 checkpoint-resume seams proven along the way
+      (0 to 3).foreach { k => land(k); runOnce() }
+      // duplicate redelivery of batch 0: must be a logged no-op — a
+      // re-applied slice-0 upsert would resurrect keys slices 1-3
+      // tombstoned
+      val dup = t.commitApplyChangesIdempotent(
+        ev.filter(col("event_id") % 4 === 0).withColumn("__op", lit("U")),
+        "event_type", "event_id", "cdc-0")
+      require(!dup, "duplicate CDC txn was admitted — exactly-once broken")
+      val out = t.asOf(t.version)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).cast("long").as("sum_cents"),
+          min(col("event_id")).as("min_key"),
+          max(col("event_id")).as("max_key"))
+        .orderBy("event_type").localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      out
     }
   )
 }

@@ -39,7 +39,7 @@ class Wave6Spec extends SparkSpec {
     val devs = rows.map(_.getAs[Long]("dev_fp"))
     // Σ(θ(i) − θ̄) = 0 up to the integer-division floor per group
     assert(math.abs(devs.sum) <= rows.length)
-    val v = rows.map(_.getAs[Long]("jk_var_fp")).distinct
+    val v = rows.map(r => BigInt(r.getAs[String]("jk_var_fp"))).distinct
     assert(v.length == 1 && v.head >= 0)
   }
 

@@ -27,11 +27,13 @@ def overflow_2_53(rows):
     held while hash_match failed. Any such value must ship as a digit
     string instead (see HashDomainSweepSpec for the type-level half).
     """
+    import decimal
     bad = []
     for row in rows:
         for v in row:
-            if isinstance(v, int) and not isinstance(v, bool) \
-                    and abs(v) > LIMIT_2_53:
+            if isinstance(v, bool):
+                continue
+            if isinstance(v, (int, decimal.Decimal)) and abs(v) > LIMIT_2_53:
                 bad.append(v)
     return bad
 
