@@ -641,7 +641,7 @@ object GraphRank {
         |SELECT CAST(d AS INT) AS dist, CAST(count(*) AS BIGINT) AS n_nodes,
         |  CAST(min(node) AS BIGINT) AS min_node,
         |  CAST(max(node) AS BIGINT) AS max_node,
-        |  CAST(sum(node) AS BIGINT) AS sum_nodes
+        |  CAST(CAST(sum(node) AS BIGINT) AS VARCHAR) AS sum_nodes
         |FROM joined GROUP BY d ORDER BY dist""".stripMargin) { (spark, dir) =>
       val edges = tradeEdges(Tables(spark, dir), None)
         .pin() // reused by 3 relaxation rounds + the census
@@ -664,7 +664,10 @@ object GraphRank {
         .agg(count(lit(1)).cast("long").as("n_nodes"),
           min(col("node")).cast("long").as("min_node"),
           max(col("node")).cast("long").as("max_node"),
-          sum(col("node")).cast("long").as("sum_nodes"))
+          // id checksum: 2^40-offset customer ids push the d=1 sum to
+          // ~1.4e16 at sf0.1 — past the driver hash's 2^53-exact
+          // domain, so it ships as a digit string (the r9 fleet rule)
+          sum(col("node")).cast("long").cast("string").as("sum_nodes"))
         .select(col("d").cast("int").as("dist"), col("n_nodes"),
           col("min_node"), col("max_node"), col("sum_nodes"))
         .orderBy("dist")
