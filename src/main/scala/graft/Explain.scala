@@ -115,7 +115,8 @@ object Explain {
     "q_snapshot_wap", "q_pass_at_k", "q_stream_mv_maintain",
     "q_factorized_regression",
     "q_snapshot_mor_delete", "q_snapshot_cdc_merge", "q_grpo_advantage",
-    "q_ppo_clip_stats", "q_raking_ipf")
+    "q_ppo_clip_stats", "q_raking_ipf", "q_majority_vote",
+    "q_length_controlled_winrate", "q_paired_bootstrap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

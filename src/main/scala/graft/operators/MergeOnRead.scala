@@ -338,6 +338,60 @@ object MergeOnRead {
         .orderBy("event_type").localCheckpoint()
       org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
       out
+    },
+
+    // ---- CHECK constraints on commit (Delta's ADD CONSTRAINT): the
+    //      table enforces its own invariants — a poisoned batch is a
+    //      REJECTED COMMIT, not poisoned training data found weeks
+    //      later by a quality dashboard. Validation costs one filter
+    //      pass over the incoming DELTA (never the table), the
+    //      constraint is itself a log entry (versioned, checkpoint-
+    //      durable, droppable), and every write path checks it —
+    //      append, idempotent append, MERGE, CDC apply, WAP publish.
+    //      The query commits a clean half, registers the invariant,
+    //      proves BOTH an append and a merge of violating rows bounce
+    //      (in-query requires), then lands the second clean half; the
+    //      oracle recomputes the final state from the raw table, so a
+    //      leaked poisoned row or a lost clean batch flips the hash.
+    QueryDef.checked(
+      "q_snapshot_constraints",
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+      (spark, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_constr_")
+      val t = new SnapshotLog.Table(spark, base.resolve("table").toString)
+      val orders = spark.read.parquet(s"$dir/orders.parquet").select(
+        col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+        col("o_orderstatus"))
+      t.commitAppend(orders.filter(col("o_orderkey") % 2 === 0),
+        "o_orderstatus")
+      t.addConstraint("nonneg_price", "price_cents >= 0")
+      val poisoned = orders.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("price_cents", -col("price_cents") - 1)
+      def bounced(f: => Unit): Boolean =
+        try { f; false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("nonneg_price") }
+      require(bounced(t.commitAppend(poisoned, "o_orderstatus")),
+        "append of violating rows must be rejected")
+      require(bounced(t.commitMerge(poisoned, "o_orderstatus",
+        "o_orderkey")), "merge of violating rows must be rejected")
+      t.commitAppend(orders.filter(col("o_orderkey") % 2 === 1),
+        "o_orderstatus")
+      val out = t.asOf(t.version)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price_cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus").localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      out
     }
   )
 }

@@ -72,15 +72,23 @@ object Windows {
     // ---- rows frames: running sum + 3-row moving average per supplier
     QueryDef.checked(
       "q_window_frames",
+      // window order carries l_quantity as the FINAL tie-break: the
+      // synthetic lineitem is not (orderkey, linenumber)-unique — sf0.1
+      // has one duplicated tuple with quantities 16 vs 13 — and a
+      // running frame over a non-total order emits whichever prefix
+      // the engine's sort happened to pick, flaking 2 rows per run.
+      // With quantity in the key the order is total wherever the
+      // emitted value could differ.
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-        |  sum(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  sum(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
-        |  avg(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  avg(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg_qty
         |FROM lineitem
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
       Tables(spark, dir).lineitem
         .select(
           col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),

@@ -379,6 +379,7 @@ object SnapshotLog {
       * removed on success. */
     def publishStaged(branch: String, expectedVersion: Int = -1): Int = {
       val v = casCheck(expectedVersion)
+      checkConstraints(stagedRead(branch)) // WAP publish is a write commit
       val lines = stagedEntries(branch).map(e => e.copy(version = v))
       publishSegment(v, lines)
       fs.delete(stagedPath(branch), false)
@@ -876,6 +877,7 @@ object SnapshotLog {
     def commitAppend(df: DataFrame, partCol: String,
         expectedVersion: Int = -1): Int = {
       val v = casCheck(expectedVersion)
+      checkConstraints(df)
       val tmp = new Path(s"$root/_tmp_v$v-${
         java.util.UUID.randomUUID.toString.take(8)}")
       df.write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
@@ -890,6 +892,67 @@ object SnapshotLog {
     /** Transaction ids already committed (the `txn` log entries). */
     def committedTxns: Set[String] =
       entries.filter(_.action == "txn").map(_.path).toSet
+
+    // ---- CHECK constraints ------------------------------------------
+
+    /** Register a CHECK constraint: every subsequent write commit
+      * validates its INCOMING batch against `sqlExpr` (one filter pass
+      * over the delta — O(batch), never O(table)) and fails loudly on
+      * the first violation, BEFORE any segment publishes. This is the
+      * Delta `ADD CONSTRAINT` contract: the table enforces its own
+      * invariants so a quality bug upstream becomes a rejected commit
+      * instead of poisoned training data. The constraint itself is a
+      * log entry (`constraint` action, expr hex-encoded so the csv
+      * stays delimiter-safe), so it survives checkpointing, time
+      * travel shows when it appeared, and [[dropConstraint]] is one
+      * more entry — schema-of-behavior, versioned like data. */
+    def addConstraint(name: String, sqlExpr: String,
+        expectedVersion: Int = -1): Int = {
+      require(name.matches("[A-Za-z0-9_-]+"),
+        s"constraint name must be log-safe: $name")
+      val v = casCheck(expectedVersion)
+      // a constraint must hold for the data ALREADY live, or reads
+      // and writes would disagree about table validity from day one
+      if (liveFiles(v - 1).nonEmpty) {
+        val bad = asOfMor(v - 1).filter(s"NOT ($sqlExpr)").limit(1).count()
+        require(bad == 0,
+          s"constraint $name is violated by existing rows")
+      }
+      publishSegment(v, Seq(Entry(v, "constraint", s"$name|${hex(sqlExpr)}")))
+      v
+    }
+
+    /** Retire a constraint (future commits stop checking it). */
+    def dropConstraint(name: String, expectedVersion: Int = -1): Int = {
+      val v = casCheck(expectedVersion)
+      require(activeConstraints.contains(name), s"no constraint $name")
+      publishSegment(v, Seq(Entry(v, "unconstraint", name)))
+      v
+    }
+
+    /** Active constraints: name → SQL expression, add/drop folded. */
+    def activeConstraints: Map[String, String] =
+      entries.foldLeft(Map.empty[String, String]) {
+        case (acc, Entry(_, "constraint", p)) =>
+          val Array(n, ex) = p.split('|')
+          acc + (n -> unhex(ex))
+        case (acc, Entry(_, "unconstraint", n)) => acc - n
+        case (acc, _)                           => acc
+      }
+
+    /** Validate an incoming batch against every active constraint —
+      * one job over the (delta-sized) batch; throws naming the first
+      * violated constraint. Called by every write commit. */
+    private def checkConstraints(df: DataFrame): Unit = {
+      val cs = activeConstraints
+      if (cs.isEmpty) return
+      val violated = cs.toSeq.sortBy(_._1).collectFirst {
+        case (n, ex) if df.filter(s"NOT ($ex)").limit(1).count() > 0 =>
+          s"$n [$ex]"
+      }
+      require(violated.isEmpty,
+        s"commit rejected: batch violates constraint ${violated.get}")
+    }
 
     /** Idempotent append keyed by `txnId` — the exactly-once sink
       * primitive for streaming `foreachBatch`: the batch id becomes the
@@ -907,6 +970,7 @@ object SnapshotLog {
       if (committedTxns.contains(txnId)) false
       else {
         val v = version + 1
+        checkConstraints(df)
         val tmp = new Path(s"$root/_tmp_v$v-${
           java.util.UUID.randomUUID.toString.take(8)}")
         df.write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
@@ -1079,6 +1143,7 @@ object SnapshotLog {
     def commitMerge(source: DataFrame, partCol: String, keyCol: String,
         expectedVersion: Int = -1): Int = {
       val v = casCheck(expectedVersion)
+      checkConstraints(source)
       val dd = dataDir
       val live = liveFiles(v - 1)
       val candidates = mergeCandidates(v - 1, source, keyCol, live)
@@ -1171,6 +1236,7 @@ object SnapshotLog {
       val seg = split(input_file_name(), "/")
       val srcKeys = changes.select(col(keyCol)).distinct()
       val upserts = changes.filter(col(opCol) =!= "D").drop(opCol)
+      checkConstraints(upserts) // tombstones carry no rows INTO the table
       val hits =
         if (candidates.isEmpty) Seq.empty[String]
         else spark.read.option("basePath", dd)

@@ -87,5 +87,9 @@ object SinglePartitionSweepSpec {
     "q_neyman_allocation", "q_pareto_front", "q_pr_curve", "q_psi_drift",
     "q_quantile_sketch_merge", "q_revenue_deciles", "q_rolling_corr",
     "q_ucb_bandit", "q_voptimal_histogram",
-    "q_shard_rebalance", "q_mom_yoy")
+    "q_shard_rebalance", "q_mom_yoy",
+    // r9: replica-mean rank over EXACTLY 32 rows (constant by
+    // construction — one row per bootstrap replica, localCheckpointed;
+    // same shape and bound as q_bootstrap_ci at any corpus size)
+    "q_paired_bootstrap")
 }
