@@ -169,16 +169,27 @@ object EvalAggregation {
            |FROM per
            |ORDER BY bucket""".stripMargin
       }) { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val bucket = expr(
         """CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 400 THEN 1
           |     WHEN n_chars < 600 THEN 2 ELSE 3 END""".stripMargin)
-      val d = Tables(spark, dir).documents
+      val d0 = Tables(spark, dir).documents
         .filter(col("source").isin("src0", "src1"))
         .select(col("source"), bucket.as("bucket"), col("doc_id"),
           expr(TtrSpark).as("score"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("source", "bucket").orderBy("doc_id")))
+      // per-(source, bucket) rank WITHOUT a per-group window: only 8
+      // groups exist, so window partitions would be corpus/8-sized —
+      // the near-global shape the suite migrates to RangeRank. Groups
+      // are contiguous in the (source, bucket, doc_id) total order, so
+      // group rank = global range-rank − the group's min rank + 1
+      // (an 8-row broadcast).
+      val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val granked = graft.util.RangeRank.withGlobalRank(d0, "__g", nPart,
+        col("source"), col("bucket"), col("doc_id"))
+      val base = granked.groupBy("source", "bucket")
+        .agg(min(col("__g")).as("__g0"))
+      val d = granked.join(broadcast(base), Seq("source", "bucket"))
+        .withColumn("rk", (col("__g") - col("__g0") + 1L).cast("int"))
+        .drop("__g", "__g0")
       val a = d.filter(col("source") === "src0")
         .select(col("bucket"), col("rk"), col("score").as("sa"))
       val b = d.filter(col("source") === "src1")
