@@ -392,6 +392,73 @@ object MergeOnRead {
         .orderBy("o_orderstatus").localCheckpoint()
       org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
       out
+    },
+
+    // ---- partition evolution (the Iceberg contract): the table's
+    //      partition column CHANGES mid-life — v1 ingests partitioned
+    //      by status, v2 by price band — and NOTHING rewrites: old
+    //      files keep the old layout, reads group live files by their
+    //      `col=` path prefix and union the layouts by name. The
+    //      subtle semantics under proof: a metadata-only partition
+    //      delete scopes to ITS OWN layout — dropping `price_band=low`
+    //      kills v2's low-band files while v1's low-band ROWS survive
+    //      (they live in status-partitioned files; deleting them would
+    //      need a row-level delete). The oracle encodes exactly that
+    //      asymmetry, and the n_low_band column makes it visible: a
+    //      read that lost the old layout, double-dropped, or
+    //      mis-grouped the union flips the hash.
+    QueryDef.checked(
+      "q_snapshot_partition_evolution",
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderstatus AS status, o_orderdate AS d,
+        |    CASE WHEN round(o_totalprice * 100) < 10000000 THEN 'low'
+        |         WHEN round(o_totalprice * 100) < 25000000 THEN 'mid'
+        |         ELSE 'high' END AS band
+        |  FROM orders
+        |), final AS (
+        |  -- the layout-scoped delete: only the NEW layout's low band
+        |  -- dies; pre-1997 low-band rows live in status-partitioned
+        |  -- files and survive
+        |  SELECT * FROM base
+        |  WHERE d < TIMESTAMP '1997-01-01' OR band <> 'low'
+        |)
+        |SELECT status AS o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(*) FILTER (WHERE band = 'low') AS BIGINT)
+        |    AS n_low_band
+        |FROM final GROUP BY status ORDER BY status""".stripMargin) {
+      (spark, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_pevo_")
+      val t = new SnapshotLog.Table(spark, base.resolve("table").toString)
+      val orders = spark.read.parquet(s"$dir/orders.parquet").select(
+        col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+          .as("price_cents"),
+        col("o_orderstatus"), col("o_orderdate"),
+        expr("""CASE WHEN round(o_totalprice * 100) < 10000000 THEN 'low'
+               |     WHEN round(o_totalprice * 100) < 25000000 THEN 'mid'
+               |     ELSE 'high' END""".stripMargin).as("price_band"))
+      val cut = lit("1997-01-01").cast("timestamp")
+      // v1: the old layout (status-partitioned; band rides as data)
+      t.commitAppend(orders.filter(col("o_orderdate") < cut)
+        .drop("o_orderdate"), "o_orderstatus")
+      // v2: the evolved layout (band-partitioned; status rides as data)
+      t.commitAppend(orders.filter(col("o_orderdate") >= cut)
+        .drop("o_orderdate"), "price_band")
+      // v3: metadata-only delete IN THE NEW LAYOUT — zero bytes move,
+      // and it cannot touch the old layout's rows by construction
+      t.commitDeletePartition("price_band", "low")
+      val out = t.asOf(t.version)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price_cents")).as("sum_cents"),
+          sum(when(col("price_band") === "low", 1L).otherwise(0L))
+            .as("n_low_band"))
+        .orderBy("o_orderstatus").localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      out
     }
   )
 }

@@ -286,13 +286,49 @@ object SnapshotLog {
       * added over time): the read unions all file schemas and fills
       * pre-evolution rows with nulls — the standard
       * additive-schema-evolution contract. Off by default because
-      * schema union costs a footer pass per distinct schema. */
+      * schema union costs a footer pass per distinct schema.
+      *
+      * PARTITION EVOLUTION: commits may use different partition
+      * columns over the table's life (the Iceberg contract — old
+      * files keep the old layout, new commits write the new one,
+      * nothing rewrites). Each file's layout is its `col=` path
+      * prefix, so the read groups live files by layout, reads each
+      * group with its own partition discovery, and unions by name
+      * with missing columns nulled. A row's dir-encoded partition
+      * value comes from ITS layout; writers that want both columns
+      * queryable on every row carry the non-partition one as a data
+      * column (partitionBy removes only the column it shards by). */
     def asOf(v: Int, mergeSchema: Boolean = false): DataFrame = {
-      val files = liveFiles(v).map(p => s"$dataDir/$p")
+      val files = liveFiles(v)
       require(files.nonEmpty, s"version $v of $root has no live files")
-      spark.read.option("basePath", dataDir)
-        .option("mergeSchema", mergeSchema.toString)
-        .parquet(files: _*)
+      readFiles(files, mergeSchema)
+    }
+
+    /** Layout-aware multi-file read (see [[asOf]] on evolution). */
+    private def readFiles(rels: Seq[String],
+        mergeSchema: Boolean): DataFrame =
+      rels.groupBy(_.takeWhile(_ != '=')).toSeq.sortBy(_._1)
+        .map { case (_, fs) =>
+          spark.read.option("basePath", dataDir)
+            .option("mergeSchema", mergeSchema.toString)
+            .parquet(fs.map(p => s"$dataDir/$p"): _*)
+        }
+        .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+
+    /** [[readFiles]] with (__f, __pos) = (file rel, row position)
+      * materialized PER LAYOUT GROUP before the union — `_metadata`
+      * is a file-source pseudo-column and does not survive a union. */
+    private def readFilesWithPos(rels: Seq[String]): DataFrame = {
+      val seg = split(input_file_name(), "/")
+      rels.groupBy(_.takeWhile(_ != '=')).toSeq.sortBy(_._1)
+        .map { case (_, fs) =>
+          spark.read.option("basePath", dataDir)
+            .parquet(fs.map(p => s"$dataDir/$p"): _*)
+            .withColumn("__f",
+              concat_ws("/", element_at(seg, -2), element_at(seg, -1)))
+            .withColumn("__pos", col("_metadata.row_index"))
+        }
+        .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
     }
 
     /** Resolve a wall-clock instant to the last version published at
@@ -1062,8 +1098,7 @@ object SnapshotLog {
       if (victims.isEmpty) { publishSegment(v, Seq.empty); return v }
       val tmp = new Path(s"$root/_tmp_v$v-${
         java.util.UUID.randomUUID.toString.take(8)}")
-      spark.read.option("basePath", dataDir)
-        .parquet(victims.map(p => s"$dataDir/$p"): _*)
+      readFiles(victims, mergeSchema = false)
         .filter(keep)
         .write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
       val added = adopt(tmp, v)
@@ -1148,22 +1183,18 @@ object SnapshotLog {
       val live = liveFiles(v - 1)
       val candidates = mergeCandidates(v - 1, source, keyCol, live)
       lastMergeScan = Some((candidates.size, live.size))
-      val seg = split(input_file_name(), "/")
       val srcKeys = source.select(col(keyCol)).distinct()
       // driver-side file list: bounded by candidate-file count
-      // (metadata scale), not row count
+      // (metadata scale), not row count; layout-aware reads so merges
+      // work across partition evolution
       val hits =
         if (candidates.isEmpty) Seq.empty[String]
-        else spark.read.option("basePath", dd)
-          .parquet(candidates.map(p => s"$dd/$p"): _*)
-          .withColumn("__f",
-            concat_ws("/", element_at(seg, -2), element_at(seg, -1)))
+        else readFilesWithPos(candidates)
           .join(broadcast(srcKeys), Seq(keyCol))
           .select("__f").distinct().collect().map(_.getString(0)).toSeq
       val survivors =
         if (hits.isEmpty) source.sparkSession.emptyDataFrame
-        else spark.read.option("basePath", dd)
-          .parquet(hits.map(p => s"$dd/$p"): _*)
+        else readFiles(hits, mergeSchema = false)
           .join(broadcast(srcKeys), Seq(keyCol), "left_anti")
       val rewritten =
         if (hits.isEmpty) source
@@ -1239,16 +1270,12 @@ object SnapshotLog {
       checkConstraints(upserts) // tombstones carry no rows INTO the table
       val hits =
         if (candidates.isEmpty) Seq.empty[String]
-        else spark.read.option("basePath", dd)
-          .parquet(candidates.map(p => s"$dd/$p"): _*)
-          .withColumn("__f",
-            concat_ws("/", element_at(seg, -2), element_at(seg, -1)))
+        else readFilesWithPos(candidates)
           .join(broadcast(srcKeys), Seq(keyCol))
           .select("__f").distinct().collect().map(_.getString(0)).toSeq
       val survivors =
         if (hits.isEmpty) upserts.limit(0)
-        else spark.read.option("basePath", dd)
-          .parquet(hits.map(p => s"$dd/$p"): _*)
+        else readFiles(hits, mergeSchema = false)
           .join(broadcast(srcKeys), Seq(keyCol), "left_anti")
       val rewritten = survivors
         .select(upserts.columns.toIndexedSeq.map(col): _*)
@@ -1340,14 +1367,9 @@ object SnapshotLog {
       val candidates = mergeCandidates(v - 1, keys, keyCol, live)
       lastMergeScan = Some((candidates.size, live.size))
       if (candidates.isEmpty) { publishSegment(v, Seq.empty); return v }
-      val seg = split(input_file_name(), "/")
       val srcKeys = keys.select(col(keyCol)).distinct()
-      val matched = spark.read.option("basePath", dd)
-        .parquet(candidates.map(p => s"$dd/$p"): _*)
-        .select(
-          concat_ws("/", element_at(seg, -2), element_at(seg, -1))
-            .as("__f"),
-          col("_metadata.row_index").as("__pos"), col(keyCol))
+      val matched = readFilesWithPos(candidates)
+        .select(col("__f"), col("__pos"), col(keyCol))
         .join(broadcast(srcKeys), Seq(keyCol))
         .select("__f", "__pos")
       // affected file list: bounded by candidate count, driver-side
@@ -1405,13 +1427,9 @@ object SnapshotLog {
     def asOfMor(v: Int): DataFrame = dvRelation(v) match {
       case None => asOf(v)
       case Some(dv) =>
-        val files = liveFiles(v).map(p => s"$dataDir/$p")
+        val files = liveFiles(v)
         require(files.nonEmpty, s"version $v of $root has no live files")
-        val seg = split(input_file_name(), "/")
-        spark.read.option("basePath", dataDir).parquet(files: _*)
-          .withColumn("__f",
-            concat_ws("/", element_at(seg, -2), element_at(seg, -1)))
-          .withColumn("__pos", col("_metadata.row_index"))
+        readFilesWithPos(files)
           .join(dv, Seq("__f", "__pos"), "left_anti")
           .drop("__f", "__pos")
     }
@@ -1431,12 +1449,7 @@ object SnapshotLog {
       if (dvs.isEmpty) { publishSegment(v, Seq.empty); return v }
       val victims = dvs.keys.toSeq.sorted
       val dv = dvRelation(v - 1).get
-      val seg = split(input_file_name(), "/")
-      val rewritten = spark.read.option("basePath", dataDir)
-        .parquet(victims.map(p => s"$dataDir/$p"): _*)
-        .withColumn("__f",
-          concat_ws("/", element_at(seg, -2), element_at(seg, -1)))
-        .withColumn("__pos", col("_metadata.row_index"))
+      val rewritten = readFilesWithPos(victims)
         .join(dv, Seq("__f", "__pos"), "left_anti")
         .drop("__f", "__pos")
       val tmp = new Path(s"$root/_tmp_v$v-${

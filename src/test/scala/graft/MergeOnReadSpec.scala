@@ -100,6 +100,41 @@ class MergeOnReadSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("partition evolution: mixed layouts read, DVs span layouts") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pevo_spec_").toString
+    val t = new SnapshotLog.Table(spark, root)
+    // v1 partitioned by a, v2 by b — both columns ride as data in the
+    // other layout, the q_snapshot_partition_evolution shape
+    t.commitAppend((1L to 20L).map(k => (k, s"a${k % 2}", s"b${k % 3}"))
+      .toDF("k", "pa", "pb").coalesce(1), "pa")
+    t.commitAppend((21L to 40L).map(k => (k, s"a${k % 2}", s"b${k % 3}"))
+      .toDF("k", "pa", "pb").coalesce(1), "pb")
+    val all = t.asOf(2)
+    assert(all.count() == 40)
+    assert(all.columns.sorted.toSeq == Seq("k", "pa", "pb"))
+    // every row keeps both columns, whichever layout carried it
+    assert(all.filter(col("pa").isNull || col("pb").isNull).count() == 0)
+    // time travel still resolves the single-layout state
+    assert(t.asOf(1).count() == 20)
+    // a MOR delete whose keys span BOTH layouts: candidates and
+    // positions resolve per file regardless of layout
+    t.commitDeleteKeysMor(Seq(5L, 25L).toDF("k"), "k")
+    assert(t.asOfMor(3).count() == 38)
+    assert(t.asOfMor(3).filter(col("k").isin(5L, 25L)).count() == 0)
+    // the layout-scoped metadata delete: pb=b0 kills only layout-2
+    // files; layout-1 rows with pb=b0 survive
+    val v = t.commitDeletePartition("pb", "b0")
+    val after = t.asOfMor(v)
+    assert(after.filter(col("pb") === "b0" && col("k") <= 20L)
+      .count() > 0, "old-layout rows must survive a new-layout delete")
+    assert(after.filter(col("pb") === "b0" && col("k") > 20L)
+      .count() == 0)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("vacuum after materialization reclaims retired DV sidecars") {
     import spark.implicits._
     val root = java.nio.file.Files
