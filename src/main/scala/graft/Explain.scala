@@ -116,7 +116,8 @@ object Explain {
     "q_factorized_regression",
     "q_snapshot_mor_delete", "q_snapshot_cdc_merge", "q_grpo_advantage",
     "q_ppo_clip_stats", "q_raking_ipf", "q_majority_vote",
-    "q_length_controlled_winrate", "q_paired_bootstrap")
+    "q_length_controlled_winrate", "q_paired_bootstrap",
+    "q_snapshot_partition_evolution", "q_snapshot_constraints")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

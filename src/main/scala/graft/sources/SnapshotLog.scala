@@ -1179,7 +1179,6 @@ object SnapshotLog {
         expectedVersion: Int = -1): Int = {
       val v = casCheck(expectedVersion)
       checkConstraints(source)
-      val dd = dataDir
       val live = liveFiles(v - 1)
       val candidates = mergeCandidates(v - 1, source, keyCol, live)
       lastMergeScan = Some((candidates.size, live.size))
@@ -1260,7 +1259,6 @@ object SnapshotLog {
     private def applyChangesImpl(changes: DataFrame, partCol: String,
         keyCol: String, opCol: String, v: Int,
         extraEntries: Seq[Entry]): Int = {
-      val dd = dataDir
       val live = liveFiles(v - 1)
       val candidates = mergeCandidates(v - 1, changes, keyCol, live)
       lastMergeScan = Some((candidates.size, live.size))
@@ -1362,7 +1360,6 @@ object SnapshotLog {
     def commitDeleteKeysMor(keys: DataFrame, keyCol: String,
         expectedVersion: Int = -1): Int = {
       val v = casCheck(expectedVersion)
-      val dd = dataDir
       val live = liveFiles(v - 1)
       val candidates = mergeCandidates(v - 1, keys, keyCol, live)
       lastMergeScan = Some((candidates.size, live.size))
