@@ -163,6 +163,31 @@ class SnapshotHardeningSpec extends SparkSpec {
     rm(root)
   }
 
+  test("deletion vectors survive the checkpoint + vacuumLog round-trip") {
+    import spark.implicits._
+    val root = tmpRoot("sdvckpt")
+    val t = new SnapshotLog.Table(spark, root, autoCheckpointEvery = 0)
+    t.commitAppend((1L to 30L).map(k => (k, "x")).toDF("k", "part")
+      .coalesce(1), "part")
+    t.commitDeleteKeysMor(Seq(4L, 9L).toDF("k"), "k")     // v2
+    t.commitDeleteKeysMor(Seq(9L, 16L).toDF("k"), "k")    // v3 supersede
+    val before = t.asOfMor(3).orderBy("k").collect().map(_.getLong(0))
+    // the checkpoint consolidates entries VERBATIM: dv bindings (and
+    // their supersede order) must fold identically from ckpt + tail
+    t.checkpointLog()
+    t.vacuumLog()
+    assert(t.dvFor(3).nonEmpty)
+    assert(t.asOfMor(3).orderBy("k").collect().map(_.getLong(0)).toSeq
+      == before.toSeq)
+    assert(t.asOfMor(2).count() == 28) // v2 time travel still resolves
+    assert(before.length == 27 && !before.contains(9L))
+    // materialization after the round-trip still bounds to DV'd files
+    t.commitMaterializeDv("part")
+    assert(t.dvFor(t.version).isEmpty)
+    assert(t.asOf(t.version).count() == 27)
+    rm(root)
+  }
+
   test("sidecar degradation: torn files and header-k skew stay safe") {
     import spark.implicits._
     val root = tmpRoot("sbloomskew")
