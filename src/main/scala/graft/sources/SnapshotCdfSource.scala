@@ -178,11 +178,12 @@ final class SnapshotCdfStream(root: String, partCol: String, ddl: String,
       Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[VersionOffset].v,
       end.asInstanceOf[VersionOffset].v)
-    def dvPath(rel: String, dvv: Int) = s"$root/dv/$rel.$dvv.dv"
+    // sidecar ids are strings: `<v>` legacy, `<v>-<writer-uid>` current
+    def dvPath(rel: String, id: String) = s"$root/dv/$rel.$id.dv"
     val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
     // one ordered fold tracks each file's ACTIVE sidecar so every
     // window emission knows its predecessor — O(log), driver-side
-    val dvActive = scala.collection.mutable.Map.empty[String, Int]
+    val dvActive = scala.collection.mutable.Map.empty[String, String]
     table.entries.filter(_.version <= e).foreach { en =>
       val inWindow = en.version > s
       en.action match {
@@ -195,14 +196,13 @@ final class SnapshotCdfStream(root: String, partCol: String, ddl: String,
             parts += CdfPart(s"$root/data/${en.path}", en.version,
               "delete", dvNew = None, dvOld = prior.map(dvPath(en.path, _)))
         case "dv" =>
-          val Array(rel, dvvS) = en.path.split('|')
-          val dvv = dvvS.toInt
+          val Array(rel, id) = en.path.split('|')
           val prior = dvActive.get(rel)
           if (inWindow)
             parts += CdfPart(s"$root/data/$rel", en.version, "delete",
-              dvNew = Some(dvPath(rel, dvv)),
+              dvNew = Some(dvPath(rel, id)),
               dvOld = prior.map(dvPath(rel, _)))
-          dvActive(rel) = dvv
+          dvActive(rel) = id
         case _ => ()
       }
     }
@@ -243,11 +243,20 @@ final class CdfReader(part: CdfPart, fileSchema: StructType,
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(), new Path(part.file))
       .withConf(conf).build()
+  /** The partition value recovered from THIS FILE's own `key=value`
+    * path segment. Layout-aware (partition evolution): a file written
+    * under a DIFFERENT partition column — an old layout, after the
+    * table's partition column evolved — yields null here, the same
+    * missing-column contract the batch read's unionByName applies.
+    * The row still carries its own layout's value as a data column
+    * whenever the writer kept it (the partition-evolution writing
+    * convention), so no information is lost; the feed just stops
+    * dying on the first foreign-layout file. */
   private val partValue: UTF8String = {
     val seg = part.file.split('/').takeRight(2).head
-    require(seg.startsWith(s"$partCol="),
-      s"expected $partCol=... path segment, got $seg")
-    UTF8String.fromString(seg.substring(partCol.length + 1))
+    if (seg.startsWith(s"$partCol="))
+      UTF8String.fromString(seg.substring(partCol.length + 1))
+    else null
   }
   private var cur: Group = _
 
@@ -256,22 +265,35 @@ final class CdfReader(part: CdfPart, fileSchema: StructType,
     val in = fs.open(new Path(p))
     val bits = new java.util.BitSet()
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .foreach(l => bits.set(l.trim.toInt))
+      .foreach { l =>
+        val pos = l.trim.toLong
+        // the BitSet is Int-indexed; the sidecar WRITER guards the
+        // same bound, so a violation here means a corrupt sidecar —
+        // fail loudly rather than mis-filter
+        require(pos <= Int.MaxValue, s"DV position $pos out of range in $p")
+        bits.set(pos.toInt)
+      }
     finally in.close()
     bits
   }
 
   /** Whether the row at sequential position `i` belongs to this
-    * partition's change set (see [[CdfPart]]). */
-  private val admit: Long => Boolean = (part.dvNew, part.dvOld) match {
-    case (None, None) => _ => true
-    case (Some(nw), old) =>
-      val n = loadPositions(nw)
-      val o = old.map(loadPositions).getOrElse(new java.util.BitSet())
-      i => n.get(i.toInt) && !o.get(i.toInt)
-    case (None, Some(old)) =>
-      val o = loadPositions(old)
-      i => !o.get(i.toInt)
+    * partition's change set (see [[CdfPart]]). A position beyond Int
+    * range can never be IN a (guarded) sidecar, so the membership
+    * tests are exact for all longs. */
+  private val admit: Long => Boolean = {
+    def in(b: java.util.BitSet, i: Long): Boolean =
+      i <= Int.MaxValue && b.get(i.toInt)
+    (part.dvNew, part.dvOld) match {
+      case (None, None) => _ => true
+      case (Some(nw), old) =>
+        val n = loadPositions(nw)
+        val o = old.map(loadPositions).getOrElse(new java.util.BitSet())
+        i => in(n, i) && !in(o, i)
+      case (None, Some(old)) =>
+        val o = loadPositions(old)
+        i => !in(o, i)
+    }
   }
 
   private var pos = -1L

@@ -63,15 +63,20 @@ object SnapshotLog {
     * versions stay readable. */
   final case class Entry(version: Int, action: String, path: String)
 
-  /** @param bloomCols integer (LONG) columns to index with a per-file
+  /** @param bloomCols LONG or STRING columns to index with a per-file
     *   BLOOM FILTER SIDECAR at commit time (`index/<rel>.<col>.bloom`).
     *   The complement of zone maps: zone maps skip by RANGE (great for
     *   ingest-clustered columns, useless for uniformly scattered keys),
     *   blooms skip by MEMBERSHIP (a point lookup on a scattered key
     *   prunes to ~the files that actually contain it, FPR ≈ 0.8% at 10
-    *   bits/key). Sidecars keep the manifest kilobyte-sized — bloom
-    *   bits live next to the data, read only at lookup-planning time,
-    *   exactly how production formats ship file-level indexes. */
+    *   bits/key). String keys hash through the same xxhash64 the LONG
+    *   path uses — the bloom is approximate by construction, so hashing
+    *   the key first loses nothing, and it is what makes string-ID
+    *   point deletes (the GDPR-erasure queue keyed by document/user
+    *   ids) prune like LONG ones. Sidecars keep the manifest
+    *   kilobyte-sized — bloom bits live next to the data, read only at
+    *   lookup-planning time, exactly how production formats ship
+    *   file-level indexes. */
   /** @param autoCheckpointEvery write a log checkpoint whenever the
     *   segment tail past the latest checkpoint reaches this many
     *   commits (0 disables). Production formats checkpoint on a fixed
@@ -79,9 +84,20 @@ object SnapshotLog {
     *   planning and stream-source polling stay O(checkpoint + tail)
     *   WITHOUT operator discipline — an uncheckpointed N-commit table
     *   pays O(N) segment opens per read, O(N²) over its life. */
+  /** @param autoVacuumLog after each successful auto-checkpoint,
+    *   reclaim the segments it covers (their entries live verbatim in
+    *   the checkpoint — history, zone maps, and the change feed are
+    *   unchanged). Without this the log directory grows one file per
+    *   commit forever even though reads never open the covered
+    *   segments; with it a long-lived table holds ≤ autoCheckpointEvery
+    *   tail segments plus checkpoints, with zero operator discipline.
+    *   Same read-vs-vacuum seam as a manual [[vacuumLog]] (a reader
+    *   that listed a segment just before reclamation retries); data
+    *   files are never touched here. */
   final class Table(spark: SparkSession, val root: String,
       val bloomCols: Seq[String] = Nil,
-      val autoCheckpointEvery: Int = 10) {
+      val autoCheckpointEvery: Int = 10,
+      val autoVacuumLog: Boolean = true) {
     private val dataDir = s"$root/data"
     private val logDir = new Path(s"$root/log")
     private def hadoopConf = spark.sparkContext.hadoopConfiguration
@@ -257,8 +273,10 @@ object SnapshotLog {
     private def maybeAutoCheckpoint(v: Int): Unit =
       if (autoCheckpointEvery > 0 &&
           v - latestCheckpoint.map(_._1).getOrElse(0) >= autoCheckpointEvery)
-        try checkpointLog()
-        catch { case scala.util.control.NonFatal(_) => () }
+        try {
+          checkpointLog()
+          if (autoVacuumLog) vacuumLog()
+        } catch { case scala.util.control.NonFatal(_) => () }
 
     /** Publish, and on a lost race reclaim the data files this writer
       * adopted (they are covered by no segment — orphans by
@@ -304,10 +322,21 @@ object SnapshotLog {
       readFiles(files, mergeSchema)
     }
 
+    /** A file's LAYOUT key: the sequence of partition-column names in
+      * its directory path (`status=F/f.parquet` → "status",
+      * `a=1/b=2/f.parquet` → "a/b", an unpartitioned `f.parquet` →
+      * ""). Grouping by column names — not by full directory — keeps
+      * ONE scan per layout with all its partition values (partition
+      * discovery recovers the values), while nested layouts that share
+      * a first column but diverge below, and unpartitioned files,
+      * group correctly instead of colliding or exploding per-file. */
+    private def layoutKey(rel: String): String =
+      rel.split('/').dropRight(1).map(_.takeWhile(_ != '=')).mkString("/")
+
     /** Layout-aware multi-file read (see [[asOf]] on evolution). */
     private def readFiles(rels: Seq[String],
         mergeSchema: Boolean): DataFrame =
-      rels.groupBy(_.takeWhile(_ != '=')).toSeq.sortBy(_._1)
+      rels.groupBy(layoutKey).toSeq.sortBy(_._1)
         .map { case (_, fs) =>
           spark.read.option("basePath", dataDir)
             .option("mergeSchema", mergeSchema.toString)
@@ -320,7 +349,7 @@ object SnapshotLog {
       * is a file-source pseudo-column and does not survive a union. */
     private def readFilesWithPos(rels: Seq[String]): DataFrame = {
       val seg = split(input_file_name(), "/")
-      rels.groupBy(_.takeWhile(_ != '=')).toSeq.sortBy(_._1)
+      rels.groupBy(layoutKey).toSeq.sortBy(_._1)
         .map { case (_, fs) =>
           spark.read.option("basePath", dataDir)
             .parquet(fs.map(p => s"$dataDir/$p"): _*)
@@ -375,7 +404,7 @@ object SnapshotLog {
       require(!fs.exists(sp), s"branch $branch already has a staged batch")
       val tmp = new Path(s"$root/_tmp_b$branch-${
         java.util.UUID.randomUUID.toString.take(8)}")
-      df.write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
+      writeTmp(df, partCol, tmp)
       // adopt with a branch prefix (no version exists yet — the
       // version is assigned at publish time)
       val added = leaves(tmp).map { case (partDir, file) =>
@@ -527,6 +556,14 @@ object SnapshotLog {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     }
 
+    /** String twin of [[keyHashes]]: xxhash64 over the UTF8 bytes, the
+      * same expression the sidecar build applies to a STRING column. */
+    private def keyHashesStr(keys: Seq[String]): Seq[Long] = {
+      import spark.implicits._
+      keys.toDF("k").select(xxhash64(col("k")))
+        .collect().map(_.getLong(0)).toSeq
+    }
+
     private def footerRowCount(file: Path): Long = {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(file, hadoopConf)
@@ -570,9 +607,12 @@ object SnapshotLog {
       val k = BloomK // local copy: the executor closure must not drag
       //               the (unserializable, session-holding) Table in
       present.foreach { c =>
-        require(df.schema(c).dataType ==
-          org.apache.spark.sql.types.LongType,
-          s"bloom index supports LONG columns, got ${df.schema(c).dataType} for $c")
+        val dt = df.schema(c).dataType
+        require(dt == org.apache.spark.sql.types.LongType ||
+          dt == org.apache.spark.sql.types.StringType,
+          s"bloom index supports LONG and STRING columns, got $dt for $c")
+        // xxhash64 covers both physical types; the probe side hashes
+        // through the identical expression (keyHashes/keyHashesStr)
         val h = xxhash64(col(c))
         val d = shiftrightunsigned(h, 32).bitwiseOR(lit(1L))
         val poss = (0 until BloomK).map(i => pmod(h + lit(i.toLong) * d,
@@ -644,6 +684,13 @@ object SnapshotLog {
       val hs = keyHashes(keys).values.toSeq
       bloomSurvivors(liveFiles(v), c, hs)
     }
+
+    /** [[pointLookupFiles]] for STRING keys — the erasure-queue shape
+      * (document/user ids are strings as often as longs, and
+      * hash-shaped ids are exactly the keys range stats cannot prune). */
+    def pointLookupFilesStr(v: Int, c: String, keys: Seq[String]):
+        Seq[String] =
+      bloomSurvivors(liveFiles(v), c, keyHashesStr(keys))
 
     /** The subset of `files` whose bloom sidecar for `c` admits ANY of
       * the pre-hashed `hs`. Kept conservatively on a missing sidecar
@@ -886,6 +933,22 @@ object SnapshotLog {
       } finally r.close()
     }
 
+    /** Write `df` under `tmp` partitioned by `partCol`, with TIMESTAMP
+      * columns emitted as INT64 micros instead of Spark's default
+      * INT96: INT96 is deprecated and carries NO parquet column
+      * statistics, which would leave timestamp columns permanently
+      * invisible to the footer zone maps (and so to merge/delete
+      * pruning on event-time keys). Parquet exposes no per-write knob,
+      * so the session conf is scoped to the write and restored. */
+    private def writeTmp(df: DataFrame, partCol: String, tmp: Path): Unit = {
+      val k = "spark.sql.parquet.outputTimestampType"
+      val prev = spark.conf.get(k)
+      spark.conf.set(k, "TIMESTAMP_MICROS")
+      try df.write.partitionBy(partCol).mode("overwrite")
+        .parquet(tmp.toString)
+      finally spark.conf.set(k, prev)
+    }
+
     /** List the `part=val/part-*.parquet` leaves Spark wrote under
       * `tmp`, relative to `tmp`. */
     private def leaves(tmp: Path): Seq[(String, Path)] = {
@@ -916,7 +979,7 @@ object SnapshotLog {
       checkConstraints(df)
       val tmp = new Path(s"$root/_tmp_v$v-${
         java.util.UUID.randomUUID.toString.take(8)}")
-      df.write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
+      writeTmp(df, partCol, tmp)
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
       publishOrCleanup(v,
@@ -1009,7 +1072,7 @@ object SnapshotLog {
         checkConstraints(df)
         val tmp = new Path(s"$root/_tmp_v$v-${
           java.util.UUID.randomUUID.toString.take(8)}")
-        df.write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
+        writeTmp(df, partCol, tmp)
         val added = adopt(tmp, v)
         fs.delete(tmp, true)
         publishOrCleanup(v,
@@ -1045,8 +1108,9 @@ object SnapshotLog {
       require(victims.nonEmpty, s"no live files under $prefix")
       val tmp = new Path(s"$root/_tmp_v$v-${
         java.util.UUID.randomUUID.toString.take(8)}")
-      asOf(v - 1).filter(col(partCol) === value).filter(keep)
-        .write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
+      // read exactly the victim files (they ARE the partition's live
+      // set), through their active DVs — the rewrite retires them
+      writeTmp(readFilesMorAt(v - 1, victims).filter(keep), partCol, tmp)
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
       publishOrCleanup(v, victims.map(Entry(v, "remove", _)) ++
@@ -1098,9 +1162,8 @@ object SnapshotLog {
       if (victims.isEmpty) { publishSegment(v, Seq.empty); return v }
       val tmp = new Path(s"$root/_tmp_v$v-${
         java.util.UUID.randomUUID.toString.take(8)}")
-      readFiles(victims, mergeSchema = false)
-        .filter(keep)
-        .write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
+      writeTmp(readFilesMorAt(v - 1, victims).filter(keep), // DV-applied
+        partCol, tmp)
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
       publishOrCleanup(v, victims.map(Entry(v, "remove", _)) ++
@@ -1141,7 +1204,7 @@ object SnapshotLog {
     private def mergeCandidates(vPrev: Int, source: DataFrame,
         keyCol: String, live: Seq[String]): Seq[String] = {
       import org.apache.spark.sql.types.{DateType, IntegerType, LongType,
-        StringType}
+        StringType, TimestampType, TimestampNTZType}
       val rangeCand = source.schema(keyCol).dataType match {
         case LongType | IntegerType =>
           val r = source.agg(min(col(keyCol)).cast("long"),
@@ -1151,6 +1214,20 @@ object SnapshotLog {
         case DateType => // DATE zone maps are epoch-day-widened INT32
           val r = source.agg(min(unix_date(col(keyCol))).cast("long"),
             max(unix_date(col(keyCol))).cast("long")).head()
+          if (r.isNullAt(0)) Seq.empty
+          else pruneFiles(vPrev, keyCol, r.getLong(0), r.getLong(1))
+        case TimestampType => // TIMESTAMP is INT64 micros in parquet, so
+          // the footer zone maps already carry it — widen the probe the
+          // same way DATE widens to epoch days (event-time-keyed CDC
+          // prunes like any long key)
+          val r = source.agg(min(unix_micros(col(keyCol))),
+            max(unix_micros(col(keyCol)))).head()
+          if (r.isNullAt(0)) Seq.empty
+          else pruneFiles(vPrev, keyCol, r.getLong(0), r.getLong(1))
+        case TimestampNTZType => // same physical widening, no zone shift
+          val r = source.agg(
+            min(unix_micros(col(keyCol).cast("timestamp"))),
+            max(unix_micros(col(keyCol).cast("timestamp")))).head()
           if (r.isNullAt(0)) Seq.empty
           else pruneFiles(vPrev, keyCol, r.getLong(0), r.getLong(1))
         case StringType =>
@@ -1171,6 +1248,12 @@ object SnapshotLog {
           if (ks.length > BloomProbeMaxKeys) rangeCand
           else bloomSurvivors(rangeCand, keyCol,
             keyHashes(ks.toSeq).values.toSeq)
+        case StringType if bloomCols.contains(keyCol) && rangeCand.nonEmpty =>
+          val ks = source.select(col(keyCol))
+            .where(col(keyCol).isNotNull).distinct()
+            .limit(BloomProbeMaxKeys + 1).collect().map(_.getString(0))
+          if (ks.length > BloomProbeMaxKeys) rangeCand
+          else bloomSurvivors(rangeCand, keyCol, keyHashesStr(ks.toSeq))
         case _ => rangeCand
       }
     }
@@ -1191,9 +1274,10 @@ object SnapshotLog {
         else readFilesWithPos(candidates)
           .join(broadcast(srcKeys), Seq(keyCol))
           .select("__f").distinct().collect().map(_.getString(0)).toSeq
-      val survivors =
+      val survivors = // victims read through their DVs (see
+        // [[readFilesMorAt]] — a raw read would resurrect MOR deletes)
         if (hits.isEmpty) source.sparkSession.emptyDataFrame
-        else readFiles(hits, mergeSchema = false)
+        else readFilesMorAt(v - 1, hits)
           .join(broadcast(srcKeys), Seq(keyCol), "left_anti")
       val rewritten =
         if (hits.isEmpty) source
@@ -1201,8 +1285,7 @@ object SnapshotLog {
           .unionByName(source)
       val tmp = new Path(s"$root/_tmp_v$v-${
         java.util.UUID.randomUUID.toString.take(8)}")
-      rewritten.write.partitionBy(partCol).mode("overwrite")
-        .parquet(tmp.toString)
+      writeTmp(rewritten, partCol, tmp)
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
       publishOrCleanup(v, hits.map(Entry(v, "remove", _)) ++
@@ -1262,7 +1345,6 @@ object SnapshotLog {
       val live = liveFiles(v - 1)
       val candidates = mergeCandidates(v - 1, changes, keyCol, live)
       lastMergeScan = Some((candidates.size, live.size))
-      val seg = split(input_file_name(), "/")
       val srcKeys = changes.select(col(keyCol)).distinct()
       val upserts = changes.filter(col(opCol) =!= "D").drop(opCol)
       checkConstraints(upserts) // tombstones carry no rows INTO the table
@@ -1271,17 +1353,17 @@ object SnapshotLog {
         else readFilesWithPos(candidates)
           .join(broadcast(srcKeys), Seq(keyCol))
           .select("__f").distinct().collect().map(_.getString(0)).toSeq
-      val survivors =
+      val survivors = // victims read through their DVs: the rewrite
+        // retires a file's DV binding, so it must APPLY the deletes
         if (hits.isEmpty) upserts.limit(0)
-        else readFiles(hits, mergeSchema = false)
+        else readFilesMorAt(v - 1, hits)
           .join(broadcast(srcKeys), Seq(keyCol), "left_anti")
       val rewritten = survivors
         .select(upserts.columns.toIndexedSeq.map(col): _*)
         .unionByName(upserts)
       val tmp = new Path(s"$root/_tmp_v$v-${
         java.util.UUID.randomUUID.toString.take(8)}")
-      rewritten.write.partitionBy(partCol).mode("overwrite")
-        .parquet(tmp.toString)
+      writeTmp(rewritten, partCol, tmp)
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
       publishOrCleanup(v, hits.map(Entry(v, "remove", _)) ++
@@ -1293,50 +1375,79 @@ object SnapshotLog {
 
     // ---- merge-on-read deletion vectors ------------------------------
 
-    /** DV sidecar path for data file `rel` as written at version `v`:
+    /** DV sidecar path for data file `rel` under sidecar id `id`
+      * (`<version>` legacy, `<version>-<writer-uid>` current):
       * ascending row positions, one per line. Versioned names make DV
       * files immutable — an AS-OF read at an older version resolves
       * the OLDER sidecar, so row-level deletes time-travel exactly
-      * like file-level ones. */
-    private def dvPath(rel: String, v: Int): Path =
-      new Path(s"$root/dv/$rel.$v.dv")
+      * like file-level ones. The writer-unique uid is the race guard:
+      * two commits CASing for the same version write DIFFERENTLY named
+      * sidecars, so the publish loser's executor job can only leave an
+      * orphan — never overwrite the winner's bytes under the name the
+      * winner's log entry binds. */
+    private def dvPath(rel: String, id: String): Path =
+      new Path(s"$root/dv/$rel.$id.dv")
 
     /** The active deletion vector per live file at `v`: a `dv` entry
-      * (`rel|version`) binds a sidecar to a file, newest wins; a
-      * `remove` of the file retires it (the rewrite that removed the
-      * file either applied or carried the deletes). */
-    def dvFor(v: Int): Map[String, Int] =
-      entries.filter(_.version <= v).foldLeft(Map.empty[String, Int]) {
+      * (`rel|sidecar-id`) binds a sidecar to a file, newest wins; a
+      * `remove` of the file retires it (every rewrite path reads its
+      * victims through [[readFilesMorAt]], so the rewrite that removed
+      * the file APPLIED the deletes — see that method's contract). */
+    def dvFor(v: Int): Map[String, String] =
+      entries.filter(_.version <= v).foldLeft(Map.empty[String, String]) {
         case (acc, Entry(_, "dv", p)) =>
-          val Array(rel, dvv) = p.split('|')
-          acc + (rel -> dvv.toInt)
+          val Array(rel, id) = p.split('|')
+          acc + (rel -> id)
         case (acc, Entry(_, "remove", p)) => acc - p
         case (acc, _)                     => acc
       }
 
-    /** The (file, position) delete relation at `v` — empty schema'd
-      * DataFrame when no DVs are active. Delta-scale: one row per
-      * deleted row, read from the per-file sidecars. */
+    /** The (file, position) delete relation of exactly `dvs` — ONE
+      * multi-path text scan regardless of sidecar count (a supersede
+      * or read over hundreds of DV'd files must not build a
+      * hundreds-arm union plan). The data-file rel is recoverable from
+      * the sidecar's own path (dv/<part=val>/<file>.<id>.dv): last two
+      * segments, id suffix stripped. input_file_name() is URI-shaped,
+      * so never string-compare it against raw paths — segment
+      * extraction is the one transform both representations agree
+      * on. */
+    private def dvRelationFor(dvs: Map[String, String]): DataFrame = {
+      val paths = dvs.toSeq.sortBy(_._1).map { case (rel, id) =>
+        dvPath(rel, id).toString
+      }
+      val seg = split(input_file_name(), "/")
+      spark.read.textFile(paths: _*)
+        .select(
+          concat_ws("/", element_at(seg, -2),
+            regexp_replace(element_at(seg, -1),
+              "\\.\\d+(-[0-9a-f]+)?\\.dv$", ""))
+            .as("__f"),
+          col("value").cast("long").as("__pos"))
+    }
+
+    /** The active delete relation at `v`; None when no DVs are live. */
     private def dvRelation(v: Int): Option[DataFrame] = {
       val dvs = dvFor(v)
-      if (dvs.isEmpty) None
-      else {
-        // the data-file rel is recoverable from the sidecar's own path
-        // (dv/<part=val>/<file>.<v>.dv): last two segments, version
-        // suffix stripped. input_file_name() is URI-shaped, so never
-        // string-compare it against raw paths — segment extraction is
-        // the one transform both representations agree on.
-        val paths = dvs.toSeq.map { case (rel, dvv) =>
-          dvPath(rel, dvv).toString
-        }
-        val seg = split(input_file_name(), "/")
-        Some(spark.read.textFile(paths: _*)
-          .select(
-            concat_ws("/", element_at(seg, -2),
-              regexp_replace(element_at(seg, -1), "\\.\\d+\\.dv$", ""))
-              .as("__f"),
-            col("value").cast("long").as("__pos")))
-      }
+      if (dvs.isEmpty) None else Some(dvRelationFor(dvs))
+    }
+
+    /** [[readFiles]] with the deletion vectors active at `v` APPLIED
+      * for exactly `rels` — the mandatory victim-read of every rewrite
+      * path (merge, CDC apply, range/partition delete, compact,
+      * cluster, materialize). The dvFor fold retires a file's DV on
+      * its `remove` entry, so a rewrite that read its victims raw
+      * would copy MOR-deleted rows into the new file and then silently
+      * retire the only record of their deletion — resurrecting them
+      * for every reader AND double-counting them in the change feed.
+      * Production formats apply DVs in every rewrite (Delta OPTIMIZE /
+      * MERGE, Iceberg rewrites) for exactly this reason. */
+    private def readFilesMorAt(v: Int, rels: Seq[String],
+        mergeSchema: Boolean = false): DataFrame = {
+      val dvs = dvFor(v).filter { case (rel, _) => rels.contains(rel) }
+      if (dvs.isEmpty) readFiles(rels, mergeSchema)
+      else readFilesWithPos(rels)
+        .join(dvRelationFor(dvs), Seq("__f", "__pos"), "left_anti")
+        .drop("__f", "__pos")
     }
 
     /** Merge-on-read row-level DELETE by key set: instead of
@@ -1374,16 +1485,23 @@ object SnapshotLog {
         .collect().map(_.getString(0)).toSeq.sorted
       if (affected.isEmpty) { publishSegment(v, Seq.empty); return v }
       // fold in the affected files' PRIOR positions so the new sidecar
-      // supersedes (newest-wins fold reads exactly one dv per file)
+      // supersedes (newest-wins fold reads exactly one dv per file) —
+      // one multi-path scan over all prior sidecars, not a per-file
+      // union chain
       val prior = dvFor(v - 1).filter(kv => affected.contains(kv._1))
-      val withPrior = prior.foldLeft(matched) { case (acc, (rel, dvv)) =>
-        acc.unionByName(spark.read.textFile(dvPath(rel, dvv).toString)
-          .select(lit(rel).as("__f"),
-            col("value").cast("long").as("__pos")))
-      }.distinct()
+      val withPrior =
+        (if (prior.isEmpty) matched
+         else matched.unionByName(dvRelationFor(prior))).distinct()
       val conf = new org.apache.spark.util.SerializableConfiguration(
         hadoopConf)
       val dvRoot = s"$root/dv"
+      // writer-unique sidecar id: a racing committer targeting the
+      // same version writes under a DIFFERENT name, so the CAS loser's
+      // sidecar job leaves an orphan, never bytes under the winner's
+      // binding (task retries within THIS job still converge — same
+      // id, identical content, delete-then-rename)
+      val dvId = s"$v-${java.util.UUID.randomUUID.toString
+        .replace("-", "").take(8)}"
       withPrior.repartition(col("__f")).sortWithinPartitions("__f", "__pos")
         .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
           val pfs = new Path(dvRoot).getFileSystem(conf.value)
@@ -1392,7 +1510,7 @@ object SnapshotLog {
           var tmp: Path = null
           def flush(): Unit = if (cur != null) {
             out.close()
-            val dst = new Path(s"$dvRoot/$cur.$v.dv")
+            val dst = new Path(s"$dvRoot/$cur.$dvId.dv")
             pfs.mkdirs(dst.getParent) // rel carries the part=val subdir
             pfs.delete(dst, false) // retried attempt: identical content
             require(pfs.rename(tmp, dst), s"dv publish failed: $dst")
@@ -1406,13 +1524,32 @@ object SnapshotLog {
               pfs.mkdirs(tmp.getParent)
               out = pfs.create(tmp, false)
             }
-            out.write(s"${r.getLong(1)}\n".getBytes("UTF-8"))
+            val pos = r.getLong(1)
+            // the sidecar format (and the CDF reader's BitSet) is
+            // Int-indexed; a single parquet file holding > 2^31 rows
+            // must fail loudly at build time, not mis-filter at read
+            require(pos <= Int.MaxValue,
+              s"DV position $pos exceeds Int range for file $f")
+            out.write(s"$pos\n".getBytes("UTF-8"))
           }
           flush()
         }
-      publishSegment(v, affected.map(rel => Entry(v, "dv", s"$rel|$v")))
+      publishOrCleanupDv(v,
+        affected.map(rel => Entry(v, "dv", s"$rel|$dvId")),
+        affected.map(rel => dvPath(rel, dvId)))
       v
     }
+
+    /** Publish a DV commit; on a lost CAS race reclaim this writer's
+      * (uniquely named) sidecars — they are bound by no log entry. */
+    private def publishOrCleanupDv(v: Int, lines: Seq[Entry],
+        sidecars: Seq[Path]): Unit =
+      try publishSegment(v, lines)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          sidecars.foreach(p => fs.delete(p, false))
+          throw e
+      }
 
     /** Merge-on-read AS-OF: [[asOf]] with the version's active
       * deletion vectors applied — an anti-join on (file, position)
@@ -1445,14 +1582,10 @@ object SnapshotLog {
       val dvs = dvFor(v - 1)
       if (dvs.isEmpty) { publishSegment(v, Seq.empty); return v }
       val victims = dvs.keys.toSeq.sorted
-      val dv = dvRelation(v - 1).get
-      val rewritten = readFilesWithPos(victims)
-        .join(dv, Seq("__f", "__pos"), "left_anti")
-        .drop("__f", "__pos")
+      val rewritten = readFilesMorAt(v - 1, victims)
       val tmp = new Path(s"$root/_tmp_v$v-${
         java.util.UUID.randomUUID.toString.take(8)}")
-      rewritten.write.partitionBy(partCol).mode("overwrite")
-        .parquet(tmp.toString)
+      writeTmp(rewritten, partCol, tmp)
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
       publishOrCleanup(v, victims.map(Entry(v, "remove", _)) ++
@@ -1504,13 +1637,15 @@ object SnapshotLog {
       // rows of one partition value spread over at most
       // filesPerPartition shuffle tasks (the __bin column), so each
       // partition dir compacts to at most that many files — one task
-      // per (value, bin), not one global task per value
-      asOf(v - 1)
+      // per (value, bin), not one global task per value. Victims read
+      // through their DVs: compaction removes every file, retiring
+      // every DV binding, so it must apply them (it doubles as a
+      // materialization — exactly Delta's OPTIMIZE contract).
+      writeTmp(readFilesMorAt(v - 1, victims)
         .withColumn("__bin", pmod(monotonically_increasing_id(),
           lit(filesPerPartition.toLong)).cast("int"))
         .repartition(col(partCol), col("__bin"))
-        .drop("__bin")
-        .write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
+        .drop("__bin"), partCol, tmp)
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
       publishOrCleanup(v, victims.map(Entry(v, "remove", _)) ++
@@ -1538,9 +1673,8 @@ object SnapshotLog {
       val victims = liveFiles(v - 1)
       val tmp = new Path(s"$root/_tmp_v$v-${
         java.util.UUID.randomUUID.toString.take(8)}")
-      asOf(v - 1)
-        .repartitionByRange(filesPerRange, col(clusterCol))
-        .write.partitionBy(partCol).mode("overwrite").parquet(tmp.toString)
+      writeTmp(readFilesMorAt(v - 1, victims) // DV-applied (commitCompact)
+        .repartitionByRange(filesPerRange, col(clusterCol)), partCol, tmp)
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
       publishOrCleanup(v, victims.map(Entry(v, "remove", _)) ++

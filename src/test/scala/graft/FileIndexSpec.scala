@@ -80,6 +80,81 @@ class FileIndexSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("string blooms prune point lookups and MOR deletes past range stats") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_strbloom_spec_").toString
+    val t = new SnapshotLog.Table(spark, root, bloomCols = Seq("doc_id"))
+    // hash-shaped string ids (the real erasure-queue key shape):
+    // uncorrelated with ingest order, so every file's lexicographic
+    // [min, max] spans ~the whole domain and range stats prune nothing
+    def did(i: Int): String = f"doc-${(i * 2654435761L) % 100000}%05d"
+    (0 until 4).foreach { j =>
+      t.commitAppend((0 until 1000).filter(_ % 4 == j)
+        .map(i => (did(i), "x", i.toLong)).toDF("doc_id", "part", "v")
+        .coalesce(1), "part")
+    }
+    val all = t.liveFiles(t.version)
+    assert(all.size == 4)
+    val probe = Seq(did(11), did(222))
+    // range stats keep everything...
+    val byRange = t.pruneFilesStr(t.version, "doc_id",
+      probe.min, probe.max)
+    assert(byRange.size == all.size, "range stats should not help here")
+    // ...bloom membership prunes to ~the files holding the ids
+    val byBloom = t.pointLookupFilesStr(t.version, "doc_id", probe)
+    assert(byBloom.nonEmpty && byBloom.size < all.size,
+      s"bloom kept ${byBloom.size} of ${all.size}")
+    // no false negatives
+    val seg = split(input_file_name(), "/")
+    val truth = t.asOf(t.version)
+      .filter(col("doc_id").isin(probe: _*))
+      .select(concat_ws("/", element_at(seg, -2), element_at(seg, -1)))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(truth.subsetOf(byBloom.toSet))
+    // the write path: a sparse STRING-key MOR delete scans fewer
+    // candidate files with blooms than the (useless) range pass alone
+    t.commitDeleteKeysMor(probe.toDF("doc_id"), "doc_id")
+    val Some((cand, live)) = t.lastMergeScan
+    assert(cand < live, s"string bloom did not prune: $cand of $live")
+    assert(t.asOfMor(t.version)
+      .filter(col("doc_id").isin(probe: _*)).count() == 0)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
+  test("timestamp keys prune merge candidates via micros zone maps") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_tskey_spec_").toString
+    val t = new SnapshotLog.Table(spark, root)
+    // three day-batches of event-time-keyed rows (the CDC-by-event-time
+    // shape); TIMESTAMP must land as INT64 micros so footer stats exist
+    def day(d: Int, i: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse(f"2021-01-0${d}T00:00:00Z")
+        .plusSeconds(i.toLong))
+    (1 to 3).foreach { d =>
+      t.commitAppend((0 until 100).map(i => (day(d, i), "x", i.toLong))
+        .toDF("ts", "part", "v").coalesce(1), "part")
+    }
+    assert(t.liveFiles(3).forall(p =>
+      t.zoneMaps.get(p).exists(_.contains("ts"))),
+      "timestamp columns must carry footer zone maps (INT64 micros)")
+    // a merge carrying only day-2 keys must scan ~day 2's file
+    val src = (0 until 100 by 10).map(i => (day(2, i), "x", 1000L + i))
+      .toDF("ts", "part", "v")
+    t.commitMerge(src, "part", "ts")
+    val Some((cand, live)) = t.lastMergeScan
+    assert(cand < live, s"timestamp zone maps did not prune: $cand of $live")
+    // and the merge semantics held: updated rows carry the new value
+    assert(t.asOf(t.version).filter(col("v") === 1000L).count() == 1)
+    assert(t.asOf(t.version).count() == 300)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("clustering turns useless stats into real skipping") {
     q("q_snapshot_cluster").collect() // force the staged build
     val t = FileIndex.clusterStagedTable(spark, sf)

@@ -135,6 +135,87 @@ class MergeOnReadSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("every rewrite path applies active DVs: MOR deletes never resurrect") {
+    import spark.implicits._
+    // the resurrection trap: a rewrite removes a file, which RETIRES
+    // its DV binding — so a rewrite that read its victims raw would
+    // copy the dead rows into the new file with no record of their
+    // deletion. Each path below deletes k=5 (file 1) and k=105
+    // (file 2) merge-on-read, then rewrites file 1 a different way;
+    // k=5 must stay dead in the PLAIN asOf read (the DV applied), and
+    // k=105's DV must stay active (its file untouched).
+    def fresh(tag: String): (String, SnapshotLog.Table) = {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_dvrw_$tag").toString
+      val t = new SnapshotLog.Table(spark, root)
+      t.commitAppend((1L to 100L).map(k => (k, "a", k))
+        .toDF("k", "part", "v").coalesce(1), "part")
+      t.commitAppend((101L to 200L).map(k => (k, "b", k))
+        .toDF("k", "part", "v").coalesce(1), "part")
+      t.commitDeleteKeysMor(Seq(5L, 105L).toDF("k"), "k") // v3
+      (root, t)
+    }
+    def check(t: SnapshotLog.Table, file2Rewritten: Boolean): Unit = {
+      val mor = t.asOfMor(t.version)
+      assert(mor.filter(col("k").isin(5L, 105L)).count() == 0,
+        "a rewrite resurrected a MOR-deleted row")
+      // file 1 was rewritten → its delete must be PHYSICAL now
+      assert(t.asOf(t.version).filter(col("k") === 5L).count() == 0,
+        "the rewrite carried the dead row instead of applying the DV")
+      if (!file2Rewritten) {
+        assert(t.dvFor(t.version).nonEmpty,
+          "untouched file 2 must keep its DV binding")
+        assert(t.asOf(t.version).filter(col("k") === 105L).count() == 1)
+      } else assert(t.dvFor(t.version).isEmpty)
+    }
+    val (r1, t1) = fresh("mrg") // upsert MERGE hits file 1 via k=7
+    t1.commitMerge(Seq((7L, "a", 700L)).toDF("k", "part", "v"),
+      "part", "k")
+    check(t1, file2Rewritten = false)
+    val (r2, t2) = fresh("cdc") // CDC tombstone on k=8 rewrites file 1
+    t2.commitApplyChanges(Seq((8L, "a", 0L, "D"))
+      .toDF("k", "part", "v", "__op"), "part", "k")
+    check(t2, file2Rewritten = false)
+    val (r3, t3) = fresh("rng") // range delete v∈[50,60] prunes to file 1
+    t3.commitDeleteRange("part", "v", 50L, 60L)
+    check(t3, file2Rewritten = false)
+    val (r4, t4) = fresh("whr") // partition-scoped COW delete on file 1;
+    // the keep predicate RETAINS k=5 — only the DV may kill it
+    t4.commitDeleteWhere("part", "a", col("v") =!= 50L)
+    check(t4, file2Rewritten = false)
+    val (r5, t5) = fresh("cmp") // compaction rewrites everything:
+    t5.commitCompact("part")    // doubles as a materialization
+    check(t5, file2Rewritten = true)
+    val (r6, t6) = fresh("cls")
+    t6.commitCluster("part", "v", filesPerRange = 2)
+    check(t6, file2Rewritten = true)
+    Seq(r1, r2, r3, r4, r5, r6).foreach(r =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(r)))
+  }
+
+  test("legacy unsuffixed DV bindings still resolve after the rename") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dvlegacy_").toString
+    val t = new SnapshotLog.Table(spark, root)
+    t.commitAppend((1L to 10L).map(k => (k, "a")).toDF("k", "part")
+      .coalesce(1), "part")
+    val Seq(rel) = t.liveFiles(1)
+    // hand-craft a pre-round-10 binding: sidecar named <rel>.<v>.dv
+    // (no writer uid), log entry `rel|2`
+    val side = java.nio.file.Paths.get(s"$root/dv/$rel.2.dv")
+    java.nio.file.Files.createDirectories(side.getParent)
+    java.nio.file.Files.write(side, "0\n3\n".getBytes("UTF-8"))
+    t.publishSegment(2, Seq(SnapshotLog.Entry(2, "dv", s"$rel|2")))
+    assert(t.asOfMor(2).count() == 8,
+      "a legacy-named sidecar must still bind and apply")
+    // and a rewrite applies it like any current-format DV
+    t.commitCompact("part")
+    assert(t.asOf(3).count() == 8 && t.dvFor(3).isEmpty)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("vacuum after materialization reclaims retired DV sidecars") {
     import spark.implicits._
     val root = java.nio.file.Files
@@ -144,12 +225,19 @@ class MergeOnReadSpec extends SparkSpec {
       .coalesce(1), "part")
     t.commitDeleteKeysMor(Seq(3L, 7L).toDF("k"), "k")
     val Seq(f) = t.liveFiles(1)
-    val side = java.nio.file.Paths.get(s"$root/dv/$f.2.dv")
-    assert(java.nio.file.Files.exists(side))
+    // sidecar names are writer-unique (<v>-<uid>): a CAS-losing racer
+    // can only orphan its own name, never overwrite the winner's bytes
+    def sidecars() = {
+      val d = new java.io.File(s"$root/dv/${f.split('/').head}")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().map(_.getName).filter(_.endsWith(".dv")).toSeq
+    }
+    val Seq(side) = sidecars()
+    assert(side.matches(""".*\.2-[0-9a-f]{8}\.dv"""), side)
     assert(t.asOfMor(2).count() == 38)
     t.commitMaterializeDv("part")
     t.vacuum(retainVersions = 0)
-    assert(!java.nio.file.Files.exists(side),
+    assert(sidecars().isEmpty,
       "the removed file's DV sidecar must die with its data bytes")
     assert(t.asOf(t.version).count() == 38)
     org.apache.commons.io.FileUtils.deleteDirectory(

@@ -155,10 +155,14 @@ class SnapshotHardeningSpec extends SparkSpec {
     assert(t.asOf(t.version).count() == 50)
     assert(t.liveFiles(t.version).distinct.size ==
       t.liveFiles(t.version).size)
-    // vacuumLog leaves ≤ tail segments
-    t.vacuumLog()
-    val segs = log.listFiles().map(_.getName).count(_.endsWith(".csv"))
-    assert(segs <= 10, s"$segs segments survived vacuumLog")
+    // auto-vacuum already reclaimed the covered segments AND the
+    // superseded checkpoints — no operator discipline involved: the
+    // log dir holds ≤ tail segments + the latest checkpoint
+    val names2 = log.listFiles().map(_.getName)
+    val segs = names2.count(_.endsWith(".csv"))
+    assert(segs <= 10, s"$segs segments survived the auto-vacuum")
+    assert(names2.count(_.endsWith(".ckpt")) == 1,
+      "superseded checkpoints must be reclaimed too")
     assert(t.asOf(t.version).count() == 50)
     rm(root)
   }
