@@ -340,6 +340,245 @@ object MergeOnRead {
       out
     },
 
+    // ---- STRING-keyed merge-on-read delete (the real GDPR-erasure
+    //      shape: document/user ids are strings, and hash-shaped ids
+    //      are exactly what range stats cannot prune). The key is an
+    //      md5 of the doc id — uncorrelated with ingest order, so the
+    //      string zone maps keep everything and only the xxhash64
+    //      bloom sidecars bound the candidate scan (FileIndexSpec
+    //      asserts the pruning deterministically; here the oracle
+    //      re-derives the survivor set, so a mis-hashed probe, a
+    //      false-negative bloom, or a mis-mapped position flips the
+    //      hash). Four interleaved ingest commits make every file span
+    //      the full key domain.
+    QueryDef.checked(
+      "q_snapshot_mor_delete_str",
+      """WITH d AS (
+        |  SELECT lang, n_chars, md5(CAST(doc_id AS VARCHAR)) AS uid
+        |  FROM documents
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM d WHERE uid NOT LIKE '00%'
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_morstr_")
+      val t = new SnapshotLog.Table(spark, base.resolve("table").toString,
+        bloomCols = Seq("uid"))
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(col("doc_id").cast("string")).as("uid"))
+      (0 until 4).foreach(j =>
+        t.commitAppend(docs.filter(col("doc_id") % 4 === j), "lang"))
+      t.commitDeleteKeysMor(
+        docs.filter(col("uid").startsWith("00")).select("uid"), "uid")
+      val out = t.asOfMor(t.version)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang").localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      out
+    },
+
+    // ---- DVs through a rewrite: an upsert MERGE lands AFTER a
+    //      merge-on-read delete, scattering hits over every file. Each
+    //      rewritten file's removal RETIRES its DV binding, so the
+    //      rewrite must APPLY the deletes — the resurrection trap this
+    //      round closed (a raw victim read would copy the dead rows
+    //      into the new files and silently retire the only record of
+    //      their deletion). The oracle re-derives the final state:
+    //      %89 keys upserted (+11 cents — including re-inserting
+    //      deleted ones, the upsert contract), %97∧¬%89 keys STAY
+    //      dead; a single resurrected row flips the hash.
+    QueryDef.checked(
+      "q_snapshot_dv_rewrite",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderstatus AS status
+        |  FROM orders
+        |), final AS (
+        |  SELECT k, cents + 11 AS cents, status FROM base
+        |  WHERE k % 89 = 0
+        |  UNION ALL
+        |  SELECT k, cents, status FROM base
+        |  WHERE k % 89 <> 0 AND k % 97 <> 0
+        |)
+        |SELECT status AS o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(k) AS min_key, max(k) AS max_key
+        |FROM final GROUP BY status ORDER BY status""".stripMargin) {
+      (spark, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_dvrw_")
+      val t = new SnapshotLog.Table(spark, base.resolve("table").toString)
+      val orders = spark.read.parquet(s"$dir/orders.parquet").select(
+        col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+        col("o_orderstatus"))
+      t.commitAppend(orders.filter(col("o_orderkey") % 2 === 0),
+        "o_orderstatus")
+      t.commitAppend(orders.filter(col("o_orderkey") % 2 === 1),
+        "o_orderstatus")
+      t.commitDeleteKeysMor(
+        orders.filter(col("o_orderkey") % 97 === 0).select("o_orderkey"),
+        "o_orderkey") // v3: merge-on-read, zero rewrites
+      t.commitMerge(orders.filter(col("o_orderkey") % 89 === 0)
+        .withColumn("price_cents", col("price_cents") + 11),
+        "o_orderstatus", "o_orderkey") // v4: the rewrite under test
+      val out = t.asOfMor(t.version)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price_cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus").localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      out
+    },
+
+    // ---- TIMESTAMP-keyed MERGE with zone-map pruning: event-time is
+    //      the natural CDC key for telemetry tables, and it now prunes
+    //      like any long key (TIMESTAMP lands as INT64 micros, so the
+    //      footer zone maps carry it; the probe widens through
+    //      unix_micros exactly as DATE widens to epoch days). Three
+    //      time-band ingest commits; a merge carrying only mid-band
+    //      keys must scan ~that band's files — the in-query require
+    //      makes the pruning a correctness condition, the oracle
+    //      proves the upsert values.
+    QueryDef.checked(
+      "q_snapshot_merge_ts",
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), final AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id > (SELECT mx FROM m) // 3
+        |           AND event_id <= 2 * ((SELECT mx FROM m) // 3)
+        |           AND event_id % 7 = 0
+        |         THEN cents + 5 ELSE cents END AS cents
+        |  FROM base
+        |)
+        |SELECT event_type, count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM final GROUP BY event_type ORDER BY event_type"""
+        .stripMargin) { (spark, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_mergets_")
+      val t = new SnapshotLog.Table(spark, base.resolve("table").toString)
+      // tskey: a unique per-row event-time key (micros = event_id), so
+      // both engines derive the identical key and banding
+      val ev = spark.read.parquet(s"$dir/events.parquet").select(
+        col("event_id"),
+        timestamp_micros(col("event_id")).as("tskey"),
+        col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val mx = ev.agg(max("event_id")).head().getLong(0)
+      val cuts = Seq(Long.MinValue, mx / 3 + 1, 2 * (mx / 3) + 1,
+        Long.MaxValue)
+      cuts.sliding(2).foreach { case Seq(lo, hi) =>
+        t.commitAppend(ev.filter(
+          col("event_id") >= lo && col("event_id") < hi), "event_type")
+      }
+      val src = ev.filter(col("event_id") > mx / 3 &&
+        col("event_id") <= 2 * (mx / 3) && col("event_id") % 7 === 0)
+        .withColumn("cents", col("cents") + 5)
+      t.commitMerge(src, "event_type", "tskey")
+      val Some((cand, live)) = t.lastMergeScan
+      require(cand < live,
+        s"timestamp zone maps did not prune: scanned $cand of $live")
+      val out = t.asOf(t.version)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("sum_cents"))
+        .orderBy("event_type").localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      out
+    },
+
+    // ---- change feed ACROSS a partition-evolution boundary: the r9
+    //      source hard-required every file to carry the table-level
+    //      `partCol=` prefix and died on the first old-layout file —
+    //      the batch side was layout-aware, the streaming side was
+    //      not. Now each file's partition value is recovered from ITS
+    //      OWN path segment (null for foreign layouts, the unionByName
+    //      contract) and declared columns missing from a file's
+    //      physical schema null-fill. The in-query requires pin
+    //      exactly those semantics (v2 rows: null status, null band
+    //      column; v1 rows: both real); the folded state must match
+    //      the oracle's re-derivation including the layout-scoped v3
+    //      delete — a feed that dropped, doubled, or mis-scoped any
+    //      commit flips the hash.
+    QueryDef.checked(
+      "q_stream_cdf_evolution",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderdate AS d,
+        |    CASE WHEN round(o_totalprice * 100) < 10000000 THEN 'low'
+        |         WHEN round(o_totalprice * 100) < 25000000 THEN 'mid'
+        |         ELSE 'high' END AS band
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |), final AS (
+        |  SELECT * FROM base
+        |  WHERE d < TIMESTAMP '1997-01-01' OR band <> 'low'
+        |)
+        |SELECT k % 8 AS bucket, count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_cdfevo_")
+      val t = new SnapshotLog.Table(spark, base.resolve("table").toString)
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 3 === 0) // deterministic third:
+        // every feed row passes the single-threaded Group reader
+        .select(
+          col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          col("o_orderstatus"), col("o_orderdate"),
+          expr("""CASE WHEN round(o_totalprice * 100) < 10000000 THEN 'low'
+                 |     WHEN round(o_totalprice * 100) < 25000000 THEN 'mid'
+                 |     ELSE 'high' END""".stripMargin).as("price_band"))
+      val cut = lit("1997-01-01").cast("timestamp")
+      t.commitAppend(orders.filter(col("o_orderdate") < cut)
+        .drop("o_orderdate"), "o_orderstatus") // v1: old layout
+      t.commitAppend(orders.filter(col("o_orderdate") >= cut)
+        .drop("o_orderdate"), "price_band")    // v2: evolved layout
+      t.commitDeletePartition("price_band", "low") // v3: new layout only
+      val ckpt = base.resolve("ckpt").toString
+      val q = spark.readStream
+        .format("graft.sources.SnapshotCdfSource")
+        .option("path", t.root)
+        .option("partCol", "o_orderstatus")
+        .option("schema.ddl",
+          "o_orderkey LONG, cents LONG, price_band STRING")
+        .load()
+        .writeStream.format("memory").queryName("graft_stream_cdf_evo")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val feed = spark.table("graft_stream_cdf_evo").localCheckpoint()
+      // v1 (own layout): path-recovered status AND the band data column
+      val v1 = feed.filter(col("_version") === 1)
+      require(v1.filter(col("o_orderstatus").isNull ||
+        col("price_band").isNull).count() == 0,
+        "own-layout rows must carry both columns")
+      // v2 (foreign layout): null status (not this file's path column)
+      // and null band DATA column (it is v2's path column, not a field)
+      val v2 = feed.filter(col("_version") === 2)
+      require(v2.count() > 0 && v2.filter(col("o_orderstatus").isNotNull
+        || col("price_band").isNotNull).count() == 0,
+        "foreign-layout rows must null-fill, not die")
+      require(feed.filter(col("_version") === 3 &&
+        col("_change") === "delete").count() > 0, "v3 deletes missing")
+      val sgn = when(col("_change") === "insert", 1L).otherwise(-1L)
+      val out = feed.groupBy((col("o_orderkey") % 8).as("bucket"))
+        .agg(sum(sgn).cast("long").as("n_rows"),
+          sum(sgn * col("cents")).cast("long").as("sum_cents"))
+        .orderBy("bucket").localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      out
+    },
+
     // ---- CHECK constraints on commit (Delta's ADD CONSTRAINT): the
     //      table enforces its own invariants — a poisoned batch is a
     //      REJECTED COMMIT, not poisoned training data found weeks

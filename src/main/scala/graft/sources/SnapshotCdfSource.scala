@@ -304,11 +304,21 @@ final class CdfReader(part: CdfPart, fileSchema: StructType,
     false
   }
 
+  /** Which declared columns exist in THIS file's physical schema —
+    * a file written under an older layout may lack a column entirely
+    * (its own partition column, or a later-added field); those
+    * null-fill, the same contract the batch read's unionByName
+    * applies. Resolved lazily from the first row's group type. */
+  private var present: Array[Boolean] = _
+
   override def get(): InternalRow = {
+    if (present == null)
+      present = fileSchema.fields.map(f => cur.getType.containsField(f.name))
     val vals = new Array[Any](fileSchema.length + 3)
     fileSchema.fields.zipWithIndex.foreach { case (f, i) =>
       // parquet repetition: a missing (null) value has count 0
-      if (cur.getFieldRepetitionCount(f.name) == 0) vals(i) = null
+      if (!present(i) || cur.getFieldRepetitionCount(f.name) == 0)
+        vals(i) = null
       else vals(i) = f.dataType match {
         case LongType    => cur.getLong(f.name, 0)
         case IntegerType => cur.getInteger(f.name, 0)
