@@ -28,7 +28,8 @@ object SparkEntry {
       Experiments.defs ++ Spatial.defs ++ SuffixDedup.defs ++ Alignment.defs ++
       Evaluation.defs ++ JdbcOps.defs ++ Wave6.defs ++ Wave7.defs ++
       Wave8.defs ++ FileIndex.defs ++ MergeOnRead.defs ++
-      Posttrain.defs ++ Reweight.defs ++ EvalAggregation.defs
+      Posttrain.defs ++ Reweight.defs ++ EvalAggregation.defs ++
+      CorpusEval.defs
 
   require(allDefs.map(_.name).distinct.size == allDefs.size,
     "duplicate query names across operator families")
