@@ -1230,11 +1230,24 @@ object SnapshotLog {
             max(unix_micros(col(keyCol).cast("timestamp")))).head()
           if (r.isNullAt(0)) Seq.empty
           else pruneFiles(vPrev, keyCol, r.getLong(0), r.getLong(1))
+        case d: org.apache.spark.sql.types.DecimalType
+            if d.precision <= 18 =>
+          // parquet stores DECIMAL(p<=18) as INT32/INT64 with UNSCALED
+          // stats, so the footer zone maps already carry it — widen
+          // the probe by the scale in DECIMAL arithmetic (exact:
+          // unscaled = value * 10^s; a double multiply could round
+          // above 2^53)
+          val f = lit(BigDecimal(10).pow(d.scale))
+          val r = source.agg(
+            min((col(keyCol) * f).cast("long")),
+            max((col(keyCol) * f).cast("long"))).head()
+          if (r.isNullAt(0)) Seq.empty
+          else pruneFiles(vPrev, keyCol, r.getLong(0), r.getLong(1))
         case StringType =>
           val r = source.agg(min(col(keyCol)), max(col(keyCol))).head()
           if (r.isNullAt(0)) Seq.empty
           else pruneFilesStr(vPrev, keyCol, r.getString(0), r.getString(1))
-        case _ => live
+        case _ => live // exotic key types: conservative full-candidate scan
       }
       // bloom pass on top of the range pass: membership beats range
       // exactly when the source's keys are sparse in the range — cap

@@ -155,6 +155,35 @@ class FileIndexSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("decimal keys prune merge candidates via unscaled zone maps") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_deckey_spec_").toString
+    val t = new SnapshotLog.Table(spark, root)
+    // DECIMAL(12,2) keys in three tight bands: parquet stores the
+    // UNSCALED value as INT64 with stats, so the probe (decimal-exact
+    // scale widening) must hit only the matching band's file
+    def band(lo: Int): org.apache.spark.sql.DataFrame =
+      (lo until lo + 100).map(i => (i.toLong, "x"))
+        .toDF("i", "part")
+        .select(col("i").cast("decimal(12,2)").as("k"),
+          col("part"), col("i").as("v"))
+        .coalesce(1)
+    Seq(0, 1000, 2000).foreach(lo => t.commitAppend(band(lo), "part"))
+    val src = (1000 until 1100 by 10).map(i => (i.toLong, "x"))
+      .toDF("i", "part")
+      .select(col("i").cast("decimal(12,2)").as("k"),
+        col("part"), (col("i") + 100000L).as("v"))
+    t.commitMerge(src, "part", "k")
+    val Some((cand, live)) = t.lastMergeScan
+    assert(cand < live, s"decimal zone maps did not prune: $cand of $live")
+    assert(t.asOf(t.version).count() == 300)
+    assert(t.asOf(t.version).filter(col("v") >= 100000L).count() == 10)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("clustering turns useless stats into real skipping") {
     q("q_snapshot_cluster").collect() // force the staged build
     val t = FileIndex.clusterStagedTable(spark, sf)
