@@ -496,6 +496,88 @@ object MergeOnRead {
       out
     },
 
+    // ---- tagged RESTORE (Delta RESTORE / Iceberg rollback): the
+    //      row-exact generalization of the reference's
+    //      backup-then-restore discipline (clone_databases.sh:203-217
+    //      snapshots so a bad clone can be undone) — here the undo is
+    //      METADATA-ONLY: a tag names the good version, two bad
+    //      commits land (a MERGE bump that rewrites files and a
+    //      tombstone batch), and commitRestoreTag brings back the
+    //      tagged live set BY LOG REFERENCE, deletion-vector bindings
+    //      included (the tag points at a post-MOR-delete version, so
+    //      the restore must re-bind row-level deletes, not just
+    //      files). In-query requires pin the mechanics: restored
+    //      live set and DV bindings EQUAL the target's, and the
+    //      restore segment carries no stats entries (nothing was
+    //      written). The oracle re-derives the final state from raw
+    //      orders + the post-restore recovery batch — a leaked bad
+    //      row, a lost DV rebind, or a vacuum-eaten file flips it.
+    QueryDef.checked(
+      "q_snapshot_restore",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderstatus AS status
+        |  FROM orders
+        |), survivors AS (
+        |  SELECT k, cents, status FROM base WHERE k % 97 <> 0
+        |), recovery AS (
+        |  SELECT k + 200000000 AS k, cents + 3 AS cents, status
+        |  FROM base WHERE k % 97 <> 0 AND k % 19 = 0
+        |), final AS (
+        |  SELECT * FROM survivors UNION ALL SELECT * FROM recovery
+        |)
+        |SELECT status AS o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(k) AS min_key, max(k) AS max_key
+        |FROM final GROUP BY status ORDER BY status""".stripMargin) {
+      (spark, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_restore_")
+      val t = new SnapshotLog.Table(spark, base.resolve("table").toString)
+      val orders = spark.read.parquet(s"$dir/orders.parquet").select(
+        col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+        col("o_orderstatus"))
+      t.commitAppend(orders.filter(col("o_orderkey") % 2 === 0),
+        "o_orderstatus")
+      t.commitAppend(orders.filter(col("o_orderkey") % 2 === 1),
+        "o_orderstatus")
+      t.commitDeleteKeysMor(
+        orders.filter(col("o_orderkey") % 97 === 0).select("o_orderkey"),
+        "o_orderkey")                       // v3: the good state (has DVs)
+      t.commitTagVersion("ga", 3)           // v4: name it
+      t.commitMerge(orders.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("price_cents", col("price_cents") + 999),
+        "o_orderstatus", "o_orderkey")      // v5: bad bump (rewrites files)
+      t.commitApplyChanges(
+        orders.filter(col("o_orderkey") % 13 === 0)
+          .select(col("o_orderkey"), col("price_cents"),
+            col("o_orderstatus"), lit("D").as("__op")),
+        "o_orderstatus", "o_orderkey")      // v6: bad tombstones
+      val rv = t.commitRestoreTag("ga")     // v7: metadata-only undo
+      require(t.liveFiles(rv).toSet == t.liveFiles(3).toSet,
+        "restore must resolve exactly the tagged live set")
+      require(t.dvFor(rv) == t.dvFor(3),
+        "restore must re-bind the tagged version's deletion vectors")
+      require(t.entries.filter(_.version == rv)
+        .forall(e => Set("remove", "add", "dv", "meta").contains(e.action)),
+        "a restore writes no data: log entries only")
+      t.commitAppend(                        // v8: life goes on
+        t.asOfMor(rv).filter(col("o_orderkey") % 19 === 0)
+          .select((col("o_orderkey") + 200000000L).as("o_orderkey"),
+            (col("price_cents") + 3).as("price_cents"),
+            col("o_orderstatus")), "o_orderstatus")
+      val out = t.asOfMor(t.version)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price_cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus").localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      out
+    },
+
     // ---- change feed ACROSS a partition-evolution boundary: the r9
     //      source hard-required every file to carry the table-level
     //      `partCol=` prefix and died on the first old-layout file —

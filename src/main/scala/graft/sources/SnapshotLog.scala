@@ -1053,6 +1053,107 @@ object SnapshotLog {
         s"commit rejected: batch violates constraint ${violated.get}")
     }
 
+    // ---- named refs (tags) + restore ---------------------------------
+
+    /** Name a version (an Iceberg TAG / git-style ref): a `tag` log
+      * entry binds `name` to `targetVersion` so "the GA snapshot" or
+      * "eval-2026-08" is addressable without anyone memorizing
+      * integers. Re-tagging the same name moves it (newest wins);
+      * [[dropTag]] retires it. The tag is a log entry like everything
+      * else: checkpoint-durable, time-travel-visible, never hashed. */
+    def commitTagVersion(name: String, targetVersion: Int,
+        expectedVersion: Int = -1): Int = {
+      require(name.matches("[A-Za-z0-9_-]+"),
+        s"tag name must be log-safe: $name")
+      val v = casCheck(expectedVersion)
+      require(targetVersion >= 1 && targetVersion < v,
+        s"tag target $targetVersion out of range [1, ${v - 1}]")
+      publishSegment(v, Seq(Entry(v, "tag", s"$name|$targetVersion")))
+      v
+    }
+
+    /** Retire a tag (the underlying version stays readable). */
+    def dropTag(name: String, expectedVersion: Int = -1): Int = {
+      val v = casCheck(expectedVersion)
+      require(tags.contains(name), s"no tag $name")
+      publishSegment(v, Seq(Entry(v, "untag", name)))
+      v
+    }
+
+    /** Active tags: name → version, tag/untag folded (newest wins). */
+    def tags: Map[String, Int] =
+      entries.foldLeft(Map.empty[String, Int]) {
+        case (acc, Entry(_, "tag", p)) =>
+          val Array(n, tv) = p.split('|')
+          acc + (n -> tv.toInt)
+        case (acc, Entry(_, "untag", n)) => acc - n
+        case (acc, _)                    => acc
+      }
+
+    /** [[asOf]] at the version a tag names. */
+    def asOfTag(name: String): DataFrame =
+      asOf(tags.getOrElse(name,
+        throw new IllegalArgumentException(s"no tag $name")))
+
+    /** [[asOfMor]] at the version a tag names. */
+    def asOfMorTag(name: String): DataFrame =
+      asOfMor(tags.getOrElse(name,
+        throw new IllegalArgumentException(s"no tag $name")))
+
+    /** RESTORE the table to the live state of `targetVersion` as a
+      * NEW commit (Delta RESTORE / Iceberg rollback) — the row-exact
+      * generalization of the reference's backup-then-restore story
+      * (clone_databases.sh:203-217 snapshots so a bad clone can be
+      * undone; here the undo is METADATA-ONLY). The restore commit
+      * carries remove(live \ target) + add(target \ live) BY LOG
+      * REFERENCE — target's files are immutable and still on disk
+      * unless vacuumed past, so zero data bytes move no matter how
+      * large the table — plus the deletion-vector bindings active AT
+      * the target, re-emitted so row-level deletes restore exactly
+      * like file-level ones. A file whose current DV binding differs
+      * from its target binding is re-bound; one that must LOSE its
+      * binding is cycled remove+add by reference (retiring the DV in
+      * the fold, still zero bytes). History is preserved: the undone
+      * commits stay readable, the restore is itself an audited commit,
+      * and the change feed shows the honest remove/add delta. Fails
+      * loudly when a needed file was vacuumed — restore reach IS the
+      * vacuum retention contract. */
+    def commitRestore(targetVersion: Int, expectedVersion: Int = -1): Int = {
+      val v = casCheck(expectedVersion)
+      require(targetVersion >= 1 && targetVersion < v,
+        s"restore target $targetVersion out of range [1, ${v - 1}]")
+      val cur = liveFiles(v - 1).toSet
+      val tgt = liveFiles(targetVersion)
+      tgt.filterNot(cur.contains).foreach { p =>
+        require(fs.exists(new Path(s"$dataDir/$p")),
+          s"cannot restore to $targetVersion: $p was vacuumed")
+      }
+      val tgtDv = dvFor(targetVersion)
+      val curDv = dvFor(v - 1)
+      // files needing a reference cycle to CLEAR a current DV the
+      // target never had (the fold only retires on remove)
+      val cycle = tgt.filter(p => cur.contains(p) &&
+        curDv.contains(p) && !tgtDv.contains(p)).toSet
+      val removes = ((cur -- tgt.toSet) ++ cycle).toSeq.sorted
+        .map(Entry(v, "remove", _))
+      val adds = (tgt.filterNot(p => cur.contains(p) && !cycle.contains(p)))
+        .sorted.map(Entry(v, "add", _))
+      // re-emit the target's DV bindings wherever the post-restore
+      // fold would otherwise disagree (re-added files lost theirs on
+      // remove; staying files may carry a newer binding)
+      val rebinds = tgt.filter(p => tgtDv.contains(p) &&
+          (!cur.contains(p) || cycle.contains(p) ||
+            curDv.get(p) != tgtDv.get(p)))
+        .sorted.map(p => Entry(v, "dv", s"$p|${tgtDv(p)}"))
+      publishSegment(v, removes ++ adds ++ rebinds)
+      v
+    }
+
+    /** [[commitRestore]] to a tagged version. */
+    def commitRestoreTag(name: String, expectedVersion: Int = -1): Int =
+      commitRestore(tags.getOrElse(name,
+        throw new IllegalArgumentException(s"no tag $name")), expectedVersion)
+
     /** Idempotent append keyed by `txnId` — the exactly-once sink
       * primitive for streaming `foreachBatch`: the batch id becomes the
       * transaction id, so a re-delivered micro-batch (restart replay,

@@ -216,6 +216,57 @@ class MergeOnReadSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("tags: fold, retag moves, drop retires; restore respects vacuum") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_tags_").toString
+    val t = new SnapshotLog.Table(spark, root)
+    t.commitAppend((1L to 10L).map(k => (k, "a")).toDF("k", "part")
+      .coalesce(1), "part")                                   // v1
+    t.commitAppend((11L to 20L).map(k => (k, "a")).toDF("k", "part")
+      .coalesce(1), "part")                                   // v2
+    t.commitTagVersion("ga", 1)                               // v3
+    assert(t.tags == Map("ga" -> 1))
+    assert(t.asOfTag("ga").count() == 10)
+    t.commitTagVersion("ga", 2)                               // v4: retag
+    assert(t.tags == Map("ga" -> 2))
+    t.dropTag("ga")                                           // v5
+    assert(t.tags.isEmpty)
+    intercept[IllegalArgumentException] { t.asOfTag("ga") }
+    // restore past the vacuum horizon fails loudly, not silently
+    t.commitCompact("part")                                   // v6
+    t.vacuum(retainVersions = 0)
+    intercept[IllegalArgumentException] { t.commitRestore(1) }
+    // and a restore to a still-reachable version works
+    t.commitAppend(Seq((99L, "a")).toDF("k", "part"), "part") // v8
+    val rv = t.commitRestore(6)
+    assert(t.asOf(rv).count() == 20)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
+  test("restore clears a DV the target never had (reference cycle)") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_rescyc_").toString
+    val t = new SnapshotLog.Table(spark, root)
+    t.commitAppend((1L to 30L).map(k => (k, "a")).toDF("k", "part")
+      .coalesce(1), "part")                                   // v1: clean
+    t.commitDeleteKeysMor(Seq(7L, 9L).toDF("k"), "k")         // v2: DV lands
+    // restore to v1: the file stays live but must LOSE its binding —
+    // the cycle path (remove+add by reference, zero bytes)
+    val rv = t.commitRestore(1)
+    assert(t.dvFor(rv).isEmpty, "target had no DV; binding must clear")
+    assert(t.asOfMor(rv).count() == 30)
+    // and restoring back to v2 re-binds it
+    val rv2 = t.commitRestore(2)
+    assert(t.dvFor(rv2).nonEmpty)
+    assert(t.asOfMor(rv2).count() == 28)
+    assert(t.asOfMor(rv2).filter(col("k").isin(7L, 9L)).count() == 0)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("vacuum after materialization reclaims retired DV sidecars") {
     import spark.implicits._
     val root = java.nio.file.Files
