@@ -518,6 +518,11 @@ object SnapshotLog {
         fs.delete(new Path(s"$dataDir/$p"), false)
         dropSidecars(p)
       }
+      // DV-sidecar orphans (a CAS-losing delete's uniquely-named
+      // sidecars, if its own cleanup also died) go in the same pass —
+      // bound by no log entry, invisible to every read
+      orphanDvFiles().foreach(p =>
+        fs.delete(new Path(s"$root/dv/$p"), false))
       os
     }
 
@@ -1730,7 +1735,52 @@ object SnapshotLog {
         fs.delete(new Path(s"$dataDir/$p"), false)
         dropSidecars(p)
       }
+      // SUPERSEDED deletion-vector sidecars of still-live files age out
+      // under the same horizon: a sidecar bound at vs is needed by
+      // reads in [vs, next-binding-or-remove); when that window closes
+      // at or before the horizon, no retained AS-OF can resolve it.
+      // (Sidecars of vacuumed files died with their data above.)
+      val dvEvents = entries.collect {
+        case Entry(ev, "dv", p) =>
+          val Array(rel, id) = p.split('|'); (rel, ev, Some(id))
+        case Entry(ev, "remove", p) => (p, ev, None)
+      }
+      dvEvents.groupBy(_._1).foreach { case (rel, evs) =>
+        val ordered = evs.sortBy(_._2)
+        // a binding's window closes at the NEXT event for its file;
+        // a sidecar is reclaimable only when EVERY window of its id
+        // closes at or before the horizon (a RESTORE can re-bind the
+        // same sidecar id later — one open window keeps it alive)
+        val windowClose: Seq[(String, Option[Int])] =
+          ordered.zipWithIndex.collect {
+            case ((_, _, Some(id)), i) =>
+              id -> ordered.drop(i + 1).headOption.map(_._2)
+          }
+        windowClose.groupBy(_._1).foreach { case (id, ws) =>
+          if (ws.forall(_._2.exists(_ <= horizon)))
+            fs.delete(dvPath(rel, id), false)
+        }
+      }
       removed
+    }
+
+    /** DV sidecar files bound by NO `dv` log entry — the residue of a
+      * writer that lost the publish CAS after its (writer-unique)
+      * sidecar job ran, or crashed between the two. Invisible to every
+      * read (reads resolve bindings from the log, never list `dv/`);
+      * reclaimed by [[cleanOrphans]] under the same no-commit-in-flight
+      * contract as data-file orphans. */
+    def orphanDvFiles(): Seq[String] = {
+      val dd = new Path(s"$root/dv")
+      if (!fs.exists(dd)) return Seq.empty
+      val bound = entries.collect { case Entry(_, "dv", p) =>
+        val Array(rel, id) = p.split('|'); s"$rel.$id.dv"
+      }.toSet
+      fs.listStatus(dd).filter(_.isDirectory).toSeq.flatMap { d =>
+        fs.listStatus(d.getPath).filter(_.isFile).toSeq
+          .map(f => s"${d.getPath.getName}/${f.getPath.getName}")
+          .filter(p => p.endsWith(".dv") && !bound.contains(p))
+      }
     }
 
     /** Compaction: bin-pack each partition's live files into

@@ -267,6 +267,59 @@ class MergeOnReadSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("vacuum ages out superseded DV sidecars; orphans swept; rebinds live") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dvret_").toString
+    val t = new SnapshotLog.Table(spark, root)
+    t.commitAppend((1L to 40L).map(k => (k, "a")).toDF("k", "part")
+      .coalesce(1), "part")                                  // v1
+    val Seq(f) = t.liveFiles(1)
+    t.commitDeleteKeysMor(Seq(3L).toDF("k"), "k")            // v2: dv A
+    t.commitDeleteKeysMor(Seq(5L).toDF("k"), "k")            // v3: dv B ⊇ A
+    def sidecars() = {
+      val d = new java.io.File(s"$root/dv/${f.split('/').head}")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().map(_.getName).filter(_.endsWith(".dv")).toSeq
+    }
+    assert(sidecars().size == 2)
+    // retention covers v2: the superseded sidecar must SURVIVE
+    t.commitAppend(Seq((99L, "a")).toDF("k", "part"), "part") // v4
+    t.vacuum(retainVersions = 2)                    // horizon = 2
+    assert(sidecars().size == 2, "v2 is retained; its sidecar must live")
+    assert(t.asOfMor(2).count() == 39)
+    // horizon passes v2: only the ACTIVE sidecar remains, reads intact
+    t.vacuum(retainVersions = 0)
+    assert(sidecars().size == 1, s"superseded sidecar must age out")
+    assert(t.asOfMor(t.version).count() == 39)
+    assert(t.asOfMor(t.version)
+      .filter(col("k").isin(3L, 5L)).count() == 0)
+    // an unbound (race-orphaned) sidecar is invisible and swept
+    val orphan = java.nio.file.Paths.get(
+      s"$root/dv/${f.split('/').head}/ghost.parquet.9-deadbeef.dv")
+    java.nio.file.Files.write(orphan, "0\n".getBytes("UTF-8"))
+    assert(t.orphanDvFiles().size == 1)
+    t.cleanOrphans()
+    assert(t.orphanDvFiles().isEmpty)
+    assert(!java.nio.file.Files.exists(orphan))
+    // a RESTORE that re-binds the old sidecar id keeps it vacuum-safe
+    val t2root = java.nio.file.Files
+      .createTempDirectory("graft_dvret2_").toString
+    val t2 = new SnapshotLog.Table(spark, t2root)
+    t2.commitAppend((1L to 20L).map(k => (k, "a")).toDF("k", "part")
+      .coalesce(1), "part")                                  // v1
+    t2.commitDeleteKeysMor(Seq(2L).toDF("k"), "k")           // v2: id X
+    t2.commitDeleteKeysMor(Seq(4L).toDF("k"), "k")           // v3: id Y
+    t2.commitRestore(2)                                      // v4: rebind X
+    t2.vacuum(retainVersions = 0)
+    assert(t2.asOfMor(t2.version).count() == 19,
+      "the re-bound sidecar must survive vacuum (open window)")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(t2root))
+  }
+
   test("vacuum after materialization reclaims retired DV sidecars") {
     import spark.implicits._
     val root = java.nio.file.Files
