@@ -13,9 +13,9 @@ import graft.Tables
   * Reference anchor: clone_databases.sh has no analytics surface; these
   * extend the engine's LLM-pipeline operator set (SURVEY §2B north
   * star). Design discipline as everywhere in this repo: one keyed
-  * shuffle per operator where possible, global orders through
-  * [[graft.util.RangeRank]] (never a single-partition window), floats
-  * only in final reported ratios (round 6), counts exact.
+  * shuffle per operator where possible, windows only partitioned by a
+  * bounded key (never a global window), floats only in final reported
+  * ratios (round 6), counts exact.
   */
 object CorpusEval {
 
@@ -109,6 +109,74 @@ object CorpusEval {
           round(avg(col("ap_num") / least(col("n_rel"), lit(10L))), 6)
             .as("map10"))
         .orderBy("label")
+    },
+
+    // ---- scaling-law fit + extrapolation (training-ops planning):
+    //      the log-log OLS every compute-allocation decision rests on —
+    //      fit ln(L - E) = ln A + alpha * ln N over per-size loss
+    //      observations, then extrapolate the fitted power law to
+    //      candidate model sizes. The fixture derives 8 observations
+    //      deterministically from events (a synthetic power-law term
+    //      plus a data-keyed jitter, so the fit is non-trivial and
+    //      identical in both engines); the irreducible-loss term E is
+    //      declared, as in the Chinchilla parameterization. Scale
+    //      shape: ONE corpus aggregate reduces to 8 rows, and the fit
+    //      plus extrapolation stay inside the plan (a 1-row sufficient-
+    //      statistics aggregate cross-joined with the model-sized
+    //      target grid — no driver math, no window).
+    QueryDef.checked(
+      "q_scaling_law",
+      """WITH obs AS (
+        |  SELECT event_id % 8 AS b, avg(value) AS av
+        |  FROM events GROUP BY 1
+        |), pts AS (
+        |  SELECT ln(1000000.0 * pow(2.0, b)) AS x,
+        |    ln(8.0 * pow(2.0, -0.35 * b) + av / 5000.0) AS y
+        |  FROM obs
+        |), fit AS (
+        |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(x * y) AS sxy
+        |  FROM pts
+        |), ab AS (
+        |  SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+        |    (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+        |      AS icept
+        |  FROM fit
+        |)
+        |SELECT t.target_n,
+        |  round(2.0 + exp(icept + slope * ln(CAST(t.target_n AS DOUBLE))),
+        |    6) AS pred_loss,
+        |  round(slope, 6) AS alpha, round(icept, 6) AS ln_a
+        |FROM ab, (VALUES (10000000000), (100000000000),
+        |  (1000000000000), (10000000000000)) t(target_n)
+        |ORDER BY t.target_n""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val obs = Tables(spark, dir).events
+        .groupBy((col("event_id") % 8).as("b"))
+        .agg(avg(col("value")).as("av"))
+      val pts = obs.select(
+        log(lit(1000000.0) * pow(lit(2.0), col("b").cast("double")))
+          .as("x"),
+        log(lit(8.0) * pow(lit(2.0), lit(-0.35) * col("b").cast("double"))
+          + col("av") / 5000.0).as("y"))
+      val fit = pts.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      val ab = fit.select(slope.as("slope"),
+        ((col("sy") - slope * col("sx")) / col("n")).as("icept"))
+      val targets = Seq(10000000000L, 100000000000L,
+        1000000000000L, 10000000000000L).toDF("target_n")
+      ab.crossJoin(broadcast(targets))
+        .select(col("target_n"),
+          round(lit(2.0) + exp(col("icept") +
+            col("slope") * log(col("target_n").cast("double"))), 6)
+            .as("pred_loss"),
+          round(col("slope"), 6).as("alpha"),
+          round(col("icept"), 6).as("ln_a"))
+        .orderBy("target_n")
     },
 
     // ---- inter-rater agreement (Cohen's kappa): the labeling-queue

@@ -47,6 +47,32 @@ class CorpusEvalSpec extends SparkSpec {
     }
   }
 
+  test("scaling-law fit: negative exponent, monotone extrapolation, replay") {
+    val rows = q("q_scaling_law").collect()
+    assert(rows.length == 4)
+    val alpha = rows.head.getDouble(2)
+    assert(alpha < 0, s"fitted exponent must be negative: $alpha")
+    val preds = rows.map(_.getDouble(1)).toSeq
+    assert(preds == preds.sorted.reverse, "loss must fall with size")
+    assert(preds.forall(_ > 2.0), "prediction can never cross E")
+    // brute OLS replay in plain Scala from the raw events
+    val av = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy((col("event_id") % 8).as("b"))
+      .agg(avg(col("value")).as("av"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pts = (0L to 7L).map { b =>
+      (math.log(1000000.0 * math.pow(2.0, b.toDouble)),
+        math.log(8.0 * math.pow(2.0, -0.35 * b) + av(b) / 5000.0))
+    }
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(alpha - slope) < 1e-5,
+      s"engine $alpha vs replay $slope")
+  }
+
   test("distinct-n accounting: hapax <= distinct <= total, replayed") {
     val rows = q("q_distinct_ngrams").collect()
     rows.foreach { r =>
