@@ -320,6 +320,43 @@ class MergeOnReadSpec extends SparkSpec {
       new java.io.File(t2root))
   }
 
+  test("change feed nets honestly through a tagged restore") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_cdfres_")
+    val t = new SnapshotLog.Table(spark, base.resolve("tbl").toString)
+    t.commitAppend((1L to 30L).map(k => (k, "a", k * 10))
+      .toDF("k", "part", "v").coalesce(1), "part")            // v1
+    t.commitDeleteKeysMor(Seq(4L, 9L).toDF("k"), "k")         // v2: DV
+    t.commitMerge((1L to 30L by 3).map(k => (k, "a", k * 1000))
+      .toDF("k", "part", "v").coalesce(1), "part", "k")       // v3: bad
+    t.commitRestore(2)                                        // v4: undo
+    val q = spark.readStream
+      .format("graft.sources.SnapshotCdfSource")
+      .option("path", t.root).option("partCol", "part")
+      .option("schema.ddl", "k LONG, v LONG")
+      .load()
+      .writeStream.format("memory").queryName("graft_cdf_restore")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val feed = spark.table("graft_cdf_restore")
+    val sgn = when(col("_change") === "insert", 1L).otherwise(-1L)
+    // the folded feed equals the restored MOR state, row for row
+    val folded = feed.groupBy("k").agg(sum(sgn).as("s"), sum(sgn * col("v")).as("sv"))
+      .filter(col("s") =!= 0L)
+    assert(folded.filter(col("s") =!= 1L).count() == 0,
+      "every surviving key must net to exactly one row")
+    val got = folded.select(col("k"), col("sv")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = t.asOfMor(4).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want,
+      s"feed fold diverged from the restored state: ${got.size} vs ${want.size}")
+    assert(!want.contains(4L) && !want.contains(9L))
+    assert(want(7L) == 70L, "the bad merge's bump must be undone")
+    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
   test("vacuum after materialization reclaims retired DV sidecars") {
     import spark.implicits._
     val root = java.nio.file.Files
