@@ -21,12 +21,14 @@ object CorpusEval {
 
   val defs: Seq[QueryDef] = Seq(
 
-    // ---- retrieval-quality metrics (recall@10 / MRR@10 / MAP@10):
-    //      the index-health check every RAG/dedup pipeline runs — a
-    //      deterministic query panel (vec_id % 29) is ranked against
-    //      the corpus by exact fixed-point cosine, relevance = label
-    //      match, and the three standard rank metrics aggregate per
-    //      label. All-pairs here is panel × corpus (bounded by the
+    // ---- labeled retrieval evaluation (recall@10 / MRR@10 / MAP@10
+    //      against LABEL ground truth): complementary to
+    //      q_retrieval_metrics, which grades a truncated index against
+    //      the full-dim ranking (index FAITHFULNESS, no labels) — this
+    //      one measures end-task RELEVANCE: a deterministic query panel
+    //      (vec_id % 29) is ranked against the corpus by exact
+    //      fixed-point cosine, relevance = label match, and the three
+    //      standard rank metrics aggregate per label. All-pairs here is panel × corpus (bounded by the
     //      panel size, not N²); at 100 TB the candidate generation is
     //      the IVF/LSH machinery already in this library and the
     //      metric math is unchanged. Log-free metric choice (MAP, not
