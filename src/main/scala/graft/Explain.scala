@@ -117,7 +117,10 @@ object Explain {
     "q_snapshot_mor_delete", "q_snapshot_cdc_merge", "q_grpo_advantage",
     "q_ppo_clip_stats", "q_raking_ipf", "q_majority_vote",
     "q_length_controlled_winrate", "q_paired_bootstrap",
-    "q_snapshot_partition_evolution", "q_snapshot_constraints")
+    "q_snapshot_partition_evolution", "q_snapshot_constraints",
+    "q_snapshot_mor_delete_str", "q_snapshot_dv_rewrite",
+    "q_snapshot_merge_ts", "q_snapshot_restore", "q_retrieval_eval",
+    "q_rater_agreement", "q_distinct_ngrams", "q_scaling_law")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -181,9 +181,14 @@ object CorpusEval {
         .orderBy("target_n")
     },
 
-    // ---- inter-rater agreement (Cohen's kappa): the labeling-queue
-    //      health metric — raw agreement corrected for chance, from
-    //      the contingency marginals of two raters. The fixture
+    // ---- inter-rater agreement, Cohen's kappa (two SPECIFIC raters,
+    //      each with its OWN marginal distribution): complementary to
+    //      q_rater_kappa's Fleiss kappa, which pools interchangeable
+    //      raters under one shared marginal — Cohen's chance term
+    //      p_e = sum_c p1(c) * p2(c) charges each rater its own bias, the
+    //      statistic to use when the two raters are a model and a
+    //      human (or two distinct models) rather than a rater pool.
+    //      The fixture
     //      derives both raters deterministically from the data (size
     //      buckets; rater 2 sees a doc-keyed perturbation, so
     //      disagreement clusters at bucket boundaries exactly like
