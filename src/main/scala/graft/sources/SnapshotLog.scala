@@ -187,13 +187,10 @@ object SnapshotLog {
       try es.foreach(e =>
         out.write(s"${e.version},${e.action},${e.path}\n".getBytes("UTF-8")))
       finally out.close()
-      val fc = FileContext.getFileContext(dst.toUri, hadoopConf)
-      try fc.rename(fs.makeQualified(tmp), dst)
-      catch { // a concurrent checkpointer won; ours was identical
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-             _: java.nio.file.FileAlreadyExistsException =>
-          fs.delete(tmp, false)
-      }
+      // a concurrent checkpointer winning the bind is harmless — both
+      // candidates are byte-identical consolidations of entries <= v
+      try putIfAbsent(tmp, dst)
+      catch { case _: java.util.ConcurrentModificationException => () }
       v
     }
 
@@ -229,14 +226,65 @@ object SnapshotLog {
       v + 1
     }
 
+    /** Atomically bind `tmp`'s bytes to `dst`, failing if `dst`
+      * exists — the put-if-absent primitive both segment and
+      * checkpoint publishes ride on. Scheme-dependent, because the
+      * atomicity lives in different places:
+      *  - DFS schemes: `FileContext.rename` with `Options.Rename.NONE`
+      *    — HDFS implements no-overwrite rename atomically in the
+      *    NameNode.
+      *  - LOCAL files: POSIX `link(2)` via `Files.createLink`, which
+      *    fails EEXIST atomically in the kernel. FileContext's
+      *    Rename.NONE on the local FS is CHECK-THEN-ACT — two racers
+      *    can both pass the existence check and `File.renameTo`
+      *    silently overwrites on POSIX, so the "loser" clobbers the
+      *    winner's committed segment (and tears the ChecksumFS
+      *    data/.crc pair — surfacing later as ChecksumException).
+      *    CommitRaceSpec's 4-thread stress found exactly this.
+      * Throws ConcurrentModificationException on a lost race; always
+      * reclaims `tmp`. */
+    private def putIfAbsent(tmp: Path, dst: Path): Unit = {
+      val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+      if (scheme == "file") {
+        val src = java.nio.file.Paths.get(
+          Path.getPathWithoutSchemeAndAuthority(fs.makeQualified(tmp))
+            .toString)
+        val target = java.nio.file.Paths.get(
+          Path.getPathWithoutSchemeAndAuthority(fs.makeQualified(dst))
+            .toString)
+        try {
+          java.nio.file.Files.createLink(target, src)
+          fs.delete(tmp, false) // dst holds the inode; drop the temp name
+        } catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            fs.delete(tmp, false)
+            throw new java.util.ConcurrentModificationException(
+              s"${dst.getName} was committed concurrently ($e) — " +
+                "re-read the snapshot and retry")
+        }
+      } else {
+        val fc = FileContext.getFileContext(dst.toUri, hadoopConf)
+        try fc.rename(fs.makeQualified(tmp), fs.makeQualified(dst))
+        catch {
+          case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                    _: java.nio.file.FileAlreadyExistsException) =>
+            fs.delete(tmp, false)
+            throw new java.util.ConcurrentModificationException(
+              s"${dst.getName} was committed concurrently ($e) — " +
+                "re-read the snapshot and retry")
+        }
+      }
+    }
+
     /** Publish `lines` as the immutable segment for version `v`:
-      * write a temp file in full, then rename WITHOUT overwrite onto
-      * `log/<v>.csv`. The rename is the atomic commit point — before
-      * it, the commit does not exist; after it, it is durable; a
-      * collision (second writer racing for `v`) throws and leaves the
-      * winner's segment untouched. Prior segments are never reopened,
-      * so no crash can destroy history, and publish I/O is O(this
-      * commit), not O(total log). */
+      * write a temp file in full, then atomically bind it WITHOUT
+      * overwrite onto `log/<v>.csv` ([[putIfAbsent]]). That bind is
+      * the atomic commit point — before it, the commit does not
+      * exist; after it, it is durable; a collision (second writer
+      * racing for `v`) throws and leaves the winner's segment
+      * untouched. Prior segments are never reopened, so no crash can
+      * destroy history, and publish I/O is O(this commit), not
+      * O(total log). */
     private[graft] def publishSegment(v: Int, lines: Seq[Entry]): Unit = {
       fs.mkdirs(logDir)
       val tmp = new Path(logDir,
@@ -252,16 +300,23 @@ object SnapshotLog {
       try stamped.foreach(e =>
         out.write(s"${e.version},${e.action},${e.path}\n".getBytes("UTF-8")))
       finally out.close()
-      val dst = fs.makeQualified(new Path(logDir, s"$v.csv"))
-      val fc = FileContext.getFileContext(dst.toUri, hadoopConf)
-      try fc.rename(fs.makeQualified(tmp), dst) // Options.Rename.NONE
-      catch {
-        case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
-                  _: java.nio.file.FileAlreadyExistsException) =>
-          fs.delete(tmp, false)
-          throw new java.util.ConcurrentModificationException(
-            s"version $v was committed concurrently ($e) — " +
-              "re-read the snapshot and retry")
+      val dst = new Path(logDir, s"$v.csv")
+      putIfAbsent(tmp, dst)
+      // the bind alone is not sufficient once vacuumLog can reclaim
+      // covered segments: a racer that planned v BEFORE the winner's
+      // checkpoint+vacuum covered-and-deleted `v.csv` would re-claim
+      // the number — its segment binds, but entries() resolves the
+      // checkpoint and ignores segments <= its version, silently
+      // losing the batch (CommitRaceSpec found this against the
+      // round-10 auto-vacuum). So: after binding, if a checkpoint at
+      // or past v exists, this commit was NOT observed — undo and
+      // surface the collision. The winner's own checkpoint can't trip
+      // this (maybeAutoCheckpoint runs after the check).
+      if (latestCheckpoint.exists(_._1 >= v)) {
+        fs.delete(dst, false)
+        throw new java.util.ConcurrentModificationException(
+          s"version $v was reclaimed by a checkpoint+vacuum while " +
+            "this commit raced — re-read the snapshot and retry")
       }
       maybeAutoCheckpoint(v)
     }

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotLog
+
+/** Real-concurrency stress of the commit protocol: N threads race
+  * commits through [[SnapshotLog.Table.withRetry]] against one table
+  * root. The put-if-absent segment publish is the only arbiter — the
+  * existing specs prove the CAS with SIMULATED interleavings; this one
+  * lets the JVM scheduler generate them. */
+class CommitRaceSpec extends SparkSpec {
+
+  test("racing appenders all land exactly once, versions dense") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_race_").toString
+    val nThreads = 4
+    val perThread = 4
+    // one handle per thread: handles share nothing but the filesystem
+    val landed = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until nThreads).map { tid =>
+      new Thread(() => try {
+        val t = new SnapshotLog.Table(spark, root)
+        (0 until perThread).foreach { b =>
+          val keyBase = (tid * perThread + b) * 1000L
+          val v = t.withRetry(maxAttempts = 50) { expected =>
+            t.commitAppend(
+              (keyBase until keyBase + 10L).map(k => (k, "x"))
+                .toDF("k", "part").coalesce(1),
+              "part", expectedVersion = expected)
+          }
+          landed.add(v)
+        }
+      } catch { case e: Throwable => errors.add(e) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    import scala.jdk.CollectionConverters._
+    assert(errors.isEmpty, s"writer thread died: ${errors.asScala.headOption}")
+    val versions = landed.asScala.toSeq.sorted
+    // every batch landed in its OWN version; versions are dense 1..N
+    assert(versions == (1 to nThreads * perThread).toSeq,
+      s"versions not dense/unique: $versions")
+    val t = new SnapshotLog.Table(spark, root)
+    // every row present exactly once — no lost batch, no double-adopt
+    val rows = t.asOf(t.version).select("k").collect().map(_.getLong(0))
+    assert(rows.length == nThreads * perThread * 10)
+    assert(rows.distinct.length == rows.length)
+    // losers cleaned their adopted files: nothing orphaned
+    assert(t.orphanFiles().isEmpty, "lost-race files must be reclaimed")
+    // the log itself is consistent: one segment or checkpointed tail
+    assert(t.entries.count(_.action == "add") == nThreads * perThread)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
+  test("racing MOR deleters: bindings never cross, all victims dead") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_racemor_").toString
+    val seedT = new SnapshotLog.Table(spark, root)
+    seedT.commitAppend((1L to 400L).map(k => (k, "x")).toDF("k", "part")
+      .coalesce(4), "part")
+    // four threads each MOR-delete a DISJOINT key slice; the sidecar
+    // race guard (writer-unique ids) must keep every binding pointing
+    // at its own writer's position set
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { tid =>
+      new Thread(() => try {
+        val t = new SnapshotLog.Table(spark, root)
+        val ks = (1L to 400L).filter(_ % 4 == tid.toLong).take(10)
+        t.withRetry(maxAttempts = 50) { expected =>
+          t.commitDeleteKeysMor(ks.toDF("k"), "k",
+            expectedVersion = expected)
+        }
+        ()
+      } catch { case e: Throwable => errors.add(e) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    import scala.jdk.CollectionConverters._
+    assert(errors.isEmpty,
+      s"deleter thread died: ${errors.asScala.headOption}")
+    val t = new SnapshotLog.Table(spark, root)
+    assert(t.version == 5, s"not all deletes landed: v=${t.version}")
+    val live = t.asOfMor(t.version).select("k").collect()
+      .map(_.getLong(0)).toSet
+    // all four disjoint victim sets are dead — a cross-bound sidecar
+    // would resurrect one thread's victims or kill extra rows
+    val victims = (0 until 4).flatMap(tid =>
+      (1L to 400L).filter(_ % 4 == tid.toLong).take(10)).toSet
+    assert(live.size == 400 - 40, s"live ${live.size}")
+    assert(victims.forall(k => !live.contains(k)))
+    // orphaned (lost-race) sidecars were reclaimed by the losers
+    t.cleanOrphans()
+    assert(t.orphanDvFiles().isEmpty)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+}
