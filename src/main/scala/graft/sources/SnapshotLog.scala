@@ -151,12 +151,31 @@ object SnapshotLog {
       * survive checkpointing) plus the segment tail after it. Without
       * a checkpoint, read planning opens one segment per commit —
       * O(#commits) per read, O(N²) cumulative over a table's life;
-      * with one, it opens checkpoint + tail. */
-    def entries: Seq[Entry] = latestCheckpoint match {
-      case None => segments.flatMap { case (_, p) => parseLines(p) }
-      case Some((cv, cp)) =>
-        parseLines(cp) ++
-          segments.filter(_._1 > cv).flatMap { case (_, p) => parseLines(p) }
+      * with one, it opens checkpoint + tail.
+      *
+      * Read-vs-vacuum seam: between listing the segments and parsing
+      * them, a concurrent checkpoint+vacuum (auto or manual) may
+      * delete a listed segment — its entries now live verbatim in a
+      * NEWER checkpoint, so the retry re-resolves and converges; the
+      * bound turns a pathological livelock into a loud error instead
+      * of a hang. */
+    def entries: Seq[Entry] = {
+      def attempt(): Seq[Entry] = latestCheckpoint match {
+        case None => segments.flatMap { case (_, p) => parseLines(p) }
+        case Some((cv, cp)) =>
+          parseLines(cp) ++
+            segments.filter(_._1 > cv).flatMap { case (_, p) => parseLines(p) }
+      }
+      var tries = 0
+      while (true) {
+        tries += 1
+        try return attempt()
+        catch {
+          case e: java.io.FileNotFoundException =>
+            if (tries >= 5) throw e // not a vacuum race: surface it
+        }
+      }
+      Nil // unreachable
     }
 
     def version: Int =

@@ -55,6 +55,46 @@ class CommitRaceSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("reader folds stay consistent under concurrent checkpoint+vacuum") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_readvac_").toString
+    // aggressive cadence: checkpoint+vacuum every 2 commits, so the
+    // reader's list-then-parse window races real segment deletions
+    val writer = new SnapshotLog.Table(spark, root,
+      autoCheckpointEvery = 2)
+    writer.commitAppend(Seq((0L, "x")).toDF("k", "part"), "part")
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => try {
+      val t = new SnapshotLog.Table(spark, root)
+      while (!stop.get()) {
+        val es = t.entries // must never throw on a vacuumed segment
+        val adds = es.count(_.action == "add")
+        assert(adds >= 1, s"fold lost history: $adds adds")
+        // liveness fold over a consistent snapshot: no duplicates
+        val live = t.liveFiles(t.version)
+        assert(live.distinct.size == live.size)
+      }
+    } catch { case e: Throwable => errors.add(e) })
+    reader.start()
+    (1 to 24).foreach { i =>
+      writer.commitAppend(Seq((i.toLong, "x")).toDF("k", "part")
+        .coalesce(1), "part")
+    }
+    stop.set(true)
+    reader.join(120000)
+    import scala.jdk.CollectionConverters._
+    assert(errors.isEmpty, s"reader died: ${errors.asScala.headOption}")
+    // the table converged: all 25 rows, bounded log
+    assert(writer.asOf(writer.version).count() == 25)
+    val segs = new java.io.File(s"$root/log").listFiles()
+      .map(_.getName).count(_.endsWith(".csv"))
+    assert(segs <= 4, s"$segs segments survived the auto-vacuum cadence")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("racing MOR deleters: bindings never cross, all victims dead") {
     import spark.implicits._
     val root = java.nio.file.Files
