@@ -17,6 +17,7 @@ import graft.sources.SnapshotLog
   * not apply) was exactly a two-op interaction (deleteMor → rewrite)
   * that no single-op spec exercised. Ops drawn: fresh-key append,
   * MOR key delete, upsert merge, tri-clause CDC apply, compaction,
+  * clustered rewrite, value-range COW delete, write-audit-publish,
   * DV materialization, and restore to a random earlier version. */
 class SnapshotModelSpec extends SparkSpec {
 
@@ -50,7 +51,7 @@ class SnapshotModelSpec extends SparkSpec {
     }
 
     (1 to nOps).foreach { i =>
-      val op = rnd.nextInt(10)
+      val op = rnd.nextInt(13)
       op match {
         case 0 | 1 | 2 => // fresh-key append
           val ks = (nextKey until nextKey + 5 + rnd.nextInt(20))
@@ -92,6 +93,22 @@ class SnapshotModelSpec extends SparkSpec {
             t.commitRestore(target)
             model = hist(target - 1)
           } else t.commitCompact("part")
+        case 10 => // value-range COW delete (zone-map-pruned path)
+          val lo = rnd.nextLong(math.max(1L, nextKey * 10))
+          val hi = lo + 500
+          t.commitDeleteRange("part", "v", lo, hi)
+          model = model.filterNot { case (_, v) => v >= lo && v <= hi }
+        case 11 => // clustered rewrite (pure reorganization)
+          t.commitCluster("part", "k", filesPerRange = 2)
+        case 12 => // write-audit-publish as one committed batch
+          val ks = (nextKey until nextKey + 3 + rnd.nextInt(5))
+          nextKey = ks.last + 1
+          val rows = ks.map(k => k -> (k * 10 + seed))
+          val br = s"b$i"
+          t.stageAppend(df(rows), "part", br)
+          assert(t.version == hist.size, "staging must not commit")
+          t.publishStaged(br)
+          model ++= rows
       }
       record()
       assert(read(t.version) == model,
@@ -116,5 +133,9 @@ class SnapshotModelSpec extends SparkSpec {
 
   test("random op sequences match the model (seed 41)") {
     runSequence(seed = 41, nOps = 12)
+  }
+
+  test("random op sequences match the model (seed 1013)") {
+    runSequence(seed = 1013, nOps = 14)
   }
 }
