@@ -328,16 +328,53 @@ object SnapshotLog {
       // checkpoint and ignores segments <= its version, silently
       // losing the batch (CommitRaceSpec found this against the
       // round-10 auto-vacuum). So: after binding, if a checkpoint at
-      // or past v exists, this commit was NOT observed — undo and
-      // surface the collision. The winner's own checkpoint can't trip
-      // this (maybeAutoCheckpoint runs after the check).
+      // or past v exists, decide which of TWO very different races
+      // happened by comparing the checkpoint's version-v entries to
+      // the lines just published:
+      //  - they MATCH: this writer's own segment was already read,
+      //    checkpointed, and vacuumed by a concurrent committer in the
+      //    window between the bind and this check — the commit IS
+      //    durable (its entries live verbatim in the checkpoint), so
+      //    throwing here would make withRetry re-commit the same batch
+      //    at a new version and land the rows twice. Return success;
+      //    the re-bound segment file is redundant (covered), drop it.
+      //  - they DIFFER (or are absent): the version number was
+      //    reclaimed — the checkpoint observed a DIFFERENT winner's v
+      //    (or none), this writer's entries are in no fold. Undo and
+      //    surface the collision. The winner's own checkpoint can't
+      //    trip this (maybeAutoCheckpoint runs after the check).
       if (latestCheckpoint.exists(_._1 >= v)) {
+        if (segmentObservedInCheckpoint(v, stamped)) {
+          fs.delete(dst, false) // covered: entries live in the checkpoint
+          return
+        }
         fs.delete(dst, false)
         throw new java.util.ConcurrentModificationException(
           s"version $v was reclaimed by a checkpoint+vacuum while " +
             "this commit raced — re-read the snapshot and retry")
       }
       maybeAutoCheckpoint(v)
+    }
+
+    /** Whether the latest checkpoint's version-`v` entries are EXACTLY
+      * `stamped` (this writer's just-published lines, meta stamp
+      * included — adopted file names carry writer-unique UUIDs, so two
+      * distinct data commits can never produce the same lines; for
+      * byte-identical metadata commits either attribution is
+      * semantically the same commit). Checkpoints consolidate segments
+      * verbatim and in order, so sequence equality is the right test. */
+    private[graft] def segmentObservedInCheckpoint(v: Int,
+        stamped: Seq[Entry]): Boolean = latestCheckpoint match {
+      case Some((cv, cp)) if cv >= v =>
+        (try parseLines(cp).filter(_.version == v)
+         catch { case _: java.io.FileNotFoundException =>
+           // the checkpoint itself was superseded+vacuumed mid-read;
+           // the newer one still carries v verbatim — retry once via
+           // the fresh listing
+           latestCheckpoint.map(c => parseLines(c._2)
+             .filter(_.version == v)).getOrElse(Nil)
+         }) == stamped
+      case _ => false
     }
 
     /** Every-N auto-checkpoint, invoked after each successful segment
@@ -1017,15 +1054,25 @@ object SnapshotLog {
       * INT96: INT96 is deprecated and carries NO parquet column
       * statistics, which would leave timestamp columns permanently
       * invisible to the footer zone maps (and so to merge/delete
-      * pruning on event-time keys). Parquet exposes no per-write knob,
-      * so the session conf is scoped to the write and restored. */
+      * pruning on event-time keys). Parquet exposes no per-write knob
+      * (`ParquetUtils.prepareWrite` re-reads the SESSION conf into the
+      * job conf, so a writer `.option` is overwritten) — and mutating
+      * the shared session conf around the write races any concurrent
+      * parquet write on another thread. So: execute the write under a
+      * per-write SESSION CLONE — it inherits every current conf
+      * (timezone included), the one flipped knob is invisible outside,
+      * and two concurrent table writes can't see each other's value.
+      * Clone cost is driver-side milliseconds against a commit that
+      * runs a Spark job. */
     private def writeTmp(df: DataFrame, partCol: String, tmp: Path): Unit = {
-      val k = "spark.sql.parquet.outputTimestampType"
-      val prev = spark.conf.get(k)
-      spark.conf.set(k, "TIMESTAMP_MICROS")
-      try df.write.partitionBy(partCol).mode("overwrite")
+      val ws = org.apache.spark.sql.graft.SparkInternals
+        .cloneSession(df.sparkSession)
+      ws.conf.set("spark.sql.parquet.outputTimestampType",
+        "TIMESTAMP_MICROS")
+      org.apache.spark.sql.graft.SparkInternals
+        .ofRows(ws, df.queryExecution.analyzed)
+        .write.partitionBy(partCol).mode("overwrite")
         .parquet(tmp.toString)
-      finally spark.conf.set(k, prev)
     }
 
     /** List the `part=val/part-*.parquet` leaves Spark wrote under
@@ -1224,6 +1271,17 @@ object SnapshotLog {
           (!cur.contains(p) || cycle.contains(p) ||
             curDv.get(p) != tgtDv.get(p)))
         .sorted.map(p => Entry(v, "dv", s"$p|${tgtDv(p)}"))
+      // the sidecars being re-bound must still exist — a superseded
+      // binding past the retention horizon may have been reclaimed by
+      // vacuum's sidecar aging even while the data files all survive.
+      // Restore promises a LOUD failure at restore time, not a reader
+      // FileNotFound later in the multi-path DV scan.
+      rebinds.foreach { e =>
+        val Array(rel, id) = e.path.split('|')
+        require(fs.exists(dvPath(rel, id)),
+          s"cannot restore to $targetVersion: deletion-vector sidecar " +
+            s"${dvPath(rel, id)} was vacuumed")
+      }
       publishSegment(v, removes ++ adds ++ rebinds)
       v
     }
@@ -1381,6 +1439,17 @@ object SnapshotLog {
       * membership pass that cuts the range candidates to ~the files
       * actually containing a key. One tiny agg over the (delta-sized)
       * source; the manifest does the rest driver-side. */
+    /** Wall-clock micros of a TIMESTAMP_NTZ column, computed
+      * arithmetically from the date/time parts — exactly what parquet
+      * footer stats record for NTZ columns (isAdjustedToUTC=false),
+      * with NO session-timezone dependence. `extract(SECOND)` carries
+      * the microsecond fraction as DECIMAL(8,6), so the sum is exact. */
+    private def ntzMicros(c: Column): Column =
+      unix_date(c.cast("date")).cast("long") * lit(86400000000L) +
+        hour(c).cast("long") * lit(3600000000L) +
+        minute(c).cast("long") * lit(60000000L) +
+        (date_part(lit("SECOND"), c) * lit(1000000)).cast("long")
+
     private def mergeCandidates(vPrev: Int, source: DataFrame,
         keyCol: String, live: Seq[String]): Seq[String] = {
       import org.apache.spark.sql.types.{DateType, IntegerType, LongType,
@@ -1404,10 +1473,19 @@ object SnapshotLog {
             max(unix_micros(col(keyCol)))).head()
           if (r.isNullAt(0)) Seq.empty
           else pruneFiles(vPrev, keyCol, r.getLong(0), r.getLong(1))
-        case TimestampNTZType => // same physical widening, no zone shift
-          val r = source.agg(
-            min(unix_micros(col(keyCol).cast("timestamp"))),
-            max(unix_micros(col(keyCol).cast("timestamp")))).head()
+        case TimestampNTZType =>
+          // same INT64-micros physical widening as TIMESTAMP, but the
+          // probe must be ZONE-FREE: parquet NTZ stats
+          // (isAdjustedToUTC=false) store the raw WALL-CLOCK micros,
+          // while `unix_micros(cast(c as timestamp))` interprets the
+          // wall clock in the SESSION timezone and returns UTC-instant
+          // micros — offset by the zone delta in any non-UTC session,
+          // which would wrongly prune files that contain matching keys
+          // (and commitMerge would then silently keep stale rows). So
+          // derive the micros arithmetically from the wall-clock parts
+          // — no timezone enters anywhere.
+          val r = source.agg(min(ntzMicros(col(keyCol))),
+            max(ntzMicros(col(keyCol)))).head()
           if (r.isNullAt(0)) Seq.empty
           else pruneFiles(vPrev, keyCol, r.getLong(0), r.getLong(1))
         case d: org.apache.spark.sql.types.DecimalType

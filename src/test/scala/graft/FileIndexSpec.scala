@@ -473,6 +473,101 @@ class FileIndexSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
 
+  test("TIMESTAMP_NTZ keys prune zone-free in a non-UTC session") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    // parquet NTZ stats store WALL-CLOCK micros (isAdjustedToUTC=false);
+    // a probe that routes through cast-to-timestamp picks up the
+    // session zone and shifts by the offset — under Asia/Tokyo (+9h) it
+    // would probe day-2 keys against a day-1-ish range, prune the only
+    // file that holds the victims, and the merge would insert fresh
+    // rows NEXT TO the stale ones (duplicate keys, lost update).
+    val tzKey = "spark.sql.session.timeZone"
+    val prevTz = spark.conf.get(tzKey)
+    spark.conf.set(tzKey, "Asia/Tokyo")
+    try {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ntzkey_spec_").toString
+      val t = new SnapshotLog.Table(spark, root)
+      def day(d: Int, i: Int): java.time.LocalDateTime =
+        java.time.LocalDateTime.of(2021, 1, d, 0, 0, 0).plusSeconds(i)
+      (1 to 3).foreach { d =>
+        t.commitAppend((0 until 100).map(i => (day(d, i), "x", i.toLong))
+          .toDF("ts", "part", "v").coalesce(1), "part")
+      }
+      assert(t.liveFiles(3).forall(p =>
+        t.zoneMaps.get(p).exists(_.contains("ts"))),
+        "NTZ columns must carry footer zone maps (INT64 wall micros)")
+      val src = (0 until 100 by 10).map(i => (day(2, i), "x", 1000L + i))
+        .toDF("ts", "part", "v")
+      t.commitMerge(src, "part", "ts")
+      val Some((cand, live)) = t.lastMergeScan
+      assert(cand < live, s"NTZ zone maps did not prune: $cand of $live")
+      // the correctness half: a zone-SHIFTED probe would have pruned
+      // the victims' file and left 310 rows with duplicate keys
+      assert(t.asOf(t.version).count() == 300,
+        "zone-shifted probe resurrected stale rows beside the upserts")
+      assert(t.asOf(t.version).filter(col("v") === 1000L).count() == 1)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(root))
+    } finally spark.conf.set(tzKey, prevTz)
+  }
+
+  test("reclaim guard distinguishes covered commit from reclaimed version") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    // the false-positive shape: writer binds v.csv; a concurrent
+    // committer checkpoints past v and vacuums it BEFORE the writer's
+    // post-bind guard runs. The guard must recognize "my entries live
+    // verbatim in the checkpoint" (durable — success, no retry) vs "a
+    // different winner's v is in the checkpoint" (reclaimed — throw),
+    // or withRetry lands the same batch twice.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_guard_spec_").toString
+    val t = new SnapshotLog.Table(spark, root,
+      autoCheckpointEvery = 0) // manual checkpoint control
+    t.commitAppend(Seq((1L, "a")).toDF("k", "part"), "part")
+    t.commitAppend(Seq((2L, "a")).toDF("k", "part"), "part")
+    val mine = t.entries.filter(_.version == 2)
+    t.checkpointLog()
+    t.vacuumLog()
+    // covered: the checkpoint carries exactly my lines at v=2
+    assert(t.segmentObservedInCheckpoint(2, mine),
+      "a covered commit must be recognized as durable, not re-tried")
+    // reclaimed: a different writer's lines at v=2 do NOT match
+    val other = mine.map(e =>
+      e.copy(path = e.path.replace("v2-", "v2-other-")))
+    assert(!t.segmentObservedInCheckpoint(2, other),
+      "a reclaimed version must still surface as a collision")
+    // and versions past the checkpoint never match (not covered)
+    assert(!t.segmentObservedInCheckpoint(3, mine))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
+  test("restore fails loudly when a re-bound DV sidecar was vacuumed") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dvres_spec_").toString
+    val t = new SnapshotLog.Table(spark, root)
+    t.commitAppend((1L to 40L).map(k => (k, "a")).toDF("k", "part")
+      .coalesce(1), "part")                       // v1
+    t.commitDeleteKeysMor(Seq(4L).toDF("k"), "k") // v2: binding A
+    t.commitDeleteKeysMor(Seq(8L).toDF("k"), "k") // v3: binding B supersedes A
+    // age binding A out: its window [v2, v3) closes at v3 <= horizon.
+    // Data files are never removed here, so they all survive — exactly
+    // the case where the data-file existence check alone passes.
+    t.vacuum(0)
+    val e = intercept[IllegalArgumentException](t.commitRestore(2))
+    assert(e.getMessage.contains("sidecar"), e.getMessage)
+    // restoring to the CURRENT binding still works (B is alive)
+    t.commitRestore(3)
+    assert(t.asOfMor(t.version).count() == 38)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("cdf tail equals the last commit of the full feed") {
     // the tail (startingVersion = 2) must be the v3 slice of the full
     // feed: deletes of all clicks, reinserts of the cheap ones — and
