@@ -487,6 +487,77 @@ object FileIndex {
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(ckpt))
       out
+    },
+
+    // ---- AMBIENT file pruning (round 11): the same skipping the
+    //      dedicated helpers prove (q_snapshot_skipping_date = zone
+    //      maps via asOfWhere, q_snapshot_point_lookup = blooms via
+    //      asOfPoint), but with NO helper in sight — plain
+    //      `scanAsOf(v).filter(...)` DataFrames whose predicates reach
+    //      the manifest at PLAN time through the snapshot FileIndex
+    //      (`listFiles` consults zone maps + bloom sidecars; stock
+    //      parquet vectorized scan + PushedFilters below it). Two
+    //      probes in one result: a date band (ingest-clustered →
+    //      range stats prune to ~commit 2's files) and an IN-list on
+    //      the bloom-indexed key (uniform over ingest → range stats
+    //      keep everything, membership prunes). In-query requires
+    //      make BOTH prunes correctness conditions: the band must
+    //      open fewer files than live, the point probe fewer still.
+    //      The oracle recomputes both from the raw fact table, so a
+    //      file wrongly dropped by either index flips the hash. This
+    //      is the 100×-scale contract for READS: a user predicate —
+    //      not a curated helper call — decides what gets opened.
+    QueryDef.checked(
+      "q_snapshot_pruned_read",
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_orderstatus,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         |    CAST(o_orderdate AS DATE) AS d
+         |  FROM orders
+         |)
+         |SELECT 'band' AS probe, o_orderstatus, count(*) AS n_rows,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         |FROM base
+         |WHERE d BETWEEN DATE '1997-06-01' AND DATE '1998-06-01'
+         |GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 'point', o_orderstatus, count(*),
+         |  CAST(sum(cents) AS BIGINT),
+         |  min(o_orderkey), max(o_orderkey)
+         |FROM base
+         |WHERE o_orderkey IN (${LookupKeys.mkString(", ")})
+         |GROUP BY o_orderstatus
+         |ORDER BY probe, o_orderstatus""".stripMargin) { (spark, dir) =>
+      val t = idxStagedTable(spark, dir)
+      val v = t.version
+      def agg(df: DataFrame, probe: String): DataFrame = df
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price_cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .select(lit(probe).as("probe"), col("o_orderstatus"),
+          col("n_rows"), col("sum_cents"), col("min_key"), col("max_key"))
+      val band = agg(t.scanAsOf(v).filter(
+        col("o_date").between(lit("1997-06-01").cast("date"),
+          lit("1998-06-01").cast("date"))), "band")
+      val point = agg(t.scanAsOf(v).filter(
+        col("o_orderkey").isin(LookupKeys: _*)), "point")
+      // prune proofs: force one planning pass per probe and require
+      // the manifest actually cut the file set (the band by range
+      // stats, the point lookup by bloom membership past range)
+      t.resetScanPrune()
+      band.queryExecution.executedPlan.executeCollect()
+      val Some((bandScan, live)) = t.lastScanPrune
+      require(bandScan < live,
+        s"ambient date-range prune failed: $bandScan of $live")
+      t.resetScanPrune()
+      point.queryExecution.executedPlan.executeCollect()
+      val Some((ptScan, _)) = t.lastScanPrune
+      require(ptScan < live,
+        s"ambient bloom prune failed: $ptScan of $live")
+      band.unionAll(point).orderBy("probe", "o_orderstatus")
     }
   )
 }

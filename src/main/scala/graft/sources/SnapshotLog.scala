@@ -433,6 +433,83 @@ object SnapshotLog {
       readFiles(files, mergeSchema)
     }
 
+    /** Read-path prune telemetry: (files scanned, files live)
+      * accumulated across the layout groups of [[scanAsOf]] plans —
+      * the read twin of [[lastMergeScan]]. Planning may re-list on a
+      * second action over the same frame; call [[resetScanPrune]]
+      * before the measured action. */
+    @volatile private[graft] var lastScanPrune: Option[(Int, Int)] = None
+    private[graft] def resetScanPrune(): Unit = lastScanPrune = None
+    private def recordScanPrune(survivors: Int, total: Int): Unit =
+      synchronized {
+        lastScanPrune = Some(lastScanPrune
+          .fold((survivors, total)) { case (a, b) =>
+            (a + survivors, b + total)
+          })
+      }
+
+    /** Bloom probe over runtime-typed point keys (the plan-time twin
+      * of [[pointLookupFiles]]/[[pointLookupFilesStr]]): LONG-family
+      * and STRING keys hash through the exact build-side expressions;
+      * a mixed or unsupported key set keeps everything. */
+    private[sources] def bloomSurvivorsAny(files: Seq[String], c: String,
+        keys: Seq[Any]): Seq[String] = {
+      val longs = keys.collect {
+        case l: java.lang.Long => l.longValue
+        case i: java.lang.Integer => i.longValue
+      }
+      val strs = keys.collect {
+        case s: String => s
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      }
+      if (longs.size == keys.size && longs.nonEmpty)
+        bloomSurvivors(files, c, keyHashes(longs).values.toSeq)
+      else if (strs.size == keys.size && strs.nonEmpty)
+        bloomSurvivors(files, c, keyHashesStr(strs))
+      else files
+    }
+
+    /** AS-OF read whose file set is resolved by a manifest-backed
+      * [[org.apache.spark.sql.graft.SnapshotFileIndex]]: ANY reader
+      * predicate — `scanAsOf(v).filter(col("day") === x)`, a join
+      * key's pushed-down equality, an IN-list on a bloom-indexed id —
+      * prunes files at PLAN time through the zone maps and bloom
+      * sidecars the write path records, with no helper calls in query
+      * code. This is [[asOf]]'s contract ("no directory listing, no
+      * dead-file scan") extended to arbitrary predicates: [[asOf]]
+      * hands Spark the exact live set; scanAsOf hands Spark the live
+      * set MINUS every file the manifest proves irrelevant. Partition
+      * evolution is handled as in [[asOf]]: one relation per layout,
+      * unioned by name (Catalyst pushes filters through the union into
+      * each relation's listFiles). Raw-read semantics like [[asOf]]
+      * (active DVs are NOT applied — [[asOfMor]] is the MOR read). */
+    def scanAsOf(v: Int): DataFrame = {
+      val files = liveFiles(v)
+      require(files.nonEmpty, s"version $v of $root has no live files")
+      val zl = zoneMaps
+      val zs = zoneMapsStr
+      files.groupBy(layoutKey).toSeq.sortBy(_._1)
+        .map { case (lk, rels) =>
+          val partCols = if (lk.isEmpty) Array.empty[String]
+            else lk.split('/')
+          val partSchema = org.apache.spark.sql.types.StructType(
+            partCols.map(org.apache.spark.sql.types.StructField(_,
+              org.apache.spark.sql.types.StringType, nullable = true)))
+          // file-column schema from ONE footer (no basePath, so the
+          // partition column stays out); mergeSchema-false contract
+          // as asOf: later files missing a column null-fill in the
+          // parquet reader, extra columns are ignored
+          val dataSchema = spark.read
+            .parquet(s"$dataDir/${rels.head}").schema
+          val index = new org.apache.spark.sql.graft.SnapshotFileIndex(
+            spark, dataDir, rels, partSchema, zl, zs,
+            bloomCols.toSet, bloomSurvivorsAny, recordScanPrune)
+          org.apache.spark.sql.graft.SparkInternals
+            .parquetRelation(spark, index, partSchema, dataSchema)
+        }
+        .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    }
+
     /** A file's LAYOUT key: the sequence of partition-column names in
       * its directory path (`status=F/f.parquet` → "status",
       * `a=1/b=2/f.parquet` → "a/b", an unpartitioned `f.parquet` →

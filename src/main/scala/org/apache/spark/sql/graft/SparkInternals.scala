@@ -31,4 +31,25 @@ object SparkInternals {
 
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     CDataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
+
+  /** A parquet `HadoopFsRelation` DataFrame over a caller-provided
+    * [[org.apache.spark.sql.execution.datasources.FileIndex]] — the
+    * V1 file-scan seam production table formats plug data skipping
+    * into: the index answers `listFiles(partitionFilters, dataFilters)`
+    * at plan time, everything downstream (vectorized parquet reads,
+    * footer pushdown, column pruning, whole-stage codegen) is stock
+    * Spark. */
+  def parquetRelation(spark: SparkSession,
+      index: org.apache.spark.sql.execution.datasources.FileIndex,
+      partitionSchema: org.apache.spark.sql.types.StructType,
+      dataSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, partitionSchema, dataSchema, None,
+      new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetFileFormat,
+      Map.empty[String, String])(spark)
+    ofRows(spark,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(
+        rel, isStreaming = false))
+  }
 }

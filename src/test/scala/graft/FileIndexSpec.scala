@@ -568,6 +568,86 @@ class FileIndexSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("scanAsOf: any reader predicate prunes files at plan time") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_scan_spec_").toString
+    val t = new SnapshotLog.Table(spark, root, bloomCols = Seq("k"))
+    // three date-band commits; keys are UNIFORM across bands (k % 3
+    // decides the band), so key zone maps span the domain in every
+    // file and only the bloom sidecar can prune a point lookup —
+    // while the date column is ingest-clustered and range-prunes
+    def d(day: Int) = java.sql.Date.valueOf(f"2021-01-$day%02d")
+    (0 until 3).foreach { b =>
+      t.commitAppend((0L until 90L).filter(_ % 3 == b)
+        .map(k => (k, d(b * 7 + 1), if (k % 2 == 0) "x" else "y"))
+        .toDF("k", "day", "part").coalesce(1), "part")
+    }
+    val v = t.version
+    val full = t.asOf(v).select("k", "day", "part")
+      .collect().map(_.toSeq).toSet
+    val live = t.liveFiles(v).size
+
+    // 1. unfiltered parity: same rows as asOf, nothing pruned
+    t.resetScanPrune()
+    assert(t.scanAsOf(v).select("k", "day", "part")
+      .collect().map(_.toSeq).toSet == full)
+
+    // 2. date range: a PLAIN filter prunes to band 2's files
+    val band = t.scanAsOf(v).filter(col("day") >= lit(d(8)) &&
+      col("day") <= lit(d(10))).select("k", "day", "part")
+    t.resetScanPrune()
+    val bandRows = band.collect().map(_.toSeq).toSet
+    val Some((s1, l1)) = t.lastScanPrune
+    assert(s1 < l1 && l1 == live, s"date range did not prune: $s1/$l1")
+    assert(bandRows == full.filter(r =>
+      { val dy = r(1).asInstanceOf[java.sql.Date]
+        !dy.before(d(8)) && !dy.after(d(10)) }))
+
+    // 3. point lookup on the bloom-indexed key: range stats keep
+    //    everything (uniform keys), the bloom prunes below live
+    val pt = t.scanAsOf(v).filter(col("k") === 42L)
+    t.resetScanPrune()
+    assert(pt.count() == 1)
+    val Some((s2, l2)) = t.lastScanPrune
+    assert(s2 < live, s"bloom point prune failed: $s2/$l2")
+
+    // 4. partition filter: exact (Spark trusts listFiles and drops
+    //    the predicate from the residual — extra files = wrong ROWS)
+    val px = t.scanAsOf(v).filter(col("part") === "x")
+    assert(px.collect().map(_.getAs[Long]("k")).forall(_ % 2 == 0))
+    assert(px.count() == full.count(_(2) == "x"))
+
+    // 5. unsupported predicate shapes degrade to keep-all, not wrong
+    assert(t.scanAsOf(v).filter(col("k") % 7 === 0).count() ==
+      full.count(_(0).asInstanceOf[Long] % 7 == 0))
+
+    // 6. IN-list routes through range + bloom and stays exact
+    assert(t.scanAsOf(v).filter(col("k").isin(3L, 42L, 8888L))
+      .count() == 2)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
+  test("scanAsOf pushes row filters into the parquet scan") {
+    import graft.sources.SnapshotLog
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_scanpd_spec_").toString
+    val t = new SnapshotLog.Table(spark, root)
+    t.commitAppend((1L to 100L).map(k => (k, "a"))
+      .toDF("k", "part"), "part")
+    // file pruning happens in listFiles; ROW pruning must still reach
+    // the parquet reader (PushedFilters) — the two layers compose
+    val plan = t.scanAsOf(1).filter(col("k") === 5L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(k), EqualTo(k,5)]"),
+      s"row filter did not reach the parquet scan:\n$plan")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("cdf tail equals the last commit of the full feed") {
     // the tail (startingVersion = 2) must be the v3 slice of the full
     // feed: deletes of all clicks, reinserts of the cheap ones — and
