@@ -180,6 +180,44 @@ object FileIndex {
     t
   }
 
+  /** Build-once versioned table for the replace-where query: the
+    * [[drStagedTable]] layout (four epoch-day-banded appends), then
+    * ONE [[SnapshotLog.Table.commitReplaceWhere]] swapping the
+    * mid-1997 band for its recomputed twin (prices bumped +100) —
+    * the backfill shape, landed atomically in a single version. */
+  private[graft] def rwStagedTable(
+      spark: SparkSession, dir: String): SnapshotLog.Table = {
+    val factPath = java.nio.file.Paths.get(s"$dir/orders.parquet")
+      .toAbsolutePath.toString
+    val root = graft.util.Staging.dir("graft_snaprw_", s"$factPath|rw_v1")
+    val t = new SnapshotLog.Table(spark, root)
+    val marker = new Path(s"$root/_BUILT")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      fs.delete(new Path(s"$root/data"), true)
+      fs.delete(new Path(s"$root/log"), true)
+      val orders = spark.read.parquet(factPath).select(
+        col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+        expr("CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT)")
+          .as("o_date_days"),
+        col("o_orderstatus"))
+      val cuts = Seq(Long.MinValue, Wave8.days("1997-01-01"),
+        Wave8.days("1999-01-01"), Wave8.days("2001-01-01"), Long.MaxValue)
+      cuts.sliding(2).foreach { case Seq(lo, hi) =>
+        t.commitAppend(orders.filter(
+          col("o_date_days") >= lo && col("o_date_days") < hi),
+          "o_orderstatus")
+      }
+      val (lo, hi) = (Wave8.days("1997-06-01"), Wave8.days("1997-12-31"))
+      t.commitReplaceWhere("o_orderstatus", "o_date_days", lo, hi,
+        orders.filter(col("o_date_days").between(lo, hi))
+          .withColumn("price_cents", col("price_cents") + 100))
+      fs.create(marker, true).close()
+    }
+    t
+  }
+
   /** Build-once versioned table for the write-audit-publish query:
     * v1 = the pre-[[SeD1]] orders; then a POISONED batch (prices
     * negated — the audit's job to catch) is staged and dropped, and
@@ -558,6 +596,57 @@ object FileIndex {
       require(ptScan < live,
         s"ambient bloom prune failed: $ptScan of $live")
       band.unionAll(point).orderBy("probe", "o_orderstatus")
+    },
+
+    // ---- atomic REPLACE WHERE (round 11): the backfill /
+    //      partition-reload shape — delete a region and land its
+    //      recomputed twin in ONE commit, so no reader or change-feed
+    //      consumer can ever observe the hole the old
+    //      delete-then-append sequence exposed between its two
+    //      versions. In-query requires pin the two halves of the
+    //      contract: atomicity (the whole fixture is exactly 5
+    //      versions — 4 appends + 1 replace) and blast radius (every
+    //      file the replace removed was added by commit 2, the one
+    //      ingest batch whose day range intersects the region —
+    //      commits 1/3/4 carried by reference, unread). The oracle
+    //      recomputes survivors ⊎ replacement from the raw fact
+    //      table: a row replaced twice, a survivor lost, or a
+    //      replacement row leaked outside the region all flip the
+    //      hash.
+    QueryDef.checked(
+      "q_snapshot_replace_where",
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_orderstatus,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         |    datediff('day', DATE '1970-01-01',
+         |             CAST(o_orderdate AS DATE)) AS d
+         |  FROM orders
+         |)
+         |SELECT o_orderstatus, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN d BETWEEN ${Wave8.days("1997-06-01")}
+         |                       AND ${Wave8.days("1997-12-31")}
+         |                THEN cents + 100 ELSE cents END) AS BIGINT)
+         |    AS sum_cents,
+         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         |FROM base
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      val t = rwStagedTable(spark, dir)
+      require(t.version == 5,
+        s"replace-where must be ONE commit (got ${t.version} versions)")
+      val rem = t.entries.filter(e =>
+        e.version == 5 && e.action == "remove").map(_.path)
+      val band = t.entries.filter(e =>
+        e.version == 2 && e.action == "add").map(_.path).toSet
+      require(rem.nonEmpty && rem.forall(band.contains),
+        s"replace blast radius leaked past the banded commit: $rem")
+      t.asOf(t.version)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price_cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
     }
   )
 }

@@ -1487,6 +1487,54 @@ object SnapshotLog {
       v
     }
 
+    /** Atomic REPLACE WHERE — ONE commit that deletes every row with
+      * `c ∈ [lo, hi]` and lands `df` in its place: the backfill /
+      * partition-reload shape (Delta's `replaceWhere`, Hive/Iceberg
+      * `INSERT OVERWRITE` with a predicate). Without it the same
+      * effect is [[commitDeleteRange]] + [[commitAppend]] = TWO
+      * versions, and a reader (or change-feed consumer) between them
+      * sees the region's hole as real state. Mechanics are the range
+      * delete's: the COW blast radius is the zone-map candidate set,
+      * victims are read through their DVs, survivors outside the
+      * range are rewritten, untouched files carry by log reference —
+      * plus the replacement rows ride the same adopted file set and
+      * the same segment CAS, so the swap is atomic under concurrency
+      * and the change feed records remove(victims) + add(survivors ⊎
+      * replacement) under one version.
+      *
+      * The incoming batch must itself satisfy the predicate (every
+      * row's `c` non-null and within [lo, hi]) — Delta's replaceWhere
+      * contract: a batch that smuggled rows into the UNTOUCHED region
+      * would silently duplicate keys there, so it is rejected loudly
+      * before any byte moves. */
+    def commitReplaceWhere(partCol: String, c: String, lo: Long, hi: Long,
+        df: DataFrame, expectedVersion: Int = -1): Int = {
+      val v = casCheck(expectedVersion)
+      checkConstraints(df)
+      val outside = df.filter(col(c).isNull || !col(c).between(lo, hi))
+        .limit(1).count()
+      require(outside == 0,
+        s"replaceWhere batch carries rows outside $c in [$lo, $hi] — " +
+          "the replacement may only write the region it replaces")
+      val victims = pruneFiles(v - 1, c, lo, hi)
+      val survivors = // victims read through DVs; NULL-keyed rows are
+        // OUTSIDE any range and must survive (as in commitDeleteRange)
+        if (victims.isEmpty) df.limit(0)
+        else readFilesMorAt(v - 1, victims)
+          .filter(col(c).isNull || !col(c).between(lo, hi))
+          .select(df.columns.toIndexedSeq.map(col): _*)
+      val rewritten = survivors.unionByName(df)
+      val tmp = new Path(s"$root/_tmp_v$v-${
+        java.util.UUID.randomUUID.toString.take(8)}")
+      writeTmp(rewritten, partCol, tmp)
+      val added = adopt(tmp, v)
+      fs.delete(tmp, true)
+      publishOrCleanup(v, victims.map(Entry(v, "remove", _)) ++
+        added.map(Entry(v, "add", _)) ++ statsEntries(v, added), added)
+      buildBlooms(v, added)
+      v
+    }
+
     /** Row-level MERGE (upsert) keyed by `keyCol`: target rows whose
       * key appears in `source` are replaced by the source row; source
       * rows with no match are inserts. File granularity is the scale
@@ -2025,6 +2073,10 @@ object SnapshotLog {
         filesPerPartition: Int = 1, expectedVersion: Int = -1): Int = {
       val v = casCheck(expectedVersion)
       val victims = liveFiles(v - 1)
+      // empty table: nothing to reorganize — publish the honest no-op
+      // commit (version advances, fold unchanged), as the range
+      // delete does for a range no file can contain
+      if (victims.isEmpty) { publishSegment(v, Seq.empty); return v }
       val tmp = new Path(s"$root/_tmp_v$v-${
         java.util.UUID.randomUUID.toString.take(8)}")
       // rows of one partition value spread over at most
@@ -2064,6 +2116,7 @@ object SnapshotLog {
         filesPerRange: Int, expectedVersion: Int = -1): Int = {
       val v = casCheck(expectedVersion)
       val victims = liveFiles(v - 1)
+      if (victims.isEmpty) { publishSegment(v, Seq.empty); return v }
       val tmp = new Path(s"$root/_tmp_v$v-${
         java.util.UUID.randomUUID.toString.take(8)}")
       writeTmp(readFilesMorAt(v - 1, victims) // DV-applied (commitCompact)

@@ -630,6 +630,46 @@ class FileIndexSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("replace-where: one version, pruned blast radius, honest feed") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_rw_spec_").toString
+    val t = new SnapshotLog.Table(spark, root)
+    // three value-band commits — the backfill target is band 2
+    (0 to 2).foreach { b =>
+      t.commitAppend((0L until 50L).map(i => (b * 100L + i, "x"))
+        .toDF("v", "part").coalesce(1), "part")
+    }
+    val repl = (100L to 120L).map(v => (v, "x")).toDF("v", "part")
+    val v0 = t.version
+    t.commitReplaceWhere("part", "v", 100L, 199L, repl)
+    // ATOMIC: exactly one version carries the whole swap
+    assert(t.version == v0 + 1, "replace-where must be one commit")
+    // blast radius: bands 1 and 3 carried over by log reference
+    val removed = t.entries.filter(e =>
+      e.version == t.version && e.action == "remove").map(_.path)
+    assert(removed.size == 1, s"pruned COW rewrote too much: $removed")
+    // state: survivors outside the range ⊎ replacement, nothing else
+    val got = t.asOf(t.version).select("v")
+      .collect().map(_.getLong(0)).sorted
+    val want = ((0L until 50L) ++ (100L to 120L) ++
+      (200L until 250L)).sorted
+    assert(got.toSeq == want)
+    // the change feed nets the swap honestly: deletes of band 2's 50
+    // rows, inserts of survivors(0)+replacement(21) — in ONE version
+    val feed = spark.read.textFile(s"$root/log/${t.version}.csv")
+      .collect().map(_.split(",")(1))
+    assert(feed.count(_ == "remove") == 1 && feed.count(_ == "add") >= 1)
+    // contract: a batch outside the region is rejected before commit
+    val bad = Seq((999L, "x")).toDF("v", "part")
+    intercept[IllegalArgumentException](
+      t.commitReplaceWhere("part", "v", 100L, 199L, bad))
+    assert(t.version == v0 + 1, "rejected batch must not commit")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("scanAsOf pushes row filters into the parquet scan") {
     import graft.sources.SnapshotLog
     import spark.implicits._

@@ -17,8 +17,9 @@ import graft.sources.SnapshotLog
   * not apply) was exactly a two-op interaction (deleteMor → rewrite)
   * that no single-op spec exercised. Ops drawn: fresh-key append,
   * MOR key delete, upsert merge, tri-clause CDC apply, compaction,
-  * clustered rewrite, value-range COW delete, write-audit-publish,
-  * DV materialization, and restore to a random earlier version. */
+  * clustered rewrite, value-range COW delete, atomic replace-where,
+  * write-audit-publish, DV materialization, and restore to a random
+  * earlier version. */
 class SnapshotModelSpec extends SparkSpec {
 
   private def runSequence(seed: Long, nOps: Int): Unit = {
@@ -51,7 +52,7 @@ class SnapshotModelSpec extends SparkSpec {
     }
 
     (1 to nOps).foreach { i =>
-      val op = rnd.nextInt(13)
+      val op = rnd.nextInt(14)
       op match {
         case 0 | 1 | 2 => // fresh-key append
           val ks = (nextKey until nextKey + 5 + rnd.nextInt(20))
@@ -100,6 +101,15 @@ class SnapshotModelSpec extends SparkSpec {
           model = model.filterNot { case (_, v) => v >= lo && v <= hi }
         case 11 => // clustered rewrite (pure reorganization)
           t.commitCluster("part", "k", filesPerRange = 2)
+        case 13 => // atomic replace-where on a value range
+          val lo = rnd.nextLong(math.max(1L, nextKey * 10))
+          val hi = lo + 500
+          val ks = (nextKey until nextKey + 1 + rnd.nextInt(3))
+          nextKey = ks.last + 1
+          val rows = ks.map(k => k -> (lo + k % 501)) // inside [lo, hi]
+          t.commitReplaceWhere("part", "v", lo, hi, df(rows))
+          model = model.filterNot { case (_, v) =>
+            v >= lo && v <= hi } ++ rows
         case 12 => // write-audit-publish as one committed batch
           val ks = (nextKey until nextKey + 3 + rnd.nextInt(5))
           nextKey = ks.last + 1
