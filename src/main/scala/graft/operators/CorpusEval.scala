@@ -19,6 +19,31 @@ import graft.Tables
   */
 object CorpusEval {
 
+  /** Hard cap on a broadcast eval panel. Eval panels are FIXED-SIZE
+    * sets in practice (a curated query set, not a corpus sample), and
+    * the panel × corpus join shape depends on it: broadcasting a
+    * corpus FRACTION grows with the corpus and dies at 100 TB. The
+    * guard makes that a contract — a panel that outgrows the cap
+    * fails loudly at plan time instead of silently melting the
+    * broadcast, and the fix (sample/curate the panel upstream, or
+    * switch candidate generation to the IVF/LSH machinery in
+    * Similarity/VectorCuration) is named in the error. */
+  private[graft] val MaxPanelRows = 4096L
+
+  /** Pass-through guard: `panel` unchanged when within the cap; loud
+    * failure otherwise. One count job over the (panel-sized) frame. */
+  private[graft] def boundedPanel(
+      panel: org.apache.spark.sql.DataFrame,
+      cap: Long = MaxPanelRows): org.apache.spark.sql.DataFrame = {
+    val n = panel.count()
+    require(n <= cap,
+      s"eval panel has $n rows (cap $cap): panels must be bounded " +
+        "fixed-size sets — curate or sample the panel upstream, or " +
+        "generate candidates with the IVF/LSH operators instead of " +
+        "broadcasting a corpus fraction")
+    panel
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- labeled retrieval evaluation (recall@10 / MRR@10 / MAP@10
@@ -76,9 +101,13 @@ object CorpusEval {
            |GROUP BY qlabel ORDER BY qlabel""".stripMargin
       }) { (spark, dir) =>
       val emb = Tables(spark, dir).embeddings
-      val qs = emb.filter(col("vec_id") % 29 === 0)
+      // the fixture panel (vec_id % 29) stands in for a curated query
+      // set; boundedPanel makes the fixed-size contract enforced, not
+      // aspirational — at 100 TB the panel is what it is HERE (a few
+      // thousand queries), never a corpus fraction
+      val qs = boundedPanel(emb.filter(col("vec_id") % 29 === 0)
         .select(col("vec_id").as("qid"), col("label").as("qlabel"),
-          col("embedding").as("qe"))
+          col("embedding").as("qe")))
       val pairs = Tables.spread(emb).join(broadcast(qs),
           col("vec_id") =!= col("qid"))
         .select(col("qid"), col("qlabel"),

@@ -647,6 +647,57 @@ object FileIndex {
           min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"))
         .orderBy("o_orderstatus")
+    },
+
+    // ---- CDF wall-time start (round 11): `startingTimestamp` — the
+    //      streaming twin of AS-OF-TIMESTAMP: the consumer names an
+    //      instant, the source resolves it ONCE at stream start to
+    //      the first commit published at or after it (each segment
+    //      carries its publish stamp as a meta entry — manifest fold,
+    //      no data touched). Here the instant is the final commit's
+    //      own stamp, so the feed must deliver EXACTLY that commit —
+    //      the same slice q_stream_cdf_tail selects by version number
+    //      — and the oracle recomputes it by predicate algebra: a
+    //      resolution off by one version replays the prior commit's
+    //      inserts or drops the deletes, flipping the hash either way.
+    QueryDef.checked(
+      "q_stream_cdf_since",
+      """WITH base AS (
+        |  SELECT event_type AS et,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |)
+        |SELECT 'delete' AS change, count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM base WHERE et = 'click'
+        |UNION ALL
+        |SELECT 'insert', count(*), CAST(sum(cents) AS BIGINT)
+        |FROM base WHERE et = 'click' AND cents <= 25000
+        |ORDER BY change""".stripMargin) { (spark, dir) =>
+      val t = Wave8.cdfStagedTable(spark, dir)
+      val since = t.publishTimestamp(t.version)
+      val feed = spark.readStream
+        .format("graft.sources.SnapshotCdfSource")
+        .option("path", t.root)
+        .option("partCol", "event_type")
+        .option("schema.ddl", "user_id LONG, cents LONG")
+        .option("startingTimestamp", since.toString)
+        .load()
+        .groupBy(col("_change").as("change"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_cdfs_ckpt_").toString
+      val q = feed.writeStream.format("memory")
+        .queryName("graft_stream_cdf_since")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val out = spark.table("graft_stream_cdf_since")
+        .orderBy("change").localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(ckpt))
+      out
     }
   )
 }

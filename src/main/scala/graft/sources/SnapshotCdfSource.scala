@@ -55,7 +55,8 @@ class SnapshotCdfSource extends TableProvider {
     new SnapshotCdfTable(properties.get("path"),
       properties.get("partCol"), properties.get("schema.ddl"),
       Option(properties.get("startingVersion")),
-      Option(properties.get("maxVersionsPerTrigger")).map(_.toInt))
+      Option(properties.get("maxVersionsPerTrigger")).map(_.toInt),
+      Option(properties.get("startingTimestamp")).map(_.toLong))
 }
 
 object SnapshotCdfSource {
@@ -72,7 +73,8 @@ object SnapshotCdfSource {
 
 final class SnapshotCdfTable(root: String, partCol: String, ddl: String,
     startingVersion: Option[String] = None,
-    maxVersionsPerTrigger: Option[Int] = None)
+    maxVersionsPerTrigger: Option[Int] = None,
+    startingTimestamp: Option[Long] = None)
     extends Table with SupportsRead {
   override def name(): String = s"snapshot_cdf($root)"
   override def schema(): StructType =
@@ -85,7 +87,7 @@ final class SnapshotCdfTable(root: String, partCol: String, ddl: String,
       override def readSchema(): StructType = schema()
       override def toMicroBatchStream(ckpt: String): MicroBatchStream =
         new SnapshotCdfStream(root, partCol, ddl, startingVersion,
-          maxVersionsPerTrigger)
+          maxVersionsPerTrigger, startingTimestamp)
     }
 }
 
@@ -96,8 +98,11 @@ final case class VersionOffset(v: Int) extends Offset {
 
 final class SnapshotCdfStream(root: String, partCol: String, ddl: String,
     startingVersion: Option[String] = None,
-    maxVersionsPerTrigger: Option[Int] = None)
+    maxVersionsPerTrigger: Option[Int] = None,
+    startingTimestamp: Option[Long] = None)
     extends MicroBatchStream {
+  require(startingVersion.isEmpty || startingTimestamp.isEmpty,
+    "startingVersion and startingTimestamp are mutually exclusive")
   private def spark = org.apache.spark.sql.SparkSession.active
   private def table = new SnapshotLog.Table(spark, root)
 
@@ -131,10 +136,18 @@ final class SnapshotCdfStream(root: String, partCol: String, ddl: String,
   @volatile private var resolvedStart: Option[Int] = None
   override def initialOffset(): Offset = synchronized {
     val v = resolvedStart.getOrElse {
-      val s = startingVersion match {
-        case None           => 0
-        case Some("latest") => table.version
-        case Some(x)        => x.toInt
+      val s = (startingVersion, startingTimestamp) match {
+        case (None, None)           => 0
+        case (Some("latest"), _)    => table.version
+        case (Some(x), _)           => x.toInt
+        // wall-time start: deliver from the FIRST commit published at
+        // or after t (offsets are exclusive lower bounds, hence -1);
+        // when every commit predates t, behave as `latest` — only
+        // commits landing after subscription flow. Resolved ONCE and
+        // cached, same contract as `latest`.
+        case (None, Some(ts)) =>
+          table.versionStartingAtTimestamp(ts)
+            .map(_ - 1).getOrElse(table.version)
       }
       resolvedStart = Some(s)
       s

@@ -94,10 +94,24 @@ object SnapshotLog {
     *   Same read-vs-vacuum seam as a manual [[vacuumLog]] (a reader
     *   that listed a segment just before reclamation retries); data
     *   files are never touched here. */
+  /** @param autoCompactAt compact a PARTITION's live files down to one
+    *   whenever an append leaves that partition holding at least this
+    *   many (0 disables). The small-files answer with zero operator
+    *   discipline — the third leg of the auto-maintenance tripod
+    *   (checkpoint the log, vacuum the covered segments, compact the
+    *   hot partitions): a streaming `foreachBatch` sink appending
+    *   every few seconds otherwise accretes one file per partition per
+    *   commit forever, and read planning degrades O(commits) no matter
+    *   how good the manifest is. Partition-scoped on purpose — a
+    *   whole-table OPTIMIZE on a size trigger would rewrite 100 TB to
+    *   fix one hot partition. Like auto-checkpoint, a failure (or a
+    *   lost CAS race) never fails the triggering commit; the next
+    *   append re-triggers. */
   final class Table(spark: SparkSession, val root: String,
       val bloomCols: Seq[String] = Nil,
       val autoCheckpointEvery: Int = 10,
-      val autoVacuumLog: Boolean = true) {
+      val autoVacuumLog: Boolean = true,
+      val autoCompactAt: Int = 0) {
     private val dataDir = s"$root/data"
     private val logDir = new Path(s"$root/log")
     private def hadoopConf = spark.sparkContext.hadoopConfiguration
@@ -106,6 +120,15 @@ object SnapshotLog {
     /** Merge-pruning instrumentation: (candidate files scanned for
       * hits, live files) of the last [[commitMerge]] on this handle. */
     private[graft] var lastMergeScan: Option[(Int, Int)] = None
+
+    /** Set (to the key's type name) when the last merge-shaped commit
+      * fell through to the conservative FULL-candidate scan because
+      * the key type carries no prunable stats (float/binary/nested —
+      * all bad merge keys). The silent version of this is how a
+      * mis-typed key turns every point merge into an O(live-files)
+      * scan without anyone noticing; the marker (plus a one-line log)
+      * makes it visible to specs and operators. None = pruning ran. */
+    @volatile private[graft] var lastMergeFallback: Option[String] = None
 
     /** The published segment files, sorted by version. One immutable
       * file per commit; the listing is the only directory walk the
@@ -569,6 +592,28 @@ object SnapshotLog {
     /** [[asOf]] at the version resolved by [[versionAsOfTimestamp]]. */
     def asOfTimestamp(tsMillis: Long): DataFrame =
       asOf(versionAsOfTimestamp(tsMillis))
+
+    /** Streaming twin of [[versionAsOfTimestamp]]: the FIRST version
+      * published at or after `tsMillis` — the resolution behind a
+      * change-feed consumer's `startingTimestamp` (Delta's CDF
+      * contract: "changes from the commit at or after t", resolved
+      * once at stream start). None when every commit predates t — the
+      * consumer wants only commits landing after it subscribes. */
+    def versionStartingAtTimestamp(tsMillis: Long): Option[Int] =
+      entries.collect {
+        case Entry(v, "meta", p)
+            if p.startsWith("ts|") && p.stripPrefix("ts|").toLong >=
+              tsMillis => v
+      }.minOption
+
+    /** The wall-clock publish stamp of version `v` (every segment
+      * carries one as a `meta` entry). */
+    def publishTimestamp(v: Int): Long =
+      entries.collectFirst {
+        case Entry(ev, "meta", p) if ev == v && p.startsWith("ts|") =>
+          p.stripPrefix("ts|").toLong
+      }.getOrElse(throw new IllegalArgumentException(
+        s"no publish stamp for version $v"))
 
     // ---- write-audit-publish -----------------------------------------
 
@@ -1188,6 +1233,7 @@ object SnapshotLog {
       publishOrCleanup(v,
         added.map(Entry(v, "add", _)) ++ statsEntries(v, added), added)
       buildBlooms(v, added)
+      maybeAutoCompact(partCol)
       v
     }
 
@@ -1394,6 +1440,7 @@ object SnapshotLog {
           added.map(Entry(v, "add", _)) ++ statsEntries(v, added) :+
             Entry(v, "txn", txnId), added)
         buildBlooms(v, added)
+        maybeAutoCompact(partCol)
         true
       }
     }
@@ -1579,6 +1626,7 @@ object SnapshotLog {
         keyCol: String, live: Seq[String]): Seq[String] = {
       import org.apache.spark.sql.types.{DateType, IntegerType, LongType,
         StringType, TimestampType, TimestampNTZType}
+      lastMergeFallback = None
       val rangeCand = source.schema(keyCol).dataType match {
         case LongType | IntegerType =>
           val r = source.agg(min(col(keyCol)).cast("long"),
@@ -1630,7 +1678,17 @@ object SnapshotLog {
           val r = source.agg(min(col(keyCol)), max(col(keyCol))).head()
           if (r.isNullAt(0)) Seq.empty
           else pruneFilesStr(vPrev, keyCol, r.getString(0), r.getString(1))
-        case _ => live // exotic key types: conservative full-candidate scan
+        case other => // exotic key types (float/binary/nested): the
+          // conservative full-candidate scan is still CORRECT, but it
+          // silently costs O(live files) per merge — surface it, so a
+          // mis-typed key is an observable event instead of a
+          // mysterious slowdown (these are all bad merge keys anyway)
+          lastMergeFallback = Some(other.simpleString)
+          org.apache.logging.log4j.LogManager.getLogger(getClass).warn(
+            s"merge key '$keyCol' has unprunable type " +
+              s"${other.simpleString}: falling back to a full " +
+              s"${live.size}-file candidate scan")
+          live
       }
       // bloom pass on top of the range pass: membership beats range
       // exactly when the source's keys are sparse in the range — cap
@@ -2098,6 +2156,56 @@ object SnapshotLog {
       buildBlooms(v, added)
       v
     }
+
+    /** Partition-scoped compaction: bin-pack ONE partition value's
+      * live files into `filesPerPartition` larger ones; every other
+      * partition carries by log reference, unread and unmoved. The
+      * unit of the [[autoCompactAt]] policy, and the right manual
+      * shape too — a hot partition's small-file problem should cost
+      * that partition's bytes, not the table's. Same invariants as
+      * [[commitCompact]]: pure reorganization (AS-OF row identity,
+      * net-zero change feed), victims read through their DVs (the
+      * rewrite retires their bindings, so it must apply them).
+      * Already-compact partitions publish the honest no-op commit. */
+    def commitCompactPartition(partCol: String, value: String,
+        filesPerPartition: Int = 1, expectedVersion: Int = -1): Int = {
+      val v = casCheck(expectedVersion)
+      val prefix = s"$partCol=$value/"
+      val victims = liveFiles(v - 1).filter(_.startsWith(prefix))
+      if (victims.size <= filesPerPartition) {
+        publishSegment(v, Seq.empty); return v
+      }
+      val tmp = new Path(s"$root/_tmp_v$v-${
+        java.util.UUID.randomUUID.toString.take(8)}")
+      writeTmp(readFilesMorAt(v - 1, victims)
+        .withColumn("__bin", pmod(monotonically_increasing_id(),
+          lit(filesPerPartition.toLong)).cast("int"))
+        .repartition(col(partCol), col("__bin"))
+        .drop("__bin"), partCol, tmp)
+      val added = adopt(tmp, v)
+      fs.delete(tmp, true)
+      publishOrCleanup(v, victims.map(Entry(v, "remove", _)) ++
+        added.map(Entry(v, "add", _)) ++ statsEntries(v, added), added)
+      buildBlooms(v, added)
+      v
+    }
+
+    /** The [[autoCompactAt]] trigger, run after each append-shaped
+      * commit: any partition of THIS commit's layout holding >= the
+      * threshold compacts to one file. Failures (including lost CAS
+      * races against a concurrent writer) never fail the triggering
+      * commit — the policy is best-effort per commit, convergent
+      * across commits. Compaction commits do not re-trigger. */
+    private def maybeAutoCompact(partCol: String): Unit =
+      if (autoCompactAt > 0) try {
+        liveFiles(version).groupBy(_.split('/').head)
+          .foreach { case (dir, fs) =>
+            if (fs.size >= autoCompactAt &&
+                dir.startsWith(s"$partCol="))
+              commitCompactPartition(partCol,
+                dir.substring(partCol.length + 1))
+          }
+      } catch { case scala.util.control.NonFatal(_) => () }
 
     /** CLUSTERED compaction: rewrite the live files RANGE-PARTITIONED
       * by `clusterCol`, so each new file covers one narrow,

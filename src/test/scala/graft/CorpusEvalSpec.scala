@@ -96,4 +96,21 @@ class CorpusEvalSpec extends SparkSpec {
     assert(row.getLong(2) == counts.size.toLong)
     assert(row.getLong(3) == counts.count(_._2 == 1).toLong)
   }
+
+  test("eval panels are capped: a corpus-fraction panel fails loudly") {
+    import spark.implicits._
+    val panel = (1 to 10).map(i => (i.toLong, s"q$i")).toDF("qid", "q")
+    // within the cap: pass-through, rows unchanged
+    assert(graft.operators.CorpusEval.boundedPanel(panel, cap = 10)
+      .count() == 10)
+    // past the cap: the broadcast-panel contract fails at plan time,
+    // naming the fix, instead of melting at 100 TB
+    val e = intercept[IllegalArgumentException](
+      graft.operators.CorpusEval.boundedPanel(panel, cap = 9))
+    assert(e.getMessage.contains("fixed-size"), e.getMessage)
+    // the shipped query's fixture panel is inside the shipped cap
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    assert(emb.filter(col("vec_id") % 29 === 0).count() <=
+      graft.operators.CorpusEval.MaxPanelRows)
+  }
 }

@@ -670,6 +670,68 @@ class FileIndexSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("auto-compaction bounds per-partition files, keeps every read exact") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_autoc_spec_").toString
+    val t = new SnapshotLog.Table(spark, root, autoCompactAt = 4)
+    def dirCounts(v: Int): Map[String, Int] =
+      t.liveFiles(v).groupBy(_.split('/').head).map { case (d, fs) =>
+        d -> fs.size }
+    var mid = (0, Set.empty[Long]) // (version, rows) snapshot mid-stream
+    (1 to 12).foreach { i =>
+      t.commitAppend(Seq((i.toLong, if (i % 2 == 0) "x" else "y"))
+        .toDF("k", "part").coalesce(1), "part")
+      if (i == 5) mid = (t.version,
+        t.asOfMor(t.version).select("k").collect().map(_.getLong(0)).toSet)
+      // the policy invariant: no partition ever holds more than the
+      // threshold (the trigger fires AT the threshold and compacts
+      // down to one file before the next append lands)
+      assert(dirCounts(t.version).values.forall(_ <= 4),
+        s"partition exceeded the compaction bound: ${dirCounts(t.version)}")
+    }
+    // a MOR delete's DV must survive subsequent auto-compactions
+    // (compaction applies DVs, never resurrects)
+    t.commitDeleteKeysMor(Seq(2L).toDF("k"), "k")
+    (13 to 20).foreach { i =>
+      t.commitAppend(Seq((i.toLong, "x")).toDF("k", "part")
+        .coalesce(1), "part")
+    }
+    val fin = t.asOfMor(t.version).select("k").collect()
+      .map(_.getLong(0)).toSet
+    assert(fin == ((1L to 20L).toSet - 2L),
+      s"auto-compaction lost or resurrected rows: $fin")
+    assert(dirCounts(t.version).values.forall(_ <= 4))
+    // time-travel immutability through the auto-compactions
+    assert(t.asOfMor(mid._1).select("k").collect()
+      .map(_.getLong(0)).toSet == mid._2)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
+  test("exotic merge keys surface the full-scan fallback loudly") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_fallback_spec_").toString
+    val t = new SnapshotLog.Table(spark, root)
+    t.commitAppend((1 to 20).map(i => (i.toDouble, i.toLong, "a"))
+      .toDF("dk", "v", "part").coalesce(1), "part")
+    // DOUBLE merge key: correct, but unprunable — the marker must say so
+    t.commitMerge(Seq((5.0, 500L, "a")).toDF("dk", "v", "part"),
+      "part", "dk")
+    assert(t.lastMergeFallback.contains("double"),
+      s"fallback marker missing: ${t.lastMergeFallback}")
+    assert(t.asOf(t.version).filter(col("v") === 500L).count() == 1)
+    // LONG key: pruning ran, marker clear
+    t.commitMerge(Seq((6L, 600L, "a", 6.0)).toDF("v", "v2", "part", "dk")
+      .select(col("v"), col("part"), col("dk")), "part", "v")
+    assert(t.lastMergeFallback.isEmpty)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("scanAsOf pushes row filters into the parquet scan") {
     import graft.sources.SnapshotLog
     import spark.implicits._
@@ -684,6 +746,48 @@ class FileIndexSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(k), EqualTo(k,5)]"),
       s"row filter did not reach the parquet scan:\n$plan")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
+  test("cdf startingTimestamp resolves to the first commit at or after t") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cdfts_spec_").toString
+    val t = new SnapshotLog.Table(spark, root)
+    (1 to 3).foreach { i =>
+      t.commitAppend(Seq((i.toLong, 10L * i, "a"))
+        .toDF("user_id", "cents", "part").coalesce(1), "part")
+    }
+    // resolution helper: t(v2) names v2; between-stamp instants round
+    // UP to the next commit; past-the-end instants resolve to None
+    assert(t.versionStartingAtTimestamp(t.publishTimestamp(2))
+      .contains(2))
+    assert(t.versionStartingAtTimestamp(t.publishTimestamp(3) + 1)
+      .isEmpty)
+    def drain(since: Long): Seq[Long] = {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_cdfts_ckpt_").toString
+      val q = spark.readStream
+        .format("graft.sources.SnapshotCdfSource")
+        .option("path", root).option("partCol", "part")
+        .option("schema.ddl", "user_id LONG, cents LONG")
+        .option("startingTimestamp", since.toString)
+        .load().writeStream.format("memory")
+        .queryName("cdf_ts_probe")
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table("cdf_ts_probe")
+        .select("user_id").collect().map(_.getLong(0)).toSeq.sorted
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(ckpt))
+      got
+    }
+    // starting at v2's stamp: commits 2 and 3 flow, commit 1 is skipped
+    assert(drain(t.publishTimestamp(2)) == Seq(2L, 3L))
+    // starting past the last commit: nothing historical flows
+    assert(drain(t.publishTimestamp(3) + 1).isEmpty)
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(root))
   }
