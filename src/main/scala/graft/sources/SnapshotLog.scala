@@ -506,11 +506,23 @@ object SnapshotLog {
       * unioned by name (Catalyst pushes filters through the union into
       * each relation's listFiles). Raw-read semantics like [[asOf]]
       * (active DVs are NOT applied — [[asOfMor]] is the MOR read). */
-    def scanAsOf(v: Int): DataFrame = {
+    def scanAsOf(v: Int): DataFrame = scanRelations(v, withPos = false)
+
+    /** [[scanAsOfMor]]'s raw building block and [[scanAsOf]]'s body:
+      * one pruned relation per layout, optionally tagged with the
+      * (__f, __pos) identity the DV anti-join keys on — materialized
+      * PER RELATION before the union, as in [[readFilesWithPos]]. */
+    private def scanRelations(v: Int, withPos: Boolean): DataFrame = {
       val files = liveFiles(v)
       require(files.nonEmpty, s"version $v of $root has no live files")
       val zl = zoneMaps
       val zs = zoneMapsStr
+      // identity columns from _metadata (DETERMINISTIC, unlike
+      // input_file_name()): a projection carrying a nondeterministic
+      // expression blocks every filter from pushing below it, which
+      // would disconnect the pruned scan from the very predicates the
+      // FileIndex prunes on
+      val seg = split(col("_metadata.file_path"), "/")
       files.groupBy(layoutKey).toSeq.sortBy(_._1)
         .map { case (lk, rels) =>
           val partCols = if (lk.isEmpty) Array.empty[String]
@@ -527,10 +539,31 @@ object SnapshotLog {
           val index = new org.apache.spark.sql.graft.SnapshotFileIndex(
             spark, dataDir, rels, partSchema, zl, zs,
             bloomCols.toSet, bloomSurvivorsAny, recordScanPrune)
-          org.apache.spark.sql.graft.SparkInternals
+          val rel = org.apache.spark.sql.graft.SparkInternals
             .parquetRelation(spark, index, partSchema, dataSchema)
+          if (!withPos) rel
+          else rel
+            .withColumn("__f",
+              concat_ws("/", element_at(seg, -2), element_at(seg, -1)))
+            .withColumn("__pos", col("_metadata.row_index"))
         }
         .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    }
+
+    /** Merge-on-read twin of [[scanAsOf]]: the pruned scan with the
+      * version's active deletion vectors applied, so a table carrying
+      * live DVs gets ambient file skipping WITHOUT resurrecting
+      * MOR-deleted rows ([[scanAsOf]], like [[asOf]], reads raw).
+      * With no active DVs this IS [[scanAsOf]] — zero overhead. The
+      * anti-join's (__f, __pos) key rides `_metadata.row_index` from
+      * the pruned relation itself, so file pruning still happens at
+      * plan time; the DV relation is delta-scale and broadcasts. */
+    def scanAsOfMor(v: Int): DataFrame = dvRelation(v) match {
+      case None => scanAsOf(v)
+      case Some(dv) =>
+        scanRelations(v, withPos = true)
+          .join(dv, Seq("__f", "__pos"), "left_anti")
+          .drop("__f", "__pos")
     }
 
     /** A file's LAYOUT key: the sequence of partition-column names in

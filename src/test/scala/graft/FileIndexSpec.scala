@@ -732,6 +732,36 @@ class FileIndexSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("scanAsOfMor: pruned reads apply DVs instead of resurrecting") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_scanmor_spec_").toString
+    val t = new SnapshotLog.Table(spark, root, bloomCols = Seq("k"))
+    (0 until 3).foreach { b =>
+      t.commitAppend((0L until 90L).filter(_ % 3 == b)
+        .map(k => (k, b.toLong, "x")).toDF("k", "band", "part")
+        .coalesce(1), "part")
+    }
+    t.commitDeleteKeysMor(Seq(42L, 43L).toDF("k"), "k")
+    val v = t.version
+    // raw pruned scan (like asOf) still sees the tombstoned rows;
+    // the MOR twin must not — and must equal the unpruned MOR read
+    assert(t.scanAsOf(v).filter(col("k").isin(42L, 43L)).count() == 2)
+    assert(t.scanAsOfMor(v).filter(col("k").isin(42L, 43L)).count() == 0)
+    assert(t.scanAsOfMor(v).select("k").collect().map(_.getLong(0)).toSet
+      == t.asOfMor(v).select("k").collect().map(_.getLong(0)).toSet)
+    // and the pruning is still ambient through the anti-join
+    // (band 1 holds keys k % 3 == 1 — 30 keys, minus tombstoned 43)
+    val probe = t.scanAsOfMor(v).filter(col("band") === 1L)
+    t.resetScanPrune()
+    assert(probe.count() == 29)
+    val Some((s, l)) = t.lastScanPrune
+    assert(s < l, s"MOR pruned scan did not prune: $s/$l")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("scanAsOf pushes row filters into the parquet scan") {
     import graft.sources.SnapshotLog
     import spark.implicits._
