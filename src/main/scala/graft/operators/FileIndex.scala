@@ -180,6 +180,41 @@ object FileIndex {
     t
   }
 
+  /** Build-once versioned table for the Z-order query: four KEY-HASH
+    * batches scatter BOTH `price_cents` and `o_date_days` across every
+    * file (1-D stats prune nothing on either), then one
+    * [[SnapshotLog.Table.commitClusterZ]] interleaves the two into a
+    * z-value layout — after which each file covers ≈ a rectangle in
+    * (price, day)-space and the ordinary zone maps prune on each
+    * dimension. */
+  private[graft] def zStagedTable(
+      spark: SparkSession, dir: String): SnapshotLog.Table = {
+    val factPath = java.nio.file.Paths.get(s"$dir/orders.parquet")
+      .toAbsolutePath.toString
+    val root = graft.util.Staging.dir("graft_snapz_", s"$factPath|z_v2")
+    val t = new SnapshotLog.Table(spark, root)
+    val marker = new Path(s"$root/_BUILT")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      fs.delete(new Path(s"$root/data"), true)
+      fs.delete(new Path(s"$root/log"), true)
+      val orders = spark.read.parquet(factPath).select(
+        col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+        expr("CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT)")
+          .as("o_date_days"),
+        col("o_orderstatus"))
+      (0L to 3L).foreach { h =>
+        t.commitAppend(orders.filter(col("o_orderkey") % 4 === h),
+          "o_orderstatus")
+      }
+      t.commitClusterZ("o_orderstatus", "price_cents", "o_date_days",
+        filesPerRange = 16)
+      fs.create(marker, true).close()
+    }
+    t
+  }
+
   /** Build-once versioned table for the replace-where query: the
     * [[drStagedTable]] layout (four epoch-day-banded appends), then
     * ONE [[SnapshotLog.Table.commitReplaceWhere]] swapping the
@@ -698,6 +733,67 @@ object FileIndex {
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(ckpt))
       out
+    },
+
+    // ---- Z-ORDER clustering (round 11): q_snapshot_cluster's 1-D
+    //      range layout makes ONE column prune and leaves every other
+    //      scattered; interleaving two columns' bucket bits into a
+    //      z-value gives each file ≈ a RECTANGLE of (price, day)-space,
+    //      so the same per-file zone maps prune on BOTH — the
+    //      OPTIMIZE ZORDER move, and the layout for the commonest
+    //      analytical shape there is (time range × value band). The
+    //      fixture scatters both columns across every file by key
+    //      hash (in-query requires prove the PRE-cluster stats prune
+    //      NOTHING on either dimension, post-cluster both prune), and
+    //      the rectangle aggregate reads through the AMBIENT pruned
+    //      scan — plain filters, no helpers. Oracle = full-scan
+    //      recompute; reorganization correctness (no row lost or
+    //      doubled by the rewrite) is exactly what the hash checks.
+    QueryDef.checked(
+      "q_snapshot_zorder",
+      s"""SELECT o_orderstatus, count(*) AS n_rows,
+         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |    AS sum_cents,
+         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         |FROM orders
+         |WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+         |        BETWEEN 10000000 AND 20000000
+         |  AND datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+         |        BETWEEN ${Wave8.days("1996-01-01")}
+         |            AND ${Wave8.days("1997-12-31")}
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      val t = zStagedTable(spark, dir)
+      val v = t.version
+      val live = t.liveFiles(v).size
+      val (loP, hiP) = (10000000L, 20000000L)
+      val (loD, hiD) = (Wave8.days("1996-01-01"), Wave8.days("1997-12-31"))
+      // the layout claim, both halves: pre-cluster (v4) stats keep
+      // everything on each dimension; post-z-order each prunes alone
+      val pre = v - 1
+      require(t.pruneFiles(pre, "price_cents", loP, hiP).size ==
+        t.liveFiles(pre).size, "fixture must scatter price pre-cluster")
+      require(t.pruneFiles(pre, "o_date_days", loD, hiD).size ==
+        t.liveFiles(pre).size, "fixture must scatter days pre-cluster")
+      require(t.pruneFiles(v, "price_cents", loP, hiP).size < live,
+        "z-order must make the price dimension prune")
+      require(t.pruneFiles(v, "o_date_days", loD, hiD).size < live,
+        "z-order must make the day dimension prune")
+      val rect = t.scanAsOf(v)
+        .filter(col("price_cents").between(loP, hiP) &&
+          col("o_date_days").between(loD, hiD))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price_cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
+      t.resetScanPrune()
+      rect.queryExecution.executedPlan.executeCollect()
+      val Some((scanned, _)) = t.lastScanPrune
+      require(scanned < live,
+        s"ambient rectangle prune failed: $scanned of $live")
+      rect
     }
   )
 }

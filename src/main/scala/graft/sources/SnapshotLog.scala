@@ -2253,6 +2253,73 @@ object SnapshotLog {
       * the change feed nets to zero, history stays readable. One
       * shuffle (range exchange with sampled bounds) sized by
       * `filesPerRange` output tasks. */
+    /** Z-ORDER clustered compaction over TWO integer-domain columns —
+      * the multi-dimensional layout move ([[commitCluster]] is 1-D:
+      * range-clustering by price makes price prune and leaves date
+      * scattered; interleaving the two makes BOTH prune, which is what
+      * OPTIMIZE ZORDER is for). Each column is bucketized linearly to
+      * 16 bits against its live [min, max] (driver-side step from one
+      * agg over the rewrite input, which the rewrite reads anyway; no
+      * global window, no rank pass), the buckets' bits interleave into
+      * one z-value (the standard shift-spread — five codegen'd bitwise
+      * ops per column), and the rewrite range-partitions by z. A file
+      * then covers one contiguous z interval ≈ a RECTANGLE in
+      * (a, b)-space, so the ordinary per-file zone maps recorded at
+      * adopt time bound both coordinates at once — rectangle queries
+      * (the time-range × value-band shape) prune on each dimension
+      * with no new index structure. Pure reorganization: AS-OF row
+      * identity, net-zero change feed, DVs applied, history readable —
+      * the [[commitCompact]] invariants. */
+    def commitClusterZ(partCol: String, colA: String, colB: String,
+        filesPerRange: Int, expectedVersion: Int = -1): Int = {
+      val v = casCheck(expectedVersion)
+      val victims = liveFiles(v - 1)
+      if (victims.isEmpty) { publishSegment(v, Seq.empty); return v }
+      val src = readFilesMorAt(v - 1, victims)
+      val r = src.agg(
+        min(col(colA).cast("long")), max(col(colA).cast("long")),
+        min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
+      // bucketization must SCALE EVERY DOMAIN TO THE FULL 16 BITS, not
+      // merely divide wide ones down: a narrow domain (epoch days span
+      // ~2.4k values) left with its natural magnitude has constant-0
+      // high bits, the interleave's leading bits then carry only the
+      // OTHER column, and range-partitioning by z degenerates to 1-D
+      // clustering on that column (found by the sf0.01 q_snapshot_zorder
+      // prune require). Multiply-first for domains under 2^46 (exact,
+      // no overflow), divide-first above (the multiply would wrap).
+      // Integral `div` throughout — `/` on longs relands as DOUBLE.
+      def bucket(c: String, lo: Long, hi: Long): Column = {
+        val width = hi - lo
+        val off = col(c).cast("long") - lit(lo)
+        least(lit(65535L),
+          if (width < (1L << 46))
+            call_function("div", off * lit(65536L), lit(width + 1L))
+          else
+            call_function("div", off, lit(width / 65536L + 1L)))
+      }
+      def spread(c: Column): Column = {
+        val s1 = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
+        val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+        val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+        s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+      }
+      val z =
+        if (r.isNullAt(0) || r.isNullAt(2)) lit(0L) // all-null dims
+        else shiftleft(spread(bucket(colA, r.getLong(0), r.getLong(1))), 1)
+          .bitwiseOR(spread(bucket(colB, r.getLong(2), r.getLong(3))))
+      val tmp = new Path(s"$root/_tmp_v$v-${
+        java.util.UUID.randomUUID.toString.take(8)}")
+      writeTmp(src.withColumn("__z", z)
+        .repartitionByRange(filesPerRange, col("__z"))
+        .drop("__z"), partCol, tmp)
+      val added = adopt(tmp, v)
+      fs.delete(tmp, true)
+      publishOrCleanup(v, victims.map(Entry(v, "remove", _)) ++
+        added.map(Entry(v, "add", _)) ++ statsEntries(v, added), added)
+      buildBlooms(v, added)
+      v
+    }
+
     def commitCluster(partCol: String, clusterCol: String,
         filesPerRange: Int, expectedVersion: Int = -1): Int = {
       val v = casCheck(expectedVersion)

@@ -762,6 +762,50 @@ class FileIndexSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("z-order clustering makes BOTH dimensions prune, rows identical") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_zorder_spec_").toString
+    val t = new SnapshotLog.Table(spark, root)
+    // a 64x64 grid scattered across 4 hash batches: before z-order
+    // every file spans both full domains, after it each file covers a
+    // contiguous z interval ≈ a rectangle
+    val grid = for { a <- 0L until 64L; b <- 0L until 64L }
+      yield (a * 64 + b, a, b, "x")
+    (0 to 3).foreach { h =>
+      t.commitAppend(grid.filter(_._1 % 4 == h)
+        .toDF("id", "a", "b", "part").coalesce(1), "part")
+    }
+    val pre = t.version
+    // pre-cluster: stats exist but prune NOTHING on either dimension
+    assert(t.pruneFiles(pre, "a", 10L, 15L).size == t.liveFiles(pre).size)
+    assert(t.pruneFiles(pre, "b", 10L, 15L).size == t.liveFiles(pre).size)
+    t.commitClusterZ("part", "a", "b", filesPerRange = 16)
+    val v = t.version
+    val live = t.liveFiles(v).size
+    // post-cluster: a narrow band on EITHER dimension prunes files
+    val pa = t.pruneFiles(v, "a", 10L, 15L).size
+    val pb = t.pruneFiles(v, "b", 10L, 15L).size
+    assert(pa < live, s"z-order did not make dim a prune: $pa/$live")
+    assert(pb < live, s"z-order did not make dim b prune: $pb/$live")
+    // ... and the ambient path composes: a rectangle query through
+    // scanAsOf opens fewer files than live
+    val rect = t.scanAsOf(v).filter(
+      col("a").between(10L, 15L) && col("b").between(10L, 15L))
+    t.resetScanPrune()
+    assert(rect.count() == 36)
+    val Some((s, _)) = t.lastScanPrune
+    assert(s < live, s"rectangle scan did not prune: $s/$live")
+    // pure reorganization: row identity at the new version AND the old
+    assert(t.asOf(v).select("id").collect().map(_.getLong(0)).toSet ==
+      grid.map(_._1).toSet)
+    assert(t.asOf(pre).select("id").collect().map(_.getLong(0)).toSet ==
+      grid.map(_._1).toSet)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("scanAsOf pushes row filters into the parquet scan") {
     import graft.sources.SnapshotLog
     import spark.implicits._
