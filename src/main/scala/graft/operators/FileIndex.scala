@@ -215,6 +215,34 @@ object FileIndex {
     t
   }
 
+  /** Build-once CLONE fixture: zero-copy clone of [[idxStagedTable]]
+    * at its final version (hard links, stats carried verbatim), then
+    * the clone DIVERGES — a range delete of the mid-1997 band lands on
+    * the clone only. The source's integrity is the query's in-query
+    * require; the clone's content is the oracle's. */
+  private[graft] def cloneStagedTable(
+      spark: SparkSession, dir: String): SnapshotLog.Table = {
+    val factPath = java.nio.file.Paths.get(s"$dir/orders.parquet")
+      .toAbsolutePath.toString
+    val root = graft.util.Staging.dir("graft_snapcn_", s"$factPath|cn_v1")
+    val t = new SnapshotLog.Table(spark, root,
+      bloomCols = Seq("o_orderkey"))
+    val marker = new Path(s"$root/_BUILT")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      Seq("data", "log", "index", "dv").foreach(d =>
+        fs.delete(new Path(s"$root/$d"), true))
+      val src = idxStagedTable(spark, dir)
+      t.commitCloneFrom(src, src.version)
+      // divergence on the CLONE only: drop one status partition —
+      // metadata-only (log `remove` entries over linked files; the
+      // source's directory entries and its reads are untouched)
+      t.commitDeletePartition("o_orderstatus", "F")
+      fs.create(marker, true).close()
+    }
+    t
+  }
+
   /** Build-once versioned table for the replace-where query: the
     * [[drStagedTable]] layout (four epoch-day-banded appends), then
     * ONE [[SnapshotLog.Table.commitReplaceWhere]] swapping the
@@ -794,6 +822,47 @@ object FileIndex {
       require(scanned < live,
         s"ambient rectangle prune failed: $scanned of $live")
       rect
+    },
+
+    // ---- zero-copy snapshot CLONE (round 11): the engine-native form
+    //      of the reference's core operation — clone_databases.sh:
+    //      220-253 clones a database by dumping and re-loading every
+    //      row; here the clone is one hard link per live file plus a
+    //      manifest commit (zero data bytes moved at ANY table size),
+    //      with zone-map stats carried verbatim and DV bindings
+    //      re-emitted. The fixture diverges the clone (one status
+    //      partition dropped, metadata-only) and the query proves the
+    //      isolation BOTH ways: the oracle hashes the clone's
+    //      diverged content, the in-query require pins the SOURCE's
+    //      row count unchanged — a clone that shared manifest state,
+    //      or a divergence that leaked through the shared inodes,
+    //      fails one side or the other.
+    QueryDef.checked(
+      "q_snapshot_clone",
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_orderstatus <> 'F'
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      val clone = cloneStagedTable(spark, dir)
+      val src = idxStagedTable(spark, dir)
+      // divergence isolation: the clone's partition drop must be
+      // invisible to the source (hard links, independent manifests)
+      val raw = spark.read.parquet(s"$dir/orders.parquet").count()
+      require(src.asOf(src.version).count() == raw,
+        "the clone's divergence leaked into the source table")
+      require(clone.version == 2,
+        s"clone + divergence must be exactly 2 commits (${clone.version})")
+      clone.asOf(clone.version)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price_cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
     }
   )
 }

@@ -2190,6 +2190,69 @@ object SnapshotLog {
       v
     }
 
+    /** Zero-copy snapshot CLONE: populate THIS (empty) table with the
+      * live state of `src` at `srcVersion` without moving a data byte
+      * — the engine-native generalization of the reference's
+      * clone_database (clone_databases.sh:220-253 dumps and re-loads
+      * every row; here the "dump" is a manifest fold and the "load" is
+      * one hard link per live file). Each data file, its active DV
+      * sidecar, and its bloom sidecars are bound into the clone's tree
+      * via `link(2)` (falling back to a byte copy off local
+      * filesystems), the source's recorded zone-map stats are carried
+      * VERBATIM (no footer re-read — the clone commit is metadata
+      * I/O + one syscall per file), and the DV bindings active at the
+      * target version are re-emitted so row-level deletes clone
+      * exactly like file-level state. Hard links make the lifecycles
+      * INDEPENDENT: either table's vacuum deletes only its own
+      * directory entry; the inode lives until the last name goes — the
+      * property that makes dev/test clones of a production table safe,
+      * which path-reference shallow clones (Delta SHALLOW CLONE) only
+      * get by fencing vacuum. The clone starts its own history at
+      * version 1; subsequent commits on either side never interact. */
+    def commitCloneFrom(src: Table, srcVersion: Int): Int = {
+      require(version == 0, s"clone target $root must be empty")
+      val files = src.liveFiles(srcVersion)
+      require(files.nonEmpty,
+        s"version $srcVersion of ${src.root} has no live files")
+      def bind(from: String, to: String): Unit = {
+        val dst = new Path(to)
+        fs.mkdirs(dst.getParent)
+        val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+        if (scheme == "file")
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(Path.getPathWithoutSchemeAndAuthority(
+              fs.makeQualified(dst)).toString),
+            java.nio.file.Paths.get(Path.getPathWithoutSchemeAndAuthority(
+              fs.makeQualified(new Path(from))).toString))
+        else org.apache.hadoop.fs.FileUtil.copy(fs, new Path(from),
+          fs, dst, false, hadoopConf)
+      }
+      files.foreach { rel =>
+        bind(s"${src.root}/data/$rel", s"$dataDir/$rel")
+        src.bloomCols.foreach { c =>
+          val bp = new Path(s"${src.root}/index/$rel.$c.bloom")
+          if (src.fs.exists(bp))
+            bind(bp.toString, s"$root/index/$rel.$c.bloom")
+        }
+      }
+      val dvs = src.dvFor(srcVersion)
+      dvs.foreach { case (rel, id) =>
+        bind(s"${src.root}/dv/$rel.$id.dv", s"$root/dv/$rel.$id.dv")
+      }
+      // stats carried verbatim from the source manifest — the clone
+      // never opens a parquet footer
+      val fileSet = files.toSet
+      val stats = src.entries.filter(e =>
+        (e.action == "stats" || e.action == "stats_s") &&
+          fileSet.contains(e.path.split('|')(0)))
+        .map(e => Entry(1, e.action, e.path))
+      publishSegment(1,
+        files.sorted.map(Entry(1, "add", _)) ++ stats ++
+          dvs.toSeq.sortBy(_._1).map { case (rel, id) =>
+            Entry(1, "dv", s"$rel|$id") })
+      1
+    }
+
     /** Partition-scoped compaction: bin-pack ONE partition value's
       * live files into `filesPerPartition` larger ones; every other
       * partition carries by log reference, unread and unmoved. The

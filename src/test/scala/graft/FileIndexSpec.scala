@@ -806,6 +806,44 @@ class FileIndexSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("zero-copy clone: content exact, lifecycles independent") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_clone_spec_")
+    val src = new SnapshotLog.Table(spark, s"$base/src",
+      bloomCols = Seq("k"))
+    (0 to 2).foreach { b =>
+      src.commitAppend((0L until 30L).map(i => (b * 100L + i, "x"))
+        .toDF("k", "part").coalesce(1), "part")
+    }
+    src.commitDeleteKeysMor(Seq(5L, 105L).toDF("k"), "k") // live DVs
+    val dst = new SnapshotLog.Table(spark, s"$base/dst",
+      bloomCols = Seq("k"))
+    dst.commitCloneFrom(src, src.version)
+    def keys(t: SnapshotLog.Table): Set[Long] =
+      t.asOfMor(t.version).select("k").collect().map(_.getLong(0)).toSet
+    val want = ((0L until 30L) ++ (100L until 130L) ++
+      (200L until 230L)).toSet -- Set(5L, 105L)
+    // content: data files, zone-map stats, and DV bindings all carried
+    assert(keys(dst) == want)
+    assert(dst.zoneMaps.nonEmpty, "stats must carry verbatim")
+    assert(dst.pruneFiles(1, "k", 200L, 210L).size <
+      dst.liveFiles(1).size, "carried stats must prune on the clone")
+    // divergence: each side's commits are invisible to the other
+    dst.commitAppend(Seq((999L, "x")).toDF("k", "part"), "part")
+    src.commitDeleteKeysMor(Seq(7L).toDF("k"), "k")
+    assert(keys(dst) == want + 999L)
+    assert(keys(src) == want - 7L)
+    // lifecycle independence: source rewrites + vacuums ALL its
+    // original bytes; the clone (hard links) still reads every row
+    src.commitCompact("part")
+    src.vacuum(0)
+    assert(keys(dst) == want + 999L,
+      "source vacuum must not reach through the clone's hard links")
+    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
   test("scanAsOf pushes row filters into the parquet scan") {
     import graft.sources.SnapshotLog
     import spark.implicits._
