@@ -55,6 +55,57 @@ class CommitRaceSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("racing appenders with auto-compaction: rows exact, bound converges") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_raceac_").toString
+    // the hostile combination: every append may trigger a partition
+    // compaction (its own CAS commit), every 2 commits a checkpoint +
+    // vacuum reclaims segments — so compact-vs-append collisions, the
+    // post-bind reclaim guard, and the covered-commit recognition all
+    // fire under real scheduling. Correctness bar: every appended row
+    // exactly once, nothing orphaned, and the file bound converges.
+    val nThreads = 4
+    val perThread = 4
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until nThreads).map { tid =>
+      new Thread(() => try {
+        val t = new SnapshotLog.Table(spark, root,
+          autoCheckpointEvery = 2, autoCompactAt = 3)
+        (0 until perThread).foreach { b =>
+          val keyBase = (tid * perThread + b) * 1000L
+          t.withRetry(maxAttempts = 50) { expected =>
+            t.commitAppend(
+              (keyBase until keyBase + 5L).map(k => (k, "x"))
+                .toDF("k", "part").coalesce(1),
+              "part", expectedVersion = expected)
+          }
+        }
+      } catch { case e: Throwable => errors.add(e) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    import scala.jdk.CollectionConverters._
+    assert(errors.isEmpty, s"writer thread died: ${errors.asScala.headOption}")
+    val t = new SnapshotLog.Table(spark, root,
+      autoCheckpointEvery = 2, autoCompactAt = 3)
+    val rows = t.asOf(t.version).select("k").collect().map(_.getLong(0))
+    assert(rows.length == nThreads * perThread * 5,
+      s"row count drifted under compaction races: ${rows.length}")
+    assert(rows.distinct.length == rows.length, "duplicated rows")
+    assert(t.orphanFiles().isEmpty, "lost-race files must be reclaimed")
+    // quiescent convergence: racing compactions may all have lost
+    // their CAS, but one more append re-triggers the policy
+    t.commitAppend(Seq((999999L, "x")).toDF("k", "part").coalesce(1),
+      "part")
+    val counts = t.liveFiles(t.version).groupBy(_.split('/').head)
+      .map(_._2.size)
+    assert(counts.forall(_ <= 3),
+      s"auto-compaction did not converge: $counts files in a partition")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("reader folds stay consistent under concurrent checkpoint+vacuum") {
     import spark.implicits._
     val root = java.nio.file.Files
