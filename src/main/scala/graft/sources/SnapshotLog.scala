@@ -2246,10 +2246,24 @@ object SnapshotLog {
         (e.action == "stats" || e.action == "stats_s") &&
           fileSet.contains(e.path.split('|')(0)))
         .map(e => Entry(1, e.action, e.path))
-      publishSegment(1,
+      // a lost publish race (two cloners, or a concurrent writer that
+      // beat this clone to version 1) must unlink what this writer
+      // bound — links are cheap to re-create and the winner's state
+      // must not inherit a loser's unreferenced names
+      try publishSegment(1,
         files.sorted.map(Entry(1, "add", _)) ++ stats ++
           dvs.toSeq.sortBy(_._1).map { case (rel, id) =>
             Entry(1, "dv", s"$rel|$id") })
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          files.foreach { rel =>
+            fs.delete(new Path(s"$dataDir/$rel"), false)
+            dropSidecars(rel)
+          }
+          dvs.foreach { case (rel, id) =>
+            fs.delete(dvPath(rel, id), false) }
+          throw e
+      }
       1
     }
 
