@@ -517,6 +517,7 @@ object SnapshotLog {
       require(files.nonEmpty, s"version $v of $root has no live files")
       val zl = zoneMaps
       val zs = zoneMapsStr
+      val sizes = fileSizes
       // identity columns from _metadata (DETERMINISTIC, unlike
       // input_file_name()): a projection carrying a nondeterministic
       // expression blocks every filter from pushing below it, which
@@ -537,7 +538,7 @@ object SnapshotLog {
           val dataSchema = spark.read
             .parquet(s"$dataDir/${rels.head}").schema
           val index = new org.apache.spark.sql.graft.SnapshotFileIndex(
-            spark, dataDir, rels, partSchema, zl, zs,
+            spark, dataDir, rels, partSchema, zl, zs, sizes,
             bloomCols.toSet, bloomSurvivorsAny, recordScanPrune)
           val rel = org.apache.spark.sql.graft.SparkInternals
             .parquetRelation(spark, index, partSchema, dataSchema)
@@ -1010,16 +1011,34 @@ object SnapshotLog {
         if (hits != null) hits.foreach(s => fs.delete(s.getPath, false))
       }
 
-    /** Zone-map `stats`/`stats_s` entries for freshly adopted files. */
+    /** Zone-map `stats`/`stats_s` entries for freshly adopted files,
+      * plus an `fsize` entry per file: recording the byte length in
+      * the manifest at commit time (one status call per NEW file,
+      * delta-scale) is what lets read PLANNING build its FileStatus
+      * set from the log fold alone — at 100 TB, one RPC per live file
+      * per query is the planning cost production formats eliminated
+      * by putting sizes in the manifest (Delta's add.size, Iceberg's
+      * file_size_in_bytes). */
     private def statsEntries(v: Int, added: Seq[String]): Seq[Entry] =
       added.flatMap { rel =>
-        val (longs, strs) = footerStats(new Path(s"$dataDir/$rel"))
-        longs.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
-          Entry(v, "stats", s"$rel|$c|$lo|$hi")
-        } ++ strs.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
-          Entry(v, "stats_s", s"$rel|$c|${hex(lo)}|${hex(hi)}")
-        }
+        val p = new Path(s"$dataDir/$rel")
+        val (longs, strs) = footerStats(p)
+        Entry(v, "fsize", s"$rel|${fs.getFileStatus(p).getLen}") +:
+          (longs.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+            Entry(v, "stats", s"$rel|$c|$lo|$hi")
+          } ++ strs.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+            Entry(v, "stats_s", s"$rel|$c|${hex(lo)}|${hex(hi)}")
+          })
       }
+
+    /** Manifest-recorded byte lengths (`fsize` entries), keyed by
+      * relative path. Files from commits predating the entry type
+      * simply miss here — readers fall back to a status call. */
+    def fileSizes: Map[String, Long] =
+      entries.filter(_.action == "fsize").map { e =>
+        val Array(rel, len) = e.path.split('|')
+        rel -> len.toLong
+      }.toMap
 
     private def hex(s: String): String =
       s.getBytes("UTF-8").map(b => f"$b%02x").mkString
@@ -2243,7 +2262,8 @@ object SnapshotLog {
       // never opens a parquet footer
       val fileSet = files.toSet
       val stats = src.entries.filter(e =>
-        (e.action == "stats" || e.action == "stats_s") &&
+        (e.action == "stats" || e.action == "stats_s" ||
+          e.action == "fsize") &&
           fileSet.contains(e.path.split('|')(0)))
         .map(e => Entry(1, e.action, e.path))
       // a lost publish race (two cloners, or a concurrent writer that

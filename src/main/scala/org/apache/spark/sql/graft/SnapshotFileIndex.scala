@@ -50,6 +50,7 @@ final class SnapshotFileIndex(
     override val partitionSchema: StructType,
     zoneL: Map[String, Map[String, (Long, Long)]],
     zoneS: Map[String, Map[String, (String, String)]],
+    sizes: Map[String, Long],
     bloomCols: Set[String],
     bloomProbe: (Seq[String], String, Seq[Any]) => Seq[String],
     recordPrune: (Int, Int) => Unit) extends FileIndex {
@@ -63,12 +64,23 @@ final class SnapshotFileIndex(
   private def fs = new Path(dataDir)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Driver-side status cache: one RPC per file, once per index.
-    * (At 100 TB the manifest would record lengths at commit time and
-    * this map would come from the log fold — the sidecar layout
-    * already keeps everything else metadata-resident.) */
+  /** Planning statuses from the MANIFEST: commits record each file's
+    * byte length (`fsize` log entries), so the FileStatus set Spark's
+    * split planning needs is pure log-fold arithmetic — zero
+    * per-query filesystem calls for any file a current commit wrote
+    * (Delta's add.size / Iceberg's file_size_in_bytes move). Files
+    * predating the entry type fall back to one status call each.
+    * Fabricated statuses carry modtime 0 — batch parquet planning
+    * uses only path + length (locality/streaming would need more). */
   private lazy val statusFor: Map[String, FileStatus] =
-    files.map(r => r -> fs.getFileStatus(new Path(s"$dataDir/$r"))).toMap
+    files.map { r =>
+      val p = new Path(s"$dataDir/$r")
+      r -> (sizes.get(r) match {
+        case Some(len) =>
+          new FileStatus(len, false, 1, 134217728L, 0L, fs.makeQualified(p))
+        case None => fs.getFileStatus(p)
+      })
+    }.toMap
 
   /** Each file's partition values in `partitionSchema` order, parsed
     * from its own `col=value` path segments (files are grouped by

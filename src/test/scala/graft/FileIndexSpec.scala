@@ -589,6 +589,16 @@ class FileIndexSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     val live = t.liveFiles(v).size
 
+    // 0. planning statuses come from the manifest: every live file's
+    //    recorded fsize matches its physical length (a drifted size
+    //    would mis-split or truncate the scan)
+    val sizes = t.fileSizes
+    t.liveFiles(v).foreach { rel =>
+      val phys = new java.io.File(s"$root/data/$rel").length
+      assert(sizes.get(rel).contains(phys),
+        s"manifest fsize for $rel: ${sizes.get(rel)} != $phys")
+    }
+
     // 1. unfiltered parity: same rows as asOf, nothing pruned
     t.resetScanPrune()
     assert(t.scanAsOf(v).select("k", "day", "part")
