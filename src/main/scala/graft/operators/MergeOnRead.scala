@@ -175,7 +175,111 @@ object MergeOnRead {
     dels.unionByName(upds).unionByName(ins)
   }
 
+  /** Build-once MOR-MERGE table: the [[cdcStagedTable]] layout (four
+    * key-quartile commits), then ONE
+    * [[SnapshotLog.Table.commitMergeMor]] batch scoped to the first
+    * quartile — updates (%13, cents+100) and fresh inserts (%19 →
+    * key+1e8). The merge moves O(victims + batch): matched rows are
+    * DV-tombstoned, the batch lands as adds, NO existing file is
+    * rewritten (query-asserted from the log). */
+  private[graft] def mergeMorStagedTable(
+      spark: SparkSession, dir: String): SnapshotLog.Table = {
+    val factPath = java.nio.file.Paths.get(s"$dir/orders.parquet")
+      .toAbsolutePath.toString
+    val root = graft.util.Staging.dir("graft_snapmm_", s"$factPath|mm_v1")
+    val t = new SnapshotLog.Table(spark, root)
+    val marker = new Path(s"$root/_BUILT")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      Seq("data", "log", "index", "dv").foreach(d =>
+        fs.delete(new Path(s"$root/$d"), true))
+      val orders = spark.read.parquet(factPath).select(
+        col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"),
+        col("o_orderstatus"))
+      val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+      val cuts = Seq(Long.MinValue, mx / 4 + 1, mx / 2 + 1,
+        3 * (mx / 4) + 1, Long.MaxValue)
+      cuts.sliding(2).foreach { case Seq(lo, hi) =>
+        t.commitAppend(orders.filter(
+          col("o_orderkey") >= lo && col("o_orderkey") < hi),
+          "o_orderstatus")
+      }
+      val q1 = t.asOf(t.version).filter(col("o_orderkey") <= mx / 4)
+      val upds = q1.filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey"),
+          (col("price_cents") + 100).as("price_cents"),
+          col("o_orderstatus"))
+      val ins = q1.filter(
+        col("o_orderkey") % 19 === 0 && col("o_orderkey") % 13 =!= 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          (col("price_cents") + 7).as("price_cents"),
+          col("o_orderstatus"))
+      t.commitMergeMor(upds.unionByName(ins), "o_orderstatus",
+        "o_orderkey")
+      fs.create(marker, true).close()
+    }
+    t
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ---- merge-on-read MERGE (round 11): the DV-based upsert — the
+    //      write-amplification complement of q_snapshot_merge exactly
+    //      as q_snapshot_mor_delete complements q_snapshot_delete_
+    //      range. One commit tombstones the matched rows into DV
+    //      sidecars and lands the batch as plain adds; the in-query
+    //      require reads the log and proves NO existing file was
+    //      removed or rewritten (remove entries = 0, dv entries > 0)
+    //      — at 100 TB this is a steady upsert stream costing
+    //      O(victims + batch) per commit instead of one rewrite of
+    //      every hit file. The oracle re-derives (target \ src-keys)
+    //      ⊎ src from the raw table, so a resurrection through the
+    //      raw read, a position mis-map, or a lost supersede all flip
+    //      the hash.
+    QueryDef.checked(
+      "q_snapshot_merge_mor",
+      """WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+        |base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderstatus AS status
+        |  FROM orders
+        |), upd AS (
+        |  SELECT k,
+        |    CASE WHEN k <= (SELECT mx FROM m) // 4 AND k % 13 = 0
+        |         THEN cents + 100 ELSE cents END AS cents,
+        |    status
+        |  FROM base
+        |), ins AS (
+        |  SELECT k + 100000000 AS k, cents + 7 AS cents, status
+        |  FROM base
+        |  WHERE k <= (SELECT mx FROM m) // 4
+        |    AND k % 19 = 0 AND k % 13 <> 0
+        |), final AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT status AS o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(k) AS min_key, max(k) AS max_key
+        |FROM final GROUP BY status ORDER BY status""".stripMargin) {
+      (spark, dir) =>
+      val t = mergeMorStagedTable(spark, dir)
+      val v = t.version
+      require(v == 5, s"fixture is 4 appends + 1 MOR merge, got $v")
+      val mergeSeg = t.entries.filter(_.version == v)
+      require(!mergeSeg.exists(_.action == "remove"),
+        "MOR merge must not remove (rewrite) any existing file")
+      require(mergeSeg.exists(_.action == "dv"),
+        "MOR merge must tombstone matched rows via DV sidecars")
+      require(mergeSeg.exists(_.action == "add"),
+        "MOR merge must land the batch as adds")
+      t.asOfMor(v)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price_cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
+    },
 
     // ---- merge-on-read delete: two key-set deletes committed as
     //      deletion vectors (zero data files rewritten — spec-asserted

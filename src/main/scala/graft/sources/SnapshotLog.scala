@@ -1990,10 +1990,26 @@ object SnapshotLog {
       val affected = matched.select("__f").distinct()
         .collect().map(_.getString(0)).toSeq.sorted
       if (affected.isEmpty) { publishSegment(v, Seq.empty); return v }
-      // fold in the affected files' PRIOR positions so the new sidecar
-      // supersedes (newest-wins fold reads exactly one dv per file) —
-      // one multi-path scan over all prior sidecars, not a per-file
-      // union chain
+      val dvId = buildDvSidecars(v, matched, affected)
+      publishOrCleanupDv(v,
+        affected.map(rel => Entry(v, "dv", s"$rel|$dvId")),
+        affected.map(rel => dvPath(rel, dvId)))
+      v
+    }
+
+    /** Write one superseding DV sidecar per `affected` file: `matched`
+      * (__f, __pos) unioned with each file's PRIOR positions (the
+      * newest-wins fold reads exactly one dv per file — one multi-path
+      * scan over all prior sidecars, not a per-file union chain),
+      * written EXECUTOR-SIDE (repartitioned by file) so no position
+      * rides the driver. Returns the writer-unique sidecar id: a
+      * racing committer targeting the same version writes under a
+      * DIFFERENT name, so the CAS loser's sidecar job leaves an
+      * orphan, never bytes under the winner's binding (task retries
+      * within ONE job still converge — same id, identical content,
+      * delete-then-rename). Shared by the MOR delete and MOR merge. */
+    private def buildDvSidecars(v: Int, matched: DataFrame,
+        affected: Seq[String]): String = {
       val prior = dvFor(v - 1).filter(kv => affected.contains(kv._1))
       val withPrior =
         (if (prior.isEmpty) matched
@@ -2001,11 +2017,6 @@ object SnapshotLog {
       val conf = new org.apache.spark.util.SerializableConfiguration(
         hadoopConf)
       val dvRoot = s"$root/dv"
-      // writer-unique sidecar id: a racing committer targeting the
-      // same version writes under a DIFFERENT name, so the CAS loser's
-      // sidecar job leaves an orphan, never bytes under the winner's
-      // binding (task retries within THIS job still converge — same
-      // id, identical content, delete-then-rename)
       val dvId = s"$v-${java.util.UUID.randomUUID.toString
         .replace("-", "").take(8)}"
       withPrior.repartition(col("__f")).sortWithinPartitions("__f", "__pos")
@@ -2040,9 +2051,70 @@ object SnapshotLog {
           }
           flush()
         }
-      publishOrCleanupDv(v,
-        affected.map(rel => Entry(v, "dv", s"$rel|$dvId")),
-        affected.map(rel => dvPath(rel, dvId)))
+      dvId
+    }
+
+    /** Merge-on-read MERGE (upsert): [[commitMerge]] rewrites every
+      * file containing a matched key (copy-on-write — right for bulk
+      * upserts, ~10⁸× write amplification for a trickle of targeted
+      * ones); this lands the same logical result as ONE commit that
+      * moves O(victim rows + batch) bytes: matched target rows are
+      * TOMBSTONED into deletion-vector sidecars (positions via
+      * `_metadata.row_index`, zone-map + bloom pruned candidates,
+      * prior sidecars superseded) and the source batch lands as
+      * ordinary adds — no existing data file is read for rewrite,
+      * none is removed. The dv entries and add entries ride one
+      * segment, so readers see tombstones and replacements atomically;
+      * [[commitMaterializeDv]] / compaction amortize the read-side
+      * anti-join away later, exactly as for MOR deletes. This is the
+      * DV-based MERGE of production formats — the shape that keeps a
+      * high-frequency upsert stream from rewriting the table once per
+      * batch. Assumes `keyCol` unique within `source` (as
+      * [[commitMerge]]). */
+    def commitMergeMor(source: DataFrame, partCol: String,
+        keyCol: String, expectedVersion: Int = -1): Int = {
+      val v = casCheck(expectedVersion)
+      checkConstraints(source)
+      val live = liveFiles(v - 1)
+      val candidates = mergeCandidates(v - 1, source, keyCol, live)
+      lastMergeScan = Some((candidates.size, live.size))
+      val srcKeys = source.select(col(keyCol)).distinct()
+      val matched =
+        if (candidates.isEmpty) null
+        else readFilesWithPos(candidates)
+          .select(col("__f"), col("__pos"), col(keyCol))
+          .join(broadcast(srcKeys), Seq(keyCol))
+          .select("__f", "__pos")
+      val affected =
+        if (matched == null) Seq.empty[String]
+        else matched.select("__f").distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+      // adopt the source batch first (plain adds), then the tombstones
+      val tmp = new Path(s"$root/_tmp_v$v-${
+        java.util.UUID.randomUUID.toString.take(8)}")
+      writeTmp(source, partCol, tmp)
+      val added = adopt(tmp, v)
+      fs.delete(tmp, true)
+      val dvEntries =
+        if (affected.isEmpty) Seq.empty[Entry]
+        else {
+          val dvId = buildDvSidecars(v, matched, affected)
+          affected.map(rel => Entry(v, "dv", s"$rel|$dvId"))
+        }
+      try publishOrCleanup(v,
+        added.map(Entry(v, "add", _)) ++ statsEntries(v, added) ++
+          dvEntries, added)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          // publishOrCleanup reclaimed the adds; the (writer-unique)
+          // sidecars are equally unreferenced — sweep them too
+          dvEntries.foreach { en =>
+            val Array(rel, id) = en.path.split('|')
+            fs.delete(dvPath(rel, id), false)
+          }
+          throw e
+      }
+      buildBlooms(v, added)
       v
     }
 

@@ -384,4 +384,42 @@ class MergeOnReadSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(root))
   }
+
+  test("MOR merge: zero rewrite, supersedes prior DVs, time-travels") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mmor_spec_").toString
+    val t = new SnapshotLog.Table(spark, root)
+    t.commitAppend((1L to 40L).map(k => (k, k * 10, "a"))
+      .toDF("k", "v", "part").coalesce(1), "part")    // v1
+    t.commitDeleteKeysMor(Seq(3L).toDF("k"), "k")     // v2: prior DV
+    val preLive = t.liveFiles(2).toSet
+    // v3: upsert keys 3 (resurrect with new value), 7 (update), 99 (insert)
+    t.commitMergeMor(Seq((3L, 333L, "a"), (7L, 777L, "a"),
+      (99L, 999L, "a")).toDF("k", "v", "part").coalesce(1), "part", "k")
+    val state = t.asOfMor(3).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // semantics: (target \ src-keys) ⊎ src — including the key whose
+    // only live row was already MOR-dead (pure re-insert)
+    assert(state == ((1L to 40L).filterNot(Seq(3L, 7L).contains)
+      .map(k => k -> k * 10).toMap ++ Map(3L -> 333L, 7L -> 777L,
+      99L -> 999L)), s"wrong merged state")
+    // zero rewrite: v1's file is still live, nothing was removed
+    assert(t.entries.filter(_.version == 3).forall(_.action != "remove"))
+    assert(preLive.subsetOf(t.liveFiles(3).toSet))
+    // the v3 sidecar SUPERSEDES v2's: old positions stay dead
+    assert(!t.asOfMor(3).filter(col("v") === 30L).head(1).nonEmpty)
+    // time travel: v2 still shows the pre-merge state (3 dead, 7 alive)
+    val v2 = t.asOfMor(2).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v2 == (1L to 40L).filterNot(_ == 3L)
+      .map(k => k -> k * 10).toMap)
+    // materialization converges MOR to COW with identical content
+    t.commitMaterializeDv("part")
+    assert(t.asOf(t.version).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == state)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
 }
