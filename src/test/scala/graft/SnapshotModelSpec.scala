@@ -18,6 +18,7 @@ import graft.sources.SnapshotLog
   * that no single-op spec exercised. Ops drawn: fresh-key append,
   * MOR key delete, upsert merge, tri-clause CDC apply, compaction,
   * clustered rewrite, value-range COW delete, atomic replace-where,
+  * merge-on-read upsert,
   * write-audit-publish, DV materialization, and restore to a random
   * earlier version. */
 class SnapshotModelSpec extends SparkSpec {
@@ -52,7 +53,7 @@ class SnapshotModelSpec extends SparkSpec {
     }
 
     (1 to nOps).foreach { i =>
-      val op = rnd.nextInt(14)
+      val op = rnd.nextInt(15)
       op match {
         case 0 | 1 | 2 => // fresh-key append
           val ks = (nextKey until nextKey + 5 + rnd.nextInt(20))
@@ -101,6 +102,13 @@ class SnapshotModelSpec extends SparkSpec {
           model = model.filterNot { case (_, v) => v >= lo && v <= hi }
         case 11 => // clustered rewrite (pure reorganization)
           t.commitCluster("part", "k", filesPerRange = 2)
+        case 14 => // merge-on-read upsert (DV tombstones + adds)
+          val upd = existing(rnd.nextInt(4)).map(k => k -> (k + 333))
+          val ins = (nextKey until nextKey + rnd.nextInt(3))
+            .map(k => k -> (k * 10 + seed))
+          nextKey = ins.lastOption.map(_._1 + 1).getOrElse(nextKey)
+          t.commitMergeMor(df(upd ++ ins), "part", "k")
+          model ++= upd ++ ins
         case 13 => // atomic replace-where on a value range
           val lo = rnd.nextLong(math.max(1L, nextKey * 10))
           val hi = lo + 500
