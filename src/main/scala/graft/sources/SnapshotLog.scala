@@ -2368,21 +2368,45 @@ object SnapshotLog {
       * [[commitCompact]]: pure reorganization (AS-OF row identity,
       * net-zero change feed), victims read through their DVs (the
       * rewrite retires their bindings, so it must apply them).
-      * Already-compact partitions publish the honest no-op commit. */
+      * Already-compact partitions publish the honest no-op commit.
+      * Pass `targetFileBytes` > 0 to size bins by BYTES instead of
+      * count (production OPTIMIZE's contract — ~1 GB output files
+      * regardless of how many inputs there are), computed from the
+      * manifest's recorded file lengths with zero filesystem calls. */
     def commitCompactPartition(partCol: String, value: String,
-        filesPerPartition: Int = 1, expectedVersion: Int = -1): Int = {
+        filesPerPartition: Int = 1, expectedVersion: Int = -1,
+        targetFileBytes: Long = 0): Int = {
       val v = casCheck(expectedVersion)
       val prefix = s"$partCol=$value/"
       val victims = liveFiles(v - 1).filter(_.startsWith(prefix))
-      if (victims.size <= filesPerPartition) {
+      // byte-targeted sizing (production OPTIMIZE targets ~a file
+      // SIZE, not a count): with lengths in the manifest, the bin
+      // count is pure arithmetic — ceil(partition bytes / target).
+      // Files whose size predates the fsize entry count as one
+      // target's worth (conservative: more bins, smaller files).
+      val bins =
+        if (targetFileBytes <= 0) filesPerPartition
+        else {
+          val sizes = fileSizes
+          val total = victims.map(r =>
+            sizes.getOrElse(r, targetFileBytes)).sum
+          math.max(1L, (total + targetFileBytes - 1) / targetFileBytes)
+            .min(victims.size.toLong).toInt
+        }
+      if (victims.size <= bins) {
         publishSegment(v, Seq.empty); return v
       }
       val tmp = new Path(s"$root/_tmp_v$v-${
         java.util.UUID.randomUUID.toString.take(8)}")
+      // RANGE exchange on the bin id, not hash: hash-repartitioning k
+      // bin keys into the default partition count can land two bins in
+      // one task (the output would have FEWER, larger files than the
+      // byte target sized — harmless for count-targeted whole-table
+      // compaction, wrong for a byte-targeted contract)
       writeTmp(readFilesMorAt(v - 1, victims)
         .withColumn("__bin", pmod(monotonically_increasing_id(),
-          lit(filesPerPartition.toLong)).cast("int"))
-        .repartition(col(partCol), col("__bin"))
+          lit(bins.toLong)).cast("int"))
+        .repartitionByRange(bins, col("__bin"))
         .drop("__bin"), partCol, tmp)
       val added = adopt(tmp, v)
       fs.delete(tmp, true)

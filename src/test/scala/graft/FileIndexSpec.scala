@@ -854,6 +854,35 @@ class FileIndexSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
 
+  test("byte-targeted compaction sizes bins from the manifest") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bytec_spec_").toString
+    val t = new SnapshotLog.Table(spark, root)
+    (1 to 6).foreach { i =>
+      t.commitAppend((1L to 50L).map(k => (i * 1000L + k, "a"))
+        .toDF("k", "part").coalesce(1), "part")
+    }
+    val total = t.liveFiles(t.version)
+      .map(t.fileSizes).sum
+    // target = just over half the bytes → exactly 2 bins
+    t.commitCompactPartition("part", "a",
+      targetFileBytes = total / 2 + 1)
+    val after = t.liveFiles(t.version)
+    assert(after.size == 2, s"expected 2 byte-sized bins: $after")
+    assert(t.asOf(t.version).count() == 300)
+    // a target bigger than the partition → 1 bin, and once compact a
+    // re-run is the honest no-op
+    t.commitCompactPartition("part", "a", targetFileBytes = total * 10)
+    assert(t.liveFiles(t.version).size == 1)
+    val v = t.version
+    t.commitCompactPartition("part", "a", targetFileBytes = total * 10)
+    assert(t.liveFiles(t.version).size == 1 && t.version == v + 1)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("scanAsOf pushes row filters into the parquet scan") {
     import graft.sources.SnapshotLog
     import spark.implicits._
