@@ -517,6 +517,7 @@ object SnapshotLog {
       require(files.nonEmpty, s"version $v of $root has no live files")
       val zl = zoneMaps
       val zs = zoneMapsStr
+      val zn = nullCounts
       val sizes = fileSizes
       // identity columns from _metadata (DETERMINISTIC, unlike
       // input_file_name()): a projection carrying a nondeterministic
@@ -538,7 +539,7 @@ object SnapshotLog {
           val dataSchema = spark.read
             .parquet(s"$dataDir/${rels.head}").schema
           val index = new org.apache.spark.sql.graft.SnapshotFileIndex(
-            spark, dataDir, rels, partSchema, zl, zs, sizes,
+            spark, dataDir, rels, partSchema, zl, zs, zn, sizes,
             bloomCols.toSet, bloomSurvivorsAny, recordScanPrune)
           val rel = org.apache.spark.sql.graft.SparkInternals
             .parquetRelation(spark, index, partSchema, dataSchema)
@@ -1022,14 +1023,32 @@ object SnapshotLog {
     private def statsEntries(v: Int, added: Seq[String]): Seq[Entry] =
       added.flatMap { rel =>
         val p = new Path(s"$dataDir/$rel")
-        val (longs, strs) = footerStats(p)
+        val (longs, strs, nulls) = footerStats(p)
         Entry(v, "fsize", s"$rel|${fs.getFileStatus(p).getLen}") +:
           (longs.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
             Entry(v, "stats", s"$rel|$c|$lo|$hi")
           } ++ strs.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
             Entry(v, "stats_s", s"$rel|$c|${hex(lo)}|${hex(hi)}")
+          } ++ nulls.toSeq.sortBy(_._1).map { case (c, (n, rows)) =>
+            Entry(v, "stats_n", s"$rel|$c|$n|$rows")
           })
       }
+
+    /** Per-file (null count, row count) by column (`stats_n` entries).
+      * The stat behind IS NULL / IS NOT NULL file pruning: Spark
+      * injects `IsNotNull` into nearly every filter it pushes, so a
+      * file that is all-null for the filtered column skips with no
+      * data read — and a sparse optional column's `IS NULL` audit
+      * reads only the files that actually carry nulls. */
+    def nullCounts: Map[String, Map[String, (Long, Long)]] =
+      entries.filter(_.action == "stats_n")
+        .groupBy(_.path.split('|')(0))
+        .map { case (p, es) =>
+          p -> es.map { e =>
+            val Array(_, c, n, rows) = e.path.split('|')
+            c -> (n.toLong, rows.toLong)
+          }.toMap
+        }
 
     /** Manifest-recorded byte lengths (`fsize` entries), keyed by
       * relative path. Files from commits predating the entry type
@@ -1158,7 +1177,8 @@ object SnapshotLog {
       * exactly on ASCII, so a non-ASCII bound gets no stat rather than
       * a wrong one. */
     private def footerStats(file: Path):
-        (Map[String, (Long, Long)], Map[String, (String, String)]) = {
+        (Map[String, (Long, Long)], Map[String, (String, String)],
+          Map[String, (Long, Long)]) = {
       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(file, hadoopConf)
@@ -1167,6 +1187,13 @@ object SnapshotLog {
         import scala.jdk.CollectionConverters._
         val accL = scala.collection.mutable.Map[String, (Long, Long)]()
         val accS = scala.collection.mutable.Map[String, (String, String)]()
+        // null counts: (nulls, rows) per TOP-LEVEL column — nested /
+        // repeated paths have value counts that differ from row
+        // counts, so they get no null stat rather than a wrong one;
+        // any row group without the stat voids the column
+        val accN = scala.collection.mutable.Map[String, (Long, Long)]()
+        var okN = Set.empty[String]
+        var badN = Set.empty[String]
         var ok = Set.empty[String]
         var bad = Set.empty[String]
         r.getFooter.getBlocks.asScala.foreach { b =>
@@ -1174,6 +1201,14 @@ object SnapshotLog {
             val name = c.getPath.toDotString
             val s: org.apache.parquet.column.statistics.Statistics[_] =
               c.getStatistics
+            if (s != null && s.isNumNullsSet && c.getPath.size == 1) {
+              okN += name
+              accN(name) = accN.get(name) match {
+                case Some((n, rows)) =>
+                  (n + s.getNumNulls, rows + b.getRowCount)
+                case None => (s.getNumNulls, b.getRowCount)
+              }
+            } else badN += name
             val pt = c.getPrimitiveType.getPrimitiveTypeName
             val usable = s != null && s.hasNonNullValue
             (pt, usable) match {
@@ -1218,8 +1253,10 @@ object SnapshotLog {
           }
         }
         val good = ok -- bad
+        val goodN = okN -- badN
         (good.flatMap(n => accL.get(n).map(n -> _)).toMap,
-          good.flatMap(n => accS.get(n).map(n -> _)).toMap)
+          good.flatMap(n => accS.get(n).map(n -> _)).toMap,
+          goodN.flatMap(n => accN.get(n).map(n -> _)).toMap)
       } finally r.close()
     }
 
@@ -2335,7 +2372,7 @@ object SnapshotLog {
       val fileSet = files.toSet
       val stats = src.entries.filter(e =>
         (e.action == "stats" || e.action == "stats_s" ||
-          e.action == "fsize") &&
+          e.action == "stats_n" || e.action == "fsize") &&
           fileSet.contains(e.path.split('|')(0)))
         .map(e => Entry(1, e.action, e.path))
       // a lost publish race (two cloners, or a concurrent writer that

@@ -50,6 +50,7 @@ final class SnapshotFileIndex(
     override val partitionSchema: StructType,
     zoneL: Map[String, Map[String, (Long, Long)]],
     zoneS: Map[String, Map[String, (String, String)]],
+    zoneN: Map[String, Map[String, (Long, Long)]],
     sizes: Map[String, Long],
     bloomCols: Set[String],
     bloomProbe: (Seq[String], String, Seq[Any]) => Seq[String],
@@ -146,6 +147,25 @@ final class SnapshotFileIndex(
         range(a, None, Some(l.value))
       case LessThanOrEqual(a: AttributeReference, l: Literal) =>
         range(a, None, Some(l.value))
+      // null stats: Spark injects IsNotNull into nearly every pushed
+      // filter, so all-null files skip for free; IS NULL audits of a
+      // sparse optional column open only the files that carry nulls
+      case org.apache.spark.sql.catalyst.expressions
+          .IsNotNull(a: AttributeReference) =>
+        _.filter { f =>
+          zoneN.get(f).flatMap(_.get(a.name)) match {
+            case Some((nulls, rows)) => nulls < rows // any non-null?
+            case None                => true
+          }
+        }
+      case org.apache.spark.sql.catalyst.expressions
+          .IsNull(a: AttributeReference) =>
+        _.filter { f =>
+          zoneN.get(f).flatMap(_.get(a.name)) match {
+            case Some((nulls, _)) => nulls > 0
+            case None             => true
+          }
+        }
       // literal-first comparisons flip the side
       case GreaterThan(l: Literal, a: AttributeReference) =>
         range(a, None, Some(l.value))

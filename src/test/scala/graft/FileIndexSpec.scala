@@ -883,6 +883,49 @@ class FileIndexSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("null-count stats prune IS NULL and IS NOT NULL scans") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_nullst_spec_").toString
+    val t = new SnapshotLog.Table(spark, root)
+    // commit 1: label fully populated; commit 2: label entirely null;
+    // commit 3: mixed — the three null-stat classes
+    t.commitAppend((1L to 20L).map(k => (k, Some(s"l$k"), "a"))
+      .toDF("k", "label", "part").coalesce(1), "part")
+    t.commitAppend((21L to 40L).map(k => (k, None: Option[String], "a"))
+      .toDF("k", "label", "part").coalesce(1), "part")
+    t.commitAppend((41L to 60L).map(k =>
+        (k, if (k % 2 == 0) Some(s"l$k") else None, "a"))
+      .toDF("k", "label", "part").coalesce(1), "part")
+    val v = t.version
+    val nc = t.nullCounts
+    assert(t.liveFiles(v).forall(f => nc.get(f).exists(_.contains("label"))),
+      s"every file must carry a label null stat: $nc")
+    // IS NOT NULL drops the all-null file (Spark injects this predicate
+    // under every pushed filter, so the skip is ambient)
+    val notNull = t.scanAsOf(v).filter(col("label").isNotNull)
+    t.resetScanPrune()
+    assert(notNull.count() == 30)
+    val Some((s1, l1)) = t.lastScanPrune
+    assert(s1 == 2 && l1 == 3, s"IS NOT NULL kept $s1 of $l1")
+    // IS NULL drops the fully-populated file
+    val isNull = t.scanAsOf(v).filter(col("label").isNull)
+    t.resetScanPrune()
+    assert(isNull.count() == 30)
+    val Some((s2, _)) = t.lastScanPrune
+    assert(s2 == 2, s"IS NULL kept $s2 of 3")
+    // and an equality filter composes: its implicit IsNotNull plus the
+    // range pass must never open the all-null file
+    val eq = t.scanAsOf(v).filter(col("label") === "l5")
+    t.resetScanPrune()
+    assert(eq.count() == 1)
+    val Some((s3, _)) = t.lastScanPrune
+    assert(s3 <= 2, s"equality scan opened the all-null file: $s3")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("scanAsOf pushes row filters into the parquet scan") {
     import graft.sources.SnapshotLog
     import spark.implicits._
