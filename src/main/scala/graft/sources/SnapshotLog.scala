@@ -508,6 +508,17 @@ object SnapshotLog {
       * (active DVs are NOT applied — [[asOfMor]] is the MOR read). */
     def scanAsOf(v: Int): DataFrame = scanRelations(v, withPos = false)
 
+    /** [[scanAsOf]] at a tagged / wall-clock-resolved version — the
+      * pruned-scan twins of [[asOfTag]] and [[asOfTimestamp]]. NOTE:
+      * partition columns surface as STRING on the pruned path (the
+      * manifest stores the `col=value` path segment verbatim; cast in
+      * the query if a typed comparison is needed). */
+    def scanAsOfTag(name: String): DataFrame =
+      scanAsOf(tags.getOrElse(name,
+        throw new IllegalArgumentException(s"no tag $name")))
+    def scanAsOfTimestamp(tsMillis: Long): DataFrame =
+      scanAsOf(versionAsOfTimestamp(tsMillis))
+
     /** [[scanAsOfMor]]'s raw building block and [[scanAsOf]]'s body:
       * one pruned relation per layout, optionally tagged with the
       * (__f, __pos) identity the DV anti-join keys on — materialized

@@ -636,6 +636,11 @@ class FileIndexSpec extends SparkSpec {
     // 6. IN-list routes through range + bloom and stays exact
     assert(t.scanAsOf(v).filter(col("k").isin(3L, 42L, 8888L))
       .count() == 2)
+
+    // 7. tag / timestamp addressing resolves to the same pruned scan
+    t.commitTagVersion("ga", v)
+    assert(t.scanAsOfTag("ga").count() == 90)
+    assert(t.scanAsOfTimestamp(t.publishTimestamp(v)).count() == 90)
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(root))
   }
