@@ -641,6 +641,15 @@ class FileIndexSpec extends SparkSpec {
     t.commitTagVersion("ga", v)
     assert(t.scanAsOfTag("ga").count() == 90)
     assert(t.scanAsOfTimestamp(t.publishTimestamp(v)).count() == 90)
+
+    // 8. adversarial shapes stay conservative AND correct: a cast on
+    //    the attribute (no bare AttributeReference to match), an OR
+    //    (one non-conjunct), and a negation
+    assert(t.scanAsOfTag("ga").filter(col("k").cast("int") === 42)
+      .count() == 1)
+    assert(t.scanAsOfTag("ga").filter(col("k") === 43L ||
+      col("day") === lit(d(1))).count() == 31) // 43 is in band 1
+    assert(t.scanAsOfTag("ga").filter(!(col("k") < 45L)).count() == 45)
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(root))
   }
