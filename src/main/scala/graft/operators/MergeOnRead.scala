@@ -281,6 +281,48 @@ object MergeOnRead {
         .orderBy("o_orderstatus")
     },
 
+    // ---- BATCH change read (round 11): `table_changes(from, to)` —
+    //      the bounded-window batch twin of the streaming CDF, for
+    //      backfills and audits that want a DataFrame, not a
+    //      checkpointed query. Same planner as the stream (per
+    //      changed file, DV-delta aware), exercised here over the
+    //      HARD window: the two MOR delete commits, where v6's
+    //      superseding sidecar repeats v5's positions BY DESIGN and
+    //      the feed must emit only the newly tombstoned delta — the
+    //      oracle splits the victims by exactly that algebra (%97 at
+    //      v5; %89 MINUS the already-dead %97 overlap at v6), so a
+    //      double-delivered position or a missed supersede flips the
+    //      hash. Both bounds are named; nothing outside (4, 6] flows.
+    QueryDef.checked(
+      "q_table_changes",
+      s"""WITH base AS (
+         |  SELECT o_orderkey AS k,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders
+         |)
+         |SELECT CAST(5 AS BIGINT) AS _version, 'delete' AS change,
+         |  count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM base WHERE k % $Mod1 = 0
+         |UNION ALL
+         |SELECT CAST(6 AS BIGINT), 'delete', count(*),
+         |  CAST(sum(cents) AS BIGINT)
+         |FROM base WHERE k % $Mod2 = 0 AND k % $Mod1 <> 0
+         |ORDER BY _version""".stripMargin) { (spark, dir) =>
+      val t = morStagedTable(spark, dir)
+      spark.read
+        .format("graft.sources.SnapshotCdfSource")
+        .option("path", t.root)
+        .option("partCol", "o_orderstatus")
+        .option("schema.ddl", "o_orderkey LONG, price_cents LONG")
+        .option("startingVersion", "4") // exclusive: changes AFTER v4
+        .option("endingVersion", "6")
+        .load()
+        .groupBy(col("_version"), col("_change").as("change"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price_cents")).cast("long").as("sum_cents"))
+        .orderBy("_version")
+    },
+
     // ---- merge-on-read delete: two key-set deletes committed as
     //      deletion vectors (zero data files rewritten — spec-asserted
     //      on the live set), read back through the (file, pos)

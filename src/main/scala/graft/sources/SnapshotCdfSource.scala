@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -56,7 +56,8 @@ class SnapshotCdfSource extends TableProvider {
       properties.get("partCol"), properties.get("schema.ddl"),
       Option(properties.get("startingVersion")),
       Option(properties.get("maxVersionsPerTrigger")).map(_.toInt),
-      Option(properties.get("startingTimestamp")).map(_.toLong))
+      Option(properties.get("startingTimestamp")).map(_.toLong),
+      Option(properties.get("endingVersion")).map(_.toInt))
 }
 
 object SnapshotCdfSource {
@@ -74,13 +75,15 @@ object SnapshotCdfSource {
 final class SnapshotCdfTable(root: String, partCol: String, ddl: String,
     startingVersion: Option[String] = None,
     maxVersionsPerTrigger: Option[Int] = None,
-    startingTimestamp: Option[Long] = None)
+    startingTimestamp: Option[Long] = None,
+    endingVersion: Option[Int] = None)
     extends Table with SupportsRead {
   override def name(): String = s"snapshot_cdf($root)"
   override def schema(): StructType =
     SnapshotCdfSource.fullSchema(partCol, ddl)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan {
       override def build(): Scan = this
@@ -88,6 +91,44 @@ final class SnapshotCdfTable(root: String, partCol: String, ddl: String,
       override def toMicroBatchStream(ckpt: String): MicroBatchStream =
         new SnapshotCdfStream(root, partCol, ddl, startingVersion,
           maxVersionsPerTrigger, startingTimestamp)
+      /** BATCH change read — `table_changes(from, to)`: the bounded
+        * window (startingVersion, endingVersion] of the SAME
+        * row-level feed the stream delivers (per-changed-file
+        * partitions, DV-delta aware, layout-recovering readers —
+        * one shared planner), for backfills and audits that want a
+        * DataFrame, not a checkpointed query. `startingVersion`
+        * keeps its streaming meaning (exclusive lower bound:
+        * "changes AFTER v"); `endingVersion` defaults to the
+        * table's current version; `startingTimestamp` resolves the
+        * lower bound by wall time as in streaming. */
+      override def toBatch: Batch = {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val t = new SnapshotLog.Table(spark, root)
+        val from = (startingVersion, startingTimestamp) match {
+          case (None, None)           => 0
+          case (Some("latest"), _)    => t.version
+          case (Some(x), _)           => x.toInt
+          case (None, Some(ts)) =>
+            t.versionStartingAtTimestamp(ts).map(_ - 1)
+              .getOrElse(t.version)
+        }
+        val to = endingVersion.getOrElse(t.version)
+        require(from <= to,
+          s"empty/inverted change window ($from, $to]")
+        val parts = SnapshotCdfStream.planWindow(t, root, from, to)
+        val conf = new SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration)
+        val fileSchema = StructType.fromDDL(ddl)
+        val pc = partCol
+        new Batch {
+          override def planInputPartitions(): Array[InputPartition] =
+            parts
+          override def createReaderFactory(): PartitionReaderFactory =
+            // top-level class: an anonymous factory's $outer chain
+            // would drag the (non-serializable) table into the task
+            new CdfReaderFactory(fileSchema, pc, conf)
+        }
+      }
     }
 }
 
@@ -188,9 +229,39 @@ final class SnapshotCdfStream(root: String, partCol: String, ddl: String,
     * a materialization nets to exactly zero — the same net-zero
     * contract compaction has always had. */
   override def planInputPartitions(start: Offset, end: Offset):
-      Array[InputPartition] = {
-    val (s, e) = (start.asInstanceOf[VersionOffset].v,
+      Array[InputPartition] =
+    SnapshotCdfStream.planWindow(table, root,
+      start.asInstanceOf[VersionOffset].v,
       end.asInstanceOf[VersionOffset].v)
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val fileSchema = StructType.fromDDL(ddl)
+    val pc = partCol
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new CdfReader(p.asInstanceOf[CdfPart], fileSchema, pc, conf.value)
+    }
+  }
+}
+
+/** @param dvNew when set, this partition surfaces a DELETION-VECTOR
+  *   commit: emit only rows whose position is in dvNew's sidecar and
+  *   NOT in dvOld's (the newly tombstoned delta).
+  * @param dvOld without dvNew: the file is being REMOVED while a DV
+  *   was active — emit only rows outside dvOld (the still-live ones;
+  *   the DV'd rows already left the feed). */
+object SnapshotCdfStream {
+  /** The change partitions of window (s, e]: one per changed FILE,
+    * resolved against the manifest on the driver. Merge-on-read
+    * aware: a `dv` commit surfaces only the NEWLY tombstoned
+    * positions (new sidecar minus superseded — repeating prior
+    * positions would double-delete), a `remove` of a DV-carrying
+    * file emits only its still-live rows. Shared verbatim by the
+    * streaming source's micro-batches and the bounded BATCH read. */
+  private[sources] def planWindow(table: SnapshotLog.Table, root: String,
+      s: Int, e: Int): Array[InputPartition] = {
     // sidecar ids are strings: `<v>` legacy, `<v>-<writer-uid>` current
     def dvPath(rel: String, id: String) = s"$root/dv/$rel.$id.dv"
     val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
@@ -221,25 +292,19 @@ final class SnapshotCdfStream(root: String, partCol: String, ddl: String,
     }
     parts.toArray
   }
-
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val conf = new SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    val fileSchema = StructType.fromDDL(ddl)
-    val pc = partCol
-    new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new CdfReader(p.asInstanceOf[CdfPart], fileSchema, pc, conf.value)
-    }
-  }
 }
 
-/** @param dvNew when set, this partition surfaces a DELETION-VECTOR
-  *   commit: emit only rows whose position is in dvNew's sidecar and
-  *   NOT in dvOld's (the newly tombstoned delta).
-  * @param dvOld without dvNew: the file is being REMOVED while a DV
-  *   was active — emit only rows outside dvOld (the still-live ones;
-  *   the DV'd rows already left the feed). */
+/** Serializable, outer-free reader factory shared by the batch read
+  * (the streaming path builds an equivalent one inline — its enclosing
+  * stream is serializable, the batch scan's table is not). */
+final class CdfReaderFactory(fileSchema: StructType, partCol: String,
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition):
+      PartitionReader[InternalRow] =
+    new CdfReader(p.asInstanceOf[CdfPart], fileSchema, partCol,
+      conf.value)
+}
+
 final case class CdfPart(file: String, version: Int, change: String,
     dvNew: Option[String] = None, dvOld: Option[String] = None)
     extends InputPartition

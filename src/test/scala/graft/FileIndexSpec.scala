@@ -1000,6 +1000,39 @@ class FileIndexSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("batch table_changes honors both window bounds and the DV delta") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_tblchg_spec_").toString
+    val t = new SnapshotLog.Table(spark, root)
+    (1 to 3).foreach { i =>
+      t.commitAppend(Seq((i * 10L, 100L * i, "a"))
+        .toDF("user_id", "cents", "part").coalesce(1), "part")
+    }
+    t.commitDeleteKeysMor(Seq(20L).toDF("user_id"), "user_id") // v4
+    def changes(from: Int, to: Int): Seq[(Long, Long, String)] =
+      spark.read.format("graft.sources.SnapshotCdfSource")
+        .option("path", root).option("partCol", "part")
+        .option("schema.ddl", "user_id LONG, cents LONG")
+        .option("startingVersion", from.toString)
+        .option("endingVersion", to.toString)
+        .load()
+        .select("user_id", "_version", "_change").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // interior window: exactly commits 2..3, as inserts
+    assert(changes(1, 3).sorted ==
+      Seq((20L, 2L, "insert"), (30L, 3L, "insert")))
+    // DV-only window: exactly the newly tombstoned row, as a delete
+    assert(changes(3, 4) == Seq((20L, 4L, "delete")))
+    // the full feed folds to the live state net of the tombstone
+    val full = changes(0, 4)
+    assert(full.count(_._3 == "insert") == 3 &&
+      full.count(_._3 == "delete") == 1)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("cdf tail equals the last commit of the full feed") {
     // the tail (startingVersion = 2) must be the v3 slice of the full
     // feed: deletes of all clicks, reinserts of the cheap ones — and
