@@ -57,7 +57,8 @@ class SnapshotCdfSource extends TableProvider {
       Option(properties.get("startingVersion")),
       Option(properties.get("maxVersionsPerTrigger")).map(_.toInt),
       Option(properties.get("startingTimestamp")).map(_.toLong),
-      Option(properties.get("endingVersion")).map(_.toInt))
+      Option(properties.get("endingVersion")).map(_.toInt),
+      Option(properties.get("endingTimestamp")).map(_.toLong))
 }
 
 object SnapshotCdfSource {
@@ -76,7 +77,8 @@ final class SnapshotCdfTable(root: String, partCol: String, ddl: String,
     startingVersion: Option[String] = None,
     maxVersionsPerTrigger: Option[Int] = None,
     startingTimestamp: Option[Long] = None,
-    endingVersion: Option[Int] = None)
+    endingVersion: Option[Int] = None,
+    endingTimestamp: Option[Long] = None)
     extends Table with SupportsRead {
   override def name(): String = s"snapshot_cdf($root)"
   override def schema(): StructType =
@@ -99,8 +101,10 @@ final class SnapshotCdfTable(root: String, partCol: String, ddl: String,
         * DataFrame, not a checkpointed query. `startingVersion`
         * keeps its streaming meaning (exclusive lower bound:
         * "changes AFTER v"); `endingVersion` defaults to the
-        * table's current version; `startingTimestamp` resolves the
-        * lower bound by wall time as in streaming. */
+        * table's current version (`endingTimestamp` resolves it by
+        * wall time — the last commit at or before the instant);
+        * `startingTimestamp` resolves the lower bound by wall time
+        * as in streaming. */
       override def toBatch: Batch = {
         val spark = org.apache.spark.sql.SparkSession.active
         val t = new SnapshotLog.Table(spark, root)
@@ -112,7 +116,13 @@ final class SnapshotCdfTable(root: String, partCol: String, ddl: String,
             t.versionStartingAtTimestamp(ts).map(_ - 1)
               .getOrElse(t.version)
         }
-        val to = endingVersion.getOrElse(t.version)
+        require(endingVersion.isEmpty || endingTimestamp.isEmpty,
+          "endingVersion and endingTimestamp are mutually exclusive")
+        // wall-time upper bound: the LAST commit published at or
+        // before t — the same resolution AS-OF-TIMESTAMP reads use
+        val to = endingVersion.orElse(
+          endingTimestamp.map(t.versionAsOfTimestamp))
+          .getOrElse(t.version)
         require(from <= to,
           s"empty/inverted change window ($from, $to]")
         val parts = SnapshotCdfStream.planWindow(t, root, from, to)

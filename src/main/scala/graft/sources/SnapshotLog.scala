@@ -1319,8 +1319,46 @@ object SnapshotLog {
         rel
       }
 
+    /** Rebase-on-conflict publish for APPEND-shaped commits: a pure
+      * append COMMUTES with any concurrent commit — its read set is
+      * empty (it removes nothing and asserts nothing about current
+      * state), so a lost version-number race doesn't invalidate the
+      * work, only the number. The loser re-stamps the SAME entries
+      * (adopted files, footer stats — computed once; rel paths are
+      * version-independent) onto the new tip and re-publishes:
+      * metadata-only retries instead of re-writing the whole batch
+      * per attempt, which is the difference between N concurrent
+      * appenders costing N data writes and costing N² at 100 TB
+      * batch sizes. Non-append commits must NOT blind-rebase (their
+      * victims/read-set may have changed under them) — they keep the
+      * full re-plan retry via [[withRetry]]. Cleans the adopted
+      * files only on final failure. */
+    private def publishAppendRebase(firstV: Int, base: Seq[Entry],
+        added: Seq[String], maxAttempts: Int = 8): Int = {
+      var v = firstV
+      var attempt = 0
+      while (true) {
+        attempt += 1
+        try { publishSegment(v, base.map(_.copy(version = v))); return v }
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            if (attempt >= maxAttempts) {
+              added.foreach(p =>
+                fs.delete(new Path(s"$dataDir/$p"), false))
+              throw e
+            }
+            v = math.max(v + 1, version + 1)
+        }
+      }
+      -1 // unreachable
+    }
+
     /** Append commit: write `df` partitioned by `partCol`, adopt the
-      * files, publish the segment. Nothing existing is touched. */
+      * files, publish the segment. Nothing existing is touched. With
+      * no `expectedVersion` (the default), a lost version race
+      * REBASES onto the new tip metadata-only (see
+      * [[publishAppendRebase]]); an explicit expectation surfaces the
+      * conflict to its owner instead. */
     def commitAppend(df: DataFrame, partCol: String,
         expectedVersion: Int = -1): Int = {
       val v = casCheck(expectedVersion)
@@ -1330,11 +1368,13 @@ object SnapshotLog {
       writeTmp(df, partCol, tmp)
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
-      publishOrCleanup(v,
-        added.map(Entry(v, "add", _)) ++ statsEntries(v, added), added)
-      buildBlooms(v, added)
+      val base = added.map(Entry(v, "add", _)) ++ statsEntries(v, added)
+      val ver =
+        if (expectedVersion >= 0) { publishOrCleanup(v, base, added); v }
+        else publishAppendRebase(v, base, added)
+      buildBlooms(ver, added)
       maybeAutoCompact(partCol)
-      v
+      ver
     }
 
     /** Transaction ids already committed (the `txn` log entries). */
@@ -1536,10 +1576,13 @@ object SnapshotLog {
         writeTmp(df, partCol, tmp)
         val added = adopt(tmp, v)
         fs.delete(tmp, true)
-        publishOrCleanup(v,
+        // rebase-safe: only THIS writer ever publishes this txnId (the
+        // sink owns its batch ids), so re-stamping onto a new tip can
+        // never race a duplicate of itself into the log
+        val ver = publishAppendRebase(v,
           added.map(Entry(v, "add", _)) ++ statsEntries(v, added) :+
             Entry(v, "txn", txnId), added)
-        buildBlooms(v, added)
+        buildBlooms(ver, added)
         maybeAutoCompact(partCol)
         true
       }

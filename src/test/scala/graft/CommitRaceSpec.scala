@@ -106,6 +106,47 @@ class CommitRaceSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("racing appenders rebase metadata-only: one data write each") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_racerb_").toString
+    // NO withRetry, NO expectedVersion: appends commute, so a lost
+    // version race must rebase the already-adopted files onto the new
+    // tip instead of throwing (liveness) or re-writing the batch
+    // (throughput). One data file per append proves the single write.
+    val nThreads = 4
+    val perThread = 4
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until nThreads).map { tid =>
+      new Thread(() => try {
+        val t = new SnapshotLog.Table(spark, root)
+        (0 until perThread).foreach { b =>
+          val keyBase = (tid * perThread + b) * 1000L
+          t.commitAppend(
+            (keyBase until keyBase + 10L).map(k => (k, "x"))
+              .toDF("k", "part").coalesce(1), "part")
+        }
+      } catch { case e: Throwable => errors.add(e) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    import scala.jdk.CollectionConverters._
+    assert(errors.isEmpty,
+      s"rebase must absorb version races: ${errors.asScala.headOption}")
+    val t = new SnapshotLog.Table(spark, root)
+    assert(t.version == nThreads * perThread, "versions dense")
+    val rows = t.asOf(t.version).select("k").collect().map(_.getLong(0))
+    assert(rows.length == nThreads * perThread * 10)
+    assert(rows.distinct.length == rows.length, "no batch landed twice")
+    // exactly one adopted file per append: the rebase re-stamped
+    // metadata, it did not re-write data
+    assert(t.liveFiles(t.version).size == nThreads * perThread,
+      "a rebase re-wrote its batch instead of re-stamping")
+    assert(t.orphanFiles().isEmpty)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("reader folds stay consistent under concurrent checkpoint+vacuum") {
     import spark.implicits._
     val root = java.nio.file.Files

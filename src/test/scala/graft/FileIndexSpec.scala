@@ -1029,6 +1029,14 @@ class FileIndexSpec extends SparkSpec {
     val full = changes(0, 4)
     assert(full.count(_._3 == "insert") == 3 &&
       full.count(_._3 == "delete") == 1)
+    // wall-time upper bound: endingTimestamp at v2's stamp stops there
+    val byTime = spark.read.format("graft.sources.SnapshotCdfSource")
+      .option("path", root).option("partCol", "part")
+      .option("schema.ddl", "user_id LONG, cents LONG")
+      .option("startingVersion", "0")
+      .option("endingTimestamp", t.publishTimestamp(2).toString)
+      .load().select("user_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(byTime == Seq(10L, 20L))
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(root))
   }
