@@ -1698,20 +1698,37 @@ object SnapshotLog {
       * would silently duplicate keys there, so it is rejected loudly
       * before any byte moves. */
     def commitReplaceWhere(partCol: String, c: String, lo: Long, hi: Long,
-        df: DataFrame, expectedVersion: Int = -1): Int = {
+        df: DataFrame, expectedVersion: Int = -1): Int =
+      replaceWhereImpl(partCol, df, expectedVersion,
+        v => pruneFiles(v, c, lo, hi),
+        col(c).isNull || !col(c).between(lo, hi), s"$c in [$lo, $hi]")
+
+    /** [[commitReplaceWhere]] for STRING-keyed regions (candidates
+      * from the truncation-safe string zone maps) — the
+      * reload-one-source / reload-one-tenant shape, whose region key
+      * is a name as often as a number. */
+    def commitReplaceWhereStr(partCol: String, c: String,
+        lo: String, hi: String, df: DataFrame,
+        expectedVersion: Int = -1): Int =
+      replaceWhereImpl(partCol, df, expectedVersion,
+        v => pruneFilesStr(v, c, lo, hi),
+        col(c).isNull || !col(c).between(lo, hi), s"$c in ['$lo', '$hi']")
+
+    private def replaceWhereImpl(partCol: String, df: DataFrame,
+        expectedVersion: Int, prune: Int => Seq[String], keep: Column,
+        regionDesc: String): Int = {
       val v = casCheck(expectedVersion)
       checkConstraints(df)
-      val outside = df.filter(col(c).isNull || !col(c).between(lo, hi))
-        .limit(1).count()
+      val outside = df.filter(keep).limit(1).count()
       require(outside == 0,
-        s"replaceWhere batch carries rows outside $c in [$lo, $hi] — " +
+        s"replaceWhere batch carries rows outside $regionDesc — " +
           "the replacement may only write the region it replaces")
-      val victims = pruneFiles(v - 1, c, lo, hi)
+      val victims = prune(v - 1)
       val survivors = // victims read through DVs; NULL-keyed rows are
         // OUTSIDE any range and must survive (as in commitDeleteRange)
         if (victims.isEmpty) df.limit(0)
         else readFilesMorAt(v - 1, victims)
-          .filter(col(c).isNull || !col(c).between(lo, hi))
+          .filter(keep)
           .select(df.columns.toIndexedSeq.map(col): _*)
       val rewritten = survivors.unionByName(df)
       val tmp = new Path(s"$root/_tmp_v$v-${
@@ -2273,7 +2290,13 @@ object SnapshotLog {
       * relative paths deleted. The log keeps the full history of
       * entries: vacuum reclaims bytes, never provenance. Orphans are
       * out of scope here (see [[cleanOrphans]]). */
-    def vacuum(retainVersions: Int): Seq[String] = {
+    /** DRY RUN of [[vacuum]]: (reclaimable data files, bytes per the
+      * manifest's fsize entries — 0 for pre-entry files) at the given
+      * retention, touching nothing. The answer to "what does this
+      * retention actually cost/free?" BEFORE committing to it — a
+      * retention decision at 100 TB is a budget decision, and the
+      * plan is pure log arithmetic. */
+    def vacuumPlan(retainVersions: Int): (Seq[String], Long) = {
       require(retainVersions >= 0, "retention must be non-negative")
       val horizon = version - retainVersions
       val keep = (math.max(1, horizon) to version)
@@ -2281,6 +2304,13 @@ object SnapshotLog {
       val removed = entries.collect {
         case Entry(v, "remove", p) if v <= horizon && !keep.contains(p) => p
       }.distinct
+      val sizes = fileSizes
+      (removed, removed.map(sizes.getOrElse(_, 0L)).sum)
+    }
+
+    def vacuum(retainVersions: Int): Seq[String] = {
+      val (removed, _) = vacuumPlan(retainVersions)
+      val horizon = version - retainVersions
       removed.foreach { p =>
         fs.delete(new Path(s"$dataDir/$p"), false)
         dropSidecars(p)

@@ -694,6 +694,42 @@ class FileIndexSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test("string replace-where and vacuum dry-run read only the manifest") {
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_rws_spec_").toString
+    val t = new SnapshotLog.Table(spark, root)
+    Seq("alpha", "mike", "zulu").foreach { src =>
+      t.commitAppend((0L until 20L).map(i => (s"$src-$i", i, "x"))
+        .toDF("src", "n", "part").coalesce(1), "part")
+    }
+    // reload the 'mike' source region atomically, string-keyed
+    t.commitReplaceWhereStr("part", "src", "mike", "mike",
+      (0L until 5L).map(i => (s"mike-$i", 100L + i, "x"))
+        .toDF("src", "n", "part"))
+    val rem = t.entries.filter(e =>
+      e.version == t.version && e.action == "remove")
+    assert(rem.size == 1, s"string region must prune to one file: $rem")
+    val got = t.asOf(t.version).select("src", "n").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size == 45 && got("mike-3") == 103L &&
+      !got.contains("mike-19") && got("alpha-3") == 3L)
+    // out-of-region batch rejected
+    intercept[IllegalArgumentException](
+      t.commitReplaceWhereStr("part", "src", "mike", "mike",
+        Seq(("zulu-99", 1L, "x")).toDF("src", "n", "part")))
+    // vacuum dry-run: names the replaced file and its manifest bytes,
+    // deletes nothing
+    val (victims, bytes) = t.vacuumPlan(0)
+    assert(victims.size == 1 && bytes == t.fileSizes(victims.head))
+    assert(new java.io.File(s"$root/data/${victims.head}").exists)
+    assert(t.vacuum(0).toSet == victims.toSet)
+    assert(!new java.io.File(s"$root/data/${victims.head}").exists)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test("auto-compaction bounds per-partition files, keeps every read exact") {
     import spark.implicits._
     import graft.sources.SnapshotLog
