@@ -30,18 +30,21 @@ object CorpusEval {
     * Similarity/VectorCuration) is named in the error. */
   private[graft] val MaxPanelRows = 4096L
 
-  /** Pass-through guard: `panel` unchanged when within the cap; loud
-    * failure otherwise. One count job over the (panel-sized) frame. */
+  /** Guard + materialization: the panel is localCheckpoint'ed (eager)
+    * so the cap count AND every downstream use read the materialized
+    * blocks — one execution of the panel plan total, instead of a
+    * count job re-running it on every query execution. */
   private[graft] def boundedPanel(
       panel: org.apache.spark.sql.DataFrame,
       cap: Long = MaxPanelRows): org.apache.spark.sql.DataFrame = {
-    val n = panel.count()
+    val p = panel.localCheckpoint()
+    val n = p.count()
     require(n <= cap,
       s"eval panel has $n rows (cap $cap): panels must be bounded " +
         "fixed-size sets — curate or sample the panel upstream, or " +
         "generate candidates with the IVF/LSH operators instead of " +
         "broadcasting a corpus fraction")
-    panel
+    p
   }
 
   val defs: Seq[QueryDef] = Seq(

@@ -645,20 +645,23 @@ object FileIndex {
           lit("1998-06-01").cast("date"))), "band")
       val point = agg(t.scanAsOf(v).filter(
         col("o_orderkey").isin(LookupKeys: _*)), "point")
-      // prune proofs: force one planning pass per probe and require
-      // the manifest actually cut the file set (the band by range
-      // stats, the point lookup by bloom membership past range)
+      // prune proofs: ONE planning+execution pass per probe — the
+      // eager localCheckpoint both triggers listFiles (recording the
+      // prune telemetry) and materializes the probe's rows, so the
+      // returned frame reads the cached blocks instead of executing
+      // each probe a second time (the require pass used to double
+      // this query's cost)
       t.resetScanPrune()
-      band.queryExecution.executedPlan.executeCollect()
+      val bandC = band.localCheckpoint()
       val Some((bandScan, live)) = t.lastScanPrune
       require(bandScan < live,
         s"ambient date-range prune failed: $bandScan of $live")
       t.resetScanPrune()
-      point.queryExecution.executedPlan.executeCollect()
+      val pointC = point.localCheckpoint()
       val Some((ptScan, _)) = t.lastScanPrune
       require(ptScan < live,
         s"ambient bloom prune failed: $ptScan of $live")
-      band.unionAll(point).orderBy("probe", "o_orderstatus")
+      bandC.unionAll(pointC).orderBy("probe", "o_orderstatus")
     },
 
     // ---- atomic REPLACE WHERE (round 11): the backfill /
@@ -817,11 +820,13 @@ object FileIndex {
           max(col("o_orderkey")).as("max_key"))
         .orderBy("o_orderstatus")
       t.resetScanPrune()
-      rect.queryExecution.executedPlan.executeCollect()
+      // eager checkpoint: one execution records the prune telemetry
+      // AND materializes the result the query returns
+      val rectC = rect.localCheckpoint()
       val Some((scanned, _)) = t.lastScanPrune
       require(scanned < live,
         s"ambient rectangle prune failed: $scanned of $live")
-      rect
+      rectC
     },
 
     // ---- zero-copy snapshot CLONE (round 11): the engine-native form

@@ -106,6 +106,8 @@ final class SnapshotCdfTable(root: String, partCol: String, ddl: String,
         * `startingTimestamp` resolves the lower bound by wall time
         * as in streaming. */
       override def toBatch: Batch = {
+        require(startingVersion.isEmpty || startingTimestamp.isEmpty,
+          "startingVersion and startingTimestamp are mutually exclusive")
         val spark = org.apache.spark.sql.SparkSession.active
         val t = new SnapshotLog.Table(spark, root)
         val from = (startingVersion, startingTimestamp) match {
@@ -343,7 +345,12 @@ final class CdfReader(part: CdfPart, fileSchema: StructType,
   private val partValue: UTF8String = {
     val seg = part.file.split('/').takeRight(2).head
     if (seg.startsWith(s"$partCol="))
-      UTF8String.fromString(seg.substring(partCol.length + 1))
+      // unescape: the writer escapes %, :, /, = … into the path (the
+      // same rules partition discovery reverses) — the feed must
+      // surface the LOGICAL value, not its %XX encoding
+      UTF8String.fromString(
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(seg.substring(partCol.length + 1)))
     else null
   }
   private var cur: Group = _

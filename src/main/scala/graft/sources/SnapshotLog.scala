@@ -590,6 +590,18 @@ object SnapshotLog {
     private def layoutKey(rel: String): String =
       rel.split('/').dropRight(1).map(_.takeWhile(_ != '=')).mkString("/")
 
+    /** Escape/unescape a partition VALUE to/from its path form with
+      * the same rules Spark's partitioned writer uses (%, :, /, = …
+      * travel as %XX segments). Every partition-keyed public API takes
+      * the LOGICAL value; every manifest path stores the escaped one —
+      * these two are the only crossing points. */
+    private def escapePart(value: String): String =
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(value)
+    private def unescapePart(seg: String): String =
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(seg)
+
     /** Layout-aware multi-file read (see [[asOf]] on evolution). */
     private def readFiles(rels: Seq[String],
         mergeSchema: Boolean): DataFrame =
@@ -1324,8 +1336,11 @@ object SnapshotLog {
       * empty (it removes nothing and asserts nothing about current
       * state), so a lost version-number race doesn't invalidate the
       * work, only the number. The loser re-stamps the SAME entries
-      * (adopted files, footer stats — computed once; rel paths are
-      * version-independent) onto the new tip and re-publishes:
+      * (adopted files, footer stats — computed once; the adopted
+      * names embed the FIRST attempted version, `v$firstV-…`, purely
+      * as a uniqueness prefix — nothing may derive a file's commit
+      * version from its name; the log entries carry the real
+      * version) onto the new tip and re-publishes:
       * metadata-only retries instead of re-writing the whole batch
       * per attempt, which is the difference between N concurrent
       * appenders costing N data writes and costing N² at 100 TB
@@ -1593,7 +1608,7 @@ object SnapshotLog {
     def commitDeletePartition(partCol: String, value: String,
         expectedVersion: Int = -1): Int = {
       val v = casCheck(expectedVersion)
-      val prefix = s"$partCol=$value/"
+      val prefix = s"$partCol=${escapePart(value)}/"
       val victims = liveFiles(v - 1).filter(_.startsWith(prefix))
       require(victims.nonEmpty, s"no live files under $prefix")
       publishSegment(v, victims.map(Entry(v, "remove", _)))
@@ -1608,7 +1623,7 @@ object SnapshotLog {
     def commitDeleteWhere(partCol: String, value: String, keep: Column,
         expectedVersion: Int = -1): Int = {
       val v = casCheck(expectedVersion)
-      val prefix = s"$partCol=$value/"
+      val prefix = s"$partCol=${escapePart(value)}/"
       val victims = liveFiles(v - 1).filter(_.startsWith(prefix))
       require(victims.nonEmpty, s"no live files under $prefix")
       val tmp = new Path(s"$root/_tmp_v$v-${
@@ -2498,7 +2513,7 @@ object SnapshotLog {
         filesPerPartition: Int = 1, expectedVersion: Int = -1,
         targetFileBytes: Long = 0): Int = {
       val v = casCheck(expectedVersion)
-      val prefix = s"$partCol=$value/"
+      val prefix = s"$partCol=${escapePart(value)}/"
       val victims = liveFiles(v - 1).filter(_.startsWith(prefix))
       // byte-targeted sizing (production OPTIMIZE targets ~a file
       // SIZE, not a count): with lengths in the manifest, the bin
@@ -2549,8 +2564,12 @@ object SnapshotLog {
           .foreach { case (dir, fs) =>
             if (fs.size >= autoCompactAt &&
                 dir.startsWith(s"$partCol="))
+              // dir carries the ESCAPED value; the public API takes
+              // the logical one (and re-escapes) — unescape here or
+              // a value that needed escaping double-escapes and the
+              // compaction never matches its own partition
               commitCompactPartition(partCol,
-                dir.substring(partCol.length + 1))
+                unescapePart(dir.substring(partCol.length + 1)))
           }
       } catch { case scala.util.control.NonFatal(_) => () }
 
@@ -2603,13 +2622,27 @@ object SnapshotLog {
       // no overflow), divide-first above (the multiply would wrap).
       // Integral `div` throughout — `/` on longs relands as DOUBLE.
       def bucket(c: String, lo: Long, hi: Long): Column = {
-        val width = hi - lo
+        // width via subtractExact: a domain spanning more than the
+        // Long range wraps `hi - lo` NEGATIVE, which would make the
+        // multiply-first branch's divisor width+1 == 0 (null z /
+        // ANSI error). On overflow force divide-first with the
+        // full-range divisor 2^48 (≈ 2^64 / 2^16 buckets); `off` can
+        // still wrap negative for the top half of such a domain —
+        // those rows belong in the highest bucket, which the
+        // `off < 0` guard pins (clustering quality, not row
+        // identity, is all that rides on this).
+        val width = try Math.subtractExact(hi, lo)
+          catch { case _: ArithmeticException => -1L }
         val off = col(c).cast("long") - lit(lo)
-        least(lit(65535L),
-          if (width < (1L << 46))
+        val raw =
+          if (width >= 0 && width < (1L << 46))
             call_function("div", off * lit(65536L), lit(width + 1L))
+          else if (width >= 0)
+            call_function("div", off, lit(width / 65536L + 1L))
           else
-            call_function("div", off, lit(width / 65536L + 1L)))
+            call_function("div", off, lit(1L << 48))
+        when(off < 0 && lit(width < 0), lit(65535L))
+          .otherwise(least(lit(65535L), greatest(lit(0L), raw)))
       }
       def spread(c: Column): Column = {
         val s1 = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))

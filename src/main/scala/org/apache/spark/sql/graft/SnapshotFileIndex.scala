@@ -85,13 +85,22 @@ final class SnapshotFileIndex(
 
   /** Each file's partition values in `partitionSchema` order, parsed
     * from its own `col=value` path segments (files are grouped by
-    * layout before the index is built, so the segments align). */
+    * layout before the index is built, so the segments align).
+    * Segments are UNESCAPED with the same rules Spark's partitioned
+    * writer escapes them with (`%`, `:`, `/`, `=`, … travel as %XX in
+    * the path): partition FILTERS compare against the logical value,
+    * and `listFiles` must apply them exactly — an escaped comparison
+    * would silently drop every partition whose value needed escaping
+    * and surface `%3A`-style strings as column values, diverging from
+    * the discovery-based asOf read. */
   private lazy val partValues: Map[String, Array[Any]] = files.map { rel =>
     val segs = rel.split('/').dropRight(1)
     val vals: Array[Any] = partitionSchema.fields.map { f =>
       segs.collectFirst {
         case s if s.startsWith(f.name + "=") =>
-          UTF8String.fromString(s.substring(f.name.length + 1))
+          UTF8String.fromString(
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(s.substring(f.name.length + 1)))
       }.orNull
     }
     rel -> vals

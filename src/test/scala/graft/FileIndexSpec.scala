@@ -1089,4 +1089,48 @@ class FileIndexSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(tail == again)
   }
+
+  test("escaped partition values round-trip through every read path") {
+    // Spark's partitioned writer path-escapes %, :, /, = … — the
+    // pruned scan, the CDF feed, and the partition-keyed commits must
+    // all speak the LOGICAL value, not its %XX path encoding. A
+    // verbatim comparison silently returns zero rows for the filter
+    // (the partition filter is EXACT: Spark drops it from the
+    // residual trusting listFiles) and surfaces '12%3A30' as data.
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_escpart_spec_").toString
+    val t = new SnapshotLog.Table(spark, root)
+    val vals = Seq("12:30", "a%b", "plain")
+    t.commitAppend(vals.zipWithIndex
+      .map { case (p, i) => (i.toLong, p, i * 10L) }
+      .toDF("k", "part", "v"), "part")
+    // discovery read (asOf) and pruned read (scanAsOf) agree on the
+    // logical value, and the partition FILTER matches it
+    val byAsOf = t.asOf(1).filter(col("part") === "12:30")
+      .select("k").collect().map(_.getLong(0)).toSeq
+    assert(byAsOf == Seq(0L), s"asOf saw $byAsOf")
+    val pruned = t.scanAsOf(1).filter(col("part") === "12:30")
+    assert(pruned.select("k").collect().map(_.getLong(0)).toSeq == Seq(0L))
+    assert(pruned.select("part").collect().map(_.getString(0)).toSeq ==
+      Seq("12:30"), "pruned scan must surface the unescaped value")
+    val vals2 = t.scanAsOf(1).select("part").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(vals2 == vals.toSet, s"escaped values leaked: $vals2")
+    // CDF feed surfaces the logical value too
+    val cdf = spark.read.format("graft.sources.SnapshotCdfSource")
+      .option("path", root).option("partCol", "part")
+      .option("schema.ddl", "k LONG, v LONG")
+      .option("startingVersion", "0")
+      .load().select("part").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(cdf == vals.toSet, s"CDF saw $cdf")
+    // partition-keyed delete takes the logical value
+    t.commitDeletePartition("part", "a%b")
+    assert(t.asOf(t.version).select("part").distinct()
+      .collect().map(_.getString(0)).toSet == Set("12:30", "plain"))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
 }
