@@ -63,6 +63,97 @@ object SnapshotLog {
     * versions stay readable. */
   final case class Entry(version: Int, action: String, path: String)
 
+  private[sources] def hexStr(s: String): String =
+    s.getBytes("UTF-8").map(b => f"$b%02x").mkString
+  private[sources] def unhexStr(h: String): String =
+    new String(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+      "UTF-8")
+
+  /** One IMMUTABLE folded view of a log state (checkpoint + segment
+    * tail), with every derived structure read planning needs computed
+    * AT MOST ONCE per state: the live-file fold per version, the zone
+    * maps, null counts and manifest sizes. This is what makes the
+    * manifest read path scale-credible — without it, every
+    * `asOf`/`scanAsOf`/CDF poll re-listed the log directory and
+    * re-parsed checkpoint + tail text on the driver (kilobytes at test
+    * scale; hundreds of MB per QUERY at 10⁵–10⁶ live files), and
+    * `scanRelations` alone folded the same entries five times (live
+    * set + four stat maps). States are value-keyed by the exact
+    * (checkpoint file, tail segment files) listing, which changes with
+    * every commit — so a stale state can never be served: a new
+    * segment or checkpoint produces a new key, and immutable published
+    * files mean an unchanged key proves unchanged content (the same
+    * immutability the commit protocol already relies on). */
+  private[sources] final class FoldState(val entries: Vector[Entry]) {
+    private val liveAt =
+      new java.util.concurrent.ConcurrentHashMap[Int, Vector[String]]()
+
+    /** Live files at `v` — LinkedHashSet fold (insertion-ordered, O(1)
+      * removal): the previous per-call Vector fold was O(adds) PER
+      * REMOVE, quadratic over a compaction-heavy history at manifest
+      * scale. Memoized per version: repeat plans at the same version
+      * (the overwhelmingly common pattern — several stat maps + the
+      * file list per scan) fold zero times. */
+    def liveFiles(v: Int): Vector[String] =
+      liveAt.computeIfAbsent(v, _ => {
+        val s = new java.util.LinkedHashSet[String]()
+        entries.foreach {
+          case Entry(ev, "add", p) if ev <= v    => s.remove(p); s.add(p)
+          case Entry(ev, "remove", p) if ev <= v => s.remove(p)
+          case _                                 => ()
+        }
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toVector
+      })
+
+    lazy val zoneMaps: Map[String, Map[String, (Long, Long)]] =
+      entries.filter(_.action == "stats")
+        .groupBy(_.path.split('|')(0))
+        .map { case (p, es) =>
+          p -> es.map { e =>
+            val Array(_, c, lo, hi) = e.path.split('|')
+            c -> (lo.toLong, hi.toLong)
+          }.toMap
+        }
+
+    lazy val zoneMapsStr: Map[String, Map[String, (String, String)]] =
+      entries.filter(_.action == "stats_s")
+        .groupBy(_.path.split('|')(0))
+        .map { case (p, es) =>
+          p -> es.map { e =>
+            val Array(_, c, lo, hi) = e.path.split('|')
+            c -> (unhexStr(lo), unhexStr(hi))
+          }.toMap
+        }
+
+    lazy val nullCounts: Map[String, Map[String, (Long, Long)]] =
+      entries.filter(_.action == "stats_n")
+        .groupBy(_.path.split('|')(0))
+        .map { case (p, es) =>
+          p -> es.map { e =>
+            val Array(_, c, n, rows) = e.path.split('|')
+            c -> (n.toLong, rows.toLong)
+          }.toMap
+        }
+
+    lazy val fileSizes: Map[String, Long] =
+      entries.filter(_.action == "fsize").map { e =>
+        val Array(rel, len) = e.path.split('|')
+        rel -> len.toLong
+      }.toMap
+  }
+
+  /** (listing key, folded state) per table root. The key is the exact
+    * checkpoint + tail file-name listing; a cached state whose key is
+    * a PREFIX of the current tail extends incrementally (parse only
+    * the new segments). Bounded crudely — states are per-root and
+    * test suites create hundreds of throwaway roots; production
+    * tables are few. */
+  private final case class LogKey(ckpt: String, segs: Vector[String])
+  private val foldCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (LogKey, FoldState)]()
+  private val FoldCacheMaxRoots = 32
+
   /** @param bloomCols LONG or STRING columns to index with a per-file
     *   BLOOM FILTER SIDECAR at commit time (`index/<rel>.<col>.bloom`).
     *   The complement of zone maps: zone maps skip by RANGE (great for
@@ -107,11 +198,21 @@ object SnapshotLog {
     *   fix one hot partition. Like auto-checkpoint, a failure (or a
     *   lost CAS race) never fails the triggering commit; the next
     *   append re-triggers. */
+  /** @param parquetCheckpointAt entry count at or above which
+    *   [[checkpointLog]] writes the checkpoint COLUMNAR
+    *   (`log/<v>.ckpt.pq`, a single parquet file) instead of CSV.
+    *   A 10⁵–10⁶-entry manifest parses as a distributed columnar
+    *   scan (and point probes like the commit protocol's
+    *   version-reclaim check push `version = v` down to the parquet
+    *   reader) instead of a driver-side line-by-line text parse —
+    *   the Delta-checkpoint move. Small tables stay CSV: a Spark
+    *   job per kilobyte checkpoint would cost more than it saves. */
   final class Table(spark: SparkSession, val root: String,
       val bloomCols: Seq[String] = Nil,
       val autoCheckpointEvery: Int = 10,
       val autoVacuumLog: Boolean = true,
-      val autoCompactAt: Int = 0) {
+      val autoCompactAt: Int = 0,
+      val parquetCheckpointAt: Int = 4096) {
     private val dataDir = s"$root/data"
     private val logDir = new Path(s"$root/log")
     private def hadoopConf = spark.sparkContext.hadoopConfiguration
@@ -130,34 +231,38 @@ object SnapshotLog {
       * makes it visible to specs and operators. None = pruning ran. */
     @volatile private[graft] var lastMergeFallback: Option[String] = None
 
-    /** The published segment files, sorted by version. One immutable
-      * file per commit; the listing is the only directory walk the
-      * table ever does, and it walks the (kilobyte-scale) log, never
-      * the data tree. */
-    private def segments: Seq[(Int, Path)] = {
-      if (!fs.exists(logDir)) return Seq.empty
-      fs.listStatus(logDir).toSeq
-        .map(_.getPath)
-        .flatMap { p =>
-          val n = p.getName
-          if (n.endsWith(".csv")) n.stripSuffix(".csv").toIntOption.map(_ -> p)
-          else None // in-flight temps and checkpoints are not segments
-        }
-        .sortBy(_._1)
+    /** ONE listing of the log directory → (latest checkpoint, all
+      * published segments sorted by version). The only directory walk
+      * the table ever does, and it walks the (kilobyte-scale) log,
+      * never the data tree. Checkpoints come in two formats — CSV
+      * (`<v>.ckpt`, small tables) and columnar (`<v>.ckpt.pq`, one
+      * parquet file, see [[parquetCheckpointAt]]); at the same version
+      * both are consolidations of the same entries and the columnar
+      * one wins deterministically. */
+    private def listLog(): (Option[(Int, Path)], Seq[(Int, Path)]) = {
+      if (!fs.exists(logDir)) return (None, Seq.empty)
+      val paths = fs.listStatus(logDir).toSeq.map(_.getPath)
+      val segs = paths.flatMap { p =>
+        val n = p.getName
+        if (n.endsWith(".csv")) n.stripSuffix(".csv").toIntOption.map(_ -> p)
+        else None // in-flight temps and checkpoints are not segments
+      }.sortBy(_._1)
+      val ckpt = paths.flatMap { p =>
+        val n = p.getName
+        if (n.endsWith(".ckpt.pq"))
+          n.stripSuffix(".ckpt.pq").toIntOption.map(v => (v, 1, p))
+        else if (n.endsWith(".ckpt"))
+          n.stripSuffix(".ckpt").toIntOption.map(v => (v, 0, p))
+        else None
+      }.sortBy(c => (c._1, c._2)).lastOption.map(c => (c._1, c._3))
+      (ckpt, segs)
     }
 
+    /** The published segment files, sorted by version. */
+    private def segments: Seq[(Int, Path)] = listLog()._2
+
     /** The latest log checkpoint (version, path), if one exists. */
-    private def latestCheckpoint: Option[(Int, Path)] = {
-      if (!fs.exists(logDir)) return None
-      fs.listStatus(logDir).toSeq
-        .map(_.getPath)
-        .flatMap { p =>
-          val n = p.getName
-          if (n.endsWith(".ckpt")) n.stripSuffix(".ckpt").toIntOption.map(_ -> p)
-          else None
-        }
-        .sortBy(_._1).lastOption
-    }
+    private def latestCheckpoint: Option[(Int, Path)] = listLog()._1
 
     private def parseLines(p: Path): Seq[Entry] = {
       val in = fs.open(p)
@@ -176,34 +281,95 @@ object SnapshotLog {
       * O(#commits) per read, O(N²) cumulative over a table's life;
       * with one, it opens checkpoint + tail.
       *
+      * MEMOIZED per (root, exact log listing) — see [[FoldState]]:
+      * repeat reads of an unchanged table parse nothing (the common
+      * per-query pattern resolves the same state several times), and
+      * a tail that merely GREW extends the cached fold by parsing
+      * only the new segments. Every `asOf`, pruned scan, CDF poll and
+      * stat map rides this one fold. */
+    def entries: Seq[Entry] = foldState().entries
+
+    /** Resolve (and memoize) the [[FoldState]] for the CURRENT log
+      * listing.
+      *
       * Read-vs-vacuum seam: between listing the segments and parsing
       * them, a concurrent checkpoint+vacuum (auto or manual) may
       * delete a listed segment — its entries now live verbatim in a
       * NEWER checkpoint, so the retry re-resolves and converges; the
       * bound turns a pathological livelock into a loud error instead
       * of a hang. */
-    def entries: Seq[Entry] = {
-      def attempt(): Seq[Entry] = latestCheckpoint match {
-        case None => segments.flatMap { case (_, p) => parseLines(p) }
-        case Some((cv, cp)) =>
-          parseLines(cp) ++
-            segments.filter(_._1 > cv).flatMap { case (_, p) => parseLines(p) }
-      }
+    private def foldState(): FoldState = {
       var tries = 0
       while (true) {
         tries += 1
-        try return attempt()
+        try return foldAttempt()
         catch {
           case e: java.io.FileNotFoundException =>
             if (tries >= 5) throw e // not a vacuum race: surface it
         }
       }
-      Nil // unreachable
+      null // unreachable
     }
 
-    def version: Int =
-      math.max(segments.lastOption.map(_._1).getOrElse(0),
-        latestCheckpoint.map(_._1).getOrElse(0))
+    private lazy val cacheKey: String =
+      fs.makeQualified(new Path(root)).toString
+
+    private def foldAttempt(): FoldState = {
+      val (ck, segs) = listLog()
+      val tail = ck match {
+        case Some((cv, _)) => segs.filter(_._1 > cv)
+        case None          => segs
+      }
+      val key = LogKey(ck.map(_._2.getName).getOrElse(""),
+        tail.map(_._2.getName).toVector)
+      val cached = foldCache.get(cacheKey)
+      if (cached != null && cached._1 == key) return cached._2
+      val st =
+        if (cached != null && cached._1.ckpt == key.ckpt &&
+            key.segs.startsWith(cached._1.segs))
+          // same checkpoint, tail grew: parse only the new segments
+          new FoldState(cached._2.entries ++
+            tail.drop(cached._1.segs.size)
+              .flatMap { case (_, p) => parseLines(p) })
+        else
+          new FoldState(
+            (ck.map(c => parseCheckpoint(c._2)).getOrElse(Seq.empty) ++
+              tail.flatMap { case (_, p) => parseLines(p) }).toVector)
+      if (foldCache.size > FoldCacheMaxRoots) foldCache.clear()
+      foldCache.put(cacheKey, (key, st))
+      st
+    }
+
+    /** Parse a checkpoint of either format. The columnar one decodes
+      * as a distributed parquet scan (ordered by the write-time `seq`
+      * column — [[segmentObservedInCheckpoint]]'s sequence-equality
+      * contract needs entry ORDER preserved exactly). */
+    private def parseCheckpoint(p: Path): Seq[Entry] =
+      if (p.getName.endsWith(".ckpt.pq"))
+        spark.read.parquet(p.toString).orderBy("seq")
+          .select("version", "action", "path")
+          .collect().toSeq
+          .map(r => Entry(r.getInt(0), r.getString(1), r.getString(2)))
+      else parseLines(p)
+
+    /** A checkpoint's entries for exactly version `v`. On the
+      * columnar format the `version = v` predicate pushes down to the
+      * parquet reader — the commit protocol's reclaim check reads a
+      * row-group slice, not the whole manifest. */
+    private def checkpointEntriesFor(cp: Path, v: Int): Seq[Entry] =
+      if (cp.getName.endsWith(".ckpt.pq"))
+        spark.read.parquet(cp.toString)
+          .filter(col("version") === v).orderBy("seq")
+          .select("version", "action", "path")
+          .collect().toSeq
+          .map(r => Entry(r.getInt(0), r.getString(1), r.getString(2)))
+      else parseLines(cp).filter(_.version == v)
+
+    def version: Int = {
+      val (ck, segs) = listLog()
+      math.max(segs.lastOption.map(_._1).getOrElse(0),
+        ck.map(_._1).getOrElse(0))
+    }
 
     /** Consolidate every log entry up to the current version into one
       * `log/<v>.ckpt` file (published like a segment: temp +
@@ -221,18 +387,41 @@ object SnapshotLog {
       // adds in every later fold.
       val v = version
       val es = entries.filter(_.version <= v)
-      val dst = fs.makeQualified(new Path(logDir, s"$v.ckpt"))
-      if (fs.exists(dst)) return v // already checkpointed at v
-      val tmp = new Path(logDir,
-        s".tmp-ckpt-$v-${java.util.UUID.randomUUID.toString.take(8)}")
-      val out = fs.create(tmp, false)
-      try es.foreach(e =>
-        out.write(s"${e.version},${e.action},${e.path}\n".getBytes("UTF-8")))
-      finally out.close()
-      // a concurrent checkpointer winning the bind is harmless — both
-      // candidates are byte-identical consolidations of entries <= v
-      try putIfAbsent(tmp, dst)
-      catch { case _: java.util.ConcurrentModificationException => () }
+      val dstCsv = fs.makeQualified(new Path(logDir, s"$v.ckpt"))
+      val dstPq = fs.makeQualified(new Path(logDir, s"$v.ckpt.pq"))
+      if (fs.exists(dstCsv) || fs.exists(dstPq)) return v // already done
+      // a concurrent checkpointer winning either bind is harmless —
+      // all candidates are order-identical consolidations of
+      // entries <= v (and listLog prefers .pq at equal versions, so
+      // mixed-format racers still resolve deterministically)
+      if (es.size >= parquetCheckpointAt) {
+        // COLUMNAR checkpoint: one parquet file, written by a narrow
+        // Spark job and bound with the same put-if-absent primitive
+        // as every publish. `seq` pins the exact entry order.
+        import spark.implicits._
+        val tmpDir = new Path(s"$root/_tmp_ckpt$v-${
+          java.util.UUID.randomUUID.toString.take(8)}")
+        es.zipWithIndex
+          .map { case (e, i) => (i.toLong, e.version, e.action, e.path) }
+          .toDF("seq", "version", "action", "path")
+          .repartition(1)
+          .write.mode("overwrite").parquet(tmpDir.toString)
+        val part = fs.listStatus(tmpDir)
+          .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+        try putIfAbsent(part, dstPq)
+        catch { case _: java.util.ConcurrentModificationException => () }
+        fs.delete(tmpDir, true)
+      } else {
+        val tmp = new Path(logDir,
+          s".tmp-ckpt-$v-${java.util.UUID.randomUUID.toString.take(8)}")
+        val out = fs.create(tmp, false)
+        try es.foreach(e =>
+          out.write(s"${e.version},${e.action},${e.path}\n"
+            .getBytes("UTF-8")))
+        finally out.close()
+        try putIfAbsent(tmp, dstCsv)
+        catch { case _: java.util.ConcurrentModificationException => () }
+      }
       v
     }
 
@@ -247,8 +436,12 @@ object SnapshotLog {
         victims.foreach { case (_, p) => fs.delete(p, false) }
         fs.listStatus(logDir).toSeq.map(_.getPath)
           .filter { p =>
-            p.getName.endsWith(".ckpt") &&
-              p.getName.stripSuffix(".ckpt").toIntOption.exists(_ < cv)
+            val n = p.getName
+            val v =
+              if (n.endsWith(".ckpt.pq")) n.stripSuffix(".ckpt.pq")
+              else if (n.endsWith(".ckpt")) n.stripSuffix(".ckpt")
+              else ""
+            v.toIntOption.exists(_ < cv)
           }
           .foreach(p => fs.delete(p, false))
         victims.map(_._1)
@@ -389,13 +582,13 @@ object SnapshotLog {
     private[graft] def segmentObservedInCheckpoint(v: Int,
         stamped: Seq[Entry]): Boolean = latestCheckpoint match {
       case Some((cv, cp)) if cv >= v =>
-        (try parseLines(cp).filter(_.version == v)
+        (try checkpointEntriesFor(cp, v)
          catch { case _: java.io.FileNotFoundException =>
            // the checkpoint itself was superseded+vacuumed mid-read;
            // the newer one still carries v verbatim — retry once via
            // the fresh listing
-           latestCheckpoint.map(c => parseLines(c._2)
-             .filter(_.version == v)).getOrElse(Nil)
+           latestCheckpoint.map(c => checkpointEntriesFor(c._2, v))
+             .getOrElse(Nil)
          }) == stamped
       case _ => false
     }
@@ -424,13 +617,10 @@ object SnapshotLog {
           throw e
       }
 
-    /** Live file set at version `v` — the log fold, newest wins. */
+    /** Live file set at version `v` — the log fold, newest wins.
+      * Memoized per (log state, version) in [[FoldState]]. */
     def liveFiles(asOfVersion: Int): Seq[String] =
-      entries.filter(_.version <= asOfVersion).foldLeft(Vector.empty[String]) {
-        case (acc, Entry(_, "add", p))    => acc :+ p
-        case (acc, Entry(_, "remove", p)) => acc.filterNot(_ == p)
-        case (acc, _)                     => acc
-      }
+      foldState().liveFiles(asOfVersion)
 
     /** Time-travel read: exactly the files live at `v`, with the
       * partition column recovered through `basePath`. Pass
@@ -1064,29 +1254,15 @@ object SnapshotLog {
       * data read — and a sparse optional column's `IS NULL` audit
       * reads only the files that actually carry nulls. */
     def nullCounts: Map[String, Map[String, (Long, Long)]] =
-      entries.filter(_.action == "stats_n")
-        .groupBy(_.path.split('|')(0))
-        .map { case (p, es) =>
-          p -> es.map { e =>
-            val Array(_, c, n, rows) = e.path.split('|')
-            c -> (n.toLong, rows.toLong)
-          }.toMap
-        }
+      foldState().nullCounts
 
     /** Manifest-recorded byte lengths (`fsize` entries), keyed by
       * relative path. Files from commits predating the entry type
       * simply miss here — readers fall back to a status call. */
-    def fileSizes: Map[String, Long] =
-      entries.filter(_.action == "fsize").map { e =>
-        val Array(rel, len) = e.path.split('|')
-        rel -> len.toLong
-      }.toMap
+    def fileSizes: Map[String, Long] = foldState().fileSizes
 
-    private def hex(s: String): String =
-      s.getBytes("UTF-8").map(b => f"$b%02x").mkString
-    private def unhex(h: String): String =
-      new String(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
-        "UTF-8")
+    private def hex(s: String): String = hexStr(s)
+    private def unhex(h: String): String = unhexStr(h)
 
     /** Per-file zone maps recorded at commit time: `stats` log entries
       * carry `path|col|min|max` for integer-physical columns (INT64,
@@ -1094,27 +1270,13 @@ object SnapshotLog {
       * parquet FOOTER of each adopted file — a metadata-only pass, no
       * data read. Keyed by relative path. */
     def zoneMaps: Map[String, Map[String, (Long, Long)]] =
-      entries.filter(_.action == "stats")
-        .groupBy(_.path.split('|')(0))
-        .map { case (p, es) =>
-          p -> es.map { e =>
-            val Array(_, c, lo, hi) = e.path.split('|')
-            c -> (lo.toLong, hi.toLong)
-          }.toMap
-        }
+      foldState().zoneMaps
 
     /** String zone maps (`stats_s` entries, hex-encoded bounds so the
       * csv stays delimiter-safe): per-file [min, max] where max may be
       * a truncation-safe upper bound (prefix with last char bumped). */
     def zoneMapsStr: Map[String, Map[String, (String, String)]] =
-      entries.filter(_.action == "stats_s")
-        .groupBy(_.path.split('|')(0))
-        .map { case (p, es) =>
-          p -> es.map { e =>
-            val Array(_, c, lo, hi) = e.path.split('|')
-            c -> (unhex(lo), unhex(hi))
-          }.toMap
-        }
+      foldState().zoneMapsStr
 
     /** The live files at `v` that can contain a row with
       * `col ∈ [lo, hi]`, by zone-map pruning — files with no recorded

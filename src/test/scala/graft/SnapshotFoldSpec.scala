@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotLog
+import graft.sources.SnapshotLog.Entry
+
+/** The manifest read path at manifest SCALE: the memoized fold
+  * ([[SnapshotLog.FoldState]]) and the columnar (parquet) checkpoint
+  * are what keep read planning sub-second when the live set is 10⁵
+  * files — the scale where the previous per-call driver CSV parse
+  * became hundreds of MB of text per query. */
+class SnapshotFoldSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rm(root: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+
+  test("columnar checkpoint round-trips the whole protocol") {
+    import spark.implicits._
+    // force EVERY checkpoint columnar (threshold 1): the same
+    // auto-checkpoint + vacuum + time-travel + tag + wall-clock flows
+    // must be format-blind
+    val root = tmp("graft_pqckpt_spec_")
+    val t = new SnapshotLog.Table(spark, root, autoCheckpointEvery = 2,
+      parquetCheckpointAt = 1)
+    (1 to 5).foreach { i =>
+      t.commitAppend(Seq((i.toLong, "a", i * 10L)).toDF("k", "part", "v"),
+        "part")
+    }
+    // a columnar checkpoint exists and the covered segments are gone
+    val ckpts = new java.io.File(s"$root/log").listFiles()
+      .map(_.getName).filter(_.endsWith(".ckpt.pq"))
+    assert(ckpts.nonEmpty, "no columnar checkpoint written")
+    // every version still time-travels (checkpoint consolidates
+    // verbatim: history, not just the tip)
+    (1 to 5).foreach { v =>
+      assert(t.asOf(v).count() == v, s"asOf($v)")
+    }
+    // meta stamps survive: wall-clock resolution still works
+    assert(t.versionAsOfTimestamp(t.publishTimestamp(3)) == 3)
+    // zone maps survive: the stats entries fold out of the parquet
+    // checkpoint exactly as they did out of CSV
+    assert(t.liveFiles(5).forall(p =>
+      t.zoneMaps.get(p).exists(_.contains("k"))))
+    // a FRESH handle (fresh fold, parquet parse path) agrees
+    val t2 = new SnapshotLog.Table(spark, root)
+    assert(t2.asOf(5).as[(Long, Long, String)].collect().length == 5)
+    rm(root)
+  }
+
+  test("10^5-file manifest: first fold bounded, repeat plans sub-second") {
+    // synthetic manifest at the 100 TB shape: 10 commits x 10k files,
+    // each file carrying zone-map + size entries (410k entries total).
+    // No data bytes — this pins the PLANNING cost, which must be
+    // O(manifest) once and ~O(1) on repeat, never O(manifest) per read.
+    val root = tmp("graft_foldbench_spec_")
+    val t = new SnapshotLog.Table(spark, root, autoCheckpointEvery = 0)
+    (1 to 10).foreach { v =>
+      val lines = (1 to 10000).flatMap { j =>
+        val id = (v - 1) * 10000 + j
+        val p = s"part=p/v$v-f$id.parquet"
+        Seq(Entry(v, "add", p),
+          Entry(v, "stats", s"$p|k|${id * 10L}|${id * 10L + 9}"),
+          Entry(v, "fsize", s"$p|134217728"))
+      }
+      t.publishSegment(v, lines)
+    }
+    val cv = t.checkpointLog()
+    assert(cv == 10)
+    assert(new java.io.File(s"$root/log/10.ckpt.pq").exists,
+      "a 410k-entry checkpoint must be columnar")
+    t.vacuumLog()
+
+    // first fold on a fresh handle: distributed parquet parse +
+    // one LinkedHashSet fold — bounded (the old quadratic Vector
+    // fold alone would take minutes at this count)
+    val t0 = System.nanoTime
+    val tFresh = new SnapshotLog.Table(spark, root)
+    assert(tFresh.liveFiles(10).size == 100000)
+    val firstSec = (System.nanoTime - t0) / 1e9
+    assert(firstSec < 30.0, f"first fold took $firstSec%.1f s")
+
+    // repeat plans: NEW handles (the memo is keyed by root, the way
+    // per-query code constructs tables), live set + zone prune each
+    // time — sub-second apiece
+    val t1 = System.nanoTime
+    val reps = 20
+    (1 to reps).foreach { _ =>
+      val th = new SnapshotLog.Table(spark, root)
+      assert(th.liveFiles(10).size == 100000)
+      // zone prune over the memoized stats: narrow band keeps ~1 file
+      val hits = th.pruneFiles(10, "k", 500005L, 500050L)
+      assert(hits.nonEmpty && hits.size < 100, s"prune kept ${hits.size}")
+    }
+    val perRep = (System.nanoTime - t1) / 1e9 / reps
+    assert(perRep < 1.0, f"repeat plan took $perRep%.2f s")
+
+    // the fold extends INCREMENTALLY: one more segment parses only
+    // itself (correctness check; the timing above already proves the
+    // cached path)
+    t.publishSegment(11, Seq(Entry(11, "remove", "part=p/v1-f1.parquet")))
+    assert(new SnapshotLog.Table(spark, root).liveFiles(11).size == 99999)
+    rm(root)
+  }
+}
