@@ -154,6 +154,102 @@ object SnapshotLog {
     new java.util.concurrent.ConcurrentHashMap[String, (LogKey, FoldState)]()
   private val FoldCacheMaxRoots = 32
 
+  /** The put-if-absent primitive every publish (segment, checkpoint)
+    * rides — PLUGGABLE, because where the atomicity lives differs by
+    * substrate and pretending otherwise is how a commit protocol's
+    * multi-writer safety silently evaporates on the one substrate a
+    * 100 TB table actually lives on:
+    *  - HDFS: no-overwrite rename is atomic in the NameNode
+    *    ([[FsCommitBinder]]'s DFS branch).
+    *  - POSIX local FS: `link(2)` fails EEXIST atomically in the
+    *    kernel; rename-without-overwrite is CHECK-THEN-ACT in Hadoop's
+    *    local FS and loses races ([[FsCommitBinder]]'s file branch).
+    *  - S3-class object stores: NO atomic rename, NO link — the only
+    *    CAS is a conditional PUT (`If-None-Match: *`), or an external
+    *    coordinator (DynamoDB in S3-Delta). [[ConditionalPutBinder]]
+    *    is the in-JVM double of that contract, so the race suite can
+    *    prove the protocol against object-store semantics.
+    * Contract: atomically bind `tmp`'s bytes to `dst` iff `dst` does
+    * not exist; throw ConcurrentModificationException on a lost race;
+    * always reclaim `tmp`. */
+  trait CommitBinder {
+    def putIfAbsent(fs: FileSystem,
+        conf: org.apache.hadoop.conf.Configuration,
+        tmp: Path, dst: Path): Unit
+  }
+
+  /** Filesystem binder: POSIX `link(2)` on `file:`, no-overwrite
+    * `FileContext.rename` on DFS schemes. The default. */
+  object FsCommitBinder extends CommitBinder {
+    override def putIfAbsent(fs: FileSystem,
+        conf: org.apache.hadoop.conf.Configuration,
+        tmp: Path, dst: Path): Unit = {
+      val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+      if (scheme == "file") {
+        val src = java.nio.file.Paths.get(
+          Path.getPathWithoutSchemeAndAuthority(fs.makeQualified(tmp))
+            .toString)
+        val target = java.nio.file.Paths.get(
+          Path.getPathWithoutSchemeAndAuthority(fs.makeQualified(dst))
+            .toString)
+        try {
+          java.nio.file.Files.createLink(target, src)
+          fs.delete(tmp, false) // dst holds the inode; drop the temp name
+        } catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            fs.delete(tmp, false)
+            throw new java.util.ConcurrentModificationException(
+              s"${dst.getName} was committed concurrently ($e) — " +
+                "re-read the snapshot and retry")
+        }
+      } else {
+        val fc = FileContext.getFileContext(dst.toUri, conf)
+        try fc.rename(fs.makeQualified(tmp), fs.makeQualified(dst))
+        catch {
+          case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                    _: java.nio.file.FileAlreadyExistsException) =>
+            fs.delete(tmp, false)
+            throw new java.util.ConcurrentModificationException(
+              s"${dst.getName} was committed concurrently ($e) — " +
+                "re-read the snapshot and retry")
+        }
+      }
+    }
+  }
+
+  /** Object-store binder double: models a store with NO atomic rename
+    * and NO hard links, whose only primitive is a CONDITIONAL PUT
+    * that atomically fails when the key already exists. The store's
+    * metadata CAS is modeled by a JVM-global reservation map (one
+    * `putIfAbsent` per destination URI — exactly the If-None-Match
+    * arbitration S3 performs); the body write that follows a won
+    * reservation models the PUT body landing (a real store makes
+    * reservation+body one atomic operation; the double's seam between
+    * them can only surface as a missing file, which the read path's
+    * FileNotFound retry already tolerates). A pre-existing
+    * destination written by another binder or JVM counts as taken.
+    * Production use of a real store needs a real conditional-PUT
+    * client behind this same trait — the protocol above it is proven
+    * binder-blind by the race suite. */
+  object ConditionalPutBinder extends CommitBinder {
+    private val reservations =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    override def putIfAbsent(fs: FileSystem,
+        conf: org.apache.hadoop.conf.Configuration,
+        tmp: Path, dst: Path): Unit = {
+      val key = fs.makeQualified(dst).toUri.toString
+      val lost = reservations.putIfAbsent(key, java.lang.Boolean.TRUE) != null ||
+        fs.exists(dst)
+      if (lost) {
+        fs.delete(tmp, false)
+        throw new java.util.ConcurrentModificationException(
+          s"${dst.getName} was committed concurrently (conditional " +
+            "PUT: key exists) — re-read the snapshot and retry")
+      }
+      require(fs.rename(tmp, dst), s"PUT body $tmp -> $dst failed")
+    }
+  }
+
   /** @param bloomCols LONG or STRING columns to index with a per-file
     *   BLOOM FILTER SIDECAR at commit time (`index/<rel>.<col>.bloom`).
     *   The complement of zone maps: zone maps skip by RANGE (great for
@@ -212,7 +308,8 @@ object SnapshotLog {
       val autoCheckpointEvery: Int = 10,
       val autoVacuumLog: Boolean = true,
       val autoCompactAt: Int = 0,
-      val parquetCheckpointAt: Int = 4096) {
+      val parquetCheckpointAt: Int = 4096,
+      val binder: CommitBinder = FsCommitBinder) {
     private val dataDir = s"$root/data"
     private val logDir = new Path(s"$root/log")
     private def hadoopConf = spark.sparkContext.hadoopConfiguration
@@ -463,53 +560,17 @@ object SnapshotLog {
 
     /** Atomically bind `tmp`'s bytes to `dst`, failing if `dst`
       * exists — the put-if-absent primitive both segment and
-      * checkpoint publishes ride on. Scheme-dependent, because the
-      * atomicity lives in different places:
-      *  - DFS schemes: `FileContext.rename` with `Options.Rename.NONE`
-      *    — HDFS implements no-overwrite rename atomically in the
-      *    NameNode.
-      *  - LOCAL files: POSIX `link(2)` via `Files.createLink`, which
-      *    fails EEXIST atomically in the kernel. FileContext's
-      *    Rename.NONE on the local FS is CHECK-THEN-ACT — two racers
-      *    can both pass the existence check and `File.renameTo`
-      *    silently overwrites on POSIX, so the "loser" clobbers the
-      *    winner's committed segment (and tears the ChecksumFS
-      *    data/.crc pair — surfacing later as ChecksumException).
-      *    CommitRaceSpec's 4-thread stress found exactly this.
-      * Throws ConcurrentModificationException on a lost race; always
-      * reclaims `tmp`. */
-    private def putIfAbsent(tmp: Path, dst: Path): Unit = {
-      val scheme = Option(fs.getUri.getScheme).getOrElse("file")
-      if (scheme == "file") {
-        val src = java.nio.file.Paths.get(
-          Path.getPathWithoutSchemeAndAuthority(fs.makeQualified(tmp))
-            .toString)
-        val target = java.nio.file.Paths.get(
-          Path.getPathWithoutSchemeAndAuthority(fs.makeQualified(dst))
-            .toString)
-        try {
-          java.nio.file.Files.createLink(target, src)
-          fs.delete(tmp, false) // dst holds the inode; drop the temp name
-        } catch {
-          case e: java.nio.file.FileAlreadyExistsException =>
-            fs.delete(tmp, false)
-            throw new java.util.ConcurrentModificationException(
-              s"${dst.getName} was committed concurrently ($e) — " +
-                "re-read the snapshot and retry")
-        }
-      } else {
-        val fc = FileContext.getFileContext(dst.toUri, hadoopConf)
-        try fc.rename(fs.makeQualified(tmp), fs.makeQualified(dst))
-        catch {
-          case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
-                    _: java.nio.file.FileAlreadyExistsException) =>
-            fs.delete(tmp, false)
-            throw new java.util.ConcurrentModificationException(
-              s"${dst.getName} was committed concurrently ($e) — " +
-                "re-read the snapshot and retry")
-        }
-      }
-    }
+      * checkpoint publishes ride on, delegated to the table's
+      * [[CommitBinder]] (POSIX link(2) / DFS no-overwrite rename by
+      * default; a conditional-PUT binder for object-store semantics —
+      * the CommitRaceSpec suite proves the protocol on both). The
+      * local-FS trap that forced the seam in the first place:
+      * FileContext's Rename.NONE on `file:` is CHECK-THEN-ACT — two
+      * racers can both pass the existence check and the loser's
+      * rename silently clobbers the winner's committed segment
+      * (found by the 4-thread stress). */
+    private def putIfAbsent(tmp: Path, dst: Path): Unit =
+      binder.putIfAbsent(fs, hadoopConf, tmp, dst)
 
     /** Publish `lines` as the immutable segment for version `v`:
       * write a temp file in full, then atomically bind it WITHOUT

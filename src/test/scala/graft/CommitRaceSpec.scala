@@ -10,7 +10,15 @@ import graft.sources.SnapshotLog
   * lets the JVM scheduler generate them. */
 class CommitRaceSpec extends SparkSpec {
 
-  test("racing appenders all land exactly once, versions dense") {
+  // Every scenario runs against BOTH binders: the POSIX/DFS filesystem
+  // binder and the object-store conditional-PUT double — the protocol
+  // must be binder-blind or its multi-writer story dies on S3-class
+  // stores (no atomic rename, no link). See SnapshotLog.CommitBinder.
+  for ((bname, binder) <- Seq(
+      "posix" -> SnapshotLog.FsCommitBinder,
+      "s3sim" -> SnapshotLog.ConditionalPutBinder)) {
+
+  test(s"racing appenders all land exactly once, versions dense [$bname]") {
     import spark.implicits._
     val root = java.nio.file.Files
       .createTempDirectory("graft_race_").toString
@@ -21,7 +29,7 @@ class CommitRaceSpec extends SparkSpec {
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val threads = (0 until nThreads).map { tid =>
       new Thread(() => try {
-        val t = new SnapshotLog.Table(spark, root)
+        val t = new SnapshotLog.Table(spark, root, binder = binder)
         (0 until perThread).foreach { b =>
           val keyBase = (tid * perThread + b) * 1000L
           val v = t.withRetry(maxAttempts = 50) { expected =>
@@ -42,7 +50,7 @@ class CommitRaceSpec extends SparkSpec {
     // every batch landed in its OWN version; versions are dense 1..N
     assert(versions == (1 to nThreads * perThread).toSeq,
       s"versions not dense/unique: $versions")
-    val t = new SnapshotLog.Table(spark, root)
+    val t = new SnapshotLog.Table(spark, root, binder = binder)
     // every row present exactly once — no lost batch, no double-adopt
     val rows = t.asOf(t.version).select("k").collect().map(_.getLong(0))
     assert(rows.length == nThreads * perThread * 10)
@@ -55,7 +63,7 @@ class CommitRaceSpec extends SparkSpec {
       new java.io.File(root))
   }
 
-  test("racing appenders with auto-compaction: rows exact, bound converges") {
+  test(s"racing appenders with auto-compaction: rows exact, bound converges [$bname]") {
     import spark.implicits._
     val root = java.nio.file.Files
       .createTempDirectory("graft_raceac_").toString
@@ -71,7 +79,7 @@ class CommitRaceSpec extends SparkSpec {
     val threads = (0 until nThreads).map { tid =>
       new Thread(() => try {
         val t = new SnapshotLog.Table(spark, root,
-          autoCheckpointEvery = 2, autoCompactAt = 3)
+          autoCheckpointEvery = 2, autoCompactAt = 3, binder = binder)
         (0 until perThread).foreach { b =>
           val keyBase = (tid * perThread + b) * 1000L
           t.withRetry(maxAttempts = 50) { expected =>
@@ -88,7 +96,7 @@ class CommitRaceSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     assert(errors.isEmpty, s"writer thread died: ${errors.asScala.headOption}")
     val t = new SnapshotLog.Table(spark, root,
-      autoCheckpointEvery = 2, autoCompactAt = 3)
+      autoCheckpointEvery = 2, autoCompactAt = 3, binder = binder)
     val rows = t.asOf(t.version).select("k").collect().map(_.getLong(0))
     assert(rows.length == nThreads * perThread * 5,
       s"row count drifted under compaction races: ${rows.length}")
@@ -106,7 +114,7 @@ class CommitRaceSpec extends SparkSpec {
       new java.io.File(root))
   }
 
-  test("racing appenders rebase metadata-only: one data write each") {
+  test(s"racing appenders rebase metadata-only: one data write each [$bname]") {
     import spark.implicits._
     val root = java.nio.file.Files
       .createTempDirectory("graft_racerb_").toString
@@ -119,7 +127,7 @@ class CommitRaceSpec extends SparkSpec {
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val threads = (0 until nThreads).map { tid =>
       new Thread(() => try {
-        val t = new SnapshotLog.Table(spark, root)
+        val t = new SnapshotLog.Table(spark, root, binder = binder)
         (0 until perThread).foreach { b =>
           val keyBase = (tid * perThread + b) * 1000L
           t.commitAppend(
@@ -133,7 +141,7 @@ class CommitRaceSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     assert(errors.isEmpty,
       s"rebase must absorb version races: ${errors.asScala.headOption}")
-    val t = new SnapshotLog.Table(spark, root)
+    val t = new SnapshotLog.Table(spark, root, binder = binder)
     assert(t.version == nThreads * perThread, "versions dense")
     val rows = t.asOf(t.version).select("k").collect().map(_.getLong(0))
     assert(rows.length == nThreads * perThread * 10)
@@ -147,19 +155,19 @@ class CommitRaceSpec extends SparkSpec {
       new java.io.File(root))
   }
 
-  test("reader folds stay consistent under concurrent checkpoint+vacuum") {
+  test(s"reader folds stay consistent under concurrent checkpoint+vacuum [$bname]") {
     import spark.implicits._
     val root = java.nio.file.Files
       .createTempDirectory("graft_readvac_").toString
     // aggressive cadence: checkpoint+vacuum every 2 commits, so the
     // reader's list-then-parse window races real segment deletions
     val writer = new SnapshotLog.Table(spark, root,
-      autoCheckpointEvery = 2)
+      autoCheckpointEvery = 2, binder = binder)
     writer.commitAppend(Seq((0L, "x")).toDF("k", "part"), "part")
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val reader = new Thread(() => try {
-      val t = new SnapshotLog.Table(spark, root)
+      val t = new SnapshotLog.Table(spark, root, binder = binder)
       while (!stop.get()) {
         val es = t.entries // must never throw on a vacuumed segment
         val adds = es.count(_.action == "add")
@@ -187,11 +195,11 @@ class CommitRaceSpec extends SparkSpec {
       new java.io.File(root))
   }
 
-  test("racing MOR deleters: bindings never cross, all victims dead") {
+  test(s"racing MOR deleters: bindings never cross, all victims dead [$bname]") {
     import spark.implicits._
     val root = java.nio.file.Files
       .createTempDirectory("graft_racemor_").toString
-    val seedT = new SnapshotLog.Table(spark, root)
+    val seedT = new SnapshotLog.Table(spark, root, binder = binder)
     seedT.commitAppend((1L to 400L).map(k => (k, "x")).toDF("k", "part")
       .coalesce(4), "part")
     // four threads each MOR-delete a DISJOINT key slice; the sidecar
@@ -200,7 +208,7 @@ class CommitRaceSpec extends SparkSpec {
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val threads = (0 until 4).map { tid =>
       new Thread(() => try {
-        val t = new SnapshotLog.Table(spark, root)
+        val t = new SnapshotLog.Table(spark, root, binder = binder)
         val ks = (1L to 400L).filter(_ % 4 == tid.toLong).take(10)
         t.withRetry(maxAttempts = 50) { expected =>
           t.commitDeleteKeysMor(ks.toDF("k"), "k",
@@ -214,7 +222,7 @@ class CommitRaceSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     assert(errors.isEmpty,
       s"deleter thread died: ${errors.asScala.headOption}")
-    val t = new SnapshotLog.Table(spark, root)
+    val t = new SnapshotLog.Table(spark, root, binder = binder)
     assert(t.version == 5, s"not all deletes landed: v=${t.version}")
     val live = t.asOfMor(t.version).select("k").collect()
       .map(_.getLong(0)).toSet
@@ -229,5 +237,6 @@ class CommitRaceSpec extends SparkSpec {
     assert(t.orphanDvFiles().isEmpty)
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(root))
+  }
   }
 }
