@@ -145,6 +145,57 @@ object FileIndex {
     t
   }
 
+  /** Build-once versioned table for the column-mapping query:
+    * ingest interleaved with RENAME/DROP COLUMN —
+    *  v1/v2: date bands 1,2 as (o_orderkey, cents, o_date_days,
+    *         scratch), bloom-indexed on o_orderkey;
+    *  v3:    RENAME cents -> price_cents (metadata-only);
+    *  v4:    band 3 written under the NEW logical names;
+    *  v5:    RENAME o_orderkey -> order_id (the BLOOM column);
+    *  v6:    DROP scratch;
+    *  v7:    band 4 written post-drop (order_id, price_cents only).
+    * Physical names never change, so the v1/v2 files, their zone
+    * maps and bloom sidecars serve reads at v7 untouched. */
+  private[graft] def rcStagedTable(
+      spark: SparkSession, dir: String): SnapshotLog.Table = {
+    val factPath = java.nio.file.Paths.get(s"$dir/orders.parquet")
+      .toAbsolutePath.toString
+    val root = graft.util.Staging.dir("graft_snaprc_", s"$factPath|rc_v1")
+    val t = new SnapshotLog.Table(spark, root,
+      bloomCols = Seq("o_orderkey"))
+    val marker = new Path(s"$root/_BUILT")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      fs.delete(new Path(s"$root/data"), true)
+      fs.delete(new Path(s"$root/log"), true)
+      fs.delete(new Path(s"$root/index"), true)
+      val orders = spark.read.parquet(factPath).select(
+        col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        expr("CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT)")
+          .as("o_date_days"),
+        (col("o_orderkey") % 7).as("scratch"),
+        col("o_orderstatus"))
+      val cuts = Seq(Long.MinValue, Wave8.days("1997-01-01"),
+        Wave8.days("1999-01-01"), Wave8.days("2001-01-01"), Long.MaxValue)
+      def band(i: Int) = orders.filter(
+        col("o_date_days") >= cuts(i) && col("o_date_days") < cuts(i + 1))
+      t.commitAppend(band(0), "o_orderstatus")
+      t.commitAppend(band(1), "o_orderstatus")
+      t.renameColumn("cents", "price_cents")
+      t.commitAppend(band(2).withColumnRenamed("cents", "price_cents"),
+        "o_orderstatus")
+      t.renameColumn("o_orderkey", "order_id")
+      t.dropColumn("scratch")
+      t.commitAppend(band(3)
+        .withColumnRenamed("cents", "price_cents")
+        .withColumnRenamed("o_orderkey", "order_id")
+        .drop("scratch"), "o_orderstatus")
+      fs.create(marker, true).close()
+    }
+    t
+  }
+
   /** Build-once versioned table for the range-delete query: four
     * date-range appends, then one `commitDeleteRange` of the
     * mid-1997..end-1997 day band — the zone maps bound the COW blast
@@ -506,6 +557,83 @@ object FileIndex {
           count(col("o_orderpriority")).as("n_with_priority"),
           countDistinct(col("o_orderpriority")).as("n_priorities"))
         .orderBy("o_orderstatus")
+    },
+
+    // ---- column mapping (RENAME / DROP COLUMN): metadata-only renames
+    //      and drops over a table whose files, zone maps, and bloom
+    //      sidecars are NEVER rewritten (physical names are the stable
+    //      ids; the logical view is a per-version fold of colmap log
+    //      entries). The fixture interleaves ingest with two renames —
+    //      one of them the BLOOM column — and a drop; the result reads
+    //      the CURRENT logical view next to a PRE-RENAME time travel,
+    //      so the hash convicts a mapping that leaks into history, a
+    //      rename that loses rows, or a drop that destroys data.
+    //      In-query requires pin the scale half: the bloom sidecars
+    //      (keyed by physical name) still prune point lookups on the
+    //      RENAMED column, including through the ambient pruned scan
+    //      (the pushed filter crosses the rename projection).
+    QueryDef.checked(
+      "q_snapshot_rename_col",
+      s"""WITH base AS (
+         |  SELECT o_orderkey,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         |    datediff('day', DATE '1970-01-01',
+         |             CAST(o_orderdate AS DATE)) AS d,
+         |    o_orderstatus
+         |  FROM orders
+         |)
+         |SELECT 'current' AS era, o_orderstatus, count(*) AS n_rows,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+         |  min(o_orderkey) AS min_id, max(o_orderkey) AS max_id,
+         |  CAST(-1 AS BIGINT) AS n_scratch
+         |FROM base GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 'pre', o_orderstatus, count(*),
+         |  CAST(sum(cents) AS BIGINT),
+         |  min(o_orderkey), max(o_orderkey),
+         |  count(DISTINCT o_orderkey % 7)
+         |FROM base WHERE d < ${Wave8.days("1999-01-01")}
+         |GROUP BY o_orderstatus
+         |ORDER BY era, o_orderstatus""".stripMargin) { (spark, dir) =>
+      val t = rcStagedTable(spark, dir)
+      val v = t.version
+      require(v == 7, s"fixture must be 7 versions (got $v)")
+      val cur = t.asOf(v, mergeSchema = true)
+      require(Set("order_id", "price_cents").subsetOf(cur.columns.toSet) &&
+        !cur.columns.exists(Set("o_orderkey", "cents", "scratch")),
+        s"current view must speak the renamed schema: ${cur.columns.toSeq}")
+      val pre = t.asOf(2)
+      require(Set("o_orderkey", "cents", "scratch")
+        .subsetOf(pre.columns.toSet),
+        s"time travel must keep original names: ${pre.columns.toSeq}")
+      // bloom sidecars survive the rename of their column (physical
+      // key), and the pushed filter crosses the rename projection into
+      // the manifest on the AMBIENT path
+      val live = t.liveFiles(v).size
+      require(t.pointLookupFiles(v, "order_id", Seq(11L, 97L, 123L))
+        .size < live, "bloom prune must survive the rename")
+      t.resetScanPrune()
+      t.scanAsOf(v).filter(col("order_id").isin(11L, 97L, 123L))
+        .localCheckpoint()
+      val Some((scanned, _)) = t.lastScanPrune
+      require(scanned < live,
+        s"ambient prune through the rename failed: $scanned of $live")
+      def agg(df: DataFrame, era: String, idCol: String,
+          centsCol: String,
+          nScratch: org.apache.spark.sql.Column): DataFrame = df
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col(centsCol)).as("sum_cents"),
+          min(col(idCol)).as("min_id"),
+          max(col(idCol)).as("max_id"),
+          nScratch.as("n_scratch"))
+        .select(lit(era).as("era"), col("o_orderstatus"), col("n_rows"),
+          col("sum_cents"), col("min_id"), col("max_id"),
+          col("n_scratch"))
+      agg(cur, "current", "order_id", "price_cents", max(lit(-1L)))
+        .unionAll(agg(pre, "pre", "o_orderkey", "cents",
+          countDistinct(col("scratch"))))
+        .orderBy("era", "o_orderstatus")
     },
 
     // ---- write-audit-publish: the ingest quality gate as a STORAGE

@@ -141,6 +141,11 @@ object SnapshotLog {
         val Array(rel, len) = e.path.split('|')
         rel -> len.toLong
       }.toMap
+
+    /** Column-mapping entries only — tiny (one per rename/drop ever),
+      * so the per-read mapping fold is O(#renames), not O(manifest). */
+    lazy val colmapEntries: Vector[Entry] =
+      entries.filter(_.action == "colmap")
   }
 
   /** (listing key, folded state) per table root. The key is the exact
@@ -683,6 +688,117 @@ object SnapshotLog {
     def liveFiles(asOfVersion: Int): Seq[String] =
       foldState().liveFiles(asOfVersion)
 
+    // ---- column mapping (RENAME / DROP COLUMN) -----------------------
+
+    /** The column mapping at version `v`:
+      * (logical name -> physical name, dropped physical names).
+      *
+      * A column's PHYSICAL name — the one in every parquet footer,
+      * partition directory, zone-map/bloom stat and sidecar — is
+      * whatever it was FIRST written as, forever (it doubles as the
+      * column's stable id, the way Delta's name-mode column mapping
+      * works). RENAME and DROP are metadata-only commits (`colmap`
+      * log entries): no data file, stat entry, or index sidecar is
+      * rewritten — at 100 TB a rename that rewrote stats would be a
+      * full-manifest operation for a cosmetic change. Reads fold the
+      * entries ≤ v, so time travel to an old version surfaces the
+      * names OF THAT VERSION; zone-map pruning and bloom lookups key
+      * on the physical name and survive any number of renames. */
+    def columnMapping(v: Int): (Map[String, String], Set[String]) =
+      foldState().colmapEntries.filter(_.version <= v)
+        .foldLeft((Map.empty[String, String], Set.empty[String])) {
+          case ((m, dr), Entry(_, _, spec)) => spec.split('|') match {
+            case Array("rename", from, to) =>
+              (m - from + (to -> m.getOrElse(from, from)), dr)
+            case Array("drop", name) =>
+              (m - name, dr + m.getOrElse(name, name))
+            case other =>
+              throw new IllegalStateException(
+                s"unreadable colmap entry: ${other.mkString("|")}")
+          }
+        }
+
+    /** The physical name behind logical `name` at version `v`
+      * (identity when never renamed). */
+    def physicalAt(v: Int, name: String): String =
+      columnMapping(v)._1.getOrElse(name, name)
+
+    /** RENAME COLUMN — metadata-only commit. The logical name changes
+      * for reads at and after this version; the physical column (and
+      * every stat and sidecar keyed by it) is untouched, and time
+      * travel below this version still sees `from`. */
+    def renameColumn(from: String, to: String,
+        expectedVersion: Int = -1): Int = {
+      val v = casCheck(expectedVersion)
+      require(from != to, s"rename $from -> $to is a no-op")
+      require(from.nonEmpty && to.nonEmpty && !to.contains("|"),
+        s"bad column names: '$from' -> '$to'")
+      val (m, dropped) = columnMapping(v - 1)
+      require(!m.contains(to) && !dropped.contains(to),
+        s"logical name $to already in use (or dropped) at v${v - 1}")
+      // collision/existence check against the CURRENT logical schema:
+      // one footer + the layout's partition columns (conservative —
+      // additive evolution may hide a column in a non-head file, the
+      // same one-footer contract scanAsOf uses)
+      val live = liveFiles(v - 1)
+      if (live.nonEmpty) {
+        val phys = spark.read.parquet(s"$dataDir/${live.head}")
+          .schema.fieldNames.toSet ++
+          live.head.split('/').dropRight(1).map(_.takeWhile(_ != '='))
+        val logical = phys.filterNot(dropped.contains)
+          .map(ph => m.find(_._2 == ph).map(_._1).getOrElse(ph)) ++ m.keys
+        require(!logical.contains(to),
+          s"column $to already exists — rename would shadow it")
+        require(logical.contains(from),
+          s"no such column to rename: $from")
+      }
+      publishSegment(v, Seq(Entry(v, "colmap", s"rename|$from|$to")))
+      v
+    }
+
+    /** DROP COLUMN — metadata-only commit: the physical column stays
+      * in every file (old versions still time-travel to it); reads at
+      * and after this version project it away. A dropped logical name
+      * must not be re-introduced (its physical twin still occupies
+      * the footers — the reason production formats require id-based
+      * mapping before allowing re-use). */
+    def dropColumn(name: String, expectedVersion: Int = -1): Int = {
+      val v = casCheck(expectedVersion)
+      publishSegment(v, Seq(Entry(v, "colmap", s"drop|$name")))
+      v
+    }
+
+    /** Reads: project PHYSICAL columns to the logical view of `v` —
+      * dropped columns vanish, renamed ones surface under their
+      * logical-at-v name. Identity (and zero plan overhead) for
+      * tables that never renamed. */
+    private def applyMapping(v: Int, df: DataFrame): DataFrame = {
+      val (m, dropped) = columnMapping(v)
+      if (m.isEmpty && dropped.isEmpty) return df
+      val d1 = dropped.foldLeft(df)((d, ph) =>
+        if (d.columns.contains(ph)) d.drop(ph) else d)
+      m.foldLeft(d1) { case (d, (lg, ph)) =>
+        if (d.columns.contains(ph)) d.withColumnRenamed(ph, lg) else d
+      }
+    }
+
+    /** Writes: a user batch arrives with LOGICAL (current) names —
+      * store it under the PHYSICAL ones so all files of a column
+      * agree forever. Internal COW rewrites pass through here too but
+      * already carry physical names (they read raw), so the renames
+      * no-op. Dropped logical names are rejected loudly. */
+    private def toPhysical(df: DataFrame): DataFrame = {
+      val (m, dropped) = columnMapping(version)
+      if (m.isEmpty && dropped.isEmpty) return df
+      df.columns.find(c => dropped.contains(m.getOrElse(c, c)))
+        .foreach(c => throw new IllegalArgumentException(
+          s"column $c was dropped; re-introducing it would collide " +
+            "with the retired physical column"))
+      m.foldLeft(df) { case (d, (lg, ph)) =>
+        if (d.columns.contains(lg)) d.withColumnRenamed(lg, ph) else d
+      }
+    }
+
     /** Time-travel read: exactly the files live at `v`, with the
       * partition column recovered through `basePath`. Pass
       * `mergeSchema = true` when commits evolved the schema (columns
@@ -704,7 +820,7 @@ object SnapshotLog {
     def asOf(v: Int, mergeSchema: Boolean = false): DataFrame = {
       val files = liveFiles(v)
       require(files.nonEmpty, s"version $v of $root has no live files")
-      readFiles(files, mergeSchema)
+      applyMapping(v, readFiles(files, mergeSchema))
     }
 
     /** Read-path prune telemetry: (files scanned, files live)
@@ -812,6 +928,11 @@ object SnapshotLog {
             .withColumn("__pos", col("_metadata.row_index"))
         }
         .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+        // logical view last: the rename is a Project ABOVE the pruned
+        // relations, and Catalyst rewrites pushed filters through the
+        // alias — so predicates reach the FileIndex under the PHYSICAL
+        // name the zone maps and bloom sidecars are keyed by
+        .transform(applyMapping(v, _))
     }
 
     /** Merge-on-read twin of [[scanAsOf]]: the pruned scan with the
@@ -1229,7 +1350,7 @@ object SnapshotLog {
     def pointLookupFiles(v: Int, c: String, keys: Seq[Long]):
         Seq[String] = {
       val hs = keyHashes(keys).values.toSeq
-      bloomSurvivors(liveFiles(v), c, hs)
+      bloomSurvivors(liveFiles(v), physicalAt(v, c), hs)
     }
 
     /** [[pointLookupFiles]] for STRING keys — the erasure-queue shape
@@ -1237,7 +1358,7 @@ object SnapshotLog {
       * hash-shaped ids are exactly the keys range stats cannot prune). */
     def pointLookupFilesStr(v: Int, c: String, keys: Seq[String]):
         Seq[String] =
-      bloomSurvivors(liveFiles(v), c, keyHashesStr(keys))
+      bloomSurvivors(liveFiles(v), physicalAt(v, c), keyHashesStr(keys))
 
     /** The subset of `files` whose bloom sidecar for `c` admits ANY of
       * the pre-hashed `hs`. Kept conservatively on a missing sidecar
@@ -1348,8 +1469,9 @@ object SnapshotLog {
       * (long, int, date-as-days). */
     def pruneFiles(v: Int, col: String, lo: Long, hi: Long): Seq[String] = {
       val zm = zoneMaps
+      val ph = physicalAt(v, col) // stats are keyed by physical name
       liveFiles(v).filter { p =>
-        zm.get(p).flatMap(_.get(col)) match {
+        zm.get(p).flatMap(_.get(ph)) match {
           case Some((mn, mx)) => mx >= lo && mn <= hi
           case None           => true
         }
@@ -1362,8 +1484,9 @@ object SnapshotLog {
     def pruneFilesStr(v: Int, col: String, lo: String, hi: String):
         Seq[String] = {
       val zm = zoneMapsStr
+      val ph = physicalAt(v, col)
       liveFiles(v).filter { p =>
-        zm.get(p).flatMap(_.get(col)) match {
+        zm.get(p).flatMap(_.get(ph)) match {
           case Some((mn, mx)) => mx >= lo && mn <= hi
           case None           => true
         }
@@ -1522,13 +1645,19 @@ object SnapshotLog {
       * Clone cost is driver-side milliseconds against a commit that
       * runs a Spark job. */
     private def writeTmp(df: DataFrame, partCol: String, tmp: Path): Unit = {
+      // column mapping: user batches arrive under logical names; the
+      // footers, partition dirs and stats must use PHYSICAL ones.
+      // Internal COW rewrites already carry physical names (raw
+      // reads), so this is identity for them.
+      val phys = toPhysical(df)
+      val pc = physicalAt(version, partCol)
       val ws = org.apache.spark.sql.graft.SparkInternals
-        .cloneSession(df.sparkSession)
+        .cloneSession(phys.sparkSession)
       ws.conf.set("spark.sql.parquet.outputTimestampType",
         "TIMESTAMP_MICROS")
       org.apache.spark.sql.graft.SparkInternals
-        .ofRows(ws, df.queryExecution.analyzed)
-        .write.partitionBy(partCol).mode("overwrite")
+        .ofRows(ws, phys.queryExecution.analyzed)
+        .write.partitionBy(pc).mode("overwrite")
         .parquet(tmp.toString)
     }
 
@@ -1831,7 +1960,7 @@ object SnapshotLog {
     def commitDeletePartition(partCol: String, value: String,
         expectedVersion: Int = -1): Int = {
       val v = casCheck(expectedVersion)
-      val prefix = s"$partCol=${escapePart(value)}/"
+      val prefix = s"${physicalAt(version, partCol)}=${escapePart(value)}/"
       val victims = liveFiles(v - 1).filter(_.startsWith(prefix))
       require(victims.nonEmpty, s"no live files under $prefix")
       publishSegment(v, victims.map(Entry(v, "remove", _)))
@@ -1846,7 +1975,7 @@ object SnapshotLog {
     def commitDeleteWhere(partCol: String, value: String, keep: Column,
         expectedVersion: Int = -1): Int = {
       val v = casCheck(expectedVersion)
-      val prefix = s"$partCol=${escapePart(value)}/"
+      val prefix = s"${physicalAt(version, partCol)}=${escapePart(value)}/"
       val victims = liveFiles(v - 1).filter(_.startsWith(prefix))
       require(victims.nonEmpty, s"no live files under $prefix")
       val tmp = new Path(s"$root/_tmp_v$v-${
@@ -1877,26 +2006,30 @@ object SnapshotLog {
       * can contain publishes an empty commit (the version advances,
       * the fold is unchanged — an honest audit record of the no-op). */
     def commitDeleteRange(partCol: String, c: String, lo: Long, hi: Long,
-        expectedVersion: Int = -1): Int =
+        expectedVersion: Int = -1): Int = {
+      val pc = physicalAt(version, c) // victims are read RAW (physical)
       deleteRangeImpl(partCol, expectedVersion,
-        v => pruneFiles(v, c, lo, hi),
+        v => pruneFiles(v, pc, lo, hi),
         // NULL-safe keep: `NOT (c BETWEEN lo AND hi)` is NULL for a
         // NULL key, and a NULL-filtered row is DROPPED — a range
         // delete must never destroy NULL-keyed rows (SQL `DELETE
         // WHERE c BETWEEN lo AND hi` does not match NULLs). Files
         // without stats are conservatively rewritten, so all-null
         // columns are exactly the exposed case.
-        col(c).isNull || !col(c).between(lo, hi))
+        col(pc).isNull || !col(pc).between(lo, hi))
+    }
 
     /** [[commitDeleteRange]] for string-keyed ranges: the candidate
       * set comes from the string zone maps ([[pruneFilesStr]] —
       * truncation-bumped upper bounds, so candidates are a superset),
       * everything else is the same COW contract. */
     def commitDeleteRangeStr(partCol: String, c: String,
-        lo: String, hi: String, expectedVersion: Int = -1): Int =
+        lo: String, hi: String, expectedVersion: Int = -1): Int = {
+      val pc = physicalAt(version, c)
       deleteRangeImpl(partCol, expectedVersion,
-        v => pruneFilesStr(v, c, lo, hi),
-        col(c).isNull || !col(c).between(lo, hi))
+        v => pruneFilesStr(v, pc, lo, hi),
+        col(pc).isNull || !col(pc).between(lo, hi))
+    }
 
     private def deleteRangeImpl(partCol: String, expectedVersion: Int,
         prune: Int => Seq[String], keep: Column): Int = {
@@ -1936,10 +2069,12 @@ object SnapshotLog {
       * would silently duplicate keys there, so it is rejected loudly
       * before any byte moves. */
     def commitReplaceWhere(partCol: String, c: String, lo: Long, hi: Long,
-        df: DataFrame, expectedVersion: Int = -1): Int =
+        df: DataFrame, expectedVersion: Int = -1): Int = {
+      val pc = physicalAt(version, c)
       replaceWhereImpl(partCol, df, expectedVersion,
-        v => pruneFiles(v, c, lo, hi),
-        col(c).isNull || !col(c).between(lo, hi), s"$c in [$lo, $hi]")
+        v => pruneFiles(v, pc, lo, hi),
+        col(pc).isNull || !col(pc).between(lo, hi), s"$c in [$lo, $hi]")
+    }
 
     /** [[commitReplaceWhere]] for STRING-keyed regions (candidates
       * from the truncation-safe string zone maps) — the
@@ -1947,16 +2082,20 @@ object SnapshotLog {
       * is a name as often as a number. */
     def commitReplaceWhereStr(partCol: String, c: String,
         lo: String, hi: String, df: DataFrame,
-        expectedVersion: Int = -1): Int =
+        expectedVersion: Int = -1): Int = {
+      val pc = physicalAt(version, c)
       replaceWhereImpl(partCol, df, expectedVersion,
-        v => pruneFilesStr(v, c, lo, hi),
-        col(c).isNull || !col(c).between(lo, hi), s"$c in ['$lo', '$hi']")
+        v => pruneFilesStr(v, pc, lo, hi),
+        col(pc).isNull || !col(pc).between(lo, hi),
+        s"$c in ['$lo', '$hi']")
+    }
 
-    private def replaceWhereImpl(partCol: String, df: DataFrame,
+    private def replaceWhereImpl(partCol: String, df0: DataFrame,
         expectedVersion: Int, prune: Int => Seq[String], keep: Column,
         regionDesc: String): Int = {
       val v = casCheck(expectedVersion)
-      checkConstraints(df)
+      checkConstraints(df0)
+      val df = toPhysical(df0) // keep is physical; victims read raw
       val outside = df.filter(keep).limit(1).count()
       require(outside == 0,
         s"replaceWhere batch carries rows outside $regionDesc — " +
@@ -2110,10 +2249,14 @@ object SnapshotLog {
       }
     }
 
-    def commitMerge(source: DataFrame, partCol: String, keyCol: String,
+    def commitMerge(source0: DataFrame, partCol: String, keyCol0: String,
         expectedVersion: Int = -1): Int = {
       val v = casCheck(expectedVersion)
-      checkConstraints(source)
+      checkConstraints(source0)
+      // column mapping: the batch and key arrive LOGICAL; every file,
+      // stat and sidecar speaks PHYSICAL (identity unless renamed)
+      val source = toPhysical(source0)
+      val keyCol = physicalAt(v - 1, keyCol0)
       val live = liveFiles(v - 1)
       val candidates = mergeCandidates(v - 1, source, keyCol, live)
       lastMergeScan = Some((candidates.size, live.size))
@@ -2191,9 +2334,13 @@ object SnapshotLog {
       }
     }
 
-    private def applyChangesImpl(changes: DataFrame, partCol: String,
-        keyCol: String, opCol: String, v: Int,
+    private def applyChangesImpl(changes0: DataFrame, partCol: String,
+        keyCol0: String, opCol: String, v: Int,
         extraEntries: Seq[Entry]): Int = {
+      // column mapping at the boundary (identity unless renamed);
+      // opCol is transient batch metadata, never stored — no mapping
+      val changes = toPhysical(changes0)
+      val keyCol = physicalAt(v - 1, keyCol0)
       val live = liveFiles(v - 1)
       val candidates = mergeCandidates(v - 1, changes, keyCol, live)
       lastMergeScan = Some((candidates.size, live.size))
@@ -2320,9 +2467,11 @@ object SnapshotLog {
       * the UNION of its previous positions and this batch's, written
       * executor-side (repartitioned by file), so no position rides
       * the driver. Readers go through [[asOfMor]]. */
-    def commitDeleteKeysMor(keys: DataFrame, keyCol: String,
+    def commitDeleteKeysMor(keys0: DataFrame, keyCol0: String,
         expectedVersion: Int = -1): Int = {
       val v = casCheck(expectedVersion)
+      val keys = toPhysical(keys0) // column mapping at the boundary
+      val keyCol = physicalAt(v - 1, keyCol0)
       val live = liveFiles(v - 1)
       val candidates = mergeCandidates(v - 1, keys, keyCol, live)
       lastMergeScan = Some((candidates.size, live.size))
@@ -2417,10 +2566,12 @@ object SnapshotLog {
       * high-frequency upsert stream from rewriting the table once per
       * batch. Assumes `keyCol` unique within `source` (as
       * [[commitMerge]]). */
-    def commitMergeMor(source: DataFrame, partCol: String,
-        keyCol: String, expectedVersion: Int = -1): Int = {
+    def commitMergeMor(source0: DataFrame, partCol: String,
+        keyCol0: String, expectedVersion: Int = -1): Int = {
       val v = casCheck(expectedVersion)
-      checkConstraints(source)
+      checkConstraints(source0)
+      val source = toPhysical(source0) // column mapping at the boundary
+      val keyCol = physicalAt(v - 1, keyCol0)
       val live = liveFiles(v - 1)
       val candidates = mergeCandidates(v - 1, source, keyCol, live)
       lastMergeScan = Some((candidates.size, live.size))
@@ -2487,9 +2638,9 @@ object SnapshotLog {
       case Some(dv) =>
         val files = liveFiles(v)
         require(files.nonEmpty, s"version $v of $root has no live files")
-        readFilesWithPos(files)
+        applyMapping(v, readFilesWithPos(files)
           .join(dv, Seq("__f", "__pos"), "left_anti")
-          .drop("__f", "__pos")
+          .drop("__f", "__pos"))
     }
 
     /** Materialize the active deletion vectors: rewrite ONLY the
@@ -2736,7 +2887,7 @@ object SnapshotLog {
         filesPerPartition: Int = 1, expectedVersion: Int = -1,
         targetFileBytes: Long = 0): Int = {
       val v = casCheck(expectedVersion)
-      val prefix = s"$partCol=${escapePart(value)}/"
+      val prefix = s"${physicalAt(version, partCol)}=${escapePart(value)}/"
       val victims = liveFiles(v - 1).filter(_.startsWith(prefix))
       // byte-targeted sizing (production OPTIMIZE targets ~a file
       // SIZE, not a count): with lengths in the manifest, the bin
@@ -2783,16 +2934,17 @@ object SnapshotLog {
       * across commits. Compaction commits do not re-trigger. */
     private def maybeAutoCompact(partCol: String): Unit =
       if (autoCompactAt > 0) try {
+        val ppc = physicalAt(version, partCol) // dirs speak physical
         liveFiles(version).groupBy(_.split('/').head)
           .foreach { case (dir, fs) =>
             if (fs.size >= autoCompactAt &&
-                dir.startsWith(s"$partCol="))
+                dir.startsWith(s"$ppc="))
               // dir carries the ESCAPED value; the public API takes
               // the logical one (and re-escapes) — unescape here or
               // a value that needed escaping double-escapes and the
               // compaction never matches its own partition
               commitCompactPartition(partCol,
-                unescapePart(dir.substring(partCol.length + 1)))
+                unescapePart(dir.substring(ppc.length + 1)))
           }
       } catch { case scala.util.control.NonFatal(_) => () }
 
@@ -2826,9 +2978,11 @@ object SnapshotLog {
       * with no new index structure. Pure reorganization: AS-OF row
       * identity, net-zero change feed, DVs applied, history readable —
       * the [[commitCompact]] invariants. */
-    def commitClusterZ(partCol: String, colA: String, colB: String,
+    def commitClusterZ(partCol: String, colA0: String, colB0: String,
         filesPerRange: Int, expectedVersion: Int = -1): Int = {
       val v = casCheck(expectedVersion)
+      val colA = physicalAt(v - 1, colA0) // rewrite reads raw (physical)
+      val colB = physicalAt(v - 1, colB0)
       val victims = liveFiles(v - 1)
       if (victims.isEmpty) { publishSegment(v, Seq.empty); return v }
       val src = readFilesMorAt(v - 1, victims)
@@ -2898,7 +3052,8 @@ object SnapshotLog {
       val tmp = new Path(s"$root/_tmp_v$v-${
         java.util.UUID.randomUUID.toString.take(8)}")
       writeTmp(readFilesMorAt(v - 1, victims) // DV-applied (commitCompact)
-        .repartitionByRange(filesPerRange, col(clusterCol)), partCol, tmp)
+        .repartitionByRange(filesPerRange,
+          col(physicalAt(v - 1, clusterCol))), partCol, tmp)
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
       publishOrCleanup(v, victims.map(Entry(v, "remove", _)) ++

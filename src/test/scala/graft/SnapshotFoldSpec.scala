@@ -104,4 +104,46 @@ class SnapshotFoldSpec extends SparkSpec {
     assert(new SnapshotLog.Table(spark, root).liveFiles(11).size == 99999)
     rm(root)
   }
+
+  test("column mapping: DML after rename targets the renamed column") {
+    import spark.implicits._
+    val root = tmp("graft_colmap_spec_")
+    val t = new SnapshotLog.Table(spark, root)
+    t.commitAppend((1L to 20L).map(k => (k, "x", k * 10))
+      .toDF("k", "part", "v").coalesce(1), "part")          // v1
+    t.renameColumn("v", "val2")                             // v2
+    // range delete addressed by the NEW logical name: victims carry
+    // the physical column, the keep predicate must still hit it
+    t.commitDeleteRange("part", "val2", 10L, 30L)           // v3: k=1..3
+    // merge (COW) with the batch speaking the new name
+    t.commitMerge(Seq((4L, "x", 999L), (21L, "x", 210L))
+      .toDF("k", "part", "val2").coalesce(1), "part", "k")  // v4
+    // MOR upsert, same contract
+    t.commitMergeMor(Seq((5L, "x", 888L)).toDF("k", "part", "val2")
+      .coalesce(1), "part", "k")                            // v5
+    val now = t.asOfMor(t.version).select("k", "val2").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = (4L to 20L).map(k => k -> k * 10).toMap ++
+      Map(4L -> 999L, 21L -> 210L, 5L -> 888L)
+    assert(now == expect, s"diverged: ${now.toSeq.sorted}")
+    // time travel BELOW the rename speaks the original name
+    assert(t.asOf(1).columns.contains("v") &&
+      !t.asOf(1).columns.contains("val2"))
+    // drop retires the PHYSICAL column ("v", the pre-rename name):
+    // re-introducing THAT name must be rejected loudly (old files
+    // still carry physical "v" bytes — a new logical "v" would bind
+    // to them); re-using the dropped LOGICAL name ("val2") is plain
+    // additive evolution (fresh physical), allowed
+    t.dropColumn("val2")                                    // v6
+    assert(!t.asOf(t.version).columns.contains("val2"))
+    intercept[IllegalArgumentException] {
+      t.commitAppend(Seq((99L, "x", 1L)).toDF("k", "part", "v"),
+        "part")
+    }
+    // rename-to-taken-name is rejected
+    intercept[IllegalArgumentException] {
+      t.renameColumn("k", "part")
+    }
+    rm(root)
+  }
 }

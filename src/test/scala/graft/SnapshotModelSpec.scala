@@ -31,16 +31,17 @@ class SnapshotModelSpec extends SparkSpec {
     val t = new SnapshotLog.Table(spark, root, autoCheckpointEvery = 4)
     var model = Map.empty[Long, Long]
     var nextKey = 1L
-    // model state AT each version (index v-1), for the final
-    // time-travel sweep and for restore targets
-    var hist = Vector.empty[Map[Long, Long]]
+    var vName = "v" // current LOGICAL name of the value column
+    // (model state, value-column logical name) AT each version
+    // (index v-1), for the final time-travel sweep and restore targets
+    var hist = Vector.empty[(Map[Long, Long], String)]
 
     def df(rows: Seq[(Long, Long)]) =
-      rows.map { case (k, v) => (k, "x", v) }.toDF("k", "part", "v")
+      rows.map { case (k, v) => (k, "x", v) }.toDF("k", "part", vName)
         .coalesce(1)
-    def read(v: Int): Map[Long, Long] =
+    def read(v: Int, name: String): Map[Long, Long] =
       if (t.liveFiles(v).isEmpty) Map.empty
-      else t.asOfMor(v).select("k", "v").collect()
+      else t.asOfMor(v).select(col("k"), col(name)).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
     def existing(n: Int): Seq[Long] =
       rnd.shuffle(model.keys.toSeq).take(n)
@@ -49,11 +50,11 @@ class SnapshotModelSpec extends SparkSpec {
       // publishes more (fail loudly instead of misaligning history)
       assert(t.version == hist.size + 1,
         s"op published ${t.version - hist.size} commits, expected 1")
-      hist :+= model
+      hist :+= ((model, vName))
     }
 
     (1 to nOps).foreach { i =>
-      val op = rnd.nextInt(15)
+      val op = rnd.nextInt(16)
       op match {
         case 0 | 1 | 2 => // fresh-key append
           val ks = (nextKey until nextKey + 5 + rnd.nextInt(20))
@@ -93,12 +94,14 @@ class SnapshotModelSpec extends SparkSpec {
           if (hist.nonEmpty) {
             val target = 1 + rnd.nextInt(hist.size)
             t.commitRestore(target)
-            model = hist(target - 1)
+            model = hist(target - 1)._1
+            // restore replays DATA, not the column mapping: the
+            // logical name stays the current one
           } else t.commitCompact("part")
         case 10 => // value-range COW delete (zone-map-pruned path)
           val lo = rnd.nextLong(math.max(1L, nextKey * 10))
           val hi = lo + 500
-          t.commitDeleteRange("part", "v", lo, hi)
+          t.commitDeleteRange("part", vName, lo, hi)
           model = model.filterNot { case (_, v) => v >= lo && v <= hi }
         case 11 => // clustered rewrite (pure reorganization)
           t.commitCluster("part", "k", filesPerRange = 2)
@@ -115,9 +118,13 @@ class SnapshotModelSpec extends SparkSpec {
           val ks = (nextKey until nextKey + 1 + rnd.nextInt(3))
           nextKey = ks.last + 1
           val rows = ks.map(k => k -> (lo + k % 501)) // inside [lo, hi]
-          t.commitReplaceWhere("part", "v", lo, hi, df(rows))
+          t.commitReplaceWhere("part", vName, lo, hi, df(rows))
           model = model.filterNot { case (_, v) =>
             v >= lo && v <= hi } ++ rows
+        case 15 => // metadata-only RENAME COLUMN of the value column
+          val nn = s"v$i"
+          t.renameColumn(vName, nn)
+          vName = nn
         case 12 => // write-audit-publish as one committed batch
           val ks = (nextKey until nextKey + 3 + rnd.nextInt(5))
           nextKey = ks.last + 1
@@ -129,16 +136,16 @@ class SnapshotModelSpec extends SparkSpec {
           model ++= rows
       }
       record()
-      assert(read(t.version) == model,
+      assert(read(t.version, vName) == model,
         s"seed=$seed op#$i(kind=$op) v=${t.version}: table diverged " +
-          s"(${read(t.version).size} rows vs model ${model.size})")
+          s"(${read(t.version, vName).size} rows vs model ${model.size})")
     }
 
     // time-travel immutability: every historical version still reads
     // as the state recorded when it committed — through compactions,
     // materializations, restores, auto-checkpoints, and auto-vacuum
-    hist.zipWithIndex.foreach { case (m, i) =>
-      assert(read(i + 1) == m,
+    hist.zipWithIndex.foreach { case ((m, nm), i) =>
+      assert(read(i + 1, nm) == m,
         s"seed=$seed version ${i + 1} changed after later commits")
     }
     org.apache.commons.io.FileUtils.deleteDirectory(
