@@ -9,13 +9,21 @@ import graft.operators.QueryDef
   * columns with typed metadata, batch-shaped decode/feature-extraction
   * over partitions.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * STUB — [[StubDecoder.decode]] produces deterministic fake features —
-  * but everything Spark-side is real and tested: the schema
-  * (binary + struct metadata), the partition-batched execution shape
-  * (`mapPartitions` over an iterator, the Scala analogue of
-  * `mapInPandas` batches), and the feature output contract
-  * (`array<float>` ready for the similarity operators).
+  * The IMAGE decode is REAL: the JDK ships `javax.imageio` (PNG/BMP/
+  * GIF), so [[ImageDecoder.decode]] decodes actual PNG bytes —
+  * encoded by [[encodePngs]] from seed-deterministic pixels whose
+  * channel sums are pure doc_id arithmetic, which is what lets the
+  * DuckDB oracle hash-check the full encode→decode→aggregate path
+  * without owning a codec. Audio/video container decodes remain the
+  * documented STUB boundary ([[StubDecoder.decode]] — no such codec
+  * ships in the JVM): deterministic fake features behind the same
+  * batch-iterator contract a real kernel drops into.
+  *
+  * Everything Spark-side is real and tested: the schema (binary +
+  * typed metadata), the partition-batched execution shape
+  * (`mapPartitions` over an iterator — the Scala analogue of
+  * `mapInPandas` batches, one decoder invocation per partition, no
+  * per-row JNI churn), and the feature output contract.
   *
   * At 100 TB: media bytes dominate row size, so the table would be
   * written with the binary column in its own parquet column chunk
@@ -24,6 +32,85 @@ import graft.operators.QueryDef
   * batch of blobs fits executor memory.
   */
 object Multimodal {
+
+  final case class EncodedImage(doc_id: Long, media: Array[Byte])
+
+  final case class DecodedImage(doc_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** One REAL PNG per png-format document (doc_id % 3 = 0 under the
+    * attachMedia model), encoded executor-side with `javax.imageio`.
+    * Pixels are seed-deterministic and WRAP-FREE closed forms of
+    * doc_id — r = d%200 + x, g = d%180 + y, b = d%100 + x + y with
+    * w ≤ 11, h ≤ 7, so every channel stays < 256 and the per-image
+    * channel sums are exact integer arithmetic an oracle can
+    * recompute without decoding anything. */
+  def encodePngs(docs: DataFrame): Dataset[EncodedImage] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).filter(col("doc_id") % 3 === 0)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { d =>
+          val w = (4 + d % 8).toInt
+          val h = (3 + d % 5).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val r = (d % 200).toInt + x
+              val g = (d % 180).toInt + y
+              val b = (d % 100).toInt + x + y
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          EncodedImage(d, bos.toByteArray)
+        }
+      }
+  }
+
+  /** The REAL image decode kernel: `javax.imageio` PNG decode, batch
+    * iterator in / batch iterator out (one invocation per partition).
+    * Emits per-image dimensions and exact per-channel pixel sums —
+    * the stats the oracle recomputes arithmetically, so a wrong
+    * decode (channel swap, row-order bug, truncated read) flips the
+    * hash. */
+  object ImageDecoder {
+    def decode(rows: Iterator[EncodedImage]): Iterator[DecodedImage] =
+      rows.map { rec =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(rec.media))
+        require(img != null, s"undecodable media for doc ${rec.doc_id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xFF
+            sg += (rgb >> 8) & 0xFF
+            sb += rgb & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        DecodedImage(rec.doc_id, w, h, sr, sg, sb)
+      }
+  }
+
+  /** Partition-batched REAL decode over the encoded PNG column. */
+  def decodeImages(media: Dataset[EncodedImage]): Dataset[DecodedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(ImageDecoder.decode _)
+  }
 
   final case class MediaRow(
       doc_id: Long,
@@ -54,10 +141,11 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** The stubbed decode kernel. A real deployment replaces this body
-    * with an actual codec (??? boundary); the signature — a batch
-    * iterator in, a batch iterator out, no per-row JVM↔native churn —
-    * is the production contract. */
+  /** The stubbed AUDIO/VIDEO decode kernel (no such codec ships in
+    * the JVM — images decode for real via [[ImageDecoder]]). A real
+    * deployment replaces this body with an actual codec (??? boundary);
+    * the signature — a batch iterator in, a batch iterator out, no
+    * per-row JVM↔native churn — is the production contract. */
   object StubDecoder {
     def decode(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
       rows.map { r =>
@@ -103,18 +191,41 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
-    // ---- full decode path (stub kernel) — engine-private features, so
-    //      rows-only; MultimodalSpec pins the batch shape + determinism
-    QueryDef.rowsOnly("q_multimodal_decode") { (spark, dir) =>
-      decodeFeatures(attachMedia(Tables(spark, dir).documents))
+    // ---- full decode path, REAL codec: one PNG per png-format doc is
+    //      ENCODED executor-side (javax.imageio, seed-deterministic
+    //      wrap-free pixels), DECODED back through the batch-iterator
+    //      kernel, and aggregated — while the oracle recomputes every
+    //      dimension and channel sum as pure doc_id arithmetic, never
+    //      touching a codec. A channel swap, row-order bug, size lie,
+    //      or truncated decode flips the hash. The partition-batched
+    //      shape (mapPartitions in, iterator out) is exactly the
+    //      production kernel contract; the pixel loops are the part a
+    //      native codec would replace.
+    QueryDef.checked(
+      "q_multimodal_decode",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    4 + doc_id % 8 AS w, 3 + doc_id % 5 AS h,
+        |    doc_id % 200 AS r0, doc_id % 180 AS g0, doc_id % 100 AS b0
+        |  FROM documents WHERE doc_id % 3 = 0
+        |)
+        |SELECT CAST(w AS BIGINT) AS width,
+        |  count(*) AS n_images,
+        |  CAST(sum(h) AS BIGINT) AS sum_heights,
+        |  CAST(sum(h * (w * r0 + (w * (w - 1)) / 2)) AS BIGINT) AS sum_r,
+        |  CAST(sum(w * (h * g0 + (h * (h - 1)) / 2)) AS BIGINT) AS sum_g,
+        |  CAST(sum(w * h * b0 + h * (w * (w - 1)) / 2
+        |         + w * (h * (h - 1)) / 2) AS BIGINT) AS sum_b
+        |FROM d GROUP BY w ORDER BY width""".stripMargin) { (spark, dir) =>
+      decodeImages(encodePngs(Tables(spark, dir).documents))
         .toDF()
-        .groupBy(col("format"))
-        .agg(
-          count(lit(1)).as("n_media"),
-          sum(col("n_bytes")).as("total_bytes"),
-          avg(col("width")).as("avg_width"),
-          avg(col("height")).as("avg_height"))
-        .orderBy("format")
+        .groupBy(col("width").cast("long").as("width"))
+        .agg(count(lit(1)).as("n_images"),
+          sum(col("height")).cast("long").as("sum_heights"),
+          sum(col("sum_r")).cast("long").as("sum_r"),
+          sum(col("sum_g")).cast("long").as("sum_g"),
+          sum(col("sum_b")).cast("long").as("sum_b"))
+        .orderBy("width")
     },
 
     // ---- deterministic frame sampling: the media blob as a sequence of

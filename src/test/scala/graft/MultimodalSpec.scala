@@ -66,4 +66,29 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("real PNG encode/decode roundtrip is pixel-exact per image") {
+    import graft.multimodal.Multimodal
+    // a handful of ids across the (w, h, channel-base) lattice,
+    // decoded LOCALLY through the same batch-iterator kernel the
+    // distributed path uses — asserts the exact closed-form sums the
+    // oracle of q_multimodal_decode relies on
+    val ids = Seq(0L, 3L, 21L, 198L, 399L, 1200L)
+    ids.foreach { d =>
+      val spark0 = spark
+      import spark0.implicits._
+      val enc = Multimodal.encodePngs(
+        Seq(d).toDF("doc_id")).collect().head
+      val dec = Multimodal.ImageDecoder.decode(Iterator(enc)).next()
+      val (w, h) = ((4 + d % 8).toInt, (3 + d % 5).toInt)
+      assert(dec.width == w && dec.height == h, s"dims for $d")
+      assert(dec.sum_r == h.toLong * (w * (d % 200) + w * (w - 1) / 2),
+        s"sum_r for $d")
+      assert(dec.sum_g == w.toLong * (h * (d % 180) + h * (h - 1) / 2),
+        s"sum_g for $d")
+      assert(dec.sum_b == w.toLong * h * (d % 100) +
+        h.toLong * (w * (w - 1)) / 2 + w.toLong * (h * (h - 1)) / 2,
+        s"sum_b for $d")
+    }
+  }
 }
