@@ -418,11 +418,29 @@ object Dedup {
     // ---- production-path MinHash-LSH (xxhash64, k=16, b=4, r=4) with
     //      exact-jaccard verification of candidates; summary row so the
     //      result is non-empty even on a dup-free corpus. Engine-private
-    //      hash → no SQL oracle; MinHashDedupSpec covers correctness.
+    //      hash → no SQL oracle, but SELF-CONVICTING via an in-query
+    //      differential gate against the hash-checked md5 twin
+    //      (q_dedup_minhash_pairs): every twin candidate pair that the
+    //      production verifier proves a real near-dup (exact
+    //      hashed-shingle Jaccard >= 0.6) MUST be generated as an
+    //      xxhash64-LSH candidate too — a shingling, signature, banding
+    //      or bucket-join regression in the production path loses those
+    //      pairs and trips the require. MinHashDedupSpec covers the
+    //      rest (planted dups, idempotence).
     QueryDef.rowsOnly("q_dedup_minhash_lsh64") { (spark, dir) =>
       val docs = Tables(spark, dir).documents
-      val report = MinHashDedup(k = 16, bands = 4).dedupReport(docs)
-      report
+      val dd = MinHashDedup(k = 16, bands = 4)
+      val cand64 = dd.candidatePairs(docs).localCheckpoint()
+      val twinVerified = dd
+        .verifyPairs(docs, Dedup.minhashPairs(docs), 0.6)
+        .select("doc_a", "doc_b").localCheckpoint()
+      val missed = twinVerified
+        .join(cand64, Seq("doc_a", "doc_b"), "left_anti").count()
+      require(missed == 0,
+        s"xxhash64 LSH candidates missed $missed verified dup pairs " +
+          "the hash-checked md5 twin found")
+      dd.dedupReport(docs)
+        .withColumn("n_twin_verified", lit(twinVerified.count()))
     },
 
     // ---- incremental dedup: dedup a NEW batch (top 20% of doc_ids)

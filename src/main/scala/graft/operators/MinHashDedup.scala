@@ -113,6 +113,15 @@ final case class MinHashDedup(k: Int, bands: Int) {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Exact-verification of an EXTERNAL candidate relation over this
+    * detector's hashed-shingle sets — the hook differential gates use
+    * to score another candidate generator's pairs with the same
+    * arithmetic as [[verifiedPairs]]. */
+  def verifyPairs(docs: DataFrame, cand: DataFrame,
+      threshold: Double): DataFrame =
+    verifyFromGrams(shingles(docs), cand.select("doc_a", "doc_b"),
+      threshold)
+
   /** Deduplicated corpus: drops the higher-id member of every verified
     * near-duplicate pair (keep-smallest-id policy, matching
     * `q_dedup_exact`). Idempotent — see DedupSpec. */

@@ -87,10 +87,35 @@ object Similarity {
     // ---- random-hyperplane LSH near-dup over embeddings: bucket-join
     //      candidates + exact-cosine verification; summary row (the
     //      corpus has no true vector dups — VectorLSHSpec plants some).
-    //      Engine-private hyperplanes → no SQL oracle.
+    //      Engine-private hyperplanes → no SQL oracle, but the query is
+    //      SELF-CONVICTING via an in-query differential gate: the one
+    //      piece no hash-checked twin covers is the signature pass
+    //      (seeded planes through the custom codegen'd dot product), so
+    //      it is recomputed here with stock Spark HOFs (zip_with +
+    //      aggregate — double accumulation in the same left-to-right
+    //      order, bitwise-identical arithmetic) and required EQUAL row
+    //      by row. The md5-plane twin (q_vector_lsh_signatures)
+    //      hash-checks the identical banding construction end-to-end;
+    //      the exact-cosine verification expression is hash-checked by
+    //      q_ann_bruteforce / q_embedding_neardup.
     QueryDef.rowsOnly("q_vector_lsh_neardup") { (spark, dir) =>
-      VectorLSH(bits = 16, bands = 4, dim = 64)
-        .report(Tables(spark, dir).embeddings, threshold = 0.4)
+      val emb = Tables(spark, dir).embeddings
+      val lsh = VectorLSH(bits = 16, bands = 4, dim = 64)
+      val planesLit = typedLit(lsh.planeVectors)
+      val hofSig = (0 until 16).map { j =>
+        when(aggregate(
+          zip_with(col("embedding"), element_at(planesLit, j + 1),
+            (x, p) => x.cast("double") * p.cast("double")),
+          lit(0.0), (acc, v) => acc + v) > 0, lit(1L << j))
+          .otherwise(0L)
+      }.reduce(_ + _)
+      val mismatched = lsh.signatures(emb)
+        .join(emb.select(col("vec_id"), hofSig.as("sig_hof")), Seq("vec_id"))
+        .filter(col("sig") =!= col("sig_hof")).count()
+      require(mismatched == 0,
+        s"LSH signature differential: $mismatched rows disagree between " +
+          "the codegen dot-product path and the stock-HOF recount")
+      lsh.report(emb, threshold = 0.4)
     },
 
     // ---- IVF-style ANN: probe nearest cells only. Fixed-point centroid
