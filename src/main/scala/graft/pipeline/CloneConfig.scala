@@ -54,14 +54,63 @@ object CloneConfig {
     * (clone_databases.sh:78-84). */
   private val required = Seq("SOURCE_DIR", "TARGET_DIR", "TABLES_TO_CLONE")
 
+  /** `mysql_db_clone.conf` template — parity with the reference's
+    * planned-but-never-implemented MySQL surface (README.md:127-142).
+    * Parses through the same [[parse]] (KEY=VALUE, comments, required
+    * keys); MYSQL_* keys flow into [[ConnectorOptions.mysqlRead]]. */
+  val mysqlTemplate: String =
+    """# MySQL clone configuration (mysql_db_clone.conf)
+      |# Database connection
+      |MYSQL_HOST=localhost
+      |MYSQL_PORT=3306
+      |MYSQL_ROOT_USER=root
+      |MYSQL_ROOT_PASSWORD=your_password
+      |
+      |# Source/target lakehouse directories
+      |SOURCE_DIR=/data/source
+      |TARGET_DIR=/data/target
+      |
+      |# Database prefix and cloning settings
+      |DB_PREFIX=preprod_
+      |TABLES_TO_CLONE=myapp_db,analytics_db
+      |
+      |# User settings
+      |MYSQL_APP_USER_PREFIX=_app_user
+      |MYSQL_OWNER_USER_PREFIX=_owner_user
+      |""".stripMargin
+
   /** Parse `KEY=VALUE` lines (comments with `#`, blank lines ignored) —
     * eager validation, fail-fast like clone_databases.sh:80-83. */
-  def parse(lines: Seq[String]): Either[String, CloneConfig] = {
-    val kv = lines.map(_.trim)
+  private def kvOf(lines: Seq[String]): Map[String, String] =
+    lines.map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains("="))
       .map { l => val i = l.indexOf('=')
         l.take(i).trim -> l.drop(i + 1).trim }
       .toMap
+
+  /** Parse a `mysql_db_clone.conf`: the MYSQL_* connection keys become
+    * jdbc `sourceOptions` on the generic connector path (the pipeline
+    * injects each table under `dbtable` at load time); everything else
+    * parses as usual. Driver jars permitting, this is the whole MySQL
+    * surface — the reference planned it and never built it
+    * (README.md:127-142). */
+  def parseMysql(lines: Seq[String]): Either[String, CloneConfig] =
+    parse(lines).map { c =>
+      val kv = kvOf(lines)
+      val host = kv.getOrElse("MYSQL_HOST", "localhost")
+      val port = kv.getOrElse("MYSQL_PORT", "3306").toInt
+      val user = kv.getOrElse("MYSQL_ROOT_USER", "root")
+      val pw = kv.getOrElse("MYSQL_ROOT_PASSWORD", "")
+      c.copy(
+        sourceFormat = "jdbc",
+        sourceOptions = ConnectorOptions
+          .mysqlRead(host, port, "", "", user, pw) - "dbtable",
+        tableOptionKey = "dbtable",
+        password = pw)
+    }
+
+  def parse(lines: Seq[String]): Either[String, CloneConfig] = {
+    val kv = kvOf(lines)
     val missing = required.filterNot(kv.contains)
     if (missing.nonEmpty)
       Left(s"ERROR: Required configuration variables not set: ${missing.mkString(", ")}")
@@ -127,6 +176,25 @@ object ConnectorOptions {
       java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
     s"mongodb://${enc(user)}:${enc(password)}@$host:$port/?authSource=$authSource"
   }
+
+  /** MySQL on the SAME generic JDBC path — the reference's "planned"
+    * MySQL configuration (README.md:127-142): only the URL scheme and
+    * idioms differ from PostgreSQL; partitioned reads, fetch/batch
+    * sizing and truncate-overwrite carry over unchanged. */
+  def mysqlRead(
+      host: String, port: Int, database: String, table: String,
+      user: String, password: String,
+      partitionColumn: Option[String] = None,
+      numPartitions: Int = 8,
+      lowerBound: Long = 0L, upperBound: Long = 0L): Map[String, String] =
+    jdbcRead(host, port, database, table, user, password,
+      partitionColumn, numPartitions, lowerBound, upperBound) +
+      ("url" -> s"jdbc:mysql://$host:$port/$database")
+
+  def mysqlWrite(host: String, port: Int, database: String, table: String,
+      user: String, password: String, overwrite: Boolean): Map[String, String] =
+    jdbcWrite(host, port, database, table, user, password, overwrite) +
+      ("url" -> s"jdbc:mysql://$host:$port/$database")
 
   def mongoRead(uri: String, database: String, collection: String): Map[String, String] =
     Map("connection.uri" -> uri, "database" -> database, "collection" -> collection)

@@ -274,4 +274,60 @@ class CloneSpec extends SparkSpec {
     assert(CloneMain.runCli(spark, Array(confMissing.toString), quiet = true) == 1)
     assert(CloneMain.runCli(spark, Array.empty[String], quiet = true) == 1)
   }
+
+  test("ACL manifest: ordered 9-step GRANT/REVOKE SQL, no secrets embedded") {
+    import graft.pipeline.{AclManifest, CredentialRecord}
+    val rec = CredentialRecord("preprod_region", "region_owner", "sEcReT1",
+      "region_app", "sEcReT2")
+    val stmts = AclManifest.statements(rec)
+    // step coverage: all nine provisioning steps of the reference flow
+    assert(stmts.map(_.step).distinct.sorted == (1 to 9))
+    // ordinals are the execution order, dense from 0
+    assert(stmts.map(_.ordinal) == stmts.indices)
+    // the load-bearing statements exist
+    val sql = stmts.map(_.sql)
+    assert(sql.exists(_.startsWith("ALTER SCHEMA \"public\" RENAME TO region_owner")))
+    assert(sql.count(_.startsWith("CREATE USER")) == 2)
+    assert(sql.exists(_.contains("CREATE ROLE r_rw_preprod_region")))
+    assert(sql.exists(_.contains("CREATE ROLE r_rc_preprod_region")))
+    assert(sql.exists(_.contains(
+      "GRANT SELECT, INSERT, UPDATE, DELETE ON ALL TABLES IN SCHEMA region_owner TO r_rw_preprod_region")))
+    assert(sql.exists(_.contains("ALTER DEFAULT PRIVILEGES FOR ROLE region_owner")))
+    assert(sql.exists(_.contains("GRANT r_rw_preprod_region TO region_app")))
+    assert(sql.exists(_.contains("OWNER TO region_owner")))
+    // secrets NEVER embedded: placeholders only
+    assert(!sql.exists(x => x.contains("sEcReT1") || x.contains("sEcReT2")))
+    assert(sql.exists(_.contains("${OWNER_PASSWORD}")) &&
+      sql.exists(_.contains("${APP_PASSWORD}")))
+    // manifest round-trips as data
+    val out = Files.createTempDirectory("graft_acl_").toString
+    val df = AclManifest.write(spark, Seq(rec), out)
+    assert(df.count() == stmts.size)
+    assert(spark.read.json(out).count() == stmts.size)
+  }
+
+  test("mysql surface: conf template parses onto the generic JDBC path") {
+    import graft.pipeline.{CloneConfig, ConnectorOptions}
+    val parsed = CloneConfig.parseMysql(
+      CloneConfig.mysqlTemplate.linesIterator.toSeq)
+    assert(parsed.isRight, parsed)
+    val c = parsed.toOption.get
+    assert(c.sourceFormat == "jdbc" && !c.pathBasedSource)
+    assert(c.sourceOptions("url") == "jdbc:mysql://localhost:3306/")
+    assert(c.sourceOptions("user") == "root")
+    assert(c.tableOptionKey == "dbtable")
+    assert(c.tables == Seq("myapp_db", "analytics_db"))
+    assert(c.prefix == "preprod_")
+    // secrets masked in the config's own rendering
+    assert(!c.toString.contains("your_password"))
+    // the dedicated builders: same generic options, mysql scheme
+    val r = ConnectorOptions.mysqlRead("h", 3306, "db", "t", "u", "p",
+      partitionColumn = Some("id"), numPartitions = 4,
+      lowerBound = 0, upperBound = 100)
+    assert(r("url") == "jdbc:mysql://h:3306/db" && r("dbtable") == "t" &&
+      r("numPartitions") == "4" && r("fetchsize") == "10000")
+    val w = ConnectorOptions.mysqlWrite("h", 3306, "db", "t", "u", "p",
+      overwrite = true)
+    assert(w("url") == "jdbc:mysql://h:3306/db" && w("truncate") == "true")
+  }
 }
