@@ -122,7 +122,8 @@ object Explain {
     "q_snapshot_merge_ts", "q_snapshot_restore", "q_retrieval_eval",
     "q_rater_agreement", "q_distinct_ngrams", "q_scaling_law",
     "q_snapshot_pruned_read", "q_snapshot_replace_where",
-    "q_snapshot_zorder", "q_snapshot_clone", "q_stream_cdf_since")
+    "q_snapshot_zorder", "q_snapshot_clone", "q_stream_cdf_since",
+    "q_snapshot_rename_col", "q_multimodal_decode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -105,6 +105,41 @@ class SnapshotFoldSpec extends SparkSpec {
     rm(root)
   }
 
+  test("10^5-file plan-time pruning is sub-second driver arithmetic") {
+    // the FileIndex layer on top of the fold: listFiles with a range
+    // conjunct over 100k synthetic files (zone maps + manifest sizes,
+    // no filesystem objects at all — statuses fabricate from fsize
+    // entries) must prune at plan time in well under a second
+    import org.apache.spark.sql.catalyst.expressions.{
+      AttributeReference, GreaterThanOrEqual, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val n = 100000
+    val files = (1 to n).map(i => s"part=p/v1-f$i.parquet")
+    val zl = files.zipWithIndex.map { case (f, i) =>
+      f -> Map("k" -> (i * 10L, i * 10L + 9L))
+    }.toMap
+    val sizes = files.map(_ -> 134217728L).toMap
+    val idx = new org.apache.spark.sql.graft.SnapshotFileIndex(
+      spark, "/nonexistent/data", files, new StructType(),
+      zl, Map.empty, Map.empty, sizes, Set.empty,
+      (fs, _, _) => fs, (_, _) => ())
+    val k = AttributeReference("k", LongType)()
+    val band = Seq(
+      GreaterThanOrEqual(k, Literal(500000L)),
+      LessThanOrEqual(k, Literal(500990L)))
+    val t0 = System.nanoTime
+    val parts = idx.listFiles(Nil, band)
+    val planSec = (System.nanoTime - t0) / 1e9
+    val kept = parts.map(_.files.length).sum
+    assert(kept >= 99 && kept <= 101, s"prune kept $kept of $n")
+    assert(planSec < 1.0, f"plan-time prune took $planSec%.2f s")
+    // repeat plans amortize the lazy status/partition maps
+    val t1 = System.nanoTime
+    (1 to 10).foreach(_ => idx.listFiles(Nil, band))
+    val rep = (System.nanoTime - t1) / 1e9 / 10
+    assert(rep < 0.2, f"repeat plan took $rep%.3f s")
+  }
+
   test("column mapping: DML after rename targets the renamed column") {
     import spark.implicits._
     val root = tmp("graft_colmap_spec_")
