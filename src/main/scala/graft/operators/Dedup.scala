@@ -430,16 +430,20 @@ object Dedup {
     QueryDef.rowsOnly("q_dedup_minhash_lsh64") { (spark, dir) =>
       val docs = Tables(spark, dir).documents
       val dd = MinHashDedup(k = 16, bands = 4)
-      val cand64 = dd.candidatePairs(docs).localCheckpoint()
+      // ONE corpus tokenization and ONE candidate join feed the gate
+      // AND the report — the gate's marginal cost is the md5-twin pair
+      // generation plus two pair-bounded verification joins
+      val grams = dd.shinglesOf(docs)
+      val cand64 = dd.candidatesOf(grams).localCheckpoint()
       val twinVerified = dd
-        .verifyPairs(docs, Dedup.minhashPairs(docs), 0.6)
+        .verifyPairs(grams, Dedup.minhashPairs(docs), 0.6)
         .select("doc_a", "doc_b").localCheckpoint()
       val missed = twinVerified
         .join(cand64, Seq("doc_a", "doc_b"), "left_anti").count()
       require(missed == 0,
         s"xxhash64 LSH candidates missed $missed verified dup pairs " +
           "the hash-checked md5 twin found")
-      dd.dedupReport(docs)
+      dd.dedupReportFrom(grams, cand64, docs)
         .withColumn("n_twin_verified", lit(twinVerified.count()))
     },
 

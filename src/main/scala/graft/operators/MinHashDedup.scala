@@ -116,11 +116,48 @@ final case class MinHashDedup(k: Int, bands: Int) {
   /** Exact-verification of an EXTERNAL candidate relation over this
     * detector's hashed-shingle sets — the hook differential gates use
     * to score another candidate generator's pairs with the same
-    * arithmetic as [[verifiedPairs]]. */
-  def verifyPairs(docs: DataFrame, cand: DataFrame,
+    * arithmetic as [[verifiedPairs]]. Takes the PRE-MATERIALIZED gram
+    * relation so the gate and the report it guards share one corpus
+    * tokenization ([[shinglesOf]]). */
+  def verifyPairs(grams: DataFrame, cand: DataFrame,
       threshold: Double): DataFrame =
-    verifyFromGrams(shingles(docs), cand.select("doc_a", "doc_b"),
-      threshold)
+    verifyFromGrams(grams, cand.select("doc_a", "doc_b"), threshold)
+
+  /** The materialized hashed-shingle relation, for callers that feed
+    * several passes ([[verifyPairs]], [[dedupReport]]) from one
+    * tokenization. */
+  def shinglesOf(docs: DataFrame): DataFrame =
+    shingles(docs).localCheckpoint()
+
+  /** LSH candidates over a pre-materialized gram relation. */
+  def candidatesOf(grams: DataFrame): DataFrame =
+    candidatesFromGrams(grams)
+
+  /** [[dedupReport]] over pre-materialized grams AND candidates —
+    * callers that already paid for both (the differential gate) reuse
+    * them instead of re-deriving the pipeline. */
+  def dedupReportFrom(grams: DataFrame, cand: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val nCand = cand.select(count(lit(1)).as("n_candidates"))
+    val nVer = verifyFromGrams(grams, cand, 0.6)
+      .select(count(lit(1)).as("n_verified_dups"))
+    nDocs.crossJoin(nCand).crossJoin(nVer)
+      .withColumn("k", lit(k)).withColumn("bands", lit(bands))
+      .localCheckpoint(eager = true)
+  }
+
+  /** [[dedupReport]] over a pre-materialized gram relation. */
+  def dedupReportFromGrams(grams: DataFrame, docs: DataFrame): DataFrame = {
+    val cand = candidatesFromGrams(grams).localCheckpoint()
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val nCand = cand.select(count(lit(1)).as("n_candidates"))
+    val nVer = verifyFromGrams(grams, cand, 0.6)
+      .select(count(lit(1)).as("n_verified_dups"))
+    nDocs.crossJoin(nCand).crossJoin(nVer)
+      .withColumn("k", lit(k)).withColumn("bands", lit(bands))
+      .localCheckpoint(eager = true)
+  }
 
   /** Deduplicated corpus: drops the higher-id member of every verified
     * near-duplicate pair (keep-smallest-id policy, matching
@@ -135,21 +172,12 @@ final case class MinHashDedup(k: Int, bands: Int) {
     * non-empty even when the corpus has no near-duplicates. The shingle
     * relation — the one expensive derivation — is materialized once and
     * shared by signatures, candidates, and verification. */
-  def dedupReport(docs: DataFrame): DataFrame = {
-    // Materialize the two shared relations exactly once. They are key+
-    // hash tuples, orders of magnitude smaller than the corpus. A lazy
+  def dedupReport(docs: DataFrame): DataFrame =
+    // Materialize the shared gram relation exactly once (key + hash
+    // tuples, orders of magnitude smaller than the corpus). A lazy
     // .persist is not enough: the summary plan fans out into independent
     // stages (candidate count, intersection join ×2, size join ×2) that
     // the scheduler launches concurrently, so each would re-derive the
     // uncached upstream in parallel.
-    val grams = shingles(docs).localCheckpoint()
-    val cand = candidatesFromGrams(grams).localCheckpoint()
-    val nDocs = docs.select(count(lit(1)).as("n_docs"))
-    val nCand = cand.select(count(lit(1)).as("n_candidates"))
-    val nVer = verifyFromGrams(grams, cand, 0.6)
-      .select(count(lit(1)).as("n_verified_dups"))
-    nDocs.crossJoin(nCand).crossJoin(nVer)
-      .withColumn("k", lit(k)).withColumn("bands", lit(bands))
-      .localCheckpoint(eager = true)
-  }
+    dedupReportFromGrams(shinglesOf(docs), docs)
 }

@@ -62,6 +62,12 @@ object SuffixDedup {
          |FROM scored WHERE lcp >= 16
          |ORDER BY lcp DESC, doc_a, pos_a
          |LIMIT 20""".stripMargin) { (spark, dir) =>
+      // materialized BEFORE the range exchange: repartitionByRange
+      // evaluates its child TWICE (boundary-sampling pass + shuffle
+      // pass), and the suffix build (posexplode + per-row slice/join)
+      // is the query's most expensive relation — the checkpoint turns
+      // the sampling pass into a cached-block read (measured ~2x on
+      // the whole query at sf0.1)
       val sfx = Tables(spark, dir).documents
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), col("toks"),
@@ -69,6 +75,7 @@ object SuffixDedup {
         .select(col("doc_id"), col("pos"),
           expr(s"substring(array_join(slice(toks, pos + 1, $capToks), ' '), 1, $capChars)")
             .as("s"))
+        .localCheckpoint()
       val ranked = graft.util.RangeRank.withGlobalRank(
           sfx, "rn", spark.sessionState.conf.numShufflePartitions,
           col("s"), col("doc_id"), col("pos"))
@@ -80,10 +87,23 @@ object SuffixDedup {
           col("pos").as("pos_b"), col("s").as("s_b"),
           (col("rn") - 1).as("rn")), Seq("rn"))
         .filter(col("doc_a") =!= col("doc_b"))
+        .withColumn("p", expr(s"""array_position(
+            transform(sequence(1, $capChars),
+              k -> k <= least(length(s_a), length(s_b))
+                   AND substring(s_a, k, 1) = substring(s_b, k, 1)),
+            false)"""))
+        // LCP as FIRST CHAR MISMATCH, not a prefix-equality count: the
+        // count form re-compares prefix k for every k — O(cap²) char
+        // work and O(cap) substring allocations PER PAIR (~300M char
+        // compares over this corpus's 270k adjacent pairs, measured
+        // 7.7 s); one char-at-k compare per position is O(cap) and
+        // value-identical (prefix k equal ⟺ chars 1..k all equal, so
+        // the count IS firstMismatch − 1, clamped to the shorter
+        // suffix). The oracle keeps the count formulation — same value.
         .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
-          expr(s"""aggregate(sequence(1, $capChars), 0L, (acc, k) ->
-            acc + IF(k <= least(length(s_a), length(s_b))
-              AND substring(s_a, 1, k) = substring(s_b, 1, k), 1L, 0L))""")
+          expr(s"""CAST(CASE WHEN p = 0
+                   THEN least(length(s_a), length(s_b), $capChars)
+                   ELSE p - 1 END AS BIGINT)""")
             .as("lcp"))
         .filter(col("lcp") >= 16)
         .orderBy(col("lcp").desc, col("doc_a"), col("pos_a"))
