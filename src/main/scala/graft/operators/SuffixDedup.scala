@@ -66,8 +66,9 @@ object SuffixDedup {
       // evaluates its child TWICE (boundary-sampling pass + shuffle
       // pass), and the suffix build (posexplode + per-row slice/join)
       // is the query's most expensive relation — the checkpoint turns
-      // the sampling pass into a cached-block read (measured ~2x on
-      // the whole query at sf0.1)
+      // the sampling pass into a cached-block read (one child
+      // evaluation saved; wall-clock at this SF is within run noise,
+      // the win grows with the suffix build's cost)
       val sfx = Tables(spark, dir).documents
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), col("toks"),
@@ -94,12 +95,13 @@ object SuffixDedup {
             false)"""))
         // LCP as FIRST CHAR MISMATCH, not a prefix-equality count: the
         // count form re-compares prefix k for every k — O(cap²) char
-        // work and O(cap) substring allocations PER PAIR (~300M char
-        // compares over this corpus's 270k adjacent pairs, measured
-        // 7.7 s); one char-at-k compare per position is O(cap) and
-        // value-identical (prefix k equal ⟺ chars 1..k all equal, so
-        // the count IS firstMismatch − 1, clamped to the shorter
-        // suffix). The oracle keeps the count formulation — same value.
+        // work in the worst case, and sorted ADJACENT suffixes are
+        // exactly the long-shared-prefix pairs where the per-compare
+        // early-exit does not save it; one char-at-k compare per
+        // position is O(cap) worst case and value-identical (prefix k
+        // equal ⟺ chars 1..k all equal, so the count IS
+        // firstMismatch − 1, clamped to the shorter suffix). The
+        // oracle keeps the count formulation — same value.
         .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
           expr(s"""CAST(CASE WHEN p = 0
                    THEN least(length(s_a), length(s_b), $capChars)
