@@ -146,6 +146,23 @@ object SnapshotLog {
       * so the per-read mapping fold is O(#renames), not O(manifest). */
     lazy val colmapEntries: Vector[Entry] =
       entries.filter(_.action == "colmap")
+
+    private val dvAt =
+      new java.util.concurrent.ConcurrentHashMap[Int, Map[String, String]]()
+
+    /** Active deletion vector per live file at `v` (dv binds newest-
+      * wins, a remove of the file retires it) — memoized per version:
+      * every MOR read resolves this, and an unmemoized fold is
+      * O(manifest) per read at scale. */
+    def dvFor(v: Int): Map[String, String] =
+      dvAt.computeIfAbsent(v, _ =>
+        entries.foldLeft(Map.empty[String, String]) {
+          case (acc, Entry(ev, "dv", p)) if ev <= v =>
+            val Array(rel, id) = p.split('|')
+            acc + (rel -> id)
+          case (acc, Entry(ev, "remove", p)) if ev <= v => acc - p
+          case (acc, _)                                 => acc
+        })
   }
 
   /** (listing key, folded state) per table root. The key is the exact
@@ -2392,14 +2409,7 @@ object SnapshotLog {
       * `remove` of the file retires it (every rewrite path reads its
       * victims through [[readFilesMorAt]], so the rewrite that removed
       * the file APPLIED the deletes — see that method's contract). */
-    def dvFor(v: Int): Map[String, String] =
-      entries.filter(_.version <= v).foldLeft(Map.empty[String, String]) {
-        case (acc, Entry(_, "dv", p)) =>
-          val Array(rel, id) = p.split('|')
-          acc + (rel -> id)
-        case (acc, Entry(_, "remove", p)) => acc - p
-        case (acc, _)                     => acc
-      }
+    def dvFor(v: Int): Map[String, String] = foldState().dvFor(v)
 
     /** The (file, position) delete relation of exactly `dvs` — ONE
       * multi-path text scan regardless of sidecar count (a supersede
