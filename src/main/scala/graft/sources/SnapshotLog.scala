@@ -423,12 +423,31 @@ object SnapshotLog {
         tries += 1
         try return foldAttempt()
         catch {
-          case e: java.io.FileNotFoundException =>
+          case e if isVacuumRace(e) =>
             if (tries >= 5) throw e // not a vacuum race: surface it
         }
       }
       null // unreachable
     }
+
+    /** Whether `e` is a read of a log file a concurrent
+      * checkpoint+vacuum just reclaimed. CSV parses surface the raw
+      * FileNotFoundException; the COLUMNAR checkpoint parses through a
+      * Spark job, which wraps it as FAILED_READ_FILE (found by
+      * CommitRaceSpec racing parquet checkpoints) — both mean the same
+      * thing: re-list and re-resolve. Cause chain bounded against
+      * pathological cycles. */
+    private def isVacuumRace(e: Throwable, depth: Int = 0): Boolean =
+      e match {
+        case null => false
+        case _ if depth > 8 => false
+        case _: java.io.FileNotFoundException => true
+        case s: org.apache.spark.SparkException
+            if s.getMessage != null &&
+              (s.getMessage.contains("FAILED_READ_FILE") ||
+                s.getMessage.contains("FILE_NOT_EXIST")) => true
+        case other => isVacuumRace(other.getCause, depth + 1)
+      }
 
     private lazy val cacheKey: String =
       fs.makeQualified(new Path(root)).toString
@@ -666,10 +685,11 @@ object SnapshotLog {
         stamped: Seq[Entry]): Boolean = latestCheckpoint match {
       case Some((cv, cp)) if cv >= v =>
         (try checkpointEntriesFor(cp, v)
-         catch { case _: java.io.FileNotFoundException =>
-           // the checkpoint itself was superseded+vacuumed mid-read;
-           // the newer one still carries v verbatim — retry once via
-           // the fresh listing
+         catch { case e if isVacuumRace(e) =>
+           // the checkpoint itself was superseded+vacuumed mid-read
+           // (CSV: raw FileNotFound; columnar: Spark's wrapped
+           // FAILED_READ_FILE); the newer one still carries v
+           // verbatim — retry once via the fresh listing
            latestCheckpoint.map(c => checkpointEntriesFor(c._2, v))
              .getOrElse(Nil)
          }) == stamped

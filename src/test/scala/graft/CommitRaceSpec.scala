@@ -195,6 +195,52 @@ class CommitRaceSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test(s"racing appenders with COLUMNAR checkpoints: exact rows [$bname]") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_racepq_").toString
+    // every checkpoint parquet (threshold 1) at an aggressive cadence:
+    // the version-reclaim guard's point probe and the reader fold both
+    // parse COLUMNAR checkpoints while appends, checkpoints and
+    // vacuums race — the formats must be protocol-equivalent under
+    // real scheduling, not just in the single-threaded spec
+    val nThreads = 4
+    val perThread = 3
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until nThreads).map { tid =>
+      new Thread(() => try {
+        val t = new SnapshotLog.Table(spark, root,
+          autoCheckpointEvery = 2, parquetCheckpointAt = 1,
+          binder = binder)
+        (0 until perThread).foreach { b =>
+          val keyBase = (tid * perThread + b) * 1000L
+          t.withRetry(maxAttempts = 50) { expected =>
+            t.commitAppend(
+              (keyBase until keyBase + 5L).map(k => (k, "x"))
+                .toDF("k", "part").coalesce(1),
+              "part", expectedVersion = expected)
+          }
+        }
+      } catch { case e: Throwable => errors.add(e) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    import scala.jdk.CollectionConverters._
+    assert(errors.isEmpty, s"writer died: ${errors.asScala.headOption}")
+    val t = new SnapshotLog.Table(spark, root,
+      autoCheckpointEvery = 2, parquetCheckpointAt = 1, binder = binder)
+    val rows = t.asOf(t.version).select("k").collect().map(_.getLong(0))
+    assert(rows.length == nThreads * perThread * 5, s"rows ${rows.length}")
+    assert(rows.distinct.length == rows.length, "duplicated rows")
+    assert(t.orphanFiles().isEmpty)
+    // the log actually went columnar and vacuumed
+    val logFiles = new java.io.File(s"$root/log").listFiles().map(_.getName)
+    assert(logFiles.exists(_.endsWith(".ckpt.pq")),
+      s"no columnar checkpoint in ${logFiles.toSeq}")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test(s"racing MOR deleters: bindings never cross, all victims dead [$bname]") {
     import spark.implicits._
     val root = java.nio.file.Files
