@@ -812,11 +812,14 @@ object SnapshotLog {
     private def applyMapping(v: Int, df: DataFrame): DataFrame = {
       val (m, dropped) = columnMapping(v)
       if (m.isEmpty && dropped.isEmpty) return df
-      val d1 = dropped.foldLeft(df)((d, ph) =>
-        if (d.columns.contains(ph)) d.drop(ph) else d)
-      m.foldLeft(d1) { case (d, (lg, ph)) =>
-        if (d.columns.contains(ph)) d.withColumnRenamed(ph, lg) else d
-      }
+      // ONE atomic projection, not a withColumnRenamed chain: a chain
+      // renames through intermediate states where two columns share a
+      // name — a legal rename history can SWAP two columns (a→tmp,
+      // b→a, tmp→b), and the chain then renames both (found by the
+      // clone-mapping spec)
+      val physToLogical = m.map(_.swap)
+      df.select(df.columns.filterNot(dropped.contains).toIndexedSeq
+        .map(ph => col(ph).as(physToLogical.getOrElse(ph, ph))): _*)
     }
 
     /** Writes: a user batch arrives with LOGICAL (current) names —
@@ -831,9 +834,10 @@ object SnapshotLog {
         .foreach(c => throw new IllegalArgumentException(
           s"column $c was dropped; re-introducing it would collide " +
             "with the retired physical column"))
-      m.foldLeft(df) { case (d, (lg, ph)) =>
-        if (d.columns.contains(lg)) d.withColumnRenamed(lg, ph) else d
-      }
+      // atomic projection — see applyMapping on why a rename CHAIN
+      // breaks under swapped logical names
+      df.select(df.columns.toIndexedSeq
+        .map(lg => col(lg).as(m.getOrElse(lg, lg))): _*)
     }
 
     /** Time-travel read: exactly the files live at `v`, with the
@@ -2878,12 +2882,23 @@ object SnapshotLog {
           e.action == "stats_n" || e.action == "fsize") &&
           fileSet.contains(e.path.split('|')(0)))
         .map(e => Entry(1, e.action, e.path))
+      // COLUMN MAPPING clones too: the linked files carry PHYSICAL
+      // names, so without the source's mapping the clone would surface
+      // pre-rename names (and resurrect dropped columns). Carry the
+      // source's colmap HISTORY ≤ srcVersion verbatim (re-stamped v1,
+      // original order): the same entries fold to the same mapping by
+      // definition — emitting the FOLDED state as fresh renames would
+      // need a topological order and a temp name for rename cycles
+      // (a→tmp, b→a, tmp→b swaps are legal history).
+      val colmap = src.entries
+        .filter(e => e.action == "colmap" && e.version <= srcVersion)
+        .map(e => Entry(1, "colmap", e.path))
       // a lost publish race (two cloners, or a concurrent writer that
       // beat this clone to version 1) must unlink what this writer
       // bound — links are cheap to re-create and the winner's state
       // must not inherit a loser's unreferenced names
       try publishSegment(1,
-        files.sorted.map(Entry(1, "add", _)) ++ stats ++
+        files.sorted.map(Entry(1, "add", _)) ++ stats ++ colmap ++
           dvs.toSeq.sortBy(_._1).map { case (rel, id) =>
             Entry(1, "dv", s"$rel|$id") })
       catch {

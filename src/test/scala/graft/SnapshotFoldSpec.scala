@@ -181,4 +181,37 @@ class SnapshotFoldSpec extends SparkSpec {
     }
     rm(root)
   }
+
+  test("column mapping survives a zero-copy clone, including swap cycles") {
+    import spark.implicits._
+    val root = tmp("graft_colmapclone_")
+    val t = new SnapshotLog.Table(spark, root)
+    t.commitAppend((1L to 5L).map(k => (k, "x", k * 10, k + 100))
+      .toDF("a", "part", "b", "scratch").coalesce(1), "part") // v1
+    // swap a and b via temp — the history whose FOLDED state cannot be
+    // replayed as naive sequential renames (cycle) — then drop scratch
+    t.renameColumn("a", "tmp")                                // v2
+    t.renameColumn("b", "a")                                  // v3
+    t.renameColumn("tmp", "b")                                // v4
+    t.dropColumn("scratch")                                   // v5
+    val srcCols = t.asOf(t.version).columns.toSet
+    assert(srcCols == Set("a", "b", "part"), s"src: $srcCols")
+    // swapped values: logical a now reads the ORIGINAL b column
+    assert(t.asOf(t.version).filter(col("b") === 1L)
+      .select("a").collect().map(_.getLong(0)).toSeq == Seq(10L))
+    val cloneRoot = tmp("graft_colmapclone2_")
+    val c = new SnapshotLog.Table(spark, cloneRoot)
+    c.commitCloneFrom(t, t.version)
+    val cloneCols = c.asOf(1).columns.toSet
+    assert(cloneCols == Set("a", "b", "part"),
+      s"clone lost the mapping: $cloneCols")
+    assert(c.asOf(1).filter(col("b") === 1L)
+      .select("a").collect().map(_.getLong(0)).toSeq == Seq(10L),
+      "clone must read the swapped columns like the source")
+    // and the clone's own evolution stays independent
+    c.renameColumn("a", "a2")
+    assert(t.asOf(t.version).columns.contains("a"),
+      "clone rename leaked into the source")
+    rm(root); rm(cloneRoot)
+  }
 }
