@@ -131,14 +131,17 @@ final class SnapshotCdfTable(root: String, partCol: String, ddl: String,
         val conf = new SerializableConfiguration(
           spark.sparkContext.hadoopConfiguration)
         val fileSchema = StructType.fromDDL(ddl)
-        val pc = partCol
+        // column mapping: declared names are LOGICAL-at-`to`; files
+        // speak physical (same resolution the stream factory does)
+        val nm = t.columnMapping(to)._1
+        val pc = nm.getOrElse(partCol, partCol)
         new Batch {
           override def planInputPartitions(): Array[InputPartition] =
             parts
           override def createReaderFactory(): PartitionReaderFactory =
             // top-level class: an anonymous factory's $outer chain
             // would drag the (non-serializable) table into the task
-            new CdfReaderFactory(fileSchema, pc, conf)
+            new CdfReaderFactory(fileSchema, pc, conf, nm)
         }
       }
     }
@@ -250,10 +253,14 @@ final class SnapshotCdfStream(root: String, partCol: String, ddl: String,
     val conf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val fileSchema = StructType.fromDDL(ddl)
-    val pc = partCol
+    // column mapping, resolved ONCE at factory build: consumers
+    // declare the LOGICAL (current) names; files speak physical
+    val nm = table.columnMapping(table.version)._1
+    val pc = nm.getOrElse(partCol, partCol)
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new CdfReader(p.asInstanceOf[CdfPart], fileSchema, pc, conf.value)
+        new CdfReader(p.asInstanceOf[CdfPart], fileSchema, pc,
+          conf.value, nm)
     }
   }
 }
@@ -310,11 +317,13 @@ object SnapshotCdfStream {
   * (the streaming path builds an equivalent one inline — its enclosing
   * stream is serializable, the batch scan's table is not). */
 final class CdfReaderFactory(fileSchema: StructType, partCol: String,
-    conf: SerializableConfiguration) extends PartitionReaderFactory {
+    conf: SerializableConfiguration,
+    nameMap: Map[String, String] = Map.empty)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition):
       PartitionReader[InternalRow] =
     new CdfReader(p.asInstanceOf[CdfPart], fileSchema, partCol,
-      conf.value)
+      conf.value, nameMap)
 }
 
 final case class CdfPart(file: String, version: Int, change: String,
@@ -327,8 +336,15 @@ final case class CdfPart(file: String, version: Int, change: String,
   * commit-sized; a bulk path would use the vectorized reader. Row
   * position = sequential read order, the same contract as
   * `_metadata.row_index`, so DV sidecar positions apply directly. */
+/** @param nameMap declared (LOGICAL) column name -> PHYSICAL name in
+  *   the files, resolved once at plan time from the table's column
+  *   mapping — a renamed column's feed reads the physical bytes and
+  *   surfaces them under the name the consumer declared (physical
+  *   names never change, so one map serves files of every age);
+  *   absent entries read under their own name. */
 final class CdfReader(part: CdfPart, fileSchema: StructType,
-    partCol: String, conf: Configuration)
+    partCol: String, conf: Configuration,
+    nameMap: Map[String, String] = Map.empty)
     extends PartitionReader[InternalRow] {
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(), new Path(part.file))
@@ -408,17 +424,19 @@ final class CdfReader(part: CdfPart, fileSchema: StructType,
 
   override def get(): InternalRow = {
     if (present == null)
-      present = fileSchema.fields.map(f => cur.getType.containsField(f.name))
+      present = fileSchema.fields.map(f =>
+        cur.getType.containsField(nameMap.getOrElse(f.name, f.name)))
     val vals = new Array[Any](fileSchema.length + 3)
     fileSchema.fields.zipWithIndex.foreach { case (f, i) =>
+      val ph = nameMap.getOrElse(f.name, f.name) // physical field name
       // parquet repetition: a missing (null) value has count 0
-      if (!present(i) || cur.getFieldRepetitionCount(f.name) == 0)
+      if (!present(i) || cur.getFieldRepetitionCount(ph) == 0)
         vals(i) = null
       else vals(i) = f.dataType match {
-        case LongType    => cur.getLong(f.name, 0)
-        case IntegerType => cur.getInteger(f.name, 0)
-        case DoubleType  => cur.getDouble(f.name, 0)
-        case StringType  => UTF8String.fromString(cur.getString(f.name, 0))
+        case LongType    => cur.getLong(ph, 0)
+        case IntegerType => cur.getInteger(ph, 0)
+        case DoubleType  => cur.getDouble(ph, 0)
+        case StringType  => UTF8String.fromString(cur.getString(ph, 0))
         case dt => throw new IllegalArgumentException(
           s"unsupported CDF column type $dt for ${f.name}")
       }

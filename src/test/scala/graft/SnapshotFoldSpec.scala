@@ -214,4 +214,27 @@ class SnapshotFoldSpec extends SparkSpec {
       "clone rename leaked into the source")
     rm(root); rm(cloneRoot)
   }
+
+  test("CDF reads renamed columns under their declared logical names") {
+    import spark.implicits._
+    val root = tmp("graft_colmapcdf_")
+    val t = new SnapshotLog.Table(spark, root)
+    t.commitAppend((1L to 3L).map(k => (k, "x", k * 10))
+      .toDF("k", "part", "v").coalesce(1), "part")            // v1
+    t.renameColumn("v", "val2")                               // v2
+    t.commitAppend(Seq((4L, "x", 40L)).toDF("k", "part", "val2")
+      .coalesce(1), "part")                                   // v3
+    // consumer declares the CURRENT logical names; v1's files carry
+    // physical "v" — without the mapping those rows null-fill silently
+    val feed = spark.read.format("graft.sources.SnapshotCdfSource")
+      .option("path", root).option("partCol", "part")
+      .option("schema.ddl", "k LONG, val2 LONG")
+      .option("startingVersion", "0")
+      .load().select("k", "val2", "_change")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(feed.toSet ==
+      (1L to 4L).map(k => (k, k * 10, "insert")).toSet,
+      s"feed lost renamed-column values: ${feed.toSeq.sorted}")
+    rm(root)
+  }
 }
