@@ -215,6 +215,35 @@ class SnapshotFoldSpec extends SparkSpec {
     rm(root); rm(cloneRoot)
   }
 
+  test("renaming the PARTITION column keeps writes, prunes and reads aligned") {
+    import spark.implicits._
+    val root = tmp("graft_colmappart_")
+    val t = new SnapshotLog.Table(spark, root)
+    t.commitAppend(Seq((1L, "x", 10L), (2L, "y", 20L))
+      .toDF("k", "part", "v").coalesce(1), "part")            // v1
+    t.renameColumn("part", "grp")                             // v2
+    // append under the NEW logical partition name
+    t.commitAppend(Seq((3L, "x", 30L)).toDF("k", "grp", "v")
+      .coalesce(1), "grp")                                    // v3
+    // one layout: the physical dir name never changed
+    val dirs = t.liveFiles(3).map(_.split('/').head).distinct
+    assert(dirs.forall(_.startsWith("part=")), s"layouts: $dirs")
+    // discovery read surfaces the logical name; filters on it work
+    val byAsOf = t.asOf(3).filter(col("grp") === "x")
+      .select("k").collect().map(_.getLong(0)).toSeq.sorted
+    assert(byAsOf == Seq(1L, 3L), s"asOf: $byAsOf")
+    // pruned scan: the partition FILTER (exact, trusted by Spark)
+    // crosses the rename projection into the FileIndex
+    val byScan = t.scanAsOf(3).filter(col("grp") === "x")
+      .select("k").collect().map(_.getLong(0)).toSeq.sorted
+    assert(byScan == Seq(1L, 3L), s"scanAsOf: $byScan")
+    // partition-keyed delete under the logical name
+    t.commitDeletePartition("grp", "y")                       // v4
+    assert(t.asOf(4).select("k").collect().map(_.getLong(0)).toSeq.sorted ==
+      Seq(1L, 3L))
+    rm(root)
+  }
+
   test("CDF reads renamed columns under their declared logical names") {
     import spark.implicits._
     val root = tmp("graft_colmapcdf_")
