@@ -28,7 +28,11 @@ class SnapshotModelSpec extends SparkSpec {
     val rnd = new scala.util.Random(seed)
     val root = java.nio.file.Files
       .createTempDirectory(s"graft_model_$seed").toString
-    val t = new SnapshotLog.Table(spark, root, autoCheckpointEvery = 4)
+    // columnar checkpoints throughout (threshold 1): the randomized
+    // op soak must hold format-blind — every fold, reclaim probe and
+    // time-travel sweep parses parquet checkpoints under auto-vacuum
+    val t = new SnapshotLog.Table(spark, root, autoCheckpointEvery = 4,
+      parquetCheckpointAt = 1)
     var model = Map.empty[Long, Long]
     var nextKey = 1L
     var vName = "v" // current LOGICAL name of the value column
@@ -162,5 +166,13 @@ class SnapshotModelSpec extends SparkSpec {
 
   test("random op sequences match the model (seed 1013)") {
     runSequence(seed = 1013, nOps = 14)
+  }
+
+  test("random op sequences match the model (seed 271828)") {
+    runSequence(seed = 271828, nOps = 16)
+  }
+
+  test("random op sequences match the model (seed 314159)") {
+    runSequence(seed = 314159, nOps = 16)
   }
 }
