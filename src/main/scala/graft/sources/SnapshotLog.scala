@@ -770,6 +770,7 @@ object SnapshotLog {
       require(from != to, s"rename $from -> $to is a no-op")
       require(from.nonEmpty && to.nonEmpty && !to.contains("|"),
         s"bad column names: '$from' -> '$to'")
+      requireUnconstrained(from, "rename")
       val (m, dropped) = columnMapping(v - 1)
       require(!m.contains(to) && !dropped.contains(to),
         s"logical name $to already in use (or dropped) at v${v - 1}")
@@ -801,6 +802,7 @@ object SnapshotLog {
       * mapping before allowing re-use). */
     def dropColumn(name: String, expectedVersion: Int = -1): Int = {
       val v = casCheck(expectedVersion)
+      requireUnconstrained(name, "drop")
       publishSegment(v, Seq(Entry(v, "colmap", s"drop|$name")))
       v
     }
@@ -1133,12 +1135,16 @@ object SnapshotLog {
     }
 
     /** AUDIT step: read exactly the staged batch's rows (the files of
-      * this branch, nothing of the table). */
+      * this branch, nothing of the table) — under the CURRENT logical
+      * column view, like every user-facing read: staged files carry
+      * physical names, and an auditor (or the publish-time constraint
+      * check) speaks the table's current names. */
     def stagedRead(branch: String): DataFrame = {
       val files = stagedEntries(branch).filter(_.action == "add")
         .map(e => s"$dataDir/${e.path}")
       require(files.nonEmpty, s"staged branch $branch has no files")
-      spark.read.option("basePath", dataDir).parquet(files: _*)
+      applyMapping(version,
+        spark.read.option("basePath", dataDir).parquet(files: _*))
     }
 
     /** PUBLISH step: turn the staged batch into a real commit — its
@@ -1835,6 +1841,27 @@ object SnapshotLog {
         case (acc, Entry(_, "unconstraint", n)) => acc - n
         case (acc, _)                           => acc
       }
+
+    /** The column names each ACTIVE constraint references (parsed,
+      * not substring-matched) — the guard set for RENAME/DROP COLUMN:
+      * a rename would silently break the expression's binding, so the
+      * evolution is refused until the constraint is dropped (the
+      * Delta contract for constrained columns). */
+    private def constrainedColumns: Map[String, Set[String]] =
+      activeConstraints.map { case (n, ex) =>
+        n -> spark.sessionState.sqlParser.parseExpression(ex).collect {
+          case a: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute => a.name
+        }.toSet
+      }
+
+    /** Refuse a RENAME/DROP of a column an active constraint checks. */
+    private def requireUnconstrained(colName: String, op: String): Unit =
+      constrainedColumns.collectFirst {
+        case (n, cols) if cols.contains(colName) => n
+      }.foreach(n => throw new IllegalArgumentException(
+        s"cannot $op column $colName: CHECK constraint $n references " +
+          "it — drop the constraint first"))
 
     /** Validate an incoming batch against every active constraint —
       * one job over the (delta-sized) batch; throws naming the first

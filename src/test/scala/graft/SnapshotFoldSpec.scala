@@ -244,6 +244,36 @@ class SnapshotFoldSpec extends SparkSpec {
     rm(root)
   }
 
+  test("constrained columns refuse rename/drop; staged reads speak logical") {
+    import spark.implicits._
+    val root = tmp("graft_colmapcons_")
+    val t = new SnapshotLog.Table(spark, root)
+    t.commitAppend(Seq((1L, "x", 10L)).toDF("k", "part", "v"), "part")
+    t.addConstraint("v_pos", "v > 0")
+    // a rename/drop of a constrained column would silently break the
+    // expression's binding — refused until the constraint drops
+    intercept[IllegalArgumentException] { t.renameColumn("v", "val2") }
+    intercept[IllegalArgumentException] { t.dropColumn("v") }
+    t.dropConstraint("v_pos")
+    t.renameColumn("v", "val2")
+    // constraints added AFTER the rename speak the new name and gate
+    // the WAP audit surface too: stagedRead surfaces LOGICAL names
+    // (physical files carry "v"), so the publish-time check binds
+    t.addConstraint("val2_pos", "val2 > 0")
+    t.stageAppend(Seq((2L, "x", 20L)).toDF("k", "part", "val2"),
+      "part", "b1")
+    assert(t.stagedRead("b1").columns.contains("val2"),
+      s"staged audit saw ${t.stagedRead("b1").columns.toSeq}")
+    t.publishStaged("b1")
+    assert(t.asOf(t.version).count() == 2)
+    // and a violating staged batch is rejected at publish
+    t.stageAppend(Seq((3L, "x", -5L)).toDF("k", "part", "val2"),
+      "part", "b2")
+    intercept[IllegalArgumentException] { t.publishStaged("b2") }
+    t.dropStaged("b2")
+    rm(root)
+  }
+
   test("CDF reads renamed columns under their declared logical names") {
     import spark.implicits._
     val root = tmp("graft_colmapcdf_")
