@@ -196,6 +196,40 @@ object FileIndex {
     t
   }
 
+  /** Build-once versioned table for the IDENTITY query: four
+    * date-band identity appends — each batch's rows numbered
+    * contiguously past the previous watermark, ordered by o_orderkey
+    * within the batch, so the full assignment is exactly
+    * `row_number() OVER (ORDER BY band, o_orderkey)` — SQL-replayable
+    * by construction. */
+  private[graft] def identStagedTable(
+      spark: SparkSession, dir: String): SnapshotLog.Table = {
+    val factPath = java.nio.file.Paths.get(s"$dir/orders.parquet")
+      .toAbsolutePath.toString
+    val root = graft.util.Staging.dir("graft_snapid_", s"$factPath|ident_v1")
+    val t = new SnapshotLog.Table(spark, root)
+    val marker = new Path(s"$root/_BUILT")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      fs.delete(new Path(s"$root/data"), true)
+      fs.delete(new Path(s"$root/log"), true)
+      val orders = spark.read.parquet(factPath).select(
+        col("o_orderkey"),
+        expr("CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT)")
+          .as("o_date_days"),
+        col("o_orderstatus"))
+      val cuts = Seq(Long.MinValue, Wave8.days("1997-01-01"),
+        Wave8.days("1999-01-01"), Wave8.days("2001-01-01"), Long.MaxValue)
+      cuts.sliding(2).foreach { case Seq(lo, hi) =>
+        t.commitAppendIdentity(orders.filter(
+          col("o_date_days") >= lo && col("o_date_days") < hi),
+          "o_orderstatus", "row_id", Seq(col("o_orderkey")))
+      }
+      fs.create(marker, true).close()
+    }
+    t
+  }
+
   /** Build-once versioned table for the range-delete query: four
     * date-range appends, then one `commitDeleteRange` of the
     * mid-1997..end-1997 day band — the zone maps bound the COW blast
@@ -634,6 +668,57 @@ object FileIndex {
         .unionAll(agg(pre, "pre", "o_orderkey", "cents",
           countDistinct(col("scratch"))))
         .orderBy("era", "o_orderstatus")
+    },
+
+    // ---- IDENTITY columns (GENERATED ALWAYS AS IDENTITY): each
+    //      identity append numbers its rows contiguously past the
+    //      table's high watermark — an `idwm` log entry riding the SAME
+    //      segment as the adds, so the allocator state is manifest
+    //      metadata under the same CAS as the rows it numbers (a lost
+    //      race RECOMPUTES ids against the new tip; identity appends
+    //      are deliberately not rebase-eligible — their read set is the
+    //      watermark). Within a batch the order is a caller-named
+    //      unique key, which makes the full assignment
+    //      row_number() OVER (ORDER BY batch, key) — the oracle
+    //      replays it exactly; density requires in-query.
+    QueryDef.checked(
+      "q_snapshot_identity",
+      s"""WITH base AS (
+         |  SELECT o_orderkey, o_orderstatus,
+         |    CASE
+         |      WHEN d < ${Wave8.days("1997-01-01")} THEN 0
+         |      WHEN d < ${Wave8.days("1999-01-01")} THEN 1
+         |      WHEN d < ${Wave8.days("2001-01-01")} THEN 2
+         |      ELSE 3 END AS band
+         |  FROM (SELECT o_orderkey, o_orderstatus,
+         |          datediff('day', DATE '1970-01-01',
+         |                   CAST(o_orderdate AS DATE)) AS d
+         |        FROM orders)
+         |), ids AS (
+         |  SELECT o_orderstatus,
+         |    row_number() OVER (ORDER BY band, o_orderkey) AS row_id
+         |  FROM base
+         |)
+         |SELECT o_orderstatus, count(*) AS n_rows,
+         |  min(row_id) AS min_id, max(row_id) AS max_id,
+         |  CAST(sum(row_id) AS BIGINT) AS sum_id
+         |FROM ids GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      val t = identStagedTable(spark, dir)
+      val cur = t.asOf(t.version)
+      // density: ids are exactly 1..watermark, no gap, no dup
+      val wm = t.identityWatermark("row_id")
+      val Seq(n, nd, mx) = cur.agg(count(lit(1)),
+        countDistinct(col("row_id")), max(col("row_id"))).collect()
+        .map(r => Seq(r.getLong(0), r.getLong(1), r.getLong(2))).head
+      require(n == nd && mx == n && wm == n,
+        s"identity not dense: n=$n distinct=$nd max=$mx wm=$wm")
+      cur.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("row_id")).as("min_id"),
+          max(col("row_id")).as("max_id"),
+          sum(col("row_id")).cast("long").as("sum_id"))
+        .orderBy("o_orderstatus")
     },
 
     // ---- write-audit-publish: the ingest quality gate as a STORAGE

@@ -1791,6 +1791,59 @@ object SnapshotLog {
       ver
     }
 
+    /** The IDENTITY high watermark for `idCol` (the largest id any
+      * committed identity append assigned; 0 before the first).
+      * Carried as `idwm` log entries — one per identity commit, newest
+      * (= largest) wins — so the allocator state is manifest metadata
+      * like everything else: checkpoint-durable, time-travel-visible,
+      * and protected by the same segment CAS as the rows it numbers. */
+    def identityWatermark(idCol: String): Long =
+      entries.collect {
+        case Entry(_, "idwm", p) if p.startsWith(s"$idCol|") =>
+          p.stripPrefix(s"$idCol|").toLong
+      }.maxOption.getOrElse(0L)
+
+    /** Append with IDENTITY assignment (Delta's GENERATED ALWAYS AS
+      * IDENTITY): the batch's rows get the CONTIGUOUS ids
+      * watermark+1 .. watermark+n, ordered within the batch by
+      * `orderKeys` (which must be unique per row — they make the
+      * assignment deterministic and therefore oracle-replayable), and
+      * the advanced watermark rides the SAME segment as the adds.
+      *
+      * Concurrency: identity appends are NOT rebase-eligible — unlike
+      * a plain append their read set is non-empty (the watermark), so
+      * a lost version race must RECOMPUTE ids against the new tip, not
+      * re-stamp them (two racers re-stamping would double-assign).
+      * publish rides the explicit-expectation path; wrap calls in
+      * [[withRetry]] for multi-writer liveness. Scale: the global
+      * numbering is [[graft.util.RangeRank]] — per-partition rank +
+      * broadcast offsets, no single-partition exchange. */
+    def commitAppendIdentity(df: DataFrame, partCol: String,
+        idCol: String, orderKeys: Seq[Column],
+        expectedVersion: Int = -1): Int = {
+      val v = casCheck(expectedVersion)
+      require(!df.columns.contains(idCol),
+        s"batch already carries $idCol — identity is assigned, not given")
+      val wm = identityWatermark(idCol)
+      val (ranked, total) = graft.util.RangeRank.withGlobalRankAndTotal(
+        df, "__id_rn", spark.sessionState.conf.numShufflePartitions,
+        orderKeys: _*)
+      val withId = ranked
+        .withColumn(idCol, col("__id_rn") + lit(wm)).drop("__id_rn")
+      checkConstraints(withId)
+      val tmp = new Path(s"$root/_tmp_v$v-${
+        java.util.UUID.randomUUID.toString.take(8)}")
+      writeTmp(withId, partCol, tmp)
+      val added = adopt(tmp, v)
+      fs.delete(tmp, true)
+      publishOrCleanup(v, added.map(Entry(v, "add", _)) ++
+        statsEntries(v, added) :+
+        Entry(v, "idwm", s"$idCol|${wm + total}"), added)
+      buildBlooms(v, added)
+      maybeAutoCompact(partCol)
+      v
+    }
+
     /** Transaction ids already committed (the `txn` log entries). */
     def committedTxns: Set[String] =
       entries.filter(_.action == "txn").map(_.path).toSet

@@ -241,6 +241,49 @@ class CommitRaceSpec extends SparkSpec {
       new java.io.File(root))
   }
 
+  test(s"racing IDENTITY appenders never double-assign [$bname]") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_raceid_").toString
+    // identity appends read the watermark, so they must NOT rebase a
+    // lost race (a re-stamped batch would re-use the stale ids) —
+    // withRetry recomputes ids against the new tip; the bar is ids
+    // dense 1..N across every racer with zero duplicates
+    val nThreads = 4
+    val perThread = 3
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until nThreads).map { tid =>
+      new Thread(() => try {
+        val t = new SnapshotLog.Table(spark, root, binder = binder)
+        (0 until perThread).foreach { b =>
+          val keyBase = (tid * perThread + b) * 1000L
+          t.withRetry(maxAttempts = 50) { expected =>
+            t.commitAppendIdentity(
+              (keyBase until keyBase + 5L).map(k => (k, "x"))
+                .toDF("k", "part").coalesce(1),
+              "part", "row_id", Seq(col("k")),
+              expectedVersion = expected)
+          }
+        }
+      } catch { case e: Throwable => errors.add(e) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    import scala.jdk.CollectionConverters._
+    assert(errors.isEmpty, s"writer died: ${errors.asScala.headOption}")
+    val t = new SnapshotLog.Table(spark, root, binder = binder)
+    val n = nThreads * perThread * 5
+    val ids = t.asOf(t.version).select("row_id").collect()
+      .map(_.getLong(0)).sorted
+    assert(ids.length == n && ids.head == 1L && ids.last == n &&
+      ids.distinct.length == n,
+      s"identity not dense under racing appenders: ${ids.take(20).toSeq}…")
+    assert(t.identityWatermark("row_id") == n)
+    assert(t.orphanFiles().isEmpty)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
   test(s"racing MOR deleters: bindings never cross, all victims dead [$bname]") {
     import spark.implicits._
     val root = java.nio.file.Files
