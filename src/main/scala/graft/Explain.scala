@@ -123,7 +123,8 @@ object Explain {
     "q_rater_agreement", "q_distinct_ngrams", "q_scaling_law",
     "q_snapshot_pruned_read", "q_snapshot_replace_where",
     "q_snapshot_zorder", "q_snapshot_clone", "q_stream_cdf_since",
-    "q_snapshot_rename_col", "q_multimodal_decode")
+    "q_snapshot_rename_col", "q_multimodal_decode",
+    "q_snapshot_identity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
