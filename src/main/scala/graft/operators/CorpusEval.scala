@@ -30,21 +30,26 @@ object CorpusEval {
     * Similarity/VectorCuration) is named in the error. */
   private[graft] val MaxPanelRows = 4096L
 
-  /** Guard + materialization: the panel is localCheckpoint'ed (eager)
-    * so the cap count AND every downstream use read the materialized
-    * blocks — one execution of the panel plan total, instead of a
-    * count job re-running it on every query execution. */
+  /** Guard + materialization, IN THAT ORDER: the cap check runs first
+    * as `limit(cap+1).count()` — bounded work that never materializes
+    * more than cap+1 rows, so the exact abuse the guard exists for (a
+    * corpus-fraction panel) fails BEFORE paying to store it (a
+    * checkpoint-first order would spill the whole oversized panel to
+    * executor storage — or OOM — just to learn it's oversized). Only
+    * the validated panel is then localCheckpoint'ed (eager), so every
+    * downstream use reads materialized blocks — one execution of the
+    * panel plan for all query executions. */
   private[graft] def boundedPanel(
       panel: org.apache.spark.sql.DataFrame,
       cap: Long = MaxPanelRows): org.apache.spark.sql.DataFrame = {
-    val p = panel.localCheckpoint()
-    val n = p.count()
-    require(n <= cap,
-      s"eval panel has $n rows (cap $cap): panels must be bounded " +
+    require(cap < Long.MaxValue, "cap must leave room for cap + 1")
+    val probe = panel.limit((cap + 1).min(Int.MaxValue.toLong).toInt).count()
+    require(probe <= cap,
+      s"eval panel exceeds $cap rows (cap): panels must be bounded " +
         "fixed-size sets — curate or sample the panel upstream, or " +
         "generate candidates with the IVF/LSH operators instead of " +
         "broadcasting a corpus fraction")
-    p
+    panel.localCheckpoint()
   }
 
   val defs: Seq[QueryDef] = Seq(

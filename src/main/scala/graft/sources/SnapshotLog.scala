@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.hadoop.fs.{FileContext, FileSystem, Path}
+import org.apache.hadoop.fs.{FileContext, FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -84,9 +84,27 @@ object SnapshotLog {
     * segment or checkpoint produces a new key, and immutable published
     * files mean an unchanged key proves unchanged content (the same
     * immutability the commit protocol already relies on). */
+  /** A small synchronized LRU — the per-version memo store inside a
+    * [[FoldState]]. Bounded because a history-walking reader (a CDF
+    * backfill visiting every version of a 10⁵-file table) would
+    * otherwise pin one full live-path Vector PER VERSION on the
+    * driver; the hot pattern (a handful of versions replanned many
+    * times) fits comfortably in the bound, and a miss just refolds.
+    * Double-compute under a race is benign (the fold is pure). */
+  private[sources] final class VersionLru[V](max: Int) {
+    private val m = java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[Int, V](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Int, V]): Boolean = size > max
+      })
+    def getOrCompute(v: Int)(f: => V): V = {
+      val c = m.get(v)
+      if (c != null) c else { val r = f; m.put(v, r); r }
+    }
+  }
+
   private[sources] final class FoldState(val entries: Vector[Entry]) {
-    private val liveAt =
-      new java.util.concurrent.ConcurrentHashMap[Int, Vector[String]]()
+    private val liveAt = new VersionLru[Vector[String]](64)
 
     /** Live files at `v` — LinkedHashSet fold (insertion-ordered, O(1)
       * removal): the previous per-call Vector fold was O(adds) PER
@@ -95,7 +113,7 @@ object SnapshotLog {
       * (the overwhelmingly common pattern — several stat maps + the
       * file list per scan) fold zero times. */
     def liveFiles(v: Int): Vector[String] =
-      liveAt.computeIfAbsent(v, _ => {
+      liveAt.getOrCompute(v) {
         val s = new java.util.LinkedHashSet[String]()
         entries.foreach {
           case Entry(ev, "add", p) if ev <= v    => s.remove(p); s.add(p)
@@ -104,7 +122,7 @@ object SnapshotLog {
         }
         import scala.jdk.CollectionConverters._
         s.iterator().asScala.toVector
-      })
+      }
 
     lazy val zoneMaps: Map[String, Map[String, (Long, Long)]] =
       entries.filter(_.action == "stats")
@@ -147,34 +165,50 @@ object SnapshotLog {
     lazy val colmapEntries: Vector[Entry] =
       entries.filter(_.action == "colmap")
 
-    private val dvAt =
-      new java.util.concurrent.ConcurrentHashMap[Int, Map[String, String]]()
+    private val dvAt = new VersionLru[Map[String, String]](64)
 
     /** Active deletion vector per live file at `v` (dv binds newest-
       * wins, a remove of the file retires it) — memoized per version:
       * every MOR read resolves this, and an unmemoized fold is
       * O(manifest) per read at scale. */
     def dvFor(v: Int): Map[String, String] =
-      dvAt.computeIfAbsent(v, _ =>
+      dvAt.getOrCompute(v) {
         entries.foldLeft(Map.empty[String, String]) {
           case (acc, Entry(ev, "dv", p)) if ev <= v =>
             val Array(rel, id) = p.split('|')
             acc + (rel -> id)
           case (acc, Entry(ev, "remove", p)) if ev <= v => acc - p
           case (acc, _)                                 => acc
-        })
+        }
+      }
   }
 
-  /** (listing key, folded state) per table root. The key is the exact
-    * checkpoint + tail file-name listing; a cached state whose key is
-    * a PREFIX of the current tail extends incrementally (parse only
-    * the new segments). Bounded crudely — states are per-root and
-    * test suites create hundreds of throwaway roots; production
-    * tables are few. */
+  /** (listing key, folded state) per table root. Key components are
+    * CONTENT-derived — `name@length:modtime` from the same
+    * `listStatus` call that found the file — not names alone: a table
+    * deleted and recreated at the same root regenerates the same NAMES
+    * (versions restart at 1 → `1.csv`, `2.csv`, …), and a name-only
+    * key would silently serve the dead table's fold (wrong identity
+    * watermarks, zone maps, column mappings). Length+modtime change on
+    * recreation, so identity of the key proves identity of the bytes
+    * to the same standard every mtime-keyed cache relies on. A cached
+    * state whose segment key-list is a PREFIX of the current tail
+    * still extends incrementally (published segments are immutable, so
+    * their components never drift). Evicted LRU per root — a clear-all
+    * at capacity would throw away every hot table's fold because one
+    * suite created throwaway roots. */
   private final case class LogKey(ckpt: String, segs: Vector[String])
-  private val foldCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (LogKey, FoldState)]()
+  private def statusKey(st: FileStatus): String =
+    s"${st.getPath.getName}@${st.getLen}:${st.getModificationTime}"
   private val FoldCacheMaxRoots = 32
+  private val foldCache: java.util.Map[String, (LogKey, FoldState)] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, (LogKey, FoldState)](
+          64, 0.75f, /* accessOrder = */ true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, (LogKey, FoldState)]): Boolean =
+          size > FoldCacheMaxRoots
+      })
 
   /** The put-if-absent primitive every publish (segment, checkpoint)
     * rides — PLUGGABLE, because where the atomicity lives differs by
@@ -358,30 +392,33 @@ object SnapshotLog {
       * parquet file, see [[parquetCheckpointAt]]); at the same version
       * both are consolidations of the same entries and the columnar
       * one wins deterministically. */
-    private def listLog(): (Option[(Int, Path)], Seq[(Int, Path)]) = {
+    private def listLog()
+        : (Option[(Int, FileStatus)], Seq[(Int, FileStatus)]) = {
       if (!fs.exists(logDir)) return (None, Seq.empty)
-      val paths = fs.listStatus(logDir).toSeq.map(_.getPath)
-      val segs = paths.flatMap { p =>
-        val n = p.getName
-        if (n.endsWith(".csv")) n.stripSuffix(".csv").toIntOption.map(_ -> p)
+      val stats = fs.listStatus(logDir).toSeq
+      val segs = stats.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.endsWith(".csv")) n.stripSuffix(".csv").toIntOption.map(_ -> st)
         else None // in-flight temps and checkpoints are not segments
       }.sortBy(_._1)
-      val ckpt = paths.flatMap { p =>
-        val n = p.getName
+      val ckpt = stats.flatMap { st =>
+        val n = st.getPath.getName
         if (n.endsWith(".ckpt.pq"))
-          n.stripSuffix(".ckpt.pq").toIntOption.map(v => (v, 1, p))
+          n.stripSuffix(".ckpt.pq").toIntOption.map(v => (v, 1, st))
         else if (n.endsWith(".ckpt"))
-          n.stripSuffix(".ckpt").toIntOption.map(v => (v, 0, p))
+          n.stripSuffix(".ckpt").toIntOption.map(v => (v, 0, st))
         else None
       }.sortBy(c => (c._1, c._2)).lastOption.map(c => (c._1, c._3))
       (ckpt, segs)
     }
 
     /** The published segment files, sorted by version. */
-    private def segments: Seq[(Int, Path)] = listLog()._2
+    private def segments: Seq[(Int, Path)] =
+      listLog()._2.map { case (v, st) => (v, st.getPath) }
 
     /** The latest log checkpoint (version, path), if one exists. */
-    private def latestCheckpoint: Option[(Int, Path)] = listLog()._1
+    private def latestCheckpoint: Option[(Int, Path)] =
+      listLog()._1.map { case (v, st) => (v, st.getPath) }
 
     private def parseLines(p: Path): Seq[Entry] = {
       val in = fs.open(p)
@@ -458,8 +495,8 @@ object SnapshotLog {
         case Some((cv, _)) => segs.filter(_._1 > cv)
         case None          => segs
       }
-      val key = LogKey(ck.map(_._2.getName).getOrElse(""),
-        tail.map(_._2.getName).toVector)
+      val key = LogKey(ck.map(c => statusKey(c._2)).getOrElse(""),
+        tail.map(s => statusKey(s._2)).toVector)
       val cached = foldCache.get(cacheKey)
       if (cached != null && cached._1 == key) return cached._2
       val st =
@@ -468,12 +505,13 @@ object SnapshotLog {
           // same checkpoint, tail grew: parse only the new segments
           new FoldState(cached._2.entries ++
             tail.drop(cached._1.segs.size)
-              .flatMap { case (_, p) => parseLines(p) })
+              .flatMap { case (_, s) => parseLines(s.getPath) })
         else
           new FoldState(
-            (ck.map(c => parseCheckpoint(c._2)).getOrElse(Seq.empty) ++
-              tail.flatMap { case (_, p) => parseLines(p) }).toVector)
-      if (foldCache.size > FoldCacheMaxRoots) foldCache.clear()
+            (ck.map(c => parseCheckpoint(c._2.getPath))
+              .getOrElse(Seq.empty) ++
+              tail.flatMap { case (_, s) =>
+                parseLines(s.getPath) }).toVector)
       foldCache.put(cacheKey, (key, st))
       st
     }
@@ -828,9 +866,18 @@ object SnapshotLog {
       * store it under the PHYSICAL ones so all files of a column
       * agree forever. Internal COW rewrites pass through here too but
       * already carry physical names (they read raw), so the renames
-      * no-op. Dropped logical names are rejected loudly. */
-    private def toPhysical(df: DataFrame): DataFrame = {
-      val (m, dropped) = columnMapping(version)
+      * no-op. Dropped logical names are rejected loudly.
+      *
+      * `at` is the mapping snapshot — commits pass the version their
+      * casCheck planned on (v - 1), NEVER the live `version`: `version`
+      * re-lists the log and can observe a rename committed AFTER the
+      * CAS check, so a mixed convention resolves different halves of
+      * one commit against different schemas (and pays an extra
+      * directory listing per call). The publish CAS still bounds the
+      * damage, but uniform v - 1 resolution removes the window
+      * entirely. */
+    private def toPhysical(df: DataFrame, at: Int): DataFrame = {
+      val (m, dropped) = columnMapping(at)
       if (m.isEmpty && dropped.isEmpty) return df
       df.columns.find(c => dropped.contains(m.getOrElse(c, c)))
         .foreach(c => throw new IllegalArgumentException(
@@ -1110,7 +1157,7 @@ object SnapshotLog {
       require(!fs.exists(sp), s"branch $branch already has a staged batch")
       val tmp = new Path(s"$root/_tmp_b$branch-${
         java.util.UUID.randomUUID.toString.take(8)}")
-      writeTmp(df, partCol, tmp)
+      writeTmp(df, partCol, tmp, version)
       // adopt with a branch prefix (no version exists yet — the
       // version is assigned at publish time)
       val added = leaves(tmp).map { case (partDir, file) =>
@@ -1691,13 +1738,16 @@ object SnapshotLog {
       * and two concurrent table writes can't see each other's value.
       * Clone cost is driver-side milliseconds against a commit that
       * runs a Spark job. */
-    private def writeTmp(df: DataFrame, partCol: String, tmp: Path): Unit = {
+    private def writeTmp(df: DataFrame, partCol: String, tmp: Path,
+        at: Int): Unit = {
       // column mapping: user batches arrive under logical names; the
       // footers, partition dirs and stats must use PHYSICAL ones.
       // Internal COW rewrites already carry physical names (raw
-      // reads), so this is identity for them.
-      val phys = toPhysical(df)
-      val pc = physicalAt(version, partCol)
+      // reads), so this is identity for them. `at` = the commit's
+      // casCheck snapshot (v - 1) — see toPhysical on why the live
+      // `version` must not be consulted mid-commit.
+      val phys = toPhysical(df, at)
+      val pc = physicalAt(at, partCol)
       val ws = org.apache.spark.sql.graft.SparkInternals
         .cloneSession(phys.sparkSession)
       ws.conf.set("spark.sql.parquet.outputTimestampType",
@@ -1779,7 +1829,7 @@ object SnapshotLog {
       checkConstraints(df)
       val tmp = new Path(s"$root/_tmp_v$v-${
         java.util.UUID.randomUUID.toString.take(8)}")
-      writeTmp(df, partCol, tmp)
+      writeTmp(df, partCol, tmp, v - 1)
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
       val base = added.map(Entry(v, "add", _)) ++ statsEntries(v, added)
@@ -1789,6 +1839,31 @@ object SnapshotLog {
       buildBlooms(ver, added)
       maybeAutoCompact(partCol)
       ver
+    }
+
+    /** Atomic whole-table OVERWRITE — ONE commit that retires every
+      * live file and lands `df` in their place (SQL `INSERT OVERWRITE`
+      * / `TRUNCATE` + reload as a single version): readers at v - 1
+      * still see the old table, readers at v see only the new rows,
+      * and the change feed records the swap under one version. The
+      * predicate-scoped cousin is [[commitReplaceWhere]]; this is the
+      * degenerate whole-table case, kept separate because it needs no
+      * candidate pruning (every live file is a victim by definition)
+      * and an EMPTY batch is legal (that is what SQL TRUNCATE is). */
+    def commitOverwrite(df: DataFrame, partCol: String,
+        expectedVersion: Int = -1): Int = {
+      val v = casCheck(expectedVersion)
+      checkConstraints(df)
+      val victims = liveFiles(v - 1)
+      val tmp = new Path(s"$root/_tmp_v$v-${
+        java.util.UUID.randomUUID.toString.take(8)}")
+      writeTmp(df, partCol, tmp, v - 1)
+      val added = adopt(tmp, v)
+      fs.delete(tmp, true)
+      publishOrCleanup(v, victims.map(Entry(v, "remove", _)) ++
+        added.map(Entry(v, "add", _)) ++ statsEntries(v, added), added)
+      buildBlooms(v, added)
+      v
     }
 
     /** The IDENTITY high watermark for `idCol` (the largest id any
@@ -1833,7 +1908,7 @@ object SnapshotLog {
       checkConstraints(withId)
       val tmp = new Path(s"$root/_tmp_v$v-${
         java.util.UUID.randomUUID.toString.take(8)}")
-      writeTmp(withId, partCol, tmp)
+      writeTmp(withId, partCol, tmp, v - 1)
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
       publishOrCleanup(v, added.map(Entry(v, "add", _)) ++
@@ -2061,7 +2136,7 @@ object SnapshotLog {
         checkConstraints(df)
         val tmp = new Path(s"$root/_tmp_v$v-${
           java.util.UUID.randomUUID.toString.take(8)}")
-        writeTmp(df, partCol, tmp)
+        writeTmp(df, partCol, tmp, v - 1)
         val added = adopt(tmp, v)
         fs.delete(tmp, true)
         // rebase-safe: only THIS writer ever publishes this txnId (the
@@ -2081,7 +2156,7 @@ object SnapshotLog {
     def commitDeletePartition(partCol: String, value: String,
         expectedVersion: Int = -1): Int = {
       val v = casCheck(expectedVersion)
-      val prefix = s"${physicalAt(version, partCol)}=${escapePart(value)}/"
+      val prefix = s"${physicalAt(v - 1, partCol)}=${escapePart(value)}/"
       val victims = liveFiles(v - 1).filter(_.startsWith(prefix))
       require(victims.nonEmpty, s"no live files under $prefix")
       publishSegment(v, victims.map(Entry(v, "remove", _)))
@@ -2096,14 +2171,15 @@ object SnapshotLog {
     def commitDeleteWhere(partCol: String, value: String, keep: Column,
         expectedVersion: Int = -1): Int = {
       val v = casCheck(expectedVersion)
-      val prefix = s"${physicalAt(version, partCol)}=${escapePart(value)}/"
+      val prefix = s"${physicalAt(v - 1, partCol)}=${escapePart(value)}/"
       val victims = liveFiles(v - 1).filter(_.startsWith(prefix))
       require(victims.nonEmpty, s"no live files under $prefix")
       val tmp = new Path(s"$root/_tmp_v$v-${
         java.util.UUID.randomUUID.toString.take(8)}")
       // read exactly the victim files (they ARE the partition's live
       // set), through their active DVs — the rewrite retires them
-      writeTmp(readFilesMorAt(v - 1, victims).filter(keep), partCol, tmp)
+      writeTmp(readFilesMorAt(v - 1, victims).filter(keep), partCol, tmp,
+        v - 1)
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
       publishOrCleanup(v, victims.map(Entry(v, "remove", _)) ++
@@ -2128,16 +2204,18 @@ object SnapshotLog {
       * the fold is unchanged — an honest audit record of the no-op). */
     def commitDeleteRange(partCol: String, c: String, lo: Long, hi: Long,
         expectedVersion: Int = -1): Int = {
-      val pc = physicalAt(version, c) // victims are read RAW (physical)
       deleteRangeImpl(partCol, expectedVersion,
-        v => pruneFiles(v, pc, lo, hi),
+        v => pruneFiles(v, physicalAt(v, c), lo, hi),
         // NULL-safe keep: `NOT (c BETWEEN lo AND hi)` is NULL for a
         // NULL key, and a NULL-filtered row is DROPPED — a range
         // delete must never destroy NULL-keyed rows (SQL `DELETE
         // WHERE c BETWEEN lo AND hi` does not match NULLs). Files
         // without stats are conservatively rewritten, so all-null
-        // columns are exactly the exposed case.
-        col(pc).isNull || !col(pc).between(lo, hi))
+        // columns are exactly the exposed case. Victims are read RAW
+        // (physical names), resolved at the SAME v - 1 snapshot as
+        // the candidate prune — never the live `version`.
+        v => { val pc = physicalAt(v, c)
+          col(pc).isNull || !col(pc).between(lo, hi) })
     }
 
     /** [[commitDeleteRange]] for string-keyed ranges: the candidate
@@ -2146,21 +2224,22 @@ object SnapshotLog {
       * everything else is the same COW contract. */
     def commitDeleteRangeStr(partCol: String, c: String,
         lo: String, hi: String, expectedVersion: Int = -1): Int = {
-      val pc = physicalAt(version, c)
       deleteRangeImpl(partCol, expectedVersion,
-        v => pruneFilesStr(v, pc, lo, hi),
-        col(pc).isNull || !col(pc).between(lo, hi))
+        v => pruneFilesStr(v, physicalAt(v, c), lo, hi),
+        v => { val pc = physicalAt(v, c)
+          col(pc).isNull || !col(pc).between(lo, hi) })
     }
 
     private def deleteRangeImpl(partCol: String, expectedVersion: Int,
-        prune: Int => Seq[String], keep: Column): Int = {
+        prune: Int => Seq[String], keep0: Int => Column): Int = {
       val v = casCheck(expectedVersion)
+      val keep = keep0(v - 1)
       val victims = prune(v - 1)
       if (victims.isEmpty) { publishSegment(v, Seq.empty); return v }
       val tmp = new Path(s"$root/_tmp_v$v-${
         java.util.UUID.randomUUID.toString.take(8)}")
       writeTmp(readFilesMorAt(v - 1, victims).filter(keep), // DV-applied
-        partCol, tmp)
+        partCol, tmp, v - 1)
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
       publishOrCleanup(v, victims.map(Entry(v, "remove", _)) ++
@@ -2191,10 +2270,11 @@ object SnapshotLog {
       * before any byte moves. */
     def commitReplaceWhere(partCol: String, c: String, lo: Long, hi: Long,
         df: DataFrame, expectedVersion: Int = -1): Int = {
-      val pc = physicalAt(version, c)
       replaceWhereImpl(partCol, df, expectedVersion,
-        v => pruneFiles(v, pc, lo, hi),
-        col(pc).isNull || !col(pc).between(lo, hi), s"$c in [$lo, $hi]")
+        v => pruneFiles(v, physicalAt(v, c), lo, hi),
+        v => { val pc = physicalAt(v, c)
+          col(pc).isNull || !col(pc).between(lo, hi) },
+        s"$c in [$lo, $hi]")
     }
 
     /** [[commitReplaceWhere]] for STRING-keyed regions (candidates
@@ -2204,19 +2284,20 @@ object SnapshotLog {
     def commitReplaceWhereStr(partCol: String, c: String,
         lo: String, hi: String, df: DataFrame,
         expectedVersion: Int = -1): Int = {
-      val pc = physicalAt(version, c)
       replaceWhereImpl(partCol, df, expectedVersion,
-        v => pruneFilesStr(v, pc, lo, hi),
-        col(pc).isNull || !col(pc).between(lo, hi),
+        v => pruneFilesStr(v, physicalAt(v, c), lo, hi),
+        v => { val pc = physicalAt(v, c)
+          col(pc).isNull || !col(pc).between(lo, hi) },
         s"$c in ['$lo', '$hi']")
     }
 
     private def replaceWhereImpl(partCol: String, df0: DataFrame,
-        expectedVersion: Int, prune: Int => Seq[String], keep: Column,
-        regionDesc: String): Int = {
+        expectedVersion: Int, prune: Int => Seq[String],
+        keep0: Int => Column, regionDesc: String): Int = {
       val v = casCheck(expectedVersion)
+      val keep = keep0(v - 1)
       checkConstraints(df0)
-      val df = toPhysical(df0) // keep is physical; victims read raw
+      val df = toPhysical(df0, v - 1) // keep is physical; victims read raw
       val outside = df.filter(keep).limit(1).count()
       require(outside == 0,
         s"replaceWhere batch carries rows outside $regionDesc — " +
@@ -2231,7 +2312,7 @@ object SnapshotLog {
       val rewritten = survivors.unionByName(df)
       val tmp = new Path(s"$root/_tmp_v$v-${
         java.util.UUID.randomUUID.toString.take(8)}")
-      writeTmp(rewritten, partCol, tmp)
+      writeTmp(rewritten, partCol, tmp, v - 1)
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
       publishOrCleanup(v, victims.map(Entry(v, "remove", _)) ++
@@ -2376,7 +2457,7 @@ object SnapshotLog {
       checkConstraints(source0)
       // column mapping: the batch and key arrive LOGICAL; every file,
       // stat and sidecar speaks PHYSICAL (identity unless renamed)
-      val source = toPhysical(source0)
+      val source = toPhysical(source0, v - 1)
       val keyCol = physicalAt(v - 1, keyCol0)
       val live = liveFiles(v - 1)
       val candidates = mergeCandidates(v - 1, source, keyCol, live)
@@ -2401,7 +2482,7 @@ object SnapshotLog {
           .unionByName(source)
       val tmp = new Path(s"$root/_tmp_v$v-${
         java.util.UUID.randomUUID.toString.take(8)}")
-      writeTmp(rewritten, partCol, tmp)
+      writeTmp(rewritten, partCol, tmp, v - 1)
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
       publishOrCleanup(v, hits.map(Entry(v, "remove", _)) ++
@@ -2460,7 +2541,7 @@ object SnapshotLog {
         extraEntries: Seq[Entry]): Int = {
       // column mapping at the boundary (identity unless renamed);
       // opCol is transient batch metadata, never stored — no mapping
-      val changes = toPhysical(changes0)
+      val changes = toPhysical(changes0, v - 1)
       val keyCol = physicalAt(v - 1, keyCol0)
       val live = liveFiles(v - 1)
       val candidates = mergeCandidates(v - 1, changes, keyCol, live)
@@ -2483,7 +2564,7 @@ object SnapshotLog {
         .unionByName(upserts)
       val tmp = new Path(s"$root/_tmp_v$v-${
         java.util.UUID.randomUUID.toString.take(8)}")
-      writeTmp(rewritten, partCol, tmp)
+      writeTmp(rewritten, partCol, tmp, v - 1)
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
       publishOrCleanup(v, hits.map(Entry(v, "remove", _)) ++
@@ -2584,7 +2665,7 @@ object SnapshotLog {
     def commitDeleteKeysMor(keys0: DataFrame, keyCol0: String,
         expectedVersion: Int = -1): Int = {
       val v = casCheck(expectedVersion)
-      val keys = toPhysical(keys0) // column mapping at the boundary
+      val keys = toPhysical(keys0, v - 1) // column mapping at the boundary
       val keyCol = physicalAt(v - 1, keyCol0)
       val live = liveFiles(v - 1)
       val candidates = mergeCandidates(v - 1, keys, keyCol, live)
@@ -2684,7 +2765,7 @@ object SnapshotLog {
         keyCol0: String, expectedVersion: Int = -1): Int = {
       val v = casCheck(expectedVersion)
       checkConstraints(source0)
-      val source = toPhysical(source0) // column mapping at the boundary
+      val source = toPhysical(source0, v - 1) // column mapping at the boundary
       val keyCol = physicalAt(v - 1, keyCol0)
       val live = liveFiles(v - 1)
       val candidates = mergeCandidates(v - 1, source, keyCol, live)
@@ -2703,7 +2784,7 @@ object SnapshotLog {
       // adopt the source batch first (plain adds), then the tombstones
       val tmp = new Path(s"$root/_tmp_v$v-${
         java.util.UUID.randomUUID.toString.take(8)}")
-      writeTmp(source, partCol, tmp)
+      writeTmp(source, partCol, tmp, v - 1)
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
       val dvEntries =
@@ -2774,7 +2855,7 @@ object SnapshotLog {
       val rewritten = readFilesMorAt(v - 1, victims)
       val tmp = new Path(s"$root/_tmp_v$v-${
         java.util.UUID.randomUUID.toString.take(8)}")
-      writeTmp(rewritten, partCol, tmp)
+      writeTmp(rewritten, partCol, tmp, v - 1)
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
       publishOrCleanup(v, victims.map(Entry(v, "remove", _)) ++
@@ -2896,7 +2977,7 @@ object SnapshotLog {
         .withColumn("__bin", pmod(monotonically_increasing_id(),
           lit(filesPerPartition.toLong)).cast("int"))
         .repartition(col(partCol), col("__bin"))
-        .drop("__bin"), partCol, tmp)
+        .drop("__bin"), partCol, tmp, v - 1)
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
       publishOrCleanup(v, victims.map(Entry(v, "remove", _)) ++
@@ -3012,7 +3093,7 @@ object SnapshotLog {
         filesPerPartition: Int = 1, expectedVersion: Int = -1,
         targetFileBytes: Long = 0): Int = {
       val v = casCheck(expectedVersion)
-      val prefix = s"${physicalAt(version, partCol)}=${escapePart(value)}/"
+      val prefix = s"${physicalAt(v - 1, partCol)}=${escapePart(value)}/"
       val victims = liveFiles(v - 1).filter(_.startsWith(prefix))
       // byte-targeted sizing (production OPTIMIZE targets ~a file
       // SIZE, not a count): with lengths in the manifest, the bin
@@ -3042,7 +3123,7 @@ object SnapshotLog {
         .withColumn("__bin", pmod(monotonically_increasing_id(),
           lit(bins.toLong)).cast("int"))
         .repartitionByRange(bins, col("__bin"))
-        .drop("__bin"), partCol, tmp)
+        .drop("__bin"), partCol, tmp, v - 1)
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
       publishOrCleanup(v, victims.map(Entry(v, "remove", _)) ++
@@ -3160,7 +3241,7 @@ object SnapshotLog {
         java.util.UUID.randomUUID.toString.take(8)}")
       writeTmp(src.withColumn("__z", z)
         .repartitionByRange(filesPerRange, col("__z"))
-        .drop("__z"), partCol, tmp)
+        .drop("__z"), partCol, tmp, v - 1)
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
       publishOrCleanup(v, victims.map(Entry(v, "remove", _)) ++
@@ -3178,7 +3259,7 @@ object SnapshotLog {
         java.util.UUID.randomUUID.toString.take(8)}")
       writeTmp(readFilesMorAt(v - 1, victims) // DV-applied (commitCompact)
         .repartitionByRange(filesPerRange,
-          col(physicalAt(v - 1, clusterCol))), partCol, tmp)
+          col(physicalAt(v - 1, clusterCol))), partCol, tmp, v - 1)
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
       publishOrCleanup(v, victims.map(Entry(v, "remove", _)) ++

@@ -296,4 +296,40 @@ class SnapshotFoldSpec extends SparkSpec {
       s"feed lost renamed-column values: ${feed.toSeq.sorted}")
     rm(root)
   }
+
+  test("fold cache survives delete-and-recreate at the same root") {
+    import spark.implicits._
+    // A long-lived session drops a table and recreates it at the SAME
+    // root: versions restart at 1, so the new log regenerates the same
+    // file NAMES (1.csv, 2.csv, ...). A name-only cache key would then
+    // serve the DEAD table's fold — loud FNF on data reads, but
+    // silently-wrong metadata-only reads (identity watermark, zone
+    // maps, colmap). The key must be content-derived (len+mtime).
+    val root = tmp("graft_rootreuse_")
+    val t1 = new SnapshotLog.Table(spark, root, autoCheckpointEvery = 0)
+    (1 to 2).foreach { i =>
+      t1.commitAppendIdentity(
+        Seq(("a", i * 100L), ("a", i * 100L + 1)).toDF("part", "v"),
+        "part", "id", Seq(col("v")))
+    }
+    assert(t1.identityWatermark("id") == 4L)
+    t1.renameColumn("v", "metric") // v3: colmap history on the OLD table
+    // prime the cache through a FRESH handle too (same root key)
+    assert(new SnapshotLog.Table(spark, root).asOf(2).count() == 4)
+
+    // drop the table entirely and recreate at the same root
+    rm(root)
+    val t2 = new SnapshotLog.Table(spark, root, autoCheckpointEvery = 0)
+    t2.commitAppend(Seq(("b", 7L)).toDF("part", "v"), "part") // 1.csv again
+    // metadata-only reads must reflect the NEW table, not the cached fold
+    assert(t2.identityWatermark("id") == 0L,
+      "identity watermark served from the dead table's fold")
+    assert(t2.columnMapping(1)._1.isEmpty,
+      "column mapping served from the dead table's fold")
+    assert(t2.asOf(1).select("v").as[Long].collect().toSeq == Seq(7L))
+    // and a second fresh handle (fresh fold resolution) agrees
+    val t3 = new SnapshotLog.Table(spark, root)
+    assert(t3.version == 1 && t3.asOf(1).count() == 1)
+    rm(root)
+  }
 }
