@@ -29,7 +29,7 @@ object SparkEntry {
       Evaluation.defs ++ JdbcOps.defs ++ Wave6.defs ++ Wave7.defs ++
       Wave8.defs ++ FileIndex.defs ++ MergeOnRead.defs ++
       Posttrain.defs ++ Reweight.defs ++ EvalAggregation.defs ++
-      CorpusEval.defs
+      CorpusEval.defs ++ SqlCatalog.defs
 
   require(allDefs.map(_.name).distinct.size == allDefs.size,
     "duplicate query names across operator families")

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** The SQL-catalog seam, oracle-checked: snapshot tables addressed
+  * through the DSv2 [[graft.catalog.GraftCatalog]] (`SELECT …
+  * VERSION AS OF`, `CREATE TABLE`, `INSERT INTO … SELECT`,
+  * `ALTER TABLE … RENAME COLUMN`) must produce bit-identical results
+  * to the Scala storage API and to DuckDB recomputing from the raw
+  * parquet. CatalogSqlSpec carries the plan-parity burden (same files
+  * pruned via SQL as via `scanAsOf`); these queries carry the
+  * hash-checked END RESULT through the driver's DuckDB gate.
+  *
+  * Cf. reference `clone_databases.sh:870-1027` — the reference
+  * addresses every table through its engine's SQL catalog; this is
+  * the equivalent front door for the snapshot storage layer. */
+object SqlCatalog {
+
+  /** Register the catalog under `name`, pointed at `warehouse`.
+    * Registration is idempotent; the warehouse knob is re-read from
+    * the live conf per resolution (see GraftCatalog.warehouse), so
+    * repointing one name across fixtures in a session is safe. */
+  private def register(spark: SparkSession, name: String,
+      warehouse: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", warehouse)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- SQL read + time travel over the staged snapshot table: the
+    //      SAME 4-commit orders table every q_snapshot_* query uses,
+    //      addressed as `catalog`.`table` with VERSION AS OF 2 (the
+    //      first two date-cut commits = o_date < 1999-01-01). The SQL
+    //      plan rides the manifest-pruned scan (V1Scan over
+    //      SnapshotFileIndex); the oracle recomputes the version's
+    //      content from the raw parquet — a SQL-side wrong version
+    //      pin, lost filter, or misrouted column flips the hash.
+    QueryDef.checked(
+      "q_snapshot_sql_read",
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) < DATE '1999-01-01'
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      val t = FileIndex.idxStagedTable(spark, dir)
+      val root = new java.io.File(t.root)
+      register(spark, "gqread", root.getParent)
+      spark.sql(
+        s"""SELECT o_orderstatus, count(*) AS n_rows,
+           |  sum(price_cents) AS sum_cents,
+           |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+           |FROM gqread.`${root.getName}` VERSION AS OF 2
+           |GROUP BY o_orderstatus
+           |ORDER BY o_orderstatus""".stripMargin)
+    },
+
+    // ---- SQL DDL + write round-trip: CREATE TABLE through the
+    //      catalog, INSERT INTO … SELECT from the source parquet
+    //      (→ commitAppend under the hood), metadata-only RENAME
+    //      COLUMN (→ a colmap commit — zero data bytes move), read
+    //      back under the renamed logical schema. The oracle is the
+    //      source table under the final names — any DDL step that
+    //      rewrote, lost or misrouted data flips the hash.
+    QueryDef.checked(
+      "q_snapshot_sql_ddl",
+      """SELECT CAST(n_nationkey AS BIGINT) AS nkey,
+        |  CAST(n_regionkey AS VARCHAR) AS rpart,
+        |  n_name AS nation_name
+        |FROM nation
+        |ORDER BY nkey""".stripMargin) { (spark, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_sqlddl_").toString
+      register(spark, "gqddl", wh)
+      spark.read.parquet(s"$dir/nation.parquet")
+        .createOrReplaceTempView("nation_src")
+      spark.sql("CREATE TABLE gqddl.nat " +
+        "(nkey BIGINT, rpart STRING, nname STRING) PARTITIONED BY (rpart)")
+      spark.sql("INSERT INTO gqddl.nat " +
+        "SELECT CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS STRING)," +
+        " n_name FROM nation_src")
+      spark.sql("ALTER TABLE gqddl.nat RENAME COLUMN nname TO nation_name")
+      spark.sql(
+        "SELECT nkey, rpart, nation_name FROM gqddl.nat ORDER BY nkey")
+    }
+  )
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotLog
+
+/** The DSv2 catalog seam ([[graft.catalog.GraftCatalog]]): snapshot
+  * tables addressed through SQL must behave EXACTLY like the Scala
+  * API — same results, same file pruning, same commit protocol
+  * underneath. */
+class CatalogSqlSpec extends SparkSpec {
+
+  private def freshWarehouse(): String = {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_sqlcat_").toString
+    spark.conf.set("spark.sql.catalog.gsql",
+      "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gsql.warehouse", wh)
+    wh
+  }
+
+  private def rm(root: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+
+  test("CREATE / INSERT / SELECT / time travel round-trip") {
+    val wh = freshWarehouse()
+    spark.sql("CREATE TABLE gsql.ev (k BIGINT, part STRING, v BIGINT) " +
+      "PARTITIONED BY (part)")
+    spark.sql("INSERT INTO gsql.ev VALUES (1, 'a', 10), (2, 'b', 20)")
+    spark.sql("INSERT INTO gsql.ev VALUES (3, 'a', 30)")
+
+    assert(spark.sql("SELECT sum(v) FROM gsql.ev").head().getLong(0) == 60)
+    // VERSION AS OF pins the first commit
+    assert(spark.sql("SELECT sum(v) FROM gsql.ev VERSION AS OF 1")
+      .head().getLong(0) == 30)
+    // SQL result ≡ Scala-API result at the same version
+    val api = new SnapshotLog.Table(spark, s"$wh/ev")
+    assert(api.version == 2)
+    val sqlRows = spark.sql(
+      "SELECT k, part, v FROM gsql.ev VERSION AS OF 2 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val apiRows = api.scanAsOf(2).select("k", "part", "v").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(sqlRows.toSeq == apiRows.toSeq)
+    // TIMESTAMP AS OF (micros) resolves through publish timestamps
+    val tsMicros = api.publishTimestamp(1) * 1000L
+    assert(spark.sql(
+      s"SELECT count(*) FROM gsql.ev TIMESTAMP AS OF " +
+        s"timestamp_micros(${tsMicros})").head().getLong(0) == 2)
+    rm(wh)
+  }
+
+  test("SQL filter prunes the same files as the Scala API (plan parity)") {
+    val wh = freshWarehouse()
+    spark.sql("CREATE TABLE gsql.pp (k BIGINT, part STRING, v BIGINT) " +
+      "PARTITIONED BY (part)")
+    // three commits → three files per partition layout; zone maps on k
+    // (value-clustered appends, so a point predicate isolates a file)
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO gsql.pp VALUES " +
+        (0 until 4).map(j => s"(${i * 100 + j}, 'p', ${i * 10 + j})")
+          .mkString(", "))
+    }
+    val api = new SnapshotLog.Table(spark, s"$wh/pp")
+
+    // API path: predicate k = 102 prunes to commit 2's file
+    api.resetScanPrune()
+    val apiRows = api.scanAsOf(3).filter(col("k") === 102L)
+      .select("v").collect().map(_.getLong(0)).toSeq
+    val apiPrune = api.lastScanPrune
+      .getOrElse(sys.error("API scan recorded no prune"))
+
+    // SQL path through the SHARED catalog handle (so instrumentation
+    // is readable): same predicate, same version
+    val sqlHandle = graft.catalog.GraftSqlTable.handleFor(spark, s"$wh/pp")
+    sqlHandle.resetScanPrune()
+    val sqlRows = spark.sql("SELECT v FROM gsql.pp WHERE k = 102")
+      .collect().map(_.getLong(0)).toSeq
+    val sqlPrune = sqlHandle.lastScanPrune
+      .getOrElse(sys.error("SQL scan recorded no prune — pushed " +
+        "filters are not reaching SnapshotFileIndex"))
+
+    assert(sqlRows == apiRows && sqlRows == Seq(12L))
+    assert(sqlPrune == apiPrune,
+      s"SQL pruned $sqlPrune but the API pruned $apiPrune")
+    assert(sqlPrune._1 < sqlPrune._2,
+      s"no files were pruned at all: $sqlPrune")
+    rm(wh)
+  }
+
+  test("ALTER TABLE RENAME/DROP COLUMN route to colmap commits") {
+    val wh = freshWarehouse()
+    spark.sql("CREATE TABLE gsql.rn (k BIGINT, part STRING, v BIGINT) " +
+      "PARTITIONED BY (part)")
+    spark.sql("INSERT INTO gsql.rn VALUES (1, 'a', 10)")
+    spark.sql("ALTER TABLE gsql.rn RENAME COLUMN v TO metric")
+    // new logical name serves old rows; INSERT under the new name
+    spark.sql("INSERT INTO gsql.rn VALUES (2, 'a', 20)")
+    val rows = spark.sql(
+      "SELECT k, metric FROM gsql.rn ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 10L), (2L, 20L)))
+    // the rename is a metadata-only colmap commit, not a rewrite
+    val api = new SnapshotLog.Table(spark, s"$wh/rn")
+    assert(api.columnMapping(api.version)._1 == Map("metric" -> "v"))
+    // old name is gone from SQL
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT v FROM gsql.rn").collect())
+    // DROP COLUMN projects it away
+    spark.sql("ALTER TABLE gsql.rn DROP COLUMN metric")
+    assert(spark.sql("SELECT * FROM gsql.rn").columns.toSeq ==
+      Seq("k", "part"))
+    rm(wh)
+  }
+
+  test("INSERT OVERWRITE is one atomic commit; DROP TABLE removes") {
+    val wh = freshWarehouse()
+    spark.sql("CREATE TABLE gsql.ow (k BIGINT, part STRING, v BIGINT) " +
+      "PARTITIONED BY (part)")
+    spark.sql("INSERT INTO gsql.ow VALUES (1, 'a', 10), (2, 'b', 20)")
+    spark.sql("INSERT OVERWRITE gsql.ow VALUES (9, 'c', 90)")
+    val api = new SnapshotLog.Table(spark, s"$wh/ow")
+    // overwrite = ONE version (v2), not delete+append
+    assert(api.version == 2)
+    assert(spark.sql("SELECT k, v FROM gsql.ow").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((9L, 90L)))
+    // v1 still time-travels to the pre-overwrite state
+    assert(spark.sql("SELECT count(*) FROM gsql.ow VERSION AS OF 1")
+      .head().getLong(0) == 2)
+    spark.sql("DROP TABLE gsql.ow")
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT * FROM gsql.ow").collect())
+    rm(wh)
+  }
+
+  test("SHOW TABLES and table rename through the catalog") {
+    val wh = freshWarehouse()
+    spark.sql("CREATE TABLE gsql.t1 (k BIGINT, part STRING) " +
+      "PARTITIONED BY (part)")
+    assert(spark.sql("SHOW TABLES IN gsql").collect()
+      .map(_.getString(1)).contains("t1"))
+    spark.sql("ALTER TABLE gsql.t1 RENAME TO t2")
+    assert(spark.sql("SHOW TABLES IN gsql").collect()
+      .map(_.getString(1)).toSet == Set("t2"))
+    rm(wh)
+  }
+}
