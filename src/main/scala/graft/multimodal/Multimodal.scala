@@ -14,10 +14,14 @@ import graft.operators.QueryDef
   * encoded by [[encodePngs]] from seed-deterministic pixels whose
   * channel sums are pure doc_id arithmetic, which is what lets the
   * DuckDB oracle hash-check the full encode→decode→aggregate path
-  * without owning a codec. Audio/video container decodes remain the
-  * documented STUB boundary ([[StubDecoder.decode]] — no such codec
-  * ships in the JVM): deterministic fake features behind the same
-  * batch-iterator contract a real kernel drops into.
+  * without owning a codec. The AUDIO decode is REAL too (round 13):
+  * the JDK ships `javax.sound.sampled` (WAV/RIFF, PCM), so
+  * [[AudioDecoder.decode]] parses actual WAV containers encoded by
+  * [[encodeWavs]] from closed-form PCM samples. Only VIDEO container
+  * decodes remain the documented STUB boundary
+  * ([[StubDecoder.decode]] — no video codec ships in the JVM):
+  * deterministic fake features behind the same batch-iterator
+  * contract a real kernel drops into.
   *
   * Everything Spark-side is real and tested: the schema (binary +
   * typed metadata), the partition-batched execution shape
@@ -112,6 +116,87 @@ object Multimodal {
     media.mapPartitions(ImageDecoder.decode _)
   }
 
+  final case class EncodedAudio(doc_id: Long, media: Array[Byte])
+
+  final case class DecodedAudio(doc_id: Long, n_samples: Long,
+      sample_rate: Long, bits: Int, channels: Int,
+      sum_samples: Long, max_sample: Long)
+
+  /** One REAL WAV (RIFF container, 16-bit signed little-endian PCM,
+    * mono, 8 kHz) per wav-format document (doc_id % 3 = 2 under the
+    * attachMedia model), encoded executor-side with
+    * `javax.sound.sampled.AudioSystem` — the audio twin of
+    * [[encodePngs]]. Samples are the closed form
+    * `sample(i) = d % 1000 + 7 * i` over `n = 50 + d % 40` samples
+    * (max value 1623, far inside 16-bit signed), so the per-clip
+    * sample count, sum and max are exact integer arithmetic an oracle
+    * recomputes without owning a codec. */
+  def encodeWavs(docs: DataFrame): Dataset[EncodedAudio] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).filter(col("doc_id") % 3 === 2)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { d =>
+          val n = (50 + d % 40).toInt
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = ((d % 1000) + 7L * i).toShort
+            pcm(2 * i) = (s & 0xFF).toByte           // little-endian
+            pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            8000f, 16, 1, /* signed = */ true, /* bigEndian = */ false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          EncodedAudio(d, bos.toByteArray)
+        }
+      }
+  }
+
+  /** The REAL audio decode kernel: `javax.sound.sampled` WAV decode,
+    * batch iterator in / batch iterator out (one invocation per
+    * partition — the same production contract as [[ImageDecoder]]).
+    * Emits the container-declared format (rate/bits/channels) and
+    * exact PCM sample statistics, so a header lie, byte-order bug, or
+    * truncated read flips the oracle hash. */
+  object AudioDecoder {
+    def decode(rows: Iterator[EncodedAudio]): Iterator[DecodedAudio] =
+      rows.map { rec =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(rec.media))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          s"unexpected PCM layout for doc ${rec.doc_id}: $fmt")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        var (sum, mx) = (0L, Long.MinValue)
+        var i = 0
+        while (i < n) {
+          val s = ((bytes(2 * i) & 0xFF) |
+            (bytes(2 * i + 1) << 8)).toShort.toLong
+          sum += s
+          if (s > mx) mx = s
+          i += 1
+        }
+        DecodedAudio(rec.doc_id, n, fmt.getSampleRate.toLong,
+          fmt.getSampleSizeInBits, fmt.getChannels, sum,
+          if (n == 0) 0L else mx)
+      }
+  }
+
+  /** Partition-batched REAL decode over the encoded WAV column. */
+  def decodeAudio(media: Dataset[EncodedAudio]): Dataset[DecodedAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(AudioDecoder.decode _)
+  }
+
   final case class MediaRow(
       doc_id: Long,
       media: Array[Byte],
@@ -141,15 +226,16 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** The stubbed AUDIO/VIDEO decode kernel (no such codec ships in
-    * the JVM — images decode for real via [[ImageDecoder]]). A real
-    * deployment replaces this body with an actual codec (??? boundary);
-    * the signature — a batch iterator in, a batch iterator out, no
-    * per-row JVM↔native churn — is the production contract. */
+  /** The stubbed VIDEO decode kernel (no video codec ships in the
+    * JVM — images decode for real via [[ImageDecoder]], WAV audio via
+    * [[AudioDecoder]]). A real deployment replaces this body with an
+    * actual codec (??? boundary); the signature — a batch iterator
+    * in, a batch iterator out, no per-row JVM↔native churn — is the
+    * production contract. */
   object StubDecoder {
     def decode(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
       rows.map { r =>
-        // ??? real codec goes here; deterministic fake below
+        // ??? real video codec goes here; deterministic fake below
         val h = java.util.Arrays.hashCode(r.media)
         val feats = Array.tabulate(8)(i =>
           ((h >>> (i * 4)) & 0xF).toFloat / 15.0f)
@@ -226,6 +312,42 @@ object Multimodal {
           sum(col("sum_g")).cast("long").as("sum_g"),
           sum(col("sum_b")).cast("long").as("sum_b"))
         .orderBy("width")
+    },
+
+    // ---- full AUDIO decode path, REAL codec (round 13): one WAV per
+    //      wav-format doc is ENCODED executor-side (javax.sound.sampled
+    //      — a real RIFF/PCM container, not a fake), DECODED back
+    //      through the same batch-iterator kernel contract as the
+    //      image path, and aggregated — while the oracle recomputes
+    //      sample counts, sums and maxima as pure doc_id arithmetic:
+    //      sample(i) = d%1000 + 7i over n = 50 + d%40 samples. A
+    //      byte-order bug, header lie (rate/bits/channels), or
+    //      truncated PCM read flips the hash. With this, only VIDEO
+    //      containers remain at the stub boundary (no codec in the JVM).
+    QueryDef.checked(
+      "q_audio_decode",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    50 + doc_id % 40 AS n,
+        |    doc_id % 1000 AS s0
+        |  FROM documents WHERE doc_id % 3 = 2
+        |)
+        |SELECT CAST(n AS BIGINT) AS n_samples,
+        |  count(*) AS n_clips,
+        |  CAST(min(8000) AS BIGINT) AS sample_rate,
+        |  CAST(sum(n * s0 + 7 * (n * (n - 1)) / 2) AS BIGINT)
+        |    AS sum_samples,
+        |  CAST(sum(s0 + 7 * (n - 1)) AS BIGINT) AS sum_max
+        |FROM d GROUP BY n ORDER BY n_samples""".stripMargin) {
+      (spark, dir) =>
+      val clips = decodeAudio(encodeWavs(Tables(spark, dir).documents))
+        .toDF()
+      clips.groupBy("n_samples")
+        .agg(count(lit(1)).as("n_clips"),
+          min(col("sample_rate")).as("sample_rate"),
+          sum(col("sum_samples")).as("sum_samples"),
+          sum(col("max_sample")).as("sum_max"))
+        .orderBy("n_samples")
     },
 
     // ---- deterministic frame sampling: the media blob as a sequence of

@@ -39,6 +39,47 @@ object FileIndex {
     * semantics must hold for both. */
   private val LookupKeys = Seq(11L, 97L, 123L, 10000000L)
 
+  /** Build-once evolved table for the type-widening + DEFAULT-column
+    * queries: v1 = the LOW key half with `k` committed as INT (narrow
+    * parquet footers), v2 = `widenColumn(k -> bigint)`, v3 =
+    * `addColumnDefault(score bigint 7)`, v4 = the HIGH key half with
+    * `k` shifted past the INT32 range (so the widened type is
+    * load-bearing, not cosmetic) and a `score` column carrying real
+    * values AND real NULLs (so the default provably never overwrites
+    * a carrying file's NULLs). */
+  private[graft] def evoStagedTable(
+      spark: SparkSession, dir: String): SnapshotLog.Table = {
+    val factPath = java.nio.file.Paths.get(s"$dir/orders.parquet")
+      .toAbsolutePath.toString
+    val root = graft.util.Staging.dir("graft_evo_", s"$factPath|evo_v1")
+    val t = new SnapshotLog.Table(spark, root)
+    val marker = new Path(s"$root/_BUILT")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      fs.delete(new Path(s"$root/data"), true)
+      fs.delete(new Path(s"$root/log"), true)
+      fs.delete(new Path(s"$root/index"), true)
+      val orders = spark.read.parquet(factPath).select(
+        col("o_orderkey"), col("o_orderstatus").as("part"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val cut = orders.agg(max("o_orderkey")).head().getLong(0) / 2
+      t.commitAppend(orders.filter(col("o_orderkey") < cut)
+        .select(col("o_orderkey").cast("int").as("k"),
+          col("part"), col("cents")), "part")                   // v1
+      t.widenColumn("k", "bigint")                              // v2
+      t.addColumnDefault("score", "bigint", "7")                // v3
+      t.commitAppend(orders.filter(col("o_orderkey") >= cut)
+        .select((col("o_orderkey") + lit(10000000000L)).as("k"),
+          col("part"), col("cents"),
+          when(col("o_orderkey") % 10 === 0,
+            lit(null).cast("bigint"))
+            .otherwise(col("o_orderkey") % 100).as("score")),
+        "part")                                                 // v4
+      fs.create(marker, true).close()
+    }
+    t
+  }
+
   /** Build-once versioned table for the file-index queries: four
     * date-range appends (the natural time-ordered ingest) of
     * (o_orderkey, price_cents, o_date DATE, o_orderstatus), with a
@@ -1081,6 +1122,75 @@ object FileIndex {
           min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"))
         .orderBy("o_orderstatus")
+    },
+
+    // ---- TYPE WIDENING (round 13): `k` committed as INT, widened to
+    //      BIGINT by a metadata-only commit, then appended with values
+    //      past the INT32 range — readers upcast narrow footers
+    //      in-reader (no rewrite), and the in-query requires pin the
+    //      verdict's exact scale case: an INT64 zone-map probe prunes
+    //      the INT32-era files (their long-folded stats bound them out)
+    //      while the result hashes against a full recompute.
+    QueryDef.checked(
+      "q_snapshot_type_widening",
+      """WITH cut AS (SELECT max(o_orderkey) // 2 AS c FROM orders)
+        |SELECT o_orderstatus AS part, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_orderkey < cut.c THEN o_orderkey
+        |    ELSE o_orderkey + 10000000000 END) AS BIGINT) AS sum_k,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders, cut
+        |GROUP BY part
+        |ORDER BY part""".stripMargin) { (spark, dir) =>
+      val t = evoStagedTable(spark, dir)
+      require(t.asOf(4).schema("k").dataType ==
+        org.apache.spark.sql.types.LongType,
+        "widened column must surface as BIGINT")
+      // INT32-era stats vs an INT64 probe: only post-widening files
+      // can contain keys past 10^10
+      val live = t.liveFiles(4)
+      val pruned = t.pruneFiles(4, "k", 10000000000L, Long.MaxValue)
+      require(pruned.nonEmpty && pruned.size < live.size,
+        s"INT64 probe must prune the INT32-era files " +
+          s"(${pruned.size} of ${live.size} survived)")
+      t.scanAsOf(4)
+        .groupBy("part")
+        .agg(count(lit(1)).as("n_rows"), sum("k").as("sum_k"),
+          sum("cents").as("sum_cents"))
+        .orderBy("part")
+    },
+
+    // ---- DEFAULT columns (round 13): `score` added with DEFAULT 7
+    //      AFTER the first commit — pre-evolution rows read the
+    //      default (their footers predate the column, per the
+    //      manifest's own stats entries), post-evolution rows carry
+    //      real values INCLUDING real NULLs that must never be
+    //      overwritten; the oracle recomputes the same CASE from the
+    //      raw table, so a fill that leaks into carrying files (or a
+    //      lost fill) flips the hash.
+    QueryDef.checked(
+      "q_snapshot_default_col",
+      """WITH cut AS (SELECT max(o_orderkey) // 2 AS c FROM orders),
+        |scored AS (
+        |  SELECT o_orderstatus AS part,
+        |    CASE WHEN o_orderkey < cut.c THEN 7
+        |         WHEN o_orderkey % 10 = 0 THEN NULL
+        |         ELSE o_orderkey % 100 END AS score
+        |  FROM orders, cut)
+        |SELECT part, count(*) AS n_rows,
+        |  CAST(sum(score) AS BIGINT) AS sum_score,
+        |  CAST(sum(CASE WHEN score IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_null
+        |FROM scored
+        |GROUP BY part
+        |ORDER BY part""".stripMargin) { (spark, dir) =>
+      val t = evoStagedTable(spark, dir)
+      t.scanAsOf(4)
+        .groupBy("part")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("score").as("sum_score"),
+          sum(when(col("score").isNull, 1L).otherwise(0L)).as("n_null"))
+        .orderBy("part")
     }
   )
 }

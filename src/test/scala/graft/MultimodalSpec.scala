@@ -91,4 +91,30 @@ class MultimodalSpec extends SparkSpec {
         s"sum_b for $d")
     }
   }
+
+  test("real WAV encode/decode roundtrip is sample-exact per clip") {
+    import graft.multimodal.Multimodal
+    // ids across the (n, s0) lattice — wav-format docs are
+    // doc_id % 3 == 2; the decode must recover the container-declared
+    // format AND the exact closed-form PCM statistics the
+    // q_audio_decode oracle recomputes arithmetically
+    val ids = Seq(2L, 5L, 41L, 998L, 1202L, 3599L)
+    ids.foreach { d =>
+      val spark0 = spark
+      import spark0.implicits._
+      val enc = Multimodal.encodeWavs(
+        Seq(d).toDF("doc_id")).collect().head
+      // the bytes are a REAL RIFF container, not raw PCM
+      assert(new String(enc.media.take(4), "US-ASCII") == "RIFF",
+        s"not a RIFF container for $d")
+      val dec = Multimodal.AudioDecoder.decode(Iterator(enc)).next()
+      val n = (50 + d % 40).toInt
+      val s0 = d % 1000
+      assert(dec.n_samples == n && dec.sample_rate == 8000L &&
+        dec.bits == 16 && dec.channels == 1, s"format for $d: $dec")
+      assert(dec.sum_samples == n.toLong * s0 + 7L * n * (n - 1) / 2,
+        s"sum_samples for $d")
+      assert(dec.max_sample == s0 + 7L * (n - 1), s"max_sample for $d")
+    }
+  }
 }

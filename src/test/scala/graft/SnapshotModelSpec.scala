@@ -19,8 +19,12 @@ import graft.sources.SnapshotLog
   * MOR key delete, upsert merge, tri-clause CDC apply, compaction,
   * clustered rewrite, value-range COW delete, atomic replace-where,
   * merge-on-read upsert,
-  * write-audit-publish, DV materialization, and restore to a random
-  * earlier version. */
+  * write-audit-publish, DV materialization, restore to a random
+  * earlier version, metadata-only RENAME, TYPE WIDENING of the value
+  * column (committed INT until widened — every read casts up), and
+  * DEFAULT columns (every introduced default must read 7 on every
+  * row at every later version — rewrites materialize, clones carry,
+  * omitting writers get filled). */
 class SnapshotModelSpec extends SparkSpec {
 
   private def runSequence(seed: Long, nOps: Int): Unit = {
@@ -36,16 +40,20 @@ class SnapshotModelSpec extends SparkSpec {
     var model = Map.empty[Long, Long]
     var nextKey = 1L
     var vName = "v" // current LOGICAL name of the value column
+    var vType = "int" // commit-side type until a widen op promotes it
+    var defaults = Vector.empty[String] // DEFAULT-7 columns added so far
     // (model state, value-column logical name) AT each version
     // (index v-1), for the final time-travel sweep and restore targets
     var hist = Vector.empty[(Map[Long, Long], String)]
 
     def df(rows: Seq[(Long, Long)]) =
       rows.map { case (k, v) => (k, "x", v) }.toDF("k", "part", vName)
+        .withColumn(vName, col(vName).cast(vType))
         .coalesce(1)
     def read(v: Int, name: String): Map[Long, Long] =
       if (t.liveFiles(v).isEmpty) Map.empty
-      else t.asOfMor(v).select(col("k"), col(name)).collect()
+      else t.asOfMor(v).select(col("k"), col(name).cast("long"))
+        .collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
     def existing(n: Int): Seq[Long] =
       rnd.shuffle(model.keys.toSeq).take(n)
@@ -58,7 +66,7 @@ class SnapshotModelSpec extends SparkSpec {
     }
 
     (1 to nOps).foreach { i =>
-      val op = rnd.nextInt(16)
+      val op = rnd.nextInt(18)
       op match {
         case 0 | 1 | 2 => // fresh-key append
           val ks = (nextKey until nextKey + 5 + rnd.nextInt(20))
@@ -89,7 +97,9 @@ class SnapshotModelSpec extends SparkSpec {
             dels.map(k => (k, "x", 0L, "D")) ++
               (upd ++ ins).map { case (k, v) => (k, "x", v, "U") }
           t.commitApplyChanges(
-            changes.toDF("k", "part", "v", "__op").coalesce(1), "part", "k")
+            changes.toDF("k", "part", vName, "__op")
+              .withColumn(vName, col(vName).cast(vType)).coalesce(1),
+            "part", "k")
           model = model -- dels ++ upd ++ ins
         case 8 => // reorganization / DV retirement
           if (rnd.nextBoolean()) t.commitCompact("part")
@@ -129,6 +139,15 @@ class SnapshotModelSpec extends SparkSpec {
           val nn = s"v$i"
           t.renameColumn(vName, nn)
           vName = nn
+        case 16 => // TYPE WIDENING of the value column (once)
+          if (vType == "int" && model.nonEmpty) {
+            t.widenColumn(vName, "bigint")
+            vType = "bigint"
+          } else t.commitCompact("part")
+        case 17 => // DEFAULT column: must read 7 everywhere, forever
+          val dn = s"d$i"
+          t.addColumnDefault(dn, "bigint", "7")
+          defaults :+= dn
         case 12 => // write-audit-publish as one committed batch
           val ks = (nextKey until nextKey + 3 + rnd.nextInt(5))
           nextKey = ks.last + 1
@@ -143,6 +162,17 @@ class SnapshotModelSpec extends SparkSpec {
       assert(read(t.version, vName) == model,
         s"seed=$seed op#$i(kind=$op) v=${t.version}: table diverged " +
           s"(${read(t.version, vName).size} rows vs model ${model.size})")
+      // every DEFAULT column introduced so far reads 7 on EVERY row:
+      // pre-evolution files fill, rewrites materialize, omitting
+      // appends get it at the write boundary — a NULL or non-7
+      // anywhere is an era-tracking bug
+      if (defaults.nonEmpty && model.nonEmpty) {
+        val bad = t.asOfMor(t.version)
+          .filter(defaults.map(d => col(d).isNull || col(d) =!= 7L)
+            .reduce(_ || _)).count()
+        assert(bad == 0,
+          s"seed=$seed op#$i: $bad rows lost a DEFAULT-7 fill")
+      }
     }
 
     // time-travel immutability: every historical version still reads
