@@ -124,7 +124,9 @@ object Explain {
     "q_snapshot_pruned_read", "q_snapshot_replace_where",
     "q_snapshot_zorder", "q_snapshot_clone", "q_stream_cdf_since",
     "q_snapshot_rename_col", "q_multimodal_decode",
-    "q_snapshot_identity")
+    "q_snapshot_identity", "q_snapshot_sql_read", "q_snapshot_sql_ddl",
+    "q_snapshot_type_widening", "q_snapshot_default_col",
+    "q_audio_decode", "q_clone_namespace_txn")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -226,9 +226,34 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(dc.fieldNames().length == 1,
           "graft supports top-level column drops only")
         log.dropColumn(dc.fieldNames()(0))
+      case ut: TableChange.UpdateColumnType =>
+        // ALTER TABLE ... ALTER COLUMN c TYPE t -> metadata-only type
+        // widening (the commit validates the lossless lattice)
+        require(ut.fieldNames().length == 1,
+          "graft supports top-level column widenings only")
+        log.widenColumn(ut.fieldNames()(0), ut.newDataType().sql)
+      case ac: TableChange.AddColumn =>
+        // ALTER TABLE ... ADD COLUMN c t DEFAULT v -> initial-default
+        // evolution (pre-existing rows read the default). A default is
+        // REQUIRED through this path: a plain additive column appears
+        // by simply writing batches that carry it.
+        require(ac.fieldNames().length == 1,
+          "graft supports top-level column adds only")
+        val dv = ac.defaultValue()
+        if (dv == null) throw new UnsupportedOperationException(
+          s"ADD COLUMN ${ac.fieldNames()(0)} needs a DEFAULT through " +
+            "the graft catalog (plain additive columns appear by " +
+            "writing batches that carry them)")
+        val lit = dv.getValue
+        require(lit != null,
+          s"ADD COLUMN ${ac.fieldNames()(0)}: non-literal defaults " +
+            "are not supported")
+        log.addColumnDefault(ac.fieldNames()(0),
+          ac.dataType().sql, String.valueOf(lit.value))
       case other => throw new UnsupportedOperationException(
         s"graft catalog does not support table change $other " +
-          "(supported: RENAME COLUMN, DROP COLUMN)")
+          "(supported: RENAME/DROP COLUMN, ALTER COLUMN TYPE " +
+          "widening, ADD COLUMN ... DEFAULT)")
     }
     loadTable(ident)
   }
@@ -320,7 +345,8 @@ private[catalog] final class GraftSqlTable(tableName: String,
     root: String, meta: Option[GraftCatalog#TableMeta],
     pinned: Option[Int])
     extends Table with SupportsRead with SupportsWrite
-    with TruncatableTable {
+    with TruncatableTable
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private def spark: SparkSession = SparkSession.active
   private[catalog] def log: SnapshotLog.Table =
@@ -392,6 +418,83 @@ private[catalog] final class GraftSqlTable(tableName: String,
       partColOrFail)
     true
   }
+
+  // -- SQL DELETE -----------------------------------------------------
+
+  /** `DELETE FROM t WHERE ...` routed to the commit primitives that
+    * match the predicate's shape — the same cost model the Scala API
+    * exposes, now behind SQL:
+    *  - `part = 'x'` (the partition column) → metadata-only
+    *    [[SnapshotLog.Table.commitDeletePartition]]: zero bytes move;
+    *  - a conjunction of comparisons on ONE integer-family column →
+    *    zone-map-pruned COW [[SnapshotLog.Table.commitDeleteRange]]:
+    *    the blast radius is the candidate file set;
+    *  - no predicate (DELETE FROM t) → [[truncateTable]];
+    *  - anything else → canDeleteWhere = false, so the analyzer fails
+    *    LOUDLY instead of silently rewriting the table (key-set
+    *    deletes belong to the MOR DV path, which SQL reaches through
+    *    the Scala API until row-level ops land here). */
+  private def deletePlan(filters: Array[Filter])
+      : Option[() => Unit] = {
+    def asLong(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    filters match {
+      case Array() | Array(_: AlwaysTrue) =>
+        Some(() => { truncateTable(); () })
+      case Array(EqualTo(a, v: String))
+          if meta.exists(_.partCol == a) =>
+        Some(() => { log.commitDeletePartition(a, v); () })
+      case fs if fs.nonEmpty =>
+        // conjunction of bounds on a single integer-family column
+        val cols = fs.flatMap {
+          case EqualTo(a, _) => Some(a)
+          case GreaterThan(a, _) => Some(a)
+          case GreaterThanOrEqual(a, _) => Some(a)
+          case LessThan(a, _) => Some(a)
+          case LessThanOrEqual(a, _) => Some(a)
+          case _ => None
+        }.distinct
+        if (cols.length != 1 || fs.exists {
+          case EqualTo(_, v) => asLong(v).isEmpty
+          case GreaterThan(_, v) => asLong(v).isEmpty
+          case GreaterThanOrEqual(_, v) => asLong(v).isEmpty
+          case LessThan(_, v) => asLong(v).isEmpty
+          case LessThanOrEqual(_, v) => asLong(v).isEmpty
+          case _: IsNotNull => false // planner-injected, vacuous here
+          case _ => true
+        }) None
+        else {
+          var lo = Long.MinValue
+          var hi = Long.MaxValue
+          fs.foreach {
+            case EqualTo(_, v) =>
+              lo = math.max(lo, asLong(v).get)
+              hi = math.min(hi, asLong(v).get)
+            case GreaterThan(_, v) => lo = math.max(lo, asLong(v).get + 1)
+            case GreaterThanOrEqual(_, v) => lo = math.max(lo, asLong(v).get)
+            case LessThan(_, v) => hi = math.min(hi, asLong(v).get - 1)
+            case LessThanOrEqual(_, v) => hi = math.min(hi, asLong(v).get)
+            case _ => ()
+          }
+          val (c, pc, l, h) = (cols(0), partColOrFail, lo, hi)
+          Some(() => { log.commitDeleteRange(pc, c, l, h); () })
+        }
+      case _ => None
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    deletePlan(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    deletePlan(filters).getOrElse(throw new UnsupportedOperationException(
+      s"unsupported DELETE predicate shape: ${filters.mkString(", ")}"))
+      .apply()
 
   // -- write path -----------------------------------------------------
 

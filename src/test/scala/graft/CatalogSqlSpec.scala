@@ -133,6 +133,60 @@ class CatalogSqlSpec extends SparkSpec {
     rm(wh)
   }
 
+  test("ALTER COLUMN TYPE widens; ADD COLUMN DEFAULT evolves; both " +
+    "metadata-only") {
+    val wh = freshWarehouse()
+    spark.sql("CREATE TABLE gsql.ty (k INT, part STRING) " +
+      "PARTITIONED BY (part)")
+    spark.sql("INSERT INTO gsql.ty VALUES (1, 'a'), (2, 'a')")
+    // widening through SQL DDL
+    spark.sql("ALTER TABLE gsql.ty ALTER COLUMN k TYPE BIGINT")
+    spark.sql("INSERT INTO gsql.ty VALUES (9000000000, 'a')")
+    assert(spark.sql("SELECT sum(k) FROM gsql.ty").head().getLong(0) ==
+      9000000003L)
+    // lossy narrowing refused by the commit's lattice check
+    assertThrows[Exception](
+      spark.sql("ALTER TABLE gsql.ty ALTER COLUMN k TYPE INT"))
+    // initial-default through SQL DDL: pre-existing rows read 7
+    spark.sql("ALTER TABLE gsql.ty ADD COLUMN score BIGINT DEFAULT 7")
+    assert(spark.sql(
+      "SELECT count(*) FROM gsql.ty WHERE score = 7").head().getLong(0)
+      == 3)
+    // both DDLs were metadata commits on top of the two writes
+    val api = new SnapshotLog.Table(spark, s"$wh/ty")
+    assert(api.version == 4)
+    rm(wh)
+  }
+
+  test("SQL DELETE routes to the matching commit primitive") {
+    val wh = freshWarehouse()
+    spark.sql("CREATE TABLE gsql.dl (k BIGINT, part STRING, v BIGINT) " +
+      "PARTITIONED BY (part)")
+    spark.sql("INSERT INTO gsql.dl VALUES (1, 'a', 10), (2, 'a', 20), " +
+      "(3, 'b', 30), (4, 'b', 40)")
+    val api = new SnapshotLog.Table(spark, s"$wh/dl")
+    // partition-value delete -> METADATA-ONLY (no new data files)
+    val filesBefore = api.liveFiles(api.version).toSet
+    spark.sql("DELETE FROM gsql.dl WHERE part = 'a'")
+    assert(spark.sql("SELECT sum(v) FROM gsql.dl").head().getLong(0) == 70)
+    assert(api.liveFiles(api.version).toSet.subsetOf(filesBefore),
+      "partition delete must not write data files")
+    // range delete on a stats column -> COW over candidates
+    spark.sql("DELETE FROM gsql.dl WHERE k >= 4 AND k <= 9")
+    assert(spark.sql("SELECT sum(v) FROM gsql.dl").head().getLong(0) == 30)
+    // the old version still time-travels (deletes are commits)
+    assert(spark.sql("SELECT count(*) FROM gsql.dl VERSION AS OF 1")
+      .head().getLong(0) == 4)
+    // unsupported shape fails loudly, nothing is rewritten
+    assertThrows[Exception](
+      spark.sql("DELETE FROM gsql.dl WHERE v % 2 = 0"))
+    assert(spark.sql("SELECT count(*) FROM gsql.dl").head().getLong(0) == 1)
+    // TRUNCATE = DELETE without predicate, one commit
+    spark.sql("TRUNCATE TABLE gsql.dl")
+    assert(spark.sql("SELECT count(*) FROM gsql.dl").head().getLong(0) == 0)
+    rm(wh)
+  }
+
   test("SHOW TABLES and table rename through the catalog") {
     val wh = freshWarehouse()
     spark.sql("CREATE TABLE gsql.t1 (k BIGINT, part STRING) " +
