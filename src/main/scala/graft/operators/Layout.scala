@@ -561,20 +561,19 @@ object Layout {
       val t = Tables(spark, dir)
       val dim = t.supplier.filter(col("s_acctbal") > 5000)
         .select(col("s_suppkey"))
-      // the Bloom filter builds DISTRIBUTED (treeAggregate under
-      // stat.bloomFilter — executors each fold their partition, the
-      // driver merges sketch pages, never the keys), then ships to the
-      // scan tasks as one read-only broadcast value. bloom_filter_agg
-      // exists in Catalyst but is not registered for public SQL, so the
-      // stat API is the supported route; the mightContain gate is a
-      // closure (non-codegen) — acceptable because it prunes BEFORE the
-      // shuffle, which is the cost that matters at scale.
-      val bloom = dim.stat.bloomFilter("s_suppkey", 10000L, 0.01)
-      val bloomBc = spark.sparkContext.broadcast(bloom)
-      val mightContain = udf((k: Long) => bloomBc.value.mightContainLong(k))
+      // the Bloom filter builds DISTRIBUTED (BloomFilterAggregate —
+      // executors each fold their partition, the driver merges sketch
+      // pages, never the keys); the probe is Catalyst's OWN
+      // BloomFilterMightContain over xxhash64 — a codegen Predicate,
+      // so the gating scan stays inside WholeStageCodegen with no
+      // per-row closure call (the prune runs BEFORE the shuffle,
+      // which is the cost that matters at scale).
+      val bloom = graft.functions.BloomProbe
+        .build(dim, col("s_suppkey"), 10000L)
       t.lineitem
         .select(col("l_returnflag"), col("l_quantity"), col("l_suppkey"))
-        .filter(mightContain(col("l_suppkey")))
+        .filter(graft.functions.BloomProbe
+          .mightContain(bloom, col("l_suppkey")))
         .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"), "left_semi")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),

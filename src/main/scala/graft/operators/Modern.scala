@@ -179,13 +179,18 @@ object Modern {
       // FP rate only degrades (never false negatives) if exceeded, and the
       // oracle contract is independent of the FP rate. Production sizes
       // this from catalog stats (ANALYZE ndv), not a scan.
-      val bloom = benchGrams.stat.bloomFilter("gram", 4000000L, 0.01)
-      val bloomBc = spark.sparkContext.broadcast(bloom)
-      val mightContain = udf((g: String) => bloomBc.value.mightContainString(g))
+      // codegen build + probe (BloomFilterAggregate / MightContain over
+      // xxhash64) — hash-first on both sides, so the no-false-negatives
+      // contract the oracle checks is unchanged, and the probe column
+      // stays inside WholeStageCodegen (the old closure UDF was the
+      // suite's last per-row boxing)
+      val bloom = graft.functions.BloomProbe
+        .build(benchGrams, col("gram"), 4000000L)
       val exactHits = broadcast(benchGrams.withColumn("hit", lit(1)))
       grams.filter(col("doc_id") % 97 =!= 0)
         .join(exactHits, Seq("gram"), "left")
-        .withColumn("bloom_hit", mightContain(col("gram")))
+        .withColumn("bloom_hit",
+          graft.functions.BloomProbe.mightContain(bloom, col("gram")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),
           count(col("hit")).as("n_exact_hits"),
