@@ -580,11 +580,16 @@ private[catalog] final class GraftScan(table: GraftSqlTable,
 
   private def prunedFrame(spark: SparkSession): DataFrame = {
     val v = table.readVersion
+    // scanAsOfMor, NOT scanAsOf: the raw pruned read does not apply
+    // active deletion vectors, and SQL serving MOR-deleted rows back
+    // is a silent correctness hole (caught by the round-13 interplay
+    // probe). With no active DVs scanAsOfMor IS scanAsOf — zero
+    // overhead on the common path.
     val base =
       if (v == 0 || table.log.liveFiles(v).isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], table.schema())
-      else table.log.scanAsOf(v)
+      else table.log.scanAsOfMor(v)
     val filtered = pushed.flatMap(GraftScan.toColumn)
       .foldLeft(base)(_.filter(_))
     // project to the pruned schema IN ITS ORDER (the V1 relation's

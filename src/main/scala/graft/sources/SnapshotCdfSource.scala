@@ -419,13 +419,36 @@ final class CdfReader(part: CdfPart, fileSchema: StructType,
     * a file written under an older layout may lack a column entirely
     * (its own partition column, or a later-added field); those
     * null-fill, the same contract the batch read's unionByName
-    * applies. Resolved lazily from the first row's group type. */
+    * applies. Resolved lazily from the first row's group type —
+    * together with each present column's PHYSICAL width: a widened
+    * table's pre-widening files carry INT32/FLOAT under a LONG/DOUBLE
+    * declared schema, and a width-blind getLong on an int32 field
+    * throws (found by the round-13 widen×CDF interplay probe). The
+    * upcast happens here, per file, exactly as the vectorized batch
+    * reader upcasts under a declared wide schema. */
   private var present: Array[Boolean] = _
+  private var physNarrow: Array[Boolean] = _ // INT32-under-LONG etc.
 
   override def get(): InternalRow = {
-    if (present == null)
+    if (present == null) {
       present = fileSchema.fields.map(f =>
         cur.getType.containsField(nameMap.getOrElse(f.name, f.name)))
+      physNarrow = fileSchema.fields.zipWithIndex.map { case (f, i) =>
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+        present(i) && {
+          val ph = nameMap.getOrElse(f.name, f.name)
+          val t = cur.getType.getType(ph)
+          t.isPrimitive && ((f.dataType, t.asPrimitiveType()
+            .getPrimitiveTypeName) match {
+            case (LongType, INT32)   => true // widened int-family
+            case (DoubleType, FLOAT) => true // widened float
+            case (DoubleType, INT32) => true // int widened to double
+            case (DoubleType, INT64) => false // lossy — not a widening
+            case _                   => false
+          })
+        }
+      }
+    }
     val vals = new Array[Any](fileSchema.length + 3)
     fileSchema.fields.zipWithIndex.foreach { case (f, i) =>
       val ph = nameMap.getOrElse(f.name, f.name) // physical field name
@@ -433,8 +456,15 @@ final class CdfReader(part: CdfPart, fileSchema: StructType,
       if (!present(i) || cur.getFieldRepetitionCount(ph) == 0)
         vals(i) = null
       else vals(i) = f.dataType match {
+        case LongType if physNarrow(i) => cur.getInteger(ph, 0).toLong
         case LongType    => cur.getLong(ph, 0)
         case IntegerType => cur.getInteger(ph, 0)
+        case DoubleType if physNarrow(i) =>
+          val t = cur.getType.getType(ph).asPrimitiveType()
+            .getPrimitiveTypeName
+          if (t == org.apache.parquet.schema.PrimitiveType
+              .PrimitiveTypeName.FLOAT) cur.getFloat(ph, 0).toDouble
+          else cur.getInteger(ph, 0).toDouble
         case DoubleType  => cur.getDouble(ph, 0)
         case StringType  => UTF8String.fromString(cur.getString(ph, 0))
         case dt => throw new IllegalArgumentException(

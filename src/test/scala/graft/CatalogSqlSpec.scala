@@ -187,6 +187,28 @@ class CatalogSqlSpec extends SparkSpec {
     rm(wh)
   }
 
+  test("SQL reads apply MOR deletion vectors (no resurrection)") {
+    import spark.implicits._
+    val wh = freshWarehouse()
+    spark.sql("CREATE TABLE gsql.mr (k BIGINT, part STRING, v BIGINT) " +
+      "PARTITIONED BY (part)")
+    spark.sql("INSERT INTO gsql.mr VALUES (1, 'a', 10), (2, 'a', 20), " +
+      "(3, 'a', 30)")
+    // a MOR delete through the Scala API: the victim's bytes stay in
+    // the data file, only a DV sidecar retires the row — SQL reading
+    // the raw pruned scan would RESURRECT it
+    val api = new SnapshotLog.Table(spark, s"$wh/mr")
+    api.commitDeleteKeysMor(Seq(2L).toDF("k"), "k")
+    assert(spark.sql("SELECT k FROM gsql.mr ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L),
+      "SQL read resurrected a MOR-deleted row")
+    assert(spark.sql("SELECT sum(v) FROM gsql.mr").head().getLong(0) == 40)
+    // time travel below the delete still sees the row
+    assert(spark.sql("SELECT count(*) FROM gsql.mr VERSION AS OF 1")
+      .head().getLong(0) == 3)
+    rm(wh)
+  }
+
   test("SHOW TABLES and table rename through the catalog") {
     val wh = freshWarehouse()
     spark.sql("CREATE TABLE gsql.t1 (k BIGINT, part STRING) " +

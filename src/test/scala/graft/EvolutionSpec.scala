@@ -220,6 +220,36 @@ class EvolutionSpec extends SparkSpec {
     rm(root)
   }
 
+  test("widen + DEFAULT x CDF: the feed upcasts pre-widening files " +
+    "and null-fills pre-default versions") {
+    val root = tmp("graft_evocdf_")
+    val t = new SnapshotLog.Table(spark, root)
+    t.commitAppend(narrowBatch(Seq(1, 2)).coalesce(1), "part")    // v1 INT32
+    t.widenColumn("k", "bigint")                                  // v2
+    t.addColumnDefault("score", "bigint", "7")                    // v3
+    t.commitAppend(Seq((6_000_000_000L, "a", 60L, 9L))
+      .toDF("k", "part", "v", "score").coalesce(1), "part")       // v4 INT64
+    // consumer declares the CURRENT schema: k is LONG. v1's files
+    // carry INT32 — a width-blind reader throws on getLong; the feed
+    // must upcast per file (the streaming twin of the declared-wide
+    // batch read). CONTRACT for the defaulted column: the feed serves
+    // rows AS WRITTEN at their version — pre-default inserts carry
+    // NULL score (the column did not exist at v1), it is the READ
+    // views (asOf/scanAsOf) that apply the initial-default.
+    val feed = spark.read.format("graft.sources.SnapshotCdfSource")
+      .option("path", root).option("partCol", "part")
+      .option("schema.ddl", "k LONG, v LONG, score LONG")
+      .option("startingVersion", "0")
+      .load().select("k", "v", "score", "_change")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3)))
+    assert(feed.toSet == Set(
+      (1L, 10L, None, "insert"), (2L, 20L, None, "insert"),
+      (6_000_000_000L, 60L, Some(9L), "insert")),
+      s"widen/default CDF feed wrong: ${feed.toSeq.sortBy(_._1)}")
+    rm(root)
+  }
+
   test("widen + DEFAULT x MOR delete: DV reads respect both") {
     val root = tmp("graft_evomor_")
     val t = new SnapshotLog.Table(spark, root)
