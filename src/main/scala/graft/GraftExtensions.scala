@@ -44,6 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // tier-(c) whole-operator extension: the bounded-heap top-k-per-
     // group physical operator (graft.plans.TopKPerGroup)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // SQL MERGE INTO over graft catalog tables (the Delta pattern: a
+    // post-hoc resolution rewrite into the engine's merge commits —
+    // vanilla Spark only plans MERGE for row-level-operation tables)
+    ext.injectResolutionRule(_ => graft.catalog.GraftMergeRule)
   }
 }
 

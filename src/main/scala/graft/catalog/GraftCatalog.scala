@@ -349,6 +349,7 @@ private[catalog] final class GraftSqlTable(tableName: String,
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private def spark: SparkSession = SparkSession.active
+  private[catalog] def rootPath: String = root
   private[catalog] def log: SnapshotLog.Table =
     GraftSqlTable.handleFor(spark, root)
 

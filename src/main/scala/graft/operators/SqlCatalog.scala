@@ -27,6 +27,33 @@ object SqlCatalog {
     spark.conf.set(s"spark.sql.catalog.$name.warehouse", warehouse)
   }
 
+  /** A session over the SAME SparkContext with [[graft.GraftExtensions]]
+    * installed — SQL MERGE INTO needs the extension's resolution rule,
+    * and extensions bind at SESSION construction (a production
+    * deployment sets `spark.sql.extensions=graft.GraftExtensions` on
+    * the cluster conf; the driver's harness session has none). Built
+    * once per context and cached; default/active session restored, so
+    * the surrounding query runner never observes the swap. */
+  @volatile private var extSession: SparkSession = _
+  private def extensionSession(spark: SparkSession): SparkSession =
+    synchronized {
+      if (extSession == null ||
+          extSession.sparkContext != spark.sparkContext) {
+        val d = SparkSession.getDefaultSession
+        val a = SparkSession.getActiveSession
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        try extSession = SparkSession.builder()
+          .withExtensions(new graft.GraftExtensions().apply(_))
+          .getOrCreate()
+        finally {
+          d.foreach(SparkSession.setDefaultSession)
+          a.foreach(SparkSession.setActiveSession)
+        }
+      }
+      extSession
+    }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- SQL read + time travel over the staged snapshot table: the
@@ -86,6 +113,57 @@ object SqlCatalog {
       spark.sql("ALTER TABLE gqddl.nat RENAME COLUMN nname TO nation_name")
       spark.sql(
         "SELECT nkey, rpart, nation_name FROM gqddl.nat ORDER BY nkey")
+    },
+
+    // ---- SQL MERGE INTO (round 13): the canonical upsert through the
+    //      extension rule (GraftMergeRule → ONE merge-on-read commit:
+    //      DV tombstones + adds, zero file rewrites). The oracle
+    //      reconstructs the merged state relationally (anti-join ⊎
+    //      source), so a lost update, resurrected key, doubled insert,
+    //      or misrouted clause flips the hash.
+    QueryDef.checked(
+      "q_snapshot_sql_merge",
+      """WITH base AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS nkey,
+        |    CAST(n_regionkey AS VARCHAR) AS rpart, n_name AS nname
+        |  FROM nation
+        |), src AS (
+        |  SELECT nkey, rpart, upper(nname) AS nname
+        |  FROM base WHERE nkey % 2 = 0
+        |  UNION ALL
+        |  SELECT nkey + 100, rpart,
+        |    'NEW_' || CAST(nkey AS VARCHAR) AS nname
+        |  FROM base WHERE nkey % 2 = 0
+        |), merged AS (
+        |  SELECT * FROM base
+        |  WHERE nkey NOT IN (SELECT nkey FROM src)
+        |  UNION ALL SELECT * FROM src
+        |)
+        |SELECT nkey, rpart, nname FROM merged
+        |ORDER BY nkey""".stripMargin) { (spark, dir) =>
+      val es = extensionSession(spark)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_sqlmrg_").toString
+      register(es, "gqmrg", wh)
+      es.read.parquet(s"$dir/nation.parquet")
+        .createOrReplaceTempView("nation_mrg_src")
+      es.sql("CREATE TABLE gqmrg.nat " +
+        "(nkey BIGINT, rpart STRING, nname STRING) PARTITIONED BY (rpart)")
+      es.sql("INSERT INTO gqmrg.nat " +
+        "SELECT CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS STRING)," +
+        " n_name FROM nation_mrg_src")
+      es.sql("""SELECT nkey, rpart, upper(nname) AS nname
+        |FROM gqmrg.nat WHERE nkey % 2 = 0
+        |UNION ALL
+        |SELECT nkey + 100, rpart,
+        |  concat('NEW_', CAST(nkey AS STRING)) AS nname
+        |FROM gqmrg.nat WHERE nkey % 2 = 0""".stripMargin)
+        .createOrReplaceTempView("mrg_batch")
+      es.sql("MERGE INTO gqmrg.nat USING mrg_batch " +
+        "ON nat.nkey = mrg_batch.nkey " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      es.sql("SELECT nkey, rpart, nname FROM gqmrg.nat ORDER BY nkey")
     }
   )
 }

@@ -209,6 +209,71 @@ class CatalogSqlSpec extends SparkSpec {
     rm(wh)
   }
 
+  test("SQL MERGE INTO routes to the MOR merge commit (extension rule)") {
+    // MERGE needs the GraftExtensions post-hoc rule — build a second
+    // session over the SAME SparkContext with the extensions conf
+    // (the shared suite session has none), restore after
+    val old = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val es = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new GraftExtensions().apply(_))
+      .getOrCreate()
+    try {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_sqlmerge_").toString
+      es.conf.set("spark.sql.catalog.gm", "graft.catalog.GraftCatalog")
+      es.conf.set("spark.sql.catalog.gm.warehouse", wh)
+      es.sql("CREATE TABLE gm.t (k BIGINT, part STRING, v BIGINT) " +
+        "PARTITIONED BY (part)")
+      es.sql("INSERT INTO gm.t VALUES (1, 'a', 10), (2, 'a', 20)")
+      import es.implicits._
+      Seq((2L, "a", 222L), (3L, "b", 30L)).toDF("k", "part", "v")
+        .createOrReplaceTempView("src")
+
+      // canonical upsert -> ONE MOR merge commit (DV tombstones +
+      // adds, zero rewrites)
+      es.sql("MERGE INTO gm.t USING src ON t.k = src.k " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      val rows = es.sql("SELECT k, v FROM gm.t ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == Seq((1L, 10L), (2L, 222L), (3L, 30L)),
+        s"merged state wrong: $rows")
+      val api = new SnapshotLog.Table(es, s"$wh/t")
+      assert(api.version == 2, s"CREATE+INSERT+MERGE = 2 commits, " +
+        s"got ${api.version}")
+      val v2 = api.entries.filter(_.version == 2)
+      assert(v2.exists(_.action == "dv") &&
+        !v2.exists(_.action == "remove"),
+        s"merge must be MOR (DV tombstones, no file removes): " +
+          s"${v2.map(_.action).distinct}")
+
+      // WHEN MATCHED THEN DELETE alone -> MOR key delete
+      Seq(Tuple1(1L)).toDF("k").createOrReplaceTempView("dead")
+      es.sql("MERGE INTO gm.t USING dead ON t.k = dead.k " +
+        "WHEN MATCHED THEN DELETE")
+      assert(es.sql("SELECT k FROM gm.t ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq == Seq(2L, 3L))
+
+      // unsupported shapes fail loudly, nothing changes
+      val e = intercept[Exception](
+        es.sql("MERGE INTO gm.t USING src ON t.k = src.k " +
+          "WHEN MATCHED AND src.v > 100 THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *"))
+      assert(e.getMessage.contains("canonical shapes"),
+        s"wrong failure: ${e.getMessage.take(200)}")
+      assert(es.sql("SELECT count(*) FROM gm.t").head().getLong(0) == 2)
+      rm(wh)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(old)
+      org.apache.spark.sql.SparkSession.setActiveSession(old)
+    }
+  }
+
   test("SHOW TABLES and table rename through the catalog") {
     val wh = freshWarehouse()
     spark.sql("CREATE TABLE gsql.t1 (k BIGINT, part STRING) " +
