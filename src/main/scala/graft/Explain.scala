@@ -126,7 +126,7 @@ object Explain {
     "q_snapshot_rename_col", "q_multimodal_decode",
     "q_snapshot_identity", "q_snapshot_sql_read", "q_snapshot_sql_ddl",
     "q_snapshot_type_widening", "q_snapshot_default_col",
-    "q_audio_decode", "q_clone_namespace_txn", "q_snapshot_sql_merge")
+    "q_audio_decode", "q_clone_namespace_txn", "q_snapshot_sql_merge", "q_snapshot_sql_update")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -56,6 +56,10 @@ object GraftMergeRule extends Rule[LogicalPlan] {
     case a: AttributeReference => Some(a.name)
     case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
       Some(u.nameParts.last)
+    // the analyzer wraps a narrower column side in an upcast when the
+    // other side is wider (`k >= 2L` on an INT k)
+    case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+      nameOf(c.child)
     case _ => None
   }
 
@@ -82,6 +86,60 @@ object GraftMergeRule extends Rule[LogicalPlan] {
       case _ => false
     }
 
+  /** `UPDATE t SET ... WHERE <bounds on one integer column>` →
+    * [[graft.sources.SnapshotLog.Table.commitUpdateRange]] (the
+    * zone-map-pruned COW). Bounds extractor: a conjunction of
+    * comparisons between ONE column and integer literals. */
+  private def rangeOf(cond: Expression): Option[(String, Long, Long)] = {
+    // literals arrive Cast-wrapped (`k >= 2` resolves as
+    // `k >= CAST(2 AS BIGINT)`): any foldable integer-family
+    // expression is a literal for our purposes
+    def longLit(e: Expression): Option[Long] =
+      if (!e.foldable) None
+      else e.eval() match {
+        case l: java.lang.Long => Some(l)
+        case i: Integer => Some(i.longValue)
+        case s: java.lang.Short => Some(s.longValue)
+        case b: java.lang.Byte => Some(b.longValue)
+        case _ => None
+      }
+    import org.apache.spark.sql.catalyst.expressions._
+    def bounds(e: Expression): Option[(String, Long, Long)] = e match {
+      case And(l, r) =>
+        for { (cl, ll, hl) <- bounds(l); (cr, lr, hr) <- bounds(r)
+          if cl.equalsIgnoreCase(cr) }
+          yield (cl, math.max(ll, lr), math.min(hl, hr))
+      case EqualTo(a, v) =>
+        for { n <- nameOf(a); x <- longLit(v) } yield (n, x, x)
+      case EqualTo(v, a) if longLit(v).isDefined =>
+        for { n <- nameOf(a); x <- longLit(v) } yield (n, x, x)
+      case GreaterThan(a, v) =>
+        for { n <- nameOf(a); x <- longLit(v) }
+          yield (n, x + 1, Long.MaxValue)
+      case GreaterThanOrEqual(a, v) =>
+        for { n <- nameOf(a); x <- longLit(v) }
+          yield (n, x, Long.MaxValue)
+      case LessThan(a, v) =>
+        for { n <- nameOf(a); x <- longLit(v) }
+          yield (n, Long.MinValue, x - 1)
+      case LessThanOrEqual(a, v) =>
+        for { n <- nameOf(a); x <- longLit(v) }
+          yield (n, Long.MinValue, x)
+      case _ => None
+    }
+    bounds(cond)
+  }
+
+  /** Rebind a SQL assignment value to the logical-name space the
+    * update primitive evaluates in: resolved attribute references
+    * become name-based unresolved ones, re-resolved against the
+    * victims' frame at commit time. */
+  private def rebind(e: Expression): Expression = e.transform {
+    case a: AttributeReference =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+        Seq(a.name))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (debug) plan.foreach {
       case m: MergeIntoTable => println(
@@ -91,6 +149,24 @@ object GraftMergeRule extends Rule[LogicalPlan] {
       case _ => ()
     }
     plan.transform {
+    case u @ UpdateTable(target, assignments, condition)
+        if u.childrenResolved && graftTarget(target).isDefined =>
+      val t = graftTarget(target).get
+      def unsupported(why: String): Nothing =
+        throw new UnsupportedOperationException(
+          s"graft UPDATE supports `SET col = expr` with a WHERE of " +
+            s"integer bounds on one column (the zone-map-pruned COW " +
+            s"shape): $why")
+      val cond = condition.getOrElse(unsupported(
+        "an unbounded UPDATE rewrites the whole table — bound it, " +
+          "or use INSERT OVERWRITE deliberately"))
+      val (c, lo, hi) = rangeOf(cond).getOrElse(
+        unsupported(s"condition ${cond.sql}"))
+      val set = assignments.map { case Assignment(k, v) =>
+        nameOf(k).getOrElse(unsupported(s"assignment key ${k.sql}")) ->
+          rebind(v)
+      }.toMap
+      GraftUpdateCommand(t.rootPath, t.partColOrFail, c, lo, hi, set)
     case m @ MergeIntoTable(target, source, cond,
         matched, notMatched, notMatchedBySource, withSchemaEvolution)
         if m.childrenResolved && graftTarget(target).isDefined =>
@@ -144,6 +220,19 @@ final case class GraftMergeCommand(root: String, partCol: String,
     val t = GraftSqlTable.handleFor(spark, root)
     if (delete) t.commitDeleteKeysMor(src.select(col(keyCol)), keyCol)
     else t.commitMergeMor(src, partCol, keyCol)
+    Seq.empty
+  }
+}
+
+/** SQL UPDATE → the zone-map-pruned COW range update. */
+final case class GraftUpdateCommand(root: String, partCol: String,
+    c: String, lo: Long, hi: Long, set: Map[String, Expression])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlTable.handleFor(spark, root)
+    t.commitUpdateRange(partCol, c, lo, hi,
+      set.map { case (k, e) =>
+        k -> org.apache.spark.sql.graftbridge.ColumnBridge.column(e) })
     Seq.empty
   }
 }

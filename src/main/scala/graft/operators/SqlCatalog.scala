@@ -164,6 +164,38 @@ object SqlCatalog {
         "WHEN MATCHED THEN UPDATE SET * " +
         "WHEN NOT MATCHED THEN INSERT *")
       es.sql("SELECT nkey, rpart, nname FROM gqmrg.nat ORDER BY nkey")
+    },
+
+    // ---- SQL UPDATE (round 13): integer-bounded WHERE → the
+    //      zone-map-pruned COW range update (commitUpdateRange); SET
+    //      expressions reference the row's own columns. Oracle = the
+    //      same CASE over the raw table — an update leaking outside
+    //      the range, a lost non-updated column, or a double-applied
+    //      expression flips the hash.
+    QueryDef.checked(
+      "q_snapshot_sql_update",
+      """SELECT CAST(s_suppkey AS BIGINT) AS k,
+        |  CAST(s_nationkey AS VARCHAR) AS part,
+        |  CASE WHEN s_suppkey BETWEEN 10 AND 40
+        |    THEN CAST(round(s_acctbal * 100) AS BIGINT) * 2 + s_suppkey
+        |    ELSE CAST(round(s_acctbal * 100) AS BIGINT) END AS cents
+        |FROM supplier
+        |ORDER BY k""".stripMargin) { (spark, dir) =>
+      val es = extensionSession(spark)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_sqlupd_").toString
+      register(es, "gqupd", wh)
+      es.read.parquet(s"$dir/supplier.parquet")
+        .createOrReplaceTempView("supplier_upd_src")
+      es.sql("CREATE TABLE gqupd.sup " +
+        "(k BIGINT, part STRING, cents BIGINT) PARTITIONED BY (part)")
+      es.sql("INSERT INTO gqupd.sup " +
+        "SELECT CAST(s_suppkey AS BIGINT), CAST(s_nationkey AS STRING)," +
+        " CAST(round(s_acctbal * 100) AS BIGINT) FROM supplier_upd_src")
+      es.sql(
+        "UPDATE gqupd.sup SET cents = cents * 2 + k " +
+          "WHERE k >= 10 AND k <= 40")
+      es.sql("SELECT k, part, cents FROM gqupd.sup ORDER BY k")
     }
   )
 }

@@ -2609,6 +2609,48 @@ object SnapshotLog {
         s"$c in ['$lo', '$hi']")
     }
 
+    /** Copy-on-write UPDATE over a zone-map-pruned integer range:
+      * rewrite the candidate files with `set` applied to the rows
+      * whose `c ∈ [lo, hi]` (SQL `UPDATE t SET ... WHERE c BETWEEN`),
+      * everything else carried unchanged — the COW blast radius is
+      * the candidate set, exactly [[commitDeleteRange]]'s contract
+      * with a projection instead of a filter. Rows whose `c` is NULL
+      * never match (SQL semantics). `set` keys and value expressions
+      * speak LOGICAL names: victims are read through the column
+      * mapping and active DVs, updated in logical space, and
+      * [[writeTmp]] maps back to physical — so UPDATE composes with
+      * renames, widenings, defaults and MOR deletes for free.
+      * Updated rows re-validate the table's CHECK constraints. */
+    def commitUpdateRange(partCol: String, c: String, lo: Long, hi: Long,
+        set: Map[String, Column], expectedVersion: Int = -1): Int = {
+      require(set.nonEmpty, "UPDATE needs at least one assignment")
+      val v = casCheck(expectedVersion)
+      val pc = physicalAt(v - 1, c)
+      val victims = pruneFiles(v - 1, pc, lo, hi)
+      if (victims.isEmpty) { publishSegment(v, Seq.empty); return v }
+      val logical = applyMapping(v - 1, readFilesMorAt(v - 1, victims))
+      val cols = logical.columns
+      set.keys.foreach(k => require(cols.contains(k),
+        s"UPDATE SET targets unknown column $k (have: " +
+          s"${cols.mkString(", ")})"))
+      require(cols.contains(c), s"no such column in WHERE: $c")
+      val inRange = col(c).isNotNull && col(c).between(lo, hi)
+      val updated = logical.select(cols.toIndexedSeq.map(cn =>
+        set.get(cn)
+          .map(e => when(inRange, e).otherwise(col(cn)).as(cn))
+          .getOrElse(col(cn))): _*)
+      checkConstraints(updated)
+      val tmp = new Path(s"$root/_tmp_v$v-${
+        java.util.UUID.randomUUID.toString.take(8)}")
+      writeTmp(updated, partCol, tmp, v - 1)
+      val added = adopt(tmp, v)
+      fs.delete(tmp, true)
+      publishOrCleanup(v, victims.map(Entry(v, "remove", _)) ++
+        added.map(Entry(v, "add", _)) ++ statsEntries(v, added), added)
+      buildBlooms(v, added)
+      v
+    }
+
     private def replaceWhereImpl(partCol: String, df0: DataFrame,
         expectedVersion: Int, prune: Int => Seq[String],
         keep0: Int => Column, regionDesc: String): Int = {

@@ -274,6 +274,48 @@ class CatalogSqlSpec extends SparkSpec {
     }
   }
 
+  test("SQL UPDATE routes to the pruned COW range update " +
+    "(extension rule)") {
+    val old = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val es = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions().apply(_))
+      .getOrCreate()
+    try {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_sqlupd_").toString
+      es.conf.set("spark.sql.catalog.gu", "graft.catalog.GraftCatalog")
+      es.conf.set("spark.sql.catalog.gu.warehouse", wh)
+      es.sql("CREATE TABLE gu.t (k BIGINT, part STRING, v BIGINT) " +
+        "PARTITIONED BY (part)")
+      es.sql("INSERT INTO gu.t VALUES (1, 'a', 10), (2, 'a', 20), " +
+        "(3, 'b', 30)")
+      // expression referencing the row's own columns; only k in [2,3]
+      es.sql("UPDATE gu.t SET v = v * 10 + k WHERE k >= 2 AND k <= 3")
+      val rows = es.sql("SELECT k, v FROM gu.t ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == Seq((1L, 10L), (2L, 202L), (3L, 303L)),
+        s"updated state wrong: $rows")
+      // one COW commit (remove + add), time travel intact
+      val api = new SnapshotLog.Table(es, s"$wh/t")
+      assert(api.version == 2)
+      assert(es.sql("SELECT sum(v) FROM gu.t VERSION AS OF 1")
+        .head().getLong(0) == 60)
+      // unsupported shapes fail loudly, nothing changes
+      val e = intercept[Exception](es.sql("UPDATE gu.t SET v = 0"))
+      assert(e.getMessage.contains("unbounded UPDATE"),
+        s"wrong failure: ${e.getMessage.take(150)}")
+      assert(api.version == 2)
+      rm(wh)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(old)
+      org.apache.spark.sql.SparkSession.setActiveSession(old)
+    }
+  }
+
   test("SHOW TABLES and table rename through the catalog") {
     val wh = freshWarehouse()
     spark.sql("CREATE TABLE gsql.t1 (k BIGINT, part STRING) " +
