@@ -250,6 +250,40 @@ class EvolutionSpec extends SparkSpec {
     rm(root)
   }
 
+  test("UPDATE range composes with rename, widen, DEFAULT and MOR " +
+    "deletes (the commitUpdateRange claims, proven)") {
+    val root = tmp("graft_updevo_")
+    val t = new SnapshotLog.Table(spark, root)
+    t.commitAppend(narrowBatch(Seq(1, 2, 3, 4)).coalesce(1), "part") // v1
+    t.renameColumn("v", "metric")                                    // v2
+    t.widenColumn("k", "bigint")                                     // v3
+    t.addColumnDefault("score", "bigint", "7")                       // v4
+    t.commitDeleteKeysMor(Seq(3L).toDF("k"), "k")                    // v5
+    t.commitAppend(Seq((6_000_000_000L, "a", 60L, 9L))
+      .toDF("k", "part", "metric", "score").coalesce(1), "part")     // v6
+
+    // the update: victims span a narrow pre-evolution file (with a
+    // MOR-deleted row and default-filled scores) and a wide file;
+    // SET speaks the RENAMED name and reads the row's own columns
+    t.commitUpdateRange("part", "k", 2L, Long.MaxValue,
+      Map("metric" -> (col("metric") * 10 + col("score"))))          // v7
+
+    val rows = t.asOfMor(7).select("k", "metric", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set(
+      (1L, 10L, 7L),                     // below the range: untouched
+      (2L, 207L, 7L),                    // 20*10 + default 7
+      (4L, 407L, 7L),                    // 40*10 + default 7
+      (6_000_000_000L, 609L, 9L)),       // wide file: 60*10 + 9
+      s"update interplay broke: $rows")
+    // the MOR-deleted row did NOT resurrect through the rewrite
+    assert(!rows.exists(_._1 == 3L), "COW update resurrected a DV kill")
+    // time travel below the update is intact
+    assert(t.asOfMor(6).filter(col("k") === 2L).select("metric")
+      .head().getLong(0) == 20L)
+    rm(root)
+  }
+
   test("widen + DEFAULT x MOR delete: DV reads respect both") {
     val root = tmp("graft_evomor_")
     val t = new SnapshotLog.Table(spark, root)
