@@ -403,6 +403,7 @@ private[catalog] final class GraftSqlTable(tableName: String,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def toString: String = s"GraftSqlTable($tableName)"
@@ -610,6 +611,112 @@ private[catalog] final class GraftScan(table: GraftSqlTable,
         prunedFrame(context.sparkSession).queryExecution.toRdd
           .asInstanceOf[RDD[Row]]
     }.asInstanceOf[T]
+
+  /** `spark.readStream.table("catalog.t")` — the APPEND-TABLE stream
+    * (Delta's default table-streaming contract): offsets are commit
+    * versions, each micro-batch carries exactly the rows INSERTED by
+    * commits (start, end], and a window containing any non-insert
+    * change (a delete, a COW rewrite, a compaction) FAILS the stream
+    * loudly naming the CDF source as the change-consumption path — a
+    * silent skip would lose retractions, and re-emitting rewrite adds
+    * would duplicate rows (the exact caveat Delta's ignoreChanges
+    * documents; we refuse instead of footgunning). Planning and file
+    * reading are the CDF machinery verbatim; this scan only projects
+    * the feed's layout to the required table columns. */
+  override def toMicroBatchStream(ckpt: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val full = table.schema()
+    val pc = table.partColOrFail
+    val dataDdl = StructType(full.filterNot(_.name == pc)).toDDL
+    new GraftTableStream(table.rootPath, pc, dataDdl, required)
+  }
+}
+
+/** The table-stream wrapper: CDF offsets/planning/readers underneath,
+  * insert-only admission + a projection to the scan's readSchema on
+  * top. */
+private[catalog] final class GraftTableStream(root: String,
+    partCol: String, dataDdl: String, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.connector.read.InputPartition
+
+  private val inner =
+    new graft.sources.SnapshotCdfStream(root, partCol, dataDdl)
+
+  override def initialOffset(): Offset = inner.initialOffset()
+  override def latestOffset(): Offset = inner.latestOffset()
+  override def deserializeOffset(json: String): Offset =
+    inner.deserializeOffset(json)
+  override def commit(end: Offset): Unit = inner.commit(end)
+  override def stop(): Unit = inner.stop()
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val parts = inner.planInputPartitions(start, end)
+    parts.foreach {
+      case p: graft.sources.CdfPart if p.change != "insert" =>
+        throw new UnsupportedOperationException(
+          s"table stream over $root hit a '${p.change}' change at " +
+            s"version ${p.version}: readStream.table streams APPENDS " +
+            "only — consume deletes/rewrites through the CDF source " +
+            "(graft.sources.SnapshotCdfSource)")
+      case _ => ()
+    }
+    parts
+  }
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+    val spark = SparkSession.active
+    val t = GraftSqlTable.handleFor(spark, root)
+    val fileSchema = StructType.fromDDL(dataDdl)
+    val nm = t.columnMapping(t.version)._1
+    val pcPhys = nm.getOrElse(partCol, partCol)
+    // CdfReader emits (fileSchema fields..., partValue, _version,
+    // _change); project to the required table columns by position
+    val positions = required.fields.map(f =>
+      if (f.name == partCol) fileSchema.length
+      else fileSchema.fieldIndex(f.name))
+    new GraftTableStreamFactory(fileSchema, pcPhys,
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration),
+      nm, positions, required)
+  }
+}
+
+/** Top-level factory (an anonymous one would capture a
+  * non-serializable $outer chain — the CdfReaderFactory lesson). */
+private[catalog] final class GraftTableStreamFactory(
+    fileSchema: StructType, partCol: String,
+    conf: org.apache.spark.util.SerializableConfiguration,
+    nameMap: Map[String, String], positions: Array[Int],
+    required: StructType)
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  override def createReader(
+      p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read
+        .PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val innerR = new graft.sources.CdfReader(
+      p.asInstanceOf[graft.sources.CdfPart], fileSchema, partCol,
+      conf.value, nameMap)
+    new org.apache.spark.sql.connector.read
+        .PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+      override def next(): Boolean = innerR.next()
+      override def get(): org.apache.spark.sql.catalyst.InternalRow = {
+        val r = innerR.get()
+        val vals = new Array[Any](positions.length)
+        var i = 0
+        while (i < positions.length) {
+          vals(i) = r.get(positions(i), required.fields(i).dataType)
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(vals)
+      }
+      override def close(): Unit = innerR.close()
+    }
+  }
 }
 
 /** INSERT INTO → commitAppend; INSERT OVERWRITE (arrives as

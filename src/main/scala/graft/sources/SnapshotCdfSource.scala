@@ -279,7 +279,7 @@ object SnapshotCdfStream {
     * positions would double-delete), a `remove` of a DV-carrying
     * file emits only its still-live rows. Shared verbatim by the
     * streaming source's micro-batches and the bounded BATCH read. */
-  private[sources] def planWindow(table: SnapshotLog.Table, root: String,
+  private[graft] def planWindow(table: SnapshotLog.Table, root: String,
       s: Int, e: Int): Array[InputPartition] = {
     // sidecar ids are strings: `<v>` legacy, `<v>-<writer-uid>` current
     def dvPath(rel: String, id: String) = s"$root/dv/$rel.$id.dv"

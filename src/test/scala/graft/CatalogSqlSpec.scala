@@ -316,6 +316,45 @@ class CatalogSqlSpec extends SparkSpec {
     }
   }
 
+  test("readStream.table streams appends; non-insert changes fail " +
+    "loudly naming the CDF source") {
+    val wh = freshWarehouse()
+    spark.sql("CREATE TABLE gsql.st (k BIGINT, part STRING, v BIGINT) " +
+      "PARTITIONED BY (part)")
+    spark.sql("INSERT INTO gsql.st VALUES (1, 'a', 10), (2, 'b', 20)")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_sttab_ckpt_").toString
+    val q = spark.readStream.table("gsql.st")
+      .writeStream.format("memory").queryName("graft_sttab")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      // history replays as the initial batches
+      assert(spark.table("graft_sttab").count() == 2)
+      // a new commit flows incrementally
+      spark.sql("INSERT INTO gsql.st VALUES (3, 'a', 30)")
+      q.processAllAvailable()
+      val rows = spark.table("graft_sttab")
+        .select("k", "part", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set((1L, 10L), (2L, 20L), (3L, 30L))
+        .map { case (k, v) => (k, if (k == 2L) "b" else "a", v) },
+        s"streamed table rows wrong: $rows")
+      // a DELETE is a non-insert change: the stream fails LOUDLY
+      spark.sql("DELETE FROM gsql.st WHERE part = 'b'")
+      val err = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] { q.processAllAvailable() }
+      assert(err.getMessage.contains("CDF source") ||
+        Option(err.getCause).exists(_.getMessage.contains("CDF source")),
+        s"stream must name the CDF path: ${err.getMessage.take(300)}")
+    } finally {
+      if (q.isActive) q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(ckpt))
+    }
+    rm(wh)
+  }
+
   test("SHOW TABLES and table rename through the catalog") {
     val wh = freshWarehouse()
     spark.sql("CREATE TABLE gsql.t1 (k BIGINT, part STRING) " +
