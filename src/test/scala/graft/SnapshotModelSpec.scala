@@ -24,7 +24,8 @@ import graft.sources.SnapshotLog
   * column (committed INT until widened — every read casts up), and
   * DEFAULT columns (every introduced default must read 7 on every
   * row at every later version — rewrites materialize, clones carry,
-  * omitting writers get filled). */
+  * omitting writers get filled), atomic whole-table OVERWRITE, and
+  * the pruned COW range UPDATE. */
 class SnapshotModelSpec extends SparkSpec {
 
   private def runSequence(seed: Long, nOps: Int): Unit = {
@@ -66,7 +67,7 @@ class SnapshotModelSpec extends SparkSpec {
     }
 
     (1 to nOps).foreach { i =>
-      val op = rnd.nextInt(18)
+      val op = rnd.nextInt(20)
       op match {
         case 0 | 1 | 2 => // fresh-key append
           val ks = (nextKey until nextKey + 5 + rnd.nextInt(20))
@@ -139,6 +140,19 @@ class SnapshotModelSpec extends SparkSpec {
           val nn = s"v$i"
           t.renameColumn(vName, nn)
           vName = nn
+        case 18 => // atomic whole-table OVERWRITE (one version)
+          val ks = (nextKey until nextKey + 2 + rnd.nextInt(4))
+          nextKey = ks.last + 1
+          val rows = ks.map(k => k -> (k * 10 + seed))
+          t.commitOverwrite(df(rows), "part")
+          model = rows.toMap
+        case 19 => // pruned COW range UPDATE on the key
+          val lo = rnd.nextLong(math.max(1L, nextKey))
+          val hi = lo + 20
+          t.commitUpdateRange("part", "k", lo, hi,
+            Map(vName -> (col(vName) + lit(9))))
+          model = model.map { case (k, v) =>
+            k -> (if (k >= lo && k <= hi) v + 9 else v) }
         case 16 => // TYPE WIDENING of the value column (once)
           if (vType == "int" && model.nonEmpty) {
             t.widenColumn(vName, "bigint")
