@@ -392,4 +392,31 @@ class CloneSpec extends SparkSpec {
       SnapshotLog.namespaceCloneMembers(spark, torn).size == 2)
     assert(re.head.asOf(1).count() == 2)
   }
+
+  test("namespace clone carries members' evolution metadata") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.sources.SnapshotLog
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    // an EVOLVED member: narrow commit, widen, rename, default — the
+    // clone must serve the same logical view (commitCloneFrom carries
+    // colmap/widen/coldefault; this pins it THROUGH the namespace txn)
+    val src = new SnapshotLog.Table(spark, tmp("graft_nsevo_src_"))
+    src.commitAppend(Seq((1, "x", 10L)).toDF("k", "part", "v")
+      .coalesce(1), "part")
+    src.widenColumn("k", "bigint")
+    src.renameColumn("v", "metric")
+    src.addColumnDefault("score", "bigint", "7")
+    val ns = tmp("graft_nsevo_ns_")
+    val Seq(c) = SnapshotLog.cloneNamespace(spark, ns,
+      Seq(("m", src, src.version)))
+    val row = c.asOf(1).select("k", "metric", "score").head()
+    assert(c.asOf(1).schema("k").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "widening lost through the namespace clone")
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ==
+      ((1L, 10L, 7L)),
+      s"evolved member served wrong logical view: $row")
+  }
 }
