@@ -109,19 +109,26 @@ object GraftMergeRule extends Rule[LogicalPlan] {
         for { (cl, ll, hl) <- bounds(l); (cr, lr, hr) <- bounds(r)
           if cl.equalsIgnoreCase(cr) }
           yield (cl, math.max(ll, lr), math.min(hl, hr))
-      case EqualTo(a, v) =>
-        for { n <- nameOf(a); x <- longLit(v) } yield (n, x, x)
+      // the literal-side guard makes the reversed (`2 = k`) arm
+      // reachable: an unguarded first arm would swallow every EqualTo
+      case EqualTo(a, v) if longLit(v).isDefined =>
+        for { n <- nameOf(a) } yield (n, longLit(v).get, longLit(v).get)
       case EqualTo(v, a) if longLit(v).isDefined =>
-        for { n <- nameOf(a); x <- longLit(v) } yield (n, x, x)
+        for { n <- nameOf(a) } yield (n, longLit(v).get, longLit(v).get)
+      // `k > Long.MaxValue` matches nothing: +1 would WRAP to
+      // MinValue and silently update every row. An inverted range
+      // (lo > hi) is the honest encoding — the command no-ops on it.
       case GreaterThan(a, v) =>
         for { n <- nameOf(a); x <- longLit(v) }
-          yield (n, x + 1, Long.MaxValue)
+          yield if (x == Long.MaxValue) (n, 1L, 0L)
+          else (n, x + 1, Long.MaxValue)
       case GreaterThanOrEqual(a, v) =>
         for { n <- nameOf(a); x <- longLit(v) }
           yield (n, x, Long.MaxValue)
       case LessThan(a, v) =>
         for { n <- nameOf(a); x <- longLit(v) }
-          yield (n, Long.MinValue, x - 1)
+          yield if (x == Long.MinValue) (n, 1L, 0L)
+          else (n, Long.MinValue, x - 1)
       case LessThanOrEqual(a, v) =>
         for { n <- nameOf(a); x <- longLit(v) }
           yield (n, Long.MinValue, x)
@@ -217,9 +224,17 @@ final case class GraftMergeCommand(root: String, partCol: String,
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
     val src = org.apache.spark.sql.GraftBridge.ofRows(spark, source)
+      .localCheckpoint() // the uniqueness guard and the commit must
+    //                      see the SAME batch (a nondeterministic
+    //                      source re-evaluated twice could pass the
+    //                      guard and still commit duplicates)
     val t = GraftSqlTable.handleFor(spark, root)
     if (delete) t.commitDeleteKeysMor(src.select(col(keyCol)), keyCol)
-    else t.commitMergeMor(src, partCol, keyCol)
+    // guardUniqueness: SQL MERGE refuses duplicate source keys and
+    // duplicate-matched target rows (the Delta multiple-match error);
+    // the checks ride the batch and the candidate-pruned join inside
+    // the commit, never a table scan
+    else t.commitMergeMor(src, partCol, keyCol, guardUniqueness = true)
     Seq.empty
   }
 }

@@ -2470,13 +2470,25 @@ object SnapshotLog {
     }
 
     /** Metadata-only delete of one partition value: log `remove` for
-      * every live file under `partCol=value`; zero bytes move. */
+      * every live file under `partCol=value`; zero bytes move. An
+      * absent/empty partition publishes an empty segment (SQL DELETE
+      * of zero rows is a no-op, not an error — mirrors
+      * [[commitDeleteRange]]'s empty-victims contract; the version
+      * still advances as an honest audit record of the request). */
     def commitDeletePartition(partCol: String, value: String,
+        expectedVersion: Int = -1): Int =
+      commitDeletePartitions(partCol, Seq(value), expectedVersion)
+
+    /** [[commitDeletePartition]] over a value SET, as ONE commit —
+      * `DELETE FROM t WHERE part IN ('a', 'b')` must be atomic (a
+      * per-value loop could crash half-applied). */
+    def commitDeletePartitions(partCol: String, values: Seq[String],
         expectedVersion: Int = -1): Int = {
       val v = casCheck(expectedVersion)
-      val prefix = s"${physicalAt(v - 1, partCol)}=${escapePart(value)}/"
-      val victims = liveFiles(v - 1).filter(_.startsWith(prefix))
-      require(victims.nonEmpty, s"no live files under $prefix")
+      val pc = physicalAt(v - 1, partCol)
+      val prefixes = values.map(x => s"$pc=${escapePart(x)}/")
+      val victims = liveFiles(v - 1)
+        .filter(f => prefixes.exists(f.startsWith))
       publishSegment(v, victims.map(Entry(v, "remove", _)))
       v
     }
@@ -3122,21 +3134,49 @@ object SnapshotLog {
       * batch. Assumes `keyCol` unique within `source` (as
       * [[commitMerge]]). */
     def commitMergeMor(source0: DataFrame, partCol: String,
-        keyCol0: String, expectedVersion: Int = -1): Int = {
+        keyCol0: String, expectedVersion: Int = -1,
+        guardUniqueness: Boolean = false): Int = {
       val v = casCheck(expectedVersion)
       checkConstraints(source0)
       val source = toPhysical(source0, v - 1) // column mapping at the boundary
       val keyCol = physicalAt(v - 1, keyCol0)
+      if (guardUniqueness) {
+        // SQL MERGE semantics (the Delta multiple-match error):
+        // duplicate SOURCE keys would land twice as adds — refuse.
+        // One aggregation over the batch, never the table.
+        val r = source.agg(count(lit(1)),
+          countDistinct(col(keyCol))).head()
+        if (r.getLong(0) != r.getLong(1))
+          throw new UnsupportedOperationException(
+            s"MERGE source has duplicate join keys (${r.getLong(0)} " +
+              s"rows, ${r.getLong(1)} distinct $keyCol0): SQL MERGE " +
+              "forbids a target row matching multiple source rows — " +
+              "pre-collapse the source to one row per key")
+      }
       val live = liveFiles(v - 1)
       val candidates = mergeCandidates(v - 1, source, keyCol, live)
       lastMergeScan = Some((candidates.size, live.size))
       val srcKeys = source.select(col(keyCol)).distinct()
-      val matched =
+      val matchedKeyed =
         if (candidates.isEmpty) null
         else readFilesWithPos(candidates, v - 1)
           .select(col("__f"), col("__pos"), col(keyCol))
           .join(broadcast(srcKeys), Seq(keyCol))
-          .select("__f", "__pos")
+      if (guardUniqueness && matchedKeyed != null) {
+        // duplicate TARGET rows under a matched key would ALL be
+        // tombstoned and collapse to one source row — a silent
+        // cardinality change. The check rides the candidate-pruned
+        // join, not a table scan.
+        val dup = matchedKeyed.groupBy(col(keyCol)).count()
+          .filter(col("count") > 1).limit(1).collect()
+        if (dup.nonEmpty) throw new UnsupportedOperationException(
+          s"MERGE target has ${dup(0).getLong(1)} rows for matched " +
+            s"key ${dup(0).get(0)}: the MOR upsert would collapse " +
+            "them to one source row — deduplicate the target first")
+      }
+      val matched =
+        if (matchedKeyed == null) null
+        else matchedKeyed.select("__f", "__pos")
       val affected =
         if (matched == null) Seq.empty[String]
         else matched.select("__f").distinct()

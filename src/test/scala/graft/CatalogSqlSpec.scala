@@ -355,6 +355,163 @@ class CatalogSqlSpec extends SparkSpec {
     rm(wh)
   }
 
+  test("DELETE overflow bounds and absent partitions are no-ops, " +
+    "never delete-everything") {
+    val wh = freshWarehouse()
+    spark.sql("CREATE TABLE gsql.ov (k BIGINT, part STRING, v BIGINT) " +
+      "PARTITIONED BY (part)")
+    spark.sql("INSERT INTO gsql.ov VALUES (1, 'a', 10), (2, 'b', 20)")
+    val api = new SnapshotLog.Table(spark, s"$wh/ov")
+    val v1 = api.version
+    // k > Long.MaxValue matches nothing; a wrapped lo would TRUNCATE
+    spark.sql(
+      s"DELETE FROM gsql.ov WHERE k > ${Long.MaxValue}L")
+    assert(spark.sql("SELECT count(*) FROM gsql.ov").head().getLong(0)
+      == 2, "overflowed GreaterThan bound deleted rows")
+    // contradictory bounds: provably empty, no commit
+    spark.sql("DELETE FROM gsql.ov WHERE k > 5 AND k < 3")
+    assert(spark.sql("SELECT count(*) FROM gsql.ov").head().getLong(0) == 2)
+    assert(api.version == v1, "empty-range DELETE must not commit")
+    // absent partition: zero rows deleted, no error (SQL semantics)
+    spark.sql("DELETE FROM gsql.ov WHERE part = 'absent'")
+    assert(spark.sql("SELECT count(*) FROM gsql.ov").head().getLong(0) == 2)
+    rm(wh)
+  }
+
+  test("DELETE key-set shapes route to the MOR DV commit; partition " +
+    "IN to one metadata commit; planner IsNotNull tolerated") {
+    val wh = freshWarehouse()
+    spark.sql("CREATE TABLE gsql.ks (k BIGINT, part STRING, " +
+      "name STRING, v BIGINT) PARTITIONED BY (part)")
+    spark.sql("INSERT INTO gsql.ks VALUES " +
+      "(1, 'a', 'n1', 10), (2, 'a', 'n2', 20), (3, 'b', 'n3', 30), " +
+      "(4, 'b', 'n4', 40), (5, 'c', 'n5', 50)")
+    val api = new SnapshotLog.Table(spark, s"$wh/ks")
+    val filesAfterInsert = api.liveFiles(api.version).toSet
+
+    // integer IN-list -> MOR DV tombstones, zero data files written
+    spark.sql("DELETE FROM gsql.ks WHERE k IN (1, 3)")
+    assert(spark.sql("SELECT k FROM gsql.ks ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 4L, 5L))
+    assert(api.liveFiles(api.version).toSet == filesAfterInsert,
+      "key-set DELETE must be MOR (no file adds/removes)")
+    assert(api.entries.filter(_.version == api.version)
+      .exists(_.action == "dv"), "key-set DELETE must write DVs")
+
+    // string-key equality on a NON-partition column -> MOR too
+    spark.sql("DELETE FROM gsql.ks WHERE name = 'n2'")
+    assert(spark.sql("SELECT k FROM gsql.ks ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(4L, 5L))
+    assert(api.liveFiles(api.version).toSet == filesAfterInsert)
+
+    // partition IN-list -> ONE metadata-only commit
+    val vBefore = api.version
+    spark.sql("DELETE FROM gsql.ks WHERE part IN ('b', 'c')")
+    assert(api.version == vBefore + 1,
+      "partition IN must be one atomic commit")
+    assert(spark.sql("SELECT count(*) FROM gsql.ks").head().getLong(0)
+      == 0)
+    assert(api.entries.filter(_.version == api.version)
+      .forall(e => e.action == "remove" || e.action == "meta"),
+      "partition IN delete must be metadata-only")
+
+    // a bare IS NOT NULL alone is NOT a truncate — refused loudly
+    spark.sql("INSERT INTO gsql.ks VALUES (9, 'z', null, 90)")
+    assertThrows[Exception](
+      spark.sql("DELETE FROM gsql.ks WHERE name IS NOT NULL"))
+    assert(spark.sql("SELECT count(*) FROM gsql.ks").head().getLong(0)
+      == 1)
+    rm(wh)
+  }
+
+  test("MERGE refuses duplicate source keys and duplicate-matched " +
+    "target rows (SQL multiple-match semantics)") {
+    val old = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val es = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions().apply(_))
+      .getOrCreate()
+    try {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_sqlmdup_").toString
+      es.conf.set("spark.sql.catalog.gd", "graft.catalog.GraftCatalog")
+      es.conf.set("spark.sql.catalog.gd.warehouse", wh)
+      es.sql("CREATE TABLE gd.t (k BIGINT, part STRING, v BIGINT) " +
+        "PARTITIONED BY (part)")
+      es.sql("INSERT INTO gd.t VALUES (1, 'a', 10), (2, 'a', 20)")
+      import es.implicits._
+      // duplicate source keys: refused, nothing committed
+      Seq((2L, "a", 21L), (2L, "a", 22L)).toDF("k", "part", "v")
+        .createOrReplaceTempView("dupsrc")
+      val e1 = intercept[Exception](
+        es.sql("MERGE INTO gd.t USING dupsrc ON t.k = dupsrc.k " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *"))
+      assert(e1.getMessage.contains("duplicate join keys"),
+        s"wrong failure: ${e1.getMessage.take(200)}")
+      val api = new SnapshotLog.Table(es, s"$wh/t")
+      assert(api.version == 1, "refused MERGE must not commit")
+      // duplicate-matched TARGET rows: the MOR upsert would collapse
+      // them — refused
+      es.sql("INSERT INTO gd.t VALUES (2, 'a', 200)") // k=2 now twice
+      Seq((2L, "a", 999L)).toDF("k", "part", "v")
+        .createOrReplaceTempView("okSrc")
+      val e2 = intercept[Exception](
+        es.sql("MERGE INTO gd.t USING okSrc ON t.k = okSrc.k " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *"))
+      assert(e2.getMessage.contains("deduplicate the target first"),
+        s"wrong failure: ${e2.getMessage.take(200)}")
+      assert(es.sql("SELECT count(*) FROM gd.t").head().getLong(0) == 3)
+      rm(wh)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(old)
+      org.apache.spark.sql.SparkSession.setActiveSession(old)
+    }
+  }
+
+  test("identifier segments cannot escape the warehouse root") {
+    val wh = freshWarehouse()
+    // a sibling dir that a traversal would reach
+    val sibling = new java.io.File(new java.io.File(wh).getParent,
+      "graft_victim_" + System.nanoTime())
+    assert(sibling.mkdirs())
+    try {
+      val e = intercept[Exception](spark.sql(
+        s"CREATE TABLE gsql.`../${sibling.getName}` " +
+          "(k BIGINT, part STRING) PARTITIONED BY (part)"))
+      assert(e.getMessage.contains("illegal identifier segment"),
+        s"wrong failure: ${e.getMessage.take(200)}")
+      assert(sibling.exists(), "traversal reached outside the warehouse")
+      assertThrows[Exception](
+        spark.sql(s"DROP TABLE gsql.`../${sibling.getName}`"))
+      assert(sibling.exists(),
+        "DROP TABLE deleted outside the warehouse")
+    } finally {
+      sibling.delete(); rm(wh)
+    }
+  }
+
+  test("nested namespaces list recursively") {
+    val wh = freshWarehouse()
+    spark.sql("CREATE NAMESPACE gsql.a")
+    spark.sql("CREATE NAMESPACE gsql.a.b")
+    spark.sql("CREATE TABLE gsql.a.b.t (k BIGINT, part STRING) " +
+      "PARTITIONED BY (part)")
+    assert(spark.sql("SHOW NAMESPACES IN gsql").collect()
+      .map(_.getString(0)).toSet == Set("a"))
+    assert(spark.sql("SHOW NAMESPACES IN gsql.a").collect()
+      .map(_.getString(0)).toSet == Set("a.b"))
+    // the table dir is a table, not a namespace
+    assert(spark.sql("SHOW NAMESPACES IN gsql.a.b").collect().isEmpty)
+    assert(spark.sql("SHOW TABLES IN gsql.a.b").collect()
+      .map(_.getString(1)).toSet == Set("t"))
+    rm(wh)
+  }
+
   test("SHOW TABLES and table rename through the catalog") {
     val wh = freshWarehouse()
     spark.sql("CREATE TABLE gsql.t1 (k BIGINT, part STRING) " +
