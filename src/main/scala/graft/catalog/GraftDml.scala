@@ -1,6 +1,6 @@
 package graft.catalog
 
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -178,17 +178,7 @@ object GraftMergeRule extends Rule[LogicalPlan] {
         matched, notMatched, notMatchedBySource, withSchemaEvolution)
         if m.childrenResolved && graftTarget(target).isDefined =>
       val t = graftTarget(target).get
-      def unsupported(why: String): Nothing =
-        throw new UnsupportedOperationException(
-          s"graft MERGE INTO supports the canonical shapes only " +
-            s"(WHEN MATCHED THEN UPDATE SET * + WHEN NOT MATCHED THEN " +
-            s"INSERT *, or WHEN MATCHED THEN DELETE alone, single " +
-            s"same-name equality condition): $why")
-      if (withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION")
-      if (notMatchedBySource.nonEmpty)
-        unsupported("WHEN NOT MATCHED BY SOURCE")
-      val key = keyOf(cond, target, source).getOrElse(
-        unsupported(s"condition ${cond.sql}"))
+      val keyOpt = keyOf(cond, target, source)
       // both star (pre-expansion) and expanded same-name forms are the
       // canonical upsert — the rule intercepts at childrenResolved, so
       // which one arrives depends on how far ResolveReferences got
@@ -202,17 +192,107 @@ object GraftMergeRule extends Rule[LogicalPlan] {
         case InsertAction(None, ins) => sameNameAssignments(ins, source)
         case _ => false
       }
-      (matched, notMatched) match {
-        case (Seq(u), Seq(i)) if isUpdateAll(u) && isInsertAll(i) =>
-          GraftMergeCommand(t.rootPath, t.partColOrFail, key,
+      val canonical = keyOpt.isDefined && !withSchemaEvolution &&
+        notMatchedBySource.isEmpty && ((matched, notMatched) match {
+          case (Seq(u), Seq(i)) => isUpdateAll(u) && isInsertAll(i)
+          case (Seq(DeleteAction(None)), Seq()) => true
+          case _ => false
+        })
+      if (canonical) (matched, notMatched) match {
+        // the canonical upsert / pure key-delete: ONE MOR commit,
+        // no target-side read beyond the DV tombstone join
+        case (Seq(_), Seq(_)) =>
+          GraftMergeCommand(t.rootPath, t.partColOrFail, keyOpt.get,
             source, delete = false)
-        case (Seq(DeleteAction(None)), Seq()) =>
-          GraftMergeCommand(t.rootPath, t.partColOrFail, key,
+        case _ =>
+          GraftMergeCommand(t.rootPath, t.partColOrFail, keyOpt.get,
             source, delete = true)
-        case _ => unsupported(
-          s"clauses matched=$matched notMatched=$notMatched")
       }
+      // conditional clauses / partial SET lists need fully-resolved
+      // expressions (exprIds decide which SIDE each attribute binds
+      // to); leave the plan for ResolveReferences to finish — the
+      // rule re-fires on a later fixed-point iteration
+      else if (!m.resolved) m
+      else buildConditionalMerge(t, m)
   }
+  }
+
+  /** The general tri-clause MERGE — conditional WHEN clauses, partial
+    * SET lists, multi-clause priority — routed to the engine's CDC
+    * commit ([[graft.sources.SnapshotLog.Table.commitApplyChanges]]):
+    * clause predicates and assignment expressions are evaluated over
+    * the CANDIDATE-PRUNED matched rows (never a table scan), folded
+    * into one keyed change batch (op U/D), and committed with the
+    * same candidate-bounded rewrite a CDC batch gets. Refused shapes
+    * (loudly): NOT MATCHED BY SOURCE, schema evolution, reassigning
+    * the merge key (the change batch is keyed by it). */
+  private def buildConditionalMerge(t: GraftSqlTable,
+      m: MergeIntoTable): LogicalPlan = {
+    val MergeIntoTable(target, source, cond, matched, notMatched,
+      notMatchedBySource, withSchemaEvolution) = m
+    def unsupported(why: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"graft MERGE INTO supports conditional WHEN MATCHED " +
+          s"UPDATE/DELETE and WHEN NOT MATCHED INSERT clauses with a " +
+          s"single same-name equality condition: $why")
+    if (withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION")
+    if (notMatchedBySource.nonEmpty)
+      unsupported("WHEN NOT MATCHED BY SOURCE")
+    val key = keyOf(cond, target, source).getOrElse(
+      unsupported(s"condition ${cond.sql}"))
+    val sourceOut = source.outputSet
+    // rebind both sides into the joined frame's name space: source
+    // columns are renamed __s_<name> there (the two sides share
+    // column names), target columns keep their logical names
+    def rebindSided(e: Expression): Expression = e.transform {
+      case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+          Seq(if (sourceOut.contains(a)) s"__s_${a.name}" else a.name))
+    }
+    def assignsOf(as: Seq[Assignment], clause: String,
+        allowKey: Boolean): Seq[(String, Expression)] = as.flatMap {
+      case Assignment(k, v) =>
+        val kn = nameOf(k).getOrElse(
+          unsupported(s"$clause assignment key ${k.sql}"))
+        if (!allowKey && kn.equalsIgnoreCase(key)) {
+          // `SET k = s.k` (the expanded SET * form) is an identity
+          // through the join equality — drop it; anything else
+          // genuinely MOVES the merge key, which the keyed change
+          // batch cannot express (the old row's tombstone would miss)
+          if (nameOf(v).exists(_.equalsIgnoreCase(key))) None
+          else unsupported(s"$clause reassigns the merge key $key")
+        }
+        else Some(kn -> rebindSided(v))
+    }
+    val matchedClauses = matched.map {
+      case UpdateAction(c, as, _) =>
+        GraftMergeClause(c.map(rebindSided), isDelete = false,
+          assignsOf(as, "WHEN MATCHED UPDATE", allowKey = false))
+      case DeleteAction(c) =>
+        GraftMergeClause(c.map(rebindSided), isDelete = true, Seq.empty)
+      case other => unsupported(s"matched clause $other")
+    }
+    val insertClauses = notMatched.map {
+      case InsertAction(c, as) =>
+        // NOT MATCHED conditions/values see source columns only (SQL
+        // semantics — there is no matched target row)
+        GraftMergeClause(c.map(rebindSided), isDelete = false,
+          assignsOf(as, "WHEN NOT MATCHED INSERT", allowKey = true))
+      case other => unsupported(s"not-matched clause $other")
+    }
+    val pc = t.partColOrFail
+    insertClauses.foreach { c =>
+      if (!c.assignments.exists(_._1.equalsIgnoreCase(key)))
+        unsupported(s"INSERT clause must assign the merge key $key; " +
+          s"got ${c.assignments.map(_._1).mkString(", ")}")
+      if (!c.assignments.exists(_._1.equalsIgnoreCase(pc)))
+        unsupported(s"INSERT clause must assign the partition " +
+          s"column $pc (a NULL partition value has no directory); " +
+          s"got ${c.assignments.map(_._1).mkString(", ")}")
+    }
+    val targetCols = target.output.map(a => a.name -> a.dataType)
+    GraftMergeCondCommand(t.rootPath, pc, key, targetCols,
+      source, matchedClauses, insertClauses)
   }
 }
 
@@ -235,6 +315,117 @@ final case class GraftMergeCommand(root: String, partCol: String,
     // the checks ride the batch and the candidate-pruned join inside
     // the commit, never a table scan
     else t.commitMergeMor(src, partCol, keyCol, guardUniqueness = true)
+    Seq.empty
+  }
+}
+
+/** One WHEN clause of a conditional MERGE, rebound into the joined
+  * frame's name space (target columns under their logical names,
+  * source columns as `__s_<name>`). */
+final case class GraftMergeClause(condition: Option[Expression],
+    isDelete: Boolean, assignments: Seq[(String, Expression)])
+
+/** The general tri-clause MERGE, executed as ONE CDC change batch:
+  * clause predicates and assignment expressions evaluate over the
+  * candidate-pruned matched rows (zone-map + bloom candidates — never
+  * a table scan), first-match-wins per SQL, folded to a keyed (op,
+  * values) batch and committed through
+  * [[graft.sources.SnapshotLog.Table.commitApplyChanges]] — the same
+  * candidate-bounded rewrite a streaming CDC batch gets, so the cost
+  * model matches the canonical-upsert path, not a table rewrite. */
+final case class GraftMergeCondCommand(root: String, partCol: String,
+    keyCol: String,
+    targetCols: Seq[(String, org.apache.spark.sql.types.DataType)],
+    source: LogicalPlan, matchedClauses: Seq[GraftMergeClause],
+    insertClauses: Seq[GraftMergeClause])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{broadcast, count, countDistinct, lit, when}
+    val t = GraftSqlTable.handleFor(spark, root)
+    val src0 = org.apache.spark.sql.GraftBridge.ofRows(spark, source)
+      .localCheckpoint() // guards and commit must see the same batch
+    val u = src0.agg(count(lit(1)), countDistinct(col(keyCol))).head()
+    if (u.getLong(0) != u.getLong(1))
+      throw new UnsupportedOperationException(
+        s"MERGE source has duplicate join keys (${u.getLong(0)} rows, " +
+          s"${u.getLong(1)} distinct $keyCol): SQL MERGE forbids a " +
+          "target row matching multiple source rows")
+    val sRenamed = src0.select(src0.columns.toIndexedSeq
+      .map(c => col(c).as(s"__s_$c")): _*)
+    val tgtEmpty = t.version == 0 || t.liveFiles(t.version).isEmpty
+    val tgt =
+      if (tgtEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType(targetCols.map {
+          case (n, d) => org.apache.spark.sql.types.StructField(n, d) }))
+      else t.scanMergeCandidates(src0.select(col(keyCol)), keyCol)
+    val joined = tgt.join(broadcast(sRenamed),
+      col(keyCol) === col(s"__s_$keyCol"), "inner")
+    val dup = joined.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).limit(1).collect()
+    if (dup.nonEmpty) throw new UnsupportedOperationException(
+      s"MERGE target has ${dup(0).getLong(1)} rows for matched key " +
+        s"${dup(0).get(0)}: deduplicate the target first")
+
+    def cc(e: Expression): Column =
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+    // first-match-wins: one shared when-chain shape drives both the
+    // op tag and every column's value, so a row can never take
+    // clause A's op with clause B's values
+    def chain(clauses: Seq[GraftMergeClause],
+        pick: GraftMergeClause => Column, fallback: Column): Column =
+      clauses match {
+        case Seq() => fallback
+        case head +: tail =>
+          tail.foldLeft(when(
+            head.condition.map(cc).getOrElse(lit(true)), pick(head))) {
+            (acc, cl) => acc.when(
+              cl.condition.map(cc).getOrElse(lit(true)), pick(cl))
+          }.otherwise(fallback)
+      }
+    def valueOf(cl: GraftMergeClause, c: String, fallback: Column)
+        : Column =
+      if (cl.isDelete) fallback
+      else cl.assignments.find(_._1.equalsIgnoreCase(c))
+        .map(p => cc(p._2)).getOrElse(fallback)
+
+    val nullStr = lit(null).cast("string")
+    val matchedChanges =
+      if (matchedClauses.isEmpty) None
+      else Some(joined.select((targetCols.map { case (c, dt) =>
+        chain(matchedClauses, valueOf(_, c, col(c)), col(c))
+          .cast(dt).as(c)
+      } :+ chain(matchedClauses,
+        cl => lit(if (cl.isDelete) "D" else "U"), nullStr).as("__op"))
+        : _*)
+        .filter(col("__op").isNotNull))
+    val insertChanges =
+      if (insertClauses.isEmpty) None
+      else Some(sRenamed.join(tgt.select(col(keyCol)),
+        col(s"__s_$keyCol") === col(keyCol), "left_anti")
+        .select((targetCols.map { case (c, dt) =>
+          val nullOf = lit(null).cast(dt)
+          chain(insertClauses, valueOf(_, c, nullOf), nullOf)
+            .cast(dt).as(c)
+        } :+ chain(insertClauses, _ => lit("U"), nullStr).as("__op"))
+          : _*)
+        .filter(col("__op").isNotNull))
+    val changes = (matchedChanges, insertChanges) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => return Seq.empty // no clauses: no-op
+    }
+    val batch = changes.localCheckpoint()
+    val nullPart = batch.filter(col("__op") =!= "D" &&
+      col(partCol).isNull).limit(1).count()
+    if (nullPart > 0) throw new IllegalArgumentException(
+      s"MERGE produced a row with NULL partition column $partCol — " +
+        "a NULL partition value has no directory; fix the INSERT/SET " +
+        "expressions")
+    t.commitApplyChanges(batch, partCol, keyCol)
     Seq.empty
   }
 }

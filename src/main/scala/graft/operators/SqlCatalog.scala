@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /** The SQL-catalog seam, oracle-checked: snapshot tables addressed
   * through the DSv2 [[graft.catalog.GraftCatalog]] (`SELECT …
@@ -164,6 +165,156 @@ object SqlCatalog {
         "WHEN MATCHED THEN UPDATE SET * " +
         "WHEN NOT MATCHED THEN INSERT *")
       es.sql("SELECT nkey, rpart, nname FROM gqmrg.nat ORDER BY nkey")
+    },
+
+    // ---- conditional MERGE (round 14): tri-clause first-match-wins
+    //      semantics — conditional DELETE, conditional partial-SET
+    //      UPDATE with BOTH-side references (t.cents + src.delta),
+    //      conditional INSERT — routed through GraftMergeRule to ONE
+    //      commitApplyChanges CDC commit over candidate-pruned files.
+    //      The oracle reconstructs the post-merge state by predicate
+    //      algebra: a misrouted clause, a row updated by the wrong
+    //      clause, an unfired-clause row touched, a dropped-clause row
+    //      inserted, or a double-applied delta flips the hash.
+    QueryDef.checked(
+      "q_snapshot_sql_merge_cond",
+      """WITH base AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS k,
+        |    CAST(s_nationkey AS VARCHAR) AS part, s_name AS name,
+        |    CAST(round(s_acctbal * 100) AS BIGINT) AS cents
+        |  FROM supplier
+        |), kept AS (
+        |  SELECT k, part, name,
+        |    CASE WHEN k % 7 = 0 THEN cents + k * 3 ELSE cents END
+        |      AS cents,
+        |    CASE WHEN k % 7 = 0 THEN 'updated' ELSE 'base' END
+        |      AS status
+        |  FROM base WHERE k % 11 <> 0
+        |), ins AS (
+        |  SELECT k + 10000 AS k, part, 'new' AS name, k AS cents,
+        |    'inserted' AS status
+        |  FROM base WHERE k % 13 = 0
+        |)
+        |SELECT k, part, name, cents, status FROM kept
+        |UNION ALL SELECT k, part, name, cents, status FROM ins
+        |ORDER BY k""".stripMargin) { (spark, dir) =>
+      val es = extensionSession(spark)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_sqlmc_").toString
+      register(es, "gqmc", wh)
+      es.read.parquet(s"$dir/supplier.parquet")
+        .createOrReplaceTempView("supplier_mc_src")
+      es.sql("CREATE TABLE gqmc.sup (k BIGINT, part STRING, " +
+        "name STRING, cents BIGINT, status STRING) PARTITIONED BY (part)")
+      es.sql("INSERT INTO gqmc.sup SELECT CAST(s_suppkey AS BIGINT), " +
+        "CAST(s_nationkey AS STRING), s_name, " +
+        "CAST(round(s_acctbal * 100) AS BIGINT), 'base' " +
+        "FROM supplier_mc_src")
+      es.sql("""SELECT CAST(s_suppkey AS BIGINT) AS k,
+        |  CAST(s_nationkey AS STRING) AS part,
+        |  CAST(s_suppkey * 3 AS BIGINT) AS delta, 'D' AS op
+        |FROM supplier_mc_src WHERE s_suppkey % 11 = 0
+        |UNION ALL
+        |SELECT CAST(s_suppkey AS BIGINT),
+        |  CAST(s_nationkey AS STRING),
+        |  CAST(s_suppkey * 3 AS BIGINT), 'U'
+        |FROM supplier_mc_src
+        |WHERE s_suppkey % 11 <> 0 AND s_suppkey % 7 = 0
+        |UNION ALL
+        |SELECT CAST(s_suppkey AS BIGINT),
+        |  CAST(s_nationkey AS STRING),
+        |  CAST(0 AS BIGINT), 'N'
+        |FROM supplier_mc_src
+        |WHERE s_suppkey % 11 <> 0 AND s_suppkey % 7 <> 0
+        |  AND s_suppkey % 5 = 0
+        |UNION ALL
+        |SELECT CAST(s_suppkey + 10000 AS BIGINT),
+        |  CAST(s_nationkey AS STRING),
+        |  CAST(s_suppkey AS BIGINT), 'I'
+        |FROM supplier_mc_src WHERE s_suppkey % 13 = 0
+        |UNION ALL
+        |SELECT CAST(s_suppkey + 20000 AS BIGINT),
+        |  CAST(s_nationkey AS STRING),
+        |  CAST(s_suppkey AS BIGINT), 'X'
+        |FROM supplier_mc_src WHERE s_suppkey % 13 = 0""".stripMargin)
+        .createOrReplaceTempView("mc_batch")
+      es.sql("""MERGE INTO gqmc.sup USING mc_batch
+        |ON sup.k = mc_batch.k
+        |WHEN MATCHED AND mc_batch.op = 'D' THEN DELETE
+        |WHEN MATCHED AND mc_batch.op = 'U' THEN
+        |  UPDATE SET cents = sup.cents + mc_batch.delta,
+        |    status = 'updated'
+        |WHEN NOT MATCHED AND mc_batch.op = 'I' THEN
+        |  INSERT (k, part, name, cents, status)
+        |  VALUES (mc_batch.k, mc_batch.part, 'new', mc_batch.delta,
+        |    'inserted')""".stripMargin)
+      // routing proof: the target side was candidate-pruned, not
+      // scanned (the CDC commit's instrumentation), and the whole
+      // merge is ONE commit on top of the staging insert
+      val t = graft.catalog.GraftSqlTable.handleFor(es, s"$wh/sup")
+      require(t.lastMergeScan.isDefined,
+        "conditional MERGE bypassed the candidate prune")
+      require(t.version == 2,
+        s"conditional MERGE must be ONE commit, table at v${t.version}")
+      val out = es.sql("SELECT k, part, name, cents, status " +
+        "FROM gqmc.sup ORDER BY k").localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(wh))
+      out
+    },
+
+    // ---- SQL key-set DELETE (round 14): `WHERE k IN (…)` and
+    //      `WHERE name = 'str'` route to the deletion-vector MOR
+    //      commit — zero data files written, zone-map + bloom-pruned
+    //      candidates, O(victims) bytes (the round-13 verdict's top
+    //      remainder). In-query requires pin the ROUTING (DV entries,
+    //      no adds, live file set unchanged); the oracle recomputes
+    //      the survivor set relationally, so a resurrected victim, a
+    //      lost survivor, or an over-wide tombstone flips the hash.
+    QueryDef.checked(
+      "q_snapshot_sql_delete_keys",
+      """SELECT CAST(c_custkey AS BIGINT) AS k,
+        |  c_mktsegment AS part, c_name AS name,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |FROM customer
+        |WHERE c_custkey % 97 <> 0 AND c_name <> 'Customer#000000003'
+        |ORDER BY k""".stripMargin) { (spark, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_sqldelk_").toString
+      register(spark, "gqdelk", wh)
+      val src = spark.read.parquet(s"$dir/customer.parquet")
+      src.createOrReplaceTempView("cust_delk_src")
+      spark.sql("CREATE TABLE gqdelk.cust (k BIGINT, part STRING, " +
+        "name STRING, cents BIGINT) PARTITIONED BY (part)")
+      spark.sql("INSERT INTO gqdelk.cust SELECT " +
+        "CAST(c_custkey AS BIGINT), c_mktsegment, c_name, " +
+        "CAST(round(c_acctbal * 100) AS BIGINT) FROM cust_delk_src")
+      // the key set: every 97th customer — SF-independent predicate,
+      // literal IN-list in the statement (bounded: corpus/97 keys)
+      val keys = src.filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey").cast("long")).collect()
+        .map(_.getLong(0)).sorted
+      val t = graft.catalog.GraftSqlTable.handleFor(spark, s"$wh/cust")
+      val filesBefore = t.liveFiles(t.version).toSet
+      spark.sql(s"DELETE FROM gqdelk.cust WHERE k IN " +
+        s"(${keys.mkString(", ")})")
+      // routing proof: deletion vectors, not a rewrite
+      require(t.liveFiles(t.version).toSet == filesBefore,
+        "key-set DELETE rewrote data files (must be MOR DVs)")
+      require(t.entries.filter(_.version == t.version)
+        .exists(_.action == "dv"),
+        "key-set DELETE wrote no deletion vectors")
+      // string-key equality on a non-partition column: same MOR path
+      spark.sql("DELETE FROM gqdelk.cust " +
+        "WHERE name = 'Customer#000000003'")
+      require(t.liveFiles(t.version).toSet == filesBefore,
+        "string-key DELETE rewrote data files (must be MOR DVs)")
+      val out = spark.sql(
+        "SELECT k, part, name, cents FROM gqdelk.cust ORDER BY k")
+        .localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(wh))
+      out
     },
 
     // ---- SQL UPDATE (round 13): integer-bounded WHERE → the

@@ -2881,6 +2881,29 @@ object SnapshotLog {
       * files) + add(survivors + upserts). Assumes keys are unique
       * within `changes` (pre-collapse a multi-change batch to its last
       * state per key first — the caller owns change ordering). */
+    /** Logical-name MOR rows of exactly the files that COULD contain
+      * `keys` (the same zone-map + bloom candidate set every merge
+      * commit prunes with) — the bounded target-side read a
+      * conditional MERGE needs to evaluate its clause predicates and
+      * partial-SET expressions against matched row values. Candidate
+      * files are a superset of files holding matches, so an inner
+      * join on the key finds every match and an anti join proves
+      * non-matches — without ever scanning the table. */
+    def scanMergeCandidates(keys0: DataFrame, keyCol0: String)
+        : DataFrame = {
+      val v = version
+      require(v > 0 && liveFiles(v).nonEmpty,
+        s"scanMergeCandidates on empty table $root — callers handle " +
+          "the empty-target case themselves (everything is unmatched)")
+      val keys = toPhysical(keys0, v)
+      val keyCol = physicalAt(v, keyCol0)
+      val live = liveFiles(v)
+      val candidates = mergeCandidates(v, keys, keyCol, live)
+      lastMergeScan = Some((candidates.size, live.size))
+      if (candidates.isEmpty) asOfMor(v).limit(0)
+      else applyMapping(v, readFilesMorAt(v, candidates))
+    }
+
     def commitApplyChanges(changes: DataFrame, partCol: String,
         keyCol: String, opCol: String = "__op",
         expectedVersion: Int = -1): Int =

@@ -262,11 +262,98 @@ class CatalogSqlSpec extends SparkSpec {
       // unsupported shapes fail loudly, nothing changes
       val e = intercept[Exception](
         es.sql("MERGE INTO gm.t USING src ON t.k = src.k " +
-          "WHEN MATCHED AND src.v > 100 THEN UPDATE SET * " +
-          "WHEN NOT MATCHED THEN INSERT *"))
-      assert(e.getMessage.contains("canonical shapes"),
-        s"wrong failure: ${e.getMessage.take(200)}")
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED BY SOURCE THEN DELETE"))
+      assert(e.getMessage.contains("NOT MATCHED BY SOURCE"),
+        s"wrong failure: ${e.getMessage.take(300)}")
       assert(es.sql("SELECT count(*) FROM gm.t").head().getLong(0) == 2)
+      rm(wh)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(old)
+      org.apache.spark.sql.SparkSession.setActiveSession(old)
+    }
+  }
+
+  test("conditional MERGE clauses and partial SET route to the CDC " +
+    "commit (first-match-wins, candidate-pruned)") {
+    val old = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val es = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions().apply(_))
+      .getOrCreate()
+    try {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_sqlmc_").toString
+      es.conf.set("spark.sql.catalog.gc", "graft.catalog.GraftCatalog")
+      es.conf.set("spark.sql.catalog.gc.warehouse", wh)
+      es.sql("CREATE TABLE gc.t (k BIGINT, part STRING, v BIGINT, " +
+        "status STRING) PARTITIONED BY (part)")
+      es.sql("INSERT INTO gc.t VALUES (1, 'a', 10, 'live'), " +
+        "(2, 'a', 20, 'live'), (3, 'b', 30, 'live'), (4, 'b', 40, 'live')")
+      import es.implicits._
+      Seq((2L, "a", 200L, "U"), (3L, "b", 0L, "D"),
+        (4L, "b", 999L, "N"), (5L, "c", 50L, "I"), (6L, "c", 60L, "X"))
+        .toDF("k", "part", "v", "op").createOrReplaceTempView("csrc")
+      // - matched op=D  -> DELETE            (k=3)
+      // - matched op=U  -> partial SET with BOTH-side refs (k=2)
+      // - matched, no clause fires -> row untouched (k=4)
+      // - not matched op=I -> conditional INSERT (k=5)
+      // - not matched, no clause fires -> dropped (k=6)
+      es.sql("""MERGE INTO gc.t USING csrc ON t.k = csrc.k
+        |WHEN MATCHED AND csrc.op = 'D' THEN DELETE
+        |WHEN MATCHED AND csrc.op = 'U' THEN
+        |  UPDATE SET v = csrc.v + t.v, status = 'updated'
+        |WHEN NOT MATCHED AND csrc.op = 'I' THEN
+        |  INSERT (k, part, v, status)
+        |  VALUES (csrc.k, csrc.part, csrc.v, 'inserted')
+        |""".stripMargin)
+      val rows = es.sql(
+        "SELECT k, part, v, status FROM gc.t ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3))).toSeq
+      assert(rows == Seq(
+        (1L, "a", 10L, "live"),      // untouched (not in source)
+        (2L, "a", 220L, "updated"),  // partial SET: part untouched
+        (4L, "b", 40L, "live"),      // matched, no clause fired
+        (5L, "c", 50L, "inserted")), // conditional insert; k=6 dropped
+        s"conditional merge state wrong: $rows")
+      // ONE commit, candidate-pruned (the CDC apply), time travel
+      val api = new SnapshotLog.Table(es, s"$wh/t")
+      assert(api.version == 2,
+        s"CREATE+INSERT+MERGE = 2 commits, got ${api.version}")
+      assert(es.sql("SELECT count(*) FROM gc.t VERSION AS OF 1")
+        .head().getLong(0) == 4)
+      assert(graft.catalog.GraftSqlTable.handleFor(es, s"$wh/t")
+        .lastMergeScan.isDefined,
+        "conditional MERGE must read through the candidate prune")
+
+      // duplicate source keys still refused in the conditional path
+      Seq((2L, "a", 1L, "U"), (2L, "a", 2L, "U"))
+        .toDF("k", "part", "v", "op").createOrReplaceTempView("cdup")
+      val e = intercept[Exception](
+        es.sql("MERGE INTO gc.t USING cdup ON t.k = cdup.k " +
+          "WHEN MATCHED AND cdup.op = 'U' THEN UPDATE SET v = cdup.v"))
+      assert(e.getMessage.contains("duplicate join keys"),
+        s"wrong failure: ${e.getMessage.take(200)}")
+      // moving the merge key is refused loudly
+      val e2 = intercept[Exception](
+        es.sql("MERGE INTO gc.t USING csrc ON t.k = csrc.k " +
+          "WHEN MATCHED AND csrc.op = 'U' THEN UPDATE SET k = csrc.k + 1"))
+      assert(e2.getMessage.contains("reassigns the merge key"),
+        s"wrong failure: ${e2.getMessage.take(300)}")
+      // conditional SET * (expanded by the analyzer) works: the
+      // identity k = src.k assignment is dropped, not refused
+      Seq((4L, "b", 999L, "bumped"))
+        .toDF("k", "part", "v", "status")
+        .createOrReplaceTempView("cstar")
+      es.sql("MERGE INTO gc.t USING cstar ON t.k = cstar.k " +
+        "WHEN MATCHED AND cstar.v > 100 THEN UPDATE SET *")
+      assert(es.sql("SELECT v, status FROM gc.t WHERE k = 4").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((999L, "bumped")))
       rm(wh)
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(old)
