@@ -94,8 +94,16 @@ object GraftMergeRule extends Rule[LogicalPlan] {
     // literals arrive Cast-wrapped (`k >= 2` resolves as
     // `k >= CAST(2 AS BIGINT)`): any foldable integer-family
     // expression is a literal for our purposes
-    def longLit(e: Expression): Option[Long] =
-      if (!e.foldable) None
+    def longLit(e: Expression): Option[Long] = {
+      // dataType gate, not eval-class gate: a DATE literal evals to
+      // an epoch-day Integer and would silently hijack the integer
+      // route (whose row predicate then compares DATE with BIGINT)
+      import org.apache.spark.sql.types._
+      val intFamily = e.dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+      if (!e.foldable || !intFamily) None
       else e.eval() match {
         case l: java.lang.Long => Some(l)
         case i: Integer => Some(i.longValue)
@@ -103,8 +111,12 @@ object GraftMergeRule extends Rule[LogicalPlan] {
         case b: java.lang.Byte => Some(b.longValue)
         case _ => None
       }
+    }
     import org.apache.spark.sql.catalyst.expressions._
     def bounds(e: Expression): Option[(String, Long, Long)] = e match {
+      case Between(input, lower, upper, _) =>
+        bounds(And(GreaterThanOrEqual(input, lower),
+          LessThanOrEqual(input, upper)))
       case And(l, r) =>
         for { (cl, ll, hl) <- bounds(l); (cr, lr, hr) <- bounds(r)
           if cl.equalsIgnoreCase(cr) }
@@ -137,15 +149,89 @@ object GraftMergeRule extends Rule[LogicalPlan] {
     bounds(cond)
   }
 
+  /** Bounds extractor for STRING- and DATE-keyed UPDATE ranges:
+    * a conjunction of comparisons between ONE column and same-type
+    * foldable literals → (kind, column, lo, hi) with INCLUSIVE prune
+    * bounds (strictness lives in the row predicate — the statement's
+    * own WHERE rides along to the commit, so `< 'm'` prunes with
+    * hi='m' but updates only rows genuinely below it). Dates are
+    * carried as epoch-day ints (the zone-map convention). Both bounds
+    * are required — that is what makes the shape zone-map-prunable. */
+  private def typedRangeOf(cond: Expression)
+      : Option[(String, String, String, String)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{DateType, StringType}
+    def litOf(e: Expression): Option[(String, String)] =
+      if (!e.foldable) None
+      else e.dataType match {
+        case StringType => Option(e.eval()).map(v => ("str", v.toString))
+        case DateType => Option(e.eval()).map(v => ("date", v.toString))
+        case _ => None
+      }
+    def cmp(kind: String, x: String, y: String): Int =
+      if (kind == "date") x.toInt.compare(y.toInt) else x.compare(y)
+    case class B(c: String, kind: String,
+        lo: Option[String], hi: Option[String])
+    def merge(a: B, b: B): Option[B] =
+      if (!a.c.equalsIgnoreCase(b.c) || a.kind != b.kind) None
+      else Some(B(a.c, a.kind,
+        (a.lo ++ b.lo).reduceOption((x, y) =>
+          if (cmp(a.kind, x, y) >= 0) x else y),
+        (a.hi ++ b.hi).reduceOption((x, y) =>
+          if (cmp(a.kind, x, y) <= 0) x else y)))
+    def mk(a: Expression, v: Expression,
+        asLo: Boolean, asHi: Boolean): Option[B] =
+      for { n <- nameOf(a); (k, x) <- litOf(v) }
+        yield B(n, k, if (asLo) Some(x) else None,
+          if (asHi) Some(x) else None)
+    def walk(e: Expression): Option[B] = e match {
+      case And(l, r) =>
+        for { a <- walk(l); b <- walk(r); m <- merge(a, b) } yield m
+      // BETWEEN survives analysis as the RuntimeReplaceable node —
+      // desugar it here exactly as its replacement would
+      case Between(input, lower, upper, _) =>
+        walk(And(GreaterThanOrEqual(input, lower),
+          LessThanOrEqual(input, upper)))
+      case EqualTo(a, v) if litOf(v).isDefined =>
+        mk(a, v, asLo = true, asHi = true)
+      case EqualTo(v, a) if litOf(v).isDefined =>
+        mk(a, v, asLo = true, asHi = true)
+      case GreaterThan(a, v) => mk(a, v, asLo = true, asHi = false)
+      case GreaterThanOrEqual(a, v) => mk(a, v, asLo = true, asHi = false)
+      case LessThan(a, v) => mk(a, v, asLo = false, asHi = true)
+      case LessThanOrEqual(a, v) => mk(a, v, asLo = false, asHi = true)
+      case _ => None
+    }
+    walk(cond).collect {
+      case B(c, k, Some(lo), Some(hi)) => (k, c, lo, hi)
+    }
+  }
+
+  /** BETWEEN survives analysis as a RuntimeReplaceable whose
+    * replacement carries a `With` common-expression node — it cannot
+    * be rebound (copying `With` calls dataType on the new unresolved
+    * child). Desugar to plain >= AND <= from the ORIGINAL operands
+    * before any rebinding. */
+  private def deBetween(e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      And, Between, GreaterThanOrEqual, LessThanOrEqual}
+    e.transformUp {
+      case Between(input, lower, upper, _) =>
+        And(GreaterThanOrEqual(input, lower),
+          LessThanOrEqual(input, upper))
+    }
+  }
+
   /** Rebind a SQL assignment value to the logical-name space the
     * update primitive evaluates in: resolved attribute references
     * become name-based unresolved ones, re-resolved against the
     * victims' frame at commit time. */
-  private def rebind(e: Expression): Expression = e.transform {
-    case a: AttributeReference =>
-      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
-        Seq(a.name))
-  }
+  private def rebind(e: Expression): Expression =
+    deBetween(e).transform {
+      case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+          Seq(a.name))
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (debug) plan.foreach {
@@ -162,18 +248,28 @@ object GraftMergeRule extends Rule[LogicalPlan] {
       def unsupported(why: String): Nothing =
         throw new UnsupportedOperationException(
           s"graft UPDATE supports `SET col = expr` with a WHERE of " +
-            s"integer bounds on one column (the zone-map-pruned COW " +
-            s"shape): $why")
+            s"integer, string, or date bounds on one column (the " +
+            s"zone-map-pruned COW shape): $why")
       val cond = condition.getOrElse(unsupported(
         "an unbounded UPDATE rewrites the whole table — bound it, " +
           "or use INSERT OVERWRITE deliberately"))
-      val (c, lo, hi) = rangeOf(cond).getOrElse(
-        unsupported(s"condition ${cond.sql}"))
       val set = assignments.map { case Assignment(k, v) =>
         nameOf(k).getOrElse(unsupported(s"assignment key ${k.sql}")) ->
           rebind(v)
       }.toMap
-      GraftUpdateCommand(t.rootPath, t.partColOrFail, c, lo, hi, set)
+      rangeOf(cond) match {
+        case Some((c, lo, hi)) =>
+          GraftUpdateCommand(t.rootPath, t.partColOrFail, c, lo, hi, set)
+        case None => typedRangeOf(cond) match {
+          case Some(("str", c, lo, hi)) =>
+            GraftUpdateStrCommand(t.rootPath, t.partColOrFail, c,
+              lo, hi, set, GraftExpr(rebind(cond)))
+          case Some(("date", c, lo, hi)) =>
+            GraftUpdateDateCommand(t.rootPath, t.partColOrFail, c,
+              lo.toInt, hi.toInt, set, GraftExpr(rebind(cond)))
+          case _ => unsupported(s"condition ${cond.sql}")
+        }
+      }
     case m @ MergeIntoTable(target, source, cond,
         matched, notMatched, notMatchedBySource, withSchemaEvolution)
         if m.childrenResolved && graftTarget(target).isDefined =>
@@ -244,11 +340,12 @@ object GraftMergeRule extends Rule[LogicalPlan] {
     // rebind both sides into the joined frame's name space: source
     // columns are renamed __s_<name> there (the two sides share
     // column names), target columns keep their logical names
-    def rebindSided(e: Expression): Expression = e.transform {
-      case a: AttributeReference =>
-        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
-          Seq(if (sourceOut.contains(a)) s"__s_${a.name}" else a.name))
-    }
+    def rebindSided(e: Expression): Expression =
+      deBetween(e).transform {
+        case a: AttributeReference =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+            Seq(if (sourceOut.contains(a)) s"__s_${a.name}" else a.name))
+      }
     def assignsOf(as: Seq[Assignment], clause: String,
         allowKey: Boolean): Seq[(String, Expression)] = as.flatMap {
       case Assignment(k, v) =>
@@ -439,6 +536,45 @@ final case class GraftUpdateCommand(root: String, partCol: String,
     t.commitUpdateRange(partCol, c, lo, hi,
       set.map { case (k, e) =>
         k -> org.apache.spark.sql.graftbridge.ColumnBridge.column(e) })
+    Seq.empty
+  }
+}
+
+/** Opaque expression holder: a LeafRunnableCommand field of type
+  * Expression is collected by TreeNode.expressions and re-checked by
+  * CheckAnalysis — but the rebound name-space expressions here are
+  * DELIBERATELY unresolved until they meet the victims' frame at
+  * commit time (the GraftUpdateCommand Map escapes that walk the
+  * same way). */
+final case class GraftExpr(e: Expression)
+
+/** SQL UPDATE with STRING bounds → the string-zone-map-pruned COW;
+  * the statement's own WHERE rides along as the exact row predicate
+  * (prune bounds are inclusive-widened, strictness must not leak). */
+final case class GraftUpdateStrCommand(root: String, partCol: String,
+    c: String, lo: String, hi: String, set: Map[String, Expression],
+    cond: GraftExpr) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlTable.handleFor(spark, root)
+    t.commitUpdateRangeStr(partCol, c, lo, hi,
+      set.map { case (k, e) =>
+        k -> org.apache.spark.sql.graftbridge.ColumnBridge.column(e) },
+      Some(org.apache.spark.sql.graftbridge.ColumnBridge.column(cond.e)))
+    Seq.empty
+  }
+}
+
+/** SQL UPDATE with DATE bounds → epoch-day zone maps prune, the
+  * statement's WHERE is the row predicate. */
+final case class GraftUpdateDateCommand(root: String, partCol: String,
+    c: String, loDays: Int, hiDays: Int, set: Map[String, Expression],
+    cond: GraftExpr) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlTable.handleFor(spark, root)
+    t.commitUpdateRangeDate(partCol, c, loDays, hiDays,
+      set.map { case (k, e) =>
+        k -> org.apache.spark.sql.graftbridge.ColumnBridge.column(e) },
+      Some(org.apache.spark.sql.graftbridge.ColumnBridge.column(cond.e)))
     Seq.empty
   }
 }

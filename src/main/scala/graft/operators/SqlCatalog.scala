@@ -167,6 +167,60 @@ object SqlCatalog {
       es.sql("SELECT nkey, rpart, nname FROM gqmrg.nat ORDER BY nkey")
     },
 
+    // ---- typed UPDATE bounds (round 14): STRING and DATE WHERE
+    //      ranges route to the typed zone-map prunes (string zone
+    //      maps / epoch-day-widened date stats) with the statement's
+    //      own WHERE as the row predicate — strict bounds must not
+    //      leak into the inclusive prune. Two sequential UPDATEs
+    //      compose; the oracle recomputes both with CASE algebra, so
+    //      a row updated outside the bound, missed inside it, or
+    //      double-applied flips the hash.
+    QueryDef.checked(
+      "q_snapshot_sql_update_str",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS part,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(o_orderdate AS DATE) AS d,
+        |    o_orderpriority AS pri
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |)
+        |SELECT k, part,
+        |  CAST(CASE WHEN pri >= '1' AND pri < '3'
+        |    THEN (cents + CASE WHEN d BETWEEN DATE '1995-01-01'
+        |      AND DATE '1995-12-31' THEN 7 ELSE 0 END) * 2
+        |    ELSE cents + CASE WHEN d BETWEEN DATE '1995-01-01'
+        |      AND DATE '1995-12-31' THEN 7 ELSE 0 END
+        |  END AS BIGINT) AS cents
+        |FROM base ORDER BY k""".stripMargin) { (spark, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_squpds_").toString
+      register(spark, "gqus", wh)
+      spark.read.parquet(s"$dir/orders.parquet")
+        .createOrReplaceTempView("orders_us_src")
+      spark.sql("CREATE TABLE gqus.ord (k BIGINT, part STRING, " +
+        "d DATE, pri STRING, cents BIGINT) PARTITIONED BY (part)")
+      spark.sql("INSERT INTO gqus.ord SELECT o_orderkey, " +
+        "o_orderstatus, CAST(o_orderdate AS DATE), o_orderpriority, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) " +
+        "FROM orders_us_src WHERE o_orderkey % 7 = 0")
+      // UPDATE routing needs the GraftExtensions rule
+      val es = extensionSession(spark)
+      register(es, "gqus", wh)
+      es.sql("UPDATE gqus.ord SET cents = cents + 7 WHERE d BETWEEN " +
+        "DATE '1995-01-01' AND DATE '1995-12-31'")
+      es.sql("UPDATE gqus.ord SET cents = cents * 2 " +
+        "WHERE pri >= '1' AND pri < '3'")
+      val t = graft.catalog.GraftSqlTable.handleFor(spark, s"$wh/ord")
+      require(t.version == 3,
+        s"INSERT + 2 typed UPDATEs = 3 commits, got v${t.version}")
+      val out = spark.sql(
+        "SELECT k, part, cents FROM gqus.ord ORDER BY k")
+        .localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(wh))
+      out
+    },
+
     // ---- conditional MERGE (round 14): tri-clause first-match-wins
     //      semantics — conditional DELETE, conditional partial-SET
     //      UPDATE with BOTH-side references (t.cents + src.delta),

@@ -2634,11 +2634,47 @@ object SnapshotLog {
       * renames, widenings, defaults and MOR deletes for free.
       * Updated rows re-validate the table's CHECK constraints. */
     def commitUpdateRange(partCol: String, c: String, lo: Long, hi: Long,
-        set: Map[String, Column], expectedVersion: Int = -1): Int = {
+        set: Map[String, Column], expectedVersion: Int = -1): Int =
+      updateRangeImpl(partCol, c, set, expectedVersion,
+        v => pruneFiles(v, physicalAt(v, c), lo, hi),
+        col(c).isNotNull && col(c).between(lo, hi))
+
+    /** [[commitUpdateRange]] for STRING-keyed ranges: candidates come
+      * from the string zone maps ([[pruneFilesStr]] — truncation-
+      * bumped upper bounds, so candidates are a superset), same COW
+      * contract. `cond` (default: inclusive between) is the exact row
+      * predicate, evaluated in logical space; it MUST imply
+      * `c ∈ [lo, hi]` — the caller owns that (the SQL front end
+      * passes the statement's own WHERE, whose extracted bounds ARE
+      * the prune range, so the implication holds by construction). A
+      * row where `cond` is NULL is untouched (SQL WHERE semantics). */
+    def commitUpdateRangeStr(partCol: String, c: String,
+        lo: String, hi: String, set: Map[String, Column],
+        cond: Option[Column] = None, expectedVersion: Int = -1): Int =
+      updateRangeImpl(partCol, c, set, expectedVersion,
+        v => pruneFilesStr(v, physicalAt(v, c), lo, hi),
+        col(c).isNotNull && cond.getOrElse(col(c).between(lo, hi)))
+
+    /** [[commitUpdateRange]] for DATE-keyed ranges: DATE zone maps
+      * are epoch-day-widened INT32 (the convention [[mergeCandidates]]
+      * probes with), so the candidate prune rides the integer stats
+      * while the row predicate compares real dates. Bounds are
+      * inclusive epoch days; `cond` as in [[commitUpdateRangeStr]]. */
+    def commitUpdateRangeDate(partCol: String, c: String,
+        loDays: Int, hiDays: Int, set: Map[String, Column],
+        cond: Option[Column] = None, expectedVersion: Int = -1): Int =
+      updateRangeImpl(partCol, c, set, expectedVersion,
+        v => pruneFiles(v, physicalAt(v, c), loDays.toLong, hiDays.toLong),
+        col(c).isNotNull && cond.getOrElse(col(c).between(
+          date_from_unix_date(lit(loDays)),
+          date_from_unix_date(lit(hiDays)))))
+
+    private def updateRangeImpl(partCol: String, c: String,
+        set: Map[String, Column], expectedVersion: Int,
+        prune: Int => Seq[String], inRange: Column): Int = {
       require(set.nonEmpty, "UPDATE needs at least one assignment")
       val v = casCheck(expectedVersion)
-      val pc = physicalAt(v - 1, c)
-      val victims = pruneFiles(v - 1, pc, lo, hi)
+      val victims = prune(v - 1)
       if (victims.isEmpty) { publishSegment(v, Seq.empty); return v }
       val logical = applyMapping(v - 1, readFilesMorAt(v - 1, victims))
       val cols = logical.columns
@@ -2646,7 +2682,6 @@ object SnapshotLog {
         s"UPDATE SET targets unknown column $k (have: " +
           s"${cols.mkString(", ")})"))
       require(cols.contains(c), s"no such column in WHERE: $c")
-      val inRange = col(c).isNotNull && col(c).between(lo, hi)
       val updated = logical.select(cols.toIndexedSeq.map(cn =>
         set.get(cn)
           .map(e => when(inRange, e).otherwise(col(cn)).as(cn))

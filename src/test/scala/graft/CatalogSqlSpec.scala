@@ -403,6 +403,53 @@ class CatalogSqlSpec extends SparkSpec {
     }
   }
 
+  test("SQL UPDATE with string and date bounds routes to the typed " +
+    "pruned COW (strictness does not leak into the prune)") {
+    val old = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val es = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new GraftExtensions().apply(_))
+      .getOrCreate()
+    try {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_sqlupd2_").toString
+      es.conf.set("spark.sql.catalog.gu2", "graft.catalog.GraftCatalog")
+      es.conf.set("spark.sql.catalog.gu2.warehouse", wh)
+      es.sql("CREATE TABLE gu2.t (k BIGINT, part STRING, name STRING, " +
+        "d DATE, v BIGINT) PARTITIONED BY (part)")
+      es.sql("INSERT INTO gu2.t VALUES " +
+        "(1, 'a', 'alpha', DATE'2026-01-05', 10), " +
+        "(2, 'a', 'beta',  DATE'2026-02-10', 20), " +
+        "(3, 'b', 'gamma', DATE'2026-03-15', 30), " +
+        "(4, 'b', 'mu',    DATE'2026-04-20', 40), " +
+        "(5, 'b', NULL,    NULL,             50)")
+      // string bounds, strict upper: 'mu' and the NULL row untouched
+      es.sql("UPDATE gu2.t SET v = v + 1 " +
+        "WHERE name >= 'b' AND name < 'm'")
+      def vs() = es.sql("SELECT v FROM gu2.t ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq
+      assert(vs() == Seq(10L, 21L, 31L, 40L, 50L),
+        s"string-bounded UPDATE wrong: ${vs()}")
+      // date bounds (BETWEEN desugars to >= AND <=)
+      es.sql("UPDATE gu2.t SET v = v + 100 WHERE d BETWEEN " +
+        "DATE'2026-02-01' AND DATE'2026-03-31'")
+      assert(vs() == Seq(10L, 121L, 131L, 40L, 50L),
+        s"date-bounded UPDATE wrong: ${vs()}")
+      // both were single pruned COW commits
+      val api = new SnapshotLog.Table(es, s"$wh/t")
+      assert(api.version == 3,
+        s"INSERT + 2 UPDATEs = 3 commits, got ${api.version}")
+      rm(wh)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(old)
+      org.apache.spark.sql.SparkSession.setActiveSession(old)
+    }
+  }
+
   test("readStream.table streams appends; non-insert changes fail " +
     "loudly naming the CDF source") {
     val wh = freshWarehouse()
