@@ -437,7 +437,8 @@ private[catalog] final class GraftSqlTable(tableName: String,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def toString: String = s"GraftSqlTable($tableName)"
 
@@ -597,7 +598,7 @@ private[catalog] final class GraftSqlTable(tableName: String,
         "SQL or add the sidecar"))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(this)
+    new GraftWriteBuilder(this, info)
 }
 
 /** Filter + column pushdown, replayed inside the manifest-pruned
@@ -811,8 +812,11 @@ private[catalog] final class GraftTableStreamFactory(
 
 /** INSERT INTO → commitAppend; INSERT OVERWRITE (arrives as
   * truncate-then-insert on the V1 path) → one atomic
-  * [[SnapshotLog.Table.commitOverwrite]]. */
-private[catalog] final class GraftWriteBuilder(table: GraftSqlTable)
+  * [[SnapshotLog.Table.commitOverwrite]]; `writeStream.toTable` →
+  * [[GraftStreamingWrite]] (per-epoch adopted files with the
+  * (queryId, epochId) txn marker — exactly-once across restarts). */
+private[catalog] final class GraftWriteBuilder(table: GraftSqlTable,
+    info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
 
   private var overwrite = false
@@ -828,5 +832,13 @@ private[catalog] final class GraftWriteBuilder(table: GraftSqlTable)
           else table.log.commitAppend(data, pc)
         }
       }
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(!overwrite,
+        "graft streaming writes are APPEND-mode only (complete/" +
+          "update modes would truncate the table every epoch)")
+      new GraftStreamingWrite(table.rootPath, table.partColOrFail,
+        info.schema(), info.queryId())
+    }
   }
 }

@@ -167,6 +167,72 @@ object SqlCatalog {
       es.sql("SELECT nkey, rpart, nname FROM gqmrg.nat ORDER BY nkey")
     },
 
+    // ---- streaming SQL sink (round 14): `writeStream.toTable` into
+    //      a graft catalog table — executor-written parquet epochs
+    //      adopted under (queryId, epochId) txn markers, exactly-once
+    //      across a checkpoint restart (the q_stream_txn_sink
+    //      contract, now as the engine's NATIVE streaming ingest).
+    //      The query lands the events table in two phases with a
+    //      restart between them, replays a committed epoch txn (must
+    //      be a logged no-op), then reads the table back through SQL;
+    //      the oracle recomputes from the raw events — a dropped
+    //      epoch, duplicated epoch, or misrouted partition flips the
+    //      hash.
+    QueryDef.checked(
+      "q_stream_sql_sink",
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.types._
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_sqlsw_").toString
+      register(spark, "gqsw", wh)
+      spark.sql("CREATE TABLE gqsw.ev (user_id BIGINT, " +
+        "event_type STRING, cents BIGINT) PARTITIONED BY (event_type)")
+      val base = java.nio.file.Files.createTempDirectory("graft_sqlsw_s_")
+      val srcDir = base.resolve("src").toString
+      val ckpt = base.resolve("ckpt").toString
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          org.apache.spark.sql.functions
+            .expr("cast(round(value * 100) as bigint)").as("cents"))
+      def land(parity: Int): Unit =
+        ev.filter(col("event_id") % 2 === parity).drop("event_id")
+          .coalesce(1).write.mode("append").parquet(srcDir)
+      val sch = StructType(Seq(StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("cents", LongType)))
+      def runOnce(): Unit = {
+        val q = spark.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+          .writeStream.option("checkpointLocation", ckpt)
+          .toTable("gqsw.ev")
+        try q.processAllAvailable() finally q.stop()
+      }
+      land(0); runOnce() // phase 1, clean stop
+      land(1); runOnce() // phase 2: restart from the checkpoint
+      val t = graft.catalog.GraftSqlTable.handleFor(spark, s"$wh/ev")
+      val txns = t.committedTxns.filter(_.startsWith("toTable-"))
+      require(txns.nonEmpty, "streamed epochs carry no txn markers")
+      // duplicate delivery of a committed epoch: must be a no-op
+      val dup = t.commitAdoptStreamed(s"$wh/ev/_stream_tmp/replay",
+        Seq.empty, "event_type", txns.head)
+      require(!dup, "replayed epoch admitted — exactly-once broken")
+      val out = spark.sql("""SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM gqsw.ev GROUP BY event_type
+        |ORDER BY event_type""".stripMargin).localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(wh))
+      out
+    },
+
     // ---- typed UPDATE bounds (round 14): STRING and DATE WHERE
     //      ranges route to the typed zone-map prunes (string zone
     //      maps / epoch-day-widened date stats) with the statement's

@@ -2469,6 +2469,55 @@ object SnapshotLog {
       }
     }
 
+    /** Adopt executor-written parquet leaves as one idempotent
+      * streaming-epoch commit — the `writeStream.toTable` landing
+      * path. The epoch's DataWriters have already written final
+      * parquet bytes under `stagingDir/<partPhys>=<val>/…` (physical
+      * column names, widened types — the write-boundary transforms
+      * applied IN the writers), so adoption is one rename per file
+      * plus the usual stats/bloom/txn bookkeeping: no second write of
+      * the data, unlike a stage-then-commitAppend loop. `txnId` is
+      * the (queryId, epochId) pair — a re-delivered epoch (restart
+      * replay) sweeps its staging dir and no-ops, exactly
+      * [[commitAppendIdempotent]]'s contract. A crash between rename
+      * and publish leaves unreferenced files (invisible to readers,
+      * vacuum-reclaimable) and an uncommitted txn — the replay then
+      * lands its own fresh files. CHECK constraints are validated
+      * with one read over the staged bytes BEFORE any rename, so a
+      * refused batch leaves nothing adopted. */
+    def commitAdoptStreamed(stagingDir: String, rels: Seq[String],
+        partCol: String, txnId: String): Boolean = {
+      require(!txnId.contains(",") && !txnId.contains("\n"),
+        s"txnId must be log-safe: $txnId")
+      val staging = new Path(stagingDir)
+      if (committedTxns.contains(txnId)) {
+        fs.delete(staging, true); return false
+      }
+      val v = version + 1
+      if (activeConstraints.nonEmpty && rels.nonEmpty) {
+        val paths = rels.map(r => s"$stagingDir/$r")
+        val raw = spark.read.option("basePath", stagingDir)
+          .parquet(paths: _*)
+        checkConstraints(applyMapping(v - 1, raw))
+      }
+      val added = rels.sorted.map { rel =>
+        val Array(partDir, name) = rel.split("/", 2)
+        val dest = s"$partDir/v$v-$name"
+        val dp = new Path(s"$dataDir/$dest")
+        fs.mkdirs(dp.getParent)
+        require(fs.rename(new Path(s"$stagingDir/$rel"), dp),
+          s"streamed-file adopt failed: $rel")
+        dest
+      }
+      val ver = publishAppendRebase(v,
+        added.map(Entry(v, "add", _)) ++ statsEntries(v, added) :+
+          Entry(v, "txn", txnId), added)
+      buildBlooms(ver, added)
+      fs.delete(staging, true)
+      maybeAutoCompact(partCol)
+      true
+    }
+
     /** Metadata-only delete of one partition value: log `remove` for
       * every live file under `partCol=value`; zero bytes move. An
       * absent/empty partition publishes an empty segment (SQL DELETE

@@ -646,6 +646,67 @@ class CatalogSqlSpec extends SparkSpec {
     rm(wh)
   }
 
+  test("writeStream.toTable lands epochs as idempotent txn commits " +
+    "(restart-safe, CDF-readable)") {
+    import org.apache.spark.sql.types._
+    val wh = freshWarehouse()
+    spark.sql("CREATE TABLE gsql.sw (k BIGINT, part STRING, v BIGINT) " +
+      "PARTITIONED BY (part)")
+    val base = java.nio.file.Files.createTempDirectory("graft_swt_")
+    val srcDir = base.resolve("src").toString
+    val ckpt = base.resolve("ckpt").toString
+    import spark.implicits._
+    def land(rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("k", "part", "v").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("part", StringType), StructField("v", LongType)))
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .toTable("gsql.sw")
+      try q.processAllAvailable() finally q.stop()
+    }
+    land(Seq((1L, "a", 10L), (2L, "b", 20L)))
+    runOnce() // phase 1: one epoch
+    land(Seq((3L, "a", 30L), (4L, "c", 40L)))
+    runOnce() // phase 2: RESTART from the checkpoint, new epoch(s)
+    val rows = spark.sql("SELECT k, part, v FROM gsql.sw ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(rows == Seq((1L, "a", 10L), (2L, "b", 20L),
+      (3L, "a", 30L), (4L, "c", 40L)),
+      s"streamed table state wrong: $rows")
+    // every epoch is ONE txn-marked commit; replaying a committed
+    // epoch is a logged no-op
+    val api = new SnapshotLog.Table(spark, s"$wh/sw")
+    val txns = api.committedTxns.filter(_.startsWith("toTable-"))
+    assert(txns.nonEmpty, "streamed commits carry no txn markers")
+    val dup = api.commitAdoptStreamed(s"$wh/sw/_stream_tmp/x",
+      Seq.empty, "part", txns.head)
+    assert(!dup, "replayed epoch txn was admitted — exactly-once broken")
+    // the CDF source reads the streamed commits as plain inserts
+    val feed = spark.read
+      .format("graft.sources.SnapshotCdfSource")
+      .option("path", s"$wh/sw")
+      .option("partCol", "part")
+      .option("schema.ddl", "k LONG, v LONG")
+      .option("startingVersion", "0")
+      .load()
+    assert(feed.filter(col("_change") === "insert").count() == 4,
+      "CDF did not serve the streamed epochs")
+    // zone maps / stats ride the adopted files: a point read prunes
+    api.resetScanPrune()
+    assert(api.scanAsOf(api.version).filter(col("k") === 3L)
+      .select("v").collect().map(_.getLong(0)).toSeq == Seq(30L))
+    assert(api.lastScanPrune.exists(p => p._1 < p._2),
+      s"streamed files carry no prunable stats: ${api.lastScanPrune}")
+    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    rm(wh)
+  }
+
   test("SHOW TABLES and table rename through the catalog") {
     val wh = freshWarehouse()
     spark.sql("CREATE TABLE gsql.t1 (k BIGINT, part STRING) " +
