@@ -71,7 +71,8 @@ import graft.sources.SnapshotLog
   * loop addresses tables by catalog name, never by path) — the SQL
   * catalog is how a user of the reference addresses the clone target.
   */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var initOptions: Map[String, String] = Map.empty
@@ -296,6 +297,34 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     fs.mkdirs(to.getParent)
     require(fs.rename(from, to), s"rename $from -> $to failed")
   }
+
+  // -- ProcedureCatalog: CALL graft.system.<proc>(...) ----------------
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"procedures live under $catalogName.system " +
+        s"(got ${ident.namespace().mkString(".")})")
+    GraftProcedures(ident.name(), { tbl =>
+      val parts = tbl.split('.')
+      val id = Identifier.of(parts.init, parts.last)
+      val root = rootFor(id)
+      if (!isTableDir(root)) throw new NoSuchTableException(id)
+      val pc = readMeta(root).map(_.partCol).getOrElse(
+        throw new IllegalStateException(
+          s"$tbl has no _catalog.json sidecar — maintenance needs " +
+            "the partition column; CREATE the table via SQL or add " +
+            "the sidecar"))
+      (GraftSqlTable.handleFor(spark, root), pc)
+    })
+  }
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.names
+        .map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
 
   // -- SupportsNamespaces (directories under the warehouse) -----------
 

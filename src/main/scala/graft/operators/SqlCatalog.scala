@@ -167,6 +167,66 @@ object SqlCatalog {
       es.sql("SELECT nkey, rpart, nname FROM gqmrg.nat ORDER BY nkey")
     },
 
+    // ---- SQL maintenance procedures (round 14): CALL
+    //      graft.system.compact / cluster / vacuum / history over a
+    //      staged table with live deletion vectors — compaction must
+    //      APPLY the DVs (not resurrect, not double-delete),
+    //      clustering must be result-invariant, vacuum must reclaim
+    //      without touching the live version, and history must name
+    //      every commit. The oracle recomputes the survivor set; the
+    //      in-query requires pin the maintenance effects (file count
+    //      shrank, DV retired, history row per version).
+    QueryDef.checked(
+      "q_snapshot_sql_maintenance",
+      """SELECT CAST(c_custkey AS BIGINT) AS k,
+        |  c_mktsegment AS part, c_name AS name,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |FROM customer
+        |WHERE c_custkey % 13 <> 0
+        |ORDER BY k""".stripMargin) { (spark, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_sqlmnt_").toString
+      register(spark, "gqmnt", wh)
+      val src = spark.read.parquet(s"$dir/customer.parquet")
+      src.createOrReplaceTempView("cust_mnt_src")
+      spark.sql("CREATE TABLE gqmnt.cust (k BIGINT, part STRING, " +
+        "name STRING, cents BIGINT) PARTITIONED BY (part)")
+      // three slices -> several files per partition (compactable)
+      (0 until 3).foreach(i => spark.sql(
+        "INSERT INTO gqmnt.cust SELECT CAST(c_custkey AS BIGINT), " +
+          "c_mktsegment, c_name, CAST(round(c_acctbal * 100) AS BIGINT) " +
+          s"FROM cust_mnt_src WHERE c_custkey % 3 = $i"))
+      val keys = src.filter(col("c_custkey") % 13 === 0)
+        .select(col("c_custkey").cast("long")).collect()
+        .map(_.getLong(0)).sorted
+      spark.sql(s"DELETE FROM gqmnt.cust WHERE k IN " +
+        s"(${keys.mkString(", ")})") // v4: MOR DVs
+      val t = graft.catalog.GraftSqlTable.handleFor(spark, s"$wh/cust")
+      val filesBefore = t.liveFiles(t.version).size
+      val cv = spark.sql(
+        "CALL gqmnt.system.compact(table => 'cust')").head().getInt(0)
+      require(t.liveFiles(cv).size < filesBefore,
+        "SQL compaction did not shrink the live set")
+      require(t.entries.filter(_.version == cv)
+        .forall(_.action != "dv"),
+        "compaction must retire deletion vectors, not re-bind them")
+      spark.sql("CALL gqmnt.system.cluster(table => 'cust', " +
+        "cluster_col => 'k', files_per_range => 2)")
+      val hist = spark.sql(
+        "CALL gqmnt.system.history(table => 'cust')").collect()
+      require(hist.length == t.version && hist.map(_.getInt(0)).toSeq
+        == (1 to t.version), s"history rows wrong: ${hist.length}")
+      val reclaimed = spark.sql("CALL gqmnt.system.vacuum(" +
+        "table => 'cust', retain_versions => 1)").head().getLong(0)
+      require(reclaimed > 0, "vacuum reclaimed nothing after compact")
+      val out = spark.sql(
+        "SELECT k, part, name, cents FROM gqmnt.cust ORDER BY k")
+        .localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(wh))
+      out
+    },
+
     // ---- streaming SQL sink (round 14): `writeStream.toTable` into
     //      a graft catalog table — executor-written parquet epochs
     //      adopted under (queryId, epochId) txn markers, exactly-once

@@ -707,6 +707,59 @@ class CatalogSqlSpec extends SparkSpec {
     rm(wh)
   }
 
+  test("CALL graft.system.* maintenance procedures route to the " +
+    "engine primitives") {
+    import spark.implicits._
+    val wh = freshWarehouse()
+    spark.sql("CREATE TABLE gsql.mt (k BIGINT, part STRING, v BIGINT) " +
+      "PARTITIONED BY (part)")
+    (0 until 3).foreach(i => spark.sql("INSERT INTO gsql.mt VALUES " +
+      s"(${i * 10 + 1}, 'a', ${i + 1}), (${i * 10 + 2}, 'b', ${i + 4})"))
+    val api = new SnapshotLog.Table(spark, s"$wh/mt")
+
+    // history: one row per commit with entry-kind counts
+    val h = spark.sql("CALL gsql.system.history(table => 'mt')")
+      .collect()
+    assert(h.length == 3 && h.forall(_.getInt(2) > 0),
+      s"history wrong: ${h.mkString("; ")}")
+
+    // MOR delete leaves a DV; compact applies it and shrinks files
+    api.commitDeleteKeysMor(Seq(12L).toDF("k"), "k") // v4
+    val filesBefore = api.liveFiles(api.version).size
+    val cv = spark.sql(
+      "CALL gsql.system.compact(table => 'mt')").head().getInt(0)
+    assert(cv == 5, s"compact version $cv")
+    assert(api.liveFiles(5).size < filesBefore,
+      "compaction did not shrink the live set")
+    assert(spark.sql("SELECT sum(v) FROM gsql.mt").head().getLong(0)
+      == (1 + 2 + 3 + 4 + 5 + 6) - 5, "compaction lost the MOR delete")
+
+    // cluster + zorder commit reorganizations
+    spark.sql("CALL gsql.system.cluster(table => 'mt', " +
+      "cluster_col => 'k', files_per_range => 2)")
+    spark.sql("CALL gsql.system.zorder(table => 'mt', " +
+      "col_a => 'k', col_b => 'v', files_per_range => 2)")
+    assert(api.version == 7)
+    assert(spark.sql("SELECT sum(v) FROM gsql.mt").head().getLong(0)
+      == 16, "reorganization changed results")
+
+    // restore to the pre-delete state: metadata-only undo
+    spark.sql("CALL gsql.system.restore(table => 'mt', version => 3)")
+    assert(spark.sql("SELECT sum(v) FROM gsql.mt").head().getLong(0)
+      == 21, "restore did not bring the deleted row back")
+
+    // vacuum bounds history; the current version stays readable
+    val deleted = spark.sql("CALL gsql.system.vacuum(table => 'mt', " +
+      "retain_versions => 1)").head().getLong(0)
+    assert(deleted > 0, "vacuum reclaimed nothing")
+    assert(spark.sql("SELECT sum(v) FROM gsql.mt").head().getLong(0)
+      == 21)
+    // unknown procedure fails loudly
+    assertThrows[Exception](
+      spark.sql("CALL gsql.system.frobnicate(table => 'mt')"))
+    rm(wh)
+  }
+
   test("SHOW TABLES and table rename through the catalog") {
     val wh = freshWarehouse()
     spark.sql("CREATE TABLE gsql.t1 (k BIGINT, part STRING) " +
