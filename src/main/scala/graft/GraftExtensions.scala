@@ -48,6 +48,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // post-hoc resolution rewrite into the engine's merge commits —
     // vanilla Spark only plans MERGE for row-level-operation tables)
     ext.injectResolutionRule(_ => graft.catalog.GraftMergeRule)
+    // batch CDF as SQL: SELECT * FROM table_changes('cat.ns.t', a, b)
+    // — the Delta TVF UX over the engine's change-feed source
+    ext.injectTableFunction((
+      FunctionIdentifier("table_changes"),
+      new ExpressionInfo(
+        graft.catalog.GraftTableChanges.getClass.getName,
+        "table_changes"),
+      (exprs: Seq[Expression]) =>
+        graft.catalog.GraftTableChanges.plan(exprs)))
   }
 }
 

@@ -103,9 +103,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * cloneNamespace enforces for member names. */
   private def rootFor(ident: Identifier): String = {
     val segs = (ident.namespace() :+ ident.name()).toSeq
-    segs.foreach(s => require(
-      s.nonEmpty && s != "." && s != ".." &&
-        !s.contains("/") && !s.contains("\\"),
+    segs.foreach(s => require(GraftCatalog.validSegment(s),
       s"illegal identifier segment '$s' (empty, dot, or separator " +
         "segments would escape the warehouse root)"))
     (warehouse +: segs).mkString("/")
@@ -121,49 +119,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     fs.exists(metaPath(root)) || fs.exists(new Path(s"$root/log"))
   }
 
-  // -- table metadata sidecar (schema before the first commit; the
-  //    partition column for the write path) ---------------------------
+  // -- table metadata sidecar: see the companion (shared with the
+  //    table_changes TVF) ----------------------------------------------
 
-  private[catalog] case class TableMeta(schemaJson: String,
-      partCol: String) {
-    def schema: StructType =
-      org.apache.spark.sql.types.DataType.fromJson(schemaJson)
-        .asInstanceOf[StructType]
-  }
-
-  private def writeMeta(root: String, meta: TableMeta): Unit = {
-    val fs = fsFor(new Path(root))
-    val out = fs.create(metaPath(root), true)
-    // hand-rolled two-field JSON: schemaJson is already JSON, partCol
-    // is a validated identifier (no escaping surface)
-    try out.write(
-      s"""{"partCol":"${meta.partCol}","schema":${meta.schemaJson}}"""
-        .getBytes("UTF-8"))
-    finally out.close()
-  }
-
-  private def readMeta(root: String): Option[TableMeta] = {
-    val fs = fsFor(new Path(root))
-    if (!fs.exists(metaPath(root))) return None
-    val in = fs.open(metaPath(root))
-    val txt =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    // real JSON parse (json4s rides Spark's classpath): the writer is
-    // three lines up so the format is controlled, but a substring
-    // split would break the day a third field lands — field order and
-    // additions must not matter
-    import org.json4s._
-    val j = org.json4s.jackson.JsonMethods.parse(txt)
-    val pc = j \ "partCol" match {
-      case JString(s) => s
-      case other => throw new IllegalStateException(
-        s"malformed ${metaPath(root)}: partCol = $other")
-    }
-    val schemaJson = org.json4s.jackson.JsonMethods.compact(
-      org.json4s.jackson.JsonMethods.render(j \ "schema"))
-    Some(TableMeta(schemaJson, pc))
-  }
+  private def writeMeta(root: String, meta: GraftCatalog.TableMeta)
+      : Unit = GraftCatalog.writeMeta(hconf, root, meta)
+  private def readMeta(root: String): Option[GraftCatalog.TableMeta] =
+    GraftCatalog.readMeta(hconf, root)
 
   // -- TableCatalog ---------------------------------------------------
 
@@ -226,7 +188,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         "(cast in queries for typed comparisons)")
     val root = rootFor(ident)
     fsFor(new Path(root)).mkdirs(new Path(root))
-    writeMeta(root, TableMeta(schema.json, partCol))
+    writeMeta(root, GraftCatalog.TableMeta(schema.json, partCol))
     loadTable(ident)
   }
 
@@ -388,6 +350,60 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 }
 
+private[graft] object GraftCatalog {
+  /** Table sidecar: declared schema (before the first commit) + the
+    * partition column the write path routes on. */
+  private[catalog] case class TableMeta(schemaJson: String,
+      partCol: String) {
+    def schema: StructType =
+      org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[StructType]
+  }
+
+  private def metaPath(root: String) = new Path(s"$root/_catalog.json")
+
+  private[catalog] def writeMeta(conf: org.apache.hadoop.conf.Configuration,
+      root: String, meta: TableMeta): Unit = {
+    val fs = metaPath(root).getFileSystem(conf)
+    val out = fs.create(metaPath(root), true)
+    // hand-rolled two-field JSON: schemaJson is already JSON, partCol
+    // is a validated identifier (no escaping surface)
+    try out.write(
+      s"""{"partCol":"${meta.partCol}","schema":${meta.schemaJson}}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private[catalog] def readMeta(conf: org.apache.hadoop.conf.Configuration,
+      root: String): Option[TableMeta] = {
+    val fs = metaPath(root).getFileSystem(conf)
+    if (!fs.exists(metaPath(root))) return None
+    val in = fs.open(metaPath(root))
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    // real JSON parse (json4s rides Spark's classpath): the writer is
+    // controlled, but a substring split would break the day a third
+    // field lands — field order and additions must not matter
+    import org.json4s._
+    val j = org.json4s.jackson.JsonMethods.parse(txt)
+    val pc = j \ "partCol" match {
+      case JString(s) => s
+      case other => throw new IllegalStateException(
+        s"malformed ${metaPath(root)}: partCol = $other")
+    }
+    val schemaJson = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(j \ "schema"))
+    Some(TableMeta(schemaJson, pc))
+  }
+
+  /** Identifier-segment hygiene shared by the catalog and the TVF:
+    * a segment must not escape the warehouse root. */
+  private[catalog] def validSegment(s: String): Boolean =
+    s.nonEmpty && s != "." && s != ".." &&
+      !s.contains("/") && !s.contains("\\")
+}
+
 private[graft] object GraftSqlTable {
   /** Handle cache so a query's many loadTable calls (analysis re-runs,
     * write-privilege loads) share one [[SnapshotLog.Table]] — and so
@@ -404,7 +420,7 @@ private[graft] object GraftSqlTable {
 
 /** One resolved (optionally version-pinned) snapshot table. */
 private[catalog] final class GraftSqlTable(tableName: String,
-    root: String, meta: Option[GraftCatalog#TableMeta],
+    root: String, meta: Option[GraftCatalog.TableMeta],
     pinned: Option[Int])
     extends Table with SupportsRead with SupportsWrite
     with TruncatableTable

@@ -167,6 +167,58 @@ object SqlCatalog {
       es.sql("SELECT nkey, rpart, nname FROM gqmrg.nat ORDER BY nkey")
     },
 
+    // ---- batch CDF through SQL (round 14): the table_changes TVF
+    //      (GraftExtensions injectTableFunction) over a catalog table
+    //      with a MOR delete and a re-insert — changes AFTER the
+    //      seed commit are exactly (v2 deletes, v3 inserts). The
+    //      oracle recomputes both deltas by predicate algebra: a
+    //      missed tombstone, a resurrected row, an off-by-one version
+    //      bound, or a double-emitted position flips the hash.
+    QueryDef.checked(
+      "q_snapshot_sql_cdf",
+      """WITH victims AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |)
+        |SELECT CAST(2 AS BIGINT) AS _version, 'delete' AS change,
+        |  count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM victims
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'insert', count(*),
+        |  CAST(sum(cents + 1) AS BIGINT)
+        |FROM victims
+        |ORDER BY _version""".stripMargin) { (spark, dir) =>
+      val es = extensionSession(spark)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_sqlcdf_").toString
+      register(es, "gqcdf", wh)
+      es.read.parquet(s"$dir/orders.parquet")
+        .createOrReplaceTempView("orders_cdf_src")
+      es.sql("CREATE TABLE gqcdf.ord (k BIGINT, part STRING, " +
+        "cents BIGINT) PARTITIONED BY (part)")
+      es.sql("INSERT INTO gqcdf.ord SELECT o_orderkey, " +
+        "o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) " +
+        "FROM orders_cdf_src") // v1: the seed
+      val keys = es.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").cast("long")).collect()
+        .map(_.getLong(0)).sorted
+      es.sql(s"DELETE FROM gqcdf.ord WHERE k IN " +
+        s"(${keys.mkString(", ")})") // v2: MOR tombstones
+      es.sql("INSERT INTO gqcdf.ord SELECT o_orderkey, " +
+        "o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) + 1 " +
+        "FROM orders_cdf_src WHERE o_orderkey % 97 = 0") // v3
+      val out = es.sql("""SELECT _version, _change AS change,
+        |  count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM table_changes('gqcdf.ord', 1)
+        |GROUP BY _version, _change
+        |ORDER BY _version""".stripMargin).localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(wh))
+      out
+    },
+
     // ---- SQL maintenance procedures (round 14): CALL
     //      graft.system.compact / cluster / vacuum / history over a
     //      staged table with live deletion vectors — compaction must

@@ -707,6 +707,54 @@ class CatalogSqlSpec extends SparkSpec {
     rm(wh)
   }
 
+  test("table_changes TVF serves the batch CDF through SQL " +
+    "(bounds, MOR deletes, renames)") {
+    val old = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val es = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions().apply(_))
+      .getOrCreate()
+    try {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_sqltvf_").toString
+      es.conf.set("spark.sql.catalog.gtc", "graft.catalog.GraftCatalog")
+      es.conf.set("spark.sql.catalog.gtc.warehouse", wh)
+      es.sql("CREATE TABLE gtc.t (k BIGINT, part STRING, v BIGINT) " +
+        "PARTITIONED BY (part)")
+      es.sql("INSERT INTO gtc.t VALUES (1, 'a', 10), (2, 'a', 20)") // v1
+      es.sql("INSERT INTO gtc.t VALUES (3, 'b', 30)")               // v2
+      es.sql("DELETE FROM gtc.t WHERE k IN (1)")                    // v3 MOR
+      val all = es.sql("SELECT _version, _change, k, v FROM " +
+        "table_changes('gtc.t', 0) ORDER BY _version, k").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      assert(all == Seq(
+        (1L, "insert", 1L, 10L), (1L, "insert", 2L, 20L),
+        (2L, "insert", 3L, 30L), (3L, "delete", 1L, 10L)),
+        s"full feed wrong: $all")
+      // (from, to] bounds — the option-read's exclusive-start contract
+      val bounded = es.sql("SELECT k FROM table_changes('gtc.t', 1, 2)")
+        .collect().map(_.getLong(0)).toSeq
+      assert(bounded == Seq(3L), s"bounded feed wrong: $bounded")
+      // rename: the feed serves the CURRENT logical name
+      es.sql("ALTER TABLE gtc.t RENAME COLUMN v TO metric")
+      val renamed = es.sql("SELECT metric FROM " +
+        "table_changes('gtc.t', 1, 2)").collect()
+        .map(_.getLong(0)).toSeq
+      assert(renamed == Seq(30L), s"renamed feed wrong: $renamed")
+      // malformed args fail loudly
+      assertThrows[Exception](
+        es.sql("SELECT * FROM table_changes('gtc.t')").collect())
+      rm(wh)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(old)
+      org.apache.spark.sql.SparkSession.setActiveSession(old)
+    }
+  }
+
   test("CALL graft.system.* maintenance procedures route to the " +
     "engine primitives") {
     import spark.implicits._
