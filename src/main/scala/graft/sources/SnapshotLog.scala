@@ -206,7 +206,8 @@ object SnapshotLog {
     * their components never drift). Evicted LRU per root — a clear-all
     * at capacity would throw away every hot table's fold because one
     * suite created throwaway roots. */
-  private final case class LogKey(ckpt: String, segs: Vector[String])
+  private final case class LogKey(instance: String, ckpt: String,
+      segs: Vector[String])
   private def statusKey(st: FileStatus): String =
     s"${st.getPath.getName}@${st.getLen}:${st.getModificationTime}"
   private val FoldCacheMaxRoots = 32
@@ -444,8 +445,8 @@ object SnapshotLog {
       * both are consolidations of the same entries and the columnar
       * one wins deterministically. */
     private def listLog()
-        : (Option[(Int, FileStatus)], Seq[(Int, FileStatus)]) = {
-      if (!fs.exists(logDir)) return (None, Seq.empty)
+        : (Option[(Int, FileStatus)], Seq[(Int, FileStatus)], String) = {
+      if (!fs.exists(logDir)) return (None, Seq.empty, "")
       val stats = fs.listStatus(logDir).toSeq
       val segs = stats.flatMap { st =>
         val n = st.getPath.getName
@@ -460,12 +461,30 @@ object SnapshotLog {
           n.stripSuffix(".ckpt").toIntOption.map(v => (v, 0, st))
         else None
       }.sortBy(c => (c._1, c._2)).lastOption.map(c => (c._1, c._3))
-      (ckpt, segs)
+      // the table-INSTANCE identity: `length:modtime` content keys
+      // collide for same-length same-second rewrites (S3 mtimes are
+      // second-granular), so a delete-and-recreate in one tick could
+      // still serve the dead table's fold. The first publish drops an
+      // `_instance-<uuid>` marker whose NAME carries the identity —
+      // the listing above already sees it, zero extra reads. Sorted
+      // concat, because two racing first-publishers may both drop one.
+      val instance = stats.map(_.getPath.getName)
+        .filter(_.startsWith("_instance-")).sorted.mkString(",")
+      (ckpt, segs, instance)
     }
 
     /** The published segment files, sorted by version. */
     private def segments: Seq[(Int, Path)] =
       listLog()._2.map { case (v, st) => (v, st.getPath) }
+
+    /** Drop the instance marker on log-dir creation (see listLog). */
+    private def ensureInstanceMarker(): Unit =
+      if (!fs.exists(logDir)) {
+        fs.mkdirs(logDir)
+        try fs.create(new Path(logDir,
+          s"_instance-${java.util.UUID.randomUUID}"), false).close()
+        catch { case _: java.io.IOException => () } // racer's exists
+      }
 
     /** The latest log checkpoint (version, path), if one exists. */
     private def latestCheckpoint: Option[(Int, Path)] =
@@ -541,17 +560,19 @@ object SnapshotLog {
       fs.makeQualified(new Path(root)).toString
 
     private def foldAttempt(): FoldState = {
-      val (ck, segs) = listLog()
+      val (ck, segs, instance) = listLog()
       val tail = ck match {
         case Some((cv, _)) => segs.filter(_._1 > cv)
         case None          => segs
       }
-      val key = LogKey(ck.map(c => statusKey(c._2)).getOrElse(""),
+      val key = LogKey(instance,
+        ck.map(c => statusKey(c._2)).getOrElse(""),
         tail.map(s => statusKey(s._2)).toVector)
       val cached = foldCache.get(cacheKey)
       if (cached != null && cached._1 == key) return cached._2
       val st =
-        if (cached != null && cached._1.ckpt == key.ckpt &&
+        if (cached != null && cached._1.instance == key.instance &&
+            cached._1.ckpt == key.ckpt &&
             key.segs.startsWith(cached._1.segs))
           // same checkpoint, tail grew: parse only the new segments
           new FoldState(cached._2.entries ++
@@ -593,7 +614,7 @@ object SnapshotLog {
       else parseLines(cp).filter(_.version == v)
 
     def version: Int = {
-      val (ck, segs) = listLog()
+      val (ck, segs, _) = listLog()
       math.max(segs.lastOption.map(_._1).getOrElse(0),
         ck.map(_._1).getOrElse(0))
     }
@@ -712,6 +733,7 @@ object SnapshotLog {
       * destroy history, and publish I/O is O(this commit), not
       * O(total log). */
     private[graft] def publishSegment(v: Int, lines: Seq[Entry]): Unit = {
+      ensureInstanceMarker()
       fs.mkdirs(logDir)
       val tmp = new Path(logDir,
         s".tmp-$v-${java.util.UUID.randomUUID.toString.take(8)}")

@@ -332,4 +332,54 @@ class SnapshotFoldSpec extends SparkSpec {
     assert(t3.version == 1 && t3.asOf(1).count() == 1)
     rm(root)
   }
+
+  test("fold cache distinguishes same-length same-mtime recreations " +
+    "(instance marker)") {
+    import spark.implicits._
+    // the `len:mtime` content key has one residual collision: a
+    // delete-and-recreate whose regenerated log files have the SAME
+    // byte length and land within the SAME mtime tick (S3 mtimes are
+    // second-granular). The `_instance-<uuid>` marker name breaks the
+    // tie — its name changes on every recreation and rides the same
+    // listStatus the fold key already performs.
+    val root = tmp("graft_mtick_")
+    def build(): SnapshotLog.Table = {
+      val t = new SnapshotLog.Table(spark, root, autoCheckpointEvery = 0)
+      // identical VALUES both times: the only difference between the
+      // two incarnations is the data-file uuids (equal length), so
+      // 1.csv's length matches exactly across the recreation
+      t.commitAppend(Seq(("a", 7L)).toDF("part", "v"), "part")
+      t
+    }
+    val t1 = build()
+    assert(t1.asOf(1).count() == 1) // prime the fold cache
+    val oldFiles = t1.liveFiles(1)
+    val logDir = new java.io.File(s"$root/log")
+    val oldTimes = logDir.listFiles().map(f =>
+      f.getName -> f.lastModified()).toMap
+    val oldLen = new java.io.File(logDir, "1.csv").length()
+
+    rm(root)
+    val t2 = build()
+    // force the collision: pin every regenerated log file (and any
+    // new ones) to the OLD mtimes, so `name@len:mtime` is identical
+    logDir.listFiles().foreach { f =>
+      f.setLastModified(oldTimes.getOrElse(f.getName, // new names keep
+        f.lastModified()))                            // their own time
+    }
+    // sanity: the segment really does collide on name+len+mtime
+    val seg = new java.io.File(logDir, "1.csv")
+    assert(oldTimes.contains("1.csv") &&
+      seg.lastModified() == oldTimes("1.csv"),
+      "fixture failed to pin the mtime")
+    assert(seg.length() == oldLen,
+      "fixture regression: regenerated 1.csv changed length, the " +
+        "collision this test pins no longer reproduces")
+    val newFiles = t2.liveFiles(1)
+    assert(newFiles != oldFiles,
+      "fold cache served the dead table's file list across a " +
+        "same-length same-mtime recreation")
+    assert(t2.asOf(1).select("v").as[Long].collect().toSeq == Seq(7L))
+    rm(root)
+  }
 }
