@@ -1,0 +1,235 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.SnapshotLog
+
+/** Cross-feature probes for the round-14 surfaces (SQL row-level DML,
+  * streaming toTable, maintenance procedures, table_changes) against
+  * the EXISTING storage features — column mapping, MOR deletion
+  * vectors, widening, constraints, restore. Unit specs prove each
+  * feature; the compositions are where the bodies are buried
+  * (rounds 12 and 13 each found real bugs exactly here). */
+class Round14InterplaySpec extends SparkSpec {
+
+  private def rm(root: String): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(root))
+
+  private def withExtSession(f: org.apache.spark.sql.SparkSession => Unit)
+      : Unit = {
+    val old = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val es = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new GraftExtensions().apply(_))
+      .getOrCreate()
+    try f(es)
+    finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(old)
+      org.apache.spark.sql.SparkSession.setActiveSession(old)
+    }
+  }
+
+  test("conditional MERGE composes with column mapping and MOR DVs " +
+    "(tombstoned rows are NOT matched)") {
+    withExtSession { es =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_i14_mrg_").toString
+      es.conf.set("spark.sql.catalog.gi", "graft.catalog.GraftCatalog")
+      es.conf.set("spark.sql.catalog.gi.warehouse", wh)
+      es.sql("CREATE TABLE gi.t (k BIGINT, part STRING, v BIGINT) " +
+        "PARTITIONED BY (part)")
+      es.sql("INSERT INTO gi.t VALUES (1, 'a', 10), (2, 'a', 20), " +
+        "(3, 'b', 30)")
+      // rename v -> metric (colmap), then MOR-delete k=2 (DV sidecar)
+      es.sql("ALTER TABLE gi.t RENAME COLUMN v TO metric")
+      es.sql("DELETE FROM gi.t WHERE k IN (2)")
+      import es.implicits._
+      Seq((2L, "a", 999L, "I"), (3L, "b", 5L, "U"))
+        .toDF("k", "part", "metric", "op")
+        .createOrReplaceTempView("i14src")
+      // k=2 is MOR-DELETED: it must be NOT MATCHED (the insert clause
+      // fires); a raw (non-MOR) candidate read would match the
+      // tombstoned bytes and route it as an update instead
+      es.sql("""MERGE INTO gi.t USING i14src ON t.k = i14src.k
+        |WHEN MATCHED AND i14src.op = 'U' THEN
+        |  UPDATE SET metric = t.metric + i14src.metric
+        |WHEN NOT MATCHED AND i14src.op = 'I' THEN
+        |  INSERT (k, part, metric)
+        |  VALUES (i14src.k, i14src.part, i14src.metric)
+        |""".stripMargin)
+      val rows = es.sql("SELECT k, metric FROM gi.t ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == Seq((1L, 10L), (2L, 999L), (3L, 35L)),
+        s"merge over colmap+DVs wrong: $rows")
+      // history below the rename still speaks the original name
+      assert(es.sql("SELECT count(*) FROM gi.t VERSION AS OF 1")
+        .head().getLong(0) == 3)
+      rm(wh)
+    }
+  }
+
+  test("conditional MERGE into an EMPTY table is pure insert") {
+    withExtSession { es =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_i14_mt_").toString
+      es.conf.set("spark.sql.catalog.ge", "graft.catalog.GraftCatalog")
+      es.conf.set("spark.sql.catalog.ge.warehouse", wh)
+      es.sql("CREATE TABLE ge.t (k BIGINT, part STRING, v BIGINT) " +
+        "PARTITIONED BY (part)")
+      import es.implicits._
+      Seq((1L, "a", 10L, "I"), (2L, "a", 20L, "X"))
+        .toDF("k", "part", "v", "op").createOrReplaceTempView("mtsrc")
+      es.sql("MERGE INTO ge.t USING mtsrc ON t.k = mtsrc.k " +
+        "WHEN MATCHED THEN DELETE " +
+        "WHEN NOT MATCHED AND mtsrc.op = 'I' THEN " +
+        "INSERT (k, part, v) VALUES (mtsrc.k, mtsrc.part, mtsrc.v)")
+      val rows = es.sql("SELECT k, v FROM ge.t ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == Seq((1L, 10L)),
+        s"empty-target merge wrong: $rows (op X must be dropped)")
+      rm(wh)
+    }
+  }
+
+  test("toTable stream refuses a constraint-violating epoch before " +
+    "any file is adopted") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_i14_ck_").toString
+    spark.conf.set("spark.sql.catalog.gk", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gk.warehouse", wh)
+    spark.sql("CREATE TABLE gk.t (k BIGINT, part STRING, v BIGINT) " +
+      "PARTITIONED BY (part)")
+    spark.sql("INSERT INTO gk.t VALUES (1, 'a', 10)")
+    val api = new SnapshotLog.Table(spark, s"$wh/t")
+    api.addConstraint("v_pos", "v > 0")
+    val vBefore = api.version
+    val base = java.nio.file.Files.createTempDirectory("graft_i14_cks_")
+    import spark.implicits._
+    Seq((2L, "a", -5L)).toDF("k", "part", "v").coalesce(1)
+      .write.parquet(base.resolve("src").toString)
+    val sch = StructType(Seq(StructField("k", LongType),
+      StructField("part", StringType), StructField("v", LongType)))
+    val q = spark.readStream.schema(sch)
+      .parquet(base.resolve("src").toString)
+      .writeStream
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .toTable("gk.t")
+    val err = intercept[org.apache.spark.sql.streaming
+      .StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(err.getMessage.contains("v_pos") ||
+      Option(err.getCause).exists(c =>
+        c.getMessage != null && c.getMessage.contains("v_pos")),
+      s"stream must name the violated constraint: " +
+        s"${err.getMessage.take(300)}")
+    assert(api.version == vBefore,
+      "a refused epoch must adopt nothing")
+    assert(spark.sql("SELECT sum(v) FROM gk.t").head().getLong(0) == 10)
+    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    rm(wh)
+  }
+
+  test("toTable stream composes with mid-stream widening and renames") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_i14_w_").toString
+    spark.conf.set("spark.sql.catalog.gw", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gw.warehouse", wh)
+    spark.sql("CREATE TABLE gw.t (k INT, part STRING, v BIGINT) " +
+      "PARTITIONED BY (part)")
+    val base = java.nio.file.Files.createTempDirectory("graft_i14_ws_")
+    val srcDir = base.resolve("src").toString
+    val ckpt = base.resolve("ckpt").toString
+    import spark.implicits._
+    val sch = StructType(Seq(StructField("k", IntegerType),
+      StructField("part", StringType), StructField("v", LongType)))
+    def land(k: Int, v: Long): Unit =
+      Seq((k, "a", v)).toDF("k", "part", "v").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .toTable("gw.t")
+      try q.processAllAvailable() finally q.stop()
+    }
+    land(1, 10L); runOnce()
+    // widen k INT -> BIGINT and rename v -> metric BETWEEN epochs:
+    // the next epoch's factory re-resolves both — files land with
+    // wide k footers and keep writing the same PHYSICAL v column
+    spark.sql("ALTER TABLE gw.t ALTER COLUMN k TYPE BIGINT")
+    spark.sql("ALTER TABLE gw.t RENAME COLUMN v TO metric")
+    land(2, 20L); runOnce()
+    val rows = spark.sql("SELECT k, metric FROM gw.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 10L), (2L, 20L)),
+      s"post-evolution streamed state wrong: $rows")
+    // the widened column is genuinely wide: a past-INT32 batch append
+    // composes with the streamed files
+    spark.sql("INSERT INTO gw.t VALUES (9000000000, 'a', 90)")
+    assert(spark.sql("SELECT sum(k) FROM gw.t").head().getLong(0)
+      == 9000000003L)
+    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+    rm(wh)
+  }
+
+  test("restore procedure composes with streamed epochs and " +
+    "table_changes sees the restore delta") {
+    withExtSession { es =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_i14_r_").toString
+      es.conf.set("spark.sql.catalog.gr", "graft.catalog.GraftCatalog")
+      es.conf.set("spark.sql.catalog.gr.warehouse", wh)
+      es.sql("CREATE TABLE gr.t (k BIGINT, part STRING, v BIGINT) " +
+        "PARTITIONED BY (part)")
+      val base = java.nio.file.Files.createTempDirectory("graft_i14_rs_")
+      import es.implicits._
+      Seq((1L, "a", 10L), (2L, "a", 20L)).toDF("k", "part", "v")
+        .coalesce(1).write.parquet(base.resolve("src").toString)
+      val sch = StructType(Seq(StructField("k", LongType),
+        StructField("part", StringType), StructField("v", LongType)))
+      val q = es.readStream.schema(sch)
+        .parquet(base.resolve("src").toString)
+        .writeStream
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .toTable("gr.t")
+      try q.processAllAvailable() finally q.stop() // v1: streamed epoch
+      es.sql("INSERT INTO gr.t VALUES (3, 'b', 30)") // v2
+      es.sql("CALL gr.system.restore(table => 't', version => 1)") // v3
+      assert(es.sql("SELECT sum(v) FROM gr.t").head().getLong(0) == 30)
+      // the CDF serves the restore as an honest delete of v2's adds
+      val changes = es.sql("SELECT _version, _change, k FROM " +
+        "table_changes('gr.t', 2) ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(changes == Seq((3L, "delete", 3L)),
+        s"restore delta wrong through the TVF: $changes")
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      rm(wh)
+    }
+  }
+
+  test("key-set SQL DELETE targets the renamed logical column") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_i14_kd_").toString
+    spark.conf.set("spark.sql.catalog.gd2", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gd2.warehouse", wh)
+    spark.sql("CREATE TABLE gd2.t (k BIGINT, part STRING, " +
+      "name STRING) PARTITIONED BY (part)")
+    spark.sql("INSERT INTO gd2.t VALUES (1, 'a', 'x'), (2, 'a', 'y')")
+    spark.sql("ALTER TABLE gd2.t RENAME COLUMN name TO label")
+    // the key-set MOR delete must resolve label -> physical 'name'
+    spark.sql("DELETE FROM gd2.t WHERE label = 'y'")
+    assert(spark.sql("SELECT k FROM gd2.t").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    val api = new SnapshotLog.Table(spark, s"$wh/t")
+    assert(api.entries.filter(_.version == api.version)
+      .exists(_.action == "dv"),
+      "renamed-column key delete must still be MOR")
+    rm(wh)
+  }
+}
