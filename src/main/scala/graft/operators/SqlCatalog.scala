@@ -179,7 +179,7 @@ object SqlCatalog {
       """WITH victims AS (
         |  SELECT o_orderkey AS k,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 97 = 0
         |)
         |SELECT CAST(2 AS BIGINT) AS _version, 'delete' AS change,
         |  count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
@@ -199,16 +199,18 @@ object SqlCatalog {
         "cents BIGINT) PARTITIONED BY (part)")
       es.sql("INSERT INTO gqcdf.ord SELECT o_orderkey, " +
         "o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) " +
-        "FROM orders_cdf_src") // v1: the seed
+        "FROM orders_cdf_src WHERE o_orderkey % 2 = 0") // v1: the seed
       val keys = es.read.parquet(s"$dir/orders.parquet")
-        .filter(col("o_orderkey") % 97 === 0)
+        .filter(col("o_orderkey") % 2 === 0 &&
+          col("o_orderkey") % 97 === 0)
         .select(col("o_orderkey").cast("long")).collect()
         .map(_.getLong(0)).sorted
       es.sql(s"DELETE FROM gqcdf.ord WHERE k IN " +
         s"(${keys.mkString(", ")})") // v2: MOR tombstones
       es.sql("INSERT INTO gqcdf.ord SELECT o_orderkey, " +
         "o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) + 1 " +
-        "FROM orders_cdf_src WHERE o_orderkey % 97 = 0") // v3
+        "FROM orders_cdf_src " +
+        "WHERE o_orderkey % 2 = 0 AND o_orderkey % 97 = 0") // v3
       val out = es.sql("""SELECT _version, _change AS change,
         |  count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM table_changes('gqcdf.ord', 1)
