@@ -270,6 +270,27 @@ object GraftMergeRule extends Rule[LogicalPlan] {
           case _ => unsupported(s"condition ${cond.sql}")
         }
       }
+    // `DELETE FROM t WHERE k IN (SELECT …)`: a subquery predicate can
+    // never reach the SupportsDelete pushdown path (it is not a source
+    // filter), so route it here — evaluate the subquery once and land
+    // the key set on the MOR DV commit, exactly like a literal IN
+    // list. Everything else (literal shapes, ranges, partitions)
+    // stays on the SupportsDelete path untouched; NOT IN and
+    // correlated subqueries keep failing loudly there.
+    case d @ DeleteFromTable(target, condition)
+        if d.childrenResolved && graftTarget(target).isDefined =>
+      condition match {
+        case org.apache.spark.sql.catalyst.expressions.InSubquery(
+            Seq(a), lq: org.apache.spark.sql.catalyst.expressions.ListQuery)
+            if a.resolved && lq.plan.resolved && lq.outerAttrs.isEmpty =>
+          val t = graftTarget(target).get
+          val keyCol = nameOf(a).getOrElse(
+            throw new UnsupportedOperationException(
+              s"graft DELETE … IN (subquery) needs a plain column on " +
+                s"the left side, got ${a.sql}"))
+          GraftDeleteKeysCommand(t.rootPath, keyCol, lq.plan)
+        case _ => d
+      }
     case m @ MergeIntoTable(target, source, cond,
         matched, notMatched, notMatchedBySource, withSchemaEvolution)
         if m.childrenResolved && graftTarget(target).isDefined =>
@@ -523,6 +544,22 @@ final case class GraftMergeCondCommand(root: String, partCol: String,
         "a NULL partition value has no directory; fix the INSERT/SET " +
         "expressions")
     t.commitApplyChanges(batch, partCol, keyCol)
+    Seq.empty
+  }
+}
+
+/** `DELETE … WHERE k IN (SELECT …)` → the MOR key-delete: the
+  * subquery resolves to a keys frame and lands as deletion-vector
+  * tombstones over zone-map + bloom candidates — O(victims), zero
+  * file rewrites, the same commit a literal IN list routes to. */
+final case class GraftDeleteKeysCommand(root: String, keyCol: String,
+    keys: LogicalPlan) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(keys)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlTable.handleFor(spark, root)
+    t.commitDeleteKeysMor(
+      org.apache.spark.sql.GraftBridge.ofRows(spark, keys).toDF(keyCol),
+      keyCol)
     Seq.empty
   }
 }

@@ -511,16 +511,18 @@ object SqlCatalog {
         |  c_mktsegment AS part, c_name AS name,
         |  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
         |FROM customer
-        |WHERE c_custkey % 97 <> 0 AND c_name <> 'Customer#000000003'
+        |WHERE c_custkey % 97 <> 0 AND c_custkey % 89 <> 0
+        |  AND c_name <> 'Customer#000000003'
         |ORDER BY k""".stripMargin) { (spark, dir) =>
+      val es = extensionSession(spark)
       val wh = java.nio.file.Files
         .createTempDirectory("graft_sqldelk_").toString
-      register(spark, "gqdelk", wh)
-      val src = spark.read.parquet(s"$dir/customer.parquet")
+      register(es, "gqdelk", wh)
+      val src = es.read.parquet(s"$dir/customer.parquet")
       src.createOrReplaceTempView("cust_delk_src")
-      spark.sql("CREATE TABLE gqdelk.cust (k BIGINT, part STRING, " +
+      es.sql("CREATE TABLE gqdelk.cust (k BIGINT, part STRING, " +
         "name STRING, cents BIGINT) PARTITIONED BY (part)")
-      spark.sql("INSERT INTO gqdelk.cust SELECT " +
+      es.sql("INSERT INTO gqdelk.cust SELECT " +
         "CAST(c_custkey AS BIGINT), c_mktsegment, c_name, " +
         "CAST(round(c_acctbal * 100) AS BIGINT) FROM cust_delk_src")
       // the key set: every 97th customer — SF-independent predicate,
@@ -530,7 +532,7 @@ object SqlCatalog {
         .map(_.getLong(0)).sorted
       val t = graft.catalog.GraftSqlTable.handleFor(spark, s"$wh/cust")
       val filesBefore = t.liveFiles(t.version).toSet
-      spark.sql(s"DELETE FROM gqdelk.cust WHERE k IN " +
+      es.sql(s"DELETE FROM gqdelk.cust WHERE k IN " +
         s"(${keys.mkString(", ")})")
       // routing proof: deletion vectors, not a rewrite
       require(t.liveFiles(t.version).toSet == filesBefore,
@@ -539,11 +541,18 @@ object SqlCatalog {
         .exists(_.action == "dv"),
         "key-set DELETE wrote no deletion vectors")
       // string-key equality on a non-partition column: same MOR path
-      spark.sql("DELETE FROM gqdelk.cust " +
+      es.sql("DELETE FROM gqdelk.cust " +
         "WHERE name = 'Customer#000000003'")
       require(t.liveFiles(t.version).toSet == filesBefore,
         "string-key DELETE rewrote data files (must be MOR DVs)")
-      val out = spark.sql(
+      // SUBQUERY key set (round 14): never a pushable source filter —
+      // the extension rule evaluates it and lands the same MOR commit
+      es.sql("DELETE FROM gqdelk.cust WHERE k IN " +
+        "(SELECT CAST(c_custkey AS BIGINT) FROM cust_delk_src " +
+        "WHERE c_custkey % 89 = 0)")
+      require(t.liveFiles(t.version).toSet == filesBefore,
+        "subquery DELETE rewrote data files (must be MOR DVs)")
+      val out = es.sql(
         "SELECT k, part, name, cents FROM gqdelk.cust ORDER BY k")
         .localCheckpoint()
       org.apache.commons.io.FileUtils.deleteDirectory(

@@ -707,6 +707,51 @@ class CatalogSqlSpec extends SparkSpec {
     rm(wh)
   }
 
+  test("DELETE WHERE k IN (subquery) routes to the MOR key delete " +
+    "(extension rule)") {
+    val old = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val es = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions().apply(_))
+      .getOrCreate()
+    try {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_sqldsq_").toString
+      es.conf.set("spark.sql.catalog.gq", "graft.catalog.GraftCatalog")
+      es.conf.set("spark.sql.catalog.gq.warehouse", wh)
+      es.sql("CREATE TABLE gq.t (k BIGINT, part STRING, v BIGINT) " +
+        "PARTITIONED BY (part)")
+      es.sql("INSERT INTO gq.t VALUES (1, 'a', 10), (2, 'a', 20), " +
+        "(3, 'b', 30), (4, 'b', 40)")
+      import es.implicits._
+      Seq((2L, 100L), (4L, 1L), (9L, 100L)).toDF("k", "score")
+        .createOrReplaceTempView("dsq_src")
+      val api = new SnapshotLog.Table(es, s"$wh/t")
+      val filesBefore = api.liveFiles(api.version).toSet
+      // k=2 (score>50) dies; k=4 (score too low) and k=9 (absent) not
+      es.sql("DELETE FROM gq.t WHERE k IN " +
+        "(SELECT k FROM dsq_src WHERE score > 50)")
+      assert(es.sql("SELECT k FROM gq.t ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L))
+      assert(api.liveFiles(api.version).toSet == filesBefore,
+        "subquery DELETE rewrote data files (must be MOR DVs)")
+      assert(api.entries.filter(_.version == api.version)
+        .exists(_.action == "dv"))
+      // the ordinary shapes still route through SupportsDelete when
+      // the extension is installed (no rule shadowing)
+      es.sql("DELETE FROM gq.t WHERE part = 'a'")
+      assert(es.sql("SELECT k FROM gq.t ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq == Seq(3L, 4L))
+      rm(wh)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(old)
+      org.apache.spark.sql.SparkSession.setActiveSession(old)
+    }
+  }
+
   test("table_changes TVF serves the batch CDF through SQL " +
     "(bounds, MOR deletes, renames)") {
     val old = spark
