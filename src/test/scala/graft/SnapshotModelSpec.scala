@@ -24,8 +24,11 @@ import graft.sources.SnapshotLog
   * column (committed INT until widened — every read casts up), and
   * DEFAULT columns (every introduced default must read 7 on every
   * row at every later version — rewrites materialize, clones carry,
-  * omitting writers get filled), atomic whole-table OVERWRITE, and
-  * the pruned COW range UPDATE. */
+  * omitting writers get filled), atomic whole-table OVERWRITE, the
+  * pruned COW range UPDATE, the STRING-bounded typed UPDATE variant
+  * (stats-less bound column → conservative all-file candidates, row
+  * predicate carries the truth), and the absent-partition delete
+  * no-op (an honest empty commit). */
 class SnapshotModelSpec extends SparkSpec {
 
   private def runSequence(seed: Long, nOps: Int): Unit = {
@@ -67,7 +70,7 @@ class SnapshotModelSpec extends SparkSpec {
     }
 
     (1 to nOps).foreach { i =>
-      val op = rnd.nextInt(20)
+      val op = rnd.nextInt(22)
       op match {
         case 0 | 1 | 2 => // fresh-key append
           val ks = (nextKey until nextKey + 5 + rnd.nextInt(20))
@@ -162,6 +165,17 @@ class SnapshotModelSpec extends SparkSpec {
           val dn = s"d$i"
           t.addColumnDefault(dn, "bigint", "7")
           defaults :+= dn
+        case 20 => // STRING-bounded typed UPDATE: the part column is
+          // dir-encoded (no footer stats), so the candidate prune
+          // degrades conservatively to every live file and the row
+          // predicate does the filtering — the typed variant soaked
+          // against DVs, widening, defaults and renames
+          t.commitUpdateRangeStr("part", "part", "a", "z",
+            Map(vName -> (col(vName) + lit(4))))
+          model = model.map { case (k, v) => k -> (v + 4) }
+        case 21 => // absent-partition delete: zero rows, honest
+          // empty commit (the version advances, the fold is unchanged)
+          t.commitDeletePartition("part", s"absent$i")
         case 12 => // write-audit-publish as one committed batch
           val ks = (nextKey until nextKey + 3 + rnd.nextInt(5))
           nextKey = ks.last + 1
