@@ -85,6 +85,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+
   private def spark: SparkSession = SparkSession.active
 
   /** Warehouse root — live-conf first (catalog instances are cached
@@ -169,8 +175,56 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       readMeta(root), version)
   }
 
+  /** `CREATE TABLE … (id BIGINT GENERATED ALWAYS AS IDENTITY, …)` —
+    * the Column[] overload is where the identity spec arrives (the
+    * default StructType conversion drops it); values are ALWAYS
+    * engine-assigned by [[SnapshotLog.Table.commitAppendIdentity]]
+    * (contiguous past the manifest watermark), so only start=1/step=1
+    * GENERATED ALWAYS is accepted — anything else misdescribes what
+    * the allocator does, and lying about it would be worse than
+    * refusing. */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : Table = {
+    val identity = columns.filter(_.identityColumnSpec() != null)
+    require(identity.length <= 1,
+      "graft tables support at most one identity column")
+    identity.headOption.foreach { c =>
+      val spec = c.identityColumnSpec()
+      require(spec.getStart == 1 && spec.getStep == 1,
+        s"graft identity columns number 1,2,3,… (START WITH 1 " +
+          s"INCREMENT BY 1); got start=${spec.getStart} " +
+          s"step=${spec.getStep}")
+      require(!spec.isAllowExplicitInsert,
+        "GENERATED BY DEFAULT is not supported — graft identity " +
+          "values are always engine-assigned")
+      require(c.dataType() == org.apache.spark.sql.types.LongType,
+        s"identity column ${c.name()} must be BIGINT")
+    }
+    val fields = columns.map { c =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      val spec = c.identityColumnSpec()
+      if (spec != null) {
+        mb.putLong("identity.start", spec.getStart)
+        mb.putLong("identity.step", spec.getStep)
+        mb.putBoolean("identity.allowExplicitInsert",
+          spec.isAllowExplicitInsert)
+      }
+      org.apache.spark.sql.types.StructField(c.name(), c.dataType(),
+        c.nullable(), mb.build())
+    }
+    createTableImpl(ident, StructType(fields.toIndexedSeq), partitions,
+      identity.headOption.map(_.name()))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String])
+      : Table =
+    createTableImpl(ident, schema, partitions, None)
+
+  private def createTableImpl(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], identityCol: Option[String])
       : Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     require(partitions.length == 1 &&
@@ -186,9 +240,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"partition column $partCol must be STRING: the manifest read " +
         "path surfaces dir-encoded partition values as strings " +
         "(cast in queries for typed comparisons)")
+    identityCol.foreach(ic => require(!ic.equalsIgnoreCase(partCol),
+      "the partition column cannot be the identity column"))
     val root = rootFor(ident)
     fsFor(new Path(root)).mkdirs(new Path(root))
-    writeMeta(root, GraftCatalog.TableMeta(schema.json, partCol))
+    writeMeta(root,
+      GraftCatalog.TableMeta(schema.json, partCol, identityCol))
     loadTable(ident)
   }
 
@@ -351,10 +408,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 }
 
 private[graft] object GraftCatalog {
-  /** Table sidecar: declared schema (before the first commit) + the
-    * partition column the write path routes on. */
+  /** Table sidecar: declared schema (before the first commit), the
+    * partition column the write path routes on, and the
+    * GENERATED-ALWAYS identity column if one was declared. */
   private[catalog] case class TableMeta(schemaJson: String,
-      partCol: String) {
+      partCol: String, identityCol: Option[String] = None) {
     def schema: StructType =
       org.apache.spark.sql.types.DataType.fromJson(schemaJson)
         .asInstanceOf[StructType]
@@ -368,9 +426,11 @@ private[graft] object GraftCatalog {
     val out = fs.create(metaPath(root), true)
     // hand-rolled two-field JSON: schemaJson is already JSON, partCol
     // is a validated identifier (no escaping surface)
+    val idField = meta.identityCol
+      .map(c => s""","identity":"$c"""").getOrElse("")
     try out.write(
-      s"""{"partCol":"${meta.partCol}","schema":${meta.schemaJson}}"""
-        .getBytes("UTF-8"))
+      s"""{"partCol":"${meta.partCol}"$idField,"schema":${
+        meta.schemaJson}}""".getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -392,9 +452,13 @@ private[graft] object GraftCatalog {
       case other => throw new IllegalStateException(
         s"malformed ${metaPath(root)}: partCol = $other")
     }
+    val idCol = j \ "identity" match {
+      case JString(c) => Some(c)
+      case _ => None
+    }
     val schemaJson = org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(j \ "schema"))
-    Some(TableMeta(schemaJson, pc))
+    Some(TableMeta(schemaJson, pc, idCol))
   }
 
   /** Identifier-segment hygiene shared by the catalog and the TVF:
@@ -428,6 +492,8 @@ private[catalog] final class GraftSqlTable(tableName: String,
 
   private def spark: SparkSession = SparkSession.active
   private[catalog] def rootPath: String = root
+  private[catalog] def identityCol: Option[String] =
+    meta.flatMap(_.identityCol)
   private[catalog] def log: SnapshotLog.Table =
     GraftSqlTable.handleFor(spark, root)
 
@@ -463,10 +529,21 @@ private[catalog] final class GraftSqlTable(tableName: String,
       case (Some(s), Some(m)) =>
         val logicalToPhys = log.columnMapping(readVersion)._1
         val declaredPos = m.schema.fieldNames.zipWithIndex.toMap
+        // identity (and any other declared field metadata) re-attaches
+        // by PHYSICAL name: the live scan's fields carry none, but the
+        // analyzer needs it to keep enforcing GENERATED ALWAYS on
+        // inserts after the first commit
+        val declMeta = m.schema.fields.map(f => f.name -> f.metadata)
+          .toMap
         StructType(s.fields.sortBy { f =>
           val phys = logicalToPhys.getOrElse(f.name, f.name)
           declaredPos.getOrElse(phys,
             declaredPos.size + s.fieldIndex(f.name))
+        }.map { f =>
+          val phys = logicalToPhys.getOrElse(f.name, f.name)
+          declMeta.get(phys)
+            .filterNot(_ == org.apache.spark.sql.types.Metadata.empty)
+            .map(md => f.copy(metadata = md)).getOrElse(f)
         })
     }
   }
@@ -873,8 +950,34 @@ private[catalog] final class GraftWriteBuilder(table: GraftSqlTable,
       new InsertableRelation {
         override def insert(data: DataFrame, ow: Boolean): Unit = {
           val pc = table.partColOrFail
-          if (overwrite || ow) table.log.commitOverwrite(data, pc)
-          else table.log.commitAppend(data, pc)
+          table.identityCol match {
+            case Some(id) =>
+              if (overwrite || ow)
+                throw new UnsupportedOperationException(
+                  s"INSERT OVERWRITE into identity table " +
+                    s"${table.name()} is not supported — identity " +
+                    "values are never reassigned; TRUNCATE then " +
+                    "INSERT if a reset is genuinely wanted")
+              // the analyzer null-fills the omitted GENERATED ALWAYS
+              // column; a non-null value means someone smuggled an
+              // explicit id past analysis — refuse rather than
+              // silently replace it
+              val explicit = data.filter(col(id).isNotNull)
+                .limit(1).count()
+              if (explicit > 0) throw new IllegalArgumentException(
+                s"identity column $id is GENERATED ALWAYS — explicit " +
+                  "values are not accepted")
+              // in-batch assignment order: the remaining columns,
+              // name-sorted — deterministic for replay as long as the
+              // batch itself is
+              val orderKeys = data.columns.filterNot(c =>
+                c.equalsIgnoreCase(id)).sorted.toIndexedSeq.map(col)
+              table.log.commitAppendIdentity(data.drop(id), pc, id,
+                orderKeys)
+            case None =>
+              if (overwrite || ow) table.log.commitOverwrite(data, pc)
+              else table.log.commitAppend(data, pc)
+          }
         }
       }
     override def toStreaming
@@ -882,6 +985,11 @@ private[catalog] final class GraftWriteBuilder(table: GraftSqlTable,
       require(!overwrite,
         "graft streaming writes are APPEND-mode only (complete/" +
           "update modes would truncate the table every epoch)")
+      require(table.identityCol.isEmpty,
+        s"writeStream.toTable into identity table ${table.name()} " +
+          "is not supported — identity assignment needs the driver-" +
+          "side watermark commit; stream into a staging table and " +
+          "MERGE, or use foreachBatch with commitAppendIdentity")
       new GraftStreamingWrite(table.rootPath, table.partColOrFail,
         info.schema(), info.queryId())
     }

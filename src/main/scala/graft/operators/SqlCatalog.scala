@@ -167,6 +167,53 @@ object SqlCatalog {
       es.sql("SELECT nkey, rpart, nname FROM gqmrg.nat ORDER BY nkey")
     },
 
+    // ---- SQL identity columns (round 14): GENERATED ALWAYS AS
+    //      IDENTITY through the catalog — ids engine-assigned past
+    //      the manifest watermark, contiguous across commits, the
+    //      in-batch order a deterministic sort over the remaining
+    //      columns (name-sorted: cents, k, part). The oracle replays
+    //      the exact assignment as row_number() over (batch, cents,
+    //      k, part) — a gap, duplicate, reused id, or nondeterministic
+    //      in-batch order flips the hash.
+    QueryDef.checked(
+      "q_snapshot_sql_identity",
+      """WITH base AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    c_mktsegment AS part,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+        |    CASE WHEN c_custkey % 2 = 0 THEN 0 ELSE 1 END AS b
+        |  FROM customer
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY b, cents, k, part)
+        |    AS BIGINT) AS id,
+        |  k, part, cents
+        |FROM base ORDER BY id""".stripMargin) { (spark, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_sqlid_").toString
+      register(spark, "gqid", wh)
+      spark.read.parquet(s"$dir/customer.parquet")
+        .createOrReplaceTempView("cust_id_src")
+      spark.sql("CREATE TABLE gqid.cust (id BIGINT GENERATED ALWAYS " +
+        "AS IDENTITY, k BIGINT, part STRING, cents BIGINT) " +
+        "PARTITIONED BY (part)")
+      // two batches: ids 1..n over batch 1, n+1..N over batch 2
+      Seq(0, 1).foreach(parity => spark.sql(
+        "INSERT INTO gqid.cust (k, part, cents) SELECT " +
+          "CAST(c_custkey AS BIGINT), c_mktsegment, " +
+          "CAST(round(c_acctbal * 100) AS BIGINT) FROM cust_id_src " +
+          s"WHERE c_custkey % 2 = $parity"))
+      val t = graft.catalog.GraftSqlTable.handleFor(spark, s"$wh/cust")
+      require(t.identityWatermark("id") ==
+        spark.sql("SELECT count(*) FROM gqid.cust").head().getLong(0),
+        "identity watermark must equal the row count (dense, no gaps)")
+      val out = spark.sql(
+        "SELECT id, k, part, cents FROM gqid.cust ORDER BY id")
+        .localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(wh))
+      out
+    },
+
     // ---- batch CDF through SQL (round 14): the table_changes TVF
     //      (GraftExtensions injectTableFunction) over a catalog table
     //      with a MOR delete and a re-insert — changes AFTER the

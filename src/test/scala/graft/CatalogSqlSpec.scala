@@ -853,6 +853,42 @@ class CatalogSqlSpec extends SparkSpec {
     rm(wh)
   }
 
+  test("GENERATED ALWAYS AS IDENTITY through SQL: engine-assigned, " +
+    "dense, never reused, explicit refused") {
+    val wh = freshWarehouse()
+    spark.sql("CREATE TABLE gsql.idt (id BIGINT GENERATED ALWAYS AS " +
+      "IDENTITY, k BIGINT, part STRING) PARTITIONED BY (part)")
+    spark.sql("INSERT INTO gsql.idt (k, part) VALUES (100, 'a'), " +
+      "(200, 'a')")
+    spark.sql("INSERT INTO gsql.idt (k, part) VALUES (300, 'b')")
+    assert(spark.sql("SELECT id, k FROM gsql.idt ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 100L), (2L, 200L), (3L, 300L)),
+      "ids must be dense 1..N across commits")
+    // explicit values into GENERATED ALWAYS are refused
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO gsql.idt VALUES (99, 400, 'a')"))
+    assert(e.getMessage.contains("GENERATED ALWAYS"),
+      s"wrong failure: ${e.getMessage.take(200)}")
+    // deleted ids are never reused (the watermark only rises)
+    spark.sql("DELETE FROM gsql.idt WHERE part = 'b'")
+    spark.sql("INSERT INTO gsql.idt (k, part) VALUES (500, 'c')")
+    assert(spark.sql("SELECT max(id) FROM gsql.idt").head().getLong(0)
+      == 4L, "a deleted id was reused")
+    // OVERWRITE and streaming writes are refused loudly
+    assertThrows[Exception](
+      spark.sql("INSERT OVERWRITE gsql.idt (k, part) VALUES (1, 'z')"))
+    // unsupported identity shapes refused at CREATE
+    assertThrows[Exception](spark.sql(
+      "CREATE TABLE gsql.idbad (id BIGINT GENERATED ALWAYS AS " +
+        "IDENTITY (START WITH 10), k BIGINT, part STRING) " +
+        "PARTITIONED BY (part)"))
+    assertThrows[Exception](spark.sql(
+      "CREATE TABLE gsql.idbad2 (id BIGINT GENERATED BY DEFAULT AS " +
+        "IDENTITY, k BIGINT, part STRING) PARTITIONED BY (part)"))
+    rm(wh)
+  }
+
   test("SHOW TABLES and table rename through the catalog") {
     val wh = freshWarehouse()
     spark.sql("CREATE TABLE gsql.t1 (k BIGINT, part STRING) " +
