@@ -88,8 +88,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def capabilities()
       : util.Set[org.apache.spark.sql.connector.catalog
         .TableCatalogCapability] =
-    util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_TABLE_CONSTRAINT)
 
   private def spark: SparkSession = SparkSession.active
 
@@ -260,12 +263,23 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           "graft supports top-level column renames only")
         val from = rc.fieldNames()(0)
         log.renameColumn(from, rc.newName())
-        // keep the write path's partition key current if IT was renamed
-        readMeta(root).filter(_.partCol == from).foreach(m =>
-          writeMeta(root, m.copy(partCol = rc.newName())))
+        // keep the write path's sidecar keys current if one of THEM
+        // was renamed (partition routing / identity assignment would
+        // otherwise target the dead name)
+        readMeta(root).foreach { m =>
+          var m2 = m
+          if (m.partCol == from) m2 = m2.copy(partCol = rc.newName())
+          if (m.identityCol.contains(from))
+            m2 = m2.copy(identityCol = Some(rc.newName()))
+          if (m2 != m) writeMeta(root, m2)
+        }
       case dc: TableChange.DeleteColumn =>
         require(dc.fieldNames().length == 1,
           "graft supports top-level column drops only")
+        require(!readMeta(root).exists(
+          _.identityCol.contains(dc.fieldNames()(0))),
+          s"cannot drop the identity column ${dc.fieldNames()(0)} — " +
+            "the watermark allocator is keyed by it")
         log.dropColumn(dc.fieldNames()(0))
       case ut: TableChange.UpdateColumnType =>
         // ALTER TABLE ... ALTER COLUMN c TYPE t -> metadata-only type
@@ -291,10 +305,29 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             "are not supported")
         log.addColumnDefault(ac.fieldNames()(0),
           ac.dataType().sql, String.valueOf(lit.value))
+      case ac: TableChange.AddConstraint =>
+        // ALTER TABLE … ADD CONSTRAINT c CHECK (expr) → the engine's
+        // commit-time constraint (every write commit re-validates);
+        // PK/FK/UNIQUE are informational promises this engine cannot
+        // enforce at commit time, so they are refused rather than
+        // recorded-and-ignored
+        ac.constraint() match {
+          case ck: org.apache.spark.sql.connector.catalog.constraints
+              .Check =>
+            log.addConstraint(ck.name(), ck.predicateSql())
+          case other => throw new UnsupportedOperationException(
+            s"graft enforces CHECK constraints only; got " +
+              s"${other.toDDL()}")
+        }
+      case dcs: TableChange.DropConstraint =>
+        if (!dcs.ifExists() ||
+            log.activeConstraints.contains(dcs.name()))
+          log.dropConstraint(dcs.name())
       case other => throw new UnsupportedOperationException(
         s"graft catalog does not support table change $other " +
           "(supported: RENAME/DROP COLUMN, ALTER COLUMN TYPE " +
-          "widening, ADD COLUMN ... DEFAULT)")
+          "widening, ADD COLUMN ... DEFAULT, ADD/DROP CONSTRAINT " +
+          "... CHECK)")
     }
     loadTable(ident)
   }
@@ -555,6 +588,18 @@ private[catalog] final class GraftSqlTable(tableName: String,
   override def properties(): util.Map[String, String] =
     Map(TableCatalog.PROP_LOCATION -> root,
       "format" -> "graft-snapshot").asJava
+
+  /** Active CHECK constraints, surfaced for DESCRIBE and the
+    * analyzer; enforcement itself lives in the commits. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints
+        .Constraint] =
+    if (readVersion == 0) Array.empty
+    else log.activeConstraints.toSeq.sortBy(_._1).map { case (n, ex) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(ex).build()
+        : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,

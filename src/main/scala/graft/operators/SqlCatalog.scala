@@ -167,6 +167,59 @@ object SqlCatalog {
       es.sql("SELECT nkey, rpart, nname FROM gqmrg.nat ORDER BY nkey")
     },
 
+    // ---- SQL CHECK constraints (round 14): ADD CONSTRAINT via DDL,
+    //      enforced by every write commit — a violating INSERT must
+    //      land NOTHING (atomic refusal), a conforming one passes,
+    //      DROP CONSTRAINT lifts the gate. The oracle recomputes the
+    //      accepted-row set; an admitted violator or a lost
+    //      conforming batch flips the hash.
+    QueryDef.checked(
+      "q_snapshot_sql_constraints",
+      """SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |  CAST(n_regionkey AS VARCHAR) AS part,
+        |  CAST(n_nationkey * 10 AS BIGINT) AS v
+        |FROM nation
+        |WHERE n_nationkey > 0
+        |UNION ALL
+        |SELECT CAST(n_nationkey + 100 AS BIGINT),
+        |  CAST(n_regionkey AS VARCHAR),
+        |  CAST(-n_nationkey AS BIGINT)
+        |FROM nation WHERE n_nationkey > 0
+        |ORDER BY k""".stripMargin) { (spark, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_sqlck_").toString
+      register(spark, "gqck", wh)
+      spark.read.parquet(s"$dir/nation.parquet")
+        .createOrReplaceTempView("nation_ck_src")
+      spark.sql("CREATE TABLE gqck.nat (k BIGINT, part STRING, " +
+        "v BIGINT) PARTITIONED BY (part)")
+      spark.sql("INSERT INTO gqck.nat SELECT " +
+        "CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS STRING), " +
+        "CAST(n_nationkey * 10 AS BIGINT) FROM nation_ck_src " +
+        "WHERE n_nationkey > 0")
+      spark.sql("ALTER TABLE gqck.nat ADD CONSTRAINT v_pos " +
+        "CHECK (v > 0)")
+      // the violating batch must land NOTHING
+      val refused =
+        try { spark.sql("INSERT INTO gqck.nat SELECT " +
+          "CAST(n_nationkey + 200 AS BIGINT), " +
+          "CAST(n_regionkey AS STRING), CAST(0 AS BIGINT) " +
+          "FROM nation_ck_src WHERE n_nationkey > 0"); false }
+        catch { case e: Exception => e.getMessage.contains("v_pos") }
+      require(refused, "violating INSERT was admitted past v_pos")
+      // DROP lifts the gate; the negative batch then lands
+      spark.sql("ALTER TABLE gqck.nat DROP CONSTRAINT v_pos")
+      spark.sql("INSERT INTO gqck.nat SELECT " +
+        "CAST(n_nationkey + 100 AS BIGINT), " +
+        "CAST(n_regionkey AS STRING), CAST(-n_nationkey AS BIGINT) " +
+        "FROM nation_ck_src WHERE n_nationkey > 0")
+      val out = spark.sql(
+        "SELECT k, part, v FROM gqck.nat ORDER BY k").localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(wh))
+      out
+    },
+
     // ---- SQL identity columns (round 14): GENERATED ALWAYS AS
     //      IDENTITY through the catalog — ids engine-assigned past
     //      the manifest watermark, contiguous across commits, the

@@ -2212,11 +2212,16 @@ object SnapshotLog {
       * (= largest) wins — so the allocator state is manifest metadata
       * like everything else: checkpoint-durable, time-travel-visible,
       * and protected by the same segment CAS as the rows it numbers. */
-    def identityWatermark(idCol: String): Long =
+    def identityWatermark(idCol0: String): Long = {
+      // watermark entries are keyed by PHYSICAL name (the same
+      // convention as stats/blooms/colmap), so renaming the identity
+      // column never resets the allocator — a reset would REUSE ids
+      val idCol = physicalAt(version, idCol0)
       entries.collect {
         case Entry(_, "idwm", p) if p.startsWith(s"$idCol|") =>
           p.stripPrefix(s"$idCol|").toLong
       }.maxOption.getOrElse(0L)
+    }
 
     /** Append with IDENTITY assignment (Delta's GENERATED ALWAYS AS
       * IDENTITY): the batch's rows get the CONTIGUOUS ids
@@ -2239,6 +2244,7 @@ object SnapshotLog {
       val v = casCheck(expectedVersion)
       require(!df.columns.contains(idCol),
         s"batch already carries $idCol — identity is assigned, not given")
+      val idPhys = physicalAt(v - 1, idCol)
       val wm = identityWatermark(idCol)
       val (ranked, total) = graft.util.RangeRank.withGlobalRankAndTotal(
         df, "__id_rn", spark.sessionState.conf.numShufflePartitions,
@@ -2253,7 +2259,7 @@ object SnapshotLog {
       fs.delete(tmp, true)
       publishOrCleanup(v, added.map(Entry(v, "add", _)) ++
         statsEntries(v, added) :+
-        Entry(v, "idwm", s"$idCol|${wm + total}"), added)
+        Entry(v, "idwm", s"$idPhys|${wm + total}"), added)
       buildBlooms(v, added)
       maybeAutoCompact(partCol)
       v

@@ -886,6 +886,46 @@ class CatalogSqlSpec extends SparkSpec {
     assertThrows[Exception](spark.sql(
       "CREATE TABLE gsql.idbad2 (id BIGINT GENERATED BY DEFAULT AS " +
         "IDENTITY, k BIGINT, part STRING) PARTITIONED BY (part)"))
+    // renaming the identity column keeps the allocator CONTINUOUS
+    // (the watermark is keyed by physical name — a reset would
+    // reuse ids) and dropping it is refused
+    spark.sql("ALTER TABLE gsql.idt RENAME COLUMN id TO uid")
+    spark.sql("INSERT INTO gsql.idt (k, part) VALUES (600, 'c')")
+    assert(spark.sql("SELECT max(uid) FROM gsql.idt").head().getLong(0)
+      == 5L, "rename reset the identity watermark")
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE gsql.idt DROP COLUMN uid"))
+    assert(e2.getMessage.contains("identity column"),
+      s"wrong failure: ${e2.getMessage.take(200)}")
+    rm(wh)
+  }
+
+  test("ADD/DROP CONSTRAINT CHECK through SQL DDL enforce at commit " +
+    "time") {
+    val wh = freshWarehouse()
+    spark.sql("CREATE TABLE gsql.ck (k BIGINT, part STRING, v BIGINT) " +
+      "PARTITIONED BY (part)")
+    spark.sql("INSERT INTO gsql.ck VALUES (1, 'a', 10)")
+    spark.sql("ALTER TABLE gsql.ck ADD CONSTRAINT v_pos CHECK (v > 0)")
+    // every write path re-validates: a violating INSERT is refused
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO gsql.ck VALUES (2, 'a', -5)"))
+    assert(e.getMessage.contains("v_pos"),
+      s"wrong failure: ${e.getMessage.take(300)}")
+    assert(spark.sql("SELECT count(*) FROM gsql.ck").head().getLong(0)
+      == 1)
+    // conforming writes pass; DROP CONSTRAINT lifts the gate
+    spark.sql("INSERT INTO gsql.ck VALUES (3, 'a', 30)")
+    spark.sql("ALTER TABLE gsql.ck DROP CONSTRAINT v_pos")
+    spark.sql("INSERT INTO gsql.ck VALUES (4, 'a', -4)")
+    assert(spark.sql("SELECT count(*) FROM gsql.ck").head().getLong(0)
+      == 3)
+    // non-CHECK constraints are refused, not recorded-and-ignored
+    val e2 = intercept[Exception](spark.sql(
+      "ALTER TABLE gsql.ck ADD CONSTRAINT pk PRIMARY KEY (k)"))
+    assert(e2.getMessage.contains("CHECK constraints only") ||
+      e2.getMessage.toLowerCase.contains("primary key"),
+      s"wrong failure: ${e2.getMessage.take(300)}")
     rm(wh)
   }
 
