@@ -92,7 +92,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
         .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORT_TABLE_CONSTRAINT)
+        .SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private def spark: SparkSession = SparkSession.active
 
@@ -213,6 +215,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         mb.putLong("identity.step", spec.getStep)
         mb.putBoolean("identity.allowExplicitInsert",
           spec.isAllowExplicitInsert)
+      }
+      // CREATE-time DEFAULTs: the analyzer fills omitted columns from
+      // the CURRENT_DEFAULT metadata, so every batch CARRIES the value
+      // (distinct from ADD COLUMN … DEFAULT, whose era machinery
+      // serves PRE-EXISTING rows) — the metadata keys are Spark's
+      // ResolveDefaultColumns contract
+      if (c.defaultValue() != null) {
+        mb.putString("CURRENT_DEFAULT", c.defaultValue().getSql)
+        mb.putString("EXISTS_DEFAULT", c.defaultValue().getSql)
       }
       org.apache.spark.sql.types.StructField(c.name(), c.dataType(),
         c.nullable(), mb.build())

@@ -929,6 +929,31 @@ class CatalogSqlSpec extends SparkSpec {
     rm(wh)
   }
 
+  test("CTAS and CREATE-time DEFAULT columns work through the catalog") {
+    val wh = freshWarehouse()
+    // CREATE TABLE AS SELECT: createTable + the V1 write in one
+    spark.sql("CREATE TABLE gsql.ct PARTITIONED BY (part) AS " +
+      "SELECT CAST(id AS BIGINT) AS k, " +
+      "CAST(id % 2 AS STRING) AS part, id * 10 AS v FROM range(6)")
+    assert(spark.sql("SELECT sum(v) FROM gsql.ct").head().getLong(0)
+      == 150L)
+    assert(spark.sql("SELECT count(DISTINCT part) FROM gsql.ct")
+      .head().getLong(0) == 2)
+    // CREATE-time DEFAULT: the analyzer fills omitted columns, so
+    // every batch carries the value (distinct from the ADD COLUMN
+    // DEFAULT era machinery)
+    spark.sql("CREATE TABLE gsql.cd (k BIGINT, part STRING, " +
+      "v BIGINT DEFAULT 7) PARTITIONED BY (part)")
+    spark.sql("INSERT INTO gsql.cd (k, part) VALUES (1, 'a')")
+    spark.sql("INSERT INTO gsql.cd VALUES (2, 'a', 20)")
+    spark.sql("INSERT INTO gsql.cd (k, part) VALUES (3, 'b')") // post-commit: metadata re-attach
+    assert(spark.sql("SELECT k, v FROM gsql.cd ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 7L), (2L, 20L), (3L, 7L)),
+      "CREATE-time DEFAULT fill wrong")
+    rm(wh)
+  }
+
   test("SHOW TABLES and table rename through the catalog") {
     val wh = freshWarehouse()
     spark.sql("CREATE TABLE gsql.t1 (k BIGINT, part STRING) " +
