@@ -939,6 +939,14 @@ class CatalogSqlSpec extends SparkSpec {
       == 150L)
     assert(spark.sql("SELECT count(DISTINCT part) FROM gsql.ct")
       .head().getLong(0) == 2)
+    // CREATE OR REPLACE rides Spark's drop+create fallback (the
+    // catalog is not a StagingTableCatalog, so the swap is NOT
+    // atomic — documented trade; the new schema may differ freely)
+    spark.sql("CREATE OR REPLACE TABLE gsql.ct PARTITIONED BY (part) " +
+      "AS SELECT CAST(9 AS BIGINT) AS k, 'z' AS part, 'w' AS label")
+    assert(spark.sql("SELECT k, label FROM gsql.ct").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((9L, "w")))
     // CREATE-time DEFAULT: the analyzer fills omitted columns, so
     // every batch carries the value (distinct from the ADD COLUMN
     // DEFAULT era machinery)
