@@ -35,8 +35,6 @@ import org.apache.spark.sql.functions.col
   * the zone-map + bloom candidate pruning on the target side. */
 object GraftMergeRule extends Rule[LogicalPlan] {
 
-  @volatile private[graft] var debug = false
-
   private def graftTarget(plan: LogicalPlan): Option[GraftSqlTable] =
     plan match {
       case SubqueryAlias(_, child) => graftTarget(child)
@@ -234,13 +232,6 @@ object GraftMergeRule extends Rule[LogicalPlan] {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (debug) plan.foreach {
-      case m: MergeIntoTable => println(
-        s"RULE_SAW_MERGE childrenResolved=${m.childrenResolved} " +
-          s"graft=${graftTarget(m.targetTable).isDefined} " +
-          s"target=${m.targetTable.getClass.getSimpleName}")
-      case _ => ()
-    }
     plan.transform {
     case u @ UpdateTable(target, assignments, condition)
         if u.childrenResolved && graftTarget(target).isDefined =>
