@@ -117,4 +117,41 @@ class MultimodalSpec extends SparkSpec {
       assert(dec.max_sample == s0 + 7L * (n - 1), s"max_sample for $d")
     }
   }
+
+  test("real Y4M encode/decode roundtrip is plane-exact per clip") {
+    import spark.implicits._
+    val ids = Seq(1L, 4L, 7L, 22L, 103L)
+    val docs = ids.map(d => (d, s"t$d")).toDF("doc_id", "text")
+    val encoded = Multimodal.encodeY4m(docs).collect()
+      .map(e => e.doc_id -> e).toMap
+    // only doc_id % 3 == 1 carry video
+    assert(encoded.keySet == ids.filter(_ % 3 == 1).toSet)
+    encoded.foreach { case (d, enc) =>
+      // a REAL Y4M stream: magic + C444 declared in the header
+      val head = new String(enc.media.take(40), "US-ASCII")
+      assert(head.startsWith("YUV4MPEG2 W"), s"not Y4M for $d: $head")
+      assert(head.contains("C444"), s"chroma tag missing for $d")
+      val dec = Multimodal.Y4mDecoder.decode(Iterator(enc)).next()
+      val w = (8 + 2 * (d % 5)).toInt
+      val h = (6 + d % 7).toInt
+      val f = (2 + d % 4).toInt
+      val nPix = w.toLong * h
+      assert(dec.width == w && dec.height == h && dec.n_frames == f,
+        s"geometry for $d: $dec")
+      assert(dec.y_sum ==
+        nPix * (f * (d % 100) + 3L * f * (f - 1) / 2) + f * nPix / 2,
+        s"y_sum for $d")
+      assert(dec.u_sum == nPix * (f * ((d % 80) + 10) + f.toLong * (f - 1)),
+        s"u_sum for $d")
+      assert(dec.v_sum ==
+        nPix * (f * ((d % 60) + 20) + f.toLong * (f - 1) / 2),
+        s"v_sum for $d")
+    }
+    // a truncated stream fails LOUDLY, never a silent short read
+    val whole = encoded(ids.filter(_ % 3 == 1).head)
+    val torn = Multimodal.EncodedVideo(whole.doc_id,
+      whole.media.dropRight(5))
+    assertThrows[IllegalArgumentException](
+      Multimodal.Y4mDecoder.decode(Iterator(torn)).next())
+  }
 }
