@@ -306,10 +306,20 @@ object GraftMergeRule extends Rule[LogicalPlan] {
           case (Seq(DeleteAction(None)), Seq()) => true
           case _ => false
         })
+      // MERGE inserts into an identity table would smuggle explicit
+      // ids past GENERATED ALWAYS (the change batch carries every
+      // column verbatim) — refuse while the delete-only form, which
+      // assigns nothing, stays available
+      def refuseIdentityInserts(): Unit = t.identityCol.foreach(ic =>
+        if (notMatched.nonEmpty) throw new UnsupportedOperationException(
+          s"MERGE with INSERT clauses into identity table (column " +
+            s"$ic is GENERATED ALWAYS) is not supported — ids are " +
+            "engine-assigned; INSERT the unmatched rows separately"))
       if (canonical) (matched, notMatched) match {
         // the canonical upsert / pure key-delete: ONE MOR commit,
         // no target-side read beyond the DV tombstone join
         case (Seq(_), Seq(_)) =>
+          refuseIdentityInserts()
           GraftMergeCommand(t.rootPath, t.partColOrFail, keyOpt.get,
             source, delete = false)
         case _ =>
@@ -321,7 +331,7 @@ object GraftMergeRule extends Rule[LogicalPlan] {
       // to); leave the plan for ResolveReferences to finish — the
       // rule re-fires on a later fixed-point iteration
       else if (!m.resolved) m
-      else buildConditionalMerge(t, m)
+      else { refuseIdentityInserts(); buildConditionalMerge(t, m) }
   }
   }
 

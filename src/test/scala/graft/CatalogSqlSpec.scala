@@ -900,6 +900,46 @@ class CatalogSqlSpec extends SparkSpec {
     rm(wh)
   }
 
+  test("MERGE with INSERT clauses into an identity table is refused " +
+    "(explicit-id smuggling); delete-only MERGE works") {
+    val old = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val es = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new GraftExtensions().apply(_))
+      .getOrCreate()
+    try {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_sqlidm_").toString
+      es.conf.set("spark.sql.catalog.gim", "graft.catalog.GraftCatalog")
+      es.conf.set("spark.sql.catalog.gim.warehouse", wh)
+      es.sql("CREATE TABLE gim.t (id BIGINT GENERATED ALWAYS AS " +
+        "IDENTITY, k BIGINT, part STRING) PARTITIONED BY (part)")
+      es.sql("INSERT INTO gim.t (k, part) VALUES (10, 'a'), (20, 'a')")
+      import es.implicits._
+      Seq((10L, "a"), (99L, "a")).toDF("k", "part")
+        .createOrReplaceTempView("imsrc")
+      val e = intercept[Exception](
+        es.sql("MERGE INTO gim.t USING imsrc ON t.k = imsrc.k " +
+          "WHEN MATCHED THEN UPDATE SET k = imsrc.k " +
+          "WHEN NOT MATCHED THEN INSERT (id, k, part) " +
+          "VALUES (999, imsrc.k, imsrc.part)"))
+      assert(e.getMessage.contains("GENERATED ALWAYS"),
+        s"wrong failure: ${e.getMessage.take(300)}")
+      // delete-only MERGE assigns nothing — still available
+      es.sql("MERGE INTO gim.t USING imsrc ON t.k = imsrc.k " +
+        "WHEN MATCHED THEN DELETE")
+      assert(es.sql("SELECT k FROM gim.t").collect()
+        .map(_.getLong(0)).toSeq == Seq(20L))
+      rm(wh)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(old)
+      org.apache.spark.sql.SparkSession.setActiveSession(old)
+    }
+  }
+
   test("ADD/DROP CONSTRAINT CHECK through SQL DDL enforce at commit " +
     "time") {
     val wh = freshWarehouse()
