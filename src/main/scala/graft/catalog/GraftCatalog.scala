@@ -368,17 +368,76 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(ident.namespace().sameElements(Array("system")),
       s"procedures live under $catalogName.system " +
         s"(got ${ident.namespace().mkString(".")})")
-    GraftProcedures(ident.name(), { tbl =>
-      val parts = tbl.split('.')
-      val id = Identifier.of(parts.init, parts.last)
-      val root = rootFor(id)
-      if (!isTableDir(root)) throw new NoSuchTableException(id)
-      val pc = readMeta(root).map(_.partCol).getOrElse(
-        throw new IllegalStateException(
-          s"$tbl has no _catalog.json sidecar — maintenance needs " +
-            "the partition column; CREATE the table via SQL or add " +
-            "the sidecar"))
-      (GraftSqlTable.handleFor(spark, root), pc)
+    val cat = this
+    GraftProcedures(ident.name(), new GraftProcedures.Context {
+      private def identOf(tbl: String): Identifier = {
+        val parts = tbl.split('.')
+        Identifier.of(parts.init, parts.last)
+      }
+      override def resolve(tbl: String)
+          : (SnapshotLog.Table, String) = {
+        val id = identOf(tbl)
+        val root = rootFor(id)
+        if (!isTableDir(root)) throw new NoSuchTableException(id)
+        val pc = readMeta(root).map(_.partCol).getOrElse(
+          throw new IllegalStateException(
+            s"$tbl has no _catalog.json sidecar — maintenance needs " +
+              "the partition column; CREATE the table via SQL or add " +
+              "the sidecar"))
+        (GraftSqlTable.handleFor(spark, root), pc)
+      }
+      /** Zero-copy table clone behind `CALL graft.system.clone`:
+        * hard-link the source's live state at `version` (default:
+        * current) into a fresh table directory and carry the catalog
+        * sidecar, so the clone is immediately SQL-addressable. The
+        * data move is [[SnapshotLog.Table.commitCloneFrom]] — one
+        * link syscall per live file, manifest-sized metadata,
+        * independent lifecycles (either side's vacuum touches only
+        * its own directory entries). */
+      override def cloneTable(srcTbl: String, dstTbl: String,
+          version: Int): Int = {
+        val sid = identOf(srcTbl)
+        val srcRoot = rootFor(sid)
+        if (!isTableDir(srcRoot)) throw new NoSuchTableException(sid)
+        val did = identOf(dstTbl)
+        val dstRoot = rootFor(did)
+        if (isTableDir(dstRoot))
+          throw new TableAlreadyExistsException(did)
+        val src = GraftSqlTable.handleFor(spark, srcRoot)
+        val sv = if (version <= 0) src.version else version
+        fsFor(new Path(dstRoot)).mkdirs(new Path(dstRoot))
+        new SnapshotLog.Table(spark, dstRoot,
+          bloomCols = src.bloomCols).commitCloneFrom(src, sv)
+        readMeta(srcRoot).foreach(m => writeMeta(dstRoot, m))
+        sv
+      }
+      /** All-or-nothing namespace clone behind
+        * `CALL graft.system.clone_namespace`: every table of the
+        * source namespace at its CURRENT version, through the
+        * pending/ok-marker transaction of
+        * [[SnapshotLog.cloneNamespace]] (a crash leaves the target
+        * invisible and reclaimable, never half-cloned). */
+      override def cloneNamespace(srcNs: String, dstNs: String)
+          : Seq[(String, Int)] = {
+        val srcSegs = srcNs.split('.').toSeq
+        val dstSegs = dstNs.split('.').toSeq
+        (srcSegs ++ dstSegs).foreach(s =>
+          require(GraftCatalog.validSegment(s),
+            s"illegal namespace segment '$s'"))
+        val srcRoot = (warehouse +: srcSegs).mkString("/")
+        val dstRoot = (warehouse +: dstSegs).mkString("/")
+        val names = cat.listTables(srcSegs.toArray).map(_.name())
+          .toSeq.sorted
+        require(names.nonEmpty, s"namespace $srcNs has no tables")
+        val members = names.map { n =>
+          val t = GraftSqlTable.handleFor(spark, s"$srcRoot/$n")
+          (n, t, t.version)
+        }
+        SnapshotLog.cloneNamespace(spark, dstRoot, members)
+        names.foreach(n => readMeta(s"$srcRoot/$n")
+          .foreach(m => writeMeta(s"$dstRoot/$n", m)))
+        members.map { case (n, _, v) => (n, v) }
+      }
     })
   }
 
@@ -1012,8 +1071,10 @@ private[catalog] final class GraftWriteBuilder(table: GraftSqlTable,
                 throw new UnsupportedOperationException(
                   s"INSERT OVERWRITE into identity table " +
                     s"${table.name()} is not supported — identity " +
-                    "values are never reassigned; TRUNCATE then " +
-                    "INSERT if a reset is genuinely wanted")
+                    "values are never reassigned. Note that even " +
+                    "after TRUNCATE, new inserts continue PAST the " +
+                    "old watermark (ids are never reused — the " +
+                    "watermark survives the truncate by design)")
               // the analyzer null-fills the omitted GENERATED ALWAYS
               // column; a non-null value means someone smuggled an
               // explicit id past analysis — refuse rather than

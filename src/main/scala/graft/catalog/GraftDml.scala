@@ -231,6 +231,108 @@ object GraftMergeRule extends Rule[LogicalPlan] {
           Seq(a.name))
     }
 
+  /** Shape dispatch for SQL UPDATE (round 15 — DELETE parity):
+    *  - partition equality / IN on the partition column →
+    *    [[GraftUpdatePartitionsCommand]] (directory-prefix victims —
+    *    partition values have no per-file zone maps, the layout IS the
+    *    index);
+    *  - `key IN (list | subquery)` on a non-partition column →
+    *    [[GraftUpdateKeysCommand]]: the candidate-pruned keyed rewrite
+    *    through the CDC commit, O(candidate files), never a table
+    *    scan;
+    *  - otherwise, per-column bounds from the WHERE's conjunction —
+    *    prune on the BEST-bounded column (two-sided integer range
+    *    first, then string/date, then a one-sided integer bound), the
+    *    statement's FULL WHERE riding along as the exact row
+    *    predicate. A column whose bounds are provably empty
+    *    (`k > 5 AND k < 3`) makes the whole conjunction false →
+    *    no-op, no commit (mirrors DELETE's provably-empty contract).
+    *  Anything else refuses loudly — a silent table rewrite would
+    *  betray the cost model. */
+  private def updatePlanFor(t: GraftSqlTable, cond: Expression,
+      set: Map[String, Expression],
+      unsupported: String => Nothing): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val pc = t.partColOrFail
+    def strLit(e: Expression): Option[String] =
+      if (e.foldable &&
+        e.dataType == org.apache.spark.sql.types.StringType)
+        Option(e.eval()).map(_.toString)
+      else None
+    val rowPred = GraftExpr(rebind(cond))
+    cond match {
+      case EqualTo(a, v) if nameOf(a).exists(_.equalsIgnoreCase(pc)) &&
+          strLit(v).isDefined =>
+        GraftUpdatePartitionsCommand(t.rootPath, pc,
+          Seq(strLit(v).get), set, rowPred)
+      case In(a, vs) if nameOf(a).exists(_.equalsIgnoreCase(pc)) &&
+          vs.nonEmpty && vs.forall(strLit(_).isDefined) =>
+        GraftUpdatePartitionsCommand(t.rootPath, pc,
+          vs.flatMap(strLit(_)), set, rowPred)
+      case InSubquery(Seq(a), lq: ListQuery)
+          if a.resolved && lq.plan.resolved && lq.outerAttrs.isEmpty =>
+        val keyCol = nameOf(a).getOrElse(unsupported(
+          s"IN (subquery) needs a plain column on the left, got ${a.sql}"))
+        if (keyCol.equalsIgnoreCase(pc))
+          unsupported("partition-column IN (subquery) — collect the " +
+            "values into the literal IN form")
+        GraftUpdateKeysCommand(t.rootPath, pc, keyCol, lq.plan, set)
+      case In(a, vs) if vs.nonEmpty && vs.forall(_.foldable) &&
+          nameOf(a).isDefined =>
+        val keyCol = nameOf(a).get
+        val dt = vs.head.dataType
+        if (!vs.forall(_.dataType == dt))
+          unsupported(s"mixed-type IN list on $keyCol")
+        // NULL literals never match IN (SQL semantics) — drop them
+        val rows = vs.flatMap(v => Option(v.eval()))
+          .map(x => org.apache.spark.sql.catalyst.InternalRow(x))
+        GraftUpdateKeysCommand(t.rootPath, pc, keyCol,
+          LocalRelation(Seq(AttributeReference(keyCol, dt)()), rows),
+          set)
+      case _ =>
+        // conjunction → per-column bounds; unrecognized conjuncts
+        // (LIKE, <>, other columns' functions) stay in the row
+        // predicate and simply don't contribute prune bounds
+        def split(e: Expression): Seq[Expression] = e match {
+          case And(l, r) => split(l) ++ split(r)
+          case x => Seq(x)
+        }
+        def colOf(e: Expression): Option[String] = e match {
+          case EqualTo(a, v) if v.foldable => nameOf(a)
+          case EqualTo(v, a) if v.foldable => nameOf(a)
+          case GreaterThan(a, v) if v.foldable => nameOf(a)
+          case GreaterThanOrEqual(a, v) if v.foldable => nameOf(a)
+          case LessThan(a, v) if v.foldable => nameOf(a)
+          case LessThanOrEqual(a, v) if v.foldable => nameOf(a)
+          case _ => None
+        }
+        val groups = split(deBetween(cond))
+          .flatMap(e => colOf(e).map(c => (c.toLowerCase, e)))
+          .groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (_, es) => es.map(_._2).reduce(And(_, _)) }
+        val ints = groups.flatMap(rangeOf)
+        val typed = groups.flatMap(typedRangeOf)
+        def intCmd(c: String, lo: Long, hi: Long): LogicalPlan =
+          if (lo > hi) GraftUpdateNoopCommand(t.rootPath)
+          else GraftUpdateCommand(t.rootPath, pc, c, lo, hi, set,
+            Some(rowPred))
+        ints.find { case (_, lo, hi) =>
+          lo > hi || (lo != Long.MinValue && hi != Long.MaxValue) }
+          .map { case (c, lo, hi) => intCmd(c, lo, hi) }
+          .orElse(typed.headOption.map {
+            case ("str", c, lo, hi) =>
+              GraftUpdateStrCommand(t.rootPath, pc, c, lo, hi, set,
+                rowPred)
+            case (_, c, lo, hi) =>
+              GraftUpdateDateCommand(t.rootPath, pc, c,
+                lo.toInt, hi.toInt, set, rowPred)
+          })
+          .orElse(ints.headOption.map {
+            case (c, lo, hi) => intCmd(c, lo, hi) })
+          .getOrElse(unsupported(s"condition ${cond.sql}"))
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     plan.transform {
     case u @ UpdateTable(target, assignments, condition)
@@ -239,8 +341,11 @@ object GraftMergeRule extends Rule[LogicalPlan] {
       def unsupported(why: String): Nothing =
         throw new UnsupportedOperationException(
           s"graft UPDATE supports `SET col = expr` with a WHERE of " +
-            s"integer, string, or date bounds on one column (the " +
-            s"zone-map-pruned COW shape): $why")
+            s"(a) comparisons bounding at least one integer, string, " +
+            s"or date column (the zone-map-pruned COW shape), " +
+            s"(b) `key IN (list | subquery)` (the candidate-pruned " +
+            s"keyed rewrite), or (c) equality / IN on the partition " +
+            s"column (partition-scoped COW): $why")
       val cond = condition.getOrElse(unsupported(
         "an unbounded UPDATE rewrites the whole table — bound it, " +
           "or use INSERT OVERWRITE deliberately"))
@@ -248,18 +353,24 @@ object GraftMergeRule extends Rule[LogicalPlan] {
         nameOf(k).getOrElse(unsupported(s"assignment key ${k.sql}")) ->
           rebind(v)
       }.toMap
-      rangeOf(cond) match {
-        case Some((c, lo, hi)) =>
-          GraftUpdateCommand(t.rootPath, t.partColOrFail, c, lo, hi, set)
-        case None => typedRangeOf(cond) match {
-          case Some(("str", c, lo, hi)) =>
-            GraftUpdateStrCommand(t.rootPath, t.partColOrFail, c,
-              lo, hi, set, GraftExpr(rebind(cond)))
-          case Some(("date", c, lo, hi)) =>
-            GraftUpdateDateCommand(t.rootPath, t.partColOrFail, c,
-              lo.toInt, hi.toInt, set, GraftExpr(rebind(cond)))
-          case _ => unsupported(s"condition ${cond.sql}")
-        }
+      // an IN (subquery) predicate still resolving: leave the plan
+      // for ResolveSubquery to finish — the rule re-fires on a later
+      // fixed-point iteration (the MERGE case's !m.resolved move)
+      val subqPending = cond.exists {
+        case iq: org.apache.spark.sql.catalyst.expressions.InSubquery =>
+          !iq.resolved
+        case _ => false
+      }
+      if (subqPending) u
+      else {
+        // GENERATED ALWAYS identity: engine-assigned, never
+        // reassigned — an UPDATE that SETs the id would mint values
+        // below the watermark and break uniqueness (round-14 ADVICE)
+        t.identityCol.foreach(ic =>
+          if (set.keys.exists(_.equalsIgnoreCase(ic)))
+            unsupported(s"SET $ic — identity values are engine-" +
+              "assigned, never reassigned"))
+        updatePlanFor(t, cond, set, unsupported)
       }
     // `DELETE FROM t WHERE k IN (SELECT …)`: a subquery predicate can
     // never reach the SupportsDelete pushdown path (it is not a source
@@ -289,15 +400,27 @@ object GraftMergeRule extends Rule[LogicalPlan] {
       val keyOpt = keyOf(cond, target, source)
       // both star (pre-expansion) and expanded same-name forms are the
       // canonical upsert — the rule intercepts at childrenResolved, so
-      // which one arrives depends on how far ResolveReferences got
+      // which one arrives depends on how far ResolveReferences got.
+      // The expanded form must also COVER every target column: a
+      // partial list that happens to be same-name (`SET part =
+      // src.part`) is NOT SET * — the MOR path replaces whole rows,
+      // so misclassifying it would overwrite unassigned columns
+      def coversTarget(as: Seq[Assignment]): Boolean =
+        target.output.forall(t => as.exists {
+          case Assignment(k: AttributeReference, _) =>
+            k.name.equalsIgnoreCase(t.name)
+          case _ => false
+        })
       def isUpdateAll(a: MergeAction): Boolean = a match {
         case UpdateStarAction(None) => true
-        case UpdateAction(None, up, _) => sameNameAssignments(up, source)
+        case UpdateAction(None, up, _) =>
+          sameNameAssignments(up, source) && coversTarget(up)
         case _ => false
       }
       def isInsertAll(a: MergeAction): Boolean = a match {
         case InsertStarAction(None) => true
-        case InsertAction(None, ins) => sameNameAssignments(ins, source)
+        case InsertAction(None, ins) =>
+          sameNameAssignments(ins, source) && coversTarget(ins)
         case _ => false
       }
       val canonical = keyOpt.isDefined && !withSchemaEvolution &&
@@ -306,20 +429,22 @@ object GraftMergeRule extends Rule[LogicalPlan] {
           case (Seq(DeleteAction(None)), Seq()) => true
           case _ => false
         })
-      // MERGE inserts into an identity table would smuggle explicit
-      // ids past GENERATED ALWAYS (the change batch carries every
-      // column verbatim) — refuse while the delete-only form, which
-      // assigns nothing, stays available
-      def refuseIdentityInserts(): Unit = t.identityCol.foreach(ic =>
-        if (notMatched.nonEmpty) throw new UnsupportedOperationException(
-          s"MERGE with INSERT clauses into identity table (column " +
-            s"$ic is GENERATED ALWAYS) is not supported — ids are " +
-            "engine-assigned; INSERT the unmatched rows separately"))
       if (canonical) (matched, notMatched) match {
         // the canonical upsert / pure key-delete: ONE MOR commit,
         // no target-side read beyond the DV tombstone join
         case (Seq(_), Seq(_)) =>
-          refuseIdentityInserts()
+          // `SET * / INSERT *` into an identity table would smuggle
+          // explicit ids past GENERATED ALWAYS (the source carries
+          // every column verbatim) — refuse, pointing at the
+          // conditional form whose explicit INSERT (cols) lists OMIT
+          // the id and let the commit synthesize it
+          t.identityCol.foreach(ic =>
+            throw new UnsupportedOperationException(
+              s"MERGE … UPDATE SET * / INSERT * into identity table " +
+                s"(column $ic is GENERATED ALWAYS) would carry " +
+                "explicit ids — use explicit clause column lists that " +
+                s"omit $ic; the engine assigns inserted ids past the " +
+                "watermark"))
           GraftMergeCommand(t.rootPath, t.partColOrFail, keyOpt.get,
             source, delete = false)
         case _ =>
@@ -331,19 +456,27 @@ object GraftMergeRule extends Rule[LogicalPlan] {
       // to); leave the plan for ResolveReferences to finish — the
       // rule re-fires on a later fixed-point iteration
       else if (!m.resolved) m
-      else { refuseIdentityInserts(); buildConditionalMerge(t, m) }
+      else buildConditionalMerge(t, m)
   }
   }
 
   /** The general tri-clause MERGE — conditional WHEN clauses, partial
-    * SET lists, multi-clause priority — routed to the engine's CDC
-    * commit ([[graft.sources.SnapshotLog.Table.commitApplyChanges]]):
+    * SET lists, multi-clause priority, and (round 15) WHEN NOT
+    * MATCHED BY SOURCE — routed to the engine's CDC commit
+    * ([[graft.sources.SnapshotLog.Table.commitApplyChanges]]):
     * clause predicates and assignment expressions are evaluated over
-    * the CANDIDATE-PRUNED matched rows (never a table scan), folded
-    * into one keyed change batch (op U/D), and committed with the
-    * same candidate-bounded rewrite a CDC batch gets. Refused shapes
-    * (loudly): NOT MATCHED BY SOURCE, schema evolution, reassigning
-    * the merge key (the change batch is keyed by it). */
+    * the CANDIDATE-PRUNED matched rows (never a table scan for the
+    * matched side), NOT-MATCHED-BY-SOURCE rows come from the target
+    * scan pre-filtered by the clauses' own conditions (pushed into
+    * the manifest-pruned read — an UNconditional NMBS clause is
+    * honestly O(table), which is what that statement asks for), all
+    * folded into one keyed change batch (op U/D) and committed with
+    * the same candidate-bounded rewrite a CDC batch gets. Identity
+    * tables: INSERT clauses omit the id and the commit synthesizes
+    * contiguous ids past the watermark atomically with the rewrite;
+    * no clause may SET the id. Refused shapes (loudly): schema
+    * evolution, reassigning the merge key (the change batch is keyed
+    * by it). */
   private def buildConditionalMerge(t: GraftSqlTable,
       m: MergeIntoTable): LogicalPlan = {
     val MergeIntoTable(target, source, cond, matched, notMatched,
@@ -351,11 +484,10 @@ object GraftMergeRule extends Rule[LogicalPlan] {
     def unsupported(why: String): Nothing =
       throw new UnsupportedOperationException(
         s"graft MERGE INTO supports conditional WHEN MATCHED " +
-          s"UPDATE/DELETE and WHEN NOT MATCHED INSERT clauses with a " +
+          s"UPDATE/DELETE, WHEN NOT MATCHED INSERT, and WHEN NOT " +
+          s"MATCHED BY SOURCE UPDATE/DELETE clauses with a " +
           s"single same-name equality condition: $why")
     if (withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION")
-    if (notMatchedBySource.nonEmpty)
-      unsupported("WHEN NOT MATCHED BY SOURCE")
     val key = keyOf(cond, target, source).getOrElse(
       unsupported(s"condition ${cond.sql}"))
     val sourceOut = source.outputSet
@@ -391,6 +523,19 @@ object GraftMergeRule extends Rule[LogicalPlan] {
         GraftMergeClause(c.map(rebindSided), isDelete = true, Seq.empty)
       case other => unsupported(s"matched clause $other")
     }
+    // NOT MATCHED BY SOURCE conditions/values see TARGET columns only
+    // (SQL semantics — there is no source row); rebindSided leaves
+    // target attributes under their logical names, so these evaluate
+    // over the target-side frame directly
+    val nmbsClauses = notMatchedBySource.map {
+      case UpdateAction(c, as, _) =>
+        GraftMergeClause(c.map(rebindSided), isDelete = false,
+          assignsOf(as, "WHEN NOT MATCHED BY SOURCE UPDATE",
+            allowKey = false))
+      case DeleteAction(c) =>
+        GraftMergeClause(c.map(rebindSided), isDelete = true, Seq.empty)
+      case other => unsupported(s"not-matched-by-source clause $other")
+    }
     val insertClauses = notMatched.map {
       case InsertAction(c, as) =>
         // NOT MATCHED conditions/values see source columns only (SQL
@@ -398,6 +543,28 @@ object GraftMergeRule extends Rule[LogicalPlan] {
         GraftMergeClause(c.map(rebindSided), isDelete = false,
           assignsOf(as, "WHEN NOT MATCHED INSERT", allowKey = true))
       case other => unsupported(s"not-matched clause $other")
+    }
+    // identity tables: ids are engine-assigned — no clause may SET
+    // the id (round-14 ADVICE: an UPDATE SET id would mint values
+    // below the watermark), INSERT clauses must OMIT it (the commit
+    // synthesizes ids past the watermark, atomic with the rewrite),
+    // and the merge key cannot BE the id when inserting (you cannot
+    // match on ids the engine has not handed out)
+    t.identityCol.foreach { ic =>
+      (matchedClauses ++ nmbsClauses).foreach(cl =>
+        if (cl.assignments.exists(_._1.equalsIgnoreCase(ic)))
+          unsupported(s"SET $ic — identity values are engine-" +
+            "assigned, never reassigned"))
+      if (insertClauses.nonEmpty) {
+        if (key.equalsIgnoreCase(ic))
+          unsupported(s"INSERT clauses with merge key $key being the " +
+            "identity column — ids are engine-assigned, so unmatched " +
+            "ids cannot exist in the source")
+        insertClauses.foreach(cl =>
+          if (cl.assignments.exists(_._1.equalsIgnoreCase(ic)))
+            unsupported(s"INSERT assigns identity column $ic — omit " +
+              "it; the engine assigns inserted ids past the watermark"))
+      }
     }
     val pc = t.partColOrFail
     insertClauses.foreach { c =>
@@ -411,7 +578,8 @@ object GraftMergeRule extends Rule[LogicalPlan] {
     }
     val targetCols = target.output.map(a => a.name -> a.dataType)
     GraftMergeCondCommand(t.rootPath, pc, key, targetCols,
-      source, matchedClauses, insertClauses)
+      source, matchedClauses, insertClauses, nmbsClauses,
+      t.identityCol)
   }
 }
 
@@ -456,7 +624,9 @@ final case class GraftMergeCondCommand(root: String, partCol: String,
     keyCol: String,
     targetCols: Seq[(String, org.apache.spark.sql.types.DataType)],
     source: LogicalPlan, matchedClauses: Seq[GraftMergeClause],
-    insertClauses: Seq[GraftMergeClause])
+    insertClauses: Seq[GraftMergeClause],
+    nmbsClauses: Seq[GraftMergeClause] = Seq.empty,
+    identityCol: Option[String] = None)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
@@ -526,16 +696,42 @@ final case class GraftMergeCondCommand(root: String, partCol: String,
         col(s"__s_$keyCol") === col(keyCol), "left_anti")
         .select((targetCols.map { case (c, dt) =>
           val nullOf = lit(null).cast(dt)
+          // the identity column is never assigned by an INSERT clause
+          // (refused at plan time) — its NULL here is the marker the
+          // commit's watermark allocator fills in
           chain(insertClauses, valueOf(_, c, nullOf), nullOf)
             .cast(dt).as(c)
         } :+ chain(insertClauses, _ => lit("U"), nullStr).as("__op"))
           : _*)
         .filter(col("__op").isNotNull))
-    val changes = (matchedChanges, insertChanges) match {
-      case (Some(a), Some(b)) => a.unionByName(b)
-      case (Some(a), None) => a
-      case (None, Some(b)) => b
-      case (None, None) => return Seq.empty // no clauses: no-op
+    // WHEN NOT MATCHED BY SOURCE: target-side rows with no source key.
+    // The clauses' conditions pre-filter the target READ (they push
+    // into the manifest-pruned scan — zone maps bound the read to the
+    // files that can fire a clause); an unconditional clause is
+    // honestly O(table), which is what that statement asks for. The
+    // anti join against the batch's keys is broadcast (batch-sized).
+    val nmbsChanges =
+      if (nmbsClauses.isEmpty || tgtEmpty) None
+      else {
+        val conds = nmbsClauses.map(_.condition)
+        val full0 = t.scanAsOfMor(t.version)
+        val full =
+          if (conds.exists(_.isEmpty)) full0
+          else full0.filter(conds.flatten.map(cc).reduce(_ || _))
+        Some(full.join(broadcast(src0.select(col(keyCol)).distinct()),
+          Seq(keyCol), "left_anti")
+          .select((targetCols.map { case (c, dt) =>
+            chain(nmbsClauses, valueOf(_, c, col(c)), col(c))
+              .cast(dt).as(c)
+          } :+ chain(nmbsClauses,
+            cl => lit(if (cl.isDelete) "D" else "U"), nullStr)
+            .as("__op")): _*)
+          .filter(col("__op").isNotNull))
+      }
+    val changes = Seq(matchedChanges, insertChanges, nmbsChanges)
+      .flatten.reduceOption(_.unionByName(_)) match {
+      case Some(c) => c
+      case None => return Seq.empty // no applicable clauses: no-op
     }
     val batch = changes.localCheckpoint()
     val nullPart = batch.filter(col("__op") =!= "D" &&
@@ -544,7 +740,8 @@ final case class GraftMergeCondCommand(root: String, partCol: String,
       s"MERGE produced a row with NULL partition column $partCol — " +
         "a NULL partition value has no directory; fix the INSERT/SET " +
         "expressions")
-    t.commitApplyChanges(batch, partCol, keyCol)
+    t.commitApplyChanges(batch, partCol, keyCol,
+      identityCol = identityCol)
     Seq.empty
   }
 }
@@ -565,15 +762,86 @@ final case class GraftDeleteKeysCommand(root: String, keyCol: String,
   }
 }
 
-/** SQL UPDATE → the zone-map-pruned COW range update. */
+/** SQL UPDATE → the zone-map-pruned COW range update; the statement's
+  * FULL WHERE (which implies the prune bounds by construction) rides
+  * along as the exact row predicate, so multi-column conjunctions
+  * prune on the bounded column and stay row-exact on the rest. */
 final case class GraftUpdateCommand(root: String, partCol: String,
-    c: String, lo: Long, hi: Long, set: Map[String, Expression])
+    c: String, lo: Long, hi: Long, set: Map[String, Expression],
+    cond: Option[GraftExpr] = None)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftSqlTable.handleFor(spark, root)
     t.commitUpdateRange(partCol, c, lo, hi,
       set.map { case (k, e) =>
-        k -> org.apache.spark.sql.graftbridge.ColumnBridge.column(e) })
+        k -> org.apache.spark.sql.graftbridge.ColumnBridge.column(e) },
+      cond.map(x =>
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(x.e)))
+    Seq.empty
+  }
+}
+
+/** A provably-empty UPDATE predicate (`k > 5 AND k < 3`): zero rows,
+  * no commit — mirrors the DELETE path's provably-empty contract
+  * (overflow/crossed bounds must never degrade into a rewrite). */
+final case class GraftUpdateNoopCommand(root: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = Seq.empty
+}
+
+/** `UPDATE t SET … WHERE part = 'x' / part IN (…)` → the
+  * partition-scoped COW ([[graft.sources.SnapshotLog.Table
+  * .commitUpdatePartitions]]): victims are the named partitions'
+  * directory prefixes, blast radius = those partitions. */
+final case class GraftUpdatePartitionsCommand(root: String,
+    partCol: String, values: Seq[String], set: Map[String, Expression],
+    cond: GraftExpr) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlTable.handleFor(spark, root)
+    t.commitUpdatePartitions(partCol, values,
+      set.map { case (k, e) =>
+        k -> org.apache.spark.sql.graftbridge.ColumnBridge.column(e) },
+      Some(org.apache.spark.sql.graftbridge.ColumnBridge.column(cond.e)))
+    Seq.empty
+  }
+}
+
+/** `UPDATE t SET … WHERE k IN (list | subquery)` → the candidate-
+  * pruned keyed rewrite: matched rows come from
+  * [[graft.sources.SnapshotLog.Table.scanMergeCandidates]] (zone-map
+  * + bloom pruned, MOR-aware, never a table scan), SET expressions
+  * evaluate over them, and the updated copies land through ONE
+  * [[graft.sources.SnapshotLog.Table.commitApplyChanges]] CDC commit
+  * (op U per matched row — duplicate-keyed target rows each keep
+  * their own updated copy). The exact mirror of the key-set DELETE's
+  * cost model, O(candidate files). */
+final case class GraftUpdateKeysCommand(root: String, partCol: String,
+    keyCol: String, keys: LogicalPlan, set: Map[String, Expression])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(keys)
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.lit
+    val t = GraftSqlTable.handleFor(spark, root)
+    if (t.version == 0 || t.liveFiles(t.version).isEmpty)
+      return Seq.empty // empty table: zero rows, no commit
+    val keysDf = org.apache.spark.sql.GraftBridge.ofRows(spark, keys)
+      .toDF(keyCol).distinct().localCheckpoint()
+    val matched = t.scanMergeCandidates(keysDf, keyCol)
+      .join(org.apache.spark.sql.functions.broadcast(keysDf),
+        Seq(keyCol)) // candidates are a superset; the join is exact
+    val sch = matched.schema
+    set.keys.foreach(k => require(sch.fieldNames.contains(k),
+      s"UPDATE SET targets unknown column $k"))
+    val changes = matched.select(sch.fields.toIndexedSeq.map(f =>
+      set.get(f.name)
+        .map(e => org.apache.spark.sql.graftbridge.ColumnBridge
+          .column(e).cast(f.dataType).as(f.name))
+        .getOrElse(col(f.name))): _*)
+      .withColumn("__op", lit("U"))
+      // victims-sized by construction; pin so the commit's several
+      // consumers (key probe, tombstone join, rewrite) share one eval
+      .localCheckpoint()
+    t.commitApplyChanges(changes, partCol, keyCol)
     Seq.empty
   }
 }

@@ -6,23 +6,29 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
-/** `SELECT * FROM table_changes('catalog.ns.t', from[, to])` — the
+/** `SELECT * FROM table_changes('catalog.ns.t', start[, end])` — the
   * batch change-data-feed as a SQL table-valued function (the Delta
   * `table_changes` UX), registered by [[graft.GraftExtensions]] via
   * `injectTableFunction`. Rows are the row-level changes of commits
-  * `(from, to]` — the SAME exclusive-start contract the option-read
-  * and the streaming CDF source use (`startingVersion` names the
-  * version you have already consumed) — tagged `_version` + `_change`
-  * and served under the table's CURRENT LOGICAL column names (the
-  * files are read by physical name through the same CDF machinery as
-  * `q_table_changes`; renames surface as aliases, dropped columns are
-  * projected away, widened columns read at their wide type). */
+  * `[start, end]` — `start` is INCLUSIVE, matching Delta's
+  * `starting_version` exactly (round-14 ADVICE: a TVF that mirrors
+  * Delta in name and shape must not silently shift its window by
+  * one). The engine's own sources keep their exclusive-start
+  * contract (`startingVersion` = "version already consumed" on the
+  * option read and the streaming CDF source); this function
+  * translates at the boundary (`startingVersion = start - 1`). Rows
+  * are tagged `_version` + `_change` and served under the table's
+  * CURRENT LOGICAL column names (the files are read by physical name
+  * through the same CDF machinery as `q_table_changes`; renames
+  * surface as aliases, dropped columns are projected away, widened
+  * columns read at their wide type). */
 object GraftTableChanges {
 
   def plan(exprs: Seq[Expression]): LogicalPlan = {
     def argErr(): Nothing = throw new IllegalArgumentException(
-      "table_changes(table_name STRING, from INT[, to INT]): changes " +
-        "of commits (from, to] — from is the version already consumed")
+      "table_changes(table_name STRING, start INT[, end INT]): " +
+        "changes of commits [start, end] — start is INCLUSIVE " +
+        "(Delta's starting_version contract)")
     if (exprs.length < 2 || exprs.length > 3 ||
       !exprs.forall(_.foldable)) argErr()
     val name = exprs.head.eval() match {
@@ -35,7 +41,8 @@ object GraftTableChanges {
       case (LongType, l: java.lang.Long) => l.intValue
       case _ => argErr()
     }
-    val from = intArg(exprs(1))
+    // inclusive SQL start → the engine sources' exclusive contract
+    val from = math.max(0, intArg(exprs(1)) - 1)
     val to = exprs.lift(2).map(intArg)
 
     val spark = SparkSession.active

@@ -269,8 +269,9 @@ object SqlCatalog {
 
     // ---- batch CDF through SQL (round 14): the table_changes TVF
     //      (GraftExtensions injectTableFunction) over a catalog table
-    //      with a MOR delete and a re-insert — changes AFTER the
-    //      seed commit are exactly (v2 deletes, v3 inserts). The
+    //      with a MOR delete and a re-insert — changes FROM version 2
+    //      (inclusive start, Delta's starting_version contract as of
+    //      round 15) are exactly (v2 deletes, v3 inserts). The
     //      oracle recomputes both deltas by predicate algebra: a
     //      missed tombstone, a resurrected row, an off-by-one version
     //      bound, or a double-emitted position flips the hash.
@@ -313,7 +314,7 @@ object SqlCatalog {
         "WHERE o_orderkey % 2 = 0 AND o_orderkey % 97 = 0") // v3
       val out = es.sql("""SELECT _version, _change AS change,
         |  count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS sum_cents
-        |FROM table_changes('gqcdf.ord', 1)
+        |FROM table_changes('gqcdf.ord', 2)
         |GROUP BY _version, _change
         |ORDER BY _version""".stripMargin).localCheckpoint()
       org.apache.commons.io.FileUtils.deleteDirectory(
@@ -690,6 +691,339 @@ object SqlCatalog {
         "UPDATE gqupd.sup SET cents = cents * 2 + k " +
           "WHERE k >= 10 AND k <= 40")
       es.sql("SELECT k, part, cents FROM gqupd.sup ORDER BY k")
+    },
+
+    // ---- UPDATE shape parity with DELETE (round 15, part 1):
+    //      a multi-column conjunction prunes on the best-bounded
+    //      column (two-sided integer range) with the FULL WHERE as
+    //      the exact row predicate, and a partition-equality UPDATE
+    //      routes to the partition-scoped COW whose blast radius is
+    //      that partition's files — asserted in-query (files of other
+    //      partitions carry by log reference, untouched). The oracle
+    //      composes both statements with CASE algebra; a row updated
+    //      outside either predicate, missed inside one, or
+    //      double-applied flips the hash.
+    QueryDef.checked(
+      "q_snapshot_sql_update_multi",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS part,
+        |    o_orderpriority AS pri,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |), s1 AS (
+        |  SELECT k, part, pri,
+        |    CASE WHEN k BETWEEN 1000 AND 50000 AND pri >= '3'
+        |      THEN cents * 2 ELSE cents END AS cents
+        |  FROM base
+        |)
+        |SELECT k, part,
+        |  CAST(CASE WHEN part = 'F' THEN cents + 11 ELSE cents END
+        |    AS BIGINT) AS cents
+        |FROM s1 ORDER BY k""".stripMargin) { (spark, dir) =>
+      val es = extensionSession(spark)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_squm_").toString
+      register(es, "gqum", wh)
+      es.read.parquet(s"$dir/orders.parquet")
+        .createOrReplaceTempView("orders_um_src")
+      es.sql("CREATE TABLE gqum.ord (k BIGINT, part STRING, " +
+        "pri STRING, cents BIGINT) PARTITIONED BY (part)")
+      es.sql("INSERT INTO gqum.ord SELECT o_orderkey, o_orderstatus, " +
+        "o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) " +
+        "FROM orders_um_src WHERE o_orderkey % 7 = 0")
+      // multi-column conjunction: prune bounds from k (two-sided),
+      // the pri conjunct rides as row truth
+      es.sql("UPDATE gqum.ord SET cents = cents * 2 " +
+        "WHERE k >= 1000 AND k <= 50000 AND pri >= '3'")
+      val t = graft.catalog.GraftSqlTable.handleFor(spark, s"$wh/ord")
+      val nonF = t.liveFiles(t.version)
+        .filterNot(_.startsWith("part=F/")).toSet
+      // partition equality: COW scoped to part=F
+      es.sql("UPDATE gqum.ord SET cents = cents + 11 WHERE part = 'F'")
+      require(t.liveFiles(t.version)
+        .filterNot(_.startsWith("part=F/")).toSet == nonF,
+        "partition UPDATE touched files outside its partition")
+      require(t.version == 3,
+        s"INSERT + 2 UPDATEs must be 3 commits, got v${t.version}")
+      val out = es.sql(
+        "SELECT k, part, cents FROM gqum.ord ORDER BY k")
+        .localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(wh))
+      out
+    },
+
+    // ---- UPDATE shape parity with DELETE (round 15, part 2): key-set
+    //      UPDATEs — `k IN (literal list)` and `k IN (subquery)` —
+    //      route to the candidate-pruned keyed rewrite (ONE
+    //      commitApplyChanges CDC commit over zone-map + bloom pruned
+    //      candidate files, never a table scan), mirroring
+    //      q_snapshot_sql_delete_keys. The candidate prune is
+    //      asserted in-query through the commit's instrumentation;
+    //      the oracle recomputes both updates by CASE algebra.
+    QueryDef.checked(
+      "q_snapshot_sql_update_keys",
+      """WITH base AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    c_mktsegment AS part, c_name AS name,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer
+        |)
+        |SELECT k, part, name,
+        |  CAST((CASE WHEN k % 97 = 0 THEN cents + 1000 ELSE cents END)
+        |    * (CASE WHEN k % 89 = 0 THEN 2 ELSE 1 END) AS BIGINT)
+        |    AS cents
+        |FROM base ORDER BY k""".stripMargin) { (spark, dir) =>
+      val es = extensionSession(spark)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_squk_").toString
+      register(es, "gquk", wh)
+      val src = es.read.parquet(s"$dir/customer.parquet")
+      src.createOrReplaceTempView("cust_uk_src")
+      es.sql("CREATE TABLE gquk.cust (k BIGINT, part STRING, " +
+        "name STRING, cents BIGINT) PARTITIONED BY (part)")
+      es.sql("INSERT INTO gquk.cust SELECT " +
+        "CAST(c_custkey AS BIGINT), c_mktsegment, c_name, " +
+        "CAST(round(c_acctbal * 100) AS BIGINT) FROM cust_uk_src")
+      val keys = src.filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey").cast("long")).collect()
+        .map(_.getLong(0)).sorted
+      es.sql(s"UPDATE gquk.cust SET cents = cents + 1000 " +
+        s"WHERE k IN (${keys.mkString(", ")})")
+      val t = graft.catalog.GraftSqlTable.handleFor(spark, s"$wh/cust")
+      require(t.lastMergeScan.exists { case (c, l) => c <= l },
+        "key-set UPDATE bypassed the candidate prune")
+      require(t.version == 2,
+        s"literal key-set UPDATE must be ONE commit, got v${t.version}")
+      // subquery key set: evaluated once by the resolution rule,
+      // landed on the same candidate-pruned keyed rewrite
+      es.sql("UPDATE gquk.cust SET cents = cents * 2 WHERE k IN " +
+        "(SELECT CAST(c_custkey AS BIGINT) FROM cust_uk_src " +
+        "WHERE c_custkey % 89 = 0)")
+      require(t.version == 3,
+        s"subquery key-set UPDATE must be ONE commit, got v${t.version}")
+      val out = es.sql(
+        "SELECT k, part, name, cents FROM gquk.cust ORDER BY k")
+        .localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(wh))
+      out
+    },
+
+    // ---- identity-generating MERGE INSERT (round 15): the last
+    //      user-facing MERGE refusal from round 14 — INSERT clauses
+    //      into a GENERATED ALWAYS identity table now synthesize ids
+    //      from the commit-CAS watermark exactly like INSERT INTO
+    //      (contiguous past the watermark, name-sorted in-batch
+    //      order, the idwm entry riding the SAME segment as the
+    //      rewrite), while matched rows keep their existing ids —
+    //      identity values are assigned once, never reassigned. The
+    //      oracle replays the exact assignment with row_number()
+    //      algebra; a gap, reused id, reassigned matched id, or
+    //      nondeterministic order flips the hash.
+    QueryDef.checked(
+      "q_snapshot_sql_merge_identity",
+      """WITH base AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS k,
+        |    CAST(s_nationkey AS VARCHAR) AS part,
+        |    CAST(round(s_acctbal * 100) AS BIGINT) AS cents
+        |  FROM supplier
+        |), seed AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY cents, k, part)
+        |    AS BIGINT) AS id, k, part, cents
+        |  FROM base
+        |), upd AS (
+        |  SELECT id, k, part,
+        |    CASE WHEN k % 7 = 0 THEN cents + k * 3 ELSE cents END
+        |      AS cents
+        |  FROM seed
+        |), ins0 AS (
+        |  SELECT k + 10000 AS k, part, k AS cents
+        |  FROM base WHERE k % 13 = 0
+        |), ins AS (
+        |  SELECT (SELECT count(*) FROM base) +
+        |    CAST(row_number() OVER (ORDER BY cents, k, part)
+        |      AS BIGINT) AS id, k, part, cents
+        |  FROM ins0
+        |)
+        |SELECT id, k, part, cents FROM upd
+        |UNION ALL SELECT id, k, part, cents FROM ins
+        |ORDER BY id""".stripMargin) { (spark, dir) =>
+      val es = extensionSession(spark)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_sqmi_").toString
+      register(es, "gqmi", wh)
+      es.read.parquet(s"$dir/supplier.parquet")
+        .createOrReplaceTempView("supplier_mi_src")
+      es.sql("CREATE TABLE gqmi.sup (id BIGINT GENERATED ALWAYS AS " +
+        "IDENTITY, k BIGINT, part STRING, cents BIGINT) " +
+        "PARTITIONED BY (part)")
+      es.sql("INSERT INTO gqmi.sup (k, part, cents) SELECT " +
+        "CAST(s_suppkey AS BIGINT), CAST(s_nationkey AS STRING), " +
+        "CAST(round(s_acctbal * 100) AS BIGINT) FROM supplier_mi_src")
+      es.sql("""SELECT CAST(s_suppkey AS BIGINT) AS k,
+        |  CAST(s_nationkey AS STRING) AS part,
+        |  CAST(s_suppkey * 3 AS BIGINT) AS delta
+        |FROM supplier_mi_src WHERE s_suppkey % 7 = 0
+        |UNION ALL
+        |SELECT CAST(s_suppkey + 10000 AS BIGINT),
+        |  CAST(s_nationkey AS STRING), CAST(s_suppkey AS BIGINT)
+        |FROM supplier_mi_src WHERE s_suppkey % 13 = 0""".stripMargin)
+        .createOrReplaceTempView("mi_batch")
+      es.sql("""MERGE INTO gqmi.sup USING mi_batch
+        |ON sup.k = mi_batch.k
+        |WHEN MATCHED THEN
+        |  UPDATE SET cents = sup.cents + mi_batch.delta
+        |WHEN NOT MATCHED THEN
+        |  INSERT (k, part, cents)
+        |  VALUES (mi_batch.k, mi_batch.part, mi_batch.delta)"""
+        .stripMargin)
+      val t = graft.catalog.GraftSqlTable.handleFor(es, s"$wh/sup")
+      require(t.version == 2,
+        s"identity MERGE must be ONE commit, got v${t.version}")
+      require(t.identityWatermark("id") ==
+        es.sql("SELECT count(*) FROM gqmi.sup").head().getLong(0),
+        "identity watermark must equal the row count (dense, no gaps)")
+      val out = es.sql(
+        "SELECT id, k, part, cents FROM gqmi.sup ORDER BY id")
+        .localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(wh))
+      out
+    },
+
+    // ---- WHEN NOT MATCHED BY SOURCE (round 15): the tri-directional
+    //      MERGE — matched updates, and target rows with NO source
+    //      match either deleted (conditionally) or flagged stale,
+    //      first-match-wins between the two NMBS clauses — all folded
+    //      into ONE candidate-bounded CDC commit. The oracle
+    //      reconstructs the post-merge state by predicate algebra: an
+    //      NMBS clause fired on a matched row, a row deleted by the
+    //      wrong clause, or a stale flag on a fresh row flips the
+    //      hash.
+    QueryDef.checked(
+      "q_snapshot_sql_merge_nmbs",
+      """WITH base AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k,
+        |    c_mktsegment AS part, c_name AS name,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer
+        |)
+        |SELECT k, part, name,
+        |  CAST(CASE WHEN k % 3 = 0 THEN cents + k ELSE cents END
+        |    AS BIGINT) AS cents,
+        |  CASE WHEN k % 3 = 0 THEN 'live' ELSE 'stale' END AS status
+        |FROM base
+        |WHERE k % 3 = 0 OR cents >= 100000
+        |ORDER BY k""".stripMargin) { (spark, dir) =>
+      val es = extensionSession(spark)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_sqnb_").toString
+      register(es, "gqnb", wh)
+      es.read.parquet(s"$dir/customer.parquet")
+        .createOrReplaceTempView("cust_nb_src")
+      es.sql("CREATE TABLE gqnb.cust (k BIGINT, part STRING, " +
+        "name STRING, cents BIGINT, status STRING) " +
+        "PARTITIONED BY (part)")
+      es.sql("INSERT INTO gqnb.cust SELECT " +
+        "CAST(c_custkey AS BIGINT), c_mktsegment, c_name, " +
+        "CAST(round(c_acctbal * 100) AS BIGINT), 'live' " +
+        "FROM cust_nb_src")
+      es.sql("SELECT CAST(c_custkey AS BIGINT) AS k, " +
+        "CAST(c_custkey AS BIGINT) AS delta FROM cust_nb_src " +
+        "WHERE c_custkey % 3 = 0")
+        .createOrReplaceTempView("nb_batch")
+      es.sql("""MERGE INTO gqnb.cust USING nb_batch
+        |ON cust.k = nb_batch.k
+        |WHEN MATCHED THEN
+        |  UPDATE SET cents = cust.cents + nb_batch.delta
+        |WHEN NOT MATCHED BY SOURCE AND cust.cents < 100000 THEN
+        |  DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN
+        |  UPDATE SET status = 'stale'""".stripMargin)
+      val t = graft.catalog.GraftSqlTable.handleFor(es, s"$wh/cust")
+      require(t.version == 2,
+        s"NMBS MERGE must be ONE commit, got v${t.version}")
+      val out = es.sql("SELECT k, part, name, cents, status " +
+        "FROM gqnb.cust ORDER BY k").localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(wh))
+      out
+    },
+
+    // ---- SQL clone surface (round 15): the reference's headline
+    //      operation behind CALL — a version-pinned zero-copy table
+    //      clone (hard links + manifest metadata, the clone starts
+    //      its own history) and the all-or-nothing namespace clone
+    //      (every table, one pending/ok-marker transaction). Lifecycle
+    //      independence is proven BY the hash: the source is mutated
+    //      AFTER the clones, and the oracle expects the clones'
+    //      pre-mutation content — a clone that shared live state with
+    //      its source would flip it.
+    QueryDef.checked(
+      "q_snapshot_sql_clone",
+      """WITH nat AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |    CAST(n_regionkey AS VARCHAR) AS part,
+        |    CAST(n_nationkey * 2 AS BIGINT) AS v
+        |  FROM nation
+        |), reg AS (
+        |  SELECT CAST(r_regionkey AS BIGINT) AS k,
+        |    CAST(r_regionkey % 2 AS VARCHAR) AS part,
+        |    CAST(r_regionkey * 7 AS BIGINT) AS v
+        |  FROM region
+        |)
+        |SELECT 'a_v1' AS src, k, v FROM nat
+        |UNION ALL SELECT 'ns2_a', k, v FROM nat
+        |UNION ALL SELECT 'ns2_a', k + 100, v + 1 FROM nat
+        |UNION ALL SELECT 'ns2_b', k, v FROM reg
+        |ORDER BY src, k""".stripMargin) { (spark, dir) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_sqcl_").toString
+      register(spark, "gqcl", wh)
+      spark.read.parquet(s"$dir/nation.parquet")
+        .createOrReplaceTempView("nation_cl_src")
+      spark.read.parquet(s"$dir/region.parquet")
+        .createOrReplaceTempView("region_cl_src")
+      spark.sql("CREATE TABLE gqcl.ns1.a (k BIGINT, part STRING, " +
+        "v BIGINT) PARTITIONED BY (part)")
+      spark.sql("CREATE TABLE gqcl.ns1.b (k BIGINT, part STRING, " +
+        "v BIGINT) PARTITIONED BY (part)")
+      spark.sql("INSERT INTO gqcl.ns1.a SELECT " +
+        "CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS STRING), " +
+        "CAST(n_nationkey * 2 AS BIGINT) FROM nation_cl_src") // a@v1
+      spark.sql("INSERT INTO gqcl.ns1.a SELECT " +
+        "CAST(n_nationkey + 100 AS BIGINT), " +
+        "CAST(n_regionkey AS STRING), " +
+        "CAST(n_nationkey * 2 + 1 AS BIGINT) FROM nation_cl_src") // a@v2
+      spark.sql("INSERT INTO gqcl.ns1.b SELECT " +
+        "CAST(r_regionkey AS BIGINT), " +
+        "CAST(r_regionkey % 2 AS STRING), " +
+        "CAST(r_regionkey * 7 AS BIGINT) FROM region_cl_src") // b@v1
+      // version-pinned single-table clone into a SIBLING namespace
+      val cv = spark.sql("CALL gqcl.system.clone(" +
+        "table => 'ns1.a', target => 'nsv.a_v1', version => 1)")
+        .head().getInt(1)
+      require(cv == 1, s"clone pinned the wrong version: $cv")
+      // all-or-nothing namespace clone at current versions
+      val members = spark.sql("CALL gqcl.system.clone_namespace(" +
+        "source_ns => 'ns1', target_ns => 'ns2')").collect()
+        .map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+      require(members == Seq(("a", 2), ("b", 1)),
+        s"namespace clone members wrong: $members")
+      require(graft.sources.SnapshotLog
+        .namespaceCloneMembers(spark, s"$wh/ns2").size == 2,
+        "namespace clone marker missing")
+      // lifecycle independence: mutate the SOURCE after the clones —
+      // the oracle expects the clones' pre-mutation content
+      spark.sql("DELETE FROM gqcl.ns1.a WHERE k >= 0")
+      val out = spark.sql("""SELECT 'a_v1' AS src, k, v FROM gqcl.nsv.a_v1
+        |UNION ALL SELECT 'ns2_a', k, v FROM gqcl.ns2.a
+        |UNION ALL SELECT 'ns2_b', k, v FROM gqcl.ns2.b
+        |ORDER BY src, k""".stripMargin).localCheckpoint()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(wh))
+      out
     }
   )
 }

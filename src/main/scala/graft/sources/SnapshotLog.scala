@@ -2551,21 +2551,38 @@ object SnapshotLog {
       * absent/empty partition publishes an empty segment (SQL DELETE
       * of zero rows is a no-op, not an error — mirrors
       * [[commitDeleteRange]]'s empty-victims contract; the version
-      * still advances as an honest audit record of the request). */
+      * still advances as an honest audit record of the request).
+      * CONTRACT NOTE (round 15): this was an error before the SQL
+      * DELETE surface landed — Scala callers that want the misspelled-
+      * partition guard back pass `strict = true`, and every caller can
+      * read [[lastPartitionDeleteFiles]] to detect a zero-file
+      * delete. */
     def commitDeletePartition(partCol: String, value: String,
-        expectedVersion: Int = -1): Int =
-      commitDeletePartitions(partCol, Seq(value), expectedVersion)
+        expectedVersion: Int = -1, strict: Boolean = false): Int =
+      commitDeletePartitions(partCol, Seq(value), expectedVersion, strict)
+
+    /** File count removed by the most recent partition delete on this
+      * handle — the zero-victim signal [[commitDeletePartitions]]'s
+      * no-op contract would otherwise swallow (same instrumentation
+      * pattern as [[lastMergeScan]]). */
+    @volatile var lastPartitionDeleteFiles: Option[Int] = None
 
     /** [[commitDeletePartition]] over a value SET, as ONE commit —
       * `DELETE FROM t WHERE part IN ('a', 'b')` must be atomic (a
-      * per-value loop could crash half-applied). */
+      * per-value loop could crash half-applied). `strict = true`
+      * restores the pre-SQL contract: absent/empty partitions are an
+      * error instead of an audit-record no-op commit. */
     def commitDeletePartitions(partCol: String, values: Seq[String],
-        expectedVersion: Int = -1): Int = {
+        expectedVersion: Int = -1, strict: Boolean = false): Int = {
       val v = casCheck(expectedVersion)
       val pc = physicalAt(v - 1, partCol)
       val prefixes = values.map(x => s"$pc=${escapePart(x)}/")
       val victims = liveFiles(v - 1)
         .filter(f => prefixes.exists(f.startsWith))
+      lastPartitionDeleteFiles = Some(victims.size)
+      require(!strict || victims.nonEmpty,
+        s"no live files under ${values.mkString("partition(s) ", ", ", "")}" +
+          s" of $partCol (strict partition delete)")
       publishSegment(v, victims.map(Entry(v, "remove", _)))
       v
     }
@@ -2711,10 +2728,29 @@ object SnapshotLog {
       * renames, widenings, defaults and MOR deletes for free.
       * Updated rows re-validate the table's CHECK constraints. */
     def commitUpdateRange(partCol: String, c: String, lo: Long, hi: Long,
-        set: Map[String, Column], expectedVersion: Int = -1): Int =
+        set: Map[String, Column], cond: Option[Column] = None,
+        expectedVersion: Int = -1): Int =
       updateRangeImpl(partCol, c, set, expectedVersion,
         v => pruneFiles(v, physicalAt(v, c), lo, hi),
-        col(c).isNotNull && col(c).between(lo, hi))
+        col(c).isNotNull && cond.getOrElse(col(c).between(lo, hi)))
+
+    /** Copy-on-write UPDATE scoped to a partition-value SET — `UPDATE t
+      * SET … WHERE part IN ('a','b')`: victims are exactly the listed
+      * partitions' live files (directory prefixes — no stats probe
+      * needed, the layout IS the index), every other partition carries
+      * by log reference. `cond` defaults to the partition membership
+      * itself; the SQL front end passes the statement's full WHERE so
+      * extra conjuncts stay row-exact. One commit, blast radius = the
+      * named partitions — the reload-one-tenant cost model. */
+    def commitUpdatePartitions(partCol: String, values: Seq[String],
+        set: Map[String, Column], cond: Option[Column] = None,
+        expectedVersion: Int = -1): Int =
+      updateRangeImpl(partCol, partCol, set, expectedVersion,
+        v => { val pc = physicalAt(v, partCol)
+          val prefixes = values.map(x => s"$pc=${escapePart(x)}/")
+          liveFiles(v).filter(f => prefixes.exists(f.startsWith)) },
+        col(partCol).isNotNull &&
+          cond.getOrElse(col(partCol).isin(values: _*)))
 
     /** [[commitUpdateRange]] for STRING-keyed ranges: candidates come
       * from the string zone maps ([[pruneFilesStr]] — truncation-
@@ -3016,11 +3052,21 @@ object SnapshotLog {
       else applyMapping(v, readFilesMorAt(v, candidates))
     }
 
+    /** `identityCol`: rows of the batch whose op is an upsert AND whose
+      * identity column is NULL get engine-assigned ids — contiguous
+      * past the manifest watermark, in-batch order a name-sorted key
+      * over the remaining columns (the [[commitAppendIdentity]]
+      * convention), with the advanced watermark riding the SAME
+      * segment as the rewrite. Non-NULL ids (matched rows carrying
+      * their existing id through a MERGE UPDATE) pass through
+      * untouched — identity values are assigned once, never
+      * reassigned. */
     def commitApplyChanges(changes: DataFrame, partCol: String,
         keyCol: String, opCol: String = "__op",
-        expectedVersion: Int = -1): Int =
+        expectedVersion: Int = -1,
+        identityCol: Option[String] = None): Int =
       applyChangesImpl(changes, partCol, keyCol, opCol,
-        casCheck(expectedVersion), Seq.empty)
+        casCheck(expectedVersion), Seq.empty, identityCol)
 
     /** [[commitApplyChanges]] keyed by `txnId` — the exactly-once CDC
       * sink primitive: a re-delivered change batch (streaming restart
@@ -3045,7 +3091,8 @@ object SnapshotLog {
 
     private def applyChangesImpl(changes0: DataFrame, partCol: String,
         keyCol0: String, opCol: String, v: Int,
-        extraEntries: Seq[Entry]): Int = {
+        extraEntries: Seq[Entry],
+        identityCol: Option[String] = None): Int = {
       // column mapping at the boundary (identity unless renamed);
       // opCol is transient batch metadata, never stored — no mapping
       val changes = toPhysical(changes0, v - 1)
@@ -3054,7 +3101,32 @@ object SnapshotLog {
       val candidates = mergeCandidates(v - 1, changes, keyCol, live)
       lastMergeScan = Some((candidates.size, live.size))
       val srcKeys = changes.select(col(keyCol)).distinct()
-      val upserts = changes.filter(col(opCol) =!= "D").drop(opCol)
+      val upserts0 = changes.filter(col(opCol) =!= "D").drop(opCol)
+      // identity assignment (see commitApplyChanges doc): NULL-id
+      // upsert rows — MERGE INSERTs — are numbered wm+1..wm+n by the
+      // name-sorted remaining columns; rows carrying an id (matched
+      // updates) keep it. The watermark entry publishes atomically
+      // with the rewrite.
+      val (upserts, idEntries) = identityCol match {
+        case Some(ic0) =>
+          val ic = physicalAt(v - 1, ic0)
+          val wm = identityWatermark(ic0)
+          val needsId = upserts0.filter(col(ic).isNull)
+          val orderKeys = upserts0.columns.filterNot(
+            _.equalsIgnoreCase(ic)).sorted.toIndexedSeq.map(col)
+          val (ranked, total) = graft.util.RangeRank
+            .withGlobalRankAndTotal(needsId.drop(ic), "__id_rn",
+              spark.sessionState.conf.numShufflePartitions, orderKeys: _*)
+          if (total == 0) (upserts0, Seq.empty[Entry])
+          else {
+            val assigned = ranked
+              .withColumn(ic, col("__id_rn") + lit(wm)).drop("__id_rn")
+              .select(upserts0.columns.toIndexedSeq.map(col): _*)
+            (upserts0.filter(col(ic).isNotNull).unionByName(assigned),
+              Seq(Entry(v, "idwm", s"$ic|${wm + total}")))
+          }
+        case None => (upserts0, Seq.empty[Entry])
+      }
       checkConstraints(upserts) // tombstones carry no rows INTO the table
       val hits =
         if (candidates.isEmpty) Seq.empty[String]
@@ -3076,7 +3148,7 @@ object SnapshotLog {
       fs.delete(tmp, true)
       publishOrCleanup(v, hits.map(Entry(v, "remove", _)) ++
         added.map(Entry(v, "add", _)) ++ statsEntries(v, added) ++
-        extraEntries, added)
+        idEntries ++ extraEntries, added)
       buildBlooms(v, added)
       v
     }

@@ -259,12 +259,21 @@ class CatalogSqlSpec extends SparkSpec {
       assert(es.sql("SELECT k FROM gm.t ORDER BY k").collect()
         .map(_.getLong(0)).toSeq == Seq(2L, 3L))
 
+      // WHEN NOT MATCHED BY SOURCE routes (round 15): target rows
+      // with no source match take the NMBS clause, first-match-wins,
+      // in the same single CDC commit
+      es.sql("MERGE INTO gm.t USING dead ON t.k = dead.k " +
+        "WHEN NOT MATCHED BY SOURCE AND t.k = 2 THEN UPDATE SET v = 0")
+      val nmbs = es.sql("SELECT k, v FROM gm.t ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(nmbs == Seq((2L, 0L), (3L, 30L)),
+        s"NMBS update wrong: $nmbs")
+
       // unsupported shapes fail loudly, nothing changes
       val e = intercept[Exception](
         es.sql("MERGE INTO gm.t USING src ON t.k = src.k " +
-          "WHEN MATCHED THEN UPDATE SET * " +
-          "WHEN NOT MATCHED BY SOURCE THEN DELETE"))
-      assert(e.getMessage.contains("NOT MATCHED BY SOURCE"),
+          "WHEN MATCHED THEN UPDATE SET k = t.k + 1"))
+      assert(e.getMessage.contains("reassigns the merge key"),
         s"wrong failure: ${e.getMessage.take(300)}")
       assert(es.sql("SELECT count(*) FROM gm.t").head().getLong(0) == 2)
       rm(wh)
@@ -773,21 +782,22 @@ class CatalogSqlSpec extends SparkSpec {
       es.sql("INSERT INTO gtc.t VALUES (3, 'b', 30)")               // v2
       es.sql("DELETE FROM gtc.t WHERE k IN (1)")                    // v3 MOR
       val all = es.sql("SELECT _version, _change, k, v FROM " +
-        "table_changes('gtc.t', 0) ORDER BY _version, k").collect()
+        "table_changes('gtc.t', 1) ORDER BY _version, k").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
           r.getLong(3))).toSeq
       assert(all == Seq(
         (1L, "insert", 1L, 10L), (1L, "insert", 2L, 20L),
         (2L, "insert", 3L, 30L), (3L, "delete", 1L, 10L)),
         s"full feed wrong: $all")
-      // (from, to] bounds — the option-read's exclusive-start contract
-      val bounded = es.sql("SELECT k FROM table_changes('gtc.t', 1, 2)")
+      // [start, end] bounds — INCLUSIVE start (Delta's
+      // starting_version contract; the option read stays exclusive)
+      val bounded = es.sql("SELECT k FROM table_changes('gtc.t', 2, 2)")
         .collect().map(_.getLong(0)).toSeq
       assert(bounded == Seq(3L), s"bounded feed wrong: $bounded")
       // rename: the feed serves the CURRENT logical name
       es.sql("ALTER TABLE gtc.t RENAME COLUMN v TO metric")
       val renamed = es.sql("SELECT metric FROM " +
-        "table_changes('gtc.t', 1, 2)").collect()
+        "table_changes('gtc.t', 2, 2)").collect()
         .map(_.getLong(0)).toSeq
       assert(renamed == Seq(30L), s"renamed feed wrong: $renamed")
       // malformed args fail loudly
@@ -900,8 +910,8 @@ class CatalogSqlSpec extends SparkSpec {
     rm(wh)
   }
 
-  test("MERGE with INSERT clauses into an identity table is refused " +
-    "(explicit-id smuggling); delete-only MERGE works") {
+  test("MERGE into an identity table: explicit-id INSERT refused, " +
+    "id-omitting INSERT generates past the watermark, delete works") {
     val old = spark
     org.apache.spark.sql.SparkSession.clearActiveSession()
     org.apache.spark.sql.SparkSession.clearDefaultSession()
@@ -921,13 +931,31 @@ class CatalogSqlSpec extends SparkSpec {
       import es.implicits._
       Seq((10L, "a"), (99L, "a")).toDF("k", "part")
         .createOrReplaceTempView("imsrc")
+      // explicit id in the INSERT clause: still refused (smuggling)
       val e = intercept[Exception](
         es.sql("MERGE INTO gim.t USING imsrc ON t.k = imsrc.k " +
           "WHEN MATCHED THEN UPDATE SET k = imsrc.k " +
           "WHEN NOT MATCHED THEN INSERT (id, k, part) " +
           "VALUES (999, imsrc.k, imsrc.part)"))
-      assert(e.getMessage.contains("GENERATED ALWAYS"),
+      assert(e.getMessage.contains("identity column"),
         s"wrong failure: ${e.getMessage.take(300)}")
+      // UPDATE SET id: refused (never reassigned — round-14 ADVICE)
+      val e2 = intercept[Exception](
+        es.sql("MERGE INTO gim.t USING imsrc ON t.k = imsrc.k " +
+          "WHEN MATCHED THEN UPDATE SET id = 7"))
+      assert(e2.getMessage.contains("never reassigned"),
+        s"wrong failure: ${e2.getMessage.take(300)}")
+      // round 15: an id-OMITTING INSERT clause generates ids from the
+      // commit-CAS watermark, atomic with the merge commit; matched
+      // rows keep their existing ids
+      es.sql("MERGE INTO gim.t USING imsrc ON t.k = imsrc.k " +
+        "WHEN MATCHED THEN UPDATE SET part = imsrc.part " +
+        "WHEN NOT MATCHED THEN INSERT (k, part) " +
+        "VALUES (imsrc.k, imsrc.part)")
+      val gen = es.sql("SELECT id, k FROM gim.t ORDER BY id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(gen == Seq((1L, 10L), (2L, 20L), (3L, 99L)),
+        s"identity-generating MERGE INSERT wrong: $gen")
       // delete-only MERGE assigns nothing — still available
       es.sql("MERGE INTO gim.t USING imsrc ON t.k = imsrc.k " +
         "WHEN MATCHED THEN DELETE")

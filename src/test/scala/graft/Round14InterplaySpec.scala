@@ -204,7 +204,7 @@ class Round14InterplaySpec extends SparkSpec {
       assert(es.sql("SELECT sum(v) FROM gr.t").head().getLong(0) == 30)
       // the CDF serves the restore as an honest delete of v2's adds
       val changes = es.sql("SELECT _version, _change, k FROM " +
-        "table_changes('gr.t', 2) ORDER BY k").collect()
+        "table_changes('gr.t', 3) ORDER BY k").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
       assert(changes == Seq((3L, "delete", 3L)),
         s"restore delta wrong through the TVF: $changes")
