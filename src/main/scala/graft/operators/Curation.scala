@@ -668,7 +668,12 @@ object Curation {
       // (2 + Lmin/Lmax)/3, so Lmax <= 2·Lmin for every surviving pair.
       // The oracle carries NO such filter — a wrong bound would break
       // the hash match, so the differential gate proves it lossless.
-      part.join(right,
+      // spread BEFORE the pair expansion (Tables.spread contract): the
+      // probe side arrives as ONE scan split at bench SF, so the block
+      // self-join's JW kernel — the query's entire cost — would run in
+      // a single task under the broadcast join; the repartition moves
+      // only the ~|part| pre-expansion rows (guide §2.5/§1.2).
+      Tables.spread(part).join(broadcast(right),
           col("p_brand") === col("brand_b") &&
             col("p_partkey") < col("key_b") &&
             col("len_a") <= col("len_b") * 2 &&
@@ -732,7 +737,9 @@ object Curation {
       // for any threshold ≥ 0.9); (brand, type) blocking — a type
       // mismatch is a different entity, and the tighter block cuts the
       // kernel evaluations 6× at sf0.1 (measured 8.0M → 1.3M pairs)
-      val edges = part.join(right,
+      // spread + broadcast as in q_fuzzy_name_match: the JW kernel over
+      // block pairs must not run inside the one-split scan task
+      val edges = Tables.spread(part).join(broadcast(right),
           col("p_brand") === col("brand_b") &&
             col("p_type") === col("type_b") &&
             col("p_partkey") < col("key_b") &&

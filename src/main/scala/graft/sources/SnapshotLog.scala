@@ -206,6 +206,20 @@ object SnapshotLog {
     * their components never drift). Evicted LRU per root — a clear-all
     * at capacity would throw away every hot table's fold because one
     * suite created throwaway roots. */
+  /** Declared schema of the columnar checkpoint file (what
+    * [[Table.checkpoint]]'s writer emits) — reads declare it so a cold
+    * fold skips the schema-inference job parquet file-list reads
+    * otherwise launch. */
+  private val CheckpointSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("seq",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("version",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("action",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType)))
+
   private final case class LogKey(instance: String, ckpt: String,
       segs: Vector[String])
   private def statusKey(st: FileStatus): String =
@@ -594,7 +608,8 @@ object SnapshotLog {
       * contract needs entry ORDER preserved exactly). */
     private def parseCheckpoint(p: Path): Seq[Entry] =
       if (p.getName.endsWith(".ckpt.pq"))
-        spark.read.parquet(p.toString).orderBy("seq")
+        spark.read.schema(CheckpointSchema).parquet(p.toString)
+          .orderBy("seq")
           .select("version", "action", "path")
           .collect().toSeq
           .map(r => Entry(r.getInt(0), r.getString(1), r.getString(2)))
@@ -606,7 +621,7 @@ object SnapshotLog {
       * row-group slice, not the whole manifest. */
     private def checkpointEntriesFor(cp: Path, v: Int): Seq[Entry] =
       if (cp.getName.endsWith(".ckpt.pq"))
-        spark.read.parquet(cp.toString)
+        spark.read.schema(CheckpointSchema).parquet(cp.toString)
           .filter(col("version") === v).orderBy("seq")
           .select("version", "action", "path")
           .collect().toSeq
@@ -891,8 +906,7 @@ object SnapshotLog {
       // same one-footer contract scanAsOf uses)
       val live = liveFiles(v - 1)
       if (live.nonEmpty) {
-        val phys = spark.read.parquet(s"$dataDir/${live.head}")
-          .schema.fieldNames.toSet ++
+        val phys = footerSchemaOf(live.head).fieldNames.toSet ++
           live.head.split('/').dropRight(1).map(_.takeWhile(_ != '='))
         val logical = phys.filterNot(dropped.contains)
           .map(ph => m.find(_._2 == ph).map(_._1).getOrElse(ph)) ++ m.keys
@@ -980,7 +994,7 @@ object SnapshotLog {
           "is read from a live footer)")
       // effective current type: a prior widening wins over the footer
       val cur = widenings(v - 1).get(phys).orElse(
-        spark.read.parquet(s"$dataDir/${live.head}").schema
+        footerSchemaOf(live.head)
           .find(_.name == phys).map(_.dataType))
         .getOrElse(throw new IllegalArgumentException(
           s"no such data column to widen: $name (partition columns " +
@@ -1027,8 +1041,7 @@ object SnapshotLog {
       // same conservative contract as renameColumn)
       val live = liveFiles(v - 1)
       if (live.nonEmpty) {
-        val phys = spark.read.parquet(s"$dataDir/${live.head}")
-          .schema.fieldNames.toSet ++
+        val phys = footerSchemaOf(live.head).fieldNames.toSet ++
           live.head.split('/').dropRight(1).map(_.takeWhile(_ != '='))
         require(!phys.contains(name),
           s"column $name already exists in the live schema")
@@ -1074,8 +1087,7 @@ object SnapshotLog {
     private def enforceWriteTypes(df: DataFrame, at: Int): DataFrame = {
       val live = liveFiles(at)
       if (live.isEmpty) return df
-      val declared = widenSchema(
-        spark.read.parquet(s"$dataDir/${live.head}").schema,
+      val declared = widenSchema(footerSchemaOf(live.head),
         widenings(at))
       val casts = df.schema.flatMap { f =>
         declared.find(_.name == f.name).flatMap { d =>
@@ -1108,10 +1120,8 @@ object SnapshotLog {
       * the logical table view; [[asOf]]/[[scanAsOf]] are that). */
     private def readRawAt(files: Seq[String], at: Int): DataFrame = {
       val w = widenings(at)
-      val reader = spark.read.option("basePath", dataDir)
-      (if (w.isEmpty) reader
-       else reader.schema(widenSchema(
-         spark.read.parquet(s"$dataDir/${files.head}").schema, w)))
+      spark.read.option("basePath", dataDir)
+        .schema(widenSchema(footerSchemaOf(files.head), w))
         .parquet(files.map(p => s"$dataDir/$p"): _*)
     }
 
@@ -1283,8 +1293,7 @@ object SnapshotLog {
           // partition column stays out); mergeSchema-false contract
           // as asOf: later files missing a column null-fill in the
           // parquet reader, extra columns are ignored
-          val dataSchema = widenSchema(spark.read
-            .parquet(s"$dataDir/${rels.head}").schema, w)
+          val dataSchema = widenSchema(footerSchemaOf(rels.head), w)
           val index = new org.apache.spark.sql.graft.SnapshotFileIndex(
             spark, dataDir, rels, partSchema, zl, zs, zn, sizes,
             bloomCols.toSet, bloomSurvivorsAny, recordScanPrune)
@@ -1381,11 +1390,11 @@ object SnapshotLog {
           val reader0 = spark.read.option("basePath", dataDir)
             .option("mergeSchema", mergeSchema.toString)
           val base =
-            if (w.isEmpty)
-              reader0.parquet(fs.map(p => s"$dataDir/$p"): _*)
-            else if (!mergeSchema)
-              reader0.schema(widenSchema(
-                  spark.read.parquet(s"$dataDir/${fs.head}").schema, w))
+            if (!mergeSchema)
+              // declared schema from one CACHED footer: bit-identical
+              // to what inference would pick (same head file, same
+              // footer decoder) without inference's per-read Spark job
+              reader0.schema(widenSchema(footerSchemaOf(fs.head), w))
                 .parquet(fs.map(p => s"$dataDir/$p"): _*)
             else {
               val merged =
@@ -1652,14 +1661,57 @@ object SnapshotLog {
         .collect().map(_.getLong(0)).toSeq
     }
 
-    private def footerRowCount(file: Path): Long = {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(file, hadoopConf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try {
-        import scala.jdk.CollectionConverters._
-        r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-      } finally r.close()
+    /** Per-instance parquet FOOTER cache, keyed by data-relative path.
+      * Adopted files are immutable (adopt() renames exactly once; every
+      * rewrite lands under a fresh `v<N>-` name), so a footer read once
+      * is valid for the table handle's lifetime; files a later commit
+      * retires simply stop being referenced. One commit previously
+      * opened the same footers several times over (stats entries, bloom
+      * sizing, schema probes) and — worse — every multi-file read ran
+      * Spark's schema-INFERENCE job over footers the driver had already
+      * seen; this cache plus [[footerSchemaOf]] feeds all of them from
+      * one driver-side read per file. Bounded defensively: overflow
+      * clears (refill is one ~ms driver read per file), so a
+      * long-lived handle over a churning table cannot hold unbounded
+      * metadata. */
+    private val footerCache = new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.parquet.hadoop.metadata.ParquetMetadata]()
+    private def footerOf(rel: String)
+        : org.apache.parquet.hadoop.metadata.ParquetMetadata = {
+      if (footerCache.size > 4096) footerCache.clear()
+      footerCache.computeIfAbsent(rel, { _ =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(s"$dataDir/$rel"), hadoopConf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter finally r.close()
+      })
+    }
+
+    /** The Spark schema of one adopted file, derived DRIVER-SIDE from
+      * its (cached) footer through the same decoder Spark's inference
+      * uses — [[org.apache.spark.sql.execution.datasources.parquet
+      * .ParquetFileFormat.readSchemaFromFooter]] prefers the exact
+      * serialized Spark schema every Spark-written footer carries and
+      * falls back to the parquet→Spark type converter for foreign
+      * files. `.asNullable` mirrors what `spark.read.parquet(f).schema`
+      * returns (file relations are nullable on read), so declaring this
+      * schema is bit-identical to the inference it replaces — minus
+      * inference's per-read footer JOB (mergeSchemasInParallel launches
+      * a Spark job even for the one-footer mergeSchema=false case). */
+    private def footerSchemaOf(rel: String)
+        : org.apache.spark.sql.types.StructType = {
+      import org.apache.spark.sql.execution.datasources.parquet._
+      val footer = new org.apache.parquet.hadoop.Footer(
+        new Path(s"$dataDir/$rel"), footerOf(rel))
+      val conv = new ParquetToSparkSchemaConverter(spark.sessionState.conf)
+      val raw = ParquetFileFormat.readSchemaFromFooter(footer, conv)
+      org.apache.spark.sql.types.StructType(
+        raw.map(_.copy(nullable = true)))
+    }
+
+    private def footerRowCount(rel: String): Long = {
+      import scala.jdk.CollectionConverters._
+      footerOf(rel).getBlocks.asScala.map(_.getRowCount).sum
     }
 
     /** Build one bloom sidecar per (adopted file, indexed column) in a
@@ -1674,13 +1726,14 @@ object SnapshotLog {
     private def buildBlooms(v: Int, added: Seq[String]): Unit = {
       if (bloomCols.isEmpty || added.isEmpty) return
       val files = added.map(p => s"$dataDir/$p")
-      val df = spark.read.option("basePath", dataDir).parquet(files: _*)
+      val df = spark.read.option("basePath", dataDir)
+        .schema(footerSchemaOf(added.head)).parquet(files: _*)
       val present = bloomCols.filter(df.columns.contains)
       if (present.isEmpty) return
       // per-file m from footer row counts (metadata-only), rounded to
       // whole 64-bit words
       val mByFile: Map[String, Long] = added.map { rel =>
-        val n = math.max(1L, footerRowCount(new Path(s"$dataDir/$rel")))
+        val n = math.max(1L, footerRowCount(rel))
         rel -> (((n * BloomBitsPerRow + 63) / 64) * 64)
       }.toMap
       val seg = split(input_file_name(), "/")
@@ -1837,7 +1890,7 @@ object SnapshotLog {
     private def statsEntries(v: Int, added: Seq[String]): Seq[Entry] =
       added.flatMap { rel =>
         val p = new Path(s"$dataDir/$rel")
-        val (longs, strs, nulls) = footerStats(p)
+        val (longs, strs, nulls) = footerStats(rel)
         Entry(v, "fsize", s"$rel|${fs.getFileStatus(p).getLen}") +:
           (longs.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
             Entry(v, "stats", s"$rel|$c|$lo|$hi")
@@ -1962,14 +2015,12 @@ object SnapshotLog {
       * pruning comparison is Java-String-wise — the orders agree
       * exactly on ASCII, so a non-ASCII bound gets no stat rather than
       * a wrong one. */
-    private def footerStats(file: Path):
+    private def footerStats(rel: String):
         (Map[String, (Long, Long)], Map[String, (String, String)],
           Map[String, (Long, Long)]) = {
       import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(file, hadoopConf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try {
+      val footer = footerOf(rel)
+      locally {
         import scala.jdk.CollectionConverters._
         val accL = scala.collection.mutable.Map[String, (Long, Long)]()
         val accS = scala.collection.mutable.Map[String, (String, String)]()
@@ -1982,7 +2033,7 @@ object SnapshotLog {
         var badN = Set.empty[String]
         var ok = Set.empty[String]
         var bad = Set.empty[String]
-        r.getFooter.getBlocks.asScala.foreach { b =>
+        footer.getBlocks.asScala.foreach { b =>
           b.getColumns.asScala.foreach { c =>
             val name = c.getPath.toDotString
             val s: org.apache.parquet.column.statistics.Statistics[_] =
@@ -2043,7 +2094,7 @@ object SnapshotLog {
         (good.flatMap(n => accL.get(n).map(n -> _)).toMap,
           good.flatMap(n => accS.get(n).map(n -> _)).toMap,
           goodN.flatMap(n => accN.get(n).map(n -> _)).toMap)
-      } finally r.close()
+      }
     }
 
     /** Write `df` under `tmp` partitioned by `partCol`, with TIMESTAMP
