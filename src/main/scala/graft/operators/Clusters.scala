@@ -240,7 +240,9 @@ object Clusters {
         |JOIN deg db ON db.s = p.supp_b
         |ORDER BY p.supp_a, p.supp_b""".stripMargin) { (spark, dir) =>
       val t = Tables(spark, dir)
-      val e0 = t.lineitem.join(t.orders,
+      val e0 = graft.Tables.spread(
+          t.lineitem.select(col("l_orderkey"), col("l_suppkey")))
+        .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
         .distinct()

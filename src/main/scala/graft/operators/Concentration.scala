@@ -227,8 +227,8 @@ object Concentration {
         |WHERE p.n_both >= 2
         |ORDER BY p.n_both DESC, part_a, part_b
         |LIMIT 50""".stripMargin) { (spark, dir) =>
-      val li = Tables(spark, dir).lineitem
-        .select("l_orderkey", "l_partkey").distinct()
+      val li = Tables.spread(Tables(spark, dir).lineitem
+          .select("l_orderkey", "l_partkey")).distinct()
         .localCheckpoint() // feeds both self-join sides, freq, and tot
       val pairs = li.toDF("l_orderkey", "part_a")
         .join(li.toDF("l_orderkey2", "part_b"),

@@ -554,7 +554,7 @@ object Curation {
       // level common-subexpression elimination and re-tokenizes each doc
       // ~10× per row (measured 12s vs 2s for the whole pipeline at
       // sf0.1). Materialized, it is seven small ints per doc.
-      val feats = docs
+      val feats = Tables.spread(docs)
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), col("lang"),
           size(col("toks")).as("n_tokens"),
@@ -1187,7 +1187,7 @@ object Curation {
         |SELECT 3, w3.doc_id, CAST(w3.gain AS BIGINT),
         |  CAST((SELECT count(*) FROM c3) AS BIGINT) FROM w3
         |ORDER BY round""".stripMargin) { (spark, dir) =>
-      val tok = Tables(spark, dir).documents
+      val tok = Tables.spread(Tables(spark, dir).documents)
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .select(col("doc_id"), explode(expr(
           """filter(transform(t, (x, i) ->

@@ -60,7 +60,11 @@ object Dedup {
     * here: the immediate `distinct` reshuffles anyway, so the explode
     * stage is not the serial bottleneck — measured flat at sf0.1.) */
   private[operators] def gramRelation(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // spread before the shingle explode (Tables.spread contract: the
+    // one-split doc scan would run the gram build of every consumer in
+    // a single task; callers pass scan-stage frames)
+    graft.Tables.spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(expr(gramsExpr)).as("gram"))
       .distinct()
 
@@ -198,9 +202,17 @@ object Dedup {
        |)""".stripMargin
 
   /** 16-bit token-frequency-weighted SimHash per doc (md5-derived bits,
-    * reproducible in SQL) — shared by q_simhash and q_simhash_hamming. */
-  def simhash16(docs: DataFrame): DataFrame = {
-    val toks = docs
+    * reproducible in SQL) — shared by q_simhash and q_simhash_hamming.
+    *
+    * `spread`: pre-expansion repartition of the one-split doc scan
+    * (Tables.spread contract) — ON for consumers that feed the
+    * signatures into pairwise work (hamming join, neighborhood sort),
+    * where the token-x-16-bit explode dominates; OFF for the
+    * signatures-only query, where the two extra exchange stages cost
+    * more than the single-task explode saves (measured 0.29→0.58s
+    * at sf0.1). */
+  def simhash16(docs: DataFrame, spread: Boolean = true): DataFrame = {
+    val toks = (if (spread) graft.Tables.spread(docs) else docs)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val bits = toks
       .withColumn("h", md5h64(col("tok")))
@@ -309,7 +321,8 @@ object Dedup {
       s"""WITH $duckSimhashCtes
          |SELECT doc_id, simhash16 FROM sh
          |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-      simhash16(Tables(spark, dir).documents).orderBy("doc_id")
+      simhash16(Tables(spark, dir).documents, spread = false)
+        .orderBy("doc_id")
     },
 
     // ---- SimHash hamming distances between consecutive docs: near-dup
@@ -1022,7 +1035,9 @@ object Dedup {
          |ORDER BY p.n_shared DESC, p.doc_a, p.doc_b
          |LIMIT 50""".stripMargin) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val hashed = Tables(spark, dir).documents
+      // spread before the positional gram explode + hash (Tables.spread
+      // contract: one-split scan, per-gram md5 kernel)
+      val hashed = Tables.spread(Tables(spark, dir).documents)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), posexplode(expr(gramsExpr)).as(Seq("pos", "gram")))
         .select(col("doc_id"), col("pos"),
@@ -1122,7 +1137,7 @@ object Dedup {
          |JOIN card cb ON cb.source = e.src_b
          |ORDER BY src_a, src_b""".stripMargin) { (spark, dir) =>
       val docs = Tables(spark, dir).documents
-      val hg = docs
+      val hg = Tables.spread(docs) // one-split scan feeds the gram build
         .select(col("source"), col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("source"), col("doc_id"), explode(expr(gramsExpr)).as("gram"))
         .distinct()

@@ -44,9 +44,13 @@ object GraphRank {
   /** Spark twin of [[duckTradeEdges]]. */
   private def tradeEdges(t: graft.Tables,
       lineFilter: Option[org.apache.spark.sql.Column]): org.apache.spark.sql.DataFrame = {
-    val li = lineFilter.foldLeft(
+    // spread the fact scan before the probe+distinct partials: the
+    // one-split lineitem scan would run every graph query's edge build
+    // in a single task (Tables.spread contract — no-op once the scan
+    // arrives in many splits)
+    val li = graft.Tables.spread(lineFilter.foldLeft(
       t.lineitem.select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")))(
-      _.filter(_))
+      _.filter(_)))
     val pairs = li.select(col("l_orderkey"), col("l_suppkey"))
       .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))

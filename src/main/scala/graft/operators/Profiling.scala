@@ -94,7 +94,10 @@ object Profiling {
       }
       val stackArgs = cols.map(c =>
         s"'$c', nn_$c, ndv_$c, mn_$c, mx_$c, al_$c").mkString(", ")
-      Tables(spark, dir).orders
+      // spread before the aggregate: 4 countDistincts EXPAND the scan
+      // 5x, and the one-split orders scan would run that whole partial
+      // aggregation in a single task (Tables.spread contract)
+      Tables.spread(Tables(spark, dir).orders.select(cols.map(col): _*))
         .agg(aggs.head, aggs.tail: _*)
         .select(col("n_rows"), expr(
           s"stack(${cols.size}, $stackArgs) AS (col_name, nn, ndv, min_val, max_val, avg_len)"))

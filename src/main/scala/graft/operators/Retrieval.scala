@@ -109,7 +109,11 @@ object Retrieval {
       |)""".stripMargin
 
   private[operators] def dsirScaled(docs: org.apache.spark.sql.DataFrame) = {
-    val bt = docs
+    // spread before the tokenize-explode + per-token md5 (Tables.spread
+    // contract): the one-split doc scan would otherwise run the
+    // helper's whole hash stage — re-evaluated by three consumers —
+    // in a single task
+    val bt = Tables.spread(docs)
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), col("lang"),

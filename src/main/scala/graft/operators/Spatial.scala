@@ -89,7 +89,11 @@ object Spatial {
          |ORDER BY s_suppkey, rank""".stripMargin) { (spark, dir) =>
       val t = Tables(spark, dir)
       val cust = withPoint(t.customer.select("c_custkey"), "c_custkey")
-      val probe = withPoint(t.supplier.select("s_suppkey"), "s_suppkey")
+      // spread the probe side before the 9-cell explode: the candidate
+      // expansion (|supp| x 9 x cell occupancy) and the d2 kernel would
+      // otherwise run inside the single supplier scan task
+      val probe = withPoint(
+        Tables.spread(t.supplier.select("s_suppkey")), "s_suppkey")
         .select(col("s_suppkey"), col("px"), col("py"),
           explode(expr("sequence(-1L, 1L)")).as("dx"), col("cx"), col("cy"))
         .select(col("s_suppkey"), col("px"), col("py"),

@@ -63,7 +63,8 @@ object Wave6 {
         |FROM sc ORDER BY ra_fp DESC, s1, s2 LIMIT 20""".stripMargin) {
       (spark, dir) =>
       val t = Tables(spark, dir)
-      val pairs = t.lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = Tables.spread(
+          t.lineitem.select(col("l_orderkey"), col("l_suppkey")))
         .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
