@@ -131,6 +131,14 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val out = args.lift(1).getOrElse("EXPLAINS.md")
+    // restricted mode (optimization-round plan artifacts): arg 3 is a
+    // comma-list of query names and arg 4 a filename suffix — each
+    // query's AQE-final formatted plan lands in `<out>/<name><suffix>.txt`
+    // (`out` is a directory in this mode), e.g.
+    //   runMain graft.Explain /root/testdata/sf0.1 plans/r15 q_suffix_lcp _after
+    val restrict = args.lift(2).map(_.split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq)
+    val suffix = args.lift(3).getOrElse("")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -140,31 +148,48 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val sb = new StringBuilder
-    sb ++= s"# EXPLAINS — formatted physical plans at $sfDir\n\n"
-    sb ++= "Generated by `runMain graft.Explain`. AQE-final plans (each\n"
-    sb ++= "query executed once so adaptive stages are resolved).\n"
-    headline.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      df.collect() // resolve AQE to the final plan
-      sb ++= s"\n## $name\n\n```\n"
-      sb ++= df.queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      sb ++= "\n```\n"
-    }
     // Staged scratch dirs (graft.util.Staging fingerprints, 16 hex
     // chars) and java.io.tmpdir temp suffixes are machine/run-local;
     // normalize them so regenerating this dump on another host diffs
     // only when a PLAN changes, not when a temp path does.
-    val normalized = sb.toString
+    def normalize(s: String): String = s
       .replaceAll("(graft_[a-z0-9_]*?_)[0-9a-f]{16}", "$1STAGETAG")
       .replaceAll("(graft_[a-z0-9_]*?_)[0-9]{6,}", "$1TMPTAG")
       // task-UUID leaf names inside staged layouts differ per build
       .replaceAll(
         "part-[0-9]{5}-[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-" +
           "[0-9a-f]{12}", "part-NNNNN-UUID")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), normalized)
-    println(s"[explain] wrote $out (${headline.size} plans)")
+    def planOf(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect() // resolve AQE to the final plan
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    }
+    restrict match {
+      case Some(names) =>
+        val dir = java.nio.file.Paths.get(out)
+        java.nio.file.Files.createDirectories(dir)
+        names.foreach { name =>
+          java.nio.file.Files.writeString(
+            dir.resolve(s"$name$suffix.txt"),
+            s"// $name @ $sfDir (AQE-final formatted plan)\n" +
+              normalize(planOf(name)) + "\n")
+          println(s"[explain] wrote $out/$name$suffix.txt")
+        }
+      case None =>
+        val sb = new StringBuilder
+        sb ++= s"# EXPLAINS — formatted physical plans at $sfDir\n\n"
+        sb ++= "Generated by `runMain graft.Explain`. AQE-final plans (each\n"
+        sb ++= "query executed once so adaptive stages are resolved).\n"
+        headline.foreach { name =>
+          sb ++= s"\n## $name\n\n```\n"
+          sb ++= planOf(name)
+          sb ++= "\n```\n"
+        }
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(out), normalize(sb.toString))
+        println(s"[explain] wrote $out (${headline.size} plans)")
+    }
     spark.stop()
   }
 }

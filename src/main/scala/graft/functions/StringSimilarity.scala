@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Jaro-Winkler similarity kernel, callable from both the interpreted
@@ -176,9 +176,77 @@ case class JaroWinkler(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Byte-level longest-common-prefix kernel behind [[CommonPrefixLen]].
+  * Counts leading equal CODE POINTS (the unit SQL `substring(s, k, 1)`
+  * compares), capped at `cap`: two UTF-8 strings share a code point
+  * prefix iff they share its byte encoding, so one byte-compare loop
+  * finds the mismatch and a second bounded walk counts the complete
+  * code points inside the common byte prefix — no per-position
+  * substring allocation. */
+object CommonPrefixAlgo {
+  def lcp(a: UTF8String, b: UTF8String, cap: Int): Int = {
+    val ab = a.getBytes
+    val bb = b.getBytes
+    val n = math.min(ab.length, bb.length)
+    var i = 0
+    while (i < n && ab(i) == bb(i)) i += 1
+    // count code points that END within the common byte prefix [0, i)
+    var cnt = 0
+    var j = 0
+    while (j < i && cnt < cap) {
+      val c = ab(j) & 0xFF
+      val len =
+        if (c < 0x80) 1 else if (c < 0xE0) 2 else if (c < 0xF0) 3 else 4
+      if (j + len <= i) { cnt += 1; j += len }
+      else j = i // mismatch mid-code-point: that code point is unequal
+    }
+    cnt
+  }
+}
+
+/** `common_prefix_len(string, string)` capped at `cap` code points, as
+  * a native codegen expression: the suffix-array LCP kernel. The SQL
+  * formulation (count k in 1..cap with substring(s_a,1,k) =
+  * substring(s_b,1,k), k bounded by both lengths) allocates cap
+  * substring pairs per row — O(cap²) char traffic; this is one byte
+  * loop, value-identical (prefix k equal ⟺ code points 1..k all
+  * equal ⟺ byte encodings equal). Same static-kernel codegen pattern
+  * as [[JaroWinkler]]. */
+case class CommonPrefixLen(left: Expression, right: Expression, cap: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two string arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "common_prefix_len"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Integer.valueOf(CommonPrefixAlgo.lcp(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], cap))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.CommonPrefixAlgo.lcp($a, $b, $cap);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object StringSimilarity {
   /** Column wrapper: Jaro-Winkler similarity of two string columns. */
   def jaroWinkler(a: Column, b: Column): Column =
     ColumnBridge.column(JaroWinkler(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column wrapper: leading-code-point match count, capped at `cap`. */
+  def commonPrefixLen(a: Column, b: Column, cap: Int): Column =
+    ColumnBridge.column(CommonPrefixLen(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), cap))
 }

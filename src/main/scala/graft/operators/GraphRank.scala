@@ -51,11 +51,18 @@ object GraphRank {
     val li = graft.Tables.spread(lineFilter.foldLeft(
       t.lineitem.select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")))(
       _.filter(_)))
+    // pin BEFORE the two-direction union: Spark has no plan-level CSE,
+    // so the un-pinned `pairs` subtree (fact join + distinct — the
+    // expensive part of every graph query here) would be evaluated
+    // once per union branch, and again per consumer that joins edges
+    // with an aggregate of edges (deg/census) — 2-4 full evaluations
+    // per query. One materialization, every consumer reads blocks.
     val pairs = li.select(col("l_orderkey"), col("l_suppkey"))
       .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_suppkey").as("s"), (col("o_custkey") + custOffset).as("c"))
       .distinct()
+      .pin()
     pairs.select(col("s").as("src"), col("c").as("dst"))
       .unionAll(pairs.select(col("c").as("src"), col("s").as("dst")))
   }

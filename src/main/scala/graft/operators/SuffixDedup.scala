@@ -69,7 +69,11 @@ object SuffixDedup {
       // the sampling pass into a cached-block read (one child
       // evaluation saved; wall-clock at this SF is within run noise,
       // the win grows with the suffix build's cost)
-      val sfx = Tables(spark, dir).documents
+      // spread the one-split doc scan first (Tables.spread contract):
+      // the suffix build below (posexplode + per-suffix slice/join) is
+      // the query's most expensive kernel and would otherwise run in a
+      // single task
+      val sfx = Tables.spread(Tables(spark, dir).documents)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), col("toks"),
           posexplode(col("toks")).as(Seq("pos", "tok")))
@@ -88,25 +92,20 @@ object SuffixDedup {
           col("pos").as("pos_b"), col("s").as("s_b"),
           (col("rn") - 1).as("rn")), Seq("rn"))
         .filter(col("doc_a") =!= col("doc_b"))
-        .withColumn("p", expr(s"""array_position(
-            transform(sequence(1, $capChars),
-              k -> k <= least(length(s_a), length(s_b))
-                   AND substring(s_a, k, 1) = substring(s_b, k, 1)),
-            false)"""))
-        // LCP as FIRST CHAR MISMATCH, not a prefix-equality count: the
-        // count form re-compares prefix k for every k — O(cap²) char
-        // work in the worst case, and sorted ADJACENT suffixes are
-        // exactly the long-shared-prefix pairs where the per-compare
-        // early-exit does not save it; one char-at-k compare per
-        // position is O(cap) worst case and value-identical (prefix k
-        // equal ⟺ chars 1..k all equal, so the count IS
-        // firstMismatch − 1, clamped to the shorter suffix). The
-        // oracle keeps the count formulation — same value.
+        // LCP as ONE byte loop (codegen CommonPrefixLen), not a
+        // prefix-equality count: the count form allocates cap
+        // substring pairs per row (O(cap²) char traffic — measured
+        // ~28s of task time at sf0.1 as a transform/array_position
+        // chain, the query's dominant cost); the kernel finds the
+        // first mismatching byte and counts complete code points
+        // before it — value-identical (prefix k equal ⟺ code points
+        // 1..k all equal ⟺ byte encodings equal, clamped to the
+        // shorter suffix and the cap). The oracle keeps the count
+        // formulation — same value.
         .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
-          expr(s"""CAST(CASE WHEN p = 0
-                   THEN least(length(s_a), length(s_b), $capChars)
-                   ELSE p - 1 END AS BIGINT)""")
-            .as("lcp"))
+          graft.functions.StringSimilarity
+            .commonPrefixLen(col("s_a"), col("s_b"), capChars)
+            .cast("long").as("lcp"))
         .filter(col("lcp") >= 16)
         .orderBy(col("lcp").desc, col("doc_a"), col("pos_a"))
         .limit(20)

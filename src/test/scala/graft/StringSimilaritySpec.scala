@@ -56,4 +56,65 @@ class StringSimilaritySpec extends SparkSpec {
     val keys = rows.map(r => (r.getAs[Long]("key_a"), r.getAs[Long]("key_b")))
     assert(keys.distinct.length == keys.length)
   }
+
+  test("common_prefix_len: reference vectors incl. cap and multibyte") {
+    import graft.functions.CommonPrefixAlgo
+    import org.apache.spark.unsafe.types.UTF8String
+    def l(a: String, b: String, cap: Int = 48): Int =
+      CommonPrefixAlgo.lcp(
+        UTF8String.fromString(a), UTF8String.fromString(b), cap)
+    assert(l("abcdef", "abcxyz") == 3)
+    assert(l("same", "same") == 4)
+    assert(l("", "anything") == 0)
+    assert(l("abc", "abcdef") == 3)        // one a prefix of the other
+    assert(l("abcdef", "abcdef", 4) == 4)  // cap clamps
+    assert(l("über", "übel") == 3)         // ü is 2 UTF-8 bytes, 1 code point
+    assert(l("aß", "ab") == 1)             // mismatch mid-code-point
+    assert(l("日本語x", "日本語y") == 3)    // 3-byte code points
+  }
+
+  test("common_prefix_len: value-identical to the SQL count formulation") {
+    // differential gate over real adjacent-suffix pairs: the codegen
+    // kernel must equal the transform/array_position chain it replaced
+    // in q_suffix_lcp, row for row
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      .select(col("doc_id"),
+        expr("substring(array_join(slice(toks, pos + 1, 8), ' '), 1, 48)")
+          .as("s"))
+      .orderBy("s", "doc_id", "pos").limit(2000)
+    val pairs = docs.withColumn("rn",
+        org.apache.spark.sql.functions.monotonically_increasing_id())
+      .select(col("s").as("s_a"), col("rn"))
+      .join(docs.withColumn("rn",
+          org.apache.spark.sql.functions.monotonically_increasing_id() - 1)
+        .select(col("s").as("s_b"), col("rn")), Seq("rn"))
+    val diff = pairs
+      .withColumn("p", expr("""array_position(transform(sequence(1, 48),
+          k -> k <= least(length(s_a), length(s_b))
+            AND substring(s_a, k, 1) = substring(s_b, k, 1)), false)"""))
+      .select(
+        StringSimilarity.commonPrefixLen(col("s_a"), col("s_b"), 48)
+          .cast("long").as("fast"),
+        expr("""CAST(CASE WHEN p = 0
+            THEN least(length(s_a), length(s_b), 48)
+            ELSE p - 1 END AS BIGINT)""").as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(diff.count() == 0, "codegen LCP diverged from SQL formulation")
+  }
+
+  test("common_prefix_len runs inside whole-stage codegen") {
+    val df = Tables(spark, sf).part
+      .select(StringSimilarity.commonPrefixLen(
+        col("p_name"), lit("red widget"), 48).as("lcp"))
+      .filter(col("lcp") >= 1)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("common_prefix_len"), "expression missing from plan")
+    val line = plan.linesIterator.find(_.contains("common_prefix_len")).get
+    assert(line.trim.startsWith("*") || line.contains("*("),
+      s"common_prefix_len not codegen'd: $line")
+  }
 }
