@@ -23,9 +23,17 @@ import graft.functions.VectorFunctions
   */
 object Dedup {
 
-  /** 60-bit hash from the md5 hex prefix — reproducible in DuckDB. */
+  /** 60-bit hash from the md5 hex prefix — reproducible in DuckDB.
+    * Computed digest-direct by the codegen [[graft.functions.Md5Prefix60]]
+    * kernel (value-identical to
+    * `conv(substring(md5(c), 1, 15), 16, 10)::long`, differential-tested
+    * in StringSimilaritySpec); the hex/conv formulation allocated four
+    * strings per hashed token in the inner loop of every shingle and
+    * signature query. */
   def md5h64(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.Md5Prefix60(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
 
   /** Word 3-gram shingles over a pre-projected token array (split once
     * per row, not once per lambda element; Spark [] indexing is 0-based).
@@ -816,7 +824,13 @@ object Dedup {
           Seq("db"))
         .select(col("da"), col("db"), size(col("ha")).as("la"),
           size(col("hb")).as("lb"),
-          size(array_intersect(col("ha"), col("hb"))).as("ninter"))
+          // merge-walk count (codegen kernel): the arrays are sorted
+          // and distinct by construction, so this equals
+          // size(array_intersect(ha, hb)) without the per-pair
+          // hash-set build + output-array materialization that made
+          // this select the query's dominant stage
+          graft.functions.ArrayKernels
+            .sortedIntersectCount(col("ha"), col("hb")).as("ninter"))
       inter
         .filter(lit(5) * col("ninter") >=
           lit(3) * (col("la") + col("lb") - col("ninter")))

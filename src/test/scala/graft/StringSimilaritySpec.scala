@@ -105,6 +105,54 @@ class StringSimilaritySpec extends SparkSpec {
     assert(diff.count() == 0, "codegen LCP diverged from SQL formulation")
   }
 
+  test("md5_prefix60: value-identical to conv(substring(md5,1,15),16,10)") {
+    // differential gate over real fixture tokens + edge shapes: the
+    // digest-direct kernel must equal the hex/conv chain it replaced
+    // in md5h64, row for row (null passes through as null)
+    val toks = Tables(spark, sf).documents
+      .select(explode(split(col("text"), " ")).as("t"))
+      .limit(5000)
+      .unionAll(spark.range(1).select(lit("").as("t")))
+      .unionAll(spark.range(1).select(lit("日本語 ümlaut").as("t")))
+      .unionAll(spark.range(1).select(lit(null).cast("string").as("t")))
+    val diff = toks.select(
+        graft.operators.Dedup.md5h64(col("t")).as("fast"),
+        expr("CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)")
+          .as("slow"))
+      .filter(!(col("fast") <=> col("slow")))
+    assert(diff.count() == 0, "md5_prefix60 diverged from conv/hex chain")
+  }
+
+  test("md5_prefix60 runs inside whole-stage codegen") {
+    val df = Tables(spark, sf).part
+      .select(graft.operators.Dedup.md5h64(col("p_name")).as("h"))
+      .filter(col("h") >= 0L)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("md5_prefix60"), "expression missing from plan")
+    val line = plan.linesIterator.find(_.contains("md5_prefix60")).get
+    assert(line.trim.startsWith("*") || line.contains("*("),
+      s"md5_prefix60 not codegen'd: $line")
+  }
+
+  test("sorted_intersect_count: equals size(array_intersect) on sorted sets") {
+    val sets = Tables(spark, sf).documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), graft.operators.Dedup.md5h64(col("t")).as("h"))
+      .distinct()
+      .groupBy("doc_id").agg(sort_array(collect_list(col("h"))).as("hs"))
+      .limit(200)
+    val pairs = sets.select(col("doc_id").as("a"), col("hs").as("ha"))
+      .crossJoin(sets.select(col("doc_id").as("b"), col("hs").as("hb")))
+      .filter(col("a") < col("b")).limit(5000)
+    val diff = pairs.select(
+        graft.functions.ArrayKernels
+          .sortedIntersectCount(col("ha"), col("hb")).as("fast"),
+        size(array_intersect(col("ha"), col("hb"))).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(diff.count() == 0, "sorted_intersect_count diverged")
+  }
+
   test("common_prefix_len runs inside whole-stage codegen") {
     val df = Tables(spark, sf).part
       .select(StringSimilarity.commonPrefixLen(
