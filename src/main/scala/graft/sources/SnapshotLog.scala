@@ -63,6 +63,23 @@ object SnapshotLog {
     * versions stay readable. */
   final case class Entry(version: Int, action: String, path: String)
 
+  /** Env-gated commit-phase wall timer (`SPARK_GRAFT_STEPTIME=1`):
+    * attribution for the fixture-heavy snapshot queries' bench seconds
+    * (write vs candidate-prune vs stats vs publish). A plain branch on
+    * a cached flag — zero cost when off. */
+  private[sources] object CommitTiming {
+    private val enabled = sys.env.get("SPARK_GRAFT_STEPTIME").contains("1")
+    @inline def timed[T](label: => String)(f: => T): T =
+      if (!enabled) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        System.err.println(
+          f"[ctime] ${label}%-34s ${(System.nanoTime() - t0) / 1e9}%7.3fs")
+        r
+      }
+  }
+
   private[graft] def hexStr(s: String): String =
     s.getBytes("UTF-8").map(b => f"$b%02x").mkString
   private[graft] def unhexStr(h: String): String =
@@ -2139,15 +2156,39 @@ object SnapshotLog {
           acc.withColumn(c, lit(dft).cast(t))
         }
       val pc = physicalAt(at, partCol)
-      val ws = org.apache.spark.sql.graft.SparkInternals
-        .cloneSession(phys.sparkSession)
-      ws.conf.set("spark.sql.parquet.outputTimestampType",
-        "TIMESTAMP_MICROS")
       org.apache.spark.sql.graft.SparkInternals
-        .ofRows(ws, phys.queryExecution.analyzed)
+        .ofRows(writeSession(phys.sparkSession), phys.queryExecution.analyzed)
         .write.partitionBy(pc).mode("overwrite")
         .parquet(tmp.toString)
     }
+
+    /** The micros-pinned write session, cloned ONCE per (caller
+      * session, shuffle-partition setting) instead of per commit: the
+      * clone copies the full session state (conf, catalog, listener
+      * registrations) — pure driver overhead paid on every commit of
+      * every fixture-building query. Keyed by the caller's session
+      * (a Table handle can serve cloned SQL sessions too) AND its live
+      * `spark.sql.shuffle.partitions`, the one conf commit callers
+      * change dynamically (the streaming harness drops it to 8 around
+      * its foreachBatch commits) that shapes the write plan; every
+      * other relevant conf is session-static, so a cached clone never
+      * goes stale. */
+    @transient private var writeSessions =
+      Map.empty[(SparkSession, String), SparkSession]
+    private def writeSession(caller: SparkSession): SparkSession =
+      synchronized {
+        val key = (caller,
+          caller.conf.getOption("spark.sql.shuffle.partitions")
+            .getOrElse(""))
+        writeSessions.getOrElse(key, {
+          val ws = org.apache.spark.sql.graft.SparkInternals
+            .cloneSession(caller)
+          ws.conf.set("spark.sql.parquet.outputTimestampType",
+            "TIMESTAMP_MICROS")
+          writeSessions += key -> ws
+          ws
+        })
+      }
 
     /** List the `part=val/part-*.parquet` leaves Spark wrote under
       * `tmp`, relative to `tmp`. */
@@ -2220,13 +2261,16 @@ object SnapshotLog {
       checkConstraints(df)
       val tmp = new Path(s"$root/_tmp_v$v-${
         java.util.UUID.randomUUID.toString.take(8)}")
-      writeTmp(df, partCol, tmp, v - 1)
-      val added = adopt(tmp, v)
+      CommitTiming.timed("append:writeTmp")(
+        writeTmp(df, partCol, tmp, v - 1))
+      val added = CommitTiming.timed("append:adopt")(adopt(tmp, v))
       fs.delete(tmp, true)
-      val base = added.map(Entry(v, "add", _)) ++ statsEntries(v, added)
-      val ver =
+      val base = added.map(Entry(v, "add", _)) ++
+        CommitTiming.timed("append:stats")(statsEntries(v, added))
+      val ver = CommitTiming.timed("append:publish") {
         if (expectedVersion >= 0) { publishOrCleanup(v, base, added); v }
         else publishAppendRebase(v, base, added)
+      }
       buildBlooms(ver, added)
       maybeAutoCompact(partCol)
       ver
@@ -3031,17 +3075,19 @@ object SnapshotLog {
       val source = toPhysical(source0, v - 1)
       val keyCol = physicalAt(v - 1, keyCol0)
       val live = liveFiles(v - 1)
-      val candidates = mergeCandidates(v - 1, source, keyCol, live)
+      val candidates = CommitTiming.timed("merge:candidates")(
+        mergeCandidates(v - 1, source, keyCol, live))
       lastMergeScan = Some((candidates.size, live.size))
       val srcKeys = source.select(col(keyCol)).distinct()
       // driver-side file list: bounded by candidate-file count
       // (metadata scale), not row count; layout-aware reads so merges
       // work across partition evolution
-      val hits =
+      val hits = CommitTiming.timed("merge:hitScan") {
         if (candidates.isEmpty) Seq.empty[String]
         else readFilesWithPos(candidates, v - 1)
           .join(broadcast(srcKeys), Seq(keyCol))
           .select("__f").distinct().collect().map(_.getString(0)).toSeq
+      }
       val survivors = // victims read through their DVs (see
         // [[readFilesMorAt]] — a raw read would resurrect MOR deletes)
         if (hits.isEmpty) source.sparkSession.emptyDataFrame
@@ -3053,11 +3099,13 @@ object SnapshotLog {
           .unionByName(source)
       val tmp = new Path(s"$root/_tmp_v$v-${
         java.util.UUID.randomUUID.toString.take(8)}")
-      writeTmp(rewritten, partCol, tmp, v - 1)
+      CommitTiming.timed("merge:writeTmp")(
+        writeTmp(rewritten, partCol, tmp, v - 1))
       val added = adopt(tmp, v)
       fs.delete(tmp, true)
-      publishOrCleanup(v, hits.map(Entry(v, "remove", _)) ++
-        added.map(Entry(v, "add", _)) ++ statsEntries(v, added), added)
+      CommitTiming.timed("merge:stats+publish")(
+        publishOrCleanup(v, hits.map(Entry(v, "remove", _)) ++
+          added.map(Entry(v, "add", _)) ++ statsEntries(v, added), added))
       buildBlooms(v, added)
       v
     }
@@ -3298,23 +3346,34 @@ object SnapshotLog {
       val keys = toPhysical(keys0, v - 1) // column mapping at the boundary
       val keyCol = physicalAt(v - 1, keyCol0)
       val live = liveFiles(v - 1)
-      val candidates = mergeCandidates(v - 1, keys, keyCol, live)
+      val candidates = CommitTiming.timed("delkeys:candidates")(
+        mergeCandidates(v - 1, keys, keyCol, live))
       lastMergeScan = Some((candidates.size, live.size))
       if (candidates.isEmpty) { publishSegment(v, Seq.empty); return v }
       val srcKeys = keys.select(col(keyCol)).distinct()
+      // persisted across the two consumers (affected-file collect +
+      // DV sidecar build): un-cached, each would re-read every
+      // candidate file — at scale the candidate scan IS the commit's
+      // dominant I/O, and the cached relation is O(victim positions),
+      // spilling to disk if large
       val matched = readFilesWithPos(candidates, v - 1)
         .select(col("__f"), col("__pos"), col(keyCol))
         .join(broadcast(srcKeys), Seq(keyCol))
         .select("__f", "__pos")
-      // affected file list: bounded by candidate count, driver-side
-      val affected = matched.select("__f").distinct()
-        .collect().map(_.getString(0)).toSeq.sorted
-      if (affected.isEmpty) { publishSegment(v, Seq.empty); return v }
-      val dvId = buildDvSidecars(v, matched, affected)
-      publishOrCleanupDv(v,
-        affected.map(rel => Entry(v, "dv", s"$rel|$dvId")),
-        affected.map(rel => dvPath(rel, dvId)))
-      v
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // affected file list: bounded by candidate count, driver-side
+        val affected = CommitTiming.timed("delkeys:affected")(
+          matched.select("__f").distinct()
+            .collect().map(_.getString(0)).toSeq.sorted)
+        if (affected.isEmpty) { publishSegment(v, Seq.empty); return v }
+        val dvId = CommitTiming.timed("delkeys:dvSidecars")(
+          buildDvSidecars(v, matched, affected))
+        publishOrCleanupDv(v,
+          affected.map(rel => Entry(v, "dv", s"$rel|$dvId")),
+          affected.map(rel => dvPath(rel, dvId)))
+        v
+      } finally matched.unpersist(false)
     }
 
     /** Write one superseding DV sidecar per `affected` file: `matched`
@@ -3415,11 +3474,16 @@ object SnapshotLog {
       val candidates = mergeCandidates(v - 1, source, keyCol, live)
       lastMergeScan = Some((candidates.size, live.size))
       val srcKeys = source.select(col(keyCol)).distinct()
+      // persisted across its consumers (uniqueness guard, affected
+      // collect, DV build) — same candidate-scan-once rationale as
+      // commitDeleteKeysMor; unpersisted before return below
       val matchedKeyed =
         if (candidates.isEmpty) null
         else readFilesWithPos(candidates, v - 1)
           .select(col("__f"), col("__pos"), col(keyCol))
           .join(broadcast(srcKeys), Seq(keyCol))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       if (guardUniqueness && matchedKeyed != null) {
         // duplicate TARGET rows under a matched key would ALL be
         // tombstoned and collapse to one source row — a silent
@@ -3466,6 +3530,7 @@ object SnapshotLog {
       }
       buildBlooms(v, added)
       v
+      } finally { if (matchedKeyed != null) matchedKeyed.unpersist(false) }
     }
 
     /** Publish a DV commit; on a lost CAS race reclaim this writer's
