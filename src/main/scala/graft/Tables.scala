@@ -94,4 +94,21 @@ object Tables {
     else if (keys.nonEmpty) df.repartition(n, keys: _*)
     else df.repartition(n)
   }
+
+  /** Full-width hash repartition on the columns a downstream
+    * compute-heavy equi-join / aggregation keys on. Unlike [[spread]]
+    * there is no split-count probe (safe above exchanges, adds no
+    * eager execution) because this does not ADD an exchange: a
+    * `repartition(n, k)` immediately under a join/groupBy on `k` IS
+    * that operator's exchange, with an explicit partition count AQE
+    * will not coalesce. Use where the per-row downstream work is large
+    * (per-key pair expansion, array kernels) and AQE's byte-based
+    * coalescing would otherwise serialize it — at production bytes AQE
+    * would keep the partitions anyway, so this only pins the behavior
+    * the big-data plan already has. */
+  def spreadBy(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    require(keys.nonEmpty, "spreadBy needs at least one key column")
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(n, keys: _*)
+  }
 }

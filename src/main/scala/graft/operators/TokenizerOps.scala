@@ -109,8 +109,13 @@ object TokenizerOps {
       val cand = Dedup.minhashPairsFromHg(hg)
         .select("doc_a", "doc_b").localCheckpoint()
       val sz = hg.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = hg.toDF("doc_a", "h")
-        .join(hg.toDF("doc_b", "h2"),
+      // spreadBy pins the truth self-join's exchange at full width:
+      // the per-h pair expansion is the query's heavy stage, and AQE's
+      // byte-based coalescing would run it 1-2-way off the kilobyte
+      // hash relation (the join keys on h, so this IS the join's
+      // exchange, not an extra one)
+      val inter = graft.Tables.spreadBy(hg.toDF("doc_a", "h"), col("h"))
+        .join(graft.Tables.spreadBy(hg.toDF("doc_b", "h2"), col("h2")),
           col("h") === col("h2") && col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
       val truth = inter
